@@ -1,0 +1,501 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+import graft.Tables.{dsum, davg, dsumProduct}
+
+/** Core relational operator surface (SURVEY.md §2.1-§2.5).
+  *
+  * Each entry is a Spark-first re-expression of a capability the
+  * reference implements in its own scan/aggregate engine:
+  *  - projection/filter pushdown: reference CarbonOperators.scala:238-259,
+  *    387-431 → here Catalyst ColumnPruning + Parquet PushedFilters.
+  *  - partial aggregation: reference CarbonAggregate.scala:46-205 and
+  *    CarbonAggregates.scala (Sum/Count/Avg/Min/Max/Distinct variants) →
+  *    here HashAggregateExec partial→shuffle→final, automatic.
+  *  - broadcast-side join pushdown: reference CarbonJoins.scala:31-93
+  *    (FilterPushJoin) → here broadcast() hash join + AQE.
+  *  - top-k: reference CarbonStrategies.scala:60-118 → here
+  *    TakeOrderedAndProjectExec via orderBy().limit().
+  *
+  * Numeric discipline: sums over monetary doubles go through
+  * [[Tables.dsum]] (exact decimal) so results are bit-identical to the
+  * DuckDB oracle regardless of partial-aggregation order — summing raw
+  * doubles distributively is not reproducible across engines.
+  */
+object RelationalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // §2.4 aggregations: TPC-H Q1 pricing summary (sum/avg/count, 2 group cols)
+    "q01_pricing_summary" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsumProduct(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+          davg(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // §2.2 projection + filter pushdown (detail query)
+    "q02_filter_proj" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R" && col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"))
+    }),
+
+    // §2.3 broadcast hash join (reference FilterPushJoin semantics)
+    "q03_broadcast_join" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("order_cnt"),
+          dsum(col("o_totalprice")).as("total_price"))
+    }),
+
+    // §2.3 large-large equi join (shuffle; AQE picks strategy)
+    "q04_join_agg" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("line_cnt"),
+          dsumProduct(col("l_extendedprice"), col("l_discount")).as("revenue"))
+    }),
+
+    // §2.3 multi-way star join (TPC-H Q5 shape): dims broadcast
+    "q05_star_join" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(dsumProduct(col("l_extendedprice"), col("l_discount")).as("revenue"),
+          count(lit(1)).as("line_cnt"))
+    }),
+
+    // §2.5 top-k → TakeOrderedAndProjectExec (deterministic tiebreak)
+    "q06_topk" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+    }),
+
+    // §2.4 exact count(distinct) (reference DistinctCountAggregator)
+    "q07_count_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("distinct_parts"),
+          countDistinct(col("l_suppkey")).as("distinct_supps"))
+    }),
+
+    // §2.4 exact sum(distinct) (reference SumDistinct*Aggregator)
+    "q08_sum_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_linestatus"))
+        .agg(sum_distinct(col("l_quantity")).as("sum_dist_qty"))
+    }),
+
+    // §2.4 min/max/avg measure aggregators
+    "q09_minmax" -> ((s, d) => {
+      Tables.supplier(s, d)
+        .groupBy(col("s_nationkey"))
+        .agg(min(col("s_acctbal")).as("min_bal"),
+          max(col("s_acctbal")).as("max_bal"),
+          davg(col("s_acctbal")).as("avg_bal"),
+          count(lit(1)).as("supp_cnt"))
+    }),
+
+    // §2.4 group-by + HAVING (post-aggregate filter)
+    "q10_having" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 300)
+    }),
+
+    // §2.5 multi-column sort with limit
+    "q11_sort_multi" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .orderBy(col("o_orderpriority").asc, col("o_totalprice").desc,
+          col("o_orderkey").asc)
+        .limit(100)
+    }),
+
+    // §2.4 count(*) fast path (reference CountStarQueryExecutor —
+    // Spark answers from parquet footer row counts via agg pushdown)
+    "q12_count_star" -> ((s, d) => {
+      Tables.lineitem(s, d).agg(count(lit(1)).as("cnt"))
+    }),
+
+    // §2.2 IN / NOT IN predicate translation
+    "q13_in_filter" -> ((s, d) => {
+      Tables.orders(s, d)
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+          && !col("o_orderstatus").isin("F"))
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // §2.2 LIKE / contains filters (reference likefilters/)
+    "q14_like_filter" -> ((s, d) => {
+      Tables.part(s, d)
+        .filter(col("p_type").like("%ECO%") || col("p_name").startsWith("blue"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("cnt"), min(col("p_size")).as("min_size"))
+    }),
+
+    // §2.2 range predicate on timestamp (direct-dictionary equivalence)
+    "q15_between_dates" -> ((s, d) => {
+      Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"),
+          dsum(col("o_totalprice")).as("total"))
+    }),
+
+    // §2.6 set operation: UNION ALL then aggregate
+    "q16_union" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(col("c_nationkey").cast("int").as("nationkey"))
+      val sup = Tables.supplier(s, d).select(col("s_nationkey").cast("int").as("nationkey"))
+      c.unionAll(sup).groupBy(col("nationkey")).agg(count(lit(1)).as("cnt"))
+    }),
+
+    // §2.6 set operation: INTERSECT (distinct semantics)
+    "q17_intersect" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(col("c_nationkey").cast("int").as("nationkey"))
+      val sup = Tables.supplier(s, d).select(col("s_nationkey").cast("int").as("nationkey"))
+      c.intersect(sup)
+    }),
+
+    // §2.6 set operation: EXCEPT (distinct semantics)
+    "q18_except" -> ((s, d) => {
+      val heavy = Tables.lineitem(s, d).filter(col("l_quantity") > 47)
+        .select(col("l_partkey").as("partkey"))
+      val p = Tables.part(s, d).select(col("p_partkey").as("partkey"))
+      p.except(heavy)
+    }),
+
+    // §2.6 window: rank within group (reference `Top` operator,
+    // CarbonCatalystOperators.scala:34-42 → Window + row_number)
+    "q19_window_topn" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+          col("rn"))
+    }),
+
+    // §2.6 window: running aggregate
+    "q20_window_running" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_orderkey").asc, col("l_linenumber").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.lineitem(s, d)
+        .filter(col("l_suppkey") <= 5)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          sum(col("l_quantity")).over(w).as("running_qty"))
+    }),
+
+    // §2.4 ROLLUP (capability win over reference; exact distinct too)
+    "q21_rollup" -> ((s, d) => {
+      Tables.orders(s, d)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+    }),
+
+    // §2.4 conditional aggregation (reference SparkUnknownExpression —
+    // arbitrary expression evaluated inside the scan)
+    "q22_case_agg" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("l_discount") > 0.05, col("l_quantity")).otherwise(lit(0.0))).as("qty_high_disc"),
+          count(when(col("l_tax") > 0.04, lit(1))).as("cnt_high_tax"))
+    }),
+
+    // §2.2 arithmetic in projection + filter (reference translates
+    // +,-,*,/ into its filter tree, CarbonOperators.scala:403-418)
+    "q23_arith" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity") * (lit(1) + col("l_tax")) > 52)
+        .groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"),
+          sum((col("l_quantity") * 2 - 1).cast("long")).as("derived_sum"))
+    }),
+
+    // §2.3 left semi join (EXISTS)
+    "q24_semi_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_totalprice") > 100000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // §2.3 left anti join (NOT EXISTS)
+    "q25_anti_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val urgent = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))
+    }),
+
+    // §2.3 left outer join with null-producing aggregation
+    "q26_outer_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("order_cnt"))
+        .groupBy(col("order_cnt"))
+        .agg(count(lit(1)).as("cust_cnt"))
+    }),
+
+    // §2.4 first/arg-extremum aggregate (reference FirstCarbon — made
+    // deterministic via min_by/max_by)
+    "q27_argminmax" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(min_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey"))).as("cheapest_order"),
+          max_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey"))).as("priciest_order"))
+    }),
+
+    // §2.2 null semantics (IsNotNull / IsNull translation)
+    "q28_null_filter" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .filter(col("o_orderkey").isNull)
+        .agg(count(lit(1)).as("custs_without_orders"))
+    }),
+
+    // §2.6 scalar functions: string/date built-ins end-to-end
+    "q29_scalar_funcs" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          upper(substring(col("o_orderpriority"), 3, 10)).as("prio_name"),
+          year(col("o_orderdate")).as("order_year"),
+          month(col("o_orderdate")).as("order_month"))
+        .groupBy(col("prio_name"), col("order_year"))
+        .agg(count(lit(1)).as("cnt"), min(col("order_month")).as("min_month"))
+    }),
+
+    // §2.6 time-window aggregation over events (streaming-shaped query
+    // run as batch). events.ts is parquet TIMESTAMP(NANOS) which Spark's
+    // reader rejects; nanosAsLong reads it as epoch-nanos long and the
+    // hour bucket is exact integer division on both engines.
+    "q30_time_window" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      Tables.events(s, d)
+        .groupBy(expr("ts div 3600000000000").as("hour_bucket"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("total_value"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         SUM(l_quantity) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+         COUNT(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus""",
+
+    "q02_filter_proj" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+         FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 45""",
+
+    "q03_broadcast_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS order_cnt,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment""",
+
+    "q04_join_agg" ->
+      """SELECT o_orderpriority, COUNT(*) AS line_cnt,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority""",
+
+    "q05_star_join" ->
+      """SELECT n_name,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+         COUNT(*) AS line_cnt
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY n_name""",
+
+    "q06_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+
+    "q07_count_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS distinct_parts,
+         COUNT(DISTINCT l_suppkey) AS distinct_supps
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "q08_sum_distinct" ->
+      """SELECT l_linestatus, SUM(DISTINCT l_quantity) AS sum_dist_qty
+         FROM lineitem GROUP BY l_linestatus""",
+
+    "q09_minmax" ->
+      """SELECT s_nationkey, MIN(s_acctbal) AS min_bal, MAX(s_acctbal) AS max_bal,
+         CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(s_acctbal) AS avg_bal,
+         COUNT(*) AS supp_cnt
+         FROM supplier GROUP BY s_nationkey""",
+
+    "q10_having" ->
+      """SELECT l_suppkey, SUM(l_quantity) AS sum_qty FROM lineitem
+         GROUP BY l_suppkey HAVING SUM(l_quantity) > 300""",
+
+    "q11_sort_multi" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+         ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey ASC
+         LIMIT 100""",
+
+    "q12_count_star" ->
+      """SELECT COUNT(*) AS cnt FROM lineitem""",
+
+    "q13_in_filter" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt FROM orders
+         WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
+         AND o_orderstatus NOT IN ('F')
+         GROUP BY o_orderstatus, o_orderpriority""",
+
+    "q14_like_filter" ->
+      """SELECT p_brand, COUNT(*) AS cnt, MIN(p_size) AS min_size FROM part
+         WHERE p_type LIKE '%ECO%' OR p_name LIKE 'blue%'
+         GROUP BY p_brand""",
+
+    "q15_between_dates" ->
+      """SELECT o_orderpriority, COUNT(*) AS cnt,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+         AND o_orderdate < TIMESTAMP '1996-01-01'
+         GROUP BY o_orderpriority""",
+
+    "q16_union" ->
+      """SELECT nationkey, COUNT(*) AS cnt FROM (
+           SELECT CAST(c_nationkey AS INTEGER) AS nationkey FROM customer
+           UNION ALL
+           SELECT CAST(s_nationkey AS INTEGER) AS nationkey FROM supplier
+         ) GROUP BY nationkey""",
+
+    "q17_intersect" ->
+      """SELECT CAST(c_nationkey AS INTEGER) AS nationkey FROM customer
+         INTERSECT
+         SELECT CAST(s_nationkey AS INTEGER) AS nationkey FROM supplier""",
+
+    "q18_except" ->
+      """SELECT p_partkey AS partkey FROM part
+         EXCEPT
+         SELECT l_partkey AS partkey FROM lineitem WHERE l_quantity > 47""",
+
+    "q19_window_topn" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+           SELECT o_orderpriority, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+           FROM orders) WHERE rn <= 3""",
+
+    "q20_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+         SUM(l_quantity) OVER (PARTITION BY l_suppkey
+           ORDER BY l_orderkey ASC, l_linenumber ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+         FROM lineitem WHERE l_suppkey <= 5""",
+
+    "q21_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+
+    "q22_case_agg" ->
+      """SELECT l_returnflag,
+         SUM(CASE WHEN l_discount > 0.05 THEN l_quantity ELSE 0.0 END) AS qty_high_disc,
+         COUNT(CASE WHEN l_tax > 0.04 THEN 1 END) AS cnt_high_tax
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "q23_arith" ->
+      """SELECT l_linestatus, COUNT(*) AS cnt,
+         SUM(CAST(l_quantity * 2 - 1 AS BIGINT)) AS derived_sum
+         FROM lineitem WHERE l_quantity * (1 + l_tax) > 52
+         GROUP BY l_linestatus""",
+
+    "q24_semi_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS cnt FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+         GROUP BY c_mktsegment""",
+
+    "q25_anti_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+           AND o_orderpriority = '1-URGENT')""",
+
+    "q26_outer_join" ->
+      """SELECT order_cnt, COUNT(*) AS cust_cnt FROM (
+           SELECT c_custkey, COUNT(o_orderkey) AS order_cnt
+           FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           GROUP BY c_custkey)
+         GROUP BY order_cnt""",
+
+    "q27_argminmax" ->
+      """WITH ranked AS (
+           SELECT o_orderpriority, o_orderkey,
+           ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin,
+           ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax
+           FROM orders)
+         SELECT o_orderpriority,
+         MIN(CASE WHEN rmin = 1 THEN o_orderkey END) AS cheapest_order,
+         MIN(CASE WHEN rmax = 1 THEN o_orderkey END) AS priciest_order
+         FROM ranked GROUP BY o_orderpriority""",
+
+    "q28_null_filter" ->
+      """SELECT COUNT(*) AS custs_without_orders
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         WHERE o_orderkey IS NULL""",
+
+    "q29_scalar_funcs" ->
+      """SELECT UPPER(SUBSTRING(o_orderpriority, 3, 10)) AS prio_name,
+         YEAR(o_orderdate) AS order_year, COUNT(*) AS cnt,
+         MIN(MONTH(o_orderdate)) AS min_month
+         FROM orders GROUP BY 1, 2""",
+
+    "q30_time_window" ->
+      """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
+         COUNT(*) AS cnt,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1, 2"""
+  )
+}
