@@ -1,0 +1,100 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Document deduplication operators for 100 TB-scale corpora.
+  *
+  * Scale design notes:
+  *  - Exact dedup is one hash-aggregate: map-side partial on the
+  *    fingerprint, one shuffle on the 16-byte key, no full-text shuffle.
+  *  - MinHash-LSH candidate generation is the standard
+  *    shingle → signature → band → bucket-join pipeline: cost is
+  *    O(docs × shingles × k) map-side work plus one shuffle keyed by
+  *    (band_idx, band_key). No quadratic stage ever materializes; the
+  *    pair join only touches docs sharing a band bucket.
+  *  - Verification (exact Jaccard) runs only on LSH candidates, or on
+  *    explicit blocking keys, never all-pairs.
+  */
+object Dedup {
+
+  /** Exact dedup groups: one row per distinct normalized text with the
+    * representative (min id) and the duplicate count.
+    */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("dup_cnt"))
+
+  /** Per-document MinHash LSH band keys, exploded for the bucket join:
+    * (id, band_idx, band_key). Empty/short docs yield null keys which
+    * are dropped (they cannot be near-dup candidates).
+    */
+  def bandedSignatures(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val sig = minhashSignature(wordShingles(col(textCol)), k)
+    docs.select(col(idCol).as("id"),
+        posexplode(lshBands(sig, k, rowsPerBand)).as(Seq("band_idx", "band_key")))
+      .filter(col("band_key").isNotNull)
+  }
+
+  /** MinHash-LSH near-duplicate candidate pairs (id_a < id_b), distinct.
+    * The join is keyed by (band_idx, band_key) so it shuffles only
+    * band-key rows — never the corpus text — and skew is bounded by
+    * band-bucket size.
+    */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val b = bandedSignatures(docs, idCol, textCol, k, rowsPerBand)
+    val left = b.toDF("id_a", "band_idx", "band_key")
+    val right = b.toDF("id_b", "band_idx", "band_key")
+    left.join(right, Seq("band_idx", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** Exact word-shingle Jaccard for pairs sharing a blocking key.
+    * Returns (id_a, id_b, jaccard) for pairs ≥ minJaccard. Blocking
+    * keeps the join linear per block; at 100 TB use LSH candidates as
+    * the pair source instead of blocking columns.
+    */
+  def blockedJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                          blockCols: Seq[String], minJaccard: Double): DataFrame = {
+    val withSh = docs.select(
+      (col(idCol).as("id") +: blockCols.map(col)) :+
+        array_distinct(wordShingles(col(textCol))).as("sh"): _*)
+    val a = withSh.select(col("id").as("id_a") +: col("sh").as("sh_a") +:
+      blockCols.map(col): _*)
+    val b = withSh.select(col("id").as("id_b") +: col("sh").as("sh_b") +:
+      blockCols.map(col): _*)
+    a.join(b, blockCols)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard",
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** SimHash near-duplicate candidates: pairs whose 32-bit md5-SimHash
+    * differs in at most `maxHamming` bits, within blocks. At scale,
+    * block on simhash byte-prefixes (pigeonhole: a ≤3-bit difference
+    * leaves at least one of 4 bytes identical) instead of columns.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   blockCols: Seq[String], maxHamming: Int): DataFrame = {
+    val withH = docs.select(
+      (col(idCol).as("id") +: blockCols.map(col)) :+
+        simhash32(col(textCol)).as("sh"): _*)
+    val a = withH.select(col("id").as("id_a") +: col("sh").as("sh_a") +:
+      blockCols.map(col): _*)
+    val b = withH.select(col("id").as("id_b") +: col("sh").as("sh_b") +:
+      blockCols.map(col): _*)
+    a.join(b, blockCols)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

@@ -1,0 +1,229 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+
+/** Training-data pipeline operators (dedup / similarity / text
+  * analysis) exposed as driver-checkable queries over the `documents`
+  * and `embeddings` tables. Thin wrappers over the real library
+  * surface: [[graft.functions.TextFunctions]], [[graft.dedup.Dedup]],
+  * [[graft.similarity.Similarity]].
+  *
+  * Every oracle below reproduces the Spark computation exactly in
+  * DuckDB SQL: hashing is md5-based, buckets are sign-pattern-based,
+  * and scores use only exact/int-ratio arithmetic, so hash compares
+  * are bit-exact (see SURVEY.md §5.2).
+  */
+object PipelineQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // --- shared DuckDB SQL fragments (mirror TextFunctions exactly) ---
+
+  /** words CTE body: 1-based whitespace token list */
+  private val W = "string_split_regex(trim(text), '\\s+')"
+
+  /** 3-gram shingle list over `words` */
+  private val SH =
+    "list_transform(range(1, len(words) - 1), i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])"
+
+  private def mh(j: Int): String =
+    s"list_aggregate(list_transform(s, x -> md5(x || '|$j')), 'min')"
+
+  private def band(b: Int, rows: Int): String =
+    "md5(" + (0 until rows).map(r => mh(b * rows + r)).mkString(" || ") + ")"
+
+  private val enMarkers = "('the','and','of','to','a')"
+
+  val queries: Map[String, Q] = Map(
+    // text analysis: token counting
+    "t01_token_count" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          col("n_chars"))
+    }),
+
+    // text analysis: deterministic quality score
+    "t02_quality" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
+    }),
+
+    // text analysis: n-gram-heuristic language ID
+    "t03_langid" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.langId(col("text")).as("pred_lang"))
+    }),
+
+    // text analysis: aggregated corpus stats over derived features
+    "t04_text_stats" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(sum(TextFunctions.tokenCount(col("text")).cast("long")).as("total_tokens"),
+          max(col("n_chars")).as("max_chars"),
+          count(lit(1)).as("doc_cnt"))
+    }),
+
+    // dedup: exact fingerprint groups
+    "d01_dedup_exact" -> ((s, d) => {
+      Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")
+    }),
+
+    // dedup: MinHash-LSH candidate pairs (k=16 hashes, 4 bands of 4)
+    "d02_minhash_pairs" -> ((s, d) => {
+      Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text", 16, 4)
+    }),
+
+    // dedup: exact n-gram Jaccard over blocked pairs
+    "d03_jaccard_pairs" -> ((s, d) => {
+      Dedup.blockedJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        Seq("source", "lang"), 0.8)
+    }),
+
+    // dedup: md5-SimHash signature (32-bit)
+    "d04_simhash" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.simhash32(col("text")).as("simhash"))
+    }),
+
+    // similarity: brute-force exact top-3 cosine neighbors of 5 queries
+    "s01_ann_brute" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", 3)
+    }),
+
+    // similarity: sign-LSH bucketed top-3 (the IVF-style scale path)
+    "s02_ann_bucketed" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bucketedTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", 3, 4)
+    }),
+
+    // dedup: embedding-cosine near-dup pairs, bucket-blocked
+    "e01_embed_neardup" -> ((s, d) => {
+      Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+        0.4, 2)
+    })
+  )
+
+  private val dotSql =
+    "list_aggregate(list_transform(range(1, len(qv) + 1), i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)), 'sum')"
+  private val normQ =
+    "sqrt(list_aggregate(list_transform(range(1, len(qv) + 1), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)), 'sum'))"
+  private val normC =
+    "sqrt(list_aggregate(list_transform(range(1, len(cv) + 1), i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)), 'sum'))"
+
+  private def bucketSql(v: String, bits: Int): String =
+    (0 until bits).map(j =>
+      s"(CASE WHEN $v[${j + 1}] > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+
+  private def simhashBitSql(j: Int): String =
+    s"(CASE WHEN list_aggregate(list_transform(words, w -> CASE WHEN ((CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) >> $j) & 1) = 1 THEN 1 ELSE -1 END), 'sum') > 0 THEN ${1L << j} ELSE 0 END)"
+
+  val oracles: Map[String, String] = Map(
+    "t01_token_count" ->
+      s"""SELECT doc_id, len($W) AS n_tokens, n_chars FROM documents""",
+
+    "t02_quality" ->
+      s"""SELECT doc_id,
+          ROUND(LEAST(CAST(len($W) AS DOUBLE), 200.0) * 0.005 +
+            CAST(len(list_filter($W, w -> w IN $enMarkers)) AS DOUBLE)
+              / CAST(len($W) AS DOUBLE), 6) AS quality
+          FROM documents""",
+
+    "t03_langid" ->
+      s"""WITH t AS (SELECT doc_id, $W AS words FROM documents),
+          c AS (SELECT doc_id,
+            len(list_filter(words, w -> w IN $enMarkers)) AS en,
+            len(list_filter(words, w -> w IN ('el','la','de','que','y'))) AS es,
+            len(list_filter(words, w -> w IN ('le','les','des','et','une'))) AS fr,
+            len(list_filter(words, w -> w IN ('der','die','und','das','ist'))) AS de
+          FROM t)
+          SELECT doc_id,
+            CASE WHEN en >= es AND en >= fr AND en >= de AND en > 0 THEN 'en'
+                 WHEN es >= fr AND es >= de AND es > 0 THEN 'es'
+                 WHEN fr >= de AND fr > 0 THEN 'fr'
+                 WHEN de > 0 THEN 'de'
+                 ELSE 'und' END AS pred_lang
+          FROM c""",
+
+    "t04_text_stats" ->
+      s"""SELECT source, SUM(CAST(len($W) AS BIGINT)) AS total_tokens,
+          MAX(n_chars) AS max_chars, COUNT(*) AS doc_cnt
+          FROM documents GROUP BY source""",
+
+    "d01_dedup_exact" ->
+      """SELECT md5(lower(trim(text))) AS fp, MIN(doc_id) AS rep_id,
+         COUNT(*) AS dup_cnt FROM documents GROUP BY 1""",
+
+    "d02_minhash_pairs" ->
+      s"""WITH t AS (SELECT doc_id, $W AS words FROM documents),
+          sh AS (SELECT doc_id, $SH AS s FROM t),
+          sig AS (SELECT doc_id,
+            ${(0 until 4).map(b => s"${band(b, 4)} AS band$b").mkString(", ")}
+          FROM sh)
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+          AND (a.band0 = b.band0 OR a.band1 = b.band1
+            OR a.band2 = b.band2 OR a.band3 = b.band3)""",
+
+    "d03_jaccard_pairs" ->
+      s"""WITH t AS (SELECT doc_id, source, lang, $W AS words FROM documents),
+          sh AS (SELECT doc_id, source, lang, list_distinct($SH) AS s FROM t)
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+              len(list_distinct(a.s || b.s)), 6) AS jaccard
+          FROM sh a JOIN sh b
+          ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+              len(list_distinct(a.s || b.s)) >= 0.8""",
+
+    "d04_simhash" ->
+      s"""WITH t AS (SELECT doc_id, $W AS words FROM documents)
+          SELECT doc_id,
+          ${(0 until 32).map(simhashBitSql).mkString(" + ")} AS simhash
+          FROM t""",
+
+    "s01_ann_brute" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+            FROM embeddings WHERE vec_id < 5),
+          c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+          scored AS (SELECT query_id, neighbor_id,
+            $dotSql / ($normQ * $normC) AS cos
+          FROM q CROSS JOIN c WHERE neighbor_id <> query_id),
+          ranked AS (SELECT query_id, neighbor_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM scored)
+          SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 3""",
+
+    "s02_ann_bucketed" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+            ${bucketSql("embedding", 4)} AS bucket
+            FROM embeddings WHERE vec_id < 5),
+          c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+            ${bucketSql("embedding", 4)} AS bucket FROM embeddings),
+          scored AS (SELECT query_id, neighbor_id,
+            $dotSql / ($normQ * $normC) AS cos
+          FROM q JOIN c USING (bucket) WHERE neighbor_id <> query_id),
+          ranked AS (SELECT query_id, neighbor_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM scored)
+          SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 3""",
+
+    "e01_embed_neardup" ->
+      s"""WITH v AS (SELECT vec_id, embedding,
+            ${bucketSql("embedding", 2)} AS bucket FROM embeddings),
+          p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            a.embedding AS qv, b.embedding AS cv
+          FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+          SELECT id_a, id_b FROM p
+          WHERE $dotSql / ($normQ * $normC) >= 0.4"""
+  )
+}
