@@ -1,0 +1,100 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.Tables.dsum
+import graft.table.SegmentedTable
+
+/** Segment-lifecycle operators run through the DuckDB gate: the table
+  * is (re)built from the driver's parquet inputs inside /tmp, so the
+  * oracle is simply the equivalent query over the original table —
+  * load, pruned scan, and compaction must be exactly row-preserving.
+  */
+object SegmentQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Build-once-per-JVM cache (Verify/Bench call each query once). */
+  private val built = scala.collection.concurrent.TrieMap[String, SegmentedTable]()
+
+  private def lineitemTable(s: SparkSession, d: String): SegmentedTable =
+    built.getOrElseUpdate(s"li|$d", {
+      val root = s"/tmp/graft_tables/${d.replace('/', '_')}/lineitem"
+      val li = Tables.lineitem(s, d)
+      if (SegmentedTable.exists(root)) {
+        val t = SegmentedTable.open(s, root)
+        t.deleteSegments(t.showSegments().map(_.id)); t.cleanFiles()
+        // two loads split on ship year → disjoint segment date ranges
+        t.load(li.filter(year(col("l_shipdate")) <= 1995))
+        t.load(li.filter(year(col("l_shipdate")) > 1995))
+        t
+      } else {
+        val t = SegmentedTable.create(s, root, li.schema,
+          Map("sort_columns" -> "l_shipdate"))
+        t.load(li.filter(year(col("l_shipdate")) <= 1995))
+        t.load(li.filter(year(col("l_shipdate")) > 1995))
+        t
+      }
+    })
+
+  private def ordersCompacted(s: SparkSession, d: String): SegmentedTable =
+    built.getOrElseUpdate(s"ord|$d", {
+      val root = s"/tmp/graft_tables/${d.replace('/', '_')}/orders"
+      if (SegmentedTable.exists(root)) {
+        val t = SegmentedTable.open(s, root)
+        t.deleteSegments(t.showSegments().map(_.id)); t.cleanFiles()
+        loadAndCompact(t, s, d)
+      } else {
+        val o = Tables.orders(s, d)
+        val t = SegmentedTable.create(s, root, o.schema,
+          Map("sort_columns" -> "o_orderdate"))
+        loadAndCompact(t, s, d)
+      }
+    })
+
+  private def loadAndCompact(t: SegmentedTable, s: SparkSession, d: String) = {
+    val o = Tables.orders(s, d)
+    t.load(o.filter(col("o_orderkey") % 2 === 0))
+    t.load(o.filter(col("o_orderkey") % 2 === 1))
+    t.compact()
+    t.cleanFiles()
+    t
+  }
+
+  val queries: Map[String, Q] = Map(
+    // load (2 segments) → min/max-pruned scan → aggregate; oracle is
+    // the same filter+agg on the source table, so pruning must lose
+    // nothing
+    "g01_segment_pruned_scan" -> ((s, d) => {
+      val t = lineitemTable(s, d)
+      val pred = col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+      t.scan(pred)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // load 2 segments → compact → clean → full read; compaction must
+    // be exactly row-preserving
+    "g02_segment_compaction" -> ((s, d) => {
+      val t = ordersCompacted(s, d)
+      t.read()
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "g01_segment_pruned_scan" ->
+      """SELECT l_returnflag, COUNT(*) AS cnt, SUM(l_quantity) AS sum_qty
+         FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         GROUP BY l_returnflag""",
+
+    "g02_segment_compaction" ->
+      """SELECT o_orderstatus, COUNT(*) AS cnt,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders GROUP BY o_orderstatus"""
+  )
+}

@@ -1,0 +1,417 @@
+package graft.table
+
+import java.nio.channels.FileChannel
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+import java.util.Comparator
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.functions.{col, lit, max, min}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.graftbridge.ColumnExpr
+import org.json4s._
+import org.json4s.jackson.Serialization
+
+/** Per-column min/max kept in the segment catalog, serialized as
+  * strings with a type tag (numeric | string | timestamp).
+  */
+case class ColStats(min: String, max: String, kind: String)
+
+/** One load = one segment (reference: Segment_N directories tracked in
+  * table_status.thrift with LOAD_PROGRESS/SUCCESS/... states —
+  * format/src/main/thrift/table_status.thrift:17-28).
+  */
+case class SegmentMeta(id: Int, status: String, rowCount: Long,
+                       createdAt: Long, stats: Map[String, ColStats])
+
+case class TableStatus(nextId: Int, segments: List[SegmentMeta])
+
+/** Segment-managed Parquet table: the Spark-native re-design of the
+  * reference's store (SURVEY.md §7.1).
+  *
+  *  - Each load appends a `segment_N/` directory of Parquet sorted by
+  *    the table's sort columns (replaces global-dictionary + MDKey
+  *    sort: Parquet's own dictionary/RLE encodings give the same
+  *    compression; multi-column sort gives the same locality).
+  *  - `_meta/status.json` is the table-status state machine; commits
+  *    are write-temp + atomic-rename, guarded by an exclusive file
+  *    lock (single-node stand-in for the reference's ZooKeeper lock,
+  *    core/.../locks/ZooKeeperLocking.java — on a cluster the same
+  *    protocol runs against a shared DFS path, and the atomic rename
+  *    is the commit point, so concurrent readers always see a
+  *    consistent segment list).
+  *  - Per-segment min/max stats power driver-side segment pruning
+  *    (replaces the driver BTree of CarbonInputFormat.getSplits:177);
+  *    Parquet row-group stats prune below segment granularity for free.
+  *
+  * Scale: the catalog holds one small JSON record per segment — at
+  * 100 TB with multi-GB segments that is a few thousand entries, read
+  * once per query on the driver; all data-plane work stays in Spark's
+  * vectorized Parquet scan over only the surviving segment dirs.
+  */
+class SegmentedTable private (val spark: SparkSession, val root: Path,
+                              val schema: StructType,
+                              val properties: Map[String, String]) {
+  import SegmentedTable._
+
+  private def metaDir = root.resolve("_meta")
+  private def statusFile = metaDir.resolve("status.json")
+  private def lockFile = metaDir.resolve(".lock")
+  private def segmentDir(id: Int) = root.resolve(s"segment_$id")
+
+  def sortColumns: Seq[String] =
+    properties.get("sort_columns").toSeq.flatMap(_.split(",")).map(_.trim)
+      .filter(_.nonEmpty)
+
+  // ---- status file (atomic commit protocol) ----
+
+  def status: TableStatus = readStatus(statusFile)
+
+  private def commitStatus(s: TableStatus): Unit = {
+    val tmp = metaDir.resolve(s"status.json.tmp${System.nanoTime()}")
+    Files.writeString(tmp, Serialization.write(s)(formats))
+    Files.move(tmp, statusFile, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Exclusive metadata lock for load/compact/delete (reference takes
+    * METADATA_LOCK in LoadCube.run, cubeSchema.scala:1817-1827).
+    */
+  private def withLock[T](f: => T): T = {
+    val ch = FileChannel.open(lockFile, StandardOpenOption.CREATE,
+      StandardOpenOption.WRITE)
+    try {
+      val l = ch.lock()
+      try f finally l.release()
+    } finally ch.close()
+  }
+
+  // ---- load path ----
+
+  /** Append one segment. The input is sorted within partitions by the
+    * table's sort columns (the MDKey-sort equivalent) so Parquet
+    * row-group min/max stay tight and scans of sorted dims merge
+    * cheaply. Returns the new segment id.
+    */
+  def load(df: DataFrame): Int = withLock {
+    val st = status
+    val id = st.nextId
+    val tmp = root.resolve(s".segment_$id.inprogress")
+    val sorted =
+      if (sortColumns.nonEmpty) df.sortWithinPartitions(sortColumns.map(col): _*)
+      else df
+    sorted.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    Files.move(tmp, segmentDir(id), StandardCopyOption.ATOMIC_MOVE)
+    val (rows, stats) = collectStats(segmentDir(id))
+    commitStatus(TableStatus(id + 1,
+      st.segments :+ SegmentMeta(id, SUCCESS, rows, System.currentTimeMillis(), stats)))
+    id
+  }
+
+  /** Overwrite = mark all live segments DELETED, then load. */
+  def overwrite(df: DataFrame): Int = {
+    withLock {
+      val st = status
+      commitStatus(st.copy(segments = st.segments.map(s =>
+        if (s.status == SUCCESS) s.copy(status = DELETED) else s)))
+    }
+    load(df)
+  }
+
+  /** One pass over the fresh segment computes per-column min/max for
+    * the catalog (cheap: projection of stat-eligible columns only).
+    */
+  private def collectStats(dir: Path): (Long, Map[String, ColStats]) = {
+    val df = spark.read.schema(schema).parquet(dir.toString)
+    val eligible = schema.fields.filter(f => kindOf(f.dataType).isDefined)
+    val aggs = eligible.flatMap(f =>
+      Seq(min(col(f.name)).as(s"min_${f.name}"), max(col(f.name)).as(s"max_${f.name}"))) :+
+      org.apache.spark.sql.functions.count(lit(1)).as("__rows")
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val stats = eligible.flatMap { f =>
+      val mn = row.getAs[Any](s"min_${f.name}")
+      val mx = row.getAs[Any](s"max_${f.name}")
+      if (mn == null || mx == null) None
+      else Some(f.name -> ColStats(fmt(mn), fmt(mx), kindOf(f.dataType).get))
+    }.toMap
+    (row.getAs[Long]("__rows"), stats)
+  }
+
+  // ---- read path ----
+
+  private def liveSegments: Seq[SegmentMeta] =
+    status.segments.filter(_.status == SUCCESS)
+
+  /** Full-table read: union of live segment dirs in one multi-path
+    * Parquet scan (locality and split sizing handled by Spark).
+    */
+  def read(): DataFrame = readSegments(liveSegments)
+
+  private def readSegments(segs: Seq[SegmentMeta]): DataFrame =
+    if (segs.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else
+      spark.read.schema(schema).parquet(segs.map(s => segmentDir(s.id).toString): _*)
+
+  /** Segment-pruned scan: driver-side min/max elimination on the
+    * predicate's conjuncts, then the residual filter runs in the scan
+    * (where Parquet row-group stats prune further). Mirrors
+    * FilterExpressionProcessor.getFilterredBlocks (reference
+    * core/.../query/filters/FilterExpressionProcessor.java:85-155).
+    */
+  def scan(predicate: Column): DataFrame =
+    readSegments(pruneSegments(predicate)).filter(predicate)
+
+  /** The segments surviving min/max pruning (exposed for tests). */
+  def pruneSegments(predicate: Column): Seq[SegmentMeta] = {
+    // The raw Column is an unresolved tree (Spark 4 column nodes);
+    // analyze it against an empty relation with the table schema to
+    // get resolved comparisons, then fold constant subtrees (e.g.
+    // Cast of a string literal to timestamp) so they participate in
+    // min/max pruning.
+    val dummy = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+    val analyzed = dummy.filter(predicate).queryExecution.analyzed
+    val cond = analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }
+    cond match {
+      case None => liveSegments
+      case Some(c) =>
+        val folded = c.transformUp {
+          case e if e.foldable && !e.isInstanceOf[Literal] =>
+            Literal.create(e.eval(), e.dataType)
+        }
+        val conjuncts = splitConjuncts(folded)
+        liveSegments.filter(seg => conjuncts.forall(x => mayMatch(seg, x)))
+    }
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  private def attrName(e: Expression): Option[String] = e match {
+    case a: Attribute => Some(a.name)
+    case u: UnresolvedAttribute => Some(u.name)
+    // analysis inserts widening casts around attributes (int col vs
+    // long literal); numeric/timestamp widening preserves ordering so
+    // pruning through it is safe
+    case c: org.apache.spark.sql.catalyst.expressions.Cast
+        if c.dataType.isInstanceOf[NumericType] || c.dataType == TimestampType =>
+      attrName(c.child)
+    case _ => None
+  }
+
+  /** Conservative overlap test: false only when stats PROVE the
+    * segment cannot contain a matching row.
+    */
+  private def mayMatch(seg: SegmentMeta, e: Expression): Boolean = e match {
+    case EqualTo(a, Literal(v, t)) => attrName(a) match {
+      case Some(n) => rangeContains(seg, n, v, t)
+      case None => true
+    }
+    case EqualTo(Literal(v, t), a) => attrName(a) match {
+      case Some(n) => rangeContains(seg, n, v, t)
+      case None => true
+    }
+    case GreaterThan(a, Literal(v, t)) => cmpMax(seg, a, v, t)(_ > 0)
+    case GreaterThanOrEqual(a, Literal(v, t)) => cmpMax(seg, a, v, t)(_ >= 0)
+    case LessThan(a, Literal(v, t)) => cmpMin(seg, a, v, t)(_ < 0)
+    case LessThanOrEqual(a, Literal(v, t)) => cmpMin(seg, a, v, t)(_ <= 0)
+    case GreaterThan(Literal(v, t), a) => cmpMin(seg, a, v, t)(_ < 0)
+    case GreaterThanOrEqual(Literal(v, t), a) => cmpMin(seg, a, v, t)(_ <= 0)
+    case LessThan(Literal(v, t), a) => cmpMax(seg, a, v, t)(_ > 0)
+    case LessThanOrEqual(Literal(v, t), a) => cmpMax(seg, a, v, t)(_ >= 0)
+    case In(a, vs) if vs.forall(_.isInstanceOf[Literal]) => attrName(a) match {
+      case Some(n) => vs.exists { case Literal(v, t) => rangeContains(seg, n, v, t) }
+      case None => true
+    }
+    case _ => true // unknown predicate shape: cannot prune
+  }
+
+  /** max(seg) op literal must hold for any row to match. */
+  private def cmpMax(seg: SegmentMeta, a: Expression, v: Any, t: DataType)(
+      op: Int => Boolean): Boolean = attrName(a) match {
+    case Some(n) => seg.stats.get(n) match {
+      case Some(s) => compare(s.max, v, t, s.kind).forall(op)
+      case None => true
+    }
+    case None => true
+  }
+
+  private def cmpMin(seg: SegmentMeta, a: Expression, v: Any, t: DataType)(
+      op: Int => Boolean): Boolean = attrName(a) match {
+    case Some(n) => seg.stats.get(n) match {
+      case Some(s) => compare(s.min, v, t, s.kind).forall(op)
+      case None => true
+    }
+    case None => true
+  }
+
+  private def rangeContains(seg: SegmentMeta, n: String, v: Any, t: DataType): Boolean =
+    seg.stats.get(n) match {
+      case Some(s) =>
+        compare(s.min, v, t, s.kind).forall(_ <= 0) &&
+          compare(s.max, v, t, s.kind).forall(_ >= 0)
+      case None => true
+    }
+
+  /** compare(stored, literal): Some(sign) or None if incomparable. */
+  private def compare(stored: String, v: Any, t: DataType, kind: String): Option[Int] =
+    (kind, t) match {
+      case ("numeric", _: NumericType) =>
+        Some(stored.toDouble.compareTo(v.toString.toDouble))
+      case ("string", StringType) => Some(stored.compareTo(v.toString))
+      case ("timestamp", TimestampType | TimestampNTZType) =>
+        // catalyst timestamp literals are epoch micros
+        Some(stored.toLong.compareTo(v.asInstanceOf[Long]))
+      case _ => None
+    }
+
+  // ---- segment lifecycle (reference §2.8 command surface) ----
+
+  def showSegments(): Seq[SegmentMeta] = status.segments.sortBy(_.id)
+
+  /** Mark segments deleted by id (reference DeleteLoadsById). */
+  def deleteSegments(ids: Seq[Int]): Unit = withLock {
+    val st = status
+    commitStatus(st.copy(segments = st.segments.map(s =>
+      if (ids.contains(s.id) && s.status == SUCCESS) s.copy(status = DELETED) else s)))
+  }
+
+  /** Retention: mark segments loaded before the cutoff deleted
+    * (reference DeleteLoadByDate).
+    */
+  def deleteSegmentsBefore(epochMillis: Long): Unit = withLock {
+    val st = status
+    commitStatus(st.copy(segments = st.segments.map(s =>
+      if (s.createdAt < epochMillis && s.status == SUCCESS) s.copy(status = DELETED) else s)))
+  }
+
+  /** Physically remove non-live segment dirs (reference CleanFiles). */
+  def cleanFiles(): Unit = withLock {
+    val st = status
+    val dead = st.segments.filter(s => s.status == DELETED || s.status == COMPACTED)
+    dead.foreach(s => deleteRecursively(segmentDir(s.id)))
+    commitStatus(st.copy(segments = st.segments.filterNot(s => dead.exists(_.id == s.id))))
+  }
+
+  /** Compaction: merge all live segments into one new segment, retire
+    * the inputs (reference MergeCube / CarbonMergerRDD). The merged
+    * segment is re-sorted by the table's sort columns.
+    */
+  def compact(): Option[Int] = {
+    val live = liveSegments
+    if (live.size < 2) return None
+    val merged = readSegments(live)
+    val id = withLock {
+      val st = status
+      val newId = st.nextId
+      val tmp = root.resolve(s".segment_$newId.inprogress")
+      val sorted =
+        if (sortColumns.nonEmpty)
+          merged.sortWithinPartitions(sortColumns.map(col): _*)
+        else merged
+      sorted.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      Files.move(tmp, segmentDir(newId), StandardCopyOption.ATOMIC_MOVE)
+      val (rows, stats) = collectStats(segmentDir(newId))
+      commitStatus(TableStatus(newId + 1,
+        st.segments.map(s => if (live.exists(_.id == s.id)) s.copy(status = COMPACTED) else s) :+
+          SegmentMeta(newId, SUCCESS, rows, System.currentTimeMillis(), stats)))
+      newId
+    }
+    Some(id)
+  }
+
+  /** Total row count from catalog metadata only — the reference's
+    * driver-side count(*) fast path (CountStarQueryExecutor).
+    */
+  def countFromCatalog: Long = liveSegments.map(_.rowCount).sum
+}
+
+object SegmentedTable {
+  val SUCCESS = "SUCCESS"
+  val DELETED = "DELETED"
+  val COMPACTED = "COMPACTED"
+
+  private[table] implicit val formats: Formats = DefaultFormats
+
+  private def kindOf(t: DataType): Option[String] = t match {
+    case _: NumericType => Some("numeric")
+    case StringType => Some("string")
+    case TimestampType | TimestampNTZType => Some("timestamp")
+    case _ => None
+  }
+
+  private def fmt(v: Any): String = v match {
+    case t: java.sql.Timestamp => (t.getTime * 1000L + t.getNanos / 1000 % 1000).toString
+    case t: java.time.Instant =>
+      (t.getEpochSecond * 1000000L + t.getNano / 1000).toString
+    case t: java.time.LocalDateTime =>
+      val i = t.toInstant(java.time.ZoneOffset.UTC)
+      (i.getEpochSecond * 1000000L + i.getNano / 1000).toString
+    case other => other.toString
+  }
+
+  private def readStatus(p: Path): TableStatus =
+    Serialization.read[TableStatus](Files.readString(p))
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+
+  /** Create a new table (reference CreateCube, cubeSchema.scala:1608). */
+  def create(spark: SparkSession, root: String, schema: StructType,
+             properties: Map[String, String] = Map.empty): SegmentedTable = {
+    val r = Paths.get(root)
+    val meta = r.resolve("_meta")
+    Files.createDirectories(meta)
+    val schemaJson = JObject(
+      "schema" -> JString(schema.json),
+      "properties" -> JObject(properties.map { case (k, v) => k -> (JString(v): JValue) }.toList))
+    Files.writeString(meta.resolve("schema.json"),
+      org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(schemaJson)))
+    val t = new SegmentedTable(spark, r, schema, properties)
+    t.commitStatus(TableStatus(0, Nil))
+    t
+  }
+
+  /** Open an existing table from its metadata. */
+  def open(spark: SparkSession, root: String): SegmentedTable = {
+    val r = Paths.get(root)
+    val j = org.json4s.jackson.JsonMethods.parse(
+      Files.readString(r.resolve("_meta").resolve("schema.json")))
+    val schema = DataType.fromJson((j \ "schema").extract[String]).asInstanceOf[StructType]
+    val props = (j \ "properties") match {
+      case JObject(fields) => fields.collect { case (k, JString(v)) => k -> v }.toMap
+      case _ => Map.empty[String, String]
+    }
+    new SegmentedTable(spark, r, schema, props)
+  }
+
+  def exists(root: String): Boolean =
+    Files.exists(Paths.get(root).resolve("_meta").resolve("status.json"))
+
+  /** DataFrame-writer entry with the reference's SaveMode matrix
+    * (CarbonDatasourceRelation.scala:76-97).
+    */
+  def save(df: DataFrame, root: String, mode: SaveMode,
+           properties: Map[String, String] = Map.empty): SegmentedTable = {
+    val spark = df.sparkSession
+    mode match {
+      case SaveMode.ErrorIfExists if exists(root) =>
+        throw new IllegalStateException(s"table already exists at $root")
+      case SaveMode.Ignore if exists(root) => open(spark, root)
+      case SaveMode.Overwrite if exists(root) =>
+        val t = open(spark, root); t.overwrite(df); t
+      case _ =>
+        val t = if (exists(root)) open(spark, root)
+                else create(spark, root, df.schema, properties)
+        t.load(df); t
+    }
+  }
+}

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into Spark's sql-private column internals: Spark 4 removed
+  * the public `Column.expr`, and the classic converter is
+  * `private[sql]`. Living under `org.apache.spark.sql` grants access —
+  * the one place the library needs a Catalyst `Expression` from a user
+  * `Column` (segment min/max pruning reads the predicate tree).
+  */
+object ColumnExpr {
+  def expr(c: Column): Expression = ExpressionUtils.expression(c)
+}

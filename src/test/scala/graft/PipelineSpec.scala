@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+  def emb = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+
+  test("tokenCount matches manual split") {
+    val r = Seq(("a b  c", 3), ("  x ", 1), ("one", 1)).toDF("text", "expected")
+      .withColumn("got", TextFunctions.tokenCount(col("text")))
+      .filter(col("got") =!= col("expected"))
+    assert(r.count() == 0)
+  }
+
+  test("wordShingles: n-2 shingles, empty for short docs") {
+    val r = Seq("a b c d", "a b", "").toDF("text")
+      .select(TextFunctions.wordShingles(col("text")).as("sh"))
+      .collect().map(_.getSeq[String](0))
+    assert(r(0) == Seq("a b c", "b c d"))
+    assert(r(1).isEmpty)
+  }
+
+  test("simhash32 is deterministic and near-dup-sensitive") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog again and again today",
+      "the quick brown fox jumps over the lazy dog again and again tonight",
+      "completely different words about spark query engines and columnar io")
+      .toDF("text")
+    val h = texts.select(TextFunctions.simhash32(col("text")).as("h"))
+      .collect().map(_.getLong(0))
+    assert(h(0) != h(2))
+    val near = java.lang.Long.bitCount(h(0) ^ h(1))
+    val far = java.lang.Long.bitCount(h(0) ^ h(2))
+    assert(near < far, s"near=$near far=$far")
+    // determinism across evaluations
+    val h2 = texts.select(TextFunctions.simhash32(col("text")).as("h"))
+      .collect().map(_.getLong(0))
+    assert(h.sameElements(h2))
+  }
+
+  test("langId picks marker-dominant language") {
+    val r = Seq(
+      "the cat and the dog of a house",
+      "el perro y la casa de que hablas y el gato",
+      "nothing matching here xyz").toDF("text")
+      .select(TextFunctions.langId(col("text")).as("l"))
+      .collect().map(_.getString(0))
+    assert(r(0) == "en" && r(1) == "es" && r(2) == "und")
+  }
+
+  test("minhash LSH finds the planted near-duplicates") {
+    // ground truth: pairs with true shingle-jaccard >= 0.9
+    val withSh = docs.select(col("doc_id"),
+      array_distinct(TextFunctions.wordShingles(col("text"))).as("sh"))
+    val truth = withSh.as("a").join(withSh.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .withColumn("jac",
+        size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(array_union(col("a.sh"), col("b.sh"))))
+      .filter(col("jac") >= 0.9)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "test data should contain planted near-dups")
+    val candidates = Dedup.minhashCandidates(docs, "doc_id", "text", 16, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH with 4 bands of 4 at j>=0.9: expected recall ~1 - (1-0.9^4)^4 ≈ 0.98
+    val recall = truth.intersect(candidates).size.toDouble / truth.size
+    assert(recall >= 0.8, s"recall=$recall truth=${truth.size} cand=${candidates.size}")
+  }
+
+  test("exact dedup groups cover every doc exactly once") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text")
+    assert(g.agg(sum("dup_cnt")).as[Long].head() == docs.count())
+  }
+
+  test("brute-force ANN returns k ranked neighbors per query, no self") {
+    val r = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3),
+      "vec_id", "embedding", 5)
+    assert(r.count() == 15)
+    assert(r.filter(col("query_id") === col("neighbor_id")).count() == 0)
+    assert(r.groupBy("query_id").agg(max("rank").as("m"))
+      .filter(col("m") =!= 5).count() == 0)
+  }
+
+  test("bucketed ANN result is a subset-ranking consistent with brute force") {
+    val brute = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3),
+      "vec_id", "embedding", 1)
+    val bucketed = Similarity.bucketedTopK(emb, emb.filter(col("vec_id") < 3),
+      "vec_id", "embedding", 1, 4)
+    // rank-1 in bucket is rank-1 overall whenever they share a bucket;
+    // just assert shape + determinism here
+    assert(bucketed.count() <= 3)
+    assert(bucketed.collect().toSet == bucketed.collect().toSet)
+    assert(brute.count() == 3)
+  }
+
+  test("cosine of identical vectors is 1") {
+    val one = Seq((1L, Array(0.5f, 0.25f, -0.125f))).toDF("id", "v")
+    val c = one.select(Similarity.cosine(col("v"), col("v")).as("c"))
+      .as[Double].head()
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+}

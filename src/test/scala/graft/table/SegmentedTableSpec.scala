@@ -1,0 +1,117 @@
+package graft.table
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.TestSpark
+
+class SegmentedTableSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark = TestSpark.spark
+  def li = spark.read.parquet(s"${TestSpark.sf}/lineitem.parquet")
+
+  private def freshRoot(name: String): String = {
+    val p = Files.createTempDirectory(s"graft_$name").resolve("t").toString
+    p
+  }
+
+  test("create + two loads + read returns union") {
+    val root = freshRoot("union")
+    val old = li.filter(year(col("l_shipdate")) <= 1995)
+    val recent = li.filter(year(col("l_shipdate")) > 1995)
+    val t = SegmentedTable.create(spark, root, li.schema,
+      Map("sort_columns" -> "l_shipdate"))
+    assert(t.load(old) == 0)
+    assert(t.load(recent) == 1)
+    assert(t.read().count() == li.count())
+    assert(t.countFromCatalog == li.count())
+    assert(t.showSegments().map(_.status).forall(_ == "SUCCESS"))
+  }
+
+  test("segment min/max pruning skips non-matching segments") {
+    val root = freshRoot("prune")
+    val t = SegmentedTable.create(spark, root, li.schema, Map.empty)
+    t.load(li.filter(year(col("l_shipdate")) <= 1995))
+    t.load(li.filter(year(col("l_shipdate")) > 1995))
+    val pred = col("l_shipdate") >= lit("1997-06-01").cast("timestamp")
+    val survivors = t.pruneSegments(pred)
+    assert(survivors.map(_.id) == Seq(1), s"expected only segment 1, got $survivors")
+    // pruned scan still returns exactly the right rows
+    val expected = li.filter(pred).count()
+    assert(t.scan(pred).count() == expected)
+    // numeric pruning too
+    val t2Pred = col("l_orderkey") < -1
+    assert(t.pruneSegments(t2Pred).isEmpty)
+    assert(t.scan(t2Pred).count() == 0)
+  }
+
+  test("delete by id, clean files removes directories") {
+    val root = freshRoot("delete")
+    val t = SegmentedTable.create(spark, root, li.schema, Map.empty)
+    t.load(li.limit(100))
+    t.load(li.limit(50))
+    t.deleteSegments(Seq(0))
+    assert(t.read().count() == 50)
+    assert(Files.exists(Paths.get(root, "segment_0")))
+    t.cleanFiles()
+    assert(!Files.exists(Paths.get(root, "segment_0")))
+    assert(t.showSegments().map(_.id) == Seq(1))
+  }
+
+  test("retention delete by date") {
+    val root = freshRoot("retention")
+    val t = SegmentedTable.create(spark, root, li.schema, Map.empty)
+    t.load(li.limit(10))
+    val cutoff = System.currentTimeMillis() + 1000
+    t.deleteSegmentsBefore(cutoff)
+    assert(t.read().count() == 0)
+    assert(t.showSegments().head.status == "DELETED")
+  }
+
+  test("compaction merges live segments and retires inputs") {
+    val root = freshRoot("compact")
+    val t = SegmentedTable.create(spark, root, li.schema,
+      Map("sort_columns" -> "l_orderkey"))
+    t.load(li.filter(col("l_orderkey") % 2 === 0))
+    t.load(li.filter(col("l_orderkey") % 2 === 1))
+    val total = li.count()
+    val merged = t.compact()
+    assert(merged.contains(2))
+    assert(t.read().count() == total)
+    val statuses = t.showSegments().map(s => s.id -> s.status).toMap
+    assert(statuses(0) == "COMPACTED" && statuses(1) == "COMPACTED" &&
+      statuses(2) == "SUCCESS")
+    t.cleanFiles()
+    assert(t.showSegments().map(_.id) == Seq(2))
+    assert(t.read().count() == total)
+  }
+
+  test("SaveMode matrix") {
+    val root = freshRoot("savemode")
+    val d100 = li.limit(100)
+    SegmentedTable.save(d100, root, SaveMode.ErrorIfExists)
+    intercept[IllegalStateException] {
+      SegmentedTable.save(d100, root, SaveMode.ErrorIfExists)
+    }
+    val t = SegmentedTable.save(li.limit(10), root, SaveMode.Append)
+    assert(t.read().count() == 110)
+    val t2 = SegmentedTable.save(li.limit(7), root, SaveMode.Overwrite)
+    assert(t2.read().count() == 7)
+    val t3 = SegmentedTable.save(li.limit(99), root, SaveMode.Ignore)
+    assert(t3.read().count() == 7)
+  }
+
+  test("open() round-trips schema and properties") {
+    val root = freshRoot("reopen")
+    val t = SegmentedTable.create(spark, root, li.schema,
+      Map("sort_columns" -> "l_shipdate,l_orderkey"))
+    t.load(li.limit(5))
+    val reopened = SegmentedTable.open(spark, root)
+    assert(reopened.schema == li.schema)
+    assert(reopened.sortColumns == Seq("l_shipdate", "l_orderkey"))
+    assert(reopened.read().count() == 5)
+  }
+}
