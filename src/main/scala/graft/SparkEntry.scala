@@ -13,10 +13,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ PipelineQueries.queries ++ SegmentQueries.queries
+    RelationalQueries.queries ++ PipelineQueries.queries ++ SegmentQueries.queries ++ StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ PipelineQueries.oracles ++ SegmentQueries.oracles
+    RelationalQueries.oracles ++ PipelineQueries.oracles ++ SegmentQueries.oracles ++ StreamingQueries.oracles
 }

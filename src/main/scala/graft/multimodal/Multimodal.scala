@@ -1,0 +1,80 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Decoded-media feature record (the output shape a real image/audio
+  * decoder stage would produce per document).
+  */
+case class MediaFeatures(id: Long, byte_len: Int, width: Int, height: Int,
+                         embedding: Array[Float])
+
+/** Multimodal-column plumbing: images/audio/video travel as opaque
+  * `binary` columns with typed metadata; decode/feature-extraction is
+  * a batched per-partition stage.
+  *
+  * The decode itself is a STUB (no image/audio libraries in this
+  * container): [[decodeBatch]] derives deterministic fake features
+  * from the bytes. Everything around it — the schema contract, the
+  * batched mapPartitions shape (amortizing per-batch decoder init,
+  * exactly how a JNI/GPU decoder is driven), partitioning, and the
+  * typed Dataset output — is real and tested, so swapping in a real
+  * decoder changes only the function body.
+  *
+  * Scale: the payload column never shuffles — metadata extraction and
+  * decode are narrow map stages; downstream aggregations group on
+  * small derived columns only. Size `maxPartitionBytes` so one
+  * partition of payloads fits the decoder's memory budget.
+  */
+object Multimodal {
+
+  /** Attach an opaque binary payload + typed metadata struct.
+    * (In production the payload IS the stored bytes; here it is the
+    * utf-8 text so the pipeline has real bytes to carry.)
+    */
+  def withPayload(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+      col(textCol).cast("binary").as("payload"),
+      struct(
+        lit("application/octet-stream").as("mime"),
+        octet_length(col(textCol)).as("byte_len")).as("meta"))
+
+  /** STUB decoder for one batch of payloads. Deterministic fake:
+    * dimensions and an 8-dim embedding derived from the first bytes.
+    * Replace the body with a real codec call (e.g. JNI libjpeg /
+    * ffmpeg) — the signature is the real contract.
+    */
+  private def decodeBatch(batch: Seq[(Long, Array[Byte])]): Seq[MediaFeatures] =
+    batch.map { case (id, bytes) =>
+      val b0 = if (bytes.nonEmpty) bytes(0) & 0xff else 0
+      val b1 = if (bytes.length > 1) bytes(1) & 0xff else 0
+      val emb = Array.tabulate(8)(i =>
+        ((bytes((i * 7) % math.max(bytes.length, 1)) & 0xff) / 255.0f))
+      MediaFeatures(id, bytes.length, 64 + (b0 % 192), 64 + (b1 % 192), emb)
+    }
+
+  /** Batched decode / feature-extraction over the payload column.
+    * `batchSize` models the decoder's optimal batch (GPU batch, codec
+    * reuse); per-partition iteration never materializes the partition.
+    */
+  def decodeFeatures(df: DataFrame, batchSize: Int = 64): Dataset[MediaFeatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(it => it.grouped(batchSize).flatMap(decodeBatch))
+  }
+
+  /** End-to-end: payload attach → batched decode → per-source feature
+    * aggregation (the typical training-data curation rollup).
+    */
+  def featureStats(docs: DataFrame): DataFrame = {
+    val withSrc = withPayload(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id").as("id"), col("source")), "id")
+    val feats = decodeFeatures(withSrc.select("id", "payload"))
+    feats.join(withSrc.select(col("id"), col("source")), "id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(col("byte_len").cast("long")).as("total_bytes"),
+        max(col("width")).as("max_width"))
+  }
+}

@@ -108,6 +108,21 @@ object PipelineQueries {
     "e01_embed_neardup" -> ((s, d) => {
       Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
         0.4, 2)
+    }),
+
+    // multimodal: binary payload column stats (the expression-level
+    // half of graft.multimodal — byte lengths + content checksums over
+    // the binary payload; the batched decode stub is test-covered)
+    "m01_binary_features" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("source"),
+          octet_length(col("text")).as("byte_len"),
+          conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
+            .cast("long").as("checksum"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("byte_len").cast("long")).as("total_bytes"),
+          sum(col("checksum")).as("checksum_sum"))
     })
   )
 
@@ -224,6 +239,12 @@ object PipelineQueries {
             a.embedding AS qv, b.embedding AS cv
           FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
           SELECT id_a, id_b FROM p
-          WHERE $dotSql / ($normQ * $normC) >= 0.4"""
+          WHERE $dotSql / ($normQ * $normC) >= 0.4""",
+
+    "m01_binary_features" ->
+      """SELECT source, COUNT(*) AS n,
+         SUM(CAST(octet_length(encode(text)) AS BIGINT)) AS total_bytes,
+         SUM(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)) AS checksum_sum
+         FROM documents GROUP BY source"""
   )
 }

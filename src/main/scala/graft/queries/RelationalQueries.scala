@@ -311,6 +311,46 @@ object RelationalQueries {
       Tables.events(s, d)
         .groupBy(expr("ts div 3600000000000").as("hour_bucket"), col("event_type"))
         .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("total_value"))
+    }),
+
+    // §1.2 complex types: ARRAY via explode (reference ARRAY<T> columns,
+    // ComplexDataTypesTestCase)
+    "q31_explode_array" -> ((s, d) => {
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("cnt"), countDistinct(col("doc_id")).as("docs"))
+        .filter(col("cnt") >= 20)
+    }),
+
+    // §1.2 complex types: STRUCT build + field access through agg
+    "q32_struct" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(struct(year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m")).as("ym"),
+          col("o_totalprice"))
+        .groupBy(col("ym"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+        .select(col("ym.y").as("y"), col("ym.m").as("m"), col("cnt"), col("total"))
+    }),
+
+    // §1.2 complex types: array aggregation with deterministic order
+    "q33_array_agg" -> ((s, d) => {
+      Tables.nation(s, d)
+        .groupBy(col("n_regionkey"))
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
+          count(lit(1)).as("cnt"))
+    }),
+
+    // §2.4 exact distinct via Roaring bitmap (reference
+    // DistinctCountAggregator parity — custom TypedImperativeAggregate)
+    "q34_bitmap_distinct" -> ((s, d) => {
+      import graft.functions.BitmapDistinctCount.bitmapDistinctCount
+      Tables.lineitem(s, d)
+        .groupBy(col("l_linestatus"))
+        .agg(bitmapDistinctCount(col("l_orderkey")).as("distinct_orders"),
+          bitmapDistinctCount(col("l_partkey")).as("distinct_parts"))
     })
   )
 
@@ -496,6 +536,29 @@ object RelationalQueries {
       """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
          COUNT(*) AS cnt,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-         FROM events GROUP BY 1, 2"""
+         FROM events GROUP BY 1, 2""",
+
+    "q31_explode_array" ->
+      """SELECT token, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS docs FROM (
+           SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+           FROM documents WHERE doc_id < 50)
+         GROUP BY token HAVING COUNT(*) >= 20""",
+
+    "q32_struct" ->
+      """SELECT ym.y AS y, ym.m AS m, COUNT(*) AS cnt,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM (SELECT struct_pack(y := YEAR(o_orderdate), m := MONTH(o_orderdate)) AS ym,
+               o_totalprice FROM orders)
+         GROUP BY ym""",
+
+    "q33_array_agg" ->
+      """SELECT n_regionkey, array_to_string(list_sort(list(n_name)), ',') AS nations,
+         COUNT(*) AS cnt
+         FROM nation GROUP BY n_regionkey""",
+
+    "q34_bitmap_distinct" ->
+      """SELECT l_linestatus, COUNT(DISTINCT l_orderkey) AS distinct_orders,
+         COUNT(DISTINCT l_partkey) AS distinct_parts
+         FROM lineitem GROUP BY l_linestatus"""
   )
 }

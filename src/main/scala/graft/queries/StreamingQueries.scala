@@ -1,0 +1,65 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.streaming.EventStreams
+
+/** Streaming-native operators routed through the DuckDB gate: st01
+  * genuinely executes a Structured Streaming query (AvailableNow →
+  * memory sink) and must produce the identical result to the batch
+  * oracle; st02 exercises session windows (gaps-and-islands SQL is the
+  * oracle).
+  */
+object StreamingQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "st01_stream_hourly" -> ((s, d) => {
+      val agg = EventStreams.hourlyAgg(EventStreams.eventStream(s, d))
+      EventStreams.runToCompletion(s, agg)
+    }),
+
+    "st02_session_window" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = Tables.events(s, d)
+        .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      EventStreams.sessionStats(ev, "30 minutes")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    // hour_bucket from window.start == epoch-micros div 3600e6 == the
+    // q30 bucketing; value sum in exact decimal
+    "st01_stream_hourly" ->
+      """SELECT (epoch_ns(ts) // 1000) // 3600000000 AS hour_bucket, event_type,
+         COUNT(*) AS cnt,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1, 2""",
+
+    // session_window semantics: a new session starts when the gap to
+    // the previous event is >= 30 min (strictly-less extends)
+    "st02_session_window" ->
+      """WITH e AS (
+           SELECT user_id, epoch_ns(ts) // 1000 AS tus FROM events),
+         marked AS (
+           SELECT user_id, tus,
+             CASE WHEN LAG(tus) OVER (PARTITION BY user_id ORDER BY tus) IS NULL
+                    OR tus - LAG(tus) OVER (PARTITION BY user_id ORDER BY tus)
+                       >= 1800000000
+                  THEN 1 ELSE 0 END AS brk
+           FROM e),
+         numbered AS (
+           SELECT user_id,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY tus
+               ROWS UNBOUNDED PRECEDING) AS sess
+           FROM marked),
+         per_session AS (
+           SELECT user_id, sess, COUNT(*) AS n_events
+           FROM numbered GROUP BY user_id, sess)
+         SELECT user_id, COUNT(*) AS n_sessions,
+           MAX(n_events) AS max_session_events
+         FROM per_session GROUP BY user_id"""
+  )
+}

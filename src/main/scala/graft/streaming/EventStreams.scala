@@ -1,0 +1,85 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming surface over the `events` table.
+  *
+  * The reference has no streaming engine (SURVEY.md §2.6 — its thrift
+  * format defines an appendable file but nothing reads it); this module
+  * is the Spark-native capability the format was reaching for:
+  * readStream → watermark → windowed/stateful aggregation → sink.
+  *
+  * Scale: windowed aggregation state is keyed by (window, group) and
+  * expired by the watermark, so state size is bounded by
+  * windows-in-flight × groups, independent of stream length; session
+  * windows are merged per key by Spark's session-window state store.
+  */
+object EventStreams {
+
+  private val runIds = new AtomicInteger(0)
+
+  /** The events table as a stream. TIMESTAMP(NANOS) parquet is read as
+    * epoch-nano longs (nanosAsLong) and converted to a proper
+    * microsecond timestamp column `ts_utc`.
+    */
+  def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // testdata tables are single files, not directories: stream the
+    // parent dir with a glob filter so the file source accepts it
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Hourly tumbling-window counts with a watermark — the canonical
+    * streaming aggregation. Emits (hour_bucket, event_type, cnt,
+    * total_value) with the value sum in exact decimal.
+    */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts_utc", "1 hour")
+      .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("total_value"))
+      .select((col("window.start").cast("long") / 3600).cast("long").as("hour_bucket"),
+        col("event_type"), col("cnt"), col("total_value"))
+
+  /** Run a streaming aggregation to completion over the files present
+    * now (Trigger.AvailableNow + memory sink) and return the result as
+    * a batch DataFrame — used by the correctness gate so the streaming
+    * path itself is oracle-checked.
+    */
+  def runToCompletion(spark: SparkSession, agg: DataFrame): DataFrame = {
+    val name = s"graft_stream_${runIds.incrementAndGet()}"
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Gap-based sessionization via the native session_window operator
+    * (works identically in batch and streaming): per user, events
+    * closer than `gap` merge into one session.
+    */
+  def sessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts_utc"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** Per-user session stats (count of sessions, largest session). */
+  def sessionStats(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    sessions(events, gap)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), max(col("n_events")).as("max_session_events"))
+}

@@ -12,4 +12,6 @@ import org.apache.spark.sql.classic.ExpressionUtils
   */
 object ColumnExpr {
   def expr(c: Column): Expression = ExpressionUtils.expression(c)
+
+  def toColumn(e: Expression): Column = ExpressionUtils.column(e)
 }

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+import graft.multimodal.Multimodal
+
+class StreamingMultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("streaming hourly agg equals batch computation") {
+    val streamed = EventStreams.runToCompletion(spark,
+      EventStreams.hourlyAgg(EventStreams.eventStream(spark, TestSpark.sf)))
+      .orderBy("hour_bucket", "event_type")
+      .collect()
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = spark.read.parquet(s"${TestSpark.sf}/events.parquet")
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("total_value"))
+      .select((col("window.start").cast("long") / 3600).cast("long").as("hour_bucket"),
+        col("event_type"), col("cnt"), col("total_value"))
+      .orderBy("hour_bucket", "event_type")
+      .collect()
+    assert(streamed.sameElements(batch))
+  }
+
+  test("sessions partition all events exactly once") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"${TestSpark.sf}/events.parquet")
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+    val total = ev.count()
+    val sessionTotal = EventStreams.sessions(ev)
+      .agg(sum("n_events")).as[Long].head()
+    assert(sessionTotal == total)
+    // every user has >= 1 session and session counts are sane
+    val stats = EventStreams.sessionStats(ev)
+    assert(stats.filter(col("n_sessions") < 1).count() == 0)
+    assert(stats.count() == ev.select("user_id").distinct().count())
+  }
+
+  test("multimodal payload plumbing: schema, determinism, batching") {
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    val withP = Multimodal.withPayload(docs, "doc_id", "text")
+    assert(withP.schema("payload").dataType.typeName == "binary")
+    assert(withP.schema("meta").dataType.typeName == "struct")
+
+    val feats = Multimodal.decodeFeatures(withP.select("id", "payload"), batchSize = 7)
+    assert(feats.count() == docs.count())
+    val f = feats.orderBy("id").limit(3).collect()
+    val f2 = Multimodal.decodeFeatures(withP.select("id", "payload"), batchSize = 64)
+      .orderBy("id").limit(3).collect()
+    // batch size must not change results (pure per-record decode)
+    assert(f.zip(f2).forall { case (x, y) =>
+      x.id == y.id && x.width == y.width && x.embedding.sameElements(y.embedding) })
+    assert(f.forall(m => m.width >= 64 && m.width < 256 && m.embedding.length == 8))
+
+    val stats = Multimodal.featureStats(docs)
+    assert(stats.count() == docs.select("source").distinct().count())
+  }
+}
