@@ -1,0 +1,165 @@
+package graft.mv
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
+import org.apache.spark.sql.graftbridge.ColumnExpr
+import org.json4s._
+import org.json4s.jackson.Serialization
+
+/** One registered aggregate table: a parquet rollup of `basePath`
+  * grouped by `groupCols`, holding pre-aggregated measures.
+  * `measures` maps (func, baseColumn) → MV column name, where func ∈
+  * sum | min | max and the implicit row count lives in `countCol`.
+  */
+case class AggTableMeta(name: String, basePath: String, mvPath: String,
+                        groupCols: List[String],
+                        measures: List[MeasureMeta], countCol: String)
+case class MeasureMeta(func: String, baseCol: String, mvCol: String)
+
+/** Aggregate tables (materialized rollups) + automatic query rewrite —
+  * the reference declares them via CREATE AGGREGATETABLE and selects
+  * them only at LOAD time (AggregateTableSelecter.java); routing
+  * queries to them automatically is the §4-row-14 upgrade, done here
+  * as a logical optimizer rule.
+  *
+  * Scale rationale: a rollup of a 100 TB fact table by a handful of
+  * dims is typically 1e3-1e6 rows; answering a matching aggregate from
+  * it replaces a full fact scan with a scan of kilobytes. Re-aggregation
+  * (SUM of partial SUMs, SUM of partial COUNTs, MIN of MINs, MAX of
+  * MAXs) keeps results exactly equal to the base query for any
+  * grouping subset of the MV's dims.
+  */
+object AggTables {
+
+  private implicit val formats: Formats = DefaultFormats
+
+  def catalogDir(spark: SparkSession): String =
+    spark.conf.get("spark.graft.mv.store", "/tmp/graft_mv")
+
+  /** Build + register an aggregate table over a base parquet path.
+    * Measures: (func, column) with func ∈ sum|min|max. Count is always
+    * materialized (needed for COUNT(*) and, later, AVG rewrites).
+    */
+  def create(spark: SparkSession, name: String, basePath: String,
+             groupCols: Seq[String], measures: Seq[(String, String)]): AggTableMeta = {
+    val dir = catalogDir(spark)
+    Files.createDirectories(Paths.get(dir))
+    val mvPath = s"$dir/$name.parquet"
+    val ms = measures.toList.map { case (f, c) => MeasureMeta(f, c, s"${f}_$c") }
+    val aggs = ms.map {
+      case MeasureMeta("sum", c, a) => sum(col(c)).as(a)
+      case MeasureMeta("min", c, a) => min(col(c)).as(a)
+      case MeasureMeta("max", c, a) => max(col(c)).as(a)
+      case MeasureMeta(f, _, _) => throw new IllegalArgumentException(s"func $f")
+    } :+ count(lit(1)).as("cnt_rows")
+    spark.read.parquet(basePath)
+      .groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .write.mode("overwrite").parquet(mvPath)
+    val meta = AggTableMeta(name, normalize(basePath), mvPath, groupCols.toList,
+      ms, "cnt_rows")
+    Files.writeString(Paths.get(dir, s"$name.json"), Serialization.write(meta))
+    meta
+  }
+
+  def registered(spark: SparkSession): Seq[AggTableMeta] = {
+    val d = Paths.get(catalogDir(spark))
+    if (!Files.exists(d)) return Nil
+    import scala.jdk.CollectionConverters._
+    Files.list(d).iterator().asScala
+      .filter(_.toString.endsWith(".json"))
+      .map(p => Serialization.read[AggTableMeta](Files.readString(p)))
+      .toSeq
+  }
+
+  private def normalize(p: String): String =
+    p.stripPrefix("file:").stripSuffix("/")
+}
+
+/** Logical rewrite: Aggregate over a base-table scan whose grouping is
+  * a subset of a registered MV's dims and whose aggregates are
+  * derivable from its measures → same Aggregate over the (tiny) MV.
+  * Injected with `injectOptimizerRule(AggTableRewrite(_))`.
+  */
+case class AggTableRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val mvs = AggTables.registered(spark)
+    if (mvs.isEmpty) return plan
+    plan.transformUp {
+      case agg @ Aggregate(grouping, aggExprs, child, _) =>
+        baseScanPath(child).flatMap { path =>
+          mvs.find(_.basePath == path).flatMap(mv => rewrite(agg, mv))
+        }.getOrElse(agg)
+    }
+  }
+
+  /** child must be a bare scan (optionally behind an attribute-only
+    * Project) of a parquet location — no Filter (a residual filter on
+    * non-dim columns would make the rollup wrong).
+    */
+  private def baseScanPath(p: LogicalPlan): Option[String] = p match {
+    case l: LogicalRelation => l.relation match {
+      case h: HadoopFsRelation =>
+        h.location.rootPaths.headOption.map(rp =>
+          rp.toString.stripPrefix("file:").stripSuffix("/"))
+      case _ => None
+    }
+    case Project(exprs, child) if exprs.forall(_.isInstanceOf[Attribute]) =>
+      baseScanPath(child)
+    case _ => None
+  }
+
+  private def rewrite(agg: Aggregate, mv: AggTableMeta): Option[LogicalPlan] = {
+    // grouping must be plain columns, all present in the MV dims
+    val groupNames = agg.groupingExpressions.map {
+      case a: Attribute => a.name
+      case _ => return None
+    }
+    if (!groupNames.forall(mv.groupCols.contains)) return None
+
+    val mvPlan = spark.read.parquet(mv.mvPath).queryExecution.analyzed
+    val mvAttr: Map[String, Attribute] = mvPlan.output.map(a => a.name -> a).toMap
+
+    // map each output NamedExpression of the original aggregate
+    val newGrouping = groupNames.map(mvAttr)
+    val newAggExprs: Seq[NamedExpression] = agg.aggregateExpressions.map {
+      case a: Attribute if groupNames.contains(a.name) =>
+        Alias(mvAttr(a.name), a.name)(exprId = a.exprId)
+      case al @ Alias(a: Attribute, name) if groupNames.contains(a.name) =>
+        Alias(mvAttr(a.name), name)(exprId = al.exprId)
+      case al @ Alias(AggregateExpression(fn, Complete, false, None, _), name) =>
+        val repl: Option[Expression] = fn match {
+          case Sum(a: Attribute, _) =>
+            mv.measures.find(m => m.func == "sum" && m.baseCol == a.name)
+              .map(m => sumOf(mvAttr(m.mvCol)))
+          case Min(a: Attribute) =>
+            mv.measures.find(m => m.func == "min" && m.baseCol == a.name)
+              .map(m => AggregateExpression(Min(mvAttr(m.mvCol)), Complete, isDistinct = false))
+          case Max(a: Attribute) =>
+            mv.measures.find(m => m.func == "max" && m.baseCol == a.name)
+              .map(m => AggregateExpression(Max(mvAttr(m.mvCol)), Complete, isDistinct = false))
+          case Count(Seq(Literal(1, _))) =>
+            Some(sumOf(mvAttr(mv.countCol)))
+          case _ => None
+        }
+        repl match {
+          case Some(e) => Alias(e, name)(exprId = al.exprId)
+          case None => return None
+        }
+      case _ => return None
+    }
+    Some(Aggregate(newGrouping, newAggExprs, mvPlan))
+  }
+
+  /** SUM over a partial column (sum-of-sums / sum-of-counts). */
+  private def sumOf(a: Attribute): Expression =
+    AggregateExpression(Sum(a), Complete, isDistinct = false)
+}

@@ -1,0 +1,170 @@
+package graft.sql
+
+import java.util.Locale
+
+import org.apache.spark.sql.{Row, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.{ParseException, ParserInterface, ParameterContext}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types._
+
+import graft.table.SegmentedTable
+
+/** SQL command surface for segment management — the Spark-native form
+  * of the reference's DDL/DML dialect (CarbonSqlParser.scala:175-180;
+  * command semantics in cubeSchema.scala, see SURVEY.md §2.8):
+  *
+  *   CREATE GRAFT TABLE t [TBLPROPERTIES('k'='v', ...)] AS <query>
+  *   LOAD GRAFT DATA INPATH '<parquet-path>' INTO TABLE t
+  *   SHOW GRAFT SEGMENTS FOR t
+  *   DELETE GRAFT SEGMENT <id>[, <id>...] FROM t
+  *   COMPACT GRAFT TABLE t
+  *   CLEAN GRAFT FILES FOR t
+  *   DROP GRAFT TABLE t
+  *
+  * Tables live under the store root (`spark.graft.store` conf, default
+  * /tmp/graft_store) as `<store>/<name>`. Registered with
+  * `SparkSession.builder.withExtensions(new GraftSqlExtensions)`;
+  * non-graft statements delegate untouched to Spark's parser.
+  */
+class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectParser((_, delegate) => new GraftSqlParser(delegate))
+}
+
+object GraftCatalog {
+  def storeRoot(spark: SparkSession): String =
+    spark.conf.get("spark.graft.store", "/tmp/graft_store")
+  def tablePath(spark: SparkSession, name: String): String =
+    s"${storeRoot(spark)}/$name"
+  def open(spark: SparkSession, name: String): SegmentedTable = {
+    val p = tablePath(spark, name)
+    require(SegmentedTable.exists(p), s"graft table not found: $name ($p)")
+    SegmentedTable.open(spark, p)
+  }
+}
+
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  private val createRe =
+    """(?is)\s*CREATE\s+GRAFT\s+TABLE\s+(\w+)\s*(?:TBLPROPERTIES\s*\((.*?)\)\s*)?AS\s+(.+)""".r
+  private val loadRe =
+    """(?is)\s*LOAD\s+GRAFT\s+DATA\s+INPATH\s+'([^']+)'\s+INTO\s+TABLE\s+(\w+)\s*""".r
+  private val showSegRe =
+    """(?is)\s*SHOW\s+GRAFT\s+SEGMENTS\s+FOR\s+(\w+)\s*""".r
+  private val deleteSegRe =
+    """(?is)\s*DELETE\s+GRAFT\s+SEGMENT\s+([\d\s,]+)\s+FROM\s+(\w+)\s*""".r
+  private val compactRe =
+    """(?is)\s*COMPACT\s+GRAFT\s+TABLE\s+(\w+)\s*""".r
+  private val cleanRe =
+    """(?is)\s*CLEAN\s+GRAFT\s+FILES\s+FOR\s+(\w+)\s*""".r
+  private val dropRe =
+    """(?is)\s*DROP\s+GRAFT\s+TABLE\s+(\w+)\s*""".r
+  private val propRe = """'([^']+)'\s*=\s*'([^']*)'""".r
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case createRe(name, props, query) =>
+      val p = Option(props).map(s =>
+        propRe.findAllMatchIn(s).map(m => m.group(1) -> m.group(2)).toMap)
+        .getOrElse(Map.empty)
+      CreateGraftTableCommand(name, p, delegate.parsePlan(query))
+    case loadRe(path, name) => LoadGraftDataCommand(name, path)
+    case showSegRe(name) => ShowGraftSegmentsCommand(name)
+    case deleteSegRe(ids, name) =>
+      DeleteGraftSegmentsCommand(name, ids.split(",").map(_.trim.toInt).toSeq)
+    case compactRe(name) => CompactGraftTableCommand(name)
+    case cleanRe(name) => CleanGraftFilesCommand(name)
+    case dropRe(name) => DropGraftTableCommand(name)
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  override def parsePlanWithParameters(sqlText: String,
+      ctx: ParameterContext): LogicalPlan =
+    if (isGraft(sqlText)) parsePlan(sqlText)
+    else delegate.parsePlanWithParameters(sqlText, ctx)
+
+  private def isGraft(s: String): Boolean = {
+    val u = s.toUpperCase(Locale.ROOT)
+    u.contains("GRAFT ") && (u.trim.startsWith("CREATE") ||
+      u.trim.startsWith("LOAD") || u.trim.startsWith("SHOW") ||
+      u.trim.startsWith("DELETE") || u.trim.startsWith("COMPACT") ||
+      u.trim.startsWith("CLEAN") || u.trim.startsWith("DROP"))
+  }
+
+  override def parseExpression(s: String): Expression = delegate.parseExpression(s)
+  override def parseTableIdentifier(s: String): TableIdentifier =
+    delegate.parseTableIdentifier(s)
+  override def parseFunctionIdentifier(s: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(s)
+  override def parseMultipartIdentifier(s: String): Seq[String] =
+    delegate.parseMultipartIdentifier(s)
+  override def parseQuery(s: String): LogicalPlan = delegate.parseQuery(s)
+  override def parseTableSchema(s: String): StructType = delegate.parseTableSchema(s)
+  override def parseDataType(s: String): DataType = delegate.parseDataType(s)
+  override def parseRoutineParam(s: String): StructType = delegate.parseRoutineParam(s)
+}
+
+case class CreateGraftTableCommand(name: String, props: Map[String, String],
+    query: LogicalPlan) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val df = org.apache.spark.sql.graftbridge.ColumnExpr.ofRows(spark, query)
+    val t = SegmentedTable.create(spark, GraftCatalog.tablePath(spark, name),
+      df.schema, props)
+    t.load(df)
+    t.read().createOrReplaceTempView(name)
+    Nil
+  }
+}
+
+case class LoadGraftDataCommand(name: String, path: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftCatalog.open(spark, name)
+    t.load(spark.read.schema(t.schema).parquet(path))
+    t.read().createOrReplaceTempView(name)
+    Nil
+  }
+}
+
+case class ShowGraftSegmentsCommand(name: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("segment_id", IntegerType, nullable = false)(),
+    AttributeReference("status", StringType, nullable = false)(),
+    AttributeReference("row_count", LongType, nullable = false)(),
+    AttributeReference("created_at", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftCatalog.open(spark, name).showSegments().map(s =>
+      Row(s.id, s.status, s.rowCount, s.createdAt))
+}
+
+case class DeleteGraftSegmentsCommand(name: String, ids: Seq[Int])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftCatalog.open(spark, name).deleteSegments(ids); Nil
+  }
+}
+
+case class CompactGraftTableCommand(name: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftCatalog.open(spark, name).compact(); Nil
+  }
+}
+
+case class CleanGraftFilesCommand(name: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftCatalog.open(spark, name).cleanFiles(); Nil
+  }
+}
+
+case class DropGraftTableCommand(name: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val p = java.nio.file.Paths.get(GraftCatalog.tablePath(spark, name))
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+    Nil
+  }
+}

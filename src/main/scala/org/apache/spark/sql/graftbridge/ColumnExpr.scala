@@ -14,4 +14,13 @@ object ColumnExpr {
   def expr(c: Column): Expression = ExpressionUtils.expression(c)
 
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Materialize a parsed logical plan as a DataFrame (classic
+    * Dataset.ofRows is private[sql]).
+    */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }
