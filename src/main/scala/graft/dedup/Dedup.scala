@@ -19,6 +19,17 @@ import graft.functions.TextFunctions._
   */
 object Dedup {
 
+  /** CPU-bound text stages need task parallelism even when the source
+    * is one small file (local corpora collapse to 1 partition); no-op
+    * when the source is already parallel enough — at warehouse scale
+    * the scan arrives with thousands of partitions and this never
+    * shuffles.
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Exact dedup groups: one row per distinct normalized text with the
     * representative (min id) and the duplicate count.
     */
@@ -29,12 +40,19 @@ object Dedup {
   /** Per-document MinHash LSH band keys, exploded for the bucket join:
     * (id, band_idx, band_key). Empty/short docs yield null keys which
     * are dropped (they cannot be near-dup candidates).
+    *
+    * Tokens → shingles → signature → bands are STAGED columns so each
+    * evaluates once per row (inlining them into one expression
+    * re-evaluates earlier stages per seed/band — the quadratic trap).
     */
   def bandedSignatures(docs: DataFrame, idCol: String, textCol: String,
                        k: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val sig = minhashSignature(wordShingles(col(textCol)), k)
-    docs.select(col(idCol).as("id"),
-        posexplode(lshBands(sig, k, rowsPerBand)).as(Seq("band_idx", "band_key")))
+    spread(docs.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .withColumn("__words", tokens(col("__text")))
+      .withColumn("__sh", shinglesFromTokens(col("__words")))
+      .withColumn("__sig", minhashSignature(col("__sh"), k))
+      .select(col("id"),
+        posexplode(lshBands(col("__sig"), k, rowsPerBand)).as(Seq("band_idx", "band_key")))
       .filter(col("band_key").isNotNull)
   }
 
@@ -61,9 +79,11 @@ object Dedup {
     */
   def blockedJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                           blockCols: Seq[String], minJaccard: Double): DataFrame = {
-    val withSh = docs.select(
-      (col(idCol).as("id") +: blockCols.map(col)) :+
-        array_distinct(wordShingles(col(textCol))).as("sh"): _*)
+    val withSh = spread(docs)
+      .withColumn("__words", tokens(col(textCol)))
+      .select(
+        (col(idCol).as("id") +: blockCols.map(col)) :+
+          array_distinct(shinglesFromTokens(col("__words"))).as("sh"): _*)
     val a = withSh.select(col("id").as("id_a") +: col("sh").as("sh_a") +:
       blockCols.map(col): _*)
     val b = withSh.select(col("id").as("id_b") +: col("sh").as("sh_b") +:
@@ -84,7 +104,7 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    blockCols: Seq[String], maxHamming: Int): DataFrame = {
-    val withH = docs.select(
+    val withH = spread(docs).select(
       (col(idCol).as("id") +: blockCols.map(col)) :+
         simhash32(col(textCol)).as("sh"): _*)
     val a = withH.select(col("id").as("id_a") +: col("sh").as("sh_a") +:

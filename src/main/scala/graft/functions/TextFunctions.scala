@@ -22,17 +22,33 @@ object TextFunctions {
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
-  /** Word n-gram shingles (default 3). Mirrors 1-based list semantics:
-    * shingle i = words[i] + " " + words[i+1] + " " + words[i+2] for
-    * i in 1..len-2; empty array when the doc has < n words.
+  /** Word n-gram shingles (default 3) from a pre-computed words array.
+    * Built with slice+zip_with (array-at-a-time) rather than
+    * per-element element_at so the words subtree is evaluated O(1)
+    * times per row — with per-element indexing, interpreted evaluation
+    * re-evaluates the child expression for every element, which turned
+    * a linear scan quadratic before this was restructured.
+    * Semantics: shingle i = words[i]+" "+words[i+1]+" "+words[i+2],
+    * i in 1..len-2; empty when the doc has < n words.
     */
-  def wordShingles(c: Column, n: Int = 3): Column = {
-    val words = tokens(c)
-    val idx = when(size(words) >= n, sequence(lit(1), size(words) - (n - 1)))
-      .otherwise(array().cast("array<int>"))
-    transform(idx, i =>
-      concat_ws(" ", (0 until n).map(o => element_at(words, i + o)): _*))
+  def shinglesFromTokens(words: Column, n: Int = 3): Column = {
+    require(n == 3, "reference pipelines use 3-gram shingles")
+    val len = size(words) - 2
+    when(size(words) >= 3,
+      zip_with(
+        zip_with(slice(words, lit(1), len), slice(words, lit(2), len),
+          (a, b) => concat(a, lit(" "), b)),
+        slice(words, lit(3), len),
+        (ab, cc) => concat(ab, lit(" "), cc)))
+      .otherwise(array().cast("array<string>"))
   }
+
+  /** Convenience: shingles straight from the text column. For hot
+    * paths, stage `tokens` as its own column and use
+    * [[shinglesFromTokens]].
+    */
+  def wordShingles(c: Column, n: Int = 3): Column =
+    shinglesFromTokens(tokens(c), n)
 
   /** One MinHash value: min over shingles of md5(shingle + "|" + seed).
     * String-ordered md5 hex is a uniform permutation proxy; md5 exists
@@ -41,41 +57,63 @@ object TextFunctions {
   def minhash(shingles: Column, seed: Int): Column =
     array_min(transform(shingles, s => md5(concat(s, lit("|" + seed)))))
 
-  /** k-element MinHash signature. */
+  /** k-element MinHash signature. The shingles argument appears ONCE
+    * in the built expression (seeds iterate inside a transform), so
+    * pass a staged column attribute on hot paths — an inline shingle
+    * expression would be re-evaluated per seed.
+    */
   def minhashSignature(shingles: Column, k: Int): Column =
-    array((0 until k).map(minhash(shingles, _)): _*)
+    transform(sequence(lit(0), lit(k - 1)), j =>
+      array_min(transform(shingles, s =>
+        md5(concat(s, lit("|"), j.cast("string"))))))
 
   /** LSH band keys: the signature split into bands of `rowsPerBand`,
-    * each band hashed to one md5 key. Docs sharing any band key are
-    * near-dup candidates (join on (band_idx, band_key) at scale).
+    * each band md5-hashed (md5 of the concatenated member hashes —
+    * array_join(slice) keeps the sig argument referenced once).
     */
   def lshBands(sig: Column, k: Int, rowsPerBand: Int): Column = {
     require(k % rowsPerBand == 0, "k must be divisible by rowsPerBand")
-    val bands = (0 until k / rowsPerBand).map { b =>
-      md5(concat((0 until rowsPerBand).map(r =>
-        element_at(sig, b * rowsPerBand + r + 1)): _*))
-    }
-    array(bands: _*)
+    transform(sequence(lit(0), lit(k / rowsPerBand - 1)), b =>
+      md5(array_join(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), "")))
   }
 
   /** Exact-duplicate fingerprint: md5 of the normalized text. */
   def fingerprint(c: Column): Column = md5(lower(trim(c)))
 
-  /** 32-bit SimHash over whitespace tokens, md5-based so the oracle can
-    * reproduce it: token hash = first 8 md5 hex chars as uint32; bit j
-    * of the result is set iff sum over tokens of (+1 if bit j set else
-    * -1) is positive.
+  /** Per-token 32-bit hashes: first 8 md5 hex chars as uint32 (long).
     */
-  def simhash32(c: Column): Column = {
-    val toks = tokens(c)
-    val h = transform(toks, w => conv(substring(md5(w), 1, 8), 16, 10).cast("long"))
-    val bits = (0 until 32).map { j =>
-      val bitSum = aggregate(h, lit(0),
-        (acc, hv) => acc + when(shiftright(hv, j).bitwiseAND(1) === 1, 1).otherwise(-1))
-      when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
+  def tokenHashes(words: Column): Column =
+    transform(words, w => conv(substring(md5(w), 1, 8), 16, 10).cast("long"))
+
+  private val pow2: Column =
+    typedLit((0 until 32).map(j => 1L << j))
+
+  /** 32-bit SimHash from per-token hashes, computed in ONE pass over
+    * the token array: the fold accumulates all 32 signed bit-counts as
+    * an int array (zip_with inside aggregate), then the sign pattern
+    * is packed. Bit j of a hash is extracted as (h / 2^j) mod 2 —
+    * division by a power of two is exact in doubles for h < 2^53, so
+    * this equals an arithmetic shift. A per-bit formulation (32
+    * separate aggregates over an inline expression) re-evaluated the
+    * tokenization per bit and was ~100× slower.
+    */
+  def simhashFromHashes(h: Column): Column = {
+    val idx = sequence(lit(0), lit(31))
+    val zeros = transform(idx, _ => lit(0))
+    val bitsums = aggregate(h, zeros, (acc, hv) =>
+      zip_with(acc, idx, (a, j) =>
+        a + when((hv / element_at(pow2, j + 1)).cast("long") % 2 === 1, 1)
+          .otherwise(-1)))
+    aggregate(
+      zip_with(bitsums, idx, (s, j) =>
+        when(s > 0, element_at(pow2, j + 1)).otherwise(lit(0L))),
+      lit(0L), (a, x) => a + x)
   }
+
+  /** 32-bit md5-SimHash of a text column: sub-expressions chain so the
+    * tokenization and hashing each evaluate once per row.
+    */
+  def simhash32(c: Column): Column = simhashFromHashes(tokenHashes(tokens(c)))
 
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "a"),

@@ -84,9 +84,11 @@ object PipelineQueries {
         Seq("source", "lang"), 0.8)
     }),
 
-    // dedup: md5-SimHash signature (32-bit)
+    // dedup: md5-SimHash signature (32-bit); repartitioned because the
+    // per-row hashing is CPU-bound and the source is one small file
     "d04_simhash" -> ((s, d) => {
       Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), TextFunctions.simhash32(col("text")).as("simhash"))
     }),
 

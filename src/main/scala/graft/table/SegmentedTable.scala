@@ -330,6 +330,55 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     * driver-side count(*) fast path (CountStarQueryExecutor).
     */
   def countFromCatalog: Long = liveSegments.map(_.rowCount).sum
+
+  // ---- schema evolution (reference AlterCube / RestructureUtil:
+  // add/drop columns recorded as timestamped entries; old segments are
+  // served with defaults filled at read time) ----
+
+  /** Add a column with an optional default. Existing segments keep
+    * their files; reads fill the default (or null). Returns the new
+    * table handle (schema objects are immutable).
+    */
+  def addColumn(name: String, dataType: DataType,
+                default: Option[String] = None): SegmentedTable = withLock {
+    require(!schema.fieldNames.contains(name), s"column $name exists")
+    val newSchema = StructType(schema.fields :+ StructField(name, dataType, nullable = true))
+    val newProps = default match {
+      case Some(d) => properties + (s"default.$name" -> d)
+      case None => properties
+    }
+    SegmentedTable.writeSchema(root, newSchema, newProps)
+    new SegmentedTable(spark, root, newSchema, newProps)
+  }
+
+  /** Drop a column: hidden from reads immediately; files untouched
+    * (the reference's restructure keeps old folders too).
+    */
+  def dropColumn(name: String): SegmentedTable = withLock {
+    require(schema.fieldNames.contains(name), s"no column $name")
+    val newSchema = StructType(schema.fields.filterNot(_.name == name))
+    val newProps = properties - s"default.$name"
+    SegmentedTable.writeSchema(root, newSchema, newProps)
+    new SegmentedTable(spark, root, newSchema, newProps)
+  }
+
+  /** Read with declared defaults applied to columns absent from older
+    * segment files (Parquet returns null for missing columns; the
+    * default replaces only those nulls, mirroring
+    * RestructureFilterExecuterImpl's default-fill).
+    */
+  def readWithDefaults(): DataFrame = {
+    val base = read()
+    val defaults = properties.collect {
+      case (k, v) if k.startsWith("default.") => k.stripPrefix("default.") -> v
+    }
+    defaults.foldLeft(base) { case (df, (c, d)) =>
+      if (df.columns.contains(c))
+        df.withColumn(c, org.apache.spark.sql.functions.coalesce(
+          col(c), lit(d).cast(df.schema(c).dataType)))
+      else df
+    }
+  }
 }
 
 object SegmentedTable {
@@ -364,17 +413,25 @@ object SegmentedTable {
       Files.walk(p).sorted(Comparator.reverseOrder[Path]())
         .forEach(f => Files.delete(f))
 
-  /** Create a new table (reference CreateCube, cubeSchema.scala:1608). */
-  def create(spark: SparkSession, root: String, schema: StructType,
-             properties: Map[String, String] = Map.empty): SegmentedTable = {
-    val r = Paths.get(root)
-    val meta = r.resolve("_meta")
+  private[table] def writeSchema(root: Path, schema: StructType,
+                                 properties: Map[String, String]): Unit = {
+    val meta = root.resolve("_meta")
     Files.createDirectories(meta)
     val schemaJson = JObject(
       "schema" -> JString(schema.json),
       "properties" -> JObject(properties.map { case (k, v) => k -> (JString(v): JValue) }.toList))
-    Files.writeString(meta.resolve("schema.json"),
+    val tmp = meta.resolve(s"schema.json.tmp${System.nanoTime()}")
+    Files.writeString(tmp,
       org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(schemaJson)))
+    Files.move(tmp, meta.resolve("schema.json"), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Create a new table (reference CreateCube, cubeSchema.scala:1608). */
+  def create(spark: SparkSession, root: String, schema: StructType,
+             properties: Map[String, String] = Map.empty): SegmentedTable = {
+    val r = Paths.get(root)
+    writeSchema(r, schema, properties)
     val t = new SegmentedTable(spark, r, schema, properties)
     t.commitStatus(TableStatus(0, Nil))
     t
