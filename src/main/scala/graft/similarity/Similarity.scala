@@ -23,6 +23,14 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
+  /** See [[graft.dedup.Dedup]]: lift single-file local sources to task
+    * parallelism for CPU-bound vector math; no-op on parallel sources.
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Sequential-fold dot product of two float-array columns in double. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -48,7 +56,7 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val c = spread(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     c.crossJoin(broadcast(q))
@@ -67,8 +75,8 @@ object Similarity {
                    idCol: String, vecCol: String, k: Int, bits: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       signBucket(col(vecCol), bits).as("bucket"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      signBucket(col(vecCol), bits).as("bucket"))
+    val c = spread(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      signBucket(col(vecCol), bits).as("bucket")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     c.join(broadcast(q), Seq("bucket"))
@@ -83,16 +91,29 @@ object Similarity {
     * threshold, bucket-blocked so no quadratic stage materializes.
     * Near-identical vectors share sign buckets with high probability;
     * raise recall with fewer bits or multi-probe.
+    *
+    * Per-vector norms are staged BEFORE the pair join (per-pair cosine
+    * is then one dot product, not dot + two norms), and the join is
+    * salted: with few sign buckets the join has few keys, so the right
+    * side is replicated across `salt` sub-keys to spread pair
+    * generation over salt × buckets tasks — the standard skew
+    * treatment, and the cost (replicating the smaller per-bucket side)
+    * is negligible next to the per-pair math.
     */
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-                   threshold: Double, bits: Int): DataFrame = {
-    val v = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
-      signBucket(col(vecCol), bits).as("bucket"))
-    val a = v.toDF("id_a", "va", "bucket")
-    val b = v.toDF("id_b", "vb", "bucket")
-    a.join(b, Seq("bucket"))
+                   threshold: Double, bits: Int, salt: Int = 8): DataFrame = {
+    val v = spread(corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+        signBucket(col(vecCol), bits).as("bucket")))
+      .withColumn("nrm", norm(col("v")))
+    val a = v.select(col("id").as("id_a"), col("v").as("va"), col("bucket"),
+      col("nrm").as("na"),
+      pmod(col("id"), lit(salt)).cast("int").as("salt"))
+    val b = v.select(col("id").as("id_b"), col("v").as("vb"), col("bucket"),
+      col("nrm").as("nb"))
+      .withColumn("salt", explode(sequence(lit(0), lit(salt - 1))))
+    a.join(b, Seq("bucket", "salt"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"))
   }
