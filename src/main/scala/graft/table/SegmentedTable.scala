@@ -77,14 +77,21 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
 
   /** Exclusive metadata lock for load/compact/delete (reference takes
     * METADATA_LOCK in LoadCube.run, cubeSchema.scala:1817-1827).
+    * Two layers: a JVM-level monitor per lock path (FileLock throws
+    * OverlappingFileLockException on same-process contention) plus the
+    * OS file lock for cross-process exclusion.
     */
   private def withLock[T](f: => T): T = {
-    val ch = FileChannel.open(lockFile, StandardOpenOption.CREATE,
-      StandardOpenOption.WRITE)
-    try {
-      val l = ch.lock()
-      try f finally l.release()
-    } finally ch.close()
+    val monitor = SegmentedTable.processLocks
+      .computeIfAbsent(lockFile.toAbsolutePath.toString, _ => new Object)
+    monitor.synchronized {
+      val ch = FileChannel.open(lockFile, StandardOpenOption.CREATE,
+        StandardOpenOption.WRITE)
+      try {
+        val l = ch.lock()
+        try f finally l.release()
+      } finally ch.close()
+    }
   }
 
   // ---- load path ----
@@ -94,13 +101,26 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     * row-group min/max stay tight and scans of sorted dims merge
     * cheaply. Returns the new segment id.
     */
+  /** Hash-partition columns applied at load (reference PartitionData /
+    * SampleDataPartitionerImpl): rows with equal keys land in the same
+    * file, so equi-joins and group-bys on these keys read co-located
+    * data and AQE can avoid re-shuffling small sides.
+    */
+  def partitionColumns: Seq[String] =
+    properties.get("partition_columns").toSeq.flatMap(_.split(",")).map(_.trim)
+      .filter(_.nonEmpty)
+
   def load(df: DataFrame): Int = withLock {
     val st = status
     val id = st.nextId
     val tmp = root.resolve(s".segment_$id.inprogress")
-    val sorted =
-      if (sortColumns.nonEmpty) df.sortWithinPartitions(sortColumns.map(col): _*)
+    val partitioned =
+      if (partitionColumns.nonEmpty) df.repartition(partitionColumns.map(col): _*)
       else df
+    val sorted =
+      if (sortColumns.nonEmpty)
+        partitioned.sortWithinPartitions(sortColumns.map(col): _*)
+      else partitioned
     sorted.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     Files.move(tmp, segmentDir(id), StandardCopyOption.ATOMIC_MOVE)
     val (rows, stats) = collectStats(segmentDir(id))
@@ -382,6 +402,9 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
 }
 
 object SegmentedTable {
+  private[table] val processLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   val SUCCESS = "SUCCESS"
   val DELETED = "DELETED"
   val COMPACTED = "COMPACTED"

@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the physical plans we rely on for scale (SURVEY.md §4):
+  * filters/columns must reach the Parquet scan, small dims must
+  * broadcast, top-k must plan as TakeOrderedAndProject. A regression
+  * here is a silent 100×-at-scale performance bug even when results
+  * stay correct.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, TestSpark.sf).queryExecution.executedPlan.toString
+
+  test("filter + projection are pushed into the parquet scan") {
+    val p = plan("q02_filter_proj")
+    assert(p.contains("PushedFilters: [IsNotNull(l_returnflag)") ||
+      p.contains("EqualTo(l_returnflag,R)"), p.take(2000))
+    // pruned read schema: only the 5 referenced columns
+    assert(!p.contains("l_shipdate"), "unreferenced column must be pruned")
+  }
+
+  test("star join broadcasts the dimension tables") {
+    val p = plan("q05_star_join")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "dims must not sort-merge at this size")
+  }
+
+  test("top-k plans as TakeOrderedAndProject") {
+    val p = plan("q06_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("pricing summary uses map-side partial aggregation") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("HashAggregate"), p.take(2000))
+    assert(p.contains("partial_sum"), "map-side combine must run before the shuffle")
+  }
+
+  test("timestamp range filter is pushed down") {
+    val p = plan("q15_between_dates")
+    assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(o_orderdate"),
+      p.take(2000))
+  }
+}

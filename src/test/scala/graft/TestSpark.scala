@@ -2,16 +2,27 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** One shared local session for all suites (per-suite sessions leak
-  * contexts in a single JVM test run).
+/** One shared local session for ALL suites — a JVM has one
+  * SparkContext, so no suite may stop it, and extension-dependent
+  * suites share the same builder (extensions apply only at session
+  * creation).
   */
 object TestSpark {
+  val store: String =
+    java.nio.file.Files.createTempDirectory("graft_store").toString
+  val mvStore: String =
+    java.nio.file.Files.createTempDirectory("graft_mv").toString
+
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName("graft-tests")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    .config("spark.graft.store", store)
+    .config("spark.graft.mv.store", mvStore)
+    .withExtensions(new graft.sql.GraftSqlExtensions)
+    .withExtensions(e => e.injectOptimizerRule(s => graft.mv.AggTableRewrite(s)))
     .getOrCreate()
 
   val sf = "/root/testdata/sf0.001"

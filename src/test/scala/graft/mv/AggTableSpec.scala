@@ -1,33 +1,13 @@
 package graft.mv
 
-import java.nio.file.Files
-
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import org.scalatest.BeforeAndAfterAll
 
-class AggTableSpec extends AnyFunSuite with BeforeAndAfterAll {
+import graft.TestSpark
 
-  private var spark: SparkSession = _
-  private var mvStore: String = _
+class AggTableSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
   private val base = "/root/testdata/sf0.001/lineitem.parquet"
-
-  override def beforeAll(): Unit = {
-    mvStore = Files.createTempDirectory("graft_mv").toString
-    spark = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-mv-tests")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.graft.mv.store", mvStore)
-      .withExtensions(e => e.injectOptimizerRule(s => AggTableRewrite(s)))
-      .getOrCreate()
-  }
-
-  override def afterAll(): Unit = if (spark != null) spark.stop()
 
   private def scannedPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
     df.queryExecution.optimizedPlan.collect {
@@ -39,44 +19,36 @@ class AggTableSpec extends AnyFunSuite with BeforeAndAfterAll {
         }
     }.flatten
 
+  private def q() = spark.read.parquet(base)
+    .groupBy(col("l_returnflag"))
+    .agg(sum(col("l_quantity")).as("sq"),
+      max(col("l_extendedprice")).as("mx"),
+      count(lit(1)).as("cnt"))
+
   test("matching aggregate is answered from the MV, with equal results") {
     AggTables.create(spark, "li_rollup", base,
       Seq("l_returnflag", "l_linestatus"),
       Seq("sum" -> "l_quantity", "min" -> "l_discount", "max" -> "l_extendedprice"))
 
-    val q = spark.read.parquet(base)
-      .groupBy(col("l_returnflag"))
-      .agg(sum(col("l_quantity")).as("sq"),
-        max(col("l_extendedprice")).as("mx"),
-        count(lit(1)).as("cnt"))
-
     // plan must scan the MV, not the base table
-    val paths = scannedPaths(q)
+    val paths = scannedPaths(q())
     assert(paths.exists(_.contains("li_rollup")), s"scanned: $paths")
     assert(!paths.exists(_.endsWith("lineitem.parquet")), s"scanned: $paths")
 
-    // and produce exactly the base-table answer (computed w/o the rule
-    // via a plain session)
-    val plain = SparkSession.builder().getOrCreate()
-    val expect = spark.read.parquet(base)
-      .groupBy(col("l_returnflag"))
-      .agg(sum(col("l_quantity")).as("sq"),
-        max(col("l_extendedprice")).as("mx"),
-        count(lit(1)).as("cnt"))
-      .queryExecution.analyzed
-    // evaluate expected through a fresh no-MV store to dodge the rule
+    // results must equal the base computation (rule disabled via an
+    // empty MV store)
     spark.conf.set("spark.graft.mv.store", "/nonexistent_mv_dir")
-    val want = q.orderBy("l_returnflag").collect()
-    spark.conf.set("spark.graft.mv.store", mvStore)
-    val got = q.orderBy("l_returnflag").collect()
+    val want = q().orderBy("l_returnflag").collect()
+    spark.conf.set("spark.graft.mv.store", TestSpark.mvStore)
+    val got = q().orderBy("l_returnflag").collect()
     assert(got.sameElements(want))
   }
 
   test("non-derivable aggregates are left untouched") {
-    val q = spark.read.parquet(base)
+    val qd = spark.read.parquet(base)
       .groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_partkey")).as("d"))
-    assert(scannedPaths(q).exists(_.endsWith("lineitem.parquet")))
+    assert(scannedPaths(qd).exists(_.endsWith("lineitem.parquet")))
     // grouping outside MV dims: untouched
     val q2 = spark.read.parquet(base)
       .groupBy(col("l_suppkey"))

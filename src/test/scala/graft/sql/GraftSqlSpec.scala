@@ -1,34 +1,15 @@
 package graft.sql
 
-import java.nio.file.Files
-
-import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
-import org.scalatest.BeforeAndAfterAll
 
-/** End-to-end SQL command surface over an extensions-enabled session.
-  * Needs its own SparkSession (withExtensions), separate from
-  * TestSpark's shared one.
+import graft.TestSpark
+
+/** End-to-end SQL command surface (parser injected in TestSpark's
+  * shared session).
   */
-class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
-
-  private var spark: SparkSession = _
-  private var store: String = _
-
-  override def beforeAll(): Unit = {
-    store = Files.createTempDirectory("graft_store").toString
-    spark = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-sql-tests")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.graft.store", store)
-      .withExtensions(new GraftSqlExtensions)
-      .getOrCreate()
-  }
-
-  override def afterAll(): Unit = if (spark != null) spark.stop()
+class GraftSqlSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private def store = TestSpark.store
 
   test("full DDL/DML lifecycle through SQL") {
     val sf = "/root/testdata/sf0.001"
