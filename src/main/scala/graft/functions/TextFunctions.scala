@@ -80,6 +80,29 @@ object TextFunctions {
   /** Exact-duplicate fingerprint: md5 of the normalized text. */
   def fingerprint(c: Column): Column = md5(lower(trim(c)))
 
+  /** BPE-ish token count: runs of letters, runs of digits, and single
+    * non-alphanumeric marks each count as one token — the usual cheap
+    * stand-in for subword tokenizer counts on ASCII-ish corpora.
+    */
+  def bpeTokenCount(c: Column): Column =
+    regexp_count(lower(c), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+
+  private val FpMod = 1000000007L
+  private val FpBase = 31L
+
+  /** Order-sensitive rolling (Karp-Rabin-style) content fingerprint
+    * over the token sequence: fold of (acc*31 + h) mod 1e9+7 with
+    * token hashes pre-reduced mod p (keeps every intermediate < 2^36 —
+    * no overflow in any engine, and engines whose fold seeds with the
+    * first element instead of 0 still agree because f(0,h)=h once
+    * h < p). Distinguishes permutations that set-based fingerprints
+    * collapse.
+    */
+  def rollingFingerprint(words: Column): Column = {
+    val hmod = transform(tokenHashes(words), h => h % FpMod)
+    aggregate(hmod, lit(0L), (acc, h) => (acc * FpBase + h) % FpMod)
+  }
+
   /** Per-token 32-bit hashes: first 8 md5 hex chars as uint32 (long).
     */
   def tokenHashes(words: Column): Column =

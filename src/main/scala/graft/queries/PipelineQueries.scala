@@ -68,6 +68,20 @@ object PipelineQueries {
           count(lit(1)).as("doc_cnt"))
     }),
 
+    // text analysis: BPE-ish subword token counting
+    "t05_bpe_tokens" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.bpeTokenCount(col("text")).as("bpe_tokens"))
+    }),
+
+    // text analysis: order-sensitive rolling-hash content fingerprint
+    "t06_rolling_fp" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextFunctions.rollingFingerprint(TextFunctions.tokens(col("text")))
+            .as("content_fp"))
+    }),
+
     // dedup: exact fingerprint groups
     "d01_dedup_exact" -> ((s, d) => {
       Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")
@@ -173,6 +187,21 @@ object PipelineQueries {
       s"""SELECT source, SUM(CAST(len($W) AS BIGINT)) AS total_tokens,
           MAX(n_chars) AS max_chars, COUNT(*) AS doc_cnt
           FROM documents GROUP BY source""",
+
+    "t05_bpe_tokens" ->
+      """SELECT doc_id,
+         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_tokens
+         FROM documents""",
+
+    "t06_rolling_fp" ->
+      s"""WITH t AS (SELECT doc_id, $W AS words FROM documents),
+          h AS (SELECT doc_id,
+            list_transform(words, w ->
+              CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % 1000000007) AS hs
+          FROM t)
+          SELECT doc_id,
+            COALESCE(list_reduce(hs, (a, b) -> (a * 31 + b) % 1000000007), 0) AS content_fp
+          FROM h""",
 
     "d01_dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS fp, MIN(doc_id) AS rep_id,

@@ -31,10 +31,13 @@ object Similarity {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
-  /** Sequential-fold dot product of two float-array columns in double. */
+  /** Sequential double dot product of two float-array columns — a
+    * native codegen'd expression (one tight loop, no intermediate
+    * array), numerically identical to the declarative
+    * aggregate(zip_with(...)) form it replaced.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.ArrayDotProduct.arrayDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
