@@ -351,6 +351,17 @@ object RelationalQueries {
         .groupBy(col("l_linestatus"))
         .agg(bitmapDistinctCount(col("l_orderkey")).as("distinct_orders"),
           bitmapDistinctCount(col("l_partkey")).as("distinct_parts"))
+    }),
+
+    // §2.6 semi-structured: JSON property extraction from events.props
+    "q35_json_props" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("k_sum"), count(col("k")).as("k_cnt"),
+          max(col("k")).as("k_max"))
     })
   )
 
@@ -559,6 +570,13 @@ object RelationalQueries {
     "q34_bitmap_distinct" ->
       """SELECT l_linestatus, COUNT(DISTINCT l_orderkey) AS distinct_orders,
          COUNT(DISTINCT l_partkey) AS distinct_parts
-         FROM lineitem GROUP BY l_linestatus"""
+         FROM lineitem GROUP BY l_linestatus""",
+
+    "q35_json_props" ->
+      """SELECT event_type,
+         SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+         COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_cnt,
+         MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+         FROM events GROUP BY event_type"""
   )
 }

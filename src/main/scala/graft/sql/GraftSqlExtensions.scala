@@ -30,8 +30,41 @@ import graft.table.SegmentedTable
   * non-graft statements delegate untouched to Spark's parser.
   */
 class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    GraftFunctions.register(e)
+  }
+}
+
+/** SQL registration of the library's custom expressions so the whole
+  * surface is reachable from pure SQL (the reference routes everything
+  * through its SQL dialect).
+  */
+object GraftFunctions {
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+  import org.apache.spark.sql.graftbridge.ColumnExpr
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
+
+  def register(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("bitmap_distinct_count"),
+      info("bitmap_distinct_count",
+        "exact distinct count of an integral column via Roaring bitmap"),
+      exprs => graft.functions.BitmapDistinctCount(exprs.head)
+        .toAggregateExpression()))
+    e.injectFunction((FunctionIdentifier("array_dot"),
+      info("array_dot", "double dot product of two float arrays"),
+      exprs => graft.functions.ArrayDotProduct(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_simhash32"),
+      info("graft_simhash32", "32-bit md5-SimHash of a text column"),
+      exprs => ColumnExpr.eagerExpr(
+        graft.functions.TextFunctions.simhash32(ColumnExpr.toColumn(exprs.head)))))
+    e.injectFunction((FunctionIdentifier("graft_lang_id"),
+      info("graft_lang_id", "marker-word language heuristic"),
+      exprs => ColumnExpr.eagerExpr(
+        graft.functions.TextFunctions.langId(ColumnExpr.toColumn(exprs.head)))))
+  }
 }
 
 object GraftCatalog {

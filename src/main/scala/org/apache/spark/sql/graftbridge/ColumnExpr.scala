@@ -15,6 +15,14 @@ object ColumnExpr {
 
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
 
+  /** Eager conversion of a Column into a plain (possibly unresolved)
+    * Catalyst tree — unlike [[expr]], the result contains no lazy
+    * ColumnNodeExpression wrapper, so it can be returned from an
+    * injected FunctionRegistry builder and resolved by the analyzer.
+    */
+  def eagerExpr(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Materialize a parsed logical plan as a DataFrame (classic
     * Dataset.ofRows is private[sql]).
     */

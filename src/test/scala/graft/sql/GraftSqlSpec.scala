@@ -48,4 +48,26 @@ class GraftSqlSpec extends AnyFunSuite {
     // non-graft SQL still parses through the delegate
     assert(spark.sql("SELECT 1 + 1 AS x").head().getInt(0) == 2)
   }
+
+  test("custom functions are callable from SQL") {
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .createOrReplaceTempView("li_fn")
+    val d = spark.sql(
+      "SELECT bitmap_distinct_count(l_orderkey) AS d FROM li_fn").head().getLong(0)
+    val want = spark.sql(
+      "SELECT count(DISTINCT l_orderkey) AS d FROM li_fn").head().getLong(0)
+    assert(d == want)
+
+    val dot = spark.sql(
+      "SELECT array_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS x").head().getDouble(0)
+    assert(dot == 11.0)
+
+    val sh = spark.sql("SELECT graft_simhash32('a b c d e f') AS h").head().getLong(0)
+    val sh2 = spark.sql("SELECT graft_simhash32('a b c d e f') AS h").head().getLong(0)
+    assert(sh == sh2 && sh != 0)
+
+    assert(spark.sql("SELECT graft_lang_id('the cat and the dog of a house') AS l")
+      .head().getString(0) == "en")
+  }
 }
