@@ -120,6 +120,14 @@ object PipelineQueries {
         "vec_id", "embedding", 3, 4)
     }),
 
+    // similarity: multi-probe bucketed top-3 (flip-one-bit probes,
+    // the IVF nprobe>1 analogue — higher recall, still sublinear)
+    "s03_ann_multiprobe" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bucketedTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", 3, 4, multiProbe = true)
+    }),
+
     // dedup: embedding-cosine near-dup pairs, bucket-blocked
     "e01_embed_neardup" -> ((s, d) => {
       Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
@@ -257,6 +265,25 @@ object PipelineQueries {
           scored AS (SELECT query_id, neighbor_id,
             $dotSql / ($normQ * $normC) AS cos
           FROM q JOIN c USING (bucket) WHERE neighbor_id <> query_id),
+          ranked AS (SELECT query_id, neighbor_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM scored)
+          SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 3""",
+
+    "s03_ann_multiprobe" ->
+      s"""WITH qb AS (SELECT vec_id AS query_id, embedding AS qv,
+            ${bucketSql("embedding", 4)} AS bucket
+            FROM embeddings WHERE vec_id < 5),
+          q AS (SELECT query_id, qv,
+            unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+                    xor(bucket, 4), xor(bucket, 8)]) AS probe
+          FROM qb),
+          c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+            ${bucketSql("embedding", 4)} AS probe FROM embeddings),
+          scored AS (SELECT query_id, neighbor_id,
+            $dotSql / ($normQ * $normC) AS cos
+          FROM q JOIN c USING (probe) WHERE neighbor_id <> query_id),
           ranked AS (SELECT query_id, neighbor_id,
             ROW_NUMBER() OVER (PARTITION BY query_id
               ORDER BY cos DESC, neighbor_id ASC) AS rank

@@ -71,18 +71,28 @@ object Similarity {
   }
 
   /** Bucketed (sign-LSH) top-k: candidates restricted to the query's
-    * bucket. Same output shape as [[bruteForceTopK]]; approximate —
-    * recall depends on `bits`.
+    * bucket, optionally multi-probed. Same output shape as
+    * [[bruteForceTopK]]; approximate — recall rises with `multiProbe`
+    * (each probe flips one sign bit, visiting the adjacent Hamming-1
+    * buckets, the IVF nprobe> 1 analogue) and falls with `bits`.
+    * Probed buckets are disjoint, so no candidate dedup is needed.
     */
   def bucketedTopK(corpus: DataFrame, queries: DataFrame,
-                   idCol: String, vecCol: String, k: Int, bits: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+                   idCol: String, vecCol: String, k: Int, bits: Int,
+                   multiProbe: Boolean = false): DataFrame = {
+    val base = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       signBucket(col(vecCol), bits).as("bucket"))
+    val probes =
+      if (multiProbe)
+        Seq(col("bucket")) ++ (0 until bits).map(j =>
+          col("bucket").bitwiseXOR(lit(1L << j)))
+      else Seq(col("bucket"))
+    val q = base.withColumn("probe", explode(array(probes: _*))).drop("bucket")
     val c = spread(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      signBucket(col(vecCol), bits).as("bucket")))
+      signBucket(col(vecCol), bits).as("probe")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    c.join(broadcast(q), Seq("bucket"))
+    c.join(broadcast(q), Seq("probe"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w))

@@ -95,6 +95,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*CLEAN\s+GRAFT\s+FILES\s+FOR\s+(\w+)\s*""".r
   private val dropRe =
     """(?is)\s*DROP\s+GRAFT\s+TABLE\s+(\w+)\s*""".r
+  private val addColRe =
+    """(?is)\s*ALTER\s+GRAFT\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(\w+)\s+(\w+(?:\(\d+(?:,\d+)?\))?)\s*(?:DEFAULT\s+'([^']*)')?\s*""".r
+  private val dropColRe =
+    """(?is)\s*ALTER\s+GRAFT\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)\s*""".r
   private val propRe = """'([^']+)'\s*=\s*'([^']*)'""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
@@ -109,6 +113,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       DeleteGraftSegmentsCommand(name, ids.split(",").map(_.trim.toInt).toSeq)
     case compactRe(name) => CompactGraftTableCommand(name)
     case cleanRe(name) => CleanGraftFilesCommand(name)
+    case addColRe(name, colName, colType, default) =>
+      AlterGraftAddColumnCommand(name, colName,
+        delegate.parseDataType(colType), Option(default))
+    case dropColRe(name, colName) => AlterGraftDropColumnCommand(name, colName)
     case dropRe(name) => DropGraftTableCommand(name)
     case _ => delegate.parsePlan(sqlText)
   }
@@ -123,7 +131,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     u.contains("GRAFT ") && (u.trim.startsWith("CREATE") ||
       u.trim.startsWith("LOAD") || u.trim.startsWith("SHOW") ||
       u.trim.startsWith("DELETE") || u.trim.startsWith("COMPACT") ||
-      u.trim.startsWith("CLEAN") || u.trim.startsWith("DROP"))
+      u.trim.startsWith("CLEAN") || u.trim.startsWith("DROP") ||
+      u.trim.startsWith("ALTER"))
   }
 
   override def parseExpression(s: String): Expression = delegate.parseExpression(s)
@@ -188,6 +197,24 @@ case class CompactGraftTableCommand(name: String) extends LeafRunnableCommand {
 case class CleanGraftFilesCommand(name: String) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     GraftCatalog.open(spark, name).cleanFiles(); Nil
+  }
+}
+
+case class AlterGraftAddColumnCommand(name: String, colName: String,
+    colType: DataType, default: Option[String]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftCatalog.open(spark, name).addColumn(colName, colType, default)
+    t.readWithDefaults().createOrReplaceTempView(name)
+    Nil
+  }
+}
+
+case class AlterGraftDropColumnCommand(name: String, colName: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftCatalog.open(spark, name).dropColumn(colName)
+    t.read().createOrReplaceTempView(name)
+    Nil
   }
 }
 

@@ -82,4 +82,43 @@ object EventStreams {
     sessions(events, gap)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_sessions"), max(col("n_events")).as("max_session_events"))
+
+  case class UserEvent(user_id: Long, ts_ns: Long, value: Double)
+  case class UserState(n: Long, sum: Double)
+  case class Anomaly(user_id: Long, ts_ns: Long, value: Double, mean_before: Double)
+
+  /** Custom-state streaming operator via flatMapGroupsWithState: per
+    * user, flags events whose value exceeds `factor` × the user's
+    * running mean (state = (count, sum), tiny and bounded per key).
+    * Works identically over a batch Dataset (sorted per group here for
+    * determinism) and a stream with Update output mode — the classic
+    * KeyValueGroupedDataset custom-state shape the windowed built-ins
+    * cannot express.
+    */
+  def runningMeanAnomalies(events: DataFrame, factor: Double): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id").cast("long"), col("ts").cast("long").as("ts_ns"),
+        col("value").cast("double"))
+      .as[UserEvent]
+
+    def process(user: Long, it: Iterator[UserEvent],
+                state: GroupState[UserState]): Iterator[Anomaly] = {
+      var s = state.getOption.getOrElse(UserState(0L, 0.0))
+      val out = scala.collection.mutable.ArrayBuffer[Anomaly]()
+      it.toSeq.sortBy(_.ts_ns).foreach { e =>
+        if (s.n >= 3 && e.value > factor * (s.sum / s.n))
+          out += Anomaly(user, e.ts_ns, e.value, s.sum / s.n)
+        s = UserState(s.n + 1, s.sum + e.value)
+      }
+      state.update(s)
+      out.iterator
+    }
+
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(process)
+      .toDF()
+  }
 }

@@ -109,4 +109,20 @@ class PipelineSpec extends AnyFunSuite {
       .as[Double].head()
     assert(math.abs(c - 1.0) < 1e-12)
   }
+
+  test("multi-probe raises bucketed ANN recall vs single-probe") {
+    val queries = emb.filter(col("vec_id") < 50)
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recall(multi: Boolean): Double = {
+      val got = Similarity.bucketedTopK(emb, queries, "vec_id", "embedding", 1, 4, multi)
+        .filter(col("rank") === 1)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      got.intersect(brute).size.toDouble / brute.size
+    }
+    val single = recall(false)
+    val multi = recall(true)
+    assert(multi >= single, s"multi=$multi single=$single")
+    assert(multi > 0.3, s"multi-probe recall too low: $multi")
+  }
 }

@@ -62,4 +62,24 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     val stats = Multimodal.featureStats(docs)
     assert(stats.count() == docs.select("source").distinct().count())
   }
+
+  test("flatMapGroupsWithState running-mean anomaly detector") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"${TestSpark.sf}/events.parquet")
+    val anomalies = EventStreams.runningMeanAnomalies(ev, factor = 3.0).collect()
+    // recompute expectations driver-side
+    val rows = ev.select("user_id", "ts", "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    val expected = rows.toSeq.flatMap { case (u, es) =>
+      var n = 0L; var sum = 0.0
+      es.sortBy(_._2).toSeq.flatMap { case (_, ts, v) =>
+        val hit = if (n >= 3 && v > 3.0 * (sum / n)) Some((u, ts)) else None
+        n += 1; sum += v
+        hit
+      }
+    }.toSet
+    assert(anomalies.map(r => (r.getLong(0), r.getLong(1))).toSet == expected)
+    assert(expected.nonEmpty, "test data should contain anomalies")
+  }
 }

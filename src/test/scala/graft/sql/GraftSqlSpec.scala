@@ -70,4 +70,17 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(spark.sql("SELECT graft_lang_id('the cat and the dog of a house') AS l")
       .head().getString(0) == "en")
   }
+
+  test("ALTER GRAFT TABLE add/drop column with default") {
+    spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+      .createOrReplaceTempView("region_src")
+    spark.sql("CREATE GRAFT TABLE regions2 AS SELECT * FROM region_src")
+    spark.sql("ALTER GRAFT TABLE regions2 ADD COLUMN r_comment STRING DEFAULT 'n/a'")
+    val r = spark.sql("SELECT count(*) FROM regions2 WHERE r_comment = 'n/a'")
+      .head().getLong(0)
+    assert(r == 5)
+    spark.sql("ALTER GRAFT TABLE regions2 DROP COLUMN r_comment")
+    assert(!spark.sql("SELECT * FROM regions2").columns.contains("r_comment"))
+    spark.sql("DROP GRAFT TABLE regions2")
+  }
 }
