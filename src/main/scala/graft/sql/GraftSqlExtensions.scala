@@ -32,6 +32,8 @@ import graft.table.SegmentedTable
 class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    e.injectOptimizerRule(s => graft.mv.AggTableRewrite(s))
+    e.injectOptimizerRule(s => graft.mv.CountStarFromCatalog(s))
     GraftFunctions.register(e)
   }
 }

@@ -23,6 +23,7 @@ object TestSpark {
     .config("spark.graft.mv.store", mvStore)
     .withExtensions(new graft.sql.GraftSqlExtensions)
     .withExtensions(e => e.injectOptimizerRule(s => graft.mv.AggTableRewrite(s)))
+    .withExtensions(e => e.injectOptimizerRule(s => graft.mv.CountStarFromCatalog(s)))
     .getOrCreate()
 
   val sf = "/root/testdata/sf0.001"

@@ -61,4 +61,27 @@ class AggTableSpec extends AnyFunSuite {
       .agg(sum(col("l_quantity")).as("s"))
     assert(scannedPaths(q3).exists(_.endsWith("lineitem.parquet")))
   }
+
+  test("global count(*) over a graft table is answered from the catalog") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cnt").resolve("t").toString
+    val n = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    val t = graft.table.SegmentedTable.create(spark, root, n.schema, Map.empty)
+    t.load(n); t.load(n)
+    val q = t.read().agg(count(lit(1)).as("cnt"))
+    // plan collapses to a LocalRelation (no scan at all)
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+    }
+    assert(scans.isEmpty, q.queryExecution.optimizedPlan.toString)
+    assert(q.head().getLong(0) == 50)
+    // filtered count must NOT use the fast path
+    val qf = t.read().filter(col("n_nationkey") > 5).agg(count(lit(1)).as("cnt"))
+    val scansF = qf.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+    }
+    assert(scansF.nonEmpty)
+    assert(qf.head().getLong(0) == n.filter(col("n_nationkey") > 5).count() * 2)
+  }
 }
