@@ -97,6 +97,42 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Connected components over near-duplicate candidate pairs: every
+    * doc that appears in a pair is labeled with the minimum doc id of
+    * its component (the canonical dedup representative). Iterative
+    * min-label propagation — each round one join + one aggregation,
+    * converging in O(diameter) rounds (components from near-dup pairs
+    * are tiny, so 2-3 rounds in practice; the same scheme GraphX CC
+    * uses, shuffle-bound and skew-free at any corpus size).
+    */
+  def nearDupClusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("rep", col("id"))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      // candidate label per node: min of own and neighbors' labels
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("rep", "nrep"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nrep")).as("minNeighbor"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("rep"), coalesce(col("minNeighbor"), col("rep"))).as("rep"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("rep", "old"), "id")
+        .filter(col("rep") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("rep"))
+  }
+
   /** SimHash near-duplicate candidates: pairs whose 32-bit md5-SimHash
     * differs in at most `maxHamming` bits, within blocks. At scale,
     * block on simhash byte-prefixes (pigeonhole: a ≤3-bit difference

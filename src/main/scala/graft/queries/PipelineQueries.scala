@@ -106,6 +106,13 @@ object PipelineQueries {
         .select(col("doc_id"), TextFunctions.simhash32(col("text")).as("simhash"))
     }),
 
+    // dedup: connected components over LSH candidate pairs — every doc
+    // in a near-dup component mapped to its canonical representative
+    "d05_dedup_clusters" -> ((s, d) => {
+      val pairs = Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text", 16, 4)
+      Dedup.nearDupClusters(pairs)
+    }),
+
     // similarity: brute-force exact top-3 cosine neighbors of 5 queries
     "s01_ann_brute" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -242,6 +249,25 @@ object PipelineQueries {
           SELECT doc_id,
           ${(0 until 32).map(simhashBitSql).mkString(" + ")} AS simhash
           FROM t""",
+
+    "d05_dedup_clusters" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $W AS words FROM documents),
+          sh AS (SELECT doc_id, $SH AS s FROM t),
+          sig AS (SELECT doc_id,
+            ${(0 until 4).map(b => s"${band(b, 4)} AS band$b").mkString(", ")}
+          FROM sh),
+          pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+          AND (a.band0 = b.band0 OR a.band1 = b.band1
+            OR a.band2 = b.band2 OR a.band3 = b.band3)),
+          edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+          reach(src, dst) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+          SELECT src AS doc_id, LEAST(src, MIN(dst)) AS rep
+          FROM reach GROUP BY src""",
 
     "s01_ann_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv

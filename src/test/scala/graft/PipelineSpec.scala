@@ -125,4 +125,14 @@ class PipelineSpec extends AnyFunSuite {
     assert(multi >= single, s"multi=$multi single=$single")
     assert(multi > 0.3, s"multi-probe recall too low: $multi")
   }
+
+  test("near-dup clusters: symmetric, transitive, min-id representative") {
+    import graft.dedup.Dedup
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.nearDupClusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
 }
