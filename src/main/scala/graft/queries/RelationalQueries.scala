@@ -353,6 +353,19 @@ object RelationalQueries {
           bitmapDistinctCount(col("l_partkey")).as("distinct_parts"))
     }),
 
+    // event-sequence analytics: signup→purchase funnel per user
+    "q36_funnel" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "signup", col("ts"))).as("first_signup"),
+          max(when(col("event_type") === "purchase", col("ts"))).as("last_purchase"))
+        .filter(col("first_signup").isNotNull && col("last_purchase").isNotNull
+          && col("first_signup") < col("last_purchase"))
+        .select(col("user_id"))
+    }),
+
     // §2.6 semi-structured: JSON property extraction from events.props
     "q35_json_props" -> ((s, d) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -571,6 +584,14 @@ object RelationalQueries {
       """SELECT l_linestatus, COUNT(DISTINCT l_orderkey) AS distinct_orders,
          COUNT(DISTINCT l_partkey) AS distinct_parts
          FROM lineitem GROUP BY l_linestatus""",
+
+    "q36_funnel" ->
+      """SELECT user_id FROM (
+           SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN epoch_ns(ts) END) AS fs,
+             MAX(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END) AS lp
+           FROM events GROUP BY user_id)
+         WHERE fs IS NOT NULL AND lp IS NOT NULL AND fs < lp""",
 
     "q35_json_props" ->
       """SELECT event_type,
