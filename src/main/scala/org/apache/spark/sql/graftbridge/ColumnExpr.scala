@@ -31,4 +31,19 @@ object ColumnExpr {
       : org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Resolve a multi-path parquet relation with a fixed schema (the
+    * DataSource factory is private[sql]) — gives a graft-table read
+    * the identical vectorized HadoopFsRelation a plain parquet read
+    * gets, pushdown included.
+    */
+  def parquetRelation(spark: org.apache.spark.sql.SparkSession,
+                      paths: Seq[String],
+                      schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.sources.BaseRelation =
+    org.apache.spark.sql.execution.datasources.DataSource(
+      sparkSession = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      className = "parquet",
+      paths = paths,
+      userSpecifiedSchema = Some(schema)).resolveRelation()
 }
