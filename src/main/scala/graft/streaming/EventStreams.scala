@@ -83,6 +83,30 @@ object EventStreams {
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_sessions"), max(col("n_events")).as("max_session_events"))
 
+  /** Near-realtime ingest (the reference's incremental-load headline):
+    * each micro-batch commits as ONE segment of the target table via
+    * the normal load protocol, so queries see atomically-appearing
+    * increments and compaction later folds small segments together.
+    * `autoCompactEvery` triggers compaction whenever the live-segment
+    * count reaches the threshold (0 disables).
+    */
+  def streamIntoTable(stream: DataFrame, table: graft.table.SegmentedTable,
+                      autoCompactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          table.load(batch)
+          if (autoCompactEvery > 0 &&
+              table.showSegments().count(_.status == "SUCCESS") >= autoCompactEvery) {
+            table.compact()
+            table.cleanFiles()
+          }
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   case class UserEvent(user_id: Long, ts_ns: Long, value: Double)
   case class UserState(n: Long, sum: Double)
   case class Anomaly(user_id: Long, ts_ns: Long, value: Double, mean_before: Double)

@@ -82,4 +82,23 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(anomalies.map(r => (r.getLong(0), r.getLong(1))).toSet == expected)
     assert(expected.nonEmpty, "test data should contain anomalies")
   }
+
+  test("streaming ingest commits micro-batches as segments") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_stream_ingest").resolve("t").toString
+    val batchSchema = spark.read.parquet(s"${TestSpark.sf}/events.parquet").schema
+    val t = graft.table.SegmentedTable.create(spark, root, batchSchema,
+      Map("sort_columns" -> "ts"))
+    val stream = spark.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(TestSpark.sf)
+    val q = EventStreams.streamIntoTable(stream, t)
+    q.awaitTermination()
+    val expected = spark.read.parquet(s"${TestSpark.sf}/events.parquet").count()
+    assert(t.read().count() == expected)
+    assert(t.showSegments().nonEmpty)
+    assert(t.countFromCatalog == expected)
+  }
 }
