@@ -21,7 +21,11 @@ import org.json4s.jackson.Serialization
 case class AggTableMeta(name: String, basePath: String, mvPath: String,
                         groupCols: List[String],
                         measures: List[MeasureMeta], countCol: String)
-case class MeasureMeta(func: String, baseCol: String, mvCol: String)
+/** cntCol: for sum measures, the MV column holding COUNT(baseCol)
+  * (non-null count — required for exact AVG rewrites); empty otherwise.
+  */
+case class MeasureMeta(func: String, baseCol: String, mvCol: String,
+                       cntCol: String = "")
 
 /** Aggregate tables (materialized rollups) + automatic query rewrite —
   * the reference declares them via CREATE AGGREGATETABLE and selects
@@ -52,12 +56,15 @@ object AggTables {
     val dir = catalogDir(spark)
     Files.createDirectories(Paths.get(dir))
     val mvPath = s"$dir/$name.parquet"
-    val ms = measures.toList.map { case (f, c) => MeasureMeta(f, c, s"${f}_$c") }
-    val aggs = ms.map {
-      case MeasureMeta("sum", c, a) => sum(col(c)).as(a)
-      case MeasureMeta("min", c, a) => min(col(c)).as(a)
-      case MeasureMeta("max", c, a) => max(col(c)).as(a)
-      case MeasureMeta(f, _, _) => throw new IllegalArgumentException(s"func $f")
+    val ms = measures.toList.map {
+      case ("sum", c) => MeasureMeta("sum", c, s"sum_$c", s"cnt_$c")
+      case (f, c) => MeasureMeta(f, c, s"${f}_$c")
+    }
+    val aggs = ms.flatMap {
+      case MeasureMeta("sum", c, a, cc) => Seq(sum(col(c)).as(a), count(col(c)).as(cc))
+      case MeasureMeta("min", c, a, _) => Seq(min(col(c)).as(a))
+      case MeasureMeta("max", c, a, _) => Seq(max(col(c)).as(a))
+      case MeasureMeta(f, _, _, _) => throw new IllegalArgumentException(s"func $f")
     } :+ count(lit(1)).as("cnt_rows")
     spark.read.parquet(basePath)
       .groupBy(groupCols.map(col): _*)
@@ -148,6 +155,17 @@ case class AggTableRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
               .map(m => AggregateExpression(Max(mvAttr(m.mvCol)), Complete, isDistinct = false))
           case Count(Seq(Literal(1, _))) =>
             Some(sumOf(mvAttr(mv.countCol)))
+          // AVG(c) = SUM(sum_c) / SUM(cnt_c) — divides by the
+          // non-null count of c, matching AVG's null semantics
+          case Average(a: Attribute, _)
+              if Seq("double", "long", "integer", "short", "byte")
+                .contains(a.dataType.typeName) =>
+            mv.measures.find(m => m.func == "sum" && m.baseCol == a.name &&
+                m.cntCol.nonEmpty && mvAttr.contains(m.cntCol)).map { m =>
+              Divide(
+                Cast(sumOf(mvAttr(m.mvCol)), org.apache.spark.sql.types.DoubleType),
+                Cast(sumOf(mvAttr(m.cntCol)), org.apache.spark.sql.types.DoubleType))
+            }
           case _ => None
         }
         repl match {

@@ -84,4 +84,33 @@ class AggTableSpec extends AnyFunSuite {
     assert(scansF.nonEmpty)
     assert(qf.head().getLong(0) == n.filter(col("n_nationkey") > 5).count() * 2)
   }
+
+  test("AVG rewrites to sum-of-sums over non-null counts") {
+    import org.apache.spark.sql.functions._
+    AggTables.create(spark, "li_rollup_avg", base,
+      Seq("l_returnflag"), Seq("sum" -> "l_quantity"))
+    def qa() = spark.read.parquet(base)
+      .groupBy(col("l_returnflag"))
+      .agg(avg(col("l_quantity")).as("aq"))
+    val paths = qa().queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+    }.flatten
+    // either registered rollup of this base table is a valid answer
+    assert(paths.exists(_.contains("li_rollup")), s"scanned: $paths")
+    assert(!paths.exists(_.endsWith("lineitem.parquet")), s"scanned: $paths")
+    spark.conf.set("spark.graft.mv.store", "/nonexistent_mv_dir")
+    val want = qa().orderBy("l_returnflag").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    spark.conf.set("spark.graft.mv.store", TestSpark.mvStore)
+    val got = qa().orderBy("l_returnflag").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    // quantities are integral doubles: sums are exact, so AVG matches
+    // bit-for-bit even through the rollup
+    assert(got == want, s"got=$got want=$want")
+  }
 }
