@@ -110,17 +110,29 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     properties.get("partition_columns").toSeq.flatMap(_.split(",")).map(_.trim)
       .filter(_.nonEmpty)
 
+  /** Z-order columns (reference MDKey multi-dim sort): when set, the
+    * segment is laid out by interleaved-bit z-value so min/max skipping
+    * works on every listed column, not just a sort prefix. Takes
+    * precedence over partition/sort columns.
+    */
+  def zorderColumns: Seq[String] =
+    properties.get("zorder_columns").toSeq.flatMap(_.split(",")).map(_.trim)
+      .filter(_.nonEmpty)
+
   def load(df: DataFrame): Int = withLock {
     val st = status
     val id = st.nextId
     val tmp = root.resolve(s".segment_$id.inprogress")
-    val partitioned =
-      if (partitionColumns.nonEmpty) df.repartition(partitionColumns.map(col): _*)
-      else df
     val sorted =
-      if (sortColumns.nonEmpty)
-        partitioned.sortWithinPartitions(sortColumns.map(col): _*)
-      else partitioned
+      if (zorderColumns.nonEmpty) ZOrder.layout(df, zorderColumns)
+      else {
+        val partitioned =
+          if (partitionColumns.nonEmpty) df.repartition(partitionColumns.map(col): _*)
+          else df
+        if (sortColumns.nonEmpty)
+          partitioned.sortWithinPartitions(sortColumns.map(col): _*)
+        else partitioned
+      }
     sorted.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     Files.move(tmp, segmentDir(id), StandardCopyOption.ATOMIC_MOVE)
     val (rows, stats) = collectStats(segmentDir(id))

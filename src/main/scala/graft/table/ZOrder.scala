@@ -1,0 +1,63 @@
+package graft.table
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton) layout for multi-dimensional data skipping — the
+  * Spark-native analog of the reference's MDKey sort (all dictionary
+  * dimensions bit-packed into one multi-dimensional key and the file
+  * sorted by it; core/.../keygenerator/mdkey/Bits.java,
+  * MultiDimKeyVarLengthGenerator.java).
+  *
+  * Construction: each column is mapped to an equi-depth bucket id
+  * (exact quantile boundaries, so skew cannot starve buckets), and the
+  * bucket ids' bits are interleaved into one long. Writing
+  * range-partitioned + sorted by that key makes EVERY participating
+  * column's min/max tight per file/row-group — a range predicate on
+  * any single dimension (or several) skips most files, where a
+  * lexicographic multi-column sort only helps prefixes.
+  *
+  * Scale: boundary computation is one quantile job (driver holds
+  * 2^bits × ncols doubles); the z-value itself is a pure expression, so
+  * the layout pass is repartitionByRange + local sort — the same
+  * shuffle a plain sorted write costs.
+  */
+object ZOrder {
+
+  /** Bucket id (0 .. 2^bits-1) of a numeric column via exact
+    * equi-depth quantile boundaries.
+    */
+  private def bucketExpr(c: Column, boundaries: Seq[Double]): Column =
+    boundaries.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(c.cast("double") >= b, 1).otherwise(0)
+    }
+
+  /** The interleaved z-value expression for pre-computed boundaries. */
+  def zValue(cols: Seq[(Column, Seq[Double])], bits: Int): Column = {
+    val buckets = cols.map { case (c, bs) => bucketExpr(c, bs) }
+    val n = cols.size
+    val parts = for {
+      j <- 0 until bits
+      (b, k) <- buckets.zipWithIndex
+    } yield (shiftright(b.cast("long"), j).bitwiseAND(1L) * (1L << (j * n + k)))
+    parts.reduce(_ + _)
+  }
+
+  /** Rewrite a DataFrame into z-ordered layout over `zcols` (numeric
+    * columns), with `files` output partitions. Each output file covers
+    * one z-range, so per-file min/max of every z column is tight.
+    */
+  def layout(df: DataFrame, zcols: Seq[String], bits: Int = 6,
+             files: Int = 32): DataFrame = {
+    val nb = (1 << bits) - 1
+    val probs = (1 to nb).map(_.toDouble / (nb + 1)).toArray
+    val boundaries = df.stat.approxQuantile(zcols.toArray, probs, 0.0)
+    val z = zValue(zcols.zip(boundaries.map(_.toSeq)).map {
+      case (c, bs) => (col(c), bs)
+    }, bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+  }
+}
