@@ -353,6 +353,25 @@ object RelationalQueries {
           bitmapDistinctCount(col("l_partkey")).as("distinct_parts"))
     }),
 
+    // §2.4 percentiles (exact interpolated) per group
+    "q37_percentile" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.9)").as("p90"))
+    }),
+
+    // §2.1 global dictionary generation (reference GlobalDictionaryUtil):
+    // order-preserving surrogate ids over a dimension + encoded agg
+    "q38_dictionary" -> ((s, d) => {
+      import graft.functions.GlobalDictionary
+      val o = Tables.orders(s, d)
+      val dict = GlobalDictionary.build(o, "o_orderpriority")
+      GlobalDictionary.encode(o, dict, "o_orderpriority")
+        .groupBy(col("o_orderpriority_id"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
     // event-sequence analytics: signup→purchase funnel per user
     "q36_funnel" -> ((s, d) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -584,6 +603,21 @@ object RelationalQueries {
       """SELECT l_linestatus, COUNT(DISTINCT l_orderkey) AS distinct_orders,
          COUNT(DISTINCT l_partkey) AS distinct_parts
          FROM lineitem GROUP BY l_linestatus""",
+
+    "q37_percentile" ->
+      """SELECT l_returnflag,
+         quantile_cont(l_quantity, 0.5) AS p50,
+         quantile_cont(l_quantity, 0.9) AS p90
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "q38_dictionary" ->
+      """WITH dict AS (
+           SELECT value, CAST(ROW_NUMBER() OVER (ORDER BY value) AS BIGINT) AS id
+           FROM (SELECT DISTINCT o_orderpriority AS value FROM orders
+                 WHERE o_orderpriority IS NOT NULL))
+         SELECT d.id AS o_orderpriority_id, COUNT(*) AS cnt
+         FROM orders o JOIN dict d ON o.o_orderpriority = d.value
+         GROUP BY d.id""",
 
     "q36_funnel" ->
       """SELECT user_id FROM (
