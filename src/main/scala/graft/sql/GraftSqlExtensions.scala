@@ -166,7 +166,14 @@ case class LoadGraftDataCommand(name: String, path: String)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val t = GraftCatalog.open(spark, name)
-    t.load(spark.read.schema(t.schema).parquet(path))
+    // the reference's LOAD DATA is CSV-first (LoadCube,
+    // cubeSchema.scala:1792) incl. two-level complex delimiters; parquet
+    // for modern pipelines
+    val df =
+      if (path.endsWith(".csv"))
+        graft.sources.ComplexCsv.load(spark, path, t.schema)
+      else spark.read.schema(t.schema).parquet(path)
+    t.load(df)
     t.read().createOrReplaceTempView(name)
     Nil
   }

@@ -83,4 +83,19 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(!spark.sql("SELECT * FROM regions2").columns.contains("r_comment"))
     spark.sql("DROP GRAFT TABLE regions2")
   }
+
+  test("LOAD GRAFT DATA INPATH accepts CSV with complex-type delimiters") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csvload")
+    val csv = dir.resolve("d.csv")
+    java.nio.file.Files.writeString(csv,
+      "10,alpha,x1$x2\n20,beta,y1\n")
+    spark.sql("CREATE GRAFT TABLE csvt AS SELECT CAST(1 AS INT) AS id, " +
+      "'seed' AS name, array('a') AS tags")
+    spark.sql(s"LOAD GRAFT DATA INPATH '$csv' INTO TABLE csvt")
+    val rows = spark.sql("SELECT id, name, tags FROM csvt ORDER BY id").collect()
+    assert(rows.length == 3)
+    assert(rows(1).getString(1) == "alpha")
+    assert(rows(1).getSeq[String](2) == Seq("x1", "x2"))
+    spark.sql("DROP GRAFT TABLE csvt")
+  }
 }
