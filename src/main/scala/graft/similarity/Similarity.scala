@@ -100,6 +100,60 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
+  /** IVF-style ANN: a k-means coarse quantizer partitions the corpus
+    * into `nlist` cells; each query probes its `nprobe` nearest cells
+    * and ranks candidates by exact cosine. This is the classic
+    * IVF-Flat layout: at 100 TB the corpus is written clustered by
+    * cell id (one shuffle at index-build time), a query scans
+    * ~nprobe/nlist of the data, and the centroid table (nlist × dim
+    * doubles) broadcasts everywhere. Deterministic via fixed seed.
+    *
+    * Output: (query_id, rank, neighbor_id) like [[bruteForceTopK]].
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nlist: Int = 16,
+              nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val spark = corpus.sparkSession
+    val train = spread(corpus.select(col(idCol).as("id"),
+      array_to_vector(col(vecCol).cast("array<double>")).as("features")))
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
+      .fit(train)
+    // centroid table: (cell, centroid float array) — tiny, broadcast
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat))
+    }
+    import spark.implicits._
+    val centDf = centroids.toSeq.toDF("cell", "centroid")
+
+    def assign(df: DataFrame, id: String, v: String, n: Int): DataFrame = {
+      // rank cells by distance-to-centroid ~ argmax dot on normalized
+      // data; exact enough for cell routing (ties broken by cell id)
+      val w = Window.partitionBy(col(id)).orderBy(col("cdot").desc, col("cell").asc)
+      df.crossJoin(broadcast(centDf))
+        .withColumn("cdot", dot(col(v), col("centroid")) /
+          (norm(col(v)) * norm(col("centroid"))))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= n)
+        .drop("cdot", "crank", "centroid")
+    }
+
+    val c = assign(spread(corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"))), "neighbor_id", "cv", 1)
+    val q = assign(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv")), "query_id", "qv", nprobe)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    c.join(broadcast(q), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
   /** Embedding near-duplicate pairs: (id_a, id_b) with cosine ≥
     * threshold, bucket-blocked so no quadratic stage materializes.
     * Near-identical vectors share sign buckets with high probability;

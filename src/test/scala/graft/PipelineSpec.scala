@@ -135,4 +135,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
+
+  test("IVF k-means ANN: sane shape and competitive recall") {
+    val queries = emb.filter(col("vec_id") < 30)
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 1, nlist = 8, nprobe = 3)
+      .filter(col("rank") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(ivf.size <= 30)
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall too low: $recall")
+  }
 }
