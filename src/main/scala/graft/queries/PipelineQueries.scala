@@ -82,6 +82,29 @@ object PipelineQueries {
             .as("content_fp"))
     }),
 
+    // text analysis: TF-IDF — top term per document (tf × ln(N/df),
+    // rounded to 6 decimals: a 1-ulp libm difference cannot cross a
+    // rounding boundary in practice)
+    "t07_tfidf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val n = docs.count()
+      val terms = docs
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("token"))
+      val tf = terms.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val df_ = terms.select(col("doc_id"), col("token")).distinct()
+        .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("token").asc)
+      tf.join(df_, "token")
+        .withColumn("tfidf",
+          round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("token").as("top_term"), col("tfidf"))
+    }),
+
     // dedup: exact fingerprint groups
     "d01_dedup_exact" -> ((s, d) => {
       Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")
@@ -217,6 +240,25 @@ object PipelineQueries {
           SELECT doc_id,
             COALESCE(list_reduce(hs, (a, b) -> (a * 31 + b) % 1000000007), 0) AS content_fp
           FROM h""",
+
+    "t07_tfidf" ->
+      s"""WITH terms AS (
+           SELECT doc_id, unnest($W) AS token FROM documents),
+         tf AS (SELECT doc_id, token, COUNT(*) AS tf
+           FROM terms GROUP BY doc_id, token),
+         df AS (SELECT token, COUNT(*) AS df FROM
+           (SELECT DISTINCT doc_id, token FROM terms) GROUP BY token),
+         n AS (SELECT COUNT(*)::DOUBLE AS n FROM documents),
+         scored AS (
+           SELECT tf.doc_id, tf.token,
+             ROUND(tf.tf * LN(n.n / df.df), 6) AS tfidf
+           FROM tf JOIN df USING (token) CROSS JOIN n),
+         ranked AS (
+           SELECT doc_id, token, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+               ORDER BY tfidf DESC, token ASC) AS rn
+           FROM scored)
+         SELECT doc_id, token AS top_term, tfidf FROM ranked WHERE rn = 1""",
 
     "d01_dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS fp, MIN(doc_id) AS rep_id,
