@@ -89,6 +89,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*LOAD\s+GRAFT\s+DATA\s+INPATH\s+'([^']+)'\s+INTO\s+TABLE\s+(\w+)\s*""".r
   private val showSegRe =
     """(?is)\s*SHOW\s+GRAFT\s+SEGMENTS\s+FOR\s+(\w+)\s*""".r
+  private val showCreateRe =
+    """(?is)\s*SHOW\s+CREATE\s+GRAFT\s+TABLE\s+(\w+)\s*""".r
+  private val describeRe =
+    """(?is)\s*DESCRIBE\s+GRAFT\s+TABLE\s+(\w+)\s*""".r
   private val deleteSegRe =
     """(?is)\s*DELETE\s+GRAFT\s+SEGMENT\s+([\d\s,]+)\s+FROM\s+(\w+)\s*""".r
   private val compactRe =
@@ -110,6 +114,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         .getOrElse(Map.empty)
       CreateGraftTableCommand(name, p, delegate.parsePlan(query))
     case loadRe(path, name) => LoadGraftDataCommand(name, path)
+    case showCreateRe(name) => ShowCreateGraftTableCommand(name)
+    case describeRe(name) => DescribeGraftTableCommand(name)
     case showSegRe(name) => ShowGraftSegmentsCommand(name)
     case deleteSegRe(ids, name) =>
       DeleteGraftSegmentsCommand(name, ids.split(",").map(_.trim.toInt).toSeq)
@@ -134,7 +140,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       u.trim.startsWith("LOAD") || u.trim.startsWith("SHOW") ||
       u.trim.startsWith("DELETE") || u.trim.startsWith("COMPACT") ||
       u.trim.startsWith("CLEAN") || u.trim.startsWith("DROP") ||
-      u.trim.startsWith("ALTER"))
+      u.trim.startsWith("ALTER") || u.trim.startsWith("DESCRIBE"))
   }
 
   override def parseExpression(s: String): Expression = delegate.parseExpression(s)
@@ -188,6 +194,43 @@ case class ShowGraftSegmentsCommand(name: String) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] =
     GraftCatalog.open(spark, name).showSegments().map(s =>
       Row(s.id, s.status, s.rowCount, s.createdAt))
+}
+
+/** Reverse-engineer DDL (reference ShowCreateCube). */
+case class ShowCreateGraftTableCommand(name: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("ddl", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftCatalog.open(spark, name)
+    val cols = t.schema.fields
+      .map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
+    val props =
+      if (t.properties.isEmpty) ""
+      else t.properties.toSeq.sorted
+        .map { case (k, v) => s"'$k'='$v'" }
+        .mkString(" TBLPROPERTIES(", ", ", ")")
+    Seq(Row(s"CREATE GRAFT TABLE $name ($cols)$props"))
+  }
+}
+
+/** Table + segment summary (reference DescribeFormattedCommand). */
+case class DescribeGraftTableCommand(name: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("col_name", StringType, nullable = false)(),
+    AttributeReference("data_type", StringType, nullable = false)(),
+    AttributeReference("comment", StringType, nullable = true)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftCatalog.open(spark, name)
+    val cols = t.schema.fields.map(f =>
+      Row(f.name, f.dataType.simpleString, null))
+    val live = t.showSegments().filter(_.status == SegmentedTable.SUCCESS)
+    val meta = Seq(
+      Row("# table", t.root.toString, null),
+      Row("# live_segments", live.size.toString, null),
+      Row("# total_rows", t.countFromCatalog.toString, null)) ++
+      t.properties.toSeq.sorted.map { case (k, v) => Row(s"# $k", v, null) }
+    cols.toSeq ++ meta
+  }
 }
 
 case class DeleteGraftSegmentsCommand(name: String, ids: Seq[Int])

@@ -98,4 +98,20 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(rows(1).getSeq[String](2) == Seq("x1", "x2"))
     spark.sql("DROP GRAFT TABLE csvt")
   }
+
+  test("SHOW CREATE / DESCRIBE introspection") {
+    spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+      .createOrReplaceTempView("region_src2")
+    spark.sql("CREATE GRAFT TABLE regions3 TBLPROPERTIES('sort_columns'='r_regionkey') " +
+      "AS SELECT * FROM region_src2")
+    val ddl = spark.sql("SHOW CREATE GRAFT TABLE regions3").head().getString(0)
+    assert(ddl.contains("CREATE GRAFT TABLE regions3"))
+    assert(ddl.contains("r_regionkey INT") && ddl.contains("r_name STRING"))
+    assert(ddl.contains("'sort_columns'='r_regionkey'"))
+
+    val desc = spark.sql("DESCRIBE GRAFT TABLE regions3").collect()
+    assert(desc.exists(r => r.getString(0) == "r_name" && r.getString(1) == "string"))
+    assert(desc.exists(r => r.getString(0) == "# total_rows" && r.getString(1) == "5"))
+    spark.sql("DROP GRAFT TABLE regions3")
+  }
 }
