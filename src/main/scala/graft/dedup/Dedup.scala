@@ -50,7 +50,9 @@ object Dedup {
     spread(docs.select(col(idCol).as("id"), col(textCol).as("__text")))
       .withColumn("__words", tokens(col("__text")))
       .withColumn("__sh", shinglesFromTokens(col("__words")))
-      .withColumn("__sig", minhashSignature(col("__sh"), k))
+      .filter(size(col("__sh")) > 0)
+      .withColumn("__bh", transform(col("__sh"), s => shingleBaseHash(s)))
+      .withColumn("__sig", minhashSignatureFromHashes(col("__bh"), k))
       .select(col("id"),
         posexplode(lshBands(col("__sig"), k, rowsPerBand)).as(Seq("band_idx", "band_key")))
       .filter(col("band_key").isNotNull)

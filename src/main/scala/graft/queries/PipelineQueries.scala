@@ -31,11 +31,18 @@ object PipelineQueries {
   private val SH =
     "list_transform(range(1, len(words) - 1), i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])"
 
-  private def mh(j: Int): String =
-    s"list_aggregate(list_transform(s, x -> md5(x || '|$j')), 'min')"
+  /** Mirrors TextFunctions: base hash = first 15 md5 hex chars mod P,
+    * permutation j = (h * A_j + B_j) mod P (same constants).
+    */
+  private def mh(j: Int): String = {
+    val a = 2L * j + 1234567891L
+    val b = 98765431L * (j + 1)
+    s"list_aggregate(list_transform(s, x -> ((CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % 1000000007) * $a + $b) % 1000000007), 'min')"
+  }
 
   private def band(b: Int, rows: Int): String =
-    "md5(" + (0 until rows).map(r => mh(b * rows + r)).mkString(" || ") + ")"
+    "md5(" + (0 until rows).map(r => s"CAST(${mh(b * rows + r)} AS VARCHAR)")
+      .mkString(" || ',' || ") + ")"
 
   private val enMarkers = "('the','and','of','to','a')"
 
@@ -269,7 +276,7 @@ object PipelineQueries {
           sh AS (SELECT doc_id, $SH AS s FROM t),
           sig AS (SELECT doc_id,
             ${(0 until 4).map(b => s"${band(b, 4)} AS band$b").mkString(", ")}
-          FROM sh)
+          FROM sh WHERE len(s) > 0)
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
           FROM sig a JOIN sig b ON a.doc_id < b.doc_id
           AND (a.band0 = b.band0 OR a.band1 = b.band1
@@ -297,7 +304,7 @@ object PipelineQueries {
           sh AS (SELECT doc_id, $SH AS s FROM t),
           sig AS (SELECT doc_id,
             ${(0 until 4).map(b => s"${band(b, 4)} AS band$b").mkString(", ")}
-          FROM sh),
+          FROM sh WHERE len(s) > 0),
           pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
           FROM sig a JOIN sig b ON a.doc_id < b.doc_id
           AND (a.band0 = b.band0 OR a.band1 = b.band1
