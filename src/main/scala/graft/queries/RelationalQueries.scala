@@ -372,6 +372,14 @@ object RelationalQueries {
         .agg(count(lit(1)).as("cnt"))
     }),
 
+    // §2.4 pivot (cross-tab): status columns per priority
+    "q39_pivot" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(Tables.dsum(col("o_totalprice")))
+    }),
+
     // event-sequence analytics: signup→purchase funnel per user
     "q36_funnel" -> ((s, d) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -618,6 +626,13 @@ object RelationalQueries {
          SELECT d.id AS o_orderpriority_id, COUNT(*) AS cnt
          FROM orders o JOIN dict d ON o.o_orderpriority = d.value
          GROUP BY d.id""",
+
+    "q39_pivot" ->
+      """SELECT o_orderpriority,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "F",
+         CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "O",
+         CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "P"
+         FROM orders GROUP BY o_orderpriority""",
 
     "q36_funnel" ->
       """SELECT user_id FROM (
