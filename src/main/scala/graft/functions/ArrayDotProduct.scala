@@ -1,36 +1,60 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnExpr
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Native codegen'd dot product of two float-array columns, summing
-  * sequentially in double — bit-identical to the declarative
+/** Native codegen'd dot product of two float- or double-array columns,
+  * summing sequentially in double — bit-identical to the declarative
   * `aggregate(zip_with(a, b, *), 0.0, +)` form (and to the DuckDB
   * oracle) but with no per-row intermediate array allocation and no
   * higher-order-function dispatch: the generated code is one tight
   * loop over the two ArrayData buffers. This is the hot kernel of
   * every similarity-search operator, executed once per candidate pair.
   *
-  * Elements must be non-null (embedding vectors are dense); arrays of
-  * unequal length dot over the common prefix.
+  * Both inputs must be array<float> or array<double> (each side
+  * independently; SQL array literals default to array<double>) —
+  * anything else fails analysis. Elements must be non-null (embedding
+  * vectors are dense); arrays of unequal length dot over the common
+  * prefix.
   */
 case class ArrayDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> or array<double> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  private def isDouble(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
+    val xd = isDouble(left)
+    val yd = isDouble(right)
     var sum = 0.0
     var i = 0
     while (i < n) {
-      sum += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      val xv = if (xd) x.getDouble(i) else x.getFloat(i).toDouble
+      val yv = if (yd) y.getDouble(i) else y.getFloat(i).toDouble
+      sum += xv * yv
       i += 1
     }
     sum
@@ -41,12 +65,14 @@ case class ArrayDotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val sum = ctx.freshName("sum")
+      def get(arr: String, idx: String, dbl: Boolean): String =
+        if (dbl) s"$arr.getDouble($idx)" else s"(double) $arr.getFloat($idx)"
       s"""
          |int $n = $a.numElements() < $b.numElements()
          |  ? $a.numElements() : $b.numElements();
          |double $sum = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $sum += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  $sum += ${get(a, i, isDouble(left))} * ${get(b, i, isDouble(right))};
          |}
          |${ev.value} = $sum;
        """.stripMargin

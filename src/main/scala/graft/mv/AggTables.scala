@@ -20,7 +20,8 @@ import org.json4s.jackson.Serialization
   */
 case class AggTableMeta(name: String, basePath: String, mvPath: String,
                         groupCols: List[String],
-                        measures: List[MeasureMeta], countCol: String)
+                        measures: List[MeasureMeta], countCol: String,
+                        fingerprint: String = "")
 /** cntCol: for sum measures, the MV column holding COUNT(baseCol)
   * (non-null count — required for exact AVG rewrites); empty otherwise.
   */
@@ -66,14 +67,41 @@ object AggTables {
       case MeasureMeta("max", c, a, _) => Seq(max(col(c)).as(a))
       case MeasureMeta(f, _, _, _) => throw new IllegalArgumentException(s"func $f")
     } :+ count(lit(1)).as("cnt_rows")
+    // fingerprint BEFORE the build scan: if a concurrent writer lands
+    // mid-build the stored print won't match the new data and the
+    // rewrite stays disabled (fail-safe) rather than serving a rollup
+    // that mixes the two states
+    val fp = fingerprint(spark, basePath)
     spark.read.parquet(basePath)
       .groupBy(groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
       .write.mode("overwrite").parquet(mvPath)
     val meta = AggTableMeta(name, normalize(basePath), mvPath, groupCols.toList,
-      ms, "cnt_rows")
+      ms, "cnt_rows", fp)
     Files.writeString(Paths.get(dir, s"$name.json"), Serialization.write(meta))
     meta
+  }
+
+  /** Rebuild a registered MV from the current base data and re-stamp
+    * its fingerprint, re-enabling the rewrite after base appends.
+    */
+  def refresh(spark: SparkSession, name: String): AggTableMeta = {
+    val meta = registered(spark).find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(s"no MV named $name"))
+    create(spark, meta.name, meta.basePath, meta.groupCols,
+      meta.measures.map(m => (m.func, m.baseCol)))
+  }
+
+  /** Deregister an MV and delete its rollup data. */
+  def drop(spark: SparkSession, name: String): Unit = {
+    val dir = catalogDir(spark)
+    Files.deleteIfExists(Paths.get(dir, s"$name.json"))
+    val mv = Paths.get(s"$dir/$name.parquet")
+    if (Files.exists(mv)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(mv).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+    }
   }
 
   def registered(spark: SparkSession): Seq[AggTableMeta] = {
@@ -84,6 +112,26 @@ object AggTables {
       .filter(_.toString.endsWith(".json"))
       .map(p => Serialization.read[AggTableMeta](Files.readString(p)))
       .toSeq
+  }
+
+  /** Staleness guard: digest of the base directory's data-file listing
+    * (name, length, modtime). Any append/overwrite/compaction changes
+    * it, which disables the rewrite until refresh(). One driver-side
+    * directory listing — same cost class as Spark's own file-index
+    * refresh, independent of data volume.
+    */
+  def fingerprint(spark: SparkSession, basePath: String): String = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(normalize(basePath))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return "missing"
+    val entries = fs.listStatus(p).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }.map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString("\n")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(entries.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 
   private def normalize(p: String): String =
@@ -100,23 +148,33 @@ case class AggTableRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val mvs = AggTables.registered(spark)
     if (mvs.isEmpty) return plan
+    // one staleness probe per distinct base path per query plan
+    val fresh = scala.collection.mutable.Map.empty[String, Boolean]
+    def isFresh(mv: AggTableMeta): Boolean =
+      fresh.getOrElseUpdate(mv.basePath,
+        AggTables.fingerprint(spark, mv.basePath) == mv.fingerprint)
     plan.transformUp {
       case agg @ Aggregate(grouping, aggExprs, child, _) =>
         baseScanPath(child).flatMap { path =>
-          mvs.find(_.basePath == path).flatMap(mv => rewrite(agg, mv))
+          mvs.find(_.basePath == path).filter(isFresh)
+            .flatMap(mv => rewrite(agg, mv))
         }.getOrElse(agg)
     }
   }
 
   /** child must be a bare scan (optionally behind an attribute-only
-    * Project) of a parquet location — no Filter (a residual filter on
-    * non-dim columns would make the rollup wrong).
+    * Project) of exactly one parquet location — no Filter (a residual
+    * filter on non-dim columns would make the rollup wrong), and no
+    * multi-path scan (rewriting on a first-path match would drop the
+    * other paths' rows).
     */
   private def baseScanPath(p: LogicalPlan): Option[String] = p match {
     case l: LogicalRelation => l.relation match {
       case h: HadoopFsRelation =>
-        h.location.rootPaths.headOption.map(rp =>
-          rp.toString.stripPrefix("file:").stripSuffix("/"))
+        h.location.rootPaths.toList match {
+          case rp :: Nil => Some(rp.toString.stripPrefix("file:").stripSuffix("/"))
+          case _ => None
+        }
       case _ => None
     }
     case Project(exprs, child) if exprs.forall(_.isInstanceOf[Attribute]) =>

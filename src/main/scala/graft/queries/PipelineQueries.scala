@@ -229,7 +229,7 @@ object PipelineQueries {
           FROM c""",
 
     "t04_text_stats" ->
-      s"""SELECT source, SUM(CAST(len($W) AS BIGINT)) AS total_tokens,
+      s"""SELECT source, CAST(SUM(CAST(len($W) AS BIGINT)) AS BIGINT) AS total_tokens,
           MAX(n_chars) AS max_chars, COUNT(*) AS doc_cnt
           FROM documents GROUP BY source""",
 
@@ -376,8 +376,8 @@ object PipelineQueries {
 
     "m01_binary_features" ->
       """SELECT source, COUNT(*) AS n,
-         SUM(CAST(octet_length(encode(text)) AS BIGINT)) AS total_bytes,
-         SUM(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)) AS checksum_sum
+         CAST(SUM(CAST(octet_length(encode(text)) AS BIGINT)) AS BIGINT) AS total_bytes,
+         CAST(SUM(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)) AS BIGINT) AS checksum_sum
          FROM documents GROUP BY source"""
   )
 }

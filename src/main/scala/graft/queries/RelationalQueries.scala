@@ -537,7 +537,7 @@ object RelationalQueries {
 
     "q23_arith" ->
       """SELECT l_linestatus, COUNT(*) AS cnt,
-         SUM(CAST(l_quantity * 2 - 1 AS BIGINT)) AS derived_sum
+         CAST(SUM(CAST(l_quantity * 2 - 1 AS BIGINT)) AS BIGINT) AS derived_sum
          FROM lineitem WHERE l_quantity * (1 + l_tax) > 52
          GROUP BY l_linestatus""",
 
@@ -644,7 +644,7 @@ object RelationalQueries {
 
     "q35_json_props" ->
       """SELECT event_type,
-         SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+         CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
          COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_cnt,
          MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
          FROM events GROUP BY event_type"""

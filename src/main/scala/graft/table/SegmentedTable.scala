@@ -291,11 +291,19 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
       case None => true
     }
 
-  /** compare(stored, literal): Some(sign) or None if incomparable. */
+  /** compare(stored, literal): Some(sign) or None if incomparable.
+    * A null literal is incomparable (col === null never prunes — its
+    * three-valued semantics are left to the residual filter). Numerics
+    * compare as BigDecimal: a Double round-trip would collapse bigint
+    * values beyond 2^53 (or high-precision decimals) and could "prove"
+    * non-overlap on a segment that actually matches.
+    */
   private def compare(stored: String, v: Any, t: DataType, kind: String): Option[Int] =
-    (kind, t) match {
+    if (v == null) None
+    else (kind, t) match {
       case ("numeric", _: NumericType) =>
-        Some(stored.toDouble.compareTo(v.toString.toDouble))
+        try Some(BigDecimal(stored).compare(BigDecimal(v.toString)))
+        catch { case _: NumberFormatException => None } // NaN/Inf stats
       case ("string", StringType) => Some(stored.compareTo(v.toString))
       case ("timestamp", TimestampType | TimestampNTZType) =>
         // catalyst timestamp literals are epoch micros
@@ -338,24 +346,40 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
   def compact(): Option[Int] = {
     val live = liveSegments
     if (live.size < 2) return None
+    // the long-running merge write happens OUTSIDE the lock (so loads
+    // and queries proceed during compaction, as with the reference's
+    // background merger); the commit inside the lock first re-verifies
+    // that every input segment is still SUCCESS — a concurrent
+    // deleteSegments/deleteSegmentsBefore in the merge window aborts
+    // the compaction instead of resurrecting the deleted rows
     val merged = readSegments(live)
-    val id = withLock {
+    // NOT dot-prefixed: Spark's file listing ignores hidden paths, which
+    // would break the collectStats read below. Readers never scan the
+    // table root wholesale (only explicit segment_N dirs), so an
+    // in-progress dir here is invisible to queries either way.
+    val tmp = root.resolve(s"compacting_${System.nanoTime()}")
+    val sorted =
+      if (sortColumns.nonEmpty)
+        merged.sortWithinPartitions(sortColumns.map(col): _*)
+      else merged
+    sorted.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val (rows, stats) = collectStats(tmp)
+    withLock {
       val st = status
-      val newId = st.nextId
-      val tmp = root.resolve(s".segment_$newId.inprogress")
-      val sorted =
-        if (sortColumns.nonEmpty)
-          merged.sortWithinPartitions(sortColumns.map(col): _*)
-        else merged
-      sorted.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      Files.move(tmp, segmentDir(newId), StandardCopyOption.ATOMIC_MOVE)
-      val (rows, stats) = collectStats(segmentDir(newId))
-      commitStatus(TableStatus(newId + 1,
-        st.segments.map(s => if (live.exists(_.id == s.id)) s.copy(status = COMPACTED) else s) :+
-          SegmentMeta(newId, SUCCESS, rows, System.currentTimeMillis(), stats)))
-      newId
+      val stillLive = live.forall(s =>
+        st.segments.exists(x => x.id == s.id && x.status == SUCCESS))
+      if (!stillLive) {
+        deleteRecursively(tmp)
+        None
+      } else {
+        val newId = st.nextId
+        Files.move(tmp, segmentDir(newId), StandardCopyOption.ATOMIC_MOVE)
+        commitStatus(TableStatus(newId + 1,
+          st.segments.map(s => if (live.exists(_.id == s.id)) s.copy(status = COMPACTED) else s) :+
+            SegmentMeta(newId, SUCCESS, rows, System.currentTimeMillis(), stats)))
+        Some(newId)
+      }
     }
-    Some(id)
   }
 
   /** Total row count from catalog metadata only — the reference's

@@ -85,6 +85,51 @@ class AggTableSpec extends AnyFunSuite {
     assert(qf.head().getLong(0) == n.filter(col("n_nationkey") > 5).count() * 2)
   }
 
+  test("stale MV is not used; refresh re-enables; drop deregisters") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mvbase")
+    val basePath = dir.resolve("nation.parquet").toString
+    val n = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    n.write.parquet(basePath)
+    AggTables.create(spark, "nation_rollup", basePath,
+      Seq("n_regionkey"), Seq("sum" -> "n_nationkey"))
+    def qn() = spark.read.parquet(basePath)
+      .groupBy(col("n_regionkey")).agg(sum(col("n_nationkey")).as("s"))
+    assert(scannedPaths(qn()).exists(_.contains("nation_rollup")))
+
+    // append to the base: the fingerprint no longer matches, so the
+    // rewrite must stop firing and the query must see the new rows
+    n.limit(5).write.mode("append").parquet(basePath)
+    assert(scannedPaths(qn()).exists(_.contains("nation.parquet")),
+      "stale MV must not be used after base data changed")
+    val want = qn().orderBy("n_regionkey").collect()
+
+    // refresh rebuilds and re-enables
+    AggTables.refresh(spark, "nation_rollup")
+    assert(scannedPaths(qn()).exists(_.contains("nation_rollup")))
+    assert(qn().orderBy("n_regionkey").collect().sameElements(want))
+
+    // drop removes registration and data
+    AggTables.drop(spark, "nation_rollup")
+    assert(!AggTables.registered(spark).exists(_.name == "nation_rollup"))
+    assert(scannedPaths(qn()).exists(_.contains("nation.parquet")))
+  }
+
+  test("multi-path scan is never rewritten to a single-base MV") {
+    val other = java.nio.file.Files
+      .createTempDirectory("graft_mvmp").resolve("extra.parquet").toString
+    spark.read.parquet(base).limit(7).write.parquet(other)
+    // li_rollup over `base` is registered by the first test; a scan of
+    // (base, other) must NOT route to it
+    val qmp = spark.read.parquet(base, other)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("sq"), max(col("l_extendedprice")).as("mx"),
+        count(lit(1)).as("cnt"))
+    assert(scannedPaths(qmp).exists(_.endsWith("lineitem.parquet")),
+      s"scanned: ${scannedPaths(qmp)}")
+    assert(qmp.agg(sum(col("cnt"))).head().getLong(0) ==
+      spark.read.parquet(base).count() + 7)
+  }
+
   test("AVG rewrites to sum-of-sums over non-null counts") {
     import org.apache.spark.sql.functions._
     AggTables.create(spark, "li_rollup_avg", base,

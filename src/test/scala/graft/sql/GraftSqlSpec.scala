@@ -63,6 +63,17 @@ class GraftSqlSpec extends AnyFunSuite {
         "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS x").head().getDouble(0)
     assert(dot == 11.0)
 
+    // array<double> (the default type of SQL array literals) dispatches
+    // on the element type instead of silently reading garbage
+    val dotD = spark.sql(
+      "SELECT array_dot(array(1.5D, 2.0D), array(2.0D, 4.0D)) AS x").head().getDouble(0)
+    assert(dotD == 11.0)
+    // non-float/double element types must fail analysis, not return junk
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT array_dot(array(1, 2), array(3, 4)) AS x").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("array"))
+
     val sh = spark.sql("SELECT graft_simhash32('a b c d e f') AS h").head().getLong(0)
     val sh2 = spark.sql("SELECT graft_simhash32('a b c d e f') AS h").head().getLong(0)
     assert(sh == sh2 && sh != 0)

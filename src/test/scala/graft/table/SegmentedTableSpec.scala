@@ -48,6 +48,25 @@ class SegmentedTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.scan(t2Pred).count() == 0)
   }
 
+  test("pruning is exact beyond 2^53 and safe on null literals") {
+    import spark.implicits._
+    val root = freshRoot("bigint")
+    // two adjacent longs that collapse to the same Double
+    val a = 9007199254740993L // 2^53 + 1
+    val b = 9007199254740992L // 2^53
+    val df = Seq((a, "x")).toDF("k", "v")
+    val t = SegmentedTable.create(spark, root, df.schema, Map.empty)
+    t.load(df)
+    // via Double both bounds equal b, which would "prove" non-overlap
+    assert(t.pruneSegments(col("k") > lit(b)).nonEmpty,
+      "segment containing 2^53+1 must survive k > 2^53")
+    assert(t.scan(col("k") > lit(b)).count() == 1)
+    assert(t.pruneSegments(col("k") === lit(a)).nonEmpty)
+    // a null comparison literal must not NPE and must not prune
+    assert(t.pruneSegments(col("k") === lit(null).cast("long")).nonEmpty)
+    assert(t.scan(col("k") === lit(null).cast("long")).count() == 0)
+  }
+
   test("delete by id, clean files removes directories") {
     val root = freshRoot("delete")
     val t = SegmentedTable.create(spark, root, li.schema, Map.empty)
@@ -84,6 +103,11 @@ class SegmentedTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     val statuses = t.showSegments().map(s => s.id -> s.status).toMap
     assert(statuses(0) == "COMPACTED" && statuses(1) == "COMPACTED" &&
       statuses(2) == "SUCCESS")
+    // catalog metadata of the merged segment must be real (rowCount
+    // feeds the count(*) fast path, stats feed pruning)
+    assert(t.countFromCatalog == total)
+    val seg2 = t.showSegments().find(_.id == 2).get
+    assert(seg2.rowCount == total && seg2.stats.contains("l_orderkey"))
     t.cleanFiles()
     assert(t.showSegments().map(_.id) == Seq(2))
     assert(t.read().count() == total)

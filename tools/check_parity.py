@@ -59,6 +59,14 @@ def main():
         mismatch = None
         for c in a.columns:
             av, bv = a[c].values, b[c].values
+            # the driver hashes stringified values, so int64 vs float64
+            # (e.g. DuckDB SUM(BIGINT) -> HUGEINT -> float64) is a real
+            # mismatch ("49" vs "49.0") even when values compare equal
+            if (pd.api.types.is_float_dtype(a[c]) !=
+                    pd.api.types.is_float_dtype(b[c])):
+                mismatch = (f"DTYPE_MISMATCH col={c} "
+                            f"spark={a[c].dtype} duck={b[c].dtype}")
+                break
             if pd.api.types.is_float_dtype(a[c]) and pd.api.types.is_float_dtype(b[c]):
                 eq = (pd.isna(av) & pd.isna(bv)) | (av == bv)
             else:
