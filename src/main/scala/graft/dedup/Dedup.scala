@@ -47,12 +47,12 @@ object Dedup {
     */
   def bandedSignatures(docs: DataFrame, idCol: String, textCol: String,
                        k: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    import graft.functions.MinHashExpressions._
     spread(docs.select(col(idCol).as("id"), col(textCol).as("__text")))
       .withColumn("__words", tokens(col("__text")))
-      .withColumn("__sh", shinglesFromTokens(col("__words")))
+      .withColumn("__sh", wordShingles3(col("__words")))
       .filter(size(col("__sh")) > 0)
-      .withColumn("__bh", transform(col("__sh"), s => shingleBaseHash(s)))
-      .withColumn("__sig", minhashSignatureFromHashes(col("__bh"), k))
+      .withColumn("__sig", minhashSignature(col("__sh"), k))
       .select(col("id"),
         posexplode(lshBands(col("__sig"), k, rowsPerBand)).as(Seq("band_idx", "band_key")))
       .filter(col("band_key").isNotNull)
@@ -85,7 +85,8 @@ object Dedup {
       .withColumn("__words", tokens(col(textCol)))
       .select(
         (col(idCol).as("id") +: blockCols.map(col)) :+
-          array_distinct(shinglesFromTokens(col("__words"))).as("sh"): _*)
+          array_distinct(graft.functions.MinHashExpressions.wordShingles3(
+            col("__words"))).as("sh"): _*)
     val a = withSh.select(col("id").as("id_a") +: col("sh").as("sh_a") +:
       blockCols.map(col): _*)
     val b = withSh.select(col("id").as("id_b") +: col("sh").as("sh_b") +:

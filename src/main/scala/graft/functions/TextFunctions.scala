@@ -56,8 +56,8 @@ object TextFunctions {
     * family; (P-1) * maxA + maxB < 2^63 so no engine overflows.)
     */
   val MinhashMod = 1000000007L
-  private def mhA(j: Int): Long = 2L * j + 1234567891L
-  private def mhB(j: Int): Long = 98765431L * (j + 1)
+  private[functions] def mhA(j: Int): Long = 2L * j + 1234567891L
+  private[functions] def mhB(j: Int): Long = 98765431L * (j + 1)
 
   /** Base 60-bit shingle hash reduced mod P: one md5 per shingle, with
     * the k permutations derived arithmetically — 16× less hashing than

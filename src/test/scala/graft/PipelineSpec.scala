@@ -29,6 +29,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(r(1).isEmpty)
   }
 
+  test("native minhash/shingle kernels equal the declarative forms") {
+    import graft.functions.MinHashExpressions._
+    val k = 16
+    val base = docs.select(col("doc_id"), TextFunctions.tokens(col("text")).as("w"))
+    // shingles: compiled kernel vs zip_with chain
+    val shDiff = base
+      .withColumn("a", wordShingles3(col("w")))
+      .withColumn("b", TextFunctions.shinglesFromTokens(col("w")))
+      .filter(not(col("a") <=> col("b")))
+    assert(shDiff.count() == 0)
+    // signatures: compiled kernel vs staged transform pipeline
+    val sigDiff = base
+      .withColumn("sh", wordShingles3(col("w")))
+      .filter(size(col("sh")) > 0)
+      .withColumn("a", minhashSignature(col("sh"), k))
+      .withColumn("b", TextFunctions.minhashSignature(col("sh"), k))
+      .filter(not(col("a") <=> col("b")))
+    assert(sigDiff.count() == 0)
+  }
+
   test("simhash32 is deterministic and near-dup-sensitive") {
     val texts = Seq(
       "the quick brown fox jumps over the lazy dog again and again today",
