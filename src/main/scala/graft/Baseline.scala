@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Plain-Spark/Parquet baseline implementations for the benchmark's
+  * "within 2× of baseline" gate (BASELINE.md: baseline = plain Spark
+  * on the same parquet, no graft layer).
+  *
+  * Most graft queries ARE stock Spark plans over plain parquet — for
+  * those the baseline is the identical computation, and timing both
+  * sides measures the run-to-run noise floor (which bounds how much
+  * any per-query ratio can be trusted). Where the graft layer adds
+  * real machinery, the baseline strips it:
+  *
+  *  - g01/g02: plain parquet scan + filter/agg instead of the
+  *    segment store (no driver-side pruning, no segment dirs).
+  *  - q34: built-in count_distinct instead of the Roaring-bitmap
+  *    TypedImperativeAggregate.
+  *  - d02/d05: the declarative TextFunctions minhash pipeline
+  *    (transform/md5/conv higher-order functions) instead of the
+  *    compiled MinHashKernel expressions.
+  *  - s01-s03/e01: declarative aggregate(zip_with) dot product
+  *    instead of the codegen'd ArrayDotProduct expression.
+  *  - st01: the equivalent batch aggregation instead of the
+  *    Structured Streaming (AvailableNow → memory sink) run.
+  */
+object Baseline {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Declarative dot product — what a plain-Spark user writes before
+    * dropping to a custom expression.
+    */
+  private def dotDecl(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def normDecl(a: Column): Column = sqrt(dotDecl(a, a))
+
+  private def cosDecl(a: Column, b: Column): Column =
+    dotDecl(a, b) / (normDecl(a) * normDecl(b))
+
+  private def signBucket(v: Column, bits: Int): Column =
+    (0 until bits).map { j =>
+      when(element_at(v, j + 1) > 0f, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Brute/bucketed ANN with the declarative dot product. */
+  private def annDecl(corpus: DataFrame, queries: DataFrame, k: Int,
+                      bits: Int, multiProbe: Option[Boolean]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q0 = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c0 = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val joined = multiProbe match {
+      case None => c0.crossJoin(broadcast(q0))
+      case Some(mp) =>
+        val base = q0.withColumn("bucket", signBucket(col("qv"), bits))
+        val probes =
+          if (mp) Seq(col("bucket")) ++ (0 until bits).map(j =>
+            col("bucket").bitwiseXOR(lit(1L << j)))
+          else Seq(col("bucket"))
+        val q = base.withColumn("probe", explode(array(probes: _*))).drop("bucket")
+        c0.withColumn("probe", signBucket(col("cv"), bits)).join(broadcast(q), Seq("probe"))
+    }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    joined.filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosDecl(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
+  /** MinHash LSH candidate pairs with the declarative (higher-order
+    * function) pipeline from TextFunctions — no compiled kernel.
+    */
+  private def minhashPairsDecl(docs: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions._
+    val banded = docs.select(col("doc_id").as("id"), col("text").as("__text"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("__words", tokens(col("__text")))
+      .withColumn("__sh", shinglesFromTokens(col("__words")))
+      .filter(size(col("__sh")) > 0)
+      .withColumn("__sig", minhashSignature(col("__sh"), 16))
+      .select(col("id"), posexplode(lshBands(col("__sig"), 16, 4))
+        .as(Seq("band_idx", "band_key")))
+      .filter(col("band_key").isNotNull)
+    val left = banded.toDF("id_a", "band_idx", "band_key")
+    val right = banded.toDF("id_b", "band_idx", "band_key")
+    left.join(right, Seq("band_idx", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** Queries whose graft implementation differs from a plain-Spark
+    * formulation; every other name falls through to the graft fn
+    * itself (it already is the plain parquet plan — re-running it
+    * measures the noise floor, not a tautology: the ratio is evidence
+    * the layer adds nothing, and its spread bounds the noise).
+    */
+  private val overrides: Map[String, Q] = Map(
+    "g01_segment_pruned_scan" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    "g02_segment_compaction" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"), Tables.dsum(col("o_totalprice")).as("total"))
+    }),
+
+    "q34_bitmap_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_linestatus"))
+        .agg(countDistinct(col("l_orderkey")).as("distinct_orders"),
+          countDistinct(col("l_partkey")).as("distinct_parts"))
+    }),
+
+    "d02_minhash_pairs" -> ((s, d) => minhashPairsDecl(Tables.documents(s, d))),
+
+    "d05_dedup_clusters" -> ((s, d) =>
+      graft.dedup.Dedup.nearDupClusters(minhashPairsDecl(Tables.documents(s, d)))),
+
+    "s01_ann_brute" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      annDecl(emb, emb.filter(col("vec_id") < 5), 3, 0, None)
+    }),
+
+    "s02_ann_bucketed" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      annDecl(emb, emb.filter(col("vec_id") < 5), 3, 4, Some(false))
+    }),
+
+    "s03_ann_multiprobe" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      annDecl(emb, emb.filter(col("vec_id") < 5), 3, 4, Some(true))
+    }),
+
+    "e01_embed_neardup" -> ((s, d) => {
+      val v = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"), col("embedding").as("v"),
+          signBucket(col("embedding"), 2).as("bucket"))
+      val a = v.select(col("id").as("id_a"), col("v").as("va"), col("bucket"))
+      val b = v.select(col("id").as("id_b"), col("v").as("vb"), col("bucket"))
+      a.join(b, Seq("bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(cosDecl(col("va"), col("vb")) >= 0.4)
+        .select(col("id_a"), col("id_b"))
+    }),
+
+    "st01_stream_hourly" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      Tables.events(s, d)
+        .groupBy(expr("ts div 3600000000000").as("hour_bucket"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), Tables.dsum(col("value")).as("total_value"))
+    })
+  )
+
+  def queries: Map[String, Q] =
+    SparkEntry.queries.map { case (name, fn) => name -> overrides.getOrElse(name, fn) }
+}

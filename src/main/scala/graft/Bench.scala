@@ -1,14 +1,42 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{bit_xor, col, struct, xxhash64}
 
 /** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR
   * and prints ONE JSON line. Protocol follows the reference's PerfTest
   * (examples/.../PerfTest.scala:46-67): per query one warm-up run, then
   * timed runs; we report the fastest timed run (steady state — JIT and
   * page cache warm, which is what a resident cluster sees).
+  *
+  * Two measurement-integrity rules:
+  *  - Every timed run MATERIALIZES the full result: the timing action
+  *    is agg(bit_xor(xxhash64(struct(all columns)))), which forces
+  *    every output column of every row through the plan (xor, not sum:
+  *    ANSI mode would overflow a long sum of hashes). A bare count()
+  *    lets Catalyst's ColumnPruning delete the projection work, so
+  *    projection-heavy queries would time the scan, not the operator.
+  *  - Each query is also timed against a plain-Spark/Parquet baseline
+  *    ([[Baseline]]) in the same session, interleaved per query so
+  *    machine drift hits both sides equally; the JSON line carries
+  *    baseline_total and per-query baseline times for the driver's
+  *    2×-of-baseline gate.
   */
 object Bench {
+
+  /** Force full evaluation of every column of every row. */
+  private def materialize(df: DataFrame): Unit = {
+    df.agg(bit_xor(xxhash64(struct(df.columns.map(col): _*)))).collect()
+    ()
+  }
+
+  private def timeOnce(fn: (SparkSession, String) => DataFrame,
+                       spark: SparkSession, sfDir: String): Double = {
+    val t0 = System.nanoTime()
+    try materialize(fn(spark, sfDir)) catch { case _: Throwable => return -1.0 }
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -22,21 +50,29 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val timedRuns = 2
+    val timedRuns = 3
+    val baselines = Baseline.queries
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
-        (System.nanoTime() - t0) / 1e9
-      }
-      once() // warm-up (plan compile, code gen, page cache)
-      val times = (1 to timedRuns).map(_ => once()).filter(_ >= 0)
-      name -> (if (times.isEmpty) -1.0 else times.min)
+      val base = baselines(name)
+      // warm both sides first (plan compile, codegen, page cache)
+      timeOnce(fn, spark, sfDir); timeOnce(base, spark, sfDir)
+      // interleave graft/baseline timed runs so drift is shared
+      val pairs = (1 to timedRuns).map(_ =>
+        (timeOnce(fn, spark, sfDir), timeOnce(base, spark, sfDir)))
+      val g = pairs.map(_._1).filter(_ >= 0)
+      val b = pairs.map(_._2).filter(_ >= 0)
+      (name, if (g.isEmpty) -1.0 else g.min, if (b.isEmpty) -1.0 else b.min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(xs: Seq[(String, Double)]): String =
+      xs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = fmt(results.map(r => (r._1, r._2)))
+    val bs = fmt(results.map(r => (r._1, r._3)))
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val baselineTotal = results.map(_._3).filter(_ >= 0).sum
+    val ratio = if (baselineTotal > 0) total / baselineTotal else -1.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""baseline_total":$baselineTotal,"baseline_queries":$bs,"ratio":$ratio,""" +
+      s""""sf":"$sfDir"}""")
     spark.stop()
   }
 }
