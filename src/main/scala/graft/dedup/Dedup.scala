@@ -65,13 +65,23 @@ object Dedup {
     */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val b = bandedSignatures(docs, idCol, textCol, k, rowsPerBand)
-    val left = b.toDF("id_a", "band_idx", "band_key")
-    val right = b.toDF("id_b", "band_idx", "band_key")
-    left.join(right, Seq("band_idx", "band_key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
+    // persist the banded signatures: both sides of the self-join read
+    // them, and without the cache the whole shingle→signature pipeline
+    // (the expensive part) evaluates twice — double the hashing cost
+    // over a 100 TB corpus. The candidate list is materialized eagerly
+    // (localCheckpoint) so the cache can be released before returning
+    // instead of leaking executor memory into the caller's session;
+    // candidates are orders of magnitude smaller than signatures.
+    val b = bandedSignatures(docs, idCol, textCol, k, rowsPerBand).persist()
+    try {
+      val left = b.toDF("id_a", "band_idx", "band_key")
+      val right = b.toDF("id_b", "band_idx", "band_key")
+      left.join(right, Seq("band_idx", "band_key"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+        .distinct()
+        .localCheckpoint()
+    } finally b.unpersist()
   }
 
   /** Exact word-shingle Jaccard for pairs sharing a blocking key.
@@ -124,16 +134,30 @@ object Dedup {
           .withColumnRenamed("rep", "nrep"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("nrep")).as("minNeighbor"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
+      val next0 = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("rep"), coalesce(col("minNeighbor"), col("rep"))).as("rep"))
-        .cache()
-      changed = next.join(labels.withColumnRenamed("rep", "old"), "id")
+      // cache each round's labels; every 5th round localCheckpoint
+      // instead so the lineage DAG is truncated (otherwise each round
+      // stacks a join+agg on the previous plan and both the plan and
+      // a cache-eviction recompute grow without bound)
+      val next = if (iter % 5 == 4) next0.localCheckpoint() else next0.cache()
+      val prev = labels
+      changed = next.join(prev.withColumnRenamed("rep", "old"), "id")
         .filter(col("rep") =!= col("old")).count()
+      // the convergence count above materialized `next`, so the
+      // superseded round's blocks can be released immediately — without
+      // this, 20 rounds on a real corpus hold 20 full label sets in
+      // executor memory
+      if (iter > 0) prev.unpersist()
       labels = next
       iter += 1
     }
-    labels.select(col("id").as("doc_id"), col("rep"))
+    val out = labels.select(col("id").as("doc_id"), col("rep"))
+      .localCheckpoint()
+    labels.unpersist()
+    edges.unpersist()
+    out
   }
 
   /** SimHash near-duplicate candidates: pairs whose 32-bit md5-SimHash

@@ -40,18 +40,25 @@ object Multimodal {
         octet_length(col(textCol)).as("byte_len")).as("meta"))
 
   /** STUB decoder for one batch of payloads. Deterministic fake:
-    * dimensions and an 8-dim embedding derived from the first bytes.
-    * Replace the body with a real codec call (e.g. JNI libjpeg /
-    * ffmpeg) — the signature is the real contract.
+    * dimensions and an 8-dim embedding derived from the md5 digest of
+    * the payload bytes (well-defined for EMPTY payloads too — md5 of
+    * zero bytes is the standard d41d8... digest, so a document with
+    * empty text decodes instead of crashing). The per-batch
+    * MessageDigest instance models the real decoder-init-per-batch
+    * cost this batching exists to amortize. Replace the body with a
+    * real codec call (e.g. JNI libjpeg / ffmpeg) — the signature is
+    * the real contract.
     */
-  private def decodeBatch(batch: Seq[(Long, Array[Byte])]): Seq[MediaFeatures] =
+  private def decodeBatch(batch: Seq[(Long, Array[Byte])]): Seq[MediaFeatures] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
     batch.map { case (id, bytes) =>
-      val b0 = if (bytes.nonEmpty) bytes(0) & 0xff else 0
-      val b1 = if (bytes.length > 1) bytes(1) & 0xff else 0
-      val emb = Array.tabulate(8)(i =>
-        ((bytes((i * 7) % math.max(bytes.length, 1)) & 0xff) / 255.0f))
-      MediaFeatures(id, bytes.length, 64 + (b0 % 192), 64 + (b1 % 192), emb)
+      md.reset()
+      val b = md.digest(bytes)
+      val emb = Array.tabulate(8)(i => (b(i + 2) & 0xff) / 255.0f)
+      MediaFeatures(id, bytes.length,
+        64 + ((b(0) & 0xff) % 192), 64 + ((b(1) & 0xff) % 192), emb)
     }
+  }
 
   /** Batched decode / feature-extraction over the payload column.
     * `batchSize` models the decoder's optimal batch (GPU batch, codec

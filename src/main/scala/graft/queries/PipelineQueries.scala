@@ -95,7 +95,10 @@ object PipelineQueries {
     "t07_tfidf" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
-      val n = docs.count()
+      // corpus size N folded in-plan as a broadcast 1-row aggregate —
+      // a driver-side docs.count() here would be an extra full corpus
+      // pass before the real job even starts
+      val nDf = docs.agg(count(lit(1)).cast("double").as("__n"))
       val terms = docs
         .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("token"))
       val tf = terms.groupBy(col("doc_id"), col("token"))
@@ -105,8 +108,9 @@ object PipelineQueries {
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tfidf").desc, col("token").asc)
       tf.join(df_, "token")
+        .crossJoin(broadcast(nDf))
         .withColumn("tfidf",
-          round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+          round(col("tf") * log(col("__n") / col("df")), 6))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("doc_id"), col("token").as("top_term"), col("tfidf"))
@@ -165,6 +169,20 @@ object PipelineQueries {
         "vec_id", "embedding", 3, 4, multiProbe = true)
     }),
 
+    // similarity: IVF ANN (k-means coarse quantizer, 8 cells, 3 probes).
+    // The trained centroids are materialized to a parquet side table so
+    // the DuckDB oracle replays the exact same quantizer — whatever
+    // floats k-means produced, both engines rank against them.
+    "s04_ann_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = Similarity.trainCentroids(emb, "vec_id", "embedding", 8)
+      import s.implicits._
+      cents.toDF("cell", "centroid").coalesce(1).write.mode("overwrite")
+        .parquet(IvfCentroidsPath)
+      Similarity.ivfTopKWith(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", 3, cents, 3)
+    }),
+
     // dedup: embedding-cosine near-dup pairs, bucket-blocked
     "e01_embed_neardup" -> ((s, d) => {
       Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
@@ -184,8 +202,28 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("byte_len").cast("long")).as("total_bytes"),
           sum(col("checksum")).as("checksum_sum"))
+    }),
+
+    // multimodal: the batched mapPartitions decode path itself (stub
+    // features are md5-derived, so the oracle reproduces them exactly;
+    // the float embedding is gated via an integer fingerprint that
+    // recovers the source digest bytes)
+    "m02_media_decode" -> ((s, d) => {
+      import graft.multimodal.Multimodal
+      val payloads = Multimodal.withPayload(Tables.documents(s, d), "doc_id", "text")
+      Multimodal.decodeFeatures(payloads.select(col("id"), col("payload")))
+        .toDF()
+        .select(col("id"), col("byte_len"), col("width"), col("height"),
+          aggregate(zip_with(col("embedding"), sequence(lit(1), lit(8)),
+            (e, i) => round(e * 255).cast("long") * i),
+            lit(0L), (a, x) => a + x).as("emb_fp"))
     })
   )
+
+  /** Fixed materialization path for the IVF quantizer (s04): written by
+    * the Spark query, read back by the DuckDB oracle via read_parquet.
+    */
+  val IvfCentroidsPath = "/tmp/graft_ivf_centroids.parquet"
 
   private val dotSql =
     "list_aggregate(list_transform(range(1, len(qv) + 1), i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)), 'sum')"
@@ -378,6 +416,48 @@ object PipelineQueries {
       """SELECT source, COUNT(*) AS n,
          CAST(SUM(CAST(octet_length(encode(text)) AS BIGINT)) AS BIGINT) AS total_bytes,
          CAST(SUM(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)) AS BIGINT) AS checksum_sum
-         FROM documents GROUP BY source"""
+         FROM documents GROUP BY source""",
+
+    "s04_ann_ivf" ->
+      s"""WITH cent AS (SELECT cell, centroid AS cv
+            FROM read_parquet('$IvfCentroidsPath')),
+          v AS (SELECT vec_id, embedding AS qv FROM embeddings),
+          scored AS (SELECT vec_id, cell,
+            $dotSql / ($normQ * $normC) AS cdot
+          FROM v CROSS JOIN cent),
+          ranked AS (SELECT vec_id, cell,
+            ROW_NUMBER() OVER (PARTITION BY vec_id
+              ORDER BY cdot DESC, cell ASC) AS crank
+          FROM scored),
+          corpus_cell AS (SELECT vec_id, cell FROM ranked WHERE crank = 1),
+          query_cells AS (SELECT vec_id, cell FROM ranked
+            WHERE crank <= 3 AND vec_id < 5),
+          pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+            FROM query_cells q JOIN corpus_cell c USING (cell)
+            WHERE c.vec_id <> q.vec_id),
+          scored2 AS (SELECT query_id, neighbor_id,
+            $dotSql / ($normQ * $normC) AS cos
+          FROM (SELECT p.query_id, p.neighbor_id,
+                  eq.embedding AS qv, ec.embedding AS cv
+                FROM pairs p
+                JOIN embeddings eq ON eq.vec_id = p.query_id
+                JOIN embeddings ec ON ec.vec_id = p.neighbor_id)),
+          ranked2 AS (SELECT query_id, neighbor_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM scored2)
+          SELECT query_id, rank, neighbor_id FROM ranked2 WHERE rank <= 3""",
+
+    "m02_media_decode" -> {
+      def b(j: Int) = s"CAST('0x' || substr(m, ${2 * j + 1}, 2) AS BIGINT)"
+      s"""WITH h AS (SELECT doc_id, md5(text) AS m,
+            octet_length(encode(text)) AS bl FROM documents)
+          SELECT doc_id AS id, CAST(bl AS INT) AS byte_len,
+            CAST(64 + (${b(0)} % 192) AS INT) AS width,
+            CAST(64 + (${b(1)} % 192) AS INT) AS height,
+            CAST(${(0 until 8).map(i => s"${i + 1} * ${b(i + 2)}").mkString(" + ")}
+              AS BIGINT) AS emb_fp
+          FROM h"""
+    }
   )
 }

@@ -100,50 +100,92 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
+  /** Train the IVF coarse quantizer: k-means with a fixed seed.
+    * Returns the (tiny) centroid table as (cell id, float array).
+    */
+  def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                     nlist: Int): Seq[(Int, Array[Float])] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val train = spread(corpus.select(col(idCol).as("id"),
+      array_to_vector(col(vecCol).cast("array<double>")).as("features")))
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
+      .fit(train)
+    model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat))
+    }.toSeq
+  }
+
+  /** Per-row top-`n` nearest cells over a LITERAL centroid array — a
+    * pure projection: the nlist cosines, sort, and slice all happen
+    * inside one row's expression tree, so cell assignment is
+    * shuffle-free at any corpus size (the previous form crossJoined
+    * corpus × centroids and ranked with a row_number window — a full
+    * corpus shuffle just to take a per-row argmax).
+    *
+    * Sort key is struct(cdot, -cell): array_sort ascending + reverse
+    * gives cdot DESC with ties broken by cell ASC, matching the
+    * (cos DESC, id ASC) convention everywhere else in this module.
+    */
+  private def nearestCells(v: Column, centroids: Seq[(Int, Array[Float])],
+                           n: Int): Column = {
+    val cents = array(centroids.map { case (i, cArr) =>
+      struct(lit(i).as("cell"), typedLit(cArr).as("centroid"))
+    }: _*)
+    val scored = transform(cents, c =>
+      struct(
+        (dot(v, c.getField("centroid")) /
+          (norm(v) * norm(c.getField("centroid")))).as("cdot"),
+        (-c.getField("cell")).as("negcell")))
+    slice(reverse(array_sort(scored)), 1, n)
+  }
+
   /** IVF-style ANN: a k-means coarse quantizer partitions the corpus
     * into `nlist` cells; each query probes its `nprobe` nearest cells
     * and ranks candidates by exact cosine. This is the classic
     * IVF-Flat layout: at 100 TB the corpus is written clustered by
     * cell id (one shuffle at index-build time), a query scans
     * ~nprobe/nlist of the data, and the centroid table (nlist × dim
-    * doubles) broadcasts everywhere. Deterministic via fixed seed.
+    * floats) is a plan literal evaluated in-row — cell assignment
+    * never shuffles. Deterministic via fixed seed.
     *
     * Output: (query_id, rank, neighbor_id) like [[bruteForceTopK]].
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nlist: Int = 16,
-              nprobe: Int = 4): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+              nprobe: Int = 4): DataFrame =
+    ivfTopKWith(corpus, queries, idCol, vecCol, k,
+      trainCentroids(corpus, idCol, vecCol, nlist), nprobe)
 
-    val spark = corpus.sparkSession
-    val train = spread(corpus.select(col(idCol).as("id"),
-      array_to_vector(col(vecCol).cast("array<double>")).as("features")))
-    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
-      .fit(train)
-    // centroid table: (cell, centroid float array) — tiny, broadcast
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray.map(_.toFloat))
-    }
-    import spark.implicits._
-    val centDf = centroids.toSeq.toDF("cell", "centroid")
+  /** Attach the `cell` column: each row's `nprobe` nearest coarse
+    * cells (one row per probed cell when nprobe > 1). A narrow
+    * projection — `explain` shows no Exchange and no Window; this is
+    * the stage that assigns 100 TB of corpus vectors to cells, so it
+    * must never shuffle.
+    */
+  def assignCells(df: DataFrame, vecCol: String,
+                  centroids: Seq[(Int, Array[Float])], nprobe: Int): DataFrame =
+    if (nprobe == 1)
+      df.withColumn("cell",
+        element_at(nearestCells(col(vecCol), centroids, 1), 1)
+          .getField("negcell") * -1)
+    else
+      df.withColumn("cell",
+        explode(transform(nearestCells(col(vecCol), centroids, nprobe),
+          x => x.getField("negcell") * -1)))
 
-    def assign(df: DataFrame, id: String, v: String, n: Int): DataFrame = {
-      // rank cells by distance-to-centroid ~ argmax dot on normalized
-      // data; exact enough for cell routing (ties broken by cell id)
-      val w = Window.partitionBy(col(id)).orderBy(col("cdot").desc, col("cell").asc)
-      df.crossJoin(broadcast(centDf))
-        .withColumn("cdot", dot(col(v), col("centroid")) /
-          (norm(col(v)) * norm(col("centroid"))))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= n)
-        .drop("cdot", "crank", "centroid")
-    }
-
-    val c = assign(spread(corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("cv"))), "neighbor_id", "cv", 1)
-    val q = assign(queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("qv")), "query_id", "qv", nprobe)
+  /** IVF search against an already-trained centroid table (the index
+    * reuse path: train once, serve many query batches).
+    */
+  def ivfTopKWith(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, k: Int,
+                  centroids: Seq[(Int, Array[Float])], nprobe: Int): DataFrame = {
+    val c = assignCells(
+      spread(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))),
+      "cv", centroids, 1)
+    val q = assignCells(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+      "qv", centroids, nprobe)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     c.join(broadcast(q), Seq("cell"))
