@@ -153,8 +153,9 @@ object Baseline {
         .select(col("id_a"), col("id_b"))
     }),
 
+    // nanosAsLong for events.parquet is set once at Bench session
+    // build — a conf.set here would leak into every later timed query
     "st01_stream_hourly" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       Tables.events(s, d)
         .groupBy(expr("ts div 3600000000000").as("hour_bucket"), col("event_type"))
         .agg(count(lit(1)).as("cnt"), Tables.dsum(col("value")).as("total_value"))

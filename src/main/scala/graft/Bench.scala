@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions.{bit_xor, col, struct, xxhash64}
   * timed runs; we report the fastest timed run (steady state — JIT and
   * page cache warm, which is what a resident cluster sees).
   *
-  * Two measurement-integrity rules:
+  * Measurement-integrity rules:
   *  - Every timed run MATERIALIZES the full result: the timing action
   *    is agg(bit_xor(xxhash64(struct(all columns)))), which forces
   *    every output column of every row through the plan (xor, not sum:
@@ -19,8 +19,15 @@ import org.apache.spark.sql.functions.{bit_xor, col, struct, xxhash64}
   *  - Each query is also timed against a plain-Spark/Parquet baseline
   *    ([[Baseline]]) in the same session, interleaved per query so
   *    machine drift hits both sides equally; the JSON line carries
-  *    baseline_total and per-query baseline times for the driver's
-  *    2×-of-baseline gate.
+  *    baseline_total and the ratio for the driver's 2×-of-baseline gate.
+  *  - A query that throws is NOT silently dropped: it is logged to
+  *    stderr and counted in the JSON's "failed" field, so a crashing
+  *    query can't masquerade as a faster total.
+  *  - The harness keeps only the last ~2000 chars of output, so the
+  *    final JSON line must stay well under that: it uses short query
+  *    keys (the unique id prefix, e.g. "q01") and 3-decimal times.
+  *    The full-precision per-query detail (including per-query
+  *    baseline times and full names) goes to BENCH_DETAIL.json.
   */
 object Bench {
 
@@ -30,10 +37,14 @@ object Bench {
     ()
   }
 
-  private def timeOnce(fn: (SparkSession, String) => DataFrame,
+  private def timeOnce(name: String, fn: (SparkSession, String) => DataFrame,
                        spark: SparkSession, sfDir: String): Double = {
     val t0 = System.nanoTime()
-    try materialize(fn(spark, sfDir)) catch { case _: Throwable => return -1.0 }
+    try materialize(fn(spark, sfDir)) catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+        return -1.0
+    }
     (System.nanoTime() - t0) / 1e9
   }
 
@@ -46,6 +57,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet carries nanosecond timestamps; both the graft
+      // streaming path and the st01 baseline need the legacy long
+      // decoding, and setting it here (not inside a timed query) keeps
+      // parquet decoding behavior identical for every query in the run
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -55,23 +71,41 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val base = baselines(name)
       // warm both sides first (plan compile, codegen, page cache)
-      timeOnce(fn, spark, sfDir); timeOnce(base, spark, sfDir)
+      timeOnce(name, fn, spark, sfDir); timeOnce(name, base, spark, sfDir)
       // interleave graft/baseline timed runs so drift is shared
       val pairs = (1 to timedRuns).map(_ =>
-        (timeOnce(fn, spark, sfDir), timeOnce(base, spark, sfDir)))
+        (timeOnce(name, fn, spark, sfDir), timeOnce(name + " (baseline)", base, spark, sfDir)))
       val g = pairs.map(_._1).filter(_ >= 0)
       val b = pairs.map(_._2).filter(_ >= 0)
       (name, if (g.isEmpty) -1.0 else g.min, if (b.isEmpty) -1.0 else b.min)
     }
-    def fmt(xs: Seq[(String, Double)]): String =
-      xs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qs = fmt(results.map(r => (r._1, r._2)))
-    val bs = fmt(results.map(r => (r._1, r._3)))
+    def fmt(xs: Seq[(String, Double)], dec: Int): String =
+      xs.map { case (k, v) =>
+        "\"" + k + "\":" + (if (v < 0) "-1" else s"%.${dec}f".format(v))
+      }.mkString("{", ",", "}")
+    // short key = unique id prefix before the first underscore
+    def short(n: String): String = n.takeWhile(_ != '_')
     val total = results.map(_._2).filter(_ >= 0).sum
     val baselineTotal = results.map(_._3).filter(_ >= 0).sum
     val ratio = if (baselineTotal > 0) total / baselineTotal else -1.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""baseline_total":$baselineTotal,"baseline_queries":$bs,"ratio":$ratio,""" +
+    val failed = results.filter(r => r._2 < 0 || r._3 < 0).map(_._1)
+    // full-precision detail for humans / the judge
+    val detail =
+      s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""queries":${fmt(results.map(r => (r._1, r._2)), 6)},""" +
+      s""""baseline_total":$baselineTotal,""" +
+      s""""baseline_queries":${fmt(results.map(r => (r._1, r._3)), 6)},""" +
+      s""""ratio":$ratio,"failed":${failed.length},""" +
+      s""""failed_queries":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""sf":"$sfDir"}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"), detail)
+    // compact canonical line — must fit the driver's 2000-char tail
+    println(
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec",""" +
+      s""""queries":${fmt(results.map(r => (short(r._1), r._2)), 3)},""" +
+      s""""baseline_total":${"%.3f".format(baselineTotal)},""" +
+      s""""ratio":${"%.4f".format(ratio)},"failed":${failed.length},""" +
       s""""sf":"$sfDir"}""")
     spark.stop()
   }

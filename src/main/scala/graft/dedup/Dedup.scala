@@ -140,15 +140,22 @@ object Dedup {
       // cache each round's labels; every 5th round localCheckpoint
       // instead so the lineage DAG is truncated (otherwise each round
       // stacks a join+agg on the previous plan and both the plan and
-      // a cache-eviction recompute grow without bound)
+      // a cache-eviction recompute grow without bound).
+      // localCheckpoint trade-off, accepted deliberately: checkpointed
+      // blocks are NOT recomputable after executor loss (a real risk
+      // under dynamic allocation) — but a lost round here only fails
+      // the job, never corrupts it, and rerunning CC is cheap relative
+      // to a reliable spark.checkpoint() HDFS round-trip every 5 rounds.
       val next = if (iter % 5 == 4) next0.localCheckpoint() else next0.cache()
       val prev = labels
       changed = next.join(prev.withColumnRenamed("rep", "old"), "id")
         .filter(col("rep") =!= col("old")).count()
-      // the convergence count above materialized `next`, so the
-      // superseded round's blocks can be released immediately — without
-      // this, 20 rounds on a real corpus hold 20 full label sets in
-      // executor memory
+      // the convergence count above materialized `next`; release the
+      // superseded round. unpersist() frees cache()d rounds immediately
+      // but is a no-op for localCheckpoint()ed ones (checkpoint RDDs
+      // are not in the CacheManager) — those are reclaimed by the
+      // ContextCleaner once `prev` drops out of scope, so at most one
+      // checkpointed label set lingers until GC, bounded, not 20.
       if (iter > 0) prev.unpersist()
       labels = next
       iter += 1

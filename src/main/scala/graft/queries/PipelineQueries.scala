@@ -220,10 +220,18 @@ object PipelineQueries {
     })
   )
 
-  /** Fixed materialization path for the IVF quantizer (s04): written by
-    * the Spark query, read back by the DuckDB oracle via read_parquet.
+  /** Per-run materialization path for the IVF quantizer (s04): written
+    * by the Spark query, read back by the DuckDB oracle. The path is
+    * pid-qualified so (a) concurrent bench/correctness runs cannot race
+    * on the same file and (b) a stale centroid table from a previous
+    * run can never be silently reused — if the Spark query did not run
+    * in this process, the oracle fails loudly with "no files found".
+    * Query and oracle agree because both strings come from this val,
+    * initialized once per JVM. The oracle globs part files because
+    * Spark writes a directory, not a single parquet file.
     */
-  val IvfCentroidsPath = "/tmp/graft_ivf_centroids.parquet"
+  val IvfCentroidsPath =
+    s"/tmp/graft_ivf_centroids_${ProcessHandle.current().pid()}"
 
   private val dotSql =
     "list_aggregate(list_transform(range(1, len(qv) + 1), i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)), 'sum')"
@@ -420,7 +428,7 @@ object PipelineQueries {
 
     "s04_ann_ivf" ->
       s"""WITH cent AS (SELECT cell, centroid AS cv
-            FROM read_parquet('$IvfCentroidsPath')),
+            FROM read_parquet('$IvfCentroidsPath/*.parquet')),
           v AS (SELECT vec_id, embedding AS qv FROM embeddings),
           scored AS (SELECT vec_id, cell,
             $dotSql / ($normQ * $normC) AS cdot
