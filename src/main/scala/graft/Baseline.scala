@@ -153,6 +153,24 @@ object Baseline {
         .select(col("id_a"), col("id_b"))
     }),
 
+    // the MV query's plain-Spark formulation: the same aggregate
+    // straight off the base table, no rollup machinery — so the bench
+    // ratio reports what answering from the MV buys (or costs). The
+    // avg is spelled as an explicit sum/count division: an aggregate
+    // list containing a non-plain-AggregateExpression is never MV-
+    // rewritten, so this baseline stays on the base scan even though
+    // the graft run registered the rewrite rule in the shared session.
+    "q40_agg_mv" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(sum(col("o_orderkey")).as("sum_key"),
+          (sum(col("o_orderkey")).cast("double") / count(col("o_orderkey")))
+            .as("avg_key"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"),
+          count(lit(1)).as("cnt"))
+    }),
+
     // nanosAsLong for events.parquet is set once at Bench session
     // build — a conf.set here would leak into every later timed query
     "st01_stream_hourly" -> ((s, d) => {

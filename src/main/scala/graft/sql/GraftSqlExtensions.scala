@@ -18,11 +18,23 @@ import graft.table.SegmentedTable
   *
   *   CREATE GRAFT TABLE t [TBLPROPERTIES('k'='v', ...)] AS <query>
   *   LOAD GRAFT DATA INPATH '<parquet-path>' INTO TABLE t
+  *   SHOW GRAFT TABLES
   *   SHOW GRAFT SEGMENTS FOR t
   *   DELETE GRAFT SEGMENT <id>[, <id>...] FROM t
+  *   DELETE GRAFT SEGMENTS FROM t BEFORE '<utc timestamp>'
   *   COMPACT GRAFT TABLE t
   *   CLEAN GRAFT FILES FOR t
   *   DROP GRAFT TABLE t
+  *
+  * Aggregate tables (materialized rollups, reference CREATE
+  * AGGREGATETABLE — CarbonSqlParser.scala:182-224, AddAggregatesToCube
+  * cubeSchema.scala:1970):
+  *
+  *   CREATE GRAFT AGGREGATE TABLE mv ON PATH '<parquet-dir>'
+  *     GROUP BY (c1, c2) AGG (sum(x), min(y), max(z))
+  *   REFRESH GRAFT AGGREGATE TABLE mv
+  *   SHOW GRAFT AGGREGATE TABLES
+  *   DROP GRAFT AGGREGATE TABLE mv
   *
   * Tables live under the store root (`spark.graft.store` conf, default
   * /tmp/graft_store) as `<store>/<name>`. Registered with
@@ -83,6 +95,19 @@ object GraftCatalog {
 
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
+  private val createAggRe =
+    """(?is)\s*CREATE\s+GRAFT\s+AGGREGATE\s+TABLE\s+(\w+)\s+ON\s+PATH\s+'([^']+)'\s+GROUP\s+BY\s*\(([^)]*)\)\s*AGG\s*\((.*?)\)\s*""".r
+  private val refreshAggRe =
+    """(?is)\s*REFRESH\s+GRAFT\s+AGGREGATE\s+TABLE\s+(\w+)\s*""".r
+  private val dropAggRe =
+    """(?is)\s*DROP\s+GRAFT\s+AGGREGATE\s+TABLE\s+(\w+)\s*""".r
+  private val showAggRe =
+    """(?is)\s*SHOW\s+GRAFT\s+AGGREGATE\s+TABLES\s*""".r
+  private val showTablesRe =
+    """(?is)\s*SHOW\s+GRAFT\s+TABLES\s*""".r
+  private val deleteSegBeforeRe =
+    """(?is)\s*DELETE\s+GRAFT\s+SEGMENTS\s+FROM\s+(\w+)\s+BEFORE\s+'([^']+)'\s*""".r
+  private val measureRe = """(\w+)\s*\(\s*(\w+)\s*\)""".r
   private val createRe =
     """(?is)\s*CREATE\s+GRAFT\s+TABLE\s+(\w+)\s*(?:TBLPROPERTIES\s*\((.*?)\)\s*)?AS\s+(.+)""".r
   private val loadRe =
@@ -108,6 +133,20 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val propRe = """'([^']+)'\s*=\s*'([^']*)'""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    // aggregate-table DDL must match before the plain-table forms
+    // (CREATE/DROP GRAFT TABLE would otherwise swallow the prefix)
+    case createAggRe(name, path, groupCols, aggSpec) =>
+      val dims = groupCols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val measures = measureRe.findAllMatchIn(aggSpec)
+        .map(m => m.group(1).toLowerCase(Locale.ROOT) -> m.group(2)).toSeq
+      require(dims.nonEmpty, "GROUP BY columns required")
+      require(measures.nonEmpty, "AGG measures required")
+      CreateGraftAggTableCommand(name, path, dims, measures)
+    case refreshAggRe(name) => RefreshGraftAggTableCommand(name)
+    case dropAggRe(name) => DropGraftAggTableCommand(name)
+    case showAggRe() => ShowGraftAggTablesCommand()
+    case showTablesRe() => ShowGraftTablesCommand()
+    case deleteSegBeforeRe(name, ts) => DeleteGraftSegmentsBeforeCommand(name, ts)
     case createRe(name, props, query) =>
       val p = Option(props).map(s =>
         propRe.findAllMatchIn(s).map(m => m.group(1) -> m.group(2)).toMap)
@@ -140,7 +179,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       u.trim.startsWith("LOAD") || u.trim.startsWith("SHOW") ||
       u.trim.startsWith("DELETE") || u.trim.startsWith("COMPACT") ||
       u.trim.startsWith("CLEAN") || u.trim.startsWith("DROP") ||
-      u.trim.startsWith("ALTER") || u.trim.startsWith("DESCRIBE"))
+      u.trim.startsWith("ALTER") || u.trim.startsWith("DESCRIBE") ||
+      u.trim.startsWith("REFRESH"))
   }
 
   override def parseExpression(s: String): Expression = delegate.parseExpression(s)
@@ -266,6 +306,97 @@ case class AlterGraftDropColumnCommand(name: String, colName: String)
   override def run(spark: SparkSession): Seq[Row] = {
     val t = GraftCatalog.open(spark, name).dropColumn(colName)
     t.read().createOrReplaceTempView(name)
+    Nil
+  }
+}
+
+/** CREATE GRAFT AGGREGATE TABLE — SQL form of [[graft.mv.AggTables.create]]
+  * (reference AddAggregatesToCube, cubeSchema.scala:1970). The rollup is
+  * built immediately and registered; matching aggregates over the base
+  * path are then answered from it by [[graft.mv.AggTableRewrite]].
+  */
+case class CreateGraftAggTableCommand(name: String, basePath: String,
+    groupCols: Seq[String], measures: Seq[(String, String)])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.mv.AggTables.create(spark, name, basePath, groupCols, measures)
+    Nil
+  }
+}
+
+/** REFRESH rebuilds the rollup from current base data and re-stamps the
+  * staleness fingerprint, re-enabling the rewrite after base appends.
+  */
+case class RefreshGraftAggTableCommand(name: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.mv.AggTables.refresh(spark, name); Nil
+  }
+}
+
+case class DropGraftAggTableCommand(name: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.mv.AggTables.drop(spark, name); Nil
+  }
+}
+
+/** Catalog enumeration of registered aggregate tables. */
+case class ShowGraftAggTablesCommand() extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("mv_name", StringType, nullable = false)(),
+    AttributeReference("base_path", StringType, nullable = false)(),
+    AttributeReference("group_cols", StringType, nullable = false)(),
+    AttributeReference("measures", StringType, nullable = false)(),
+    AttributeReference("fresh", BooleanType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    graft.mv.AggTables.registered(spark).sortBy(_.name).map { m =>
+      Row(m.name, m.basePath, m.groupCols.mkString(","),
+        m.measures.map(x => s"${x.func}(${x.baseCol})").mkString(","),
+        graft.mv.AggTables.fingerprint(spark, m.basePath) == m.fingerprint)
+    }
+}
+
+/** Enumerate every graft table in the store (reference ShowAllCubeCommand,
+  * CarbonCatalystOperators.scala:97) — one driver-side directory listing
+  * plus one catalog read per table; no data-plane work.
+  */
+case class ShowGraftTablesCommand() extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("table_name", StringType, nullable = false)(),
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("live_segments", IntegerType, nullable = false)(),
+    AttributeReference("total_rows", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = java.nio.file.Paths.get(GraftCatalog.storeRoot(spark))
+    if (!java.nio.file.Files.isDirectory(root)) return Nil
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(root).iterator().asScala.toSeq
+      .filter(p => SegmentedTable.exists(p.toString))
+      .sortBy(_.getFileName.toString)
+      .map { p =>
+        val t = SegmentedTable.open(spark, p.toString)
+        val live = t.showSegments().count(_.status == SegmentedTable.SUCCESS)
+        Row(p.getFileName.toString, p.toString, live, t.countFromCatalog)
+      }
+  }
+}
+
+/** Retention: DELETE GRAFT SEGMENTS FROM t BEFORE '<ts>' marks segments
+  * loaded before the (UTC) cutoff as deleted (reference DeleteLoadByDate,
+  * cubeSchema.scala:2400-2455). Accepts 'yyyy-MM-dd' or
+  * 'yyyy-MM-dd HH:mm:ss'.
+  */
+case class DeleteGraftSegmentsBeforeCommand(name: String, cutoff: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val trimmed = cutoff.trim
+    val ldt =
+      try java.time.LocalDateTime.parse(trimmed.replace(' ', 'T'))
+      catch {
+        case _: java.time.format.DateTimeParseException =>
+          java.time.LocalDate.parse(trimmed).atStartOfDay()
+      }
+    val millis = ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    GraftCatalog.open(spark, name).deleteSegmentsBefore(millis)
     Nil
   }
 }

@@ -130,6 +130,20 @@ class AggTableSpec extends AnyFunSuite {
       spark.read.parquet(base).count() + 7)
   }
 
+  test("q40_agg_mv is answered from the MV created through SQL DDL") {
+    val df = graft.queries.RelationalQueries.queries("q40_agg_mv")(
+      spark, "/root/testdata/sf0.001")
+    val paths = scannedPaths(df)
+    assert(paths.exists(_.contains("orders_rollup")), s"scanned: $paths")
+    assert(!paths.exists(_.endsWith("orders.parquet")), s"scanned: $paths")
+    // and the MV answer equals the base answer
+    spark.conf.set("spark.graft.mv.store", "/nonexistent_mv_dir")
+    val want = df.orderBy("o_orderstatus").collect()
+    spark.conf.set("spark.graft.mv.store", TestSpark.mvStore)
+    val got = df.orderBy("o_orderstatus").collect()
+    assert(got.sameElements(want))
+  }
+
   test("AVG rewrites to sum-of-sums over non-null counts") {
     import org.apache.spark.sql.functions._
     AggTables.create(spark, "li_rollup_avg", base,

@@ -110,6 +110,86 @@ class GraftSqlSpec extends AnyFunSuite {
     spark.sql("DROP GRAFT TABLE csvt")
   }
 
+  test("aggregate-table DDL: create, rewrite, stale, refresh, drop") {
+    import org.apache.spark.sql.functions._
+    // private base copy so appends don't touch the shared testdata
+    val dir = java.nio.file.Files.createTempDirectory("graft_aggddl")
+    val base = dir.resolve("nation.parquet").toString
+    spark.read.parquet("/root/testdata/sf0.001/nation.parquet").write.parquet(base)
+
+    spark.sql(s"CREATE GRAFT AGGREGATE TABLE nation_mv ON PATH '$base' " +
+      "GROUP BY (n_regionkey) AGG (sum(n_nationkey), max(n_nationkey))")
+
+    def scanned() = spark.read.parquet(base)
+      .groupBy(col("n_regionkey")).agg(sum(col("n_nationkey")).as("s"))
+      .queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.map(_.toString)
+            case _ => Nil
+          }
+      }.flatten
+
+    assert(scanned().exists(_.contains("nation_mv")), s"scanned: ${scanned()}")
+
+    val shown = spark.sql("SHOW GRAFT AGGREGATE TABLES").collect()
+      .filter(_.getString(0) == "nation_mv")
+    assert(shown.length == 1)
+    assert(shown.head.getString(2) == "n_regionkey")
+    assert(shown.head.getString(3) == "sum(n_nationkey),max(n_nationkey)")
+    assert(shown.head.getBoolean(4), "freshly created MV must report fresh")
+
+    // append → stale (rewrite off, SHOW reports stale); refresh → fresh
+    spark.read.parquet("/root/testdata/sf0.001/nation.parquet").limit(3)
+      .write.mode("append").parquet(base)
+    assert(!spark.sql("SHOW GRAFT AGGREGATE TABLES").collect()
+      .find(_.getString(0) == "nation_mv").get.getBoolean(4))
+    assert(scanned().exists(_.contains("nation.parquet")))
+    spark.sql("REFRESH GRAFT AGGREGATE TABLE nation_mv")
+    assert(scanned().exists(_.contains("nation_mv")))
+
+    spark.sql("DROP GRAFT AGGREGATE TABLE nation_mv")
+    assert(!graft.mv.AggTables.registered(spark).exists(_.name == "nation_mv"))
+    assert(scanned().exists(_.contains("nation.parquet")))
+  }
+
+  test("SHOW GRAFT TABLES enumerates the store") {
+    spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+      .createOrReplaceTempView("region_src3")
+    spark.sql("CREATE GRAFT TABLE cat_a AS SELECT * FROM region_src3")
+    spark.sql("CREATE GRAFT TABLE cat_b AS SELECT * FROM region_src3")
+    spark.sql(s"LOAD GRAFT DATA INPATH '/root/testdata/sf0.001/region.parquet' " +
+      "INTO TABLE cat_b")
+    val rows = spark.sql("SHOW GRAFT TABLES").collect()
+      .filter(r => Set("cat_a", "cat_b")(r.getString(0)))
+    assert(rows.map(_.getString(0)).toSeq == Seq("cat_a", "cat_b"))
+    val byName = rows.map(r => r.getString(0) -> r).toMap
+    assert(byName("cat_a").getInt(2) == 1 && byName("cat_a").getLong(3) == 5)
+    assert(byName("cat_b").getInt(2) == 2 && byName("cat_b").getLong(3) == 10)
+    spark.sql("DROP GRAFT TABLE cat_a")
+    spark.sql("DROP GRAFT TABLE cat_b")
+  }
+
+  test("DELETE GRAFT SEGMENTS BEFORE applies the retention cutoff") {
+    spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+      .createOrReplaceTempView("region_src4")
+    spark.sql("CREATE GRAFT TABLE retain_t AS SELECT * FROM region_src4")
+    spark.sql("LOAD GRAFT DATA INPATH '/root/testdata/sf0.001/region.parquet' " +
+      "INTO TABLE retain_t")
+    // cutoff in the future (UTC): everything loaded so far is older
+    val future = java.time.LocalDateTime
+      .ofInstant(java.time.Instant.ofEpochMilli(System.currentTimeMillis() + 60000),
+        java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+    spark.sql(s"DELETE GRAFT SEGMENTS FROM retain_t BEFORE '$future'")
+    val segs = spark.sql("SHOW GRAFT SEGMENTS FOR retain_t").collect()
+    assert(segs.nonEmpty && segs.forall(_.getString(1) == "DELETED"))
+    // a date-only cutoff in the past deletes nothing further (all gone)
+    spark.sql("DELETE GRAFT SEGMENTS FROM retain_t BEFORE '1970-01-02'")
+    spark.sql("DROP GRAFT TABLE retain_t")
+  }
+
   test("SHOW CREATE / DESCRIBE introspection") {
     spark.read.parquet("/root/testdata/sf0.001/region.parquet")
       .createOrReplaceTempView("region_src2")
