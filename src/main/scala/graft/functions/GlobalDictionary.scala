@@ -19,13 +19,44 @@ import org.apache.spark.sql.functions._
   */
 object GlobalDictionary {
 
+  /** Dictionaries must stay broadcast-small: the rank assignment is an
+    * unpartitioned window (all distinct values through one task) and
+    * encode/decode broadcast the result. Above this many distinct
+    * values the build FAILS FAST instead of silently hanging a
+    * 100 TB job on a single-task sort — mirroring the reference's
+    * DICTIONARY_EXCLUDE contract that high-cardinality columns are
+    * not dictionary dims.
+    */
+  val MaxCardinality: Long = 10_000_000L
+
   /** Build the dictionary for one column: (value, id) with id =
     * 1-based rank in value order.
+    *
+    * The guard is one approx_count_distinct pass (map-side HLL
+    * sketches, no data shuffle) BEFORE the build — the lazy plan
+    * cannot check itself until the single-task sort has already run,
+    * which is exactly the hang the guard exists to prevent. The
+    * ceiling is therefore approximate (±a few % near the boundary),
+    * which is the right contract for an order-of-magnitude "this
+    * column is not a dictionary dim" check.
+    *
+    * @throws IllegalArgumentException when the column's approximate
+    *         distinct count exceeds [[MaxCardinality]]
     */
   def build(df: DataFrame, column: String): DataFrame =
+    build(df, column, MaxCardinality)
+
+  def build(df: DataFrame, column: String, maxCardinality: Long): DataFrame = {
+    val card = df.agg(approx_count_distinct(col(column)).as("c"))
+      .head().getLong(0)
+    require(card <= maxCardinality,
+      s"column '$column' has ~$card distinct values — exceeds the " +
+        s"dictionary ceiling of $maxCardinality; high-cardinality " +
+        "columns must stay unencoded (reference DICTIONARY_EXCLUDE)")
     df.select(col(column).as("value")).distinct()
       .filter(col("value").isNotNull)
       .withColumn("id", row_number().over(Window.orderBy(col("value"))).cast("long"))
+  }
 
   /** Replace `column` with its surrogate id (null values stay null). */
   def encode(df: DataFrame, dict: DataFrame, column: String): DataFrame =

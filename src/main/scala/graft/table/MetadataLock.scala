@@ -1,0 +1,124 @@
+package graft.table
+
+import java.nio.file.{FileAlreadyExistsException, Files, Path, StandardOpenOption}
+
+/** Pluggable exclusive metadata lock guarding segment-catalog commits —
+  * the Spark-native analogue of the reference's CarbonLockFactory
+  * (core/.../core/locks/CarbonLockFactory.java dispatching to
+  * LocalFileLock or ZooKeeperLocking by configuration).
+  *
+  * The commit protocol (write temp → atomic rename of status.json)
+  * only needs mutual exclusion among WRITERS; readers never take the
+  * lock — they see either the old or the new status file. So the lock
+  * choice bounds writer concurrency semantics only:
+  *
+  *  - [[LocalFileLock]]: correct within one host (JVM monitor + OS
+  *    file lock). The single-driver deployment default.
+  *  - [[LeaseLock]]: correct across hosts on any filesystem with
+  *    atomic create-if-absent (HDFS create(overwrite=false), most NFS;
+  *    object stores need their conditional-put equivalent). Expired
+  *    leases are stolen so a crashed driver cannot wedge the table.
+  *
+  * Selected per table via the `lock.impl` property ('local' | 'lease').
+  */
+trait MetadataLock {
+  /** Run `f` holding the exclusive lock identified by `lockPath`. */
+  def withExclusive[T](lockPath: Path)(f: => T): T
+}
+
+object MetadataLock {
+  /** Table-property dispatch (reference CarbonLockFactory.getCarbonLockObj). */
+  def forProperties(props: Map[String, String]): MetadataLock =
+    props.getOrElse("lock.impl", "local") match {
+      case "local" => LocalFileLock
+      case "lease" => new LeaseLock()
+      case other => throw new IllegalArgumentException(
+        s"unknown lock.impl '$other' (expected local | lease)")
+    }
+}
+
+/** Two layers: a JVM-level monitor per lock path (FileLock throws
+  * OverlappingFileLockException on same-process contention) plus the
+  * OS file lock for cross-process exclusion. Correct on one host;
+  * drivers on different hosts are NOT excluded (use 'lease' there).
+  */
+object LocalFileLock extends MetadataLock {
+  private val processLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  override def withExclusive[T](lockPath: Path)(f: => T): T = {
+    val monitor = processLocks
+      .computeIfAbsent(lockPath.toAbsolutePath.toString, _ => new Object)
+    monitor.synchronized {
+      val ch = java.nio.channels.FileChannel.open(lockPath,
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      try {
+        val l = ch.lock()
+        try f finally l.release()
+      } finally ch.close()
+    }
+  }
+}
+
+/** Cross-host lease lock: acquisition is an atomic create of a lease
+  * file holding (owner-token, expiry); contenders poll, and a lease
+  * past its expiry is stolen (the crashed-holder path — the reference
+  * gets the same liveness from ZooKeeper's ephemeral nodes).
+  *
+  * Guarantees and limits, stated honestly: on a filesystem with atomic
+  * create-if-absent, two live holders are impossible while leases are
+  * unexpired. A holder that stalls past `ttlMs` (GC pause, partition)
+  * can lose the lock while still running — ttl must exceed the longest
+  * commit critical section (catalog commits here are millisecond-scale
+  * JSON renames, so the default leaves 4+ orders of magnitude slack).
+  * The steal path (delete + re-create) is two steps; after a steal
+  * race, exactly one contender's create succeeds, and release checks
+  * the owner token so a stale holder can never delete a successor's
+  * lease.
+  */
+final class LeaseLock(ttlMs: Long = 60000, pollMs: Long = 20,
+                      acquireTimeoutMs: Long = 120000) extends MetadataLock {
+
+  override def withExclusive[T](lockPath: Path)(f: => T): T = {
+    val lease = lockPath.resolveSibling(lockPath.getFileName.toString + ".lease")
+    val token = java.util.UUID.randomUUID().toString
+    val deadline = System.currentTimeMillis() + acquireTimeoutMs
+    var acquired = false
+    while (!acquired) {
+      try {
+        Files.write(lease, s"$token:${System.currentTimeMillis() + ttlMs}"
+          .getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
+        acquired = true
+      } catch {
+        case _: FileAlreadyExistsException =>
+          if (isExpired(lease)) {
+            // steal: delete then retry the atomic create; losing a
+            // steal race just loops back into contention
+            try Files.deleteIfExists(lease)
+            catch { case _: java.io.IOException => () }
+          } else if (System.currentTimeMillis() > deadline) {
+            throw new IllegalStateException(
+              s"timed out acquiring lease $lease after ${acquireTimeoutMs}ms")
+          } else Thread.sleep(pollMs)
+      }
+    }
+    try f finally {
+      // release only a lease we still own — a stolen-from holder must
+      // not delete the thief's lease
+      try {
+        if (new String(Files.readAllBytes(lease), "UTF-8").startsWith(token + ":"))
+          Files.deleteIfExists(lease)
+      } catch { case _: java.io.IOException => () }
+    }
+  }
+
+  private def isExpired(lease: Path): Boolean =
+    try {
+      val parts = new String(Files.readAllBytes(lease), "UTF-8").split(':')
+      parts.length == 2 && parts(1).toLong < System.currentTimeMillis()
+    } catch {
+      // unreadable/missing mid-race or malformed: let the create retry
+      // decide, never treat as expired
+      case _: Exception => false
+    }
+}

@@ -1,11 +1,10 @@
 package graft.table
 
-import java.nio.channels.FileChannel
-import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.Comparator
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.functions.{col, lit, max, min}
 import org.apache.spark.sql.types._
@@ -22,8 +21,13 @@ case class ColStats(min: String, max: String, kind: String)
   * table_status.thrift with LOAD_PROGRESS/SUCCESS/... states —
   * format/src/main/thrift/table_status.thrift:17-28).
   */
+/** nullCounts: per-column null count, powering IsNull/IsNotNull segment
+  * pruning. Default empty for catalogs written before the field existed
+  * (absent = unknown = never prune).
+  */
 case class SegmentMeta(id: Int, status: String, rowCount: Long,
-                       createdAt: Long, stats: Map[String, ColStats])
+                       createdAt: Long, stats: Map[String, ColStats],
+                       nullCounts: Map[String, Long] = Map.empty)
 
 case class TableStatus(nextId: Int, segments: List[SegmentMeta])
 
@@ -77,22 +81,14 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
 
   /** Exclusive metadata lock for load/compact/delete (reference takes
     * METADATA_LOCK in LoadCube.run, cubeSchema.scala:1817-1827).
-    * Two layers: a JVM-level monitor per lock path (FileLock throws
-    * OverlappingFileLockException on same-process contention) plus the
-    * OS file lock for cross-process exclusion.
+    * Implementation is pluggable per table via the `lock.impl`
+    * property — [[LocalFileLock]] (default, single-host) or
+    * [[LeaseLock]] (cross-host DFS lease); see [[MetadataLock]].
     */
-  private def withLock[T](f: => T): T = {
-    val monitor = SegmentedTable.processLocks
-      .computeIfAbsent(lockFile.toAbsolutePath.toString, _ => new Object)
-    monitor.synchronized {
-      val ch = FileChannel.open(lockFile, StandardOpenOption.CREATE,
-        StandardOpenOption.WRITE)
-      try {
-        val l = ch.lock()
-        try f finally l.release()
-      } finally ch.close()
-    }
-  }
+  private val metadataLock: MetadataLock = MetadataLock.forProperties(properties)
+
+  private def withLock[T](f: => T): T =
+    metadataLock.withExclusive(lockFile)(f)
 
   // ---- load path ----
 
@@ -135,9 +131,10 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
       }
     sorted.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     Files.move(tmp, segmentDir(id), StandardCopyOption.ATOMIC_MOVE)
-    val (rows, stats) = collectStats(segmentDir(id))
+    val (rows, stats, nulls) = collectStats(segmentDir(id))
     commitStatus(TableStatus(id + 1,
-      st.segments :+ SegmentMeta(id, SUCCESS, rows, System.currentTimeMillis(), stats)))
+      st.segments :+ SegmentMeta(id, SUCCESS, rows, System.currentTimeMillis(),
+        stats, nulls)))
     id
   }
 
@@ -154,20 +151,26 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
   /** One pass over the fresh segment computes per-column min/max for
     * the catalog (cheap: projection of stat-eligible columns only).
     */
-  private def collectStats(dir: Path): (Long, Map[String, ColStats]) = {
+  private def collectStats(dir: Path): (Long, Map[String, ColStats], Map[String, Long]) = {
     val df = spark.read.schema(schema).parquet(dir.toString)
     val eligible = schema.fields.filter(f => kindOf(f.dataType).isDefined)
     val aggs = eligible.flatMap(f =>
-      Seq(min(col(f.name)).as(s"min_${f.name}"), max(col(f.name)).as(s"max_${f.name}"))) :+
+      Seq(min(col(f.name)).as(s"min_${f.name}"), max(col(f.name)).as(s"max_${f.name}"))) ++
+      schema.fields.map(f =>
+        org.apache.spark.sql.functions.count(col(f.name)).as(s"cnt_${f.name}")) :+
       org.apache.spark.sql.functions.count(lit(1)).as("__rows")
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val rows = row.getAs[Long]("__rows")
     val stats = eligible.flatMap { f =>
       val mn = row.getAs[Any](s"min_${f.name}")
       val mx = row.getAs[Any](s"max_${f.name}")
       if (mn == null || mx == null) None
       else Some(f.name -> ColStats(fmt(mn), fmt(mx), kindOf(f.dataType).get))
     }.toMap
-    (row.getAs[Long]("__rows"), stats)
+    // count(col) is the non-null count: nulls = rows - count
+    val nullCounts = schema.fields.map(f =>
+      f.name -> (rows - row.getAs[Long](s"cnt_${f.name}"))).toMap
+    (rows, stats, nullCounts)
   }
 
   // ---- read path ----
@@ -261,6 +264,17 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
       case Some(n) => vs.exists { case Literal(v, t) => rangeContains(seg, n, v, t) }
       case None => true
     }
+    // null-count pruning: a segment with PROVEN zero nulls in the
+    // column cannot satisfy IS NULL; one with all-null cannot satisfy
+    // IS NOT NULL. Absent counts (pre-upgrade catalogs) never prune.
+    case IsNull(a) => attrName(a) match {
+      case Some(n) => seg.nullCounts.get(n).forall(_ > 0)
+      case None => true
+    }
+    case IsNotNull(a) => attrName(a) match {
+      case Some(n) => seg.nullCounts.get(n).forall(_ < seg.rowCount)
+      case None => true
+    }
     case _ => true // unknown predicate shape: cannot prune
   }
 
@@ -308,6 +322,9 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
       case ("timestamp", TimestampType | TimestampNTZType) =>
         // catalyst timestamp literals are epoch micros
         Some(stored.toLong.compareTo(v.asInstanceOf[Long]))
+      case ("date", DateType) =>
+        // catalyst date literals are epoch days (Int)
+        Some(stored.toLong.compareTo(v.asInstanceOf[Int].toLong))
       case _ => None
     }
 
@@ -363,7 +380,7 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
         merged.sortWithinPartitions(sortColumns.map(col): _*)
       else merged
     sorted.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    val (rows, stats) = collectStats(tmp)
+    val (rows, stats, nulls) = collectStats(tmp)
     withLock {
       val st = status
       val stillLive = live.forall(s =>
@@ -376,7 +393,8 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
         Files.move(tmp, segmentDir(newId), StandardCopyOption.ATOMIC_MOVE)
         commitStatus(TableStatus(newId + 1,
           st.segments.map(s => if (live.exists(_.id == s.id)) s.copy(status = COMPACTED) else s) :+
-            SegmentMeta(newId, SUCCESS, rows, System.currentTimeMillis(), stats)))
+            SegmentMeta(newId, SUCCESS, rows, System.currentTimeMillis(),
+              stats, nulls)))
         Some(newId)
       }
     }
@@ -438,9 +456,6 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
 }
 
 object SegmentedTable {
-  private[table] val processLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
-
   val SUCCESS = "SUCCESS"
   val DELETED = "DELETED"
   val COMPACTED = "COMPACTED"
@@ -451,10 +466,13 @@ object SegmentedTable {
     case _: NumericType => Some("numeric")
     case StringType => Some("string")
     case TimestampType | TimestampNTZType => Some("timestamp")
+    case DateType => Some("date")
     case _ => None
   }
 
   private def fmt(v: Any): String = v match {
+    case d: java.sql.Date => d.toLocalDate.toEpochDay.toString
+    case d: java.time.LocalDate => d.toEpochDay.toString
     case t: java.sql.Timestamp => (t.getTime * 1000L + t.getNanos / 1000 % 1000).toString
     case t: java.time.Instant =>
       (t.getEpochSecond * 1000000L + t.getNano / 1000).toString

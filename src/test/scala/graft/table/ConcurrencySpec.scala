@@ -28,6 +28,61 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(t.showSegments().count(_.status == "SUCCESS") == 4)
   }
 
+  test("concurrent loads commit under the lease lock too") {
+    val root = Files.createTempDirectory("graft_lease").resolve("t").toString
+    val n = spark.read.parquet(s"${TestSpark.sf}/nation.parquet")
+    val t = SegmentedTable.create(spark, root, n.schema,
+      Map("lock.impl" -> "lease"))
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val loads = (1 to 4).map(_ => Future(t.load(n)))
+    val ids = Await.result(Future.sequence(loads), 120.seconds)
+    pool.shutdown()
+    assert(ids.toSet.size == 4, s"segment ids must be distinct: $ids")
+    assert(t.showSegments().count(_.status == "SUCCESS") == 4)
+  }
+
+  test("lease lock: mutual exclusion, expiry steal, and owner-only release") {
+    val dir = Files.createTempDirectory("graft_leaseunit")
+    val lockPath = dir.resolve(".lock")
+    val lock = new LeaseLock(ttlMs = 60000, pollMs = 5)
+    // mutual exclusion: a critical-section counter never interleaves
+    @volatile var inside = 0
+    @volatile var maxInside = 0
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val fs = (1 to 8).map(_ => Future {
+      lock.withExclusive(lockPath) {
+        inside += 1
+        maxInside = math.max(maxInside, inside)
+        Thread.sleep(10)
+        inside -= 1
+      }
+    })
+    Await.result(Future.sequence(fs), 60.seconds)
+    pool.shutdown()
+    assert(maxInside == 1, s"lease lock admitted $maxInside holders at once")
+
+    // a crashed holder's expired lease is stolen, not waited on forever
+    val lease = dir.resolve(".lock.lease")
+    Files.write(lease,
+      s"dead-owner:${System.currentTimeMillis() - 1}".getBytes("UTF-8"))
+    var ran = false
+    lock.withExclusive(lockPath) { ran = true }
+    assert(ran, "expired lease must be stolen")
+    assert(!Files.exists(lease), "owned lease must be released")
+
+    // an unexpired foreign lease is respected: acquisition times out
+    val strict = new LeaseLock(ttlMs = 60000, pollMs = 5, acquireTimeoutMs = 200)
+    Files.write(lease,
+      s"live-owner:${System.currentTimeMillis() + 60000}".getBytes("UTF-8"))
+    intercept[IllegalStateException] {
+      strict.withExclusive(lockPath) { () }
+    }
+    assert(new String(Files.readAllBytes(lease), "UTF-8")
+      .startsWith("live-owner:"), "a live foreign lease must not be deleted")
+  }
+
   test("partitioned load co-locates keys per file") {
     val root = Files.createTempDirectory("graft_part").resolve("t").toString
     val li = spark.read.parquet(s"${TestSpark.sf}/lineitem.parquet")

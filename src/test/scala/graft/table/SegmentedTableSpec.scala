@@ -67,6 +67,39 @@ class SegmentedTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.scan(col("k") === lit(null).cast("long")).count() == 0)
   }
 
+  test("date-column stats prune segments") {
+    val root = freshRoot("dateprune")
+    val withDate = li.withColumn("ship_date", to_date(col("l_shipdate")))
+      .select("l_orderkey", "ship_date")
+    val t = SegmentedTable.create(spark, root, withDate.schema, Map.empty)
+    t.load(withDate.filter(year(col("ship_date")) <= 1995))
+    t.load(withDate.filter(year(col("ship_date")) > 1995))
+    val pred = col("ship_date") >= lit("1997-06-01").cast("date")
+    val survivors = t.pruneSegments(pred)
+    assert(survivors.map(_.id) == Seq(1), s"expected only segment 1, got $survivors")
+    assert(t.scan(pred).count() == withDate.filter(pred).count())
+    // equality inside / outside the stored range
+    assert(t.pruneSegments(col("ship_date") === lit("2099-01-01").cast("date")).isEmpty)
+  }
+
+  test("IsNull / IsNotNull prune on per-segment null counts") {
+    import spark.implicits._
+    val root = freshRoot("nullprune")
+    val noNulls = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val allNulls = Seq((3L, null: String), (4L, null: String)).toDF("k", "v")
+    val mixed = Seq((5L, "c"), (6L, null: String)).toDF("k", "v")
+    val t = SegmentedTable.create(spark, root, noNulls.schema, Map.empty)
+    t.load(noNulls)   // segment 0: zero nulls in v
+    t.load(allNulls)  // segment 1: all null
+    t.load(mixed)     // segment 2: mixed
+    assert(t.pruneSegments(col("v").isNull).map(_.id) == Seq(1, 2))
+    assert(t.pruneSegments(col("v").isNotNull).map(_.id) == Seq(0, 2))
+    assert(t.scan(col("v").isNull).count() == 3)
+    assert(t.scan(col("v").isNotNull).count() == 3)
+    // combined conjunct: null-pruning composes with min/max pruning
+    assert(t.pruneSegments(col("v").isNotNull && col("k") >= 5L).map(_.id) == Seq(2))
+  }
+
   test("delete by id, clean files removes directories") {
     val root = freshRoot("delete")
     val t = SegmentedTable.create(spark, root, li.schema, Map.empty)
