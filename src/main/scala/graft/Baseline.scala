@@ -153,6 +153,18 @@ object Baseline {
         .select(col("id_a"), col("id_b"))
     }),
 
+    // the co-located join's plain formulation: same join+agg over the
+    // unbucketed parquet — pays the fact-fact shuffle the bucketed
+    // layout removes, so the bench ratio reports what bucketing buys
+    "g03_colocated_join" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("line_cnt"),
+          sum(col("l_quantity")).as("sum_qty"))
+    }),
+
     // the MV query's plain-Spark formulation: the same aggregate
     // straight off the base table, no rollup machinery — so the bench
     // ratio reports what answering from the MV buys (or costs). The

@@ -64,6 +64,47 @@ object SegmentQueries {
     t
   }
 
+  /** Fact-fact co-location (reference PartitionData pre-split,
+    * SampleDataPartitionerImpl): lineitem and orders are written as
+    * Spark bucketed tables hashed on the order key with the SAME
+    * bucket count, so the equi-join on that key plans with NO shuffle
+    * Exchange on either side — the layout cost is paid once at load
+    * and every subsequent fact-fact join reads co-located buckets.
+    * This is the 100 TB lever for q04/q05-shaped joins: the
+    * lineitem⋈orders shuffle is the dominant stage at scale, and
+    * bucketing removes it entirely (PlanSpec asserts zero Exchange
+    * below the join).
+    */
+  private val bucketsBuilt = scala.collection.concurrent.TrieMap[String, Boolean]()
+
+  def bucketedFacts(s: SparkSession, d: String): (String, String) = {
+    val suffix = math.abs(d.hashCode).toString
+    val (liName, ordName) = (s"graft_b_lineitem_$suffix", s"graft_b_orders_$suffix")
+    bucketsBuilt.getOrElseUpdate(s"$d|${s.sparkContext.applicationId}", {
+      val wh = s"/tmp/graft_buckets/${d.replace('/', '_')}"
+      // fresh dirs: a stale location from a previous JVM would collide
+      // with saveAsTable's overwrite into the session catalog
+      def reset(n: String, sub: String): Unit = {
+        s.sql(s"DROP TABLE IF EXISTS $n")
+        val p = Paths.get(s"$wh/$sub")
+        if (Files.exists(p))
+          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => Files.delete(f))
+      }
+      reset(liName, "lineitem"); reset(ordName, "orders")
+      Tables.lineitem(s, d).write.format("parquet")
+        .option("path", s"$wh/lineitem")
+        .bucketBy(16, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable(liName)
+      Tables.orders(s, d).write.format("parquet")
+        .option("path", s"$wh/orders")
+        .bucketBy(16, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable(ordName)
+      true
+    })
+    (liName, ordName)
+  }
+
   val queries: Map[String, Q] = Map(
     // load (2 segments) → min/max-pruned scan → aggregate; oracle is
     // the same filter+agg on the source table, so pruning must lose
@@ -83,6 +124,19 @@ object SegmentQueries {
       t.read()
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+    }),
+
+    // co-located fact-fact join: both sides bucketed on the order key,
+    // so the join itself needs no Exchange (the tiny post-join agg
+    // shuffle remains — it moves grouped rows, not the fact tables)
+    "g03_colocated_join" -> ((s, d) => {
+      val (liName, ordName) = bucketedFacts(s, d)
+      val l = s.table(liName)
+      val o = s.table(ordName)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("line_cnt"),
+          sum(col("l_quantity")).as("sum_qty"))
     })
   )
 
@@ -95,6 +149,14 @@ object SegmentQueries {
     "g02_segment_compaction" ->
       """SELECT o_orderstatus, COUNT(*) AS cnt,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-         FROM orders GROUP BY o_orderstatus"""
+         FROM orders GROUP BY o_orderstatus""",
+
+    // the bucketed layout must be exactly row-preserving: the oracle is
+    // the same join+agg over the original tables
+    "g03_colocated_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS line_cnt,
+         SUM(l_quantity) AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority"""
   )
 }

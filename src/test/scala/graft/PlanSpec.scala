@@ -39,6 +39,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), "map-side combine must run before the shuffle")
   }
 
+  test("co-located fact-fact join has no Exchange below the join") {
+    // force the join path (at sf0.001 orders would broadcast, which
+    // proves nothing about bucketing)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("g03_colocated_join")(spark, TestSpark.sf)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        p.take(2000))
+      // both scans read bucket layout, and no shuffle feeds the join:
+      // the only Exchange allowed is the post-join aggregation's
+      assert(p.sliding("Bucketed: true".length).count(_ == "Bucketed: true") == 2,
+        p.take(3000))
+      assert(!p.contains("Exchange hashpartitioning(l_orderkey") &&
+        !p.contains("Exchange hashpartitioning(o_orderkey"),
+        s"bucketed join must not shuffle its inputs:\n${p.take(3000)}")
+      // the result is still exactly the unbucketed answer
+      val want = SparkEntry.queries("q04_join_agg")(spark, TestSpark.sf).count()
+      assert(df.count() == want)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("timestamp range filter is pushed down") {
     val p = plan("q15_between_dates")
     assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(o_orderdate"),
