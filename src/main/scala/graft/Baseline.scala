@@ -153,6 +153,23 @@ object Baseline {
         .select(col("id_a"), col("id_b"))
     }),
 
+    // the star join's plain formulation: unbucketed facts, so the
+    // lineitem⋈orders shuffle the bucketed layout removes is paid here
+    "q05_star_join" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(Tables.dsumProduct(col("l_extendedprice"), col("l_discount")).as("revenue"),
+          count(lit(1)).as("line_cnt"))
+    }),
+
     // the co-located join's plain formulation: same join+agg over the
     // unbucketed parquet — pays the fact-fact shuffle the bucketed
     // layout removes, so the bench ratio reports what bucketing buys

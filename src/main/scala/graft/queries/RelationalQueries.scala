@@ -71,10 +71,16 @@ object RelationalQueries {
           dsumProduct(col("l_extendedprice"), col("l_discount")).as("revenue"))
     }),
 
-    // §2.3 multi-way star join (TPC-H Q5 shape): dims broadcast
+    // §2.3 multi-way star join (TPC-H Q5 shape): dims broadcast, facts
+    // co-located. The fact tables come from the bucketed layout
+    // (g03_colocated_join's builder) so the lineitem⋈orders join — the
+    // dominant stage at 100 TB — needs no Exchange; Spark still
+    // broadcasts orders instead when it is small enough, which is the
+    // right call at tiny scale. Dims broadcast as before.
     "q05_star_join" -> ((s, d) => {
-      val l = Tables.lineitem(s, d)
-      val o = Tables.orders(s, d)
+      val (liName, ordName) = SegmentQueries.bucketedFacts(s, d)
+      val l = s.table(liName)
+      val o = s.table(ordName)
       val c = Tables.customer(s, d)
       val n = Tables.nation(s, d)
       val r = Tables.region(s, d)

@@ -39,6 +39,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), "map-side combine must run before the shuffle")
   }
 
+  test("star join facts are co-located: no shuffle on the order key") {
+    // disable auto-broadcast so the fact-fact join cannot dodge the
+    // question by broadcasting tiny orders; the dim broadcast() hints
+    // still apply, as they would at any scale
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = SparkEntry.queries("q05_star_join")(spark, TestSpark.sf)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"), "dims must still broadcast")
+      assert(!p.contains("Exchange hashpartitioning(l_orderkey") &&
+        !p.contains("Exchange hashpartitioning(o_orderkey"),
+        s"fact-fact join must read co-located buckets:\n${p.take(3000)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("co-located fact-fact join has no Exchange below the join") {
     // force the join path (at sf0.001 orders would broadcast, which
     // proves nothing about bucketing)
