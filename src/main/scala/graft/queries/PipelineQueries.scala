@@ -116,6 +116,41 @@ object PipelineQueries {
         .select(col("doc_id"), col("token").as("top_term"), col("tfidf"))
     }),
 
+    // pipeline: deterministic train/val/test split — assignment is a
+    // pure function of doc_id (md5 prefix mod 100), so the same doc
+    // lands in the same split on every engine, every run, any
+    // partitioning; the query reports per-split doc and char budgets
+    "t08_train_split" -> ((s, d) => {
+      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          when(h < 80, "train").when(h < 90, "val").otherwise("test").as("split"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("n_chars").cast("long")).as("chars"))
+    }),
+
+    // pipeline: corpus-driven stopword pruning — the top-20 tokens by
+    // document frequency become the stopword list, computed IN-PLAN
+    // (distributed top-k + 1-row collect_list, broadcast to the per-doc
+    // stage; no driver-side action, no global window), then each doc
+    // reports total vs stopword token occurrences
+    "t09_stopword_prune" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__words"))
+      val sw = docs
+        .select(col("doc_id"), explode(col("__words")).as("token"))
+        .groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("df").desc, col("token").asc).limit(20)
+        .agg(array_sort(collect_list(col("token"))).as("__sw"))
+      docs.crossJoin(broadcast(sw))
+        .select(col("doc_id"),
+          size(col("__words")).as("n_tokens"),
+          size(filter(col("__words"),
+            t => array_contains(col("__sw"), t))).as("stop_tokens"))
+    }),
+
     // dedup: exact fingerprint groups
     "d01_dedup_exact" -> ((s, d) => {
       Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")
@@ -325,6 +360,28 @@ object PipelineQueries {
                ORDER BY tfidf DESC, token ASC) AS rn
            FROM scored)
          SELECT doc_id, token AS top_term, tfidf FROM ranked WHERE rn = 1""",
+
+    "t08_train_split" ->
+      """WITH s AS (SELECT doc_id, n_chars,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100 AS h
+         FROM documents)
+         SELECT CASE WHEN h < 80 THEN 'train'
+                     WHEN h < 90 THEN 'val'
+                     ELSE 'test' END AS split,
+           COUNT(*) AS docs,
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS chars
+         FROM s GROUP BY 1""",
+
+    "t09_stopword_prune" ->
+      s"""WITH t AS (SELECT doc_id, $W AS words FROM documents),
+          tok AS (SELECT doc_id, unnest(words) AS token FROM t),
+          df AS (SELECT token, COUNT(DISTINCT doc_id) AS df
+                 FROM tok GROUP BY token),
+          topw AS (SELECT token FROM df ORDER BY df DESC, token ASC LIMIT 20),
+          swl AS (SELECT list_sort(list(token)) AS sw FROM topw)
+          SELECT doc_id, len(words) AS n_tokens,
+            len(list_filter(words, w -> list_contains(sw, w))) AS stop_tokens
+          FROM t CROSS JOIN swl""",
 
     "d01_dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS fp, MIN(doc_id) AS rep_id,
