@@ -46,6 +46,21 @@ object PipelineQueries {
 
   private val enMarkers = "('the','and','of','to','a')"
 
+  /** Deterministic split assignment — pure function of the id (shared
+    * by t08 and t10; the SQL twin is [[splitSql]]).
+    */
+  private def splitOf(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h = conv(substring(md5(id.cast("string")), 1, 4), 16, 10)
+      .cast("long") % 100
+    when(h < 80, "train").when(h < 90, "val").otherwise("test")
+  }
+
+  /** DuckDB twin of [[splitOf]] over a column reference. */
+  private def splitSql(idCol: String): String =
+    s"""CASE WHEN CAST('0x' || substr(md5(CAST($idCol AS VARCHAR)), 1, 4) AS BIGINT) % 100 < 80 THEN 'train'
+        WHEN CAST('0x' || substr(md5(CAST($idCol AS VARCHAR)), 1, 4) AS BIGINT) % 100 < 90 THEN 'val'
+        ELSE 'test' END"""
+
   val queries: Map[String, Q] = Map(
     // text analysis: token counting
     "t01_token_count" -> ((s, d) => {
@@ -121,11 +136,8 @@ object PipelineQueries {
     // lands in the same split on every engine, every run, any
     // partitioning; the query reports per-split doc and char budgets
     "t08_train_split" -> ((s, d) => {
-      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-        .cast("long") % 100
       Tables.documents(s, d)
-        .select(col("doc_id"), col("n_chars"),
-          when(h < 80, "train").when(h < 90, "val").otherwise("test").as("split"))
+        .select(col("doc_id"), col("n_chars"), splitOf(col("doc_id")).as("split"))
         .groupBy(col("split"))
         .agg(count(lit(1)).as("docs"),
           sum(col("n_chars").cast("long")).as("chars"))
@@ -149,6 +161,32 @@ object PipelineQueries {
           size(col("__words")).as("n_tokens"),
           size(filter(col("__words"),
             t => array_contains(col("__sw"), t))).as("stop_tokens"))
+    }),
+
+    // pipeline: eval-set contamination detection — test-split documents
+    // that share a MinHash LSH band with any train-split document are
+    // flagged as potentially contaminated (near-dup of training data).
+    // One signature pass over the corpus (persisted, both join sides
+    // read it), then a band-key join BETWEEN splits only — the split
+    // is recomputed from the id on the banded rows, so no corpus-wide
+    // split-map join is ever shuffled. Never all-pairs, exactly the
+    // d02 scaling story.
+    "t10_contamination" -> ((s, d) => {
+      import graft.dedup.Dedup
+      val banded = Dedup.bandedSignatures(
+        Tables.documents(s, d), "doc_id", "text", 16, 4).persist()
+      try {
+        val test = banded.filter(splitOf(col("id")) === "test")
+          .toDF("test_id", "band_idx", "band_key")
+        val train = banded.filter(splitOf(col("id")) === "train")
+          .toDF("train_id", "band_idx", "band_key")
+        test.join(train, Seq("band_idx", "band_key"))
+          .select(col("test_id"), col("train_id")).distinct()
+          .groupBy(col("test_id"))
+          .agg(count(lit(1)).as("n_contaminating"),
+            min(col("train_id")).as("example_train"))
+          .localCheckpoint()
+      } finally banded.unpersist()
     }),
 
     // dedup: exact fingerprint groups
@@ -382,6 +420,20 @@ object PipelineQueries {
           SELECT doc_id, len(words) AS n_tokens,
             len(list_filter(words, w -> list_contains(sw, w))) AS stop_tokens
           FROM t CROSS JOIN swl""",
+
+    "t10_contamination" ->
+      s"""WITH t AS (SELECT doc_id, $W AS words FROM documents),
+          sh AS (SELECT doc_id, $SH AS s FROM t),
+          sig AS (SELECT doc_id, ${splitSql("doc_id")} AS split,
+            ${(0 until 4).map(b => s"${band(b, 4)} AS band$b").mkString(", ")}
+          FROM sh WHERE len(s) > 0),
+          pairs AS (SELECT DISTINCT a.doc_id AS test_id, b.doc_id AS train_id
+          FROM sig a JOIN sig b ON a.split = 'test' AND b.split = 'train'
+          AND (a.band0 = b.band0 OR a.band1 = b.band1
+            OR a.band2 = b.band2 OR a.band3 = b.band3))
+          SELECT test_id, COUNT(*) AS n_contaminating,
+            MIN(train_id) AS example_train
+          FROM pairs GROUP BY test_id""",
 
     "d01_dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS fp, MIN(doc_id) AS rep_id,
