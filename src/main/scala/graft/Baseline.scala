@@ -200,6 +200,16 @@ object Baseline {
           count(lit(1)).as("cnt"))
     }),
 
+    // the ingest query's plain formulation: aggregate the source
+    // parquet directly (no segment table between)
+    "st03_stream_ingest" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          Tables.dsum(col("value")).as("total_value"),
+          countDistinct(col("user_id")).as("users"))
+    }),
+
     // nanosAsLong for events.parquet is set once at Bench session
     // build — a conf.set here would leak into every later timed query
     "st01_stream_hourly" -> ((s, d) => {

@@ -26,8 +26,44 @@ object StreamingQueries {
       val ev = Tables.events(s, d)
         .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
       EventStreams.sessionStats(ev, "30 minutes")
+    }),
+
+    // near-realtime ingest through the gate: the stream lands in a
+    // segmented table (one segment per micro-batch via the real commit
+    // protocol, auto-compacted), and the ORACLE-CHECKED read is over
+    // the TABLE — so load atomicity, compaction, and clean must all be
+    // exactly row-preserving for the hash to match the source events
+    "st03_stream_ingest" -> ((s, d) => {
+      val root = s"/tmp/graft_tables/${d.replace('/', '_')}/events_ingest"
+      val t = ingested.getOrElseUpdate(s"$d|${s.sparkContext.applicationId}", {
+        val schema = {
+          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          Tables.events(s, d).schema
+        }
+        val tbl =
+          if (graft.table.SegmentedTable.exists(root)) {
+            val x = graft.table.SegmentedTable.open(s, root)
+            x.deleteSegments(x.showSegments().map(_.id)); x.cleanFiles(); x
+          } else graft.table.SegmentedTable.create(s, root, schema, Map.empty)
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(d)
+        EventStreams.streamIntoTable(stream, tbl, autoCompactEvery = 2)
+          .awaitTermination()
+        tbl
+      })
+      t.read()
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          Tables.dsum(col("value")).as("total_value"),
+          countDistinct(col("user_id")).as("users"))
     })
   )
+
+  /** Ingested-table cache: stream-load once per (dataset, session). */
+  private val ingested =
+    scala.collection.concurrent.TrieMap[String, graft.table.SegmentedTable]()
 
   val oracles: Map[String, String] = Map(
     // hour_bucket from window.start == epoch-micros div 3600e6 == the
@@ -60,6 +96,13 @@ object StreamingQueries {
            FROM numbered GROUP BY user_id, sess)
          SELECT user_id, COUNT(*) AS n_sessions,
            MAX(n_events) AS max_session_events
-         FROM per_session GROUP BY user_id"""
+         FROM per_session GROUP BY user_id""",
+
+    // the ingested table must hold exactly the source events
+    "st03_stream_ingest" ->
+      """SELECT event_type, COUNT(*) AS cnt,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+         COUNT(DISTINCT user_id) AS users
+         FROM events GROUP BY event_type"""
   )
 }
