@@ -108,11 +108,17 @@ object SegmentQueries {
   val queries: Map[String, Q] = Map(
     // load (2 segments) → min/max-pruned scan → aggregate; oracle is
     // the same filter+agg on the source table, so pruning must lose
-    // nothing
+    // nothing. Pruning happens through the OPTIMIZER RULE
+    // (GraftSegmentPruning) over a plain read().filter(), not the
+    // manual scan() API — the gate proves the automatic path row-exact
     "g01_segment_pruned_scan" -> ((s, d) => {
+      import graft.table.GraftSegmentPruning
+      if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[GraftSegmentPruning]))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ GraftSegmentPruning(s)
       val t = lineitemTable(s, d)
       val pred = col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
-      t.scan(pred)
+      t.read().filter(pred)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
     }),

@@ -46,6 +46,7 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
     e.injectParser((_, delegate) => new GraftSqlParser(delegate))
     e.injectOptimizerRule(s => graft.mv.AggTableRewrite(s))
     e.injectOptimizerRule(s => graft.mv.CountStarFromCatalog(s))
+    e.injectOptimizerRule(s => graft.table.GraftSegmentPruning(s))
     GraftFunctions.register(e)
   }
 }

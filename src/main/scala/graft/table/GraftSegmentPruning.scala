@@ -1,0 +1,78 @@
+package graft.table
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.graftbridge.ColumnExpr
+
+/** Automatic driver-side segment pruning as an optimizer rule — the
+  * query-plan twin of [[SegmentedTable.scan]], so that ANY filtered
+  * read of a graft table (DataFrame over `format("graft")`, a temp
+  * view from CREATE GRAFT TABLE, plain SQL) skips non-matching
+  * segments without the caller going through the manual scan API.
+  * This is the optimizer-integrated form of the reference's
+  * driver-side block pruning (CarbonInputFormat.getSplits BTree
+  * lookup feeding CarbonQueryRDD partitions).
+  *
+  * Shape: `Filter(cond, LogicalRelation(parquet over segment_N dirs))`
+  * where every root path is a `segment_N` child of one table root that
+  * has graft metadata. The relation is swapped for one over only the
+  * surviving segments (same schema, SAME output attributes, so the
+  * rest of the plan is untouched); the Filter stays for exact row
+  * semantics — min/max pruning is conservative, Parquet row-group
+  * stats prune further inside the scan.
+  *
+  * Cost: one status-file read per candidate (filter, graft-relation)
+  * pair per optimization pass — driver-side, kilobyte-scale, the same
+  * cost class as Spark's own file-index refresh. The rule converges:
+  * re-application computes the same survivor set and changes nothing.
+  */
+case class GraftSegmentPruning(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private val segRe = "segment_(\\d+)".r
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, l: LogicalRelation) if !l.isStreaming =>
+      l.relation match {
+        case h: HadoopFsRelation =>
+          tableRootOf(h) match {
+            case Some(root) =>
+              val t = SegmentedTable.open(spark, root)
+              val survivorIds = t.pruneSegmentsExpr(cond).map(_.id).toSet
+              val keep = h.location.rootPaths.filter(p =>
+                idOf(p.getName).exists(survivorIds.contains))
+              if (keep.length == h.location.rootPaths.length) f
+              else if (keep.isEmpty)
+                // nothing can match: collapse to an empty relation with
+                // the SAME output attributes (Filter kept for safety)
+                Filter(cond, LocalRelation(l.output))
+              else {
+                val rel = ColumnExpr.parquetRelation(spark,
+                  keep.map(_.toString), t.schema)
+                Filter(cond, l.copy(relation = rel))
+              }
+            case None => f
+          }
+        case _ => f
+      }
+  }
+
+  private def idOf(dirName: String): Option[Int] = dirName match {
+    case segRe(n) => Some(n.toInt)
+    case _ => None
+  }
+
+  /** All root paths must be segment dirs of ONE graft table root. */
+  private def tableRootOf(h: HadoopFsRelation): Option[String] = {
+    val paths = h.location.rootPaths
+    if (paths.isEmpty || !paths.forall(p => idOf(p.getName).isDefined)) return None
+    val parents = paths.map(_.getParent).distinct
+    if (parents.length != 1) return None
+    val root = parents.head.toUri.getPath
+    if (Files.exists(Paths.get(root, "_meta", "status.json"))) Some(root)
+    else None
+  }
+}

@@ -202,9 +202,7 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
   def pruneSegments(predicate: Column): Seq[SegmentMeta] = {
     // The raw Column is an unresolved tree (Spark 4 column nodes);
     // analyze it against an empty relation with the table schema to
-    // get resolved comparisons, then fold constant subtrees (e.g.
-    // Cast of a string literal to timestamp) so they participate in
-    // min/max pruning.
+    // get resolved comparisons.
     val dummy = spark.createDataFrame(
       java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
     val analyzed = dummy.filter(predicate).queryExecution.analyzed
@@ -213,14 +211,22 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     }
     cond match {
       case None => liveSegments
-      case Some(c) =>
-        val folded = c.transformUp {
-          case e if e.foldable && !e.isInstanceOf[Literal] =>
-            Literal.create(e.eval(), e.dataType)
-        }
-        val conjuncts = splitConjuncts(folded)
-        liveSegments.filter(seg => conjuncts.forall(x => mayMatch(seg, x)))
+      case Some(c) => pruneSegmentsExpr(c)
     }
+  }
+
+  /** Pruning against an already-resolved Catalyst condition (the
+    * optimizer-rule entry point, [[GraftSegmentPruning]]). Constant
+    * subtrees (e.g. Cast of a string literal to timestamp) are folded
+    * first so they participate in min/max comparison.
+    */
+  private[graft] def pruneSegmentsExpr(c: Expression): Seq[SegmentMeta] = {
+    val folded = c.transformUp {
+      case e if e.foldable && !e.isInstanceOf[Literal] =>
+        Literal.create(e.eval(), e.dataType)
+    }
+    val conjuncts = splitConjuncts(folded)
+    liveSegments.filter(seg => conjuncts.forall(x => mayMatch(seg, x)))
   }
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {

@@ -67,6 +67,44 @@ class SegmentedTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.scan(col("k") === lit(null).cast("long")).count() == 0)
   }
 
+  test("optimizer rule prunes segments for any filtered read") {
+    val root = freshRoot("autoprune")
+    val t = SegmentedTable.create(spark, root, li.schema, Map.empty)
+    t.load(li.filter(year(col("l_shipdate")) <= 1995))
+    t.load(li.filter(year(col("l_shipdate")) > 1995))
+
+    def scanned(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.map(_.toString)
+            case _ => Nil
+          }
+      }.flatten
+
+    val pred = col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+    // DataFrame over format("graft"): no manual scan() call anywhere
+    val df = spark.read.format("graft").load(root).filter(pred)
+    assert(scanned(df).nonEmpty && scanned(df).forall(_.endsWith("segment_1")),
+      s"scanned: ${scanned(df)}")
+    assert(df.count() == li.filter(pred).count())
+
+    // provably-empty predicate collapses to an empty local relation
+    val none = spark.read.format("graft").load(root).filter(col("l_orderkey") < -1L)
+    assert(scanned(none).isEmpty, s"scanned: ${scanned(none)}")
+    assert(none.count() == 0)
+
+    // plain SQL over a view of the table prunes the same way
+    t.read().createOrReplaceTempView("autoprune_v")
+    val sqlDf = spark.sql(
+      "SELECT l_returnflag, count(*) AS cnt FROM autoprune_v " +
+        "WHERE l_shipdate >= TIMESTAMP '1997-01-01' GROUP BY l_returnflag")
+    assert(scanned(sqlDf).forall(_.endsWith("segment_1")), s"scanned: ${scanned(sqlDf)}")
+    // unfiltered read still sees every segment
+    assert(spark.read.format("graft").load(root).count() == li.count())
+  }
+
   test("date-column stats prune segments") {
     val root = freshRoot("dateprune")
     val withDate = li.withColumn("ship_date", to_date(col("l_shipdate")))
