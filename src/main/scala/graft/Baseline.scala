@@ -200,6 +200,14 @@ object Baseline {
           count(lit(1)).as("cnt"))
     }),
 
+    // the point lookup's plain formulation: filter the source parquet
+    // (row-group stats only, no segment skipping, no bloom index)
+    "g04_bloom_point_lookup" -> ((s, d) => {
+      Tables.orders(s, d)
+        .filter(col("o_orderkey").isin(2L, 4L, 6L, 32L))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    }),
+
     // the ingest query's plain formulation: aggregate the source
     // parquet directly (no segment table between)
     "st03_stream_ingest" -> ((s, d) => {

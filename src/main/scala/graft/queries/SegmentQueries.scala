@@ -64,6 +64,26 @@ object SegmentQueries {
     t
   }
 
+  /** Orders split into two interleaved-key segments (even/odd order
+    * key) with a bloom index on the key: every segment spans the whole
+    * key range, so min/max pruning proves nothing for a point lookup —
+    * only the bloom sidecar can skip a segment.
+    */
+  private def ordersBloom(s: SparkSession, d: String): SegmentedTable =
+    built.getOrElseUpdate(s"ob|$d", {
+      val root = s"/tmp/graft_tables/${d.replace('/', '_')}/orders_bloom"
+      val o = Tables.orders(s, d)
+      val t =
+        if (SegmentedTable.exists(root)) {
+          val x = SegmentedTable.open(s, root)
+          x.deleteSegments(x.showSegments().map(_.id)); x.cleanFiles(); x
+        } else SegmentedTable.create(s, root, o.schema,
+          Map("bloom_columns" -> "o_orderkey"))
+      t.load(o.filter(col("o_orderkey") % 2 === 0))
+      t.load(o.filter(col("o_orderkey") % 2 === 1))
+      t
+    })
+
   /** Fact-fact co-location (reference PartitionData pre-split,
     * SampleDataPartitionerImpl): lineitem and orders are written as
     * Spark bucketed tables hashed on the order key with the SAME
@@ -132,6 +152,21 @@ object SegmentQueries {
         .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
     }),
 
+    // bloom-indexed point lookup through the automatic pruning rule:
+    // even keys live in segment 0, odd in segment 1, and both span the
+    // full key range — min/max cannot prune, the bloom skips the odd
+    // segment, and the oracle proves the lookup loses no rows
+    "g04_bloom_point_lookup" -> ((s, d) => {
+      import graft.table.GraftSegmentPruning
+      if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[GraftSegmentPruning]))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ GraftSegmentPruning(s)
+      val t = ordersBloom(s, d)
+      t.read()
+        .filter(col("o_orderkey").isin(2L, 4L, 6L, 32L))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    }),
+
     // co-located fact-fact join: both sides bucketed on the order key,
     // so the join itself needs no Exchange (the tiny post-join agg
     // shuffle remains — it moves grouped rows, not the fact tables)
@@ -156,6 +191,10 @@ object SegmentQueries {
       """SELECT o_orderstatus, COUNT(*) AS cnt,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM orders GROUP BY o_orderstatus""",
+
+    "g04_bloom_point_lookup" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         WHERE o_orderkey IN (2, 4, 6, 32)""",
 
     // the bucketed layout must be exactly row-preserving: the oracle is
     // the same join+agg over the original tables

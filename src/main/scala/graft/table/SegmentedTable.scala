@@ -115,6 +115,70 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     properties.get("zorder_columns").toSeq.flatMap(_.split(",")).map(_.trim)
       .filter(_.nonEmpty)
 
+  /** Bloom-indexed columns (reference per-blocklet BTree/inverted
+    * index for point predicates): per segment, a Bloom filter over
+    * xxhash64(column) answers "can value X be in this segment?" for
+    * equality/IN predicates where min/max proves nothing (unsorted
+    * high-cardinality keys). Hashing to long on BOTH the build and
+    * probe side keeps one unambiguous representation — no per-type
+    * Bloom dispatch to mismatch.
+    */
+  def bloomColumns: Seq[String] =
+    properties.get("bloom_columns").toSeq.flatMap(_.split(",")).map(_.trim)
+      .filter(_.nonEmpty)
+
+  private def bloomFile(segId: Int, column: String): Path =
+    metaDir.resolve(s"bloom_${segId}_$column.bin")
+
+  /** One extra pass per bloom column at load/compact time — the write
+    * path pays for the read path, as with every index.
+    */
+  private def buildBlooms(dir: Path, segId: Int, rows: Long): Unit =
+    bloomColumns.filter(schema.fieldNames.contains).foreach { c =>
+      val bf = spark.read.schema(schema).parquet(dir.toString)
+        .select(org.apache.spark.sql.functions.xxhash64(col(c)).as("h"))
+        .stat.bloomFilter("h", math.max(rows, 1L), 0.03)
+      val os = Files.newOutputStream(bloomFile(segId, c))
+      try bf.writeTo(os) finally os.close()
+    }
+
+  /** Lazily-loaded per-(segment, column) blooms; None = no sidecar
+    * (column not indexed, or written by an older catalog) = never
+    * prune.
+    */
+  private val bloomCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String),
+      Option[org.apache.spark.util.sketch.BloomFilter]]()
+
+  private def bloomOf(segId: Int, column: String)
+      : Option[org.apache.spark.util.sketch.BloomFilter] =
+    bloomCache.computeIfAbsent((segId, column), { _ =>
+      val f = bloomFile(segId, column)
+      if (!Files.exists(f)) None
+      else {
+        val is = Files.newInputStream(f)
+        try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(is))
+        finally is.close()
+      }
+    })
+
+  /** Bloom verdict for `column = v` on one segment: false ONLY when an
+    * index exists and proves absence. The literal must carry the
+    * column's exact type (no stripped cast) — xxhash64 is
+    * type-sensitive, so a widened literal would hash differently and
+    * prove nothing.
+    */
+  private def bloomMayContain(seg: SegmentMeta, column: String, v: Any,
+                              t: DataType): Boolean =
+    if (v == null || !bloomColumns.contains(column)) true
+    else bloomOf(seg.id, column) match {
+      case Some(bf) =>
+        val h = new org.apache.spark.sql.catalyst.expressions.XxHash64(
+          Seq(Literal.create(v, t))).eval(null).asInstanceOf[Long]
+        bf.mightContainLong(h)
+      case None => true
+    }
+
   def load(df: DataFrame): Int = withLock {
     val st = status
     val id = st.nextId
@@ -132,6 +196,7 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     sorted.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     Files.move(tmp, segmentDir(id), StandardCopyOption.ATOMIC_MOVE)
     val (rows, stats, nulls) = collectStats(segmentDir(id))
+    buildBlooms(segmentDir(id), id, rows)
     commitStatus(TableStatus(id + 1,
       st.segments :+ SegmentMeta(id, SUCCESS, rows, System.currentTimeMillis(),
         stats, nulls)))
@@ -249,13 +314,24 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
   /** Conservative overlap test: false only when stats PROVE the
     * segment cannot contain a matching row.
     */
+  /** Bare attribute name — NO cast stripping, unlike [[attrName]]: the
+    * bloom probe requires the literal to carry the column's exact type.
+    */
+  private def bareAttrName(e: Expression): Option[String] = e match {
+    case a: Attribute => Some(a.name)
+    case u: UnresolvedAttribute => Some(u.name)
+    case _ => None
+  }
+
   private def mayMatch(seg: SegmentMeta, e: Expression): Boolean = e match {
     case EqualTo(a, Literal(v, t)) => attrName(a) match {
-      case Some(n) => rangeContains(seg, n, v, t)
+      case Some(n) => rangeContains(seg, n, v, t) &&
+        bareAttrName(a).forall(bn => bloomMayContain(seg, bn, v, t))
       case None => true
     }
     case EqualTo(Literal(v, t), a) => attrName(a) match {
-      case Some(n) => rangeContains(seg, n, v, t)
+      case Some(n) => rangeContains(seg, n, v, t) &&
+        bareAttrName(a).forall(bn => bloomMayContain(seg, bn, v, t))
       case None => true
     }
     case GreaterThan(a, Literal(v, t)) => cmpMax(seg, a, v, t)(_ > 0)
@@ -267,7 +343,10 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     case LessThan(Literal(v, t), a) => cmpMax(seg, a, v, t)(_ > 0)
     case LessThanOrEqual(Literal(v, t), a) => cmpMax(seg, a, v, t)(_ >= 0)
     case In(a, vs) if vs.forall(_.isInstanceOf[Literal]) => attrName(a) match {
-      case Some(n) => vs.exists { case Literal(v, t) => rangeContains(seg, n, v, t) }
+      case Some(n) => vs.exists { case Literal(v, t) =>
+        rangeContains(seg, n, v, t) &&
+          bareAttrName(a).forall(bn => bloomMayContain(seg, bn, v, t))
+      }
       case None => true
     }
     // null-count pruning: a segment with PROVEN zero nulls in the
@@ -358,7 +437,17 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
   def cleanFiles(): Unit = withLock {
     val st = status
     val dead = st.segments.filter(s => s.status == DELETED || s.status == COMPACTED)
-    dead.foreach(s => deleteRecursively(segmentDir(s.id)))
+    dead.foreach { s =>
+      deleteRecursively(segmentDir(s.id))
+      // bloom sidecars of the removed segment, whatever the current
+      // bloom_columns property says (it may have changed since load)
+      import scala.jdk.CollectionConverters._
+      val listing = Files.list(metaDir)
+      try listing.iterator().asScala
+        .filter(_.getFileName.toString.startsWith(s"bloom_${s.id}_"))
+        .toList.foreach(Files.deleteIfExists(_))
+      finally listing.close()
+    }
     commitStatus(st.copy(segments = st.segments.filterNot(s => dead.exists(_.id == s.id))))
   }
 
@@ -397,6 +486,7 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
       } else {
         val newId = st.nextId
         Files.move(tmp, segmentDir(newId), StandardCopyOption.ATOMIC_MOVE)
+        buildBlooms(segmentDir(newId), newId, rows)
         commitStatus(TableStatus(newId + 1,
           st.segments.map(s => if (live.exists(_.id == s.id)) s.copy(status = COMPACTED) else s) :+
             SegmentMeta(newId, SUCCESS, rows, System.currentTimeMillis(),

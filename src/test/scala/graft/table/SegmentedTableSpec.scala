@@ -120,6 +120,40 @@ class SegmentedTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.pruneSegments(col("ship_date") === lit("2099-01-01").cast("date")).isEmpty)
   }
 
+  test("bloom index prunes point lookups that min/max cannot") {
+    import spark.implicits._
+    val root = freshRoot("bloom")
+    // interleaved keys: both segments span [1..100], so min/max proves
+    // nothing for any point lookup — only the bloom can prune
+    val even = (2 to 100 by 2).map(k => (k.toLong, s"v$k")).toDF("k", "v")
+    val odd = (1 to 99 by 2).map(k => (k.toLong, s"v$k")).toDF("k", "v")
+    val t = SegmentedTable.create(spark, root, even.schema,
+      Map("bloom_columns" -> "k,v"))
+    t.load(even)
+    t.load(odd)
+    // long point lookup: exactly one segment survives
+    val hit42 = t.pruneSegments(col("k") === 42L)
+    assert(hit42.map(_.id) == Seq(0), s"expected only even segment, got $hit42")
+    assert(t.pruneSegments(col("k") === 43L).map(_.id) == Seq(1))
+    assert(t.scan(col("k") === 42L).count() == 1)
+    // string bloom too
+    assert(t.pruneSegments(col("v") === "v42").map(_.id) == Seq(0))
+    // IN over both parities keeps both segments
+    assert(t.pruneSegments(col("k").isin(42L, 43L)).map(_.id) == Seq(0, 1))
+    // a value outside the domain may prune everything (no false negatives
+    // required, but the scan must still be exact)
+    assert(t.scan(col("k") === 1000L).count() == 0)
+    // compaction rebuilds the index for the merged segment
+    t.compact(); t.cleanFiles()
+    val seg = t.showSegments()
+    assert(seg.length == 1)
+    assert(t.pruneSegments(col("k") === 42L).map(_.id) == seg.map(_.id))
+    assert(t.scan(col("k") === 42L).count() == 1)
+    // widened literal (int column semantics differ) must not mis-prune:
+    // a cast-wrapped attribute skips the bloom and stays conservative
+    assert(t.scan(col("k").cast("int") === 42).count() == 1)
+  }
+
   test("IsNull / IsNotNull prune on per-segment null counts") {
     import spark.implicits._
     val root = freshRoot("nullprune")
