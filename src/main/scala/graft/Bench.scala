@@ -85,8 +85,13 @@ object Bench {
       }.mkString("{", ",", "}")
     // short key = unique id prefix before the first underscore
     def short(n: String): String = n.takeWhile(_ != '_')
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val baselineTotal = results.map(_._3).filter(_ >= 0).sum
+    // totals are computed over PAIRS where both sides succeeded: a
+    // query that crashed on one side must not leave its other side's
+    // time in only one total, or the ratio compares mismatched query
+    // sets (a crashing slow graft query would IMPROVE the ratio)
+    val valid = results.filter(r => r._2 >= 0 && r._3 >= 0)
+    val total = valid.map(_._2).sum
+    val baselineTotal = valid.map(_._3).sum
     val ratio = if (baselineTotal > 0) total / baselineTotal else -1.0
     val failed = results.filter(r => r._2 < 0 || r._3 < 0).map(_._1)
     // full-precision detail for humans / the judge

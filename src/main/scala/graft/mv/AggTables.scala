@@ -99,8 +99,10 @@ object AggTables {
     val mv = Paths.get(s"$dir/$name.parquet")
     if (Files.exists(mv)) {
       import scala.jdk.CollectionConverters._
-      Files.walk(mv).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(Files.deleteIfExists(_))
+      val walk = Files.walk(mv)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.toList.foreach(Files.deleteIfExists(_))
+      finally walk.close()
     }
   }
 
@@ -108,10 +110,13 @@ object AggTables {
     val d = Paths.get(catalogDir(spark))
     if (!Files.exists(d)) return Nil
     import scala.jdk.CollectionConverters._
-    Files.list(d).iterator().asScala
-      .filter(_.toString.endsWith(".json"))
-      .map(p => Serialization.read[AggTableMeta](Files.readString(p)))
-      .toSeq
+    // this runs once per optimizer pass: close the listing stream, or
+    // every query leaks a directory descriptor until GC
+    val listing = Files.list(d)
+    val jsons =
+      try listing.iterator().asScala.filter(_.toString.endsWith(".json")).toList
+      finally listing.close()
+    jsons.map(p => Serialization.read[AggTableMeta](Files.readString(p)))
   }
 
   /** Staleness guard: digest of the base directory's data-file listing
@@ -143,7 +148,23 @@ object AggTables {
   * derivable from its measures → same Aggregate over the (tiny) MV.
   * Injected with `injectOptimizerRule(AggTableRewrite(_))`.
   */
+object AggTableRewrite {
+  private[mv] val Marker = "spark.graft.rule.aggTableRewrite"
+
+  /** Register in a session built without GraftSqlExtensions; no-op
+    * when the extension already injected the rule (see the identical
+    * pattern on [[graft.table.GraftSegmentPruning.ensureRegistered]]).
+    */
+  def ensureRegistered(s: SparkSession): Unit = {
+    s.sessionState.optimizer
+    if (!java.lang.Boolean.parseBoolean(s.conf.get(Marker, "false")))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ AggTableRewrite(s)
+  }
+}
+
 case class AggTableRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+  spark.conf.set(AggTableRewrite.Marker, "true")
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val mvs = AggTables.registered(spark)

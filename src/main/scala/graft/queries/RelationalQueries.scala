@@ -425,12 +425,9 @@ object RelationalQueries {
       }
       // Verify/Bench run on a plain session (no injected extensions);
       // registering the rewrite via experimental optimizer rules gives
-      // the same optimizer-batch behavior. Idempotent: applied to an
-      // already-rewritten plan the rule finds no registered MV for the
-      // MV's own path and leaves it untouched.
-      if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[AggTableRewrite]))
-        s.experimental.extraOptimizations =
-          s.experimental.extraOptimizations :+ AggTableRewrite(s)
+      // the same optimizer-batch behavior, and ensureRegistered is a
+      // no-op when GraftSqlExtensions already injected the rule.
+      AggTableRewrite.ensureRegistered(s)
       s.read.parquet(base)
         .groupBy(col("o_orderstatus"))
         .agg(sum(col("o_orderkey")).as("sum_key"),

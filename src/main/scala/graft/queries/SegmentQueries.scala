@@ -107,9 +107,12 @@ object SegmentQueries {
       def reset(n: String, sub: String): Unit = {
         s.sql(s"DROP TABLE IF EXISTS $n")
         val p = Paths.get(s"$wh/$sub")
-        if (Files.exists(p))
-          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        if (Files.exists(p)) {
+          val walk = Files.walk(p)
+          try walk.sorted(java.util.Comparator.reverseOrder())
             .forEach(f => Files.delete(f))
+          finally walk.close()
+        }
       }
       reset(liName, "lineitem"); reset(ordName, "orders")
       Tables.lineitem(s, d).write.format("parquet")
@@ -132,10 +135,7 @@ object SegmentQueries {
     // (GraftSegmentPruning) over a plain read().filter(), not the
     // manual scan() API — the gate proves the automatic path row-exact
     "g01_segment_pruned_scan" -> ((s, d) => {
-      import graft.table.GraftSegmentPruning
-      if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[GraftSegmentPruning]))
-        s.experimental.extraOptimizations =
-          s.experimental.extraOptimizations :+ GraftSegmentPruning(s)
+      graft.table.GraftSegmentPruning.ensureRegistered(s)
       val t = lineitemTable(s, d)
       val pred = col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
       t.read().filter(pred)
@@ -157,10 +157,7 @@ object SegmentQueries {
     // full key range — min/max cannot prune, the bloom skips the odd
     // segment, and the oracle proves the lookup loses no rows
     "g04_bloom_point_lookup" -> ((s, d) => {
-      import graft.table.GraftSegmentPruning
-      if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[GraftSegmentPruning]))
-        s.experimental.extraOptimizations =
-          s.experimental.extraOptimizations :+ GraftSegmentPruning(s)
+      graft.table.GraftSegmentPruning.ensureRegistered(s)
       val t = ordersBloom(s, d)
       t.read()
         .filter(col("o_orderkey").isin(2L, 4L, 6L, 32L))

@@ -370,7 +370,10 @@ case class ShowGraftTablesCommand() extends LeafRunnableCommand {
     val root = java.nio.file.Paths.get(GraftCatalog.storeRoot(spark))
     if (!java.nio.file.Files.isDirectory(root)) return Nil
     import scala.jdk.CollectionConverters._
-    java.nio.file.Files.list(root).iterator().asScala.toSeq
+    val listing = java.nio.file.Files.list(root)
+    val entries =
+      try listing.iterator().asScala.toList finally listing.close()
+    entries
       .filter(p => SegmentedTable.exists(p.toString))
       .sortBy(_.getFileName.toString)
       .map { p =>

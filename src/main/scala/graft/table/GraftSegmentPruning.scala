@@ -30,7 +30,26 @@ import org.apache.spark.sql.graftbridge.ColumnExpr
   * cost class as Spark's own file-index refresh. The rule converges:
   * re-application computes the same survivor set and changes nothing.
   */
+object GraftSegmentPruning {
+  private[graft] val Marker = "spark.graft.rule.segmentPruning"
+
+  /** Register the rule in a session built WITHOUT GraftSqlExtensions
+    * (Verify/Bench run plain sessions). No-op when the extension
+    * already injected it: forcing the optimizer to build first runs
+    * the injected constructor, which stamps the session marker —
+    * without the check the rule would run twice per optimizer pass,
+    * doubling the driver-side catalog reads on every query.
+    */
+  def ensureRegistered(s: SparkSession): Unit = {
+    s.sessionState.optimizer
+    if (!java.lang.Boolean.parseBoolean(s.conf.get(Marker, "false")))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ GraftSegmentPruning(s)
+  }
+}
+
 case class GraftSegmentPruning(spark: SparkSession) extends Rule[LogicalPlan] {
+  spark.conf.set(GraftSegmentPruning.Marker, "true")
 
   private val segRe = "segment_(\\d+)".r
 
@@ -41,9 +60,20 @@ case class GraftSegmentPruning(spark: SparkSession) extends Rule[LogicalPlan] {
           tableRootOf(h) match {
             case Some(root) =>
               val t = SegmentedTable.open(spark, root)
-              val survivorIds = t.pruneSegmentsExpr(cond).map(_.id).toSet
+              // prune WITHIN the relation's snapshot: look up catalog
+              // stats for exactly the segment ids the relation already
+              // references (whatever their current status — COMPACTED/
+              // DELETED entries keep their stats until cleanFiles), so
+              // a plan captured before a concurrent compact/delete
+              // keeps returning its snapshot's rows. An id no longer
+              // in the catalog has no stats → kept, conservative.
+              val byId = t.status.segments.map(m => m.id -> m).toMap
+              val referenced = h.location.rootPaths
+                .flatMap(p => idOf(p.getName).flatMap(byId.get))
+              val survivorIds = t.pruneAmong(referenced, cond).map(_.id).toSet
               val keep = h.location.rootPaths.filter(p =>
-                idOf(p.getName).exists(survivorIds.contains))
+                idOf(p.getName).forall(id =>
+                  !byId.contains(id) || survivorIds.contains(id)))
               if (keep.length == h.location.rootPaths.length) f
               else if (keep.isEmpty)
                 // nothing can match: collapse to an empty relation with

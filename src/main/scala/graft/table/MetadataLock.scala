@@ -85,40 +85,56 @@ final class LeaseLock(ttlMs: Long = 60000, pollMs: Long = 20,
     val deadline = System.currentTimeMillis() + acquireTimeoutMs
     var acquired = false
     while (!acquired) {
+      // deadline first, so EVERY contention path (including a stuck
+      // steal whose delete keeps failing) times out rather than
+      // spinning forever
+      if (System.currentTimeMillis() > deadline)
+        throw new IllegalStateException(
+          s"timed out acquiring lease $lease after ${acquireTimeoutMs}ms")
       try {
         Files.write(lease, s"$token:${System.currentTimeMillis() + ttlMs}"
           .getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
         acquired = true
       } catch {
         case _: FileAlreadyExistsException =>
-          if (isExpired(lease)) {
-            // steal: delete then retry the atomic create; losing a
-            // steal race just loops back into contention
-            try Files.deleteIfExists(lease)
-            catch { case _: java.io.IOException => () }
-          } else if (System.currentTimeMillis() > deadline) {
-            throw new IllegalStateException(
-              s"timed out acquiring lease $lease after ${acquireTimeoutMs}ms")
-          } else Thread.sleep(pollMs)
+          val observed = readContent(lease)
+          if (observed.exists(isExpiredContent)) {
+            // steal: re-read immediately before deleting and only
+            // delete if the lease is byte-identical to the expired
+            // content just observed — a fresh lease written in between
+            // has a different token/expiry and aborts the steal. The
+            // μs between re-read and delete remains a race this
+            // primitive cannot close (delete-if-content-matches is not
+            // atomic on a plain filesystem); a DFS implementation
+            // should swap in its conditional-delete here.
+            if (readContent(lease) == observed)
+              try Files.deleteIfExists(lease)
+              catch { case _: java.io.IOException => () }
+          }
+          Thread.sleep(pollMs)
       }
     }
     try f finally {
       // release only a lease we still own — a stolen-from holder must
-      // not delete the thief's lease
+      // not delete the thief's lease (same narrow re-read caveat as
+      // the steal path)
       try {
-        if (new String(Files.readAllBytes(lease), "UTF-8").startsWith(token + ":"))
+        if (readContent(lease).exists(_.startsWith(token + ":")))
           Files.deleteIfExists(lease)
       } catch { case _: java.io.IOException => () }
     }
   }
 
-  private def isExpired(lease: Path): Boolean =
-    try {
-      val parts = new String(Files.readAllBytes(lease), "UTF-8").split(':')
-      parts.length == 2 && parts(1).toLong < System.currentTimeMillis()
-    } catch {
-      // unreadable/missing mid-race or malformed: let the create retry
-      // decide, never treat as expired
-      case _: Exception => false
-    }
+  private def readContent(lease: Path): Option[String] =
+    try Some(new String(Files.readAllBytes(lease), "UTF-8"))
+    catch { case _: java.io.IOException => None }
+
+  private def isExpiredContent(content: String): Boolean = {
+    // malformed content is never treated as expired — let the create
+    // retry decide
+    val parts = content.split(':')
+    parts.length == 2 &&
+      (try parts(1).toLong < System.currentTimeMillis()
+       catch { case _: NumberFormatException => false })
+  }
 }

@@ -285,13 +285,22 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     * subtrees (e.g. Cast of a string literal to timestamp) are folded
     * first so they participate in min/max comparison.
     */
-  private[graft] def pruneSegmentsExpr(c: Expression): Seq[SegmentMeta] = {
+  private[graft] def pruneSegmentsExpr(c: Expression): Seq[SegmentMeta] =
+    pruneAmong(liveSegments, c)
+
+  /** Pruning restricted to an explicit candidate set — the optimizer
+    * rule passes the segments its RELATION references (a reader's
+    * snapshot), not the current live set, so a concurrent
+    * compact/delete cannot make a captured plan silently lose rows.
+    */
+  private[graft] def pruneAmong(candidates: Seq[SegmentMeta],
+                                c: Expression): Seq[SegmentMeta] = {
     val folded = c.transformUp {
       case e if e.foldable && !e.isInstanceOf[Literal] =>
         Literal.create(e.eval(), e.dataType)
     }
     val conjuncts = splitConjuncts(folded)
-    liveSegments.filter(seg => conjuncts.forall(x => mayMatch(seg, x)))
+    candidates.filter(seg => conjuncts.forall(x => mayMatch(seg, x)))
   }
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
@@ -352,11 +361,14 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     // null-count pruning: a segment with PROVEN zero nulls in the
     // column cannot satisfy IS NULL; one with all-null cannot satisfy
     // IS NOT NULL. Absent counts (pre-upgrade catalogs) never prune.
-    case IsNull(a) => attrName(a) match {
+    // bareAttrName, NOT attrName: a cast can INTRODUCE nulls
+    // (try_cast, string→numeric), so "zero stored nulls" proves
+    // nothing about IS NULL over a cast column.
+    case IsNull(a) => bareAttrName(a) match {
       case Some(n) => seg.nullCounts.get(n).forall(_ > 0)
       case None => true
     }
-    case IsNotNull(a) => attrName(a) match {
+    case IsNotNull(a) => bareAttrName(a) match {
       case Some(n) => seg.nullCounts.get(n).forall(_ < seg.rowCount)
       case None => true
     }
@@ -582,9 +594,12 @@ object SegmentedTable {
     Serialization.read[TableStatus](Files.readString(p))
 
   private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(Comparator.reverseOrder[Path]())
         .forEach(f => Files.delete(f))
+      finally walk.close()
+    }
 
   private[table] def writeSchema(root: Path, schema: StructType,
                                  properties: Map[String, String]): Unit = {
