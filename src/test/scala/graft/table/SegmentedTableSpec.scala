@@ -120,6 +120,26 @@ class SegmentedTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.pruneSegments(col("ship_date") === lit("2099-01-01").cast("date")).isEmpty)
   }
 
+  test("a captured plan keeps its snapshot across a concurrent compact") {
+    import spark.implicits._
+    val root = freshRoot("snapshot")
+    val a = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+    val b = Seq((3L, "z")).toDF("k", "v")
+    val t = SegmentedTable.create(spark, root, a.schema, Map.empty)
+    t.load(a); t.load(b)
+    // capture a filtered plan over segments {0,1}, then compact: the
+    // catalog now lists 0,1 as COMPACTED and a new segment 2 — the
+    // pruning rule must prune within the CAPTURED snapshot, not against
+    // the current live set, or this df silently returns 0 rows
+    val df = t.read().filter(col("k") >= 1L)
+    assert(df.count() == 3)
+    t.compact()
+    assert(df.count() == 3, "captured plan lost rows after compact")
+    // and pruning still works on the snapshot's own stats
+    val dfPoint = t.read().filter(col("k") === 3L)
+    assert(dfPoint.count() == 1)
+  }
+
   test("bloom index prunes point lookups that min/max cannot") {
     import spark.implicits._
     val root = freshRoot("bloom")
