@@ -128,6 +128,48 @@ object SegmentQueries {
     (liName, ordName)
   }
 
+  /** Documents table with two segments split on doc_id parity, then a
+    * row-level DELETE of one language — both segments span the full
+    * id range, so the DML's copy-on-write path must rewrite both, and
+    * the oracle proves it removed exactly the matching rows.
+    */
+  private def documentsDeleted(s: SparkSession, d: String): SegmentedTable =
+    built.getOrElseUpdate(s"docdel|$d", {
+      val root = s"/tmp/graft_tables/${d.replace('/', '_')}/documents_del"
+      val docs = Tables.documents(s, d)
+      val t =
+        if (SegmentedTable.exists(root)) {
+          val x = SegmentedTable.open(s, root)
+          x.deleteSegments(x.showSegments().map(_.id)); x.cleanFiles(); x
+        } else SegmentedTable.create(s, root, docs.schema,
+          Map("sort_columns" -> "doc_id"))
+      t.load(docs.filter(col("doc_id") % 2 === 0))
+      t.load(docs.filter(col("doc_id") % 2 === 1))
+      t.delete(col("lang") === "de")
+      t
+    })
+
+  /** Orders table in two segments, then a row-level UPDATE doubling
+    * the price of finished orders (double-by-2 is exact in binary, so
+    * the rewritten values hash-match the oracle's CASE expression).
+    */
+  private def ordersUpdated(s: SparkSession, d: String): SegmentedTable =
+    built.getOrElseUpdate(s"ordupd|$d", {
+      val root = s"/tmp/graft_tables/${d.replace('/', '_')}/orders_upd"
+      val o = Tables.orders(s, d)
+      val t =
+        if (SegmentedTable.exists(root)) {
+          val x = SegmentedTable.open(s, root)
+          x.deleteSegments(x.showSegments().map(_.id)); x.cleanFiles(); x
+        } else SegmentedTable.create(s, root, o.schema,
+          Map("sort_columns" -> "o_orderdate"))
+      t.load(o.filter(col("o_orderkey") % 2 === 0))
+      t.load(o.filter(col("o_orderkey") % 2 === 1))
+      t.update(col("o_orderstatus") === "F",
+        Map("o_totalprice" -> (col("o_totalprice") * 2)))
+      t
+    })
+
   val queries: Map[String, Q] = Map(
     // load (2 segments) → min/max-pruned scan → aggregate; oracle is
     // the same filter+agg on the source table, so pruning must lose
@@ -164,6 +206,24 @@ object SegmentQueries {
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
     }),
 
+    // row-level DELETE through copy-on-write rewrite: the oracle is
+    // the same aggregate over the source rows the predicate spared
+    "g05_row_delete" -> ((s, d) => {
+      val t = documentsDeleted(s, d)
+      t.read()
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("sum_chars"))
+    }),
+
+    // row-level UPDATE: assignments applied to matching rows only,
+    // hash-checked against the oracle's CASE projection
+    "g06_row_update" -> ((s, d) => {
+      val t = ordersUpdated(s, d)
+      t.read()
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+    }),
+
     // co-located fact-fact join: both sides bucketed on the order key,
     // so the join itself needs no Exchange (the tiny post-join agg
     // shuffle remains — it moves grouped rows, not the fact tables)
@@ -192,6 +252,18 @@ object SegmentQueries {
     "g04_bloom_point_lookup" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
          WHERE o_orderkey IN (2, 4, 6, 32)""",
+
+    "g05_row_delete" ->
+      """SELECT lang, COUNT(*) AS cnt,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         FROM documents WHERE lang <> 'de' GROUP BY lang""",
+
+    "g06_row_update" ->
+      """SELECT o_orderstatus, COUNT(*) AS cnt,
+         CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F'
+                            THEN o_totalprice * 2
+                            ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders GROUP BY o_orderstatus""",
 
     // the bucketed layout must be exactly row-preserving: the oracle is
     // the same join+agg over the original tables

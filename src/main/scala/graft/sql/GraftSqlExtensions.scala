@@ -121,6 +121,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*DESCRIBE\s+GRAFT\s+TABLE\s+(\w+)\s*""".r
   private val deleteSegRe =
     """(?is)\s*DELETE\s+GRAFT\s+SEGMENT\s+([\d\s,]+)\s+FROM\s+(\w+)\s*""".r
+  private val deleteRowsRe =
+    """(?is)\s*DELETE\s+FROM\s+GRAFT\s+TABLE\s+(\w+)\s+WHERE\s+(.+)""".r
+  private val updateRowsRe =
+    """(?is)\s*UPDATE\s+GRAFT\s+TABLE\s+(\w+)\s+SET\s+(.+?)\s+WHERE\s+(.+)""".r
   private val compactRe =
     """(?is)\s*COMPACT\s+GRAFT\s+TABLE\s+(\w+)\s*""".r
   private val cleanRe =
@@ -159,6 +163,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case showSegRe(name) => ShowGraftSegmentsCommand(name)
     case deleteSegRe(ids, name) =>
       DeleteGraftSegmentsCommand(name, ids.split(",").map(_.trim.toInt).toSeq)
+    case deleteRowsRe(name, where) => DeleteGraftRowsCommand(name, where.trim)
+    case updateRowsRe(name, setList, where) =>
+      UpdateGraftRowsCommand(name, splitAssignments(setList), where.trim)
     case compactRe(name) => CompactGraftTableCommand(name)
     case cleanRe(name) => CleanGraftFilesCommand(name)
     case addColRe(name, colName, colType, default) =>
@@ -181,7 +188,28 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       u.trim.startsWith("DELETE") || u.trim.startsWith("COMPACT") ||
       u.trim.startsWith("CLEAN") || u.trim.startsWith("DROP") ||
       u.trim.startsWith("ALTER") || u.trim.startsWith("DESCRIBE") ||
-      u.trim.startsWith("REFRESH"))
+      u.trim.startsWith("REFRESH") || u.trim.startsWith("UPDATE"))
+  }
+
+  /** Split `a = f(x, y), b = z` on top-level commas only (commas inside
+    * parentheses belong to function arguments, not the SET list).
+    */
+  private def splitAssignments(setList: String): Seq[(String, String)] = {
+    val parts = scala.collection.mutable.ListBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    setList.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => parts += cur.result(); cur.clear()
+      case c => cur += c
+    }
+    if (cur.nonEmpty) parts += cur.result()
+    parts.toSeq.map { p =>
+      val i = p.indexOf('=')
+      require(i > 0, s"malformed assignment: $p")
+      (p.take(i).trim, p.drop(i + 1).trim)
+    }
   }
 
   override def parseExpression(s: String): Expression = delegate.parseExpression(s)
@@ -278,6 +306,42 @@ case class DeleteGraftSegmentsCommand(name: String, ids: Seq[Int])
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     GraftCatalog.open(spark, name).deleteSegments(ids); Nil
+  }
+}
+
+/** Row-level DELETE (copy-on-write segment rewrite, see
+  * [[SegmentedTable.delete]]). Returns the count of removed rows.
+  */
+case class DeleteGraftRowsCommand(name: String, whereSql: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("deleted_rows", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftCatalog.open(spark, name)
+    val pred = org.apache.spark.sql.graftbridge.ColumnExpr.toColumn(
+      spark.sessionState.sqlParser.parseExpression(whereSql))
+    val n = t.delete(pred)
+    t.read().createOrReplaceTempView(name)
+    Seq(Row(n))
+  }
+}
+
+/** Row-level UPDATE (copy-on-write segment rewrite, see
+  * [[SegmentedTable.update]]). Returns the count of updated rows.
+  */
+case class UpdateGraftRowsCommand(name: String,
+    assignments: Seq[(String, String)], whereSql: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("updated_rows", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftCatalog.open(spark, name)
+    def expr(s: String) = org.apache.spark.sql.graftbridge.ColumnExpr.toColumn(
+      spark.sessionState.sqlParser.parseExpression(s))
+    val n = t.update(expr(whereSql),
+      assignments.map { case (c, e) => c -> expr(e) }.toMap)
+    t.read().createOrReplaceTempView(name)
+    Seq(Row(n))
   }
 }
 

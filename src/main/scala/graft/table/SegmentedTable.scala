@@ -513,6 +513,124 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     */
   def countFromCatalog: Long = liveSegments.map(_.rowCount).sum
 
+  // ---- row-level DML (copy-on-write) ----
+  //
+  // The reference stops at segment granularity (DeleteLoadsById,
+  // cubeSchema.scala:1678); row-level IUD arrived in its successors
+  // with exactly this design: rewrite only the affected files, leave
+  // the rest of the table untouched. Here the unit of rewrite is the
+  // segment, and segment stats + bloom sidecars bound the work: a
+  // DELETE whose predicate touches 3 of 3000 segments rewrites 3.
+
+  /** Row-level DELETE. Segments whose stats/bloom prove no matching
+    * row keep their files; every other candidate gets one cheap
+    * match-count scan (projection = predicate columns only), and only
+    * segments with real matches are rewritten without those rows into
+    * replacement segments (re-sorted by the table's sort columns).
+    * SQL semantics: rows where the predicate is NULL survive.
+    * Returns the number of rows removed.
+    *
+    * Scale: cost is proportional to segments actually containing
+    * matches — each rewrite is one distributed filter+write over a
+    * single segment directory, never a full-table pass. The write
+    * happens outside the metadata lock (queries and loads proceed);
+    * the commit re-verifies the inputs are still live, so a
+    * concurrent compact/delete aborts this DML instead of silently
+    * resurrecting or double-deleting rows.
+    */
+  def delete(predicate: Column): Long = {
+    val keep = org.apache.spark.sql.functions.not(
+      org.apache.spark.sql.functions.coalesce(predicate, lit(false)))
+    val affected = pruneSegments(predicate)
+      .map(seg => seg -> readSegments(Seq(seg)).filter(predicate).count())
+      .filter(_._2 > 0)
+    if (affected.isEmpty) return 0L
+    // rewrite survivors outside the lock; None = whole segment dies
+    val replacements: Seq[(SegmentMeta, Option[(Path, Long, Map[String, ColStats], Map[String, Long])])] =
+      affected.map { case (seg, matched) =>
+        if (matched == seg.rowCount) seg -> None
+        else {
+          val tmp = root.resolve(s"rewriting_${seg.id}_${System.nanoTime()}")
+          val survivors = readSegments(Seq(seg)).filter(keep)
+          val sorted =
+            if (sortColumns.nonEmpty)
+              survivors.sortWithinPartitions(sortColumns.map(col): _*)
+            else survivors
+          sorted.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+          val (rows, stats, nulls) = collectStats(tmp)
+          seg -> Some((tmp, rows, stats, nulls))
+        }
+      }
+    commitRewrites(affected.map(_._1), replacements, "DELETE")
+    affected.map(_._2).sum
+  }
+
+  /** Row-level UPDATE: copy-on-write like [[delete]]. Matching rows
+    * get each assignment applied (cast to the column's declared type);
+    * non-matching rows in the same segment are rewritten unchanged;
+    * untouched segments keep their files. Returns rows updated.
+    */
+  def update(predicate: Column, assignments: Map[String, Column]): Long = {
+    val unknown = assignments.keySet.filterNot(schema.fieldNames.contains)
+    require(unknown.isEmpty, s"unknown columns in UPDATE: ${unknown.mkString(", ")}")
+    val hit = org.apache.spark.sql.functions.coalesce(predicate, lit(false))
+    val affected = pruneSegments(predicate)
+      .map(seg => seg -> readSegments(Seq(seg)).filter(predicate).count())
+      .filter(_._2 > 0)
+    if (affected.isEmpty) return 0L
+    val replacements = affected.map { case (seg, _) =>
+      val tmp = root.resolve(s"rewriting_${seg.id}_${System.nanoTime()}")
+      val rewritten = readSegments(Seq(seg)).select(schema.fields.toSeq.map { f =>
+        assignments.get(f.name) match {
+          case Some(v) =>
+            org.apache.spark.sql.functions.when(hit, v.cast(f.dataType))
+              .otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }: _*)
+      val sorted =
+        if (sortColumns.nonEmpty)
+          rewritten.sortWithinPartitions(sortColumns.map(col): _*)
+        else rewritten
+      sorted.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      val (rows, stats, nulls) = collectStats(tmp)
+      seg -> Some((tmp, rows, stats, nulls))
+    }
+    commitRewrites(affected.map(_._1), replacements, "UPDATE")
+    affected.map(_._2).sum
+  }
+
+  /** Shared DML commit: verify every input segment is still SUCCESS,
+    * then atomically retire inputs and promote replacements in ONE
+    * status write (readers never observe a half-applied DML).
+    */
+  private def commitRewrites(
+      inputs: Seq[SegmentMeta],
+      replacements: Seq[(SegmentMeta, Option[(Path, Long, Map[String, ColStats], Map[String, Long])])],
+      op: String): Unit = withLock {
+    val st = status
+    val stillLive = inputs.forall(s =>
+      st.segments.exists(x => x.id == s.id && x.status == SUCCESS))
+    if (!stillLive) {
+      replacements.foreach { case (_, r) => r.foreach(x => deleteRecursively(x._1)) }
+      throw new IllegalStateException(
+        s"concurrent segment change during $op — no rows were modified; retry")
+    }
+    var next = st.nextId
+    var segs = st.segments.map(s =>
+      if (inputs.exists(_.id == s.id)) s.copy(status = DELETED) else s)
+    replacements.foreach {
+      case (_, Some((tmp, rows, stats, nulls))) =>
+        val id = next; next += 1
+        Files.move(tmp, segmentDir(id), StandardCopyOption.ATOMIC_MOVE)
+        buildBlooms(segmentDir(id), id, rows)
+        segs = segs :+ SegmentMeta(id, SUCCESS, rows,
+          System.currentTimeMillis(), stats, nulls)
+      case (_, None) => ()
+    }
+    commitStatus(TableStatus(next, segs))
+  }
+
   // ---- schema evolution (reference AlterCube / RestructureUtil:
   // add/drop columns recorded as timestamped entries; old segments are
   // served with defaults filled at read time) ----

@@ -1,0 +1,145 @@
+package graft.table
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Row-level DELETE/UPDATE semantics: copy-on-write rewrites touch
+  * only segments that can contain matches; SQL three-valued logic
+  * (NULL predicate keeps the row on DELETE, skips it on UPDATE).
+  */
+class RowDmlSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshRoot(name: String): String =
+    Files.createTempDirectory(s"graft_$name").resolve("t").toString
+
+  private def fileSet(root: String, segId: Int): Set[String] = {
+    val dir = Paths.get(root).resolve(s"segment_$segId")
+    import scala.jdk.CollectionConverters._
+    val listing = Files.list(dir)
+    try listing.iterator().asScala.map(_.getFileName.toString).toSet
+    finally listing.close()
+  }
+
+  test("delete rewrites only segments that may contain matches") {
+    val root = freshRoot("dml_prune")
+    val lo = Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("k", "v")
+    val hi = Seq((10L, "c"), (11L, "d")).toDF("k", "v")
+    val t = SegmentedTable.create(spark, root, lo.schema,
+      Map("sort_columns" -> "k"))
+    t.load(lo); t.load(hi)
+    val hiFiles = fileSet(root, 1)
+
+    val n = t.delete(col("k") <= 2L && col("v") === "a")
+    assert(n == 1)
+    assert(t.read().count() == 4)
+    assert(t.read().filter(col("k") === 1L).count() == 0)
+    // the hi segment's stats (k in [10,11]) prove no match: its files
+    // must be byte-identical — no rewrite happened
+    val segs = t.showSegments()
+    assert(segs.exists(s => s.id == 1 && s.status == "SUCCESS"))
+    assert(fileSet(root, 1) == hiFiles)
+    // the lo segment was retired and replaced
+    assert(segs.exists(s => s.id == 0 && s.status == "DELETED"))
+    assert(segs.exists(s => s.id == 2 && s.status == "SUCCESS" && s.rowCount == 2))
+  }
+
+  test("delete keeps rows where the predicate is NULL") {
+    val root = freshRoot("dml_null")
+    val df = Seq((1L, Some("x")), (2L, None), (3L, Some("y")))
+      .toDF("k", "v")
+    val t = SegmentedTable.create(spark, root, df.schema, Map.empty)
+    t.load(df)
+    assert(t.delete(col("v") === "x") == 1)
+    // row 2's predicate is NULL — SQL DELETE must not remove it
+    assert(t.read().orderBy("k").select("k").as[Long].collect().toSeq == Seq(2L, 3L))
+  }
+
+  test("delete that empties a segment retires it without a replacement") {
+    val root = freshRoot("dml_empty")
+    val a = Seq((1L, "x")).toDF("k", "v")
+    val b = Seq((2L, "y")).toDF("k", "v")
+    val t = SegmentedTable.create(spark, root, a.schema, Map.empty)
+    t.load(a); t.load(b)
+    assert(t.delete(col("k") === 1L) == 1)
+    val segs = t.showSegments()
+    assert(segs.map(s => s.id -> s.status).toSet ==
+      Set(0 -> "DELETED", 1 -> "SUCCESS"))
+    assert(t.read().count() == 1)
+    t.cleanFiles()
+    assert(!Files.exists(Paths.get(root).resolve("segment_0")))
+  }
+
+  test("delete with no real matches leaves every segment untouched") {
+    val root = freshRoot("dml_fp")
+    // both rows share k=5, so min==max==5: a predicate on k=5 AND an
+    // unsatisfied v survives pruning but finds no matching rows
+    val df = Seq((5L, "a"), (5L, "b")).toDF("k", "v")
+    val t = SegmentedTable.create(spark, root, df.schema, Map.empty)
+    t.load(df)
+    val before = fileSet(root, 0)
+    assert(t.delete(col("k") === 5L && col("v") === "zzz") == 0)
+    assert(fileSet(root, 0) == before)
+    assert(t.showSegments().map(_.status) == Seq("SUCCESS"))
+  }
+
+  test("update applies assignments to matching rows only, with casts") {
+    val root = freshRoot("dml_upd")
+    val df = Seq((1L, 10.0, "keep"), (2L, 20.0, "bump"), (3L, 30.0, "bump"))
+      .toDF("k", "price", "tag")
+    val t = SegmentedTable.create(spark, root, df.schema,
+      Map("sort_columns" -> "k"))
+    t.load(df)
+    // integer literal must be cast to the column's double type
+    val n = t.update(col("tag") === "bump",
+      Map("price" -> (col("price") + lit(5)), "tag" -> lit("bumped")))
+    assert(n == 2)
+    val rows = t.read().orderBy("k")
+      .select("price", "tag").collect().map(r => (r.getDouble(0), r.getString(1)))
+    assert(rows.toSeq == Seq((10.0, "keep"), (25.0, "bumped"), (35.0, "bumped")))
+    // stats in the replacement segment reflect the new values
+    val live = t.showSegments().filter(_.status == "SUCCESS")
+    assert(live.size == 1 && live.head.stats("price").max == "35.0")
+  }
+
+  test("update rejects unknown columns") {
+    val root = freshRoot("dml_badcol")
+    val df = Seq((1L, "x")).toDF("k", "v")
+    val t = SegmentedTable.create(spark, root, df.schema, Map.empty)
+    t.load(df)
+    val e = intercept[IllegalArgumentException] {
+      t.update(col("k") === 1L, Map("nope" -> lit("y")))
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+
+  test("SQL DELETE FROM / UPDATE ... SET round-trip") {
+    val sf = graft.TestSpark.sf
+    spark.read.parquet(s"$sf/nation.parquet").createOrReplaceTempView("nation_dml_src")
+    spark.sql("DROP GRAFT TABLE nations_dml") // idempotent if absent
+    spark.sql("CREATE GRAFT TABLE nations_dml AS SELECT * FROM nation_dml_src")
+
+    val del = spark.sql(
+      "DELETE FROM GRAFT TABLE nations_dml WHERE n_regionkey = 0").head().getLong(0)
+    assert(del > 0)
+    assert(spark.sql(
+      "SELECT count(*) FROM nations_dml WHERE n_regionkey = 0").head().getLong(0) == 0)
+
+    val upd = spark.sql(
+      "UPDATE GRAFT TABLE nations_dml SET n_name = concat('x-', n_name), " +
+        "n_regionkey = n_regionkey + 10 WHERE n_regionkey = 1").head().getLong(0)
+    assert(upd > 0)
+    assert(spark.sql(
+      "SELECT count(*) FROM nations_dml WHERE n_regionkey = 11 AND n_name LIKE 'x-%'")
+      .head().getLong(0) == upd)
+    assert(spark.sql(
+      "SELECT count(*) FROM nations_dml WHERE n_regionkey = 1").head().getLong(0) == 0)
+
+    spark.sql("DROP GRAFT TABLE nations_dml")
+  }
+}
