@@ -46,6 +46,14 @@ object PipelineQueries {
 
   private val enMarkers = "('the','and','of','to','a')"
 
+  /** Fixed masking vocabulary for t12 (shared with its oracle below). */
+  private val OovVocab: Seq[String] = Seq(
+    "the", "data", "join", "merge", "table", "row", "sort", "scan",
+    "key", "batch", "window", "stream", "filter", "group", "agg")
+
+  private val oovVocabSql: String =
+    OovVocab.map(w => s"'$w'").mkString("(", ", ", ")")
+
   /** Deterministic split assignment — pure function of the id (shared
     * by t08 and t10; the SQL twin is [[splitSql]]).
     */
@@ -161,6 +169,40 @@ object PipelineQueries {
           size(col("__words")).as("n_tokens"),
           size(filter(col("__words"),
             t => array_contains(col("__sw"), t))).as("stop_tokens"))
+    }),
+
+    // pipeline: repetition quality signals (the Gopher-rules shape):
+    // duplicate-token ratio and most-frequent-token fraction per doc.
+    // Distributed word-count keyed on (doc_id, token) — map-side
+    // partial agg, no skew (the key includes the doc), no windows
+    "t11_repetition" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("__n"), count(lit(1)).as("n_distinct"),
+          max(col("cnt")).as("__top"))
+        .select(col("doc_id"),
+          col("__n").as("n_tokens"),
+          col("n_distinct"),
+          ((col("__n") - col("n_distinct")).cast("double") /
+            col("__n").cast("double")).as("dup_ratio"),
+          (col("__top").cast("double") /
+            col("__n").cast("double")).as("top_frac"))
+    }),
+
+    // pipeline: vocabulary masking for tokenizer prep — out-of-vocab
+    // tokens become <unk>, with a per-doc replacement count. Pure
+    // narrow projection over a staged token array (no shuffle at all)
+    "t12_oov_mask" -> ((s, d) => {
+      val inVocab = (w: org.apache.spark.sql.Column) =>
+        w.isInCollection(OovVocab)
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__words"))
+        .select(col("doc_id"),
+          array_join(transform(col("__words"),
+            w => when(inVocab(w), w).otherwise(lit("<unk>"))), " ").as("masked_text"),
+          size(filter(col("__words"), w => !inVocab(w))).as("n_masked"))
     }),
 
     // pipeline: eval-set contamination detection — test-split documents
@@ -420,6 +462,24 @@ object PipelineQueries {
           SELECT doc_id, len(words) AS n_tokens,
             len(list_filter(words, w -> list_contains(sw, w))) AS stop_tokens
           FROM t CROSS JOIN swl""",
+
+    "t11_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $W AS words FROM documents),
+          tok AS (SELECT doc_id, unnest(words) AS token FROM t),
+          c AS (SELECT doc_id, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2)
+          SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+            COUNT(*) AS n_distinct,
+            CAST(SUM(cnt) - COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS dup_ratio,
+            CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS top_frac
+          FROM c GROUP BY doc_id""",
+
+    "t12_oov_mask" ->
+      s"""WITH t AS (SELECT doc_id, $W AS words FROM documents)
+          SELECT doc_id,
+            array_to_string(list_transform(words,
+              w -> CASE WHEN w IN $oovVocabSql THEN w ELSE '<unk>' END), ' ') AS masked_text,
+            len(list_filter(words, w -> w NOT IN $oovVocabSql)) AS n_masked
+          FROM t""",
 
     "t10_contamination" ->
       s"""WITH t AS (SELECT doc_id, $W AS words FROM documents),

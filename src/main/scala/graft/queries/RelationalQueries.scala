@@ -379,6 +379,32 @@ object RelationalQueries {
     }),
 
     // §2.4 pivot (cross-tab): status columns per priority
+    // §2.3-beyond: as-of join (each error event picks up the latest
+    // purchase amount by the same user at or before it). Spark lacks a
+    // native as-of operator; the scalable composition is union + a
+    // per-user ordered window with last(ignoreNulls) — one shuffle on
+    // user_id, no range cross-product, no per-row subquery. At 100 TB
+    // this is the standard pattern (partition keys bound the window;
+    // no state beyond one running value per user).
+    "q41_asof_join" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(0).as("side"),
+          col("value").as("pvalue"), lit(null).cast("long").as("event_id"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), lit(1).as("side"),
+          lit(null).cast("double").as("pvalue"), col("event_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("side").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      purchases.unionByName(errors)
+        .withColumn("last_purchase", last(col("pvalue"), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(col("event_id"), col("user_id"), col("last_purchase"))
+    }),
+
     "q39_pivot" -> ((s, d) => {
       Tables.orders(s, d)
         .groupBy(col("o_orderpriority"))
@@ -677,6 +703,24 @@ object RelationalQueries {
          CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "O",
          CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "P"
          FROM orders GROUP BY o_orderpriority""",
+
+    // same union + ordered-window construction; side 0 (purchase)
+    // sorts before side 1 (error) at equal ts, so a same-instant
+    // purchase is visible to the error ("at or before")
+    "q41_asof_join" ->
+      """WITH u AS (
+           SELECT user_id, ts, 0 AS side, value AS pvalue,
+                  CAST(NULL AS BIGINT) AS event_id
+           FROM events WHERE event_type = 'purchase'
+           UNION ALL
+           SELECT user_id, ts, 1, NULL, event_id
+           FROM events WHERE event_type = 'error')
+         SELECT event_id, user_id, last_pvalue AS last_purchase FROM (
+           SELECT *, last_value(pvalue IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, side
+             ROWS UNBOUNDED PRECEDING) AS last_pvalue
+           FROM u) t
+         WHERE side = 1""",
 
     "q36_funnel" ->
       """SELECT user_id FROM (
