@@ -170,6 +170,26 @@ object SegmentQueries {
       t
     })
 
+  /** Lineitem in one z-ordered segment (zorder_columns property routes
+    * the load through [[graft.table.ZOrder.layout]]): interleaved-bit
+    * layout over (partkey, suppkey) so range predicates on EITHER
+    * column skip most files — the oracle proves the exotic layout is
+    * still exactly row-preserving.
+    */
+  private def lineitemZOrdered(s: SparkSession, d: String): SegmentedTable =
+    built.getOrElseUpdate(s"liz|$d", {
+      val root = s"/tmp/graft_tables/${d.replace('/', '_')}/lineitem_z"
+      val li = Tables.lineitem(s, d)
+      val t =
+        if (SegmentedTable.exists(root)) {
+          val x = SegmentedTable.open(s, root)
+          x.deleteSegments(x.showSegments().map(_.id)); x.cleanFiles(); x
+        } else SegmentedTable.create(s, root, li.schema,
+          Map("zorder_columns" -> "l_partkey,l_suppkey"))
+      t.load(li)
+      t
+    })
+
   val queries: Map[String, Q] = Map(
     // load (2 segments) → min/max-pruned scan → aggregate; oracle is
     // the same filter+agg on the source table, so pruning must lose
@@ -224,6 +244,17 @@ object SegmentQueries {
         .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
     }),
 
+    // z-ordered layout scan: a range predicate on the SECOND z column
+    // (useless to a lexicographic sort) — row-group stats under the
+    // z layout carve it down, and the result must match the source
+    "g07_zorder_scan" -> ((s, d) => {
+      val t = lineitemZOrdered(s, d)
+      t.read()
+        .filter(col("l_suppkey").between(10L, 20L))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
+    }),
+
     // co-located fact-fact join: both sides bucketed on the order key,
     // so the join itself needs no Exchange (the tiny post-join agg
     // shuffle remains — it moves grouped rows, not the fact tables)
@@ -252,6 +283,11 @@ object SegmentQueries {
     "g04_bloom_point_lookup" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
          WHERE o_orderkey IN (2, 4, 6, 32)""",
+
+    "g07_zorder_scan" ->
+      """SELECT l_suppkey, COUNT(*) AS cnt, SUM(l_quantity) AS sum_qty
+         FROM lineitem WHERE l_suppkey BETWEEN 10 AND 20
+         GROUP BY l_suppkey""",
 
     "g05_row_delete" ->
       """SELECT lang, COUNT(*) AS cnt,

@@ -83,4 +83,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(o_orderdate"),
       p.take(2000))
   }
+
+  test("as-of join is a window over one partition-key shuffle, not a product") {
+    val p = plan("q41_asof_join")
+    assert(p.contains("Window"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"as-of must not plan as a product join:\n${p.take(3000)}")
+    // exactly one shuffle keyed on user_id feeds the window
+    assert(p.contains("hashpartitioning(user_id"), p.take(3000))
+  }
+
+  test("OOV masking is a narrow projection: no Exchange at all") {
+    val p = plan("t12_oov_mask")
+    assert(!p.contains("Exchange"),
+      s"per-doc masking must not shuffle:\n${p.take(3000)}")
+  }
 }
