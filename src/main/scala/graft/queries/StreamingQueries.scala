@@ -58,6 +58,24 @@ object StreamingQueries {
         .agg(count(lit(1)).as("cnt"),
           Tables.dsum(col("value")).as("total_value"),
           countDistinct(col("user_id")).as("users"))
+    }),
+
+    // streaming content dedup: documents stream through dropDuplicates
+    // on md5(text) (stateful, append mode — not an aggregation); the
+    // gated read aggregates ONLY columns that are functions of the
+    // dedup key (fp prefix; n_chars == len(text) in this corpus), so
+    // the result is arrival-order independent and hash-checkable
+    "st04_stream_dedup" -> ((s, d) => {
+      val schema = Tables.documents(s, d).schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(d)
+      val deduped = EventStreams.dedupStream(
+        stream.withColumn("fp", md5(col("text"))), "fp")
+      val landed = EventStreams.runToCompletion(s, deduped, mode = "append")
+      landed
+        .groupBy(substring(col("fp"), 1, 1).as("bucket"))
+        .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
     })
   )
 
@@ -103,6 +121,15 @@ object StreamingQueries {
       """SELECT event_type, COUNT(*) AS cnt,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
          COUNT(DISTINCT user_id) AS users
-         FROM events GROUP BY event_type"""
+         FROM events GROUP BY event_type""",
+
+    // one survivor per distinct text; n_chars is a function of text,
+    // so MIN() == the survivor's value whatever arrived first
+    "st04_stream_dedup" ->
+      """WITH u AS (SELECT md5(text) AS fp, MIN(n_chars) AS nc
+                    FROM documents GROUP BY 1)
+         SELECT substr(fp, 1, 1) AS bucket, COUNT(*) AS docs,
+                CAST(SUM(nc) AS BIGINT) AS chars
+         FROM u GROUP BY 1"""
   )
 }

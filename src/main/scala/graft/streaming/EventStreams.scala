@@ -56,10 +56,11 @@ object EventStreams {
     * a batch DataFrame — used by the correctness gate so the streaming
     * path itself is oracle-checked.
     */
-  def runToCompletion(spark: SparkSession, agg: DataFrame): DataFrame = {
+  def runToCompletion(spark: SparkSession, agg: DataFrame,
+                      mode: String = "complete"): DataFrame = {
     val name = s"graft_stream_${runIds.incrementAndGet()}"
     val q = agg.writeStream
-      .outputMode("complete")
+      .outputMode(mode)
       .format("memory")
       .queryName(name)
       .trigger(Trigger.AvailableNow())
@@ -67,6 +68,16 @@ object EventStreams {
     q.awaitTermination()
     spark.table(name)
   }
+
+  /** Streaming exact deduplication on a derived fingerprint key — the
+    * ingest-side dedup a training pipeline runs before landing data.
+    * `dropDuplicates` keeps one state entry per distinct key and emits
+    * each key's first arrival; at production scale the identical call
+    * becomes `dropDuplicatesWithinWatermark` so event time bounds the
+    * state instead of the key cardinality.
+    */
+  def dedupStream(stream: DataFrame, keyCol: String): DataFrame =
+    stream.dropDuplicates(keyCol)
 
   /** Gap-based sessionization via the native session_window operator
     * (works identically in batch and streaming): per user, events
