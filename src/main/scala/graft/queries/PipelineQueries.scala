@@ -307,6 +307,23 @@ object PipelineQueries {
         "vec_id", "embedding", 3, cents, 3)
     }),
 
+    // similarity: product-quantization ANN — per-subspace codebooks
+    // (materialized for the oracle like s04's centroids), shuffle-free
+    // encode, and asymmetric-distance top-k over the compressed codes
+    "s05_ann_pq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cbs = pqCodebooks.getOrElseUpdate(
+        s"$d|${s.sparkContext.applicationId}", {
+          val c = Similarity.trainCodebooks(emb, "embedding", 4, 16, 8)
+          import s.implicits._
+          c.toDF("sub", "code", "centroid").coalesce(1).write.mode("overwrite")
+            .parquet(PqCodebookPath)
+          c
+        })
+      Similarity.pqTopKWith(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", 3, cbs, 4, 16)
+    }),
+
     // dedup: embedding-cosine near-dup pairs, bucket-blocked
     "e01_embed_neardup" -> ((s, d) => {
       Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
@@ -360,6 +377,25 @@ object PipelineQueries {
   /** Per-(dataset, session) quantizer cache for s04 — see its note. */
   private val ivfCentroids =
     scala.collection.concurrent.TrieMap[String, Seq[(Int, Array[Float])]]()
+
+  /** s05's codebook side table — same pid-qualified contract as
+    * [[IvfCentroidsPath]].
+    */
+  val PqCodebookPath =
+    s"/tmp/graft_pq_codebooks_${ProcessHandle.current().pid()}"
+
+  private val pqCodebooks =
+    scala.collection.concurrent.TrieMap[String, Seq[(Int, Int, Array[Float])]]()
+
+  /** DuckDB twin of Similarity.d2 (aa - 2ab + bb, each term a
+    * sequential double fold — the exact expression shape matters for
+    * bit-identical ties).
+    */
+  private def d2Sql(x: String, c: String): String = {
+    def dotS(u: String, v: String) =
+      s"list_aggregate(list_transform(range(1, len($c) + 1), i -> CAST(($u)[i] AS DOUBLE) * CAST(($v)[i] AS DOUBLE)), 'sum')"
+    s"(${dotS(x, x)} - 2 * ${dotS(x, c)} + ${dotS(c, c)})"
+  }
 
   private val dotSql =
     "list_aggregate(list_transform(range(1, len(qv) + 1), i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)), 'sum')"
@@ -637,6 +673,40 @@ object PipelineQueries {
               ORDER BY cos DESC, neighbor_id ASC) AS rank
           FROM scored2)
           SELECT query_id, rank, neighbor_id FROM ranked2 WHERE rank <= 3""",
+
+    // recompute encode + ADC from the materialized codebooks; terms
+    // summed in subspace order (list ORDER BY sub) to mirror Spark's
+    // left-to-right reduce
+    "s05_ann_pq" ->
+      s"""WITH cb AS (SELECT sub, code, centroid
+            FROM read_parquet('$PqCodebookPath/*.parquet')),
+          v AS (SELECT vec_id, embedding FROM embeddings),
+          sv AS (SELECT vec_id, s.sub,
+              list_slice(embedding, s.sub * 16 + 1, s.sub * 16 + 16) AS x
+            FROM v CROSS JOIN (SELECT DISTINCT sub FROM cb) s),
+          encd AS (SELECT sv.vec_id, sv.sub, cb.code,
+              ${d2Sql("sv.x", "cb.centroid")} AS dd
+            FROM sv JOIN cb ON cb.sub = sv.sub),
+          codes AS (SELECT vec_id, sub, code FROM (
+              SELECT vec_id, sub, code,
+                ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                  ORDER BY dd ASC, code ASC) AS rn
+              FROM encd) t WHERE rn = 1),
+          q AS (SELECT vec_id AS query_id, embedding AS qe
+            FROM embeddings WHERE vec_id < 5),
+          psub AS (SELECT q.query_id, c.vec_id AS neighbor_id, c.sub,
+              ${d2Sql("list_slice(q.qe, c.sub * 16 + 1, c.sub * 16 + 16)", "cb.centroid")} AS dd
+            FROM q CROSS JOIN codes c
+            JOIN cb ON cb.sub = c.sub AND cb.code = c.code
+            WHERE c.vec_id <> q.query_id),
+          adc AS (SELECT query_id, neighbor_id,
+              list_aggregate(list(dd ORDER BY sub), 'sum') AS adc
+            FROM psub GROUP BY 1, 2),
+          ranked AS (SELECT query_id, neighbor_id,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY adc ASC, neighbor_id ASC) AS rank
+            FROM adc)
+          SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 3""",
 
     "m02_media_decode" -> {
       def b(j: Int) = s"CAST('0x' || substr(m, ${2 * j + 1}, 2) AS BIGINT)"

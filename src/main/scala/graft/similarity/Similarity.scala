@@ -209,6 +209,103 @@ object Similarity {
     * treatment, and the cost (replicating the smaller per-bucket side)
     * is negligible next to the per-pair math.
     */
+  // ---- product quantization (IVF's memory-side complement) ----
+  //
+  // PQ compresses each vector to M small codes (here M bytes): the
+  // vector is cut into M subvectors, each subspace gets its own tiny
+  // k-means codebook, and a vector is stored as its M nearest-centroid
+  // ids. Search scores a query against COMPRESSED codes (asymmetric
+  // distance): per subspace, the exact distance from the query
+  // subvector to the row's selected centroid, summed across subspaces.
+  // At 100 TB this is what makes a billion-vector index fit: 64 floats
+  // (256 B) become M=4 codes (4 B), and scoring never touches the
+  // original vectors.
+
+  /** Squared L2 between two float arrays via three sequential dot
+    * folds: d2 = aa - 2ab + bb, each term order-deterministic (the
+    * oracle mirrors the exact expression shape).
+    */
+  private def d2(a: Column, b: Column): Column =
+    dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+
+  /** Train per-subspace codebooks: M independent k-means fits (fixed
+    * seeds) over the corpus's subvector slices. Returns (sub, code,
+    * centroid) — M × ksub rows, the whole index metadata.
+    */
+  def trainCodebooks(corpus: DataFrame, vecCol: String, m: Int, dsub: Int,
+                     ksub: Int): Seq[(Int, Int, Array[Float])] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    (0 until m).flatMap { sub =>
+      val train = spread(corpus.select(
+        array_to_vector(slice(col(vecCol), sub * dsub + 1, dsub)
+          .cast("array<double>")).as("features")))
+      val model = new KMeans().setK(ksub).setSeed(42L + sub).setMaxIter(10)
+        .fit(train)
+      model.clusterCenters.zipWithIndex.map { case (c, i) =>
+        (sub, i, c.toArray.map(_.toFloat))
+      }
+    }
+  }
+
+  /** Nearest codebook entry for one subvector — like [[nearestCells]],
+    * a pure in-row expression over the literal codebook: compute ksub
+    * distances, sort (d2 ASC, code ASC), take the head. No shuffle.
+    */
+  private def nearestCode(sub: Column, cents: Seq[(Int, Array[Float])]): Column = {
+    val arr = array(cents.map { case (code, c) =>
+      struct(lit(code).as("code"), typedLit(c).as("centroid"))
+    }: _*)
+    val scored = transform(arr, c => struct(
+      d2(sub, c.getField("centroid")).as("d2"),
+      c.getField("code").as("code")))
+    element_at(array_sort(scored), 1).getField("code")
+  }
+
+  /** Attach the `codes` column (array of M codebook ids) — the PQ
+    * encode pass. A narrow projection: this is the stage that
+    * compresses the full corpus, so it must never shuffle.
+    */
+  def pqEncode(df: DataFrame, vecCol: String,
+               codebooks: Seq[(Int, Int, Array[Float])],
+               m: Int, dsub: Int): DataFrame = {
+    val bySub = codebooks.groupBy(_._1)
+    df.withColumn("codes", array((0 until m).map { sub =>
+      nearestCode(slice(col(vecCol), sub * dsub + 1, dsub),
+        bySub(sub).map(x => (x._2, x._3)).sortBy(_._1))
+    }: _*))
+  }
+
+  /** PQ top-k by asymmetric distance: queries (broadcast) score every
+    * corpus row's codes; per subspace the query slice is compared to
+    * the row's selected centroid (a literal-array lookup — in a real
+    * serving path this is the per-query distance table), terms summed
+    * in subspace order. Output: (query_id, rank, neighbor_id).
+    */
+  def pqTopKWith(corpus: DataFrame, queries: DataFrame, idCol: String,
+                 vecCol: String, k: Int,
+                 codebooks: Seq[(Int, Int, Array[Float])],
+                 m: Int, dsub: Int): DataFrame = {
+    val encoded = pqEncode(
+      spread(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))),
+      "cv", codebooks, m, dsub).select(col("neighbor_id"), col("codes"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val bySub = codebooks.groupBy(_._1)
+    val adc = (0 until m).map { sub =>
+      val table = typedLit(bySub(sub).sortBy(_._2).map(_._3))
+      d2(slice(col("qv"), sub * dsub + 1, dsub),
+        element_at(table, element_at(col("codes"), sub + 1) + 1))
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    encoded.join(broadcast(q),
+        col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc", adc)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                    threshold: Double, bits: Int, salt: Int = 8): DataFrame = {
     val v = spread(corpus.select(col(idCol).as("id"), col(vecCol).as("v"),

@@ -168,4 +168,28 @@ class PipelineSpec extends AnyFunSuite {
     val recall = ivf.intersect(brute).size.toDouble / brute.size
     assert(recall >= 0.5, s"IVF recall too low: $recall")
   }
+
+  test("PQ ANN: encode is shuffle-free and ADC beats random ranking") {
+    val queries = emb.filter(col("vec_id") < 30)
+    // 8 subspaces × 16 codes = 32 bits/vector; random gaussians are
+    // PQ's hardest case (no cluster structure), so the spec uses a
+    // finer codebook than the oracle query's minimal 4×8
+    val cbs = Similarity.trainCodebooks(emb, "embedding", 8, 8, 16)
+    // encode must be a narrow projection — compressing the corpus can
+    // never afford a shuffle
+    val enc = Similarity.pqEncode(
+      emb.select(col("vec_id"), col("embedding").as("cv")), "cv", cbs, 8, 8)
+    assert(!enc.queryExecution.executedPlan.toString.contains("Exchange"))
+    assert(enc.select("codes").collect().forall(
+      _.getSeq[Int](0).forall(c => c >= 0 && c < 16)))
+    // recall@10 of the true nearest neighbor must far outrank chance
+    // (10/499 ≈ 2%)
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pq = Similarity.pqTopKWith(emb, queries, "vec_id", "embedding",
+      k = 10, cbs, 8, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = brute.count(pq.contains).toDouble / brute.size
+    assert(recall >= 0.3, s"PQ recall@10 too low: $recall")
+  }
 }
