@@ -139,6 +139,38 @@ object PipelineQueries {
         .select(col("doc_id"), col("token").as("top_term"), col("tfidf"))
     }),
 
+    // pipeline: BM25 relevance scoring (Lucene idf form, k1=1.2,
+    // b=0.75) — same distributed shape as t07 (tf/df word counts, N
+    // and avgdl folded in-plan as a 1-row broadcast aggregate), score
+    // rounded to 6 digits so the cross-engine float compare is stable
+    "t13_bm25" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val withDl = Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__w"))
+        .select(col("doc_id"), col("__w"),
+          size(col("__w")).cast("double").as("dl"))
+      val stats = withDl.agg(
+        count(lit(1)).cast("double").as("__n"),
+        (sum(col("dl").cast("long")).cast("double") / count(lit(1))).as("__avgdl"))
+      val terms = withDl
+        .select(col("doc_id"), col("dl"), explode(col("__w")).as("token"))
+      val tf = terms.groupBy(col("doc_id"), col("token"), col("dl"))
+        .agg(count(lit(1)).cast("double").as("tf"))
+      val df_ = terms.select(col("doc_id"), col("token")).distinct()
+        .groupBy(col("token")).agg(count(lit(1)).cast("double").as("df"))
+      val idf = log((col("__n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+      val sat = col("tf") * lit(2.2) /
+        (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("__avgdl")))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("bm25").desc, col("token").asc)
+      tf.join(df_, "token")
+        .crossJoin(broadcast(stats))
+        .withColumn("bm25", round(idf * sat, 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("token").as("top_term"), col("bm25"))
+    }),
+
     // pipeline: deterministic train/val/test split — assignment is a
     // pure function of doc_id (md5 prefix mod 100), so the same doc
     // lands in the same split on every engine, every run, any
@@ -476,6 +508,30 @@ object PipelineQueries {
                ORDER BY tfidf DESC, token ASC) AS rn
            FROM scored)
          SELECT doc_id, token AS top_term, tfidf FROM ranked WHERE rn = 1""",
+
+    // expression shapes mirror the Spark side exactly (operator order
+    // matters for the last-ulp bit pattern under round(..., 6))
+    "t13_bm25" ->
+      s"""WITH t AS (SELECT doc_id, $W AS words FROM documents),
+          d AS (SELECT doc_id, words, CAST(len(words) AS DOUBLE) AS dl FROM t),
+          stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+              CAST(SUM(len(words)) AS DOUBLE) / COUNT(*) AS avgdl FROM d),
+          terms AS (SELECT doc_id, dl, unnest(words) AS token FROM d),
+          tf AS (SELECT doc_id, token, dl, CAST(COUNT(*) AS DOUBLE) AS tf
+                 FROM terms GROUP BY 1, 2, 3),
+          df AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+                 FROM terms GROUP BY 1),
+          scored AS (SELECT doc_id, token,
+              round(ln((n - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) *
+                (tf * CAST(2.2 AS DOUBLE) /
+                 (tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                   + CAST(0.75 AS DOUBLE) * dl / avgdl))), 6) AS bm25
+            FROM tf JOIN df USING (token) CROSS JOIN stats),
+          ranked AS (SELECT doc_id, token, bm25,
+              ROW_NUMBER() OVER (PARTITION BY doc_id
+                ORDER BY bm25 DESC, token ASC) AS rn
+            FROM scored)
+          SELECT doc_id, token AS top_term, bm25 FROM ranked WHERE rn = 1""",
 
     "t08_train_split" ->
       """WITH s AS (SELECT doc_id, n_chars,
