@@ -71,6 +71,46 @@ object Multimodal {
       .mapPartitions(it => it.grouped(batchSize).flatMap(decodeBatch))
   }
 
+  /** One sampled frame of a (stub-decoded) video payload. */
+  case class FrameSample(id: Long, frame_idx: Int, frame_w: Int,
+                         frame_h: Int, frame_fp: Long)
+
+  /** STUB frame sampler for one batch: a real implementation seeks the
+    * container to `nFrames` evenly-spaced timestamps and decodes one
+    * frame each; the stub derives each frame deterministically from
+    * md5(payload ++ "#idx") so the oracle can reproduce it. Same
+    * batched shape as [[decodeBatch]] (decoder init amortized per
+    * batch, one output row per frame).
+    */
+  private def sampleBatch(batch: Seq[(Long, Array[Byte])],
+                          nFrames: Int): Seq[FrameSample] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    batch.flatMap { case (id, bytes) =>
+      (0 until nFrames).map { i =>
+        md.reset()
+        md.update(bytes)
+        md.update(s"#$i".getBytes("UTF-8"))
+        val b = md.digest()
+        val fp = (0 until 8).map(j => (j + 1).toLong * (b(j + 2) & 0xff)).sum
+        FrameSample(id, i, 64 + ((b(0) & 0xff) % 192),
+          64 + ((b(1) & 0xff) % 192), fp)
+      }
+    }
+  }
+
+  /** Frame sampling over a video-payload column: each payload expands
+    * to `nFrames` rows. A narrow flatMap — the payload bytes are read
+    * once per partition and never shuffle; only the small frame rows
+    * flow downstream.
+    */
+  def sampleFrames(df: DataFrame, nFrames: Int = 4,
+                   batchSize: Int = 64): Dataset[FrameSample] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(it => it.grouped(batchSize).flatMap(sampleBatch(_, nFrames)))
+  }
+
   /** End-to-end: payload attach → batched decode → per-source feature
     * aggregation (the typical training-data curation rollup).
     */

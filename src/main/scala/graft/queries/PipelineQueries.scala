@@ -203,6 +203,16 @@ object PipelineQueries {
             t => array_contains(col("__sw"), t))).as("stop_tokens"))
     }),
 
+    // multimodal: video frame sampling — each payload expands to 4
+    // deterministic stub frames through the batched mapPartitions
+    // decode shape (one row per sampled frame, payload never shuffles)
+    "m03_frame_sample" -> ((s, d) => {
+      import graft.multimodal.Multimodal
+      val payloads = Multimodal.withPayload(Tables.documents(s, d), "doc_id", "text")
+      Multimodal.sampleFrames(payloads.select(col("id"), col("payload")), 4)
+        .toDF()
+    }),
+
     // pipeline: repetition quality signals (the Gopher-rules shape):
     // duplicate-token ratio and most-frequent-token fraction per doc.
     // Distributed word-count keyed on (doc_id, token) — map-side
@@ -763,6 +773,20 @@ object PipelineQueries {
                 ORDER BY adc ASC, neighbor_id ASC) AS rank
             FROM adc)
           SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 3""",
+
+    "m03_frame_sample" -> {
+      def b(j: Int) = s"CAST('0x' || substr(m, ${2 * j + 1}, 2) AS BIGINT)"
+      s"""WITH f AS (SELECT doc_id AS id, unnest(range(0, 4)) AS frame_idx, text
+            FROM documents),
+          h AS (SELECT id, frame_idx,
+              md5(text || '#' || CAST(frame_idx AS VARCHAR)) AS m FROM f)
+          SELECT id, CAST(frame_idx AS INT) AS frame_idx,
+            CAST(64 + (${b(0)} % 192) AS INT) AS frame_w,
+            CAST(64 + (${b(1)} % 192) AS INT) AS frame_h,
+            CAST(${(0 until 8).map(j => s"${j + 1} * ${b(j + 2)}").mkString(" + ")}
+              AS BIGINT) AS frame_fp
+          FROM h"""
+    },
 
     "m02_media_decode" -> {
       def b(j: Int) = s"CAST('0x' || substr(m, ${2 * j + 1}, 2) AS BIGINT)"

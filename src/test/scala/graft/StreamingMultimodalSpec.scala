@@ -63,6 +63,24 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(stats.count() == docs.select("source").distinct().count())
   }
 
+  test("frame sampling: n rows per payload, empty payload included") {
+    val df = Seq((1L, "some video bytes"), (2L, "")).toDF("doc_id", "text")
+    val p = Multimodal.withPayload(df, "doc_id", "text")
+    val frames = Multimodal.sampleFrames(p.select("id", "payload"), nFrames = 3)
+      .collect()
+    assert(frames.length == 6)
+    assert(frames.groupBy(_.id).forall { case (_, fs) =>
+      fs.map(_.frame_idx).sorted.sameElements(Array(0, 1, 2)) })
+    // frames of one payload differ (the index is folded into the stub)
+    val of1 = frames.filter(_.id == 1L).map(_.frame_fp).distinct
+    assert(of1.length == 3)
+    // batch size must not change results
+    val again = Multimodal.sampleFrames(p.select("id", "payload"),
+      nFrames = 3, batchSize = 1).collect().sortBy(f => (f.id, f.frame_idx))
+    assert(frames.sortBy(f => (f.id, f.frame_idx)).zip(again).forall {
+      case (a, b) => a == b })
+  }
+
   test("flatMapGroupsWithState running-mean anomaly detector") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"${TestSpark.sf}/events.parquet")
