@@ -28,32 +28,73 @@ object ComplexCsv {
     * two-level delimiters; one nesting level of struct-in-array, as in
     * the reference's test schemas).
     */
-  def parseColumn(raw: Column, targetType: DataType): Column = targetType match {
-    case ArrayType(StructType(fields), _) =>
-      transform(split(raw, Level1), e => parseStruct(e, fields))
-    case ArrayType(et, _) =>
-      transform(split(raw, Level1), e => e.cast(et))
-    case StructType(fields) => parseStruct(raw, fields)
-    case t => raw.cast(t)
-  }
+  def parseColumn(raw: Column, targetType: DataType,
+                  l1: String = Level1, l2: String = Level2): Column =
+    targetType match {
+      case ArrayType(StructType(fields), _) =>
+        transform(split(raw, l1), e => parseStruct(e, fields, l2))
+      case ArrayType(et, _) =>
+        transform(split(raw, l1), e => e.cast(et))
+      case StructType(fields) => parseStruct(raw, fields, l2)
+      case t => raw.cast(t)
+    }
 
-  private def parseStruct(raw: Column, fields: Array[StructField]): Column =
+  private def parseStruct(raw: Column, fields: Array[StructField],
+                          l2: String): Column =
     struct(fields.zipWithIndex.map { case (f, i) =>
-      element_at(split(raw, Level2), i + 1).cast(f.dataType).as(f.name)
+      element_at(split(raw, l2), i + 1).cast(f.dataType).as(f.name)
     }: _*)
 
   /** Load a headerless CSV whose columns (in order) are described by
     * `schema`, materializing nested types from the delimiter encoding.
     */
   def load(spark: SparkSession, path: String, schema: StructType,
-           delimiter: String = ","): DataFrame = {
+           delimiter: String = ","): DataFrame =
+    loadWithOptions(spark, path, schema, Map("delimiter" -> delimiter))
+
+  /** Load with the reference LOAD DATA option set (LoadCube,
+    * cubeSchema.scala:1792; parser CarbonSqlParser.scala:779-834):
+    *
+    *   delimiter, quotechar, escapechar, multiline,
+    *   fileheader ("c1,c2,..." — names the file's columns when the
+    *     file itself has no header row; order may differ from the
+    *     table schema, fields are matched by name),
+    *   header ("true" when the file's first row is a header),
+    *   complex_delimiter_level_1 / complex_delimiter_level_2.
+    *
+    * Option keys are case-insensitive, as in the reference.
+    */
+  def loadWithOptions(spark: SparkSession, path: String, schema: StructType,
+                      options: Map[String, String]): DataFrame = {
+    val o = options.map { case (k, v) => k.toLowerCase -> v }
+    val l1 = java.util.regex.Pattern.quote(
+      o.getOrElse("complex_delimiter_level_1", "$"))
+    val l2 = java.util.regex.Pattern.quote(
+      o.getOrElse("complex_delimiter_level_2", ":"))
+    val hasHeaderRow = o.getOrElse("header", "false").toBoolean
     val raw = spark.read
-      .option("delimiter", delimiter)
-      .option("quote", "\"")
+      .option("delimiter", o.getOrElse("delimiter", ","))
+      .option("quote", o.getOrElse("quotechar", "\""))
+      .option("escape", o.getOrElse("escapechar", "\\"))
+      .option("multiLine", o.getOrElse("multiline", "false"))
+      .option("header", hasHeaderRow.toString)
       .csv(path)
+    // source column name for schema field i: a header row or a
+    // FILEHEADER option names the file's columns (by-name match,
+    // any order); otherwise positional _cN
+    val fileCols: Option[Seq[String]] =
+      if (hasHeaderRow) Some(raw.columns.toSeq)
+      else o.get("fileheader").map(_.split(",").map(_.trim).toSeq)
     val cols = schema.fields.zipWithIndex.map { case (f, i) =>
-      parseColumn(col(s"_c$i"), f.dataType).as(f.name)
+      val src = fileCols match {
+        case Some(names) =>
+          val j = names.indexWhere(_.equalsIgnoreCase(f.name))
+          require(j >= 0, s"column ${f.name} missing from file header $names")
+          col(if (hasHeaderRow) names(j) else s"_c$j")
+        case None => col(s"_c$i")
+      }
+      parseColumn(src, f.dataType, l1, l2).as(f.name)
     }
-    raw.select(cols: _*)
+    raw.select(cols.toSeq: _*)
   }
 }

@@ -17,7 +17,13 @@ import graft.table.SegmentedTable
   * command semantics in cubeSchema.scala, see SURVEY.md §2.8):
   *
   *   CREATE GRAFT TABLE t [TBLPROPERTIES('k'='v', ...)] AS <query>
-  *   LOAD GRAFT DATA INPATH '<parquet-path>' INTO TABLE t
+  *   LOAD GRAFT DATA INPATH '<csv-or-parquet-path>' INTO TABLE t
+  *     [OPTIONS('delimiter'='|', 'quotechar'='"', 'escapechar'='\',
+  *              'multiline'='true', 'header'='true',
+  *              'fileheader'='c2,c1', 'complex_delimiter_level_1'='$',
+  *              'complex_delimiter_level_2'=':')]
+  *   DELETE FROM GRAFT TABLE t WHERE <predicate>
+  *   UPDATE GRAFT TABLE t SET c = <expr>[, ...] WHERE <predicate>
   *   SHOW GRAFT TABLES
   *   SHOW GRAFT SEGMENTS FOR t
   *   DELETE GRAFT SEGMENT <id>[, <id>...] FROM t
@@ -112,7 +118,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val createRe =
     """(?is)\s*CREATE\s+GRAFT\s+TABLE\s+(\w+)\s*(?:TBLPROPERTIES\s*\((.*?)\)\s*)?AS\s+(.+)""".r
   private val loadRe =
-    """(?is)\s*LOAD\s+GRAFT\s+DATA\s+INPATH\s+'([^']+)'\s+INTO\s+TABLE\s+(\w+)\s*""".r
+    """(?is)\s*LOAD\s+GRAFT\s+DATA\s+INPATH\s+'([^']+)'\s+INTO\s+TABLE\s+(\w+)\s*(?:OPTIONS\s*\((.*?)\)\s*)?""".r
   private val showSegRe =
     """(?is)\s*SHOW\s+GRAFT\s+SEGMENTS\s+FOR\s+(\w+)\s*""".r
   private val showCreateRe =
@@ -157,7 +163,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         propRe.findAllMatchIn(s).map(m => m.group(1) -> m.group(2)).toMap)
         .getOrElse(Map.empty)
       CreateGraftTableCommand(name, p, delegate.parsePlan(query))
-    case loadRe(path, name) => LoadGraftDataCommand(name, path)
+    case loadRe(path, name, opts) =>
+      val o = Option(opts).map(s =>
+        propRe.findAllMatchIn(s).map(m =>
+          m.group(1).toLowerCase(Locale.ROOT) -> m.group(2)).toMap)
+        .getOrElse(Map.empty)
+      LoadGraftDataCommand(name, path, o)
     case showCreateRe(name) => ShowCreateGraftTableCommand(name)
     case describeRe(name) => DescribeGraftTableCommand(name)
     case showSegRe(name) => ShowGraftSegmentsCommand(name)
@@ -237,16 +248,17 @@ case class CreateGraftTableCommand(name: String, props: Map[String, String],
   }
 }
 
-case class LoadGraftDataCommand(name: String, path: String)
-    extends LeafRunnableCommand {
+case class LoadGraftDataCommand(name: String, path: String,
+    options: Map[String, String] = Map.empty) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val t = GraftCatalog.open(spark, name)
     // the reference's LOAD DATA is CSV-first (LoadCube,
-    // cubeSchema.scala:1792) incl. two-level complex delimiters; parquet
-    // for modern pipelines
+    // cubeSchema.scala:1792) incl. DELIMITER/QUOTECHAR/FILEHEADER/
+    // ESCAPECHAR/MULTILINE and two-level complex delimiters (parser
+    // CarbonSqlParser.scala:779-834); parquet for modern pipelines
     val df =
       if (path.endsWith(".csv"))
-        graft.sources.ComplexCsv.load(spark, path, t.schema)
+        graft.sources.ComplexCsv.loadWithOptions(spark, path, t.schema, options)
       else spark.read.schema(t.schema).parquet(path)
     t.load(df)
     t.read().createOrReplaceTempView(name)

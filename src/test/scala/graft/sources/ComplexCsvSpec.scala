@@ -46,4 +46,39 @@ class ComplexCsvSpec extends AnyFunSuite {
     assert(exploded.count() == 3)
     assert(exploded.agg(sum("y")).head().getLong(0) == 12)
   }
+
+  test("LOAD options: delimiter, quotechar, fileheader reorder, custom complex delimiters") {
+    val dir = Files.createTempDirectory("complex_csv_opts")
+    val f = dir.resolve("data.csv")
+    // pipe-delimited, quoted field containing the delimiter, file
+    // column order (name, id, tags) differs from the table schema
+    // (id, name, tags); complex level-1 delimiter is '#'
+    Files.writeString(f,
+      """'n|1'|1|a#b
+        |n2|2|c
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", IntegerType),
+      StructField("name", StringType),
+      StructField("tags", ArrayType(StringType))))
+    val df = ComplexCsv.loadWithOptions(spark, f.toString, schema, Map(
+      "DELIMITER" -> "|", "QUOTECHAR" -> "'",
+      "FILEHEADER" -> "name,id,tags",
+      "COMPLEX_DELIMITER_LEVEL_1" -> "#"))
+    val rows = df.orderBy("id").collect()
+    assert(rows(0).getInt(0) == 1 && rows(0).getString(1) == "n|1")
+    assert(rows(0).getSeq[String](2) == Seq("a", "b"))
+    assert(rows(1).getSeq[String](2) == Seq("c"))
+  }
+
+  test("SQL LOAD GRAFT DATA honors OPTIONS") {
+    val dir = Files.createTempDirectory("complex_csv_sql")
+    val f = dir.resolve("more.csv")
+    Files.writeString(f, "10;x\n11;y\n")
+    spark.sql("CREATE GRAFT TABLE csv_opt_t AS SELECT CAST(1 AS INT) AS id, 'a' AS name")
+    spark.sql(s"LOAD GRAFT DATA INPATH '$f' INTO TABLE csv_opt_t OPTIONS('delimiter'=';')")
+    assert(spark.sql("SELECT count(*) FROM csv_opt_t").head().getLong(0) == 3)
+    assert(spark.sql("SELECT name FROM csv_opt_t WHERE id = 11").head().getString(0) == "y")
+    spark.sql("DROP GRAFT TABLE csv_opt_t")
+  }
 }
