@@ -337,16 +337,18 @@ object PipelineQueries {
     // cached centroids are exactly what a rebuild would produce.
     "s04_ann_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val cents = ivfCentroids.getOrElseUpdate(
-        s"$d|${s.sparkContext.applicationId}", {
-          val c = Similarity.trainCentroids(emb, "vec_id", "embedding", 8)
-          import s.implicits._
-          c.toDF("cell", "centroid").coalesce(1).write.mode("overwrite")
-            .parquet(IvfCentroidsPath)
-          c
-        })
       Similarity.ivfTopKWith(emb, emb.filter(col("vec_id") < 5),
-        "vec_id", "embedding", 3, cents, 3)
+        "vec_id", "embedding", 3, centroidsFor(s, d, emb), 3)
+    }),
+
+    // similarity: IVF-PQ — coarse cells bound the scan to
+    // ~nprobe/nlist of the corpus AND each candidate is scored from
+    // its PQ codes: the composed billion-vector serving layout
+    "s06_ann_ivfpq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", 3,
+        centroidsFor(s, d, emb), codebooksFor(s, d, emb), 4, 16, 3)
     }),
 
     // similarity: product-quantization ANN — per-subspace codebooks
@@ -354,16 +356,8 @@ object PipelineQueries {
     // encode, and asymmetric-distance top-k over the compressed codes
     "s05_ann_pq" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val cbs = pqCodebooks.getOrElseUpdate(
-        s"$d|${s.sparkContext.applicationId}", {
-          val c = Similarity.trainCodebooks(emb, "embedding", 4, 16, 8)
-          import s.implicits._
-          c.toDF("sub", "code", "centroid").coalesce(1).write.mode("overwrite")
-            .parquet(PqCodebookPath)
-          c
-        })
       Similarity.pqTopKWith(emb, emb.filter(col("vec_id") < 5),
-        "vec_id", "embedding", 3, cbs, 4, 16)
+        "vec_id", "embedding", 3, codebooksFor(s, d, emb), 4, 16)
     }),
 
     // dedup: embedding-cosine near-dup pairs, bucket-blocked
@@ -428,6 +422,32 @@ object PipelineQueries {
 
   private val pqCodebooks =
     scala.collection.concurrent.TrieMap[String, Seq[(Int, Int, Array[Float])]]()
+
+  /** Train-once-per-(dataset, session) IVF centroids, materialized for
+    * the oracle (shared by s04 and s06).
+    */
+  private def centroidsFor(s: SparkSession, d: String,
+      emb: org.apache.spark.sql.DataFrame): Seq[(Int, Array[Float])] =
+    ivfCentroids.getOrElseUpdate(s"$d|${s.sparkContext.applicationId}", {
+      val c = Similarity.trainCentroids(emb, "vec_id", "embedding", 8)
+      import s.implicits._
+      c.toDF("cell", "centroid").coalesce(1).write.mode("overwrite")
+        .parquet(IvfCentroidsPath)
+      c
+    })
+
+  /** Train-once-per-(dataset, session) PQ codebooks, materialized for
+    * the oracle (shared by s05 and s06).
+    */
+  private def codebooksFor(s: SparkSession, d: String,
+      emb: org.apache.spark.sql.DataFrame): Seq[(Int, Int, Array[Float])] =
+    pqCodebooks.getOrElseUpdate(s"$d|${s.sparkContext.applicationId}", {
+      val c = Similarity.trainCodebooks(emb, "embedding", 4, 16, 8)
+      import s.implicits._
+      c.toDF("sub", "code", "centroid").coalesce(1).write.mode("overwrite")
+        .parquet(PqCodebookPath)
+      c
+    })
 
   /** DuckDB twin of Similarity.d2 (aa - 2ab + bb, each term a
     * sequential double fold — the exact expression shape matters for
@@ -773,6 +793,54 @@ object PipelineQueries {
                 ORDER BY adc ASC, neighbor_id ASC) AS rank
             FROM adc)
           SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 3""",
+
+    // composed from the s04 cell CTEs (cosine coarse ranking) and the
+    // s05 encode/ADC CTEs — a corpus row is scored only when its cell
+    // is among the query's nprobe nearest
+    "s06_ann_ivfpq" ->
+      s"""WITH cent AS (SELECT cell, centroid AS cv
+            FROM read_parquet('$IvfCentroidsPath/*.parquet')),
+          cb AS (SELECT sub, code, centroid
+            FROM read_parquet('$PqCodebookPath/*.parquet')),
+          v AS (SELECT vec_id, embedding AS qv FROM embeddings),
+          scoredc AS (SELECT vec_id, cell, $dotSql / ($normQ * $normC) AS cdot
+            FROM v CROSS JOIN cent),
+          rankedc AS (SELECT vec_id, cell,
+              ROW_NUMBER() OVER (PARTITION BY vec_id
+                ORDER BY cdot DESC, cell ASC) AS crank
+            FROM scoredc),
+          corpus_cell AS (SELECT vec_id, cell FROM rankedc WHERE crank = 1),
+          query_cells AS (SELECT vec_id, cell FROM rankedc
+            WHERE crank <= 3 AND vec_id < 5),
+          sv AS (SELECT vec_id, s2.sub,
+              list_slice(embedding, s2.sub * 16 + 1, s2.sub * 16 + 16) AS x
+            FROM embeddings CROSS JOIN (SELECT DISTINCT sub FROM cb) s2),
+          encd AS (SELECT sv.vec_id, sv.sub, cb.code,
+              ${d2Sql("sv.x", "cb.centroid")} AS dd
+            FROM sv JOIN cb ON cb.sub = sv.sub),
+          codes AS (SELECT vec_id, sub, code FROM (
+              SELECT vec_id, sub, code,
+                ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                  ORDER BY dd ASC, code ASC) AS rn
+              FROM encd) t WHERE rn = 1),
+          q AS (SELECT vec_id AS query_id, embedding AS qe
+            FROM embeddings WHERE vec_id < 5),
+          cand AS (SELECT qc.vec_id AS query_id, cc.vec_id AS neighbor_id
+            FROM query_cells qc JOIN corpus_cell cc USING (cell)
+            WHERE cc.vec_id <> qc.vec_id),
+          psub AS (SELECT cand.query_id, cand.neighbor_id, c.sub,
+              ${d2Sql("list_slice(q.qe, c.sub * 16 + 1, c.sub * 16 + 16)", "cb.centroid")} AS dd
+            FROM cand JOIN q ON q.query_id = cand.query_id
+            JOIN codes c ON c.vec_id = cand.neighbor_id
+            JOIN cb ON cb.sub = c.sub AND cb.code = c.code),
+          adc AS (SELECT query_id, neighbor_id,
+              list_aggregate(list(dd ORDER BY sub), 'sum') AS adc
+            FROM psub GROUP BY 1, 2),
+          rankedq AS (SELECT query_id, neighbor_id,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY adc ASC, neighbor_id ASC) AS rank
+            FROM adc)
+          SELECT query_id, rank, neighbor_id FROM rankedq WHERE rank <= 3""",
 
     "m03_frame_sample" -> {
       def b(j: Int) = s"CAST('0x' || substr(m, ${2 * j + 1}, 2) AS BIGINT)"

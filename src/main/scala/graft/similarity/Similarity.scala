@@ -306,6 +306,44 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
+  /** IVF-PQ: the coarse quantizer prunes the search to `nprobe` cells
+    * (only ~nprobe/nlist of the corpus is scored) and PQ codes make
+    * each scored row a few bytes — together the billion-vector
+    * serving layout. Corpus rows carry (cell, codes); queries probe
+    * their nearest cells and rank candidates by asymmetric distance.
+    * (Production refinement: quantize residuals v − centroid[cell]
+    * instead of raw vectors; the plumbing is identical.)
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int,
+                centroids: Seq[(Int, Array[Float])],
+                codebooks: Seq[(Int, Int, Array[Float])],
+                m: Int, dsub: Int, nprobe: Int): DataFrame = {
+    val c = pqEncode(
+      assignCells(
+        spread(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))),
+        "cv", centroids, 1),
+      "cv", codebooks, m, dsub)
+      .select(col("neighbor_id"), col("cell"), col("codes"))
+    val q = assignCells(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+      "qv", centroids, nprobe)
+    val bySub = codebooks.groupBy(_._1)
+    val adc = (0 until m).map { sub =>
+      val table = typedLit(bySub(sub).sortBy(_._2).map(_._3))
+      d2(slice(col("qv"), sub * dsub + 1, dsub),
+        element_at(table, element_at(col("codes"), sub + 1) + 1))
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    c.join(broadcast(q), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc", adc)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                    threshold: Double, bits: Int, salt: Int = 8): DataFrame = {
     val v = spread(corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
