@@ -247,6 +247,29 @@ object PipelineQueries {
           size(filter(col("__words"), w => !inVocab(w))).as("n_masked"))
     }),
 
+    // pipeline: sequence packing (concat-then-chunk): documents are
+    // sharded by a pure hash, concatenated in doc_id order within the
+    // shard, and cut into fixed token-budget sequences — each shard
+    // packs independently (the window partitions on shard, so packing
+    // 100 TB parallelizes across shards; no global order, no single
+    // reducer). seq_id = running-token start offset div budget.
+    "t14_seq_pack" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 512
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("toks"),
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("long") % 8).as("shard"))
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs
+        .withColumn("cum", sum(col("toks")).over(w))
+        .withColumn("seq_id", ((col("cum") - col("toks")) / budget).cast("long"))
+        .groupBy(col("shard"), col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("seq_tokens"))
+    }),
+
     // pipeline: eval-set contamination detection — test-split documents
     // that share a MinHash LSH band with any train-split document are
     // flagged as potentially contaminated (near-dup of training data).
@@ -602,6 +625,18 @@ object PipelineQueries {
               w -> CASE WHEN w IN $oovVocabSql THEN w ELSE '<unk>' END), ' ') AS masked_text,
             len(list_filter(words, w -> w NOT IN $oovVocabSql)) AS n_masked
           FROM t""",
+
+    "t14_seq_pack" ->
+      s"""WITH d AS (SELECT doc_id, CAST(len($W) AS BIGINT) AS toks,
+            CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 8 AS shard
+          FROM documents),
+          c AS (SELECT shard, doc_id, toks,
+            SUM(toks) OVER (PARTITION BY shard ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) AS cum
+          FROM d)
+          SELECT shard, CAST(cum - toks AS BIGINT) // 512 AS seq_id,
+            COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS seq_tokens
+          FROM c GROUP BY 1, 2""",
 
     "t10_contamination" ->
       s"""WITH t AS (SELECT doc_id, $W AS words FROM documents),
