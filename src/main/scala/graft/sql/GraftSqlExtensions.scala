@@ -121,6 +121,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*LOAD\s+GRAFT\s+DATA\s+INPATH\s+'([^']+)'\s+INTO\s+TABLE\s+(\w+)\s*(?:OPTIONS\s*\((.*?)\)\s*)?""".r
   private val showSegRe =
     """(?is)\s*SHOW\s+GRAFT\s+SEGMENTS\s+FOR\s+(\w+)\s*""".r
+  private val showHistRe =
+    """(?is)\s*SHOW\s+GRAFT\s+HISTORY\s+FOR\s+(\w+)\s*""".r
   private val showCreateRe =
     """(?is)\s*SHOW\s+CREATE\s+GRAFT\s+TABLE\s+(\w+)\s*""".r
   private val describeRe =
@@ -172,6 +174,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case showCreateRe(name) => ShowCreateGraftTableCommand(name)
     case describeRe(name) => DescribeGraftTableCommand(name)
     case showSegRe(name) => ShowGraftSegmentsCommand(name)
+    case showHistRe(name) => ShowGraftHistoryCommand(name)
     case deleteSegRe(ids, name) =>
       DeleteGraftSegmentsCommand(name, ids.split(",").map(_.trim.toInt).toSeq)
     case deleteRowsRe(name, where) => DeleteGraftRowsCommand(name, where.trim)
@@ -275,6 +278,23 @@ case class ShowGraftSegmentsCommand(name: String) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] =
     GraftCatalog.open(spark, name).showSegments().map(s =>
       Row(s.id, s.status, s.rowCount, s.createdAt))
+}
+
+/** Catalog commit history — one row per version in the time-travel
+  * log, with the live-segment set and row count as of that commit.
+  */
+case class ShowGraftHistoryCommand(name: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("live_segments", StringType, nullable = false)(),
+    AttributeReference("total_rows", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftCatalog.open(spark, name)
+    t.versions.map { v =>
+      val live = t.statusAt(v).segments.filter(_.status == SegmentedTable.SUCCESS)
+      Row(v, live.map(_.id).mkString(","), live.map(_.rowCount).sum)
+    }
+  }
 }
 
 /** Reverse-engineer DDL (reference ShowCreateCube). */

@@ -29,7 +29,12 @@ case class SegmentMeta(id: Int, status: String, rowCount: Long,
                        createdAt: Long, stats: Map[String, ColStats],
                        nullCounts: Map[String, Long] = Map.empty)
 
-case class TableStatus(nextId: Int, segments: List[SegmentMeta])
+/** version: monotone commit counter (0 for catalogs written before the
+  * field existed). Every commit also lands as `_meta/log/<version>
+  * .json`, giving snapshot time travel over the segment catalog.
+  */
+case class TableStatus(nextId: Int, segments: List[SegmentMeta],
+                       version: Long = 0L)
 
 /** Segment-managed Parquet table: the Spark-native re-design of the
   * reference's store (SURVEY.md §7.1).
@@ -73,10 +78,22 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
   def status: TableStatus = readStatus(statusFile)
 
   private def commitStatus(s: TableStatus): Unit = {
+    // stamp the next commit version (status.json may not exist yet on
+    // the very first commit from create())
+    val prev =
+      if (Files.exists(statusFile)) readStatus(statusFile).version else 0L
+    val stamped = s.copy(version = prev + 1)
+    val json = Serialization.write(stamped)(formats)
     val tmp = metaDir.resolve(s"status.json.tmp${System.nanoTime()}")
-    Files.writeString(tmp, Serialization.write(s)(formats))
+    Files.writeString(tmp, json)
     Files.move(tmp, statusFile, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    // append-only history entry — the time-travel anchor. Written
+    // AFTER the commit point: a crash between the two loses only the
+    // history entry, never current-state consistency.
+    val logDir = metaDir.resolve("log")
+    Files.createDirectories(logDir)
+    Files.writeString(logDir.resolve(s"${stamped.version}.json"), json)
   }
 
   /** Exclusive metadata lock for load/compact/delete (reference takes
@@ -512,6 +529,47 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     * driver-side count(*) fast path (CountStarQueryExecutor).
     */
   def countFromCatalog: Long = liveSegments.map(_.rowCount).sum
+
+  // ---- snapshot time travel ----
+  //
+  // Every catalog commit is also an immutable `_meta/log/<v>.json`
+  // snapshot, and segment files outlive their retirement until
+  // cleanFiles — so any version whose segments still exist on disk is
+  // readable as of that commit. The log is driver-side kilobytes per
+  // commit; at 100 TB the data plane is untouched (time travel is
+  // pure catalog selection, like any snapshot-isolation table format).
+
+  def currentVersion: Long = status.version
+
+  /** All catalog versions still present in the history log. */
+  def versions: Seq[Long] = {
+    val logDir = metaDir.resolve("log")
+    if (!Files.isDirectory(logDir)) return Nil
+    import scala.jdk.CollectionConverters._
+    val listing = Files.list(logDir)
+    try listing.iterator().asScala
+      .flatMap(p => p.getFileName.toString.stripSuffix(".json").toLongOption)
+      .toSeq.sorted
+    finally listing.close()
+  }
+
+  def statusAt(version: Long): TableStatus = {
+    val f = metaDir.resolve("log").resolve(s"$version.json")
+    require(Files.exists(f), s"no catalog version $version (have: ${versions.mkString(",")})")
+    readStatus(f)
+  }
+
+  /** Read the table as of a past catalog version. Fails loudly when a
+    * segment of that snapshot has since been physically removed by
+    * cleanFiles (retention bounds how far back travel reaches).
+    */
+  def readAsOf(version: Long): DataFrame = {
+    val live = statusAt(version).segments.filter(_.status == SUCCESS)
+    val gone = live.filterNot(s => Files.isDirectory(segmentDir(s.id)))
+    require(gone.isEmpty,
+      s"version $version references segments removed by cleanFiles: ${gone.map(_.id).mkString(",")}")
+    readSegments(live)
+  }
 
   // ---- row-level DML (copy-on-write) ----
   //

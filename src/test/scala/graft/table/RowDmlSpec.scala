@@ -118,6 +118,53 @@ class RowDmlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("nope"))
   }
 
+  test("time travel: every commit is a readable snapshot until cleanFiles") {
+    val root = freshRoot("travel")
+    val a = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+    val b = Seq((3L, "z")).toDF("k", "v")
+    val t = SegmentedTable.create(spark, root, a.schema, Map.empty)
+    val v0 = t.currentVersion // empty table after create
+    t.load(a)
+    val v1 = t.currentVersion
+    t.load(b)
+    val v2 = t.currentVersion
+    t.delete(col("k") === 2L)
+    val v3 = t.currentVersion
+    assert(v0 < v1 && v1 < v2 && v2 < v3)
+
+    assert(t.readAsOf(v0).count() == 0)
+    assert(t.readAsOf(v1).count() == 2)
+    assert(t.readAsOf(v2).count() == 3)
+    assert(t.readAsOf(v3).count() == 2)
+    assert(t.read().count() == 2)
+    // the deleted row is visible in the old snapshot, gone in the new
+    assert(t.readAsOf(v2).filter(col("k") === 2L).count() == 1)
+    assert(t.readAsOf(v3).filter(col("k") === 2L).count() == 0)
+
+    // physical retention bounds time travel: after cleanFiles the
+    // pre-delete snapshot's segment is gone and the read fails loudly
+    t.cleanFiles()
+    assert(t.readAsOf(t.currentVersion).count() == 2)
+    val e = intercept[IllegalArgumentException] { t.readAsOf(v2).count() }
+    assert(e.getMessage.contains("removed by cleanFiles"))
+
+    // history enumerates all logged versions
+    assert(t.versions.containsSlice(Seq(v0, v1, v2, v3)))
+  }
+
+  test("SHOW GRAFT HISTORY lists commit versions via SQL") {
+    val sf = graft.TestSpark.sf
+    spark.read.parquet(s"$sf/region.parquet").createOrReplaceTempView("region_hist_src")
+    spark.sql("DROP GRAFT TABLE region_hist")
+    spark.sql("CREATE GRAFT TABLE region_hist AS SELECT * FROM region_hist_src")
+    spark.sql(s"LOAD GRAFT DATA INPATH '$sf/region.parquet' INTO TABLE region_hist")
+    val hist = spark.sql("SHOW GRAFT HISTORY FOR region_hist").collect()
+    assert(hist.length >= 3) // create (empty) + 2 loads
+    val rows = hist.map(_.getLong(2))
+    assert(rows.last == 2 * rows.filter(_ > 0).min)
+    spark.sql("DROP GRAFT TABLE region_hist")
+  }
+
   test("SQL DELETE FROM / UPDATE ... SET round-trip") {
     val sf = graft.TestSpark.sf
     spark.read.parquet(s"$sf/nation.parquet").createOrReplaceTempView("nation_dml_src")
