@@ -270,6 +270,29 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("seq_tokens"))
     }),
 
+    // pipeline capstone: end-to-end curation — quality-filter, exact
+    // dedup keeping the min-id representative, split assignment, and a
+    // per-(split, lang) rollup. Every stage is individually gated
+    // elsewhere; this entry gates their composition in one plan (the
+    // shape a real curation job ships): narrow quality projection →
+    // one dedup hash-agg on the 16-byte fingerprint → pure-function
+    // split — no extra corpus passes, two shuffles total
+    "t15_curation_e2e" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"),
+          TextFunctions.qualityScore(col("text")).as("quality"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("toks"))
+        .filter(col("quality") >= 0.6)
+      val deduped = docs
+        .groupBy(md5(lower(trim(col("text")))).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .join(docs, "doc_id")
+      deduped
+        .select(col("lang"), col("toks"), splitOf(col("doc_id")).as("split"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("docs"), sum(col("toks")).as("tokens"))
+    }),
+
     // pipeline: eval-set contamination detection — test-split documents
     // that share a MinHash LSH band with any train-split document are
     // flagged as potentially contaminated (near-dup of training data).
@@ -625,6 +648,24 @@ object PipelineQueries {
               w -> CASE WHEN w IN $oovVocabSql THEN w ELSE '<unk>' END), ' ') AS masked_text,
             len(list_filter(words, w -> w NOT IN $oovVocabSql)) AS n_masked
           FROM t""",
+
+    "t15_curation_e2e" ->
+      s"""WITH scored AS (SELECT doc_id, lang,
+            CAST(len($W) AS BIGINT) AS toks,
+            ROUND(LEAST(CAST(len($W) AS DOUBLE), 200.0) * 0.005 +
+              CAST(len(list_filter($W, w -> w IN $enMarkers)) AS DOUBLE)
+                / CAST(len($W) AS DOUBLE), 6) AS quality,
+            md5(lower(trim(text))) AS fp
+          FROM documents),
+          kept AS (SELECT * FROM scored WHERE quality >= 0.6),
+          reps AS (SELECT fp, MIN(doc_id) AS doc_id FROM kept GROUP BY fp),
+          deduped AS (SELECT k.doc_id, k.lang, k.toks
+            FROM reps JOIN kept k ON k.doc_id = reps.doc_id),
+          labeled AS (SELECT lang, toks, ${splitSql("doc_id")} AS split
+            FROM deduped)
+          SELECT split, lang, COUNT(*) AS docs,
+            CAST(SUM(toks) AS BIGINT) AS tokens
+          FROM labeled GROUP BY 1, 2""",
 
     "t14_seq_pack" ->
       s"""WITH d AS (SELECT doc_id, CAST(len($W) AS BIGINT) AS toks,
