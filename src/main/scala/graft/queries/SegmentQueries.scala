@@ -190,6 +190,30 @@ object SegmentQueries {
       t
     })
 
+  /** Documents table whose history is: create → load evens → load
+    * odds → delete lang='fr'. g08 time-travels back to the first load.
+    */
+  private def documentsVersioned(s: SparkSession, d: String): SegmentedTable =
+    built.getOrElseUpdate(s"docver|$d", {
+      val root = s"/tmp/graft_tables/${d.replace('/', '_')}/documents_ver"
+      val docs = Tables.documents(s, d)
+      // time travel needs the table's FULL history: always rebuild from
+      // a fresh root (an existing dir would carry old log entries)
+      val p = java.nio.file.Paths.get(root)
+      if (java.nio.file.Files.exists(p)) {
+        val walk = java.nio.file.Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.delete(f))
+        finally walk.close()
+      }
+      val t = SegmentedTable.create(s, root, docs.schema,
+        Map("sort_columns" -> "doc_id"))
+      t.load(docs.filter(col("doc_id") % 2 === 0))
+      t.load(docs.filter(col("doc_id") % 2 === 1))
+      t.delete(col("lang") === "fr")
+      t
+    })
+
   val queries: Map[String, Q] = Map(
     // load (2 segments) → min/max-pruned scan → aggregate; oracle is
     // the same filter+agg on the source table, so pruning must lose
@@ -255,6 +279,19 @@ object SegmentQueries {
         .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
     }),
 
+    // time travel: the documents table is read AS OF the version
+    // committed by its FIRST load (even doc_ids only) even though a
+    // second load and a row-level delete have since changed the live
+    // set — the snapshot read must equal the first load exactly
+    "g08_time_travel" -> ((s, d) => {
+      val t = documentsVersioned(s, d)
+      val firstLoadVersion = t.versions.sorted.apply(1) // create, load, load, delete
+      t.readAsOf(firstLoadVersion)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+    }),
+
     // co-located fact-fact join: both sides bucketed on the order key,
     // so the join itself needs no Exchange (the tiny post-join agg
     // shuffle remains — it moves grouped rows, not the fact tables)
@@ -283,6 +320,12 @@ object SegmentQueries {
     "g04_bloom_point_lookup" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
          WHERE o_orderkey IN (2, 4, 6, 32)""",
+
+    // the as-of-first-load snapshot is exactly the even doc_ids
+    "g08_time_travel" ->
+      """SELECT lang, COUNT(*) AS cnt,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         FROM documents WHERE doc_id % 2 = 0 GROUP BY lang""",
 
     "g07_zorder_scan" ->
       """SELECT l_suppkey, COUNT(*) AS cnt, SUM(l_quantity) AS sum_qty
