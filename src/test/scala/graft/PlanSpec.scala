@@ -98,4 +98,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"),
       s"per-doc masking must not shuffle:\n${p.take(3000)}")
   }
+
+  test("sequence packing windows per shard, never a global order") {
+    val p = plan("t14_seq_pack")
+    assert(p.contains("hashpartitioning(shard"), p.take(3000))
+    // an unpartitioned window would collapse the corpus to one task
+    assert(!p.contains("SinglePartition"),
+      s"packing must not serialize through one partition:\n${p.take(3000)}")
+  }
 }
