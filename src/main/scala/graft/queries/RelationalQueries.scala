@@ -396,8 +396,11 @@ object RelationalQueries {
       val errors = ev.filter(col("event_type") === "error")
         .select(col("user_id"), col("ts"), lit(1).as("side"),
           lit(null).cast("double").as("pvalue"), col("event_id"))
+      // pvalue as the final tie-break makes the order total even if
+      // one user had two purchases at the same instant (side-1 rows
+      // all carry null pvalue, so cross-engine null placement is moot)
       val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts").asc, col("side").asc)
+        .orderBy(col("ts").asc, col("side").asc, col("pvalue").asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       purchases.unionByName(errors)
         .withColumn("last_purchase", last(col("pvalue"), ignoreNulls = true).over(w))
@@ -717,7 +720,7 @@ object RelationalQueries {
            FROM events WHERE event_type = 'error')
          SELECT event_id, user_id, last_pvalue AS last_purchase FROM (
            SELECT *, last_value(pvalue IGNORE NULLS) OVER (
-             PARTITION BY user_id ORDER BY ts, side
+             PARTITION BY user_id ORDER BY ts, side, pvalue
              ROWS UNBOUNDED PRECEDING) AS last_pvalue
            FROM u) t
          WHERE side = 1""",

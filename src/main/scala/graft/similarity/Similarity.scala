@@ -282,6 +282,33 @@ object Similarity {
     * serving path this is the per-query distance table), terms summed
     * in subspace order. Output: (query_id, rank, neighbor_id).
     */
+  /** Asymmetric-distance expression: per subspace, d2 from the query
+    * slice (`qv`) to the centroid the row's code selects (a literal
+    * distance-table lookup), summed in subspace order. Shared by the
+    * PQ and IVF-PQ rankers so their float math stays bit-identical.
+    */
+  private def adcExpr(codebooks: Seq[(Int, Int, Array[Float])],
+                      m: Int, dsub: Int): Column = {
+    val bySub = codebooks.groupBy(_._1)
+    (0 until m).map { sub =>
+      val table = typedLit(bySub(sub).sortBy(_._2).map(_._3))
+      d2(slice(col("qv"), sub * dsub + 1, dsub),
+        element_at(table, element_at(col("codes"), sub + 1) + 1))
+    }.reduce(_ + _)
+  }
+
+  /** Rank candidate (query_id, neighbor_id, adc) rows: top-k per query
+    * by (adc ASC, neighbor ASC) — the shared ADC ranking tail.
+    */
+  private def rankByAdc(candidates: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    candidates
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
   def pqTopKWith(corpus: DataFrame, queries: DataFrame, idCol: String,
                  vecCol: String, k: Int,
                  codebooks: Seq[(Int, Int, Array[Float])],
@@ -290,20 +317,9 @@ object Similarity {
       spread(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))),
       "cv", codebooks, m, dsub).select(col("neighbor_id"), col("codes"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val bySub = codebooks.groupBy(_._1)
-    val adc = (0 until m).map { sub =>
-      val table = typedLit(bySub(sub).sortBy(_._2).map(_._3))
-      d2(slice(col("qv"), sub * dsub + 1, dsub),
-        element_at(table, element_at(col("codes"), sub + 1) + 1))
-    }.reduce(_ + _)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc").asc, col("neighbor_id").asc)
-    encoded.join(broadcast(q),
-        col("neighbor_id") =!= col("query_id"))
-      .withColumn("adc", adc)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"))
+    rankByAdc(
+      encoded.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+        .withColumn("adc", adcExpr(codebooks, m, dsub)), k)
   }
 
   /** IVF-PQ: the coarse quantizer prunes the search to `nprobe` cells
@@ -328,20 +344,10 @@ object Similarity {
     val q = assignCells(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
       "qv", centroids, nprobe)
-    val bySub = codebooks.groupBy(_._1)
-    val adc = (0 until m).map { sub =>
-      val table = typedLit(bySub(sub).sortBy(_._2).map(_._3))
-      d2(slice(col("qv"), sub * dsub + 1, dsub),
-        element_at(table, element_at(col("codes"), sub + 1) + 1))
-    }.reduce(_ + _)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc").asc, col("neighbor_id").asc)
-    c.join(broadcast(q), Seq("cell"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("adc", adc)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"))
+    rankByAdc(
+      c.join(broadcast(q), Seq("cell"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("adc", adcExpr(codebooks, m, dsub)), k)
   }
 
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,

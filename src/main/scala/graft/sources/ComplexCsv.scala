@@ -66,25 +66,34 @@ object ComplexCsv {
     */
   def loadWithOptions(spark: SparkSession, path: String, schema: StructType,
                       options: Map[String, String]): DataFrame = {
-    val o = options.map { case (k, v) => k.toLowerCase -> v }
+    val o = options.map { case (k, v) =>
+      k.toLowerCase(java.util.Locale.ROOT) -> v }
     val l1 = java.util.regex.Pattern.quote(
       o.getOrElse("complex_delimiter_level_1", "$"))
     val l2 = java.util.regex.Pattern.quote(
       o.getOrElse("complex_delimiter_level_2", ":"))
     val hasHeaderRow = o.getOrElse("header", "false").toBoolean
-    val raw = spark.read
+    val raw0 = spark.read
       .option("delimiter", o.getOrElse("delimiter", ","))
       .option("quote", o.getOrElse("quotechar", "\""))
       .option("escape", o.getOrElse("escapechar", "\\"))
       .option("multiLine", o.getOrElse("multiline", "false"))
       .option("header", hasHeaderRow.toString)
       .csv(path)
-    // source column name for schema field i: a header row or a
-    // FILEHEADER option names the file's columns (by-name match,
-    // any order); otherwise positional _cN
+    // an explicit FILEHEADER names the file's columns POSITIONALLY and
+    // wins over whatever a header row said (the reference's override
+    // for files with wrong/absent headers); a header row alone names
+    // them too; otherwise columns are positional _cN
+    val fileHeader = o.get("fileheader").map(_.split(",").map(_.trim).toSeq)
+    val raw = fileHeader match {
+      case Some(names) if hasHeaderRow =>
+        require(names.length == raw0.columns.length,
+          s"fileheader has ${names.length} names for ${raw0.columns.length} columns")
+        raw0.toDF(names: _*)
+      case _ => raw0
+    }
     val fileCols: Option[Seq[String]] =
-      if (hasHeaderRow) Some(raw.columns.toSeq)
-      else o.get("fileheader").map(_.split(",").map(_.trim).toSeq)
+      if (hasHeaderRow) Some(raw.columns.toSeq) else fileHeader
     val cols = schema.fields.zipWithIndex.map { case (f, i) =>
       val src = fileCols match {
         case Some(names) =>

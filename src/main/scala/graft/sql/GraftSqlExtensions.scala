@@ -132,7 +132,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val deleteRowsRe =
     """(?is)\s*DELETE\s+FROM\s+GRAFT\s+TABLE\s+(\w+)\s+WHERE\s+(.+)""".r
   private val updateRowsRe =
-    """(?is)\s*UPDATE\s+GRAFT\s+TABLE\s+(\w+)\s+SET\s+(.+?)\s+WHERE\s+(.+)""".r
+    """(?is)\s*UPDATE\s+GRAFT\s+TABLE\s+(\w+)\s+SET\s+(.+)""".r
   private val compactRe =
     """(?is)\s*COMPACT\s+GRAFT\s+TABLE\s+(\w+)\s*""".r
   private val cleanRe =
@@ -178,8 +178,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case deleteSegRe(ids, name) =>
       DeleteGraftSegmentsCommand(name, ids.split(",").map(_.trim.toInt).toSeq)
     case deleteRowsRe(name, where) => DeleteGraftRowsCommand(name, where.trim)
-    case updateRowsRe(name, setList, where) =>
-      UpdateGraftRowsCommand(name, splitAssignments(setList), where.trim)
+    case updateRowsRe(name, rest) =>
+      // the WHERE boundary is found quote- and paren-aware, so a
+      // literal containing " where " (or a subquery) cannot split the
+      // statement in the wrong place
+      val i = topLevelIndexOf(rest, "WHERE")
+      require(i > 0, "UPDATE GRAFT TABLE requires a WHERE clause")
+      UpdateGraftRowsCommand(name, splitAssignments(rest.take(i)),
+        rest.drop(i + "WHERE".length).trim)
     case compactRe(name) => CompactGraftTableCommand(name)
     case cleanRe(name) => CleanGraftFilesCommand(name)
     case addColRe(name, colName, colType, default) =>
@@ -205,18 +211,26 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       u.trim.startsWith("REFRESH") || u.trim.startsWith("UPDATE"))
   }
 
-  /** Split `a = f(x, y), b = z` on top-level commas only (commas inside
-    * parentheses belong to function arguments, not the SET list).
+  /** Split `a = f(x, y), b = 'x, y'` on top-level commas only: commas
+    * inside parentheses belong to function arguments and commas inside
+    * single-quoted SQL literals are data ('' escaping included — each
+    * quote char toggles the in-literal state, which handles doubled
+    * quotes correctly for delimiter purposes).
     */
   private def splitAssignments(setList: String): Seq[(String, String)] = {
     val parts = scala.collection.mutable.ListBuffer.empty[String]
     val cur = new StringBuilder
     var depth = 0
-    setList.foreach {
-      case '(' => depth += 1; cur += '('
-      case ')' => depth -= 1; cur += ')'
-      case ',' if depth == 0 => parts += cur.result(); cur.clear()
-      case c => cur += c
+    var inQuote = false
+    setList.foreach { c =>
+      if (inQuote) { cur += c; if (c == '\'') inQuote = false }
+      else c match {
+        case '\'' => inQuote = true; cur += c
+        case '(' => depth += 1; cur += '('
+        case ')' => depth = math.max(0, depth - 1); cur += ')'
+        case ',' if depth == 0 => parts += cur.result(); cur.clear()
+        case other => cur += other
+      }
     }
     if (cur.nonEmpty) parts += cur.result()
     parts.toSeq.map { p =>
@@ -224,6 +238,35 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       require(i > 0, s"malformed assignment: $p")
       (p.take(i).trim, p.drop(i + 1).trim)
     }
+  }
+
+  /** Index of the first top-level occurrence of `keyword` as a whole
+    * word — occurrences inside parentheses or single-quoted literals
+    * don't count. -1 when absent.
+    */
+  private def topLevelIndexOf(s: String, keyword: String): Int = {
+    val u = s.toUpperCase(Locale.ROOT)
+    val k = keyword.toUpperCase(Locale.ROOT)
+    var depth = 0
+    var inQuote = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQuote) { if (c == '\'') inQuote = false; i += 1 }
+      else c match {
+        case '\'' => inQuote = true; i += 1
+        case '(' => depth += 1; i += 1
+        case ')' => depth = math.max(0, depth - 1); i += 1
+        case _ =>
+          if (depth == 0 && u.startsWith(k, i) &&
+              (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1))) &&
+              (i + k.length >= s.length ||
+                !Character.isLetterOrDigit(s.charAt(i + k.length))))
+            return i
+          i += 1
+      }
+    }
+    -1
   }
 
   override def parseExpression(s: String): Expression = delegate.parseExpression(s)

@@ -90,10 +90,15 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
       StandardCopyOption.REPLACE_EXISTING)
     // append-only history entry — the time-travel anchor. Written
     // AFTER the commit point: a crash between the two loses only the
-    // history entry, never current-state consistency.
+    // history entry, never current-state consistency. Same tmp +
+    // atomic-rename discipline as status.json, so a half-written
+    // entry can never poison statusAt/SHOW HISTORY.
     val logDir = metaDir.resolve("log")
     Files.createDirectories(logDir)
-    Files.writeString(logDir.resolve(s"${stamped.version}.json"), json)
+    val logTmp = logDir.resolve(s".${stamped.version}.json.tmp${System.nanoTime()}")
+    Files.writeString(logTmp, json)
+    Files.move(logTmp, logDir.resolve(s"${stamped.version}.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Exclusive metadata lock for load/compact/delete (reference takes
@@ -196,21 +201,35 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
       case None => true
     }
 
+  /** The table's declared physical layout, applied to EVERY segment
+    * write — initial load, compaction, and DML rewrites alike — so a
+    * replacement segment never silently loses the z-order / partition
+    * clustering / sort the table was created with.
+    */
+  private def applyLayout(df: DataFrame): DataFrame =
+    if (zorderColumns.nonEmpty) ZOrder.layout(df, zorderColumns)
+    else {
+      val partitioned =
+        if (partitionColumns.nonEmpty) df.repartition(partitionColumns.map(col): _*)
+        else df
+      if (sortColumns.nonEmpty)
+        partitioned.sortWithinPartitions(sortColumns.map(col): _*)
+      else partitioned
+    }
+
+  /** A crash between a segment-dir move and its status commit leaves
+    * an orphan dir at an id the catalog will hand out again; since
+    * the id is (re)allocated NOW, anything already at that path is by
+    * definition garbage — heal instead of wedging on the move.
+    */
+  private def clearOrphan(id: Int): Unit = deleteRecursively(segmentDir(id))
+
   def load(df: DataFrame): Int = withLock {
     val st = status
     val id = st.nextId
     val tmp = root.resolve(s".segment_$id.inprogress")
-    val sorted =
-      if (zorderColumns.nonEmpty) ZOrder.layout(df, zorderColumns)
-      else {
-        val partitioned =
-          if (partitionColumns.nonEmpty) df.repartition(partitionColumns.map(col): _*)
-          else df
-        if (sortColumns.nonEmpty)
-          partitioned.sortWithinPartitions(sortColumns.map(col): _*)
-        else partitioned
-      }
-    sorted.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    applyLayout(df).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    clearOrphan(id)
     Files.move(tmp, segmentDir(id), StandardCopyOption.ATOMIC_MOVE)
     val (rows, stats, nulls) = collectStats(segmentDir(id))
     buildBlooms(segmentDir(id), id, rows)
@@ -499,11 +518,7 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     // table root wholesale (only explicit segment_N dirs), so an
     // in-progress dir here is invisible to queries either way.
     val tmp = root.resolve(s"compacting_${System.nanoTime()}")
-    val sorted =
-      if (sortColumns.nonEmpty)
-        merged.sortWithinPartitions(sortColumns.map(col): _*)
-      else merged
-    sorted.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    applyLayout(merged).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val (rows, stats, nulls) = collectStats(tmp)
     withLock {
       val st = status
@@ -514,6 +529,7 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
         None
       } else {
         val newId = st.nextId
+        clearOrphan(newId)
         Files.move(tmp, segmentDir(newId), StandardCopyOption.ATOMIC_MOVE)
         buildBlooms(segmentDir(newId), newId, rows)
         commitStatus(TableStatus(newId + 1,
@@ -596,12 +612,30 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     * concurrent compact/delete aborts this DML instead of silently
     * resurrecting or double-deleting rows.
     */
+  /** Per-segment match counts for a predicate over the candidate set,
+    * in ONE distributed job: the segment id is recovered from the
+    * input file path, so 500 affected segments cost one aggregation,
+    * not 500 sequential count() jobs.
+    */
+  private def matchCounts(candidates: Seq[SegmentMeta],
+                          predicate: Column): Map[Int, Long] =
+    if (candidates.isEmpty) Map.empty
+    else readSegments(candidates)
+      .filter(predicate)
+      .groupBy(org.apache.spark.sql.functions.regexp_extract(
+        org.apache.spark.sql.functions.input_file_name(),
+        "segment_(\\d+)/", 1).cast("int").as("__seg"))
+      .count()
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+
   def delete(predicate: Column): Long = {
     val keep = org.apache.spark.sql.functions.not(
       org.apache.spark.sql.functions.coalesce(predicate, lit(false)))
-    val affected = pruneSegments(predicate)
-      .map(seg => seg -> readSegments(Seq(seg)).filter(predicate).count())
-      .filter(_._2 > 0)
+    val candidates = pruneSegments(predicate)
+    val counts = matchCounts(candidates, predicate)
+    val affected =
+      candidates.flatMap(seg => counts.get(seg.id).filter(_ > 0).map(seg -> _))
     if (affected.isEmpty) return 0L
     // rewrite survivors outside the lock; None = whole segment dies
     val replacements: Seq[(SegmentMeta, Option[(Path, Long, Map[String, ColStats], Map[String, Long])])] =
@@ -609,12 +643,8 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
         if (matched == seg.rowCount) seg -> None
         else {
           val tmp = root.resolve(s"rewriting_${seg.id}_${System.nanoTime()}")
-          val survivors = readSegments(Seq(seg)).filter(keep)
-          val sorted =
-            if (sortColumns.nonEmpty)
-              survivors.sortWithinPartitions(sortColumns.map(col): _*)
-            else survivors
-          sorted.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+          applyLayout(readSegments(Seq(seg)).filter(keep))
+            .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
           val (rows, stats, nulls) = collectStats(tmp)
           seg -> Some((tmp, rows, stats, nulls))
         }
@@ -632,9 +662,10 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     val unknown = assignments.keySet.filterNot(schema.fieldNames.contains)
     require(unknown.isEmpty, s"unknown columns in UPDATE: ${unknown.mkString(", ")}")
     val hit = org.apache.spark.sql.functions.coalesce(predicate, lit(false))
-    val affected = pruneSegments(predicate)
-      .map(seg => seg -> readSegments(Seq(seg)).filter(predicate).count())
-      .filter(_._2 > 0)
+    val candidates = pruneSegments(predicate)
+    val counts = matchCounts(candidates, predicate)
+    val affected =
+      candidates.flatMap(seg => counts.get(seg.id).filter(_ > 0).map(seg -> _))
     if (affected.isEmpty) return 0L
     val replacements = affected.map { case (seg, _) =>
       val tmp = root.resolve(s"rewriting_${seg.id}_${System.nanoTime()}")
@@ -646,11 +677,7 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
           case None => col(f.name)
         }
       }: _*)
-      val sorted =
-        if (sortColumns.nonEmpty)
-          rewritten.sortWithinPartitions(sortColumns.map(col): _*)
-        else rewritten
-      sorted.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      applyLayout(rewritten).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
       val (rows, stats, nulls) = collectStats(tmp)
       seg -> Some((tmp, rows, stats, nulls))
     }
@@ -680,6 +707,7 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     replacements.foreach {
       case (_, Some((tmp, rows, stats, nulls))) =>
         val id = next; next += 1
+        clearOrphan(id)
         Files.move(tmp, segmentDir(id), StandardCopyOption.ATOMIC_MOVE)
         buildBlooms(segmentDir(id), id, rows)
         segs = segs :+ SegmentMeta(id, SUCCESS, rows,

@@ -187,6 +187,16 @@ class RowDmlSpec extends AnyFunSuite {
     assert(spark.sql(
       "SELECT count(*) FROM nations_dml WHERE n_regionkey = 1").head().getLong(0) == 0)
 
+    // literals containing commas and the word 'where' must not confuse
+    // the quote-aware SET/WHERE split
+    val tricky = spark.sql(
+      "UPDATE GRAFT TABLE nations_dml SET n_name = 'where, it began' " +
+        "WHERE n_regionkey = 2").head().getLong(0)
+    assert(tricky > 0)
+    assert(spark.sql(
+      "SELECT count(*) FROM nations_dml WHERE n_name = 'where, it began'")
+      .head().getLong(0) == tricky)
+
     spark.sql("DROP GRAFT TABLE nations_dml")
   }
 }
