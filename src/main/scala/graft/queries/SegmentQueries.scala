@@ -214,6 +214,29 @@ object SegmentQueries {
       t
     })
 
+  /** Orders table upserted via MERGE: keys ≡1 (mod 100) arrive with a
+    * doubled price (replace), keys ≡2 shifted by 10M arrive as inserts.
+    */
+  private def ordersMerged(s: SparkSession, d: String): SegmentedTable =
+    built.getOrElseUpdate(s"ordmrg|$d", {
+      val root = s"/tmp/graft_tables/${d.replace('/', '_')}/orders_mrg"
+      val o = Tables.orders(s, d)
+      val t =
+        if (SegmentedTable.exists(root)) {
+          val x = SegmentedTable.open(s, root)
+          x.deleteSegments(x.showSegments().map(_.id)); x.cleanFiles(); x
+        } else SegmentedTable.create(s, root, o.schema,
+          Map("sort_columns" -> "o_orderkey"))
+      t.load(o.filter(col("o_orderkey") % 2 === 0))
+      t.load(o.filter(col("o_orderkey") % 2 === 1))
+      val upserts = o.filter(col("o_orderkey") % 100 === 1)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val inserts = o.filter(col("o_orderkey") % 100 === 2)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      t.merge(upserts.unionByName(inserts), Seq("o_orderkey"))
+      t
+    })
+
   val queries: Map[String, Q] = Map(
     // load (2 segments) → min/max-pruned scan → aggregate; oracle is
     // the same filter+agg on the source table, so pruning must lose
@@ -279,6 +302,16 @@ object SegmentQueries {
         .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
     }),
 
+    // MERGE upsert: replaced keys carry the incoming values, new keys
+    // append, untouched rows survive — the aggregate hash-checks all
+    // three against the oracle's reconstruction
+    "g09_merge_upsert" -> ((s, d) => {
+      val t = ordersMerged(s, d)
+      t.read()
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+    }),
+
     // time travel: the documents table is read AS OF the version
     // committed by its FIRST load (even doc_ids only) even though a
     // second load and a row-level delete have since changed the live
@@ -320,6 +353,24 @@ object SegmentQueries {
     "g04_bloom_point_lookup" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
          WHERE o_orderkey IN (2, 4, 6, 32)""",
+
+    "g09_merge_upsert" ->
+      """WITH incoming AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus,
+                  o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority
+           FROM orders WHERE o_orderkey % 100 = 1
+           UNION ALL
+           SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+                  o_totalprice, o_orderdate, o_orderpriority
+           FROM orders WHERE o_orderkey % 100 = 2),
+         merged AS (
+           SELECT * FROM incoming
+           UNION ALL
+           SELECT * FROM orders o
+           WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM incoming))
+         SELECT o_orderstatus, COUNT(*) AS cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM merged GROUP BY o_orderstatus""",
 
     // the as-of-first-load snapshot is exactly the even doc_ids
     "g08_time_travel" ->

@@ -24,6 +24,7 @@ import graft.table.SegmentedTable
   *              'complex_delimiter_level_2'=':')]
   *   DELETE FROM GRAFT TABLE t WHERE <predicate>
   *   UPDATE GRAFT TABLE t SET c = <expr>[, ...] WHERE <predicate>
+  *   MERGE GRAFT TABLE t FROM INPATH '<path>' ON (k1[, k2...])
   *   SHOW GRAFT TABLES
   *   SHOW GRAFT SEGMENTS FOR t
   *   DELETE GRAFT SEGMENT <id>[, <id>...] FROM t
@@ -131,6 +132,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*DELETE\s+GRAFT\s+SEGMENT\s+([\d\s,]+)\s+FROM\s+(\w+)\s*""".r
   private val deleteRowsRe =
     """(?is)\s*DELETE\s+FROM\s+GRAFT\s+TABLE\s+(\w+)\s+WHERE\s+(.+)""".r
+  private val mergeRowsRe =
+    """(?is)\s*MERGE\s+GRAFT\s+TABLE\s+(\w+)\s+FROM\s+INPATH\s+'([^']+)'\s+ON\s*\(([^)]*)\)\s*""".r
   private val updateRowsRe =
     """(?is)\s*UPDATE\s+GRAFT\s+TABLE\s+(\w+)\s+SET\s+(.+)""".r
   private val compactRe =
@@ -178,6 +181,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case deleteSegRe(ids, name) =>
       DeleteGraftSegmentsCommand(name, ids.split(",").map(_.trim.toInt).toSeq)
     case deleteRowsRe(name, where) => DeleteGraftRowsCommand(name, where.trim)
+    case mergeRowsRe(name, path, keys) =>
+      MergeGraftDataCommand(name, path,
+        keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     case updateRowsRe(name, rest) =>
       // the WHERE boundary is found quote- and paren-aware, so a
       // literal containing " where " (or a subquery) cannot split the
@@ -208,7 +214,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       u.trim.startsWith("DELETE") || u.trim.startsWith("COMPACT") ||
       u.trim.startsWith("CLEAN") || u.trim.startsWith("DROP") ||
       u.trim.startsWith("ALTER") || u.trim.startsWith("DESCRIBE") ||
-      u.trim.startsWith("REFRESH") || u.trim.startsWith("UPDATE"))
+      u.trim.startsWith("REFRESH") || u.trim.startsWith("UPDATE") ||
+      u.trim.startsWith("MERGE"))
   }
 
   /** Split `a = f(x, y), b = 'x, y'` on top-level commas only: commas
@@ -396,6 +403,26 @@ case class DeleteGraftRowsCommand(name: String, whereSql: String)
     val pred = org.apache.spark.sql.graftbridge.ColumnExpr.toColumn(
       spark.sessionState.sqlParser.parseExpression(whereSql))
     val n = t.delete(pred)
+    t.read().createOrReplaceTempView(name)
+    Seq(Row(n))
+  }
+}
+
+/** MERGE (upsert) from a file: incoming rows replace same-key rows and
+  * the rest append, one atomic commit (see [[SegmentedTable.merge]]).
+  * Returns the count of replaced existing rows.
+  */
+case class MergeGraftDataCommand(name: String, path: String,
+    keyCols: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("replaced_rows", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftCatalog.open(spark, name)
+    val df =
+      if (path.endsWith(".csv"))
+        graft.sources.ComplexCsv.load(spark, path, t.schema)
+      else spark.read.schema(t.schema).parquet(path)
+    val n = t.merge(df, keyCols)
     t.read().createOrReplaceTempView(name)
     Seq(Row(n))
   }

@@ -686,35 +686,110 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
   }
 
   /** Shared DML commit: verify every input segment is still SUCCESS,
-    * then atomically retire inputs and promote replacements in ONE
+    * then atomically retire inputs and promote replacements (plus any
+    * brand-new `additions` segments, e.g. a MERGE's inserts) in ONE
     * status write (readers never observe a half-applied DML).
     */
   private def commitRewrites(
       inputs: Seq[SegmentMeta],
       replacements: Seq[(SegmentMeta, Option[(Path, Long, Map[String, ColStats], Map[String, Long])])],
-      op: String): Unit = withLock {
+      op: String,
+      additions: Seq[(Path, Long, Map[String, ColStats], Map[String, Long])] = Nil)
+      : Unit = withLock {
     val st = status
     val stillLive = inputs.forall(s =>
       st.segments.exists(x => x.id == s.id && x.status == SUCCESS))
     if (!stillLive) {
       replacements.foreach { case (_, r) => r.foreach(x => deleteRecursively(x._1)) }
+      additions.foreach(x => deleteRecursively(x._1))
       throw new IllegalStateException(
         s"concurrent segment change during $op — no rows were modified; retry")
     }
     var next = st.nextId
     var segs = st.segments.map(s =>
       if (inputs.exists(_.id == s.id)) s.copy(status = DELETED) else s)
+    def promote(tmp: Path, rows: Long, stats: Map[String, ColStats],
+                nulls: Map[String, Long]): Unit = {
+      val id = next; next += 1
+      clearOrphan(id)
+      Files.move(tmp, segmentDir(id), StandardCopyOption.ATOMIC_MOVE)
+      buildBlooms(segmentDir(id), id, rows)
+      segs = segs :+ SegmentMeta(id, SUCCESS, rows,
+        System.currentTimeMillis(), stats, nulls)
+    }
     replacements.foreach {
-      case (_, Some((tmp, rows, stats, nulls))) =>
-        val id = next; next += 1
-        clearOrphan(id)
-        Files.move(tmp, segmentDir(id), StandardCopyOption.ATOMIC_MOVE)
-        buildBlooms(segmentDir(id), id, rows)
-        segs = segs :+ SegmentMeta(id, SUCCESS, rows,
-          System.currentTimeMillis(), stats, nulls)
+      case (_, Some((tmp, rows, stats, nulls))) => promote(tmp, rows, stats, nulls)
       case (_, None) => ()
     }
+    additions.foreach { case (tmp, rows, stats, nulls) =>
+      promote(tmp, rows, stats, nulls) }
     commitStatus(TableStatus(next, segs))
+  }
+
+  /** MERGE (upsert) by key, last-write-wins: incoming rows REPLACE
+    * existing rows with the same key and the remainder appends as a
+    * new segment — all in one atomic commit. Candidate segments come
+    * from the incoming key envelope (min/max per key column) through
+    * the normal stats pruning, matches are confirmed with one
+    * semi-join job, and only segments actually holding a matched key
+    * are rewritten (anti-join against the broadcast incoming keys).
+    * Incoming rows are appended as-is — callers dedupe the batch if
+    * its keys repeat. Returns the number of existing rows replaced.
+    *
+    * Scale: key envelope + stats bound the rewrite set exactly like
+    * DELETE; the only corpus-wide work is one semi-join keyed on the
+    * merge key. For an incoming batch too large to broadcast, Spark
+    * picks a shuffle join — same plan shape, still proportional to
+    * candidates.
+    */
+  def merge(df: DataFrame, keyCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "merge requires at least one key column")
+    val unknown = keyCols.filterNot(schema.fieldNames.contains)
+    require(unknown.isEmpty, s"unknown merge key columns: ${unknown.mkString(", ")}")
+    val incoming = df.select(schema.fieldNames.map(col).toSeq: _*)
+    val keys = incoming.select(keyCols.map(col): _*).distinct()
+    // incoming key envelope -> candidate segments via stats pruning
+    val aggs = keyCols.flatMap(k =>
+      Seq(min(col(k)).as(s"__mn_$k"), max(col(k)).as(s"__mx_$k")))
+    val env = incoming.agg(aggs.head, aggs.tail: _*).collect()(0)
+    if (env.getAs[Any](s"__mn_${keyCols.head}") == null) return 0L // empty batch
+    val envelope = keyCols.map(k =>
+      col(k) >= lit(env.getAs[Any](s"__mn_$k")) &&
+        col(k) <= lit(env.getAs[Any](s"__mx_$k"))).reduce(_ && _)
+    val candidates = pruneSegments(envelope)
+    // one job: which candidate segments hold at least one matched key?
+    val hitCounts: Map[Int, Long] =
+      if (candidates.isEmpty) Map.empty
+      else readSegments(candidates)
+        // the file-derived segment id must attach BEFORE the join
+        // (input_file_name is single-source only)
+        .withColumn("__seg", org.apache.spark.sql.functions.regexp_extract(
+          org.apache.spark.sql.functions.input_file_name(),
+          "segment_(\\d+)/", 1).cast("int"))
+        .join(org.apache.spark.sql.functions.broadcast(keys), keyCols, "left_semi")
+        .groupBy(col("__seg"))
+        .count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val affected =
+      candidates.flatMap(seg => hitCounts.get(seg.id).filter(_ > 0).map(seg -> _))
+    // rewrite matched segments without the replaced keys
+    val replacements = affected.map { case (seg, matched) =>
+      if (matched == seg.rowCount) seg -> None
+      else {
+        val tmp = root.resolve(s"rewriting_${seg.id}_${System.nanoTime()}")
+        val survivors = readSegments(Seq(seg))
+          .join(org.apache.spark.sql.functions.broadcast(keys), keyCols, "left_anti")
+        applyLayout(survivors).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        val (rows, stats, nulls) = collectStats(tmp)
+        seg -> Some((tmp, rows, stats, nulls))
+      }
+    }
+    // incoming batch lands as one new segment in the same commit
+    val addTmp = root.resolve(s"merging_${System.nanoTime()}")
+    applyLayout(incoming).write.mode(SaveMode.Overwrite).parquet(addTmp.toString)
+    val (aRows, aStats, aNulls) = collectStats(addTmp)
+    commitRewrites(affected.map(_._1), replacements, "MERGE",
+      additions = Seq((addTmp, aRows, aStats, aNulls)))
+    affected.map(_._2).sum
   }
 
   // ---- schema evolution (reference AlterCube / RestructureUtil:

@@ -118,6 +118,48 @@ class RowDmlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("nope"))
   }
 
+  test("merge upserts matched keys, appends new ones, in one commit") {
+    val root = freshRoot("merge")
+    val lo = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "v", "p")
+    val hi = Seq((10L, "c", 30.0)).toDF("k", "v", "p")
+    val t = SegmentedTable.create(spark, root, lo.schema,
+      Map("sort_columns" -> "k"))
+    t.load(lo); t.load(hi)
+    val hiFiles = fileSet(root, 1)
+    val vBefore = t.currentVersion
+
+    val incoming = Seq((2L, "b2", 99.0), (5L, "new", 1.0)).toDF("k", "v", "p")
+    val replaced = t.merge(incoming, Seq("k"))
+    assert(replaced == 1)
+
+    val rows = t.read().orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq(
+      (1L, "a", 10.0), (2L, "b2", 99.0), (5L, "new", 1.0), (10L, "c", 30.0)))
+    // the hi segment is outside the incoming key envelope: untouched
+    assert(fileSet(root, 1) == hiFiles)
+    // one commit: exactly one version bump for the whole merge
+    assert(t.currentVersion == vBefore + 1)
+    // pre-merge snapshot still shows the old row
+    assert(t.readAsOf(vBefore).filter(col("k") === 2L)
+      .select("v").head().getString(0) == "b")
+  }
+
+  test("SQL MERGE GRAFT TABLE FROM INPATH ... ON (key)") {
+    val sf = graft.TestSpark.sf
+    spark.read.parquet(s"$sf/region.parquet").createOrReplaceTempView("region_mrg_src")
+    spark.sql("DROP GRAFT TABLE region_mrg")
+    spark.sql("CREATE GRAFT TABLE region_mrg AS SELECT * FROM region_mrg_src")
+    val before = spark.sql("SELECT count(*) FROM region_mrg").head().getLong(0)
+    // merging the table into itself replaces every row, inserts none
+    val replaced = spark.sql(
+      s"MERGE GRAFT TABLE region_mrg FROM INPATH '$sf/region.parquet' ON (r_regionkey)")
+      .head().getLong(0)
+    assert(replaced == before)
+    assert(spark.sql("SELECT count(*) FROM region_mrg").head().getLong(0) == before)
+    spark.sql("DROP GRAFT TABLE region_mrg")
+  }
+
   test("time travel: every commit is a readable snapshot until cleanFiles") {
     val root = freshRoot("travel")
     val a = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
