@@ -99,6 +99,31 @@ class PlanSpec extends AnyFunSuite {
       s"per-doc masking must not shuffle:\n${p.take(3000)}")
   }
 
+  test("runtime bloom-filter join: the dim filter reaches the fact side") {
+    // the reference's FilterPushJoin collects the filtered small
+    // side's join keys and pushes them as an IN filter into the fact
+    // scan (CarbonJoins.scala:31-93); Spark's runtime bloom-filter
+    // join is the built-in equivalent — prove it fires on a
+    // selective dim filter once the size thresholds allow
+    import org.apache.spark.sql.functions.col
+    val sets = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = sets.map { case (k, _) => k -> spark.conf.getOption(k) }
+    sets.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = spark.read.parquet(s"${TestSpark.sf}/lineitem.parquet")
+      val part = spark.read.parquet(s"${TestSpark.sf}/part.parquet")
+        .filter(col("p_size") === 1)
+      val joined = li.join(part, li("l_partkey") === part("p_partkey"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"runtime bloom filter did not inject:\n${plan.take(3000)}")
+    } finally prev.foreach { case (k, vOpt) =>
+      vOpt.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("sequence packing windows per shard, never a global order") {
     val p = plan("t14_seq_pack")
     assert(p.contains("hashpartitioning(shard"), p.take(3000))
