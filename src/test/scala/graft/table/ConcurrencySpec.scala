@@ -83,6 +83,29 @@ class ConcurrencySpec extends AnyFunSuite {
       .startsWith("live-owner:"), "a live foreign lease must not be deleted")
   }
 
+  test("concurrent disjoint row-deletes both commit, losing nothing else") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_dmlc").resolve("t").toString
+    val lo = (1L to 50L).map(k => (k, s"v$k")).toDF("k", "v")
+    val hi = (100L to 150L).map(k => (k, s"v$k")).toDF("k", "v")
+    val t = SegmentedTable.create(spark, root, lo.schema,
+      Map("sort_columns" -> "k"))
+    t.load(lo); t.load(hi)
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    // pruning confines each delete to a different segment, so the
+    // commit-time re-verification never sees its inputs retired and
+    // both DMLs land; a shared-segment race would abort one instead
+    val a = Future(t.delete(col("k") <= 10L))
+    val b = Future(t.delete(col("k") >= 140L))
+    val (da, db) = (Await.result(a, 120.seconds), Await.result(b, 120.seconds))
+    pool.shutdown()
+    assert(da == 10 && db == 11)
+    assert(t.read().count() == 101 - 21)
+    assert(t.read().agg(min(col("k")), max(col("k"))).head() ==
+      org.apache.spark.sql.Row(11L, 139L))
+  }
+
   test("partitioned load co-locates keys per file") {
     val root = Files.createTempDirectory("graft_part").resolve("t").toString
     val li = spark.read.parquet(s"${TestSpark.sf}/lineitem.parquet")
