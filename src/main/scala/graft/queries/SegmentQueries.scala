@@ -237,6 +237,26 @@ object SegmentQueries {
       t
     })
 
+  /** Documents ingested idempotently: evens load normally, then the
+    * WHOLE corpus is delivered twice through loadUnique — double
+    * delivery must be a no-op.
+    */
+  private def documentsIngested(s: SparkSession, d: String): SegmentedTable =
+    built.getOrElseUpdate(s"docing|$d", {
+      val root = s"/tmp/graft_tables/${d.replace('/', '_')}/documents_ing"
+      val docs = Tables.documents(s, d)
+      val t =
+        if (SegmentedTable.exists(root)) {
+          val x = SegmentedTable.open(s, root)
+          x.deleteSegments(x.showSegments().map(_.id)); x.cleanFiles(); x
+        } else SegmentedTable.create(s, root, docs.schema,
+          Map("sort_columns" -> "doc_id"))
+      t.load(docs.filter(col("doc_id") % 2 === 0))
+      assert(t.loadUnique(docs, Seq("doc_id")).nonEmpty) // odds land
+      assert(t.loadUnique(docs, Seq("doc_id")).isEmpty)  // re-delivery no-ops
+      t
+    })
+
   val queries: Map[String, Q] = Map(
     // load (2 segments) → min/max-pruned scan → aggregate; oracle is
     // the same filter+agg on the source table, so pruning must lose
@@ -302,6 +322,17 @@ object SegmentQueries {
         .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
     }),
 
+    // idempotent dedup ingest: after loading the even half, the FULL
+    // corpus is delivered twice via loadUnique — only the odd half
+    // lands (once), and the table must equal the source exactly
+    "g10_dedup_ingest" -> ((s, d) => {
+      val t = documentsIngested(s, d)
+      t.read()
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+    }),
+
     // MERGE upsert: replaced keys carry the incoming values, new keys
     // append, untouched rows survive — the aggregate hash-checks all
     // three against the oracle's reconstruction
@@ -353,6 +384,12 @@ object SegmentQueries {
     "g04_bloom_point_lookup" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
          WHERE o_orderkey IN (2, 4, 6, 32)""",
+
+    // double delivery must reconstruct exactly the source corpus
+    "g10_dedup_ingest" ->
+      """SELECT lang, COUNT(*) AS cnt,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         FROM documents GROUP BY lang""",
 
     "g09_merge_upsert" ->
       """WITH incoming AS (

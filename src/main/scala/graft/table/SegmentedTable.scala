@@ -239,6 +239,24 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     id
   }
 
+  /** Idempotent append (exact dedup at ingest): load only incoming
+    * rows whose key is absent from the table, so re-delivering a
+    * batch — the normal at-least-once ingest failure mode — adds
+    * nothing. One anti-join against the table's key projection (a
+    * column-pruned scan of the key columns only); callers dedupe
+    * within the batch if its own keys repeat. Returns the new segment
+    * id, or None when every incoming row already existed.
+    */
+  def loadUnique(df: DataFrame, keyCols: Seq[String]): Option[Int] = {
+    require(keyCols.nonEmpty, "loadUnique requires at least one key column")
+    val unknown = keyCols.filterNot(schema.fieldNames.contains)
+    require(unknown.isEmpty, s"unknown key columns: ${unknown.mkString(", ")}")
+    val incoming = df.select(schema.fieldNames.map(col).toSeq: _*)
+    val existingKeys = read().select(keyCols.map(col): _*).distinct()
+    val fresh = incoming.join(existingKeys, keyCols, "left_anti")
+    if (fresh.isEmpty) None else Some(load(fresh))
+  }
+
   /** Overwrite = mark all live segments DELETED, then load. */
   def overwrite(df: DataFrame): Int = {
     withLock {
