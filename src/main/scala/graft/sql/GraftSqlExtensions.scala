@@ -313,7 +313,13 @@ case class LoadGraftDataCommand(name: String, path: String,
       if (path.endsWith(".csv"))
         graft.sources.ComplexCsv.loadWithOptions(spark, path, t.schema, options)
       else spark.read.schema(t.schema).parquet(path)
-    t.load(df)
+    // OPTIONS('dedup_keys'='k1,k2') routes through the idempotent
+    // ingest path: rows whose key already exists are skipped
+    options.get("dedup_keys") match {
+      case Some(ks) =>
+        t.loadUnique(df, ks.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      case None => t.load(df)
+    }
     t.read().createOrReplaceTempView(name)
     Nil
   }

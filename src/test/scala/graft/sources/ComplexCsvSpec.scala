@@ -79,6 +79,11 @@ class ComplexCsvSpec extends AnyFunSuite {
     spark.sql(s"LOAD GRAFT DATA INPATH '$f' INTO TABLE csv_opt_t OPTIONS('delimiter'=';')")
     assert(spark.sql("SELECT count(*) FROM csv_opt_t").head().getLong(0) == 3)
     assert(spark.sql("SELECT name FROM csv_opt_t WHERE id = 11").head().getString(0) == "y")
+
+    // dedup_keys makes re-delivery of the same file a no-op
+    spark.sql(s"LOAD GRAFT DATA INPATH '$f' INTO TABLE csv_opt_t " +
+      "OPTIONS('delimiter'=';', 'dedup_keys'='id')")
+    assert(spark.sql("SELECT count(*) FROM csv_opt_t").head().getLong(0) == 3)
     spark.sql("DROP GRAFT TABLE csv_opt_t")
   }
 }
