@@ -153,16 +153,27 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     metaDir.resolve(s"bloom_${segId}_$column.bin")
 
   /** One extra pass per bloom column at load/compact time — the write
-    * path pays for the read path, as with every index.
+    * path pays for the read path, as with every index. The distributed
+    * scan happens where the STAGED data lives (outside the lock); only
+    * the sidecar write needs the final segment id.
     */
-  private def buildBlooms(dir: Path, segId: Int, rows: Long): Unit =
-    bloomColumns.filter(schema.fieldNames.contains).foreach { c =>
-      val bf = spark.read.schema(schema).parquet(dir.toString)
+  private def computeBlooms(dir: Path, rows: Long)
+      : Seq[(String, org.apache.spark.util.sketch.BloomFilter)] =
+    bloomColumns.filter(schema.fieldNames.contains).map { c =>
+      c -> spark.read.schema(schema).parquet(dir.toString)
         .select(org.apache.spark.sql.functions.xxhash64(col(c)).as("h"))
         .stat.bloomFilter("h", math.max(rows, 1L), 0.03)
+    }
+
+  private def writeBlooms(segId: Int,
+      blooms: Seq[(String, org.apache.spark.util.sketch.BloomFilter)]): Unit =
+    blooms.foreach { case (c, bf) =>
       val os = Files.newOutputStream(bloomFile(segId, c))
       try bf.writeTo(os) finally os.close()
     }
+
+  private def buildBlooms(dir: Path, segId: Int, rows: Long): Unit =
+    writeBlooms(segId, computeBlooms(dir, rows))
 
   /** Lazily-loaded per-(segment, column) blooms; None = no sidecar
     * (column not indexed, or written by an older catalog) = never
@@ -224,19 +235,54 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     */
   private def clearOrphan(id: Int): Unit = deleteRecursively(segmentDir(id))
 
-  def load(df: DataFrame): Int = withLock {
+  /** A segment fully written and analyzed under a temporary path,
+    * awaiting only id allocation + rename + catalog commit.
+    */
+  private case class StagedSegment(tmp: Path, rows: Long,
+      stats: Map[String, ColStats], nulls: Map[String, Long],
+      blooms: Seq[(String, org.apache.spark.util.sketch.BloomFilter)])
+
+  /** All of a segment write's heavy work — the distributed layout +
+    * parquet write, the stats pass, and the bloom passes — against a
+    * unique temp dir, with NO lock held. Not dot-prefixed: Spark's
+    * file listing skips hidden paths, which would break the stats
+    * read; queries never scan the table root wholesale, so the
+    * in-progress dir is invisible to them either way.
+    */
+  private def stageSegment(df: DataFrame, prefix: String): StagedSegment = {
+    val tmp = root.resolve(s"${prefix}_${System.nanoTime()}")
+    applyLayout(df).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val (rows, stats, nulls) = collectStats(tmp)
+    StagedSegment(tmp, rows, stats, nulls, computeBlooms(tmp, rows))
+  }
+
+  /** Allocate the next id, rename the staged dir into place, commit.
+    * Caller MUST hold the metadata lock; everything here is
+    * millisecond-scale driver-side work (one rename + one JSON write).
+    */
+  private def commitStagedLocked(staged: StagedSegment): Int = {
     val st = status
     val id = st.nextId
-    val tmp = root.resolve(s".segment_$id.inprogress")
-    applyLayout(df).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     clearOrphan(id)
-    Files.move(tmp, segmentDir(id), StandardCopyOption.ATOMIC_MOVE)
-    val (rows, stats, nulls) = collectStats(segmentDir(id))
-    buildBlooms(segmentDir(id), id, rows)
+    Files.move(staged.tmp, segmentDir(id), StandardCopyOption.ATOMIC_MOVE)
+    writeBlooms(id, staged.blooms)
     commitStatus(TableStatus(id + 1,
-      st.segments :+ SegmentMeta(id, SUCCESS, rows, System.currentTimeMillis(),
-        stats, nulls)))
+      st.segments :+ SegmentMeta(id, SUCCESS, staged.rows,
+        System.currentTimeMillis(), staged.stats, staged.nulls)))
     id
+  }
+
+  /** Append one segment. The multi-minute distributed write runs
+    * OUTSIDE the metadata lock — the same write-outside/commit-inside
+    * protocol [[compact]] and the DML paths use — so concurrent loads
+    * overlap their heavy work and serialize only on the id-allocate +
+    * rename + status flip. At 100 TB this is the difference between
+    * ingest throughput scaling with writers and every load queueing
+    * behind the slowest one.
+    */
+  def load(df: DataFrame): Int = {
+    val staged = stageSegment(df, "loading")
+    withLock { commitStagedLocked(staged) }
   }
 
   /** Idempotent append (exact dedup at ingest): load only incoming
@@ -246,15 +292,52 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     * column-pruned scan of the key columns only); callers dedupe
     * within the batch if its own keys repeat. Returns the new segment
     * id, or None when every incoming row already existed.
+    *
+    * Concurrency: the anti-join and the staged write run against a
+    * catalog SNAPSHOT with no lock held; the commit then re-checks the
+    * catalog version under the lock. Unchanged version ⇒ the snapshot
+    * check still holds and the staged segment commits as-is (the
+    * common path — zero extra work). Changed version ⇒ the staged rows
+    * are re-verified against the CURRENT live set inside the lock, so
+    * two concurrent deliveries of the same batch net exactly one
+    * segment — the at-least-once failure mode this method exists to
+    * absorb cannot double-insert through a race.
     */
   def loadUnique(df: DataFrame, keyCols: Seq[String]): Option[Int] = {
     require(keyCols.nonEmpty, "loadUnique requires at least one key column")
     val unknown = keyCols.filterNot(schema.fieldNames.contains)
     require(unknown.isEmpty, s"unknown key columns: ${unknown.mkString(", ")}")
     val incoming = df.select(schema.fieldNames.map(col).toSeq: _*)
-    val existingKeys = read().select(keyCols.map(col): _*).distinct()
+    val snap = status
+    val snapLive = snap.segments.filter(_.status == SUCCESS)
+    val existingKeys =
+      readSegments(snapLive).select(keyCols.map(col): _*).distinct()
     val fresh = incoming.join(existingKeys, keyCols, "left_anti")
-    if (fresh.isEmpty) None else Some(load(fresh))
+    if (fresh.isEmpty) return None
+    val staged = stageSegment(fresh, "loading")
+    withLock {
+      val cur = status
+      if (cur.version == snap.version) Some(commitStagedLocked(staged))
+      else {
+        // catalog moved between check and commit (e.g. the same batch
+        // delivered twice concurrently): re-verify key absence against
+        // the now-current live set. This conflict path pays one extra
+        // keyed anti-join inside the lock; the no-conflict path never
+        // does.
+        val curKeys = readSegments(cur.segments.filter(_.status == SUCCESS))
+          .select(keyCols.map(col): _*).distinct()
+        val stagedDf = spark.read.schema(schema).parquet(staged.tmp.toString)
+        val still = stagedDf.join(curKeys, keyCols, "left_anti")
+        val stillRows = still.count()
+        if (stillRows == 0L) { deleteRecursively(staged.tmp); None }
+        else if (stillRows == staged.rows) Some(commitStagedLocked(staged))
+        else {
+          val restaged = stageSegment(still, "loading")
+          deleteRecursively(staged.tmp)
+          Some(commitStagedLocked(restaged))
+        }
+      }
+    }
   }
 
   /** Overwrite = mark all live segments DELETED, then load. */
@@ -299,8 +382,11 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
 
   /** Full-table read: union of live segment dirs in one multi-path
     * Parquet scan (locality and split sizing handled by Spark).
+    * Declared column defaults are applied here, so an evolved table
+    * answers correctly through every entry point — callers never need
+    * to know defaults exist (see [[applyDefaults]]).
     */
-  def read(): DataFrame = readSegments(liveSegments)
+  def read(): DataFrame = applyDefaults(readSegments(liveSegments))
 
   private def readSegments(segs: Seq[SegmentMeta]): DataFrame =
     if (segs.isEmpty)
@@ -315,7 +401,7 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     * core/.../query/filters/FilterExpressionProcessor.java:85-155).
     */
   def scan(predicate: Column): DataFrame =
-    readSegments(pruneSegments(predicate)).filter(predicate)
+    applyDefaults(readSegments(pruneSegments(predicate))).filter(predicate)
 
   /** The segments surviving min/max pruning (exposed for tests). */
   def pruneSegments(predicate: Column): Seq[SegmentMeta] = {
@@ -530,30 +616,24 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     // that every input segment is still SUCCESS — a concurrent
     // deleteSegments/deleteSegmentsBefore in the merge window aborts
     // the compaction instead of resurrecting the deleted rows
-    val merged = readSegments(live)
-    // NOT dot-prefixed: Spark's file listing ignores hidden paths, which
-    // would break the collectStats read below. Readers never scan the
-    // table root wholesale (only explicit segment_N dirs), so an
-    // in-progress dir here is invisible to queries either way.
-    val tmp = root.resolve(s"compacting_${System.nanoTime()}")
-    applyLayout(merged).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    val (rows, stats, nulls) = collectStats(tmp)
+    // write + stats + blooms all staged outside the lock
+    val staged = stageSegment(readSegments(live), "compacting")
     withLock {
       val st = status
       val stillLive = live.forall(s =>
         st.segments.exists(x => x.id == s.id && x.status == SUCCESS))
       if (!stillLive) {
-        deleteRecursively(tmp)
+        deleteRecursively(staged.tmp)
         None
       } else {
         val newId = st.nextId
         clearOrphan(newId)
-        Files.move(tmp, segmentDir(newId), StandardCopyOption.ATOMIC_MOVE)
-        buildBlooms(segmentDir(newId), newId, rows)
+        Files.move(staged.tmp, segmentDir(newId), StandardCopyOption.ATOMIC_MOVE)
+        writeBlooms(newId, staged.blooms)
         commitStatus(TableStatus(newId + 1,
           st.segments.map(s => if (live.exists(_.id == s.id)) s.copy(status = COMPACTED) else s) :+
-            SegmentMeta(newId, SUCCESS, rows, System.currentTimeMillis(),
-              stats, nulls)))
+            SegmentMeta(newId, SUCCESS, staged.rows, System.currentTimeMillis(),
+              staged.stats, staged.nulls)))
         Some(newId)
       }
     }
@@ -602,7 +682,7 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     val gone = live.filterNot(s => Files.isDirectory(segmentDir(s.id)))
     require(gone.isEmpty,
       s"version $version references segments removed by cleanFiles: ${gone.map(_.id).mkString(",")}")
-    readSegments(live)
+    applyDefaults(readSegments(live))
   }
 
   // ---- row-level DML (copy-on-write) ----
@@ -656,16 +736,11 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
       candidates.flatMap(seg => counts.get(seg.id).filter(_ > 0).map(seg -> _))
     if (affected.isEmpty) return 0L
     // rewrite survivors outside the lock; None = whole segment dies
-    val replacements: Seq[(SegmentMeta, Option[(Path, Long, Map[String, ColStats], Map[String, Long])])] =
+    val replacements: Seq[(SegmentMeta, Option[StagedSegment])] =
       affected.map { case (seg, matched) =>
         if (matched == seg.rowCount) seg -> None
-        else {
-          val tmp = root.resolve(s"rewriting_${seg.id}_${System.nanoTime()}")
-          applyLayout(readSegments(Seq(seg)).filter(keep))
-            .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-          val (rows, stats, nulls) = collectStats(tmp)
-          seg -> Some((tmp, rows, stats, nulls))
-        }
+        else seg -> Some(stageSegment(
+          readSegments(Seq(seg)).filter(keep), s"rewriting_${seg.id}"))
       }
     commitRewrites(affected.map(_._1), replacements, "DELETE")
     affected.map(_._2).sum
@@ -686,7 +761,6 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
       candidates.flatMap(seg => counts.get(seg.id).filter(_ > 0).map(seg -> _))
     if (affected.isEmpty) return 0L
     val replacements = affected.map { case (seg, _) =>
-      val tmp = root.resolve(s"rewriting_${seg.id}_${System.nanoTime()}")
       val rewritten = readSegments(Seq(seg)).select(schema.fields.toSeq.map { f =>
         assignments.get(f.name) match {
           case Some(v) =>
@@ -695,9 +769,7 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
           case None => col(f.name)
         }
       }: _*)
-      applyLayout(rewritten).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      val (rows, stats, nulls) = collectStats(tmp)
-      seg -> Some((tmp, rows, stats, nulls))
+      seg -> Some(stageSegment(rewritten, s"rewriting_${seg.id}"))
     }
     commitRewrites(affected.map(_._1), replacements, "UPDATE")
     affected.map(_._2).sum
@@ -710,37 +782,35 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     */
   private def commitRewrites(
       inputs: Seq[SegmentMeta],
-      replacements: Seq[(SegmentMeta, Option[(Path, Long, Map[String, ColStats], Map[String, Long])])],
+      replacements: Seq[(SegmentMeta, Option[StagedSegment])],
       op: String,
-      additions: Seq[(Path, Long, Map[String, ColStats], Map[String, Long])] = Nil)
+      additions: Seq[StagedSegment] = Nil)
       : Unit = withLock {
     val st = status
     val stillLive = inputs.forall(s =>
       st.segments.exists(x => x.id == s.id && x.status == SUCCESS))
     if (!stillLive) {
-      replacements.foreach { case (_, r) => r.foreach(x => deleteRecursively(x._1)) }
-      additions.foreach(x => deleteRecursively(x._1))
+      replacements.foreach { case (_, r) => r.foreach(x => deleteRecursively(x.tmp)) }
+      additions.foreach(x => deleteRecursively(x.tmp))
       throw new IllegalStateException(
         s"concurrent segment change during $op — no rows were modified; retry")
     }
     var next = st.nextId
     var segs = st.segments.map(s =>
       if (inputs.exists(_.id == s.id)) s.copy(status = DELETED) else s)
-    def promote(tmp: Path, rows: Long, stats: Map[String, ColStats],
-                nulls: Map[String, Long]): Unit = {
+    def promote(staged: StagedSegment): Unit = {
       val id = next; next += 1
       clearOrphan(id)
-      Files.move(tmp, segmentDir(id), StandardCopyOption.ATOMIC_MOVE)
-      buildBlooms(segmentDir(id), id, rows)
-      segs = segs :+ SegmentMeta(id, SUCCESS, rows,
-        System.currentTimeMillis(), stats, nulls)
+      Files.move(staged.tmp, segmentDir(id), StandardCopyOption.ATOMIC_MOVE)
+      writeBlooms(id, staged.blooms)
+      segs = segs :+ SegmentMeta(id, SUCCESS, staged.rows,
+        System.currentTimeMillis(), staged.stats, staged.nulls)
     }
     replacements.foreach {
-      case (_, Some((tmp, rows, stats, nulls))) => promote(tmp, rows, stats, nulls)
+      case (_, Some(staged)) => promote(staged)
       case (_, None) => ()
     }
-    additions.foreach { case (tmp, rows, stats, nulls) =>
-      promote(tmp, rows, stats, nulls) }
+    additions.foreach(promote)
     commitStatus(TableStatus(next, segs))
   }
 
@@ -793,20 +863,14 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     val replacements = affected.map { case (seg, matched) =>
       if (matched == seg.rowCount) seg -> None
       else {
-        val tmp = root.resolve(s"rewriting_${seg.id}_${System.nanoTime()}")
         val survivors = readSegments(Seq(seg))
           .join(org.apache.spark.sql.functions.broadcast(keys), keyCols, "left_anti")
-        applyLayout(survivors).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-        val (rows, stats, nulls) = collectStats(tmp)
-        seg -> Some((tmp, rows, stats, nulls))
+        seg -> Some(stageSegment(survivors, s"rewriting_${seg.id}"))
       }
     }
     // incoming batch lands as one new segment in the same commit
-    val addTmp = root.resolve(s"merging_${System.nanoTime()}")
-    applyLayout(incoming).write.mode(SaveMode.Overwrite).parquet(addTmp.toString)
-    val (aRows, aStats, aNulls) = collectStats(addTmp)
     commitRewrites(affected.map(_._1), replacements, "MERGE",
-      additions = Seq((addTmp, aRows, aStats, aNulls)))
+      additions = Seq(stageSegment(incoming, "merging")))
     affected.map(_._2).sum
   }
 
@@ -841,13 +905,15 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     new SegmentedTable(spark, root, newSchema, newProps)
   }
 
-  /** Read with declared defaults applied to columns absent from older
-    * segment files (Parquet returns null for missing columns; the
-    * default replaces only those nulls, mirroring
-    * RestructureFilterExecuterImpl's default-fill).
+  /** Declared defaults applied to columns absent from older segment
+    * files (Parquet returns null for missing columns; the default
+    * replaces only those nulls, mirroring
+    * RestructureFilterExecuterImpl's default-fill). This is folded
+    * into EVERY read entry point ([[read]], [[scan]], [[readAsOf]]) so
+    * evolved tables answer correctly by default; it is the identity
+    * (zero plan change) for tables with no `default.*` property.
     */
-  def readWithDefaults(): DataFrame = {
-    val base = read()
+  private def applyDefaults(base: DataFrame): DataFrame = {
     val defaults = properties.collect {
       case (k, v) if k.startsWith("default.") => k.stripPrefix("default.") -> v
     }
@@ -858,6 +924,9 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
       else df
     }
   }
+
+  /** Kept for source compatibility — [[read]] now applies defaults. */
+  def readWithDefaults(): DataFrame = read()
 }
 
 object SegmentedTable {

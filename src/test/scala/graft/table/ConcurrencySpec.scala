@@ -83,6 +83,56 @@ class ConcurrencySpec extends AnyFunSuite {
       .startsWith("live-owner:"), "a live foreign lease must not be deleted")
   }
 
+  test("a load's distributed write does not block other loads (write outside the lock)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_overlap").resolve("t").toString
+    val fast = (1L to 20L).map(k => (k, s"f$k")).toDF("k", "v")
+    // ~2s of executor time for the slow load's write: a per-row sleep
+    // evaluated during the parquet write of a single-partition input
+    val slowFilter = udf((k: Long) => { Thread.sleep(100); true })
+    val slow = (100L to 119L).map(k => (k, s"s$k")).toDF("k", "v")
+      .repartition(1).filter(slowFilter(col("k")))
+    val t = SegmentedTable.create(spark, root, fast.schema, Map.empty)
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val slowF = Future { val id = t.load(slow); (id, System.nanoTime()) }
+    Thread.sleep(300) // the slow write is now in flight
+    val t0 = System.nanoTime()
+    val fastId = t.load(fast)
+    val fastDone = System.nanoTime()
+    val (slowId, slowDone) = Await.result(slowF, 120.seconds)
+    pool.shutdown()
+    // the fast load must commit DURING the slow load's write — with the
+    // old write-inside-the-lock protocol it would queue ≥2s behind it
+    assert(fastDone < slowDone,
+      "fast load must finish while the slow load's write is still running")
+    assert((fastDone - t0) / 1e9 < 1.5,
+      s"fast load blocked ${(fastDone - t0) / 1e9}s — write is serializing on the lock")
+    assert(Set(fastId, slowId) == Set(0, 1))
+    assert(t.read().count() == 40)
+  }
+
+  test("concurrent duplicate deliveries through loadUnique net exactly one segment") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_dupdeliv").resolve("t").toString
+    val batch = (1L to 200L).map(k => (k, s"v$k")).toDF("k", "v")
+    val t = SegmentedTable.create(spark, root, batch.schema, Map.empty)
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    // the at-least-once failure mode: the SAME batch delivered twice,
+    // concurrently. Both pass the snapshot anti-join (empty table), so
+    // only the commit-time re-verification can stop the double insert.
+    val a = Future(t.loadUnique(batch, Seq("k")))
+    val b = Future(t.loadUnique(batch, Seq("k")))
+    val results = Seq(Await.result(a, 120.seconds), Await.result(b, 120.seconds))
+    pool.shutdown()
+    assert(results.count(_.nonEmpty) == 1,
+      s"exactly one delivery must land, got $results")
+    assert(t.read().count() == 200, "double delivery must not double-insert")
+    assert(t.read().select("k").distinct().count() == 200)
+    assert(t.showSegments().count(_.status == "SUCCESS") == 1)
+  }
+
   test("concurrent disjoint row-deletes both commit, losing nothing else") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_dmlc").resolve("t").toString
