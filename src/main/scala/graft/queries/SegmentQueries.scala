@@ -346,14 +346,18 @@ object SegmentQueries {
     // time travel: the documents table is read AS OF the version
     // committed by its FIRST load (even doc_ids only) even though a
     // second load and a row-level delete have since changed the live
-    // set — the snapshot read must equal the first load exactly
+    // set — and the snapshot read goes through the SQL surface (the
+    // graft_table table-valued function), so the gate proves VERSION
+    // AS OF is reachable from pure SQL, not just the API
     "g08_time_travel" -> ((s, d) => {
       val t = documentsVersioned(s, d)
       val firstLoadVersion = t.versions.sorted.apply(1) // create, load, load, delete
-      t.readAsOf(firstLoadVersion)
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("cnt"),
-          sum(col("n_chars")).cast("long").as("sum_chars"))
+      graft.sql.GraftTableFunction.ensureRegistered(s)
+      s.sql(
+        s"""SELECT lang, COUNT(*) AS cnt,
+              CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM graft_table('${t.root}', $firstLoadVersion)
+            GROUP BY lang""")
     }),
 
     // co-located fact-fact join: both sides bucketed on the order key,

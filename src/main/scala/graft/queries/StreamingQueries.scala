@@ -76,6 +76,31 @@ object StreamingQueries {
       landed
         .groupBy(substring(col("fp"), 1, 1).as("bucket"))
         .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
+    }),
+
+    // streaming dedup with WATERMARK-BOUNDED state — the production
+    // form (dropDuplicatesWithinWatermark): state expires by event
+    // time, so distinct-key cardinality no longer bounds memory. The
+    // event time is a FUNCTION OF THE KEY (n_chars == len(text)), so
+    // duplicate texts share one event time — always inside the delay,
+    // and whichever arrives first carries identical gated columns.
+    // The documented trade (NOT exercised here, proven in
+    // StreamingMultimodalSpec): a duplicate arriving after its key's
+    // state expired would be re-emitted.
+    "st05_stream_dedup_watermark" -> ((s, d) => {
+      val schema = Tables.documents(s, d).schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(d)
+        .withColumn("fp", md5(col("text")))
+        .withColumn("ts_utc",
+          timestamp_micros(col("n_chars").cast("long") * 1000000L))
+      val deduped =
+        EventStreams.dedupStreamBounded(stream, "fp", "ts_utc", "10 minutes")
+      val landed = EventStreams.runToCompletion(s, deduped, mode = "append")
+      landed
+        .groupBy(substring(col("fp"), 1, 1).as("bucket"))
+        .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
     })
   )
 
@@ -126,6 +151,16 @@ object StreamingQueries {
     // one survivor per distinct text; n_chars is a function of text,
     // so MIN() == the survivor's value whatever arrived first
     "st04_stream_dedup" ->
+      """WITH u AS (SELECT md5(text) AS fp, MIN(n_chars) AS nc
+                    FROM documents GROUP BY 1)
+         SELECT substr(fp, 1, 1) AS bucket, COUNT(*) AS docs,
+                CAST(SUM(nc) AS BIGINT) AS chars
+         FROM u GROUP BY 1""",
+
+    // same survivors as st04: duplicate texts share one event time
+    // (n_chars is a function of text), so every duplicate lands within
+    // the watermark delay and exactly one emission survives per key
+    "st05_stream_dedup_watermark" ->
       """WITH u AS (SELECT md5(text) AS fp, MIN(n_chars) AS nc
                     FROM documents GROUP BY 1)
          SELECT substr(fp, 1, 1) AS bucket, COUNT(*) AS docs,

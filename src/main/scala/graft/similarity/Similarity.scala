@@ -100,15 +100,32 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
-  /** Train the IVF coarse quantizer: k-means with a fixed seed.
-    * Returns the (tiny) centroid table as (cell id, float array).
+  /** Quantizer fits read a seed-fixed BOUNDED sample, never the full
+    * corpus: k-means centroid quality converges at a fixed sample size
+    * (a few hundred points per centroid), so at 100 TB the fit cost
+    * must be O(sample), not O(corpus) — index BUILD reads a sample;
+    * only the cheap encode/assign projections touch every row. Small
+    * corpora (≤ maxRows) pass through untouched, so test-scale results
+    * are unchanged.
+    */
+  private def boundedTrainingSample(df: DataFrame, maxRows: Long): DataFrame = {
+    val n = df.count()
+    if (n <= maxRows) df
+    else df.sample(withReplacement = false, maxRows.toDouble / n, seed = 42L)
+  }
+
+  /** Train the IVF coarse quantizer: k-means with a fixed seed over a
+    * bounded sample (see [[boundedTrainingSample]]). Returns the
+    * (tiny) centroid table as (cell id, float array).
     */
   def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-                     nlist: Int): Seq[(Int, Array[Float])] = {
+                     nlist: Int, maxTrainRows: Long = 1000000L): Seq[(Int, Array[Float])] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val train = spread(corpus.select(col(idCol).as("id"),
-      array_to_vector(col(vecCol).cast("array<double>")).as("features")))
+    val train = boundedTrainingSample(
+      spread(corpus.select(col(idCol).as("id"),
+        array_to_vector(col(vecCol).cast("array<double>")).as("features"))),
+      maxTrainRows)
     val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
       .fit(train)
     model.clusterCenters.zipWithIndex.map { case (c, i) =>
@@ -229,23 +246,30 @@ object Similarity {
     dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
 
   /** Train per-subspace codebooks: M independent k-means fits (fixed
-    * seeds) over the corpus's subvector slices. Returns (sub, code,
-    * centroid) — M × ksub rows, the whole index metadata.
+    * seeds) over a bounded sample's subvector slices (the sample is
+    * drawn ONCE and persisted across the M fits — one corpus pass, not
+    * M). Returns (sub, code, centroid) — M × ksub rows, the whole
+    * index metadata.
     */
   def trainCodebooks(corpus: DataFrame, vecCol: String, m: Int, dsub: Int,
-                     ksub: Int): Seq[(Int, Int, Array[Float])] = {
+                     ksub: Int, maxTrainRows: Long = 1000000L)
+      : Seq[(Int, Int, Array[Float])] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    (0 until m).flatMap { sub =>
-      val train = spread(corpus.select(
-        array_to_vector(slice(col(vecCol), sub * dsub + 1, dsub)
-          .cast("array<double>")).as("features")))
-      val model = new KMeans().setK(ksub).setSeed(42L + sub).setMaxIter(10)
-        .fit(train)
-      model.clusterCenters.zipWithIndex.map { case (c, i) =>
-        (sub, i, c.toArray.map(_.toFloat))
+    val sampled = boundedTrainingSample(
+      spread(corpus.select(col(vecCol).as("__v"))), maxTrainRows).persist()
+    try {
+      (0 until m).flatMap { sub =>
+        val train = sampled.select(
+          array_to_vector(slice(col("__v"), sub * dsub + 1, dsub)
+            .cast("array<double>")).as("features"))
+        val model = new KMeans().setK(ksub).setSeed(42L + sub).setMaxIter(10)
+          .fit(train)
+        model.clusterCenters.zipWithIndex.map { case (c, i) =>
+          (sub, i, c.toArray.map(_.toFloat))
+        }
       }
-    }
+    } finally { sampled.unpersist(); () }
   }
 
   /** Nearest codebook entry for one subvector — like [[nearestCells]],

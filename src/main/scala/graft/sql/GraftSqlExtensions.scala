@@ -55,7 +55,62 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(s => graft.mv.CountStarFromCatalog(s))
     e.injectOptimizerRule(s => graft.table.GraftSegmentPruning(s))
     GraftFunctions.register(e)
+    e.injectTableFunction((FunctionIdentifier("graft_table"),
+      GraftTableFunction.info, GraftTableFunction.builder))
   }
+}
+
+/** `graft_table('<name-or-path>'[, <version>])` — a table-valued
+  * function that makes graft tables (and their catalog snapshots)
+  * directly FROM-able in plain SQL, completing the time-travel surface
+  * the way retention/DML/MERGE already were:
+  *
+  *   SELECT * FROM graft_table('sales')                 -- current
+  *   SELECT * FROM graft_table('sales', 3)              -- VERSION AS OF 3
+  *   SELECT * FROM graft_table('/abs/table/path', 3)    -- by path
+  *
+  * Resolution is driver-side catalog work only (open + segment-list
+  * selection); the produced plan is the same multi-path parquet scan
+  * [[SegmentedTable.read]]/[[SegmentedTable.readAsOf]] build, so
+  * pruning rules and pushdown apply as usual. Registered declaratively
+  * via [[GraftSqlExtensions]] or at runtime via [[ensureRegistered]]
+  * (the pattern [[graft.table.GraftSegmentPruning]] uses for sessions
+  * built without extensions).
+  */
+object GraftTableFunction {
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  private[sql] val info = new ExpressionInfo("graft", null, "graft_table",
+    "reads a graft table, optionally as of a catalog version",
+    "", "", "", "", "", "", "built-in")
+
+  private[sql] val builder
+      : Seq[Expression] => LogicalPlan = exprs => {
+    require(exprs.nonEmpty && exprs.size <= 2,
+      "usage: graft_table('<name-or-path>'[, <version>])")
+    def litVal(e: Expression): Any = {
+      require(e.foldable, s"graft_table arguments must be literals, got: $e")
+      e.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+    }
+    val spark = SparkSession.active
+    val name = String.valueOf(litVal(exprs.head))
+    val path =
+      if (name.startsWith("/")) name else GraftCatalog.tablePath(spark, name)
+    require(SegmentedTable.exists(path), s"graft table not found: $name ($path)")
+    val t = SegmentedTable.open(spark, path)
+    val df =
+      if (exprs.size == 2) t.readAsOf(String.valueOf(litVal(exprs(1))).toLong)
+      else t.read()
+    df.queryExecution.logical
+  }
+
+  /** Runtime registration for sessions built without
+    * `.withExtensions(new GraftSqlExtensions)` — registerFunction
+    * replaces any prior binding, so repeated calls are harmless.
+    */
+  def ensureRegistered(spark: SparkSession): Unit =
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_table"), info, builder)
 }
 
 /** SQL registration of the library's custom expressions so the whole

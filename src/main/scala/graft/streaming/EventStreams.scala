@@ -79,6 +79,21 @@ object EventStreams {
   def dedupStream(stream: DataFrame, keyCol: String): DataFrame =
     stream.dropDuplicates(keyCol)
 
+  /** Streaming dedup whose state is bounded by EVENT TIME, not key
+    * cardinality — the production form of [[dedupStream]]:
+    * `dropDuplicatesWithinWatermark` drops duplicates arriving within
+    * `delay` of the first sighting and expires a key's state once the
+    * watermark passes it, so unbounded distinct keys no longer mean
+    * unbounded state. The documented trade: a late duplicate arriving
+    * AFTER its key's state expired is re-emitted (dedup guaranteed
+    * only within the watermark window — at 100 TB/day of ingest that
+    * is the only shape whose state fits, and downstream idempotent
+    * sinks absorb the rare re-emission).
+    */
+  def dedupStreamBounded(stream: DataFrame, keyCol: String, tsCol: String,
+                         delay: String): DataFrame =
+    stream.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keyCol)
+
   /** Gap-based sessionization via the native session_window operator
     * (works identically in batch and streaming): per user, events
     * closer than `gap` merge into one session.

@@ -43,20 +43,51 @@ object ZOrder {
     parts.reduce(_ + _)
   }
 
+  /** Target bytes per z-ordered output file (the usual DFS-friendly
+    * size: big enough for tight row groups, small enough to skip).
+    */
+  private val TargetFileBytes = 128L * 1024 * 1024
+
+  /** Output partition count derived from the input's optimizer size
+    * estimate: one ~128 MB file per partition. A fixed count would
+    * either funnel a 100 TB load through a handful of write tasks or
+    * shred a small one into confetti; deriving from size keeps file
+    * granularity constant as the data scales. Falls back to the
+    * cluster's default parallelism when the plan has no usable
+    * estimate (e.g. a local in-memory relation).
+    */
+  private def derivePartitions(df: DataFrame): Int = {
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val fallback = df.sparkSession.sparkContext.defaultParallelism
+    if (bytes <= 0 || !bytes.isValidLong) fallback
+    else math.max(1L, math.min(1000000L,
+      (bytes.toLong + TargetFileBytes - 1) / TargetFileBytes)).toInt
+  }
+
   /** Rewrite a DataFrame into z-ordered layout over `zcols` (numeric
-    * columns), with `files` output partitions. Each output file covers
-    * one z-range, so per-file min/max of every z column is tight.
+    * columns). Each output file covers one z-range, so per-file
+    * min/max of every z column is tight. `files` ≤ 0 (the default)
+    * derives the partition count from the input size; pass an explicit
+    * count only to pin the layout (tests, re-layout experiments).
+    *
+    * Quantile precision: equi-depth bucketing only needs boundaries
+    * good to a fraction of a bucket, so the sketch runs at a nonzero
+    * epsilon well under the bucket width (1/2^bits) — an exact
+    * (epsilon 0) pass holds every distinct value on the driver, which
+    * at 100 TB is its own job-killer for no skipping benefit.
     */
   def layout(df: DataFrame, zcols: Seq[String], bits: Int = 6,
-             files: Int = 32): DataFrame = {
+             files: Int = 0): DataFrame = {
+    val parts = if (files > 0) files else derivePartitions(df)
     val nb = (1 << bits) - 1
     val probs = (1 to nb).map(_.toDouble / (nb + 1)).toArray
-    val boundaries = df.stat.approxQuantile(zcols.toArray, probs, 0.0)
+    val epsilon = 1.0 / ((nb + 1) * 8)
+    val boundaries = df.stat.approxQuantile(zcols.toArray, probs, epsilon)
     val z = zValue(zcols.zip(boundaries.map(_.toSeq)).map {
       case (c, bs) => (col(c), bs)
     }, bits)
     df.withColumn("__z", z)
-      .repartitionByRange(files, col("__z"))
+      .repartitionByRange(parts, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
   }

@@ -169,6 +169,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall too low: $recall")
   }
 
+  test("quantizer training fits a bounded sample without losing recall") {
+    // cap far below the corpus size forces the sample path (the 100 TB
+    // shape: index build reads O(sample), not O(corpus))
+    val total = emb.count()
+    val cap = total / 2
+    val cents = Similarity.trainCentroids(emb, "vec_id", "embedding", 8,
+      maxTrainRows = cap)
+    assert(cents.size == 8 && cents.forall(_._2.length == 64))
+    val cbs = Similarity.trainCodebooks(emb, "embedding", 8, 8, 16,
+      maxTrainRows = cap)
+    assert(cbs.size == 8 * 16)
+
+    // sampled centroids still serve: IVF recall stays competitive
+    val queries = emb.filter(col("vec_id") < 30)
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.ivfTopKWith(emb, queries, "vec_id", "embedding",
+      k = 1, cents, nprobe = 3)
+      .filter(col("rank") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"sample-trained IVF recall too low: $recall")
+  }
+
   test("PQ ANN: encode is shuffle-free and ADC beats random ranking") {
     val queries = emb.filter(col("vec_id") < 30)
     // 8 subspaces × 16 codes = 32 bits/vector; random gaussians are

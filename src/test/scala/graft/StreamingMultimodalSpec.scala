@@ -101,6 +101,55 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(expected.nonEmpty, "test data should contain anomalies")
   }
 
+  test("watermark-bounded dedup: within-delay duplicates drop, expired-state duplicates re-emit") {
+    import java.nio.file.{Files, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("graft_wm_dedup")
+    val watched = dir.resolve("in"); Files.createDirectories(watched)
+    def at(h: Int, s: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:$s%02d")
+    // one file per micro-batch, mod-times forcing the batch order
+    def writeBatch(n: Int, rows: Seq[(String, java.sql.Timestamp)]): Unit = {
+      val stage = dir.resolve(s"stage_$n")
+      rows.toDF("k", "ts").coalesce(1).write.parquet(stage.toString)
+      val listing = Files.list(stage)
+      val part = try listing.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally listing.close()
+      val dest = watched.resolve(f"batch_$n%03d.parquet")
+      Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dest, java.nio.file.attribute.FileTime
+        .fromMillis(1700000000000L + n * 60000L))
+    }
+    // batch 0: A once, B twice (1s apart — inside the 10s delay)
+    writeBatch(0, Seq(("A", at(0, 0)), ("B", at(0, 0)), ("B", at(0, 1))))
+    // batch 1: C two hours later — advances the watermark far past
+    // A's state expiry. The watermark a batch RUNS with comes from the
+    // previous batch's data, and eviction runs at batch end — so one
+    // advancing batch and one spacer batch must separate the original
+    // from the late duplicate for the state to be provably gone.
+    writeBatch(1, Seq(("C", at(2, 0))))
+    // batch 2 (spacer): runs with the advanced watermark, evicts A
+    writeBatch(2, Seq(("D", at(2, 1))))
+    // batch 3: A again, AFTER its state expired
+    writeBatch(3, Seq(("A", at(2, 2))))
+
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("k", org.apache.spark.sql.types.StringType)
+      .add("ts", org.apache.spark.sql.types.TimestampType)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(watched.toString)
+    val out = EventStreams.runToCompletion(spark,
+      EventStreams.dedupStreamBounded(stream, "k", "ts", "10 seconds"),
+      mode = "append").collect()
+    val counts = out.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    assert(counts("B") == 1, s"within-delay duplicate must drop: $counts")
+    assert(counts("C") == 1 && counts("D") == 1)
+    // the honest trade of time-bounded state, asserted: a duplicate
+    // arriving after its key's state expired is re-emitted
+    assert(counts("A") == 2, s"expired-state duplicate must re-emit: $counts")
+  }
+
   test("streaming ingest commits micro-batches as segments") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val root = java.nio.file.Files

@@ -49,6 +49,38 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(spark.sql("SELECT 1 + 1 AS x").head().getInt(0) == 2)
   }
 
+  test("graft_table TVF: current read and VERSION AS OF from pure SQL") {
+    val sf = "/root/testdata/sf0.001"
+    spark.read.parquet(s"$sf/nation.parquet")
+      .createOrReplaceTempView("nation_tvf_src")
+    spark.sql("CREATE GRAFT TABLE tvf_nations AS SELECT * FROM nation_tvf_src")
+    spark.sql(s"LOAD GRAFT DATA INPATH '$sf/nation.parquet' INTO TABLE tvf_nations")
+
+    // current state, FROM-able like any table
+    assert(spark.sql("SELECT count(*) FROM graft_table('tvf_nations')")
+      .head().getLong(0) == 50)
+
+    // snapshot as of the first load (history: create, CTAS load, LOAD)
+    val t = graft.table.SegmentedTable.open(spark, s"$store/tvf_nations")
+    val firstLoad = t.versions.sorted.apply(1)
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft_table('tvf_nations', $firstLoad)")
+      .head().getLong(0) == 25)
+
+    // absolute-path form composes with ordinary SQL (joins, aliases)
+    assert(spark.sql(
+      s"""SELECT count(*) FROM graft_table('${t.root}', $firstLoad) g
+          JOIN nation_tvf_src n ON g.n_nationkey = n.n_nationkey""")
+      .head().getLong(0) == 25)
+
+    // runtime registration path (sessions built without extensions)
+    GraftTableFunction.ensureRegistered(spark)
+    assert(spark.sql("SELECT count(*) FROM graft_table('tvf_nations')")
+      .head().getLong(0) == 50)
+
+    spark.sql("DROP GRAFT TABLE tvf_nations")
+  }
+
   test("custom functions are callable from SQL") {
     spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .createOrReplaceTempView("li_fn")

@@ -48,4 +48,25 @@ class ZOrderSpec extends AnyFunSuite {
     assert(zFiles1 <= files / 2,
       s"l_orderkey should stay clustered under z-order: $zFiles1 of $files")
   }
+
+  test("output partition count tracks input size (no fixed fan-in)") {
+    // an explicit count is honored (layout pinning)
+    val li = spark.read.parquet(s"${TestSpark.sf}/lineitem.parquet")
+    assert(ZOrder.layout(li, Seq("l_orderkey", "l_partkey"), files = 5)
+      .rdd.getNumPartitions == 5)
+
+    // derived: a KB-scale input must not fan out into dozens of files
+    val small = ZOrder.layout(li, Seq("l_orderkey", "l_partkey"))
+    assert(small.rdd.getNumPartitions <= 4,
+      s"tiny input produced ${small.rdd.getNumPartitions} partitions")
+
+    // derived: a ~480 MB estimate (Range stats: rows × row width) maps
+    // to multiple ~128 MB files — the count grows with the data where a
+    // hard-coded `files = 32` would stay flat from 1 MB to 100 TB
+    val big = spark.range(30L * 1000 * 1000)
+      .selectExpr("id AS a", "id * 7 % 1000 AS b")
+    val bigParts = ZOrder.layout(big, Seq("a", "b")).rdd.getNumPartitions
+    assert(bigParts >= 2 && bigParts <= 16,
+      s"~480MB estimate should derive a handful of files, got $bigParts")
+  }
 }
