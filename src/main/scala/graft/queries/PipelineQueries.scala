@@ -397,6 +397,18 @@ object PipelineQueries {
         centroidsFor(s, d, emb), codebooksFor(s, d, emb), 4, 16, 3)
     }),
 
+    // similarity: RESIDUAL IVF-PQ — the production refinement s06's
+    // comment names: codebooks quantize v − centroid[cell], so the
+    // same code bits describe finer distances. Query residuals are
+    // recomputed per probed cell; codebooks are materialized for the
+    // oracle like s05's.
+    "s07_ann_ivfpq_residual" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfPqResidualTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", 3,
+        centroidsFor(s, d, emb), residualCodebooksFor(s, d, emb), 4, 16, 3)
+    }),
+
     // similarity: product-quantization ANN — per-subspace codebooks
     // (materialized for the oracle like s04's centroids), shuffle-free
     // encode, and asymmetric-distance top-k over the compressed codes
@@ -468,6 +480,27 @@ object PipelineQueries {
 
   private val pqCodebooks =
     scala.collection.concurrent.TrieMap[String, Seq[(Int, Int, Array[Float])]]()
+
+  /** s07's residual codebook side table — same pid-qualified contract. */
+  val ResidualCodebookPath =
+    s"/tmp/graft_rpq_codebooks_${ProcessHandle.current().pid()}"
+
+  private val residualCodebooks =
+    scala.collection.concurrent.TrieMap[String, Seq[(Int, Int, Array[Float])]]()
+
+  /** Train-once-per-(dataset, session) residual-PQ codebooks,
+    * materialized for the s07 oracle.
+    */
+  private def residualCodebooksFor(s: SparkSession, d: String,
+      emb: org.apache.spark.sql.DataFrame): Seq[(Int, Int, Array[Float])] =
+    residualCodebooks.getOrElseUpdate(s"$d|${s.sparkContext.applicationId}", {
+      val c = Similarity.trainResidualCodebooks(emb, "vec_id", "embedding",
+        centroidsFor(s, d, emb), 4, 16, 8)
+      import s.implicits._
+      c.toDF("sub", "code", "centroid").coalesce(1).write.mode("overwrite")
+        .parquet(ResidualCodebookPath)
+      c
+    })
 
   /** Train-once-per-(dataset, session) IVF centroids, materialized for
     * the oracle (shared by s04 and s06).
@@ -907,6 +940,65 @@ object PipelineQueries {
           psub AS (SELECT cand.query_id, cand.neighbor_id, c.sub,
               ${d2Sql("list_slice(q.qe, c.sub * 16 + 1, c.sub * 16 + 16)", "cb.centroid")} AS dd
             FROM cand JOIN q ON q.query_id = cand.query_id
+            JOIN codes c ON c.vec_id = cand.neighbor_id
+            JOIN cb ON cb.sub = c.sub AND cb.code = c.code),
+          adc AS (SELECT query_id, neighbor_id,
+              list_aggregate(list(dd ORDER BY sub), 'sum') AS adc
+            FROM psub GROUP BY 1, 2),
+          rankedq AS (SELECT query_id, neighbor_id,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY adc ASC, neighbor_id ASC) AS rank
+            FROM adc)
+          SELECT query_id, rank, neighbor_id FROM rankedq WHERE rank <= 3""",
+
+    // s06's cell CTEs, with the encode/ADC inputs replaced by
+    // residuals v − centroid[cell]; the residual is built in DOUBLE on
+    // both sides (exact float→double casts), and the query residual is
+    // recomputed per probed cell exactly as the Spark plan does
+    "s07_ann_ivfpq_residual" ->
+      s"""WITH cent AS (SELECT cell, centroid AS cv
+            FROM read_parquet('$IvfCentroidsPath/*.parquet')),
+          cb AS (SELECT sub, code, centroid
+            FROM read_parquet('$ResidualCodebookPath/*.parquet')),
+          v AS (SELECT vec_id, embedding AS qv FROM embeddings),
+          scoredc AS (SELECT vec_id, cell, $dotSql / ($normQ * $normC) AS cdot
+            FROM v CROSS JOIN cent),
+          rankedc AS (SELECT vec_id, cell,
+              ROW_NUMBER() OVER (PARTITION BY vec_id
+                ORDER BY cdot DESC, cell ASC) AS crank
+            FROM scoredc),
+          corpus_cell AS (SELECT vec_id, cell FROM rankedc WHERE crank = 1),
+          query_cells AS (SELECT vec_id, cell FROM rankedc
+            WHERE crank <= 3 AND vec_id < 5),
+          crv AS (SELECT e.vec_id, cc.cell,
+              list_transform(range(1, len(e.embedding) + 1),
+                i -> CAST(e.embedding[i] AS DOUBLE) - CAST(ct.cv[i] AS DOUBLE)) AS rv
+            FROM embeddings e
+            JOIN corpus_cell cc ON cc.vec_id = e.vec_id
+            JOIN cent ct ON ct.cell = cc.cell),
+          sv AS (SELECT vec_id, s2.sub,
+              list_slice(rv, s2.sub * 16 + 1, s2.sub * 16 + 16) AS x
+            FROM crv CROSS JOIN (SELECT DISTINCT sub FROM cb) s2),
+          encd AS (SELECT sv.vec_id, sv.sub, cb.code,
+              ${d2Sql("sv.x", "cb.centroid")} AS dd
+            FROM sv JOIN cb ON cb.sub = sv.sub),
+          codes AS (SELECT vec_id, sub, code FROM (
+              SELECT vec_id, sub, code,
+                ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                  ORDER BY dd ASC, code ASC) AS rn
+              FROM encd) t WHERE rn = 1),
+          qrv AS (SELECT qc.vec_id AS query_id, qc.cell,
+              list_transform(range(1, len(e.embedding) + 1),
+                i -> CAST(e.embedding[i] AS DOUBLE) - CAST(ct.cv[i] AS DOUBLE)) AS qv
+            FROM query_cells qc
+            JOIN embeddings e ON e.vec_id = qc.vec_id
+            JOIN cent ct ON ct.cell = qc.cell),
+          cand AS (SELECT qrv.query_id, qrv.qv, cc.vec_id AS neighbor_id
+            FROM qrv JOIN corpus_cell cc USING (cell)
+            WHERE cc.vec_id <> qrv.query_id),
+          psub AS (SELECT cand.query_id, cand.neighbor_id, c.sub,
+              ${d2Sql("list_slice(cand.qv, c.sub * 16 + 1, c.sub * 16 + 16)", "cb.centroid")} AS dd
+            FROM cand
             JOIN codes c ON c.vec_id = cand.neighbor_id
             JOIN cb ON cb.sub = c.sub AND cb.code = c.code),
           adc AS (SELECT query_id, neighbor_id,

@@ -27,6 +27,33 @@ import graft.Tables.{dsum, davg, dsumProduct}
   */
 object RelationalQueries {
 
+  /** As-of join (each error event picks up the user's most recent
+    * purchase value at or before it), built as union + ordered window
+    * — the composition Spark lacks a native operator for. Shared by
+    * q41 (raw parquet) and g11 (segmented store): same plan, two
+    * storage layers. pvalue as the final tie-break makes the order
+    * total even if one user had two purchases at the same instant
+    * (side-1 rows all carry null pvalue, so cross-engine null
+    * placement is moot).
+    */
+  private[queries] def asOfJoinPlan(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(0).as("side"),
+        col("value").as("pvalue"), lit(null).cast("long").as("event_id"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), lit(1).as("side"),
+        lit(null).cast("double").as("pvalue"), col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("side").asc, col("pvalue").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purchases.unionByName(errors)
+      .withColumn("last_purchase", last(col("pvalue"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("user_id"), col("last_purchase"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -387,25 +414,8 @@ object RelationalQueries {
     // this is the standard pattern (partition keys bound the window;
     // no state beyond one running value per user).
     "q41_asof_join" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = Tables.events(s, d)
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts"), lit(0).as("side"),
-          col("value").as("pvalue"), lit(null).cast("long").as("event_id"))
-      val errors = ev.filter(col("event_type") === "error")
-        .select(col("user_id"), col("ts"), lit(1).as("side"),
-          lit(null).cast("double").as("pvalue"), col("event_id"))
-      // pvalue as the final tie-break makes the order total even if
-      // one user had two purchases at the same instant (side-1 rows
-      // all carry null pvalue, so cross-engine null placement is moot)
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts").asc, col("side").asc, col("pvalue").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      purchases.unionByName(errors)
-        .withColumn("last_purchase", last(col("pvalue"), ignoreNulls = true).over(w))
-        .filter(col("side") === 1)
-        .select(col("event_id"), col("user_id"), col("last_purchase"))
+      asOfJoinPlan(Tables.events(s, d))
     }),
 
     "q39_pivot" -> ((s, d) => {

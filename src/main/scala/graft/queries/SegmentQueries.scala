@@ -257,7 +257,35 @@ object SegmentQueries {
       t
     })
 
+  /** Events in the segmented store, two segments split by event-id
+    * parity (orthogonal to any query key, so every segment spans all
+    * users and timestamps — nothing about the layout helps g11 "by
+    * accident").
+    */
+  private def eventsSegmented(s: SparkSession, d: String): SegmentedTable =
+    built.getOrElseUpdate(s"evseg|$d", {
+      val root = s"/tmp/graft_tables/${d.replace('/', '_')}/events_seg"
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = Tables.events(s, d)
+      val t =
+        if (SegmentedTable.exists(root)) {
+          val x = SegmentedTable.open(s, root)
+          x.deleteSegments(x.showSegments().map(_.id)); x.cleanFiles(); x
+        } else SegmentedTable.create(s, root, ev.schema,
+          Map("sort_columns" -> "ts"))
+      t.load(ev.filter(col("event_id") % 2 === 0))
+      t.load(ev.filter(col("event_id") % 2 === 1))
+      t
+    })
+
   val queries: Map[String, Q] = Map(
+    // the as-of join (q41's plan, verbatim) over the SEGMENTED events
+    // table: the store must compose with the union + ordered-window
+    // construction exactly — same oracle as q41, different storage
+    "g11_asof_segmented" -> ((s, d) => {
+      RelationalQueries.asOfJoinPlan(eventsSegmented(s, d).read())
+    }),
+
     // load (2 segments) → min/max-pruned scan → aggregate; oracle is
     // the same filter+agg on the source table, so pruning must lose
     // nothing. Pruning happens through the OPTIMIZER RULE
@@ -375,6 +403,23 @@ object SegmentQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // identical to q41's oracle: the segmented layout must be exactly
+    // row-preserving under the same as-of construction
+    "g11_asof_segmented" ->
+      """WITH u AS (
+           SELECT user_id, ts, 0 AS side, value AS pvalue,
+                  CAST(NULL AS BIGINT) AS event_id
+           FROM events WHERE event_type = 'purchase'
+           UNION ALL
+           SELECT user_id, ts, 1, NULL, event_id
+           FROM events WHERE event_type = 'error')
+         SELECT event_id, user_id, last_pvalue AS last_purchase FROM (
+           SELECT *, last_value(pvalue IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, side, pvalue
+             ROWS UNBOUNDED PRECEDING) AS last_pvalue
+           FROM u) t
+         WHERE side = 1""",
+
     "g01_segment_pruned_scan" ->
       """SELECT l_returnflag, COUNT(*) AS cnt, SUM(l_quantity) AS sum_qty
          FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01'

@@ -374,6 +374,70 @@ object Similarity {
         .withColumn("adc", adcExpr(codebooks, m, dsub)), k)
   }
 
+  // ---- residual quantization (the production IVF-PQ refinement) ----
+  //
+  // Raw-vector PQ wastes code range re-describing WHERE a cell sits in
+  // the space; quantizing the residual v − centroid[cell] centers every
+  // cell's distribution at the origin, so the same codebook bits buy
+  // finer distances. The plumbing is identical to raw IVF-PQ — one
+  // extra subtraction in the encode and query projections.
+
+  /** v − centroid[cell], computed in DOUBLE (float→double casts are
+    * exact, so the oracle reproduces the bits). The centroid table is
+    * a plan literal indexed by the row's cell id — a pure projection,
+    * no join, no shuffle.
+    */
+  private def residualExpr(v: Column, cellCol: Column,
+                           centroids: Seq[(Int, Array[Float])]): Column = {
+    val table = typedLit(centroids.sortBy(_._1).map(_._2))
+    val cent = element_at(table, cellCol.cast("int") + 1)
+    zip_with(v, cent, (x, c) => x.cast("double") - c.cast("double"))
+  }
+
+  /** Train PQ codebooks over residuals: assign each (sampled) vector
+    * its nearest coarse cell, subtract that centroid, fit the
+    * per-subspace codebooks on what remains.
+    */
+  def trainResidualCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Array[Float])], m: Int, dsub: Int, ksub: Int,
+      maxTrainRows: Long = 1000000L): Seq[(Int, Int, Array[Float])] = {
+    val assigned = assignCells(
+      spread(corpus.select(col(vecCol).as("__v"))), "__v", centroids, 1)
+    val rv = assigned.withColumn("__rv",
+      residualExpr(col("__v"), col("cell"), centroids))
+    trainCodebooks(rv, "__rv", m, dsub, ksub, maxTrainRows)
+  }
+
+  /** Residual IVF-PQ top-k: corpus rows carry (cell, codes-of-residual);
+    * each query probes its nprobe nearest cells and is scored in THAT
+    * cell's residual frame (query residual recomputed per probed cell —
+    * asymmetric distance stays exact on the query side). Same plan
+    * shape as [[ivfPqTopK]]: encode/assign are narrow projections, the
+    * probe is a broadcast join keyed by cell.
+    */
+  def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                        vecCol: String, k: Int,
+                        centroids: Seq[(Int, Array[Float])],
+                        codebooks: Seq[(Int, Int, Array[Float])],
+                        m: Int, dsub: Int, nprobe: Int): DataFrame = {
+    val c = pqEncode(
+      assignCells(
+        spread(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))),
+        "cv", centroids, 1)
+        .withColumn("rv", residualExpr(col("cv"), col("cell"), centroids)),
+      "rv", codebooks, m, dsub)
+      .select(col("neighbor_id"), col("cell"), col("codes"))
+    val q = assignCells(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv0")),
+      "qv0", centroids, nprobe)
+      .withColumn("qv", residualExpr(col("qv0"), col("cell"), centroids))
+      .select(col("query_id"), col("cell"), col("qv"))
+    rankByAdc(
+      c.join(broadcast(q), Seq("cell"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("adc", adcExpr(codebooks, m, dsub)), k)
+  }
+
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                    threshold: Double, bits: Int, salt: Int = 8): DataFrame = {
     val v = spread(corpus.select(col(idCol).as("id"), col(vecCol).as("v"),

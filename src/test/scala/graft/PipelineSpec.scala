@@ -216,4 +216,27 @@ class PipelineSpec extends AnyFunSuite {
     val recall = brute.count(pq.contains).toDouble / brute.size
     assert(recall >= 0.3, s"PQ recall@10 too low: $recall")
   }
+
+  test("residual IVF-PQ: codes quantize v − centroid[cell] and still rank sanely") {
+    val queries = emb.filter(col("vec_id") < 30)
+    val cents = Similarity.trainCentroids(emb, "vec_id", "embedding", 8)
+    val rcbs = Similarity.trainResidualCodebooks(emb, "vec_id", "embedding",
+      cents, 8, 8, 16)
+    assert(rcbs.size == 8 * 16 && rcbs.forall(_._3.length == 8))
+    // brute truth within the probed cells is the fair reference for an
+    // IVF family; against global truth we just need far-above-chance
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val rpq = Similarity.ivfPqResidualTopK(emb, queries, "vec_id", "embedding",
+      k = 10, cents, rcbs, 8, 8, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = brute.count(rpq.contains).toDouble / brute.size
+    assert(recall >= 0.25, s"residual IVF-PQ recall@10 too low: $recall")
+    // every query returns ranked, self-free results
+    val rows = Similarity.ivfPqResidualTopK(emb, queries, "vec_id", "embedding",
+      k = 3, cents, rcbs, 8, 8, nprobe = 3).collect()
+    assert(rows.forall(r => r.getLong(0) != r.getLong(2)))
+    assert(rows.groupBy(_.getLong(0)).values.forall(g =>
+      g.map(_.getInt(1)).sorted.sameElements(1 to g.length)))
+  }
 }
