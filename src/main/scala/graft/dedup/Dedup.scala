@@ -84,6 +84,47 @@ object Dedup {
     } finally b.unpersist()
   }
 
+  /** Incoming docs that are NOT near-duplicates of the existing
+    * corpus: drops every incoming row sharing at least one MinHash
+    * LSH band bucket with an existing row — the content-level
+    * "seen it before" test that exact keys cannot express. Rows with
+    * no shingles (too short) carry no bands and always pass; dedupe
+    * within the batch is the caller's job, as with exact-key ingest.
+    *
+    * Scale: both sides reduce to banded-signature projections (never
+    * the text), the collision test is one semi-join keyed by
+    * (band_idx, band_key), and the final anti-join moves only ids.
+    * In steady state the existing side's signatures would be
+    * incrementally maintained next to the table instead of recomputed
+    * per delivery — the recompute here keeps the operator stateless.
+    */
+  def nearNovel(incoming: DataFrame, existing: DataFrame, idCol: String,
+                textCol: String, k: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val in = bandedSignatures(incoming, idCol, textCol, k, rowsPerBand)
+    val ex = bandedSignatures(existing, idCol, textCol, k, rowsPerBand)
+      .select(col("band_idx"), col("band_key")).distinct()
+    val hitIds = in.join(ex, Seq("band_idx", "band_key"), "left_semi")
+      .select(col("id").as(idCol)).distinct()
+    incoming.join(hitIds, Seq(idCol), "left_anti")
+  }
+
+  /** Near-duplicate-aware idempotent ingest: re-delivered rows drop by
+    * exact id, and new rows drop when [[nearNovel]] finds their content
+    * already represented in the table. The fuzzy complement of
+    * `SegmentedTable.loadUnique` — at-least-once delivery cannot
+    * re-insert a document the corpus already holds in any near-dup
+    * form. Returns the new segment id, None when nothing novel landed.
+    */
+  def ingestNovel(table: graft.table.SegmentedTable, df: DataFrame,
+                  idCol: String, textCol: String,
+                  k: Int = 16, rowsPerBand: Int = 4): Option[Int] = {
+    val existing = table.read()
+    val newRows = df.join(existing.select(col(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+    val fresh = nearNovel(newRows, existing, idCol, textCol, k, rowsPerBand)
+    if (fresh.isEmpty) None else Some(table.load(fresh))
+  }
+
   /** Exact word-shingle Jaccard for pairs sharing a blocking key.
     * Returns (id_a, id_b, jaccard) for pairs ≥ minJaccard. Blocking
     * keeps the join linear per block; at 100 TB use LSH candidates as

@@ -25,10 +25,10 @@ object PipelineQueries {
   // --- shared DuckDB SQL fragments (mirror TextFunctions exactly) ---
 
   /** words CTE body: 1-based whitespace token list */
-  private val W = "string_split_regex(trim(text), '\\s+')"
+  private[queries] val W = "string_split_regex(trim(text), '\\s+')"
 
   /** 3-gram shingle list over `words` */
-  private val SH =
+  private[queries] val SH =
     "list_transform(range(1, len(words) - 1), i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])"
 
   /** Mirrors TextFunctions: base hash = first 15 md5 hex chars mod P,
@@ -40,7 +40,7 @@ object PipelineQueries {
     s"list_aggregate(list_transform(s, x -> ((CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % 1000000007) * $a + $b) % 1000000007), 'min')"
   }
 
-  private def band(b: Int, rows: Int): String =
+  private[queries] def band(b: Int, rows: Int): String =
     "md5(" + (0 until rows).map(r => s"CAST(${mh(b * rows + r)} AS VARCHAR)")
       .mkString(" || ',' || ") + ")"
 

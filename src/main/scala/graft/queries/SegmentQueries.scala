@@ -278,12 +278,45 @@ object SegmentQueries {
       t
     })
 
+  /** Documents ingested near-dup-aware: evens load normally, then the
+    * FULL corpus is delivered through Dedup.ingestNovel — re-delivered
+    * evens drop by id, and odd docs drop when they share a MinHash
+    * band with any even doc already in the table.
+    */
+  private def documentsNearIngested(s: SparkSession, d: String): SegmentedTable =
+    built.getOrElseUpdate(s"docnear|$d", {
+      val root = s"/tmp/graft_tables/${d.replace('/', '_')}/documents_near"
+      val docs = Tables.documents(s, d)
+      val t =
+        if (SegmentedTable.exists(root)) {
+          val x = SegmentedTable.open(s, root)
+          x.deleteSegments(x.showSegments().map(_.id)); x.cleanFiles(); x
+        } else SegmentedTable.create(s, root, docs.schema,
+          Map("sort_columns" -> "doc_id"))
+      t.load(docs.filter(col("doc_id") % 2 === 0))
+      graft.dedup.Dedup.ingestNovel(t, docs, "doc_id", "text")
+      t
+    })
+
   val queries: Map[String, Q] = Map(
     // the as-of join (q41's plan, verbatim) over the SEGMENTED events
     // table: the store must compose with the union + ordered-window
     // construction exactly — same oracle as q41, different storage
     "g11_asof_segmented" -> ((s, d) => {
       RelationalQueries.asOfJoinPlan(eventsSegmented(s, d).read())
+    }),
+
+    // near-dup-aware ingest through the gate: after the even half
+    // loads, the WHOLE corpus is delivered via Dedup.ingestNovel —
+    // the table must end up holding exactly evens ∪ {odds that share
+    // no MinHash band with any even}, which the oracle reconstructs
+    // from first principles (same band SQL the d02/t10 oracles use)
+    "g12_neardup_ingest" -> ((s, d) => {
+      val t = documentsNearIngested(s, d)
+      t.read()
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
     }),
 
     // load (2 segments) → min/max-pruned scan → aggregate; oracle is
@@ -403,6 +436,29 @@ object SegmentQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // evens ∪ {odds with no band collision against evens}; short docs
+    // (no shingles) carry no bands and always pass — same MinHash band
+    // construction as the d02/t10 oracles
+    "g12_neardup_ingest" ->
+      s"""WITH t AS (SELECT doc_id, ${PipelineQueries.W} AS words FROM documents),
+          sh AS (SELECT doc_id, ${PipelineQueries.SH} AS s FROM t),
+          sig AS (SELECT doc_id,
+            ${(0 until 4).map(b => s"${PipelineQueries.band(b, 4)} AS band$b").mkString(", ")}
+          FROM sh WHERE len(s) > 0),
+          ev AS (SELECT * FROM sig WHERE doc_id % 2 = 0),
+          od AS (SELECT * FROM sig WHERE doc_id % 2 = 1),
+          hits AS (SELECT DISTINCT od.doc_id FROM od JOIN ev
+            ON od.band0 = ev.band0 OR od.band1 = ev.band1
+            OR od.band2 = ev.band2 OR od.band3 = ev.band3),
+          final AS (
+            SELECT doc_id FROM documents WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT doc_id FROM documents WHERE doc_id % 2 = 1
+              AND doc_id NOT IN (SELECT doc_id FROM hits))
+          SELECT lang, COUNT(*) AS cnt,
+            CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+          FROM final JOIN documents USING (doc_id) GROUP BY lang""",
+
     // identical to q41's oracle: the segmented layout must be exactly
     // row-preserving under the same as-of construction
     "g11_asof_segmented" ->

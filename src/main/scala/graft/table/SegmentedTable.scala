@@ -600,7 +600,28 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
         .toList.foreach(Files.deleteIfExists(_))
       finally listing.close()
     }
+    sweepStaleStaging()
     commitStatus(st.copy(segments = st.segments.filterNot(s => dead.exists(_.id == s.id))))
+  }
+
+  /** Crash hygiene: a writer that died between staging and commit
+    * leaves its temp dir behind (the price of writing outside the
+    * lock). Sweep staging dirs untouched for longer than the TTL —
+    * default 1 h, far beyond any lock wait (LeaseLock acquisition
+    * times out at 2 min), so an in-flight op's staging dir is never
+    * swept. Tunable per table via the `staging.ttl.ms` property.
+    */
+  private def sweepStaleStaging(): Unit = {
+    val ttl = properties.get("staging.ttl.ms").map(_.toLong).getOrElse(3600000L)
+    val cutoff = System.currentTimeMillis() - ttl
+    val prefixes = Seq("loading_", "compacting_", "rewriting_", "merging_")
+    import scala.jdk.CollectionConverters._
+    val listing = Files.list(root)
+    try listing.iterator().asScala
+      .filter(p => prefixes.exists(p.getFileName.toString.startsWith))
+      .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+      .toList.foreach(deleteRecursively)
+    finally listing.close()
   }
 
   /** Compaction: merge all live segments into one new segment, retire

@@ -205,6 +205,22 @@ class SegmentedTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.showSegments().map(_.id) == Seq(1))
   }
 
+  test("cleanFiles sweeps stale staging dirs but keeps fresh ones") {
+    val root = freshRoot("staging")
+    val t = SegmentedTable.create(spark, root, li.schema, Map.empty)
+    t.load(li.limit(10))
+    // a crashed writer's leftover (old mtime) vs an in-flight op (fresh)
+    val stale = Paths.get(root, "loading_crashed")
+    val fresh = Paths.get(root, "compacting_inflight")
+    Files.createDirectories(stale); Files.createDirectories(fresh)
+    Files.setLastModifiedTime(stale, java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis() - 2 * 3600 * 1000L))
+    t.cleanFiles()
+    assert(!Files.exists(stale), "stale staging dir must be swept")
+    assert(Files.exists(fresh), "fresh staging dir must survive (may be in flight)")
+    assert(t.read().count() == 10)
+  }
+
   test("retention delete by date") {
     val root = freshRoot("retention")
     val t = SegmentedTable.create(spark, root, li.schema, Map.empty)
