@@ -152,6 +152,20 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
   private def bloomFile(segId: Int, column: String): Path =
     metaDir.resolve(s"bloom_${segId}_$column.bin")
 
+  /** Hard cap on a bloom sidecar's expectedNumItems: at fpp 0.03 the
+    * filter costs ~7.3 bits/item, so 32M items ≈ 29 MB — the ceiling
+    * for what one (segment × column) may pin on the driver. A segment
+    * beyond the cap gets a saturated filter (higher observed fpp =
+    * fewer prunes, never a wrong prune — blooms have no false
+    * negatives); the real remedy at that size is smaller segments.
+    * Tunable per table via the `bloom.max.items` property.
+    */
+  private[table] def bloomExpectedItems(rows: Long): Long = {
+    val cap = properties.get("bloom.max.items").map(_.toLong)
+      .getOrElse(32L * 1024 * 1024)
+    math.min(math.max(rows, 1L), math.max(cap, 1L))
+  }
+
   /** One extra pass per bloom column at load/compact time — the write
     * path pays for the read path, as with every index. The distributed
     * scan happens where the STAGED data lives (outside the lock); only
@@ -162,7 +176,7 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     bloomColumns.filter(schema.fieldNames.contains).map { c =>
       c -> spark.read.schema(schema).parquet(dir.toString)
         .select(org.apache.spark.sql.functions.xxhash64(col(c)).as("h"))
-        .stat.bloomFilter("h", math.max(rows, 1L), 0.03)
+        .stat.bloomFilter("h", bloomExpectedItems(rows), 0.03)
     }
 
   private def writeBlooms(segId: Int,
@@ -249,11 +263,26 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     * read; queries never scan the table root wholesale, so the
     * in-progress dir is invisible to them either way.
     */
+  /** Refresh a staging dir's mtime so [[sweepStaleStaging]]'s TTL
+    * measures time since the LAST completed phase, not since the
+    * parquet write finished — the stats and bloom passes run after the
+    * write stops touching the dir, and without the refresh a slow
+    * stage could look abandoned mid-flight.
+    */
+  private def touchStaging(dir: Path): Unit =
+    try Files.setLastModifiedTime(dir,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    catch { case _: java.io.IOException => () } // dir swept/raced: the move will fail loudly
+
   private def stageSegment(df: DataFrame, prefix: String): StagedSegment = {
     val tmp = root.resolve(s"${prefix}_${System.nanoTime()}")
     applyLayout(df).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    touchStaging(tmp)
     val (rows, stats, nulls) = collectStats(tmp)
-    StagedSegment(tmp, rows, stats, nulls, computeBlooms(tmp, rows))
+    touchStaging(tmp)
+    val blooms = computeBlooms(tmp, rows)
+    touchStaging(tmp)
+    StagedSegment(tmp, rows, stats, nulls, blooms)
   }
 
   /** Allocate the next id, rename the staged dir into place, commit.
@@ -293,49 +322,70 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     * within the batch if its own keys repeat. Returns the new segment
     * id, or None when every incoming row already existed.
     *
-    * Concurrency: the anti-join and the staged write run against a
-    * catalog SNAPSHOT with no lock held; the commit then re-checks the
-    * catalog version under the lock. Unchanged version ⇒ the snapshot
-    * check still holds and the staged segment commits as-is (the
-    * common path — zero extra work). Changed version ⇒ the staged rows
-    * are re-verified against the CURRENT live set inside the lock, so
-    * two concurrent deliveries of the same batch net exactly one
-    * segment — the at-least-once failure mode this method exists to
-    * absorb cannot double-insert through a race.
+    * Concurrency: bounded optimistic retries. EVERY distributed step
+    * — the keyed anti-join and the staged write — runs with no lock
+    * held; the lock covers only the version check + rename + status
+    * flip (millisecond-scale). Unchanged version ⇒ the snapshot check
+    * still holds and the staged segment commits as-is (the common
+    * path). Changed version ⇒ release the lock, re-verify against the
+    * NEW snapshot using the already-staged subset as the source (a
+    * verified subset of the batch, so re-verification shrinks
+    * monotonically), and retry the commit. Two concurrent deliveries
+    * of the same batch therefore net exactly one segment, and a
+    * conflicted delivery never blocks other writers behind a
+    * distributed job.
     */
   def loadUnique(df: DataFrame, keyCols: Seq[String]): Option[Int] = {
     require(keyCols.nonEmpty, "loadUnique requires at least one key column")
     val unknown = keyCols.filterNot(schema.fieldNames.contains)
     require(unknown.isEmpty, s"unknown key columns: ${unknown.mkString(", ")}")
     val incoming = df.select(schema.fieldNames.map(col).toSeq: _*)
-    val snap = status
-    val snapLive = snap.segments.filter(_.status == SUCCESS)
-    val existingKeys =
-      readSegments(snapLive).select(keyCols.map(col): _*).distinct()
-    val fresh = incoming.join(existingKeys, keyCols, "left_anti")
-    if (fresh.isEmpty) return None
-    val staged = stageSegment(fresh, "loading")
+    var source: DataFrame = incoming
+    var staged: Option[StagedSegment] = None
+    var attempt = 0
+    val maxAttempts = 5
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val snap = status
+      val snapLive = snap.segments.filter(_.status == SUCCESS)
+      val existingKeys =
+        readSegments(snapLive).select(keyCols.map(col): _*).distinct()
+      val fresh = source.join(existingKeys, keyCols, "left_anti")
+      if (fresh.isEmpty) {
+        staged.foreach(s => deleteRecursively(s.tmp))
+        return None
+      }
+      val next = stageSegment(fresh, "loading")
+      staged.foreach(s => deleteRecursively(s.tmp))
+      staged = Some(next)
+      val committed = withLock {
+        val cur = status
+        if (cur.version == snap.version) Some(commitStagedLocked(next))
+        else None
+      }
+      if (committed.isDefined) return committed
+      // catalog moved between snapshot and commit: loop to re-verify
+      // against the new snapshot, from the staged subset
+      source = spark.read.schema(schema).parquet(next.tmp.toString)
+    }
+    // Pathological contention (maxAttempts consecutive catalog commits
+    // landed inside this delivery's stage windows): fall back to one
+    // verify + commit UNDER the lock so total work stays bounded while
+    // the no-double-insert guarantee holds.
     withLock {
       val cur = status
-      if (cur.version == snap.version) Some(commitStagedLocked(staged))
+      val curKeys = readSegments(cur.segments.filter(_.status == SUCCESS))
+        .select(keyCols.map(col): _*).distinct()
+      val s = staged.get
+      val stagedDf = spark.read.schema(schema).parquet(s.tmp.toString)
+      val still = stagedDf.join(curKeys, keyCols, "left_anti")
+      val stillRows = still.count()
+      if (stillRows == 0L) { deleteRecursively(s.tmp); None }
+      else if (stillRows == s.rows) Some(commitStagedLocked(s))
       else {
-        // catalog moved between check and commit (e.g. the same batch
-        // delivered twice concurrently): re-verify key absence against
-        // the now-current live set. This conflict path pays one extra
-        // keyed anti-join inside the lock; the no-conflict path never
-        // does.
-        val curKeys = readSegments(cur.segments.filter(_.status == SUCCESS))
-          .select(keyCols.map(col): _*).distinct()
-        val stagedDf = spark.read.schema(schema).parquet(staged.tmp.toString)
-        val still = stagedDf.join(curKeys, keyCols, "left_anti")
-        val stillRows = still.count()
-        if (stillRows == 0L) { deleteRecursively(staged.tmp); None }
-        else if (stillRows == staged.rows) Some(commitStagedLocked(staged))
-        else {
-          val restaged = stageSegment(still, "loading")
-          deleteRecursively(staged.tmp)
-          Some(commitStagedLocked(restaged))
-        }
+        val restaged = stageSegment(still, "loading")
+        deleteRecursively(s.tmp)
+        Some(commitStagedLocked(restaged))
       }
     }
   }
@@ -472,15 +522,62 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     case _ => None
   }
 
+  /** Columns with a declared default, rendered in the same string
+    * format the stats store (internal Catalyst representation via
+    * toString: epoch days for dates, epoch micros for timestamps),
+    * with their stats kind. Missing entry = no default declared, or
+    * the default doesn't cast to the column type (then callers must
+    * stay conservative).
+    */
+  private lazy val defaultStats: Map[String, (String, String)] = {
+    val pairs = for {
+      (k, d) <- properties.toSeq if k.startsWith("default.")
+      n = k.stripPrefix("default.")
+      f <- schema.fields.find(_.name == n)
+      kind <- kindOf(f.dataType)
+      v <- Option(org.apache.spark.sql.catalyst.expressions.Cast(
+        Literal.create(d, StringType), f.dataType,
+        Some(java.time.ZoneId.systemDefault().getId)).eval(null))
+    } yield n -> (v.toString, kind)
+    pairs.toMap
+  }
+
+  private def hasDefault(n: String): Boolean =
+    properties.contains(s"default.$n")
+
+  /** Whether the segment may hold physical NULLs in column n. Absent
+    * counts (pre-upgrade catalog, or a column added AFTER this segment
+    * was written — the common schema-evolution case) = unknown = may.
+    */
+  private def mayContainNulls(seg: SegmentMeta, n: String): Boolean =
+    seg.nullCounts.get(n).forall(_ > 0)
+
+  /** Whether a default-filled row of column n could satisfy
+    * `col <op> literal`: raw-file stats know nothing about the
+    * declared default that [[applyDefaults]] coalesces over physical
+    * NULLs, so every stats/bloom verdict must be widened by this check
+    * or a post-evolution segment is silently pruned away (row loss).
+    * A single row's value is both its own min and max, so the same
+    * comparison sign test applies for every predicate shape.
+    */
+  private def defaultMayMatch(seg: SegmentMeta, n: String, v: Any, t: DataType)(
+      op: Int => Boolean): Boolean =
+    hasDefault(n) && mayContainNulls(seg, n) && (defaultStats.get(n) match {
+      case Some((ds, kind)) => compare(ds, v, t, kind).forall(op)
+      case None => true // declared but not stats-comparable: never prune
+    })
+
   private def mayMatch(seg: SegmentMeta, e: Expression): Boolean = e match {
     case EqualTo(a, Literal(v, t)) => attrName(a) match {
-      case Some(n) => rangeContains(seg, n, v, t) &&
-        bareAttrName(a).forall(bn => bloomMayContain(seg, bn, v, t))
+      case Some(n) => (rangeContains(seg, n, v, t) &&
+        bareAttrName(a).forall(bn => bloomMayContain(seg, bn, v, t))) ||
+        defaultMayMatch(seg, n, v, t)(_ == 0)
       case None => true
     }
     case EqualTo(Literal(v, t), a) => attrName(a) match {
-      case Some(n) => rangeContains(seg, n, v, t) &&
-        bareAttrName(a).forall(bn => bloomMayContain(seg, bn, v, t))
+      case Some(n) => (rangeContains(seg, n, v, t) &&
+        bareAttrName(a).forall(bn => bloomMayContain(seg, bn, v, t))) ||
+        defaultMayMatch(seg, n, v, t)(_ == 0)
       case None => true
     }
     case GreaterThan(a, Literal(v, t)) => cmpMax(seg, a, v, t)(_ > 0)
@@ -493,8 +590,9 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     case LessThanOrEqual(Literal(v, t), a) => cmpMax(seg, a, v, t)(_ >= 0)
     case In(a, vs) if vs.forall(_.isInstanceOf[Literal]) => attrName(a) match {
       case Some(n) => vs.exists { case Literal(v, t) =>
-        rangeContains(seg, n, v, t) &&
-          bareAttrName(a).forall(bn => bloomMayContain(seg, bn, v, t))
+        (rangeContains(seg, n, v, t) &&
+          bareAttrName(a).forall(bn => bloomMayContain(seg, bn, v, t))) ||
+          defaultMayMatch(seg, n, v, t)(_ == 0)
       }
       case None => true
     }
@@ -503,34 +601,40 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     // IS NOT NULL. Absent counts (pre-upgrade catalogs) never prune.
     // bareAttrName, NOT attrName: a cast can INTRODUCE nulls
     // (try_cast, string→numeric), so "zero stored nulls" proves
-    // nothing about IS NULL over a cast column.
+    // nothing about IS NULL over a cast column. Columns with a
+    // declared default are unprunable here: their physical NULLs read
+    // as the (non-null) default, so null counts describe the files,
+    // not the rows a query sees.
     case IsNull(a) => bareAttrName(a) match {
-      case Some(n) => seg.nullCounts.get(n).forall(_ > 0)
-      case None => true
+      case Some(n) if !hasDefault(n) => seg.nullCounts.get(n).forall(_ > 0)
+      case _ => true
     }
     case IsNotNull(a) => bareAttrName(a) match {
-      case Some(n) => seg.nullCounts.get(n).forall(_ < seg.rowCount)
-      case None => true
+      case Some(n) if !hasDefault(n) =>
+        seg.nullCounts.get(n).forall(_ < seg.rowCount)
+      case _ => true
     }
     case _ => true // unknown predicate shape: cannot prune
   }
 
-  /** max(seg) op literal must hold for any row to match. */
+  /** max(seg) op literal must hold for any row to match (or a
+    * default-filled row satisfies the predicate on its own).
+    */
   private def cmpMax(seg: SegmentMeta, a: Expression, v: Any, t: DataType)(
       op: Int => Boolean): Boolean = attrName(a) match {
-    case Some(n) => seg.stats.get(n) match {
+    case Some(n) => (seg.stats.get(n) match {
       case Some(s) => compare(s.max, v, t, s.kind).forall(op)
       case None => true
-    }
+    }) || defaultMayMatch(seg, n, v, t)(op)
     case None => true
   }
 
   private def cmpMin(seg: SegmentMeta, a: Expression, v: Any, t: DataType)(
       op: Int => Boolean): Boolean = attrName(a) match {
-    case Some(n) => seg.stats.get(n) match {
+    case Some(n) => (seg.stats.get(n) match {
       case Some(s) => compare(s.min, v, t, s.kind).forall(op)
       case None => true
-    }
+    }) || defaultMayMatch(seg, n, v, t)(op)
     case None => true
   }
 
@@ -601,15 +705,37 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
       finally listing.close()
     }
     sweepStaleStaging()
+    pruneHistoryLog()
     commitStatus(st.copy(segments = st.segments.filterNot(s => dead.exists(_.id == s.id))))
+  }
+
+  /** History-log retention, wired into [[cleanFiles]] like every other
+    * physical cleanup: keep the newest `log.retain.versions` snapshot
+    * entries (default 100) and delete older ones. At thousands of
+    * commits the log is the only unbounded metadata growth; the
+    * current state is never touched (status.json is authoritative),
+    * and time travel simply reaches no further back than retention —
+    * the same contract cleanFiles already imposes on segment files.
+    */
+  private def pruneHistoryLog(): Unit = {
+    val retain = properties.get("log.retain.versions").map(_.toInt).getOrElse(100)
+    val vs = versions
+    if (vs.size > retain) {
+      val logDir = metaDir.resolve("log")
+      vs.dropRight(retain).foreach(v =>
+        Files.deleteIfExists(logDir.resolve(s"$v.json")))
+    }
   }
 
   /** Crash hygiene: a writer that died between staging and commit
     * leaves its temp dir behind (the price of writing outside the
-    * lock). Sweep staging dirs untouched for longer than the TTL —
-    * default 1 h, far beyond any lock wait (LeaseLock acquisition
-    * times out at 2 min), so an in-flight op's staging dir is never
-    * swept. Tunable per table via the `staging.ttl.ms` property.
+    * lock). Sweep staging dirs untouched for longer than the TTL.
+    * [[stageSegment]] refreshes the dir's mtime between its phases
+    * (parquet write, stats pass, bloom passes), so the TTL bounds ONE
+    * phase plus the final lock wait (LeaseLock acquisition times out
+    * at 2 min) — default 1 h covers both; a table whose single bloom
+    * or stats pass runs longer should raise the `staging.ttl.ms`
+    * property.
     */
   private def sweepStaleStaging(): Unit = {
     val ttl = properties.get("staging.ttl.ms").map(_.toLong).getOrElse(3600000L)
@@ -847,9 +973,11 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     *
     * Scale: key envelope + stats bound the rewrite set exactly like
     * DELETE; the only corpus-wide work is one semi-join keyed on the
-    * merge key. For an incoming batch too large to broadcast, Spark
-    * picks a shuffle join — same plan shape, still proportional to
-    * candidates.
+    * merge key. The key-set side carries NO broadcast hint — an
+    * explicit hint is honored regardless of size and would pin a huge
+    * merge batch to the driver/8 GB broadcast ceiling; letting the
+    * planner (and AQE at runtime) choose broadcasts small batches and
+    * degrades large ones to a shuffle join of the same shape.
     */
   def merge(df: DataFrame, keyCols: Seq[String]): Long = {
     require(keyCols.nonEmpty, "merge requires at least one key column")
@@ -875,7 +1003,7 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
         .withColumn("__seg", org.apache.spark.sql.functions.regexp_extract(
           org.apache.spark.sql.functions.input_file_name(),
           "segment_(\\d+)/", 1).cast("int"))
-        .join(org.apache.spark.sql.functions.broadcast(keys), keyCols, "left_semi")
+        .join(keys, keyCols, "left_semi")
         .groupBy(col("__seg"))
         .count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val affected =
@@ -885,7 +1013,7 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
       if (matched == seg.rowCount) seg -> None
       else {
         val survivors = readSegments(Seq(seg))
-          .join(org.apache.spark.sql.functions.broadcast(keys), keyCols, "left_anti")
+          .join(keys, keyCols, "left_anti")
         seg -> Some(stageSegment(survivors, s"rewriting_${seg.id}"))
       }
     }

@@ -59,7 +59,14 @@ object ZOrder {
   private def derivePartitions(df: DataFrame): Int = {
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val fallback = df.sparkSession.sparkContext.defaultParallelism
-    if (bytes <= 0 || !bytes.isValidLong) fallback
+    // Catalyst reports spark.sql.defaultSizeInBytes (Long.MaxValue
+    // unless tuned) for plans it cannot size (LogicalRDD, some views);
+    // that sentinel IS a valid long, so treat anything at or beyond it
+    // as "unknown", not "huge" — otherwise a tiny RDD-backed load gets
+    // repartitionByRange(1000000) and wedges.
+    val unknown = bytes <= 0 || !bytes.isValidLong ||
+      bytes.toLong >= df.sparkSession.sessionState.conf.defaultSizeInBytes
+    if (unknown) fallback
     else math.max(1L, math.min(1000000L,
       (bytes.toLong + TargetFileBytes - 1) / TargetFileBytes)).toInt
   }

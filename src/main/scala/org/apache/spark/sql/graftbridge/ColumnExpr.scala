@@ -32,6 +32,13 @@ object ColumnExpr {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Drain the async listener bus (private[spark]) so a registered
+    * QueryExecutionListener has observed every completed action —
+    * plan-shape assertions in tests need this to be deterministic.
+    */
+  def waitForListeners(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** Resolve a multi-path parquet relation with a fixed schema (the
     * DataSource factory is private[sql]) — gives a graft-table read
     * the identical vectorized HadoopFsRelation a plain parquet read

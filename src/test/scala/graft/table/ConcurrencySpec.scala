@@ -133,6 +133,38 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(t.showSegments().count(_.status == "SUCCESS") == 1)
   }
 
+  test("conflicted loadUnique retries lock-free and yields to an interleaved load") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_dupretry").resolve("t").toString
+    val rows = (1L to 20L).map(k => (k, s"v$k"))
+    val fast = rows.toDF("k", "v")
+    // A's staged write takes ~2s, giving B time to commit the SAME
+    // rows mid-stage: A's commit check must see the moved version,
+    // RELEASE the lock, re-verify against the new snapshot, and land
+    // None — with the staged dir cleaned up, not double-inserted
+    val slowFilter = udf((k: Long) => { Thread.sleep(100); true })
+    val slow = rows.toDF("k", "v").repartition(1).filter(slowFilter(col("k")))
+    val t = SegmentedTable.create(spark, root, fast.schema, Map.empty)
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val a = Future(t.loadUnique(slow, Seq("k")))
+    Thread.sleep(400) // A's snapshot is taken and its stage is in flight
+    t.load(fast)      // B commits the same rows through a plain load
+    val aResult = Await.result(a, 120.seconds)
+    pool.shutdown()
+    assert(aResult.isEmpty, s"A must detect B's rows on retry, got $aResult")
+    assert(t.read().count() == 20, "retry must not double-insert")
+    assert(t.showSegments().count(_.status == "SUCCESS") == 1)
+    // the abandoned staging dir was cleaned, not leaked
+    import scala.jdk.CollectionConverters._
+    val listing = Files.list(java.nio.file.Paths.get(root))
+    val leftovers =
+      try listing.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("loading_")).toList
+      finally listing.close()
+    assert(leftovers.isEmpty, s"staged dirs leaked: $leftovers")
+  }
+
   test("concurrent disjoint row-deletes both commit, losing nothing else") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_dmlc").resolve("t").toString

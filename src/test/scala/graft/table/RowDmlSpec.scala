@@ -145,6 +145,47 @@ class RowDmlSpec extends AnyFunSuite {
       .select("v").head().getString(0) == "b")
   }
 
+  test("merge never forces a broadcast: over-threshold batches shuffle-join") {
+    val root = freshRoot("merge_big")
+    val existing = (1L to 2000L).map(k => (k, s"old$k")).toDF("k", "v")
+    val t = SegmentedTable.create(spark, root, existing.schema,
+      Map("sort_columns" -> "k"))
+    t.load(existing)
+    val incoming = (1000L to 3000L).map(k => (k, s"new$k")).toDF("k", "v")
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.listenerManager.register(listener)
+    try {
+      // stand-in for "batch larger than the threshold": disable
+      // broadcasting outright. An explicit broadcast() hint IGNORES
+      // this setting (hints are honored regardless of size) — only a
+      // hint-free plan can degrade to the shuffle join asserted below.
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      assert(t.merge(incoming, Seq("k")) == 1001)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      org.apache.spark.sql.graftbridge.ColumnExpr.waitForListeners(spark)
+      spark.listenerManager.unregister(listener)
+    }
+    import scala.jdk.CollectionConverters._
+    val joinPlans = plans.asScala.filter(_.contains("Join")).toSeq
+    assert(joinPlans.nonEmpty, "merge must run its keyed semi/anti joins")
+    assert(!joinPlans.exists(p => p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin")),
+      "merge forced a broadcast with broadcasting disabled")
+    assert(t.read().count() == 3000)
+    assert(t.read().filter(col("v").startsWith("new")).count() == 2001)
+    assert(t.read().filter(col("k") === 500L).head().getString(1) == "old500")
+  }
+
   test("SQL MERGE GRAFT TABLE FROM INPATH ... ON (key)") {
     val sf = graft.TestSpark.sf
     spark.read.parquet(s"$sf/region.parquet").createOrReplaceTempView("region_mrg_src")

@@ -65,4 +65,46 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     val asOf = SegmentedTable.open(spark, root).readAsOf(firstLoad)
     assert(asOf.filter(col("tier") === 7).count() == 25)
   }
+
+  test("segment pruning never drops default-filled rows (stats describe files, not reads)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_evo3").resolve("t").toString
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val t0 = SegmentedTable.create(spark, root, base.schema, Map.empty)
+    t0.load(base) // segment 0: written before the column existed
+    val t = t0.addColumn("tier", org.apache.spark.sql.types.IntegerType,
+      default = Some("7"))
+    // segment 1: all physical NULLs (reads as 7)
+    t.load(Seq((3L, "c"), (4L, "d")).toDF("k", "v")
+      .withColumn("tier", lit(null).cast("int")))
+    // segment 2: mixed — real 5 plus a NULL that reads as 7; its
+    // min/max (5..5) excludes the default, only nullCounts>0 saves it
+    t.load(Seq((5L, "e", Integer.valueOf(5)), (6L, "f", null.asInstanceOf[Integer]))
+      .toDF("k", "v", "tier"))
+    // segment 3: real 5s, zero nulls — the one segment pruning MAY drop
+    t.load(Seq((7L, "g", Integer.valueOf(5)), (8L, "h", Integer.valueOf(5)))
+      .toDF("k", "v", "tier"))
+
+    // equality on the default value: 0 (no tier stats), 1 (all null),
+    // 2 (nulls>0) must survive; 3 (no nulls, range excludes 7) may go
+    val eqIds = t.pruneSegments(col("tier") === 7).map(_.id)
+    assert(eqIds.contains(0) && eqIds.contains(1) && eqIds.contains(2), s"kept: $eqIds")
+    assert(!eqIds.contains(3), s"segment 3 holds no row reading 7, kept: $eqIds")
+    assert(t.scan(col("tier") === 7).count() == 5)
+
+    // IS NOT NULL: the all-null segment's rows read as 7 — unprunable
+    assert(t.pruneSegments(col("tier").isNotNull).map(_.id).contains(1))
+    assert(t.scan(col("tier").isNotNull).count() == 8)
+
+    // range predicate satisfied only by the default (7 > 6): segments
+    // that may hold nulls survive, the provably-all-5 one is pruned
+    val gtIds = t.pruneSegments(col("tier") > 6).map(_.id)
+    assert(gtIds.contains(1) && gtIds.contains(2) && !gtIds.contains(3), s"kept: $gtIds")
+    assert(t.scan(col("tier") > 6).count() == 5)
+    // IN over the default composes the same way
+    assert(t.pruneSegments(col("tier").isin(7, 99)).map(_.id).contains(2))
+    assert(t.scan(col("tier").isin(7, 99)).count() == 5)
+    // real stored values still prune normally and read exactly
+    assert(t.scan(col("tier") === 5).count() == 3)
+  }
 }

@@ -269,6 +269,48 @@ class SegmentedTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t3.read().count() == 7)
   }
 
+  test("bloom sidecar sizing caps expectedNumItems (driver memory bound)") {
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("k", "v")
+    val t = SegmentedTable.create(spark, freshRoot("bloomcap"), df.schema,
+      Map("bloom_columns" -> "k"))
+    assert(t.bloomExpectedItems(0) == 1L)
+    assert(t.bloomExpectedItems(10) == 10L)
+    // 1e9-row segment: capped at 32M items (~29 MB at fpp 0.03), not a
+    // ~GB driver-resident filter
+    assert(t.bloomExpectedItems(1000000000L) == 32L * 1024 * 1024)
+    val t2 = SegmentedTable.create(spark, freshRoot("bloomcap2"), df.schema,
+      Map("bloom_columns" -> "k", "bloom.max.items" -> "1000"))
+    assert(t2.bloomExpectedItems(5000) == 1000L)
+    // capped (saturated) filters stay correct: no false negatives
+    t2.load((1L to 5000L).map(k => (k, s"v$k")).toDF("k", "v"))
+    assert(t2.scan(col("k") === 4999L).count() == 1)
+  }
+
+  test("cleanFiles prunes the history log to the retention window") {
+    import spark.implicits._
+    val root = freshRoot("logretain")
+    val df = Seq((1L, "a")).toDF("k", "v")
+    val t = SegmentedTable.create(spark, root, df.schema,
+      Map("log.retain.versions" -> "3"))
+    (1 to 5).foreach(i => t.load(df.withColumn("k", lit(i.toLong))))
+    val before = t.versions
+    assert(before.size == 6, s"create + 5 loads = 6 versions, got $before")
+    val newestRetained = before.takeRight(3)
+    t.cleanFiles() // prunes to the newest 3, then commits one more
+    val after = t.versions
+    assert(after.size == 4, s"3 retained + the cleanFiles commit, got $after")
+    assert(after.startsWith(newestRetained), s"got $after, want $newestRetained + 1")
+    // a retained snapshot still time-travels exactly
+    assert(t.readAsOf(newestRetained.head).count() ==
+      statusRows(t, newestRetained.head))
+    // a pruned one fails loudly, not wrongly
+    intercept[IllegalArgumentException] { t.readAsOf(before.head) }
+  }
+
+  private def statusRows(t: SegmentedTable, v: Long): Long =
+    t.statusAt(v).segments.filter(_.status == "SUCCESS").map(_.rowCount).sum
+
   test("open() round-trips schema and properties") {
     val root = freshRoot("reopen")
     val t = SegmentedTable.create(spark, root, li.schema,

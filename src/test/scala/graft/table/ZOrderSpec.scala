@@ -69,4 +69,19 @@ class ZOrderSpec extends AnyFunSuite {
     assert(bigParts >= 2 && bigParts <= 16,
       s"~480MB estimate should derive a handful of files, got $bigParts")
   }
+
+  test("unknown size estimate (LogicalRDD sentinel) falls back, not 1M partitions") {
+    // an RDD-backed frame has no stats: Catalyst reports
+    // spark.sql.defaultSizeInBytes (Long.MaxValue), which is a valid
+    // long — it must be read as "unknown", not "huge"
+    val rdd = spark.sparkContext.parallelize(Seq((1L, 2L), (3L, 4L), (5L, 6L)))
+    val df = spark.createDataFrame(rdd).toDF("a", "b")
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(est >= spark.sessionState.conf.defaultSizeInBytes,
+      s"precondition: LogicalRDD must report the unknown-size sentinel, got $est")
+    val parts = ZOrder.layout(df, Seq("a", "b")).rdd.getNumPartitions
+    assert(parts <= spark.sparkContext.defaultParallelism,
+      s"tiny RDD-backed input derived $parts partitions")
+    assert(ZOrder.layout(df, Seq("a", "b")).count() == 3)
+  }
 }
