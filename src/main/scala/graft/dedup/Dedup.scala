@@ -94,9 +94,9 @@ object Dedup {
     * Scale: both sides reduce to banded-signature projections (never
     * the text), the collision test is one semi-join keyed by
     * (band_idx, band_key), and the final anti-join moves only ids.
-    * In steady state the existing side's signatures would be
-    * incrementally maintained next to the table instead of recomputed
-    * per delivery — the recompute here keeps the operator stateless.
+    * This is the STATELESS form (both sides recomputed); steady-state
+    * ingest should go through [[ingestNovel]], whose band-signature
+    * index makes the existing side incremental.
     */
   def nearNovel(incoming: DataFrame, existing: DataFrame, idCol: String,
                 textCol: String, k: Int = 16, rowsPerBand: Int = 4): DataFrame = {
@@ -108,21 +108,151 @@ object Dedup {
     incoming.join(hitIds, Seq(idCol), "left_anti")
   }
 
+  // ---- incrementally-maintained band-signature index ----
+  //
+  // ingestNovel's steady-state cost must be O(index + batch), never
+  // O(corpus): recomputing the existing corpus's MinHash signatures on
+  // every delivery is the one ingest-path operation that grows with
+  // table size instead of batch size. The index is a companion
+  // SegmentedTable at `<root>/_bands` holding (id, band_idx, band_key)
+  // — exploded band keys plus one band_idx = -1 sentinel row per doc,
+  // so shingle-less docs still register their id. A `main_version`
+  // marker records the main-catalog version the index covers; any
+  // out-of-band change (plain load, DML, compact… compact bumps the
+  // version too, though its content is unchanged — conservative)
+  // invalidates it and the next ingest rebuilds in one amortized
+  // corpus pass.
+
+  private def bandsRoot(table: graft.table.SegmentedTable): String =
+    table.root.resolve("_bands").toString
+
+  private def markerFile(table: graft.table.SegmentedTable): java.nio.file.Path =
+    table.root.resolve("_bands").resolve("_meta").resolve("main_version")
+
+  private def readMarker(table: graft.table.SegmentedTable): Option[Long] =
+    try Some(java.nio.file.Files.readString(markerFile(table)).trim.toLong)
+    catch { case _: Exception => None }
+
+  private def writeMarker(table: graft.table.SegmentedTable, v: Long): Unit = {
+    val f = markerFile(table)
+    val tmp = f.resolveSibling(s".main_version.tmp${System.nanoTime()}")
+    java.nio.file.Files.writeString(tmp, v.toString)
+    java.nio.file.Files.move(tmp, f,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Index rows for a document batch: exploded band keys plus the
+    * per-doc id sentinel (band_idx = -1, null key).
+    */
+  private def indexRows(df: DataFrame, idCol: String, textCol: String,
+                        k: Int, rowsPerBand: Int): DataFrame =
+    bandedSignatures(df, idCol, textCol, k, rowsPerBand)
+      .select(col("id"), col("band_idx"), col("band_key"))
+      .unionByName(df.select(col(idCol).as("id"),
+        lit(-1).as("band_idx"), lit(null).cast("string").as("band_key")))
+
+  /** Rebuild the band index from the current corpus — the bootstrap /
+    * recovery path after out-of-band main-table changes. One O(corpus)
+    * signature pass, amortized over every subsequent index-served
+    * delivery. Not safe concurrently with an in-flight ingestNovel on
+    * another driver (the overwrite window would read as an empty
+    * index); run it from the ingest owner, as ingestNovel itself does.
+    */
+  def rebuildBandIndex(table: graft.table.SegmentedTable, idCol: String,
+                       textCol: String, k: Int = 16,
+                       rowsPerBand: Int = 4): Unit = {
+    import graft.table.SegmentedTable
+    val mainV = table.currentVersion
+    val rows = indexRows(table.read(), idCol, textCol, k, rowsPerBand)
+    val root = bandsRoot(table)
+    val index =
+      if (SegmentedTable.exists(root)) SegmentedTable.open(table.spark, root)
+      else SegmentedTable.create(table.spark, root, rows.schema,
+        Map("sort_columns" -> "band_key"))
+    index.overwrite(rows)
+    index.cleanFiles() // retired index segments have no time-travel contract
+    writeMarker(table, mainV)
+  }
+
   /** Near-duplicate-aware idempotent ingest: re-delivered rows drop by
-    * exact id, and new rows drop when [[nearNovel]] finds their content
-    * already represented in the table. The fuzzy complement of
-    * `SegmentedTable.loadUnique` — at-least-once delivery cannot
-    * re-insert a document the corpus already holds in any near-dup
-    * form. Returns the new segment id, None when nothing novel landed.
+    * exact id, new rows drop when their content shares a MinHash band
+    * with anything the corpus already holds. The fuzzy complement of
+    * `SegmentedTable.loadUnique`. Returns the new segment id, None
+    * when nothing novel landed.
+    *
+    * Scale: the id anti-join and the band semi-join both run against
+    * the INDEX (never the document segments), so a delivery costs
+    * O(index + batch) — the index is the bands projection of the
+    * corpus, orders of magnitude narrower than the text.
+    *
+    * Concurrency: optimistic dual commit. The docs segment and its
+    * index rows are staged with no lock held, then committed together
+    * under the INDEX table's metadata lock after re-checking that
+    * neither catalog moved since the snapshot (both commits inside are
+    * driver-side millisecond work; lock order index→main is unique to
+    * this path). Two concurrent deliveries of the same batch therefore
+    * net one segment: the loser's version check fails and its retry
+    * sees the winner's ids/bands. A crash between the two commits
+    * leaves docs without index rows — the marker then mismatches and
+    * the next delivery rebuilds; near-dups of those docs are
+    * CONSERVATIVELY re-admitted, never silently dropped.
     */
   def ingestNovel(table: graft.table.SegmentedTable, df: DataFrame,
                   idCol: String, textCol: String,
                   k: Int = 16, rowsPerBand: Int = 4): Option[Int] = {
-    val existing = table.read()
-    val newRows = df.join(existing.select(col(idCol)).distinct(),
-      Seq(idCol), "left_anti")
-    val fresh = nearNovel(newRows, existing, idCol, textCol, k, rowsPerBand)
-    if (fresh.isEmpty) None else Some(table.load(fresh))
+    import graft.table.SegmentedTable
+    val spark = df.sparkSession
+    val root = bandsRoot(table)
+    var attempts = 0
+    while (attempts < 6) {
+      attempts += 1
+      val mainV = table.currentVersion
+      if (!SegmentedTable.exists(root) || !readMarker(table).contains(mainV)) {
+        rebuildBandIndex(table, idCol, textCol, k, rowsPerBand)
+      } else {
+        val index = SegmentedTable.open(spark, root)
+        val idxV = index.currentVersion
+        val idx = index.read()
+        val knownIds = idx.select(col("id").as(idCol)).distinct()
+        val newRows = df.join(knownIds, Seq(idCol), "left_anti")
+        val knownBands = idx.filter(col("band_idx") >= 0)
+          .select(col("band_idx"), col("band_key")).distinct()
+        val hitIds = bandedSignatures(newRows, idCol, textCol, k, rowsPerBand)
+          .join(knownBands, Seq("band_idx", "band_key"), "left_semi")
+          .select(col("id").as(idCol)).distinct()
+        val fresh = newRows.join(hitIds, Seq(idCol), "left_anti")
+        if (fresh.isEmpty) return None
+        val stagedDocs = table.stage(fresh)
+        // index rows derive from the staged parquet, not the `fresh`
+        // plan: one evaluation of the novelty joins, and the index is
+        // byte-consistent with what the docs segment actually holds
+        val stagedDf = spark.read.schema(table.schema)
+          .parquet(stagedDocs.tmp.toString)
+        val stagedBands =
+          index.stage(indexRows(stagedDf, idCol, textCol, k, rowsPerBand))
+        val committed = index.withMetaLock {
+          if (index.currentVersion == idxV && table.currentVersion == mainV) {
+            val segId = table.commitStagedNow(stagedDocs)
+            index.commitStagedHoldingLock(stagedBands)
+            writeMarker(table, table.currentVersion)
+            Some(segId)
+          } else None
+        }
+        committed match {
+          case Some(id) => return Some(id)
+          case None =>
+            table.discardStaged(stagedDocs)
+            index.discardStaged(stagedBands)
+          // a catalog moved mid-flight: loop re-validates the marker
+          // (rebuilding only on out-of-band changes) and re-runs the
+          // novelty joins against the new index snapshot
+        }
+      }
+    }
+    throw new IllegalStateException(
+      "ingestNovel: catalog moved on every attempt — persistent contention " +
+        "or an out-of-band writer racing the ingest owner")
   }
 
   /** Exact word-shingle Jaccard for pairs sharing a blocking key.

@@ -249,12 +249,7 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     */
   private def clearOrphan(id: Int): Unit = deleteRecursively(segmentDir(id))
 
-  /** A segment fully written and analyzed under a temporary path,
-    * awaiting only id allocation + rename + catalog commit.
-    */
-  private case class StagedSegment(tmp: Path, rows: Long,
-      stats: Map[String, ColStats], nulls: Map[String, Long],
-      blooms: Seq[(String, org.apache.spark.util.sketch.BloomFilter)])
+  import SegmentedTable.StagedSegment
 
   /** All of a segment write's heavy work — the distributed layout +
     * parquet write, the stats pass, and the bloom passes — against a
@@ -313,6 +308,39 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     val staged = stageSegment(df, "loading")
     withLock { commitStagedLocked(staged) }
   }
+
+  // ---- staged-commit primitives (library-internal): building blocks
+  // for composite operators (e.g. Dedup.ingestNovel) that must commit
+  // a data segment and a companion-index segment atomically under ONE
+  // external lock. All distributed work happens in stage(); every
+  // commit variant is millisecond-scale driver work. ----
+
+  private[graft] def stage(df: DataFrame): StagedSegment =
+    stageSegment(df, "loading")
+
+  private[graft] def discardStaged(s: StagedSegment): Unit =
+    deleteRecursively(s.tmp)
+
+  /** Commit iff the catalog version still equals `expected`; on
+    * mismatch returns None and leaves the staged dir untouched (the
+    * caller retries or discards).
+    */
+  private[graft] def commitStagedIfVersion(s: StagedSegment,
+                                           expected: Long): Option[Int] =
+    withLock {
+      if (status.version == expected) Some(commitStagedLocked(s)) else None
+    }
+
+  private[graft] def commitStagedNow(s: StagedSegment): Int =
+    withLock { commitStagedLocked(s) }
+
+  /** Commit WITHOUT acquiring this table's lock — for callers already
+    * inside [[withMetaLock]] (the metadata locks are non-reentrant).
+    */
+  private[graft] def commitStagedHoldingLock(s: StagedSegment): Int =
+    commitStagedLocked(s)
+
+  private[graft] def withMetaLock[T](f: => T): T = withLock(f)
 
   /** Idempotent append (exact dedup at ingest): load only incoming
     * rows whose key is absent from the table, so re-delivering a
@@ -1082,6 +1110,13 @@ object SegmentedTable {
   val SUCCESS = "SUCCESS"
   val DELETED = "DELETED"
   val COMPACTED = "COMPACTED"
+
+  /** A segment fully written and analyzed under a temporary path,
+    * awaiting only id allocation + rename + catalog commit.
+    */
+  private[graft] case class StagedSegment(tmp: Path, rows: Long,
+      stats: Map[String, ColStats], nulls: Map[String, Long],
+      blooms: Seq[(String, org.apache.spark.util.sketch.BloomFilter)])
 
   private[table] implicit val formats: Formats = DefaultFormats
 
