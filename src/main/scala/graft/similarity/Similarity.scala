@@ -358,18 +358,47 @@ object Similarity {
                 vecCol: String, k: Int,
                 centroids: Seq[(Int, Array[Float])],
                 codebooks: Seq[(Int, Int, Array[Float])],
-                m: Int, dsub: Int, nprobe: Int): DataFrame = {
-    val c = pqEncode(
+                m: Int, dsub: Int, nprobe: Int): DataFrame =
+    ivfPqServe(
+      ivfPqIndexRows(corpus, idCol, vecCol, centroids, codebooks, m, dsub),
+      queries, idCol, vecCol, k, centroids, codebooks, m, dsub, nprobe)
+
+  /** The IVF-PQ index-BUILD pass: (neighbor_id, cell, codes) for every
+    * corpus row — assign + encode, both narrow shuffle-free
+    * projections. This is what gets MATERIALIZED (one pass over the
+    * corpus, persisted partitioned by cell) so that serving never
+    * touches the raw vectors again; at 100 TB index build and query
+    * are different jobs. Reference analogy: the persisted driver-side
+    * index of hadoop/.../CarbonInputFormat.java:76-481.
+    */
+  def ivfPqIndexRows(corpus: DataFrame, idCol: String, vecCol: String,
+                     centroids: Seq[(Int, Array[Float])],
+                     codebooks: Seq[(Int, Int, Array[Float])],
+                     m: Int, dsub: Int): DataFrame =
+    pqEncode(
       assignCells(
         spread(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))),
         "cv", centroids, 1),
       "cv", codebooks, m, dsub)
       .select(col("neighbor_id"), col("cell"), col("codes"))
+
+  /** IVF-PQ SERVING from a prebuilt index: the corpus side is the
+    * materialized (neighbor_id, cell, codes) table — a query probes
+    * nprobe cells of the index (cell-partitioned, so the scan prunes
+    * to those partitions) and never reads a corpus vector; only the
+    * tiny query set carries raw embeddings. Identical math to
+    * [[ivfPqTopK]] by construction (it delegates here).
+    */
+  def ivfPqServe(index: DataFrame, queries: DataFrame, idCol: String,
+                 vecCol: String, k: Int,
+                 centroids: Seq[(Int, Array[Float])],
+                 codebooks: Seq[(Int, Int, Array[Float])],
+                 m: Int, dsub: Int, nprobe: Int): DataFrame = {
     val q = assignCells(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
       "qv", centroids, nprobe)
     rankByAdc(
-      c.join(broadcast(q), Seq("cell"))
+      index.join(broadcast(q), Seq("cell"))
         .filter(col("neighbor_id") =!= col("query_id"))
         .withColumn("adc", adcExpr(codebooks, m, dsub)), k)
   }

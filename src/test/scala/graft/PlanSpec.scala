@@ -124,6 +124,22 @@ class PlanSpec extends AnyFunSuite {
       vOpt.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  test("materialized IVF-PQ serving scans the index, not the corpus vectors") {
+    // s08's corpus side must come entirely from the cell-partitioned
+    // index table: embeddings.parquet may appear exactly once — the
+    // 5-row query-set lookup (with its vec_id filter pushed down) —
+    // where s06 (inline encode) reads it for the corpus too
+    val p = plan("s08_ann_ivfpq_index")
+    val embScans = "embeddings\\.parquet".r.findAllIn(p).size
+    assert(p.contains("graft_ivfpq_index"),
+      s"serving must read the materialized index\n${p.take(2000)}")
+    assert(embScans <= 1,
+      s"corpus vectors must not be rescanned at serve time ($embScans embedding scans)\n${p.take(2000)}")
+    assert(p.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,5)]") ||
+      p.contains("LessThan(vec_id,5)"),
+      "query-set lookup must push its filter")
+  }
+
   test("sequence packing windows per shard, never a global order") {
     val p = plan("t14_seq_pack")
     assert(p.contains("hashpartitioning(shard"), p.take(3000))
