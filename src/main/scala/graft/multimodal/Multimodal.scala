@@ -13,13 +13,15 @@ case class MediaFeatures(id: Long, byte_len: Int, width: Int, height: Int,
   * `binary` columns with typed metadata; decode/feature-extraction is
   * a batched per-partition stage.
   *
-  * The decode itself is a STUB (no image/audio libraries in this
-  * container): [[decodeBatch]] derives deterministic fake features
-  * from the bytes. Everything around it — the schema contract, the
-  * batched mapPartitions shape (amortizing per-batch decoder init,
-  * exactly how a JNI/GPU decoder is driven), partitioning, and the
-  * typed Dataset output — is real and tested, so swapping in a real
-  * decoder changes only the function body.
+  * The decode boundary is REAL for PNG: payloads carrying the PNG
+  * signature go through `javax.imageio` (full zlib/CRC-verified
+  * decode), and width/height come from the decoded raster — m02 gates
+  * exactly those fields. The feature-EXTRACTION model (the embedding)
+  * and non-PNG codecs remain deterministic stubs (no ML / media
+  * libraries in this container); the batched mapPartitions shape
+  * (amortizing per-batch decoder init, exactly how a JNI/GPU decoder
+  * is driven), partitioning, and the typed Dataset output are the
+  * production contract either way.
   *
   * Scale: the payload column never shuffles — metadata extraction and
   * decode are narrow map stages; downstream aggregations group on
@@ -27,6 +29,46 @@ case class MediaFeatures(id: Long, byte_len: Int, width: Int, height: Int,
   * partition of payloads fits the decoder's memory budget.
   */
 object Multimodal {
+
+  private val PngSignature: Array[Byte] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def isPng(bytes: Array[Byte]): Boolean =
+    bytes.length >= 8 && java.util.Arrays.equals(
+      java.util.Arrays.copyOfRange(bytes, 0, 8), PngSignature)
+
+  /** Synthesize a REAL grayscale PNG per row: dimensions derive from
+    * the `nCharsCol` metadata column (width = 1 + n % 64, height =
+    * 1 + 7n % 64 — the rule an oracle can replay), pixels fill
+    * cyclically from the text's utf-8 bytes. Batched mapPartitions
+    * like every codec stage; the encoder runs per-row inside the
+    * partition, never materializing it.
+    */
+  def withPngPayload(df: DataFrame, idCol: String, textCol: String,
+                     nCharsCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol),
+        col(nCharsCol).cast("long"))
+      .as[(Long, String, Long)]
+      .mapPartitions(_.map { case (id, text, nChars) =>
+        val w = (1 + nChars % 64).toInt
+        val h = (1 + (nChars * 7) % 64).toInt
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val bytes = Option(text).getOrElse("").getBytes("UTF-8")
+        val raster = img.getRaster
+        var i = 0
+        while (i < w * h) {
+          val v = if (bytes.isEmpty) 0 else bytes(i % bytes.length) & 0xff
+          raster.setSample(i % w, i / w, 0, v)
+          i += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", out)
+        (id, out.toByteArray)
+      }).toDF("id", "payload")
+  }
 
   /** Attach an opaque binary payload + typed metadata struct.
     * (In production the payload IS the stored bytes; here it is the
@@ -39,15 +81,16 @@ object Multimodal {
         lit("application/octet-stream").as("mime"),
         octet_length(col(textCol)).as("byte_len")).as("meta"))
 
-  /** STUB decoder for one batch of payloads. Deterministic fake:
-    * dimensions and an 8-dim embedding derived from the md5 digest of
-    * the payload bytes (well-defined for EMPTY payloads too — md5 of
-    * zero bytes is the standard d41d8... digest, so a document with
-    * empty text decodes instead of crashing). The per-batch
-    * MessageDigest instance models the real decoder-init-per-batch
-    * cost this batching exists to amortize. Replace the body with a
-    * real codec call (e.g. JNI libjpeg / ffmpeg) — the signature is
-    * the real contract.
+  /** Decoder for one batch of payloads. PNG payloads (signature
+    * sniffed) are REALLY decoded via `javax.imageio` — width/height
+    * come from the zlib/CRC-verified raster; a payload that claims PNG
+    * but fails to decode falls back to the stub path (quarantine-lite:
+    * real pipelines route these to a reject sink; the row must not
+    * kill the batch). Non-PNG payloads and the 8-dim embedding remain
+    * the deterministic md5 STUB (no media/ML libraries in this
+    * container; md5 of zero bytes is well-defined, so empty payloads
+    * decode instead of crashing). The per-batch MessageDigest models
+    * the decoder-init-per-batch cost this batching amortizes.
     */
   private def decodeBatch(batch: Seq[(Long, Array[Byte])]): Seq[MediaFeatures] = {
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -55,8 +98,16 @@ object Multimodal {
       md.reset()
       val b = md.digest(bytes)
       val emb = Array.tabulate(8)(i => (b(i + 2) & 0xff) / 255.0f)
-      MediaFeatures(id, bytes.length,
-        64 + ((b(0) & 0xff) % 192), 64 + ((b(1) & 0xff) % 192), emb)
+      val decoded: Option[(Int, Int)] =
+        if (!isPng(bytes)) None
+        else try {
+          Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes)))
+            .map(img => (img.getWidth, img.getHeight))
+        } catch { case _: java.io.IOException => None }
+      val (w, h) = decoded.getOrElse(
+        (64 + ((b(0) & 0xff) % 192), 64 + ((b(1) & 0xff) % 192)))
+      MediaFeatures(id, bytes.length, w, h, emb)
     }
   }
 

@@ -456,15 +456,19 @@ object PipelineQueries {
     // features are md5-derived, so the oracle reproduces them exactly;
     // the float embedding is gated via an integer fingerprint that
     // recovers the source digest bytes)
+    // multimodal: REAL decode boundary — each document becomes a real
+    // grayscale PNG (dimensions from n_chars, pixels from the text
+    // bytes), and width/height in the result come from javax.imageio
+    // actually decoding those bytes. The oracle replays the generation
+    // rule; a decoder that misread the header/raster hash-mismatches.
     "m02_media_decode" -> ((s, d) => {
       import graft.multimodal.Multimodal
-      val payloads = Multimodal.withPayload(Tables.documents(s, d), "doc_id", "text")
-      Multimodal.decodeFeatures(payloads.select(col("id"), col("payload")))
+      val png = Multimodal.withPngPayload(Tables.documents(s, d),
+        "doc_id", "text", "n_chars")
+      Multimodal.decodeFeatures(png)
         .toDF()
-        .select(col("id"), col("byte_len"), col("width"), col("height"),
-          aggregate(zip_with(col("embedding"), sequence(lit(1), lit(8)),
-            (e, i) => round(e * 255).cast("long") * i),
-            lit(0L), (a, x) => a + x).as("emb_fp"))
+        .select(col("id"), col("width"), col("height"),
+          (col("width") * col("height")).as("n_pixels"))
     })
   )
 
@@ -1074,16 +1078,15 @@ object PipelineQueries {
           FROM h"""
     },
 
-    "m02_media_decode" -> {
-      def b(j: Int) = s"CAST('0x' || substr(m, ${2 * j + 1}, 2) AS BIGINT)"
-      s"""WITH h AS (SELECT doc_id, md5(text) AS m,
-            octet_length(encode(text)) AS bl FROM documents)
-          SELECT doc_id AS id, CAST(bl AS INT) AS byte_len,
-            CAST(64 + (${b(0)} % 192) AS INT) AS width,
-            CAST(64 + (${b(1)} % 192) AS INT) AS height,
-            CAST(${(0 until 8).map(i => s"${i + 1} * ${b(i + 2)}").mkString(" + ")}
-              AS BIGINT) AS emb_fp
-          FROM h"""
-    }
+    // the PNGs are generated with width = 1 + n_chars % 64 and height
+    // = 1 + 7·n_chars % 64; Spark's result carries what javax.imageio
+    // DECODED from the bytes, so matching this recomputation proves
+    // the decoder recovered the true raster dimensions
+    "m02_media_decode" ->
+      s"""SELECT doc_id AS id,
+            CAST(1 + (n_chars % 64) AS INT) AS width,
+            CAST(1 + ((n_chars * 7) % 64) AS INT) AS height,
+            CAST((1 + (n_chars % 64)) * (1 + ((n_chars * 7) % 64)) AS INT) AS n_pixels
+          FROM documents"""
   )
 }

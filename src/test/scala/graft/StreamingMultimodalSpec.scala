@@ -63,6 +63,41 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(stats.count() == docs.select("source").distinct().count())
   }
 
+  test("PNG payloads are genuinely decoded: dimensions come from the raster") {
+    // a real PNG written directly through ImageIO with KNOWN dims: the
+    // decode path must recover them from the bytes, not from any rule
+    val img = new java.awt.image.BufferedImage(37, 11,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    (0 until 11).foreach(y => (0 until 37).foreach(x =>
+      img.getRaster.setSample(x, y, 0, (x * 7 + y) % 256)))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val png = out.toByteArray
+    // a corrupted PNG (signature intact, body mangled) must fall back
+    // to the stub, not kill the batch
+    val bad = png.clone(); bad(20) = (bad(20) ^ 0xff).toByte
+    val df = Seq((1L, png), (2L, bad), (3L, "not a png".getBytes("UTF-8")))
+      .toDF("id", "payload")
+    val feats = Multimodal.decodeFeatures(df).collect().sortBy(_.id)
+    assert(feats.length == 3)
+    assert(feats(0).width == 37 && feats(0).height == 11,
+      s"decoded dims must match the written raster, got ${feats(0)}")
+    assert(feats(1).width >= 64 && feats(2).width >= 64,
+      "undecodable payloads take the deterministic stub path")
+
+    // the pipeline form: documents → generated PNGs → decoded dims
+    // must equal the generation rule (what the m02 oracle replays)
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet").limit(50)
+    val decoded = Multimodal.decodeFeatures(
+      Multimodal.withPngPayload(docs, "doc_id", "text", "n_chars")).toDF()
+    val mismatches = decoded
+      .join(docs.select(col("doc_id").as("id"), col("n_chars")), "id")
+      .filter(col("width") =!= (lit(1) + col("n_chars") % 64) ||
+        col("height") =!= (lit(1) + (col("n_chars") * 7) % 64))
+      .count()
+    assert(mismatches == 0, "ImageIO must recover the generated dimensions")
+  }
+
   test("frame sampling: n rows per payload, empty payload included") {
     val df = Seq((1L, "some video bytes"), (2L, "")).toDF("doc_id", "text")
     val p = Multimodal.withPayload(df, "doc_id", "text")
