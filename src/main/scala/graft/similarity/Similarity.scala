@@ -25,11 +25,31 @@ object Similarity {
 
   /** See [[graft.dedup.Dedup]]: lift single-file local sources to task
     * parallelism for CPU-bound vector math; no-op on parallel sources.
+    * The df.rdd access compiles the plan to read the partition count —
+    * driver-side planning on the Dataset's cached QueryExecution (no
+    * job runs); accepted as the cost of an accurate count.
     */
   private def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
+
+  /** Query-side broadcast gate. Every probe join here is designed for
+    * a SMALL query set, but an unconditional broadcast() hint is
+    * honored regardless of size — a caller passing a huge query frame
+    * would pin it to the driver/8 GB broadcast ceiling. Non-CBO size
+    * estimates can't see filter selectivity (a 5-row filter of a
+    * 100 GB corpus "estimates" 100 GB), so the gate counts for real:
+    * one limit-bounded probe job (stops at cap+1 rows — constant
+    * cost). At or under the cap → hint, the intended plan even when
+    * global broadcast is disabled; over → no hint, and the planner
+    * degrades to a shuffle join instead of OOMing the driver.
+    */
+  private val MaxBroadcastQueries = 100000
+  private def gated(q: DataFrame): DataFrame =
+    if (q.limit(MaxBroadcastQueries + 1).count() <= MaxBroadcastQueries)
+      broadcast(q)
+    else q
 
   /** Sequential double dot product of two float-array columns — a
     * native codegen'd expression (one tight loop, no intermediate
@@ -62,7 +82,7 @@ object Similarity {
     val c = spread(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    c.crossJoin(broadcast(q))
+    c.crossJoin(gated(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w))
@@ -92,7 +112,7 @@ object Similarity {
       signBucket(col(vecCol), bits).as("probe")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    c.join(broadcast(q), Seq("probe"))
+    c.join(gated(q), Seq("probe"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w))
@@ -205,7 +225,7 @@ object Similarity {
       "qv", centroids, nprobe)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    c.join(broadcast(q), Seq("cell"))
+    c.join(gated(q), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w))
@@ -342,7 +362,7 @@ object Similarity {
       "cv", codebooks, m, dsub).select(col("neighbor_id"), col("codes"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     rankByAdc(
-      encoded.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      encoded.join(gated(q), col("neighbor_id") =!= col("query_id"))
         .withColumn("adc", adcExpr(codebooks, m, dsub)), k)
   }
 
@@ -398,7 +418,7 @@ object Similarity {
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
       "qv", centroids, nprobe)
     rankByAdc(
-      index.join(broadcast(q), Seq("cell"))
+      index.join(gated(q), Seq("cell"))
         .filter(col("neighbor_id") =!= col("query_id"))
         .withColumn("adc", adcExpr(codebooks, m, dsub)), k)
   }
@@ -462,7 +482,7 @@ object Similarity {
       .withColumn("qv", residualExpr(col("qv0"), col("cell"), centroids))
       .select(col("query_id"), col("cell"), col("qv"))
     rankByAdc(
-      c.join(broadcast(q), Seq("cell"))
+      c.join(gated(q), Seq("cell"))
         .filter(col("neighbor_id") =!= col("query_id"))
         .withColumn("adc", adcExpr(codebooks, m, dsub)), k)
   }
