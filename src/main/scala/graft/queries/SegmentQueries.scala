@@ -298,7 +298,55 @@ object SegmentQueries {
       t
     })
 
+  /** Star-schema bulk load through the SQL surface: one LOAD GRAFT
+    * DATA FACT FROM ... DIMENSION FROM ... statement ingests orders as
+    * the fact table and customer/nation as dimension tables (created
+    * on first load from the file schema). Parsed by GraftSqlParser —
+    * the gate proves the reference's one-statement star ingest
+    * (CarbonSqlParser.scala:779-793) is reachable and row-exact.
+    */
+  private def factDimLoaded(s: SparkSession, d: String): (String, String, String) = {
+    val sfx = math.abs(d.hashCode).toString
+    val (ordName, custName, natName) =
+      (s"orders_fd_$sfx", s"customer_fd_$sfx", s"nation_fd_$sfx")
+    built.getOrElseUpdate(s"fd|$d", {
+      Seq(ordName, custName, natName)
+        .foreach(n => graft.sql.DropGraftTableCommand(n).run(s))
+      val src = s"orders_fd_src_$sfx"
+      Tables.orders(s, d).limit(0).createOrReplaceTempView(src)
+      runGraftSql(s, s"CREATE GRAFT TABLE $ordName AS SELECT * FROM $src")
+      runGraftSql(s,
+        s"""LOAD GRAFT DATA FACT FROM '$d/orders.parquet'
+            DIMENSION FROM $custName:'$d/customer.parquet',
+                           $natName:'$d/nation.parquet'
+            INTO TABLE $ordName""")
+      graft.sql.GraftCatalog.open(s, ordName)
+    })
+    (ordName, custName, natName)
+  }
+
+  /** Execute a graft SQL statement through the real parser (sessions
+    * here are built without extensions, so the command path is what
+    * the gate exercises — GraftSqlSpec covers the injected form).
+    */
+  private def runGraftSql(s: SparkSession, sql: String): Unit = {
+    val plan = new graft.sql.GraftSqlParser(s.sessionState.sqlParser).parsePlan(sql)
+    org.apache.spark.sql.graftbridge.ColumnExpr.ofRows(s, plan).collect()
+  }
+
   val queries: Map[String, Q] = Map(
+    // one-statement star ingest (fact + 2 dimension tables), then the
+    // classic star join over the three graft tables — dims broadcast
+    "g13_fact_dim_load" -> ((s, d) => {
+      val (ordName, custName, natName) = factDimLoaded(s, d)
+      val o = graft.sql.GraftCatalog.open(s, ordName).read()
+      val c = broadcast(graft.sql.GraftCatalog.open(s, custName).read())
+      val n = broadcast(graft.sql.GraftCatalog.open(s, natName).read())
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+    }),
     // the as-of join (q41's plan, verbatim) over the SEGMENTED events
     // table: the store must compose with the union + ordered-window
     // construction exactly — same oracle as q41, different storage
@@ -436,6 +484,14 @@ object SegmentQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the one-statement star ingest must be exactly row-preserving on
+    // all three tables: same join+agg over the original inputs
+    "g13_fact_dim_load" ->
+      """SELECT n_name, COUNT(*) AS cnt,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+                     JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name""",
     // evens ∪ {odds with no band collision against evens}; short docs
     // (no shingles) carry no bands and always pass — same MinHash band
     // construction as the d02/t10 oracles

@@ -22,6 +22,9 @@ import graft.table.SegmentedTable
   *              'multiline'='true', 'header'='true',
   *              'fileheader'='c2,c1', 'complex_delimiter_level_1'='$',
   *              'complex_delimiter_level_2'=':')]
+  *   LOAD GRAFT DATA FACT FROM '<path>'
+  *     [DIMENSION FROM dim1:'<path1>', dim2:'<path2>', ...]
+  *     INTO TABLE t [OPTIONS(...)]
   *   DELETE FROM GRAFT TABLE t WHERE <predicate>
   *   UPDATE GRAFT TABLE t SET c = <expr>[, ...] WHERE <predicate>
   *   MERGE GRAFT TABLE t FROM INPATH '<path>' ON (k1[, k2...])
@@ -175,6 +178,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*CREATE\s+GRAFT\s+TABLE\s+(\w+)\s*(?:TBLPROPERTIES\s*\((.*?)\)\s*)?AS\s+(.+)""".r
   private val loadRe =
     """(?is)\s*LOAD\s+GRAFT\s+DATA\s+INPATH\s+'([^']+)'\s+INTO\s+TABLE\s+(\w+)\s*(?:OPTIONS\s*\((.*?)\)\s*)?""".r
+  private val loadFactDimRe =
+    """(?is)\s*LOAD\s+GRAFT\s+DATA\s+FACT\s+FROM\s+'([^']+)'(?:\s+DIMENSION\s+FROM\s+(.+?))?\s+INTO\s+TABLE\s+(\w+)\s*(?:OPTIONS\s*\((.*?)\)\s*)?""".r
+  private val dimMapRe = """(\w+)\s*:\s*'([^']+)'""".r
   private val showSegRe =
     """(?is)\s*SHOW\s+GRAFT\s+SEGMENTS\s+FOR\s+(\w+)\s*""".r
   private val showHistRe =
@@ -229,6 +235,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           m.group(1).toLowerCase(Locale.ROOT) -> m.group(2)).toMap)
         .getOrElse(Map.empty)
       LoadGraftDataCommand(name, path, o)
+    case loadFactDimRe(factPath, dimSpec, name, opts) =>
+      val o = Option(opts).map(s =>
+        propRe.findAllMatchIn(s).map(m =>
+          m.group(1).toLowerCase(Locale.ROOT) -> m.group(2)).toMap)
+        .getOrElse(Map.empty)
+      val dims = Option(dimSpec).map(s =>
+        dimMapRe.findAllMatchIn(s).map(m => m.group(1) -> m.group(2)).toSeq)
+        .getOrElse(Seq.empty)
+      LoadGraftFactDimCommand(name, factPath, dims, o)
     case showCreateRe(name) => ShowCreateGraftTableCommand(name)
     case describeRe(name) => DescribeGraftTableCommand(name)
     case showSegRe(name) => ShowGraftSegmentsCommand(name)
@@ -356,26 +371,93 @@ case class CreateGraftTableCommand(name: String, props: Map[String, String],
   }
 }
 
-case class LoadGraftDataCommand(name: String, path: String,
-    options: Map[String, String] = Map.empty) extends LeafRunnableCommand {
-  override def run(spark: SparkSession): Seq[Row] = {
-    val t = GraftCatalog.open(spark, name)
-    // the reference's LOAD DATA is CSV-first (LoadCube,
-    // cubeSchema.scala:1792) incl. DELIMITER/QUOTECHAR/FILEHEADER/
-    // ESCAPECHAR/MULTILINE and two-level complex delimiters (parser
-    // CarbonSqlParser.scala:779-834); parquet for modern pipelines
-    val df =
-      if (path.endsWith(".csv"))
-        graft.sources.ComplexCsv.loadWithOptions(spark, path, t.schema, options)
-      else spark.read.schema(t.schema).parquet(path)
-    // OPTIONS('dedup_keys'='k1,k2') routes through the idempotent
-    // ingest path: rows whose key already exists are skipped
+/** Shared load-path plumbing for the LOAD command family. */
+private[sql] object GraftLoadSupport {
+  /** Read a load input with the target schema applied. The reference's
+    * LOAD DATA is CSV-first (LoadCube, cubeSchema.scala:1792) incl.
+    * DELIMITER/QUOTECHAR/FILEHEADER/ESCAPECHAR/MULTILINE and two-level
+    * complex delimiters (parser CarbonSqlParser.scala:779-834); parquet
+    * for modern pipelines.
+    */
+  def readInput(spark: SparkSession, path: String, schema: StructType,
+      options: Map[String, String]): org.apache.spark.sql.DataFrame =
+    if (path.endsWith(".csv"))
+      graft.sources.ComplexCsv.loadWithOptions(spark, path, schema, options)
+    else spark.read.schema(schema).parquet(path)
+
+  /** Append into the table; OPTIONS('dedup_keys'='k1,k2') routes
+    * through the idempotent ingest path (rows whose key already exists
+    * are skipped).
+    */
+  def loadInto(t: SegmentedTable, df: org.apache.spark.sql.DataFrame,
+      options: Map[String, String]): Unit =
     options.get("dedup_keys") match {
       case Some(ks) =>
         t.loadUnique(df, ks.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       case None => t.load(df)
     }
+}
+
+case class LoadGraftDataCommand(name: String, path: String,
+    options: Map[String, String] = Map.empty) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftCatalog.open(spark, name)
+    val df = GraftLoadSupport.readInput(spark, path, t.schema, options)
+    GraftLoadSupport.loadInto(t, df, options)
     t.read().createOrReplaceTempView(name)
+    Nil
+  }
+}
+
+/** Star-schema bulk load — the reference's `LOAD DATA FACT FROM '<f>'
+  * DIMENSION FROM d1:'<p1>', ... INTO CUBE c` (CarbonSqlParser.scala:
+  * 779-793 loadData; DataLoadTableFileMapping cubeSchema.scala:128;
+  * dim-folder plumbing cubeSchema.scala:1837-1842): one statement
+  * ingests the fact file into the fact table and each dimension file
+  * into its own table. The Spark-native form keeps dimensions as
+  * first-class flat graft tables (SURVEY §2.1 maps cube-internal
+  * hierarchies to flat tables + query-time joins, co-location via
+  * bucketing): a dimension table is created on first load — schema
+  * taken from the file (parquet footer, or CSV header/inference) —
+  * and appended thereafter, with the same segment lifecycle,
+  * pruning, and time travel as any other graft table.
+  */
+case class LoadGraftFactDimCommand(name: String, factPath: String,
+    dims: Seq[(String, String)], options: Map[String, String])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val fact = GraftCatalog.open(spark, name)
+    GraftLoadSupport.loadInto(fact,
+      GraftLoadSupport.readInput(spark, factPath, fact.schema, options), options)
+    fact.read().createOrReplaceTempView(name)
+    dims.foreach { case (dimName, dimPath) =>
+      // dimension CSVs carry a header row by convention unless the
+      // caller says otherwise (FILEHEADER names headerless columns)
+      val dimOptions =
+        if (dimPath.endsWith(".csv") && !options.contains("header") &&
+            !options.contains("fileheader")) options + ("header" -> "true")
+        else options
+      val p = GraftCatalog.tablePath(spark, dimName)
+      val t =
+        if (SegmentedTable.exists(p)) SegmentedTable.open(spark, p)
+        else {
+          // first delivery defines the dimension schema: parquet reads
+          // its own footer; CSV uses header names + inferred types
+          // (FILEHEADER callers can pre-create the table instead)
+          val schema =
+            if (dimPath.endsWith(".csv"))
+              spark.read
+                .option("header", dimOptions.getOrElse("header", "true"))
+                .option("inferSchema", "true")
+                .option("sep", dimOptions.getOrElse("delimiter", ","))
+                .csv(dimPath).schema
+            else spark.read.parquet(dimPath).schema
+          SegmentedTable.create(spark, p, schema, Map.empty)
+        }
+      GraftLoadSupport.loadInto(t,
+        GraftLoadSupport.readInput(spark, dimPath, t.schema, dimOptions), dimOptions)
+      t.read().createOrReplaceTempView(dimName)
+    }
     Nil
   }
 }

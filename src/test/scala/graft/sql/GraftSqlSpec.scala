@@ -237,4 +237,71 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(desc.exists(r => r.getString(0) == "# total_rows" && r.getString(1) == "5"))
     spark.sql("DROP GRAFT TABLE regions3")
   }
+
+  test("LOAD GRAFT DATA FACT FROM ... DIMENSION FROM ingests star schema") {
+    val sf = "/root/testdata/sf0.001"
+    spark.read.parquet(s"$sf/orders.parquet").limit(0)
+      .createOrReplaceTempView("orders_fd_src")
+    spark.sql("CREATE GRAFT TABLE fd_orders AS SELECT * FROM orders_fd_src")
+
+    // one statement: fact file into fd_orders, each dimension file into
+    // its own graft table (created on first load from the file schema)
+    spark.sql(
+      s"""LOAD GRAFT DATA FACT FROM '$sf/orders.parquet'
+          DIMENSION FROM fd_customer:'$sf/customer.parquet',
+                         fd_nation:'$sf/nation.parquet'
+          INTO TABLE fd_orders""")
+
+    val expected = spark.read.parquet(s"$sf/orders.parquet").count()
+    assert(spark.sql("SELECT count(*) FROM fd_orders").head().getLong(0) == expected)
+    assert(spark.sql("SELECT count(*) FROM fd_nation").head().getLong(0) == 25)
+
+    // dimensions are full graft tables: segment lifecycle applies
+    val segs = spark.sql("SHOW GRAFT SEGMENTS FOR fd_nation").collect()
+    assert(segs.length == 1 && segs.head.getString(1) == "SUCCESS")
+
+    // star join across the ingested tables
+    val joined = spark.sql(
+      """SELECT n.n_name, count(*) AS cnt
+         FROM fd_orders o JOIN fd_customer c ON o.o_custkey = c.c_custkey
+                          JOIN fd_nation n ON c.c_nationkey = n.n_nationkey
+         GROUP BY n.n_name""").collect()
+    assert(joined.nonEmpty && joined.map(_.getLong(1)).sum == expected)
+
+    // a second delivery appends (no DIMENSION clause: fact only)
+    spark.sql(s"LOAD GRAFT DATA FACT FROM '$sf/orders.parquet' INTO TABLE fd_orders")
+    assert(spark.sql("SELECT count(*) FROM fd_orders").head().getLong(0) == 2 * expected)
+
+    // CSV dimension: schema inferred from the header on first load
+    val csvDir = java.nio.file.Files.createTempDirectory("fd_csv")
+    val csv = csvDir.resolve("dim.csv")
+    java.nio.file.Files.write(csv,
+      "k,name\n1,alpha\n2,beta\n".getBytes("UTF-8"))
+    spark.sql(
+      s"""LOAD GRAFT DATA FACT FROM '$sf/orders.parquet'
+          DIMENSION FROM fd_csvdim:'$csv'
+          INTO TABLE fd_orders""")
+    val dim = spark.sql("SELECT * FROM fd_csvdim ORDER BY k").collect()
+    assert(dim.map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "alpha"), (2, "beta")))
+
+    Seq("fd_orders", "fd_customer", "fd_nation", "fd_csvdim")
+      .foreach(t => spark.sql(s"DROP GRAFT TABLE $t"))
+  }
+
+  test("g13 star ingest matches the plain-parquet star join") {
+    val sf = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("g13_fact_dim_load")(spark, sf)
+      .orderBy("n_name").collect()
+    import org.apache.spark.sql.functions._
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val c = spark.read.parquet(s"$sf/customer.parquet")
+    val n = spark.read.parquet(s"$sf/nation.parquet")
+    val want = o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("cnt"), graft.Tables.dsum(col("o_totalprice")).as("total"))
+      .orderBy("n_name").collect()
+    assert(got.toSeq == want.toSeq)
+  }
 }
