@@ -23,7 +23,10 @@ object Dedup {
     * is one small file (local corpora collapse to 1 partition); no-op
     * when the source is already parallel enough — at warehouse scale
     * the scan arrives with thousands of partitions and this never
-    * shuffles.
+    * shuffles. `df.rdd` forces physical PLANNING (not execution) to
+    * learn the partition count — a once-per-query driver cost the
+    * session pays at execution anyway, accepted in preference to
+    * guessing from logical-plan statistics.
     */
   private def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
@@ -253,6 +256,37 @@ object Dedup {
     throw new IllegalStateException(
       "ingestNovel: catalog moved on every attempt — persistent contention " +
         "or an out-of-band writer racing the ingest owner")
+  }
+
+  /** Duplicated n-gram span inventory — the exact-substring dedup
+    * signal (after Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better": duplicated ≥n-token spans, found there
+    * with a suffix array, surface here as n-gram fingerprints shared
+    * across documents). Every window of `n` consecutive tokens is
+    * rolling-hash fingerprinted ([[TextFunctions.gramFingerprints]]);
+    * a span is "duplicated" when its fingerprint occurs in ≥2 distinct
+    * documents. Returns (doc_id, dup_spans, dup_grams): total
+    * duplicated-span occurrences and distinct duplicated fingerprints
+    * per affected document.
+    *
+    * Scale shape: the gram table is token-count-sized but only
+    * (doc_id, int64) wide; the inventory aggregate and the back-join
+    * are both keyed on the fingerprint — one shuffle each, no
+    * all-pairs stage, and AQE broadcasts the duplicated-gram set when
+    * it is small. At 100 TB this is the canonical two-pass substring-
+    * dedup scan (inventory pass + annotate pass).
+    */
+  def dupSpanInventory(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int): DataFrame = {
+    val grams = spread(docs).select(col(idCol).as("doc_id"),
+      explode(graft.functions.TextFunctions.gramFingerprints(
+        tokens(col(textCol)), n)).as("g"))
+    val dup = grams.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+    grams.join(dup.select("g"), "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dup_spans"), countDistinct(col("g")).as("dup_grams"))
   }
 
   /** Exact word-shingle Jaccard for pairs sharing a blocking key.

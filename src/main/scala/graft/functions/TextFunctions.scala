@@ -133,6 +133,24 @@ object TextFunctions {
   def tokenHashes(words: Column): Column =
     transform(words, w => conv(substring(md5(w), 1, 8), 16, 10).cast("long"))
 
+  /** Per-position n-gram rolling fingerprints: one Karp-Rabin fold
+    * (same base/modulus as [[rollingFingerprint]]) per window of `n`
+    * consecutive tokens — the duplicated-span signal for exact-
+    * substring dedup. Documents shorter than `n` tokens yield an empty
+    * array. Built from builtin higher-order functions only
+    * (transform/sequence/slice/aggregate), so the whole gram expansion
+    * stays inside whole-stage codegen; intermediate values stay < 2^36
+    * because token hashes are pre-reduced mod p.
+    */
+  def gramFingerprints(words: Column, n: Int): Column = {
+    val hmod = transform(tokenHashes(words), h => h % FpMod)
+    when(size(hmod) >= n,
+      transform(sequence(lit(0), size(hmod) - n),
+        i => aggregate(slice(hmod, i + 1, lit(n)), lit(0L),
+          (acc, h) => (acc * FpBase + h) % FpMod)))
+      .otherwise(typedLit(Array.empty[Long]))
+  }
+
   private val pow2: Column =
     typedLit((0 until 32).map(j => 1L << j))
 

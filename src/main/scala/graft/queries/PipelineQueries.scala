@@ -350,6 +350,12 @@ object PipelineQueries {
       Dedup.nearDupClusters(pairs)
     }),
 
+    // dedup: duplicated 8-token-span inventory (exact-substring dedup
+    // signal) — per-document counts of spans shared with other docs
+    "d06_dup_ngrams" -> ((s, d) => {
+      Dedup.dupSpanInventory(Tables.documents(s, d), "doc_id", "text", 8)
+    }),
+
     // similarity: brute-force exact top-3 cosine neighbors of 5 queries
     "s01_ann_brute" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -868,6 +874,24 @@ object PipelineQueries {
             SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
           SELECT src AS doc_id, LEAST(src, MIN(dst)) AS rep
           FROM reach GROUP BY src""",
+
+    // same Karp-Rabin fold as t06 applied per 8-token window; a span
+    // is duplicated when its fingerprint occurs in >=2 distinct docs
+    "d06_dup_ngrams" ->
+      s"""WITH t AS (SELECT doc_id, $W AS words FROM documents),
+          h AS (SELECT doc_id,
+            list_transform(words, w ->
+              CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % 1000000007) AS hs
+          FROM t),
+          grams AS (
+            SELECT doc_id, unnest(list_transform(range(1, len(hs) - 6), i ->
+              list_reduce(hs[i:i+7], (a, b) -> (a * 31 + b) % 1000000007))) AS g
+            FROM h WHERE len(hs) >= 8),
+          dup AS (SELECT g FROM grams GROUP BY g
+                  HAVING COUNT(DISTINCT doc_id) >= 2)
+          SELECT doc_id, COUNT(*) AS dup_spans, COUNT(DISTINCT g) AS dup_grams
+          FROM grams JOIN dup USING (g)
+          GROUP BY doc_id""",
 
     "s01_ann_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv

@@ -101,8 +101,83 @@ object StreamingQueries {
       landed
         .groupBy(substring(col("fp"), 1, 1).as("bucket"))
         .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
+    }),
+
+    // streaming near-dup-aware ingest: the corpus arrives as TWO
+    // deterministic micro-batches (even doc_ids, then odd) and every
+    // batch lands through Dedup.ingestNovel — batch 1 is all-novel,
+    // batch 2 drops odds sharing a MinHash band with any even. The
+    // gated read is over the TABLE, so the band-index consistency,
+    // novelty anti-joins, and per-batch dual commits must reconstruct
+    // exactly g12's state from a stream instead of one API delivery
+    "st06_stream_neardup_ingest" -> ((s, d) => {
+      val t = nearIngested.getOrElseUpdate(s"$d|${s.sparkContext.applicationId}", {
+        val docs = Tables.documents(s, d)
+        val root = s"/tmp/graft_tables/${d.replace('/', '_')}/documents_stream_near"
+        val tbl =
+          if (graft.table.SegmentedTable.exists(root)) {
+            val x = graft.table.SegmentedTable.open(s, root)
+            x.deleteSegments(x.showSegments().map(_.id)); x.cleanFiles(); x
+          } else graft.table.SegmentedTable.create(s, root, docs.schema,
+            Map("sort_columns" -> "doc_id"))
+        val src = stageTwoBatchSource(s, d, docs)
+        val stream = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(src)
+        EventStreams.streamIntoTableNovel(stream, tbl, "doc_id", "text")
+          .awaitTermination()
+        tbl
+      })
+      t.read()
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
     })
   )
+
+  /** Stage the documents corpus as two single-file parquet batches
+    * (even doc_ids then odd) with strictly increasing mtimes, so the
+    * file stream source delivers them as two ordered micro-batches.
+    */
+  private def stageTwoBatchSource(s: SparkSession, d: String,
+      docs: DataFrame): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val srcDir = Paths.get(
+      s"/tmp/graft_stream_src/${d.replace('/', '_')}/neardup")
+    if (Files.exists(srcDir)) {
+      val walk = Files.walk(srcDir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+      finally walk.close()
+    }
+    Files.createDirectories(srcDir)
+    def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = srcDir.resolve(s".tmp_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = {
+        val listing = Files.list(tmp)
+        try listing.filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        finally listing.close()
+      }
+      val dest = srcDir.resolve(name)
+      Files.move(part, dest, StandardCopyOption.ATOMIC_MOVE)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+      val walk = Files.walk(tmp)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+      finally walk.close()
+    }
+    val t0 = System.currentTimeMillis() - 120000L
+    stage(docs.filter(col("doc_id") % 2 === 0), "a_even.parquet", t0)
+    stage(docs.filter(col("doc_id") % 2 === 1), "b_odd.parquet", t0 + 60000L)
+    srcDir.toString
+  }
+
+  /** Near-dup stream-ingested table cache, one per (dataset, session). */
+  private val nearIngested =
+    scala.collection.concurrent.TrieMap[String, graft.table.SegmentedTable]()
 
   /** Ingested-table cache: stream-load once per (dataset, session). */
   private val ingested =
@@ -165,6 +240,29 @@ object StreamingQueries {
                     FROM documents GROUP BY 1)
          SELECT substr(fp, 1, 1) AS bucket, COUNT(*) AS docs,
                 CAST(SUM(nc) AS BIGINT) AS chars
-         FROM u GROUP BY 1"""
+         FROM u GROUP BY 1""",
+
+    // identical reconstruction to g12's oracle: evens all land (batch
+    // 1 is all-novel), odds land unless they share a MinHash band with
+    // any even — the streaming delivery must not change the outcome
+    "st06_stream_neardup_ingest" ->
+      s"""WITH t AS (SELECT doc_id, ${PipelineQueries.W} AS words FROM documents),
+          sh AS (SELECT doc_id, ${PipelineQueries.SH} AS s FROM t),
+          sig AS (SELECT doc_id,
+            ${(0 until 4).map(b => s"${PipelineQueries.band(b, 4)} AS band$b").mkString(", ")}
+          FROM sh WHERE len(s) > 0),
+          ev AS (SELECT * FROM sig WHERE doc_id % 2 = 0),
+          od AS (SELECT * FROM sig WHERE doc_id % 2 = 1),
+          hits AS (SELECT DISTINCT od.doc_id FROM od JOIN ev
+            ON od.band0 = ev.band0 OR od.band1 = ev.band1
+            OR od.band2 = ev.band2 OR od.band3 = ev.band3),
+          final AS (
+            SELECT doc_id FROM documents WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT doc_id FROM documents WHERE doc_id % 2 = 1
+              AND doc_id NOT IN (SELECT doc_id FROM hits))
+          SELECT lang, COUNT(*) AS cnt,
+            CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+          FROM final JOIN documents USING (doc_id) GROUP BY lang"""
   )
 }

@@ -133,6 +133,27 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Near-dup-aware streaming ingest: every micro-batch is delivered
+    * through [[graft.dedup.Dedup.ingestNovel]], so re-delivered ids
+    * and MinHash-band near-duplicates of already-ingested documents
+    * drop before the segment commit — the steady-state training-corpus
+    * ingest shape (index-backed novelty check + optimistic dual commit
+    * per batch; the band index makes each batch O(index + batch), no
+    * corpus rescans).
+    */
+  def streamIntoTableNovel(stream: DataFrame, table: graft.table.SegmentedTable,
+      idCol: String, textCol: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.dedup.Dedup.ingestNovel(table, batch, idCol, textCol)
+          ()
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   case class UserEvent(user_id: Long, ts_ns: Long, value: Double)
   case class UserState(n: Long, sum: Double)
   case class Anomaly(user_id: Long, ts_ns: Long, value: Double, mean_before: Double)

@@ -239,4 +239,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.groupBy(_.getLong(0)).values.forall(g =>
       g.map(_.getInt(1)).sorted.sameElements(1 to g.length)))
   }
+
+  test("dupSpanInventory flags shared 8-token spans only") {
+    val span = "one two three four five six seven eight"
+    val corpus = Seq(
+      (1L, s"prefix $span middle"),             // shares the span with 2
+      (2L, s"$span completely different tail"), // shares the span with 1
+      (3L, "no overlap with anything here at all nine ten eleven"),
+      (4L, "short doc")                         // < 8 tokens: no grams
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupSpanInventory(corpus, "doc_id", "text", 8)
+      .orderBy("doc_id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // both docs contain exactly one duplicated 8-gram (the planted span)
+    assert(got.forall(r => r.getLong(1) == 1L && r.getLong(2) == 1L))
+
+    // gramFingerprints: L tokens -> L-7 windows, empty when L < 8
+    val n = Seq(span + " nine", span, "a b c").toDF("text")
+      .select(size(TextFunctions.gramFingerprints(
+        TextFunctions.tokens(col("text")), 8)).as("n"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(n == Seq(2, 1, 0))
+  }
 }
