@@ -114,6 +114,16 @@ object Baseline {
         .agg(count(lit(1)).as("cnt"), Tables.dsum(col("o_totalprice")).as("total"))
     }),
 
+    "g13_fact_dim_load" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val c = broadcast(Tables.customer(s, d))
+      val n = broadcast(Tables.nation(s, d))
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("cnt"), Tables.dsum(col("o_totalprice")).as("total"))
+    }),
+
     "q34_bitmap_distinct" -> ((s, d) => {
       Tables.lineitem(s, d)
         .groupBy(col("l_linestatus"))

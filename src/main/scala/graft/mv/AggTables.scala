@@ -18,10 +18,16 @@ import org.json4s.jackson.Serialization
   * `measures` maps (func, baseColumn) → MV column name, where func ∈
   * sum | min | max and the implicit row count lives in `countCol`.
   */
+/** `coveredFiles` records the base data-file listing entries
+  * (name:length:mtime) the rollup aggregates — the incremental-refresh
+  * watermark. Old catalogs without the field deserialize to Nil, which
+  * simply forces the first refresh to be a full rebuild.
+  */
 case class AggTableMeta(name: String, basePath: String, mvPath: String,
                         groupCols: List[String],
                         measures: List[MeasureMeta], countCol: String,
-                        fingerprint: String = "")
+                        fingerprint: String = "",
+                        coveredFiles: List[String] = Nil)
 /** cntCol: for sum measures, the MV column holding COUNT(baseCol)
   * (non-null count — required for exact AVG rewrites); empty otherwise.
   */
@@ -61,36 +67,111 @@ object AggTables {
       case ("sum", c) => MeasureMeta("sum", c, s"sum_$c", s"cnt_$c")
       case (f, c) => MeasureMeta(f, c, s"${f}_$c")
     }
+    // listing (and its digest) taken BEFORE the build scan: if a
+    // concurrent writer lands mid-build the stored print won't match
+    // the new data and the rewrite stays disabled (fail-safe) rather
+    // than serving a rollup that mixes the two states
+    val entries = listEntries(spark, basePath)
+    rollup(spark.read.parquet(basePath), groupCols, ms)
+      .write.mode("overwrite").parquet(mvPath)
+    val meta = AggTableMeta(name, normalize(basePath), mvPath, groupCols.toList,
+      ms, "cnt_rows", digest(entries), entries.toList)
+    Files.writeString(Paths.get(dir, s"$name.json"), Serialization.write(meta))
+    meta
+  }
+
+  /** The partial rollup of one input slice: per-dim sums, non-null
+    * counts (for AVG), mins, maxs, and the row count.
+    */
+  private def rollup(df: DataFrame, groupCols: Seq[String],
+                     ms: Seq[MeasureMeta]): DataFrame = {
     val aggs = ms.flatMap {
       case MeasureMeta("sum", c, a, cc) => Seq(sum(col(c)).as(a), count(col(c)).as(cc))
       case MeasureMeta("min", c, a, _) => Seq(min(col(c)).as(a))
       case MeasureMeta("max", c, a, _) => Seq(max(col(c)).as(a))
       case MeasureMeta(f, _, _, _) => throw new IllegalArgumentException(s"func $f")
     } :+ count(lit(1)).as("cnt_rows")
-    // fingerprint BEFORE the build scan: if a concurrent writer lands
-    // mid-build the stored print won't match the new data and the
-    // rewrite stays disabled (fail-safe) rather than serving a rollup
-    // that mixes the two states
-    val fp = fingerprint(spark, basePath)
-    spark.read.parquet(basePath)
-      .groupBy(groupCols.map(col): _*)
-      .agg(aggs.head, aggs.tail: _*)
-      .write.mode("overwrite").parquet(mvPath)
-    val meta = AggTableMeta(name, normalize(basePath), mvPath, groupCols.toList,
-      ms, "cnt_rows", fp)
-    Files.writeString(Paths.get(dir, s"$name.json"), Serialization.write(meta))
-    meta
+    df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Rebuild a registered MV from the current base data and re-stamp
-    * its fingerprint, re-enabling the rewrite after base appends.
+  /** Refresh a registered MV — INCREMENTALLY when possible. Every MV
+    * measure is re-aggregable (SUM of SUMs, SUM of COUNTs, MIN of
+    * MINs, MAX of MAXs), so when the base has only gained files since
+    * the last build, the new rollup = re-merge(old rollup ∪ rollup of
+    * the delta files): O(delta + |MV|) instead of a full base scan —
+    * the difference between a daily refresh reading one day and one
+    * reading 100 TB. Any covered file that disappeared or changed
+    * (compaction, overwrite, DML rewrite) falls back to a full
+    * rebuild; a no-op delta just re-stamps the fingerprint.
     */
-  def refresh(spark: SparkSession, name: String): AggTableMeta = {
+  def refresh(spark: SparkSession, name: String): AggTableMeta =
+    refreshDetailed(spark, name)._1
+
+  /** refresh() plus the path taken: "incremental" | "full" | "noop" —
+    * exposed so callers (and specs) can assert the scale behavior.
+    */
+  def refreshDetailed(spark: SparkSession, name: String): (AggTableMeta, String) = {
     val meta = registered(spark).find(_.name == name)
       .getOrElse(throw new IllegalArgumentException(s"no MV named $name"))
-    create(spark, meta.name, meta.basePath, meta.groupCols,
-      meta.measures.map(m => (m.func, m.baseCol)))
+    val current = listEntries(spark, meta.basePath)
+    val covered = meta.coveredFiles.toSet
+    val fullRebuild = covered.isEmpty || !covered.subsetOf(current.toSet)
+    if (fullRebuild)
+      (create(spark, meta.name, meta.basePath, meta.groupCols,
+        meta.measures.map(m => (m.func, m.baseCol))), "full")
+    else {
+      val delta = current.filterNot(covered.contains)
+      val dir = catalogDir(spark)
+      if (delta.isEmpty) {
+        val stamped = meta.copy(fingerprint = digest(current),
+          coveredFiles = current.toList)
+        Files.writeString(Paths.get(dir, s"$name.json"),
+          Serialization.write(stamped))
+        (stamped, "noop")
+      } else {
+        // entry = "name:length:mtime" → read just those files
+        val deltaPaths = delta.map(e =>
+          s"${meta.basePath}/${e.split(':').head}")
+        val old = spark.read.parquet(meta.mvPath)
+        val deltaAgg = rollup(spark.read.parquet(deltaPaths: _*),
+          meta.groupCols, meta.measures)
+        val mergeAggs = meta.measures.flatMap {
+          case MeasureMeta("sum", _, a, cc) =>
+            Seq(sum(col(a)).as(a), sum(col(cc)).as(cc))
+          case MeasureMeta("min", _, a, _) => Seq(min(col(a)).as(a))
+          case MeasureMeta("max", _, a, _) => Seq(max(col(a)).as(a))
+          case MeasureMeta(f, _, _, _) =>
+            throw new IllegalArgumentException(s"func $f")
+        } :+ sum(col(meta.countCol)).as(meta.countCol)
+        val remerged = old.unionByName(deltaAgg)
+          .groupBy(meta.groupCols.map(col): _*)
+          .agg(mergeAggs.head, mergeAggs.tail: _*)
+          // re-summing can widen types (sum(long) stays long but
+          // sum(decimal) gains precision): pin the merged schema to
+          // the existing MV's column types so rewrite plans never
+          // see a schema drift across refreshes
+          .select(old.schema.fields.map(f =>
+            col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+        val tmp = s"${meta.mvPath}.refresh_tmp"
+        remerged.write.mode("overwrite").parquet(tmp)
+        deleteRecursively(Paths.get(meta.mvPath))
+        Files.move(Paths.get(tmp), Paths.get(meta.mvPath))
+        val stamped = meta.copy(fingerprint = digest(current),
+          coveredFiles = current.toList)
+        Files.writeString(Paths.get(dir, s"$name.json"),
+          Serialization.write(stamped))
+        (stamped, "incremental")
+      }
+    }
   }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
+    }
 
   /** Deregister an MV and delete its rollup data. */
   def drop(spark: SparkSession, name: String): Unit = {
@@ -125,19 +206,29 @@ object AggTables {
     * directory listing — same cost class as Spark's own file-index
     * refresh, independent of data volume.
     */
-  def fingerprint(spark: SparkSession, basePath: String): String = {
+  def fingerprint(spark: SparkSession, basePath: String): String =
+    digest(listEntries(spark, basePath))
+
+  /** Data-file listing as sorted "name:length:mtime" entries — the
+    * unit the incremental refresh diffs against `coveredFiles`.
+    */
+  private def listEntries(spark: SparkSession, basePath: String): Seq[String] = {
     import org.apache.hadoop.fs.Path
     val p = new Path(normalize(basePath))
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) return "missing"
-    val entries = fs.listStatus(p).filter { st =>
+    if (!fs.exists(p)) return Nil
+    fs.listStatus(p).filter { st =>
       val n = st.getPath.getName
       st.isFile && !n.startsWith("_") && !n.startsWith(".")
     }.map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
-      .sorted.mkString("\n")
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(entries.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .sorted.toSeq
   }
+
+  private def digest(entries: Seq[String]): String =
+    if (entries.isEmpty) "missing"
+    else java.security.MessageDigest.getInstance("MD5")
+      .digest(entries.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
 
   private def normalize(p: String): String =
     p.stripPrefix("file:").stripSuffix("/")

@@ -114,6 +114,58 @@ class AggTableSpec extends AnyFunSuite {
     assert(scannedPaths(qn()).exists(_.contains("nation.parquet")))
   }
 
+  test("refresh is incremental on append, noop when clean, full on rewrite") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mvincr")
+    val basePath = dir.resolve("orders.parquet").toString
+    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    o.filter(col("o_orderkey") % 2 === 0).write.parquet(basePath)
+    AggTables.create(spark, "ord_incr", basePath,
+      Seq("o_orderstatus"), Seq("sum" -> "o_totalprice", "max" -> "o_totalprice"))
+
+    // no base change → refresh is a metadata stamp, no rollup job
+    assert(AggTables.refreshDetailed(spark, "ord_incr")._2 == "noop")
+
+    // append → incremental merge; result equals a from-scratch rollup
+    o.filter(col("o_orderkey") % 2 === 1).write.mode("append").parquet(basePath)
+    val (_, how) = AggTables.refreshDetailed(spark, "ord_incr")
+    assert(how == "incremental")
+    val mv = spark.read.parquet(AggTables.registered(spark)
+      .find(_.name == "ord_incr").get.mvPath)
+    val want = o.groupBy(col("o_orderstatus"))
+      .agg(sum(col("o_totalprice")).as("sum_o_totalprice"),
+        count(col("o_totalprice")).as("cnt_o_totalprice"),
+        max(col("o_totalprice")).as("max_o_totalprice"),
+        count(lit(1)).as("cnt_rows"))
+    val got = mv.orderBy("o_orderstatus").collect()
+    val exp = want.orderBy("o_orderstatus").collect()
+    assert(got.length == exp.length)
+    // double sums re-aggregate in a different order than a full scan —
+    // equal to the last ulp is the correct expectation, not bit-equal
+    got.zip(exp).foreach { case (g, e) =>
+      assert(g.getString(0) == e.getString(0))
+      assert(math.abs(g.getDouble(1) - e.getDouble(1)) <=
+        math.ulp(e.getDouble(1)) * 8)
+      assert(g.getLong(2) == e.getLong(2))     // cnt_o_totalprice
+      assert(g.getDouble(3) == e.getDouble(3)) // max: order-insensitive
+      assert(g.getLong(4) == e.getLong(4))     // cnt_rows
+    }
+    // column names and types must not drift across refreshes (rewrite
+    // plans bind to them; parquet makes everything nullable on disk)
+    assert(mv.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      want.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+
+    // and the rewrite fires again after the incremental refresh
+    def qo() = spark.read.parquet(basePath)
+      .groupBy(col("o_orderstatus")).agg(sum(col("o_totalprice")).as("s"))
+    assert(scannedPaths(qo()).exists(_.contains("ord_incr")))
+
+    // a covered file REWRITTEN in place (overwrite shrinks the set) →
+    // the listing diff detects it and falls back to a full rebuild
+    o.limit(100).write.mode("overwrite").parquet(basePath)
+    assert(AggTables.refreshDetailed(spark, "ord_incr")._2 == "full")
+    AggTables.drop(spark, "ord_incr")
+  }
+
   test("multi-path scan is never rewritten to a single-base MV") {
     val other = java.nio.file.Files
       .createTempDirectory("graft_mvmp").resolve("extra.parquet").toString
