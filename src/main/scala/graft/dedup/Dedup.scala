@@ -225,21 +225,39 @@ object Dedup {
           .join(knownBands, Seq("band_idx", "band_key"), "left_semi")
           .select(col("id").as(idCol)).distinct()
         val fresh = newRows.join(hitIds, Seq(idCol), "left_anti")
-        if (fresh.isEmpty) return None
+        // stage FIRST: the staged write is the one evaluation of the
+        // novelty joins, and its row count answers "anything novel?"
+        // for free (a separate isEmpty probe would run the whole
+        // pipeline a second time)
         val stagedDocs = table.stage(fresh)
+        if (stagedDocs.rows == 0) { table.discardStaged(stagedDocs); return None }
         // index rows derive from the staged parquet, not the `fresh`
-        // plan: one evaluation of the novelty joins, and the index is
-        // byte-consistent with what the docs segment actually holds
+        // plan, so the index is byte-consistent with what the docs
+        // segment actually holds
         val stagedDf = spark.read.schema(table.schema)
           .parquet(stagedDocs.tmp.toString)
         val stagedBands =
           index.stage(indexRows(stagedDf, idCol, textCol, k, rowsPerBand))
         val committed = index.withMetaLock {
-          if (index.currentVersion == idxV && table.currentVersion == mainV) {
-            val segId = table.commitStagedNow(stagedDocs)
-            index.commitStagedHoldingLock(stagedBands)
-            writeMarker(table, table.currentVersion)
-            Some(segId)
+          if (index.currentVersion == idxV) {
+            // the main-version re-check and the docs commit are ONE
+            // atomic step under the main lock (lock order index→main):
+            // a foreign load racing this window makes the commit
+            // return None instead of slipping a segment between an
+            // unlocked check and the commit. Success bumps the main
+            // catalog to exactly mainV + 1, and stamping that exact
+            // version (not a re-read of currentVersion, which a
+            // foreign commit may already have advanced) guarantees
+            // any concurrent out-of-band segment leaves the marker
+            // mismatched → conservative rebuild, never a silently
+            // index-uncovered segment
+            table.commitStagedIfVersion(stagedDocs, mainV) match {
+              case Some(segId) =>
+                index.commitStagedHoldingLock(stagedBands)
+                writeMarker(table, mainV + 1)
+                Some(segId)
+              case None => None
+            }
           } else None
         }
         committed match {

@@ -104,7 +104,13 @@ object Multimodal {
           Option(javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(bytes)))
             .map(img => (img.getWidth, img.getHeight))
-        } catch { case _: java.io.IOException => None }
+        } catch {
+          // a corrupt body can throw far more than IOException from
+          // inside the codec (NegativeArraySize from a crafted IHDR,
+          // IllegalArgument from the raster) — any decode failure
+          // quarantines to the fallback, it must not kill the batch
+          case scala.util.control.NonFatal(_) => None
+        }
       val (w, h) = decoded.getOrElse(
         (64 + ((b(0) & 0xff) % 192), 64 + ((b(1) & 0xff) % 192)))
       MediaFeatures(id, bytes.length, w, h, emb)

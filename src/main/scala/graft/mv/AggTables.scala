@@ -67,12 +67,18 @@ object AggTables {
       case ("sum", c) => MeasureMeta("sum", c, s"sum_$c", s"cnt_$c")
       case (f, c) => MeasureMeta(f, c, s"${f}_$c")
     }
-    // listing (and its digest) taken BEFORE the build scan: if a
-    // concurrent writer lands mid-build the stored print won't match
-    // the new data and the rewrite stays disabled (fail-safe) rather
-    // than serving a rollup that mixes the two states
-    val entries = listEntries(spark, basePath)
-    rollup(spark.read.parquet(basePath), groupCols, ms)
+    // listing taken BEFORE the build, and the build scans EXACTLY the
+    // listed files (not the directory): a concurrent writer landing
+    // mid-build is then neither aggregated nor covered — the stored
+    // print won't match the new listing, so the rewrite stays disabled
+    // (fail-safe), and a later incremental refresh re-merges the new
+    // file exactly once. Scanning the directory instead would bake the
+    // late file into the rollup while leaving it out of coveredFiles —
+    // the next incremental refresh would double-count it.
+    val statuses = listFiles(spark, basePath)
+    val entries = statuses.map(entryOf).sorted
+    val coveredPaths = statuses.map(_.getPath.toString)
+    rollup(spark.read.parquet(coveredPaths: _*), groupCols, ms)
       .write.mode("overwrite").parquet(mvPath)
     val meta = AggTableMeta(name, normalize(basePath), mvPath, groupCols.toList,
       ms, "cnt_rows", digest(entries), entries.toList)
@@ -113,9 +119,14 @@ object AggTables {
   def refreshDetailed(spark: SparkSession, name: String): (AggTableMeta, String) = {
     val meta = registered(spark).find(_.name == name)
       .getOrElse(throw new IllegalArgumentException(s"no MV named $name"))
-    val current = listEntries(spark, meta.basePath)
+    val currentStatuses = listFiles(spark, meta.basePath)
+    val current = currentStatuses.map(entryOf).sorted
     val covered = meta.coveredFiles.toSet
-    val fullRebuild = covered.isEmpty || !covered.subsetOf(current.toSet)
+    // a missing rollup (e.g. a crash inside a previous refresh's swap
+    // window) must self-heal with a full rebuild, never an
+    // incremental merge against nothing
+    val fullRebuild = covered.isEmpty || !covered.subsetOf(current.toSet) ||
+      !Files.exists(Paths.get(meta.mvPath))
     if (fullRebuild)
       (create(spark, meta.name, meta.basePath, meta.groupCols,
         meta.measures.map(m => (m.func, m.baseCol))), "full")
@@ -129,9 +140,9 @@ object AggTables {
           Serialization.write(stamped))
         (stamped, "noop")
       } else {
-        // entry = "name:length:mtime" → read just those files
-        val deltaPaths = delta.map(e =>
-          s"${meta.basePath}/${e.split(':').head}")
+        val deltaPaths = currentStatuses
+          .filterNot(st => covered.contains(entryOf(st)))
+          .map(_.getPath.toString)
         val old = spark.read.parquet(meta.mvPath)
         val deltaAgg = rollup(spark.read.parquet(deltaPaths: _*),
           meta.groupCols, meta.measures)
@@ -209,10 +220,11 @@ object AggTables {
   def fingerprint(spark: SparkSession, basePath: String): String =
     digest(listEntries(spark, basePath))
 
-  /** Data-file listing as sorted "name:length:mtime" entries — the
-    * unit the incremental refresh diffs against `coveredFiles`.
+  /** The base's data files — a single-file base (a bare .parquet
+    * path) lists as itself, a directory base as its non-hidden files.
     */
-  private def listEntries(spark: SparkSession, basePath: String): Seq[String] = {
+  private def listFiles(spark: SparkSession,
+      basePath: String): Seq[org.apache.hadoop.fs.FileStatus] = {
     import org.apache.hadoop.fs.Path
     val p = new Path(normalize(basePath))
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -220,9 +232,18 @@ object AggTables {
     fs.listStatus(p).filter { st =>
       val n = st.getPath.getName
       st.isFile && !n.startsWith("_") && !n.startsWith(".")
-    }.map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
-      .sorted.toSeq
+    }.toSeq
   }
+
+  /** Listing entry = "name:length:mtime" — the unit the incremental
+    * refresh diffs against `coveredFiles` (names cannot contain ':').
+    */
+  private def entryOf(st: org.apache.hadoop.fs.FileStatus): String =
+    s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}"
+
+  /** Data-file listing as sorted entries (see [[entryOf]]). */
+  private def listEntries(spark: SparkSession, basePath: String): Seq[String] =
+    listFiles(spark, basePath).map(entryOf).sorted
 
   private def digest(entries: Seq[String]): String =
     if (entries.isEmpty) "missing"
@@ -262,9 +283,13 @@ case class AggTableRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     if (mvs.isEmpty) return plan
     // one staleness probe per distinct base path per query plan
     val fresh = scala.collection.mutable.Map.empty[String, Boolean]
+    // the mvPath existence probe makes a refresh's swap window (or a
+    // crashed refresh) fail-soft: queries fall back to the base scan
+    // instead of planning against a missing rollup
     def isFresh(mv: AggTableMeta): Boolean =
       fresh.getOrElseUpdate(mv.basePath,
-        AggTables.fingerprint(spark, mv.basePath) == mv.fingerprint)
+        java.nio.file.Files.exists(java.nio.file.Paths.get(mv.mvPath)) &&
+          AggTables.fingerprint(spark, mv.basePath) == mv.fingerprint)
     plan.transformUp {
       case agg @ Aggregate(grouping, aggExprs, child, _) =>
         baseScanPath(child).flatMap { path =>

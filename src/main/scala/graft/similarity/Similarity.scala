@@ -46,10 +46,17 @@ object Similarity {
     * degrades to a shuffle join instead of OOMing the driver.
     */
   private val MaxBroadcastQueries = 100000
-  private def gated(q: DataFrame): DataFrame =
-    if (q.limit(MaxBroadcastQueries + 1).count() <= MaxBroadcastQueries)
-      broadcast(q)
-    else q
+
+  /** Broadcast-hint `derived` iff the RAW query frame is small. The
+    * count probe runs on `raw` — a limit-bounded scan of the caller's
+    * query set — not on the derived frame, whose construction
+    * (centroid assignment, probe explosion) would otherwise be
+    * evaluated once for the probe and again in the join.
+    */
+  private def gated(derived: DataFrame, raw: DataFrame): DataFrame =
+    if (raw.limit(MaxBroadcastQueries + 1).count() <= MaxBroadcastQueries)
+      broadcast(derived)
+    else derived
 
   /** Sequential double dot product of two float-array columns — a
     * native codegen'd expression (one tight loop, no intermediate
@@ -82,7 +89,7 @@ object Similarity {
     val c = spread(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    c.crossJoin(gated(q))
+    c.crossJoin(gated(q, queries))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w))
@@ -112,7 +119,7 @@ object Similarity {
       signBucket(col(vecCol), bits).as("probe")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    c.join(gated(q), Seq("probe"))
+    c.join(gated(q, queries), Seq("probe"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w))
@@ -225,7 +232,7 @@ object Similarity {
       "qv", centroids, nprobe)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    c.join(gated(q), Seq("cell"))
+    c.join(gated(q, queries), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w))
@@ -362,7 +369,7 @@ object Similarity {
       "cv", codebooks, m, dsub).select(col("neighbor_id"), col("codes"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     rankByAdc(
-      encoded.join(gated(q), col("neighbor_id") =!= col("query_id"))
+      encoded.join(gated(q, queries), col("neighbor_id") =!= col("query_id"))
         .withColumn("adc", adcExpr(codebooks, m, dsub)), k)
   }
 
@@ -418,7 +425,7 @@ object Similarity {
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
       "qv", centroids, nprobe)
     rankByAdc(
-      index.join(gated(q), Seq("cell"))
+      index.join(gated(q, queries), Seq("cell"))
         .filter(col("neighbor_id") =!= col("query_id"))
         .withColumn("adc", adcExpr(codebooks, m, dsub)), k)
   }
@@ -482,7 +489,7 @@ object Similarity {
       .withColumn("qv", residualExpr(col("qv0"), col("cell"), centroids))
       .select(col("query_id"), col("cell"), col("qv"))
     rankByAdc(
-      c.join(gated(q), Seq("cell"))
+      c.join(gated(q, queries), Seq("cell"))
         .filter(col("neighbor_id") =!= col("query_id"))
         .withColumn("adc", adcExpr(codebooks, m, dsub)), k)
   }

@@ -431,12 +431,15 @@ case class LoadGraftFactDimCommand(name: String, factPath: String,
       GraftLoadSupport.readInput(spark, factPath, fact.schema, options), options)
     fact.read().createOrReplaceTempView(name)
     dims.foreach { case (dimName, dimPath) =>
-      // dimension CSVs carry a header row by convention unless the
+      // dedup_keys is a fact-table option: forwarding it would make the
+      // dimension load anti-join on a column dimensions don't have.
+      // Dimension CSVs carry a header row by convention unless the
       // caller says otherwise (FILEHEADER names headerless columns)
+      val base = options - "dedup_keys"
       val dimOptions =
-        if (dimPath.endsWith(".csv") && !options.contains("header") &&
-            !options.contains("fileheader")) options + ("header" -> "true")
-        else options
+        if (dimPath.endsWith(".csv") && !base.contains("header") &&
+            !base.contains("fileheader")) base + ("header" -> "true")
+        else base
       val p = GraftCatalog.tablePath(spark, dimName)
       val t =
         if (SegmentedTable.exists(p)) SegmentedTable.open(spark, p)

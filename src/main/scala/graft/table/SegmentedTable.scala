@@ -331,9 +331,6 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
       if (status.version == expected) Some(commitStagedLocked(s)) else None
     }
 
-  private[graft] def commitStagedNow(s: StagedSegment): Int =
-    withLock { commitStagedLocked(s) }
-
   /** Commit WITHOUT acquiring this table's lock — for callers already
     * inside [[withMetaLock]] (the metadata locks are non-reentrant).
     */

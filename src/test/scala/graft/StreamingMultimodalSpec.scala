@@ -96,6 +96,24 @@ class StreamingMultimodalSpec extends AnyFunSuite {
         col("height") =!= (lit(1) + (col("n_chars") * 7) % 64))
       .count()
     assert(mismatches == 0, "ImageIO must recover the generated dimensions")
+
+    // byte_len and the embedding depend on the PNG ENCODER's output,
+    // which no SQL oracle can replay — so gate them here instead:
+    // recompute both independently from the payload bytes and compare
+    // exactly (md5-derived embedding rule, real payload length)
+    val payloads = Multimodal.withPngPayload(docs, "doc_id", "text", "n_chars")
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val byId = Multimodal.decodeFeatures(
+      Multimodal.withPngPayload(docs, "doc_id", "text", "n_chars"))
+      .collect().map(m => m.id -> m).toMap
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    payloads.foreach { case (id, bytes) =>
+      val m = byId(id)
+      assert(m.byte_len == bytes.length, s"byte_len mismatch for $id")
+      val b = mdig.digest(bytes)
+      val wantEmb = Array.tabulate(8)(i => (b(i + 2) & 0xff) / 255.0f)
+      assert(m.embedding.sameElements(wantEmb), s"embedding rule drifted for $id")
+    }
   }
 
   test("frame sampling: n rows per payload, empty payload included") {
