@@ -307,6 +307,35 @@ object Dedup {
       .agg(count(lit(1)).as("dup_spans"), countDistinct(col("g")).as("dup_grams"))
   }
 
+  /** Semantic dedup over an embedding column (after SemDeDup, Abbas
+    * et al. 2023): vectors land in IVF coarse cells (nearest centroid
+    * by cosine), and a vector is a semantic duplicate when an
+    * earlier-id vector in the SAME cell has cosine ≥ `minCos`.
+    * Returns (dup_id, kept_id = the smallest such earlier id).
+    *
+    * Scale shape: the only shuffle is keyed by cell; pairs form
+    * within cells only (the SemDeDup approximation — the centroids
+    * partition the space, so near-identical points share a cell and
+    * cross-cell pairs are never materialized). Cell population is
+    * corpus/nlist on average; raise nlist to bound the within-cell
+    * quadratic term, and train centroids on a bounded sample
+    * ([[graft.similarity.Similarity.trainCentroids]]).
+    */
+  def semanticDupes(corpus: DataFrame, idCol: String, vecCol: String,
+                    centroids: Seq[(Int, Array[Float])],
+                    minCos: Double): DataFrame = {
+    import graft.similarity.Similarity
+    val c = Similarity.assignCells(
+      spread(corpus.select(col(idCol).as("id"), col(vecCol).as("v"))),
+      "v", centroids, 1)
+    val a = c.select(col("cell"), col("id").as("kept_id"), col("v").as("va"))
+    val b = c.select(col("cell"), col("id").as("dup_id"), col("v").as("vb"))
+    a.join(b, Seq("cell"))
+      .filter(col("kept_id") < col("dup_id"))
+      .filter(Similarity.cosine(col("va"), col("vb")) >= minCos)
+      .groupBy(col("dup_id")).agg(min(col("kept_id")).as("kept_id"))
+  }
+
   /** Exact word-shingle Jaccard for pairs sharing a blocking key.
     * Returns (id_a, id_b, jaccard) for pairs ≥ minJaccard. Blocking
     * keeps the join linear per block; at 100 TB use LSH candidates as

@@ -293,6 +293,24 @@ object PipelineQueries {
         .agg(count(lit(1)).as("docs"), sum(col("toks")).as("tokens"))
     }),
 
+    // pipeline: corpus-mixture reweighting — per-source token shares
+    // vs a uniform target mixture; the sampling weight is what a
+    // training loader multiplies each source's draw probability by.
+    // Corpus totals fold in-plan as a 1-row broadcast (the t07
+    // pattern): no driver-side pass, two shuffles total
+    "t16_mixture_weights" -> ((s, d) => {
+      val per = Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("docs"),
+          sum(TextFunctions.tokenCount(col("text")).cast("long")).as("tokens"))
+      val tot = per.agg(sum(col("tokens")).cast("double").as("__t"),
+        count(lit(1)).cast("double").as("__ns"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("weight",
+          round((lit(1.0) / col("__ns")) / (col("tokens") / col("__t")), 6))
+        .select(col("source"), col("docs"), col("tokens"), col("weight"))
+    }),
+
     // pipeline: eval-set contamination detection — test-split documents
     // that share a MinHash LSH band with any train-split document are
     // flagged as potentially contaminated (near-dup of training data).
@@ -354,6 +372,15 @@ object PipelineQueries {
     // signal) — per-document counts of spans shared with other docs
     "d06_dup_ngrams" -> ((s, d) => {
       Dedup.dupSpanInventory(Tables.documents(s, d), "doc_id", "text", 8)
+    }),
+
+    // dedup: SemDeDup — semantic duplicates within IVF cells (cosine
+    // vs an earlier-id vector in the same coarse cell); reuses the
+    // materialized s04 centroids so the oracle replays the cells
+    "d07_semantic_dedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Dedup.semanticDupes(emb, "vec_id", "embedding",
+        centroidsFor(s, d, emb), 0.4)
     }),
 
     // similarity: brute-force exact top-3 cosine neighbors of 5 queries
@@ -798,6 +825,18 @@ object PipelineQueries {
             CAST(SUM(toks) AS BIGINT) AS tokens
           FROM labeled GROUP BY 1, 2""",
 
+    // weight = target share (uniform across sources) / actual token
+    // share — same division tree as the Spark plan, rounded to 6
+    "t16_mixture_weights" ->
+      s"""WITH per AS (SELECT source, COUNT(*) AS docs,
+            CAST(SUM(len($W)) AS BIGINT) AS tokens
+          FROM documents GROUP BY source),
+          tot AS (SELECT CAST(SUM(tokens) AS DOUBLE) AS t,
+            CAST(COUNT(*) AS DOUBLE) AS ns FROM per)
+          SELECT source, docs, tokens,
+            ROUND((1.0 / ns) / (tokens / t), 6) AS weight
+          FROM per, tot""",
+
     "t14_seq_pack" ->
       s"""WITH d AS (SELECT doc_id, CAST(len($W) AS BIGINT) AS toks,
             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 8 AS shard
@@ -892,6 +931,31 @@ object PipelineQueries {
           SELECT doc_id, COUNT(*) AS dup_spans, COUNT(DISTINCT g) AS dup_grams
           FROM grams JOIN dup USING (g)
           GROUP BY doc_id""",
+
+    // cells replayed from the s04 centroid table (cosine-nearest,
+    // tie to the lower cell id — same rule as assignCells), then the
+    // SemDeDup predicate: an earlier-id same-cell vector with
+    // cosine >= 0.4
+    "d07_semantic_dedup" ->
+      s"""WITH cent AS (SELECT cell, centroid AS cv
+            FROM read_parquet('$IvfCentroidsPath/*.parquet')),
+          v AS (SELECT vec_id, embedding AS qv FROM embeddings),
+          scored AS (SELECT vec_id, cell,
+            $dotSql / ($normQ * $normC) AS cdot
+          FROM v CROSS JOIN cent),
+          ranked AS (SELECT vec_id, cell,
+            ROW_NUMBER() OVER (PARTITION BY vec_id
+              ORDER BY cdot DESC, cell ASC) AS crank
+          FROM scored),
+          asg AS (SELECT r.vec_id, r.cell, e.embedding
+            FROM ranked r JOIN embeddings e USING (vec_id)
+            WHERE crank = 1),
+          pairs AS (SELECT a.vec_id AS kept_id, b.vec_id AS dup_id,
+            a.embedding AS qv, b.embedding AS cv
+          FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+          SELECT dup_id, MIN(kept_id) AS kept_id FROM pairs
+          WHERE $dotSql / ($normQ * $normC) >= 0.4
+          GROUP BY dup_id""",
 
     "s01_ann_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
