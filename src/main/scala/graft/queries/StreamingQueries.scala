@@ -18,7 +18,10 @@ object StreamingQueries {
   val queries: Map[String, Q] = Map(
     "st01_stream_hourly" -> ((s, d) => {
       val agg = EventStreams.hourlyAgg(EventStreams.eventStream(s, d))
-      EventStreams.runToCompletion(s, agg)
+      // state cardinality = hours-in-corpus × event types (tiny), so a
+      // handful of state-store partitions is the right-sized setting —
+      // see runToCompletion's scaling note
+      EventStreams.runToCompletion(s, agg, statePartitions = 4)
     }),
 
     "st02_session_window" -> ((s, d) => {

@@ -26,9 +26,17 @@ object EventStreams {
     * epoch-nano longs (nanosAsLong) and converted to a proper
     * microsecond timestamp column `ts_utc`.
     */
+  /** Schema cache: the file-stream source requires a user-supplied
+    * schema, and re-inferring it from parquet footers on every stream
+    * construction is a repeated driver-side read of immutable metadata.
+    */
+  private val schemaCache =
+    scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.types.StructType]()
+
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val schema = schemaCache.getOrElseUpdate(s"$dir/events.parquet",
+      spark.read.parquet(s"$dir/events.parquet").schema)
     // testdata tables are single files, not directories: stream the
     // parent dir with a glob filter so the file source accepts it
     spark.readStream.schema(schema)
@@ -57,15 +65,42 @@ object EventStreams {
     * path itself is oracle-checked.
     */
   def runToCompletion(spark: SparkSession, agg: DataFrame,
-                      mode: String = "complete"): DataFrame = {
+                      mode: String = "complete",
+                      statePartitions: Int = 0): DataFrame = {
     val name = s"graft_stream_${runIds.incrementAndGet()}"
-    val q = agg.writeStream
-      .outputMode(mode)
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // Fixed micro-batch overhead trims (r6 VERDICT: st01):
+    //  - AvailableNow drains every file present at start in the data
+    //    batches themselves; the trailing NO-DATA batch exists only to
+    //    advance the watermark for late-arrival finalization, which a
+    //    run-to-completion drain never benefits from — skip it.
+    //  - Stateful-operator partition count (fixed at first run by
+    //    spark.sql.shuffle.partitions) should match STATE cardinality
+    //    (e.g. windows-in-flight × groups for a windowed agg), not
+    //    input size: scan-side parallelism is governed by file splits
+    //    and is unaffected, while every state-store partition pays a
+    //    per-batch open/commit. Callers whose state is small pass a
+    //    small statePartitions; 0 keeps the session setting.
+    val conf = spark.conf
+    val prevNoData = conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    val prevParts = conf.getOption("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    if (statePartitions > 0)
+      conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    try {
+      val q = agg.writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      prevNoData.fold(conf.unset("spark.sql.streaming.noDataMicroBatches.enabled"))(
+        conf.set("spark.sql.streaming.noDataMicroBatches.enabled", _))
+      if (statePartitions > 0)
+        prevParts.fold(conf.unset("spark.sql.shuffle.partitions"))(
+          conf.set("spark.sql.shuffle.partitions", _))
+    }
     spark.table(name)
   }
 
