@@ -288,21 +288,26 @@ object Dedup {
     * per affected document.
     *
     * Scale shape: the gram table is token-count-sized but only
-    * (doc_id, int64) wide; the inventory aggregate and the back-join
-    * are both keyed on the fingerprint — one shuffle each, no
-    * all-pairs stage, and AQE broadcasts the duplicated-gram set when
-    * it is small. At 100 TB this is the canonical two-pass substring-
-    * dedup scan (inventory pass + annotate pass).
+    * (doc_id, int64) wide, and the text column is TOKENIZED ONCE —
+    * "duplicated" (≥2 distinct docs) is decided by a window over the
+    * fingerprint (min(doc_id) ≠ max(doc_id) within the g-partition),
+    * not by an inventory aggregate joined back to a second gram pass.
+    * Two keyed shuffles total (by g for the window, by doc_id for the
+    * per-doc counts), no join, no all-pairs stage, and no per-gram
+    * row buffering beyond the window's spillable sort. At 100 TB the
+    * tokenize+fingerprint map stage is the dominant cost, so running
+    * it once instead of twice halves the scan bill.
     */
   def dupSpanInventory(docs: DataFrame, idCol: String, textCol: String,
                        n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val grams = spread(docs).select(col(idCol).as("doc_id"),
       explode(graft.functions.TextFunctions.gramFingerprints(
         tokens(col(textCol)), n)).as("g"))
-    val dup = grams.groupBy(col("g"))
-      .agg(countDistinct(col("doc_id")).as("ndocs"))
-      .filter(col("ndocs") >= 2)
-    grams.join(dup.select("g"), "g")
+    val w = Window.partitionBy(col("g"))
+    grams
+      .withColumn("__dup", min(col("doc_id")).over(w) =!= max(col("doc_id")).over(w))
+      .filter(col("__dup"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("dup_spans"), countDistinct(col("g")).as("dup_grams"))
   }
@@ -313,27 +318,65 @@ object Dedup {
     * earlier-id vector in the SAME cell has cosine ≥ `minCos`.
     * Returns (dup_id, kept_id = the smallest such earlier id).
     *
-    * Scale shape: the only shuffle is keyed by cell; pairs form
-    * within cells only (the SemDeDup approximation — the centroids
-    * partition the space, so near-identical points share a cell and
-    * cross-cell pairs are never materialized). Cell population is
-    * corpus/nlist on average; raise nlist to bound the within-cell
-    * quadratic term, and train centroids on a bounded sample
-    * ([[graft.similarity.Similarity.trainCentroids]]).
+    * Scale shape: the only shuffles are keyed by cell (the count pass)
+    * and by cell-block-pair (the pairing join); pairs form within
+    * cells only (the SemDeDup approximation — the centroids partition
+    * the space, so near-identical points share a cell and cross-cell
+    * pairs are never materialized). Cell population is corpus/nlist on
+    * average, but a skewed embedding space can concentrate mass in one
+    * cell, whose single join task would then do |cell|² cosine work —
+    * the hot-cell guard below bounds that straggler:
+    *
+    * Hot-cell skew guard: each cell with n > `maxCellSide` rows is
+    * split into S = ⌈n / maxCellSide⌉ blocks by an id hash, and the
+    * self-join runs per block PAIR — row u joins key (cell, b_u, j)
+    * for j ≥ b_u, row v joins key (cell, i, b_v) for i ≤ b_v, so an
+    * unordered pair meets at exactly the key (cell, min(b,b'),
+    * max(b,b')) (same-block pairs meet in both orientations; the
+    * closing aggregate absorbs the double hit). Total comparison count
+    * is unchanged — the within-cell quadratic term is inherent to the
+    * operator — but no task handles more than maxCellSide² of it, so
+    * the hot cell spreads over ~S²/2 tasks instead of one straggler.
+    * Cells at or under maxCellSide pay nothing: S = 1 reduces to the
+    * plain per-cell join on key (cell, 0, 0).
     */
   def semanticDupes(corpus: DataFrame, idCol: String, vecCol: String,
                     centroids: Seq[(Int, Array[Float])],
-                    minCos: Double): DataFrame = {
+                    minCos: Double, maxCellSide: Int = 4096): DataFrame = {
     import graft.similarity.Similarity
+    // persist the cell assignment: both join sides read it, and without
+    // the cache the centroid-scoring pipeline evaluates twice; the
+    // result is materialized eagerly (localCheckpoint) so the cache is
+    // released before returning (minhashCandidates' pattern)
     val c = Similarity.assignCells(
       spread(corpus.select(col(idCol).as("id"), col(vecCol).as("v"))),
       "v", centroids, 1)
-    val a = c.select(col("cell"), col("id").as("kept_id"), col("v").as("va"))
-    val b = c.select(col("cell"), col("id").as("dup_id"), col("v").as("vb"))
-    a.join(b, Seq("cell"))
-      .filter(col("kept_id") < col("dup_id"))
-      .filter(Similarity.cosine(col("va"), col("vb")) >= minCos)
-      .groupBy(col("dup_id")).agg(min(col("kept_id")).as("kept_id"))
+    val counts = c.groupBy(col("cell")).agg(count(lit(1)).as("__n"))
+    val salted = c.join(broadcast(counts), Seq("cell"))
+      .withColumn("__s",
+        ceil(col("__n").cast("double") / maxCellSide).cast("int"))
+      .withColumn("__b", pmod(xxhash64(col("id")), col("__s")).cast("int"))
+      .persist()
+    try {
+      val a = salted
+        .select(col("cell"), col("id").as("id_a"), col("v").as("va"),
+          col("__b"), col("__s"))
+        .withColumn("__i", col("__b"))
+        .withColumn("__j", explode(sequence(col("__b"), col("__s") - 1)))
+        .drop("__b", "__s")
+      val b = salted
+        .select(col("cell"), col("id").as("id_b"), col("v").as("vb"), col("__b"))
+        .withColumn("__i", explode(sequence(lit(0), col("__b"))))
+        .withColumn("__j", col("__b"))
+        .drop("__b")
+      a.join(b, Seq("cell", "__i", "__j"))
+        .filter(col("id_a") =!= col("id_b"))
+        .filter(Similarity.cosine(col("va"), col("vb")) >= minCos)
+        .select(least(col("id_a"), col("id_b")).as("kept_id"),
+          greatest(col("id_a"), col("id_b")).as("dup_id"))
+        .groupBy(col("dup_id")).agg(min(col("kept_id")).as("kept_id"))
+        .localCheckpoint()
+    } finally salted.unpersist()
   }
 
   /** Exact word-shingle Jaccard for pairs sharing a blocking key.

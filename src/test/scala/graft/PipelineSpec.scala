@@ -261,4 +261,34 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(_.getInt(0)).toSeq
     assert(n == Seq(2, 1, 0))
   }
+
+  test("semanticDupes hot-cell guard: one dense cell, blocked result == plain") {
+    // pathological SemDeDup input: every vector is a tiny jitter around
+    // ONE direction, so the whole corpus lands in a single IVF cell —
+    // the skew shape that made the un-guarded pairing one quadratic task
+    val rnd = new scala.util.Random(7)
+    val dim = 8
+    val base = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val rows = (0L until 600L).map { i =>
+      val jitter = if (i % 3 == 0) 0.001f else 0.6f
+      (i, base.map(x => x + jitter * rnd.nextGaussian().toFloat))
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(corpus, "vec_id", "embedding", 4)
+
+    // with maxCellSide far below the hot-cell population, the pairing
+    // splits into S = ceil(600/64) = 10 blocks → 55 block-pair keys
+    val guarded = Dedup.semanticDupes(corpus, "vec_id", "embedding",
+      cents, 0.995, maxCellSide = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the guard must not change the operator: compare against the same
+    // semantics with the guard disabled (every cell in one block)
+    val plain = Dedup.semanticDupes(corpus, "vec_id", "embedding",
+      cents, 0.995, maxCellSide = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guarded == plain)
+    assert(guarded.nonEmpty) // the 0.001-jitter cluster must collapse
+    // every dup maps to a strictly earlier kept id
+    assert(guarded.forall { case (dup, kept) => kept < dup })
+  }
 }

@@ -140,6 +140,17 @@ class PlanSpec extends AnyFunSuite {
       "query-set lookup must push its filter")
   }
 
+  test("dup-span inventory scans the text exactly once") {
+    // the r6 shape tokenized twice (inventory agg + back-join over a
+    // second gram pass); the window rewrite must leave exactly one
+    // documents scan in the plan
+    val p = plan("d06_dup_ngrams")
+    val docScans = "documents\\.parquet".r.findAllIn(p).size
+    assert(docScans == 1,
+      s"dupSpanInventory must tokenize the corpus once ($docScans scans)\n${p.take(3000)}")
+    assert(p.contains("Window"), p.take(2000))
+  }
+
   test("sequence packing windows per shard, never a global order") {
     val p = plan("t14_seq_pack")
     assert(p.contains("hashpartitioning(shard"), p.take(3000))
