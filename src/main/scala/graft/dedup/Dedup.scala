@@ -261,7 +261,10 @@ object Dedup {
           } else None
         }
         committed match {
-          case Some(id) => return Some(id)
+          case Some(id) =>
+            // outside both locks: load-time MV maintenance, as load()
+            table.maybeAutoRefresh()
+            return Some(id)
           case None =>
             table.discardStaged(stagedDocs)
             index.discardStaged(stagedBands)

@@ -76,7 +76,7 @@ object AggTables {
     // late file into the rollup while leaving it out of coveredFiles —
     // the next incremental refresh would double-count it.
     val statuses = listFiles(spark, basePath)
-    val entries = statuses.map(entryOf).sorted
+    val entries = statuses.map(entryOf(_, normalize(basePath))).sorted
     val coveredPaths = statuses.map(_.getPath.toString)
     rollup(spark.read.parquet(coveredPaths: _*), groupCols, ms)
       .write.mode("overwrite").parquet(mvPath)
@@ -119,8 +119,9 @@ object AggTables {
   def refreshDetailed(spark: SparkSession, name: String): (AggTableMeta, String) = {
     val meta = registered(spark).find(_.name == name)
       .getOrElse(throw new IllegalArgumentException(s"no MV named $name"))
+    sweepRefreshLeftovers(meta.mvPath)
     val currentStatuses = listFiles(spark, meta.basePath)
-    val current = currentStatuses.map(entryOf).sorted
+    val current = currentStatuses.map(entryOf(_, meta.basePath)).sorted
     val covered = meta.coveredFiles.toSet
     // a missing rollup (e.g. a crash inside a previous refresh's swap
     // window) must self-heal with a full rebuild, never an
@@ -141,7 +142,7 @@ object AggTables {
         (stamped, "noop")
       } else {
         val deltaPaths = currentStatuses
-          .filterNot(st => covered.contains(entryOf(st)))
+          .filterNot(st => covered.contains(entryOf(st, meta.basePath)))
           .map(_.getPath.toString)
         val old = spark.read.parquet(meta.mvPath)
         val deltaAgg = rollup(spark.read.parquet(deltaPaths: _*),
@@ -165,14 +166,62 @@ object AggTables {
             col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
         val tmp = s"${meta.mvPath}.refresh_tmp"
         remerged.write.mode("overwrite").parquet(tmp)
-        deleteRecursively(Paths.get(meta.mvPath))
+        // rename-based swap (ADVICE r6): move the old rollup ASIDE and
+        // flip the new one in — two renames instead of a recursive
+        // delete inside the visibility window, so a concurrent reader
+        // that passed the plan-time existence probe can no longer race
+        // a half-deleted directory, and a crash leaves either the old
+        // or the new rollup intact on disk (a crash exactly between
+        // the renames leaves mvPath missing — the rewrite's existence
+        // probe falls back to the base scan and the next refresh
+        // full-rebuilds). Orphaned .old_*/.refresh_tmp dirs from
+        // crashed refreshes are swept at the top of refreshDetailed.
+        val retired = Paths.get(s"${meta.mvPath}.old_${System.nanoTime()}")
+        Files.move(Paths.get(meta.mvPath), retired)
         Files.move(Paths.get(tmp), Paths.get(meta.mvPath))
+        deleteRecursively(retired)
         val stamped = meta.copy(fingerprint = digest(current),
           coveredFiles = current.toList)
         Files.writeString(Paths.get(dir, s"$name.json"),
           Serialization.write(stamped))
         (stamped, "incremental")
       }
+    }
+  }
+
+  /** Delete orphaned swap artifacts (`<mv>.refresh_tmp`, `<mv>.old_*`)
+    * left by a refresh that crashed mid-swap. Runs before any staging,
+    * so it can never touch an in-flight refresh's work.
+    */
+  private def sweepRefreshLeftovers(mvPath: String): Unit = {
+    val mv = Paths.get(mvPath)
+    val dir = mv.getParent
+    val prefix = mv.getFileName.toString
+    if (dir == null || !Files.exists(dir)) return
+    import scala.jdk.CollectionConverters._
+    val listing = Files.list(dir)
+    val stale =
+      try listing.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        n == s"$prefix.refresh_tmp" || n.startsWith(s"$prefix.old_")
+      }.toList
+      finally listing.close()
+    stale.foreach(deleteRecursively)
+  }
+
+  /** Refresh every MV registered over `basePath` — the load-time
+    * automatic aggregate-table maintenance hook (the reference rebuilds
+    * declared rollups inside every LOAD: AggregateTableSelecter.java,
+    * LoadAggregationTable at cubeSchema.scala:2058). Fired by
+    * [[graft.table.SegmentedTable]] commits when the table opts in via
+    * the `refresh_on_commit` property; the incremental path makes the
+    * steady-state cost O(delta + |MV|). Returns (mv name, path taken).
+    */
+  def refreshForBase(spark: SparkSession, basePath: String): Seq[(String, String)] = {
+    val b = normalize(basePath)
+    registered(spark).filter(_.basePath == b).map { m =>
+      val (_, mode) = refreshDetailed(spark, m.name)
+      (m.name, mode)
     }
   }
 
@@ -221,29 +270,47 @@ object AggTables {
     digest(listEntries(spark, basePath))
 
   /** The base's data files — a single-file base (a bare .parquet
-    * path) lists as itself, a directory base as its non-hidden files.
+    * path) lists as itself, a directory base as its non-hidden files,
+    * and a SEGMENTED-TABLE root as the data files of its current live
+    * segments (read from the table catalog, so retired/staging/index
+    * dirs never leak into the rollup or the fingerprint).
     */
   private def listFiles(spark: SparkSession,
       basePath: String): Seq[org.apache.hadoop.fs.FileStatus] = {
     import org.apache.hadoop.fs.Path
-    val p = new Path(normalize(basePath))
+    val base = normalize(basePath)
+    val p = new Path(base)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) return Nil
-    fs.listStatus(p).filter { st =>
-      val n = st.getPath.getName
-      st.isFile && !n.startsWith("_") && !n.startsWith(".")
-    }.toSeq
+    def filesIn(dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      if (!fs.exists(dir)) Nil
+      else fs.listStatus(dir).filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }.toSeq
+    if (graft.table.SegmentedTable.exists(base))
+      graft.table.SegmentedTable.open(spark, base).liveSegmentPaths
+        .flatMap(seg => filesIn(new Path(seg.toString)))
+    else filesIn(p)
   }
 
-  /** Listing entry = "name:length:mtime" — the unit the incremental
-    * refresh diffs against `coveredFiles` (names cannot contain ':').
+  /** Listing entry = "base-relative-path:length:mtime" — the unit the
+    * incremental refresh diffs against `coveredFiles` (paths cannot
+    * contain ':'). Base-relative, not bare name: a segmented base
+    * holds same-named part files in every segment dir.
     */
-  private def entryOf(st: org.apache.hadoop.fs.FileStatus): String =
-    s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}"
+  private def entryOf(st: org.apache.hadoop.fs.FileStatus,
+                      basePath: String): String = {
+    val full = st.getPath.toUri.getPath
+    val b = basePath.stripSuffix("/")
+    val rel = if (full.startsWith(b + "/")) full.substring(b.length + 1)
+              else st.getPath.getName
+    s"$rel:${st.getLen}:${st.getModificationTime}"
+  }
 
   /** Data-file listing as sorted entries (see [[entryOf]]). */
   private def listEntries(spark: SparkSession, basePath: String): Seq[String] =
-    listFiles(spark, basePath).map(entryOf).sorted
+    listFiles(spark, basePath).map(entryOf(_, normalize(basePath))).sorted
 
   private def digest(entries: Seq[String]): String =
     if (entries.isEmpty) "missing"
@@ -281,43 +348,76 @@ case class AggTableRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val mvs = AggTables.registered(spark)
     if (mvs.isEmpty) return plan
-    // one staleness probe per distinct base path per query plan
-    val fresh = scala.collection.mutable.Map.empty[String, Boolean]
-    // the mvPath existence probe makes a refresh's swap window (or a
-    // crashed refresh) fail-soft: queries fall back to the base scan
-    // instead of planning against a missing rollup
+    // the BASE-LISTING fingerprint is cached per base path (one
+    // driver listing per distinct base per query plan); the mvPath
+    // existence probe and the fingerprint comparison are evaluated
+    // PER MV (ADVICE r6: a verdict cached per base path would let a
+    // stale or mid-swap MV inherit a fresh sibling's verdict). The
+    // existence probe makes a refresh's swap window (or a crashed
+    // refresh) fail-soft: queries fall back to the base scan instead
+    // of planning against a missing rollup.
+    val baseFp = scala.collection.mutable.Map.empty[String, String]
     def isFresh(mv: AggTableMeta): Boolean =
-      fresh.getOrElseUpdate(mv.basePath,
-        java.nio.file.Files.exists(java.nio.file.Paths.get(mv.mvPath)) &&
-          AggTables.fingerprint(spark, mv.basePath) == mv.fingerprint)
+      java.nio.file.Files.exists(java.nio.file.Paths.get(mv.mvPath)) &&
+        baseFp.getOrElseUpdate(mv.basePath,
+          AggTables.fingerprint(spark, mv.basePath)) == mv.fingerprint
     plan.transformUp {
       case agg @ Aggregate(grouping, aggExprs, child, _) =>
-        baseScanPath(child).flatMap { path =>
-          mvs.find(_.basePath == path).filter(isFresh)
+        baseCandidates(child).flatMap { case (base, scanPaths, needLiveCheck) =>
+          mvs.find(_.basePath == base).filter(isFresh)
+            .filter(_ => !needLiveCheck || scanIsCurrentLive(base, scanPaths))
             .flatMap(mv => rewrite(agg, mv))
-        }.getOrElse(agg)
+        }.headOption.getOrElse(agg)
     }
   }
 
   /** child must be a bare scan (optionally behind an attribute-only
-    * Project) of exactly one parquet location — no Filter (a residual
-    * filter on non-dim columns would make the rollup wrong), and no
-    * multi-path scan (rewriting on a first-path match would drop the
-    * other paths' rows).
+    * Project) with no Filter (a residual filter on non-dim columns
+    * would make the rollup wrong). Two admissible base candidates,
+    * tried in order:
+    *  - exactly one parquet location → base = that path;
+    *  - every scan path a `segment_*` dir under one common parent →
+    *    base = the parent (a segmented-table read, possibly of a
+    *    single segment); [[scanIsCurrentLive]] then verifies the
+    *    paths are exactly the table's CURRENT live segments, so a
+    *    time-travel read or a reader's stale snapshot is never
+    *    rewritten.
+    * Returns (candidate base, scan paths, live-check required).
     */
-  private def baseScanPath(p: LogicalPlan): Option[String] = p match {
+  private def baseCandidates(p: LogicalPlan): Seq[(String, Seq[String], Boolean)] = p match {
     case l: LogicalRelation => l.relation match {
       case h: HadoopFsRelation =>
-        h.location.rootPaths.toList match {
-          case rp :: Nil => Some(rp.toString.stripPrefix("file:").stripSuffix("/"))
-          case _ => None
+        val roots = h.location.rootPaths.toList
+          .map(_.toString.stripPrefix("file:").stripSuffix("/"))
+        val exact = roots match {
+          case rp :: Nil => Seq((rp, roots, false))
+          case _ => Nil
         }
-      case _ => None
+        val segParent =
+          if (roots.nonEmpty &&
+              roots.forall(r => r.drop(r.lastIndexOf('/') + 1).startsWith("segment_")))
+            roots.map(r => r.take(r.lastIndexOf('/'))).distinct match {
+              case parent :: Nil => Seq((parent, roots, true))
+              case _ => Nil
+            }
+          else Nil
+        exact ++ segParent
+      case _ => Nil
     }
     case Project(exprs, child) if exprs.forall(_.isInstanceOf[Attribute]) =>
-      baseScanPath(child)
-    case _ => None
+      baseCandidates(child)
+    case _ => Nil
   }
+
+  /** A multi-path scan is rewritable only when it reads exactly the
+    * segmented table's current live segment set.
+    */
+  private def scanIsCurrentLive(base: String, scanPaths: Seq[String]): Boolean =
+    graft.table.SegmentedTable.exists(base) && {
+      val live = graft.table.SegmentedTable.open(spark, base)
+        .liveSegmentPaths.map(_.toString.stripSuffix("/")).toSet
+      live.nonEmpty && scanPaths.toSet == live
+    }
 
   private def rewrite(agg: Aggregate, mv: AggTableMeta): Option[LogicalPlan] = {
     // grouping must be plain columns, all present in the MV dims

@@ -240,9 +240,32 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         propRe.findAllMatchIn(s).map(m =>
           m.group(1).toLowerCase(Locale.ROOT) -> m.group(2)).toMap)
         .getOrElse(Map.empty)
-      val dims = Option(dimSpec).map(s =>
-        dimMapRe.findAllMatchIn(s).map(m => m.group(1) -> m.group(2)).toSeq)
-        .getOrElse(Seq.empty)
+      // strict dimension-list parse (ADVICE r6): the `name: 'path'`
+      // matches must COVER the whole spec up to separating commas and
+      // whitespace — findAllMatchIn alone would silently drop a
+      // malformed entry (missing quote, wrong separator) and load a
+      // partially-ingested star schema. Matched spans are removed and
+      // anything left beyond commas/whitespace is a parse error
+      // (quoted paths may contain commas, so a naive split can't work).
+      val dims = Option(dimSpec).map { s =>
+        val ms = dimMapRe.findAllMatchIn(s).toList
+        val leftover = {
+          val sb = new StringBuilder(s)
+          ms.reverse.foreach(m => sb.delete(m.start, m.end))
+          sb.toString
+        }
+        if ((ms.isEmpty && s.trim.nonEmpty) ||
+            leftover.exists(ch => !ch.isWhitespace && ch != ','))
+          throw new org.apache.spark.sql.catalyst.parser.ParseException(
+            command = Some(sqlText),
+            start = org.apache.spark.sql.catalyst.trees.Origin(),
+            errorClass = "PARSE_SYNTAX_ERROR",
+            messageParameters = Map(
+              "error" -> ("malformed DIMENSION list near " +
+                s"'${leftover.trim.take(60)}' (expected name: 'path', ...)"),
+              "hint" -> ""))
+        ms.map(m => m.group(1) -> m.group(2))
+      }.getOrElse(Seq.empty)
       LoadGraftFactDimCommand(name, factPath, dims, o)
     case showCreateRe(name) => ShowCreateGraftTableCommand(name)
     case describeRe(name) => DescribeGraftTableCommand(name)

@@ -306,8 +306,32 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     */
   def load(df: DataFrame): Int = {
     val staged = stageSegment(df, "loading")
-    withLock { commitStagedLocked(staged) }
+    val id = withLock { commitStagedLocked(staged) }
+    maybeAutoRefresh()
+    id
   }
+
+  /** Load-time automatic aggregate-table maintenance (reference
+    * AggregateTableSelecter.java — rollups rebuilt inside every LOAD;
+    * our incremental refresh makes the steady-state cost
+    * O(delta + |MV|)). Opt-in via the `refresh_on_commit` table
+    * property; fires AFTER the commit, outside any lock. A refresh
+    * failure only leaves the MV stale, which the rewrite's
+    * fingerprint probe already treats as "serve from base"
+    * (fail-safe) — so data commits never fail on MV maintenance.
+    * The modes of the last refresh are recorded for observability.
+    */
+  @volatile private[graft] var lastAutoRefresh: Seq[(String, String)] = Nil
+  private[graft] def maybeAutoRefresh(): Unit =
+    if (properties.get("refresh_on_commit").exists(_.equalsIgnoreCase("true"))) {
+      try lastAutoRefresh = graft.mv.AggTables.refreshForBase(spark, root.toString)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[graft] refresh_on_commit failed for $root: ${e.getMessage} " +
+              "(MVs left stale; queries fall back to the base scan)")
+      }
+    }
 
   // ---- staged-commit primitives (library-internal): building blocks
   // for composite operators (e.g. Dedup.ingestNovel) that must commit
@@ -361,6 +385,12 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     * distributed job.
     */
   def loadUnique(df: DataFrame, keyCols: Seq[String]): Option[Int] = {
+    val r = loadUniqueImpl(df, keyCols)
+    if (r.isDefined) maybeAutoRefresh()
+    r
+  }
+
+  private def loadUniqueImpl(df: DataFrame, keyCols: Seq[String]): Option[Int] = {
     require(keyCols.nonEmpty, "loadUnique requires at least one key column")
     val unknown = keyCols.filterNot(schema.fieldNames.contains)
     require(unknown.isEmpty, s"unknown key columns: ${unknown.mkString(", ")}")
@@ -454,6 +484,15 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
 
   private def liveSegments: Seq[SegmentMeta] =
     status.segments.filter(_.status == SUCCESS)
+
+  /** Current live segment directories — the surface
+    * [[graft.mv.AggTables]] lists for MV-over-segmented-table bases
+    * and [[graft.mv.AggTableRewrite]] validates multi-path scans
+    * against (a scan is rewritable only when it reads exactly this
+    * set).
+    */
+  private[graft] def liveSegmentPaths: Seq[Path] =
+    liveSegments.map(s => segmentDir(s.id))
 
   /** Full-table read: union of live segment dirs in one multi-path
     * Parquet scan (locality and split sizing handled by Spark).
@@ -699,19 +738,25 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
   def showSegments(): Seq[SegmentMeta] = status.segments.sortBy(_.id)
 
   /** Mark segments deleted by id (reference DeleteLoadsById). */
-  def deleteSegments(ids: Seq[Int]): Unit = withLock {
-    val st = status
-    commitStatus(st.copy(segments = st.segments.map(s =>
-      if (ids.contains(s.id) && s.status == SUCCESS) s.copy(status = DELETED) else s)))
+  def deleteSegments(ids: Seq[Int]): Unit = {
+    withLock {
+      val st = status
+      commitStatus(st.copy(segments = st.segments.map(s =>
+        if (ids.contains(s.id) && s.status == SUCCESS) s.copy(status = DELETED) else s)))
+    }
+    maybeAutoRefresh()
   }
 
   /** Retention: mark segments loaded before the cutoff deleted
     * (reference DeleteLoadByDate).
     */
-  def deleteSegmentsBefore(epochMillis: Long): Unit = withLock {
-    val st = status
-    commitStatus(st.copy(segments = st.segments.map(s =>
-      if (s.createdAt < epochMillis && s.status == SUCCESS) s.copy(status = DELETED) else s)))
+  def deleteSegmentsBefore(epochMillis: Long): Unit = {
+    withLock {
+      val st = status
+      commitStatus(st.copy(segments = st.segments.map(s =>
+        if (s.createdAt < epochMillis && s.status == SUCCESS) s.copy(status = DELETED) else s)))
+    }
+    maybeAutoRefresh()
   }
 
   /** Physically remove non-live segment dirs (reference CleanFiles). */
@@ -780,6 +825,12 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     * segment is re-sorted by the table's sort columns.
     */
   def compact(): Option[Int] = {
+    val r = compactImpl()
+    if (r.isDefined) maybeAutoRefresh()
+    r
+  }
+
+  private def compactImpl(): Option[Int] = {
     val live = liveSegments
     if (live.size < 2) return None
     // the long-running merge write happens OUTSIDE the lock (so loads
@@ -953,6 +1004,15 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     * status write (readers never observe a half-applied DML).
     */
   private def commitRewrites(
+      inputs: Seq[SegmentMeta],
+      replacements: Seq[(SegmentMeta, Option[StagedSegment])],
+      op: String,
+      additions: Seq[StagedSegment] = Nil): Unit = {
+    commitRewritesLocked(inputs, replacements, op, additions)
+    maybeAutoRefresh()
+  }
+
+  private def commitRewritesLocked(
       inputs: Seq[SegmentMeta],
       replacements: Seq[(SegmentMeta, Option[StagedSegment])],
       op: String,

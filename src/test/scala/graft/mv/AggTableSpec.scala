@@ -224,4 +224,57 @@ class AggTableSpec extends AnyFunSuite {
     // bit-for-bit even through the rollup
     assert(got == want, s"got=$got want=$want")
   }
+
+  test("refresh_on_commit: load into the base auto-refreshes the MV incrementally") {
+    import graft.table.SegmentedTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_mvauto").resolve("t").toString
+    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val t = SegmentedTable.create(spark, root, o.schema,
+      Map("refresh_on_commit" -> "true"))
+    t.load(o.filter(col("o_orderkey") % 2 === 0))
+
+    // MV over the SEGMENTED TABLE ROOT (live segment files listed via
+    // the table catalog)
+    AggTables.create(spark, "ord_auto", root,
+      Seq("o_orderstatus"), Seq("sum" -> "o_totalprice"))
+    def qt() = t.read()
+      .groupBy(col("o_orderstatus")).agg(sum(col("o_totalprice")).as("s"))
+    assert(scannedPaths(qt()).exists(_.contains("ord_auto")),
+      s"scanned: ${scannedPaths(qt())}")
+
+    // the load-time hook must refresh WITHOUT a manual REFRESH call,
+    // and take the incremental path (segments only gained files)
+    t.load(o.filter(col("o_orderkey") % 2 === 1))
+    assert(t.lastAutoRefresh == Seq("ord_auto" -> "incremental"),
+      s"autoRefresh=${t.lastAutoRefresh}")
+    val paths = scannedPaths(qt())
+    assert(paths.exists(_.contains("ord_auto")), s"scanned: $paths")
+    assert(!paths.exists(_.contains("segment_")), s"scanned: $paths")
+    // and the rewritten answer equals the base computation
+    spark.conf.set("spark.graft.mv.store", "/nonexistent_mv_dir")
+    val want = qt().orderBy("o_orderstatus").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    spark.conf.set("spark.graft.mv.store", TestSpark.mvStore)
+    val got = qt().orderBy("o_orderstatus").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - want(k)) <= math.ulp(want(k)) * 8, s"$k: $v vs ${want(k)}")
+    }
+
+    // compaction changes the covered listing → the hook full-rebuilds,
+    // and the rewrite keeps firing on the compacted layout
+    t.compact()
+    assert(t.lastAutoRefresh == Seq("ord_auto" -> "full"),
+      s"autoRefresh=${t.lastAutoRefresh}")
+    assert(scannedPaths(qt()).exists(_.contains("ord_auto")))
+
+    // a time-travel read of an older segment set must NOT rewrite
+    val old = t.versions.min
+    val qOld = t.readAsOf(old)
+      .groupBy(col("o_orderstatus")).agg(sum(col("o_totalprice")).as("s"))
+    assert(!scannedPaths(qOld).exists(_.contains("ord_auto")),
+      s"scanned: ${scannedPaths(qOld)}")
+    AggTables.drop(spark, "ord_auto")
+  }
 }

@@ -289,6 +289,29 @@ class GraftSqlSpec extends AnyFunSuite {
       .foreach(t => spark.sql(s"DROP GRAFT TABLE $t"))
   }
 
+  test("malformed DIMENSION list is a parse error, not a partial ingest") {
+    val sf = "/root/testdata/sf0.001"
+    spark.read.parquet(s"$sf/orders.parquet").limit(0)
+      .createOrReplaceTempView("orders_fm_src")
+    spark.sql("CREATE GRAFT TABLE fm_orders AS SELECT * FROM orders_fm_src")
+    try {
+      // second entry misses its opening quote: previously it silently
+      // dropped and the statement loaded one dimension of two
+      val e = intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+        spark.sql(
+          s"""LOAD GRAFT DATA FACT FROM '$sf/orders.parquet'
+              DIMENSION FROM fm_customer:'$sf/customer.parquet',
+                             fm_nation:$sf/nation.parquet'
+              INTO TABLE fm_orders""")
+      }
+      assert(e.getMessage.contains("DIMENSION"))
+      // nothing landed: the fact table is untouched and no dimension
+      // table was created
+      assert(spark.sql("SELECT count(*) FROM fm_orders").head().getLong(0) == 0)
+      assert(!spark.catalog.tableExists("fm_customer"))
+    } finally spark.sql("DROP GRAFT TABLE fm_orders")
+  }
+
   test("g13 star ingest matches the plain-parquet star join") {
     val sf = "/root/testdata/sf0.001"
     val got = graft.SparkEntry.queries("g13_fact_dim_load")(spark, sf)
