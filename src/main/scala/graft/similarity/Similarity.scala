@@ -47,16 +47,38 @@ object Similarity {
     */
   private val MaxBroadcastQueries = 100000
 
+  /** Gate-verdict memo (r6 VERDICT #5): repeated serving against the
+    * same query frame must not re-run the count probe per call. Keyed
+    * by the ANALYZED logical plan of the caller's frame — the
+    * repeated-serve session shape is a held DataFrame handle, whose
+    * plan object is stable across calls (a RECREATED frame carries
+    * fresh ExprIds/FileIndex instances and re-probes — one extra
+    * constant-cost job, never a correctness issue). Weakly referenced,
+    * so retired plans don't accumulate.
+    */
+  private val gateVerdicts =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        java.lang.Boolean]())
+
+  /** Probe-count observability for specs. */
+  private[graft] val gateProbes = new java.util.concurrent.atomic.AtomicLong
+
   /** Broadcast-hint `derived` iff the RAW query frame is small. The
     * count probe runs on `raw` — a limit-bounded scan of the caller's
-    * query set — not on the derived frame, whose construction
-    * (centroid assignment, probe explosion) would otherwise be
-    * evaluated once for the probe and again in the join.
+    * query set (stops at cap+1 rows, constant cost) — not on the
+    * derived frame, whose construction (centroid assignment, probe
+    * explosion) would otherwise be evaluated once for the probe and
+    * again in the join.
     */
-  private def gated(derived: DataFrame, raw: DataFrame): DataFrame =
-    if (raw.limit(MaxBroadcastQueries + 1).count() <= MaxBroadcastQueries)
-      broadcast(derived)
-    else derived
+  private def gated(derived: DataFrame, raw: DataFrame): DataFrame = {
+    val key = raw.queryExecution.analyzed
+    val small = gateVerdicts.computeIfAbsent(key, _ => {
+      gateProbes.incrementAndGet()
+      raw.limit(MaxBroadcastQueries + 1).count() <= MaxBroadcastQueries
+    })
+    if (small) broadcast(derived) else derived
+  }
 
   /** Sequential double dot product of two float-array columns — a
     * native codegen'd expression (one tight loop, no intermediate

@@ -262,6 +262,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(n == Seq(2, 1, 0))
   }
 
+  test("ANN broadcast gate probes once per query frame across repeated serves") {
+    // the serve-session shape: one held query frame, many calls
+    val q1 = emb.filter(col("vec_id") < 5)
+    val before = Similarity.gateProbes.get()
+    Similarity.bruteForceTopK(emb, q1, "vec_id", "embedding", 3).collect()
+    Similarity.bruteForceTopK(emb, q1, "vec_id", "embedding", 3).collect()
+    Similarity.ivfTopK(emb, q1, "vec_id", "embedding", 3).collect()
+    assert(Similarity.gateProbes.get() == before + 1,
+      s"expected 1 probe, got ${Similarity.gateProbes.get() - before}")
+  }
+
   test("semanticDupes hot-cell guard: one dense cell, blocked result == plain") {
     // pathological SemDeDup input: every vector is a tiny jitter around
     // ONE direction, so the whole corpus lands in a single IVF cell —
