@@ -77,7 +77,7 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
 
   def status: TableStatus = readStatus(statusFile)
 
-  private def commitStatus(s: TableStatus): Unit = {
+  private[graft] def commitStatus(s: TableStatus): Unit = {
     // stamp the next commit version (status.json may not exist yet on
     // the very first commit from create())
     val prev =
@@ -1197,8 +1197,35 @@ object SegmentedTable {
     case other => other.toString
   }
 
-  private def readStatus(p: Path): TableStatus =
-    Serialization.read[TableStatus](Files.readString(p))
+  /** Parsed-catalog cache. `status` is consulted several times per
+    * query (pruning, read, counts) and per commit; at 10^4 segments a
+    * fresh parse is hundreds of ms, so repeated reads must not re-parse
+    * an unchanged file. Every commit writes a NEW temp file and
+    * atomically renames it over status.json, so the file key (inode) +
+    * size + mtime identify the exact committed content — a cache hit
+    * can never serve a superseded catalog, in-process or cross-process.
+    * One entry per open table path, dropped when the identity changes.
+    */
+  private val statusCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (AnyRef, TableStatus)]()
+
+  private def readStatus(p: Path): TableStatus = {
+    val attrs = Files.readAttributes(p,
+      classOf[java.nio.file.attribute.BasicFileAttributes])
+    // fileKey is null on filesystems without stable keys — then the
+    // (size, mtime-nanos) pair is the identity, still rename-safe
+    val identity: AnyRef =
+      (Option(attrs.fileKey()).map(_.toString).getOrElse(""),
+        attrs.size(), attrs.lastModifiedTime().toInstant)
+    val key = p.toAbsolutePath.toString
+    val cached = statusCache.get(key)
+    if (cached != null && cached._1 == identity) cached._2
+    else {
+      val parsed = Serialization.read[TableStatus](Files.readString(p))
+      statusCache.put(key, (identity, parsed))
+      parsed
+    }
+  }
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
