@@ -23,27 +23,49 @@ object ComplexCsv {
   val Level1 = "\\$"
   val Level2 = ":"
 
+  /** Delimiters for nesting levels beyond the two the reference names:
+    * non-printable control characters, the convention Apache CarbonData
+    * later standardized for COMPLEX_DELIMITER_LEVEL_3 — they cannot
+    * collide with data that survived a CSV reader.
+    */
+  private val ExtraLevels: Seq[String] =
+    Seq("\u0001", "\u0002", "\u0003").map(java.util.regex.Pattern.quote)
+
   /** Parse a raw string column into `targetType` (StringType passthru,
-    * numeric/timestamp casts, ArrayType and StructType via the
-    * two-level delimiters; one nesting level of struct-in-array, as in
-    * the reference's test schemas).
+    * numeric/timestamp casts, ARRAY/STRUCT via per-depth delimiters).
+    * Nesting is ARBITRARY-DEPTH (reference flattening,
+    * CarbonSqlParser.scala:1052-1094): each nesting level consumes the
+    * next delimiter — level 1 between array elements, level 2 between
+    * struct fields / second-level elements, control characters beyond
+    * that. A top-level struct splits on level 2 (the reference's
+    * encoding: `imei:imsi`), so struct-in-array and bare struct read
+    * identically.
     */
   def parseColumn(raw: Column, targetType: DataType,
-                  l1: String = Level1, l2: String = Level2): Column =
-    targetType match {
-      case ArrayType(StructType(fields), _) =>
-        transform(split(raw, l1), e => parseStruct(e, fields, l2))
-      case ArrayType(et, _) =>
-        transform(split(raw, l1), e => e.cast(et))
-      case StructType(fields) => parseStruct(raw, fields, l2)
-      case t => raw.cast(t)
-    }
+                  l1: String = Level1, l2: String = Level2,
+                  extra: Seq[String] = ExtraLevels): Column =
+    parseAtDepth(raw, targetType, (Seq(l1, l2) ++ extra).toIndexedSeq, 0)
 
-  private def parseStruct(raw: Column, fields: Array[StructField],
-                          l2: String): Column =
-    struct(fields.zipWithIndex.map { case (f, i) =>
-      element_at(split(raw, l2), i + 1).cast(f.dataType).as(f.name)
-    }: _*)
+  private def delimAt(delims: IndexedSeq[String], depth: Int): String =
+    delims(math.min(depth, delims.length - 1))
+
+  private def parseAtDepth(raw: Column, t: DataType,
+                           delims: IndexedSeq[String], depth: Int): Column =
+    t match {
+      case ArrayType(et, _) =>
+        transform(split(raw, delimAt(delims, depth)),
+          e => parseAtDepth(e, et, delims, depth + 1))
+      case StructType(fields) =>
+        // a struct never splits on level 1 — the reference reserves it
+        // for array elements even when the struct is the column's top
+        // level (ComplexDataTypesTestCase.scala:15-16)
+        val d = math.max(depth, 1)
+        struct(fields.zipWithIndex.map { case (f, i) =>
+          parseAtDepth(element_at(split(raw, delimAt(delims, d)), i + 1),
+            f.dataType, delims, d + 1).as(f.name)
+        }.toSeq: _*)
+      case other => raw.cast(other)
+    }
 
   /** Load a headerless CSV whose columns (in order) are described by
     * `schema`, materializing nested types from the delimiter encoding.
@@ -60,7 +82,8 @@ object ComplexCsv {
     *     file itself has no header row; order may differ from the
     *     table schema, fields are matched by name),
     *   header ("true" when the file's first row is a header),
-    *   complex_delimiter_level_1 / complex_delimiter_level_2.
+    *   complex_delimiter_level_1 / _2 (reference set) and _3 for
+    *     third-level nesting (defaults to U+0001).
     *
     * Option keys are case-insensitive, as in the reference.
     */
@@ -72,6 +95,9 @@ object ComplexCsv {
       o.getOrElse("complex_delimiter_level_1", "$"))
     val l2 = java.util.regex.Pattern.quote(
       o.getOrElse("complex_delimiter_level_2", ":"))
+    val extra = o.get("complex_delimiter_level_3")
+      .map(d => java.util.regex.Pattern.quote(d) +: ExtraLevels.tail)
+      .getOrElse(ExtraLevels)
     val hasHeaderRow = o.getOrElse("header", "false").toBoolean
     val raw0 = spark.read
       .option("delimiter", o.getOrElse("delimiter", ","))
@@ -102,7 +128,7 @@ object ComplexCsv {
           col(if (hasHeaderRow) names(j) else s"_c$j")
         case None => col(s"_c$i")
       }
-      parseColumn(src, f.dataType, l1, l2).as(f.name)
+      parseColumn(src, f.dataType, l1, l2, extra).as(f.name)
     }
     raw.select(cols.toSeq: _*)
   }

@@ -19,32 +19,36 @@ class ThriftServerSpec extends AnyFunSuite {
     try s.getLocalPort finally s.close()
   }
 
+  private def connect(url: String): java.sql.Connection = {
+    var c: java.sql.Connection = null
+    var attempts = 0
+    while (c == null) {
+      try c = DriverManager.getConnection(url, "anonymous", "")
+      catch {
+        case e: Exception =>
+          attempts += 1
+          if (attempts > 60) throw e
+          Thread.sleep(500)
+      }
+    }
+    c
+  }
+
+  private lazy val jdbcUrl: String = {
+    val port = freePort()
+    GraftThriftServer.start(spark, port)
+    Class.forName("org.apache.hive.jdbc.HiveDriver")
+    s"jdbc:hive2://localhost:$port/default"
+  }
+
   test("graft SQL is reachable over Hive JDBC") {
     val sf = "/root/testdata/sf0.001"
     spark.read.parquet(s"$sf/region.parquet")
       .createOrReplaceTempView("thrift_region_src")
     spark.sql("CREATE GRAFT TABLE thrift_regions AS SELECT * FROM thrift_region_src")
 
-    val port = freePort()
-    GraftThriftServer.start(spark, port)
-
     // the service binds asynchronously; poll until it accepts
-    Class.forName("org.apache.hive.jdbc.HiveDriver")
-    val url = s"jdbc:hive2://localhost:$port/default"
-    val conn = {
-      var c: java.sql.Connection = null
-      var attempts = 0
-      while (c == null) {
-        try c = DriverManager.getConnection(url, "anonymous", "")
-        catch {
-          case e: Exception =>
-            attempts += 1
-            if (attempts > 60) throw e
-            Thread.sleep(500)
-        }
-      }
-      c
-    }
+    val conn = connect(jdbcUrl)
     try {
       val st = conn.createStatement()
 
@@ -71,6 +75,67 @@ class ThriftServerSpec extends AnyFunSuite {
     } finally {
       conn.close()
       spark.sql("DROP GRAFT TABLE thrift_regions")
+    }
+  }
+
+  test("two concurrent JDBC sessions: DDL/DML on one table, no cross-session leakage") {
+    val sf = "/root/testdata/sf0.001"
+    spark.read.parquet(s"$sf/nation.parquet")
+      .createOrReplaceTempView("thrift_nation_src")
+    spark.sql(
+      "CREATE GRAFT TABLE thrift_cc AS SELECT * FROM thrift_nation_src WHERE 1=0")
+
+    val c1 = connect(jdbcUrl)
+    val c2 = connect(jdbcUrl)
+    try {
+      // both sessions LOAD the same table concurrently, several times
+      // each — this drives SegmentedTable's metadata lock through the
+      // server path; every commit must land (no lost segment, no
+      // corrupted catalog)
+      val perSession = 3
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration._
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      def loads(conn: java.sql.Connection): Future[Unit] = Future {
+        val st = conn.createStatement()
+        (1 to perSession).foreach { _ =>
+          st.execute(
+            s"LOAD GRAFT DATA INPATH '$sf/nation.parquet' INTO TABLE thrift_cc")
+        }
+      }
+      Await.result(Future.sequence(Seq(loads(c1), loads(c2))), 5.minutes)
+      pool.shutdown()
+
+      // all 6 loads committed: 6 SUCCESS segments beyond the empty
+      // CTAS seed (segment 0), 6×25 rows
+      val st1 = c1.createStatement()
+      val r = st1.executeQuery(
+        "SELECT count(*) AS c FROM graft_table('thrift_cc')")
+      assert(r.next() && r.getLong("c") == 6L * 25)
+      val rs = st1.executeQuery("SHOW GRAFT SEGMENTS FOR thrift_cc")
+      var success = 0
+      while (rs.next()) if (rs.getString(2) == "SUCCESS") success += 1
+      assert(success == 7, s"expected 7 SUCCESS segments (CTAS seed + 6 loads), got $success")
+
+      // session-scoped state must NOT leak across connections: a temp
+      // view created on session 1 is invisible to session 2
+      st1.execute("CREATE TEMPORARY VIEW cc_private AS SELECT 42 AS v")
+      val st2 = c2.createStatement()
+      val own = st1.executeQuery("SELECT v FROM cc_private")
+      assert(own.next() && own.getInt(1) == 42)
+      val leaked =
+        try { st2.executeQuery("SELECT v FROM cc_private"); true }
+        catch { case _: java.sql.SQLException => false }
+      assert(!leaked, "session 2 must not see session 1's temp view")
+
+      // and both sessions agree on the shared catalog state afterwards
+      val r2 = st2.executeQuery(
+        "SELECT count(*) AS c FROM graft_table('thrift_cc')")
+      assert(r2.next() && r2.getLong("c") == 6L * 25)
+    } finally {
+      c1.close(); c2.close()
+      spark.sql("DROP GRAFT TABLE thrift_cc")
     }
   }
 }

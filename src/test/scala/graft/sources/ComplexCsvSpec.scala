@@ -71,6 +71,56 @@ class ComplexCsvSpec extends AnyFunSuite {
     assert(rows(1).getSeq[String](2) == Seq("c"))
   }
 
+  test("three-level nesting round-trips through LOAD + query") {
+    val dir = Files.createTempDirectory("complex_csv_deep")
+    val f = dir.resolve("deep.csv")
+    // locations array<struct<name string, tags array<string>, pos struct<x int, y int>>>
+    // level 1 ($) between array elements, level 2 (:) between struct
+    // fields, level 3 (default U+0001) inside third-level collections
+    val l3 = "\u0001"
+    Files.writeString(f,
+      s"""1,home:a${l3}b:1${l3}2$$work:c:3${l3}4
+         |2,gym:d${l3}e${l3}f:5${l3}6
+         |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", IntegerType),
+      StructField("locations", ArrayType(StructType(Seq(
+        StructField("name", StringType),
+        StructField("tags", ArrayType(StringType)),
+        StructField("pos", StructType(Seq(
+          StructField("x", IntegerType), StructField("y", IntegerType))))))))))
+    val df = ComplexCsv.load(spark, f.toString, schema)
+    val rows = df.orderBy("id").collect()
+    val locs1 = rows(0).getSeq[org.apache.spark.sql.Row](1)
+    assert(locs1.map(_.getString(0)) == Seq("home", "work"))
+    assert(locs1(0).getSeq[String](1) == Seq("a", "b"))
+    assert(locs1(1).getSeq[String](1) == Seq("c"))
+    assert(locs1(0).getAs[org.apache.spark.sql.Row]("pos").getInt(1) == 2)
+    assert(locs1(1).getAs[org.apache.spark.sql.Row]("pos").getInt(0) == 3)
+    val locs2 = rows(1).getSeq[org.apache.spark.sql.Row](1)
+    assert(locs2(0).getSeq[String](1) == Seq("d", "e", "f"))
+
+    // round-trip: land in a graft table via the load path, query nested
+    val root = Files.createTempDirectory("complex_deep_t").resolve("t").toString
+    val t = graft.table.SegmentedTable.create(spark, root, df.schema, Map.empty)
+    t.load(df)
+    val back = t.read()
+      .select(col("id"), explode(col("locations")).as("l"))
+      .select(col("id"), col("l.name"), explode(col("l.tags")).as("tag"),
+        col("l.pos.x"))
+    assert(back.count() == 6)
+    assert(back.filter(col("name") === "gym").agg(sum("x")).head().getLong(0) == 15)
+
+    // a custom LEVEL_3 delimiter is honored
+    val f2 = dir.resolve("deep2.csv")
+    Files.writeString(f2, "3,solo:p~q:7~8\n")
+    val df2 = ComplexCsv.loadWithOptions(spark, f2.toString, schema,
+      Map("COMPLEX_DELIMITER_LEVEL_3" -> "~"))
+    val l = df2.head().getSeq[org.apache.spark.sql.Row](1).head
+    assert(l.getSeq[String](1) == Seq("p", "q"))
+    assert(l.getAs[org.apache.spark.sql.Row]("pos").getInt(0) == 7)
+  }
+
   test("SQL LOAD GRAFT DATA honors OPTIONS") {
     val dir = Files.createTempDirectory("complex_csv_sql")
     val f = dir.resolve("more.csv")
