@@ -13,15 +13,17 @@ case class MediaFeatures(id: Long, byte_len: Int, width: Int, height: Int,
   * `binary` columns with typed metadata; decode/feature-extraction is
   * a batched per-partition stage.
   *
-  * The decode boundary is REAL for PNG: payloads carrying the PNG
+  * The decode boundary is REAL for PNG (still images) and animated GIF
+  * (multi-frame video-style containers): payloads carrying the
   * signature go through `javax.imageio` (full zlib/CRC-verified
-  * decode), and width/height come from the decoded raster — m02 gates
-  * exactly those fields. The feature-EXTRACTION model (the embedding)
-  * and non-PNG codecs remain deterministic stubs (no ML / media
-  * libraries in this container); the batched mapPartitions shape
-  * (amortizing per-batch decoder init, exactly how a JNI/GPU decoder
-  * is driven), partitioning, and the typed Dataset output are the
-  * production contract either way.
+  * decode), width/height come from the decoded raster — m02 gates
+  * exactly those fields — and GIF frame sampling seeks and decodes
+  * actual frames. The feature-EXTRACTION model (the embedding) and
+  * codecs the JVM lacks (JPEG-in-exotic-colorspace, MP4/H.264) remain
+  * deterministic stubs (no ML / media libraries in this container);
+  * the batched mapPartitions shape (amortizing per-batch decoder
+  * init, exactly how a JNI/GPU decoder is driven), partitioning, and
+  * the typed Dataset output are the production contract either way.
   *
   * Scale: the payload column never shuffles — metadata extraction and
   * decode are narrow map stages; downstream aggregations group on
@@ -128,22 +130,74 @@ object Multimodal {
       .mapPartitions(it => it.grouped(batchSize).flatMap(decodeBatch))
   }
 
-  /** One sampled frame of a (stub-decoded) video payload. */
+  /** One sampled frame of a video payload. */
   case class FrameSample(id: Long, frame_idx: Int, frame_w: Int,
                          frame_h: Int, frame_fp: Long)
 
-  /** STUB frame sampler for one batch: a real implementation seeks the
-    * container to `nFrames` evenly-spaced timestamps and decodes one
-    * frame each; the stub derives each frame deterministically from
-    * md5(payload ++ "#idx") so the oracle can reproduce it. Same
-    * batched shape as [[decodeBatch]] (decoder init amortized per
-    * batch, one output row per frame).
+  private def isGif(bytes: Array[Byte]): Boolean =
+    bytes.length >= 6 && {
+      val h = new String(bytes, 0, 6, "US-ASCII")
+      h == "GIF87a" || h == "GIF89a"
+    }
+
+  /** REAL frame sampling for one multi-frame container format the JVM
+    * decodes natively: animated GIF. The reader seeks `nFrames`
+    * evenly-spaced frame indices and fully decodes each one —
+    * width/height come from the decoded raster and the fingerprint is
+    * a rolling hash over its pixels, so the output is a function of
+    * the actual video content, exactly what a seek-and-decode MP4
+    * sampler produces. None on any decode failure (quarantine to the
+    * stub path — a corrupt container must not kill the batch).
+    */
+  private def sampleGifFrames(id: Long, bytes: Array[Byte],
+                              nFrames: Int): Option[Seq[FrameSample]] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val count = reader.getNumImages(true)
+            if (count <= 0) None
+            else Some((0 until nFrames).map { i =>
+              val idx = math.min((i.toLong * count / nFrames).toInt, count - 1)
+              val img = reader.read(idx)
+              val raster = img.getRaster
+              var fp = 1125899906842597L // large prime seed
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  fp = fp * 31 + raster.getSample(x, y, 0)
+                  x += 1
+                }
+                y += 1
+              }
+              FrameSample(id, i, img.getWidth, img.getHeight, fp)
+            })
+          } finally reader.dispose()
+        }
+      } finally if (iis != null) iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Frame sampler for one batch. GIF payloads (signature sniffed) go
+    * through the REAL seek-and-decode path ([[sampleGifFrames]]);
+    * other container formats (MP4/H.264 etc. — no codecs in this
+    * container) fall back to the deterministic md5 STUB the oracle can
+    * replay. Same batched shape as [[decodeBatch]] (decoder init
+    * amortized per batch, one output row per frame).
     */
   private def sampleBatch(batch: Seq[(Long, Array[Byte])],
                           nFrames: Int): Seq[FrameSample] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     batch.flatMap { case (id, bytes) =>
-      (0 until nFrames).map { i =>
+      val real =
+        if (isGif(bytes)) sampleGifFrames(id, bytes, nFrames) else None
+      real.getOrElse((0 until nFrames).map { i =>
         md.reset()
         md.update(bytes)
         md.update(s"#$i".getBytes("UTF-8"))
@@ -151,8 +205,57 @@ object Multimodal {
         val fp = (0 until 8).map(j => (j + 1).toLong * (b(j + 2) & 0xff)).sum
         FrameSample(id, i, 64 + ((b(0) & 0xff) % 192),
           64 + ((b(1) & 0xff) % 192), fp)
-      }
+      })
     }
+  }
+
+  /** Synthesize a REAL animated GIF per row (the multi-frame companion
+    * of [[withPngPayload]]): 2 + n_chars % 5 grayscale frames of
+    * (1 + n % 48) × (1 + 7n % 48), pixels cyclically from the text's
+    * utf-8 bytes with a per-frame shift so consecutive frames differ.
+    * Encoded through ImageIO's GIF sequence writer — a genuine
+    * multi-frame container on the wire.
+    */
+  def withGifPayload(df: DataFrame, idCol: String, textCol: String,
+                     nCharsCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol),
+        col(nCharsCol).cast("long"))
+      .as[(Long, String, Long)]
+      .mapPartitions(_.map { case (id, text, nChars) =>
+        val w = (1 + nChars % 48).toInt
+        val h = (1 + (nChars * 7) % 48).toInt
+        val frames = (2 + nChars % 5).toInt
+        val bytes = Option(text).getOrElse("").getBytes("UTF-8")
+        val out = new java.io.ByteArrayOutputStream()
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("gif").next()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+        try {
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          (0 until frames).foreach { f =>
+            val img = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val raster = img.getRaster
+            var i = 0
+            while (i < w * h) {
+              val v = if (bytes.isEmpty) (f * 17) % 256
+                      else bytes((i + f) % bytes.length) & 0xff
+              raster.setSample(i % w, i / w, 0, v)
+              i += 1
+            }
+            writer.writeToSequence(
+              new javax.imageio.IIOImage(img, null, null), null)
+          }
+          writer.endWriteSequence()
+        } finally {
+          writer.dispose()
+          ios.close()
+        }
+        (id, out.toByteArray)
+      }).toDF("id", "payload")
   }
 
   /** Frame sampling over a video-payload column: each payload expands

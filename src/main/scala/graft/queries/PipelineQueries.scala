@@ -502,6 +502,20 @@ object PipelineQueries {
         .toDF()
         .select(col("id"), col("width"), col("height"),
           (col("width") * col("height")).as("n_pixels"))
+    }),
+
+    // multimodal: REAL multi-frame (video-style) decode — each document
+    // becomes a real animated GIF (2 + n%5 frames of (1+n%48)×(1+7n%48));
+    // sampleFrames seeks 4 evenly-spaced frames and DECODES them via
+    // ImageIO, so the gated dims come from the decoded rasters (the
+    // oracle replays the generation rule). The pixel-hash fingerprint
+    // is encoder-dependent and gated in StreamingMultimodalSpec instead.
+    "m04_gif_frames" -> ((s, d) => {
+      import graft.multimodal.Multimodal
+      val gif = Multimodal.withGifPayload(Tables.documents(s, d),
+        "doc_id", "text", "n_chars")
+      Multimodal.sampleFrames(gif, 4).toDF()
+        .select(col("id"), col("frame_idx"), col("frame_w"), col("frame_h"))
     })
   )
 
@@ -1175,6 +1189,16 @@ object PipelineQueries {
             CAST(1 + (n_chars % 64) AS INT) AS width,
             CAST(1 + ((n_chars * 7) % 64) AS INT) AS height,
             CAST((1 + (n_chars % 64)) * (1 + ((n_chars * 7) % 64)) AS INT) AS n_pixels
+          FROM documents""",
+
+    // GIFs are generated with frame_w = 1 + n_chars % 48, frame_h =
+    // 1 + 7·n_chars % 48; Spark's result carries what ImageIO DECODED
+    // from each sampled frame, so matching this recomputation proves
+    // the sampler really seeks and decodes the container
+    "m04_gif_frames" ->
+      """SELECT doc_id AS id, CAST(unnest(range(0, 4)) AS INT) AS frame_idx,
+            CAST(1 + (n_chars % 48) AS INT) AS frame_w,
+            CAST(1 + ((n_chars * 7) % 48) AS INT) AS frame_h
           FROM documents"""
   )
 }

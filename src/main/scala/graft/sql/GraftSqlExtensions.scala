@@ -46,6 +46,16 @@ import graft.table.SegmentedTable
   *   SHOW GRAFT AGGREGATE TABLES
   *   DROP GRAFT AGGREGATE TABLE mv
   *
+  * Carbon-native cube dialect (thin aliases over the same commands;
+  * reference CarbonSqlParser.scala:703-729, :182-224, :779-834):
+  *
+  *   CREATE CUBE [IF NOT EXISTS] c DIMENSIONS (col type, ...)
+  *     MEASURES (col type, ...) [OPTIONS ('k'='v', ...)]
+  *   LOAD DATA [LOCAL] INPATH '<path>' INTO CUBE c [OPTIONS (...)]
+  *   CREATE AGGREGATETABLE dim1, sum(m1), ... FROM CUBE c
+  *   SHOW CUBES
+  *   DROP CUBE [IF EXISTS] c
+  *
   * Tables live under the store root (`spark.graft.store` conf, default
   * /tmp/graft_store) as `<store>/<name>`. Registered with
   * `SparkSession.builder.withExtensions(new GraftSqlExtensions)`;
@@ -161,6 +171,20 @@ object GraftCatalog {
 
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
+  // ---- carbon-native cube dialect (thin aliases over the graft
+  // grammar; reference CarbonSqlParser.scala:703-729 createCube,
+  // :182-224 createAggregateTable, :779-834 loadCube) ----
+  private val createCubeRe =
+    """(?is)\s*CREATE\s+CUBE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s+(.+)""".r
+  private val dropCubeRe =
+    """(?is)\s*DROP\s+CUBE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*""".r
+  private val showCubesRe = """(?is)\s*SHOW\s+CUBES\s*;?\s*""".r
+  private val loadCubeRe =
+    """(?is)\s*LOAD\s+DATA\s+(?:LOCAL\s+)?INPATH\s+'([^']+)'\s+INTO\s+CUBE\s+(\w+)\s*(?:OPTIONS\s*\((.*?)\)\s*)?;?\s*""".r
+  private val createAggCubeRe =
+    """(?is)\s*CREATE\s+AGGREGATETABLE\s+(.+?)\s+FROM\s+CUBE\s+(\w+)\s*;?\s*""".r
+  private val aggItemRe = """(?is)\s*(\w+)\s*\(\s*(?:(DISTINCT)\s+)?(\w+)\s*\)\s*""".r
+
   private val createAggRe =
     """(?is)\s*CREATE\s+GRAFT\s+AGGREGATE\s+TABLE\s+(\w+)\s+ON\s+PATH\s+'([^']+)'\s+GROUP\s+BY\s*\(([^)]*)\)\s*AGG\s*\((.*?)\)\s*""".r
   private val refreshAggRe =
@@ -210,6 +234,20 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val propRe = """'([^']+)'\s*=\s*'([^']*)'""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    // carbon-native cube dialect first: its keywords never collide
+    // with the graft grammar or with Spark SQL
+    case createCubeRe(ifNotExists, name, body) =>
+      parseCreateCube(sqlText, name, body, ifNotExists != null)
+    case dropCubeRe(name) => DropGraftTableCommand(name)
+    case showCubesRe() => ShowGraftTablesCommand()
+    case loadCubeRe(path, name, opts) =>
+      val o = Option(opts).map(s =>
+        propRe.findAllMatchIn(s).map(m =>
+          m.group(1).toLowerCase(Locale.ROOT) -> m.group(2)).toMap)
+        .getOrElse(Map.empty)
+      LoadGraftDataCommand(name, path, o)
+    case createAggCubeRe(aggSpec, cube) =>
+      parseCreateAggregateTable(aggSpec, cube)
     // aggregate-table DDL must match before the plain-table forms
     // (CREATE/DROP GRAFT TABLE would otherwise swallow the prefix)
     case createAggRe(name, path, groupCols, aggSpec) =>
@@ -302,13 +340,19 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   private def isGraft(s: String): Boolean = {
     val u = s.toUpperCase(Locale.ROOT)
-    u.contains("GRAFT ") && (u.trim.startsWith("CREATE") ||
+    val t = u.trim.replaceAll("\\s+", " ")
+    (u.contains("GRAFT ") && (u.trim.startsWith("CREATE") ||
       u.trim.startsWith("LOAD") || u.trim.startsWith("SHOW") ||
       u.trim.startsWith("DELETE") || u.trim.startsWith("COMPACT") ||
       u.trim.startsWith("CLEAN") || u.trim.startsWith("DROP") ||
       u.trim.startsWith("ALTER") || u.trim.startsWith("DESCRIBE") ||
       u.trim.startsWith("REFRESH") || u.trim.startsWith("UPDATE") ||
-      u.trim.startsWith("MERGE"))
+      u.trim.startsWith("MERGE"))) ||
+    // carbon-native cube dialect — none of these prefixes are valid
+    // Spark SQL, so claiming them cannot shadow the delegate
+    t.startsWith("CREATE CUBE") || t.startsWith("DROP CUBE") ||
+    t.startsWith("SHOW CUBES") || t.startsWith("CREATE AGGREGATETABLE") ||
+    (t.startsWith("LOAD DATA") && t.contains(" INTO CUBE "))
   }
 
   /** Split `a = f(x, y), b = 'x, y'` on top-level commas only: commas
@@ -338,6 +382,119 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       require(i > 0, s"malformed assignment: $p")
       (p.take(i).trim, p.drop(i + 1).trim)
     }
+  }
+
+  /** Split on top-level commas — commas inside parentheses, angle
+    * brackets (complex type arguments), or single-quoted literals are
+    * content, not separators.
+    */
+  private def splitTopCommas(s: String): Seq[String] = {
+    val parts = scala.collection.mutable.ListBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inQuote = false
+    s.foreach { c =>
+      if (inQuote) { cur += c; if (c == '\'') inQuote = false }
+      else c match {
+        case '\'' => inQuote = true; cur += c
+        case '(' | '<' => depth += 1; cur += c
+        case ')' | '>' => depth = math.max(0, depth - 1); cur += c
+        case ',' if depth == 0 => parts += cur.result(); cur.clear()
+        case other => cur += other
+      }
+    }
+    if (cur.nonEmpty) parts += cur.result()
+    parts.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Reference scalar type aliases (normalizeType,
+    * CarbonSqlParser.scala:1024-1050); complex types pass through to
+    * Spark's DDL type parser unchanged.
+    */
+  private def normalizeCubeType(t: String): String =
+    t.trim.toLowerCase(Locale.ROOT) match {
+      case "integer" => "int"
+      case "numeric" => "double"
+      case other => other
+    }
+
+  /** CREATE CUBE [IF NOT EXISTS] name DIMENSIONS (col type, ...)
+    * MEASURES (col type, ...) [OPTIONS ('k'='v', ...)] — the
+    * carbon-native creation dialect (CarbonSqlParser.scala:703-729):
+    * dimensions + measures concatenate into the table schema (the cube
+    * IS a flat fact table, SURVEY §1.1); OPTIONS pairs land as table
+    * properties, so sort/partition/bloom declarations work identically
+    * to TBLPROPERTIES on CREATE GRAFT TABLE.
+    */
+  private def parseCreateCube(sqlText: String, name: String, body0: String,
+                              ifNotExists: Boolean): LogicalPlan = {
+    val body = body0.trim.stripSuffix(";")
+    val kws = Seq("DIMENSIONS", "MEASURES", "OPTIONS")
+      .map(k => k -> topLevelIndexOf(body, k)).filter(_._2 >= 0)
+    def fail(msg: String): Nothing =
+      throw new ParseException(Some(sqlText),
+        org.apache.spark.sql.catalyst.trees.Origin(),
+        "PARSE_SYNTAX_ERROR", Map("error" -> msg, "hint" -> ""))
+    if (kws.isEmpty) fail("CREATE CUBE requires DIMENSIONS and/or MEASURES")
+    val bounds = kws.map(_._2).sorted :+ body.length
+    def section(kw: String): Option[String] = kws.find(_._1 == kw).map {
+      case (k, i) =>
+        val end = bounds.find(_ > i).getOrElse(body.length)
+        val inner = body.substring(i + k.length, end).trim
+        if (!(inner.startsWith("(") && inner.endsWith(")")))
+          fail(s"$kw requires a parenthesized list")
+        inner.substring(1, inner.length - 1)
+    }
+    def cols(sect: String, what: String): Seq[StructField] =
+      splitTopCommas(sect).map { piece =>
+        val cut = piece.indexWhere(Character.isWhitespace)
+        if (cut < 0) fail(s"malformed $what column '$piece' (expected name type)")
+        val (n, t) = (piece.take(cut).trim, piece.drop(cut).trim)
+        StructField(n, delegate.parseDataType(normalizeCubeType(t)))
+      }
+    val dims = section("DIMENSIONS").map(cols(_, "DIMENSIONS")).getOrElse(Nil)
+    val msrs = section("MEASURES").map(cols(_, "MEASURES")).getOrElse(Nil)
+    if (dims.isEmpty && msrs.isEmpty) fail("CREATE CUBE defines no columns")
+    val dup = (dims ++ msrs).groupBy(_.name.toLowerCase(Locale.ROOT))
+      .collect { case (n, fs) if fs.sizeIs > 1 => n }
+    if (dup.nonEmpty) fail(s"duplicate cube columns: ${dup.mkString(", ")}")
+    val props = section("OPTIONS").map(s =>
+      propRe.findAllMatchIn(s).map(m =>
+        m.group(1).toLowerCase(Locale.ROOT) -> m.group(2)).toMap)
+      .getOrElse(Map.empty)
+    CreateCubeCommand(name, StructType((dims ++ msrs).toArray), props, ifNotExists)
+  }
+
+  /** CREATE AGGREGATETABLE sum(m1), col1, ... FROM CUBE c — bare
+    * columns are the rollup dims, aggregate expressions the measures
+    * (CarbonSqlParser.scala:182-224). avg materializes as sum (the
+    * rewrite re-derives AVG from sum+count); count(col) as sum too
+    * (the rollup always carries the non-null count beside a sum).
+    * Distinct aggregates cannot re-aggregate from a rollup — rejected.
+    */
+  private def parseCreateAggregateTable(aggSpec: String,
+                                        cube: String): LogicalPlan = {
+    val bareRe = """(?s)\s*(\w+)\s*""".r
+    var dims = Seq.empty[String]
+    var measures = Seq.empty[(String, String)]
+    splitTopCommas(aggSpec).foreach {
+      case aggItemRe(func, distinct, colName) =>
+        if (distinct != null)
+          throw new IllegalArgumentException(
+            s"distinct aggregates cannot be served from a rollup: $func(DISTINCT $colName)")
+        func.toLowerCase(Locale.ROOT) match {
+          case "sum" | "min" | "max" => measures :+= (func.toLowerCase(Locale.ROOT), colName)
+          case "avg" | "count" => measures :+= ("sum", colName)
+          case other => throw new IllegalArgumentException(
+            s"unsupported aggregate for AGGREGATETABLE: $other")
+        }
+      case bareRe(colName) => dims :+= colName
+      case piece => throw new IllegalArgumentException(
+        s"malformed AGGREGATETABLE item: $piece")
+    }
+    require(dims.nonEmpty, "AGGREGATETABLE requires at least one grouping column")
+    require(measures.nonEmpty, "AGGREGATETABLE requires at least one aggregate")
+    CreateCubeAggTableCommand(cube, dims.distinct, measures.distinct)
   }
 
   /** Index of the first top-level occurrence of `keyword` as a whole
@@ -380,6 +537,51 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parseTableSchema(s: String): StructType = delegate.parseTableSchema(s)
   override def parseDataType(s: String): DataType = delegate.parseDataType(s)
   override def parseRoutineParam(s: String): StructType = delegate.parseRoutineParam(s)
+}
+
+/** CREATE CUBE: an EMPTY graft table from declared dimension/measure
+  * columns (reference CreateCube, cubeSchema.scala — the cube is a
+  * flat fact table; loads come separately via LOAD DATA INTO CUBE).
+  */
+case class CreateCubeCommand(name: String, cubeSchema: StructType,
+    props: Map[String, String], ifNotExists: Boolean)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftCatalog.tablePath(spark, name)
+    if (SegmentedTable.exists(path)) {
+      if (ifNotExists) return Nil
+      throw new IllegalArgumentException(s"cube $name already exists at $path")
+    }
+    val t = SegmentedTable.create(spark, path, cubeSchema, props)
+    t.read().createOrReplaceTempView(name)
+    Nil
+  }
+}
+
+/** CREATE AGGREGATETABLE ... FROM CUBE c: registers a rollup over the
+  * cube's table root (auto-named agg_<k>_<cube>, the reference's
+  * naming shape). With this round's MV-over-segmented-table support
+  * the rewrite serves matching aggregates over the cube's reads, and
+  * `refresh_on_commit` on the cube keeps it maintained at load time
+  * (AggregateTableSelecter semantics).
+  */
+case class CreateCubeAggTableCommand(cube: String, dims: Seq[String],
+    measures: Seq[(String, String)]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("agg_table_name", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val base = GraftCatalog.tablePath(spark, cube)
+    require(SegmentedTable.exists(base), s"cube not found: $cube ($base)")
+    val schema = SegmentedTable.open(spark, base).schema
+    val missing = (dims ++ measures.map(_._2))
+      .filterNot(c => schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+    require(missing.isEmpty, s"unknown cube columns: ${missing.mkString(", ")}")
+    val existing = graft.mv.AggTables.registered(spark).map(_.name).toSet
+    val name = Iterator.from(0).map(i => s"agg_${i}_$cube")
+      .find(!existing(_)).get
+    graft.mv.AggTables.create(spark, name, base, dims, measures)
+    Seq(Row(name))
+  }
 }
 
 case class CreateGraftTableCommand(name: String, props: Map[String, String],

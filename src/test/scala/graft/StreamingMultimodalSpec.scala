@@ -134,6 +134,47 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       case (a, b) => a == b })
   }
 
+  test("GIF frame sampling genuinely seeks and decodes frames") {
+    // synthesize real animated GIFs from documents: known dims
+    // (1 + n % 48, 1 + 7n % 48) and 2 + n % 5 frames per payload
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet").limit(30)
+    val gifs = Multimodal.withGifPayload(docs, "doc_id", "text", "n_chars")
+    // sanity: the wire format is a genuine GIF container
+    val first = gifs.head().getAs[Array[Byte]](1)
+    assert(new String(first, 0, 6, "US-ASCII").startsWith("GIF8"))
+
+    val frames = Multimodal.sampleFrames(gifs, nFrames = 4).toDF()
+    // every payload yields exactly 4 sampled frames with REAL decoded
+    // dims — the generation rule caps dims at 48, far below the stub
+    // path's 64+ range, so a stub fallback would fail loudly here
+    val joined = frames
+      .join(docs.select(col("doc_id").as("id"), col("n_chars")), "id")
+    assert(joined.count() == 30 * 4)
+    val badDims = joined
+      .filter(col("frame_w") =!= (lit(1) + col("n_chars") % 48) ||
+        col("frame_h") =!= (lit(1) + (col("n_chars") * 7) % 48))
+      .count()
+    assert(badDims == 0, "frame dims must come from the decoded raster")
+
+    // fingerprints are content-derived and deterministic
+    val a = Multimodal.sampleFrames(gifs, nFrames = 4)
+      .collect().sortBy(f => (f.id, f.frame_idx))
+    val b = Multimodal.sampleFrames(gifs, nFrames = 4, batchSize = 1)
+      .collect().sortBy(f => (f.id, f.frame_idx))
+    assert(a.zip(b).forall { case (x, y) => x == y })
+    // multi-frame payloads produce differing frames (per-frame pixel
+    // shift in the generator → different rasters → different hashes)
+    val multi = a.groupBy(_.id).values.filter(_.map(_.frame_fp).distinct.length > 1)
+    assert(multi.nonEmpty, "sampled frames must reflect differing content")
+
+    // a corrupt GIF (signature intact, container truncated mid-header)
+    // quarantines to the stub path instead of killing the batch
+    val bad = java.util.Arrays.copyOfRange(first, 0, 10)
+    val out = Multimodal.sampleFrames(
+      Seq((9L, bad)).toDF("id", "payload"), nFrames = 2).collect()
+    assert(out.length == 2 && out.forall(_.frame_w >= 64))
+  }
+
   test("flatMapGroupsWithState running-mean anomaly detector") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"${TestSpark.sf}/events.parquet")

@@ -289,6 +289,74 @@ class GraftSqlSpec extends AnyFunSuite {
       .foreach(t => spark.sql(s"DROP GRAFT TABLE $t"))
   }
 
+  test("carbon-native cube dialect: CREATE/LOAD/SHOW/AGGREGATETABLE/DROP") {
+    val sf = "/root/testdata/sf0.001"
+    // CREATE CUBE ... DIMENSIONS/MEASURES/OPTIONS (reference
+    // CarbonSqlParser createCube) — columns concatenate; 'integer' and
+    // 'numeric' normalize per the reference's type table
+    spark.sql(
+      """CREATE CUBE nation_cube
+         DIMENSIONS (n_name string, n_comment string)
+         MEASURES (n_nationkey integer, n_regionkey numeric)
+         OPTIONS ('sort_columns'='n_nationkey')""")
+    assert(spark.sql("SELECT count(*) FROM nation_cube").head().getLong(0) == 0)
+
+    // IF NOT EXISTS is a no-op on an existing cube; without it, error
+    spark.sql("CREATE CUBE IF NOT EXISTS nation_cube DIMENSIONS (x string)")
+    intercept[Exception] {
+      spark.sql("CREATE CUBE nation_cube DIMENSIONS (x string)")
+    }
+
+    // LOAD DATA INPATH ... INTO CUBE (reference loadCube grammar); the
+    // parquet file's columns project into the cube schema
+    spark.sql(s"LOAD DATA INPATH '$sf/nation.parquet' INTO CUBE nation_cube")
+    assert(spark.sql(
+      "SELECT count(*) AS c FROM graft_table('nation_cube')").head().getLong(0) == 25)
+    // numeric → double really happened
+    assert(spark.sql("SELECT n_regionkey FROM graft_table('nation_cube') LIMIT 1")
+      .schema.head.dataType == org.apache.spark.sql.types.DoubleType)
+
+    // SHOW CUBES lists it
+    assert(spark.sql("SHOW CUBES").collect()
+      .exists(_.getString(0) == "nation_cube"))
+
+    // CREATE AGGREGATETABLE bare-dims + aggregates FROM CUBE: registers
+    // an auto-named rollup over the cube root; the rewrite then serves
+    // a matching aggregate over the cube's read
+    val agg = spark.sql(
+      "CREATE AGGREGATETABLE n_regionkey, sum(n_nationkey), max(n_nationkey) FROM CUBE nation_cube")
+      .head().getString(0)
+    assert(agg.endsWith("_nation_cube"), agg)
+    val q = spark.sql(
+      """SELECT n_regionkey, sum(n_nationkey) AS s
+         FROM graft_table('nation_cube') GROUP BY n_regionkey""")
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+    }.flatten
+    assert(scans.exists(_.contains(agg)), s"scanned: $scans")
+    // and the answer is the base answer
+    val want = spark.sql(
+      s"""SELECT CAST(n_regionkey AS DOUBLE) AS k, sum(CAST(n_nationkey AS INT)) AS s
+          FROM parquet.`$sf/nation.parquet` GROUP BY 1""").collect()
+      .map(r => (r.getDouble(0), r.getLong(1))).toMap
+    assert(q.collect().map(r => (r.getDouble(0), r.getLong(1))).toMap == want)
+
+    // distinct aggregates are rejected (cannot re-aggregate a rollup)
+    intercept[Exception] {
+      spark.sql("CREATE AGGREGATETABLE n_regionkey, count(distinct n_name) FROM CUBE nation_cube")
+    }
+
+    spark.sql(s"DROP GRAFT AGGREGATE TABLE $agg")
+    spark.sql("DROP CUBE nation_cube")
+    assert(!spark.sql("SHOW CUBES").collect()
+      .exists(_.getString(0) == "nation_cube"))
+  }
+
   test("malformed DIMENSION list is a parse error, not a partial ingest") {
     val sf = "/root/testdata/sf0.001"
     spark.read.parquet(s"$sf/orders.parquet").limit(0)
