@@ -59,7 +59,14 @@ object AggTables {
     * materialized (needed for COUNT(*) and, later, AVG rewrites).
     */
   def create(spark: SparkSession, name: String, basePath: String,
-             groupCols: Seq[String], measures: Seq[(String, String)]): AggTableMeta = {
+             groupCols: Seq[String], measures: Seq[(String, String)]): AggTableMeta =
+    withRefreshLock(spark, name) {
+      createLocked(spark, name, basePath, groupCols, measures)
+    }
+
+  /** The build/register body — caller holds the per-MV refresh lock. */
+  private def createLocked(spark: SparkSession, name: String, basePath: String,
+      groupCols: Seq[String], measures: Seq[(String, String)]): AggTableMeta = {
     val dir = catalogDir(spark)
     Files.createDirectories(Paths.get(dir))
     val mvPath = s"$dir/$name.parquet"
@@ -78,12 +85,46 @@ object AggTables {
     val statuses = listFiles(spark, basePath)
     val entries = statuses.map(entryOf(_, normalize(basePath))).sorted
     val coveredPaths = statuses.map(_.getPath.toString)
-    rollup(spark.read.parquet(coveredPaths: _*), groupCols, ms)
-      .write.mode("overwrite").parquet(mvPath)
+    // empty base: a segmented table (or bare dir) with no data files
+    // yet — the reference workflow declares aggregate tables BEFORE
+    // the first load, so register an empty rollup with the base
+    // table's schema instead of failing schema inference
+    val src =
+      if (coveredPaths.nonEmpty) spark.read.parquet(coveredPaths: _*)
+      else if (graft.table.SegmentedTable.exists(normalize(basePath)))
+        graft.table.SegmentedTable.open(spark, normalize(basePath)).read()
+      else throw new IllegalArgumentException(
+        s"aggregate table $name: base $basePath has no data files and no table schema")
+    // the full (re)build uses the same rename swap as the incremental
+    // path — readers that passed the plan-time existence probe never
+    // observe Spark's in-place overwrite deleting the live rollup
+    sweepRefreshLeftovers(mvPath)
+    val tmp = s"$mvPath.refresh_tmp"
+    rollup(src, groupCols, ms).write.mode("overwrite").parquet(tmp)
+    if (Files.exists(Paths.get(mvPath))) {
+      val retired = Paths.get(s"$mvPath.old_${System.nanoTime()}")
+      Files.move(Paths.get(mvPath), retired)
+      Files.move(Paths.get(tmp), Paths.get(mvPath))
+      deleteRecursively(retired)
+    } else Files.move(Paths.get(tmp), Paths.get(mvPath))
     val meta = AggTableMeta(name, normalize(basePath), mvPath, groupCols.toList,
       ms, "cnt_rows", digest(entries), entries.toList)
     Files.writeString(Paths.get(dir, s"$name.json"), Serialization.write(meta))
     meta
+  }
+
+  /** Per-MV refresh mutual exclusion: concurrent refreshes of one MV
+    * (e.g. two loads on a refresh_on_commit table committing back to
+    * back) would otherwise double-merge the same delta and sweep each
+    * other's in-flight swap artifacts. File-lock under the catalog dir
+    * — same single-host semantics as the table commit lock; the loser
+    * re-reads the winner's stamped coveredFiles and sees a no-op.
+    */
+  private def withRefreshLock[T](spark: SparkSession, name: String)(f: => T): T = {
+    val dir = Paths.get(catalogDir(spark))
+    Files.createDirectories(dir)
+    graft.table.LocalFileLock.withExclusive(
+      dir.resolve(s".$name.refresh_lock"))(f)
   }
 
   /** The partial rollup of one input slice: per-dim sums, non-null
@@ -116,7 +157,13 @@ object AggTables {
   /** refresh() plus the path taken: "incremental" | "full" | "noop" —
     * exposed so callers (and specs) can assert the scale behavior.
     */
-  def refreshDetailed(spark: SparkSession, name: String): (AggTableMeta, String) = {
+  def refreshDetailed(spark: SparkSession, name: String): (AggTableMeta, String) =
+    withRefreshLock(spark, name) { refreshLocked(spark, name) }
+
+  private def refreshLocked(spark: SparkSession, name: String): (AggTableMeta, String) = {
+    // meta read INSIDE the lock: a refresh that lost the race to a
+    // concurrent one sees the winner's stamped coveredFiles and takes
+    // the noop path instead of re-merging the same delta
     val meta = registered(spark).find(_.name == name)
       .getOrElse(throw new IllegalArgumentException(s"no MV named $name"))
     sweepRefreshLeftovers(meta.mvPath)
@@ -129,7 +176,7 @@ object AggTables {
     val fullRebuild = covered.isEmpty || !covered.subsetOf(current.toSet) ||
       !Files.exists(Paths.get(meta.mvPath))
     if (fullRebuild)
-      (create(spark, meta.name, meta.basePath, meta.groupCols,
+      (createLocked(spark, meta.name, meta.basePath, meta.groupCols,
         meta.measures.map(m => (m.func, m.baseCol))), "full")
     else {
       val delta = current.filterNot(covered.contains)
@@ -297,14 +344,19 @@ object AggTables {
   /** Listing entry = "base-relative-path:length:mtime" — the unit the
     * incremental refresh diffs against `coveredFiles` (paths cannot
     * contain ':'). Base-relative, not bare name: a segmented base
-    * holds same-named part files in every segment dir.
+    * holds same-named part files in every segment dir. Both sides are
+    * compared as scheme-less URI paths so a scheme-qualified base
+    * (hdfs://nn/...) still yields relative entries; when the prefix
+    * genuinely doesn't match, the FULL path is the fallback — never
+    * the bare name, which would re-open the cross-segment collision.
     */
   private def entryOf(st: org.apache.hadoop.fs.FileStatus,
                       basePath: String): String = {
     val full = st.getPath.toUri.getPath
-    val b = basePath.stripSuffix("/")
+    val b = new org.apache.hadoop.fs.Path(basePath).toUri.getPath
+      .stripSuffix("/")
     val rel = if (full.startsWith(b + "/")) full.substring(b.length + 1)
-              else st.getPath.getName
+              else full
     s"$rel:${st.getLen}:${st.getModificationTime}"
   }
 
@@ -450,6 +502,12 @@ case class AggTableRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
               .map(m => AggregateExpression(Max(mvAttr(m.mvCol)), Complete, isDistinct = false))
           case Count(Seq(Literal(1, _))) =>
             Some(sumOf(mvAttr(mv.countCol)))
+          // COUNT(col) = SUM of the per-group non-null counts the
+          // rollup materializes beside every sum measure
+          case Count(Seq(a: Attribute)) =>
+            mv.measures.find(m => m.func == "sum" && m.baseCol == a.name &&
+                m.cntCol.nonEmpty && mvAttr.contains(m.cntCol))
+              .map(m => sumOf(mvAttr(m.cntCol)))
           // AVG(c) = SUM(sum_c) / SUM(cnt_c) — divides by the
           // non-null count of c, matching AVG's null semantics
           case Average(a: Attribute, _)

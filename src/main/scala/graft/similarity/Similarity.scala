@@ -73,10 +73,19 @@ object Similarity {
     */
   private def gated(derived: DataFrame, raw: DataFrame): DataFrame = {
     val key = raw.queryExecution.analyzed
-    val small = gateVerdicts.computeIfAbsent(key, _ => {
-      gateProbes.incrementAndGet()
-      raw.limit(MaxBroadcastQueries + 1).count() <= MaxBroadcastQueries
-    })
+    // probe OUTSIDE the map's monitor: computeIfAbsent would hold the
+    // global gate lock for the duration of a Spark job, serializing
+    // unrelated frames' gate decisions behind it. A lost race costs at
+    // most one duplicate constant-cost probe.
+    val cached = gateVerdicts.get(key)
+    val small =
+      if (cached != null) cached.booleanValue()
+      else {
+        gateProbes.incrementAndGet()
+        val v = raw.limit(MaxBroadcastQueries + 1).count() <= MaxBroadcastQueries
+        gateVerdicts.put(key, v)
+        v
+      }
     if (small) broadcast(derived) else derived
   }
 

@@ -29,25 +29,34 @@ object ComplexCsv {
     * collide with data that survived a CSV reader.
     */
   private val ExtraLevels: Seq[String] =
-    Seq("\u0001", "\u0002", "\u0003").map(java.util.regex.Pattern.quote)
+    Seq("\u0001", "\u0002", "\u0003", "\u0004", "\u0005")
+      .map(java.util.regex.Pattern.quote)
 
   /** Parse a raw string column into `targetType` (StringType passthru,
     * numeric/timestamp casts, ARRAY/STRUCT via per-depth delimiters).
-    * Nesting is ARBITRARY-DEPTH (reference flattening,
-    * CarbonSqlParser.scala:1052-1094): each nesting level consumes the
-    * next delimiter — level 1 between array elements, level 2 between
-    * struct fields / second-level elements, control characters beyond
-    * that. A top-level struct splits on level 2 (the reference's
-    * encoding: `imei:imsi`), so struct-in-array and bare struct read
-    * identically.
+    * Nesting recurses to any depth the delimiter supply covers — 7
+    * levels with the defaults, failing FAST past that (reference
+    * flattening, CarbonSqlParser.scala:1052-1094): each nesting level
+    * consumes the next delimiter — level 1 between array elements,
+    * level 2 between struct fields / second-level elements, control
+    * characters beyond that. A top-level struct splits on level 2 (the
+    * reference's encoding: `imei:imsi`), so struct-in-array and bare
+    * struct read identically.
     */
   def parseColumn(raw: Column, targetType: DataType,
                   l1: String = Level1, l2: String = Level2,
                   extra: Seq[String] = ExtraLevels): Column =
     parseAtDepth(raw, targetType, (Seq(l1, l2) ++ extra).toIndexedSeq, 0)
 
-  private def delimAt(delims: IndexedSeq[String], depth: Int): String =
-    delims(math.min(depth, delims.length - 1))
+  private def delimAt(delims: IndexedSeq[String], depth: Int): String = {
+    // fail FAST past the delimiter supply: clamping would reuse the
+    // last delimiter for two adjacent levels, silently merging them
+    require(depth < delims.length,
+      s"complex-type nesting depth ${depth + 1} exceeds the delimiter " +
+        s"supply (${delims.length} levels); flatten the schema or " +
+        "extend complex_delimiter_level_* options")
+    delims(depth)
+  }
 
   private def parseAtDepth(raw: Column, t: DataType,
                            delims: IndexedSeq[String], depth: Int): Column =

@@ -80,26 +80,35 @@ object EventStreams {
     //    and is unaffected, while every state-store partition pays a
     //    per-batch open/commit. Callers whose state is small pass a
     //    small statePartitions; 0 keeps the session setting.
-    val conf = spark.conf
-    val prevNoData = conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
-    val prevParts = conf.getOption("spark.sql.shuffle.partitions")
-    conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    if (statePartitions > 0)
-      conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    try {
-      val q = agg.writeStream
-        .outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally {
-      prevNoData.fold(conf.unset("spark.sql.streaming.noDataMicroBatches.enabled"))(
-        conf.set("spark.sql.streaming.noDataMicroBatches.enabled", _))
+    // The overrides mutate SESSION conf with save/restore, so two
+    // concurrent drains on one session would race the restore and
+    // batch queries planned inside the window would inherit the small
+    // shuffle-partition setting. Serialize drains per session (the
+    // conf is session-scoped, so other sessions — e.g. thrift
+    // connections — are unaffected); drains are test/bench-shaped
+    // operations, never a hot concurrent path.
+    spark.synchronized {
+      val conf = spark.conf
+      val prevNoData = conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+      val prevParts = conf.getOption("spark.sql.shuffle.partitions")
+      conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       if (statePartitions > 0)
-        prevParts.fold(conf.unset("spark.sql.shuffle.partitions"))(
-          conf.set("spark.sql.shuffle.partitions", _))
+        conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+      try {
+        val q = agg.writeStream
+          .outputMode(mode)
+          .format("memory")
+          .queryName(name)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally {
+        prevNoData.fold(conf.unset("spark.sql.streaming.noDataMicroBatches.enabled"))(
+          conf.set("spark.sql.streaming.noDataMicroBatches.enabled", _))
+        if (statePartitions > 0)
+          prevParts.fold(conf.unset("spark.sql.shuffle.partitions"))(
+            conf.set("spark.sql.shuffle.partitions", _))
+      }
     }
     spark.table(name)
   }

@@ -225,6 +225,82 @@ class AggTableSpec extends AnyFunSuite {
     assert(got == want, s"got=$got want=$want")
   }
 
+  test("COUNT(col) is served from the rollup's non-null counts") {
+    // li_rollup (first test) materializes cnt_l_quantity beside the sum
+    val qc = spark.read.parquet(base)
+      .groupBy(col("l_returnflag"))
+      .agg(count(col("l_quantity")).as("c"))
+    val paths = scannedPaths(qc)
+    assert(paths.exists(_.contains("li_rollup")), s"scanned: $paths")
+    spark.conf.set("spark.graft.mv.store", "/nonexistent_mv_dir")
+    val want = qc.orderBy("l_returnflag").collect()
+    spark.conf.set("spark.graft.mv.store", TestSpark.mvStore)
+    assert(qc.orderBy("l_returnflag").collect().sameElements(want))
+  }
+
+  test("AGGREGATETABLE declared before the first load registers and serves after it") {
+    import graft.table.SegmentedTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_mvempty").resolve("t").toString
+    val n = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    val t = SegmentedTable.create(spark, root, n.schema,
+      Map("refresh_on_commit" -> "true"))
+    // the reference workflow: declare the rollup on the EMPTY cube
+    AggTables.create(spark, "nation_empty_mv", root,
+      Seq("n_regionkey"), Seq("sum" -> "n_nationkey"))
+    def qn() = t.read()
+      .groupBy(col("n_regionkey")).agg(sum(col("n_nationkey")).as("s"))
+    assert(qn().count() == 0)
+    // first load auto-refreshes (full rebuild: covered was empty)
+    t.load(n)
+    assert(t.lastAutoRefresh == Seq("nation_empty_mv" -> "full"),
+      s"autoRefresh=${t.lastAutoRefresh}")
+    assert(scannedPaths(qn()).exists(_.contains("nation_empty_mv")))
+    assert(qn().collect().map(_.getLong(1)).sum ==
+      n.agg(sum(col("n_nationkey"))).head().getLong(0))
+    AggTables.drop(spark, "nation_empty_mv")
+  }
+
+  test("concurrent commits refresh the MV exactly, never double-merging a delta") {
+    import graft.table.SegmentedTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_mvrace").resolve("t").toString
+    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val t = SegmentedTable.create(spark, root, o.schema,
+      Map("refresh_on_commit" -> "true"))
+    t.load(o.filter(col("o_orderkey") % 4 === 0))
+    AggTables.create(spark, "ord_race", root,
+      Seq("o_orderstatus"), Seq("sum" -> "o_orderkey"))
+    // two loads race: their post-commit refreshes serialize on the
+    // per-MV lock; the loser re-reads the winner's coveredFiles, so a
+    // delta is merged exactly once whatever the interleaving
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val fs = (1 to 3).map(r => Future {
+      t.load(o.filter(col("o_orderkey") % 4 === r))
+    })
+    Await.result(Future.sequence(fs), 5.minutes)
+    pool.shutdown()
+    // one final refresh (no-op or incremental) then compare exactly
+    AggTables.refresh(spark, "ord_race")
+    val mvPath = AggTables.registered(spark).find(_.name == "ord_race").get.mvPath
+    val got = spark.read.parquet(mvPath)
+      .select(col("o_orderstatus"), col("sum_o_orderkey"), col("cnt_rows"))
+      .orderBy("o_orderstatus").collect()
+    val want = o.groupBy(col("o_orderstatus"))
+      .agg(sum(col("o_orderkey")).as("s"), count(lit(1)).as("c"))
+      .orderBy("o_orderstatus").collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getString(0) == w.getString(0))
+      assert(g.getLong(1) == w.getLong(1), s"double-merged sum for ${g.getString(0)}")
+      assert(g.getLong(2) == w.getLong(2), s"double-merged count for ${g.getString(0)}")
+    }
+    AggTables.drop(spark, "ord_race")
+  }
+
   test("refresh_on_commit: load into the base auto-refreshes the MV incrementally") {
     import graft.table.SegmentedTable
     val root = java.nio.file.Files
