@@ -311,6 +311,84 @@ object PipelineQueries {
         .select(col("source"), col("docs"), col("tokens"), col("weight"))
     }),
 
+    // pipeline: DSIR-shaped importance weighting (Xie et al. 2023,
+    // "Data Selection for Language Models via Importance Resampling"):
+    // rank raw-corpus documents by how much more likely their tokens
+    // are under a TARGET distribution (the lang='en' slice) than under
+    // the raw corpus — add-1-smoothed unigram LMs, per-token
+    // likelihood ratio. The ratio is computed in EXACT integer
+    // arithmetic (parts-per-million via integer div) so per-doc sums
+    // are order-independent and bit-reproducible in any engine — a
+    // float log-ratio sum would hash differently per partition order.
+    // Scale: two keyed shuffles (vocab agg by token, doc re-agg), a
+    // 1-row totals broadcast, no all-pairs; exact while corpus tokens
+    // × vocab < 2^63/1e6 (~9e12 — beyond any single vocab agg).
+    "t17_importance_weights" -> ((s, d) => {
+      val terms = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(TextFunctions.tokens(col("text"))).as("token"))
+      val vocab = terms.groupBy(col("token"))
+        .agg(count(lit(1)).as("c_r"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_t"))
+      val tot = vocab.agg(sum(col("c_r")).as("n_r"), sum(col("c_t")).as("n_t"),
+        count(lit(1)).as("v"))
+      terms.join(vocab, "token").crossJoin(broadcast(tot))
+        .withColumn("ppm", expr(
+          "((c_t + 1) * (n_r + v) * CAST(1000000 AS BIGINT)) div ((n_t + v) * (c_r + 1))"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("ppm")).as("__s"))
+        // the mean stays in integer ppm until ONE exact double division
+        // — round() at a half-boundary differs between engines
+        // (HALF_UP vs half-to-even), integer div does not
+        .select(col("doc_id"), col("n_tokens"),
+          (expr("__s div n_tokens").cast("double") / 1e6).as("weight"))
+    }),
+
+    // pipeline: unigram-surprise quality scoring — the unigram
+    // analogue of CCNet's LM-perplexity filter: documents whose tokens
+    // are improbable under the corpus LM (high mean inverse unigram
+    // probability) are junk candidates. Same exact-integer ppm
+    // discipline and shuffle shape as t17.
+    "t18_unigram_surprise" -> ((s, d) => {
+      val terms = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("token"))
+      val vocab = terms.groupBy(col("token")).agg(count(lit(1)).as("c_r"))
+      val tot = vocab.agg(sum(col("c_r")).as("n_r"), count(lit(1)).as("v"))
+      terms.join(vocab, "token").crossJoin(broadcast(tot))
+        .withColumn("inv_ppm",
+          expr("((n_r + v) * CAST(1000000 AS BIGINT)) div (c_r + 1)"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("inv_ppm")).as("__s"))
+        .select(col("doc_id"), col("n_tokens"),
+          (expr("__s div n_tokens").cast("double") / 1e6).as("mean_inv_prob"))
+    }),
+
+    // pipeline: deterministic mixture RESAMPLING — materializes t16's
+    // uniform-over-sources target by downsampling each source at
+    // rate = min(1, weight), with the keep/drop decision a pure
+    // function of (doc_id, source) through md5 (the t08 split
+    // discipline: stable across engines, partitionings, and reruns —
+    // never rand()). Per-source rates are a handful of rows broadcast
+    // to the filter; one narrow pass over the corpus.
+    "t19_mixture_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val per = docs.groupBy(col("source"))
+        .agg(sum(TextFunctions.tokenCount(col("text")).cast("long")).as("tokens"))
+      val tot = per.agg(sum(col("tokens")).as("t"), count(lit(1)).as("ns"))
+      val rates = per.crossJoin(broadcast(tot))
+        .withColumn("rate_ppm", least(lit(1000000L),
+          expr("(t * CAST(1000000 AS BIGINT)) div (ns * tokens)")))
+        .select(col("source"), col("rate_ppm"))
+      docs.join(broadcast(rates), "source")
+        .withColumn("__u", conv(substring(md5(
+          concat(col("doc_id").cast("string"), lit(":"), col("source"))), 1, 6),
+          16, 10).cast("long") % 1000000L)
+        .filter(col("__u") < col("rate_ppm"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("kept_docs"),
+          sum(col("n_chars").cast("long")).as("kept_chars"))
+    }),
+
     // pipeline: eval-set contamination detection — test-split documents
     // that share a MinHash LSH band with any train-split document are
     // flagged as potentially contaminated (near-dup of training data).
@@ -850,6 +928,54 @@ object PipelineQueries {
           SELECT source, docs, tokens,
             ROUND((1.0 / ns) / (tokens / t), 6) AS weight
           FROM per, tot""",
+
+    // exact integer ppm arithmetic both sides: per-doc SUMs of floats
+    // would be partition-order-dependent; BIGINT sums are not
+    "t17_importance_weights" ->
+      s"""WITH terms AS (SELECT doc_id, lang, unnest($W) AS token FROM documents),
+          vocab AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c_r,
+            CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+            FROM terms GROUP BY token),
+          tot AS (SELECT CAST(SUM(c_r) AS BIGINT) AS n_r,
+            CAST(SUM(c_t) AS BIGINT) AS n_t,
+            CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+          scored AS (SELECT t.doc_id,
+            ((vb.c_t + 1) * (tot.n_r + tot.v) * 1000000) //
+              ((tot.n_t + tot.v) * (vb.c_r + 1)) AS ppm
+            FROM terms t JOIN vocab vb USING (token) CROSS JOIN tot)
+          SELECT doc_id, COUNT(*) AS n_tokens,
+            CAST(CAST(SUM(ppm) AS BIGINT) // COUNT(*) AS DOUBLE) / 1000000.0
+              AS weight
+          FROM scored GROUP BY doc_id""",
+
+    "t18_unigram_surprise" ->
+      s"""WITH terms AS (SELECT doc_id, unnest($W) AS token FROM documents),
+          vocab AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c_r
+            FROM terms GROUP BY token),
+          tot AS (SELECT CAST(SUM(c_r) AS BIGINT) AS n_r,
+            CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+          scored AS (SELECT t.doc_id,
+            ((tot.n_r + tot.v) * 1000000) // (vb.c_r + 1) AS inv_ppm
+            FROM terms t JOIN vocab vb USING (token) CROSS JOIN tot)
+          SELECT doc_id, COUNT(*) AS n_tokens,
+            CAST(CAST(SUM(inv_ppm) AS BIGINT) // COUNT(*) AS DOUBLE) / 1000000.0
+              AS mean_inv_prob
+          FROM scored GROUP BY doc_id""",
+
+    "t19_mixture_sample" ->
+      s"""WITH per AS (SELECT source, CAST(SUM(len($W)) AS BIGINT) AS tokens
+            FROM documents GROUP BY source),
+          tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS t,
+            CAST(COUNT(*) AS BIGINT) AS ns FROM per),
+          rates AS (SELECT source,
+            LEAST(1000000, (tot.t * 1000000) // (tot.ns * per.tokens)) AS rate_ppm
+            FROM per, tot)
+          SELECT d.source, COUNT(*) AS kept_docs,
+            CAST(SUM(d.n_chars) AS BIGINT) AS kept_chars
+          FROM documents d JOIN rates r ON d.source = r.source
+          WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || d.source), 1, 6)
+              AS BIGINT) % 1000000 < r.rate_ppm
+          GROUP BY d.source""",
 
     "t14_seq_pack" ->
       s"""WITH d AS (SELECT doc_id, CAST(len($W) AS BIGINT) AS toks,
