@@ -72,6 +72,15 @@ object Similarity {
     * again in the join.
     */
   private def gated(derived: DataFrame, raw: DataFrame): DataFrame = {
+    // free short-circuit before any job: without CBO, size estimates
+    // never SHRINK through filters/projections, so a small estimate is
+    // a PROOF of smallness (the reverse is not true — a 5-row filter
+    // of a 100 GB corpus estimates 100 GB, which is exactly what the
+    // count probe exists to check). Below the session's own broadcast
+    // threshold the hint is safe by construction.
+    val est = raw.queryExecution.optimizedPlan.stats.sizeInBytes
+    val thresh = raw.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    if (thresh > 0 && est <= BigInt(thresh)) return broadcast(derived)
     val key = raw.queryExecution.analyzed
     // probe OUTSIDE the map's monitor: computeIfAbsent would hold the
     // global gate lock for the duration of a Spark job, serializing

@@ -262,15 +262,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(n == Seq(2, 1, 0))
   }
 
-  test("ANN broadcast gate probes once per query frame across repeated serves") {
-    // the serve-session shape: one held query frame, many calls
+  test("ANN broadcast gate: estimate short-circuit, then one probe per held frame") {
     val q1 = emb.filter(col("vec_id") < 5)
-    val before = Similarity.gateProbes.get()
+    // a provably-small frame (estimate under the broadcast threshold)
+    // never runs a probe job at all
+    val before0 = Similarity.gateProbes.get()
     Similarity.bruteForceTopK(emb, q1, "vec_id", "embedding", 3).collect()
-    Similarity.bruteForceTopK(emb, q1, "vec_id", "embedding", 3).collect()
-    Similarity.ivfTopK(emb, q1, "vec_id", "embedding", 3).collect()
-    assert(Similarity.gateProbes.get() == before + 1,
-      s"expected 1 probe, got ${Similarity.gateProbes.get() - before}")
+    assert(Similarity.gateProbes.get() == before0,
+      "small-estimate frames must not probe")
+    // with the free short-circuit unavailable, repeated serves of one
+    // held frame run exactly one probe (the memo)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q2 = emb.filter(col("vec_id") < 7)
+      val before = Similarity.gateProbes.get()
+      Similarity.bruteForceTopK(emb, q2, "vec_id", "embedding", 3).collect()
+      Similarity.bruteForceTopK(emb, q2, "vec_id", "embedding", 3).collect()
+      Similarity.ivfTopK(emb, q2, "vec_id", "embedding", 3).collect()
+      assert(Similarity.gateProbes.get() == before + 1,
+        s"expected 1 probe, got ${Similarity.gateProbes.get() - before}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("semanticDupes hot-cell guard: one dense cell, blocked result == plain") {
