@@ -418,6 +418,17 @@ object RelationalQueries {
       asOfJoinPlan(Tables.events(s, d))
     }),
 
+    // skyline / Pareto front (EDBT 2023 "Integration of Skyline
+    // Queries into Spark SQL" — PAPERS.md): line items on the
+    // (price, quantity) Pareto front, both minimized. The Spark side
+    // runs the 2-phase SFS operator; the oracle computes the same
+    // front with a DIFFERENT algorithm (sorted running-min), so the
+    // hash match cross-validates two independent implementations.
+    "q42_skyline" -> ((s, d) => {
+      Skyline.skyline(Tables.lineitem(s, d),
+        Seq("l_extendedprice", "l_quantity"))
+    }),
+
     "q39_pivot" -> ((s, d) => {
       Tables.orders(s, d)
         .groupBy(col("o_orderpriority"))
@@ -742,6 +753,24 @@ object RelationalQueries {
              MAX(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END) AS lp
            FROM events GROUP BY user_id)
          WHERE fs IS NOT NULL AND lp IS NOT NULL AND fs < lp""",
+
+    // 2-D skyline by sorted running-min: a distinct point is on the
+    // front iff no point ordered before it (price asc, qty asc) has
+    // qty <= its qty — same-price smaller-qty and smaller-price
+    // equal-or-smaller-qty points both dominate
+    "q42_skyline" ->
+      """WITH pts AS (
+           SELECT DISTINCT CAST(l_extendedprice AS DOUBLE) AS l_extendedprice,
+                           CAST(l_quantity AS DOUBLE) AS l_quantity
+           FROM lineitem
+           WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+         w AS (
+           SELECT l_extendedprice, l_quantity,
+             MIN(l_quantity) OVER (ORDER BY l_extendedprice ASC, l_quantity ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_min
+           FROM pts)
+         SELECT l_extendedprice, l_quantity FROM w
+         WHERE prev_min IS NULL OR prev_min > l_quantity""",
 
     // computes from the BASE table: hash-equality proves the MV rewrite
     // returns exactly the base answer. avg is written as the same

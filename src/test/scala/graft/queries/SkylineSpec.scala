@@ -1,0 +1,60 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class SkylineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** O(n²) reference dominance check. */
+  private def bruteSkyline(pts: Seq[Seq[Double]]): Set[Seq[Double]] = {
+    val distinct = pts.distinct
+    distinct.filter { p =>
+      !distinct.exists(q => q != p &&
+        q.zip(p).forall { case (a, b) => a <= b } &&
+        q.zip(p).exists { case (a, b) => a < b })
+    }.toSet
+  }
+
+  test("2-D skyline equals the brute-force Pareto front") {
+    val rnd = new scala.util.Random(11)
+    val pts = Seq.fill(400)(Seq(rnd.nextInt(50).toDouble, rnd.nextInt(50).toDouble))
+    val df = pts.map(p => (p(0), p(1))).toDF("x", "y")
+    val got = Skyline.skyline(df, Seq("x", "y"))
+      .collect().map(r => Seq(r.getDouble(0), r.getDouble(1))).toSet
+    assert(got == bruteSkyline(pts))
+  }
+
+  test("3-D skyline (beyond the 2-D window formulation) is exact") {
+    val rnd = new scala.util.Random(13)
+    val pts = Seq.fill(300)(Seq(rnd.nextInt(20).toDouble,
+      rnd.nextInt(20).toDouble, rnd.nextInt(20).toDouble))
+    val df = pts.map(p => (p(0), p(1), p(2))).toDF("a", "b", "c")
+    val got = Skyline.skyline(df, Seq("a", "b", "c"))
+      .collect().map(r => Seq(r.getDouble(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(got == bruteSkyline(pts))
+  }
+
+  test("duplicates collapse, nulls are excluded, single point survives") {
+    val df = Seq(
+      (Some(1.0), Some(1.0)), (Some(1.0), Some(1.0)), // duplicate point
+      (Some(2.0), Some(0.5)),
+      (None, Some(0.0)), (Some(0.0), None)            // null dims drop
+    ).toDF("x", "y")
+    val got = Skyline.skyline(df, Seq("x", "y"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    assert(got == Set((1.0, 1.0), (2.0, 0.5)))
+  }
+
+  test("local pruning never drops a global-skyline point across partitions") {
+    // anti-correlated band: every distinct point is on the front, the
+    // worst case for phase-2 size — the result must still be exact
+    val pts = (0 until 1000).map(i => (i.toDouble, (999 - i).toDouble))
+    val df = pts.toDF("x", "y").repartition(8)
+    val got = Skyline.skyline(df, Seq("x", "y")).count()
+    assert(got == 1000)
+  }
+}
