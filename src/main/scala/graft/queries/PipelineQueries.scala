@@ -461,6 +461,28 @@ object PipelineQueries {
         centroidsFor(s, d, emb), 0.4)
     }),
 
+    // similarity: top-k TRAJECTORY similarity (REPOSE, ICDE 2021 —
+    // PAPERS.md): each user's event stream reduces to a 24-dim hourly
+    // activity profile (integer counts — exact in any engine, so the
+    // cosine ranks replay bit-identically), and nearest-neighbor users
+    // come from the same cosine top-k kernel the ANN ladder serves.
+    // One (user)-keyed agg builds the profiles; the search is the s01
+    // brute-force shape with the query set broadcast. At 100 TB the
+    // profile build is the only corpus-sized stage (map-side partial
+    // counts); the search runs over |users| vectors, not events.
+    "e02_trajectory_topk" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val hour = (expr("ts div 3600000000000") % 24).cast("int")
+      val profiles = Tables.events(s, d)
+        .withColumn("hr", hour)
+        .groupBy(col("user_id"))
+        .agg(array((0 until 24).map(h =>
+          sum(when(col("hr") === h, 1L).otherwise(0L)).cast("double")): _*)
+          .as("profile"))
+      Similarity.bruteForceTopK(profiles,
+        profiles.filter(col("user_id") < 5), "user_id", "profile", 3)
+    }),
+
     // similarity: brute-force exact top-3 cosine neighbors of 5 queries
     "s01_ann_brute" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -1096,6 +1118,27 @@ object PipelineQueries {
           SELECT dup_id, MIN(kept_id) AS kept_id FROM pairs
           WHERE $dotSql / ($normQ * $normC) >= 0.4
           GROUP BY dup_id""",
+
+    "e02_trajectory_topk" -> {
+      val profile = (0 until 24).map(h =>
+        s"CAST(SUM(CASE WHEN hr = $h THEN 1 ELSE 0 END) AS DOUBLE)")
+        .mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT user_id,
+            (epoch_ns(ts) // 3600000000000) % 24 AS hr FROM events),
+          p AS (SELECT user_id, $profile AS profile
+            FROM e GROUP BY user_id),
+          q AS (SELECT user_id AS query_id, profile AS qv
+            FROM p WHERE user_id < 5),
+          c AS (SELECT user_id AS neighbor_id, profile AS cv FROM p),
+          scored AS (SELECT query_id, neighbor_id,
+            $dotSql / ($normQ * $normC) AS cos
+          FROM q CROSS JOIN c WHERE neighbor_id <> query_id),
+          ranked AS (SELECT query_id, neighbor_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM scored)
+          SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 3"""
+    },
 
     "s01_ann_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
