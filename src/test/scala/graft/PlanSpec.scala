@@ -151,6 +151,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), p.take(2000))
   }
 
+  test("skyline never plans as a product join; one corpus-sized exchange") {
+    val p = plan("q42_skyline")
+    // the naive skyline is an O(n^2) self-join — the SFS operator must
+    // never degrade to one
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"skyline must not plan as a product:\n${p.take(3000)}")
+    // corpus-sized shuffle: the distinct only; the final pass exchanges
+    // just the (small) local skylines
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges\n${p.take(3000)}")
+  }
+
+  test("importance weighting aggregates map-side before both shuffles") {
+    val p = plan("t17_importance_weights")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"vocab aggregation must combine map-side:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"),
+      "the totals fold must broadcast, never cross-join at row level")
+  }
+
   test("sequence packing windows per shard, never a global order") {
     val p = plan("t14_seq_pack")
     assert(p.contains("hashpartitioning(shard"), p.take(3000))
