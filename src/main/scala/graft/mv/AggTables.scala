@@ -479,7 +479,13 @@ case class AggTableRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     if (!groupNames.forall(mv.groupCols.contains)) return None
 
-    val mvPlan = spark.read.parquet(mv.mvPath).queryExecution.analyzed
+    // fail-SOFT on the swap window: isFresh's existence probe and this
+    // read are not atomic — a refresh's two-rename swap can empty
+    // mvPath in between. Falling back to the base scan keeps the query
+    // alive; the next plan re-probes.
+    val mvPlan =
+      try spark.read.parquet(mv.mvPath).queryExecution.analyzed
+      catch { case scala.util.control.NonFatal(_) => return None }
     val mvAttr: Map[String, Attribute] = mvPlan.output.map(a => a.name -> a).toMap
 
     // map each output NamedExpression of the original aggregate

@@ -316,13 +316,15 @@ object PipelineQueries {
     // rank raw-corpus documents by how much more likely their tokens
     // are under a TARGET distribution (the lang='en' slice) than under
     // the raw corpus — add-1-smoothed unigram LMs, per-token
-    // likelihood ratio. The ratio is computed in EXACT integer
-    // arithmetic (parts-per-million via integer div) so per-doc sums
-    // are order-independent and bit-reproducible in any engine — a
-    // float log-ratio sum would hash differently per partition order.
-    // Scale: two keyed shuffles (vocab agg by token, doc re-agg), a
-    // 1-row totals broadcast, no all-pairs; exact while corpus tokens
-    // × vocab < 2^63/1e6 (~9e12 — beyond any single vocab agg).
+    // likelihood ratio. Determinism discipline: the ratio is computed
+    // in DOUBLE (every IEEE *,/ is correctly rounded, so identical in
+    // any engine, and doubles cannot overflow where int64 products
+    // would at corpus scale) and floored to an integer ppm — per-doc
+    // aggregation is then a BIGINT sum, partition-order-independent,
+    // where a float log-ratio sum would hash differently per run. The
+    // ratio is ≤ (n_r+v)/(n_t+v) because c_r ≥ c_t always, so the
+    // floored ppm fits a long for any target share. Two keyed shuffles
+    // (vocab agg by token, doc re-agg), a 1-row totals broadcast.
     "t17_importance_weights" -> ((s, d) => {
       val terms = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
@@ -334,7 +336,9 @@ object PipelineQueries {
         count(lit(1)).as("v"))
       terms.join(vocab, "token").crossJoin(broadcast(tot))
         .withColumn("ppm", expr(
-          "((c_t + 1) * (n_r + v) * CAST(1000000 AS BIGINT)) div ((n_t + v) * (c_r + 1))"))
+          """CAST(FLOOR(CAST(c_t + 1 AS DOUBLE) * CAST(n_r + v AS DOUBLE) /
+             (CAST(n_t + v AS DOUBLE) * CAST(c_r + 1 AS DOUBLE)) *
+             CAST(1000000 AS DOUBLE)) AS BIGINT)"""))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tokens"), sum(col("ppm")).as("__s"))
         // the mean stays in integer ppm until ONE exact double division
@@ -347,16 +351,22 @@ object PipelineQueries {
     // pipeline: unigram-surprise quality scoring — the unigram
     // analogue of CCNet's LM-perplexity filter: documents whose tokens
     // are improbable under the corpus LM (high mean inverse unigram
-    // probability) are junk candidates. Same exact-integer ppm
-    // discipline and shuffle shape as t17.
+    // probability) are junk candidates. Same double-then-floor ppm
+    // discipline and shuffle shape as t17; the inverse probability is
+    // additionally CAPPED (hapax tokens in a huge corpus would
+    // otherwise make a long doc's ppm sum overflow int64) — a ceiling
+    // on per-token surprise, not a correctness trade, since every
+    // capped token already maxes the filter signal.
     "t18_unigram_surprise" -> ((s, d) => {
       val terms = Tables.documents(s, d)
         .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("token"))
       val vocab = terms.groupBy(col("token")).agg(count(lit(1)).as("c_r"))
       val tot = vocab.agg(sum(col("c_r")).as("n_r"), count(lit(1)).as("v"))
       terms.join(vocab, "token").crossJoin(broadcast(tot))
-        .withColumn("inv_ppm",
-          expr("((n_r + v) * CAST(1000000 AS BIGINT)) div (c_r + 1)"))
+        .withColumn("inv_ppm", expr(
+          """LEAST(CAST(FLOOR(CAST(n_r + v AS DOUBLE) / CAST(c_r + 1 AS DOUBLE) *
+             CAST(1000000 AS DOUBLE)) AS BIGINT),
+           CAST(1000000000000 AS BIGINT))"""))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tokens"), sum(col("inv_ppm")).as("__s"))
         .select(col("doc_id"), col("n_tokens"),
@@ -368,22 +378,25 @@ object PipelineQueries {
     // rate = min(1, weight), with the keep/drop decision a pure
     // function of (doc_id, source) through md5 (the t08 split
     // discipline: stable across engines, partitionings, and reruns —
-    // never rand()). Per-source rates are a handful of rows broadcast
-    // to the filter; one narrow pass over the corpus.
+    // never rand()). The uniform draw is 5 md5 hex chars = EXACTLY
+    // 2^20 equally-likely values with rates in the same 2^20 units —
+    // no modulo, no bias (a mod-1e6 reduction of a 24-bit value keeps
+    // rates ~1.3% hot). Per-source rates are a handful of rows
+    // broadcast to the filter; one narrow pass over the corpus.
     "t19_mixture_sample" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val per = docs.groupBy(col("source"))
         .agg(sum(TextFunctions.tokenCount(col("text")).cast("long")).as("tokens"))
       val tot = per.agg(sum(col("tokens")).as("t"), count(lit(1)).as("ns"))
       val rates = per.crossJoin(broadcast(tot))
-        .withColumn("rate_ppm", least(lit(1000000L),
-          expr("(t * CAST(1000000 AS BIGINT)) div (ns * tokens)")))
-        .select(col("source"), col("rate_ppm"))
+        .withColumn("rate_u20", least(lit(1048576L),
+          expr("(t * CAST(1048576 AS BIGINT)) div (ns * tokens)")))
+        .select(col("source"), col("rate_u20"))
       docs.join(broadcast(rates), "source")
         .withColumn("__u", conv(substring(md5(
-          concat(col("doc_id").cast("string"), lit(":"), col("source"))), 1, 6),
-          16, 10).cast("long") % 1000000L)
-        .filter(col("__u") < col("rate_ppm"))
+          concat(col("doc_id").cast("string"), lit(":"), col("source"))), 1, 5),
+          16, 10).cast("long"))
+        .filter(col("__u") < col("rate_u20"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("kept_docs"),
           sum(col("n_chars").cast("long")).as("kept_chars"))
@@ -962,8 +975,9 @@ object PipelineQueries {
             CAST(SUM(c_t) AS BIGINT) AS n_t,
             CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
           scored AS (SELECT t.doc_id,
-            ((vb.c_t + 1) * (tot.n_r + tot.v) * 1000000) //
-              ((tot.n_t + tot.v) * (vb.c_r + 1)) AS ppm
+            CAST(FLOOR(CAST(vb.c_t + 1 AS DOUBLE) * CAST(tot.n_r + tot.v AS DOUBLE) /
+              (CAST(tot.n_t + tot.v AS DOUBLE) * CAST(vb.c_r + 1 AS DOUBLE)) *
+              CAST(1000000 AS DOUBLE)) AS BIGINT) AS ppm
             FROM terms t JOIN vocab vb USING (token) CROSS JOIN tot)
           SELECT doc_id, COUNT(*) AS n_tokens,
             CAST(CAST(SUM(ppm) AS BIGINT) // COUNT(*) AS DOUBLE) / 1000000.0
@@ -977,7 +991,8 @@ object PipelineQueries {
           tot AS (SELECT CAST(SUM(c_r) AS BIGINT) AS n_r,
             CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
           scored AS (SELECT t.doc_id,
-            ((tot.n_r + tot.v) * 1000000) // (vb.c_r + 1) AS inv_ppm
+            LEAST(CAST(FLOOR(CAST(tot.n_r + tot.v AS DOUBLE) / CAST(vb.c_r + 1 AS DOUBLE) *
+              CAST(1000000 AS DOUBLE)) AS BIGINT), 1000000000000) AS inv_ppm
             FROM terms t JOIN vocab vb USING (token) CROSS JOIN tot)
           SELECT doc_id, COUNT(*) AS n_tokens,
             CAST(CAST(SUM(inv_ppm) AS BIGINT) // COUNT(*) AS DOUBLE) / 1000000.0
@@ -990,13 +1005,13 @@ object PipelineQueries {
           tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS t,
             CAST(COUNT(*) AS BIGINT) AS ns FROM per),
           rates AS (SELECT source,
-            LEAST(1000000, (tot.t * 1000000) // (tot.ns * per.tokens)) AS rate_ppm
+            LEAST(1048576, (tot.t * 1048576) // (tot.ns * per.tokens)) AS rate_u20
             FROM per, tot)
           SELECT d.source, COUNT(*) AS kept_docs,
             CAST(SUM(d.n_chars) AS BIGINT) AS kept_chars
           FROM documents d JOIN rates r ON d.source = r.source
-          WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || d.source), 1, 6)
-              AS BIGINT) % 1000000 < r.rate_ppm
+          WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || d.source), 1, 5)
+              AS BIGINT) < r.rate_u20
           GROUP BY d.source""",
 
     "t14_seq_pack" ->

@@ -54,17 +54,34 @@ object Skyline {
   }
 
   /** Sort-filter-skyline over one in-memory partition: sum-ascending
-    * order guarantees a dominator precedes everything it dominates
-    * (dominance implies a strictly smaller sum), so one forward scan
-    * against the kept buffer is exact.
+    * order guarantees a dominator precedes everything it dominates.
+    * Float subtlety: IEEE addition is monotone, so a dominator's FLOAT
+    * sum is ≤ the dominated point's — but absorption can make them
+    * EQUAL (1e17 + 1.0 == 1e17), and a stable sort would then leave
+    * the dominated point first and never re-test it. The
+    * lexicographic tie-break restores the invariant exactly: within a
+    * sum tie, a dominator (≤ on every dim, < on one) always sorts
+    * first. Sums are precomputed once per point, not per comparison.
     */
   private def sfs(it: Iterator[Array[Double]]): Iterator[Array[Double]] = {
-    val arr = it.toArray
-    java.util.Arrays.sort(arr, Ordering.by((p: Array[Double]) => p.sum))
+    val arr = it.toArray.map(p => (p.sum, p))
+    java.util.Arrays.sort(arr, (a: (Double, Array[Double]), b: (Double, Array[Double])) => {
+      val c = java.lang.Double.compare(a._1, b._1)
+      if (c != 0) c
+      else {
+        var d = 0
+        var r = 0
+        while (r == 0 && d < a._2.length) {
+          r = java.lang.Double.compare(a._2(d), b._2(d))
+          d += 1
+        }
+        r
+      }
+    })
     val kept = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
     var i = 0
     while (i < arr.length) {
-      val c = arr(i)
+      val c = arr(i)._2
       var dominated = false
       var j = 0
       while (!dominated && j < kept.length) {

@@ -69,18 +69,26 @@ object Similarity {
     * query set (stops at cap+1 rows, constant cost) — not on the
     * derived frame, whose construction (centroid assignment, probe
     * explosion) would otherwise be evaluated once for the probe and
-    * again in the join.
+    * again in the join. `fanout` is the caller's bound on
+    * |derived| / |raw| (probe explosion: nprobe cells, bits+1
+    * multi-probes) — the hint lands on the EXPLODED frame, so the
+    * estimate shortcut's safety margin must price it.
     */
-  private def gated(derived: DataFrame, raw: DataFrame): DataFrame = {
+  private def gated(derived: DataFrame, raw: DataFrame,
+                    fanout: Int = 1): DataFrame = {
     // free short-circuit before any job: without CBO, size estimates
-    // never SHRINK through filters/projections, so a small estimate is
-    // a PROOF of smallness (the reverse is not true — a 5-row filter
-    // of a 100 GB corpus estimates 100 GB, which is exactly what the
-    // count probe exists to check). Below the session's own broadcast
-    // threshold the hint is safe by construction.
+    // never shrink through FILTERS (a 5-row filter of a 100 GB corpus
+    // estimates 100 GB — which is exactly what the count probe exists
+    // to check), but they DO under-price projections (defaultSize per
+    // column, compressed parquet bytes). The shortcut therefore
+    // demands an 8x margin for width/compression under-estimates and
+    // multiplies by the caller's explode fanout — conservative enough
+    // that a hinted frame is really broadcastable, while the common
+    // genuinely-small frame still skips the probe job.
     val est = raw.queryExecution.optimizedPlan.stats.sizeInBytes
     val thresh = raw.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
-    if (thresh > 0 && est <= BigInt(thresh)) return broadcast(derived)
+    if (thresh > 0 && est * 8 * math.max(1, fanout) <= BigInt(thresh))
+      return broadcast(derived)
     val key = raw.queryExecution.analyzed
     // probe OUTSIDE the map's monitor: computeIfAbsent would hold the
     // global gate lock for the duration of a Spark job, serializing
@@ -159,7 +167,8 @@ object Similarity {
       signBucket(col(vecCol), bits).as("probe")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    c.join(gated(q, queries), Seq("probe"))
+    c.join(gated(q, queries, fanout = if (multiProbe) bits + 1 else 1),
+        Seq("probe"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w))
@@ -272,7 +281,7 @@ object Similarity {
       "qv", centroids, nprobe)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    c.join(gated(q, queries), Seq("cell"))
+    c.join(gated(q, queries, fanout = nprobe), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w))
@@ -465,7 +474,7 @@ object Similarity {
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
       "qv", centroids, nprobe)
     rankByAdc(
-      index.join(gated(q, queries), Seq("cell"))
+      index.join(gated(q, queries, fanout = nprobe), Seq("cell"))
         .filter(col("neighbor_id") =!= col("query_id"))
         .withColumn("adc", adcExpr(codebooks, m, dsub)), k)
   }
@@ -529,7 +538,7 @@ object Similarity {
       .withColumn("qv", residualExpr(col("qv0"), col("cell"), centroids))
       .select(col("query_id"), col("cell"), col("qv"))
     rankByAdc(
-      c.join(gated(q, queries), Seq("cell"))
+      c.join(gated(q, queries, fanout = nprobe), Seq("cell"))
         .filter(col("neighbor_id") =!= col("query_id"))
         .withColumn("adc", adcExpr(codebooks, m, dsub)), k)
   }

@@ -49,6 +49,16 @@ class SkylineSpec extends AnyFunSuite {
     assert(got == Set((1.0, 1.0), (2.0, 0.5)))
   }
 
+  test("float absorption cannot leave a dominated point in the skyline") {
+    // 1e17 + 1.0 == 1e17 in doubles: both points tie on the float sum,
+    // so only the lexicographic tie-break puts the dominator first —
+    // order the dominated point first to force the failure mode
+    val df = Seq((1e17, 1.0), (1e17, 0.0)).toDF("x", "y").coalesce(1)
+    val got = Skyline.skyline(df, Seq("x", "y"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    assert(got == Set((1e17, 0.0)))
+  }
+
   test("local pruning never drops a global-skyline point across partitions") {
     // anti-correlated band: every distinct point is on the front, the
     // worst case for phase-2 size — the result must still be exact
