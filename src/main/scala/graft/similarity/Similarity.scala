@@ -469,15 +469,31 @@ object Similarity {
                  vecCol: String, k: Int,
                  centroids: Seq[(Int, Array[Float])],
                  codebooks: Seq[(Int, Int, Array[Float])],
-                 m: Int, dsub: Int, nprobe: Int): DataFrame = {
+                 m: Int, dsub: Int, nprobe: Int): DataFrame =
+    rankPool(scoredCandidates(index, queries, idCol, vecCol,
+      centroids, codebooks, m, dsub, nprobe), k)
+
+  /** The serve pipeline up to (but not including) the top-k rank: all
+    * candidates of the probed cells with their asymmetric distances.
+    * Factored out so [[AnnSession]] can persist it as the reusable
+    * candidate pool across interactive k refinements.
+    */
+  private[similarity] def scoredCandidates(index: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String,
+      centroids: Seq[(Int, Array[Float])],
+      codebooks: Seq[(Int, Int, Array[Float])],
+      m: Int, dsub: Int, nprobe: Int): DataFrame = {
     val q = assignCells(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
       "qv", centroids, nprobe)
-    rankByAdc(
-      index.join(gated(q, queries, fanout = nprobe), Seq("cell"))
-        .filter(col("neighbor_id") =!= col("query_id"))
-        .withColumn("adc", adcExpr(codebooks, m, dsub)), k)
+    index.join(gated(q, queries, fanout = nprobe), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc", adcExpr(codebooks, m, dsub))
   }
+
+  /** Top-k rank of a (possibly cached) candidate pool. */
+  private[similarity] def rankPool(pool: DataFrame, k: Int): DataFrame =
+    rankByAdc(pool, k)
 
   // ---- residual quantization (the production IVF-PQ refinement) ----
   //

@@ -285,6 +285,29 @@ class PipelineSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("AnnSession: k refinements re-rank one cached pool, results exact") {
+    val cents = Similarity.trainCentroids(emb, "vec_id", "embedding", 8)
+    val cbs = Similarity.trainCodebooks(emb, "embedding", 8, 8, 16)
+    val index = Similarity.ivfPqIndexRows(emb, "vec_id", "embedding",
+      cents, cbs, 8, 8)
+    val queries = emb.filter(col("vec_id") < 5)
+    val session = graft.similarity.AnnSession(index, cents, cbs, 8, 8, nprobe = 3)
+    try {
+      def fresh(k: Int) = Similarity.ivfPqServe(index, queries, "vec_id",
+        "embedding", k, cents, cbs, 8, 8, 3)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      def served(k: Int) = session.topK(queries, "vec_id", "embedding", k)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      // interactive refinement: same held frame, growing k — every
+      // refinement must equal a from-scratch serve at that k
+      assert(served(3) == fresh(3))
+      assert(served(8) == fresh(8))
+      assert(served(1) == fresh(1))
+      // and all three ran off ONE cached candidate pool
+      assert(session.cachedPools == 1)
+    } finally session.close()
+  }
+
   test("semanticDupes hot-cell guard: one dense cell, blocked result == plain") {
     // pathological SemDeDup input: every vector is a tiny jitter around
     // ONE direction, so the whole corpus lands in a single IVF cell —
