@@ -69,7 +69,8 @@ object AggTables {
       groupCols: Seq[String], measures: Seq[(String, String)]): AggTableMeta = {
     val dir = catalogDir(spark)
     Files.createDirectories(Paths.get(dir))
-    val mvPath = s"$dir/$name.parquet"
+    val prevPath = registered(spark).find(_.name == name).map(_.mvPath)
+    val mvPath = newVersionPath(dir, name)
     val ms = measures.toList.map {
       case ("sum", c) => MeasureMeta("sum", c, s"sum_$c", s"cnt_$c")
       case (f, c) => MeasureMeta(f, c, s"${f}_$c")
@@ -95,21 +96,13 @@ object AggTables {
         graft.table.SegmentedTable.open(spark, normalize(basePath)).read()
       else throw new IllegalArgumentException(
         s"aggregate table $name: base $basePath has no data files and no table schema")
-    // the full (re)build uses the same rename swap as the incremental
-    // path — readers that passed the plan-time existence probe never
-    // observe Spark's in-place overwrite deleting the live rollup
-    sweepRefreshLeftovers(mvPath)
-    val tmp = s"$mvPath.refresh_tmp"
-    rollup(src, groupCols, ms).write.mode("overwrite").parquet(tmp)
-    if (Files.exists(Paths.get(mvPath))) {
-      val retired = Paths.get(s"$mvPath.old_${System.nanoTime()}")
-      Files.move(Paths.get(mvPath), retired)
-      Files.move(Paths.get(tmp), Paths.get(mvPath))
-      deleteRecursively(retired)
-    } else Files.move(Paths.get(tmp), Paths.get(mvPath))
+    // versioned build: the rollup lands in a brand-new directory and
+    // the catalog pointer flips to it — see [[newVersionPath]]
+    rollup(src, groupCols, ms).write.mode("overwrite").parquet(mvPath)
     val meta = AggTableMeta(name, normalize(basePath), mvPath, groupCols.toList,
       ms, "cnt_rows", digest(entries), entries.toList)
     Files.writeString(Paths.get(dir, s"$name.json"), Serialization.write(meta))
+    sweepOldVersions(dir, name, Set(mvPath) ++ prevPath)
     meta
   }
 
@@ -166,7 +159,6 @@ object AggTables {
     // the noop path instead of re-merging the same delta
     val meta = registered(spark).find(_.name == name)
       .getOrElse(throw new IllegalArgumentException(s"no MV named $name"))
-    sweepRefreshLeftovers(meta.mvPath)
     val currentStatuses = listFiles(spark, meta.basePath)
     val current = currentStatuses.map(entryOf(_, meta.basePath)).sorted
     val covered = meta.coveredFiles.toSet
@@ -211,46 +203,52 @@ object AggTables {
           // see a schema drift across refreshes
           .select(old.schema.fields.map(f =>
             col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
-        val tmp = s"${meta.mvPath}.refresh_tmp"
-        remerged.write.mode("overwrite").parquet(tmp)
-        // rename-based swap (ADVICE r6): move the old rollup ASIDE and
-        // flip the new one in — two renames instead of a recursive
-        // delete inside the visibility window, so a concurrent reader
-        // that passed the plan-time existence probe can no longer race
-        // a half-deleted directory, and a crash leaves either the old
-        // or the new rollup intact on disk (a crash exactly between
-        // the renames leaves mvPath missing — the rewrite's existence
-        // probe falls back to the base scan and the next refresh
-        // full-rebuilds). Orphaned .old_*/.refresh_tmp dirs from
-        // crashed refreshes are swept at the top of refreshDetailed.
-        val retired = Paths.get(s"${meta.mvPath}.old_${System.nanoTime()}")
-        Files.move(Paths.get(meta.mvPath), retired)
-        Files.move(Paths.get(tmp), Paths.get(meta.mvPath))
-        deleteRecursively(retired)
-        val stamped = meta.copy(fingerprint = digest(current),
-          coveredFiles = current.toList)
+        // versioned swap — see [[newVersionPath]]: the merged rollup
+        // lands in a brand-new directory, the catalog pointer flips,
+        // and the PREVIOUS version survives one refresh cycle so
+        // in-flight readers keep real files under their captured path
+        val newPath = newVersionPath(dir, name)
+        remerged.write.mode("overwrite").parquet(newPath)
+        val stamped = meta.copy(mvPath = newPath,
+          fingerprint = digest(current), coveredFiles = current.toList)
         Files.writeString(Paths.get(dir, s"$name.json"),
           Serialization.write(stamped))
+        sweepOldVersions(dir, name, Set(newPath, meta.mvPath))
         (stamped, "incremental")
       }
     }
   }
 
-  /** Delete orphaned swap artifacts (`<mv>.refresh_tmp`, `<mv>.old_*`)
-    * left by a refresh that crashed mid-swap. Runs before any staging,
-    * so it can never touch an in-flight refresh's work.
+  /** Versioned rollup directories (MVCC-lite): every (re)build writes
+    * a brand-new `<name>.parquet.v<nanos>` directory and re-stamps the
+    * catalog pointer; the PREVIOUS version is retained for one refresh
+    * cycle so an in-flight reader that captured the old path keeps
+    * reading real files all the way through execution — the
+    * vanishing-directory race of any in-place swap is structurally
+    * gone (a reader would have to outlive two full refresh cycles to
+    * lose its files). A crash leaves at worst an orphaned new version
+    * with the pointer still on the old one — consistent, swept by the
+    * next refresh.
     */
-  private def sweepRefreshLeftovers(mvPath: String): Unit = {
-    val mv = Paths.get(mvPath)
-    val dir = mv.getParent
-    val prefix = mv.getFileName.toString
-    if (dir == null || !Files.exists(dir)) return
+  private def newVersionPath(dir: String, name: String): String =
+    s"$dir/$name.parquet.v${System.nanoTime()}"
+
+  /** Delete every rollup version/artifact of `name` not in `keep` —
+    * old versions past their grace cycle, legacy unversioned dirs, and
+    * pre-versioning swap artifacts (`.refresh_tmp`, `.old_*`). Caller
+    * holds the per-MV refresh lock.
+    */
+  private def sweepOldVersions(dir: String, name: String,
+                               keep: Set[String]): Unit = {
+    val d = Paths.get(dir)
+    if (!Files.exists(d)) return
     import scala.jdk.CollectionConverters._
-    val listing = Files.list(dir)
+    val listing = Files.list(d)
     val stale =
       try listing.iterator().asScala.filter { p =>
         val n = p.getFileName.toString
-        n == s"$prefix.refresh_tmp" || n.startsWith(s"$prefix.old_")
+        (n == s"$name.parquet" || n.startsWith(s"$name.parquet.")) &&
+          !keep.contains(p.toString)
       }.toList
       finally listing.close()
     stale.foreach(deleteRecursively)
@@ -281,18 +279,12 @@ object AggTables {
     }
 
   /** Deregister an MV and delete its rollup data. */
-  def drop(spark: SparkSession, name: String): Unit = {
-    val dir = catalogDir(spark)
-    Files.deleteIfExists(Paths.get(dir, s"$name.json"))
-    val mv = Paths.get(s"$dir/$name.parquet")
-    if (Files.exists(mv)) {
-      import scala.jdk.CollectionConverters._
-      val walk = Files.walk(mv)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.toList.foreach(Files.deleteIfExists(_))
-      finally walk.close()
+  def drop(spark: SparkSession, name: String): Unit =
+    withRefreshLock(spark, name) {
+      val dir = catalogDir(spark)
+      Files.deleteIfExists(Paths.get(dir, s"$name.json"))
+      sweepOldVersions(dir, name, Set.empty)
     }
-  }
 
   def registered(spark: SparkSession): Seq[AggTableMeta] = {
     val d = Paths.get(catalogDir(spark))

@@ -322,8 +322,10 @@ object PipelineQueries {
     // would at corpus scale) and floored to an integer ppm — per-doc
     // aggregation is then a BIGINT sum, partition-order-independent,
     // where a float log-ratio sum would hash differently per run. The
-    // ratio is ≤ (n_r+v)/(n_t+v) because c_r ≥ c_t always, so the
-    // floored ppm fits a long for any target share. Two keyed shuffles
+    // ratio is ≤ (n_r+v)/(n_t+v) because c_r ≥ c_t always, and is
+    // additionally CAPPED at 1e12 ppm so a long document under a tiny
+    // target share cannot overflow its per-doc BIGINT ppm sum (t18's
+    // ceiling discipline — capped tokens already max the signal). Two keyed shuffles
     // (vocab agg by token, doc re-agg), a 1-row totals broadcast.
     "t17_importance_weights" -> ((s, d) => {
       val terms = Tables.documents(s, d)
@@ -336,9 +338,10 @@ object PipelineQueries {
         count(lit(1)).as("v"))
       terms.join(vocab, "token").crossJoin(broadcast(tot))
         .withColumn("ppm", expr(
-          """CAST(FLOOR(CAST(c_t + 1 AS DOUBLE) * CAST(n_r + v AS DOUBLE) /
+          """LEAST(CAST(FLOOR(CAST(c_t + 1 AS DOUBLE) * CAST(n_r + v AS DOUBLE) /
              (CAST(n_t + v AS DOUBLE) * CAST(c_r + 1 AS DOUBLE)) *
-             CAST(1000000 AS DOUBLE)) AS BIGINT)"""))
+             CAST(1000000 AS DOUBLE)) AS BIGINT),
+             CAST(1000000000000 AS BIGINT))"""))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tokens"), sum(col("ppm")).as("__s"))
         // the mean stays in integer ppm until ONE exact double division
@@ -975,9 +978,9 @@ object PipelineQueries {
             CAST(SUM(c_t) AS BIGINT) AS n_t,
             CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
           scored AS (SELECT t.doc_id,
-            CAST(FLOOR(CAST(vb.c_t + 1 AS DOUBLE) * CAST(tot.n_r + tot.v AS DOUBLE) /
+            LEAST(CAST(FLOOR(CAST(vb.c_t + 1 AS DOUBLE) * CAST(tot.n_r + tot.v AS DOUBLE) /
               (CAST(tot.n_t + tot.v AS DOUBLE) * CAST(vb.c_r + 1 AS DOUBLE)) *
-              CAST(1000000 AS DOUBLE)) AS BIGINT) AS ppm
+              CAST(1000000 AS DOUBLE)) AS BIGINT), 1000000000000) AS ppm
             FROM terms t JOIN vocab vb USING (token) CROSS JOIN tot)
           SELECT doc_id, COUNT(*) AS n_tokens,
             CAST(CAST(SUM(ppm) AS BIGINT) // COUNT(*) AS DOUBLE) / 1000000.0

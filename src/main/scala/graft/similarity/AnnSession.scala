@@ -1,7 +1,6 @@
 package graft.similarity
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions._
 
 /** Interactive ANN serve session — the incremental-reuse shape of
   * "Incremental Based Framework for Efficient Top-K Similarity Search
@@ -30,15 +29,19 @@ final class AnnSession(index: DataFrame,
                        codebooks: Seq[(Int, Int, Array[Float])],
                        m: Int, dsub: Int, nprobe: Int) {
 
+  // keyed by (frame plan, idCol, vecCol): the same frame served over a
+  // DIFFERENT vector column is a different pool — a plan-only key
+  // would re-rank candidates scored on the wrong column
   private val pools = scala.collection.concurrent.TrieMap[
-    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame]()
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, String),
+    DataFrame]()
 
   /** The scored candidate pool for a query frame: one probe join +
     * ADC scoring pass, persisted for every later refinement.
     */
   private def pool(queries: DataFrame, idCol: String,
                    vecCol: String): DataFrame =
-    pools.getOrElseUpdate(queries.queryExecution.analyzed, {
+    pools.getOrElseUpdate((queries.queryExecution.analyzed, idCol, vecCol), {
       val scored = Similarity.scoredCandidates(index, queries, idCol, vecCol,
         centroids, codebooks, m, dsub, nprobe)
       scored.persist()
@@ -50,7 +53,7 @@ final class AnnSession(index: DataFrame,
     */
   def topK(queries: DataFrame, idCol: String, vecCol: String,
            k: Int): DataFrame =
-    Similarity.rankPool(pool(queries, idCol, vecCol), k)
+    Similarity.rankByAdc(pool(queries, idCol, vecCol), k)
 
   /** Number of cached pools (spec observability). */
   private[graft] def cachedPools: Int = pools.size

@@ -400,7 +400,7 @@ object Similarity {
   /** Rank candidate (query_id, neighbor_id, adc) rows: top-k per query
     * by (adc ASC, neighbor ASC) — the shared ADC ranking tail.
     */
-  private def rankByAdc(candidates: DataFrame, k: Int): DataFrame = {
+  private[similarity] def rankByAdc(candidates: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").asc, col("neighbor_id").asc)
     candidates
@@ -470,7 +470,7 @@ object Similarity {
                  centroids: Seq[(Int, Array[Float])],
                  codebooks: Seq[(Int, Int, Array[Float])],
                  m: Int, dsub: Int, nprobe: Int): DataFrame =
-    rankPool(scoredCandidates(index, queries, idCol, vecCol,
+    rankByAdc(scoredCandidates(index, queries, idCol, vecCol,
       centroids, codebooks, m, dsub, nprobe), k)
 
   /** The serve pipeline up to (but not including) the top-k rank: all
@@ -490,10 +490,6 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("adc", adcExpr(codebooks, m, dsub))
   }
-
-  /** Top-k rank of a (possibly cached) candidate pool. */
-  private[similarity] def rankPool(pool: DataFrame, k: Int): DataFrame =
-    rankByAdc(pool, k)
 
   // ---- residual quantization (the production IVF-PQ refinement) ----
   //
