@@ -183,6 +183,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*LOAD\s+DATA\s+(?:LOCAL\s+)?INPATH\s+'([^']+)'\s+INTO\s+CUBE\s+(\w+)\s*(?:OPTIONS\s*\((.*?)\)\s*)?;?\s*""".r
   private val createAggCubeRe =
     """(?is)\s*CREATE\s+AGGREGATETABLE\s+(.+?)\s+FROM\s+CUBE\s+(\w+)\s*;?\s*""".r
+  private val alterCubeRe =
+    """(?is)\s*ALTER\s+CUBE\s+(\w+)\s+(.+)""".r
   private val aggItemRe = """(?is)\s*(\w+)\s*\(\s*(?:(DISTINCT)\s+)?(\w+)\s*\)\s*""".r
 
   private val createAggRe =
@@ -248,6 +250,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       LoadGraftDataCommand(name, path, o)
     case createAggCubeRe(aggSpec, cube) =>
       parseCreateAggregateTable(aggSpec, cube)
+    case alterCubeRe(name, body) => parseAlterCube(sqlText, name, body)
     // aggregate-table DDL must match before the plain-table forms
     // (CREATE/DROP GRAFT TABLE would otherwise swallow the prefix)
     case createAggRe(name, path, groupCols, aggSpec) =>
@@ -351,7 +354,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     // carbon-native cube dialect — none of these prefixes are valid
     // Spark SQL, so claiming them cannot shadow the delegate
     t.startsWith("CREATE CUBE") || t.startsWith("DROP CUBE") ||
-    t.startsWith("SHOW CUBES") || t.startsWith("CREATE AGGREGATETABLE") ||
+    t.startsWith("ALTER CUBE") || t.startsWith("SHOW CUBES") ||
+    t.startsWith("CREATE AGGREGATETABLE") ||
     (t.startsWith("LOAD DATA") && t.contains(" INTO CUBE "))
   }
 
@@ -495,6 +499,63 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     require(dims.nonEmpty, "AGGREGATETABLE requires at least one grouping column")
     require(measures.nonEmpty, "AGGREGATETABLE requires at least one aggregate")
     CreateCubeAggTableCommand(cube, dims.distinct, measures.distinct)
+  }
+
+  /** ALTER CUBE c [DROP (col, ...)] [ADD DIMENSIONS (col type, ...)
+    * [MEASURES (col type, ...)]] [OPTIONS ('col'='default', ...)] —
+    * the carbon-native alter dialect (CarbonSqlParser.scala:731-760):
+    * drops first, then adds (dimension and measure columns both land
+    * in the flat schema), with OPTIONS assigning declared defaults to
+    * the ADDED columns.
+    */
+  private def parseAlterCube(sqlText: String, name: String,
+                             body0: String): LogicalPlan = {
+    val body = body0.trim.stripSuffix(";")
+    def fail(msg: String): Nothing =
+      throw new ParseException(Some(sqlText),
+        org.apache.spark.sql.catalyst.trees.Origin(),
+        "PARSE_SYNTAX_ERROR", Map("error" -> msg, "hint" -> ""))
+    val kws = Seq("DROP", "ADD", "OPTIONS")
+      .map(k => k -> topLevelIndexOf(body, k)).filter(_._2 >= 0)
+    if (kws.isEmpty) fail("ALTER CUBE requires DROP, ADD, or OPTIONS")
+    val bounds = kws.map(_._2).sorted :+ body.length
+    def section(kw: String): Option[String] = kws.find(_._1 == kw).map {
+      case (k, i) =>
+        val end = bounds.find(_ > i).getOrElse(body.length)
+        body.substring(i + k.length, end).trim
+    }
+    def parens(s: String, what: String): String = {
+      if (!(s.startsWith("(") && s.endsWith(")")))
+        fail(s"$what requires a parenthesized list")
+      s.substring(1, s.length - 1)
+    }
+    val drops = section("DROP").map(s =>
+      splitTopCommas(parens(s, "DROP"))).getOrElse(Nil)
+    val adds: Seq[(String, DataType)] = section("ADD").map { addBody =>
+      val aks = Seq("DIMENSIONS", "MEASURES")
+        .map(k => k -> topLevelIndexOf(addBody, k)).filter(_._2 >= 0)
+      if (aks.isEmpty) fail("ADD requires DIMENSIONS and/or MEASURES")
+      val abounds = aks.map(_._2).sorted :+ addBody.length
+      aks.flatMap { case (k, i) =>
+        val end = abounds.find(_ > i).getOrElse(addBody.length)
+        val inner = parens(addBody.substring(i + k.length, end).trim, k)
+        splitTopCommas(inner).map { piece =>
+          val cut = piece.indexWhere(Character.isWhitespace)
+          if (cut < 0) fail(s"malformed $k column '$piece' (expected name type)")
+          (piece.take(cut).trim,
+            delegate.parseDataType(normalizeCubeType(piece.drop(cut).trim)))
+        }
+      }
+    }.getOrElse(Nil)
+    val defaults = section("OPTIONS").map(s =>
+      propRe.findAllMatchIn(parens(s, "OPTIONS"))
+        .map(m => m.group(1) -> m.group(2)).toMap).getOrElse(Map.empty)
+    val unknownDefaults = defaults.keySet.filterNot(k =>
+      adds.exists(_._1.equalsIgnoreCase(k)))
+    if (unknownDefaults.nonEmpty)
+      fail(s"OPTIONS defaults for columns not being added: ${unknownDefaults.mkString(", ")}")
+    if (drops.isEmpty && adds.isEmpty) fail("ALTER CUBE changes nothing")
+    AlterCubeCommand(name, drops, adds, defaults)
   }
 
   /** Index of the first top-level occurrence of `keyword` as a whole
@@ -827,6 +888,25 @@ case class CompactGraftTableCommand(name: String) extends LeafRunnableCommand {
 case class CleanGraftFilesCommand(name: String) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     GraftCatalog.open(spark, name).cleanFiles(); Nil
+  }
+}
+
+/** ALTER CUBE: drops then adds applied through the same schema
+  * evolution the ALTER GRAFT forms use (reference alterCube →
+  * AlterCube, cubeSchema.scala — column-level restructure without
+  * rewriting segments; defaults serve the pre-add rows).
+  */
+case class AlterCubeCommand(name: String, drops: Seq[String],
+    adds: Seq[(String, DataType)], defaults: Map[String, String])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    var t = GraftCatalog.open(spark, name)
+    drops.foreach(c => t = t.dropColumn(c))
+    adds.foreach { case (c, ty) =>
+      t = t.addColumn(c, ty, defaults.find(_._1.equalsIgnoreCase(c)).map(_._2))
+    }
+    t.readWithDefaults().createOrReplaceTempView(name)
+    Nil
   }
 }
 

@@ -352,6 +352,18 @@ class GraftSqlSpec extends AnyFunSuite {
     }
 
     spark.sql(s"DROP GRAFT AGGREGATE TABLE $agg")
+
+    // ALTER CUBE: drop a dimension, add a measure with a default that
+    // serves the pre-add rows (reference alterCube restructure)
+    spark.sql(
+      """ALTER CUBE nation_cube DROP (n_comment)
+         ADD MEASURES (score integer) OPTIONS ('score'='7')""")
+    val cols = spark.sql("SELECT * FROM graft_table('nation_cube') LIMIT 1").columns
+    assert(!cols.contains("n_comment") && cols.contains("score"))
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_table('nation_cube') WHERE score = 7")
+      .head().getLong(0) == 25)
+
     spark.sql("DROP CUBE nation_cube")
     assert(!spark.sql("SHOW CUBES").collect()
       .exists(_.getString(0) == "nation_cube"))
