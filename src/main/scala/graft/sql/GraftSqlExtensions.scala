@@ -51,6 +51,8 @@ import graft.table.SegmentedTable
   *
   *   CREATE CUBE [IF NOT EXISTS] c DIMENSIONS (col type, ...)
   *     MEASURES (col type, ...) [OPTIONS ('k'='v', ...)]
+  *   ALTER CUBE c [DROP (col, ...)] [ADD DIMENSIONS/MEASURES (...)]
+  *     [OPTIONS ('col'='default', ...)]
   *   LOAD DATA [LOCAL] INPATH '<path>' INTO CUBE c [OPTIONS (...)]
   *   CREATE AGGREGATETABLE dim1, sum(m1), ... FROM CUBE c
   *   SHOW CUBES
