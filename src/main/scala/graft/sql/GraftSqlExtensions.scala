@@ -72,6 +72,47 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.register(e)
     e.injectTableFunction((FunctionIdentifier("graft_table"),
       GraftTableFunction.info, GraftTableFunction.builder))
+    e.injectTableFunction((FunctionIdentifier("graft_skyline"),
+      GraftSkylineFunction.info, GraftSkylineFunction.builder))
+  }
+}
+
+/** `graft_skyline('<table-or-path>', '<dim1,dim2,...>')` — the skyline
+  * operator as a FROM-able table function, completing the EDBT 2023
+  * "Integration of Skyline Queries into Spark SQL" surface: the
+  * Pareto front (all listed dimensions minimized; negate a column
+  * upstream to maximize) of a graft table, a bare parquet path, or a
+  * temp view.
+  *
+  *   SELECT * FROM graft_skyline('lineitem_t', 'l_extendedprice,l_quantity')
+  */
+object GraftSkylineFunction {
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  private[sql] val info = new ExpressionInfo("graft", null, "graft_skyline",
+    "Pareto front of a table over the listed minimized dimensions",
+    "", "", "", "", "", "", "built-in")
+
+  private[sql] val builder: Seq[Expression] => LogicalPlan = exprs => {
+    require(exprs.size == 2,
+      "usage: graft_skyline('<table-or-path>', '<dim1,dim2,...>')")
+    def litVal(e: Expression): String = {
+      require(e.foldable, s"graft_skyline arguments must be literals, got: $e")
+      String.valueOf(e.eval(org.apache.spark.sql.catalyst.InternalRow.empty))
+    }
+    val spark = SparkSession.active
+    val source = litVal(exprs.head)
+    val dims = litVal(exprs(1)).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    require(dims.nonEmpty, "graft_skyline requires at least one dimension")
+    val df =
+      if (source.startsWith("/") && source.endsWith(".parquet"))
+        spark.read.parquet(source)
+      else if (SegmentedTable.exists(GraftCatalog.tablePath(spark, source)) ||
+               source.startsWith("/"))
+        (if (source.startsWith("/")) SegmentedTable.open(spark, source)
+         else GraftCatalog.open(spark, source)).read()
+      else spark.table(source)
+    graft.queries.Skyline.skyline(df, dims).queryExecution.logical
   }
 }
 

@@ -59,6 +59,22 @@ class SkylineSpec extends AnyFunSuite {
     assert(got == Set((1e17, 0.0)))
   }
 
+  test("graft_skyline is FROM-able in SQL over views and graft tables") {
+    val pts = Seq((1.0, 5.0), (2.0, 3.0), (3.0, 1.0), (2.5, 3.5), (4.0, 4.0))
+    pts.toDF("x", "y").createOrReplaceTempView("sky_src")
+    val viaSql = spark.sql("SELECT * FROM graft_skyline('sky_src', 'x,y')")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    assert(viaSql == Set((1.0, 5.0), (2.0, 3.0), (3.0, 1.0)))
+
+    // over a graft table through the catalog
+    spark.sql("CREATE GRAFT TABLE sky_t AS SELECT * FROM sky_src")
+    try {
+      val viaTable = spark.sql("SELECT * FROM graft_skyline('sky_t', 'x,y')")
+        .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+      assert(viaTable == viaSql)
+    } finally spark.sql("DROP GRAFT TABLE sky_t")
+  }
+
   test("local pruning never drops a global-skyline point across partitions") {
     // anti-correlated band: every distinct point is on the front, the
     // worst case for phase-2 size — the result must still be exact
