@@ -293,6 +293,28 @@ object PipelineQueries {
         .agg(count(lit(1)).as("docs"), sum(col("toks")).as("tokens"))
     }),
 
+    // pipeline: per-source document caps (the RefinedWeb-style domain
+    // limit: no source may contribute more than N documents, keeping
+    // the HIGHEST-quality ones) — rank within source by (quality desc,
+    // doc_id asc) and keep rank ≤ 20. The window partitions by source,
+    // so the shuffle is source-keyed and no global order exists; ties
+    // break on doc_id, making the kept set deterministic in any
+    // engine. Output is the per-source survivor stats.
+    "t20_source_cap" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("quality").desc, col("doc_id").asc)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          TextFunctions.qualityScore(col("text")).as("quality"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("toks"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 20)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("kept_docs"), sum(col("toks")).as("kept_tokens"),
+          min(col("quality")).as("min_kept_quality"))
+    }),
+
     // pipeline: corpus-mixture reweighting — per-source token shares
     // vs a uniform target mixture; the sampling weight is what a
     // training loader multiplies each source's draw probability by.
@@ -954,6 +976,20 @@ object PipelineQueries {
           SELECT split, lang, COUNT(*) AS docs,
             CAST(SUM(toks) AS BIGINT) AS tokens
           FROM labeled GROUP BY 1, 2""",
+
+    "t20_source_cap" ->
+      s"""WITH scored AS (SELECT doc_id, source,
+            CAST(len($W) AS BIGINT) AS toks,
+            ROUND(LEAST(CAST(len($W) AS DOUBLE), 200.0) * 0.005 +
+              CAST(len(list_filter($W, w -> w IN $enMarkers)) AS DOUBLE)
+                / CAST(len($W) AS DOUBLE), 6) AS quality
+          FROM documents),
+          ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY quality DESC, doc_id ASC) AS rk FROM scored)
+          SELECT source, COUNT(*) AS kept_docs,
+            CAST(SUM(toks) AS BIGINT) AS kept_tokens,
+            MIN(quality) AS min_kept_quality
+          FROM ranked WHERE rk <= 20 GROUP BY source""",
 
     // weight = target share (uniform across sources) / actual token
     // share — same division tree as the Spark plan, rounded to 6
