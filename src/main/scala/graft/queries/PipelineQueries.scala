@@ -672,7 +672,7 @@ object PipelineQueries {
 
   /** Per-(dataset, session) quantizer cache for s04 — see its note. */
   private val ivfCentroids =
-    scala.collection.concurrent.TrieMap[String, Seq[(Int, Array[Float])]]()
+    new graft.util.BuildOnce[Seq[(Int, Array[Float])]]
 
   /** s05's codebook side table — same pid-qualified contract as
     * [[IvfCentroidsPath]].
@@ -681,14 +681,14 @@ object PipelineQueries {
     s"/tmp/graft_pq_codebooks_${ProcessHandle.current().pid()}"
 
   private val pqCodebooks =
-    scala.collection.concurrent.TrieMap[String, Seq[(Int, Int, Array[Float])]]()
+    new graft.util.BuildOnce[Seq[(Int, Int, Array[Float])]]
 
   /** s07's residual codebook side table — same pid-qualified contract. */
   val ResidualCodebookPath =
     s"/tmp/graft_rpq_codebooks_${ProcessHandle.current().pid()}"
 
   private val residualCodebooks =
-    scala.collection.concurrent.TrieMap[String, Seq[(Int, Int, Array[Float])]]()
+    new graft.util.BuildOnce[Seq[(Int, Int, Array[Float])]]
 
   /** Train-once-per-(dataset, session) residual-PQ codebooks,
     * materialized for the s07 oracle.
@@ -739,7 +739,7 @@ object PipelineQueries {
     * this run did not produce) can never be silently reused.
     */
   private val ivfPqIndexes =
-    scala.collection.concurrent.TrieMap[String, graft.table.SegmentedTable]()
+    new graft.util.BuildOnce[graft.table.SegmentedTable]
 
   private def ivfPqIndexFor(s: SparkSession, d: String,
       emb: org.apache.spark.sql.DataFrame): graft.table.SegmentedTable =

@@ -418,6 +418,36 @@ object RelationalQueries {
       asOfJoinPlan(Tables.events(s, d))
     }),
 
+    // bounded-time correlation join: every error event pairs with the
+    // same user's purchases in the preceding hour. Spark has no
+    // native band/interval join; the naive form (equi on user +
+    // inequality on ts) degenerates to a per-user cross product. The
+    // scalable composition: quantize time into window-sized buckets,
+    // explode the SMALL side (purchases) into (bucket, bucket+1), and
+    // equi-join on (user_id, bucket) — each qualifying pair matches in
+    // EXACTLY one bucket (p.ts ∈ (e.ts−W, e.ts] pins p's bucket to
+    // e.bucket or e.bucket−1, and the +1 ghost covers the latter), so
+    // no post-join dedup is needed. At 100 TB this is one keyed
+    // shuffle with 2× replication of one side, never a range scan.
+    "q44_time_corr_join" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val W = 3600000000000L // 1 hour in ns
+      val ev = Tables.events(s, d)
+      val err = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts").as("ets"), col("event_id").as("err_id"))
+        .withColumn("bucket", expr(s"ets div $W"))
+      val pur = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"))
+        .withColumn("pb", expr(s"pts div $W"))
+        .select(col("user_id"), col("pts"),
+          explode(array(col("pb"), col("pb") + 1)).as("bucket"))
+      err.join(pur, Seq("user_id", "bucket"))
+        .filter(col("pts") > col("ets") - W && col("pts") <= col("ets"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("err_id")).as("errors_with_purchase"))
+    }),
+
     // skyline / Pareto front (EDBT 2023 "Integration of Skyline
     // Queries into Spark SQL" — PAPERS.md): line items on the
     // (price, quantity) Pareto front, both minimized. The Spark side
@@ -745,6 +775,20 @@ object RelationalQueries {
              ROWS UNBOUNDED PRECEDING) AS last_pvalue
            FROM u) t
          WHERE side = 1""",
+
+    // plain inequality join — DuckDB handles the range predicate
+    // directly at oracle scale; the Spark side must produce the same
+    // pair set from the bucketed equi-join
+    "q44_time_corr_join" ->
+      """SELECT e.user_id, COUNT(*) AS n_pairs,
+         COUNT(DISTINCT e.event_id) AS errors_with_purchase
+         FROM (SELECT user_id, event_id, epoch_ns(ts) AS ets
+               FROM events WHERE event_type = 'error') e
+         JOIN (SELECT user_id, epoch_ns(ts) AS pts
+               FROM events WHERE event_type = 'purchase') p
+         ON e.user_id = p.user_id
+         AND p.pts > e.ets - 3600000000000 AND p.pts <= e.ets
+         GROUP BY e.user_id""",
 
     "q36_funnel" ->
       """SELECT user_id FROM (

@@ -18,7 +18,7 @@ object SegmentQueries {
   type Q = (SparkSession, String) => DataFrame
 
   /** Build-once-per-JVM cache (Verify/Bench call each query once). */
-  private val built = scala.collection.concurrent.TrieMap[String, SegmentedTable]()
+  private val built = new graft.util.BuildOnce[SegmentedTable]
 
   private def lineitemTable(s: SparkSession, d: String): SegmentedTable =
     built.getOrElseUpdate(s"li|$d", {
@@ -95,7 +95,7 @@ object SegmentQueries {
     * bucketing removes it entirely (PlanSpec asserts zero Exchange
     * below the join).
     */
-  private val bucketsBuilt = scala.collection.concurrent.TrieMap[String, Boolean]()
+  private val bucketsBuilt = new graft.util.BuildOnce[Boolean]
 
   def bucketedFacts(s: SparkSession, d: String): (String, String) = {
     val suffix = math.abs(d.hashCode).toString

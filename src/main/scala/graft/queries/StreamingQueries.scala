@@ -180,11 +180,11 @@ object StreamingQueries {
 
   /** Near-dup stream-ingested table cache, one per (dataset, session). */
   private val nearIngested =
-    scala.collection.concurrent.TrieMap[String, graft.table.SegmentedTable]()
+    new graft.util.BuildOnce[graft.table.SegmentedTable]
 
   /** Ingested-table cache: stream-load once per (dataset, session). */
   private val ingested =
-    scala.collection.concurrent.TrieMap[String, graft.table.SegmentedTable]()
+    new graft.util.BuildOnce[graft.table.SegmentedTable]
 
   val oracles: Map[String, String] = Map(
     // hour_bucket from window.start == epoch-micros div 3600e6 == the
