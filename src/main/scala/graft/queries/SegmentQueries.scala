@@ -334,6 +334,31 @@ object SegmentQueries {
     org.apache.spark.sql.graftbridge.ColumnExpr.ofRows(s, plan).collect()
   }
 
+  /** CDC scenario: after create, four commits — load evens, load odds
+    * (minus keys ending in 3), row-DELETE keys ending in 7, compact.
+    * Returns the table plus the version captured after the FIRST load,
+    * so the change feed covers exactly the last three commits.
+    */
+  private val cdcBuilt = new graft.util.BuildOnce[(SegmentedTable, Long)]
+
+  private def cdcScenario(s: SparkSession, d: String): (SegmentedTable, Long) =
+    cdcBuilt.getOrElseUpdate(s"cdc|$d", {
+      val root = s"/tmp/graft_tables/${d.replace('/', '_')}/lineitem_cdc"
+      val li = Tables.lineitem(s, d)
+      val t =
+        if (SegmentedTable.exists(root)) {
+          val x = SegmentedTable.open(s, root)
+          x.deleteSegments(x.showSegments().map(_.id)); x.cleanFiles(); x
+        } else SegmentedTable.create(s, root, li.schema,
+          Map("sort_columns" -> "l_orderkey"))
+      t.load(li.filter(col("l_orderkey") % 2 === 0))
+      val fromV = t.currentVersion
+      t.load(li.filter(col("l_orderkey") % 2 === 1 && col("l_orderkey") % 10 =!= 3))
+      t.delete(col("l_orderkey") % 10 === 7)
+      t.compact()
+      (t, fromV)
+    })
+
   val queries: Map[String, Q] = Map(
     // one-statement star ingest (fact + 2 dimension tables), then the
     // classic star join over the three graft tables — dims broadcast
@@ -372,6 +397,24 @@ object SegmentQueries {
     // nothing. Pruning happens through the OPTIMIZER RULE
     // (GraftSegmentPruning) over a plain read().filter(), not the
     // manual scan() API — the gate proves the automatic path row-exact
+    // change-data feed between catalog versions: the feed from just
+    // after the first load must replay the second load as inserts,
+    // the row-DELETE as file-granularity delete+insert of the
+    // rewritten segment, and show NOTHING for the final compaction
+    // (its segment carries dataChange=false). The oracle reconstructs
+    // the same event multiset from the source table, so the catalog
+    // diff walk, the dataChange plumbing, and the per-commit grouping
+    // all have to be exact.
+    "g14_cdc_feed" -> ((s, d) => {
+      val (t, fromV) = cdcScenario(s, d)
+      t.readChanges(fromV, t.currentVersion)
+        .groupBy(col("_change_type"))
+        .agg(count(lit(1)).as("rows_changed"),
+          sum(col("l_orderkey")).as("key_sum"))
+        .select(col("_change_type").as("change_type"),
+          col("rows_changed"), col("key_sum"))
+    }),
+
     "g01_segment_pruned_scan" -> ((s, d) => {
       graft.table.GraftSegmentPruning.ensureRegistered(s)
       val t = lineitemTable(s, d)
@@ -531,6 +574,22 @@ object SegmentQueries {
              ROWS UNBOUNDED PRECEDING) AS last_pvalue
            FROM u) t
          WHERE side = 1""",
+
+    // reconstruct the feed's event multiset from the source: the
+    // second load's rows insert once; the DELETE retires the whole
+    // odd segment (file-granularity CDC) and re-inserts it minus the
+    // deleted keys; compaction contributes nothing
+    "g14_cdc_feed" ->
+      """WITH odds AS (SELECT l_orderkey FROM lineitem
+                       WHERE l_orderkey % 2 = 1 AND l_orderkey % 10 <> 3)
+         SELECT 'insert' AS change_type, COUNT(*) AS rows_changed,
+                CAST(SUM(l_orderkey) AS BIGINT) AS key_sum
+         FROM (SELECT l_orderkey FROM odds
+               UNION ALL
+               SELECT l_orderkey FROM odds WHERE l_orderkey % 10 <> 7) i
+         UNION ALL
+         SELECT 'delete', COUNT(*), CAST(SUM(l_orderkey) AS BIGINT)
+         FROM odds""",
 
     "g01_segment_pruned_scan" ->
       """SELECT l_returnflag, COUNT(*) AS cnt, SUM(l_quantity) AS sum_qty

@@ -113,6 +113,40 @@ object StreamingQueries {
     // gated read is over the TABLE, so the band-index consistency,
     // novelty anti-joins, and per-batch dual commits must reconstruct
     // exactly g12's state from a stream instead of one API delivery
+    // the segmented table as a STREAMING SOURCE (the downstream half
+    // of st03's ingest): events land in a graft table as two loads,
+    // and a readStream.format("graft") query runs the st01 hourly
+    // aggregation over it — the FIRST load arrives as the initial
+    // snapshot batch, the SECOND commits while the stream is live and
+    // arrives as an incremental batch (catalog-version offsets), so
+    // the gate proves snapshot + incremental delivery compose to
+    // exactly the batch answer
+    "st07_table_stream_source" -> ((s, d) => {
+      streamedFromTable.getOrElseUpdate(s"$d|${s.sparkContext.applicationId}", {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val ev = Tables.events(s, d)
+        val root = s"/tmp/graft_tables/${d.replace('/', '_')}/events_stream_src"
+        val t =
+          if (graft.table.SegmentedTable.exists(root)) {
+            val x = graft.table.SegmentedTable.open(s, root)
+            x.deleteSegments(x.showSegments().map(_.id)); x.cleanFiles(); x
+          } else graft.table.SegmentedTable.create(s, root, ev.schema, Map.empty)
+        t.load(ev.filter(col("event_id") % 2 === 0))
+        val agg = EventStreams.hourlyAgg(
+          s.readStream.format("graft").load(root)
+            .withColumn("ts_utc", timestamp_micros(expr("ts div 1000"))))
+        val sink = s"graft_st07_${math.abs(d.hashCode)}"
+        val q = agg.writeStream.outputMode("complete")
+          .format("memory").queryName(sink).start()
+        try {
+          q.processAllAvailable() // initial snapshot: the even half
+          t.load(ev.filter(col("event_id") % 2 === 1))
+          q.processAllAvailable() // incremental: the odd half's segment
+        } finally q.stop()
+        s.table(sink)
+      })
+    }),
+
     "st06_stream_neardup_ingest" -> ((s, d) => {
       val t = nearIngested.getOrElseUpdate(s"$d|${s.sparkContext.applicationId}", {
         val docs = Tables.documents(s, d)
@@ -186,6 +220,10 @@ object StreamingQueries {
   private val ingested =
     new graft.util.BuildOnce[graft.table.SegmentedTable]
 
+  /** st07's drained result, one stream run per (dataset, session). */
+  private val streamedFromTable =
+    new graft.util.BuildOnce[org.apache.spark.sql.DataFrame]
+
   val oracles: Map[String, String] = Map(
     // hour_bucket from window.start == epoch-micros div 3600e6 == the
     // q30 bucketing; value sum in exact decimal
@@ -218,6 +256,14 @@ object StreamingQueries {
          SELECT user_id, COUNT(*) AS n_sessions,
            MAX(n_events) AS max_session_events
          FROM per_session GROUP BY user_id""",
+
+    // same hourly aggregation as st01 — snapshot + incremental
+    // delivery from the table source must reproduce the batch answer
+    "st07_table_stream_source" ->
+      """SELECT (epoch_ns(ts) // 1000) // 3600000000 AS hour_bucket, event_type,
+         COUNT(*) AS cnt,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1, 2""",
 
     // the ingested table must hold exactly the source events
     "st03_stream_ingest" ->

@@ -1,8 +1,10 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode}
+import org.apache.spark.sql.execution.streaming.Source
 import org.apache.spark.sql.graftbridge.ColumnExpr
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
 
 import graft.table.SegmentedTable
 
@@ -22,7 +24,7 @@ import graft.table.SegmentedTable
   * the segment-commit protocol with the standard SaveMode matrix.
   */
 class GraftSource extends RelationProvider with CreatableRelationProvider
-    with DataSourceRegister {
+    with DataSourceRegister with StreamSourceProvider {
 
   override def shortName(): String = "graft"
 
@@ -43,5 +45,22 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
     val props = parameters - "path"
     SegmentedTable.save(data, path(parameters), mode, props)
     createRelation(sqlContext, parameters)
+  }
+
+  // ---- spark.readStream.format("graft").load(path): the table as a
+  // streaming source (see GraftStreamSource for semantics) ----
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(
+      SegmentedTable.open(sqlContext.sparkSession, path(parameters)).schema))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val ignoreDeletes = parameters
+      .collectFirst { case (k, v) if k.equalsIgnoreCase("ignoredeletes") => v }
+      .exists(_.toBoolean)
+    new GraftStreamSource(sqlContext, path(parameters), ignoreDeletes)
   }
 }

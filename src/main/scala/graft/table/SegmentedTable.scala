@@ -24,10 +24,18 @@ case class ColStats(min: String, max: String, kind: String)
 /** nullCounts: per-column null count, powering IsNull/IsNotNull segment
   * pruning. Default empty for catalogs written before the field existed
   * (absent = unknown = never prune).
+  *
+  * dataChange: false for segments that REORGANIZE rows already in the
+  * table (compaction) rather than change its contents. The change feed
+  * ([[SegmentedTable.readChanges]]) and the streaming source skip
+  * them; defaults true for catalogs written before the field existed
+  * (conservative: an old compacted segment replays as delete+insert
+  * rather than silently vanishing from the feed).
   */
 case class SegmentMeta(id: Int, status: String, rowCount: Long,
                        createdAt: Long, stats: Map[String, ColStats],
-                       nullCounts: Map[String, Long] = Map.empty)
+                       nullCounts: Map[String, Long] = Map.empty,
+                       dataChange: Boolean = true)
 
 /** version: monotone commit counter (0 for catalogs written before the
   * field existed). Every commit also lands as `_meta/log/<version>
@@ -856,7 +864,7 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
         commitStatus(TableStatus(newId + 1,
           st.segments.map(s => if (live.exists(_.id == s.id)) s.copy(status = COMPACTED) else s) :+
             SegmentMeta(newId, SUCCESS, staged.rows, System.currentTimeMillis(),
-              staged.stats, staged.nulls)))
+              staged.stats, staged.nulls, dataChange = false)))
         Some(newId)
       }
     }
@@ -906,6 +914,89 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     require(gone.isEmpty,
       s"version $version references segments removed by cleanFiles: ${gone.map(_.id).mkString(",")}")
     applyDefaults(readSegments(live))
+  }
+
+  /** Change-data feed between two catalog versions (CDC): every row
+    * added or removed in `(fromVersion, toVersion]`, tagged with
+    * `_change_type` ('insert' | 'delete') and `_commit_version` (the
+    * commit that produced it).
+    *
+    * The feed is computed by walking the commit log one version at a
+    * time and diffing live-segment sets — pure driver-side catalog
+    * work; row data is only read for segments that actually changed,
+    * so the cost is O(changed data), never a table scan. Semantics:
+    *
+    *  - loads emit their segment's rows as inserts;
+    *  - segment deletes (delete-by-id / retention) emit deletes;
+    *  - row-level DML emits the rewritten segment's old rows as
+    *    deletes and its new rows as inserts (file-granularity CDC,
+    *    the copy-on-write format norm — consumers reconcile on keys);
+    *  - compaction commits are invisible: their additions carry
+    *    `dataChange = false` and the inputs they retire are skipped
+    *    with them (the table contents did not change);
+    *  - a segment inserted and later deleted INSIDE the range emits
+    *    both events (a consumer replaying the feed reproduces the
+    *    endpoint state and sees the transient rows' lifecycle).
+    *
+    * Fails loudly when a needed segment's files were already removed
+    * by cleanFiles (same retention bound as [[readAsOf]]).
+    */
+  /** The catalog-walk half of [[readChanges]]: one (segment, commit
+    * version, 'insert' | 'delete') event per changed live segment in
+    * `(fromVersion, toVersion]`, compaction commits skipped. Shared
+    * with the streaming source (whose offsets ARE catalog versions).
+    */
+  private[graft] def changeEvents(fromVersion: Long,
+      toVersion: Long): Seq[(SegmentMeta, Long, String)] = {
+    require(fromVersion <= toVersion,
+      s"readChanges: fromVersion $fromVersion > toVersion $toVersion")
+    val have = versions.toSet
+    require(have.contains(fromVersion),
+      s"no catalog version $fromVersion (have: ${versions.mkString(",")})")
+    require(have.contains(toVersion),
+      s"no catalog version $toVersion (have: ${versions.mkString(",")})")
+    val steps = versions.filter(v => v > fromVersion && v <= toVersion)
+    var prev = statusAt(fromVersion).segments
+      .filter(_.status == SUCCESS).map(s => s.id -> s).toMap
+    val events = Seq.newBuilder[(SegmentMeta, Long, String)]
+    for (v <- steps) {
+      val cur = statusAt(v).segments
+        .filter(_.status == SUCCESS).map(s => s.id -> s).toMap
+      val added = (cur.keySet -- prev.keySet).toSeq.sorted.map(cur)
+      val removed = (prev.keySet -- cur.keySet).toSeq.sorted.map(prev)
+      val pureReorg = added.nonEmpty && added.forall(!_.dataChange)
+      if (!pureReorg) {
+        added.filter(_.dataChange).foreach(s => events += ((s, v, "insert")))
+        removed.foreach(s => events += ((s, v, "delete")))
+      }
+      prev = cur
+    }
+    events.result()
+  }
+
+  /** Read a specific segment set with declared defaults applied —
+    * the building block readChanges and the streaming source share.
+    */
+  private[graft] def readSegmentSet(segs: Seq[SegmentMeta]): DataFrame =
+    applyDefaults(readSegments(segs))
+
+  def readChanges(fromVersion: Long, toVersion: Long): DataFrame = {
+    val parts = changeEvents(fromVersion, toVersion)
+    val gone = parts.map(_._1).filterNot(s => Files.isDirectory(segmentDir(s.id)))
+    require(gone.isEmpty,
+      s"change feed references segments removed by cleanFiles: ${gone.map(_.id).distinct.mkString(",")}")
+    if (parts.isEmpty) {
+      val extended = schema
+        .add("_change_type", StringType).add("_commit_version", LongType)
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), extended)
+    }
+    parts.groupBy(p => (p._2, p._3)).toSeq.sortBy(_._1).map {
+      case ((v, kind), group) =>
+        readSegmentSet(group.map(_._1))
+          .withColumn("_change_type", lit(kind))
+          .withColumn("_commit_version", lit(v))
+    }.reduce(_.unionByName(_))
   }
 
   // ---- row-level DML (copy-on-write) ----

@@ -39,6 +39,39 @@ object ColumnExpr {
   def waitForListeners(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
 
+  /** Re-tag a batch DataFrame's relation leaves as streaming.
+    * MicroBatchExecution asserts every V1 Source.getBatch result has
+    * isStreaming=true; file-based sources set the flag through
+    * private[sql] constructors, which is exactly what this bridge
+    * exists for. The plan itself is unchanged — the same vectorized
+    * parquet scan, pushdown included — only the flag flips.
+    */
+  def asStreamingBatch(spark: org.apache.spark.sql.SparkSession,
+                       df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    // transform the ANALYZED plan: the reader's logical plan may still
+    // be an unresolved data-source placeholder, which analysis would
+    // re-expand into a fresh (non-streaming) LogicalRelation
+    val tagged = df.queryExecution.analyzed.transform {
+      case lr: LogicalRelation if !lr.isStreaming => lr.copy(isStreaming = true)
+    }
+    ofRows(spark, tagged)
+  }
+
+  /** An empty STREAMING batch of the given schema (for a trigger that
+    * found offsets advanced but no data segments — e.g. a skipped
+    * reorganization commit).
+    */
+  def emptyStreamingBatch(spark: org.apache.spark.sql.SparkSession,
+                          schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    cs.internalCreateDataFrame(
+      cs.sparkContext.emptyRDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema, isStreaming = true)
+  }
+
   /** Resolve a multi-path parquet relation with a fixed schema (the
     * DataSource factory is private[sql]) — gives a graft-table read
     * the identical vectorized HadoopFsRelation a plain parquet read

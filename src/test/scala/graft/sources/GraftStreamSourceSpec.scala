@@ -1,0 +1,115 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryException
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.table.SegmentedTable
+
+/** The segmented table as a Structured Streaming source
+  * (readStream.format("graft")): initial snapshot, incremental
+  * segment delivery, compaction invisibility, the append-only
+  * contract, and checkpoint-restart resume.
+  */
+class GraftStreamSourceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  def docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+
+  private def fresh(name: String): String =
+    Files.createTempDirectory(s"graft_ss_$name").resolve("t").toString
+
+  private val names = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  test("snapshot first, then only newly committed segments; compaction invisible") {
+    val root = fresh("inc")
+    val t = SegmentedTable.create(spark, root, docs.schema, Map.empty)
+    t.load(docs.filter(col("doc_id") < 50))
+    val sink = s"graft_ss_mem_${names.incrementAndGet()}"
+    val q = spark.readStream.format("graft").load(root)
+      .writeStream.outputMode("append").format("memory").queryName(sink)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(sink).count() == 50) // initial snapshot
+      t.load(docs.filter(col("doc_id") >= 50 && col("doc_id") < 120))
+      q.processAllAvailable()
+      assert(spark.table(sink).count() == 120) // only the new segment arrived
+      assert(t.compact().isDefined)
+      q.processAllAvailable()
+      assert(spark.table(sink).count() == 120) // compaction re-emits nothing
+      t.load(docs.filter(col("doc_id") >= 120 && col("doc_id") < 150))
+      q.processAllAvailable()
+      assert(spark.table(sink).count() == 150) // and the stream still advances
+      // exactly-once per row, not just right counts
+      assert(spark.table(sink).select(col("doc_id")).distinct().count() == 150)
+    } finally q.stop()
+  }
+
+  test("a delete breaks the append-only contract loudly") {
+    val root = fresh("del")
+    val t = SegmentedTable.create(spark, root, docs.schema, Map.empty)
+    t.load(docs.filter(col("doc_id") < 30))
+    val sink = s"graft_ss_mem_${names.incrementAndGet()}"
+    val q = spark.readStream.format("graft").load(root)
+      .writeStream.outputMode("append").format("memory").queryName(sink)
+      .start()
+    try {
+      q.processAllAvailable()
+      val id = t.load(docs.filter(col("doc_id") >= 30 && col("doc_id") < 60))
+      t.deleteSegments(Seq(id))
+      val e = intercept[StreamingQueryException](q.processAllAvailable())
+      assert(e.getMessage.contains("append-only") ||
+        Option(e.getCause).exists(_.getMessage.contains("append-only")))
+    } finally q.stop()
+  }
+
+  test("ignoreDeletes streams the inserts and skips the deletes") {
+    val root = fresh("igdel")
+    val t = SegmentedTable.create(spark, root, docs.schema, Map.empty)
+    val first = t.load(docs.filter(col("doc_id") < 30))
+    val sink = s"graft_ss_mem_${names.incrementAndGet()}"
+    val q = spark.readStream.format("graft").option("ignoreDeletes", "true")
+      .load(root)
+      .writeStream.outputMode("append").format("memory").queryName(sink)
+      .start()
+    try {
+      q.processAllAvailable()
+      t.deleteSegments(Seq(first))
+      t.load(docs.filter(col("doc_id") >= 30 && col("doc_id") < 80))
+      q.processAllAvailable()
+      // 30 from the snapshot + 50 inserted later; the delete is skipped
+      assert(spark.table(sink).count() == 80)
+    } finally q.stop()
+  }
+
+  test("checkpoint restart resumes at the committed version, no re-emission") {
+    val root = fresh("ckpt")
+    val ckpt = Files.createTempDirectory("graft_ss_ckpt").toString
+    val t = SegmentedTable.create(spark, root, docs.schema, Map.empty)
+    t.load(docs.filter(col("doc_id") < 40))
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val emitted = new java.util.concurrent.atomic.AtomicLong(0)
+    def start() = spark.readStream.format("graft").load(root)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ids = batch.select(col("doc_id")).collect().map(_.getLong(0))
+        emitted.addAndGet(ids.length)
+        ids.foreach(i => seen.add(i))
+      }
+      .start()
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+    assert(seen.size == 40 && emitted.get == 40)
+    t.load(docs.filter(col("doc_id") >= 40 && col("doc_id") < 90))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      // the restarted query replays nothing: 40 + 50 emissions total
+      assert(seen.size == 90, s"expected 90 distinct ids, got ${seen.size}")
+      assert(emitted.get == 90, s"expected 90 total emissions, got ${emitted.get}")
+    } finally q2.stop()
+  }
+}

@@ -1,0 +1,95 @@
+package graft.table
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Change-data feed ([[SegmentedTable.readChanges]]): the g14 gate
+  * proves value-exactness against the DuckDB oracle; this spec pins
+  * the lifecycle semantics the gate's single scenario cannot —
+  * compaction invisibility on its own, transient segments emitting
+  * both events, empty ranges, version validation, and the retention
+  * failure mode.
+  */
+class CdcSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  def docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+
+  private def fresh(name: String): String =
+    Files.createTempDirectory(s"graft_cdc_$name").resolve("t").toString
+
+  test("appends emit inserts tagged with their commit version") {
+    val t = SegmentedTable.create(spark, fresh("append"), docs.schema, Map.empty)
+    val v0 = t.currentVersion
+    t.load(docs.filter(col("doc_id") < 100))
+    val v1 = t.currentVersion
+    t.load(docs.filter(col("doc_id") >= 100 && col("doc_id") < 200))
+    val feed = t.readChanges(v0, t.currentVersion)
+    assert(feed.filter(col("_change_type") === "delete").count() == 0)
+    val byVersion = feed.groupBy(col("_commit_version"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byVersion.keySet == Set(v1, t.currentVersion))
+    assert(byVersion.values.sum == docs.filter(col("doc_id") < 200).count())
+  }
+
+  test("compaction alone produces an empty feed") {
+    val t = SegmentedTable.create(spark, fresh("compact"), docs.schema, Map.empty)
+    t.load(docs.filter(col("doc_id") < 100))
+    t.load(docs.filter(col("doc_id") >= 100 && col("doc_id") < 200))
+    val before = t.currentVersion
+    assert(t.compact().isDefined)
+    val feed = t.readChanges(before, t.currentVersion)
+    assert(feed.count() == 0)
+    // and the feed's schema still carries the change columns
+    assert(feed.columns.takeRight(2).toSeq == Seq("_change_type", "_commit_version"))
+  }
+
+  test("a segment loaded then deleted inside the range emits both events") {
+    val t = SegmentedTable.create(spark, fresh("transient"), docs.schema, Map.empty)
+    val v0 = t.currentVersion
+    val id = t.load(docs.filter(col("doc_id") < 50))
+    t.deleteSegments(Seq(id))
+    val feed = t.readChanges(v0, t.currentVersion)
+    val n = docs.filter(col("doc_id") < 50).count()
+    assert(feed.filter(col("_change_type") === "insert").count() == n)
+    assert(feed.filter(col("_change_type") === "delete").count() == n)
+  }
+
+  test("row-level DELETE emits file-granularity delete+insert, exact rows") {
+    val t = SegmentedTable.create(spark, fresh("dml"), docs.schema, Map.empty)
+    t.load(docs.filter(col("doc_id") < 100))
+    val v1 = t.currentVersion
+    t.delete(col("doc_id") % 10 === 3)
+    val feed = t.readChanges(v1, t.currentVersion)
+    val deleted = feed.filter(col("_change_type") === "delete")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val inserted = feed.filter(col("_change_type") === "insert")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(deleted == (0L until 100L).toSet)
+    assert(inserted == (0L until 100L).filterNot(_ % 10 == 3).toSet)
+  }
+
+  test("same-version range is empty; unknown versions fail loudly") {
+    val t = SegmentedTable.create(spark, fresh("edges"), docs.schema, Map.empty)
+    t.load(docs.filter(col("doc_id") < 10))
+    val v = t.currentVersion
+    assert(t.readChanges(v, v).count() == 0)
+    val e = intercept[IllegalArgumentException](t.readChanges(v, v + 99))
+    assert(e.getMessage.contains("no catalog version"))
+  }
+
+  test("feed fails loudly when cleanFiles removed a needed segment") {
+    val t = SegmentedTable.create(spark, fresh("cleaned"), docs.schema, Map.empty)
+    val v0 = t.currentVersion
+    val id = t.load(docs.filter(col("doc_id") < 50))
+    t.deleteSegments(Seq(id))
+    t.cleanFiles() // physically removes the deleted segment's files
+    val e = intercept[IllegalArgumentException](
+      t.readChanges(v0, t.currentVersion).count())
+    assert(e.getMessage.contains("removed by cleanFiles"))
+  }
+}
