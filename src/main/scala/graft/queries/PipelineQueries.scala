@@ -171,6 +171,61 @@ object PipelineQueries {
         .select(col("doc_id"), col("token").as("top_term"), col("bm25"))
     }),
 
+    // pipeline: BM25 SERVING from a MATERIALIZED inverted index — the
+    // text twin of s08's ANN index table. The build pass (cached per
+    // dataset/session, like the ANN quantizers) lands postings
+    // (token, doc_id, tf, dl, df + folded corpus stats, all integers)
+    // in a SegmentedTable laid out by token, so a keyword query reads
+    // ONLY matching postings via pushed token predicates — the
+    // documents table is never scanned at serve time (PlanSpec pins
+    // this). Scoring: per-term BM25 in exact integer ppm
+    // (FLOOR(score·1e6 + 0.5)) so the per-doc SUM over query terms is
+    // partition-order-free, then top-10 by (score, doc_id) — a total
+    // order, so the LIMIT boundary is deterministic. At 100 TB the
+    // build is the corpus-sized stage (same shape as t13); each query
+    // is index-sized: |postings of its terms|.
+    "t21_bm25_index_serve" -> ((s, d) => {
+      val idx = bm25IndexFor(s, d).read()
+      val n = col("n_docs").cast("double")
+      val dfd = col("df").cast("double")
+      val tfd = col("tf").cast("double")
+      val dld = col("dl").cast("double")
+      val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+      val idf = log((n - dfd + lit(0.5)) / (dfd + lit(0.5)) + lit(1.0))
+      val sat = tfd * lit(2.2) /
+        (tfd + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * dld / avgdl))
+      idx.filter(col("token").isin(Bm25QueryTerms: _*))
+        .withColumn("score_ppm",
+          floor(idf * sat * lit(1000000.0) + lit(0.5)).cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("score_ppm")).as("score_ppm"),
+          count(lit(1)).as("n_terms"))
+        .orderBy(col("score_ppm").desc, col("doc_id").asc)
+        .limit(10)
+    }),
+
+    // pipeline: EXACT heavy hitters via a Misra-Gries candidate
+    // sketch + exact recount (the two-pass scale shape: a full
+    // vocabulary groupBy shuffles every distinct token; the sketch
+    // pass ships ≤64 counters per partition, and only candidate rows
+    // shuffle in the recount). Threshold 1/30 of all occurrences;
+    // sketch size 64 > 30 guarantees the candidate set is a superset
+    // of the true answer, so the result is EXACT — the sketch never
+    // decides membership, only what gets recounted.
+    "t22_heavy_hitters" -> ((s, d) => {
+      import graft.functions.MgCandidates.mgCandidates
+      val toks = Tables.documents(s, d)
+        .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+      val cand = toks.agg(mgCandidates(col("token"), 64).as("__cand"))
+      val totals = toks.agg(count(lit(1)).as("__total"))
+      toks.crossJoin(broadcast(cand))
+        .filter(array_contains(col("__cand"), col("token")))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(totals))
+        .filter(col("cnt") * lit(30L) >= col("__total"))
+        .select(col("token"), col("cnt"))
+    }),
+
     // pipeline: deterministic train/val/test split — assignment is a
     // pure function of doc_id (md5 prefix mod 100), so the same doc
     // lands in the same split on every engine, every run, any
@@ -754,6 +809,48 @@ object PipelineQueries {
       t
     })
 
+  /** t21's query terms — fixed literals so the oracle replays them. */
+  private val Bm25QueryTerms = Seq("spark", "join", "stream")
+
+  /** Build-once-per-(dataset, session) inverted index for t21: one
+    * posting row per (token, doc_id) carrying tf, the doc's length,
+    * the token's df, and the folded corpus totals (n_docs, sum_dl) —
+    * every column integral, so serving recomputes float scores from
+    * identical integers wherever the postings were partitioned. The
+    * table is laid out BY TOKEN (partition_columns co-locates a
+    * token's postings in one file, sort_columns tightens row-group
+    * min/max), so a query's pushed token-IN predicate skips
+    * everything else. pid-qualified path — same staleness contract
+    * as the ANN quantizer side tables.
+    */
+  private val bm25Indexes = new graft.util.BuildOnce[graft.table.SegmentedTable]
+
+  private def bm25IndexFor(s: SparkSession, d: String): graft.table.SegmentedTable =
+    bm25Indexes.getOrElseUpdate(s"$d|${s.sparkContext.applicationId}", {
+      val withDl = Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__w"))
+        .select(col("doc_id"), col("__w"),
+          size(col("__w")).cast("long").as("dl"))
+      val stats = withDl.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("sum_dl"))
+      val terms = withDl
+        .select(col("doc_id"), col("dl"), explode(col("__w")).as("token"))
+      val tf = terms.groupBy(col("token"), col("doc_id"), col("dl"))
+        .agg(count(lit(1)).as("tf"))
+      val df_ = terms.select(col("token"), col("doc_id")).distinct()
+        .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val rows = tf.join(df_, "token").crossJoin(broadcast(stats))
+        .select(col("token"), col("doc_id"), col("tf"), col("dl"),
+          col("df"), col("n_docs"), col("sum_dl"))
+      val root = s"/tmp/graft_bm25_index_${ProcessHandle.current().pid()}/" +
+        d.replace('/', '_')
+      val t = graft.table.SegmentedTable.create(s, root, rows.schema,
+        Map("partition_columns" -> "token",
+          "sort_columns" -> "token,doc_id"))
+      t.load(rows)
+      t
+    })
+
   /** DuckDB twin of Similarity.d2 (aa - 2ab + bb, each term a
     * sequential double fold — the exact expression shape matters for
     * bit-identical ties).
@@ -894,6 +991,44 @@ object PipelineQueries {
                ORDER BY tfidf DESC, token ASC) AS rn
            FROM scored)
          SELECT doc_id, token AS top_term, tfidf FROM ranked WHERE rn = 1""",
+
+    // the candidate sketch is invisible to the answer: every token
+    // with cnt*30 >= total, exactly
+    "t22_heavy_hitters" ->
+      s"""WITH t AS (SELECT unnest($W) AS token FROM (SELECT text FROM documents) x),
+          c AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY 1),
+          tot AS (SELECT COUNT(*) AS total FROM t)
+          SELECT token, cnt FROM c CROSS JOIN tot
+          WHERE cnt * 30 >= total""",
+
+    // recompute the index's integers (tf/dl/df/n/sum_dl) from the
+    // corpus, then the identical scoring expression — FLOOR to integer
+    // ppm BEFORE the per-doc sum, so summation order cannot matter
+    "t21_bm25_index_serve" ->
+      s"""WITH t AS (SELECT doc_id, $W AS words FROM documents),
+          d AS (SELECT doc_id, words, CAST(len(words) AS BIGINT) AS dl FROM t),
+          stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM d),
+          terms AS (SELECT doc_id, dl, unnest(words) AS token FROM d),
+          tf AS (SELECT doc_id, token, dl, COUNT(*) AS tf
+                 FROM terms GROUP BY 1, 2, 3),
+          df AS (SELECT token, COUNT(DISTINCT doc_id) AS df
+                 FROM terms GROUP BY 1),
+          scored AS (SELECT doc_id,
+              CAST(FLOOR(
+                ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                   / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) *
+                (CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE) /
+                 (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+                  (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                   + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE)
+                     / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+                * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS sppm
+            FROM tf JOIN df USING (token) CROSS JOIN stats
+            WHERE token IN ('spark', 'join', 'stream'))
+          SELECT doc_id, CAST(SUM(sppm) AS BIGINT) AS score_ppm,
+            COUNT(*) AS n_terms
+          FROM scored GROUP BY doc_id
+          ORDER BY score_ppm DESC, doc_id ASC LIMIT 10""",
 
     // expression shapes mirror the Spark side exactly (operator order
     // matters for the last-ulp bit pattern under round(..., 6))

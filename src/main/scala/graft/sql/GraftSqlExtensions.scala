@@ -197,6 +197,16 @@ object GraftFunctions {
       info("graft_lang_id", "marker-word language heuristic"),
       exprs => ColumnExpr.eagerExpr(
         graft.functions.TextFunctions.langId(ColumnExpr.toColumn(exprs.head)))))
+    e.injectFunction((FunctionIdentifier("mg_candidates"),
+      info("mg_candidates",
+        "Misra-Gries heavy-hitter candidate sketch: sorted array " +
+          "superset of values with frequency > n/(k+1)"),
+      exprs => graft.functions.MgCandidates(exprs(0), exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+          v.toString.toInt
+        case other => throw new IllegalArgumentException(
+          s"mg_candidates k must be a literal, got $other")
+      }).toAggregateExpression()))
   }
 }
 

@@ -140,6 +140,21 @@ class PlanSpec extends AnyFunSuite {
       "query-set lookup must push its filter")
   }
 
+  test("BM25 index serving scans the postings table, never the documents") {
+    // t21 is the text twin of s08: the build pass materialized the
+    // inverted index, so serving must read postings only — with the
+    // token predicate pushed to the parquet scan — and never touch
+    // documents.parquet
+    val p = plan("t21_bm25_index_serve")
+    assert(p.contains("graft_bm25_index"),
+      s"serving must read the materialized index\n${p.take(2000)}")
+    assert(!p.contains("documents.parquet"),
+      s"documents must not be scanned at serve time\n${p.take(2000)}")
+    assert(p.contains("In(token, [join,spark,stream])") ||
+      p.contains("In(token, [spark,join,stream])"),
+      s"token IN filter must push to the postings scan\n${p.take(3000)}")
+  }
+
   test("dup-span inventory scans the text exactly once") {
     // the r6 shape tokenized twice (inventory agg + back-join over a
     // second gram pass); the window rewrite must leave exactly one

@@ -112,6 +112,17 @@ class GraftSqlSpec extends AnyFunSuite {
 
     assert(spark.sql("SELECT graft_lang_id('the cat and the dog of a house') AS l")
       .head().getString(0) == "en")
+
+    // mg_candidates: every value with frequency > n/(k+1) must appear
+    val cand = spark.sql(
+      "SELECT mg_candidates(l_returnflag, 2) AS c FROM li_fn")
+      .head().getSeq[String](0)
+    assert(cand.nonEmpty && cand.size <= 2 && cand == cand.sorted)
+    val errK = intercept[Exception] {
+      spark.sql("SELECT mg_candidates(l_returnflag, l_linenumber) FROM li_fn")
+        .collect()
+    }
+    assert(errK.getMessage.contains("literal"))
   }
 
   test("ALTER GRAFT TABLE add/drop column with default") {
