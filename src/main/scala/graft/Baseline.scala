@@ -234,6 +234,104 @@ object Baseline {
       Tables.events(s, d)
         .groupBy(expr("ts div 3600000000000").as("hour_bucket"), col("event_type"))
         .agg(count(lit(1)).as("cnt"), Tables.dsum(col("value")).as("total_value"))
+    }),
+
+    // the table-stream's plain formulation: the same hourly aggregate
+    // as one batch over the source parquet (no snapshot+incremental
+    // delivery, no segment table)
+    "st07_table_stream_source" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(expr("ts div 3600000000000").as("hour_bucket"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), Tables.dsum(col("value")).as("total_value"))
+    }),
+
+    // the stream-static join's plain formulation: the same batch join
+    "st08_stream_static_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val spend = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(Tables.dsum(col("value")).as("spend"))
+      ev.filter(col("event_type") === "error")
+        .join(broadcast(spend), "user_id")
+        .filter(col("spend") > 600.0)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("errors"), max(col("spend")).as("spend"))
+    }),
+
+    // the correlation join's plain formulation: equi on user + range
+    // condition as written — the per-user theta join the bucketed
+    // composition avoids
+    "q44_time_corr_join" -> ((s, d) => {
+      val W = 3600000000000L
+      val ev = Tables.events(s, d)
+      val e = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts").as("ets"), col("event_id").as("err_id"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_uid"), col("ts").as("pts"))
+      e.join(p, col("user_id") === col("p_uid") &&
+          col("pts") > col("ets") - W && col("pts") <= col("ets"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("err_id")).as("errors_with_purchase"))
+    }),
+
+    // the change feed's plain formulation: reconstruct the same event
+    // multiset from the source parquet (no catalog, no commit log)
+    "g14_cdc_feed" -> ((s, d) => {
+      val odds = Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 2 === 1 && col("l_orderkey") % 10 =!= 3)
+        .select(col("l_orderkey"))
+      val ins = odds.union(odds.filter(col("l_orderkey") % 10 =!= 7))
+        .agg(count(lit(1)).as("rows_changed"), sum(col("l_orderkey")).as("key_sum"))
+        .select(lit("insert").as("change_type"), col("rows_changed"), col("key_sum"))
+      val del = odds
+        .agg(count(lit(1)).as("rows_changed"), sum(col("l_orderkey")).as("key_sum"))
+        .select(lit("delete").as("change_type"), col("rows_changed"), col("key_sum"))
+      ins.unionByName(del)
+    }),
+
+    // the keyword query's plain formulation: no inverted index — the
+    // whole corpus tokenizes on every query (what the materialized
+    // postings table buys)
+    "t21_bm25_index_serve" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val terms0 = Seq("spark", "join", "stream")
+      val withDl = Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.tokens(col("text")).as("__w"))
+        .select(col("doc_id"), col("__w"), size(col("__w")).cast("long").as("dl"))
+      val stats = withDl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      val toks = withDl.select(col("doc_id"), col("dl"), explode(col("__w")).as("token"))
+      val tf = toks.groupBy(col("token"), col("doc_id"), col("dl"))
+        .agg(count(lit(1)).as("tf"))
+      val df_ = toks.select(col("token"), col("doc_id")).distinct()
+        .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val n = col("n_docs").cast("double"); val dfd = col("df").cast("double")
+      val tfd = col("tf").cast("double"); val dld = col("dl").cast("double")
+      val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+      val idf = log((n - dfd + lit(0.5)) / (dfd + lit(0.5)) + lit(1.0))
+      val sat = tfd * lit(2.2) /
+        (tfd + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * dld / avgdl))
+      tf.join(df_, "token").crossJoin(broadcast(stats))
+        .filter(col("token").isin(terms0: _*))
+        .withColumn("score_ppm",
+          floor(idf * sat * lit(1000000.0) + lit(0.5)).cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("score_ppm")).as("score_ppm"), count(lit(1)).as("n_terms"))
+        .orderBy(col("score_ppm").desc, col("doc_id").asc)
+        .limit(10)
+    }),
+
+    // the heavy hitters' plain formulation: full-vocabulary groupBy
+    // (every distinct token shuffles) + HAVING
+    "t22_heavy_hitters" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+      val totals = toks.agg(count(lit(1)).as("__total"))
+      toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(totals))
+        .filter(col("cnt") * lit(30L) >= col("__total"))
+        .select(col("token"), col("cnt"))
     })
   )
 

@@ -114,37 +114,77 @@ object StreamingQueries {
     // novelty anti-joins, and per-batch dual commits must reconstruct
     // exactly g12's state from a stream instead of one API delivery
     // the segmented table as a STREAMING SOURCE (the downstream half
-    // of st03's ingest): events land in a graft table as two loads,
-    // and a readStream.format("graft") query runs the st01 hourly
-    // aggregation over it — the FIRST load arrives as the initial
-    // snapshot batch, the SECOND commits while the stream is live and
-    // arrives as an incremental batch (catalog-version offsets), so
-    // the gate proves snapshot + incremental delivery compose to
-    // exactly the batch answer
+    // of st03's ingest): events land in a graft table as two loads —
+    // the FIRST arrives as the initial snapshot batch, the SECOND
+    // commits while the stream is live and arrives as an incremental
+    // batch (catalog-version offsets). The stream lands raw rows
+    // (append mode, st04's shape) and the GATE aggregates the landed
+    // set, so snapshot + incremental delivery must reproduce exactly
+    // the source events — and the bench's timed runs re-do the same
+    // aggregation work as the batch baseline, not a cached-result read
     "st07_table_stream_source" -> ((s, d) => {
-      streamedFromTable.getOrElseUpdate(s"$d|${s.sparkContext.applicationId}", {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val ev = Tables.events(s, d)
-        val root = s"/tmp/graft_tables/${d.replace('/', '_')}/events_stream_src"
-        val t =
-          if (graft.table.SegmentedTable.exists(root)) {
-            val x = graft.table.SegmentedTable.open(s, root)
-            x.deleteSegments(x.showSegments().map(_.id)); x.cleanFiles(); x
-          } else graft.table.SegmentedTable.create(s, root, ev.schema, Map.empty)
-        t.load(ev.filter(col("event_id") % 2 === 0))
-        val agg = EventStreams.hourlyAgg(
-          s.readStream.format("graft").load(root)
-            .withColumn("ts_utc", timestamp_micros(expr("ts div 1000"))))
-        val sink = s"graft_st07_${math.abs(d.hashCode)}"
-        val q = agg.writeStream.outputMode("complete")
-          .format("memory").queryName(sink).start()
-        try {
-          q.processAllAvailable() // initial snapshot: the even half
-          t.load(ev.filter(col("event_id") % 2 === 1))
-          q.processAllAvailable() // incremental: the odd half's segment
-        } finally q.stop()
-        s.table(sink)
-      })
+      val landed = streamedFromTable.getOrElseUpdate(
+        s"$d|${s.sparkContext.applicationId}", {
+          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          val ev = Tables.events(s, d)
+          val root = s"/tmp/graft_tables/${d.replace('/', '_')}/events_stream_src"
+          val t =
+            if (graft.table.SegmentedTable.exists(root)) {
+              val x = graft.table.SegmentedTable.open(s, root)
+              x.deleteSegments(x.showSegments().map(_.id)); x.cleanFiles(); x
+            } else graft.table.SegmentedTable.create(s, root, ev.schema, Map.empty)
+          t.load(ev.filter(col("event_id") % 2 === 0))
+          val sink = s"graft_st07_${math.abs(d.hashCode)}"
+          val q = s.readStream.format("graft").load(root)
+            .writeStream.outputMode("append").format("memory")
+            .queryName(sink).start()
+          try {
+            q.processAllAvailable() // initial snapshot: the even half
+            t.load(ev.filter(col("event_id") % 2 === 1))
+            q.processAllAvailable() // incremental: the odd half's segment
+          } finally q.stop()
+          s.table(sink)
+        })
+      landed
+        .groupBy(expr("ts div 3600000000000").as("hour_bucket"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), Tables.dsum(col("value")).as("total_value"))
+    }),
+
+    // STREAM-STATIC JOIN through the table source: error events
+    // stream out of the graft table and join (stateless, broadcast)
+    // a static per-user spend profile computed from the batch side —
+    // the enrichment shape every streaming pipeline needs. The landed
+    // rows are gated against the equivalent batch join, so the
+    // streamed join must lose/duplicate nothing. Scale: the static
+    // side broadcasts once; stream batches join map-side with no
+    // shuffle and no state store.
+    "st08_stream_static_join" -> ((s, d) => {
+      val landed = streamStaticJoined.getOrElseUpdate(
+        s"$d|${s.sparkContext.applicationId}", {
+          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          val ev = Tables.events(s, d)
+          val root = s"/tmp/graft_tables/${d.replace('/', '_')}/events_stream_join"
+          val t =
+            if (graft.table.SegmentedTable.exists(root)) {
+              val x = graft.table.SegmentedTable.open(s, root)
+              x.deleteSegments(x.showSegments().map(_.id)); x.cleanFiles(); x
+            } else graft.table.SegmentedTable.create(s, root, ev.schema, Map.empty)
+          t.load(ev)
+          val spend = ev.filter(col("event_type") === "purchase")
+            .groupBy(col("user_id"))
+            .agg(Tables.dsum(col("value")).as("spend"))
+          val joined = s.readStream.format("graft").load(root)
+            .filter(col("event_type") === "error")
+            .join(broadcast(spend), "user_id")
+            .filter(col("spend") > 600.0)
+          val sink = s"graft_st08_${math.abs(d.hashCode)}"
+          val q = joined.writeStream.outputMode("append")
+            .format("memory").queryName(sink).start()
+          try q.processAllAvailable() finally q.stop()
+          s.table(sink)
+        })
+      landed.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("errors"), max(col("spend")).as("spend"))
     }),
 
     "st06_stream_neardup_ingest" -> ((s, d) => {
@@ -224,6 +264,10 @@ object StreamingQueries {
   private val streamedFromTable =
     new graft.util.BuildOnce[org.apache.spark.sql.DataFrame]
 
+  /** st08's landed stream-static join, one run per (dataset, session). */
+  private val streamStaticJoined =
+    new graft.util.BuildOnce[org.apache.spark.sql.DataFrame]
+
   val oracles: Map[String, String] = Map(
     // hour_bucket from window.start == epoch-micros div 3600e6 == the
     // q30 bucketing; value sum in exact decimal
@@ -257,10 +301,21 @@ object StreamingQueries {
            MAX(n_events) AS max_session_events
          FROM per_session GROUP BY user_id""",
 
-    // same hourly aggregation as st01 — snapshot + incremental
-    // delivery from the table source must reproduce the batch answer
+    // the streamed join must equal the batch join exactly
+    "st08_stream_static_join" ->
+      """WITH spend AS (
+           SELECT user_id,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS spend
+           FROM events WHERE event_type = 'purchase' GROUP BY 1)
+         SELECT e.user_id, COUNT(*) AS errors, MAX(s.spend) AS spend
+         FROM events e JOIN spend s USING (user_id)
+         WHERE e.event_type = 'error' AND s.spend > 600.0
+         GROUP BY 1""",
+
+    // the landed stream must hold exactly the source events — the
+    // same hourly aggregate over either is identical
     "st07_table_stream_source" ->
-      """SELECT (epoch_ns(ts) // 1000) // 3600000000 AS hour_bucket, event_type,
+      """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
          COUNT(*) AS cnt,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2""",

@@ -61,6 +61,9 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
     val ignoreDeletes = parameters
       .collectFirst { case (k, v) if k.equalsIgnoreCase("ignoredeletes") => v }
       .exists(_.toBoolean)
-    new GraftStreamSource(sqlContext, path(parameters), ignoreDeletes)
+    val maxVersions = parameters
+      .collectFirst { case (k, v) if k.equalsIgnoreCase("maxversionsperbatch") => v }
+      .map(_.toLong)
+    new GraftStreamSource(sqlContext, path(parameters), ignoreDeletes, maxVersions)
   }
 }

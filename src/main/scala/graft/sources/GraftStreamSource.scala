@@ -36,14 +36,32 @@ case class GraftSourceOffset(version: Long) extends V1Offset {
   * at the commit rate, not the table size.
   */
 class GraftStreamSource(sqlContext: SQLContext, path: String,
-    ignoreDeletes: Boolean) extends Source {
+    ignoreDeletes: Boolean, maxVersionsPerBatch: Option[Long] = None) extends Source {
 
   private val table = SegmentedTable.open(sqlContext.sparkSession, path)
 
   override def schema: StructType = table.schema
 
-  override def getOffset: Option[V1Offset] =
-    Some(GraftSourceOffset(table.currentVersion))
+  /** Rate limit (`maxVersionsPerBatch`): cap how many catalog
+    * versions one micro-batch spans, so a burst of commits (or a long
+    * stop) drains as bounded batches instead of one giant scan — the
+    * backfill-safety knob every table-format source needs at scale.
+    * Tracked against the last offset this instance offered or
+    * planned; a restart's FIRST recovered batch replays whatever
+    * range the checkpoint recorded (exactly-once requires it), and
+    * the cap re-engages from there.
+    */
+  @volatile private var lastSeen: Long = -1L
+
+  override def getOffset: Option[V1Offset] = {
+    val cur = table.currentVersion
+    val capped = maxVersionsPerBatch match {
+      case Some(m) if lastSeen >= 0 => math.min(cur, lastSeen + m)
+      case _ => cur // first offer: the initial snapshot is one batch
+    }
+    lastSeen = math.max(lastSeen, capped)
+    Some(GraftSourceOffset(capped))
+  }
 
   /** Restart path: offsets replayed from the checkpoint arrive as
     * SerializedOffset wrappers, so the catch-all `.json` parse is the
@@ -58,6 +76,7 @@ class GraftStreamSource(sqlContext: SQLContext, path: String,
     import org.apache.spark.sql.graftbridge.ColumnExpr
     val spark = sqlContext.sparkSession
     val endV = versionOf(end)
+    lastSeen = math.max(lastSeen, endV) // restart: resume the cap from the checkpoint
     val batch = start match {
       case None =>
         // initial snapshot: everything committed up to the first offset

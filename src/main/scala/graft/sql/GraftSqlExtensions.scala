@@ -74,7 +74,48 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
       GraftTableFunction.info, GraftTableFunction.builder))
     e.injectTableFunction((FunctionIdentifier("graft_skyline"),
       GraftSkylineFunction.info, GraftSkylineFunction.builder))
+    e.injectTableFunction((FunctionIdentifier("graft_changes"),
+      GraftChangesFunction.info, GraftChangesFunction.builder))
   }
+}
+
+/** `graft_changes('<name-or-path>', <from>, <to>)` — the change-data
+  * feed ([[SegmentedTable.readChanges]]) as a FROM-able table
+  * function, completing the CDC surface in SQL the way graft_table
+  * completes time travel:
+  *
+  *   SELECT * FROM graft_changes('sales', 3, 7)
+  *   SELECT _change_type, COUNT(*) FROM graft_changes('sales', 3, 7)
+  *   GROUP BY 1
+  */
+object GraftChangesFunction {
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  private[sql] val info = new ExpressionInfo("graft", null, "graft_changes",
+    "rows added/removed between two catalog versions, tagged with " +
+      "_change_type and _commit_version",
+    "", "", "", "", "", "", "built-in")
+
+  private[sql] val builder: Seq[Expression] => LogicalPlan = exprs => {
+    require(exprs.size == 3,
+      "usage: graft_changes('<name-or-path>', <fromVersion>, <toVersion>)")
+    def litVal(e: Expression): Any = {
+      require(e.foldable, s"graft_changes arguments must be literals, got: $e")
+      e.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+    }
+    val spark = SparkSession.active
+    val name = String.valueOf(litVal(exprs.head))
+    val path =
+      if (name.startsWith("/")) name else GraftCatalog.tablePath(spark, name)
+    require(SegmentedTable.exists(path), s"graft table not found: $name ($path)")
+    val t = SegmentedTable.open(spark, path)
+    t.readChanges(String.valueOf(litVal(exprs(1))).toLong,
+      String.valueOf(litVal(exprs(2))).toLong).queryExecution.logical
+  }
+
+  def ensureRegistered(spark: SparkSession): Unit =
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_changes"), info, builder)
 }
 
 /** `graft_skyline('<table-or-path>', '<dim1,dim2,...>')` — the skyline
@@ -278,6 +319,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*UPDATE\s+GRAFT\s+TABLE\s+(\w+)\s+SET\s+(.+)""".r
   private val compactRe =
     """(?is)\s*COMPACT\s+GRAFT\s+TABLE\s+(\w+)\s*""".r
+  private val optimizeRe =
+    """(?is)\s*OPTIMIZE\s+GRAFT\s+TABLE\s+(\w+)\s+ZORDER\s+BY\s*\(([^)]+)\)\s*""".r
   private val cleanRe =
     """(?is)\s*CLEAN\s+GRAFT\s+FILES\s+FOR\s+(\w+)\s*""".r
   private val dropRe =
@@ -380,6 +423,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       UpdateGraftRowsCommand(name, splitAssignments(rest.take(i)),
         rest.drop(i + "WHERE".length).trim)
     case compactRe(name) => CompactGraftTableCommand(name)
+    case optimizeRe(name, cols) =>
+      OptimizeGraftTableCommand(name,
+        cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     case cleanRe(name) => CleanGraftFilesCommand(name)
     case addColRe(name, colName, colType, default) =>
       AlterGraftAddColumnCommand(name, colName,
@@ -400,6 +446,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     (u.contains("GRAFT ") && (u.trim.startsWith("CREATE") ||
       u.trim.startsWith("LOAD") || u.trim.startsWith("SHOW") ||
       u.trim.startsWith("DELETE") || u.trim.startsWith("COMPACT") ||
+      u.trim.startsWith("OPTIMIZE") ||
       u.trim.startsWith("CLEAN") || u.trim.startsWith("DROP") ||
       u.trim.startsWith("ALTER") || u.trim.startsWith("DESCRIBE") ||
       u.trim.startsWith("REFRESH") || u.trim.startsWith("UPDATE") ||
@@ -941,6 +988,18 @@ case class CompactGraftTableCommand(name: String) extends LeafRunnableCommand {
 case class CleanGraftFilesCommand(name: String) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     GraftCatalog.open(spark, name).cleanFiles(); Nil
+  }
+}
+
+/** OPTIMIZE GRAFT TABLE t ZORDER BY (c1, c2): re-layout the live data
+  * z-ordered on the listed columns and persist them as the table's
+  * zorder_columns. The rewrite is CDC-invisible (dataChange=false),
+  * like compaction.
+  */
+case class OptimizeGraftTableCommand(name: String, cols: Seq[String])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftCatalog.open(spark, name).optimizeZOrder(cols); Nil
   }
 }
 

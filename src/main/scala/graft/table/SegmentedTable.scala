@@ -838,9 +838,37 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     r
   }
 
-  private def compactImpl(): Option[Int] = {
+  private def compactImpl(): Option[Int] = mergeLive(minSegments = 2)
+
+  /** OPTIMIZE ... ZORDER BY: persist `cols` as the table's
+    * zorder_columns (every FUTURE segment write keeps the layout —
+    * see [[applyLayout]]) and rewrite all current live segments into
+    * one z-ordered segment. A pure reorganization: the merged segment
+    * commits with `dataChange = false`, so the change feed and
+    * streaming readers skip it exactly like compaction. Returns the
+    * new table handle (property sets are immutable per handle).
+    *
+    * Scale: one distributed re-layout pass over the live data —
+    * the same cost profile as compaction, run on the same
+    * write-outside/commit-inside protocol; queries and loads proceed
+    * during the rewrite.
+    */
+  def optimizeZOrder(cols: Seq[String]): SegmentedTable = {
+    require(cols.nonEmpty, "optimizeZOrder requires at least one column")
+    cols.foreach(c =>
+      require(schema.fieldNames.contains(c), s"no column $c in ${root}"))
+    val newProps = properties + ("zorder_columns" -> cols.mkString(","))
+    val updated = withLock {
+      SegmentedTable.writeSchema(root, schema, newProps)
+      new SegmentedTable(spark, root, schema, newProps)
+    }
+    updated.mergeLive(minSegments = 1)
+    updated
+  }
+
+  private def mergeLive(minSegments: Int): Option[Int] = {
     val live = liveSegments
-    if (live.size < 2) return None
+    if (live.size < minSegments) return None
     // the long-running merge write happens OUTSIDE the lock (so loads
     // and queries proceed during compaction, as with the reference's
     // background merger); the commit inside the lock first re-verifies

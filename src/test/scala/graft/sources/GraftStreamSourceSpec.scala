@@ -85,6 +85,35 @@ class GraftStreamSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("maxVersionsPerBatch drains a commit burst as bounded batches") {
+    val root = fresh("rate")
+    val t = SegmentedTable.create(spark, root, docs.schema, Map.empty)
+    t.load(docs.filter(col("doc_id") < 10))
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format("graft")
+      .option("maxVersionsPerBatch", "1").load(root)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val n = batch.count()
+        if (n > 0) batches.add(n)
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable() // snapshot: one batch of 10
+      // a burst of three commits while the stream runs
+      t.load(docs.filter(col("doc_id") >= 10 && col("doc_id") < 30))
+      t.load(docs.filter(col("doc_id") >= 30 && col("doc_id") < 60))
+      t.load(docs.filter(col("doc_id") >= 60 && col("doc_id") < 100))
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val sizes = batches.asScala.toList
+      // the burst drains as one batch per commit, not one giant batch
+      assert(sizes == List(10L, 20L, 30L, 40L),
+        s"expected per-commit batches, got $sizes")
+    } finally q.stop()
+  }
+
   test("checkpoint restart resumes at the committed version, no re-emission") {
     val root = fresh("ckpt")
     val ckpt = Files.createTempDirectory("graft_ss_ckpt").toString

@@ -81,6 +81,33 @@ class GraftSqlSpec extends AnyFunSuite {
     spark.sql("DROP GRAFT TABLE tvf_nations")
   }
 
+  test("graft_changes TVF: the change feed from pure SQL") {
+    val sf = "/root/testdata/sf0.001"
+    spark.read.parquet(s"$sf/nation.parquet")
+      .createOrReplaceTempView("nation_cdc_src")
+    spark.sql("CREATE GRAFT TABLE cdc_nations AS SELECT * FROM nation_cdc_src")
+    val t = graft.table.SegmentedTable.open(spark, s"$store/cdc_nations")
+    val afterCtas = t.currentVersion
+    spark.sql(s"LOAD GRAFT DATA INPATH '$sf/nation.parquet' INTO TABLE cdc_nations")
+
+    val feed = spark.sql(
+      s"""SELECT _change_type, COUNT(*) AS n
+          FROM graft_changes('cdc_nations', $afterCtas, ${t.currentVersion})
+          GROUP BY 1""").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(feed == Map("insert" -> 25L))
+
+    // empty range; bad version fails loudly
+    assert(spark.sql(
+      s"SELECT * FROM graft_changes('cdc_nations', $afterCtas, $afterCtas)")
+      .count() == 0)
+    val err = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_changes('cdc_nations', 1, 999)").collect())
+    assert(err.getMessage.contains("no catalog version"))
+
+    spark.sql("DROP GRAFT TABLE cdc_nations")
+  }
+
   test("custom functions are callable from SQL") {
     spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .createOrReplaceTempView("li_fn")

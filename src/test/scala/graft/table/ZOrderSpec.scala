@@ -49,6 +49,39 @@ class ZOrderSpec extends AnyFunSuite {
       s"l_orderkey should stay clustered under z-order: $zFiles1 of $files")
   }
 
+  test("OPTIMIZE ZORDER BY: re-layout preserved rows, persisted props, CDC-invisible") {
+    val li = spark.read.parquet(s"${TestSpark.sf}/lineitem.parquet")
+    val root = Files.createTempDirectory("graft_opt").resolve("t").toString
+    val t = SegmentedTable.create(spark, root, li.schema,
+      Map("sort_columns" -> "l_orderkey"))
+    t.load(li.filter(col("l_orderkey") % 2 === 0))
+    t.load(li.filter(col("l_orderkey") % 2 === 1))
+    val before = t.currentVersion
+    val total = li.count()
+
+    val opt = t.optimizeZOrder(Seq("l_orderkey", "l_suppkey"))
+    // rows exactly preserved through the re-layout
+    assert(opt.read().count() == total)
+    assert(opt.showSegments().count(_.status == "SUCCESS") == 1)
+    // property persisted — a reopened handle (and future writes) keep it
+    assert(SegmentedTable.open(spark, root).zorderColumns ==
+      Seq("l_orderkey", "l_suppkey"))
+    // pure reorganization: invisible to the change feed
+    assert(opt.readChanges(before, opt.currentVersion).count() == 0)
+
+    // SQL surface: the command parses and runs through the catalog
+    val store = spark.conf.get("spark.graft.store")
+    spark.read.parquet(s"${TestSpark.sf}/nation.parquet")
+      .createOrReplaceTempView("nation_opt_src")
+    spark.sql("CREATE GRAFT TABLE opt_nations AS SELECT * FROM nation_opt_src")
+    spark.sql("OPTIMIZE GRAFT TABLE opt_nations ZORDER BY (n_regionkey, n_nationkey)")
+    assert(SegmentedTable.open(spark, s"$store/opt_nations").zorderColumns ==
+      Seq("n_regionkey", "n_nationkey"))
+    assert(spark.sql("SELECT count(*) FROM graft_table('opt_nations')")
+      .head().getLong(0) == 25)
+    spark.sql("DROP GRAFT TABLE opt_nations")
+  }
+
   test("output partition count tracks input size (no fixed fan-in)") {
     // an explicit count is honored (layout pinning)
     val li = spark.read.parquet(s"${TestSpark.sf}/lineitem.parquet")
