@@ -294,7 +294,6 @@ object Baseline {
     // whole corpus tokenizes on every query (what the materialized
     // postings table buys)
     "t21_bm25_index_serve" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val terms0 = Seq("spark", "join", "stream")
       val withDl = Tables.documents(s, d)
         .select(col("doc_id"),

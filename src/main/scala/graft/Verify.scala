@@ -30,20 +30,27 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     val selected = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    def dump(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+    // Streaming gates drain through EventStreams.runToCompletion,
+    // which temporarily mutates SESSION conf (shuffle partitions,
+    // no-data micro-batches) with save/restore — a batch gate planned
+    // inside that window on another thread would inherit the
+    // overrides. They run sequentially AFTER the pool; everything
+    // else parallelizes freely.
+    val (streaming, batch) = selected.partition(_._1.startsWith("st"))
     val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
     try {
-      val tasks = selected.map { case (name, fn) =>
-        pool.submit(new Runnable {
-          def run(): Unit =
-            try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-              .parquet(s"$outDir/$name")
-            catch { case e: Throwable =>
-              System.err.println(s"[verify] $name failed: ${e.getMessage}")
-            }
-        })
+      val tasks = batch.map { case (name, fn) =>
+        pool.submit(new Runnable { def run(): Unit = dump(name, fn) })
       }
       tasks.foreach(_.get())
     } finally pool.shutdown()
+    streaming.foreach { case (name, fn) => dump(name, fn) }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

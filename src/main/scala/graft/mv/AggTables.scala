@@ -380,9 +380,16 @@ object AggTableRewrite {
     */
   def ensureRegistered(s: SparkSession): Unit = {
     s.sessionState.optimizer
-    if (!java.lang.Boolean.parseBoolean(s.conf.get(Marker, "false")))
-      s.experimental.extraOptimizations =
-        s.experimental.extraOptimizations :+ AggTableRewrite(s)
+    // synchronized on the session (the same monitor every
+    // extraOptimizations appender uses): check-then-append is a
+    // read-modify-write on a shared var, and two concurrent callers —
+    // e.g. Verify's parallel dump running two gates — could otherwise
+    // double-register this rule or overwrite another rule's append
+    s.synchronized {
+      if (!java.lang.Boolean.parseBoolean(s.conf.get(Marker, "false")))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ AggTableRewrite(s)
+    }
   }
 }
 

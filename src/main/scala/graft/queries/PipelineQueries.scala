@@ -216,12 +216,12 @@ object PipelineQueries {
       import graft.functions.MgCandidates.mgCandidates
       val toks = Tables.documents(s, d)
         .select(explode(TextFunctions.tokens(col("text"))).as("token"))
-      val cand = toks.agg(mgCandidates(col("token"), 64).as("__cand"))
-      val totals = toks.agg(count(lit(1)).as("__total"))
+      // one pass computes the sketch AND the total occurrence count
+      val cand = toks.agg(mgCandidates(col("token"), 64).as("__cand"),
+        count(lit(1)).as("__total"))
       toks.crossJoin(broadcast(cand))
         .filter(array_contains(col("__cand"), col("token")))
-        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-        .crossJoin(broadcast(totals))
+        .groupBy(col("token"), col("__total")).agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") * lit(30L) >= col("__total"))
         .select(col("token"), col("cnt"))
     }),

@@ -64,6 +64,7 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
     val maxVersions = parameters
       .collectFirst { case (k, v) if k.equalsIgnoreCase("maxversionsperbatch") => v }
       .map(_.toLong)
-    new GraftStreamSource(sqlContext, path(parameters), ignoreDeletes, maxVersions)
+    new GraftStreamSource(sqlContext, path(parameters), ignoreDeletes,
+      maxVersions, Some(metadataPath))
   }
 }

@@ -36,7 +36,12 @@ case class GraftSourceOffset(version: Long) extends V1Offset {
   * at the commit rate, not the table size.
   */
 class GraftStreamSource(sqlContext: SQLContext, path: String,
-    ignoreDeletes: Boolean, maxVersionsPerBatch: Option[Long] = None) extends Source {
+    ignoreDeletes: Boolean, maxVersionsPerBatch: Option[Long] = None,
+    metadataPath: Option[String] = None) extends Source {
+
+  maxVersionsPerBatch.foreach(m => require(m > 0,
+    s"maxVersionsPerBatch must be positive, got $m (a non-positive cap " +
+      "would freeze the stream after its first batch)"))
 
   private val table = SegmentedTable.open(sqlContext.sparkSession, path)
 
@@ -46,20 +51,45 @@ class GraftStreamSource(sqlContext: SQLContext, path: String,
     * versions one micro-batch spans, so a burst of commits (or a long
     * stop) drains as bounded batches instead of one giant scan — the
     * backfill-safety knob every table-format source needs at scale.
-    * Tracked against the last offset this instance offered or
-    * planned; a restart's FIRST recovered batch replays whatever
-    * range the checkpoint recorded (exactly-once requires it), and
-    * the cap re-engages from there.
+    *
+    * The high-water mark (last offset offered or planned) is
+    * persisted in the query's per-source checkpoint dir: after a
+    * CLEAN-shutdown restart Spark calls getOffset before any
+    * getBatch, so an in-memory-only mark would reset and the whole
+    * backlog would be offered as one uncapped batch — exactly the
+    * scenario the cap exists to bound. Persisting only the offered
+    * mark is safe for exactly-once: replays are driven by Spark's
+    * offset WAL, never by this file, and the mark is always ≥ the
+    * committed offset.
     */
-  @volatile private var lastSeen: Long = -1L
+  private val markFile = metadataPath.map(p =>
+    java.nio.file.Paths.get(p).resolve("graft_last_offered"))
+
+  @volatile private var lastSeen: Long = {
+    markFile.filter(java.nio.file.Files.exists(_))
+      .flatMap(f => java.nio.file.Files.readString(f).trim.toLongOption)
+      .getOrElse(-1L)
+  }
+
+  private def advanceMark(v: Long): Unit = if (v > lastSeen) {
+    lastSeen = v
+    markFile.foreach { f =>
+      java.nio.file.Files.createDirectories(f.getParent)
+      val tmp = f.resolveSibling(s".graft_last_offered.tmp${System.nanoTime()}")
+      java.nio.file.Files.writeString(tmp, v.toString)
+      java.nio.file.Files.move(tmp, f,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
 
   override def getOffset: Option[V1Offset] = {
     val cur = table.currentVersion
     val capped = maxVersionsPerBatch match {
       case Some(m) if lastSeen >= 0 => math.min(cur, lastSeen + m)
-      case _ => cur // first offer: the initial snapshot is one batch
+      case _ => cur // first-ever offer: the initial snapshot is one batch
     }
-    lastSeen = math.max(lastSeen, capped)
+    advanceMark(capped)
     Some(GraftSourceOffset(capped))
   }
 
@@ -76,11 +106,18 @@ class GraftStreamSource(sqlContext: SQLContext, path: String,
     import org.apache.spark.sql.graftbridge.ColumnExpr
     val spark = sqlContext.sparkSession
     val endV = versionOf(end)
-    lastSeen = math.max(lastSeen, endV) // restart: resume the cap from the checkpoint
+    advanceMark(endV) // uncommitted-batch replay: resume the cap from the WAL
     val batch = start match {
       case None =>
-        // initial snapshot: everything committed up to the first offset
-        Some(table.readAsOf(endV))
+        // initial snapshot: everything committed up to the first
+        // offset — None when the table has no live segments yet (the
+        // start-empty-then-produce pattern must yield an EMPTY
+        // streaming batch, not a non-streaming LocalRelation that
+        // fails MicroBatchExecution's isStreaming assertion)
+        if (table.statusAt(endV).segments
+            .exists(_.status == SegmentedTable.SUCCESS))
+          Some(table.readAsOf(endV))
+        else None
       case Some(s) =>
         val startV = versionOf(s)
         val events = table.changeEvents(startV, endV)

@@ -242,12 +242,17 @@ object GraftFunctions {
       info("mg_candidates",
         "Misra-Gries heavy-hitter candidate sketch: sorted array " +
           "superset of values with frequency > n/(k+1)"),
-      exprs => graft.functions.MgCandidates(exprs(0), exprs(1) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
-          v.toString.toInt
-        case other => throw new IllegalArgumentException(
-          s"mg_candidates k must be a literal, got $other")
-      }).toAggregateExpression()))
+      exprs => {
+        require(exprs.size == 2, "usage: mg_candidates(col, k)")
+        val k = exprs(1) match {
+          case e if e.foldable =>
+            String.valueOf(e.eval(
+              org.apache.spark.sql.catalyst.InternalRow.empty)).toInt
+          case other => throw new IllegalArgumentException(
+            s"mg_candidates k must be a literal, got $other")
+        }
+        graft.functions.MgCandidates(exprs(0), k).toAggregateExpression()
+      }))
   }
 }
 

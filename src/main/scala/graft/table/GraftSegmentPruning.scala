@@ -42,9 +42,15 @@ object GraftSegmentPruning {
     */
   def ensureRegistered(s: SparkSession): Unit = {
     s.sessionState.optimizer
-    if (!java.lang.Boolean.parseBoolean(s.conf.get(Marker, "false")))
-      s.experimental.extraOptimizations =
-        s.experimental.extraOptimizations :+ GraftSegmentPruning(s)
+    // synchronized on the session (shared monitor with
+    // AggTableRewrite.ensureRegistered): the check-then-append on the
+    // shared extraOptimizations var must not interleave with another
+    // appender under Verify's parallel dump
+    s.synchronized {
+      if (!java.lang.Boolean.parseBoolean(s.conf.get(Marker, "false")))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ GraftSegmentPruning(s)
+    }
   }
 }
 

@@ -114,6 +114,55 @@ class GraftStreamSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("starting on an EMPTY table works; rows arrive once the first load commits") {
+    val root = fresh("empty")
+    val t = SegmentedTable.create(spark, root, docs.schema, Map.empty)
+    val sink = s"graft_ss_mem_${names.incrementAndGet()}"
+    val q = spark.readStream.format("graft").load(root)
+      .writeStream.outputMode("append").format("memory").queryName(sink)
+      .start()
+    try {
+      q.processAllAvailable() // empty snapshot batch must not crash
+      assert(spark.table(sink).count() == 0)
+      t.load(docs.filter(col("doc_id") < 25))
+      q.processAllAvailable()
+      assert(spark.table(sink).count() == 25)
+    } finally q.stop()
+  }
+
+  test("maxVersionsPerBatch survives a clean-shutdown restart (persisted mark)") {
+    val root = fresh("ratestop")
+    val ckpt = Files.createTempDirectory("graft_ss_rate_ckpt").toString
+    val t = SegmentedTable.create(spark, root, docs.schema, Map.empty)
+    t.load(docs.filter(col("doc_id") < 10))
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def start() = spark.readStream.format("graft")
+      .option("maxVersionsPerBatch", "1").load(root)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val n = batch.count()
+        if (n > 0) batches.add(n)
+        ()
+      }
+      .start()
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop() // clean shutdown, snapshot committed
+    // a burst lands while the stream is DOWN
+    t.load(docs.filter(col("doc_id") >= 10 && col("doc_id") < 30))
+    t.load(docs.filter(col("doc_id") >= 30 && col("doc_id") < 60))
+    t.load(docs.filter(col("doc_id") >= 60 && col("doc_id") < 100))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val sizes = batches.asScala.toList
+      // without the persisted high-water mark the restart would drain
+      // the whole backlog as ONE batch of 90
+      assert(sizes == List(10L, 20L, 30L, 40L),
+        s"expected capped per-commit batches across restart, got $sizes")
+    } finally q2.stop()
+  }
+
   test("checkpoint restart resumes at the committed version, no re-emission") {
     val root = fresh("ckpt")
     val ckpt = Files.createTempDirectory("graft_ss_ckpt").toString
