@@ -62,8 +62,18 @@ class GraftStreamSource(sqlContext: SQLContext, path: String,
     * offset WAL, never by this file, and the mark is always ≥ the
     * committed offset.
     */
-  private val markFile = metadataPath.map(p =>
-    java.nio.file.Paths.get(p).resolve("graft_last_offered"))
+  /** metadataPath arrives as a URI string ("file:/ckpt/sources/0");
+    * Paths.get on the raw string would treat it as a RELATIVE path
+    * and scribble under the process CWD. Local filesystems only —
+    * the same single-node scope as the default MetadataLock.
+    */
+  private val markFile = metadataPath.map { p =>
+    val uri = new java.net.URI(p)
+    val base =
+      if (uri.getScheme == null) java.nio.file.Paths.get(p)
+      else java.nio.file.Paths.get(uri.getPath)
+    base.resolve("graft_last_offered")
+  }
 
   @volatile private var lastSeen: Long = {
     markFile.filter(java.nio.file.Files.exists(_))
