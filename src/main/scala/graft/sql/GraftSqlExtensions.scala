@@ -33,8 +33,15 @@ import graft.table.SegmentedTable
   *   DELETE GRAFT SEGMENT <id>[, <id>...] FROM t
   *   DELETE GRAFT SEGMENTS FROM t BEFORE '<utc timestamp>'
   *   COMPACT GRAFT TABLE t
+  *   OPTIMIZE GRAFT TABLE t ZORDER BY (c1, c2)
   *   CLEAN GRAFT FILES FOR t
   *   DROP GRAFT TABLE t
+  *
+  * Table-valued functions (FROM-able):
+  *
+  *   graft_table('<name-or-path>'[, <version>])   -- read / time travel
+  *   graft_changes('<name-or-path>', v1, v2)      -- change-data feed
+  *   graft_skyline('<table-or-path>', '<dims>')   -- Pareto front
   *
   * Aggregate tables (materialized rollups, reference CREATE
   * AGGREGATETABLE — CarbonSqlParser.scala:182-224, AddAggregatesToCube

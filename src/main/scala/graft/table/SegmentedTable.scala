@@ -277,7 +277,32 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
       java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
     catch { case _: java.io.IOException => () } // dir swept/raced: the move will fail loudly
 
+  /** Write-time schema enforcement: a column the table does not
+    * declare would land in the segment file but be SILENTLY dropped
+    * by every read (reads impose the table schema) — data loss; a
+    * same-name column with a different type would surface as an
+    * obscure scan error long after the load. Both fail HERE, naming
+    * the columns. Missing columns stay legal: reads fill null or the
+    * declared default — that is the schema-evolution path.
+    */
+  private def validateAgainstSchema(df: DataFrame): Unit = {
+    val declared = schema.fields.map(f => f.name -> f.dataType).toMap
+    val unknown = df.schema.fieldNames.filterNot(declared.contains)
+    require(unknown.isEmpty,
+      s"schema mismatch writing to $root: column(s) ${unknown.mkString(", ")} " +
+        "are not in the table schema and reads would silently drop them; " +
+        "add them first (ALTER ... ADD COLUMN) or drop them from the input")
+    val conflicts = df.schema.fields
+      .filter(f => declared.get(f.name).exists(_ != f.dataType))
+      .map(f => s"${f.name} (table ${declared(f.name).simpleString}, " +
+        s"input ${f.dataType.simpleString})")
+    require(conflicts.isEmpty,
+      s"schema mismatch writing to $root: type conflict on " +
+        s"${conflicts.mkString("; ")} — cast the input explicitly")
+  }
+
   private def stageSegment(df: DataFrame, prefix: String): StagedSegment = {
+    validateAgainstSchema(df)
     val tmp = root.resolve(s"${prefix}_${System.nanoTime()}")
     applyLayout(df).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     touchStaging(tmp)

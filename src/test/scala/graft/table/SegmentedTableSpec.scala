@@ -31,6 +31,24 @@ class SegmentedTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.showSegments().map(_.status).forall(_ == "SUCCESS"))
   }
 
+  test("load rejects undeclared columns and type conflicts at write time") {
+    val root = freshRoot("schemaguard")
+    val t = SegmentedTable.create(spark, root, li.schema, Map.empty)
+    // undeclared column: would be silently dropped by every read
+    val extra = li.withColumn("surprise", lit(1))
+    val e1 = intercept[IllegalArgumentException](t.load(extra))
+    assert(e1.getMessage.contains("surprise"))
+    // same name, different type: would fail obscurely at scan time
+    val retyped = li.withColumn("l_quantity", col("l_quantity").cast("string"))
+    val e2 = intercept[IllegalArgumentException](t.load(retyped))
+    assert(e2.getMessage.contains("l_quantity"))
+    // missing column stays legal (schema evolution: reads fill null)
+    t.load(li.drop("l_comment_missing_anyway") // no-op drop, then a real one
+      .drop("l_tax"))
+    assert(t.read().count() == li.count())
+    assert(t.read().filter(col("l_tax").isNull).count() == li.count())
+  }
+
   test("segment min/max pruning skips non-matching segments") {
     val root = freshRoot("prune")
     val t = SegmentedTable.create(spark, root, li.schema, Map.empty)
