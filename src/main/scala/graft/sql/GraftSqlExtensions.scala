@@ -330,7 +330,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val updateRowsRe =
     """(?is)\s*UPDATE\s+GRAFT\s+TABLE\s+(\w+)\s+SET\s+(.+)""".r
   private val compactRe =
-    """(?is)\s*COMPACT\s+GRAFT\s+TABLE\s+(\w+)\s*""".r
+    """(?is)\s*COMPACT\s+GRAFT\s+TABLE\s+(\w+)\s*(MINOR)?\s*""".r
   private val optimizeRe =
     """(?is)\s*OPTIMIZE\s+GRAFT\s+TABLE\s+(\w+)\s+ZORDER\s+BY\s*\(([^)]+)\)\s*""".r
   private val cleanRe =
@@ -434,7 +434,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       require(i > 0, "UPDATE GRAFT TABLE requires a WHERE clause")
       UpdateGraftRowsCommand(name, splitAssignments(rest.take(i)),
         rest.drop(i + "WHERE".length).trim)
-    case compactRe(name) => CompactGraftTableCommand(name)
+    case compactRe(name, minor) =>
+      CompactGraftTableCommand(name, minor != null)
     case optimizeRe(name, cols) =>
       OptimizeGraftTableCommand(name,
         cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
@@ -991,9 +992,16 @@ case class UpdateGraftRowsCommand(name: String,
   }
 }
 
-case class CompactGraftTableCommand(name: String) extends LeafRunnableCommand {
+/** COMPACT GRAFT TABLE t [MINOR] — MINOR folds only segments below
+  * the `compact.small.bytes` threshold (size-tiered), the plain form
+  * merges everything (major).
+  */
+case class CompactGraftTableCommand(name: String, minor: Boolean = false)
+    extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    GraftCatalog.open(spark, name).compact(); Nil
+    val t = GraftCatalog.open(spark, name)
+    if (minor) t.compactMinor() else t.compact()
+    Nil
   }
 }
 

@@ -169,7 +169,11 @@ object EventStreams {
           table.load(batch)
           if (autoCompactEvery > 0 &&
               table.showSegments().count(_.status == "SUCCESS") >= autoCompactEvery) {
-            table.compact()
+            // MINOR compaction: fold the small micro-batch segments
+            // together without rewriting segments that already grew
+            // past the threshold — the steady-state streaming shape
+            // (full compact() is O(table) on every trigger)
+            table.compactMinor()
             table.cleanFiles()
           }
         }

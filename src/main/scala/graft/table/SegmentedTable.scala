@@ -35,7 +35,8 @@ case class ColStats(min: String, max: String, kind: String)
 case class SegmentMeta(id: Int, status: String, rowCount: Long,
                        createdAt: Long, stats: Map[String, ColStats],
                        nullCounts: Map[String, Long] = Map.empty,
-                       dataChange: Boolean = true)
+                       dataChange: Boolean = true,
+                       bytes: Long = -1L)
 
 /** version: monotone commit counter (0 for catalogs written before the
   * field existed). Every commit also lands as `_meta/log/<version>
@@ -310,7 +311,17 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     touchStaging(tmp)
     val blooms = computeBlooms(tmp, rows)
     touchStaging(tmp)
-    StagedSegment(tmp, rows, stats, nulls, blooms)
+    StagedSegment(tmp, rows, stats, nulls, blooms, dirBytes(tmp))
+  }
+
+  /** On-disk size of a staged segment (drives size-tiered minor
+    * compaction). One local directory walk, metadata-only.
+    */
+  private def dirBytes(dir: Path): Long = {
+    val walk = Files.walk(dir)
+    try walk.filter(Files.isRegularFile(_))
+      .mapToLong(f => Files.size(f)).sum()
+    finally walk.close()
   }
 
   /** Allocate the next id, rename the staged dir into place, commit.
@@ -325,7 +336,8 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     writeBlooms(id, staged.blooms)
     commitStatus(TableStatus(id + 1,
       st.segments :+ SegmentMeta(id, SUCCESS, staged.rows,
-        System.currentTimeMillis(), staged.stats, staged.nulls)))
+        System.currentTimeMillis(), staged.stats, staged.nulls,
+        bytes = staged.bytes)))
     id
   }
 
@@ -891,8 +903,31 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     updated
   }
 
-  private def mergeLive(minSegments: Int): Option[Int] = {
-    val live = liveSegments
+  /** Size-tiered MINOR compaction: merge only live segments smaller
+    * than `smallBytes` (default from the `compact.small.bytes`
+    * property, 128 MB), leaving large segments untouched. The
+    * production steady state for streaming/micro-batch ingest: the
+    * full compact() rewrites the whole table — O(table) — while
+    * minor compaction is O(small tail). Segments from catalogs
+    * written before sizes were recorded (bytes = -1) count as small
+    * once, so legacy tails still fold.
+    */
+  def compactMinor(smallBytes: Long = -1L): Option[Int] = {
+    val threshold =
+      if (smallBytes > 0) smallBytes
+      else properties.get("compact.small.bytes").map(_.toLong)
+        .getOrElse(128L * 1024 * 1024)
+    val r = mergeSegments(
+      liveSegments.filter(s => s.bytes < threshold), minSegments = 2)
+    if (r.isDefined) maybeAutoRefresh()
+    r
+  }
+
+  private def mergeLive(minSegments: Int): Option[Int] =
+    mergeSegments(liveSegments, minSegments)
+
+  private def mergeSegments(live: Seq[SegmentMeta],
+      minSegments: Int): Option[Int] = {
     if (live.size < minSegments) return None
     // the long-running merge write happens OUTSIDE the lock (so loads
     // and queries proceed during compaction, as with the reference's
@@ -917,7 +952,8 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
         commitStatus(TableStatus(newId + 1,
           st.segments.map(s => if (live.exists(_.id == s.id)) s.copy(status = COMPACTED) else s) :+
             SegmentMeta(newId, SUCCESS, staged.rows, System.currentTimeMillis(),
-              staged.stats, staged.nulls, dataChange = false)))
+              staged.stats, staged.nulls, dataChange = false,
+              bytes = staged.bytes)))
         Some(newId)
       }
     }
@@ -1180,7 +1216,8 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
       Files.move(staged.tmp, segmentDir(id), StandardCopyOption.ATOMIC_MOVE)
       writeBlooms(id, staged.blooms)
       segs = segs :+ SegmentMeta(id, SUCCESS, staged.rows,
-        System.currentTimeMillis(), staged.stats, staged.nulls)
+        System.currentTimeMillis(), staged.stats, staged.nulls,
+        bytes = staged.bytes)
     }
     replacements.foreach {
       case (_, Some(staged)) => promote(staged)
@@ -1317,7 +1354,8 @@ object SegmentedTable {
     */
   private[graft] case class StagedSegment(tmp: Path, rows: Long,
       stats: Map[String, ColStats], nulls: Map[String, Long],
-      blooms: Seq[(String, org.apache.spark.util.sketch.BloomFilter)])
+      blooms: Seq[(String, org.apache.spark.util.sketch.BloomFilter)],
+      bytes: Long = -1L)
 
   private[table] implicit val formats: Formats = DefaultFormats
 

@@ -81,6 +81,22 @@ class GraftSqlSpec extends AnyFunSuite {
     spark.sql("DROP GRAFT TABLE tvf_nations")
   }
 
+  test("COMPACT ... MINOR folds small segments through SQL") {
+    val sf = "/root/testdata/sf0.001"
+    spark.read.parquet(s"$sf/nation.parquet")
+      .createOrReplaceTempView("nation_minor_src")
+    spark.sql("CREATE GRAFT TABLE minor_nations AS SELECT * FROM nation_minor_src")
+    spark.sql(s"LOAD GRAFT DATA INPATH '$sf/nation.parquet' INTO TABLE minor_nations")
+    val t = graft.table.SegmentedTable.open(spark, s"$store/minor_nations")
+    val before = t.showSegments().count(_.status == "SUCCESS")
+    assert(before == 2)
+    spark.sql("COMPACT GRAFT TABLE minor_nations MINOR")
+    assert(t.showSegments().count(_.status == "SUCCESS") == 1)
+    assert(spark.sql("SELECT count(*) FROM graft_table('minor_nations')")
+      .head().getLong(0) == 50)
+    spark.sql("DROP GRAFT TABLE minor_nations")
+  }
+
   test("graft_changes TVF: the change feed from pure SQL") {
     val sf = "/root/testdata/sf0.001"
     spark.read.parquet(s"$sf/nation.parquet")

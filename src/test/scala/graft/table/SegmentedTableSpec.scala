@@ -49,6 +49,32 @@ class SegmentedTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.read().filter(col("l_tax").isNull).count() == li.count())
   }
 
+  test("minor compaction folds only the small segments") {
+    val root = freshRoot("minor")
+    val t = SegmentedTable.create(spark, root, li.schema, Map.empty)
+    val bigId = t.load(li)
+    t.load(li.limit(40))
+    t.load(li.limit(60))
+    t.load(li.limit(80))
+    val big = t.showSegments().find(_.id == bigId).get
+    assert(big.bytes > 0, "segment byte size must be recorded")
+    val beforeVersion = t.currentVersion
+    val total = t.read().count()
+
+    // threshold = the big segment's size: everything smaller folds
+    val merged = t.compactMinor(big.bytes)
+    assert(merged.isDefined)
+    val live = t.showSegments().filter(_.status == "SUCCESS")
+    // the big segment survives untouched; the three smalls became one
+    assert(live.map(_.id).contains(bigId))
+    assert(live.size == 2, s"expected big + merged, got ${live.map(_.id)}")
+    assert(t.read().count() == total)
+    // a reorganization: invisible to the change feed
+    assert(t.readChanges(beforeVersion, t.currentVersion).count() == 0)
+    // nothing small left to fold: second run is a no-op
+    assert(t.compactMinor(big.bytes).isEmpty)
+  }
+
   test("segment min/max pruning skips non-matching segments") {
     val root = freshRoot("prune")
     val t = SegmentedTable.create(spark, root, li.schema, Map.empty)
