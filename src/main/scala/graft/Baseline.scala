@@ -136,6 +136,20 @@ object Baseline {
     "d05_dedup_clusters" -> ((s, d) =>
       graft.dedup.Dedup.nearDupClusters(minhashPairsDecl(Tables.documents(s, d)))),
 
+    // d08's plain formulation: declarative LSH candidates (no compiled
+    // kernel) + the same Levenshtein confirmation
+    "d08_editdist_pairs" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val texts = docs.select(col("doc_id"), col("text"))
+      val a = texts.toDF("id_a", "__ta")
+      val b = texts.toDF("id_b", "__tb")
+      minhashPairsDecl(docs).join(a, "id_a").join(b, "id_b")
+        .withColumn("lev", levenshtein(col("__ta"), col("__tb")))
+        .filter(col("lev") * 10 <=
+          greatest(length(col("__ta")), length(col("__tb"))))
+        .select(col("id_a"), col("id_b"), col("lev"))
+    }),
+
     "s01_ann_brute" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       annDecl(emb, emb.filter(col("vec_id") < 5), 3, 0, None)

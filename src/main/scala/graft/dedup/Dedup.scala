@@ -408,6 +408,36 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Edit-distance-VERIFIED near-dup pairs: candidates come from
+    * MinHash band collisions (never all-pairs), and each candidate is
+    * confirmed by Levenshtein distance normalized by the longer text
+    * (lev · denom ≤ max(len) ⇔ ratio ≤ 1/denom). The complement of
+    * [[blockedJaccardPairs]]' set-overlap verify: edit distance is
+    * order-sensitive — it catches in-place edits and typo chains that
+    * bag-of-shingles similarity over- or under-credits, the classic
+    * fuzzy-match confirmation.
+    *
+    * Scale: the only corpus-sized stage is the banded-signature
+    * pipeline inside [[minhashCandidates]]; full texts join back to
+    * the candidate PAIRS only, and the length-quadratic Levenshtein
+    * runs once per candidate — bounded by the LSH collision rate,
+    * never |docs|². For very long documents cap the compared prefix
+    * (or use Spark's thresholded levenshtein) — at ratio ≤ 1/denom a
+    * prefix bound is sound because lev ≥ length difference.
+    */
+  def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
+                        denom: Int = 10): DataFrame = {
+    val cand = minhashCandidates(docs, idCol, textCol)
+    val texts = docs.select(col(idCol), col(textCol))
+    val a = texts.toDF("id_a", "__ta")
+    val b = texts.toDF("id_b", "__tb")
+    cand.join(a, "id_a").join(b, "id_b")
+      .withColumn("lev", levenshtein(col("__ta"), col("__tb")))
+      .filter(col("lev") * denom <=
+        greatest(length(col("__ta")), length(col("__tb"))))
+      .select(col("id_a"), col("id_b"), col("lev"))
+  }
+
   /** Connected components over near-duplicate candidate pairs: every
     * doc that appears in a pair is labeled with the minimum doc id of
     * its component (the canonical dedup representative). Iterative

@@ -519,6 +519,13 @@ object PipelineQueries {
     }),
 
     // dedup: exact n-gram Jaccard over blocked pairs
+    // dedup: edit-distance-VERIFIED near-dup pairs — LSH band
+    // candidates confirmed by normalized Levenshtein (ratio ≤ 1/10).
+    // The order-sensitive complement of d03's set-overlap verify.
+    "d08_editdist_pairs" -> ((s, d) => {
+      Dedup.editDistancePairs(Tables.documents(s, d), "doc_id", "text", 10)
+    }),
+
     "d03_jaccard_pairs" -> ((s, d) => {
       Dedup.blockedJaccardPairs(Tables.documents(s, d), "doc_id", "text",
         Seq("source", "lang"), 0.8)
@@ -1217,6 +1224,26 @@ object PipelineQueries {
     "d01_dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS fp, MIN(doc_id) AS rep_id,
          COUNT(*) AS dup_cnt FROM documents GROUP BY 1""",
+
+    // same band-collision candidates as d02, then the identical
+    // normalized-Levenshtein confirmation (both engines implement
+    // classic edit distance; the filter and value are exact integers)
+    "d08_editdist_pairs" ->
+      s"""WITH t AS (SELECT doc_id, $W AS words FROM documents),
+          sh AS (SELECT doc_id, $SH AS s FROM t),
+          sig AS (SELECT doc_id,
+            ${(0 until 4).map(b => s"${band(b, 4)} AS band$b").mkString(", ")}
+          FROM sh WHERE len(s) > 0),
+          cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+          AND (a.band0 = b.band0 OR a.band1 = b.band1
+            OR a.band2 = b.band2 OR a.band3 = b.band3))
+          SELECT c.id_a, c.id_b, levenshtein(ta.text, tb.text) AS lev
+          FROM cand c
+          JOIN documents ta ON ta.doc_id = c.id_a
+          JOIN documents tb ON tb.doc_id = c.id_b
+          WHERE levenshtein(ta.text, tb.text) * 10 <=
+            greatest(length(ta.text), length(tb.text))""",
 
     "d02_minhash_pairs" ->
       s"""WITH t AS (SELECT doc_id, $W AS words FROM documents),
