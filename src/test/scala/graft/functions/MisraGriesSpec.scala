@@ -52,6 +52,48 @@ class MisraGriesSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("property: superset guarantee holds for arbitrary streams, splits and k") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Prop.forAll
+    // drive the aggregate's own update/merge state machine directly
+    // (no Spark job per case): random streams over a small alphabet,
+    // random partition splits, random k — the merged sketch's key set
+    // must contain every item with true frequency > n/(k+1)
+    val gen = for {
+      k <- Gen.choose(1, 12)
+      items <- Gen.listOfN(400,
+        Gen.frequency((8, Gen.choose(0, 4)), (2, Gen.choose(5, 60))))
+      cuts <- Gen.listOfN(3, Gen.choose(0, items.size))
+    } yield (k, items.map(i => s"w$i"), cuts.sorted)
+    val prop = forAll(gen) { case (k, items, cuts) =>
+      val sketch = MgCandidates(
+        org.apache.spark.sql.catalyst.expressions.Literal("x"), k)
+      val parts = (0 +: cuts :+ items.size).sliding(2).map {
+        case Seq(a, b) => items.slice(a, b)
+      }.toList
+      val merged = parts.map { part =>
+        val b = sketch.createAggregationBuffer()
+        part.foreach { w =>
+          // update() evaluates the child against a row; emulate by
+          // driving the same internal path through a literal child
+          val s2 = MgCandidates(
+            org.apache.spark.sql.catalyst.expressions.Literal(w), k)
+          s2.update(b, org.apache.spark.sql.catalyst.InternalRow.empty)
+        }
+        b
+      }.reduce(sketch.merge)
+      val n = items.size
+      val truth = items.groupBy(identity).collect {
+        case (w, occ) if occ.size.toLong * (k + 1) > n => w
+      }.toSet
+      val keys = merged.keySet.toSet
+      Prop(truth.subsetOf(keys)) :| s"missing ${truth -- keys} (k=$k)"
+    }
+    val result = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("a uniform stream wider than k yields at most k candidates, no crash") {
     val data = (1 to 5000).map(i => s"u_${i % 400}") // 400 distinct, k=10
     val cand = data.toDF("v").repartition(11)
