@@ -78,6 +78,42 @@ class ThriftServerSpec extends AnyFunSuite {
     }
   }
 
+  test("CDC feed and minor compaction round-trip over the wire") {
+    val sf = "/root/testdata/sf0.001"
+    spark.read.parquet(s"$sf/nation.parquet")
+      .createOrReplaceTempView("thrift_cdc_src")
+    spark.sql("CREATE GRAFT TABLE thrift_cdc AS SELECT * FROM thrift_cdc_src")
+    val store = spark.conf.get("spark.graft.store")
+    val t = graft.table.SegmentedTable.open(spark, s"$store/thrift_cdc")
+    val afterCtas = t.currentVersion
+
+    val conn = connect(jdbcUrl)
+    try {
+      val st = conn.createStatement()
+      st.execute(
+        s"LOAD GRAFT DATA INPATH '$sf/nation.parquet' INTO TABLE thrift_cdc")
+      // the change feed is a FROM-able TVF over JDBC
+      val r1 = st.executeQuery(
+        s"""SELECT _change_type, COUNT(*) AS n
+            FROM graft_changes('thrift_cdc', $afterCtas, ${t.currentVersion})
+            GROUP BY _change_type""")
+      assert(r1.next() && r1.getString(1) == "insert" && r1.getLong(2) == 25L)
+      assert(!r1.next())
+      // minor compaction folds the two small segments; the feed over
+      // the compaction range stays empty (dataChange=false)
+      val beforeCompact = t.currentVersion
+      st.execute("COMPACT GRAFT TABLE thrift_cdc MINOR")
+      assert(t.showSegments().count(_.status == "SUCCESS") == 1)
+      val r2 = st.executeQuery(
+        s"""SELECT COUNT(*) AS n
+            FROM graft_changes('thrift_cdc', $beforeCompact, ${t.currentVersion})""")
+      assert(r2.next() && r2.getLong(1) == 0L)
+    } finally {
+      conn.close()
+      spark.sql("DROP GRAFT TABLE thrift_cdc")
+    }
+  }
+
   test("two concurrent JDBC sessions: DDL/DML on one table, no cross-session leakage") {
     val sf = "/root/testdata/sf0.001"
     spark.read.parquet(s"$sf/nation.parquet")
