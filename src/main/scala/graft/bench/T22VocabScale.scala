@@ -45,10 +45,11 @@ object T22VocabScale {
 
     val rows = 20000000L
     for (vocab <- Seq(100L, 10000L, 1000000L, 10000000L)) {
-      // 20% of occurrences concentrate on 20 hot keys (the heavy
-      // hitters at threshold 1/30); the rest spread uniformly over
-      // `vocab` tail keys. Token strings are md5-derived so their
-      // width (~32 chars) matches real shingle keys.
+      // 20% of occurrences concentrate on 4 hot keys (~5% each —
+      // comfortably above the 1/30 heavy-hitter threshold; id%5==0
+      // rows take id%20 ∈ {0,5,10,15}); the rest spread uniformly
+      // over `vocab` tail keys. Token strings are md5-derived so
+      // their width (~32 chars) matches real shingle keys.
       val path = s"/tmp/graft_bench/tokens_v$vocab"
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/_SUCCESS"))) {
         spark.range(rows)

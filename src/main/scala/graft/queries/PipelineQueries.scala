@@ -1237,13 +1237,14 @@ object PipelineQueries {
           cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
           FROM sig a JOIN sig b ON a.doc_id < b.doc_id
           AND (a.band0 = b.band0 OR a.band1 = b.band1
-            OR a.band2 = b.band2 OR a.band3 = b.band3))
-          SELECT c.id_a, c.id_b, levenshtein(ta.text, tb.text) AS lev
-          FROM cand c
-          JOIN documents ta ON ta.doc_id = c.id_a
-          JOIN documents tb ON tb.doc_id = c.id_b
-          WHERE levenshtein(ta.text, tb.text) * 10 <=
-            greatest(length(ta.text), length(tb.text))""",
+            OR a.band2 = b.band2 OR a.band3 = b.band3)),
+          scored AS (SELECT c.id_a, c.id_b,
+              levenshtein(ta.text, tb.text) AS lev,
+              greatest(length(ta.text), length(tb.text)) AS mx
+            FROM cand c
+            JOIN documents ta ON ta.doc_id = c.id_a
+            JOIN documents tb ON tb.doc_id = c.id_b)
+          SELECT id_a, id_b, lev FROM scored WHERE lev * 10 <= mx""",
 
     "d02_minhash_pairs" ->
       s"""WITH t AS (SELECT doc_id, $W AS words FROM documents),

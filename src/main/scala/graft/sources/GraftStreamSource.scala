@@ -62,17 +62,21 @@ class GraftStreamSource(sqlContext: SQLContext, path: String,
     * offset WAL, never by this file, and the mark is always ≥ the
     * committed offset.
     */
-  /** metadataPath arrives as a URI string ("file:/ckpt/sources/0");
-    * Paths.get on the raw string would treat it as a RELATIVE path
-    * and scribble under the process CWD. Local filesystems only —
-    * the same single-node scope as the default MetadataLock.
+  /** metadataPath arrives as a URI-ish string ("file:/ckpt/sources/0")
+    * whose path part is NOT percent-encoded (Hadoop Path.toString) —
+    * so java.net.URI would both throw on a space and mis-decode a
+    * literal "%20". Strip the file: scheme textually; raw Paths.get
+    * on the raw string would treat it as RELATIVE and scribble under
+    * the process CWD. Non-local schemes (hdfs:, s3a:) get no
+    * persisted mark (the cap still applies within a run) — the same
+    * single-node scope as the default MetadataLock.
     */
-  private val markFile = metadataPath.map { p =>
-    val uri = new java.net.URI(p)
-    val base =
-      if (uri.getScheme == null) java.nio.file.Paths.get(p)
-      else java.nio.file.Paths.get(uri.getPath)
-    base.resolve("graft_last_offered")
+  private val markFile = metadataPath.flatMap { p =>
+    val local =
+      if (p.startsWith("file:")) Some(p.stripPrefix("file:"))
+      else if (p.contains("://")) None
+      else Some(p)
+    local.map(s => java.nio.file.Paths.get(s).resolve("graft_last_offered"))
   }
 
   @volatile private var lastSeen: Long = {

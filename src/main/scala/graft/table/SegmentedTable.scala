@@ -287,15 +287,25 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     * declared default — that is the schema-evolution path.
     */
   private def validateAgainstSchema(df: DataFrame): Unit = {
-    val declared = schema.fields.map(f => f.name -> f.dataType).toMap
-    val unknown = df.schema.fieldNames.filterNot(declared.contains)
+    // name matching follows the session's resolution rules
+    // (case-insensitive unless spark.sql.caseSensitive); type matching
+    // uses sameType, which ignores nullability — file sources force
+    // relation schemas nullable (asNullable), so the table's OWN
+    // rewrite paths (compact/DML) hand back nested types whose only
+    // difference is containsNull/nullable flags
+    val caseSensitive =
+      spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    def key(n: String) = if (caseSensitive) n else n.toLowerCase(java.util.Locale.ROOT)
+    val declared = schema.fields.map(f => key(f.name) -> f.dataType).toMap
+    val unknown = df.schema.fieldNames.filterNot(n => declared.contains(key(n)))
     require(unknown.isEmpty,
       s"schema mismatch writing to $root: column(s) ${unknown.mkString(", ")} " +
         "are not in the table schema and reads would silently drop them; " +
         "add them first (ALTER ... ADD COLUMN) or drop them from the input")
     val conflicts = df.schema.fields
-      .filter(f => declared.get(f.name).exists(_ != f.dataType))
-      .map(f => s"${f.name} (table ${declared(f.name).simpleString}, " +
+      .filter(f => declared.get(key(f.name))
+        .exists(d => !ColumnExpr.sameType(d, f.dataType)))
+      .map(f => s"${f.name} (table ${declared(key(f.name)).simpleString}, " +
         s"input ${f.dataType.simpleString})")
     require(conflicts.isEmpty,
       s"schema mismatch writing to $root: type conflict on " +
@@ -912,11 +922,15 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     * written before sizes were recorded (bytes = -1) count as small
     * once, so legacy tails still fold.
     */
+  /** The size under which a live segment counts as "small" for minor
+    * compaction (`compact.small.bytes` property, default 128 MB).
+    */
+  def smallBytesThreshold: Long =
+    properties.get("compact.small.bytes").map(_.toLong)
+      .getOrElse(128L * 1024 * 1024)
+
   def compactMinor(smallBytes: Long = -1L): Option[Int] = {
-    val threshold =
-      if (smallBytes > 0) smallBytes
-      else properties.get("compact.small.bytes").map(_.toLong)
-        .getOrElse(128L * 1024 * 1024)
+    val threshold = if (smallBytes > 0) smallBytes else smallBytesThreshold
     val r = mergeSegments(
       liveSegments.filter(s => s.bytes < threshold), minSegments = 2)
     if (r.isDefined) maybeAutoRefresh()

@@ -39,6 +39,15 @@ object ColumnExpr {
   def waitForListeners(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
 
+  /** Nullability-insensitive type equality (`DataType.sameType` is
+    * private[sql]): file-source relation schemas are forced nullable,
+    * so any schema check that compares nested types strictly would
+    * reject a table's own rewrites.
+    */
+  def sameType(a: org.apache.spark.sql.types.DataType,
+               b: org.apache.spark.sql.types.DataType): Boolean =
+    a.sameType(b)
+
   /** Re-tag a batch DataFrame's relation leaves as streaming.
     * MicroBatchExecution asserts every V1 Source.getBatch result has
     * isStreaming=true; file-based sources set the flag through
