@@ -716,6 +716,22 @@ object PipelineQueries {
         "doc_id", "text", "n_chars")
       Multimodal.sampleFrames(gif, 4).toDF()
         .select(col("id"), col("frame_idx"), col("frame_w"), col("frame_h"))
+    }),
+
+    // multimodal: REAL audio decode — each document becomes a genuine
+    // RIFF/WAVE container (8-bit unsigned mono PCM; rate and sample
+    // count from replayable rules, samples cyclically from the text
+    // bytes), and the gated columns come from javax.sound actually
+    // parsing the header (sample_rate, n_samples) and reading the
+    // decoded PCM stream end to end (amp_sum) — a decoder that
+    // misread the chunk layout or sample width hash-mismatches
+    "m05_audio_decode" -> ((s, d) => {
+      import graft.multimodal.Multimodal
+      val wav = Multimodal.withWavPayload(Tables.documents(s, d),
+        "doc_id", "text", "n_chars")
+      Multimodal.decodeAudioFeatures(wav).toDF()
+        .select(col("id"), col("sample_rate"), col("n_samples"),
+          col("amp_sum"))
     })
   )
 
@@ -1585,6 +1601,21 @@ object PipelineQueries {
       """SELECT doc_id AS id, CAST(unnest(range(0, 4)) AS INT) AS frame_idx,
             CAST(1 + (n_chars % 48) AS INT) AS frame_w,
             CAST(1 + ((n_chars * 7) % 48) AS INT) AS frame_h
+          FROM documents""",
+
+    // WAVs are generated at 8000 + (n%8)·1000 Hz with 500 + n%1000
+    // samples taken cyclically from the text's bytes (ascii corpus:
+    // ord == utf-8 byte); Spark's result carries what javax.sound
+    // DECODED, so matching this recomputation proves the header parse
+    // and the PCM read are faithful
+    "m05_audio_decode" ->
+      """SELECT doc_id AS id,
+            CAST(8000 + (n_chars % 8) * 1000 AS INT) AS sample_rate,
+            CAST(500 + (n_chars % 1000) AS BIGINT) AS n_samples,
+            CAST(list_aggregate(list_transform(
+              range(0, 500 + (n_chars % 1000)),
+              i -> ord(substr(text, CAST(i % length(text) AS INT) + 1, 1))),
+              'sum') AS BIGINT) AS amp_sum
           FROM documents"""
   )
 }
