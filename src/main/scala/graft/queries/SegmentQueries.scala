@@ -359,7 +359,42 @@ object SegmentQueries {
       (t, fromV)
     })
 
+  /** RESTORE scenario: load evens, snapshot, load odds, row-DELETE
+    * (rewrites the even segment), then restore to the snapshot — the
+    * rollback must revive the ORIGINAL even segment (pre-delete) and
+    * retire everything after it, purely in metadata.
+    */
+  private def restoreScenario(s: SparkSession, d: String): SegmentedTable =
+    built.getOrElseUpdate(s"restore|$d", {
+      val root = s"/tmp/graft_tables/${d.replace('/', '_')}/documents_restore"
+      val docs = Tables.documents(s, d)
+      val t =
+        if (SegmentedTable.exists(root)) {
+          val x = SegmentedTable.open(s, root)
+          x.deleteSegments(x.showSegments().map(_.id)); x.cleanFiles(); x
+        } else SegmentedTable.create(s, root, docs.schema,
+          Map("sort_columns" -> "doc_id"))
+      t.load(docs.filter(col("doc_id") % 2 === 0))
+      val snap = t.currentVersion
+      t.load(docs.filter(col("doc_id") % 2 === 1))
+      t.delete(col("doc_id") % 10 === 2)
+      t.restoreTo(snap)
+      t
+    })
+
   val queries: Map[String, Q] = Map(
+    // metadata-only ROLLBACK: after a second load and a row-DELETE
+    // that rewrote the first segment, RESTORE TO the first-load
+    // version must read exactly the original even half — reviving
+    // the pre-delete segment and retiring the rewrite, no data moved
+    "g15_restore" -> ((s, d) => {
+      val t = restoreScenario(s, d)
+      t.read()
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+    }),
+
     // one-statement star ingest (fact + 2 dimension tables), then the
     // classic star join over the three graft tables — dims broadcast
     "g13_fact_dim_load" -> ((s, d) => {
@@ -574,6 +609,12 @@ object SegmentQueries {
              ROWS UNBOUNDED PRECEDING) AS last_pvalue
            FROM u) t
          WHERE side = 1""",
+
+    // the restored state is exactly the first load
+    "g15_restore" ->
+      """SELECT lang, COUNT(*) AS cnt,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         FROM documents WHERE doc_id % 2 = 0 GROUP BY lang""",
 
     // reconstruct the feed's event multiset from the source: the
     // second load's rows insert once; the DELETE retires the whole

@@ -32,8 +32,9 @@ import graft.table.SegmentedTable
   *   SHOW GRAFT SEGMENTS FOR t
   *   DELETE GRAFT SEGMENT <id>[, <id>...] FROM t
   *   DELETE GRAFT SEGMENTS FROM t BEFORE '<utc timestamp>'
-  *   COMPACT GRAFT TABLE t
+  *   COMPACT GRAFT TABLE t [MINOR]
   *   OPTIMIZE GRAFT TABLE t ZORDER BY (c1, c2)
+  *   RESTORE GRAFT TABLE t TO VERSION n
   *   CLEAN GRAFT FILES FOR t
   *   DROP GRAFT TABLE t
   *
@@ -333,6 +334,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*COMPACT\s+GRAFT\s+TABLE\s+(\w+)\s*(MINOR)?\s*""".r
   private val optimizeRe =
     """(?is)\s*OPTIMIZE\s+GRAFT\s+TABLE\s+(\w+)\s+ZORDER\s+BY\s*\(([^)]+)\)\s*""".r
+  private val restoreRe =
+    """(?is)\s*RESTORE\s+GRAFT\s+TABLE\s+(\w+)\s+TO\s+VERSION\s+(\d+)\s*""".r
   private val cleanRe =
     """(?is)\s*CLEAN\s+GRAFT\s+FILES\s+FOR\s+(\w+)\s*""".r
   private val dropRe =
@@ -439,6 +442,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case optimizeRe(name, cols) =>
       OptimizeGraftTableCommand(name,
         cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    case restoreRe(name, version) =>
+      RestoreGraftTableCommand(name, version.toLong)
     case cleanRe(name) => CleanGraftFilesCommand(name)
     case addColRe(name, colName, colType, default) =>
       AlterGraftAddColumnCommand(name, colName,
@@ -459,7 +464,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     (u.contains("GRAFT ") && (u.trim.startsWith("CREATE") ||
       u.trim.startsWith("LOAD") || u.trim.startsWith("SHOW") ||
       u.trim.startsWith("DELETE") || u.trim.startsWith("COMPACT") ||
-      u.trim.startsWith("OPTIMIZE") ||
+      u.trim.startsWith("OPTIMIZE") || u.trim.startsWith("RESTORE") ||
       u.trim.startsWith("CLEAN") || u.trim.startsWith("DROP") ||
       u.trim.startsWith("ALTER") || u.trim.startsWith("DESCRIBE") ||
       u.trim.startsWith("REFRESH") || u.trim.startsWith("UPDATE") ||
@@ -1008,6 +1013,17 @@ case class CompactGraftTableCommand(name: String, minor: Boolean = false)
 case class CleanGraftFilesCommand(name: String) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     GraftCatalog.open(spark, name).cleanFiles(); Nil
+  }
+}
+
+/** RESTORE GRAFT TABLE t TO VERSION n: metadata-only rollback — a new
+  * commit whose live set is the snapshot's (history preserved, CDC
+  * visible; see [[graft.table.SegmentedTable.restoreTo]]).
+  */
+case class RestoreGraftTableCommand(name: String, version: Long)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftCatalog.open(spark, name).restoreTo(version); Nil
   }
 }
 

@@ -1102,6 +1102,42 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     }.reduce(_.unionByName(_))
   }
 
+  /** RESTORE to a past catalog version: one new commit whose live
+    * segment set is the snapshot's — a pure metadata operation (no
+    * data files move; the segments must simply still exist, the same
+    * retention bound readAsOf has). History is preserved: the restore
+    * is a NEW version on top, so the feed and time travel keep the
+    * full lineage, and the restore itself is CDC-VISIBLE (segments
+    * it revives emit inserts, segments it retires emit deletes —
+    * a consumer replaying the feed tracks the table's contents
+    * through the rollback). Returns the new current version.
+    */
+  def restoreTo(version: Long): Long = {
+    val v = withLock {
+      val snapshot = statusAt(version)
+      val target = snapshot.segments.filter(_.status == SUCCESS)
+      val gone = target.filterNot(s => Files.isDirectory(segmentDir(s.id)))
+      require(gone.isEmpty,
+        s"cannot restore to version $version: segments ${gone.map(_.id).mkString(",")} " +
+          "were removed by cleanFiles")
+      val st = status
+      val targetIds = target.map(_.id).toSet
+      // revive snapshot members, retire everything else that is live;
+      // segments unknown to the current status (impossible under the
+      // append-only id allocator, but defensive) are re-added verbatim
+      val known = st.segments.map(_.id).toSet
+      val updated = st.segments.map { s =>
+        if (targetIds.contains(s.id)) s.copy(status = SUCCESS)
+        else if (s.status == SUCCESS) s.copy(status = DELETED)
+        else s
+      } ++ target.filterNot(s => known.contains(s.id))
+      commitStatus(TableStatus(st.nextId, updated))
+      currentVersion
+    }
+    maybeAutoRefresh() // outside the non-reentrant lock, like load's
+    v
+  }
+
   // ---- row-level DML (copy-on-write) ----
   //
   // The reference stops at segment granularity (DeleteLoadsById,

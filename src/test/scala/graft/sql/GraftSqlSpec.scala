@@ -81,6 +81,22 @@ class GraftSqlSpec extends AnyFunSuite {
     spark.sql("DROP GRAFT TABLE tvf_nations")
   }
 
+  test("RESTORE ... TO VERSION rolls back through SQL") {
+    val sf = "/root/testdata/sf0.001"
+    spark.read.parquet(s"$sf/nation.parquet")
+      .createOrReplaceTempView("nation_restore_src")
+    spark.sql("CREATE GRAFT TABLE restore_nations AS SELECT * FROM nation_restore_src")
+    val t = graft.table.SegmentedTable.open(spark, s"$store/restore_nations")
+    val snap = t.currentVersion
+    spark.sql(s"LOAD GRAFT DATA INPATH '$sf/nation.parquet' INTO TABLE restore_nations")
+    assert(spark.sql("SELECT count(*) FROM graft_table('restore_nations')")
+      .head().getLong(0) == 50)
+    spark.sql(s"RESTORE GRAFT TABLE restore_nations TO VERSION $snap")
+    assert(spark.sql("SELECT count(*) FROM graft_table('restore_nations')")
+      .head().getLong(0) == 25)
+    spark.sql("DROP GRAFT TABLE restore_nations")
+  }
+
   test("COMPACT ... MINOR folds small segments through SQL") {
     val sf = "/root/testdata/sf0.001"
     spark.read.parquet(s"$sf/nation.parquet")

@@ -73,6 +73,28 @@ class CdcSpec extends AnyFunSuite {
     assert(inserted == (0L until 100L).filterNot(_ % 10 == 3).toSet)
   }
 
+  test("RESTORE is CDC-visible: revived segments insert, retired ones delete") {
+    val t = SegmentedTable.create(spark, fresh("restore"), docs.schema, Map.empty)
+    t.load(docs.filter(col("doc_id") < 50))
+    val snap = t.currentVersion
+    t.load(docs.filter(col("doc_id") >= 50 && col("doc_id") < 80))
+    val beforeRestore = t.currentVersion
+    t.restoreTo(snap)
+    assert(t.read().count() == 50) // rolled back, metadata only
+    val feed = t.readChanges(beforeRestore, t.currentVersion)
+    // the restore retired the second load's 30 rows; nothing inserted
+    // (the first segment never left the live set)
+    assert(feed.filter(col("_change_type") === "delete").count() == 30)
+    assert(feed.filter(col("_change_type") === "insert").count() == 0)
+    // a restore across a DML rewrite also re-INSERTS the revived segment
+    t.delete(col("doc_id") % 10 === 1)
+    val afterDelete = t.currentVersion
+    t.restoreTo(snap)
+    val feed2 = t.readChanges(afterDelete, t.currentVersion)
+    assert(feed2.filter(col("_change_type") === "insert").count() == 50)
+    assert(feed2.filter(col("_change_type") === "delete").count() == 45)
+  }
+
   test("same-version range is empty; unknown versions fail loudly") {
     val t = SegmentedTable.create(spark, fresh("edges"), docs.schema, Map.empty)
     t.load(docs.filter(col("doc_id") < 10))
