@@ -335,6 +335,21 @@ object Baseline {
         .limit(10)
     }),
 
+    // the phrase query's plain formulation: tokenize the corpus per
+    // query (what the bigram posting index buys)
+    "t23_phrase_index_serve" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.tokens(col("text")).as("__w"))
+      toks.filter(size(col("__w")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(__w) - 2), i -> concat(__w[i], ' ', __w[i+1]))"))
+          .as("bigram"))
+        .filter(col("bigram") === "data line")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("tf"))
+        .orderBy(col("tf").desc, col("doc_id").asc).limit(10)
+    }),
+
     // the heavy hitters' plain formulation: full-vocabulary groupBy
     // (every distinct token shuffles) + HAVING
     "t22_heavy_hitters" -> ((s, d) => {

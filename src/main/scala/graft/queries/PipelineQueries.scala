@@ -204,6 +204,22 @@ object PipelineQueries {
         .limit(10)
     }),
 
+    // pipeline: PHRASE-QUERY serving from a materialized BIGRAM
+    // index (t21's positional companion): adjacent-token pairs land
+    // as postings (bigram, doc_id, tf), so an exact two-word phrase
+    // answers from the index alone — count and rank docs by phrase
+    // frequency without touching the documents table. This is the
+    // standard phrase-search compromise: bigram postings answer
+    // 2-word phrases exactly and prune longer phrases to candidate
+    // docs. Integer tf only — nothing float to replay.
+    "t23_phrase_index_serve" -> ((s, d) => {
+      val idx = bigramIndexFor(s, d).read()
+      idx.filter(col("bigram") === PhraseQuery)
+        .orderBy(col("tf").desc, col("doc_id").asc)
+        .limit(10)
+        .select(col("doc_id"), col("tf"))
+    }),
+
     // pipeline: EXACT heavy hitters via a Misra-Gries candidate
     // sketch + exact recount (the two-pass scale shape: a full
     // vocabulary groupBy shuffles every distinct token; the sketch
@@ -835,6 +851,35 @@ object PipelineQueries {
   /** t21's query terms — fixed literals so the oracle replays them. */
   private val Bm25QueryTerms = Seq("spark", "join", "stream")
 
+  /** t23's phrase — two adjacent tokens, fixed for the oracle. */
+  private val PhraseQuery = "data line"
+
+  /** Build-once bigram index for t23: postings of adjacent-token
+    * pairs. Same layout discipline as the unigram index (partitioned
+    * + sorted by bigram, pid-qualified path).
+    */
+  private val bigramIndexes = new graft.util.BuildOnce[graft.table.SegmentedTable]
+
+  private def bigramIndexFor(s: SparkSession, d: String): graft.table.SegmentedTable =
+    bigramIndexes.getOrElseUpdate(s"$d|${s.sparkContext.applicationId}", {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__w"))
+      val rows = toks
+        .filter(size(col("__w")) >= 2) // sequence(0, -1) would DESCEND
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(__w) - 2), i -> concat(__w[i], ' ', __w[i+1]))"))
+          .as("bigram"))
+        .groupBy(col("bigram"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"))
+      val root = s"/tmp/graft_bigram_index_${ProcessHandle.current().pid()}/" +
+        d.replace('/', '_')
+      val t = graft.table.SegmentedTable.create(s, root, rows.schema,
+        Map("partition_columns" -> "bigram",
+          "sort_columns" -> "bigram,doc_id"))
+      t.load(rows)
+      t
+    })
+
   /** Build-once-per-(dataset, session) inverted index for t21: one
     * posting row per (token, doc_id) carrying tf, the doc's length,
     * the token's df, and the folded corpus totals (n_docs, sum_dl) —
@@ -1014,6 +1059,18 @@ object PipelineQueries {
                ORDER BY tfidf DESC, token ASC) AS rn
            FROM scored)
          SELECT doc_id, token AS top_term, tfidf FROM ranked WHERE rn = 1""",
+
+    // recompute adjacent-token pairs and the phrase's per-doc tf;
+    // integer counts, deterministic top-10 by (tf, doc_id)
+    "t23_phrase_index_serve" ->
+      s"""WITH t AS (SELECT doc_id, $W AS words FROM documents),
+          bg AS (SELECT doc_id, unnest(list_transform(range(1, len(words)),
+              i -> words[i] || ' ' || words[i+1])) AS bigram
+            FROM t WHERE len(words) >= 2)
+          SELECT doc_id, COUNT(*) AS tf FROM bg
+          WHERE bigram = 'data line'
+          GROUP BY doc_id
+          ORDER BY tf DESC, doc_id ASC LIMIT 10""",
 
     // the candidate sketch is invisible to the answer: every token
     // with cnt*30 >= total, exactly
