@@ -332,18 +332,32 @@ object Multimodal {
             new java.io.ByteArrayInputStream(bytes))
           try {
             val fmt = ais.getFormat
-            val buf = new Array[Byte](4096)
-            var amp = 0L
-            var frames = 0L
-            var n = ais.read(buf)
-            while (n > 0) {
-              var i = 0
-              while (i < n) { amp += (buf(i) & 0xff); i += 1 }
-              frames += n
-              n = ais.read(buf)
+            // the amplitude feature is DEFINED over the 8-bit
+            // unsigned mono profile; a valid WAV in any other
+            // profile (16-bit, stereo, float) would decode without
+            // error but sum meaningless byte halves — those
+            // quarantine to the stub rather than emit corrupt
+            // features (frame counts would also need frameSize
+            // division; the stub path is the honest signal that
+            // this profile isn't feature-extracted yet)
+            val supported = fmt.getSampleSizeInBits == 8 &&
+              fmt.getChannels == 1 &&
+              fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+            if (!supported) None
+            else {
+              val buf = new Array[Byte](4096)
+              var amp = 0L
+              var frames = 0L
+              var n = ais.read(buf)
+              while (n > 0) {
+                var i = 0
+                while (i < n) { amp += (buf(i) & 0xff); i += 1 }
+                frames += n
+                n = ais.read(buf)
+              }
+              Some(AudioFeatures(id, bytes.length,
+                fmt.getSampleRate.toInt, frames, amp))
             }
-            Some(AudioFeatures(id, bytes.length,
-              fmt.getSampleRate.toInt, frames, amp))
           } finally ais.close()
         } catch { case scala.util.control.NonFatal(_) => None }
       real.getOrElse {

@@ -1662,17 +1662,19 @@ object PipelineQueries {
 
     // WAVs are generated at 8000 + (n%8)·1000 Hz with 500 + n%1000
     // samples taken cyclically from the text's bytes (ascii corpus:
-    // ord == utf-8 byte); Spark's result carries what javax.sound
-    // DECODED, so matching this recomputation proves the header parse
-    // and the PCM read are faithful
+    // ord == utf-8 byte; the empty/NULL-text guard mirrors the
+    // generator's zero-fill branch); Spark's result carries what
+    // javax.sound DECODED, so matching this recomputation proves the
+    // header parse and the PCM read are faithful
     "m05_audio_decode" ->
       """SELECT doc_id AS id,
             CAST(8000 + (n_chars % 8) * 1000 AS INT) AS sample_rate,
             CAST(500 + (n_chars % 1000) AS BIGINT) AS n_samples,
-            CAST(list_aggregate(list_transform(
-              range(0, 500 + (n_chars % 1000)),
-              i -> ord(substr(text, CAST(i % length(text) AS INT) + 1, 1))),
-              'sum') AS BIGINT) AS amp_sum
+            CASE WHEN text IS NULL OR length(text) = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(list_aggregate(list_transform(
+                range(0, 500 + (n_chars % 1000)),
+                i -> ord(substr(text, CAST(i % length(text) AS INT) + 1, 1))),
+                'sum') AS BIGINT) END AS amp_sum
           FROM documents"""
   )
 }

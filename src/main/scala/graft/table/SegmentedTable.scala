@@ -1126,11 +1126,20 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
       // segments unknown to the current status (impossible under the
       // append-only id allocator, but defensive) are re-added verbatim
       val known = st.segments.map(_.id).toSet
+      // revived segments are stamped dataChange=true IN THIS COMMIT's
+      // snapshot: a revived compaction output (originally dc=false)
+      // re-ENTERS the live set here, and the change feed must see
+      // that as inserts — without the stamp, changeEvents' pure-reorg
+      // heuristic would classify a restore whose revivals are all
+      // compaction outputs as invisible, silently hiding a rollback
+      // that changed the table's contents. Earlier log snapshots are
+      // immutable, so the original compaction commit stays invisible.
       val updated = st.segments.map { s =>
-        if (targetIds.contains(s.id)) s.copy(status = SUCCESS)
+        if (targetIds.contains(s.id)) s.copy(status = SUCCESS, dataChange = true)
         else if (s.status == SUCCESS) s.copy(status = DELETED)
         else s
       } ++ target.filterNot(s => known.contains(s.id))
+        .map(_.copy(dataChange = true))
       commitStatus(TableStatus(st.nextId, updated))
       currentVersion
     }

@@ -199,6 +199,21 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     val out = Multimodal.decodeAudioFeatures(
       Seq((7L, bad)).toDF("id", "payload")).collect()
     assert(out.length == 1 && out.head.n_samples <= 255)
+
+    // a VALID WAV outside the feature profile (16-bit mono) decodes
+    // without error but must quarantine too — summing its bytes
+    // would emit corrupt features, not wrong-by-a-little ones
+    val fmt16 = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm16 = Array.tabulate[Byte](600)(i => (i % 127).toByte)
+    val ais16 = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm16), fmt16, 300L)
+    val out16 = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais16,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out16)
+    val r16 = Multimodal.decodeAudioFeatures(
+      Seq((8L, out16.toByteArray)).toDF("id", "payload")).collect()
+    assert(r16.length == 1 && r16.head.n_samples <= 255,
+      "non-8-bit-mono profiles must take the stub path")
   }
 
   test("flatMapGroupsWithState running-mean anomaly detector") {

@@ -95,6 +95,26 @@ class CdcSpec extends AnyFunSuite {
     assert(feed2.filter(col("_change_type") === "delete").count() == 45)
   }
 
+  test("restoring a compaction output is still CDC-visible") {
+    // the revived segment was BORN dataChange=false (a compaction
+    // output); the restore must stamp it dataChange=true in its own
+    // commit or the feed would classify the rollback as a pure
+    // reorganization and hide a real content change
+    val t = SegmentedTable.create(spark, fresh("restoredc"), docs.schema, Map.empty)
+    t.load(docs.filter(col("doc_id") < 30))
+    t.load(docs.filter(col("doc_id") >= 30 && col("doc_id") < 60))
+    assert(t.compact().isDefined) // live = one dc=false segment
+    val snap = t.currentVersion
+    t.delete(col("doc_id") % 10 === 4) // rewrites the compacted segment
+    val beforeRestore = t.currentVersion
+    t.restoreTo(snap)
+    assert(t.read().count() == 60)
+    val feed = t.readChanges(beforeRestore, t.currentVersion)
+    assert(feed.filter(col("_change_type") === "insert").count() == 60,
+      "revived compaction output must emit its rows as inserts")
+    assert(feed.filter(col("_change_type") === "delete").count() == 54)
+  }
+
   test("same-version range is empty; unknown versions fail loudly") {
     val t = SegmentedTable.create(spark, fresh("edges"), docs.schema, Map.empty)
     t.load(docs.filter(col("doc_id") < 10))
