@@ -989,22 +989,40 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
 
   def currentVersion: Long = status.version
 
-  /** All catalog versions still present in the history log. */
+  /** All catalog versions still reachable: the history log plus the
+    * CURRENT version — status.json is the commit point and the log
+    * entry is written after it, so a crash between the two loses only
+    * the log file. The current state then still IS that snapshot, and
+    * time travel / the change feed / the streaming source (whose
+    * offset is always the current version) must keep resolving it.
+    */
   def versions: Seq[Long] = {
     val logDir = metaDir.resolve("log")
-    if (!Files.isDirectory(logDir)) return Nil
-    import scala.jdk.CollectionConverters._
-    val listing = Files.list(logDir)
-    try listing.iterator().asScala
-      .flatMap(p => p.getFileName.toString.stripSuffix(".json").toLongOption)
-      .toSeq.sorted
-    finally listing.close()
+    val logged: Seq[Long] =
+      if (!Files.isDirectory(logDir)) Nil
+      else {
+        import scala.jdk.CollectionConverters._
+        val listing = Files.list(logDir)
+        try listing.iterator().asScala
+          .flatMap(p => p.getFileName.toString.stripSuffix(".json").toLongOption)
+          .toSeq
+        finally listing.close()
+      }
+    val cur = if (Files.exists(statusFile)) Seq(status.version) else Nil
+    (logged ++ cur).distinct.sorted
   }
 
   def statusAt(version: Long): TableStatus = {
     val f = metaDir.resolve("log").resolve(s"$version.json")
-    require(Files.exists(f), s"no catalog version $version (have: ${versions.mkString(",")})")
-    readStatus(f)
+    if (Files.exists(f)) readStatus(f)
+    else {
+      // crash-heal: the commit point is status.json; a crash before
+      // the log write leaves the newest version without a log entry
+      val st = status
+      require(st.version == version,
+        s"no catalog version $version (have: ${versions.mkString(",")})")
+      st
+    }
   }
 
   /** Read the table as of a past catalog version. Fails loudly when a

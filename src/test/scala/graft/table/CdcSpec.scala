@@ -124,6 +124,30 @@ class CdcSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no catalog version"))
   }
 
+  test("a crash that lost the newest log entry heals from status.json") {
+    // the commit protocol writes status.json (the commit point) and
+    // THEN the history-log entry; simulate a crash between the two by
+    // deleting the newest log file — the current version must stay
+    // resolvable to the feed, time travel, and SHOW HISTORY, or a
+    // streaming source (whose offsets are current versions) would
+    // wedge until the next commit
+    val root = fresh("crashheal")
+    val t = SegmentedTable.create(spark, root, docs.schema, Map.empty)
+    val v0 = t.currentVersion
+    t.load(docs.filter(col("doc_id") < 40))
+    val vN = t.currentVersion
+    val lost = java.nio.file.Paths.get(root, "_meta", "log", s"$vN.json")
+    assert(java.nio.file.Files.deleteIfExists(lost))
+    assert(t.versions.contains(vN))
+    assert(t.statusAt(vN).segments.count(_.status == "SUCCESS") == 1)
+    assert(t.readAsOf(vN).count() == 40)
+    val feed = t.readChanges(v0, vN)
+    assert(feed.filter(col("_change_type") === "insert").count() == 40)
+    // older versions without a log entry still fail loudly
+    val e = intercept[IllegalArgumentException](t.statusAt(vN + 7))
+    assert(e.getMessage.contains("no catalog version"))
+  }
+
   test("feed fails loudly when cleanFiles removed a needed segment") {
     val t = SegmentedTable.create(spark, fresh("cleaned"), docs.schema, Map.empty)
     val v0 = t.currentVersion
