@@ -308,6 +308,43 @@ class PipelineSpec extends AnyFunSuite {
     } finally session.close()
   }
 
+  test("materialized ANN index grows incrementally: append-encode, no rebuild") {
+    // the production index-maintenance shape: quantizers FREEZE at
+    // first build (trained on the initial corpus), and new vectors
+    // append as encode-only segments into the cell-partitioned index
+    // table — serving over the incrementally-grown index must equal
+    // serving over a from-scratch build with the same quantizers
+    import graft.table.SegmentedTable
+    val first = emb.filter(col("vec_id") < 400)
+    val rest = emb.filter(col("vec_id") >= 400)
+    val cents = Similarity.trainCentroids(first, "vec_id", "embedding", 8)
+    val cbs = Similarity.trainCodebooks(first, "embedding", 4, 16, 8)
+    val rows1 = Similarity.ivfPqIndexRows(first, "vec_id", "embedding",
+      cents, cbs, 4, 16)
+    val root = java.nio.file.Files.createTempDirectory("graft_annincr")
+      .resolve("t").toString
+    val t = SegmentedTable.create(spark, root, rows1.schema,
+      Map("partition_columns" -> "cell", "sort_columns" -> "neighbor_id"))
+    t.load(rows1)
+    // the append: ONE encode pass over only the new vectors
+    t.load(Similarity.ivfPqIndexRows(rest, "vec_id", "embedding",
+      cents, cbs, 4, 16))
+    assert(t.showSegments().count(_.status == "SUCCESS") == 2)
+
+    val queries = emb.filter(col("vec_id") < 5)
+    def ranks(index: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfPqServe(index, queries, "vec_id", "embedding", 3,
+        cents, cbs, 4, 16, 3)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val incremental = ranks(t.read())
+    val fromScratch = ranks(Similarity.ivfPqIndexRows(emb, "vec_id",
+      "embedding", cents, cbs, 4, 16))
+    assert(incremental == fromScratch)
+    // and minor compaction folds the index segments without changing it
+    assert(t.compactMinor(Long.MaxValue).isDefined)
+    assert(ranks(t.read()) == fromScratch)
+  }
+
   test("semanticDupes hot-cell guard: one dense cell, blocked result == plain") {
     // pathological SemDeDup input: every vector is a tiny jitter around
     // ONE direction, so the whole corpus lands in a single IVF cell —
