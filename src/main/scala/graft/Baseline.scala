@@ -242,6 +242,15 @@ object Baseline {
           countDistinct(col("user_id")).as("users"))
     }),
 
+    // st09 (sink-API ingest): same plain formulation as st03's
+    "st09_sink_ingest" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          Tables.dsum(col("value")).as("total_value"),
+          countDistinct(col("user_id")).as("users"))
+    }),
+
     // nanosAsLong for events.parquet is set once at Bench session
     // build — a conf.set here would leak into every later timed query
     "st01_stream_hourly" -> ((s, d) => {

@@ -187,6 +187,40 @@ object StreamingQueries {
         .agg(count(lit(1)).as("errors"), max(col("spend")).as("spend"))
     }),
 
+    // the streaming SINK half (writeStream.format("graft")): events
+    // stream through the sink into a segmented table — one segment
+    // per micro-batch, the batch epoch recorded in the same atomic
+    // catalog commit (exactly-once under replay, spec-pinned) — and
+    // the gated read is over the TABLE, so the sink's commit protocol
+    // must be exactly row-preserving
+    "st09_sink_ingest" -> ((s, d) => {
+      val t = sinkIngested.getOrElseUpdate(
+        s"$d|${s.sparkContext.applicationId}", {
+          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          val schema = Tables.events(s, d).schema
+          val root = s"/tmp/graft_tables/${d.replace('/', '_')}/events_sink"
+          val tbl =
+            if (graft.table.SegmentedTable.exists(root)) {
+              val x = graft.table.SegmentedTable.open(s, root)
+              x.deleteSegments(x.showSegments().map(_.id)); x.cleanFiles(); x
+            } else graft.table.SegmentedTable.create(s, root, schema, Map.empty)
+          val ckpt = java.nio.file.Files
+            .createTempDirectory("graft_st09_ckpt").toString
+          val q = s.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(d)
+            .writeStream.format("graft")
+            .option("checkpointLocation", ckpt)
+            .start(root)
+          try q.processAllAvailable() finally q.stop()
+          tbl
+        })
+      t.read()
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          Tables.dsum(col("value")).as("total_value"),
+          countDistinct(col("user_id")).as("users"))
+    }),
+
     "st06_stream_neardup_ingest" -> ((s, d) => {
       val t = nearIngested.getOrElseUpdate(s"$d|${s.sparkContext.applicationId}", {
         val docs = Tables.documents(s, d)
@@ -268,6 +302,10 @@ object StreamingQueries {
   private val streamStaticJoined =
     new graft.util.BuildOnce[org.apache.spark.sql.DataFrame]
 
+  /** st09's sink-ingested table, one stream run per (dataset, session). */
+  private val sinkIngested =
+    new graft.util.BuildOnce[graft.table.SegmentedTable]
+
   val oracles: Map[String, String] = Map(
     // hour_bucket from window.start == epoch-micros div 3600e6 == the
     // q30 bucketing; value sum in exact decimal
@@ -319,6 +357,13 @@ object StreamingQueries {
          COUNT(*) AS cnt,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2""",
+
+    // the sink-ingested table must hold exactly the source events
+    "st09_sink_ingest" ->
+      """SELECT event_type, COUNT(*) AS cnt,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+         COUNT(DISTINCT user_id) AS users
+         FROM events GROUP BY event_type""",
 
     // the ingested table must hold exactly the source events
     "st03_stream_ingest" ->

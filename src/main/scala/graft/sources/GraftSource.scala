@@ -1,9 +1,10 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode}
-import org.apache.spark.sql.execution.streaming.Source
+import org.apache.spark.sql.execution.streaming.{Sink, Source}
 import org.apache.spark.sql.graftbridge.ColumnExpr
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 import graft.table.SegmentedTable
@@ -24,7 +25,7 @@ import graft.table.SegmentedTable
   * the segment-commit protocol with the standard SaveMode matrix.
   */
 class GraftSource extends RelationProvider with CreatableRelationProvider
-    with DataSourceRegister with StreamSourceProvider {
+    with DataSourceRegister with StreamSourceProvider with StreamSinkProvider {
 
   override def shortName(): String = "graft"
 
@@ -66,5 +67,34 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
       .map(_.toLong)
     new GraftStreamSource(sqlContext, path(parameters), ignoreDeletes,
       maxVersions, Some(metadataPath))
+  }
+
+  // ---- df.writeStream.format("graft").start(path): exactly-once
+  // micro-batch ingest (see GraftStreamSink) ----
+
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    require(outputMode == OutputMode.Append(),
+      s"graft sink supports Append output mode only, got $outputMode " +
+        "(a segment store appends immutable segments; route " +
+        "update/complete aggregations through foreachBatch + MERGE)")
+    val p = path(parameters)
+    require(SegmentedTable.exists(p),
+      s"graft sink target does not exist: $p — create the table first " +
+        "(SegmentedTable.create or CREATE GRAFT TABLE) so the schema " +
+        "is explicit")
+    val compactEvery = parameters
+      .collectFirst { case (k, v) if k.equalsIgnoreCase("sink.compact.every") => v }
+      .map(_.toInt).getOrElse(0)
+    // the sink lineage id = the query's checkpoint location: epoch
+    // dedup must be scoped to ONE query's epoch sequence (epochs
+    // restart at 0 for a new query). Without an explicit checkpoint
+    // the query cannot replay across restarts anyway, so a per-sink
+    // UUID gives in-lifetime dedup with no cross-query collision.
+    val sinkId = parameters
+      .collectFirst { case (k, v) if k.equalsIgnoreCase("checkpointlocation") => v }
+      .getOrElse(s"graft-sink-${java.util.UUID.randomUUID()}")
+    new GraftStreamSink(sqlContext, p, compactEvery, sinkId)
   }
 }

@@ -41,9 +41,19 @@ case class SegmentMeta(id: Int, status: String, rowCount: Long,
 /** version: monotone commit counter (0 for catalogs written before the
   * field existed). Every commit also lands as `_meta/log/<version>
   * .json`, giving snapshot time travel over the segment catalog.
+  *
+  * sinkEpochs: per-sink-lineage highest committed streaming epoch,
+  * keyed by the sink's checkpoint location (epochs restart at 0 for
+  * every NEW query, so a table-global counter would wrongly skip a
+  * fresh query's first batches). Recorded in the SAME atomic commit
+  * as the epoch's segment, so a replayed micro-batch after a sink
+  * restart is recognized and skipped — exactly-once without a side
+  * ledger. commitStatus carries the map forward when a commit
+  * doesn't set it.
   */
 case class TableStatus(nextId: Int, segments: List[SegmentMeta],
-                       version: Long = 0L)
+                       version: Long = 0L,
+                       sinkEpochs: Map[String, Long] = Map.empty)
 
 /** Segment-managed Parquet table: the Spark-native re-design of the
   * reference's store (SURVEY.md §7.1).
@@ -88,10 +98,16 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
 
   private[graft] def commitStatus(s: TableStatus): Unit = {
     // stamp the next commit version (status.json may not exist yet on
-    // the very first commit from create())
-    val prev =
-      if (Files.exists(statusFile)) readStatus(statusFile).version else 0L
-    val stamped = s.copy(version = prev + 1)
+    // the very first commit from create()); carry the sink epoch
+    // forward unless this commit explicitly advances it (batch ids
+    // are never negative, so -1 always means "not set here")
+    val prevStatus =
+      if (Files.exists(statusFile)) Some(readStatus(statusFile)) else None
+    val prev = prevStatus.map(_.version).getOrElse(0L)
+    val sink =
+      if (s.sinkEpochs.nonEmpty) s.sinkEpochs
+      else prevStatus.map(_.sinkEpochs).getOrElse(Map.empty[String, Long])
+    val stamped = s.copy(version = prev + 1, sinkEpochs = sink)
     val json = Serialization.write(stamped)(formats)
     val tmp = metaDir.resolve(s"status.json.tmp${System.nanoTime()}")
     Files.writeString(tmp, json)
@@ -349,6 +365,45 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
         System.currentTimeMillis(), staged.stats, staged.nulls,
         bytes = staged.bytes)))
     id
+  }
+
+  /** Exactly-once streaming-sink append: commit the batch's segment
+    * AND the sink lineage's batch id in one atomic status write; a
+    * batch id at or below the lineage's recorded epoch (a replay
+    * after a sink restart) is skipped — the staged write is
+    * discarded and None returned. `sinkId` identifies the QUERY
+    * LINEAGE (its checkpoint location): epochs restart at 0 for a
+    * new query, so dedup must never cross lineages. The stage runs
+    * outside the lock like every producer; the epoch check happens
+    * under it, so two racing replays of one epoch net one segment.
+    */
+  def loadStreamBatch(df: DataFrame, sinkId: String,
+                      batchId: Long): Option[Int] = {
+    require(batchId >= 0, s"negative sink batch id: $batchId")
+    def committed(st: TableStatus): Boolean =
+      st.sinkEpochs.get(sinkId).exists(_ >= batchId)
+    if (committed(status)) return None // cheap pre-check
+    val staged = stageSegment(df, "loading")
+    val r = withLock {
+      val st = status
+      if (committed(st)) {
+        deleteRecursively(staged.tmp)
+        None
+      } else {
+        val id = st.nextId
+        clearOrphan(id)
+        Files.move(staged.tmp, segmentDir(id), StandardCopyOption.ATOMIC_MOVE)
+        writeBlooms(id, staged.blooms)
+        commitStatus(TableStatus(id + 1,
+          st.segments :+ SegmentMeta(id, SUCCESS, staged.rows,
+            System.currentTimeMillis(), staged.stats, staged.nulls,
+            bytes = staged.bytes),
+          sinkEpochs = st.sinkEpochs + (sinkId -> batchId)))
+        Some(id)
+      }
+    }
+    if (r.isDefined) maybeAutoRefresh()
+    r
   }
 
   /** Append one segment. The multi-minute distributed write runs

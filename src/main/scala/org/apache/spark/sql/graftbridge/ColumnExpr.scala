@@ -48,6 +48,21 @@ object ColumnExpr {
                b: org.apache.spark.sql.types.DataType): Boolean =
     a.sameType(b)
 
+  /** The inverse of [[asStreamingBatch]], for SINKS: the DataFrame a
+    * V1 Sink.addBatch receives is streaming-flagged, so any `.write`
+    * on it throws CALL_ON_STREAMING_DATASET_UNSUPPORTED. Wrap its
+    * EXECUTED rows (queryExecution.toRdd — no recomputation) as a
+    * non-streaming LogicalRDD, exactly what ForeachBatchSink does
+    * before handing the user their batch.
+    */
+  def asBatchForSink(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val classic = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    val node = org.apache.spark.sql.execution.LogicalRDD.fromDataset(
+      df.queryExecution.toRdd, classic, isStreaming = false)
+    ofRows(df.sparkSession, node)
+  }
+
   /** Re-tag a batch DataFrame's relation leaves as streaming.
     * MicroBatchExecution asserts every V1 Source.getBatch result has
     * isStreaming=true; file-based sources set the flag through
