@@ -89,11 +89,23 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
       .map(_.toInt).getOrElse(0)
     // the sink lineage id = the query's checkpoint location: epoch
     // dedup must be scoped to ONE query's epoch sequence (epochs
-    // restart at 0 for a new query). Without an explicit checkpoint
-    // the query cannot replay across restarts anyway, so a per-sink
-    // UUID gives in-lifetime dedup with no cross-query collision.
+    // restart at 0 for a new query). Conf-based checkpoints
+    // (spark.sql.streaming.checkpointLocation + queryName) resolve to
+    // a durable location too, so they must map to a stable lineage —
+    // a per-restart UUID there would let a replayed epoch land twice.
+    // Only a truly temp checkpoint (neither option nor conf) gets a
+    // UUID: such a query cannot replay across restarts.
     val sinkId = parameters
       .collectFirst { case (k, v) if k.equalsIgnoreCase("checkpointlocation") => v }
+      .orElse {
+        sqlContext.sparkSession.conf
+          .getOption("spark.sql.streaming.checkpointLocation").map { base =>
+            val qn = parameters
+              .collectFirst { case (k, v) if k.equalsIgnoreCase("queryname") => v }
+              .getOrElse("")
+            s"$base/$qn"
+          }
+      }
       .getOrElse(s"graft-sink-${java.util.UUID.randomUUID()}")
     new GraftStreamSink(sqlContext, p, compactEvery, sinkId)
   }

@@ -32,14 +32,7 @@ class GraftStreamSink(sqlContext: SQLContext, path: String,
     // write can run a normal batch action on it
     val batch = org.apache.spark.sql.graftbridge.ColumnExpr.asBatchForSink(data)
     val landed = table.loadStreamBatch(batch, sinkId, batchId)
-    if (landed.isDefined && compactEvery > 0) {
-      val thr = table.smallBytesThreshold
-      val smalls = table.showSegments()
-        .count(s => s.status == SegmentedTable.SUCCESS && s.bytes < thr)
-      if (smalls >= compactEvery) {
-        if (table.compactMinor().isDefined) table.cleanFiles()
-      }
-    }
+    if (landed.isDefined) table.autoCompactMinorIfNeeded(compactEvery)
   }
 
   override def toString: String = s"GraftStreamSink[$path]"

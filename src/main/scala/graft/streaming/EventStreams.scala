@@ -167,21 +167,9 @@ object EventStreams {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           table.load(batch)
-          // MINOR compaction: fold the small micro-batch segments
-          // together without rewriting segments that already grew
-          // past the threshold — the steady-state streaming shape
-          // (full compact() is O(table) on every trigger). The
-          // trigger counts SMALL segments only: counting all live
-          // segments would fire every batch forever once enough
-          // LARGE segments accumulate, re-folding the same tail and
-          // churning catalog versions with no-op cleans.
-          if (autoCompactEvery > 0 && {
-            val thr = table.smallBytesThreshold
-            table.showSegments()
-              .count(s => s.status == "SUCCESS" && s.bytes < thr) >= autoCompactEvery
-          }) {
-            if (table.compactMinor().isDefined) table.cleanFiles()
-          }
+          // size-tiered MINOR compaction, shared with the sink —
+          // see SegmentedTable.autoCompactMinorIfNeeded
+          table.autoCompactMinorIfNeeded(autoCompactEvery)
         }
       }
       .trigger(Trigger.AvailableNow())

@@ -96,17 +96,23 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
 
   def status: TableStatus = readStatus(statusFile)
 
-  private[graft] def commitStatus(s: TableStatus): Unit = {
+  private[graft] def commitStatus(s: TableStatus): Unit =
+    commitStatusWith(s, newEpochs = None)
+
+  /** Commit with optional EXPLICIT sink-epoch state; None preserves
+    * the previous commit's epochs (every ordinary commit), so a data
+    * commit can never accidentally wipe a sink lineage — and an
+    * explicit Some can (clearSinkLineage's whole point).
+    */
+  private def commitStatusWith(s: TableStatus,
+      newEpochs: Option[Map[String, Long]]): Unit = {
     // stamp the next commit version (status.json may not exist yet on
-    // the very first commit from create()); carry the sink epoch
-    // forward unless this commit explicitly advances it (batch ids
-    // are never negative, so -1 always means "not set here")
+    // the very first commit from create())
     val prevStatus =
       if (Files.exists(statusFile)) Some(readStatus(statusFile)) else None
     val prev = prevStatus.map(_.version).getOrElse(0L)
-    val sink =
-      if (s.sinkEpochs.nonEmpty) s.sinkEpochs
-      else prevStatus.map(_.sinkEpochs).getOrElse(Map.empty[String, Long])
+    val sink = newEpochs.getOrElse(
+      prevStatus.map(_.sinkEpochs).getOrElse(Map.empty[String, Long]))
     val stamped = s.copy(version = prev + 1, sinkEpochs = sink)
     val json = Serialization.write(stamped)(formats)
     val tmp = metaDir.resolve(s"status.json.tmp${System.nanoTime()}")
@@ -120,6 +126,21 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     // entry can never poison statusAt/SHOW HISTORY.
     val logDir = metaDir.resolve("log")
     Files.createDirectories(logDir)
+    // crash-repair: if the PREVIOUS commit's crash window lost its
+    // log entry (statusAt healed it only while it was current),
+    // backfill it now from the parsed previous status — otherwise
+    // this commit would make that version permanently unresolvable
+    // and wedge any consumer (e.g. a streaming reader's offset)
+    // anchored at it
+    prevStatus.foreach { ps =>
+      val prevLog = logDir.resolve(s"${ps.version}.json")
+      if (ps.version > 0 && !Files.exists(prevLog)) {
+        val pTmp = logDir.resolve(s".${ps.version}.json.tmp${System.nanoTime()}")
+        Files.writeString(pTmp, Serialization.write(ps)(formats))
+        Files.move(pTmp, prevLog, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
     val logTmp = logDir.resolve(s".${stamped.version}.json.tmp${System.nanoTime()}")
     Files.writeString(logTmp, json)
     Files.move(logTmp, logDir.resolve(s"${stamped.version}.json"),
@@ -380,13 +401,33 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
   def loadStreamBatch(df: DataFrame, sinkId: String,
                       batchId: Long): Option[Int] = {
     require(batchId >= 0, s"negative sink batch id: $batchId")
-    def committed(st: TableStatus): Boolean =
-      st.sinkEpochs.get(sinkId).exists(_ >= batchId)
-    if (committed(status)) return None // cheap pre-check
+    // a batch id EQUAL to the recorded epoch is the normal replay
+    // (Spark re-delivers the last epoch whose offset commit it cannot
+    // prove); a batch id BELOW it can only mean the checkpoint was
+    // deleted or reset while the table kept the old lineage — skipping
+    // would silently drop every batch of the reprocess, so fail loudly
+    def verdict(st: TableStatus): Option[Long] = st.sinkEpochs.get(sinkId)
+    def check(rec: Option[Long]): Boolean = rec match {
+      case Some(r) if batchId < r =>
+        throw new IllegalStateException(
+          s"sink lineage '$sinkId' has committed epoch $r but received " +
+            s"epoch $batchId — the checkpoint was reset while the table " +
+            "kept the lineage; reprocess into a fresh checkpoint path " +
+            "or clearSinkLineage first")
+      case Some(r) => r >= batchId // == r: replay, skip
+      case None => false
+    }
+    if (check(verdict(status))) return None // cheap pre-check
     val staged = stageSegment(df, "loading")
     val r = withLock {
       val st = status
-      if (committed(st)) {
+      if (check(verdict(st))) {
+        deleteRecursively(staged.tmp)
+        None
+      } else if (staged.rows == 0) {
+        // an empty micro-batch (upstream reorganization commit with
+        // no data) must not land a zero-row segment + version bump;
+        // the epoch stays unrecorded — replaying it re-lands nothing
         deleteRecursively(staged.tmp)
         None
       } else {
@@ -394,17 +435,45 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
         clearOrphan(id)
         Files.move(staged.tmp, segmentDir(id), StandardCopyOption.ATOMIC_MOVE)
         writeBlooms(id, staged.blooms)
-        commitStatus(TableStatus(id + 1,
+        commitStatusWith(TableStatus(id + 1,
           st.segments :+ SegmentMeta(id, SUCCESS, staged.rows,
             System.currentTimeMillis(), staged.stats, staged.nulls,
-            bytes = staged.bytes),
-          sinkEpochs = st.sinkEpochs + (sinkId -> batchId)))
+            bytes = staged.bytes)),
+          newEpochs = Some(st.sinkEpochs + (sinkId -> batchId)))
         Some(id)
       }
     }
     if (r.isDefined) maybeAutoRefresh()
     r
   }
+
+  /** Drop a sink lineage's recorded epoch (see [[loadStreamBatch]]):
+    * the escape hatch for deliberately reprocessing into the same
+    * checkpoint path. Lineage entries are one small map entry per
+    * distinct checkpoint path — they do not grow per commit — and
+    * are never pruned automatically (dropping an ACTIVE lineage
+    * would reopen the duplicate window its entry exists to close).
+    */
+  def clearSinkLineage(sinkId: String): Unit = withLock {
+    val st = status
+    if (st.sinkEpochs.contains(sinkId))
+      commitStatusWith(st, newEpochs = Some(st.sinkEpochs - sinkId))
+  }
+
+  /** Size-tiered auto-compaction policy shared by the streaming sink
+    * and [[graft.streaming.EventStreams.streamIntoTable]]: when at
+    * least `trigger` SMALL live segments have accumulated, fold them
+    * with minor compaction and clean retired files. Counting all live
+    * segments instead would fire on every batch forever once enough
+    * LARGE segments exist.
+    */
+  def autoCompactMinorIfNeeded(trigger: Int): Unit =
+    if (trigger > 0) {
+      val thr = smallBytesThreshold
+      val smalls = status.segments
+        .count(s => s.status == SUCCESS && s.bytes < thr)
+      if (smalls >= trigger && compactMinor().isDefined) cleanFiles()
+    }
 
   /** Append one segment. The multi-minute distributed write runs
     * OUTSIDE the metadata lock — the same write-outside/commit-inside

@@ -96,6 +96,65 @@ class GraftStreamSinkSpec extends AnyFunSuite {
         .start(root)
     }
     assert(e.getMessage.contains("create the table first"))
+
+    // complete/update modes violate the append-only segment contract
+    val root2 = fresh("mode")
+    SegmentedTable.create(spark, root2,
+      docs.groupBy(col("lang")).count().schema, Map.empty)
+    val e2 = intercept[Exception] {
+      spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(TestSpark.sf)
+        .groupBy(col("lang")).count()
+        .writeStream.outputMode("complete").format("graft")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_sink_ckpt4").toString)
+        .start(root2)
+    }
+    assert(e2.getMessage.contains("Append output mode only"))
+  }
+
+  test("epoch regression fails loudly; clearSinkLineage reopens the path") {
+    val root = fresh("regress")
+    val t = SegmentedTable.create(spark, root, docs.schema, Map.empty)
+    assert(t.loadStreamBatch(docs.filter(col("doc_id") < 20), "q", 5L).isDefined)
+    // a batch BELOW the recorded epoch = the checkpoint was reset;
+    // silent skipping would drop the whole reprocess
+    val e = intercept[IllegalStateException](
+      t.loadStreamBatch(docs.filter(col("doc_id") < 20), "q", 0L))
+    assert(e.getMessage.contains("checkpoint was reset"))
+    // the deliberate-reprocess escape hatch
+    t.clearSinkLineage("q")
+    assert(t.loadStreamBatch(
+      docs.filter(col("doc_id") >= 20 && col("doc_id") < 30), "q", 0L).isDefined)
+    assert(t.read().count() == 30)
+  }
+
+  test("empty micro-batches commit nothing (no zero-row segments)") {
+    val root = fresh("emptyb")
+    val t = SegmentedTable.create(spark, root, docs.schema, Map.empty)
+    assert(t.loadStreamBatch(docs.filter(col("doc_id") < 0), "q", 0L).isEmpty)
+    assert(t.showSegments().isEmpty)
+    assert(t.status.sinkEpochs.isEmpty) // unrecorded: a replay re-lands nothing
+    assert(t.loadStreamBatch(docs.filter(col("doc_id") < 10), "q", 0L).isDefined)
+    assert(t.read().count() == 10)
+  }
+
+  test("a lost newest log entry is backfilled by the next commit") {
+    // crash window: status.json flipped to N, log/N.json never written;
+    // statusAt heals while N is current, and the NEXT commit must
+    // backfill log/N.json or N becomes permanently unresolvable (a
+    // streaming reader's committed offset would wedge forever)
+    val root = fresh("backfill")
+    val t = SegmentedTable.create(spark, root, docs.schema, Map.empty)
+    t.load(docs.filter(col("doc_id") < 20))
+    val vN = t.currentVersion
+    val lost = Paths.get(root, "_meta", "log", s"$vN.json")
+    assert(Files.deleteIfExists(lost))
+    t.load(docs.filter(col("doc_id") >= 20 && col("doc_id") < 40)) // backfills
+    assert(Files.exists(lost), "next commit must restore the lost entry")
+    assert(t.statusAt(vN).segments.count(_.status == "SUCCESS") == 1)
+    assert(t.readChanges(vN, t.currentVersion)
+      .filter(col("_change_type") === "insert").count() == 20)
   }
 
   test("source → sink round-trip: a graft-to-graft streaming pipeline") {
