@@ -382,7 +382,40 @@ object SegmentQueries {
       t
     })
 
+  /** OPTIMIZE scenario: two loads, then a z-order re-layout on
+    * (suppkey, partkey) — the gate reads through the rewritten
+    * layout, so the re-layout must be exactly row-preserving.
+    */
+  private def optimizedScenario(s: SparkSession, d: String): SegmentedTable =
+    built.getOrElseUpdate(s"opt|$d", {
+      val root = s"/tmp/graft_tables/${d.replace('/', '_')}/lineitem_opt"
+      val li = Tables.lineitem(s, d)
+      val t =
+        if (SegmentedTable.exists(root)) {
+          val x = SegmentedTable.open(s, root)
+          x.deleteSegments(x.showSegments().map(_.id)); x.cleanFiles(); x
+        } else SegmentedTable.create(s, root, li.schema,
+          Map("sort_columns" -> "l_shipdate"))
+      t.load(li.filter(col("l_orderkey") % 2 === 0))
+      t.load(li.filter(col("l_orderkey") % 2 === 1))
+      t.optimizeZOrder(Seq("l_suppkey", "l_partkey"))
+    })
+
   val queries: Map[String, Q] = Map(
+    // OPTIMIZE ... ZORDER BY through the gate: a range predicate on
+    // the SECOND z column over the re-laid-out table — the rewrite
+    // must lose/duplicate nothing and the z layout must still answer
+    // exactly (file skipping is ZOrderSpec's claim; exactness is
+    // this gate's)
+    "g16_optimize_zorder" -> ((s, d) => {
+      val t = optimizedScenario(s, d)
+      t.read()
+        .filter(col("l_partkey").between(50L, 150L))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_partkey")).as("key_sum"))
+    }),
+
     // metadata-only ROLLBACK: after a second load and a row-DELETE
     // that rewrote the first segment, RESTORE TO the first-load
     // version must read exactly the original even half — reviving
@@ -609,6 +642,14 @@ object SegmentQueries {
              ROWS UNBOUNDED PRECEDING) AS last_pvalue
            FROM u) t
          WHERE side = 1""",
+
+    // the re-laid-out table answers exactly like the source
+    "g16_optimize_zorder" ->
+      """SELECT l_returnflag, COUNT(*) AS cnt,
+         SUM(l_quantity) AS sum_qty,
+         CAST(SUM(l_partkey) AS BIGINT) AS key_sum
+         FROM lineitem WHERE l_partkey BETWEEN 50 AND 150
+         GROUP BY l_returnflag""",
 
     // the restored state is exactly the first load
     "g15_restore" ->
