@@ -127,23 +127,17 @@ object Dedup {
   // corpus pass.
 
   private def bandsRoot(table: graft.table.SegmentedTable): String =
-    table.root.resolve("_bands").toString
+    new org.apache.hadoop.fs.Path(table.root, "_bands").toString
 
-  private def markerFile(table: graft.table.SegmentedTable): java.nio.file.Path =
-    table.root.resolve("_bands").resolve("_meta").resolve("main_version")
+  private def markerFile(table: graft.table.SegmentedTable): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(table.root, "_bands/_meta/main_version")
 
   private def readMarker(table: graft.table.SegmentedTable): Option[Long] =
-    try Some(java.nio.file.Files.readString(markerFile(table)).trim.toLong)
+    try Some(graft.table.TableIO.readString(markerFile(table)).trim.toLong)
     catch { case _: Exception => None }
 
-  private def writeMarker(table: graft.table.SegmentedTable, v: Long): Unit = {
-    val f = markerFile(table)
-    val tmp = f.resolveSibling(s".main_version.tmp${System.nanoTime()}")
-    java.nio.file.Files.writeString(tmp, v.toString)
-    java.nio.file.Files.move(tmp, f,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-  }
+  private def writeMarker(table: graft.table.SegmentedTable, v: Long): Unit =
+    graft.table.TableIO.writeStringAtomic(markerFile(table), v.toString)
 
   /** Index rows for a document batch: exploded band keys plus the
     * per-doc id sentinel (band_idx = -1, null key).

@@ -1,6 +1,6 @@
 package graft.mv
 
-import java.nio.file.{Files, Paths}
+import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
@@ -68,7 +68,7 @@ object AggTables {
   private def createLocked(spark: SparkSession, name: String, basePath: String,
       groupCols: Seq[String], measures: Seq[(String, String)]): AggTableMeta = {
     val dir = catalogDir(spark)
-    Files.createDirectories(Paths.get(dir))
+    graft.table.TableIO.mkdirs(new Path(dir))
     val prevPath = registered(spark).find(_.name == name).map(_.mvPath)
     val mvPath = newVersionPath(dir, name)
     val ms = measures.toList.map {
@@ -101,10 +101,18 @@ object AggTables {
     rollup(src, groupCols, ms).write.mode("overwrite").parquet(mvPath)
     val meta = AggTableMeta(name, normalize(basePath), mvPath, groupCols.toList,
       ms, "cnt_rows", digest(entries), entries.toList)
-    Files.writeString(Paths.get(dir, s"$name.json"), Serialization.write(meta))
+    writeMeta(dir, name, meta)
     sweepOldVersions(dir, name, Set(mvPath) ++ prevPath)
     meta
   }
+
+  /** Catalog-pointer flip — write-temp + atomic rename, like every
+    * other metadata pointer (a reader between a truncate and a write
+    * would otherwise see an empty/partial JSON).
+    */
+  private def writeMeta(dir: String, name: String, meta: AggTableMeta): Unit =
+    graft.table.TableIO.writeStringAtomic(
+      new Path(dir, s"$name.json"), Serialization.write(meta))
 
   /** Per-MV refresh mutual exclusion: concurrent refreshes of one MV
     * (e.g. two loads on a refresh_on_commit table committing back to
@@ -114,10 +122,10 @@ object AggTables {
     * re-reads the winner's stamped coveredFiles and sees a no-op.
     */
   private def withRefreshLock[T](spark: SparkSession, name: String)(f: => T): T = {
-    val dir = Paths.get(catalogDir(spark))
-    Files.createDirectories(dir)
-    graft.table.LocalFileLock.withExclusive(
-      dir.resolve(s".$name.refresh_lock"))(f)
+    val dir = new Path(catalogDir(spark))
+    graft.table.TableIO.mkdirs(dir)
+    graft.table.MetadataLock.forPath(dir)
+      .withExclusive(new Path(dir, s".$name.refresh_lock"))(f)
   }
 
   /** The partial rollup of one input slice: per-dim sums, non-null
@@ -166,7 +174,7 @@ object AggTables {
     // window) must self-heal with a full rebuild, never an
     // incremental merge against nothing
     val fullRebuild = covered.isEmpty || !covered.subsetOf(current.toSet) ||
-      !Files.exists(Paths.get(meta.mvPath))
+      !graft.table.TableIO.exists(new Path(meta.mvPath))
     if (fullRebuild)
       (createLocked(spark, meta.name, meta.basePath, meta.groupCols,
         meta.measures.map(m => (m.func, m.baseCol))), "full")
@@ -176,8 +184,7 @@ object AggTables {
       if (delta.isEmpty) {
         val stamped = meta.copy(fingerprint = digest(current),
           coveredFiles = current.toList)
-        Files.writeString(Paths.get(dir, s"$name.json"),
-          Serialization.write(stamped))
+        writeMeta(dir, name, stamped)
         (stamped, "noop")
       } else {
         val deltaPaths = currentStatuses
@@ -211,8 +218,7 @@ object AggTables {
         remerged.write.mode("overwrite").parquet(newPath)
         val stamped = meta.copy(mvPath = newPath,
           fingerprint = digest(current), coveredFiles = current.toList)
-        Files.writeString(Paths.get(dir, s"$name.json"),
-          Serialization.write(stamped))
+        writeMeta(dir, name, stamped)
         sweepOldVersions(dir, name, Set(newPath, meta.mvPath))
         (stamped, "incremental")
       }
@@ -240,18 +246,19 @@ object AggTables {
     */
   private def sweepOldVersions(dir: String, name: String,
                                keep: Set[String]): Unit = {
-    val d = Paths.get(dir)
-    if (!Files.exists(d)) return
-    import scala.jdk.CollectionConverters._
-    val listing = Files.list(d)
-    val stale =
-      try listing.iterator().asScala.filter { p =>
-        val n = p.getFileName.toString
+    // listStatus returns fully-QUALIFIED paths (file:/... even for a
+    // scheme-less catalog dir) while the recorded mvPath strings carry
+    // whatever the conf spelled — compare on the scheme-less URI path
+    // or the sweep would delete the live version it was told to keep
+    val keepPaths = keep.map(s => new Path(s).toUri.getPath)
+    graft.table.TableIO.listStatus(new Path(dir))
+      .map(_.getPath)
+      .filter { p =>
+        val n = p.getName
         (n == s"$name.parquet" || n.startsWith(s"$name.parquet.")) &&
-          !keep.contains(p.toString)
-      }.toList
-      finally listing.close()
-    stale.foreach(deleteRecursively)
+          !keepPaths.contains(p.toUri.getPath)
+      }
+      .foreach(graft.table.TableIO.delete)
   }
 
   /** Refresh every MV registered over `basePath` — the load-time
@@ -270,34 +277,19 @@ object AggTables {
     }
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
-    if (Files.exists(p)) {
-      val walk = Files.walk(p)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.deleteIfExists(f))
-      finally walk.close()
-    }
-
   /** Deregister an MV and delete its rollup data. */
   def drop(spark: SparkSession, name: String): Unit =
     withRefreshLock(spark, name) {
       val dir = catalogDir(spark)
-      Files.deleteIfExists(Paths.get(dir, s"$name.json"))
+      graft.table.TableIO.delete(new Path(dir, s"$name.json"))
       sweepOldVersions(dir, name, Set.empty)
     }
 
-  def registered(spark: SparkSession): Seq[AggTableMeta] = {
-    val d = Paths.get(catalogDir(spark))
-    if (!Files.exists(d)) return Nil
-    import scala.jdk.CollectionConverters._
-    // this runs once per optimizer pass: close the listing stream, or
-    // every query leaks a directory descriptor until GC
-    val listing = Files.list(d)
-    val jsons =
-      try listing.iterator().asScala.filter(_.toString.endsWith(".json")).toList
-      finally listing.close()
-    jsons.map(p => Serialization.read[AggTableMeta](Files.readString(p)))
-  }
+  def registered(spark: SparkSession): Seq[AggTableMeta] =
+    graft.table.TableIO.listStatus(new Path(catalogDir(spark)))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".json"))
+      .map(st => Serialization.read[AggTableMeta](
+        graft.table.TableIO.readString(st.getPath)))
 
   /** Staleness guard: digest of the base directory's data-file listing
     * (name, length, modtime). Any append/overwrite/compaction changes
@@ -409,7 +401,8 @@ case class AggTableRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // of planning against a missing rollup.
     val baseFp = scala.collection.mutable.Map.empty[String, String]
     def isFresh(mv: AggTableMeta): Boolean =
-      java.nio.file.Files.exists(java.nio.file.Paths.get(mv.mvPath)) &&
+      graft.table.TableIO.exists(
+        new org.apache.hadoop.fs.Path(mv.mvPath)) &&
         baseFp.getOrElseUpdate(mv.basePath,
           AggTables.fingerprint(spark, mv.basePath)) == mv.fingerprint
     plan.transformUp {
@@ -506,13 +499,13 @@ case class AggTableRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             mv.measures.find(m => m.func == "max" && m.baseCol == a.name)
               .map(m => AggregateExpression(Max(mvAttr(m.mvCol)), Complete, isDistinct = false))
           case Count(Seq(Literal(1, _))) =>
-            Some(sumOf(mvAttr(mv.countCol)))
+            Some(countOf(mvAttr(mv.countCol)))
           // COUNT(col) = SUM of the per-group non-null counts the
           // rollup materializes beside every sum measure
           case Count(Seq(a: Attribute)) =>
             mv.measures.find(m => m.func == "sum" && m.baseCol == a.name &&
                 m.cntCol.nonEmpty && mvAttr.contains(m.cntCol))
-              .map(m => sumOf(mvAttr(m.cntCol)))
+              .map(m => countOf(mvAttr(m.cntCol)))
           // AVG(c) = SUM(sum_c) / SUM(cnt_c) — divides by the
           // non-null count of c, matching AVG's null semantics
           case Average(a: Attribute, _)
@@ -538,4 +531,14 @@ case class AggTableRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   /** SUM over a partial column (sum-of-sums / sum-of-counts). */
   private def sumOf(a: Attribute): Expression =
     AggregateExpression(Sum(a), Complete, isDistinct = false)
+
+  /** COUNT rewrite = SUM of partial counts, with count's semantics
+    * preserved exactly: a GLOBAL (no GROUP BY) count over an empty
+    * table is 0, never NULL — and the output attribute stays
+    * non-nullable like count's — so a rewritten plan's schema and
+    * result never diverge from the base scan in the empty edge.
+    */
+  private def countOf(a: Attribute): Expression =
+    Coalesce(Seq(sumOf(a),
+      Literal(0L, org.apache.spark.sql.types.LongType)))
 }

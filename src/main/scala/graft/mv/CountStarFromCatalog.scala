@@ -1,6 +1,5 @@
 package graft.mv
 
-import java.nio.file.Paths
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
@@ -70,7 +69,6 @@ case class CountStarFromCatalog(spark: SparkSession) extends Rule[LogicalPlan] {
     if (byRoot.size != 1) return None
     val (root, pairs) = byRoot.head
     if (!SegmentedTable.exists(root)) return None
-    if (!java.nio.file.Files.exists(Paths.get(root, "_meta", "status.json"))) return None
     val t = SegmentedTable.open(spark, root)
     val live = t.showSegments().filter(_.status == "SUCCESS")
     if (live.map(_.id).toSet != pairs.map(_._2).toSet) return None

@@ -31,13 +31,18 @@ final class AnnSession(index: DataFrame,
 
   // keyed by (frame plan, idCol, vecCol): the same frame served over a
   // DIFFERENT vector column is a different pool — a plan-only key
-  // would re-rank candidates scored on the wrong column
-  private val pools = scala.collection.concurrent.TrieMap[
+  // would re-rank candidates scored on the wrong column. BuildOnceKeyed,
+  // not TrieMap.getOrElseUpdate: the latter can evaluate the builder
+  // concurrently, and the losing insert's persist()ed pool would leak
+  // cache memory until session end.
+  private val pools = new graft.util.BuildOnceKeyed[
     (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, String),
-    DataFrame]()
+    DataFrame]
 
   /** The scored candidate pool for a query frame: one probe join +
-    * ADC scoring pass, persisted for every later refinement.
+    * ADC scoring pass, persisted for every later refinement — built
+    * and persisted exactly once per (frame, columns) even under
+    * racing topK calls.
     */
   private def pool(queries: DataFrame, idCol: String,
                    vecCol: String): DataFrame =

@@ -90,20 +90,23 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
     // the sink lineage id = the query's checkpoint location: epoch
     // dedup must be scoped to ONE query's epoch sequence (epochs
     // restart at 0 for a new query). Conf-based checkpoints
-    // (spark.sql.streaming.checkpointLocation + queryName) resolve to
-    // a durable location too, so they must map to a stable lineage —
-    // a per-restart UUID there would let a replayed epoch land twice.
-    // Only a truly temp checkpoint (neither option nor conf) gets a
-    // UUID: such a query cannot replay across restarts.
+    // (spark.sql.streaming.checkpointLocation) resolve durably ONLY
+    // when a queryName pins the subdirectory — Spark resolves an
+    // UNNAMED conf-checkpointed query to <base>/<random-UUID> per
+    // start (a fresh lineage with epochs restarting at 0), so mapping
+    // those to a stable "<base>/" id would treat every restart as a
+    // replay of the old lineage: batch 0 silently skipped, or the
+    // checkpoint-reset error on a stream that reset nothing. Unnamed
+    // conf checkpoints therefore fall through to the per-start UUID,
+    // matching Spark's actual resolution.
     val sinkId = parameters
       .collectFirst { case (k, v) if k.equalsIgnoreCase("checkpointlocation") => v }
       .orElse {
         sqlContext.sparkSession.conf
-          .getOption("spark.sql.streaming.checkpointLocation").map { base =>
-            val qn = parameters
+          .getOption("spark.sql.streaming.checkpointLocation").flatMap { base =>
+            parameters
               .collectFirst { case (k, v) if k.equalsIgnoreCase("queryname") => v }
-              .getOrElse("")
-            s"$base/$qn"
+              .map(qn => s"$base/$qn")
           }
       }
       .getOrElse(s"graft-sink-${java.util.UUID.randomUUID()}")

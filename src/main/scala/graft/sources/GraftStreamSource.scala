@@ -62,38 +62,30 @@ class GraftStreamSource(sqlContext: SQLContext, path: String,
     * offset WAL, never by this file, and the mark is always ≥ the
     * committed offset.
     */
-  /** metadataPath arrives as a URI-ish string ("file:/ckpt/sources/0")
-    * whose path part is NOT percent-encoded (Hadoop Path.toString) —
-    * so java.net.URI would both throw on a space and mis-decode a
-    * literal "%20". Strip the file: scheme textually; raw Paths.get
-    * on the raw string would treat it as RELATIVE and scribble under
-    * the process CWD. Non-local schemes (hdfs:, s3a:) get no
-    * persisted mark (the cap still applies within a run) — the same
-    * single-node scope as the default MetadataLock.
+  /** metadataPath arrives as a Hadoop-Path string ("file:/ckpt/
+    * sources/0", "hdfs://nn/ckpt/sources/0") whose path part is NOT
+    * percent-encoded — exactly what the Hadoop Path(String)
+    * constructor parses. The mark persists through [[graft.table
+    * .TableIO]] on WHATEVER filesystem the checkpoint lives on, so a
+    * restarted query on a DFS checkpoint keeps its rate-limit cap
+    * (reference parity: the store's metadata is Hadoop-FS-native end
+    * to end).
     */
-  private val markFile = metadataPath.flatMap { p =>
-    val local =
-      if (p.startsWith("file:")) Some(p.stripPrefix("file:"))
-      else if (p.contains("://")) None
-      else Some(p)
-    local.map(s => java.nio.file.Paths.get(s).resolve("graft_last_offered"))
-  }
+  private val markFile = metadataPath.map(p =>
+    new org.apache.hadoop.fs.Path(p, "graft_last_offered"))
 
   @volatile private var lastSeen: Long = {
-    markFile.filter(java.nio.file.Files.exists(_))
-      .flatMap(f => java.nio.file.Files.readString(f).trim.toLongOption)
+    import graft.table.TableIO
+    markFile.filter(TableIO.exists)
+      .flatMap(f => TableIO.readString(f).trim.toLongOption)
       .getOrElse(-1L)
   }
 
   private def advanceMark(v: Long): Unit = if (v > lastSeen) {
     lastSeen = v
     markFile.foreach { f =>
-      java.nio.file.Files.createDirectories(f.getParent)
-      val tmp = f.resolveSibling(s".graft_last_offered.tmp${System.nanoTime()}")
-      java.nio.file.Files.writeString(tmp, v.toString)
-      java.nio.file.Files.move(tmp, f,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      graft.table.TableIO.mkdirs(f.getParent)
+      graft.table.TableIO.writeStringAtomic(f, v.toString)
     }
   }
 

@@ -286,6 +286,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val dropCubeRe =
     """(?is)\s*DROP\s+CUBE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*""".r
   private val showCubesRe = """(?is)\s*SHOW\s+CUBES\s*;?\s*""".r
+  // reference ShowCreateCube (CarbonSqlParser.scala grammar) — alias
+  // of SHOW CREATE GRAFT TABLE, completing the cube-dialect surface
+  private val showCreateCubeRe =
+    """(?is)\s*SHOW\s+CREATE\s+CUBE\s+(\w+)\s*;?\s*""".r
   private val loadCubeRe =
     """(?is)\s*LOAD\s+DATA\s+(?:LOCAL\s+)?INPATH\s+'([^']+)'\s+INTO\s+CUBE\s+(\w+)\s*(?:OPTIONS\s*\((.*?)\)\s*)?;?\s*""".r
   private val createAggCubeRe =
@@ -353,6 +357,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       parseCreateCube(sqlText, name, body, ifNotExists != null)
     case dropCubeRe(name) => DropGraftTableCommand(name)
     case showCubesRe() => ShowGraftTablesCommand()
+    case showCreateCubeRe(name) => ShowCreateGraftTableCommand(name)
     case loadCubeRe(path, name, opts) =>
       val o = Option(opts).map(s =>
         propRe.findAllMatchIn(s).map(m =>
@@ -473,6 +478,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     // Spark SQL, so claiming them cannot shadow the delegate
     t.startsWith("CREATE CUBE") || t.startsWith("DROP CUBE") ||
     t.startsWith("ALTER CUBE") || t.startsWith("SHOW CUBES") ||
+    t.startsWith("SHOW CREATE CUBE") ||
     t.startsWith("CREATE AGGREGATETABLE") ||
     (t.startsWith("LOAD DATA") && t.contains(" INTO CUBE "))
   }
@@ -1132,19 +1138,20 @@ case class ShowGraftTablesCommand() extends LeafRunnableCommand {
     AttributeReference("live_segments", IntegerType, nullable = false)(),
     AttributeReference("total_rows", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val root = java.nio.file.Paths.get(GraftCatalog.storeRoot(spark))
-    if (!java.nio.file.Files.isDirectory(root)) return Nil
-    import scala.jdk.CollectionConverters._
-    val listing = java.nio.file.Files.list(root)
-    val entries =
-      try listing.iterator().asScala.toList finally listing.close()
-    entries
-      .filter(p => SegmentedTable.exists(p.toString))
-      .sortBy(_.getFileName.toString)
-      .map { p =>
-        val t = SegmentedTable.open(spark, p.toString)
+    val storeRoot = GraftCatalog.storeRoot(spark).stripSuffix("/")
+    val root = new org.apache.hadoop.fs.Path(storeRoot)
+    if (!graft.table.TableIO.isDirectory(root)) return Nil
+    // listStatus qualifies paths (file:/...); keep the store root's own
+    // spelling in the displayed path so scheme-less configs stay stable
+    graft.table.TableIO.listStatus(root)
+      .map(_.getPath.getName)
+      .map(name => name -> s"$storeRoot/$name")
+      .filter { case (_, p) => SegmentedTable.exists(p) }
+      .sortBy(_._1)
+      .map { case (name, p) =>
+        val t = SegmentedTable.open(spark, p)
         val live = t.showSegments().count(_.status == SegmentedTable.SUCCESS)
-        Row(p.getFileName.toString, p.toString, live, t.countFromCatalog)
+        Row(name, p, live, t.countFromCatalog)
       }
   }
 }
@@ -1172,11 +1179,8 @@ case class DeleteGraftSegmentsBeforeCommand(name: String, cutoff: String)
 
 case class DropGraftTableCommand(name: String) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    val p = java.nio.file.Paths.get(GraftCatalog.tablePath(spark, name))
-    if (java.nio.file.Files.exists(p))
-      java.nio.file.Files.walk(p)
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => java.nio.file.Files.delete(f))
+    graft.table.TableIO.delete(
+      new org.apache.hadoop.fs.Path(GraftCatalog.tablePath(spark, name)))
     Nil
   }
 }

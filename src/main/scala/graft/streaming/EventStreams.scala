@@ -22,6 +22,21 @@ object EventStreams {
 
   private val runIds = new AtomicInteger(0)
 
+  /** Per-session drain serialization (see [[runToCompletion]]) on a
+    * private monitor — the SparkSession's own monitor is shared with
+    * the optimizer-rule registration paths and must never be held
+    * across a stream drain. Weak keys: a retired session's entry
+    * must not pin it.
+    */
+  private val drainLocks =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, Object]())
+
+  private def drainLock(spark: SparkSession): Object =
+    drainLocks.synchronized {
+      drainLocks.computeIfAbsent(spark, _ => new Object)
+    }
+
   /** The events table as a stream. TIMESTAMP(NANOS) parquet is read as
     * epoch-nano longs (nanosAsLong) and converted to a proper
     * microsecond timestamp column `ts_utc`.
@@ -83,11 +98,16 @@ object EventStreams {
     // The overrides mutate SESSION conf with save/restore, so two
     // concurrent drains on one session would race the restore and
     // batch queries planned inside the window would inherit the small
-    // shuffle-partition setting. Serialize drains per session (the
-    // conf is session-scoped, so other sessions — e.g. thrift
-    // connections — are unaffected); drains are test/bench-shaped
-    // operations, never a hot concurrent path.
-    spark.synchronized {
+    // shuffle-partition setting. Serialize drains on a PRIVATE
+    // per-session lock — NOT the SparkSession monitor: ensureRegistered
+    // paths synchronize on the session, so holding its monitor across
+    // the whole awaitTermination would block every concurrent caller
+    // for the full drain, and a micro-batch whose planning ever reached
+    // an s.synchronized block would self-deadlock the drain. (The conf
+    // is session-scoped, so other sessions — e.g. thrift connections —
+    // are unaffected; drains are test/bench-shaped operations, never a
+    // hot concurrent path.)
+    drainLock(spark).synchronized {
       val conf = spark.conf
       val prevNoData = conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
       val prevParts = conf.getOption("spark.sql.shuffle.partitions")

@@ -1,7 +1,6 @@
 package graft.table
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import java.util.Comparator
+import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal}
@@ -50,10 +49,25 @@ case class SegmentMeta(id: Int, status: String, rowCount: Long,
   * restart is recognized and skipped — exactly-once without a side
   * ledger. commitStatus carries the map forward when a commit
   * doesn't set it.
+  *
+  * manifest: ON DISK, a pointer to an immutable `_meta/manifests/`
+  * page holding the catalog's frozen segment-list prefix, with
+  * `segments` then holding only the small mutable TAIL appended since
+  * the last fold — the 10^5-segment scale path (a whole-list rewrite
+  * per commit is ~6.5 s there; a tail append is ms). IN MEMORY, every
+  * status this class hands out is MERGED (segments = manifest prefix
+  * ++ tail) with the pointer retained, so no caller ever sees a
+  * partial list. Catalogs below the fold threshold (and every catalog
+  * written before the field existed) keep the plain inline form:
+  * manifest = None.
   */
 case class TableStatus(nextId: Int, segments: List[SegmentMeta],
                        version: Long = 0L,
-                       sinkEpochs: Map[String, Long] = Map.empty)
+                       sinkEpochs: Map[String, Long] = Map.empty,
+                       manifest: Option[String] = None)
+
+/** One immutable manifest page (see [[TableStatus.manifest]]). */
+case class ManifestPage(segments: List[SegmentMeta])
 
 /** Segment-managed Parquet table: the Spark-native re-design of the
   * reference's store (SURVEY.md §7.1).
@@ -83,10 +97,20 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
                               val properties: Map[String, String]) {
   import SegmentedTable._
 
-  private def metaDir = root.resolve("_meta")
-  private def statusFile = metaDir.resolve("status.json")
-  private def lockFile = metaDir.resolve(".lock")
-  private def segmentDir(id: Int) = root.resolve(s"segment_$id")
+  private def metaDir = new Path(root, "_meta")
+  private def statusFile = new Path(metaDir, "status.json")
+  private def lockFile = new Path(metaDir, ".lock")
+  private def manifestsDir = new Path(metaDir, "manifests")
+  private def segmentDir(id: Int) = new Path(root, s"segment_$id")
+
+  /** Segment count at or below which the catalog stays a plain inline
+    * list (`manifest.fold.threshold` property). 2000 entries ≈ 2 MB of
+    * JSON ≈ 130 ms commits — interactive; beyond it the list folds
+    * into an immutable manifest page and commits rewrite only the
+    * tail (measured at 10^5 segments: 6.5 s whole-list vs ms tail).
+    */
+  private def manifestFoldThreshold: Int =
+    properties.get("manifest.fold.threshold").map(_.toInt).getOrElse(2000)
 
   def sortColumns: Seq[String] =
     properties.get("sort_columns").toSeq.flatMap(_.split(",")).map(_.trim)
@@ -109,23 +133,55 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     // stamp the next commit version (status.json may not exist yet on
     // the very first commit from create())
     val prevStatus =
-      if (Files.exists(statusFile)) Some(readStatus(statusFile)) else None
+      if (TableIO.exists(statusFile)) Some(readStatus(statusFile)) else None
     val prev = prevStatus.map(_.version).getOrElse(0L)
     val sink = newEpochs.getOrElse(
       prevStatus.map(_.sinkEpochs).getOrElse(Map.empty[String, Long]))
-    val stamped = s.copy(version = prev + 1, sinkEpochs = sink)
+    // ---- manifest layout (see [[TableStatus.manifest]]): keep the
+    // previous pointer when the new list still extends its frozen
+    // prefix (the append path — O(tail) commit); refold when the tail
+    // outgrew the threshold or a mutation reached inside the prefix
+    // (delete/compact/restore — O(n), amortized); stay inline below
+    // the threshold (every ordinary table). Prefix comparison is
+    // reference-first per element: append/update paths reuse the
+    // unchanged SegmentMeta objects, so the common case is n pointer
+    // compares, not n deep equalities. ----
+    val full = s.segments
+    val threshold = manifestFoldThreshold
+    val kept: Option[(String, Int)] = prevStatus.flatMap(_.manifest).flatMap { m =>
+      val mSegs = manifestSegments(statusFile, m)
+      if (sharesPrefix(full, mSegs)) Some((m, mSegs.size)) else None
+    }
+    val (manifestOut, tail) = kept match {
+      case Some((m, sz)) if full.size - sz <= threshold =>
+        (Some(m), full.drop(sz))
+      case _ if full.size <= threshold => (None, full)
+      case _ =>
+        val name = s"${prev + 1}-${System.nanoTime()}.json"
+        TableIO.mkdirs(manifestsDir)
+        val mp = new Path(manifestsDir, name)
+        TableIO.writeStringAtomic(mp,
+          Serialization.write(ManifestPage(full))(formats))
+        seedManifestCache(mp, full)
+        (Some(name), Nil)
+    }
+    val stamped = s.copy(version = prev + 1, sinkEpochs = sink,
+      segments = tail, manifest = manifestOut)
     val json = Serialization.write(stamped)(formats)
-    val tmp = metaDir.resolve(s"status.json.tmp${System.nanoTime()}")
-    Files.writeString(tmp, json)
-    Files.move(tmp, statusFile, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    TableIO.writeStringAtomic(statusFile, json)
+    // seed the parsed-catalog cache with the MERGED form of what was
+    // just committed: the writer's next read can never be served a
+    // stale entry even where the FS identity is only
+    // millisecond-grained (DFS; see TableIO.contentIdentity)
+    cacheStatus(statusFile, stamped.copy(segments = full))
     // append-only history entry — the time-travel anchor. Written
     // AFTER the commit point: a crash between the two loses only the
     // history entry, never current-state consistency. Same tmp +
     // atomic-rename discipline as status.json, so a half-written
-    // entry can never poison statusAt/SHOW HISTORY.
-    val logDir = metaDir.resolve("log")
-    Files.createDirectories(logDir)
+    // entry can never poison statusAt/SHOW HISTORY. Stored (tail +
+    // pointer) form: log entries SHARE the immutable manifest pages.
+    val logDir = new Path(metaDir, "log")
+    TableIO.mkdirs(logDir)
     // crash-repair: if the PREVIOUS commit's crash window lost its
     // log entry (statusAt healed it only while it was current),
     // backfill it now from the parsed previous status — otherwise
@@ -133,27 +189,29 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     // and wedge any consumer (e.g. a streaming reader's offset)
     // anchored at it
     prevStatus.foreach { ps =>
-      val prevLog = logDir.resolve(s"${ps.version}.json")
-      if (ps.version > 0 && !Files.exists(prevLog)) {
-        val pTmp = logDir.resolve(s".${ps.version}.json.tmp${System.nanoTime()}")
-        Files.writeString(pTmp, Serialization.write(ps)(formats))
-        Files.move(pTmp, prevLog, StandardCopyOption.ATOMIC_MOVE,
-          StandardCopyOption.REPLACE_EXISTING)
+      val prevLog = new Path(logDir, s"${ps.version}.json")
+      if (ps.version > 0 && !TableIO.exists(prevLog)) {
+        val storedPrev = ps.manifest match {
+          case Some(m) => ps.copy(segments =
+            ps.segments.drop(manifestSegments(statusFile, m).size))
+          case None => ps
+        }
+        TableIO.writeStringAtomic(prevLog,
+          Serialization.write(storedPrev)(formats))
       }
     }
-    val logTmp = logDir.resolve(s".${stamped.version}.json.tmp${System.nanoTime()}")
-    Files.writeString(logTmp, json)
-    Files.move(logTmp, logDir.resolve(s"${stamped.version}.json"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    TableIO.writeStringAtomic(new Path(logDir, s"${stamped.version}.json"), json)
   }
 
   /** Exclusive metadata lock for load/compact/delete (reference takes
     * METADATA_LOCK in LoadCube.run, cubeSchema.scala:1817-1827).
     * Implementation is pluggable per table via the `lock.impl`
-    * property — [[LocalFileLock]] (default, single-host) or
-    * [[LeaseLock]] (cross-host DFS lease); see [[MetadataLock]].
+    * property — [[LocalFileLock]] (single-host) or [[LeaseLock]]
+    * (cross-host DFS lease); absent the property the root's scheme
+    * picks the correct impl. See [[MetadataLock]].
     */
-  private val metadataLock: MetadataLock = MetadataLock.forProperties(properties)
+  private val metadataLock: MetadataLock =
+    MetadataLock.forProperties(properties, root)
 
   private def withLock[T](f: => T): T =
     metadataLock.withExclusive(lockFile)(f)
@@ -196,7 +254,7 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
       .filter(_.nonEmpty)
 
   private def bloomFile(segId: Int, column: String): Path =
-    metaDir.resolve(s"bloom_${segId}_$column.bin")
+    new Path(metaDir, s"bloom_${segId}_$column.bin")
 
   /** Hard cap on a bloom sidecar's expectedNumItems: at fpp 0.03 the
     * filter costs ~7.3 bits/item, so 32M items ≈ 29 MB — the ceiling
@@ -219,7 +277,12 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     */
   private def computeBlooms(dir: Path, rows: Long)
       : Seq[(String, org.apache.spark.util.sketch.BloomFilter)] =
-    bloomColumns.filter(schema.fieldNames.contains).map { c =>
+    // rows == 0: Spark's stat.bloomFilter NPEs on empty input, and an
+    // empty segment needs no sidecar anyway (it is either discarded —
+    // empty stream batches — or prunes on rowCount). Without the guard
+    // an empty micro-batch into a bloom-indexed table kills the stream.
+    if (rows == 0) Nil
+    else bloomColumns.filter(schema.fieldNames.contains).map { c =>
       c -> spark.read.schema(schema).parquet(dir.toString)
         .select(org.apache.spark.sql.functions.xxhash64(col(c)).as("h"))
         .stat.bloomFilter("h", bloomExpectedItems(rows), 0.03)
@@ -228,7 +291,7 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
   private def writeBlooms(segId: Int,
       blooms: Seq[(String, org.apache.spark.util.sketch.BloomFilter)]): Unit =
     blooms.foreach { case (c, bf) =>
-      val os = Files.newOutputStream(bloomFile(segId, c))
+      val os = TableIO.createOverwrite(bloomFile(segId, c))
       try bf.writeTo(os) finally os.close()
     }
 
@@ -247,9 +310,9 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
       : Option[org.apache.spark.util.sketch.BloomFilter] =
     bloomCache.computeIfAbsent((segId, column), { _ =>
       val f = bloomFile(segId, column)
-      if (!Files.exists(f)) None
+      if (!TableIO.exists(f)) None
       else {
-        val is = Files.newInputStream(f)
+        val is = TableIO.open(f)
         try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(is))
         finally is.close()
       }
@@ -311,8 +374,7 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     * stage could look abandoned mid-flight.
     */
   private def touchStaging(dir: Path): Unit =
-    try Files.setLastModifiedTime(dir,
-      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    try TableIO.setMTime(dir, System.currentTimeMillis())
     catch { case _: java.io.IOException => () } // dir swept/raced: the move will fail loudly
 
   /** Write-time schema enforcement: a column the table does not
@@ -351,7 +413,7 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
 
   private def stageSegment(df: DataFrame, prefix: String): StagedSegment = {
     validateAgainstSchema(df)
-    val tmp = root.resolve(s"${prefix}_${System.nanoTime()}")
+    val tmp = new Path(root, s"${prefix}_${System.nanoTime()}")
     applyLayout(df).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     touchStaging(tmp)
     val (rows, stats, nulls) = collectStats(tmp)
@@ -362,14 +424,10 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
   }
 
   /** On-disk size of a staged segment (drives size-tiered minor
-    * compaction). One local directory walk, metadata-only.
+    * compaction). Metadata-only: one getContentSummary RPC on HDFS,
+    * a local walk elsewhere.
     */
-  private def dirBytes(dir: Path): Long = {
-    val walk = Files.walk(dir)
-    try walk.filter(Files.isRegularFile(_))
-      .mapToLong(f => Files.size(f)).sum()
-    finally walk.close()
-  }
+  private def dirBytes(dir: Path): Long = TableIO.contentBytes(dir)
 
   /** Allocate the next id, rename the staged dir into place, commit.
     * Caller MUST hold the metadata lock; everything here is
@@ -379,7 +437,7 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     val st = status
     val id = st.nextId
     clearOrphan(id)
-    Files.move(staged.tmp, segmentDir(id), StandardCopyOption.ATOMIC_MOVE)
+    TableIO.rename(staged.tmp, segmentDir(id))
     writeBlooms(id, staged.blooms)
     commitStatus(TableStatus(id + 1,
       st.segments :+ SegmentMeta(id, SUCCESS, staged.rows,
@@ -433,7 +491,7 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
       } else {
         val id = st.nextId
         clearOrphan(id)
-        Files.move(staged.tmp, segmentDir(id), StandardCopyOption.ATOMIC_MOVE)
+        TableIO.rename(staged.tmp, segmentDir(id))
         writeBlooms(id, staged.blooms)
         commitStatusWith(TableStatus(id + 1,
           st.segments :+ SegmentMeta(id, SUCCESS, staged.rows,
@@ -946,16 +1004,35 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
       deleteRecursively(segmentDir(s.id))
       // bloom sidecars of the removed segment, whatever the current
       // bloom_columns property says (it may have changed since load)
-      import scala.jdk.CollectionConverters._
-      val listing = Files.list(metaDir)
-      try listing.iterator().asScala
-        .filter(_.getFileName.toString.startsWith(s"bloom_${s.id}_"))
-        .toList.foreach(Files.deleteIfExists(_))
-      finally listing.close()
+      TableIO.listStatus(metaDir)
+        .filter(_.getPath.getName.startsWith(s"bloom_${s.id}_"))
+        .foreach(st => TableIO.delete(st.getPath))
     }
     sweepStaleStaging()
     pruneHistoryLog()
     commitStatus(st.copy(segments = st.segments.filterNot(s => dead.exists(_.id == s.id))))
+    sweepOrphanManifests()
+  }
+
+  /** Manifest-page GC (the paged catalog's cleanFiles leg): delete
+    * every `_meta/manifests/` page referenced by neither the current
+    * status nor any RETAINED history-log entry. Runs after the commit
+    * and after pruneHistoryLog, under the same lock, so the reference
+    * set it computes is final. Same retention contract as segment
+    * files: a reader anchored at a pruned version loses its manifest
+    * with it.
+    */
+  private def sweepOrphanManifests(): Unit = {
+    if (!TableIO.isDirectory(manifestsDir)) return
+    def refOf(p: Path): Option[String] =
+      try Serialization.read[TableStatus](TableIO.readString(p)).manifest
+      catch { case scala.util.control.NonFatal(_) => None } // tmp/corrupt: skip
+    val logDir = new Path(metaDir, "log")
+    val referenced = (TableIO.listStatus(logDir).map(_.getPath).flatMap(refOf)
+      ++ refOf(statusFile)).toSet
+    TableIO.listStatus(manifestsDir).map(_.getPath)
+      .filterNot(p => referenced.contains(p.getName))
+      .foreach(TableIO.delete)
   }
 
   /** History-log retention, wired into [[cleanFiles]] like every other
@@ -970,9 +1047,9 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     val retain = properties.get("log.retain.versions").map(_.toInt).getOrElse(100)
     val vs = versions
     if (vs.size > retain) {
-      val logDir = metaDir.resolve("log")
+      val logDir = new Path(metaDir, "log")
       vs.dropRight(retain).foreach(v =>
-        Files.deleteIfExists(logDir.resolve(s"$v.json")))
+        TableIO.delete(new Path(logDir, s"$v.json")))
     }
   }
 
@@ -990,13 +1067,10 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     val ttl = properties.get("staging.ttl.ms").map(_.toLong).getOrElse(3600000L)
     val cutoff = System.currentTimeMillis() - ttl
     val prefixes = Seq("loading_", "compacting_", "rewriting_", "merging_")
-    import scala.jdk.CollectionConverters._
-    val listing = Files.list(root)
-    try listing.iterator().asScala
-      .filter(p => prefixes.exists(p.getFileName.toString.startsWith))
-      .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
-      .toList.foreach(deleteRecursively)
-    finally listing.close()
+    TableIO.listStatus(root)
+      .filter(st => prefixes.exists(st.getPath.getName.startsWith))
+      .filter(_.getModificationTime < cutoff)
+      .foreach(st => deleteRecursively(st.getPath))
   }
 
   /** Compaction: merge all live segments into one new segment, retire
@@ -1085,7 +1159,7 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
       } else {
         val newId = st.nextId
         clearOrphan(newId)
-        Files.move(staged.tmp, segmentDir(newId), StandardCopyOption.ATOMIC_MOVE)
+        TableIO.rename(staged.tmp, segmentDir(newId))
         writeBlooms(newId, staged.blooms)
         commitStatus(TableStatus(newId + 1,
           st.segments.map(s => if (live.exists(_.id == s.id)) s.copy(status = COMPACTED) else s) :+
@@ -1121,24 +1195,18 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     * offset is always the current version) must keep resolving it.
     */
   def versions: Seq[Long] = {
-    val logDir = metaDir.resolve("log")
+    val logDir = new Path(metaDir, "log")
     val logged: Seq[Long] =
-      if (!Files.isDirectory(logDir)) Nil
-      else {
-        import scala.jdk.CollectionConverters._
-        val listing = Files.list(logDir)
-        try listing.iterator().asScala
-          .flatMap(p => p.getFileName.toString.stripSuffix(".json").toLongOption)
-          .toSeq
-        finally listing.close()
-      }
-    val cur = if (Files.exists(statusFile)) Seq(status.version) else Nil
+      if (!TableIO.isDirectory(logDir)) Nil
+      else TableIO.listStatus(logDir)
+        .flatMap(st => st.getPath.getName.stripSuffix(".json").toLongOption)
+    val cur = if (TableIO.exists(statusFile)) Seq(status.version) else Nil
     (logged ++ cur).distinct.sorted
   }
 
   def statusAt(version: Long): TableStatus = {
-    val f = metaDir.resolve("log").resolve(s"$version.json")
-    if (Files.exists(f)) readStatus(f)
+    val f = new Path(new Path(metaDir, "log"), s"$version.json")
+    if (TableIO.exists(f)) readStatus(f)
     else {
       // crash-heal: the commit point is status.json; a crash before
       // the log write leaves the newest version without a log entry
@@ -1155,7 +1223,7 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     */
   def readAsOf(version: Long): DataFrame = {
     val live = statusAt(version).segments.filter(_.status == SUCCESS)
-    val gone = live.filterNot(s => Files.isDirectory(segmentDir(s.id)))
+    val gone = live.filterNot(s => TableIO.isDirectory(segmentDir(s.id)))
     require(gone.isEmpty,
       s"version $version references segments removed by cleanFiles: ${gone.map(_.id).mkString(",")}")
     applyDefaults(readSegments(live))
@@ -1227,7 +1295,7 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
 
   def readChanges(fromVersion: Long, toVersion: Long): DataFrame = {
     val parts = changeEvents(fromVersion, toVersion)
-    val gone = parts.map(_._1).filterNot(s => Files.isDirectory(segmentDir(s.id)))
+    val gone = parts.map(_._1).filterNot(s => TableIO.isDirectory(segmentDir(s.id)))
     require(gone.isEmpty,
       s"change feed references segments removed by cleanFiles: ${gone.map(_.id).distinct.mkString(",")}")
     if (parts.isEmpty) {
@@ -1258,7 +1326,7 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     val v = withLock {
       val snapshot = statusAt(version)
       val target = snapshot.segments.filter(_.status == SUCCESS)
-      val gone = target.filterNot(s => Files.isDirectory(segmentDir(s.id)))
+      val gone = target.filterNot(s => TableIO.isDirectory(segmentDir(s.id)))
       require(gone.isEmpty,
         s"cannot restore to version $version: segments ${gone.map(_.id).mkString(",")} " +
           "were removed by cleanFiles")
@@ -1414,7 +1482,7 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     def promote(staged: StagedSegment): Unit = {
       val id = next; next += 1
       clearOrphan(id)
-      Files.move(staged.tmp, segmentDir(id), StandardCopyOption.ATOMIC_MOVE)
+      TableIO.rename(staged.tmp, segmentDir(id))
       writeBlooms(id, staged.blooms)
       segs = segs :+ SegmentMeta(id, SUCCESS, staged.rows,
         System.currentTimeMillis(), staged.stats, staged.nulls,
@@ -1584,58 +1652,109 @@ object SegmentedTable {
     * query (pruning, read, counts) and per commit; at 10^4 segments a
     * fresh parse is hundreds of ms, so repeated reads must not re-parse
     * an unchanged file. Every commit writes a NEW temp file and
-    * atomically renames it over status.json, so the file key (inode) +
-    * size + mtime identify the exact committed content — a cache hit
-    * can never serve a superseded catalog, in-process or cross-process.
-    * One entry per open table path, dropped when the identity changes.
+    * atomically renames it over status.json, so the file's content
+    * identity (see [[TableIO.contentIdentity]]: inode+size+mtime-nanos
+    * locally, length+mtime on DFS) identifies the committed content —
+    * and every commit additionally SEEDS the cache with what it wrote
+    * ([[cacheStatus]]), so a writer's read-after-write is exact even at
+    * DFS mtime granularity. One entry per open table path, dropped when
+    * the identity changes.
     */
   private val statusCache =
     new java.util.concurrent.ConcurrentHashMap[String, (AnyRef, TableStatus)]()
 
   private def readStatus(p: Path): TableStatus = {
-    val attrs = Files.readAttributes(p,
-      classOf[java.nio.file.attribute.BasicFileAttributes])
-    // fileKey is null on filesystems without stable keys — then the
-    // (size, mtime-nanos) pair is the identity, still rename-safe
-    val identity: AnyRef =
-      (Option(attrs.fileKey()).map(_.toString).getOrElse(""),
-        attrs.size(), attrs.lastModifiedTime().toInstant)
-    val key = p.toAbsolutePath.toString
+    val identity = TableIO.contentIdentity(p)
+    val key = TableIO.qualified(p)
     val cached = statusCache.get(key)
     if (cached != null && cached._1 == identity) cached._2
     else {
-      val parsed = Serialization.read[TableStatus](Files.readString(p))
+      val stored = Serialization.read[TableStatus](TableIO.readString(p))
+      // merge the manifest prefix back in: callers always see the full
+      // list (see TableStatus.manifest)
+      val parsed = stored.manifest match {
+        case Some(m) =>
+          stored.copy(segments = manifestSegments(p, m) ++ stored.segments)
+        case None => stored
+      }
       statusCache.put(key, (identity, parsed))
       parsed
     }
   }
 
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      val walk = Files.walk(p)
-      try walk.sorted(Comparator.reverseOrder[Path]())
-        .forEach(f => Files.delete(f))
-      finally walk.close()
+  /** `_meta/manifests/` for a path that is either `_meta/status.json`
+    * or `_meta/log/<v>.json`.
+    */
+  private def manifestsDirOf(near: Path): Path = {
+    val parent = near.getParent
+    if (parent.getName == "_meta") new Path(parent, "manifests")
+    else new Path(parent.getParent, "manifests")
+  }
+
+  /** Manifest pages are immutable once written, so the cache never
+    * invalidates — only bounds memory (a live table references one or
+    * two pages; clear-on-overflow keeps pathological histories from
+    * pinning hundreds of MB).
+    */
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, List[SegmentMeta]]()
+
+  private def manifestSegments(near: Path, name: String): List[SegmentMeta] = {
+    val mp = new Path(manifestsDirOf(near), name)
+    val key = TableIO.qualified(mp)
+    val cached = manifestCache.get(key)
+    if (cached != null) cached
+    else {
+      val segs = Serialization.read[ManifestPage](TableIO.readString(mp)).segments
+      seedManifestCache(mp, segs)
+      segs
     }
+  }
+
+  private def seedManifestCache(mp: Path, segs: List[SegmentMeta]): Unit = {
+    if (manifestCache.size > 8) manifestCache.clear()
+    manifestCache.put(TableIO.qualified(mp), segs)
+  }
+
+  /** Does `full` still extend the frozen prefix `m`? Reference-first
+    * element compare — the append/update paths reuse unchanged
+    * SegmentMeta objects, so this is n pointer compares in the common
+    * case, with deep equality as the cross-process fallback.
+    */
+  private def sharesPrefix(full: List[SegmentMeta],
+                           m: List[SegmentMeta]): Boolean =
+    m.size <= full.size && {
+      val fi = full.iterator
+      m.forall { s =>
+        val f = fi.next()
+        (f.asInstanceOf[AnyRef] eq s.asInstanceOf[AnyRef]) || f == s
+      }
+    }
+
+  /** Writer-side cache seed: called right after a commit's rename so
+    * this JVM's next read parses nothing and can never be stale.
+    */
+  private def cacheStatus(p: Path, s: TableStatus): Unit =
+    try statusCache.put(TableIO.qualified(p), (TableIO.contentIdentity(p), s))
+    catch { case _: java.io.IOException => () } // raced delete: readers re-read
+
+  private def deleteRecursively(p: Path): Unit = TableIO.delete(p)
 
   private[table] def writeSchema(root: Path, schema: StructType,
                                  properties: Map[String, String]): Unit = {
-    val meta = root.resolve("_meta")
-    Files.createDirectories(meta)
+    val meta = new Path(root, "_meta")
+    TableIO.mkdirs(meta)
     val schemaJson = JObject(
       "schema" -> JString(schema.json),
       "properties" -> JObject(properties.map { case (k, v) => k -> (JString(v): JValue) }.toList))
-    val tmp = meta.resolve(s"schema.json.tmp${System.nanoTime()}")
-    Files.writeString(tmp,
+    TableIO.writeStringAtomic(new Path(meta, "schema.json"),
       org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(schemaJson)))
-    Files.move(tmp, meta.resolve("schema.json"), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Create a new table (reference CreateCube, cubeSchema.scala:1608). */
   def create(spark: SparkSession, root: String, schema: StructType,
              properties: Map[String, String] = Map.empty): SegmentedTable = {
-    val r = Paths.get(root)
+    val r = new Path(root)
     writeSchema(r, schema, properties)
     val t = new SegmentedTable(spark, r, schema, properties)
     t.commitStatus(TableStatus(0, Nil))
@@ -1644,9 +1763,9 @@ object SegmentedTable {
 
   /** Open an existing table from its metadata. */
   def open(spark: SparkSession, root: String): SegmentedTable = {
-    val r = Paths.get(root)
+    val r = new Path(root)
     val j = org.json4s.jackson.JsonMethods.parse(
-      Files.readString(r.resolve("_meta").resolve("schema.json")))
+      TableIO.readString(new Path(new Path(r, "_meta"), "schema.json")))
     val schema = DataType.fromJson((j \ "schema").extract[String]).asInstanceOf[StructType]
     val props = (j \ "properties") match {
       case JObject(fields) => fields.collect { case (k, JString(v)) => k -> v }.toMap
@@ -1656,7 +1775,7 @@ object SegmentedTable {
   }
 
   def exists(root: String): Boolean =
-    Files.exists(Paths.get(root).resolve("_meta").resolve("status.json"))
+    TableIO.exists(new Path(new Path(new Path(root), "_meta"), "status.json"))
 
   /** DataFrame-writer entry with the reference's SaveMode matrix
     * (CarbonDatasourceRelation.scala:76-97).

@@ -27,3 +27,32 @@ final class BuildOnce[T] {
         def apply(k: String): () => T = { lazy val v: T = build; () => v }
       })()
 }
+
+/** [[BuildOnce]] with a structured key — for caches keyed by plan
+  * identity rather than a string (e.g. AnnSession's candidate pools).
+  * Same exactly-once guarantee: the builder of a key runs once even
+  * under racing callers, so side effects (persist()) never leak a
+  * loser's copy.
+  */
+final class BuildOnceKeyed[K, T] {
+  private val cells =
+    new java.util.concurrent.ConcurrentHashMap[K, () => T]()
+
+  def getOrElseUpdate(key: K, build: => T): T =
+    cells.computeIfAbsent(key,
+      new java.util.function.Function[K, () => T] {
+        def apply(k: K): () => T = { lazy val v: T = build; () => v }
+      })()
+
+  def size: Int = cells.size
+
+  /** Evaluated values of all cells (every inserted cell was evaluated
+    * by its creator, so this forces nothing new in practice).
+    */
+  def values: Iterable[T] = {
+    import scala.jdk.CollectionConverters._
+    cells.values.asScala.map(_())
+  }
+
+  def clear(): Unit = cells.clear()
+}

@@ -163,6 +163,45 @@ class GraftStreamSourceSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("rate-limit mark persists through an explicit file: URI checkpoint (DFS-shaped)") {
+    // r7 ADVICE: the mark used to persist only for LOCAL checkpoint
+    // paths — hdfs:/s3a: checkpoints silently lost the cap across
+    // restarts. The mark now rides graft.table.TableIO on whatever
+    // filesystem the checkpoint names; an explicit scheme exercises
+    // exactly the non-stripped path a DFS checkpoint takes.
+    val root = fresh("rateuri")
+    val ckpt = s"file:${Files.createTempDirectory("graft_ss_rateuri_ckpt")}"
+    val t = SegmentedTable.create(spark, root, docs.schema, Map.empty)
+    t.load(docs.filter(col("doc_id") < 10))
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def start() = spark.readStream.format("graft")
+      .option("maxVersionsPerBatch", "1").load(root)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val n = batch.count()
+        if (n > 0) batches.add(n)
+        ()
+      }
+      .start()
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+    // the mark landed under the URI checkpoint's sources dir
+    val mark = new org.apache.hadoop.fs.Path(s"$ckpt/sources/0/graft_last_offered")
+    assert(graft.table.TableIO.exists(mark),
+      s"persisted high-water mark missing at $mark")
+    // a burst lands while the stream is DOWN
+    t.load(docs.filter(col("doc_id") >= 10 && col("doc_id") < 30))
+    t.load(docs.filter(col("doc_id") >= 30 && col("doc_id") < 60))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val sizes = batches.asScala.toList
+      assert(sizes == List(10L, 20L, 30L),
+        s"expected capped per-commit batches across a URI-checkpoint restart, got $sizes")
+    } finally q2.stop()
+  }
+
   test("checkpoint restart resumes at the committed version, no re-emission") {
     val root = fresh("ckpt")
     val ckpt = Files.createTempDirectory("graft_ss_ckpt").toString

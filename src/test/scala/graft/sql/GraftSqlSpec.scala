@@ -390,6 +390,14 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(spark.sql("SHOW CUBES").collect()
       .exists(_.getString(0) == "nation_cube"))
 
+    // SHOW CREATE CUBE = the cube-dialect alias of SHOW CREATE GRAFT
+    // TABLE (reference ShowCreateCube)
+    val ddl = spark.sql("SHOW CREATE CUBE nation_cube")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(ddl.contains("nation_cube"), ddl)
+    assert(ddl == spark.sql("SHOW CREATE GRAFT TABLE nation_cube")
+      .collect().map(_.getString(0)).mkString("\n"))
+
     // CREATE AGGREGATETABLE bare-dims + aggregates FROM CUBE: registers
     // an auto-named rollup over the cube root; the rewrite then serves
     // a matching aggregate over the cube's read

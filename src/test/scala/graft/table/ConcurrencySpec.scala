@@ -42,9 +42,11 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(t.showSegments().count(_.status == "SUCCESS") == 4)
   }
 
-  test("lease lock: mutual exclusion, expiry steal, and owner-only release") {
+  test("lease lock: mutual exclusion, expiry steal, and owner-only release over a file: URI") {
     val dir = Files.createTempDirectory("graft_leaseunit")
-    val lockPath = dir.resolve(".lock")
+    // explicit file: URI — the lock now speaks Hadoop Paths, the same
+    // API an hdfs:// lease would arrive on
+    val lockPath = new org.apache.hadoop.fs.Path(s"file:$dir/.lock")
     val lock = new LeaseLock(ttlMs = 60000, pollMs = 5)
     // mutual exclusion: a critical-section counter never interleaves
     @volatile var inside = 0
@@ -81,6 +83,24 @@ class ConcurrencySpec extends AnyFunSuite {
     }
     assert(new String(Files.readAllBytes(lease), "UTF-8")
       .startsWith("live-owner:"), "a live foreign lease must not be deleted")
+  }
+
+  test("lease lock excludes writers when the table root is an explicit file: URI") {
+    // the DFS-shaped path end to end: table root and lock both carry a
+    // scheme, lock.impl defaults to lease by scheme (MetadataLock.forPath)
+    val dir = Files.createTempDirectory("graft_leaseuri")
+    val root = s"file:$dir/t"
+    val n = spark.read.parquet(s"${TestSpark.sf}/nation.parquet")
+    val t = SegmentedTable.create(spark, root, n.schema,
+      Map("lock.impl" -> "lease"))
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val loads = (1 to 4).map(_ => Future(t.load(n)))
+    val ids = Await.result(Future.sequence(loads), 120.seconds)
+    pool.shutdown()
+    assert(ids.toSet.size == 4, s"segment ids must be distinct: $ids")
+    assert(t.read().count() == 100)
+    assert(t.showSegments().count(_.status == "SUCCESS") == 4)
   }
 
   test("a load's distributed write does not block other loads (write outside the lock)") {
@@ -186,6 +206,46 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(t.read().count() == 101 - 21)
     assert(t.read().agg(min(col("k")), max(col("k"))).head() ==
       org.apache.spark.sql.Row(11L, 139L))
+  }
+
+  test("paged catalog stays consistent under concurrent commits and reads") {
+    // fuzz the manifest fold path: a tiny threshold forces a fold every
+    // few commits while 4 writers append and 2 readers snapshot —
+    // every snapshot must be a consistent prefix-complete catalog
+    // (merged manifest + tail, never a torn list), and the end state
+    // must hold every committed segment exactly once
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_pagedconc").resolve("t").toString
+    val df = (1L to 10L).map(k => (k, s"v$k")).toDF("k", "v")
+    val t = SegmentedTable.create(spark, root, df.schema,
+      Map("manifest.fold.threshold" -> "3"))
+    val pool = Executors.newFixedThreadPool(6)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    @volatile var readerFailure: Option[String] = None
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val readers = (1 to 2).map(_ => Future {
+      while (!stop.get()) {
+        val st = t.status
+        // ids unique and statuses well-formed in every snapshot
+        val ids = st.segments.map(_.id)
+        if (ids.distinct.size != ids.size)
+          readerFailure = Some(s"duplicate ids in snapshot: $ids")
+        if (st.segments.exists(s => s.id >= st.nextId))
+          readerFailure = Some(s"segment id beyond nextId in snapshot")
+      }
+    })
+    val writers = (1 to 4).map(_ => Future { (1 to 5).foreach(_ => t.load(df)) })
+    Await.result(Future.sequence(writers), 300.seconds)
+    stop.set(true)
+    Await.result(Future.sequence(readers), 60.seconds)
+    pool.shutdown()
+    assert(readerFailure.isEmpty, readerFailure.getOrElse(""))
+    assert(t.status.manifest.isDefined, "20 segments over threshold 3 must page")
+    assert(t.showSegments().count(_.status == "SUCCESS") == 20)
+    assert(t.read().count() == 200)
+    // cleanFiles GC keeps the referenced pages intact
+    t.cleanFiles()
+    assert(t.read().count() == 200)
   }
 
   test("partitioned load co-locates keys per file") {

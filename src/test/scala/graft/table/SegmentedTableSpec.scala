@@ -31,6 +31,40 @@ class SegmentedTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.showSegments().map(_.status).forall(_ == "SUCCESS"))
   }
 
+  test("full lifecycle round-trips through an explicit file: URI root (DFS-shaped paths)") {
+    // every metadata byte (status.json commits, log, blooms, schema,
+    // lock) flows through the Hadoop FileSystem API; an explicit
+    // scheme exercises exactly the path an hdfs://s3a:// root takes.
+    // Reference parity: the store is Hadoop-FS-native end to end
+    // (hadoop/.../CarbonInputFormat.java:76-481).
+    val root = s"file:${freshRoot("uriroot")}"
+    val t = SegmentedTable.create(spark, root, li.schema,
+      Map("sort_columns" -> "l_shipdate", "bloom_columns" -> "l_orderkey"))
+    t.load(li.filter(col("l_orderkey") <= 700))
+    t.load(li.filter(col("l_orderkey") > 700))
+    assert(t.read().count() == li.count())
+    // reopen from the URI string: schema.json + status.json read back
+    val reopened = SegmentedTable.open(spark, root)
+    assert(reopened.read().count() == li.count())
+    assert(reopened.countFromCatalog == li.count())
+    // scan path incl. bloom sidecars written/read through Hadoop FS
+    val key = li.select("l_orderkey").head().getLong(0)
+    assert(reopened.scan(col("l_orderkey") === key).count() ==
+      li.filter(col("l_orderkey") === key).count())
+    // compaction + cleanFiles: staged rename, retirement, sidecar sweep
+    assert(reopened.compact().isDefined)
+    reopened.cleanFiles()
+    assert(reopened.read().count() == li.count())
+    // time travel over the URI-rooted commit log
+    val versions = reopened.versions
+    assert(versions.size >= 2)
+    assert(reopened.readAsOf(versions.dropRight(1).last).count() == li.count())
+    // DML rewrite through the same path
+    val removed = reopened.delete(col("l_orderkey") === key)
+    assert(removed >= 1)
+    assert(reopened.read().filter(col("l_orderkey") === key).count() == 0)
+  }
+
   test("load rejects undeclared columns and type conflicts at write time") {
     val root = freshRoot("schemaguard")
     val t = SegmentedTable.create(spark, root, li.schema, Map.empty)
@@ -435,5 +469,63 @@ class SegmentedTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     val entries = Files.list(logDir)
     try assert(entries.count() <= 100)
     finally entries.close()
+  }
+
+  test("catalog pages behind a manifest at 10^5 segments: appends stay ms-class (measured)") {
+    // r7 VERDICT #5: at 10^5 segments the whole-list rewrite costs
+    // ~6.5 s lock-held (measured pre-paging; status.json ~104 MB).
+    // With manifest paging the frozen prefix lives in an immutable
+    // _meta/manifests page, the commit rewrites only the tail, and
+    // history-log entries share the page — so the hot path (streaming
+    // appends) is independent of catalog size.
+    val root = freshRoot("manifest100k")
+    val t = SegmentedTable.create(spark, root, li.schema, Map.empty)
+    val statCols = li.schema.fieldNames.take(16)
+    val segs = (0 until 100000).map { i =>
+      SegmentMeta(i, "SUCCESS", 1000000L + i, 1700000000000L + i,
+        statCols.map(c => c -> ColStats(s"min_$i", s"max_$i", "string")).toMap,
+        statCols.map(c => c -> (i % 17).toLong).toMap)
+    }.toList
+    def timeMs(n: Int)(f: => Unit): Double = {
+      f // warm
+      val t0 = System.nanoTime(); (1 to n).foreach(_ => f)
+      (System.nanoTime() - t0) / 1e6 / n
+    }
+    // the fold itself is the one O(n) commit (amortized 1/threshold):
+    // time the FIRST commit — no warm run, or the warm fold would
+    // leave only the cheap keep-pointer path to measure
+    val foldT0 = System.nanoTime()
+    t.commitStatus(TableStatus(100000, segs))
+    val foldMs = (System.nanoTime() - foldT0) / 1e6
+    // the hot path: append one segment to a 10^5-segment catalog
+    val appendMs = timeMs(5) {
+      val st = t.status
+      t.commitStatus(TableStatus(st.nextId + 1,
+        st.segments :+ SegmentMeta(st.nextId, "SUCCESS", 1L,
+          1700000000000L, Map.empty)))
+    }
+    val readMs = timeMs(10) { assert(t.status.segments.size >= 100000); () }
+    info(f"100k-segment catalog: fold=${foldMs}%.1f ms, append=${appendMs}%.1f ms, read=${readMs}%.1f ms")
+    // the verdict bar: lock-held commit latency on the APPEND path
+    // must be interactive at 10^5 — and far under the pre-paging 6.5 s
+    assert(appendMs < 2000, f"append commit too slow: ${appendMs}%.1f ms")
+    assert(readMs < 50, f"status read too slow: ${readMs}%.1f ms")
+    // the stored form is small: status.json holds tail + pointer, and
+    // the paged catalog round-trips through a REOPEN (manifest merge)
+    val statusBytes = Files.size(Paths.get(root, "_meta", "status.json"))
+    assert(statusBytes < 1024 * 1024,
+      s"status.json must hold tail + pointer, got $statusBytes bytes")
+    val reopened = SegmentedTable.open(spark, root)
+    assert(reopened.status.segments.size == t.status.segments.size)
+    assert(reopened.status.manifest.isDefined, "catalog must be paged at 10^5")
+    // a mutation inside the frozen prefix refolds correctly
+    t.deleteSegments(Seq(0, 1))
+    assert(t.status.segments.count(_.status == "SUCCESS") >= 99998)
+    // cleanFiles sweeps manifest pages no retained version references
+    t.cleanFiles()
+    val manifests = Files.list(Paths.get(root, "_meta", "manifests"))
+    val live = try manifests.count() finally manifests.close()
+    // retained log entries may pin a handful of pages, never one per commit
+    assert(live <= 10, s"manifest GC left $live pages")
   }
 }
