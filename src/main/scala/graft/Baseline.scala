@@ -359,6 +359,22 @@ object Baseline {
         .orderBy(col("tf").desc, col("doc_id").asc).limit(10)
     }),
 
+    // the n-gram phrase's plain formulation: tokenize the WHOLE
+    // corpus and count trigrams per query (what the bigram-index
+    // candidate pruning buys)
+    "t24_phrase_ngram_serve" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.tokens(col("text")).as("__w"))
+      toks.filter(size(col("__w")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(__w) - 3), i -> concat_ws(' ', __w[i], __w[i+1], __w[i+2]))"))
+          .as("ngram"))
+        .filter(col("ngram") === "stream table hash")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("tf"))
+        .orderBy(col("tf").desc, col("doc_id").asc).limit(10)
+    }),
+
     // the heavy hitters' plain formulation: full-vocabulary groupBy
     // (every distinct token shuffles) + HAVING
     "t22_heavy_hitters" -> ((s, d) => {

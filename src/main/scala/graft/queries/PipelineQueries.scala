@@ -185,21 +185,11 @@ object PipelineQueries {
     // build is the corpus-sized stage (same shape as t13); each query
     // is index-sized: |postings of its terms|.
     "t21_bm25_index_serve" -> ((s, d) => {
+      // scoring kernel shared verbatim with the interactive serve
+      // session ([[graft.text.Bm25Session]]) so gate and session can
+      // never drift
       val idx = bm25IndexFor(s, d).read()
-      val n = col("n_docs").cast("double")
-      val dfd = col("df").cast("double")
-      val tfd = col("tf").cast("double")
-      val dld = col("dl").cast("double")
-      val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
-      val idf = log((n - dfd + lit(0.5)) / (dfd + lit(0.5)) + lit(1.0))
-      val sat = tfd * lit(2.2) /
-        (tfd + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * dld / avgdl))
-      idx.filter(col("token").isin(Bm25QueryTerms: _*))
-        .withColumn("score_ppm",
-          floor(idf * sat * lit(1000000.0) + lit(0.5)).cast("long"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("score_ppm")).as("score_ppm"),
-          count(lit(1)).as("n_terms"))
+      graft.text.Bm25Session.scoreDocs(idx, Bm25QueryTerms)
         .orderBy(col("score_ppm").desc, col("doc_id").asc)
         .limit(10)
     }),
@@ -218,6 +208,40 @@ object PipelineQueries {
         .orderBy(col("tf").desc, col("doc_id").asc)
         .limit(10)
         .select(col("doc_id"), col("tf"))
+    }),
+
+    // pipeline: N-TOKEN phrase serving from the SAME bigram index
+    // (t23's >2-token completion): every adjacent bigram's postings
+    // are ANDed into a candidate doc set — necessary-but-not-
+    // sufficient ("a b … b c" without "a b c" still qualifies) — and
+    // ONE verify join recomputes the exact n-gram tf over ONLY the
+    // candidate docs. Scale: the index prunes the corpus to the
+    // candidates (tiny — docs holding every bigram), the candidate
+    // set broadcasts, and the documents scan feeds a broadcast join
+    // before any tokenization happens, so verify work is
+    // O(candidates), never O(corpus).
+    "t24_phrase_ngram_serve" -> ((s, d) => {
+      val words = PhraseQuery3.split(' ').toSeq
+      val grams = words.sliding(2).map(_.mkString(" ")).toSeq.distinct
+      val n = words.length
+      val idx = bigramIndexFor(s, d).read()
+      val candidates = idx.filter(col("bigram").isin(grams: _*))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("bigram")).as("__ng"))
+        .filter(col("__ng") === grams.size)
+        .select(col("doc_id"))
+      val gramExpr = (0 until n).map(j => s"__w[i+$j]")
+        .mkString("concat_ws(' ', ", ", ", ")")
+      Tables.documents(s, d)
+        .join(broadcast(candidates), "doc_id")
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__w"))
+        .filter(size(col("__w")) >= n) // sequence(0, <0) would DESCEND
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(0, size(__w) - $n), i -> $gramExpr)")).as("ngram"))
+        .filter(col("ngram") === PhraseQuery3)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("tf"))
+        .orderBy(col("tf").desc, col("doc_id").asc)
+        .limit(10)
     }),
 
     // pipeline: EXACT heavy hitters via a Misra-Gries candidate
@@ -854,6 +878,11 @@ object PipelineQueries {
   /** t23's phrase — two adjacent tokens, fixed for the oracle. */
   private val PhraseQuery = "data line"
 
+  /** t24's phrase — three tokens (present at every test SF), fixed so
+    * the oracle replays it.
+    */
+  private val PhraseQuery3 = "stream table hash"
+
   /** Build-once bigram index for t23: postings of adjacent-token
     * pairs. Same layout discipline as the unigram index (partitioned
     * + sorted by bigram, pid-qualified path).
@@ -893,7 +922,7 @@ object PipelineQueries {
     */
   private val bm25Indexes = new graft.util.BuildOnce[graft.table.SegmentedTable]
 
-  private def bm25IndexFor(s: SparkSession, d: String): graft.table.SegmentedTable =
+  private[graft] def bm25IndexFor(s: SparkSession, d: String): graft.table.SegmentedTable =
     bm25Indexes.getOrElseUpdate(s"$d|${s.sparkContext.applicationId}", {
       val withDl = Tables.documents(s, d)
         .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__w"))
@@ -1069,6 +1098,18 @@ object PipelineQueries {
             FROM t WHERE len(words) >= 2)
           SELECT doc_id, COUNT(*) AS tf FROM bg
           WHERE bigram = 'data line'
+          GROUP BY doc_id
+          ORDER BY tf DESC, doc_id ASC LIMIT 10""",
+
+    // the bigram-candidate pruning is invisible to the answer: the
+    // exact trigram tf per doc, recomputed naively over the corpus
+    "t24_phrase_ngram_serve" ->
+      s"""WITH t AS (SELECT doc_id, $W AS words FROM documents),
+          tg AS (SELECT doc_id, unnest(list_transform(range(1, len(words) - 1),
+              i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS ngram
+            FROM t WHERE len(words) >= 3)
+          SELECT doc_id, COUNT(*) AS tf FROM tg
+          WHERE ngram = 'stream table hash'
           GROUP BY doc_id
           ORDER BY tf DESC, doc_id ASC LIMIT 10""",
 

@@ -21,13 +21,18 @@ import org.apache.spark.sql.functions._
   *     per-partition imperative logic (the documented mapPartitions
   *     case): no relational form expresses the running skyline buffer
   *     without a single-partition global window.
-  *  3. GLOBAL skyline = SFS over the union of local skylines, one
-  *     final task. Sound because dominance is transitive: a point
-  *     dominated locally is also dominated globally, so local
-  *     filtering never removes a global-skyline point. Local skylines
-  *     are small for correlated/independent dims (the common case);
-  *     fully anti-correlated data degrades toward |input| — the
-  *     documented worst case of every skyline algorithm.
+  *  3. GLOBAL skyline = TREE REDUCTION of the local skylines: fold
+  *     partitions at fan-in [[fanIn]] per round, re-running SFS on
+  *     each merged group, until one partition holds the result. Sound
+  *     because dominance is transitive: a point dominated locally (or
+  *     in any merged group) is also dominated globally, so no round
+  *     removes a global-skyline point. Local skylines are small for
+  *     correlated/independent dims (the common case) and the tree
+  *     collapses in one round; fully anti-correlated data degrades
+  *     toward |input| — the documented worst case of every skyline
+  *     algorithm — but no single task ever processes more than fanIn
+  *     partitions' skylines per round, so the worst case costs
+  *     log_fanIn(P) rounds instead of one task swallowing the union.
   *
   * Null dimensions are excluded up front (dominance is undefined on
   * null). Dimensions are compared as doubles; the correctness gate
@@ -36,6 +41,13 @@ import org.apache.spark.sql.functions._
   * so an SFS bug cannot self-confirm.
   */
 object Skyline {
+
+  /** Merge fan-in of the global phase: each reduction round folds
+    * fanIn partitions' local skylines into one task. 32 matches the
+    * session's shuffle parallelism; at 1000 executors an anti-
+    * correlated corpus still collapses in 2 rounds.
+    */
+  private val fanIn = 32
 
   def skyline(df: DataFrame, dims: Seq[String]): DataFrame = {
     require(dims.nonEmpty, "skyline requires at least one dimension")
@@ -46,11 +58,23 @@ object Skyline {
       .select(array(dims.map(col(_).cast("double")): _*).as("p"))
       .distinct()
       .as[Array[Double]]
-    val local = pts.mapPartitions(sfs)
-    // the union of local skylines is small by construction; one final
-    // SFS pass over it yields the exact global skyline
-    val global = local.repartition(1).mapPartitions(sfs)
-    global.select(dims.indices.map(i => col("value")(i).as(dims(i))): _*)
+    var cur = pts.mapPartitions(sfs)
+    // tree-reduce the local skylines: coalesce (no shuffle — groups of
+    // parent partitions merge in place) + SFS per group, halting when
+    // one partition remains. The round structure is built STATICALLY
+    // from the session's shuffle parallelism (what the distinct leaves
+    // behind), keeping the plan fully lazy — consulting the runtime
+    // partition count would force AQE to materialize stages during
+    // plan construction. A coalesce target above the runtime partition
+    // count (AQE shrank the shuffle) is a no-op passthrough, so the
+    // static ladder is always a valid upper bound: no task ever merges
+    // more than fanIn partitions' skylines.
+    var parts = spark.sessionState.conf.numShufflePartitions
+    while (parts > 1) {
+      parts = math.max(1, parts / fanIn)
+      cur = cur.coalesce(parts).mapPartitions(sfs)
+    }
+    cur.select(dims.indices.map(i => col("value")(i).as(dims(i))): _*)
   }
 
   /** Sort-filter-skyline over one in-memory partition: sum-ascending

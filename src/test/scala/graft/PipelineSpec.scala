@@ -308,6 +308,31 @@ class PipelineSpec extends AnyFunSuite {
     } finally session.close()
   }
 
+  test("Bm25Session: k refinements re-rank one cached pool, results exact") {
+    // the text twin of the AnnSession proof: pin the postings handle,
+    // refine k over one held term set, and every refinement must equal
+    // a fresh index serve at that k — off ONE cached candidate pool
+    val postings = graft.queries.PipelineQueries
+      .bm25IndexFor(spark, TestSpark.sf).read()
+    val terms = Seq("spark", "join", "stream")
+    val session = graft.text.Bm25Session(postings)
+    try {
+      def fresh(k: Int) = graft.text.Bm25Session.scoreDocs(postings, terms)
+        .orderBy(col("score_ppm").desc, col("doc_id").asc).limit(k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      def served(k: Int) = session.topK(terms, k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(served(3) == fresh(3))
+      assert(served(10) == fresh(10))
+      assert(served(1) == fresh(1))
+      // term-set normalization: spelling order must not fork the pool
+      assert(session.topK(Seq("stream", "spark", "join"), 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        == fresh(3))
+      assert(session.cachedPools == 1)
+    } finally session.close()
+  }
+
   test("materialized ANN index grows incrementally: append-encode, no rebuild") {
     // the production index-maintenance shape: quantizers FREEZE at
     // first build (trained on the initial corpus), and new vectors

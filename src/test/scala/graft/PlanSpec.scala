@@ -155,6 +155,25 @@ class PlanSpec extends AnyFunSuite {
       s"token IN filter must push to the postings scan\n${p.take(3000)}")
   }
 
+  test("n-gram phrase serving tokenizes only index-pruned candidate docs") {
+    // t24: the bigram index supplies the candidate set; documents must
+    // be scanned exactly once, joined against the BROADCAST candidates
+    // BEFORE tokenization — a naive plan tokenizes the whole corpus
+    val p = plan("t24_phrase_ngram_serve")
+    assert(p.contains("graft_bigram_index"),
+      s"candidates must come from the materialized bigram index\n${p.take(2000)}")
+    assert("documents\\.parquet".r.findAllIn(p).size == 1,
+      s"documents must be scanned exactly once\n${p.take(3000)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the candidate set must broadcast\n${p.take(3000)}")
+    // tokenization (Generate/explode of the n-gram transform) must sit
+    // ABOVE the join: the explode's generator input is the joined side
+    val genIdx = p.indexOf("Generate explode")
+    val joinIdx = p.indexOf("BroadcastHashJoin")
+    assert(genIdx >= 0 && joinIdx > genIdx,
+      s"n-gram explode must consume the join output, not the raw corpus\n${p.take(3000)}")
+  }
+
   test("dup-span inventory scans the text exactly once") {
     // the r6 shape tokenized twice (inventory agg + back-join over a
     // second gram pass); the window rewrite must leave exactly one

@@ -83,4 +83,30 @@ class SkylineSpec extends AnyFunSuite {
     val got = Skyline.skyline(df, Seq("x", "y")).count()
     assert(got == 1000)
   }
+
+  test("anti-correlated worst case tree-reduces: no task merges more than fanIn partitions") {
+    // adversarial corpus: 100k anti-correlated points — EVERY point
+    // survives every local skyline, so the old repartition(1) global
+    // phase would put all 100k in one task. With shuffle parallelism
+    // above fanIn (the 1000-executor shape), the tree reduction must
+    // (a) stay exact and (b) show at least two reduction rounds (two
+    // no-shuffle Repartition nodes) in the plan, i.e. the final task
+    // receives at most fanIn partitions' skylines, never the union.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "256")
+    try {
+      val n = 100000
+      val df = spark.range(n)
+        .select(col("id").cast("double").as("x"),
+          (lit(n - 1) - col("id")).cast("double").as("y"))
+      val sky = Skyline.skyline(df, Seq("x", "y"))
+      val coalesces = sky.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.catalyst.plans.logical.Repartition
+            if !r.shuffle => r
+      }
+      assert(coalesces.size >= 2,
+        s"expected >=2 tree-reduction rounds at 256 shuffle partitions, plan had ${coalesces.size}")
+      assert(sky.count() == n)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 }
