@@ -65,6 +65,22 @@ class SegmentedTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(reopened.read().filter(col("l_orderkey") === key).count() == 0)
   }
 
+  test("staging an empty batch on a bloom-indexed table does not NPE") {
+    // Spark's stat.bloomFilter NPEs on empty input; without the
+    // rows==0 guard an empty micro-batch into a bloom_columns table
+    // kills the stream. An empty load must stage cleanly (no sidecar).
+    val root = freshRoot("emptybloom")
+    val t = SegmentedTable.create(spark, root, li.schema,
+      Map("bloom_columns" -> "l_orderkey"))
+    t.load(li.filter(col("l_orderkey") < 0)) // provably empty
+    t.load(li.limit(10))
+    assert(t.read().count() == 10)
+    // the non-empty segment still bloom-prunes
+    val key = li.select("l_orderkey").head().getLong(0)
+    assert(t.scan(col("l_orderkey") === key).count() ==
+      li.limit(10).filter(col("l_orderkey") === key).count())
+  }
+
   test("load rejects undeclared columns and type conflicts at write time") {
     val root = freshRoot("schemaguard")
     val t = SegmentedTable.create(spark, root, li.schema, Map.empty)
