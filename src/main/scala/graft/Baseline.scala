@@ -313,6 +313,40 @@ object Baseline {
       ins.unionByName(del)
     }),
 
+    // the replica's plain formulation: the final table state computed
+    // directly from the source parquet (no change feed, no netting)
+    "g17_cdc_apply" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter((col("l_orderkey") % 2 === 0 ||
+          (col("l_orderkey") % 2 === 1 && col("l_orderkey") % 10 =!= 3)) &&
+          col("l_orderkey") % 10 =!= 7)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"), sum(col("l_orderkey")).as("key_sum"))
+    }),
+
+    // same final state, computed directly — what the streamed feed +
+    // multiset netting must reproduce
+    "st11_stream_cdc_apply" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter((col("l_orderkey") % 2 === 0 ||
+          (col("l_orderkey") % 2 === 1 && col("l_orderkey") % 10 =!= 3)) &&
+          col("l_orderkey") % 10 =!= 7)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"), sum(col("l_orderkey")).as("key_sum"))
+    }),
+
+    // the rollup's plain formulation: aggregate the source directly
+    // (no MV, no streaming sink, no incremental refresh)
+    "st10_stream_mv_refresh" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(sum(col("user_id")).as("sum_user_id"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"),
+          count(lit(1)).as("cnt_rows"))
+    }),
+
     // the keyword query's plain formulation: no inverted index — the
     // whole corpus tokenizes on every query (what the materialized
     // postings table buys)

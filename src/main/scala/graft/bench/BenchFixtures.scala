@@ -26,13 +26,15 @@ import graft.streaming.EventStreams
   */
 object BenchFixtures {
 
-  /** Replication factor: sf0.1's ~600k-row events become ~58M rows in
-    * 8 ~25 MB files — large enough that per-row work dominates the
-    * fixed trigger cost (measured: Mult=32 still read 3.0×; the fixed
-    * cost is ~0.7 s, so the batch side must exceed it), small enough
-    * that the one-time staging stays inside the warm-up run.
+  /** Replication factor: sf0.1's ~600k-row events become ~115M rows in
+    * 16 ~24 MB files — large enough that per-row work dominates the
+    * fixed trigger cost (measured: Mult=32 read 3.0×, Mult=96 read
+    * 2.2× — the fixed cost is ~0.7 s, so the batch side must clearly
+    * exceed it, which at Mult=192 it does: the corpus matches the
+    * 100M-row point of the committed amortization study), small
+    * enough that the one-time staging stays inside the warm-up run.
     */
-  private val Mult = 96
+  private val Mult = 192
 
   private val staged = new graft.util.BuildOnce[String]
 
@@ -46,7 +48,7 @@ object BenchFixtures {
         val ev = s.read.parquet(s"$d/events.parquet")
         ev.withColumn("__dup", explode(lit((0 until Mult).toArray)))
           .drop("__dup")
-          .repartition(8)
+          .repartition(16)
           .write.mode("overwrite").parquet(dir)
       }
       dir

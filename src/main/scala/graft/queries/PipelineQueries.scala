@@ -259,11 +259,59 @@ object PipelineQueries {
       // one pass computes the sketch AND the total occurrence count
       val cand = toks.agg(mgCandidates(col("token"), 64).as("__cand"),
         count(lit(1)).as("__total"))
-      toks.crossJoin(broadcast(cand))
-        .filter(array_contains(col("__cand"), col("token")))
+      // recount pass: broadcast-hash-join the ≤64 candidates (MG
+      // counters are distinct keys, so the join never duplicates) —
+      // an O(1) hash probe per token where an array_contains filter
+      // would scan the candidate array linearly for every occurrence
+      val candTokens = cand.select(explode(col("__cand")).as("token"),
+        col("__total"))
+      toks.join(broadcast(candTokens), Seq("token"))
         .groupBy(col("token"), col("__total")).agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") * lit(30L) >= col("__total"))
         .select(col("token"), col("cnt"))
+    }),
+
+    // pipeline: Gopher-style composite quality rules (Rae et al. 2021
+    // §A1.1 — the pre-training filter family): per-doc token count,
+    // mean token length, top UNIGRAM fraction (t11's signal) and top
+    // BIGRAM fraction — the phrase-repetition signal unigram stats
+    // can't see (boilerplate repeats phrases, not words) — folded
+    // into one deterministic keep verdict. Every ratio is integer ppm
+    // (FLOOR(1e6·x + 0.5), the engine-exact float discipline), keep
+    // is 0/1. Scale: two keyed shuffles on (doc_id, gram); the text
+    // is tokenized once per stage and only doc_id-keyed aggregates
+    // join — no corpus-wide join, no window, no driver loop.
+    "t25_gopher_rules" -> ((s, d) => {
+      val ppm = (a: String, b: String) =>
+        s"CAST(FLOOR(CAST(1000000.0 AS DOUBLE) * CAST($a AS DOUBLE) / " +
+          s"CAST($b AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__w"))
+      val uni = docs
+        .select(col("doc_id"), explode(col("__w")).as("token"))
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_tokens"),
+          sum(col("cnt") * length(col("token"))).as("__chars"),
+          max(col("cnt")).as("__top1"))
+      val big = docs
+        .filter(size(col("__w")) >= 2) // sequence(0, <0) would DESCEND
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(__w) - 2), " +
+            "i -> concat(__w[i], ' ', __w[i + 1]))")).as("bigram"))
+        .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("cnt")).as("__top2"), sum(col("cnt")).as("__nbig"))
+      uni.join(big, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          expr(ppm("__chars", "n_tokens")).as("mean_len_ppm"),
+          expr(ppm("__top1", "n_tokens")).as("top_tok_ppm"),
+          expr(s"COALESCE(${ppm("__top2", "__nbig")}, 0)").as("top_bigram_ppm"))
+        .withColumn("keep",
+          when(col("n_tokens") >= 30 && col("n_tokens") <= 100000 &&
+            col("mean_len_ppm") >= 3000000L && col("mean_len_ppm") <= 10000000L &&
+            col("top_tok_ppm") <= 120000L && col("top_bigram_ppm") <= 60000L,
+            1).otherwise(0))
     }),
 
     // pipeline: deterministic train/val/test split — assignment is a
@@ -491,6 +539,39 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_tokens"), sum(col("inv_ppm")).as("__s"))
         .select(col("doc_id"), col("n_tokens"),
           (expr("__s div n_tokens").cast("double") / 1e6).as("mean_inv_prob"))
+    }),
+
+    // pipeline: bigram-LM scoring — the CONDITIONAL upgrade of t18
+    // (CCNet's LM-perplexity filter shape): each adjacent pair scores
+    // the inverse smoothed conditional probability 1/P(w2|w1) with
+    // P = (c2+1)/(c1+V) (add-one over prefix counts), so a run of
+    // improbable TRANSITIONS — word salad, shuffled boilerplate —
+    // scores high even when every individual token is common (t18 is
+    // blind to order). Same cap/floor ppm discipline as t18. Scale:
+    // prefix counts derive FROM the bigram counts (c1 = Σ_w2 c2, no
+    // second corpus pass); the per-pair joins are (w1,w2)- and
+    // w1-keyed shuffles; V is a 1-row broadcast.
+    "t26_bigram_lm_score" -> ((s, d) => {
+      val pairs = Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__w"))
+        .filter(size(col("__w")) >= 2) // sequence(0, <0) would DESCEND
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(__w) - 2), " +
+            "i -> struct(__w[i] AS w1, __w[i + 1] AS w2))")).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val c2 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+      val v = pairs.agg(countDistinct(col("w2")).as("v"))
+      pairs.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+        .crossJoin(broadcast(v))
+        .withColumn("inv_ppm", expr(
+          """LEAST(CAST(FLOOR(CAST(c1 + v AS DOUBLE) / CAST(c2 + 1 AS DOUBLE) *
+             CAST(1000000 AS DOUBLE)) AS BIGINT),
+           CAST(1000000000000 AS BIGINT))"""))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("inv_ppm")).as("__s"))
+        .select(col("doc_id"), col("n_bigrams"),
+          (expr("__s div n_bigrams").cast("double") / 1e6).as("mean_inv_prob"))
     }),
 
     // pipeline: deterministic mixture RESAMPLING — materializes t16's
@@ -1113,6 +1194,36 @@ object PipelineQueries {
           GROUP BY doc_id
           ORDER BY tf DESC, doc_id ASC LIMIT 10""",
 
+    // same rule family recomputed naively: per-doc unigram/bigram
+    // stats in integer ppm, thresholds applied in one outer select
+    "t25_gopher_rules" ->
+      s"""WITH t AS (SELECT doc_id, $W AS words FROM documents),
+          tok AS (SELECT doc_id, unnest(words) AS token FROM t),
+          c AS (SELECT doc_id, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+          uni AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+                  CAST(SUM(cnt * length(token)) AS BIGINT) AS chars,
+                  CAST(MAX(cnt) AS BIGINT) AS top1 FROM c GROUP BY doc_id),
+          bg AS (SELECT doc_id, unnest(list_transform(range(1, len(words)),
+                  i -> words[i] || ' ' || words[i + 1])) AS bigram
+                 FROM t WHERE len(words) >= 2),
+          bc AS (SELECT doc_id, bigram, COUNT(*) AS cnt FROM bg GROUP BY 1, 2),
+          big AS (SELECT doc_id, CAST(MAX(cnt) AS BIGINT) AS top2,
+                  CAST(SUM(cnt) AS BIGINT) AS nbig FROM bc GROUP BY doc_id),
+          m AS (SELECT u.doc_id, n_tokens,
+            CAST(FLOOR(CAST(1000000.0 AS DOUBLE) * CAST(chars AS DOUBLE) /
+              CAST(n_tokens AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS mean_len_ppm,
+            CAST(FLOOR(CAST(1000000.0 AS DOUBLE) * CAST(top1 AS DOUBLE) /
+              CAST(n_tokens AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS top_tok_ppm,
+            COALESCE(CAST(FLOOR(CAST(1000000.0 AS DOUBLE) * CAST(top2 AS DOUBLE) /
+              CAST(nbig AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT), 0) AS top_bigram_ppm
+            FROM uni u LEFT JOIN big b ON u.doc_id = b.doc_id)
+          SELECT doc_id, n_tokens, mean_len_ppm, top_tok_ppm, top_bigram_ppm,
+            CASE WHEN n_tokens >= 30 AND n_tokens <= 100000
+              AND mean_len_ppm >= 3000000 AND mean_len_ppm <= 10000000
+              AND top_tok_ppm <= 120000 AND top_bigram_ppm <= 60000
+              THEN 1 ELSE 0 END AS keep
+          FROM m""",
+
     // the candidate sketch is invisible to the answer: every token
     // with cnt*30 >= total, exactly
     "t22_heavy_hitters" ->
@@ -1290,6 +1401,25 @@ object PipelineQueries {
               CAST(1000000 AS DOUBLE)) AS BIGINT), 1000000000000) AS inv_ppm
             FROM terms t JOIN vocab vb USING (token) CROSS JOIN tot)
           SELECT doc_id, COUNT(*) AS n_tokens,
+            CAST(CAST(SUM(inv_ppm) AS BIGINT) // COUNT(*) AS DOUBLE) / 1000000.0
+              AS mean_inv_prob
+          FROM scored GROUP BY doc_id""",
+
+    "t26_bigram_lm_score" ->
+      s"""WITH t0 AS (SELECT doc_id, $W AS words FROM documents),
+          t AS (SELECT * FROM t0 WHERE len(words) >= 2),
+          pairs0 AS (SELECT doc_id, unnest(list_transform(range(1, len(words)),
+              i -> {'w1': words[i], 'w2': words[i + 1]})) AS p FROM t),
+          pairs AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM pairs0),
+          c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+            FROM pairs GROUP BY 1, 2),
+          c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+          v AS (SELECT CAST(COUNT(DISTINCT w2) AS BIGINT) AS v FROM pairs),
+          scored AS (SELECT pairs.doc_id,
+            LEAST(CAST(FLOOR(CAST(c1.c1 + v.v AS DOUBLE) / CAST(c2.c2 + 1 AS DOUBLE) *
+              CAST(1000000 AS DOUBLE)) AS BIGINT), 1000000000000) AS inv_ppm
+            FROM pairs JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+          SELECT doc_id, COUNT(*) AS n_bigrams,
             CAST(CAST(SUM(inv_ppm) AS BIGINT) // COUNT(*) AS DOUBLE) / 1000000.0
               AS mean_inv_prob
           FROM scored GROUP BY doc_id""",

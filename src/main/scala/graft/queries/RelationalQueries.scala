@@ -448,6 +448,22 @@ object RelationalQueries {
           countDistinct(col("err_id")).as("errors_with_purchase"))
     }),
 
+    // §2.4 CUBE + grouping_id (q21's ROLLUP companion — completes the
+    // reference's GROUPING SETS family, reference Aggregate plans in
+    // query/src/.../agg): every subtotal combination in one pass,
+    // with the grouping bit-vector distinguishing (NULL key) from
+    // (rolled-up key). Spark's grouping_id() orders bits first-col-
+    // most-significant; the oracle composes DuckDB GROUPING() calls
+    // in the same order.
+    "q45_cube_grouping" -> ((s, d) => {
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("cnt"),
+          Tables.dsum(col("o_totalprice")).as("total"))
+        .select(col("o_orderstatus"), col("o_orderpriority"),
+          col("gid").cast("long").as("gid"), col("cnt"), col("total"))
+    }),
+
     // skyline / Pareto front (EDBT 2023 "Integration of Skyline
     // Queries into Spark SQL" — PAPERS.md): line items on the
     // (price, quantity) Pareto front, both minimized. The Spark side
@@ -789,6 +805,15 @@ object RelationalQueries {
          ON e.user_id = p.user_id
          AND p.pts > e.ets - 3600000000000 AND p.pts <= e.ets
          GROUP BY e.user_id""",
+
+    // GROUPING() in DuckDB returns the same 0/1 per column; composed
+    // first-col-most-significant to match Spark's grouping_id()
+    "q45_cube_grouping" ->
+      """SELECT o_orderstatus, o_orderpriority,
+         CAST(2 * GROUPING(o_orderstatus) + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+         COUNT(*) AS cnt,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
 
     "q36_funnel" ->
       """SELECT user_id FROM (

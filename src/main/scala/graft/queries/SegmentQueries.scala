@@ -339,9 +339,16 @@ object SegmentQueries {
     * Returns the table plus the version captured after the FIRST load,
     * so the change feed covers exactly the last three commits.
     */
-  private val cdcBuilt = new graft.util.BuildOnce[(SegmentedTable, Long)]
+  private val cdcBuilt = new graft.util.BuildOnce[(SegmentedTable, Long, Long)]
 
-  private def cdcScenario(s: SparkSession, d: String): (SegmentedTable, Long) =
+  /** Returns (table, baseV, fromV): baseV is the clean-slate version
+    * BEFORE the first load (the full feed (baseV, current] replays
+    * every row this scenario ever committed — g17's apply anchor; the
+    * table root is reused across sessions, so version numbers do NOT
+    * start at 0), fromV the version after the even load (g14's feed
+    * start).
+    */
+  private def cdcScenario(s: SparkSession, d: String): (SegmentedTable, Long, Long) =
     cdcBuilt.getOrElseUpdate(s"cdc|$d", {
       val root = s"/tmp/graft_tables/${d.replace('/', '_')}/lineitem_cdc"
       val li = Tables.lineitem(s, d)
@@ -351,12 +358,13 @@ object SegmentQueries {
           x.deleteSegments(x.showSegments().map(_.id)); x.cleanFiles(); x
         } else SegmentedTable.create(s, root, li.schema,
           Map("sort_columns" -> "l_orderkey"))
+      val baseV = t.currentVersion
       t.load(li.filter(col("l_orderkey") % 2 === 0))
       val fromV = t.currentVersion
       t.load(li.filter(col("l_orderkey") % 2 === 1 && col("l_orderkey") % 10 =!= 3))
       t.delete(col("l_orderkey") % 10 === 7)
       t.compact()
-      (t, fromV)
+      (t, baseV, fromV)
     })
 
   /** RESTORE scenario: load evens, snapshot, load odds, row-DELETE
@@ -474,13 +482,38 @@ object SegmentQueries {
     // diff walk, the dataChange plumbing, and the per-commit grouping
     // all have to be exact.
     "g14_cdc_feed" -> ((s, d) => {
-      val (t, fromV) = cdcScenario(s, d)
+      val (t, _, fromV) = cdcScenario(s, d)
       t.readChanges(fromV, t.currentVersion)
         .groupBy(col("_change_type"))
         .agg(count(lit(1)).as("rows_changed"),
           sum(col("l_orderkey")).as("key_sum"))
         .select(col("_change_type").as("change_type"),
           col("rows_changed"), col("key_sum"))
+    }),
+
+    // CDC APPLY — the consumer half of g14's feed: a downstream
+    // replica materializes the table by MULTISET-netting the change
+    // feed (insert = +1, delete = −1, netted per full row value, so
+    // either per-row deletes or whole-segment-rewrite deletes replay
+    // identically), and the replica must equal the table's final
+    // contents after loads + row-DELETE + compaction. This is the
+    // replication shape a warehouse sinks a 100 TB feed into: one
+    // keyed shuffle on the row value, weighted re-aggregation, no
+    // ordering assumptions, no row-identity column required.
+    "g17_cdc_apply" -> ((s, d) => {
+      val (t, baseV, _) = cdcScenario(s, d)
+      val feed = t.readChanges(baseV, t.currentVersion)
+      val dataCols = feed.columns
+        .filterNot(c => c == "_change_type" || c == "_commit_version")
+      val byRow = feed
+        .withColumn("__delta",
+          when(col("_change_type") === "insert", 1L).otherwise(-1L))
+        .groupBy(dataCols.map(col): _*)
+        .agg(sum(col("__delta")).as("__net"))
+        .filter(col("__net") =!= 0L)
+      byRow.groupBy(col("l_returnflag"))
+        .agg(sum(col("__net")).as("cnt"),
+          sum(col("__net") * col("l_orderkey")).as("key_sum"))
     }),
 
     "g01_segment_pruned_scan" -> ((s, d) => {
@@ -672,6 +705,18 @@ object SegmentQueries {
          UNION ALL
          SELECT 'delete', COUNT(*), CAST(SUM(l_orderkey) AS BIGINT)
          FROM odds""",
+
+    // the replica must equal the table's final contents: evens (all
+    // kept — an even key never ends in 7) plus odds ending in neither
+    // 3 (never loaded) nor 7 (row-deleted)
+    "g17_cdc_apply" ->
+      """SELECT l_returnflag, COUNT(*) AS cnt,
+         CAST(SUM(l_orderkey) AS BIGINT) AS key_sum
+         FROM lineitem
+         WHERE (l_orderkey % 2 = 0
+                OR (l_orderkey % 2 = 1 AND l_orderkey % 10 <> 3))
+           AND l_orderkey % 10 <> 7
+         GROUP BY l_returnflag""",
 
     "g01_segment_pruned_scan" ->
       """SELECT l_returnflag, COUNT(*) AS cnt, SUM(l_quantity) AS sum_qty

@@ -117,11 +117,12 @@ object StreamingQueries {
     // of st03's ingest): events land in a graft table as two loads —
     // the FIRST arrives as the initial snapshot batch, the SECOND
     // commits while the stream is live and arrives as an incremental
-    // batch (catalog-version offsets). The stream lands raw rows
-    // (append mode, st04's shape) and the GATE aggregates the landed
-    // set, so snapshot + incremental delivery must reproduce exactly
-    // the source events — and the bench's timed runs re-do the same
-    // aggregation work as the batch baseline, not a cached-result read
+    // batch (catalog-version offsets). The stream flows source → graft
+    // SINK (append mode, exactly-once epochs), so the landed TABLE
+    // must reproduce exactly the source events for the gate's
+    // aggregation to hash-match — and the bench's timed runs scan the
+    // landed parquet and re-do the same aggregation work as the batch
+    // baseline, not a driver-memory-sink or cached-result read
     "st07_table_stream_source" -> ((s, d) => {
       val landed = streamedFromTable.getOrElseUpdate(
         s"$d|${s.sparkContext.applicationId}", {
@@ -134,16 +135,29 @@ object StreamingQueries {
               x.deleteSegments(x.showSegments().map(_.id)); x.cleanFiles(); x
             } else graft.table.SegmentedTable.create(s, root, ev.schema, Map.empty)
           t.load(ev.filter(col("event_id") % 2 === 0))
-          val sink = s"graft_st07_${math.abs(d.hashCode)}"
+          val landedRoot =
+            s"/tmp/graft_tables/${d.replace('/', '_')}/events_stream_landed"
+          val lt =
+            if (graft.table.SegmentedTable.exists(landedRoot)) {
+              val x = graft.table.SegmentedTable.open(s, landedRoot)
+              x.deleteSegments(x.showSegments().map(_.id)); x.cleanFiles(); x
+            } else graft.table.SegmentedTable.create(s, landedRoot, ev.schema,
+              Map.empty)
+          // fresh checkpoint per run: the landed table was just
+          // cleared, so the sink's epoch lineage must restart with it
+          val ckpt = java.nio.file.Files
+            .createTempDirectory("graft_st07_ckpt").toString
           val q = s.readStream.format("graft").load(root)
-            .writeStream.outputMode("append").format("memory")
-            .queryName(sink).start()
+            .writeStream.outputMode("append").format("graft")
+            .option("path", landedRoot)
+            .option("checkpointLocation", ckpt)
+            .start()
           try {
             q.processAllAvailable() // initial snapshot: the even half
             t.load(ev.filter(col("event_id") % 2 === 1))
             q.processAllAvailable() // incremental: the odd half's segment
           } finally q.stop()
-          s.table(sink)
+          lt.read()
         })
       landed
         .groupBy(expr("ts div 3600000000000").as("hour_bucket"), col("event_type"))
@@ -231,7 +245,7 @@ object StreamingQueries {
             x.deleteSegments(x.showSegments().map(_.id)); x.cleanFiles(); x
           } else graft.table.SegmentedTable.create(s, root, docs.schema,
             Map("sort_columns" -> "doc_id"))
-        val src = stageTwoBatchSource(s, d, docs)
+        val src = stageTwoBatchSource(s, d, docs, "neardup", "doc_id")
         val stream = s.readStream.schema(docs.schema)
           .option("maxFilesPerTrigger", "1")
           .parquet(src)
@@ -243,18 +257,115 @@ object StreamingQueries {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("cnt"),
           sum(col("n_chars")).cast("long").as("sum_chars"))
+    }),
+
+    // streaming ingest with MV AUTO-REFRESH on commit (st09's sink +
+    // q40's aggregate table, composed end-to-end): events arrive as
+    // two ordered micro-batches through the graft SINK into a
+    // refresh_on_commit table whose MV was registered while the table
+    // was EMPTY — each sink epoch's commit must fold its delta into
+    // the rollup incrementally. The gate reads the ROLLUP PARQUET
+    // directly, never the rewrite path (which would silently fall
+    // back to a base scan on a stale MV and mask a broken refresh):
+    // the materialized partials themselves must equal the full
+    // aggregate of every event that streamed through. Float
+    // discipline: integer SUM (user_id) + MIN/MAX only — q40's
+    // order-independent measure set.
+    "st10_stream_mv_refresh" -> ((s, d) => {
+      val rollup = streamMvRollup.getOrElseUpdate(
+        s"$d|${s.sparkContext.applicationId}", {
+          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          val ev = Tables.events(s, d)
+          val root = s"/tmp/graft_tables/${d.replace('/', '_')}/events_stream_mv"
+          if (graft.table.SegmentedTable.exists(root)) {
+            val x = graft.table.SegmentedTable.open(s, root)
+            x.deleteSegments(x.showSegments().map(_.id)); x.cleanFiles()
+          } else graft.table.SegmentedTable.create(s, root, ev.schema,
+            Map("refresh_on_commit" -> "true"))
+          val mvName = s"events_stream_mv_${math.abs(d.hashCode)}"
+          graft.mv.AggTables.create(s, mvName, root, Seq("event_type"),
+            Seq(("sum", "user_id"), ("min", "value"), ("max", "value")))
+          val src = stageTwoBatchSource(s, d, ev, "mv_events", "event_id")
+          val ckpt = java.nio.file.Files
+            .createTempDirectory("graft_st10_ckpt").toString
+          val q = s.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1").parquet(src)
+            .writeStream.format("graft")
+            .option("checkpointLocation", ckpt)
+            .start(root)
+          try q.processAllAvailable() finally q.stop()
+          val meta = graft.mv.AggTables.registered(s)
+            .find(_.name == mvName)
+            .getOrElse(sys.error(s"MV $mvName vanished from the catalog"))
+          s.read.parquet(meta.mvPath)
+        })
+      rollup.select(col("event_type"), col("sum_user_id"),
+        col("min_value"), col("max_value"), col("cnt_rows"))
+    }),
+
+    // STREAMING change-data-feed (g17's batch apply, live): the
+    // source runs with readChangeFeed=true while the table takes
+    // real DML under it — load evens (snapshot), load odds,
+    // row-DELETE (a rewrite: whole-segment deletes + kept-row
+    // inserts), compact (dataChange=false: must emit NOTHING) —
+    // and the replica nets the landed feed (insert = +1, delete =
+    // −1 per row value). The netted multiset must equal the
+    // table's final contents: the CDC events crossing the stream
+    // must be exactly the commit log's, in consumable form. Scale:
+    // each micro-batch scans only the changed segments; the apply
+    // is one keyed shuffle on the row value.
+    "st11_stream_cdc_apply" -> ((s, d) => {
+      val feed = streamCdcFeed.getOrElseUpdate(
+        s"$d|${s.sparkContext.applicationId}", {
+          val li = Tables.lineitem(s, d)
+          val root = s"/tmp/graft_tables/${d.replace('/', '_')}/lineitem_cdc_stream"
+          val t =
+            if (graft.table.SegmentedTable.exists(root)) {
+              val x = graft.table.SegmentedTable.open(s, root)
+              x.deleteSegments(x.showSegments().map(_.id)); x.cleanFiles(); x
+            } else graft.table.SegmentedTable.create(s, root, li.schema,
+              Map("sort_columns" -> "l_orderkey"))
+          t.load(li.filter(col("l_orderkey") % 2 === 0))
+          val sink = s"graft_st11_${math.abs(d.hashCode)}"
+          val q = s.readStream.format("graft")
+            .option("readChangeFeed", "true").load(root)
+            .writeStream.outputMode("append").format("memory")
+            .queryName(sink).start()
+          try {
+            q.processAllAvailable() // snapshot: evens as inserts
+            t.load(li.filter(col("l_orderkey") % 2 === 1 &&
+              col("l_orderkey") % 10 =!= 3))
+            q.processAllAvailable() // incremental inserts
+            t.delete(col("l_orderkey") % 10 === 7)
+            q.processAllAvailable() // rewrite: deletes + kept inserts
+            t.compact()
+            q.processAllAvailable() // dataChange=false: nothing
+          } finally q.stop()
+          s.table(sink)
+        })
+      val dataCols = feed.columns
+        .filterNot(c => c == "_change_type" || c == "_commit_version")
+      feed
+        .withColumn("__delta",
+          when(col("_change_type") === "insert", 1L).otherwise(-1L))
+        .groupBy(dataCols.map(col): _*)
+        .agg(sum(col("__delta")).as("__net"))
+        .filter(col("__net") =!= 0L)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("__net")).as("cnt"),
+          sum(col("__net") * col("l_orderkey")).as("key_sum"))
     })
   )
 
-  /** Stage the documents corpus as two single-file parquet batches
-    * (even doc_ids then odd) with strictly increasing mtimes, so the
-    * file stream source delivers them as two ordered micro-batches.
+  /** Stage a corpus as two single-file parquet batches (even keys
+    * then odd) with strictly increasing mtimes, so the file stream
+    * source delivers them as two ordered micro-batches.
     */
   private def stageTwoBatchSource(s: SparkSession, d: String,
-      docs: DataFrame): String = {
+      docs: DataFrame, sub: String, keyCol: String): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val srcDir = Paths.get(
-      s"/tmp/graft_stream_src/${d.replace('/', '_')}/neardup")
+      s"/tmp/graft_stream_src/${d.replace('/', '_')}/$sub")
     if (Files.exists(srcDir)) {
       val walk = Files.walk(srcDir)
       try walk.sorted(java.util.Comparator.reverseOrder())
@@ -281,8 +392,8 @@ object StreamingQueries {
       finally walk.close()
     }
     val t0 = System.currentTimeMillis() - 120000L
-    stage(docs.filter(col("doc_id") % 2 === 0), "a_even.parquet", t0)
-    stage(docs.filter(col("doc_id") % 2 === 1), "b_odd.parquet", t0 + 60000L)
+    stage(docs.filter(col(keyCol) % 2 === 0), "a_even.parquet", t0)
+    stage(docs.filter(col(keyCol) % 2 === 1), "b_odd.parquet", t0 + 60000L)
     srcDir.toString
   }
 
@@ -305,6 +416,14 @@ object StreamingQueries {
   /** st09's sink-ingested table, one stream run per (dataset, session). */
   private val sinkIngested =
     new graft.util.BuildOnce[graft.table.SegmentedTable]
+
+  /** st10's auto-refreshed MV rollup, one stream run per (dataset, session). */
+  private val streamMvRollup =
+    new graft.util.BuildOnce[org.apache.spark.sql.DataFrame]
+
+  /** st11's landed change feed, one stream run per (dataset, session). */
+  private val streamCdcFeed =
+    new graft.util.BuildOnce[org.apache.spark.sql.DataFrame]
 
   val oracles: Map[String, String] = Map(
     // hour_bucket from window.start == epoch-micros div 3600e6 == the
@@ -364,6 +483,27 @@ object StreamingQueries {
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
          COUNT(DISTINCT user_id) AS users
          FROM events GROUP BY event_type""",
+
+    // the MV's materialized partials must equal the full aggregate of
+    // everything that streamed through the sink
+    "st10_stream_mv_refresh" ->
+      """SELECT event_type,
+         CAST(SUM(user_id) AS BIGINT) AS sum_user_id,
+         MIN(value) AS min_value, MAX(value) AS max_value,
+         COUNT(*) AS cnt_rows
+         FROM events GROUP BY event_type""",
+
+    // the streamed-and-netted replica must equal the table's final
+    // contents (g17's oracle: evens all kept, odds ending in neither
+    // 3 nor 7)
+    "st11_stream_cdc_apply" ->
+      """SELECT l_returnflag, COUNT(*) AS cnt,
+         CAST(SUM(l_orderkey) AS BIGINT) AS key_sum
+         FROM lineitem
+         WHERE (l_orderkey % 2 = 0
+                OR (l_orderkey % 2 = 1 AND l_orderkey % 10 <> 3))
+           AND l_orderkey % 10 <> 7
+         GROUP BY l_returnflag""",
 
     // the ingested table must hold exactly the source events
     "st03_stream_ingest" ->

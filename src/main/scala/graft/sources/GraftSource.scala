@@ -51,10 +51,22 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
   // ---- spark.readStream.format("graft").load(path): the table as a
   // streaming source (see GraftStreamSource for semantics) ----
 
+  private def changeFeedOpt(parameters: Map[String, String]): Boolean =
+    parameters
+      .collectFirst { case (k, v) if k.equalsIgnoreCase("readchangefeed") => v }
+      .exists(_.toBoolean)
+
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
-      providerName: String, parameters: Map[String, String]): (String, StructType) =
-    (shortName(), schema.getOrElse(
-      SegmentedTable.open(sqlContext.sparkSession, path(parameters)).schema))
+      providerName: String, parameters: Map[String, String]): (String, StructType) = {
+    val base = schema.getOrElse(
+      SegmentedTable.open(sqlContext.sparkSession, path(parameters)).schema)
+    val s =
+      if (changeFeedOpt(parameters))
+        base.add("_change_type", org.apache.spark.sql.types.StringType)
+          .add("_commit_version", org.apache.spark.sql.types.LongType)
+      else base
+    (shortName(), s)
+  }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
@@ -66,7 +78,7 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
       .collectFirst { case (k, v) if k.equalsIgnoreCase("maxversionsperbatch") => v }
       .map(_.toLong)
     new GraftStreamSource(sqlContext, path(parameters), ignoreDeletes,
-      maxVersions, Some(metadataPath))
+      maxVersions, Some(metadataPath), changeFeed = changeFeedOpt(parameters))
   }
 
   // ---- df.writeStream.format("graft").start(path): exactly-once

@@ -37,7 +37,8 @@ case class GraftSourceOffset(version: Long) extends V1Offset {
   */
 class GraftStreamSource(sqlContext: SQLContext, path: String,
     ignoreDeletes: Boolean, maxVersionsPerBatch: Option[Long] = None,
-    metadataPath: Option[String] = None) extends Source {
+    metadataPath: Option[String] = None,
+    changeFeed: Boolean = false) extends Source {
 
   maxVersionsPerBatch.foreach(m => require(m > 0,
     s"maxVersionsPerBatch must be positive, got $m (a non-positive cap " +
@@ -45,7 +46,21 @@ class GraftStreamSource(sqlContext: SQLContext, path: String,
 
   private val table = SegmentedTable.open(sqlContext.sparkSession, path)
 
-  override def schema: StructType = table.schema
+  /** CHANGE-DATA-FEED mode (`readChangeFeed=true`, the streaming form
+    * of [[SegmentedTable.readChanges]]): every batch carries
+    * `_change_type` ('insert'/'delete') and `_commit_version`, and a
+    * delete/rewrite in the range is DATA, not an error — a downstream
+    * replica nets the feed (insert = +1, delete = −1 per row value)
+    * and tracks the table through DML, the shape a 100 TB warehouse
+    * sink consumes. The initial snapshot batch emits the table's
+    * contents as inserts stamped with the snapshot version.
+    */
+  override def schema: StructType =
+    if (changeFeed)
+      table.schema
+        .add("_change_type", org.apache.spark.sql.types.StringType)
+        .add("_commit_version", org.apache.spark.sql.types.LongType)
+    else table.schema
 
   /** Rate limit (`maxVersionsPerBatch`): cap how many catalog
     * versions one micro-batch spans, so a burst of commits (or a long
@@ -113,6 +128,7 @@ class GraftStreamSource(sqlContext: SQLContext, path: String,
     val spark = sqlContext.sparkSession
     val endV = versionOf(end)
     advanceMark(endV) // uncommitted-batch replay: resume the cap from the WAL
+    import org.apache.spark.sql.functions.lit
     val batch = start match {
       case None =>
         // initial snapshot: everything committed up to the first
@@ -121,23 +137,39 @@ class GraftStreamSource(sqlContext: SQLContext, path: String,
         // streaming batch, not a non-streaming LocalRelation that
         // fails MicroBatchExecution's isStreaming assertion)
         if (table.statusAt(endV).segments
-            .exists(_.status == SegmentedTable.SUCCESS))
-          Some(table.readAsOf(endV))
-        else None
+            .exists(_.status == SegmentedTable.SUCCESS)) {
+          val snap = table.readAsOf(endV)
+          Some(if (changeFeed)
+            snap.withColumn("_change_type", lit("insert"))
+              .withColumn("_commit_version", lit(endV))
+          else snap)
+        } else None
       case Some(s) =>
         val startV = versionOf(s)
         val events = table.changeEvents(startV, endV)
-        val deleted = events.collect { case (seg, _, "delete") => seg.id }
-        if (deleted.nonEmpty && !ignoreDeletes)
-          throw new IllegalStateException(
-            s"graft stream source over $path: segments ${deleted.mkString(",")} " +
-              s"were deleted or rewritten between versions $startV and $endV; " +
-              "streaming reads require an append-only table " +
-              "(option ignoreDeletes=true streams only the inserts)")
-        val inserts = events.collect { case (seg, _, "insert") => seg }
-        if (inserts.isEmpty) None else Some(table.readSegmentSet(inserts))
+        if (changeFeed) {
+          // every event is data: group segment reads by (version,
+          // kind) exactly like readChanges, stamped with the feed cols
+          if (events.isEmpty) None
+          else Some(events.groupBy(p => (p._2, p._3)).toSeq.sortBy(_._1).map {
+            case ((v, kind), group) =>
+              table.readSegmentSet(group.map(_._1))
+                .withColumn("_change_type", lit(kind))
+                .withColumn("_commit_version", lit(v))
+          }.reduce(_.unionByName(_)))
+        } else {
+          val deleted = events.collect { case (seg, _, "delete") => seg.id }
+          if (deleted.nonEmpty && !ignoreDeletes)
+            throw new IllegalStateException(
+              s"graft stream source over $path: segments ${deleted.mkString(",")} " +
+                s"were deleted or rewritten between versions $startV and $endV; " +
+                "streaming reads require an append-only table " +
+                "(option ignoreDeletes=true streams only the inserts)")
+          val inserts = events.collect { case (seg, _, "insert") => seg }
+          if (inserts.isEmpty) None else Some(table.readSegmentSet(inserts))
+        }
     }
-    batch.fold(ColumnExpr.emptyStreamingBatch(spark, table.schema))(
+    batch.fold(ColumnExpr.emptyStreamingBatch(spark, schema))(
       ColumnExpr.asStreamingBatch(spark, _))
   }
 

@@ -399,4 +399,36 @@ class PipelineSpec extends AnyFunSuite {
     // every dup maps to a strictly earlier kept id
     assert(guarded.forall { case (dup, kept) => kept < dup })
   }
+
+  test("Gopher rules: the bigram signal catches phrase repetition unigrams miss") {
+    // three handcrafted docs through the t25 gate query:
+    //  0: clean — distinct tokens, mid length → keep
+    //  1: phrase repeater — "buy now" appears 8×/100 tokens: every
+    //     UNIGRAM stays under the 12% top-token bar (8%), but the
+    //     top BIGRAM is 8/99 ≈ 8.1% > 6% → only the bigram rule drops it
+    //  2: short — 10 tokens → dropped by the length rule
+    val filler = (0 until 84).map(i => s"word$i")
+    val repeater = (0 until 8).flatMap(_ => Seq("buy", "now")) ++ filler
+    val clean = (0 until 60).map(i => s"token$i")
+    val rows = Seq(
+      (0L, clean.mkString(" ")),
+      (1L, repeater.mkString(" ")),
+      (2L, (0 until 10).map(i => s"s$i").mkString(" ")))
+    val tmp = java.nio.file.Files.createTempDirectory("t25corpus").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("spec"))
+      .withColumn("n_chars", length(col("text")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = SparkEntry.queries("t25_gopher_rules")(spark, tmp)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(3), x.getLong(4), x.getInt(5))).toMap
+    val (n0, _, _, keep0) = r(0L)
+    assert(n0 == 60 && keep0 == 1, s"clean doc must keep: ${r(0L)}")
+    val (n1, top1, topBig1, keep1) = r(1L)
+    assert(n1 == 100)
+    assert(top1 <= 120000, s"unigram rule must NOT fire on the repeater: $top1")
+    assert(topBig1 > 60000, s"bigram rule must fire on the repeater: $topBig1")
+    assert(keep1 == 0)
+    assert(r(2L)._4 == 0, "10-token doc must be dropped by the length rule")
+  }
 }

@@ -212,4 +212,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SinglePartition"),
       s"packing must not serialize through one partition:\n${p.take(3000)}")
   }
+
+  test("heavy-hitter recount probes candidates via a broadcast hash join") {
+    // t22's second pass must be an O(1)-per-token hash probe against
+    // the ≤64 broadcast candidates — an array_contains FILTER would
+    // scan the candidate array linearly for every token occurrence,
+    // and a nested-loop join would be worse
+    val p = plan("t22_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"),
+      s"candidate probe must be a broadcast hash join\n${p.take(3000)}")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"candidate probe must not nested-loop\n${p.take(3000)}")
+    assert(!p.contains("array_contains"),
+      s"recount must not linear-scan the candidate array per token\n${p.take(3000)}")
+  }
 }

@@ -229,4 +229,49 @@ class GraftStreamSourceSpec extends AnyFunSuite {
       assert(emitted.get == 90, s"expected 90 total emissions, got ${emitted.get}")
     } finally q2.stop()
   }
+
+  test("readChangeFeed streams deletes as data; netting tracks the table") {
+    // CDF mode: a row-DELETE mid-stream must arrive as delete events
+    // (not fail the stream), compaction must emit nothing, and the
+    // netted multiset (insert = +1, delete = −1 per row value) must
+    // equal the table's final contents at every quiescent point
+    val root = fresh("cdf")
+    val t = SegmentedTable.create(spark, root, docs.schema, Map.empty)
+    t.load(docs.filter(col("doc_id") < 60))
+    val sink = s"graft_ss_mem_${names.incrementAndGet()}"
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true").load(root)
+      .writeStream.outputMode("append").format("memory").queryName(sink)
+      .start()
+    def nettedIds(): Set[Long] = spark.table(sink)
+      .withColumn("__delta",
+        when(col("_change_type") === "insert", 1L).otherwise(-1L))
+      .groupBy(col("doc_id")).agg(sum(col("__delta")).as("net"))
+      .filter(col("net") > 0).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    try {
+      q.processAllAvailable()
+      // snapshot arrives as inserts stamped with the snapshot version
+      assert(spark.table(sink)
+        .filter(col("_change_type") =!= "insert").count() == 0)
+      assert(nettedIds() == (0L until 60L).toSet)
+      t.load(docs.filter(col("doc_id") >= 60 && col("doc_id") < 100))
+      q.processAllAvailable()
+      assert(nettedIds() == (0L until 100L).toSet)
+      t.delete(col("doc_id") % 10 === 4) // rewrite: deletes + kept inserts
+      q.processAllAvailable()
+      assert(spark.table(sink)
+        .filter(col("_change_type") === "delete").count() > 0,
+        "the rewrite must emit delete events")
+      assert(nettedIds() == (0L until 100L).filterNot(_ % 10 == 4).toSet)
+      val before = spark.table(sink).count()
+      assert(t.compact().isDefined)
+      q.processAllAvailable()
+      assert(spark.table(sink).count() == before,
+        "compaction (dataChange=false) must emit nothing into the feed")
+      // feed rows carry their commit versions, monotonically grouped
+      assert(spark.table(sink).select(col("_commit_version")).distinct()
+        .count() >= 3)
+    } finally q.stop()
+  }
 }
