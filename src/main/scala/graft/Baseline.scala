@@ -313,27 +313,17 @@ object Baseline {
       ins.unionByName(del)
     }),
 
-    // the replica's plain formulation: the final table state computed
-    // directly from the source parquet (no change feed, no netting)
-    "g17_cdc_apply" -> ((s, d) => {
-      Tables.lineitem(s, d)
-        .filter((col("l_orderkey") % 2 === 0 ||
-          (col("l_orderkey") % 2 === 1 && col("l_orderkey") % 10 =!= 3)) &&
-          col("l_orderkey") % 10 =!= 7)
-        .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("cnt"), sum(col("l_orderkey")).as("key_sum"))
-    }),
+    // the replica's plain formulation: reconstruct the SAME change
+    // feed from the source parquet (inserts for both loads, the odd
+    // segment's rewrite as whole-segment deletes + kept re-inserts —
+    // evens never end in 7, so only the odd segment rewrites) and net
+    // it with the same fingerprint shape — pricing the apply
+    // algorithm on equal feed volume, not the segment store's read
+    "g17_cdc_apply" -> ((s, d) => cdcApplyBaseline(s, d)),
 
-    // same final state, computed directly — what the streamed feed +
-    // multiset netting must reproduce
-    "st11_stream_cdc_apply" -> ((s, d) => {
-      Tables.lineitem(s, d)
-        .filter((col("l_orderkey") % 2 === 0 ||
-          (col("l_orderkey") % 2 === 1 && col("l_orderkey") % 10 =!= 3)) &&
-          col("l_orderkey") % 10 =!= 7)
-        .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("cnt"), sum(col("l_orderkey")).as("key_sum"))
-    }),
+    // same replayed feed + netting — what the streamed delivery must
+    // also reproduce
+    "st11_stream_cdc_apply" -> ((s, d) => cdcApplyBaseline(s, d)),
 
     // the rollup's plain formulation: aggregate the source directly
     // (no MV, no streaming sink, no incremental refresh)
@@ -421,6 +411,35 @@ object Baseline {
         .select(col("token"), col("cnt"))
     })
   )
+
+  /** Shared g17/st11 baseline: the equivalent CDC feed built from
+    * plain parquet, netted with the same compound-fingerprint shape
+    * as the graft apply.
+    */
+  private def cdcApplyBaseline(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val evens = li.filter(col("l_orderkey") % 2 === 0)
+    val odds = li.filter(col("l_orderkey") % 2 === 1 &&
+      col("l_orderkey") % 10 =!= 3)
+    val kept = odds.filter(col("l_orderkey") % 10 =!= 7)
+    val feed = evens.withColumn("_change_type", lit("insert"))
+      .unionByName(odds.withColumn("_change_type", lit("insert")))
+      .unionByName(odds.withColumn("_change_type", lit("delete")))
+      .unionByName(kept.withColumn("_change_type", lit("insert")))
+    val dataCols = li.columns
+    feed
+      .withColumn("__delta",
+        when(col("_change_type") === "insert", 1L).otherwise(-1L))
+      .withColumn("__fp", xxhash64(dataCols.map(col): _*))
+      .withColumn("__fp2", hash(dataCols.map(col): _*))
+      .groupBy(col("__fp"), col("__fp2"), col("l_returnflag"),
+        col("l_orderkey"))
+      .agg(sum(col("__delta")).as("__net"))
+      .filter(col("__net") =!= 0L)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("__net")).as("cnt"),
+        sum(col("__net") * col("l_orderkey")).as("key_sum"))
+  }
 
   def queries: Map[String, Q] =
     SparkEntry.queries.map { case (name, fn) => name -> overrides.getOrElse(name, fn) }

@@ -73,7 +73,18 @@ object Bench {
     // production-file-size corpus so the ratio prices per-row streaming
     // cost, not the fixed trigger cost of a 2 MB toy file
     val overrides = graft.bench.BenchFixtures.overrides
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name0, fn0) =>
+    // optional arg: comma-separated gate-name filter (fast dev loop,
+    // mirroring Verify's third arg); the driver passes no args, so the
+    // recorded BENCH_DETAIL.json always covers the full surface —
+    // a filtered run writes to BENCH_DETAIL_PARTIAL.json instead so it
+    // can never masquerade as a full run
+    val nameFilter: Option[Set[String]] =
+      args.headOption.filter(_.nonEmpty).map(_.split(",").toSet)
+    val detailFile =
+      if (nameFilter.isEmpty) "BENCH_DETAIL.json" else "BENCH_DETAIL_PARTIAL.json"
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => nameFilter.forall(_.contains(q._1)))
+    val results = selected.map { case (name0, fn0) =>
       val name = name0
       val (fn, base) = overrides.get(name) match {
         case Some((g, b)) => (g, b)
@@ -113,7 +124,7 @@ object Bench {
       s""""failed_queries":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_DETAIL.json"), detail)
+      java.nio.file.Paths.get(detailFile), detail)
     // compact canonical line — must fit the driver's 2000-char tail
     println(
       s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec",""" +

@@ -314,6 +314,126 @@ object Multimodal {
       }).toDF("id", "payload")
   }
 
+  /** Per-channel decoded-audio record for multi-channel PCM (the
+    * stereo companion of [[AudioFeatures]]): per-channel amplitude
+    * sums prove the decoder deinterleaved frames and assembled
+    * little-endian 16-bit samples correctly — a byte-order or
+    * channel-offset mistake corrupts one sum without touching the
+    * header fields.
+    */
+  case class StereoAudioFeatures(id: Long, byte_len: Int, sample_rate: Int,
+                                 n_frames: Long, amp_l: Long, amp_r: Long)
+
+  /** Synthesize a REAL stereo WAV container per row: SIGNED 16-bit
+    * little-endian 2-channel PCM — the profile the mono decode path
+    * documents as quarantined — with rate 8000 + (n % 8)·1000 Hz and
+    * 300 + n % 500 frames. Channel samples derive from the text's
+    * utf-8 bytes by replayable rules (left_i = 3·b_i + 7, right_i =
+    * 1000 − 2·b_i, b cyclic, 0 for empty text), so the oracle can
+    * recompute both channel sums without decoding anything.
+    */
+  def withStereoWavPayload(df: DataFrame, idCol: String, textCol: String,
+                           nCharsCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol),
+        col(nCharsCol).cast("long"))
+      .as[(Long, String, Long)]
+      .mapPartitions(_.map { case (id, text, nChars) =>
+        val rate = (8000 + (nChars % 8) * 1000).toInt
+        val nFrames = (300 + nChars % 500).toInt
+        val bytes = Option(text).getOrElse("").getBytes("UTF-8")
+        def b(i: Int): Int = if (bytes.isEmpty) 0 else bytes(i % bytes.length) & 0xff
+        val pcm = new Array[Byte](nFrames * 4) // 2 ch × 2 bytes, LE
+        var i = 0
+        while (i < nFrames) {
+          val l = 3 * b(i) + 7
+          val r = 1000 - 2 * b(i)
+          pcm(4 * i) = (l & 0xff).toByte
+          pcm(4 * i + 1) = ((l >> 8) & 0xff).toByte
+          pcm(4 * i + 2) = (r & 0xff).toByte
+          pcm(4 * i + 3) = ((r >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          rate.toFloat, 16, 2, true, false) // 16-bit signed stereo LE PCM
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+        val out = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+        (id, out.toByteArray)
+      }).toDF("id", "payload")
+  }
+
+  /** Batched stereo decode: signed 16-bit LE 2-channel WAVs through
+    * `javax.sound.sampled`, frames deinterleaved into per-channel
+    * amplitude sums. Any other profile (or a corrupt container)
+    * quarantines to the deterministic md5 stub, mirroring
+    * [[decodeAudioBatch]]'s contract.
+    */
+  private def decodeStereoBatch(
+      batch: Seq[(Long, Array[Byte])]): Seq[StereoAudioFeatures] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    batch.map { case (id, bytes) =>
+      val real: Option[StereoAudioFeatures] =
+        if (!isWav(bytes)) None
+        else try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val fmt = ais.getFormat
+            val supported = fmt.getSampleSizeInBits == 16 &&
+              fmt.getChannels == 2 && !fmt.isBigEndian &&
+              fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+            if (!supported) None
+            else {
+              // read whole frames: 4 bytes = [L lo, L hi, R lo, R hi]
+              val buf = new Array[Byte](4096)
+              var ampL = 0L
+              var ampR = 0L
+              var frames = 0L
+              var carry = new Array[Byte](0)
+              var n = ais.read(buf)
+              while (n > 0) {
+                val data = carry ++ buf.take(n)
+                val whole = data.length - data.length % 4
+                var i = 0
+                while (i < whole) {
+                  ampL += ((data(i) & 0xff) | (data(i + 1) << 8)).toShort
+                  ampR += ((data(i + 2) & 0xff) | (data(i + 3) << 8)).toShort
+                  i += 4
+                }
+                frames += whole / 4
+                carry = data.drop(whole)
+                n = ais.read(buf)
+              }
+              Some(StereoAudioFeatures(id, bytes.length,
+                fmt.getSampleRate.toInt, frames, ampL, ampR))
+            }
+          } finally ais.close()
+        } catch { case scala.util.control.NonFatal(_) => None }
+      real.getOrElse {
+        md.reset()
+        val b = md.digest(bytes)
+        StereoAudioFeatures(id, bytes.length,
+          8000 + ((b(0) & 0xff) % 8) * 1000,
+          (b(1) & 0xff).toLong, (b(2) & 0xff).toLong, (b(3) & 0xff).toLong)
+      }
+    }
+  }
+
+  /** Batched stereo-audio decode over the payload column — same
+    * narrow mapPartitions contract as [[decodeAudioFeatures]].
+    */
+  def decodeStereoFeatures(df: DataFrame,
+                           batchSize: Int = 64): Dataset[StereoAudioFeatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(it => it.grouped(batchSize).flatMap(decodeStereoBatch))
+  }
+
   /** Batched REAL audio decode: WAV payloads (RIFF/WAVE sniffed) go
     * through `javax.sound.sampled` — sample rate and frame count come
     * from the parsed header, the amplitude sum from reading the
@@ -334,12 +454,11 @@ object Multimodal {
             val fmt = ais.getFormat
             // the amplitude feature is DEFINED over the 8-bit
             // unsigned mono profile; a valid WAV in any other
-            // profile (16-bit, stereo, float) would decode without
-            // error but sum meaningless byte halves — those
-            // quarantine to the stub rather than emit corrupt
-            // features (frame counts would also need frameSize
-            // division; the stub path is the honest signal that
-            // this profile isn't feature-extracted yet)
+            // profile (float, or 16-bit stereo — which routes
+            // through decodeStereoBatch instead) would decode
+            // without error here but sum meaningless byte halves —
+            // those quarantine to the stub rather than emit corrupt
+            // features
             val supported = fmt.getSampleSizeInBits == 8 &&
               fmt.getChannels == 1 &&
               fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED

@@ -853,6 +853,22 @@ object PipelineQueries {
       Multimodal.decodeAudioFeatures(wav).toDF()
         .select(col("id"), col("sample_rate"), col("n_samples"),
           col("amp_sum"))
+    }),
+
+    // multimodal: REAL stereo decode — 16-bit signed little-endian
+    // 2-channel PCM (the profile the mono path quarantines), with
+    // per-channel amplitude sums: the decoder must deinterleave
+    // 4-byte frames and assemble signed LE samples, so a byte-order
+    // or channel-offset mistake corrupts amp_l/amp_r while leaving
+    // the header fields intact — the oracle replays the generation
+    // rule (left_i = 3·b_i + 7, right_i = 1000 − 2·b_i)
+    "m06_wav_stereo" -> ((s, d) => {
+      import graft.multimodal.Multimodal
+      val wav = Multimodal.withStereoWavPayload(Tables.documents(s, d),
+        "doc_id", "text", "n_chars")
+      Multimodal.decodeStereoFeatures(wav).toDF()
+        .select(col("id"), col("sample_rate"), col("n_frames"),
+          col("amp_l"), col("amp_r"))
     })
   )
 
@@ -1846,6 +1862,29 @@ object PipelineQueries {
                 range(0, 500 + (n_chars % 1000)),
                 i -> ord(substr(text, CAST(i % length(text) AS INT) + 1, 1))),
                 'sum') AS BIGINT) END AS amp_sum
+          FROM documents""",
+
+    // stereo WAVs carry 300 + n%500 frames with left_i = 3·b_i + 7 and
+    // right_i = 1000 − 2·b_i (b cyclic over the text's bytes, 0 when
+    // empty); Spark's result carries what javax.sound DECODED and the
+    // per-channel sums it deinterleaved, so matching this recomputation
+    // proves the 16-bit LE stereo frame walk is faithful
+    "m06_wav_stereo" ->
+      """SELECT doc_id AS id,
+            CAST(8000 + (n_chars % 8) * 1000 AS INT) AS sample_rate,
+            CAST(300 + (n_chars % 500) AS BIGINT) AS n_frames,
+            CASE WHEN text IS NULL OR length(text) = 0
+              THEN CAST(7 * (300 + (n_chars % 500)) AS BIGINT)
+              ELSE CAST(list_aggregate(list_transform(
+                range(0, 300 + (n_chars % 500)),
+                i -> 3 * ord(substr(text, CAST(i % length(text) AS INT) + 1, 1)) + 7),
+                'sum') AS BIGINT) END AS amp_l,
+            CASE WHEN text IS NULL OR length(text) = 0
+              THEN CAST(1000 * (300 + (n_chars % 500)) AS BIGINT)
+              ELSE CAST(list_aggregate(list_transform(
+                range(0, 300 + (n_chars % 500)),
+                i -> 1000 - 2 * ord(substr(text, CAST(i % length(text) AS INT) + 1, 1))),
+                'sum') AS BIGINT) END AS amp_r
           FROM documents"""
   )
 }

@@ -464,6 +464,45 @@ object RelationalQueries {
           col("gid").cast("long").as("gid"), col("cnt"), col("total"))
     }),
 
+    // §2.6 interval RANGE window frame (the value-based frame q20's
+    // ROWS frame can't express): each order's rolling 90-day customer
+    // spend — the frame is bounded by the ORDER KEY'S VALUE (epoch
+    // day), so ties share one frame and gaps shrink it, exactly the
+    // trailing-window semantics a revenue dashboard wants. Decimal
+    // window sum on both engines keeps the rolling total ulp-exact.
+    // Scale: one keyed shuffle on o_custkey; the frame walk is a
+    // per-partition two-pointer scan, never a self-join.
+    "q46_range_window" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("day"))
+        .rangeBetween(-89, 0)
+      Tables.orders(s, d)
+        .withColumn("day",
+          datediff(col("o_orderdate"), lit("1970-01-01")).cast("long"))
+        .select(col("o_orderkey"), col("o_custkey"), col("day"),
+          sum(col("o_totalprice")
+              .cast(org.apache.spark.sql.types.DecimalType(18, 2))).over(w)
+            .cast("double").as("rolling_total"))
+    }),
+
+    // §2.2/2.4 correlated scalar subquery (Catalyst's decorrelation
+    // rewrites this into a join + aggregate — the reference's query
+    // layer punts correlated predicates to Spark the same way):
+    // orders carrying more than half their customer's lifetime spend.
+    // All arithmetic in exact decimal so the half-boundary can never
+    // flip between engines.
+    "q47_correlated_subquery" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("graft_q47_orders")
+      s.sql(
+        """SELECT o_orderstatus, COUNT(*) AS cnt,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           FROM graft_q47_orders o
+           WHERE CAST(o_totalprice AS DECIMAL(18,2)) * 2 >
+             (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              FROM graft_q47_orders i WHERE i.o_custkey = o.o_custkey)
+           GROUP BY o_orderstatus""")
+    }),
+
     // skyline / Pareto front (EDBT 2023 "Integration of Skyline
     // Queries into Spark SQL" — PAPERS.md): line items on the
     // (price, quantity) Pareto front, both minimized. The Spark side
@@ -814,6 +853,31 @@ object RelationalQueries {
          COUNT(*) AS cnt,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+
+    // the RANGE frame is value-bounded on the epoch day; decimal
+    // window sum keeps both engines ulp-exact
+    "q46_range_window" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+             CAST(datediff('day', DATE '1970-01-01',
+               CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+             o_totalprice
+           FROM orders)
+         SELECT o_orderkey, o_custkey, day,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY day
+             RANGE BETWEEN 89 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS rolling_total
+         FROM o""",
+
+    // the same correlated predicate, decorrelated by DuckDB's planner
+    "q47_correlated_subquery" ->
+      """SELECT o_orderstatus, COUNT(*) AS cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders o
+         WHERE CAST(o_totalprice AS DECIMAL(18,2)) * 2 >
+           (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            FROM orders i WHERE i.o_custkey = o.o_custkey)
+         GROUP BY o_orderstatus""",
 
     "q36_funnel" ->
       """SELECT user_id FROM (

@@ -505,10 +505,21 @@ object SegmentQueries {
       val feed = t.readChanges(baseV, t.currentVersion)
       val dataCols = feed.columns
         .filterNot(c => c == "_change_type" || c == "_commit_version")
+      // net on a compound ROW FINGERPRINT (xxhash64 + murmur over the
+      // full row, plus the consumed columns in the group key), not on
+      // the 16 raw columns: the netting shuffle then carries 4 narrow
+      // columns instead of whole rows — at 100 TB that is the
+      // difference between shuffling fingerprints and re-shuffling
+      // the table. Identical rows share a fingerprint by
+      // construction; distinct rows colliding on BOTH hashes AND
+      // (l_returnflag, l_orderkey) is the d01-style negligible edge.
       val byRow = feed
         .withColumn("__delta",
           when(col("_change_type") === "insert", 1L).otherwise(-1L))
-        .groupBy(dataCols.map(col): _*)
+        .withColumn("__fp", xxhash64(dataCols.map(col): _*))
+        .withColumn("__fp2", hash(dataCols.map(col): _*))
+        .groupBy(col("__fp"), col("__fp2"), col("l_returnflag"),
+          col("l_orderkey"))
         .agg(sum(col("__delta")).as("__net"))
         .filter(col("__net") =!= 0L)
       byRow.groupBy(col("l_returnflag"))

@@ -303,6 +303,98 @@ object StreamingQueries {
         col("min_value"), col("max_value"), col("cnt_rows"))
     }),
 
+    // STREAMING UPSERT (foreachBatch + MERGE — the canonical Spark
+    // recipe for update-mode sinks over an append-only segment
+    // store): events arrive as two ordered micro-batches and the
+    // graft table maintains ONE row per user — the latest by
+    // (ts, event_id) — through g09's merge machinery. Latest-wins is
+    // enforced ACROSS batches: each batch reduces itself, pulls the
+    // incumbents for just its keys (one key-pruned semi-join — at
+    // 100 TB the merge only ever touches segments whose key envelope
+    // overlaps the batch), re-reduces, and merges the winners, so a
+    // stale row arriving late can never overwrite a newer incumbent.
+    // The gate reads the TABLE: the final per-user rows must equal
+    // the oracle's global argmax, whatever the batch split was.
+    "st13_stream_upsert" -> ((s, d) => {
+      val t = upserted.getOrElseUpdate(s"$d|${s.sparkContext.applicationId}", {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val ev = Tables.events(s, d)
+        val root = s"/tmp/graft_tables/${d.replace('/', '_')}/events_upsert"
+        val tbl =
+          if (graft.table.SegmentedTable.exists(root)) {
+            val x = graft.table.SegmentedTable.open(s, root)
+            x.deleteSegments(x.showSegments().map(_.id)); x.cleanFiles(); x
+          } else graft.table.SegmentedTable.create(s, root, ev.schema,
+            Map("sort_columns" -> "user_id"))
+        val src = stageTwoBatchSource(s, d, ev, "upsert", "event_id")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        def latest(df: DataFrame): DataFrame =
+          df.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn")
+        val q = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+          .writeStream.outputMode("append")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val incoming = latest(batch)
+            val keys = incoming.select(col("user_id")).distinct()
+            val incumbents =
+              tbl.read().join(keys, Seq("user_id"), "left_semi")
+            tbl.merge(latest(incoming.unionByName(incumbents)),
+              Seq("user_id"))
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        tbl
+      })
+      t.read().groupBy(col("event_type"))
+        .agg(count(lit(1)).as("users"),
+          Tables.dsum(col("value")).as("total_value"))
+    }),
+
+    // STREAM-STREAM interval join (the two-live-sides upgrade of
+    // st08's stream-static join): errors and purchases arrive as two
+    // live streams over the same event feed, watermarked on both
+    // sides, inner-joined per user under a one-hour time-range
+    // condition — q44's correlation computed by the streaming state
+    // machine instead of a batch bucket join. Matched pairs land in
+    // append mode as they meet (inner-join emission needs no
+    // watermark finalization; the watermarks bound STATE, which is
+    // what survives 100 TB: each side keeps only rows newer than the
+    // other side's watermark minus the range, never the whole
+    // stream). The gate aggregates the landed pairs and must equal
+    // the batch oracle exactly. Timestamps are µs-floored on BOTH
+    // engines (ts div 1000) so the range boundary can't flip on a
+    // sub-µs component.
+    "st12_stream_stream_join" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = Tables.events(s, d).schema
+      def side = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+        .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      val err = side.filter(col("event_type") === "error")
+        .select(col("user_id").as("e_user"), col("event_id").as("err_id"),
+          col("ts_utc").as("e_ts"))
+        .withWatermark("e_ts", "2 hours")
+      val pur = side.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts_utc").as("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+      val pairs = err.join(pur,
+        col("e_user") === col("p_user") &&
+          col("p_ts") > col("e_ts") - expr("INTERVAL 1 HOUR") &&
+          col("p_ts") <= col("e_ts"))
+        .select(col("e_user").as("user_id"), col("err_id"))
+      val landed = EventStreams.runToCompletion(s, pairs, mode = "append",
+        statePartitions = 8)
+      landed.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("err_id")).as("errors_with_purchase"))
+    }),
+
     // STREAMING change-data-feed (g17's batch apply, live): the
     // source runs with readChangeFeed=true while the table takes
     // real DML under it — load evens (snapshot), load odds,
@@ -341,14 +433,25 @@ object StreamingQueries {
             t.compact()
             q.processAllAvailable() // dataChange=false: nothing
           } finally q.stop()
-          s.table(sink)
+          // the memory sink's landed rows live in ONE driver
+          // partition; redistribute and pin them once per session so
+          // every timed apply nets in parallel instead of scanning
+          // the feed on a single core
+          val f = s.table(sink).repartition(32).persist()
+          f.count()
+          f
         })
       val dataCols = feed.columns
         .filterNot(c => c == "_change_type" || c == "_commit_version")
+      // g17's fingerprint netting: shuffle 4 narrow columns, not the
+      // full landed rows (see the g17_cdc_apply note)
       feed
         .withColumn("__delta",
           when(col("_change_type") === "insert", 1L).otherwise(-1L))
-        .groupBy(dataCols.map(col): _*)
+        .withColumn("__fp", xxhash64(dataCols.map(col): _*))
+        .withColumn("__fp2", hash(dataCols.map(col): _*))
+        .groupBy(col("__fp"), col("__fp2"), col("l_returnflag"),
+          col("l_orderkey"))
         .agg(sum(col("__delta")).as("__net"))
         .filter(col("__net") =!= 0L)
         .groupBy(col("l_returnflag"))
@@ -415,6 +518,10 @@ object StreamingQueries {
 
   /** st09's sink-ingested table, one stream run per (dataset, session). */
   private val sinkIngested =
+    new graft.util.BuildOnce[graft.table.SegmentedTable]
+
+  /** st13's upserted table, one stream run per (dataset, session). */
+  private val upserted =
     new graft.util.BuildOnce[graft.table.SegmentedTable]
 
   /** st10's auto-refreshed MV rollup, one stream run per (dataset, session). */
@@ -504,6 +611,31 @@ object StreamingQueries {
                 OR (l_orderkey % 2 = 1 AND l_orderkey % 10 <> 3))
            AND l_orderkey % 10 <> 7
          GROUP BY l_returnflag""",
+
+    // the upserted table holds the global per-user argmax by
+    // (ts, event_id), whatever the batch split was
+    "st13_stream_upsert" ->
+      """WITH latest AS (
+           SELECT user_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events)
+         SELECT event_type, COUNT(*) AS users,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM latest WHERE rn = 1 GROUP BY event_type""",
+
+    // q44's correlation with µs-floored timestamps on both engines:
+    // the streamed join's landed pairs must reproduce the batch join
+    "st12_stream_stream_join" ->
+      """SELECT e.user_id, COUNT(*) AS n_pairs,
+         COUNT(DISTINCT e.event_id) AS errors_with_purchase
+         FROM (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ets
+               FROM events WHERE event_type = 'error') e
+         JOIN (SELECT user_id, epoch_ns(ts) // 1000 AS pts
+               FROM events WHERE event_type = 'purchase') p
+         ON e.user_id = p.user_id
+         AND p.pts > e.ets - 3600000000 AND p.pts <= e.ets
+         GROUP BY e.user_id""",
 
     // the ingested table must hold exactly the source events
     "st03_stream_ingest" ->

@@ -213,6 +213,27 @@ class PlanSpec extends AnyFunSuite {
       s"packing must not serialize through one partition:\n${p.take(3000)}")
   }
 
+  test("correlated scalar subquery decorrelates to a keyed join") {
+    // q47's per-customer total must decorrelate into an aggregate +
+    // equi-join on o_custkey — a plan that kept the subquery
+    // correlated would re-aggregate orders per outer row (a
+    // nested-loop O(n²) at scale)
+    val p = plan("q47_correlated_subquery")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"correlated subquery must not nested-loop\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"),
+      s"correlated subquery must not cartesian\n${p.take(3000)}")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"decorrelation must produce a keyed join\n${p.take(3000)}")
+  }
+
+  test("interval RANGE window is one keyed shuffle, no self-join") {
+    val p = plan("q46_range_window")
+    assert(p.contains("Window"), p.take(2000))
+    assert(!p.contains("Join"),
+      s"a value-bounded frame must not expand into a self-join\n${p.take(3000)}")
+  }
+
   test("heavy-hitter recount probes candidates via a broadcast hash join") {
     // t22's second pass must be an O(1)-per-token hash probe against
     // the ≤64 broadcast candidates — an array_contains FILTER would

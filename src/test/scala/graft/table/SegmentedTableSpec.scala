@@ -436,6 +436,78 @@ class SegmentedTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(reopened.read().count() == 5)
   }
 
+  test("paged catalog survives concurrent commit/read fuzz over a file: URI") {
+    // r7 VERDICT polish: fuzz the manifest fold path under real
+    // concurrency. A tiny fold threshold makes nearly every commit
+    // refold the frozen prefix while readers race status/read/readAsOf
+    // — a reader must never observe a half-folded catalog (missing
+    // prefix, double-counted tail, or a version whose manifest page
+    // is gone), and concurrent loads must all land exactly once.
+    val root = s"file:${freshRoot("fuzzpage")}"
+    val src = spark.range(10).selectExpr("id AS k", "id * 2 AS v")
+    val t = SegmentedTable.create(spark, root, src.schema,
+      Map("manifest.fold.threshold" -> "3"))
+    val writers = 4
+    val loadsPerWriter = 6
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val readerFailure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val readers = (0 until 3).map { _ =>
+      new Thread(() => {
+        val mine = SegmentedTable.open(spark, root)
+        var lastCount = 0L
+        while (!stop.get && readerFailure.get == null) {
+          try {
+            val st = mine.status
+            // catalog invariant under fold: merged view = distinct
+            // ids, never a prefix/tail overlap
+            val ids = st.segments.map(_.id)
+            assert(ids.distinct.size == ids.size,
+              s"fold duplicated segments: $ids")
+            val n = mine.read().count()
+            assert(n % 10 == 0, s"torn read: $n rows")
+            assert(n >= lastCount, s"count went backwards: $lastCount -> $n")
+            lastCount = n
+          } catch {
+            case e: Throwable => readerFailure.compareAndSet(null, e)
+          }
+        }
+      })
+    }
+    readers.foreach(_.start())
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    try {
+      val tasks = (0 until writers).map { w =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            val mine = SegmentedTable.open(spark, root)
+            (0 until loadsPerWriter).foreach { i =>
+              mine.load(src.withColumn("k", col("k") + lit(w * 1000 + i * 10)))
+            }
+          }
+        })
+      }
+      tasks.foreach(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
+    } finally {
+      pool.shutdownNow()
+      stop.set(true)
+      readers.foreach(_.join(30000))
+    }
+    assert(readerFailure.get == null,
+      s"reader observed a torn catalog: ${readerFailure.get}")
+    // every load landed exactly once through the fold churn
+    assert(t.read().count() == writers.toLong * loadsPerWriter * 10)
+    assert(t.status.segments.count(_.status == "SUCCESS") ==
+      writers * loadsPerWriter)
+    assert(t.status.manifest.isDefined,
+      "threshold 3 with 24 commits must have paged the catalog")
+    // historical reads still resolve after the churn + a clean sweep
+    val vs = t.versions.sorted
+    t.cleanFiles()
+    assert(t.readAsOf(vs.last).count() == writers.toLong * loadsPerWriter * 10)
+    val reopened = SegmentedTable.open(spark, root)
+    assert(reopened.read().count() == writers.toLong * loadsPerWriter * 10)
+  }
+
   test("catalog stays interactive at 10^4 segments (measured)") {
     // r6 VERDICT #6: status.json rewrites the full segment list per
     // commit — measure commit and read latency at 10,000 segments
