@@ -36,19 +36,27 @@ object BenchFixtures {
     */
   private val Mult = 192
 
+  /** File count of the staged layout (~46 MB files at sf0.1·192 —
+    * the production-size shape of the amortization study; the
+    * streaming file source pays per-file task launches, so the bench
+    * corpus must not fragment). Part of the staging dir name: a
+    * layout change can never silently reuse a stale staging.
+    */
+  private val Files = 8
+
   private val staged = new graft.util.BuildOnce[String]
 
   /** Stage the replicated corpus once per (dataset, session). */
   private def bigEventsDir(s: SparkSession, d: String): String =
     staged.getOrElseUpdate(s"$d|${s.sparkContext.applicationId}", {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val dir = s"/tmp/graft_bench/events_big_${d.replace('/', '_')}_x$Mult"
+      val dir = s"/tmp/graft_bench/events_big_${d.replace('/', '_')}_x${Mult}_f$Files"
       val marker = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
       if (!graft.table.TableIO.exists(marker)) {
         val ev = s.read.parquet(s"$d/events.parquet")
         ev.withColumn("__dup", explode(lit((0 until Mult).toArray)))
           .drop("__dup")
-          .repartition(16)
+          .repartition(Files)
           .write.mode("overwrite").parquet(dir)
       }
       dir
@@ -66,14 +74,18 @@ object BenchFixtures {
       statePartitions = 4)
   }
 
-  /** Baseline side: the equivalent batch aggregation over the SAME
-    * staged corpus.
+  /** Baseline side: the SAME logical query (timestamp conversion,
+    * window bucketing, decimal agg — hourlyAgg's exact expressions)
+    * as one batch over the SAME staged corpus. An integer-div
+    * shortcut here would make the ratio price "window() vs div"
+    * instead of what st01 actually gates: the streaming machinery
+    * around an identical aggregation.
     */
   def st01Baseline(s: SparkSession, d: String): DataFrame = {
     val dir = bigEventsDir(s, d)
-    s.read.parquet(dir)
-      .groupBy(expr("ts div 3600000000000").as("hour_bucket"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"), graft.Tables.dsum(col("value")).as("total_value"))
+    EventStreams.hourlyAgg(
+      s.read.parquet(dir)
+        .withColumn("ts_utc", timestamp_micros(expr("ts div 1000"))))
   }
 
   /** (graft, baseline) overrides applied by Bench.main. */

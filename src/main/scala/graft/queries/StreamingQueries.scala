@@ -303,6 +303,30 @@ object StreamingQueries {
         col("min_value"), col("max_value"), col("cnt_rows"))
     }),
 
+    // CUSTOM-STATE streaming operator (flatMapGroupsWithState — the
+    // KeyValueGroupedDataset surface the windowed built-ins can't
+    // express): per-user running-mean anomaly detection, state =
+    // (count, sum) per key, bounded and tiny. Values are floored to
+    // integer cents BEFORE streaming so the running sums are exact in
+    // double on both engines and the 3×-mean boundary can never flip
+    // on summation order; (user_id, ts) is collision-free in this
+    // corpus, so the per-group ts sort makes emission deterministic.
+    // The oracle replays the state machine as a prefix-window scan.
+    "st14_custom_state_anomaly" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = Tables.events(s, d).schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+        .withColumn("value", floor(col("value") * 100).cast("double"))
+      val anomalies = EventStreams.runningMeanAnomalies(stream, 3.0)
+      val landed = EventStreams.runToCompletion(s, anomalies, mode = "append")
+      // DuckDB reads TIMESTAMP(NANOS) at µs resolution — emit µs on
+      // both engines (the ns tail is sub-oracle-visible)
+      landed.select(col("user_id"), expr("ts_ns div 1000").as("ts_us"),
+        col("value"))
+    }),
+
     // STREAMING UPSERT (foreachBatch + MERGE — the canonical Spark
     // recipe for update-mode sinks over an append-only segment
     // store): events arrive as two ordered micro-batches and the
@@ -611,6 +635,23 @@ object StreamingQueries {
                 OR (l_orderkey % 2 = 1 AND l_orderkey % 10 <> 3))
            AND l_orderkey % 10 <> 7
          GROUP BY l_returnflag""",
+
+    // the state machine replayed as a prefix window: an event is
+    // anomalous when at least 3 prior events exist and its cent value
+    // exceeds 3× their mean (exact-integer sums; identical IEEE ops)
+    "st14_custom_state_anomaly" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts_ns,
+             CAST(FLOOR(value * 100) AS BIGINT) AS v,
+             COUNT(*) OVER w AS nb,
+             SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER w AS sb
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         SELECT user_id, ts_ns // 1000 AS ts_us, CAST(v AS DOUBLE) AS value
+         FROM e
+         WHERE nb >= 3
+           AND CAST(v AS DOUBLE) >
+             3.0 * (CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))""",
 
     // the upserted table holds the global per-user argmax by
     // (ts, event_id), whatever the batch split was
