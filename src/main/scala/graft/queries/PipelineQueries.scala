@@ -574,6 +574,28 @@ object PipelineQueries {
           (expr("__s div n_bigrams").cast("double") / 1e6).as("mean_inv_prob"))
     }),
 
+    // pipeline: deterministic EPOCH SHUFFLE — the training-data
+    // ordering stage: every doc gets a (shard, position) for epoch 0
+    // as a pure function of (epoch, doc_id) (md5 key → shard by hash
+    // prefix, position by key order within the shard), so the same
+    // corpus shuffles identically on any engine, any partitioning,
+    // any rerun — and a different epoch string reshuffles completely.
+    // Scale: one shard-keyed window; no global order ever exists
+    // (the per-shard order IS the contract readers consume).
+    "t27_epoch_shuffle" -> ((s, d) => {
+      val nShards = 8
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard")).orderBy(col("__k"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(concat_ws("|", lit("epoch0"), col("doc_id"))).as("__k"))
+        .withColumn("shard",
+          (conv(substring(col("__k"), 1, 8), 16, 10).cast("long")
+            % nShards).cast("int"))
+        .select(col("doc_id"), col("shard"),
+          row_number().over(w).as("pos"))
+    }),
+
     // pipeline: deterministic mixture RESAMPLING — materializes t16's
     // uniform-over-sources target by downsampling each source at
     // rate = min(1, weight), with the keep/drop decision a pure
@@ -1440,6 +1462,18 @@ object PipelineQueries {
               AS mean_inv_prob
           FROM scored GROUP BY doc_id""",
 
+    // the same pure function of (epoch, doc_id): identical shards,
+    // identical within-shard order
+    "t27_epoch_shuffle" ->
+      """WITH k AS (SELECT doc_id,
+             md5('epoch0|' || CAST(doc_id AS VARCHAR)) AS k
+           FROM documents),
+          s AS (SELECT doc_id, k,
+             CAST(CAST('0x' || substr(k, 1, 8) AS BIGINT) % 8 AS INT) AS shard
+           FROM k)
+         SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k) AS INT) AS pos
+         FROM s""",
     "t19_mixture_sample" ->
       s"""WITH per AS (SELECT source, CAST(SUM(len($W)) AS BIGINT) AS tokens
             FROM documents GROUP BY source),
