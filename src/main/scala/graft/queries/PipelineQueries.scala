@@ -574,6 +574,29 @@ object PipelineQueries {
           (expr("__s div n_bigrams").cast("double") / 1e6).as("mean_inv_prob"))
     }),
 
+    // pipeline: overlapping-window CHUNKING (the RAG/pre-training
+    // segmentation stage): each doc splits into 50-token chunks at
+    // stride 25, the trailing chunk short — chunk identity carried as
+    // an md5 fingerprint of the joined tokens so the gate proves the
+    // exact token content of every chunk, not just the counts.
+    // Scale: explode of start offsets + slice — a narrow projection,
+    // no shuffle at all (the chunker is embarrassingly parallel).
+    "t28_chunk_overlap" -> ((s, d) => {
+      val stride = 25
+      val width = 50
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__w"))
+        .filter(size(col("__w")) > 0)
+        .select(col("doc_id"), col("__w"),
+          explode(expr(s"sequence(0, size(__w) - 1, $stride)")).as("start"))
+        .select(col("doc_id"),
+          (col("start") / lit(stride)).cast("int").as("chunk_idx"),
+          expr(s"slice(__w, start + 1, $width)").as("__c"))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("__c")).as("n_tokens"),
+          md5(concat_ws(" ", col("__c")).cast("binary")).as("chunk_fp"))
+    }),
+
     // pipeline: deterministic EPOCH SHUFFLE — the training-data
     // ordering stage: every doc gets a (shard, position) for epoch 0
     // as a pure function of (epoch, doc_id) (md5 key → shard by hash
@@ -1461,6 +1484,22 @@ object PipelineQueries {
             CAST(CAST(SUM(inv_ppm) AS BIGINT) // COUNT(*) AS DOUBLE) / 1000000.0
               AS mean_inv_prob
           FROM scored GROUP BY doc_id""",
+
+    // chunk fingerprints recomputed from the same slicing rule: md5
+    // of the space-joined tokens per (doc, start)
+    "t28_chunk_overlap" ->
+      s"""WITH t AS (SELECT doc_id, $W AS words FROM documents),
+          st AS (SELECT doc_id, words,
+              unnest(range(0, len(words), 25)) AS start
+            FROM t WHERE len(words) > 0),
+          c AS (SELECT doc_id, CAST(start // 25 AS INT) AS chunk_idx,
+              list_slice(words, CAST(start + 1 AS INT),
+                CAST(start + 50 AS INT)) AS ch
+            FROM st)
+          SELECT doc_id, chunk_idx,
+            CAST(len(ch) AS INT) AS n_tokens,
+            md5(array_to_string(ch, ' ')) AS chunk_fp
+          FROM c""",
 
     // the same pure function of (epoch, doc_id): identical shards,
     // identical within-shard order
