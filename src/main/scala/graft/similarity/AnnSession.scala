@@ -60,6 +60,77 @@ final class AnnSession(index: DataFrame,
            k: Int): DataFrame =
     Similarity.rankByAdc(pool(queries, idCol, vecCol), k)
 
+  /** Diversity-aware top-k: greedy MAXIMAL MARGINAL RELEVANCE over
+    * the same cached candidate pool `topK` serves from. Each step
+    * picks argmax over the remaining pool of
+    * `lambda·(−adc) − (1−lambda)·max_{s∈selected} cos(c, s)` (ties by
+    * neighbor id), with candidate-candidate similarity computed on
+    * PQ-RECONSTRUCTED vectors — the codes are already in the pool, so
+    * diversification reads NO corpus vectors, exactly like serving.
+    * `lambda = 1` degenerates to `topK` (pure relevance); the first
+    * pick always equals plain top-1.
+    *
+    * The greedy loop runs on the driver over at most
+    * |queries| × poolSize candidates (top-poolSize of the pool by
+    * relevance) — bounded by the request, never by the corpus, the
+    * same contract as collecting a top-k result itself.
+    */
+  def topKDiverse(queries: DataFrame, idCol: String, vecCol: String,
+                  k: Int, poolSize: Int = 64,
+                  lambda: Double = 0.7): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(poolSize >= k, s"poolSize ($poolSize) must be >= k ($k)")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1], got $lambda")
+    val spark = queries.sparkSession
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(org.apache.spark.sql.functions.col("query_id"))
+      .orderBy(org.apache.spark.sql.functions.col("adc").asc,
+        org.apache.spark.sql.functions.col("neighbor_id").asc)
+    import org.apache.spark.sql.functions.{col, row_number}
+    val rows = pool(queries, idCol, vecCol)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= poolSize)
+      .select(col("query_id"), col("neighbor_id"), col("adc"), col("codes"))
+      .collect()
+    val bySub: Map[(Int, Int), Array[Float]] =
+      codebooks.map { case (s, c, v) => (s, c) -> v }.toMap
+    def decode(codes: Seq[Int]): Array[Float] = {
+      val out = new Array[Float](m * dsub)
+      var s = 0
+      while (s < m) {
+        System.arraycopy(bySub((s, codes(s))), 0, out, s * dsub, dsub)
+        s += 1
+      }
+      out
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    val picked = rows.groupBy(_.getLong(0)).toSeq.sortBy(_._1).flatMap {
+      case (qid, cands) =>
+        val cs = cands.map(r => (r.getLong(1), r.getDouble(2),
+          decode(r.getSeq[Int](3)))).sortBy(c => (c._2, c._1))
+        val sel = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Array[Float])]
+        val rest = scala.collection.mutable.ArrayBuffer(cs: _*)
+        while (sel.size < k && rest.nonEmpty) {
+          val best = rest.maxBy { c =>
+            val sim = if (sel.isEmpty) 0.0 else sel.map(s => cos(c._3, s._3)).max
+            (lambda * -c._2 - (1 - lambda) * sim, -c._1.toDouble)
+          }
+          sel += best
+          rest -= best
+        }
+        sel.zipWithIndex.map { case ((nid, _, _), i) => (qid, i + 1, nid) }
+    }
+    import spark.implicits._
+    picked.toSeq.toDF("query_id", "rank", "neighbor_id")
+  }
+
   /** Number of cached pools (spec observability). */
   private[graft] def cachedPools: Int = pools.size
 
