@@ -27,7 +27,7 @@ import graft.streaming.EventStreams
 object BenchFixtures {
 
   /** Replication factor: sf0.1's ~600k-row events become ~115M rows in
-    * 16 ~24 MB files — large enough that per-row work dominates the
+    * `Files` = 8 ~46 MB files — large enough that per-row work dominates the
     * fixed trigger cost (measured: Mult=32 read 3.0×, Mult=96 read
     * 2.2× — the fixed cost is ~0.7 s, so the batch side must clearly
     * exceed it, which at Mult=192 it does: the corpus matches the
