@@ -111,10 +111,15 @@ final class AnnSession(index: DataFrame,
       }
       if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
     }
-    val picked = rows.groupBy(_.getLong(0)).toSeq.sortBy(_._1).flatMap {
+    // ids read via Number: a query frame with an int id column must not
+    // throw at collect time (the pool pipeline itself never widens them).
+    val picked = rows.groupBy(_.getAs[Number](0).longValue()).toSeq
+      .sortBy(_._1).flatMap {
       case (qid, cands) =>
-        val cs = cands.map(r => (r.getLong(1), r.getDouble(2),
-          decode(r.getSeq[Int](3)))).sortBy(c => (c._2, c._1))
+        val cs = cands.map(r => (r.getAs[Number](1).longValue(),
+          r.getAs[Number](2).doubleValue(),
+          decode(r.getSeq[Any](3).map(_.asInstanceOf[Number].intValue()))))
+          .sortBy(c => (c._2, c._1))
         val sel = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Array[Float])]
         val rest = scala.collection.mutable.ArrayBuffer(cs: _*)
         while (sel.size < k && rest.nonEmpty) {
