@@ -251,8 +251,8 @@ object Baseline {
           countDistinct(col("user_id")).as("users"))
     }),
 
-    // nanosAsLong for events.parquet is set once at Bench session
-    // build — a conf.set here would leak into every later timed query
+    // Tables.events normalizes ts to epoch-nanos whatever the parquet
+    // encoding (timestamp[us] or legacy TIMESTAMP(NANOS))
     "st01_stream_hourly" -> ((s, d) => {
       Tables.events(s, d)
         .groupBy(expr("ts div 3600000000000").as("hour_bucket"), col("event_type"))
@@ -328,7 +328,6 @@ object Baseline {
     // the rollup's plain formulation: aggregate the source directly
     // (no MV, no streaming sink, no incremental refresh)
     "st10_stream_mv_refresh" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       Tables.events(s, d)
         .groupBy(col("event_type"))
         .agg(sum(col("user_id")).as("sum_user_id"),

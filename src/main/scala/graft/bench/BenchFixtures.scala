@@ -46,14 +46,18 @@ object BenchFixtures {
 
   private val staged = new graft.util.BuildOnce[String]
 
-  /** Stage the replicated corpus once per (dataset, session). */
+  /** Stage the replicated corpus once per (dataset, session). Staged
+    * with ts already NORMALIZED to epoch-nanos longs (and the `_ns`
+    * dir suffix versions the layout: a staging from before the
+    * type-adaptive reader, or from differently-encoded regenerated
+    * source data, can never be silently reused).
+    */
   private def bigEventsDir(s: SparkSession, d: String): String =
     staged.getOrElseUpdate(s"$d|${s.sparkContext.applicationId}", {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val dir = s"/tmp/graft_bench/events_big_${d.replace('/', '_')}_x${Mult}_f$Files"
+      val dir = s"/tmp/graft_bench/events_big_${d.replace('/', '_')}_x${Mult}_f${Files}_ns"
       val marker = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
       if (!graft.table.TableIO.exists(marker)) {
-        val ev = s.read.parquet(s"$d/events.parquet")
+        val ev = graft.Tables.events(s, d)
         ev.withColumn("__dup", explode(lit((0 until Mult).toArray)))
           .drop("__dup")
           .repartition(Files)
@@ -68,7 +72,8 @@ object BenchFixtures {
   def st01Graft(s: SparkSession, d: String): DataFrame = {
     val dir = bigEventsDir(s, d)
     val schema = s.read.parquet(dir).schema
-    val stream = s.readStream.schema(schema).parquet(dir)
+    val stream = graft.Tables.normalizeEventTs(
+      s.readStream.schema(schema).parquet(dir))
       .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
     EventStreams.runToCompletion(s, EventStreams.hourlyAgg(stream),
       statePartitions = 4)
@@ -84,7 +89,7 @@ object BenchFixtures {
   def st01Baseline(s: SparkSession, d: String): DataFrame = {
     val dir = bigEventsDir(s, d)
     EventStreams.hourlyAgg(
-      s.read.parquet(dir)
+      graft.Tables.normalizeEventTs(s.read.parquet(dir))
         .withColumn("ts_utc", timestamp_micros(expr("ts div 1000"))))
   }
 

@@ -27,8 +27,8 @@ object St01Amortization {
   }
 
   private def hourly(events: DataFrame): DataFrame =
-    EventStreams.hourlyAgg(events.withColumn("ts_utc",
-      timestamp_micros(expr("ts div 1000"))))
+    EventStreams.hourlyAgg(graft.Tables.normalizeEventTs(events)
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000"))))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

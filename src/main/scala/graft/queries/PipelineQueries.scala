@@ -737,7 +737,6 @@ object PipelineQueries {
     // profile build is the only corpus-sized stage (map-side partial
     // counts); the search runs over |users| vectors, not events.
     "e02_trajectory_topk" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val hour = (expr("ts div 3600000000000") % 24).cast("int")
       val profiles = Tables.events(s, d)
         .withColumn("hr", hour)

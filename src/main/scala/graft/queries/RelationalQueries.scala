@@ -336,11 +336,10 @@ object RelationalQueries {
     }),
 
     // §2.6 time-window aggregation over events (streaming-shaped query
-    // run as batch). events.ts is parquet TIMESTAMP(NANOS) which Spark's
-    // reader rejects; nanosAsLong reads it as epoch-nanos long and the
-    // hour bucket is exact integer division on both engines.
+    // run as batch). Tables.events normalizes ts to epoch-nanos longs
+    // whatever the parquet encoding, so the hour bucket is exact
+    // integer division on both engines (DuckDB: epoch_ns(ts)).
     "q30_time_window" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       Tables.events(s, d)
         .groupBy(expr("ts div 3600000000000").as("hour_bucket"), col("event_type"))
         .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("total_value"))
@@ -413,10 +412,7 @@ object RelationalQueries {
     // user_id, no range cross-product, no per-row subquery. At 100 TB
     // this is the standard pattern (partition keys bound the window;
     // no state beyond one running value per user).
-    "q41_asof_join" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      asOfJoinPlan(Tables.events(s, d))
-    }),
+    "q41_asof_join" -> ((s, d) => asOfJoinPlan(Tables.events(s, d))),
 
     // bounded-time correlation join: every error event pairs with the
     // same user's purchases in the preceding hour. Spark has no
@@ -430,7 +426,6 @@ object RelationalQueries {
     // no post-join dedup is needed. At 100 TB this is one keyed
     // shuffle with 2× replication of one side, never a range scan.
     "q44_time_corr_join" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val W = 3600000000000L // 1 hour in ns
       val ev = Tables.events(s, d)
       val err = ev.filter(col("event_type") === "error")
@@ -523,7 +518,6 @@ object RelationalQueries {
 
     // event-sequence analytics: signup→purchase funnel per user
     "q36_funnel" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       Tables.events(s, d)
         .groupBy(col("user_id"))
         .agg(
@@ -574,7 +568,6 @@ object RelationalQueries {
 
     // §2.6 semi-structured: JSON property extraction from events.props
     "q35_json_props" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       Tables.events(s, d)
         .select(col("event_type"),
           get_json_object(col("props"), "$.k").cast("long").as("k"))

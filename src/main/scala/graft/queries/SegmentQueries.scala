@@ -24,35 +24,20 @@ object SegmentQueries {
     built.getOrElseUpdate(s"li|$d", {
       val root = s"/tmp/graft_tables/${d.replace('/', '_')}/lineitem"
       val li = Tables.lineitem(s, d)
-      if (SegmentedTable.exists(root)) {
-        val t = SegmentedTable.open(s, root)
-        t.deleteSegments(t.showSegments().map(_.id)); t.cleanFiles()
-        // two loads split on ship year → disjoint segment date ranges
-        t.load(li.filter(year(col("l_shipdate")) <= 1995))
-        t.load(li.filter(year(col("l_shipdate")) > 1995))
-        t
-      } else {
-        val t = SegmentedTable.create(s, root, li.schema,
-          Map("sort_columns" -> "l_shipdate"))
-        t.load(li.filter(year(col("l_shipdate")) <= 1995))
-        t.load(li.filter(year(col("l_shipdate")) > 1995))
-        t
-      }
+      val t = SegmentedTable.fresh(s, root, li.schema,
+        Map("sort_columns" -> "l_shipdate"))
+      // two loads split on ship year → disjoint segment date ranges
+      t.load(li.filter(year(col("l_shipdate")) <= 1995))
+      t.load(li.filter(year(col("l_shipdate")) > 1995))
+      t
     })
 
   private def ordersCompacted(s: SparkSession, d: String): SegmentedTable =
     built.getOrElseUpdate(s"ord|$d", {
       val root = s"/tmp/graft_tables/${d.replace('/', '_')}/orders"
-      if (SegmentedTable.exists(root)) {
-        val t = SegmentedTable.open(s, root)
-        t.deleteSegments(t.showSegments().map(_.id)); t.cleanFiles()
-        loadAndCompact(t, s, d)
-      } else {
-        val o = Tables.orders(s, d)
-        val t = SegmentedTable.create(s, root, o.schema,
-          Map("sort_columns" -> "o_orderdate"))
-        loadAndCompact(t, s, d)
-      }
+      val t = SegmentedTable.fresh(s, root, Tables.orders(s, d).schema,
+        Map("sort_columns" -> "o_orderdate"))
+      loadAndCompact(t, s, d)
     })
 
   private def loadAndCompact(t: SegmentedTable, s: SparkSession, d: String) = {
@@ -73,12 +58,8 @@ object SegmentQueries {
     built.getOrElseUpdate(s"ob|$d", {
       val root = s"/tmp/graft_tables/${d.replace('/', '_')}/orders_bloom"
       val o = Tables.orders(s, d)
-      val t =
-        if (SegmentedTable.exists(root)) {
-          val x = SegmentedTable.open(s, root)
-          x.deleteSegments(x.showSegments().map(_.id)); x.cleanFiles(); x
-        } else SegmentedTable.create(s, root, o.schema,
-          Map("bloom_columns" -> "o_orderkey"))
+      val t = SegmentedTable.fresh(s, root, o.schema,
+        Map("bloom_columns" -> "o_orderkey"))
       t.load(o.filter(col("o_orderkey") % 2 === 0))
       t.load(o.filter(col("o_orderkey") % 2 === 1))
       t
@@ -137,12 +118,8 @@ object SegmentQueries {
     built.getOrElseUpdate(s"docdel|$d", {
       val root = s"/tmp/graft_tables/${d.replace('/', '_')}/documents_del"
       val docs = Tables.documents(s, d)
-      val t =
-        if (SegmentedTable.exists(root)) {
-          val x = SegmentedTable.open(s, root)
-          x.deleteSegments(x.showSegments().map(_.id)); x.cleanFiles(); x
-        } else SegmentedTable.create(s, root, docs.schema,
-          Map("sort_columns" -> "doc_id"))
+      val t = SegmentedTable.fresh(s, root, docs.schema,
+        Map("sort_columns" -> "doc_id"))
       t.load(docs.filter(col("doc_id") % 2 === 0))
       t.load(docs.filter(col("doc_id") % 2 === 1))
       t.delete(col("lang") === "de")
@@ -157,12 +134,8 @@ object SegmentQueries {
     built.getOrElseUpdate(s"ordupd|$d", {
       val root = s"/tmp/graft_tables/${d.replace('/', '_')}/orders_upd"
       val o = Tables.orders(s, d)
-      val t =
-        if (SegmentedTable.exists(root)) {
-          val x = SegmentedTable.open(s, root)
-          x.deleteSegments(x.showSegments().map(_.id)); x.cleanFiles(); x
-        } else SegmentedTable.create(s, root, o.schema,
-          Map("sort_columns" -> "o_orderdate"))
+      val t = SegmentedTable.fresh(s, root, o.schema,
+        Map("sort_columns" -> "o_orderdate"))
       t.load(o.filter(col("o_orderkey") % 2 === 0))
       t.load(o.filter(col("o_orderkey") % 2 === 1))
       t.update(col("o_orderstatus") === "F",
@@ -180,12 +153,8 @@ object SegmentQueries {
     built.getOrElseUpdate(s"liz|$d", {
       val root = s"/tmp/graft_tables/${d.replace('/', '_')}/lineitem_z"
       val li = Tables.lineitem(s, d)
-      val t =
-        if (SegmentedTable.exists(root)) {
-          val x = SegmentedTable.open(s, root)
-          x.deleteSegments(x.showSegments().map(_.id)); x.cleanFiles(); x
-        } else SegmentedTable.create(s, root, li.schema,
-          Map("zorder_columns" -> "l_partkey,l_suppkey"))
+      val t = SegmentedTable.fresh(s, root, li.schema,
+        Map("zorder_columns" -> "l_partkey,l_suppkey"))
       t.load(li)
       t
     })
@@ -221,12 +190,8 @@ object SegmentQueries {
     built.getOrElseUpdate(s"ordmrg|$d", {
       val root = s"/tmp/graft_tables/${d.replace('/', '_')}/orders_mrg"
       val o = Tables.orders(s, d)
-      val t =
-        if (SegmentedTable.exists(root)) {
-          val x = SegmentedTable.open(s, root)
-          x.deleteSegments(x.showSegments().map(_.id)); x.cleanFiles(); x
-        } else SegmentedTable.create(s, root, o.schema,
-          Map("sort_columns" -> "o_orderkey"))
+      val t = SegmentedTable.fresh(s, root, o.schema,
+        Map("sort_columns" -> "o_orderkey"))
       t.load(o.filter(col("o_orderkey") % 2 === 0))
       t.load(o.filter(col("o_orderkey") % 2 === 1))
       val upserts = o.filter(col("o_orderkey") % 100 === 1)
@@ -245,12 +210,8 @@ object SegmentQueries {
     built.getOrElseUpdate(s"docing|$d", {
       val root = s"/tmp/graft_tables/${d.replace('/', '_')}/documents_ing"
       val docs = Tables.documents(s, d)
-      val t =
-        if (SegmentedTable.exists(root)) {
-          val x = SegmentedTable.open(s, root)
-          x.deleteSegments(x.showSegments().map(_.id)); x.cleanFiles(); x
-        } else SegmentedTable.create(s, root, docs.schema,
-          Map("sort_columns" -> "doc_id"))
+      val t = SegmentedTable.fresh(s, root, docs.schema,
+        Map("sort_columns" -> "doc_id"))
       t.load(docs.filter(col("doc_id") % 2 === 0))
       assert(t.loadUnique(docs, Seq("doc_id")).nonEmpty) // odds land
       assert(t.loadUnique(docs, Seq("doc_id")).isEmpty)  // re-delivery no-ops
@@ -265,14 +226,9 @@ object SegmentQueries {
   private def eventsSegmented(s: SparkSession, d: String): SegmentedTable =
     built.getOrElseUpdate(s"evseg|$d", {
       val root = s"/tmp/graft_tables/${d.replace('/', '_')}/events_seg"
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val ev = Tables.events(s, d)
-      val t =
-        if (SegmentedTable.exists(root)) {
-          val x = SegmentedTable.open(s, root)
-          x.deleteSegments(x.showSegments().map(_.id)); x.cleanFiles(); x
-        } else SegmentedTable.create(s, root, ev.schema,
-          Map("sort_columns" -> "ts"))
+      val t = SegmentedTable.fresh(s, root, ev.schema,
+        Map("sort_columns" -> "ts"))
       t.load(ev.filter(col("event_id") % 2 === 0))
       t.load(ev.filter(col("event_id") % 2 === 1))
       t
@@ -287,12 +243,8 @@ object SegmentQueries {
     built.getOrElseUpdate(s"docnear|$d", {
       val root = s"/tmp/graft_tables/${d.replace('/', '_')}/documents_near"
       val docs = Tables.documents(s, d)
-      val t =
-        if (SegmentedTable.exists(root)) {
-          val x = SegmentedTable.open(s, root)
-          x.deleteSegments(x.showSegments().map(_.id)); x.cleanFiles(); x
-        } else SegmentedTable.create(s, root, docs.schema,
-          Map("sort_columns" -> "doc_id"))
+      val t = SegmentedTable.fresh(s, root, docs.schema,
+        Map("sort_columns" -> "doc_id"))
       t.load(docs.filter(col("doc_id") % 2 === 0))
       graft.dedup.Dedup.ingestNovel(t, docs, "doc_id", "text")
       t
@@ -352,12 +304,8 @@ object SegmentQueries {
     cdcBuilt.getOrElseUpdate(s"cdc|$d", {
       val root = s"/tmp/graft_tables/${d.replace('/', '_')}/lineitem_cdc"
       val li = Tables.lineitem(s, d)
-      val t =
-        if (SegmentedTable.exists(root)) {
-          val x = SegmentedTable.open(s, root)
-          x.deleteSegments(x.showSegments().map(_.id)); x.cleanFiles(); x
-        } else SegmentedTable.create(s, root, li.schema,
-          Map("sort_columns" -> "l_orderkey"))
+      val t = SegmentedTable.fresh(s, root, li.schema,
+        Map("sort_columns" -> "l_orderkey"))
       val baseV = t.currentVersion
       t.load(li.filter(col("l_orderkey") % 2 === 0))
       val fromV = t.currentVersion
@@ -376,12 +324,8 @@ object SegmentQueries {
     built.getOrElseUpdate(s"restore|$d", {
       val root = s"/tmp/graft_tables/${d.replace('/', '_')}/documents_restore"
       val docs = Tables.documents(s, d)
-      val t =
-        if (SegmentedTable.exists(root)) {
-          val x = SegmentedTable.open(s, root)
-          x.deleteSegments(x.showSegments().map(_.id)); x.cleanFiles(); x
-        } else SegmentedTable.create(s, root, docs.schema,
-          Map("sort_columns" -> "doc_id"))
+      val t = SegmentedTable.fresh(s, root, docs.schema,
+        Map("sort_columns" -> "doc_id"))
       t.load(docs.filter(col("doc_id") % 2 === 0))
       val snap = t.currentVersion
       t.load(docs.filter(col("doc_id") % 2 === 1))
@@ -398,12 +342,8 @@ object SegmentQueries {
     built.getOrElseUpdate(s"opt|$d", {
       val root = s"/tmp/graft_tables/${d.replace('/', '_')}/lineitem_opt"
       val li = Tables.lineitem(s, d)
-      val t =
-        if (SegmentedTable.exists(root)) {
-          val x = SegmentedTable.open(s, root)
-          x.deleteSegments(x.showSegments().map(_.id)); x.cleanFiles(); x
-        } else SegmentedTable.create(s, root, li.schema,
-          Map("sort_columns" -> "l_shipdate"))
+      val t = SegmentedTable.fresh(s, root, li.schema,
+        Map("sort_columns" -> "l_shipdate"))
       t.load(li.filter(col("l_orderkey") % 2 === 0))
       t.load(li.filter(col("l_orderkey") % 2 === 1))
       t.optimizeZOrder(Seq("l_suppkey", "l_partkey"))

@@ -25,7 +25,6 @@ object StreamingQueries {
     }),
 
     "st02_session_window" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val ev = Tables.events(s, d)
         .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
       EventStreams.sessionStats(ev, "30 minutes")
@@ -39,19 +38,15 @@ object StreamingQueries {
     "st03_stream_ingest" -> ((s, d) => {
       val root = s"/tmp/graft_tables/${d.replace('/', '_')}/events_ingest"
       val t = ingested.getOrElseUpdate(s"$d|${s.sparkContext.applicationId}", {
-        val schema = {
-          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-          Tables.events(s, d).schema
-        }
-        val tbl =
-          if (graft.table.SegmentedTable.exists(root)) {
-            val x = graft.table.SegmentedTable.open(s, root)
-            x.deleteSegments(x.showSegments().map(_.id)); x.cleanFiles(); x
-          } else graft.table.SegmentedTable.create(s, root, schema, Map.empty)
-        val stream = s.readStream.schema(schema)
+        // table schema = NORMALIZED (ts epoch-ns long); the stream scan
+        // needs the raw footer schema, normalized as a projection after
+        val raw = Tables.rawEvents(s, d)
+        val schema = Tables.events(s, d).schema
+        val tbl = graft.table.SegmentedTable.fresh(s, root, schema)
+        val stream = Tables.normalizeEventTs(s.readStream.schema(raw.schema)
           .option("pathGlobFilter", "events.parquet")
           .option("maxFilesPerTrigger", "1")
-          .parquet(d)
+          .parquet(d))
         EventStreams.streamIntoTable(stream, tbl, autoCompactEvery = 2)
           .awaitTermination()
         tbl
@@ -126,23 +121,13 @@ object StreamingQueries {
     "st07_table_stream_source" -> ((s, d) => {
       val landed = streamedFromTable.getOrElseUpdate(
         s"$d|${s.sparkContext.applicationId}", {
-          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
           val ev = Tables.events(s, d)
           val root = s"/tmp/graft_tables/${d.replace('/', '_')}/events_stream_src"
-          val t =
-            if (graft.table.SegmentedTable.exists(root)) {
-              val x = graft.table.SegmentedTable.open(s, root)
-              x.deleteSegments(x.showSegments().map(_.id)); x.cleanFiles(); x
-            } else graft.table.SegmentedTable.create(s, root, ev.schema, Map.empty)
+          val t = graft.table.SegmentedTable.fresh(s, root, ev.schema)
           t.load(ev.filter(col("event_id") % 2 === 0))
           val landedRoot =
             s"/tmp/graft_tables/${d.replace('/', '_')}/events_stream_landed"
-          val lt =
-            if (graft.table.SegmentedTable.exists(landedRoot)) {
-              val x = graft.table.SegmentedTable.open(s, landedRoot)
-              x.deleteSegments(x.showSegments().map(_.id)); x.cleanFiles(); x
-            } else graft.table.SegmentedTable.create(s, landedRoot, ev.schema,
-              Map.empty)
+          val lt = graft.table.SegmentedTable.fresh(s, landedRoot, ev.schema)
           // fresh checkpoint per run: the landed table was just
           // cleared, so the sink's epoch lineage must restart with it
           val ckpt = java.nio.file.Files
@@ -175,14 +160,9 @@ object StreamingQueries {
     "st08_stream_static_join" -> ((s, d) => {
       val landed = streamStaticJoined.getOrElseUpdate(
         s"$d|${s.sparkContext.applicationId}", {
-          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
           val ev = Tables.events(s, d)
           val root = s"/tmp/graft_tables/${d.replace('/', '_')}/events_stream_join"
-          val t =
-            if (graft.table.SegmentedTable.exists(root)) {
-              val x = graft.table.SegmentedTable.open(s, root)
-              x.deleteSegments(x.showSegments().map(_.id)); x.cleanFiles(); x
-            } else graft.table.SegmentedTable.create(s, root, ev.schema, Map.empty)
+          val t = graft.table.SegmentedTable.fresh(s, root, ev.schema)
           t.load(ev)
           val spend = ev.filter(col("event_type") === "purchase")
             .groupBy(col("user_id"))
@@ -210,18 +190,14 @@ object StreamingQueries {
     "st09_sink_ingest" -> ((s, d) => {
       val t = sinkIngested.getOrElseUpdate(
         s"$d|${s.sparkContext.applicationId}", {
-          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          val raw = Tables.rawEvents(s, d)
           val schema = Tables.events(s, d).schema
           val root = s"/tmp/graft_tables/${d.replace('/', '_')}/events_sink"
-          val tbl =
-            if (graft.table.SegmentedTable.exists(root)) {
-              val x = graft.table.SegmentedTable.open(s, root)
-              x.deleteSegments(x.showSegments().map(_.id)); x.cleanFiles(); x
-            } else graft.table.SegmentedTable.create(s, root, schema, Map.empty)
+          val tbl = graft.table.SegmentedTable.fresh(s, root, schema)
           val ckpt = java.nio.file.Files
             .createTempDirectory("graft_st09_ckpt").toString
-          val q = s.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet").parquet(d)
+          val q = Tables.normalizeEventTs(s.readStream.schema(raw.schema)
+            .option("pathGlobFilter", "events.parquet").parquet(d))
             .writeStream.format("graft")
             .option("checkpointLocation", ckpt)
             .start(root)
@@ -239,12 +215,8 @@ object StreamingQueries {
       val t = nearIngested.getOrElseUpdate(s"$d|${s.sparkContext.applicationId}", {
         val docs = Tables.documents(s, d)
         val root = s"/tmp/graft_tables/${d.replace('/', '_')}/documents_stream_near"
-        val tbl =
-          if (graft.table.SegmentedTable.exists(root)) {
-            val x = graft.table.SegmentedTable.open(s, root)
-            x.deleteSegments(x.showSegments().map(_.id)); x.cleanFiles(); x
-          } else graft.table.SegmentedTable.create(s, root, docs.schema,
-            Map("sort_columns" -> "doc_id"))
+        val tbl = graft.table.SegmentedTable.fresh(s, root, docs.schema,
+          Map("sort_columns" -> "doc_id"))
         val src = stageTwoBatchSource(s, d, docs, "neardup", "doc_id")
         val stream = s.readStream.schema(docs.schema)
           .option("maxFilesPerTrigger", "1")
@@ -274,13 +246,9 @@ object StreamingQueries {
     "st10_stream_mv_refresh" -> ((s, d) => {
       val rollup = streamMvRollup.getOrElseUpdate(
         s"$d|${s.sparkContext.applicationId}", {
-          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
           val ev = Tables.events(s, d)
           val root = s"/tmp/graft_tables/${d.replace('/', '_')}/events_stream_mv"
-          if (graft.table.SegmentedTable.exists(root)) {
-            val x = graft.table.SegmentedTable.open(s, root)
-            x.deleteSegments(x.showSegments().map(_.id)); x.cleanFiles()
-          } else graft.table.SegmentedTable.create(s, root, ev.schema,
+          graft.table.SegmentedTable.fresh(s, root, ev.schema,
             Map("refresh_on_commit" -> "true"))
           val mvName = s"events_stream_mv_${math.abs(d.hashCode)}"
           graft.mv.AggTables.create(s, mvName, root, Seq("event_type"),
@@ -313,11 +281,10 @@ object StreamingQueries {
     // corpus, so the per-group ts sort makes emission deterministic.
     // The oracle replays the state machine as a prefix-window scan.
     "st14_custom_state_anomaly" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = Tables.events(s, d).schema
-      val stream = s.readStream.schema(schema)
+      val raw = Tables.rawEvents(s, d)
+      val stream = Tables.normalizeEventTs(s.readStream.schema(raw.schema)
         .option("pathGlobFilter", "events.parquet")
-        .parquet(d)
+        .parquet(d))
         .withColumn("value", floor(col("value") * 100).cast("double"))
       val anomalies = EventStreams.runningMeanAnomalies(stream, 3.0)
       val landed = EventStreams.runToCompletion(s, anomalies, mode = "append")
@@ -341,15 +308,10 @@ object StreamingQueries {
     // the oracle's global argmax, whatever the batch split was.
     "st13_stream_upsert" -> ((s, d) => {
       val t = upserted.getOrElseUpdate(s"$d|${s.sparkContext.applicationId}", {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val ev = Tables.events(s, d)
         val root = s"/tmp/graft_tables/${d.replace('/', '_')}/events_upsert"
-        val tbl =
-          if (graft.table.SegmentedTable.exists(root)) {
-            val x = graft.table.SegmentedTable.open(s, root)
-            x.deleteSegments(x.showSegments().map(_.id)); x.cleanFiles(); x
-          } else graft.table.SegmentedTable.create(s, root, ev.schema,
-            Map("sort_columns" -> "user_id"))
+        val tbl = graft.table.SegmentedTable.fresh(s, root, ev.schema,
+          Map("sort_columns" -> "user_id"))
         val src = stageTwoBatchSource(s, d, ev, "upsert", "event_id")
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("user_id"))
@@ -394,11 +356,10 @@ object StreamingQueries {
     // engines (ts div 1000) so the range boundary can't flip on a
     // sub-µs component.
     "st12_stream_stream_join" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = Tables.events(s, d).schema
-      def side = s.readStream.schema(schema)
+      val rawSchema = Tables.rawEvents(s, d).schema
+      def side = Tables.normalizeEventTs(s.readStream.schema(rawSchema)
         .option("pathGlobFilter", "events.parquet")
-        .parquet(d)
+        .parquet(d))
         .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
       val err = side.filter(col("event_type") === "error")
         .select(col("user_id").as("e_user"), col("event_id").as("err_id"),
@@ -435,12 +396,8 @@ object StreamingQueries {
         s"$d|${s.sparkContext.applicationId}", {
           val li = Tables.lineitem(s, d)
           val root = s"/tmp/graft_tables/${d.replace('/', '_')}/lineitem_cdc_stream"
-          val t =
-            if (graft.table.SegmentedTable.exists(root)) {
-              val x = graft.table.SegmentedTable.open(s, root)
-              x.deleteSegments(x.showSegments().map(_.id)); x.cleanFiles(); x
-            } else graft.table.SegmentedTable.create(s, root, li.schema,
-              Map("sort_columns" -> "l_orderkey"))
+          val t = graft.table.SegmentedTable.fresh(s, root, li.schema,
+            Map("sort_columns" -> "l_orderkey"))
           t.load(li.filter(col("l_orderkey") % 2 === 0))
           val sink = s"graft_st11_${math.abs(d.hashCode)}"
           val q = s.readStream.format("graft")

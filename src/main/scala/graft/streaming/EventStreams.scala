@@ -37,26 +37,27 @@ object EventStreams {
       drainLocks.computeIfAbsent(spark, _ => new Object)
     }
 
-  /** The events table as a stream. TIMESTAMP(NANOS) parquet is read as
-    * epoch-nano longs (nanosAsLong) and converted to a proper
-    * microsecond timestamp column `ts_utc`.
+  /** The events table as a stream, with `ts` normalized to epoch-nano
+    * longs whatever the parquet encoding (see
+    * [[graft.Tables.normalizeEventTs]]) plus a proper microsecond
+    * timestamp column `ts_utc` for the watermark/window operators.
+    *
+    * The file-stream source requires a user-supplied schema and that
+    * schema must match the FOOTER (so the normalization is a projection
+    * after the scan, never baked into the stream schema). The footer is
+    * re-read on every stream construction on purpose: a cached schema
+    * keyed by path would pin a stale ts TYPE if the files are ever
+    * regenerated under a different encoding within one JVM, and one
+    * driver-side footer read per stream build is noise.
     */
-  /** Schema cache: the file-stream source requires a user-supplied
-    * schema, and re-inferring it from parquet footers on every stream
-    * construction is a repeated driver-side read of immutable metadata.
-    */
-  private val schemaCache =
-    scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.types.StructType]()
-
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = schemaCache.getOrElseUpdate(s"$dir/events.parquet",
-      spark.read.parquet(s"$dir/events.parquet").schema)
+    val raw = graft.Tables.rawEvents(spark, dir)
     // testdata tables are single files, not directories: stream the
     // parent dir with a glob filter so the file source accepts it
-    spark.readStream.schema(schema)
+    val stream = spark.readStream.schema(raw.schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
+    graft.Tables.normalizeEventTs(stream)
       .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
   }
 
@@ -232,8 +233,11 @@ object EventStreams {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
     import spark.implicits._
-    val typed = events
-      .select(col("user_id").cast("long"), col("ts").cast("long").as("ts_ns"),
+    // normalize first: a cast of TIMESTAMP_NTZ to long is NOT
+    // epoch-nanos, so the input must go through the portability
+    // boundary before the typed projection
+    val typed = graft.Tables.normalizeEventTs(events)
+      .select(col("user_id").cast("long"), col("ts").as("ts_ns"),
         col("value").cast("double"))
       .as[UserEvent]
 

@@ -1777,6 +1777,26 @@ object SegmentedTable {
   def exists(root: String): Boolean =
     TableIO.exists(new Path(new Path(new Path(root), "_meta"), "status.json"))
 
+  /** An EMPTY table at `root` with exactly `schema`/`properties`: the
+    * existing table is cleared and reused when its stored schema and
+    * properties still match, otherwise the root is deleted and the
+    * table recreated. Fixture-shaped helper: a schema drift under a
+    * persistent root (e.g. the event-time encoding of regenerated
+    * source data changing between runs) must degrade to a rebuild,
+    * never to loads against a stale stored schema.
+    */
+  def fresh(spark: SparkSession, root: String, schema: StructType,
+            properties: Map[String, String] = Map.empty): SegmentedTable =
+    if (exists(root)) {
+      val t = open(spark, root)
+      if (t.schema == schema && t.properties == properties) {
+        t.deleteSegments(t.showSegments().map(_.id)); t.cleanFiles(); t
+      } else {
+        TableIO.delete(new Path(root))
+        create(spark, root, schema, properties)
+      }
+    } else create(spark, root, schema, properties)
+
   /** DataFrame-writer entry with the reference's SaveMode matrix
     * (CarbonDatasourceRelation.scala:76-97).
     */

@@ -15,8 +15,7 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       EventStreams.hourlyAgg(EventStreams.eventStream(spark, TestSpark.sf)))
       .orderBy("hour_bucket", "event_type")
       .collect()
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batch = spark.read.parquet(s"${TestSpark.sf}/events.parquet")
+    val batch = Tables.events(spark, TestSpark.sf)
       .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
       .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("cnt"),
@@ -30,8 +29,7 @@ class StreamingMultimodalSpec extends AnyFunSuite {
   }
 
   test("sessions partition all events exactly once") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"${TestSpark.sf}/events.parquet")
+    val ev = Tables.events(spark, TestSpark.sf)
       .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
     val total = ev.count()
     val sessionTotal = EventStreams.sessions(ev)
@@ -217,8 +215,7 @@ class StreamingMultimodalSpec extends AnyFunSuite {
   }
 
   test("flatMapGroupsWithState running-mean anomaly detector") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"${TestSpark.sf}/events.parquet")
+    val ev = Tables.events(spark, TestSpark.sf)
     val anomalies = EventStreams.runningMeanAnomalies(ev, factor = 3.0).collect()
     // recompute expectations driver-side
     val rows = ev.select("user_id", "ts", "value")
@@ -286,16 +283,16 @@ class StreamingMultimodalSpec extends AnyFunSuite {
   }
 
   test("streaming ingest commits micro-batches as segments") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val root = java.nio.file.Files
       .createTempDirectory("graft_stream_ingest").resolve("t").toString
-    val batchSchema = spark.read.parquet(s"${TestSpark.sf}/events.parquet").schema
-    val t = graft.table.SegmentedTable.create(spark, root, batchSchema,
+    val rawSchema = Tables.rawEvents(spark, TestSpark.sf).schema
+    val normSchema = Tables.events(spark, TestSpark.sf).schema
+    val t = graft.table.SegmentedTable.create(spark, root, normSchema,
       Map("sort_columns" -> "ts"))
-    val stream = spark.readStream.schema(batchSchema)
+    val stream = Tables.normalizeEventTs(spark.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .option("maxFilesPerTrigger", "1")
-      .parquet(TestSpark.sf)
+      .parquet(TestSpark.sf))
     val q = EventStreams.streamIntoTable(stream, t)
     q.awaitTermination()
     val expected = spark.read.parquet(s"${TestSpark.sf}/events.parquet").count()
