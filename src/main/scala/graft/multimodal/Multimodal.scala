@@ -45,6 +45,15 @@ object Multimodal {
     * cyclically from the text's utf-8 bytes. Batched mapPartitions
     * like every codec stage; the encoder runs per-row inside the
     * partition, never materializing it.
+    *
+    * ASCII-only synth contract (applies to every `with*Payload`
+    * synthesizer here): the oracles replay the pixel/sample fill by
+    * indexing CHARACTERS while the synth indexes UTF-8 BYTES — the
+    * two agree only when every character is one byte, i.e. ASCII
+    * text, which the driver-generated documents corpus guarantees.
+    * The GEOMETRY rules (width/height/frames/samples from n_chars)
+    * are encoding-independent. For a non-ASCII corpus, switch the
+    * fill to a byte-count column or make the oracle index bytes.
     */
   def withPngPayload(df: DataFrame, idCol: String, textCol: String,
                      nCharsCol: String): DataFrame = {

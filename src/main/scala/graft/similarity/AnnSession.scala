@@ -87,7 +87,8 @@ final class AnnSession(index: DataFrame,
       .orderBy(org.apache.spark.sql.functions.col("adc").asc,
         org.apache.spark.sql.functions.col("neighbor_id").asc)
     import org.apache.spark.sql.functions.{col, row_number}
-    val rows = pool(queries, idCol, vecCol)
+    val poolDf = pool(queries, idCol, vecCol)
+    val rows = poolDf
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= poolSize)
       .select(col("query_id"), col("neighbor_id"), col("adc"), col("codes"))
@@ -133,7 +134,14 @@ final class AnnSession(index: DataFrame,
         sel.zipWithIndex.map { case ((nid, _, _), i) => (qid, i + 1, nid) }
     }
     import spark.implicits._
+    // the greedy loop ran on widened longs; cast the id columns back to
+    // the POOL's types so the result schema matches topK's exactly
+    // (the documented lambda=1 ≡ topK equivalence holds at the schema
+    // level for int-id query frames too)
     picked.toSeq.toDF("query_id", "rank", "neighbor_id")
+      .select(col("query_id").cast(poolDf.schema("query_id").dataType),
+        col("rank"),
+        col("neighbor_id").cast(poolDf.schema("neighbor_id").dataType))
   }
 
   /** Number of cached pools (spec observability). */

@@ -60,11 +60,17 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
       providerName: String, parameters: Map[String, String]): (String, StructType) = {
     val base = schema.getOrElse(
       SegmentedTable.open(sqlContext.sparkSession, path(parameters)).schema)
+    // a caller may pass the FULL change-feed schema (e.g. one captured
+    // from a previous CDF read) — only append the CDF columns that are
+    // not already present, never duplicate them
     val s =
-      if (changeFeedOpt(parameters))
-        base.add("_change_type", org.apache.spark.sql.types.StringType)
-          .add("_commit_version", org.apache.spark.sql.types.LongType)
-      else base
+      if (changeFeedOpt(parameters)) {
+        val withType =
+          if (base.fieldNames.contains("_change_type")) base
+          else base.add("_change_type", org.apache.spark.sql.types.StringType)
+        if (withType.fieldNames.contains("_commit_version")) withType
+        else withType.add("_commit_version", org.apache.spark.sql.types.LongType)
+      } else base
     (shortName(), s)
   }
 

@@ -54,6 +54,19 @@ class GraftStreamSource(sqlContext: SQLContext, path: String,
     * and tracks the table through DML, the shape a 100 TB warehouse
     * sink consumes. The initial snapshot batch emits the table's
     * contents as inserts stamped with the snapshot version.
+    *
+    * Retention contract with [[SegmentedTable.cleanFiles]]: the feed
+    * reads CHANGE ROWS out of the segment files themselves, so a
+    * version range is replayable only while the segment dirs it
+    * references still exist. `cleanFiles()` physically removes
+    * DELETED/COMPACTED segment dirs; a stream (or batch
+    * `readChanges`) whose un-consumed range references a removed
+    * segment fails LOUDLY with "change feed references segments
+    * removed by cleanFiles" rather than silently skipping changes.
+    * Operationally: run cleanFiles with a retention horizon no
+    * shorter than the slowest CDF consumer's lag — the same
+    * vacuum-vs-reader contract every log-structured table format
+    * documents.
     */
   override def schema: StructType =
     if (changeFeed)

@@ -308,6 +308,64 @@ class PipelineSpec extends AnyFunSuite {
     } finally session.close()
   }
 
+  test("AnnSession.topKDiverse: lambda=1 equals topK, deterministic, int-id schema preserved") {
+    val cents = Similarity.trainCentroids(emb, "vec_id", "embedding", 8)
+    val cbs = Similarity.trainCodebooks(emb, "embedding", 8, 8, 16)
+    val index = Similarity.ivfPqIndexRows(emb, "vec_id", "embedding",
+      cents, cbs, 8, 8)
+    val queries = emb.filter(col("vec_id") < 5)
+    val session = graft.similarity.AnnSession(index, cents, cbs, 8, 8, nprobe = 3)
+    try {
+      // lambda = 1 is pure relevance with the same (adc, id) tie-break
+      // as rankByAdc: row-for-row equal to topK, schema included
+      val topk = session.topK(queries, "vec_id", "embedding", 3)
+      val diverse = session.topKDiverse(queries, "vec_id", "embedding",
+        k = 3, poolSize = 16, lambda = 1.0)
+      // name/type equality (nullability differs: local rows are
+      // non-null, the pool's parquet lineage is nullable)
+      def shape(df: org.apache.spark.sql.DataFrame) =
+        df.schema.fields.map(f => (f.name, f.dataType)).toSeq
+      assert(shape(diverse) == shape(topk))
+      def tuples(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(tuples(diverse) == tuples(topk))
+      // deterministic: a second identical call returns identical rows
+      assert(tuples(session.topKDiverse(queries, "vec_id", "embedding",
+        k = 3, poolSize = 16, lambda = 1.0)) == tuples(diverse))
+      // diversification: same shape (k ranked rows per query, first
+      // pick = plain top-1 — the greedy's documented invariant)
+      val mixed = session.topKDiverse(queries, "vec_id", "embedding",
+        k = 3, poolSize = 16, lambda = 0.5)
+      val firstPicks = mixed.filter(col("rank") === 1)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      val top1 = topk.filter(col("rank") === 1)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      assert(firstPicks == top1)
+      assert(mixed.groupBy(col("query_id")).count()
+        .collect().forall(_.getLong(1) == 3))
+    } finally session.close()
+
+    // int-id query frame: no collect-time cast failure, and the result
+    // schema matches topK's (ids cast back to the pool's int type)
+    val intEmb = emb.select(col("vec_id").cast("int").as("vec_id"),
+      col("embedding"))
+    val intIndex = Similarity.ivfPqIndexRows(intEmb, "vec_id", "embedding",
+      cents, cbs, 8, 8)
+    val intQueries = intEmb.filter(col("vec_id") < 5)
+    val intSession = graft.similarity.AnnSession(intIndex, cents, cbs, 8, 8,
+      nprobe = 3)
+    try {
+      val t = intSession.topK(intQueries, "vec_id", "embedding", 3)
+      val d = intSession.topKDiverse(intQueries, "vec_id", "embedding",
+        k = 3, poolSize = 16, lambda = 1.0)
+      assert(d.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        t.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+      def intTuples(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+      assert(intTuples(d) == intTuples(t))
+    } finally intSession.close()
+  }
+
   test("Bm25Session: k refinements re-rank one cached pool, results exact") {
     // the text twin of the AnnSession proof: pin the postings handle,
     // refine k over one held term set, and every refinement must equal

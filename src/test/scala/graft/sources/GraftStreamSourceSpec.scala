@@ -274,4 +274,31 @@ class GraftStreamSourceSpec extends AnyFunSuite {
         .count() >= 3)
     } finally q.stop()
   }
+
+  test("readChangeFeed with a caller-supplied FULL CDF schema does not duplicate columns") {
+    // a caller may hand the reader a schema captured from a previous
+    // CDF read (already carrying _change_type/_commit_version);
+    // sourceSchema must append only what is missing
+    val root = fresh("cdfschema")
+    val t = SegmentedTable.create(spark, root, docs.schema, Map.empty)
+    t.load(docs.filter(col("doc_id") < 10))
+    val fullCdfSchema = docs.schema
+      .add("_change_type", org.apache.spark.sql.types.StringType)
+      .add("_commit_version", org.apache.spark.sql.types.LongType)
+    val stream = spark.readStream.format("graft")
+      .option("readChangeFeed", "true")
+      .schema(fullCdfSchema)
+      .load(root)
+    assert(stream.schema.fieldNames.count(_ == "_change_type") == 1)
+    assert(stream.schema.fieldNames.count(_ == "_commit_version") == 1)
+    assert(stream.schema == fullCdfSchema)
+    // and the stream actually runs with that schema
+    val sink = s"graft_ss_mem_${names.incrementAndGet()}"
+    val q = stream.writeStream.outputMode("append").format("memory")
+      .queryName(sink).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(sink).count() == 10)
+    } finally q.stop()
+  }
 }
