@@ -57,10 +57,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet carries nanosecond timestamps; both the graft
-      // streaming path and the st01 baseline need the legacy long
-      // decoding, and setting it here (not inside a timed query) keeps
-      // parquet decoding behavior identical for every query in the run
+      // event-time portability: Tables.normalizeEventTs adapts ts to
+      // epoch-nanos whatever the parquet encoding; this flag only
+      // keeps LEGACY TIMESTAMP(NANOS) files readable (Spark rejects
+      // them without it), and setting it here (not inside a timed
+      // query) keeps parquet decoding identical for every query
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

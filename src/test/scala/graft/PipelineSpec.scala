@@ -111,6 +111,25 @@ class PipelineSpec extends AnyFunSuite {
       .filter(col("m") =!= 5).count() == 0)
   }
 
+  test("embedding-type portability: array<double> corpus ranks identically to array<float>") {
+    // the ts-encoding lesson applied to vectors: a regenerated corpus
+    // carrying double embeddings must flow through the same kernels
+    // (ArrayDotProduct accepts either; float→double casts are exact,
+    // so the ranks replay bit-identically)
+    val dEmb = emb.withColumn("embedding", col("embedding").cast("array<double>"))
+    val f = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3),
+      "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val d = Similarity.bruteForceTopK(dEmb, dEmb.filter(col("vec_id") < 3),
+      "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(d == f)
+    // the quantizer-trained ladder accepts doubles too (training casts
+    // to double internally; the index stores codes, not vectors)
+    val cents = Similarity.trainCentroids(dEmb, "vec_id", "embedding", 4)
+    assert(cents.size == 4 && cents.forall(_._2.nonEmpty))
+  }
+
   test("bucketed ANN result is a subset-ranking consistent with brute force") {
     val brute = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3),
       "vec_id", "embedding", 1)

@@ -436,6 +436,28 @@ class SegmentedTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(reopened.read().count() == 5)
   }
 
+  test("fresh(): clears a matching root, rebuilds a drifted one") {
+    val root = freshRoot("freshness")
+    val props = Map("sort_columns" -> "l_orderkey")
+    val t = SegmentedTable.fresh(spark, root, li.schema, props)
+    t.load(li.limit(5))
+    // same schema/properties: the root is reused, just emptied
+    val again = SegmentedTable.fresh(spark, root, li.schema, props)
+    assert(again.read().count() == 0)
+    assert(again.properties == props)
+    again.load(li.limit(3))
+    // drifted schema (the regenerated-encoding scenario): the root is
+    // torn down and recreated with the NEW schema, old data gone
+    val drifted = new org.apache.spark.sql.types.StructType()
+      .add("l_orderkey", org.apache.spark.sql.types.LongType)
+      .add("ts", org.apache.spark.sql.types.TimestampNTZType)
+    val rebuilt = SegmentedTable.fresh(spark, root, drifted, Map.empty)
+    assert(rebuilt.schema == drifted)
+    assert(rebuilt.properties.isEmpty)
+    assert(rebuilt.read().count() == 0)
+    assert(SegmentedTable.open(spark, root).schema == drifted)
+  }
+
   test("paged catalog survives concurrent commit/read fuzz over a file: URI") {
     // r7 VERDICT polish: fuzz the manifest fold path under real
     // concurrency. A tiny fold threshold makes nearly every commit
