@@ -141,5 +141,13 @@ class TimestampPortabilitySpec extends AnyFunSuite {
       .agg(max(col("ts"))).collect()(0).get(0)
     val expected = df.filter(col("ts") <= lit(cut)).count()
     assert(back.filter(col("ts") <= lit(cut)).count() == expected)
+    // and the catalog's min/max stats PRUNE on NTZ: the fixture's ts
+    // grows with event_id, so the two segments are time-disjoint and a
+    // predicate inside the first segment's range must eliminate the
+    // second driver-side (the 100 TB time-range scan shape)
+    val firstSegMax = df.filter(col("event_id") < 20)
+      .agg(max(col("ts"))).collect()(0).get(0)
+    assert(t.pruneSegments(col("ts") <= lit(firstSegMax)).size == 1)
+    assert(t.scan(col("ts") <= lit(firstSegMax)).count() == 20)
   }
 }
