@@ -84,6 +84,17 @@ class PlanSpec extends AnyFunSuite {
       p.take(2000))
   }
 
+  test("event-time normalization preserves column pruning on the events scan") {
+    // normalizeEventTs inserts a projection over ts; the scan beneath
+    // must still read ONLY the referenced columns — a portability
+    // boundary that broke pruning would re-read all 6 event columns
+    // (props included, the wide one) on every time-bucketed query
+    val p = plan("q30_time_window")
+    assert(!p.contains("props"), "unreferenced props column must stay pruned")
+    assert(!p.contains("event_id"), "unreferenced event_id must stay pruned")
+    assert(p.contains("ReadSchema"), p.take(2000))
+  }
+
   test("as-of join is a window over one partition-key shuffle, not a product") {
     val p = plan("q41_asof_join")
     assert(p.contains("Window"), p.take(2000))

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The engine's contract with the driver-generated testdata: every
+  * entry point assumes these columns with one of these types. The
+  * round-10 incident (events.ts regenerated from TIMESTAMP(NANOS) to
+  * timestamp[us], 8 gates dead at analysis) showed a silent schema
+  * drift surfaces as dozens of cryptic failures — this spec makes the
+  * NEXT drift fail in one place with a readable diff, and records
+  * which encodings each column is allowed to arrive in (the
+  * type-adaptive readers — `Tables.normalizeEventTs`, the double-
+  * tolerant similarity kernels — define the accepted sets).
+  */
+class TestdataContractSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val timeLike: Set[DataType] =
+    Set(DateType, TimestampType, TimestampNTZType, LongType)
+  private val vecLike: Set[DataType] =
+    Set(ArrayType(FloatType), ArrayType(DoubleType),
+      ArrayType(FloatType, containsNull = false),
+      ArrayType(DoubleType, containsNull = false))
+  private def exact(t: DataType): Set[DataType] = Set(t)
+  private val intLike: Set[DataType] = Set(IntegerType, LongType)
+
+  /** table -> (column -> accepted types). */
+  private val contract: Map[String, Map[String, Set[DataType]]] = Map(
+    "region" -> Map("r_regionkey" -> intLike, "r_name" -> exact(StringType)),
+    "nation" -> Map("n_nationkey" -> intLike, "n_name" -> exact(StringType),
+      "n_regionkey" -> intLike),
+    "customer" -> Map("c_custkey" -> intLike, "c_name" -> exact(StringType),
+      "c_nationkey" -> intLike, "c_acctbal" -> exact(DoubleType),
+      "c_mktsegment" -> exact(StringType)),
+    "supplier" -> Map("s_suppkey" -> intLike, "s_name" -> exact(StringType),
+      "s_nationkey" -> intLike, "s_acctbal" -> exact(DoubleType)),
+    "part" -> Map("p_partkey" -> intLike, "p_name" -> exact(StringType),
+      "p_brand" -> exact(StringType), "p_type" -> exact(StringType),
+      "p_size" -> intLike, "p_retailprice" -> exact(DoubleType)),
+    "orders" -> Map("o_orderkey" -> intLike, "o_custkey" -> intLike,
+      "o_orderstatus" -> exact(StringType), "o_totalprice" -> exact(DoubleType),
+      "o_orderdate" -> timeLike, "o_orderpriority" -> exact(StringType)),
+    "lineitem" -> Map("l_orderkey" -> intLike, "l_partkey" -> intLike,
+      "l_suppkey" -> intLike, "l_linenumber" -> intLike,
+      "l_quantity" -> exact(DoubleType), "l_extendedprice" -> exact(DoubleType),
+      "l_discount" -> exact(DoubleType), "l_tax" -> exact(DoubleType),
+      "l_returnflag" -> exact(StringType), "l_linestatus" -> exact(StringType),
+      "l_shipdate" -> timeLike),
+    "events" -> Map("event_id" -> intLike, "ts" -> timeLike,
+      "user_id" -> intLike, "event_type" -> exact(StringType),
+      "value" -> exact(DoubleType), "props" -> exact(StringType)),
+    "documents" -> Map("doc_id" -> intLike, "text" -> exact(StringType),
+      "lang" -> exact(StringType), "source" -> exact(StringType),
+      "n_chars" -> intLike),
+    "embeddings" -> Map("vec_id" -> intLike, "embedding" -> vecLike,
+      "label" -> intLike)
+  )
+
+  test("every testdata table carries the columns and accepted types the engine assumes") {
+    val problems = contract.toSeq.sortBy(_._1).flatMap { case (table, cols) =>
+      val schema = Tables.load(spark, TestSpark.sf, table).schema
+      val byName = schema.fields.map(f => f.name -> f.dataType).toMap
+      cols.toSeq.sortBy(_._1).flatMap { case (name, accepted) =>
+        byName.get(name) match {
+          case None =>
+            Some(s"$table.$name: MISSING (present: ${schema.fieldNames.mkString(",")})")
+          case Some(dt) if !accepted.contains(dt) =>
+            Some(s"$table.$name: regenerated as ${dt.simpleString}, engine accepts " +
+              accepted.map(_.simpleString).mkString("{", ", ", "}") +
+              " — extend the matching type-adaptive reader, don't patch call sites")
+          case _ => None
+        }
+      }
+    }
+    assert(problems.isEmpty,
+      s"\nTESTDATA SCHEMA DRIFT (${problems.size}):\n${problems.mkString("\n")}\n")
+  }
+
+  test("the normalized events surface is stable whatever the storage encoding") {
+    val ev = Tables.events(spark, TestSpark.sf)
+    assert(ev.schema("ts").dataType == LongType, "normalizeEventTs must yield epoch-ns longs")
+    // sanity: values are plausible epoch-nanos (year 2000..2100)
+    val (mn, mx) = ev.agg(org.apache.spark.sql.functions.min("ts"),
+      org.apache.spark.sql.functions.max("ts"))
+      .collect()(0) match { case r => (r.getLong(0), r.getLong(1)) }
+    assert(mn > 946684800L * 1000000000L && mx < 4102444800L * 1000000000L,
+      s"ts out of epoch-ns range: [$mn, $mx]")
+  }
+}
