@@ -574,6 +574,23 @@ object RelationalQueries {
         .groupBy(col("event_type"))
         .agg(sum(col("k")).as("k_sum"), count(col("k")).as("k_cnt"),
           max(col("k")).as("k_max"))
+    }),
+
+    // §2.6 NATIVE event-time path (q30's timestamp-typed twin): the
+    // normalized epoch-ns boundary interops with Spark's real time
+    // operators — reconstruct a timestamp and bucket with date_trunc
+    // instead of integer division (reference stores time as direct-
+    // dictionary surrogates precisely so queries can use either form,
+    // TimeStampDirectDictionaryGenerator.java). Emitted as epoch-µs
+    // longs on both engines so the hash compare never depends on
+    // timestamp rendering.
+    "q48_native_time" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+        .groupBy(date_trunc("hour", col("ts_utc")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("total_value"))
+        .select(unix_micros(col("h")).as("hour_us"), col("event_type"),
+          col("cnt"), col("total_value"))
     })
   )
 
@@ -916,6 +933,14 @@ object RelationalQueries {
          CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
          COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_cnt,
          MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
-         FROM events GROUP BY event_type"""
+         FROM events GROUP BY event_type""",
+
+    // date_trunc on a reconstructed µs timestamp == Spark's
+    // date_trunc('hour', ts_utc); both engines emit epoch-µs longs
+    "q48_native_time" ->
+      """SELECT epoch_us(date_trunc('hour', make_timestamp(epoch_ns(ts)//1000)))
+           AS hour_us, event_type, COUNT(*) AS cnt,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1, 2"""
   )
 }
