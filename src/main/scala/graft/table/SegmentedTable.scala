@@ -4,7 +4,6 @@ import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal}
-import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.functions.{col, lit, max, min}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.graftbridge.ColumnExpr
@@ -800,13 +799,15 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
   }
 
   private def attrName(e: Expression): Option[String] = e match {
-    case a: Attribute => Some(a.name)
-    case u: UnresolvedAttribute => Some(u.name)
+    case a: Attribute => Some(a.name) // UnresolvedAttribute is an Attribute
     // analysis inserts widening casts around attributes (int col vs
-    // long literal); numeric/timestamp widening preserves ordering so
-    // pruning through it is safe
+    // long literal, NTZ col vs instant literal); numeric/timestamp
+    // widening preserves ordering (timezone pinned UTC in every entry
+    // point, so NTZ↔instant is order-isomorphic) so pruning through
+    // it is safe
     case c: org.apache.spark.sql.catalyst.expressions.Cast
-        if c.dataType.isInstanceOf[NumericType] || c.dataType == TimestampType =>
+        if c.dataType.isInstanceOf[NumericType] ||
+          c.dataType == TimestampType || c.dataType == TimestampNTZType =>
       attrName(c.child)
     case _ => None
   }
@@ -818,8 +819,7 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     * bloom probe requires the literal to carry the column's exact type.
     */
   private def bareAttrName(e: Expression): Option[String] = e match {
-    case a: Attribute => Some(a.name)
-    case u: UnresolvedAttribute => Some(u.name)
+    case a: Attribute => Some(a.name) // UnresolvedAttribute is an Attribute
     case _ => None
   }
 

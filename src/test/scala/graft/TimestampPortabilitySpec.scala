@@ -149,5 +149,11 @@ class TimestampPortabilitySpec extends AnyFunSuite {
       .agg(max(col("ts"))).collect()(0).get(0)
     assert(t.pruneSegments(col("ts") <= lit(firstSegMax)).size == 1)
     assert(t.scan(col("ts") <= lit(firstSegMax)).count() == 20)
+    // mixed-type comparison: an INSTANT literal makes analysis wrap
+    // the NTZ column in a widening cast — pruning must strip it (UTC
+    // session: order-isomorphic) and still eliminate the segment
+    val instant = firstSegMax.asInstanceOf[java.time.LocalDateTime]
+      .toInstant(java.time.ZoneOffset.UTC)
+    assert(t.pruneSegments(col("ts") <= lit(java.sql.Timestamp.from(instant))).size == 1)
   }
 }
