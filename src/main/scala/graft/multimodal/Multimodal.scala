@@ -139,6 +139,65 @@ object Multimodal {
       .mapPartitions(it => it.grouped(batchSize).flatMap(decodeBatch))
   }
 
+  /** One resized image: the re-encoded payload plus its decoded dims. */
+  case class ResizedImage(id: Long, payload: Array[Byte],
+                          width: Int, height: Int)
+
+  /** Aspect-preserving image RESIZE to fit a `maxEdge` box — the
+    * normalization step every vision-training pipeline runs before
+    * batching. Target dimensions are pure INTEGER math so an oracle
+    * can replay them (`nw = max(1, w·maxEdge / max(w,h))` with floor
+    * division; images already inside the box pass through unscaled —
+    * never upscale); the resampling itself is real work on the
+    * decoded raster (Graphics2D bilinear draw into the target
+    * raster), and the output is re-encoded as a genuine PNG, so a
+    * downstream decode sees the resized dims only if the whole
+    * decode → scale → encode chain held together.
+    *
+    * Batched mapPartitions at the JVM codec boundary like every stage
+    * here; a payload that fails to decode quarantines to a
+    * zero-dimension row with an EMPTY payload (the reject-sink shape
+    * — it must not kill the batch).
+    */
+  def resizeImages(df: DataFrame, maxEdge: Int,
+                   batchSize: Int = 64): Dataset[ResizedImage] = {
+    require(maxEdge >= 1, s"maxEdge must be positive, got $maxEdge")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map { case (id, bytes) =>
+        val decoded =
+          if (!isPng(bytes)) None
+          else try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes)))
+          catch { case scala.util.control.NonFatal(_) => None }
+        decoded match {
+          case None => ResizedImage(id, Array.emptyByteArray, 0, 0)
+          case Some(img) =>
+            val (w0, h0) = (img.getWidth, img.getHeight)
+            val m = math.max(w0, h0)
+            if (m <= maxEdge) ResizedImage(id, bytes, w0, h0)
+            else {
+              // integer floor division — the oracle-replayable rule
+              val nw = math.max(1, w0 * maxEdge / m)
+              val nh = math.max(1, h0 * maxEdge / m)
+              val out = new java.awt.image.BufferedImage(nw, nh,
+                java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+              val g = out.createGraphics()
+              try {
+                g.setRenderingHint(
+                  java.awt.RenderingHints.KEY_INTERPOLATION,
+                  java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                g.drawImage(img, 0, 0, nw, nh, null)
+              } finally g.dispose()
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", bos)
+              ResizedImage(id, bos.toByteArray, nw, nh)
+            }
+        }
+      }))
+  }
+
   /** One sampled frame of a video payload. */
   case class FrameSample(id: Long, frame_idx: Int, frame_w: Int,
                          frame_h: Int, frame_fp: Long)

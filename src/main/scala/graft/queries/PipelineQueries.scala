@@ -883,6 +883,22 @@ object PipelineQueries {
         .select(col("id"), col("frame_idx"), col("frame_w"), col("frame_h"))
     }),
 
+    // multimodal: REAL image resize — each document's synthesized PNG
+    // is decoded, aspect-preserving-downscaled into a 32-box (integer
+    // floor rule; in-box images pass through), RE-ENCODED as PNG, and
+    // the gated dims come from javax.imageio decoding the RESIZED
+    // payload — so decode → scale → encode → decode must all hold for
+    // the hash to match the oracle's integer replay of the rule.
+    "m07_image_resize" -> ((s, d) => {
+      import graft.multimodal.Multimodal
+      val png = Multimodal.withPngPayload(Tables.documents(s, d),
+        "doc_id", "text", "n_chars")
+      val resized = Multimodal.resizeImages(png, maxEdge = 32).toDF()
+      Multimodal.decodeFeatures(resized).toDF()
+        .select(col("id"), col("width"), col("height"),
+          (col("width") * col("height")).as("n_pixels"))
+    }),
+
     // multimodal: REAL audio decode — each document becomes a genuine
     // RIFF/WAVE container (8-bit unsigned mono PCM; rate and sample
     // count from replayable rules, samples cyclically from the text
@@ -1918,6 +1934,27 @@ object PipelineQueries {
             CAST(1 + (n_chars % 48) AS INT) AS frame_w,
             CAST(1 + ((n_chars * 7) % 48) AS INT) AS frame_h
           FROM documents""",
+
+    // source PNGs are (1 + n%64) × (1 + 7n%64); the resize rule is
+    // integer floor division into a 32-box, no upscale — the gated
+    // dims come from DECODING the re-encoded payload, so this replay
+    // matching proves the whole decode→scale→encode→decode chain
+    "m07_image_resize" ->
+      """WITH dims AS (
+           SELECT doc_id,
+             CAST(1 + (n_chars % 64) AS INT) AS w,
+             CAST(1 + ((n_chars * 7) % 64) AS INT) AS h
+           FROM documents),
+         r AS (
+           SELECT doc_id,
+             CASE WHEN greatest(w, h) <= 32 THEN w
+                  ELSE greatest(1, (w * 32) // greatest(w, h)) END AS nw,
+             CASE WHEN greatest(w, h) <= 32 THEN h
+                  ELSE greatest(1, (h * 32) // greatest(w, h)) END AS nh
+           FROM dims)
+         SELECT doc_id AS id, CAST(nw AS INT) AS width,
+           CAST(nh AS INT) AS height, CAST(nw * nh AS INT) AS n_pixels
+         FROM r""",
 
     // WAVs are generated at 8000 + (n%8)·1000 Hz with 500 + n%1000
     // samples taken cyclically from the text's bytes (ascii corpus:

@@ -233,6 +233,38 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(expected.nonEmpty, "test data should contain anomalies")
   }
 
+  test("resizeImages: downscale floors, in-box passthrough, corrupt payloads quarantine") {
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet").limit(40)
+    val png = Multimodal.withPngPayload(docs, "doc_id", "text", "n_chars")
+    val resized = Multimodal.resizeImages(png, maxEdge = 16).collect()
+    assert(resized.length == 40)
+    // every output fits the box; nothing upscaled beyond its source
+    val src = Multimodal.decodeFeatures(png).collect().map(m => m.id -> (m.width, m.height)).toMap
+    resized.foreach { r =>
+      val (w0, h0) = src(r.id)
+      assert(r.width <= 16 && r.height <= 16, s"${r.id}: ${r.width}x${r.height}")
+      assert(r.width <= w0 && r.height <= h0, "never upscale")
+      if (math.max(w0, h0) <= 16) assert((r.width, r.height) == (w0, h0), "in-box passthrough")
+      else {
+        val m = math.max(w0, h0)
+        assert(r.width == math.max(1, w0 * 16 / m) && r.height == math.max(1, h0 * 16 / m))
+      }
+      // the payload is a real PNG whose decode matches the claimed dims
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+      assert(img.getWidth == r.width && img.getHeight == r.height)
+    }
+    // deterministic: a second run produces identical payload bytes
+    val again = Multimodal.resizeImages(png, maxEdge = 16).collect()
+      .map(r => r.id -> r.payload.toSeq).toMap
+    assert(resized.forall(r => again(r.id) == r.payload.toSeq))
+    // corrupt payload quarantines (0×0, empty), never kills the batch
+    import spark.implicits._
+    val junk = Seq((1L, "notapng".getBytes("UTF-8"))).toDF("id", "payload")
+    val q = Multimodal.resizeImages(junk, maxEdge = 16).collect()
+    assert(q.length == 1 && q.head.width == 0 && q.head.height == 0 &&
+      q.head.payload.isEmpty)
+  }
+
   test("watermark-bounded dedup: within-delay duplicates drop, expired-state duplicates re-emit") {
     import java.nio.file.{Files, StandardCopyOption}
     import scala.jdk.CollectionConverters._
