@@ -47,14 +47,17 @@ object BenchFixtures {
   private val staged = new graft.util.BuildOnce[String]
 
   /** Stage the replicated corpus once per (dataset, session). Staged
-    * with ts already NORMALIZED to epoch-nanos longs (and the `_ns`
-    * dir suffix versions the layout: a staging from before the
-    * type-adaptive reader, or from differently-encoded regenerated
-    * source data, can never be silently reused).
+    * with ts already NORMALIZED to epoch-nanos longs. The staging dir
+    * name carries the layout version (`_ns`) AND the source file's
+    * (length, mtime) fingerprint, so neither a reader change nor a
+    * driver-side testdata REGENERATION (same path, new rows — it
+    * happened mid-round-10) can silently reuse a stale staging.
     */
   private def bigEventsDir(s: SparkSession, d: String): String =
     staged.getOrElseUpdate(s"$d|${s.sparkContext.applicationId}", {
-      val dir = s"/tmp/graft_bench/events_big_${d.replace('/', '_')}_x${Mult}_f${Files}_ns"
+      val src = new java.io.File(s"$d/events.parquet")
+      val fp = s"${src.length}_${src.lastModified / 1000}"
+      val dir = s"/tmp/graft_bench/events_big_${d.replace('/', '_')}_x${Mult}_f${Files}_ns_$fp"
       val marker = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
       if (!graft.table.TableIO.exists(marker)) {
         val ev = graft.Tables.events(s, d)

@@ -135,7 +135,8 @@ object Multimodal {
   def decodeFeatures(df: DataFrame, batchSize: Int = 64): Dataset[MediaFeatures] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col("id"), col("payload")).as[(Long, Array[Byte])]
+    df.select(col("id"), coalesce(col("payload"),
+      lit(Array.emptyByteArray)).as("payload")).as[(Long, Array[Byte])]
       .mapPartitions(it => it.grouped(batchSize).flatMap(decodeBatch))
   }
 
@@ -164,10 +165,11 @@ object Multimodal {
     require(maxEdge >= 1, s"maxEdge must be positive, got $maxEdge")
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col("id"), col("payload")).as[(Long, Array[Byte])]
+    df.select(col("id"), coalesce(col("payload"),
+      lit(Array.emptyByteArray)).as("payload")).as[(Long, Array[Byte])]
       .mapPartitions(_.grouped(batchSize).flatMap(_.map { case (id, bytes) =>
         val decoded =
-          if (!isPng(bytes)) None
+          if (bytes == null || !isPng(bytes)) None
           else try Option(javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(bytes)))
           catch { case scala.util.control.NonFatal(_) => None }
@@ -335,7 +337,8 @@ object Multimodal {
                    batchSize: Int = 64): Dataset[FrameSample] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col("id"), col("payload")).as[(Long, Array[Byte])]
+    df.select(col("id"), coalesce(col("payload"),
+      lit(Array.emptyByteArray)).as("payload")).as[(Long, Array[Byte])]
       .mapPartitions(it => it.grouped(batchSize).flatMap(sampleBatch(_, nFrames)))
   }
 
@@ -498,7 +501,8 @@ object Multimodal {
                            batchSize: Int = 64): Dataset[StereoAudioFeatures] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col("id"), col("payload")).as[(Long, Array[Byte])]
+    df.select(col("id"), coalesce(col("payload"),
+      lit(Array.emptyByteArray)).as("payload")).as[(Long, Array[Byte])]
       .mapPartitions(it => it.grouped(batchSize).flatMap(decodeStereoBatch))
   }
 
@@ -563,7 +567,8 @@ object Multimodal {
                           batchSize: Int = 64): Dataset[AudioFeatures] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col("id"), col("payload")).as[(Long, Array[Byte])]
+    df.select(col("id"), coalesce(col("payload"),
+      lit(Array.emptyByteArray)).as("payload")).as[(Long, Array[Byte])]
       .mapPartitions(it => it.grouped(batchSize).flatMap(decodeAudioBatch))
   }
 

@@ -40,8 +40,9 @@ object StreamingQueries {
       val t = ingested.getOrElseUpdate(s"$d|${s.sparkContext.applicationId}", {
         // table schema = NORMALIZED (ts epoch-ns long); the stream scan
         // needs the raw footer schema, normalized as a projection after
+        // (one relation build: the normalized schema derives from it)
         val raw = Tables.rawEvents(s, d)
-        val schema = Tables.events(s, d).schema
+        val schema = Tables.normalizeEventTs(raw).schema
         val tbl = graft.table.SegmentedTable.fresh(s, root, schema)
         val stream = Tables.normalizeEventTs(s.readStream.schema(raw.schema)
           .option("pathGlobFilter", "events.parquet")
@@ -191,7 +192,7 @@ object StreamingQueries {
       val t = sinkIngested.getOrElseUpdate(
         s"$d|${s.sparkContext.applicationId}", {
           val raw = Tables.rawEvents(s, d)
-          val schema = Tables.events(s, d).schema
+          val schema = Tables.normalizeEventTs(raw).schema
           val root = s"/tmp/graft_tables/${d.replace('/', '_')}/events_sink"
           val tbl = graft.table.SegmentedTable.fresh(s, root, schema)
           val ckpt = java.nio.file.Files

@@ -257,12 +257,16 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     val again = Multimodal.resizeImages(png, maxEdge = 16).collect()
       .map(r => r.id -> r.payload.toSeq).toMap
     assert(resized.forall(r => again(r.id) == r.payload.toSeq))
-    // corrupt payload quarantines (0×0, empty), never kills the batch
+    // corrupt and NULL payloads quarantine (0×0, empty) — never kill
+    // the batch (null reaches the decoder as an empty payload via the
+    // entry-point coalesce guard shared by every decode stage)
     import spark.implicits._
-    val junk = Seq((1L, "notapng".getBytes("UTF-8"))).toDF("id", "payload")
+    val junk = Seq((1L, "notapng".getBytes("UTF-8")),
+      (2L, null.asInstanceOf[Array[Byte]])).toDF("id", "payload")
     val q = Multimodal.resizeImages(junk, maxEdge = 16).collect()
-    assert(q.length == 1 && q.head.width == 0 && q.head.height == 0 &&
-      q.head.payload.isEmpty)
+    assert(q.length == 2 && q.forall(r => r.width == 0 && r.height == 0 &&
+      r.payload.isEmpty))
+    assert(Multimodal.decodeFeatures(junk).collect().length == 2)
   }
 
   test("watermark-bounded dedup: within-delay duplicates drop, expired-state duplicates re-emit") {

@@ -16,8 +16,13 @@ import org.scalatest.funsuite.AnyFunSuite
 class TestdataContractSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  private val timeLike: Set[DataType] =
-    Set(DateType, TimestampType, TimestampNTZType, LongType)
+  // what Tables.normalizeEventTs actually adapts: epoch-long or a real
+  // timestamp — NOT DateType (the normalizer rejects it by design)
+  private val eventTimeLike: Set[DataType] =
+    Set(LongType, TimestampType, TimestampNTZType)
+  // what the date queries (year(), BETWEEN date literals) analyze over
+  private val dateLike: Set[DataType] =
+    Set(DateType, TimestampType, TimestampNTZType)
   private val vecLike: Set[DataType] =
     Set(ArrayType(FloatType), ArrayType(DoubleType),
       ArrayType(FloatType, containsNull = false),
@@ -40,14 +45,14 @@ class TestdataContractSpec extends AnyFunSuite {
       "p_size" -> intLike, "p_retailprice" -> exact(DoubleType)),
     "orders" -> Map("o_orderkey" -> intLike, "o_custkey" -> intLike,
       "o_orderstatus" -> exact(StringType), "o_totalprice" -> exact(DoubleType),
-      "o_orderdate" -> timeLike, "o_orderpriority" -> exact(StringType)),
+      "o_orderdate" -> dateLike, "o_orderpriority" -> exact(StringType)),
     "lineitem" -> Map("l_orderkey" -> intLike, "l_partkey" -> intLike,
       "l_suppkey" -> intLike, "l_linenumber" -> intLike,
       "l_quantity" -> exact(DoubleType), "l_extendedprice" -> exact(DoubleType),
       "l_discount" -> exact(DoubleType), "l_tax" -> exact(DoubleType),
       "l_returnflag" -> exact(StringType), "l_linestatus" -> exact(StringType),
-      "l_shipdate" -> timeLike),
-    "events" -> Map("event_id" -> intLike, "ts" -> timeLike,
+      "l_shipdate" -> dateLike),
+    "events" -> Map("event_id" -> intLike, "ts" -> eventTimeLike,
       "user_id" -> intLike, "event_type" -> exact(StringType),
       "value" -> exact(DoubleType), "props" -> exact(StringType)),
     "documents" -> Map("doc_id" -> intLike, "text" -> exact(StringType),
@@ -59,7 +64,13 @@ class TestdataContractSpec extends AnyFunSuite {
 
   test("every testdata table carries the columns and accepted types the engine assumes") {
     val problems = contract.toSeq.sortBy(_._1).flatMap { case (table, cols) =>
-      val schema = Tables.load(spark, TestSpark.sf, table).schema
+      // events must go through rawEvents: it sets nanosAsLong so a
+      // legacy TIMESTAMP(NANOS) file reports as LongType here instead
+      // of crashing schema inference (order-dependently) with
+      // PARQUET_TYPE_ILLEGAL before the readable diff is produced
+      val schema =
+        if (table == "events") Tables.rawEvents(spark, TestSpark.sf).schema
+        else Tables.load(spark, TestSpark.sf, table).schema
       val byName = schema.fields.map(f => f.name -> f.dataType).toMap
       cols.toSeq.sortBy(_._1).flatMap { case (name, accepted) =>
         byName.get(name) match {
