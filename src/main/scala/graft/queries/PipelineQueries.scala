@@ -883,6 +883,21 @@ object PipelineQueries {
         .select(col("id"), col("frame_idx"), col("frame_w"), col("frame_h"))
     }),
 
+    // similarity: kNN LABEL PURITY — neighborhood label-agreement over
+    // the labeled embedding corpus (the label-noise pruning signal;
+    // Confident-Learning-shaped). Sign-LSH bucketed self-join (e01's
+    // skew-salted shape, never all-pairs), 3 in-bucket neighbors vote,
+    // flagged = strict-minority agreement. Integer outputs only.
+    "s09_knn_label_purity" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.knnLabelConsistency(emb, "vec_id", "embedding", "label",
+          k = 3, bits = 2)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(when(col("agree") * 2 < 3, 1L).otherwise(0L)).as("flagged"),
+          sum(col("agree")).as("sum_agree"))
+    }),
+
     // multimodal: REAL image resize — each document's synthesized PNG
     // is decoded, aspect-preserving-downscaled into a 32-box (integer
     // floor rule; in-box images pass through), RE-ENCODED as PNG, and
@@ -1751,6 +1766,31 @@ object PipelineQueries {
               ORDER BY cos DESC, neighbor_id ASC) AS rank
           FROM scored)
           SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 3""",
+
+    // the same bucketed-kNN vote replayed from first principles: rank
+    // in-bucket neighbors by the double cosine (ties by id), top-3
+    // vote, loners keep agree = 0 via the left join
+    "s09_knn_label_purity" ->
+      s"""WITH v AS (SELECT vec_id, label, embedding,
+            ${bucketSql("embedding", 2)} AS bucket FROM embeddings),
+          pairs AS (SELECT a.vec_id AS id_a, a.label AS label_a,
+            b.vec_id AS id_b, b.label AS label_b,
+            a.embedding AS qv, b.embedding AS cv
+          FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+          ranked AS (SELECT id_a, label_a, label_b,
+            ROW_NUMBER() OVER (PARTITION BY id_a
+              ORDER BY $dotSql / ($normQ * $normC) DESC, id_b ASC) AS rank
+          FROM pairs),
+          agg AS (SELECT id_a,
+            SUM(CASE WHEN label_b = label_a THEN 1 ELSE 0 END) AS agree
+          FROM ranked WHERE rank <= 3 GROUP BY id_a),
+          per AS (SELECT e.label, COALESCE(agg.agree, 0) AS agree
+          FROM embeddings e LEFT JOIN agg ON e.vec_id = agg.id_a)
+          SELECT label, COUNT(*) AS n_vectors,
+            CAST(SUM(CASE WHEN agree * 2 < 3 THEN 1 ELSE 0 END) AS BIGINT)
+              AS flagged,
+            CAST(SUM(agree) AS BIGINT) AS sum_agree
+          FROM per GROUP BY label""",
 
     "e01_embed_neardup" ->
       s"""WITH v AS (SELECT vec_id, embedding,

@@ -555,6 +555,55 @@ object Similarity {
         .withColumn("adc", adcExpr(codebooks, m, dsub)), k)
   }
 
+  /** Per-vector kNN LABEL-AGREEMENT over sign-LSH buckets — the
+    * label-noise diagnostic a labeled-embedding corpus runs before
+    * training (neighborhood label voting, the Confident-Learning /
+    * deep-kNN pruning signal): each vector's k nearest in-bucket
+    * neighbors vote, and `agree` counts the votes matching the
+    * vector's own label. A vector alone in its bucket keeps
+    * agree = 0 / n_neighbors = 0 (still a row — loners are signal,
+    * not droppable).
+    *
+    * Scale: the self-join is bucket+salt keyed ([[nearDupPairs]]'s
+    * skew-guarded shape — each (a,b) pair meets at exactly one salt),
+    * never all-pairs; the per-vector top-k is one window over the
+    * bucket-pair rows keyed by id. Ranks replay identically in any
+    * engine: deterministic double dot products, ties by neighbor id.
+    * `bits` sets the bucket count — raise it with corpus size so
+    * buckets stay bounded.
+    *
+    * Output: (id, label, agree, n_neighbors) — integers only, so the
+    * result is hash-comparable across engines.
+    */
+  def knnLabelConsistency(corpus: DataFrame, idCol: String, vecCol: String,
+                          labelCol: String, k: Int, bits: Int,
+                          salt: Int = 8): DataFrame = {
+    val v = spread(corpus.select(col(idCol).as("id"), col(labelCol).as("lbl"),
+        col(vecCol).as("v"), signBucket(col(vecCol), bits).as("bucket")))
+      .withColumn("nrm", norm(col("v")))
+    val a = v.select(col("id").as("id_a"), col("lbl").as("label_a"),
+      col("v").as("va"), col("bucket"), col("nrm").as("na"),
+      pmod(col("id"), lit(salt)).cast("int").as("salt"))
+    val b = v.select(col("id").as("id_b"), col("lbl").as("label_b"),
+      col("v").as("vb"), col("bucket"), col("nrm").as("nb"))
+      .withColumn("salt", explode(sequence(lit(0), lit(salt - 1))))
+    val w = Window.partitionBy(col("id_a"))
+      .orderBy(col("cos").desc, col("id_b").asc)
+    val voted = a.join(b, Seq("bucket", "salt"))
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .groupBy(col("id_a"))
+      .agg(sum(when(col("label_b") === col("label_a"), 1L).otherwise(0L)).as("agree"),
+        count(lit(1)).as("n_neighbors"))
+    corpus.select(col(idCol).as("id"), col(labelCol).as("label"))
+      .join(voted.withColumnRenamed("id_a", "id"), Seq("id"), "left")
+      .select(col("id"), col("label"),
+        coalesce(col("agree"), lit(0L)).as("agree"),
+        coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"))
+  }
+
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                    threshold: Double, bits: Int, salt: Int = 8): DataFrame = {
     val v = spread(corpus.select(col(idCol).as("id"), col(vecCol).as("v"),

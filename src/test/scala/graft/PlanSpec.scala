@@ -104,6 +104,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(user_id"), p.take(3000))
   }
 
+  test("kNN label purity never plans as a product join") {
+    val p = plan("s09_knn_label_purity")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"bucketed self-join must stay keyed:\n${p.take(3000)}")
+  }
+
   test("OOV masking is a narrow projection: no Exchange at all") {
     val p = plan("t12_oov_mask")
     assert(!p.contains("Exchange"),
