@@ -886,15 +886,21 @@ object PipelineQueries {
     // similarity: kNN LABEL PURITY — neighborhood label-agreement over
     // the labeled embedding corpus (the label-noise pruning signal;
     // Confident-Learning-shaped). Sign-LSH bucketed self-join (e01's
-    // skew-salted shape, never all-pairs), 3 in-bucket neighbors vote,
-    // flagged = strict-minority agreement. Integer outputs only.
+    // skew-salted shape, never all-pairs), up to 3 in-bucket neighbors
+    // vote; flagged = strict minority among the ACTUAL neighbors (a
+    // sparse bucket with unanimous agreement is clean, not noise);
+    // loners (no in-bucket neighbors) report separately — no evidence
+    // is not disagreement. Integer outputs only.
     "s09_knn_label_purity" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.knnLabelConsistency(emb, "vec_id", "embedding", "label",
           k = 3, bits = 2)
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n_vectors"),
-          sum(when(col("agree") * 2 < 3, 1L).otherwise(0L)).as("flagged"),
+          sum(when(col("n_neighbors") > 0 &&
+            col("agree") * 2 < col("n_neighbors"), 1L).otherwise(0L))
+            .as("flagged"),
+          sum(when(col("n_neighbors") === 0, 1L).otherwise(0L)).as("loners"),
           sum(col("agree")).as("sum_agree"))
     }),
 
@@ -1769,7 +1775,8 @@ object PipelineQueries {
 
     // the same bucketed-kNN vote replayed from first principles: rank
     // in-bucket neighbors by the double cosine (ties by id), top-3
-    // vote, loners keep agree = 0 via the left join
+    // vote, flagged = strict minority of the ACTUAL neighbor count,
+    // loners (no in-bucket neighbors) kept + counted via the left join
     "s09_knn_label_purity" ->
       s"""WITH v AS (SELECT vec_id, label, embedding,
             ${bucketSql("embedding", 2)} AS bucket FROM embeddings),
@@ -1782,13 +1789,17 @@ object PipelineQueries {
               ORDER BY $dotSql / ($normQ * $normC) DESC, id_b ASC) AS rank
           FROM pairs),
           agg AS (SELECT id_a,
-            SUM(CASE WHEN label_b = label_a THEN 1 ELSE 0 END) AS agree
+            SUM(CASE WHEN label_b = label_a THEN 1 ELSE 0 END) AS agree,
+            COUNT(*) AS n_neighbors
           FROM ranked WHERE rank <= 3 GROUP BY id_a),
-          per AS (SELECT e.label, COALESCE(agg.agree, 0) AS agree
+          per AS (SELECT e.label, COALESCE(agg.agree, 0) AS agree,
+            COALESCE(agg.n_neighbors, 0) AS n_neighbors
           FROM embeddings e LEFT JOIN agg ON e.vec_id = agg.id_a)
           SELECT label, COUNT(*) AS n_vectors,
-            CAST(SUM(CASE WHEN agree * 2 < 3 THEN 1 ELSE 0 END) AS BIGINT)
-              AS flagged,
+            CAST(SUM(CASE WHEN n_neighbors > 0 AND agree * 2 < n_neighbors
+              THEN 1 ELSE 0 END) AS BIGINT) AS flagged,
+            CAST(SUM(CASE WHEN n_neighbors = 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS loners,
             CAST(SUM(agree) AS BIGINT) AS sum_agree
           FROM per GROUP BY label""",
 

@@ -555,6 +555,35 @@ object Similarity {
         .withColumn("adc", adcExpr(codebooks, m, dsub)), k)
   }
 
+  /** Salted sign-bucket self-join scaffold shared by [[nearDupPairs]]
+    * and [[knnLabelConsistency]] — the skew-guarded all-candidates
+    * shape: the `a` side carries ONE salt (pmod of its id), the `b`
+    * side replicates across all salts, so each (a,b) pair meets at
+    * EXACTLY one salt and pair generation spreads over salt × buckets
+    * tasks. `carry` columns thread through as <name>_a / <name>_b.
+    * Emits (id_a, va, na, id_b, vb, nb, bucket, salt, carry…) with
+    * self-pairs NOT yet excluded — callers choose their own pair
+    * predicate (`<` for unordered pairs, `=!=` for per-vector
+    * neighborhoods).
+    */
+  private def saltedSelfJoin(corpus: DataFrame, idCol: String,
+      vecCol: String, bits: Int, salt: Int,
+      carry: Seq[String] = Nil): DataFrame = {
+    val v = spread(corpus.select((col(idCol).as("id") +: col(vecCol).as("v") +:
+        carry.map(col)): _*)
+        .withColumn("bucket", signBucket(col("v"), bits)))
+      .withColumn("nrm", norm(col("v")))
+    val a = v.select((Seq(col("id").as("id_a"), col("v").as("va"),
+      col("bucket"), col("nrm").as("na"),
+      pmod(col("id"), lit(salt)).cast("int").as("salt")) ++
+      carry.map(c => col(c).as(s"${c}_a"))): _*)
+    val b = v.select((Seq(col("id").as("id_b"), col("v").as("vb"),
+      col("bucket"), col("nrm").as("nb")) ++
+      carry.map(c => col(c).as(s"${c}_b"))): _*)
+      .withColumn("salt", explode(sequence(lit(0), lit(salt - 1))))
+    a.join(b, Seq("bucket", "salt"))
+  }
+
   /** Per-vector kNN LABEL-AGREEMENT over sign-LSH buckets — the
     * label-noise diagnostic a labeled-embedding corpus runs before
     * training (neighborhood label voting, the Confident-Learning /
@@ -562,15 +591,15 @@ object Similarity {
     * neighbors vote, and `agree` counts the votes matching the
     * vector's own label. A vector alone in its bucket keeps
     * agree = 0 / n_neighbors = 0 (still a row — loners are signal,
-    * not droppable).
+    * not droppable; consumers normalize by n_neighbors, never by k,
+    * so sparse neighborhoods are not misread as disagreement).
     *
-    * Scale: the self-join is bucket+salt keyed ([[nearDupPairs]]'s
-    * skew-guarded shape — each (a,b) pair meets at exactly one salt),
-    * never all-pairs; the per-vector top-k is one window over the
-    * bucket-pair rows keyed by id. Ranks replay identically in any
-    * engine: deterministic double dot products, ties by neighbor id.
-    * `bits` sets the bucket count — raise it with corpus size so
-    * buckets stay bounded.
+    * Scale: the self-join is bucket+salt keyed ([[saltedSelfJoin]] —
+    * each (a,b) pair meets at exactly one salt), never all-pairs; the
+    * per-vector top-k is one window over the bucket-pair rows keyed
+    * by id. Ranks replay identically in any engine: deterministic
+    * double dot products, ties by neighbor id. `bits` sets the bucket
+    * count — raise it with corpus size so buckets stay bounded.
     *
     * Output: (id, label, agree, n_neighbors) — integers only, so the
     * result is hash-comparable across engines.
@@ -578,24 +607,17 @@ object Similarity {
   def knnLabelConsistency(corpus: DataFrame, idCol: String, vecCol: String,
                           labelCol: String, k: Int, bits: Int,
                           salt: Int = 8): DataFrame = {
-    val v = spread(corpus.select(col(idCol).as("id"), col(labelCol).as("lbl"),
-        col(vecCol).as("v"), signBucket(col(vecCol), bits).as("bucket")))
-      .withColumn("nrm", norm(col("v")))
-    val a = v.select(col("id").as("id_a"), col("lbl").as("label_a"),
-      col("v").as("va"), col("bucket"), col("nrm").as("na"),
-      pmod(col("id"), lit(salt)).cast("int").as("salt"))
-    val b = v.select(col("id").as("id_b"), col("lbl").as("label_b"),
-      col("v").as("vb"), col("bucket"), col("nrm").as("nb"))
-      .withColumn("salt", explode(sequence(lit(0), lit(salt - 1))))
     val w = Window.partitionBy(col("id_a"))
       .orderBy(col("cos").desc, col("id_b").asc)
-    val voted = a.join(b, Seq("bucket", "salt"))
+    val voted = saltedSelfJoin(corpus, idCol, vecCol, bits, salt,
+        carry = Seq(labelCol))
       .filter(col("id_a") =!= col("id_b"))
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .groupBy(col("id_a"))
-      .agg(sum(when(col("label_b") === col("label_a"), 1L).otherwise(0L)).as("agree"),
+      .agg(sum(when(col(s"${labelCol}_b") === col(s"${labelCol}_a"), 1L)
+        .otherwise(0L)).as("agree"),
         count(lit(1)).as("n_neighbors"))
     corpus.select(col(idCol).as("id"), col(labelCol).as("label"))
       .join(voted.withColumnRenamed("id_a", "id"), Seq("id"), "left")
@@ -605,20 +627,10 @@ object Similarity {
   }
 
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-                   threshold: Double, bits: Int, salt: Int = 8): DataFrame = {
-    val v = spread(corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
-        signBucket(col(vecCol), bits).as("bucket")))
-      .withColumn("nrm", norm(col("v")))
-    val a = v.select(col("id").as("id_a"), col("v").as("va"), col("bucket"),
-      col("nrm").as("na"),
-      pmod(col("id"), lit(salt)).cast("int").as("salt"))
-    val b = v.select(col("id").as("id_b"), col("v").as("vb"), col("bucket"),
-      col("nrm").as("nb"))
-      .withColumn("salt", explode(sequence(lit(0), lit(salt - 1))))
-    a.join(b, Seq("bucket", "salt"))
+                   threshold: Double, bits: Int, salt: Int = 8): DataFrame =
+    saltedSelfJoin(corpus, idCol, vecCol, bits, salt)
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"))
-  }
 }

@@ -130,31 +130,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(cents.size == 4 && cents.forall(_._2.nonEmpty))
   }
 
-  test("knnLabelConsistency: neighbors vote, loners keep zero, pairs meet once") {
+  test("knnLabelConsistency: ranked voting, top-k truncation, loners, pairs meet once") {
     import spark.implicits._
-    // bucket A (first two dims positive): three label-0 vectors and a
-    // label-1 outlier; bucket B (both negative): one loner
+    // bucket A (first two dims positive) holds FIVE vectors — more
+    // than k=3, so the cosine RANKING and the top-k TRUNCATION both
+    // decide the votes: three tight label-0 vectors, a label-1 vector
+    // at moderate angle, a label-1 vector much farther out. Bucket B
+    // (both negative): one loner.
     val corpus = Seq(
-      (0L, 0, Array(1.0f, 1.0f, 0.9f, 0.1f)),
-      (1L, 0, Array(1.0f, 1.0f, 0.8f, 0.2f)),
-      (2L, 0, Array(1.0f, 1.0f, 0.7f, 0.3f)),
-      (3L, 1, Array(1.0f, 1.0f, -0.9f, -0.9f)),
+      (0L, 0, Array(1.0f, 1.0f, 1.0f, 0.0f)),
+      (1L, 0, Array(1.0f, 1.0f, 0.99f, 0.01f)),
+      (2L, 0, Array(1.0f, 1.0f, 0.98f, 0.02f)),
+      (3L, 1, Array(1.0f, 1.0f, 0.0f, 1.0f)),
+      (4L, 1, Array(1.0f, 1.0f, -1.0f, -1.0f)),
       (9L, 5, Array(-1.0f, -1.0f, 0.5f, 0.5f))
     ).toDF("vec_id", "label", "embedding")
     val r = Similarity.knnLabelConsistency(corpus, "vec_id", "embedding",
         "label", k = 3, bits = 2, salt = 4)
       .collect().map(x => x.getLong(0) -> (x.getInt(1), x.getLong(2), x.getLong(3))).toMap
     // every corpus row survives, including the loner
-    assert(r.keySet == Set(0L, 1L, 2L, 3L, 9L))
-    // each label-0 vector sees the other two 0s + the outlier: agree=2
+    assert(r.keySet == Set(0L, 1L, 2L, 3L, 4L, 9L))
+    // each label-0 vector's top-3: the other two 0s, then v3 (v4 is
+    // farther and must be TRUNCATED — an inverted ranking would pick
+    // it and fail here): agree=2 of 3
     Seq(0L, 1L, 2L).foreach { id =>
       assert(r(id) == ((0, 2L, 3L)), s"id=$id got ${r(id)}") }
-    // the outlier's 3 neighbors are all label 0: agree=0
+    // v3's top-3 are the three 0s (v4 is near-orthogonal): agree=0.
+    // If salt replication double-counted a pair, a duplicated 0-label
+    // neighbor would displace a real one and the agree/neighbor
+    // counts here and above would shift — THESE assertions are the
+    // pair-meets-once guard.
     assert(r(3L) == ((1, 0L, 3L)))
     // the loner has no in-bucket neighbors and still reports
     assert(r(9L) == ((5, 0L, 0L)))
-    // salt replication must not double-count pairs: n_neighbors == 3
-    // (each neighbor voted exactly once) is already asserted above
   }
 
   test("bucketed ANN result is a subset-ranking consistent with brute force") {
