@@ -88,6 +88,23 @@ class TestdataContractSpec extends AnyFunSuite {
       s"\nTESTDATA SCHEMA DRIFT (${problems.size}):\n${problems.mkString("\n")}\n")
   }
 
+  test("documents text honors the ASCII payload-synth contract") {
+    // the multimodal synthesizers index UTF-8 BYTES while their
+    // oracles index CHARACTERS (Multimodal.scala's documented
+    // ASCII-only contract) — equal only at one byte per char. A
+    // regenerated corpus with multi-byte text must fail HERE with the
+    // contract named, not as m02/m05/m06 hash mismatches.
+    import org.apache.spark.sql.functions.{col, length, octet_length}
+    val nonAscii = Tables.documents(spark, TestSpark.sf)
+      .filter(length(col("text")) =!= octet_length(col("text")))
+      .count()
+    assert(nonAscii == 0,
+      s"$nonAscii documents carry multi-byte text — the Multimodal " +
+        "payload-synth/oracle pair assumes ASCII (see Multimodal.scala); " +
+        "switch the synth fill to a byte-count column or make the " +
+        "oracles index bytes")
+  }
+
   test("the normalized events surface is stable whatever the storage encoding") {
     val ev = Tables.events(spark, TestSpark.sf)
     assert(ev.schema("ts").dataType == LongType, "normalizeEventTs must yield epoch-ns longs")
