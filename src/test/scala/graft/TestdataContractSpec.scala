@@ -105,6 +105,32 @@ class TestdataContractSpec extends AnyFunSuite {
         "oracles index bytes")
   }
 
+  test("documents n_chars equals text length (the dedup-gate invariant)") {
+    // st04/st05 gate streaming dedup by aggregating n_chars as a pure
+    // function of the dedup key md5(text) — true only while
+    // n_chars == len(text). A corpus regeneration that breaks this
+    // must fail here by name, not as a dedup hash mismatch.
+    import org.apache.spark.sql.functions.{col, length}
+    val drift = Tables.documents(spark, TestSpark.sf)
+      .filter(col("n_chars") =!= length(col("text"))).count()
+    assert(drift == 0,
+      s"$drift documents have n_chars != len(text) — st04/st05's " +
+        "arrival-order-independent gating leans on this invariant")
+  }
+
+  test("events (user_id, ts) pairs are collision-free (the st14 determinism invariant)") {
+    // st14's custom-state anomaly emission is made deterministic by a
+    // per-group ts sort — unique (user_id, ts) pairs are what make
+    // that sort total. Named failure here beats a flaky st14.
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val dupes = Tables.events(spark, TestSpark.sf)
+      .groupBy(col("user_id"), col("ts")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).count()
+    assert(dupes == 0,
+      s"$dupes duplicate (user_id, ts) pairs — st14's per-group sort " +
+        "is no longer total; add event_id to the sort key there")
+  }
+
   test("the normalized events surface is stable whatever the storage encoding") {
     val ev = Tables.events(spark, TestSpark.sf)
     assert(ev.schema("ts").dataType == LongType, "normalizeEventTs must yield epoch-ns longs")
