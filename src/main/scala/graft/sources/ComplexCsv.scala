@@ -67,13 +67,22 @@ object ComplexCsv {
       case StructType(fields) =>
         // a struct never splits on level 1 — the reference reserves it
         // for array elements even when the struct is the column's top
-        // level (ComplexDataTypesTestCase.scala:15-16)
+        // level (ComplexDataTypesTestCase.scala:15-16).
+        // try_element_at: a RAGGED row (fewer struct values than
+        // fields) null-fills the missing fields — under Spark 4's
+        // default ANSI mode a plain element_at would kill the whole
+        // load with INVALID_ARRAY_INDEX (the reference's loader
+        // null-fills bad values, as did pre-ANSI Spark)
         val d = math.max(depth, 1)
         struct(fields.zipWithIndex.map { case (f, i) =>
-          parseAtDepth(element_at(split(raw, delimAt(delims, d)), i + 1),
+          parseAtDepth(try_element_at(split(raw, delimAt(delims, d)), lit(i + 1)),
             f.dataType, delims, d + 1).as(f.name)
         }.toSeq: _*)
-      case other => raw.cast(other)
+      case other =>
+        // try_cast for the same reason: a malformed numeric/timestamp
+        // value becomes NULL (legacy CSV-load semantics) instead of an
+        // ANSI NUMBER_FORMAT error failing the job
+        raw.try_cast(other)
     }
 
   /** Load a headerless CSV whose columns (in order) are described by
@@ -120,21 +129,22 @@ object ComplexCsv {
     // for files with wrong/absent headers); a header row alone names
     // them too; otherwise columns are positional _cN
     val fileHeader = o.get("fileheader").map(_.split(",").map(_.trim).toSeq)
-    val raw = fileHeader match {
-      case Some(names) if hasHeaderRow =>
-        require(names.length == raw0.columns.length,
-          s"fileheader has ${names.length} names for ${raw0.columns.length} columns")
-        raw0.toDF(names: _*)
-      case _ => raw0
-    }
+    // the length check guards BOTH branches: in the headerless case an
+    // oversized fileheader would otherwise surface later as a cryptic
+    // unresolved _cN error instead of this message
+    fileHeader.foreach(names => require(names.length == raw0.columns.length,
+      s"fileheader has ${names.length} names for ${raw0.columns.length} columns"))
+    val raw = fileHeader.fold(raw0)(names => raw0.toDF(names: _*))
     val fileCols: Option[Seq[String]] =
-      if (hasHeaderRow) Some(raw.columns.toSeq) else fileHeader
+      if (hasHeaderRow || fileHeader.isDefined) Some(raw.columns.toSeq) else None
     val cols = schema.fields.zipWithIndex.map { case (f, i) =>
       val src = fileCols match {
         case Some(names) =>
           val j = names.indexWhere(_.equalsIgnoreCase(f.name))
           require(j >= 0, s"column ${f.name} missing from file header $names")
-          col(if (hasHeaderRow) names(j) else s"_c$j")
+          // backtick-quote: a header name containing dots must resolve
+          // as the flat CSV column, not as a nested-field reference
+          col(s"`${names(j)}`")
         case None => col(s"_c$i")
       }
       parseColumn(src, f.dataType, l1, l2, extra).as(f.name)

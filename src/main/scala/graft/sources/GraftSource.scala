@@ -36,9 +36,30 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
     val t = SegmentedTable.open(sqlContext.sparkSession, path(parameters))
-    val live = t.showSegments().filter(_.status == SegmentedTable.SUCCESS)
-    ColumnExpr.parquetRelation(sqlContext.sparkSession,
-      live.map(s => s"${t.root}/segment_${s.id}"), t.schema)
+    if (t.hasDeclaredDefaults) {
+      // an evolved table with declared column defaults must answer
+      // IDENTICALLY through every read entry point: route through
+      // t.read() (which coalesces the defaults) via a PrunedScan —
+      // column pruning survives through the projection; scan-level
+      // filter pushdown is traded away only for default-bearing tables
+      val sqlc = sqlContext
+      new BaseRelation with org.apache.spark.sql.sources.PrunedScan {
+        override def sqlContext: SQLContext = sqlc
+        override def schema: StructType = t.schema
+        override def buildScan(requiredColumns: Array[String])
+            : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+          val df = t.read()
+          val pruned =
+            if (requiredColumns.isEmpty) df
+            else df.select(requiredColumns.toSeq.map(df.col): _*)
+          pruned.rdd
+        }
+      }
+    } else {
+      val live = t.showSegments().filter(_.status == SegmentedTable.SUCCESS)
+      ColumnExpr.parquetRelation(sqlContext.sparkSession,
+        live.map(s => s"${t.root}/segment_${s.id}"), t.schema)
+    }
   }
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
@@ -58,25 +79,47 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
 
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) = {
-    val base = schema.getOrElse(
-      SegmentedTable.open(sqlContext.sparkSession, path(parameters)).schema)
-    // a caller may pass the FULL change-feed schema (e.g. one captured
-    // from a previous CDF read) — only append the CDF columns that are
-    // not already present, never duplicate them
-    val s =
-      if (changeFeedOpt(parameters)) {
-        val withType =
-          if (base.fieldNames.contains("_change_type")) base
-          else base.add("_change_type", org.apache.spark.sql.types.StringType)
-        if (withType.fieldNames.contains("_commit_version")) withType
-        else withType.add("_commit_version", org.apache.spark.sql.types.LongType)
-      } else base
-    (shortName(), s)
+    val table =
+      SegmentedTable.open(sqlContext.sparkSession, path(parameters)).schema
+    val expected =
+      if (changeFeedOpt(parameters))
+        table.add("_change_type", org.apache.spark.sql.types.StringType)
+          .add("_commit_version", org.apache.spark.sql.types.LongType)
+      else table
+    // the source always emits the TABLE's schema (+CDF columns) and
+    // Spark aliases batch output to the declared attributes
+    // POSITIONALLY — so a reordered/retyped/subset user schema would
+    // silently mislabel columns. Accept a user schema only when it
+    // matches exactly (a caller may legitimately pass the full CDF
+    // schema captured from a previous read); reject anything else at
+    // ANALYSIS time with the remedy named.
+    schema.foreach { s =>
+      def shape(st: StructType) = st.fields.map(f => (f.name, f.dataType)).toSeq
+      require(shape(s) == shape(expected),
+        s"graft streaming source does not support a user-specified schema " +
+          s"different from the table's; got ${s.simpleString}, " +
+          s"table carries ${expected.simpleString} — omit .schema(...)")
+    }
+    (shortName(), expected)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
+    // the source always emits the TABLE's schema (+CDF columns):
+    // Spark aliases getBatch output to the declared attributes
+    // POSITIONALLY, so honoring a reordered/subset user schema would
+    // silently mislabel columns — accept only an exact match (by name
+    // and type; sourceSchema already deduplicates caller-passed CDF
+    // columns) and fail loudly otherwise
+    schema.foreach { s =>
+      val expected = sourceSchema(sqlContext, None, providerName, parameters)._2
+      def shape(st: StructType) = st.fields.map(f => (f.name, f.dataType)).toSeq
+      require(shape(s) == shape(expected),
+        s"graft streaming source does not support a user-specified schema " +
+          s"different from the table's; got ${s.simpleString}, " +
+          s"table carries ${expected.simpleString} — omit .schema(...)")
+    }
     val ignoreDeletes = parameters
       .collectFirst { case (k, v) if k.equalsIgnoreCase("ignoredeletes") => v }
       .exists(_.toBoolean)
@@ -127,7 +170,13 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
               .map(qn => s"$base/$qn")
           }
       }
-      .getOrElse(s"graft-sink-${java.util.UUID.randomUUID()}")
+      // per-start lineage (temp checkpoint, or conf checkpoint with no
+      // queryName): the UUID never recurs after this query ends, so
+      // the entry is marked ephemeral and cleanFiles GCs it — a
+      // durable id here would grow sinkEpochs by one dead entry per
+      // restart, forever
+      .getOrElse(
+        s"${SegmentedTable.EphemeralSinkPrefix}${java.util.UUID.randomUUID()}")
     new GraftStreamSink(sqlContext, p, compactEvery, sinkId)
   }
 }

@@ -164,12 +164,18 @@ class GraftStreamSource(sqlContext: SQLContext, path: String,
           // every event is data: group segment reads by (version,
           // kind) exactly like readChanges, stamped with the feed cols
           if (events.isEmpty) None
-          else Some(events.groupBy(p => (p._2, p._3)).toSeq.sortBy(_._1).map {
-            case ((v, kind), group) =>
-              table.readSegmentSet(group.map(_._1))
-                .withColumn("_change_type", lit(kind))
-                .withColumn("_commit_version", lit(v))
-          }.reduce(_.unionByName(_)))
+          else {
+            // the retention contract's LOUD failure (see class doc):
+            // a range referencing cleanFiles-removed dirs must name
+            // the segments, not die as a Parquet path-not-found
+            table.requireChangeSegmentsPresent(events.map(_._1))
+            Some(events.groupBy(p => (p._2, p._3)).toSeq.sortBy(_._1).map {
+              case ((v, kind), group) =>
+                table.readSegmentSet(group.map(_._1))
+                  .withColumn("_change_type", lit(kind))
+                  .withColumn("_commit_version", lit(v))
+            }.reduce(_.unionByName(_)))
+          }
         } else {
           val deleted = events.collect { case (seg, _, "delete") => seg.id }
           if (deleted.nonEmpty && !ignoreDeletes)
@@ -179,7 +185,11 @@ class GraftStreamSource(sqlContext: SQLContext, path: String,
                 "streaming reads require an append-only table " +
                 "(option ignoreDeletes=true streams only the inserts)")
           val inserts = events.collect { case (seg, _, "insert") => seg }
-          if (inserts.isEmpty) None else Some(table.readSegmentSet(inserts))
+          if (inserts.isEmpty) None
+          else {
+            table.requireChangeSegmentsPresent(inserts)
+            Some(table.readSegmentSet(inserts))
+          }
         }
     }
     batch.fold(ColumnExpr.emptyStreamingBatch(spark, schema))(

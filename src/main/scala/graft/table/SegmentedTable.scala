@@ -1010,7 +1010,17 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     }
     sweepStaleStaging()
     pruneHistoryLog()
-    commitStatus(st.copy(segments = st.segments.filterNot(s => dead.exists(_.id == s.id))))
+    // GC EPHEMERAL sink lineages (per-start UUID ids from unnamed /
+    // temp-checkpointed streaming queries — see GraftSource.createSink):
+    // such an id can never recur after its query ends, so its epoch
+    // entry is permanent garbage; durable (checkpoint-pathed) lineages
+    // are never touched. Run cleanFiles only when no unnamed ephemeral
+    // stream is actively writing — the same in-use caveat as file GC.
+    val liveEpochs = st.sinkEpochs.filterNot(
+      _._1.startsWith(SegmentedTable.EphemeralSinkPrefix))
+    commitStatusWith(
+      st.copy(segments = st.segments.filterNot(s => dead.exists(_.id == s.id))),
+      newEpochs = Some(liveEpochs))
     sweepOrphanManifests()
   }
 
@@ -1293,11 +1303,20 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
   private[graft] def readSegmentSet(segs: Seq[SegmentMeta]): DataFrame =
     applyDefaults(readSegments(segs))
 
-  def readChanges(fromVersion: Long, toVersion: Long): DataFrame = {
-    val parts = changeEvents(fromVersion, toVersion)
-    val gone = parts.map(_._1).filterNot(s => TableIO.isDirectory(segmentDir(s.id)))
+  /** The documented loud-failure contract shared by batch
+    * [[readChanges]] and the streaming source: a change-feed range
+    * whose segment dirs cleanFiles already removed must fail BY NAME,
+    * never as a generic path-not-found from inside the Parquet reader.
+    */
+  private[graft] def requireChangeSegmentsPresent(segs: Seq[SegmentMeta]): Unit = {
+    val gone = segs.filterNot(s => TableIO.isDirectory(segmentDir(s.id)))
     require(gone.isEmpty,
       s"change feed references segments removed by cleanFiles: ${gone.map(_.id).distinct.mkString(",")}")
+  }
+
+  def readChanges(fromVersion: Long, toVersion: Long): DataFrame = {
+    val parts = changeEvents(fromVersion, toVersion)
+    requireChangeSegmentsPresent(parts.map(_._1))
     if (parts.isEmpty) {
       val extended = schema
         .add("_change_type", StringType).add("_commit_version", LongType)
@@ -1611,12 +1630,25 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
 
   /** Kept for source compatibility — [[read]] now applies defaults. */
   def readWithDefaults(): DataFrame = read()
+
+  /** Whether any column declares a default — the DataSource read path
+    * uses this to decide between the direct multi-path parquet
+    * relation (pushdown-friendly) and the default-applying plan.
+    */
+  private[graft] def hasDeclaredDefaults: Boolean =
+    properties.keys.exists(_.startsWith("default."))
 }
 
 object SegmentedTable {
   val SUCCESS = "SUCCESS"
   val DELETED = "DELETED"
   val COMPACTED = "COMPACTED"
+
+  /** Sink-lineage id prefix for PER-START (non-durable) streaming
+    * queries: epoch entries under it are garbage once their query
+    * ends (the UUID never recurs) and are pruned by cleanFiles.
+    */
+  val EphemeralSinkPrefix = "graft-sink-ephemeral-"
 
   /** A segment fully written and analyzed under a temporary path,
     * awaiting only id allocation + rename + catalog commit.

@@ -136,4 +136,54 @@ class ComplexCsvSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM csv_opt_t").head().getLong(0) == 3)
     spark.sql("DROP GRAFT TABLE csv_opt_t")
   }
+
+  test("ragged rows null-fill and malformed numerics become NULL (ANSI-safe)") {
+    val dir = Files.createTempDirectory("complex_csv_ragged")
+    val f = dir.resolve("data.csv")
+    // row 2: struct value missing its second field; row 3: non-numeric id
+    Files.writeString(f,
+      """1,ime1:ims1
+        |2,ime2
+        |abc,ime3:ims3
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", IntegerType),
+      StructField("mobile", StructType(Seq(
+        StructField("imei", StringType), StructField("imsi", StringType))))))
+    val rows = ComplexCsv.load(spark, f.toString, schema)
+      .orderBy(col("mobile.imei")).collect()
+    assert(rows.length == 3, "a ragged/malformed row must not kill the load")
+    val byImei = rows.map(r => r.getStruct(1).getString(0) -> r).toMap
+    assert(byImei("ime2").getStruct(1).isNullAt(1), "missing struct field null-fills")
+    assert(byImei("ime3").isNullAt(0), "malformed numeric becomes NULL")
+    assert(byImei("ime1").getInt(0) == 1)
+  }
+
+  test("header names containing dots resolve as flat columns") {
+    val dir = Files.createTempDirectory("complex_csv_dots")
+    val f = dir.resolve("data.csv")
+    Files.writeString(f,
+      """user.id,user.name
+        |7,alice
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("user.name", StringType), StructField("user.id", IntegerType)))
+    val rows = ComplexCsv.loadWithOptions(spark, f.toString, schema,
+      Map("header" -> "true")).collect()
+    assert(rows.length == 1 && rows(0).getString(0) == "alice" &&
+      rows(0).getInt(1) == 7)
+  }
+
+  test("oversized fileheader fails with the named message in the headerless branch") {
+    val dir = Files.createTempDirectory("complex_csv_fh")
+    val f = dir.resolve("data.csv")
+    Files.writeString(f, "1,alice\n")
+    val schema = StructType(Seq(StructField("id", IntegerType)))
+    val ex = intercept[IllegalArgumentException] {
+      ComplexCsv.loadWithOptions(spark, f.toString, schema,
+        Map("fileheader" -> "id,name,extra"))
+    }
+    assert(ex.getMessage.contains("fileheader has 3 names for 2 columns"),
+      ex.getMessage)
+  }
 }

@@ -42,4 +42,48 @@ class GraftSourceSpec extends AnyFunSuite {
     t.load(n.limit(9))
     assert(spark.read.format("graft").load(root).count() == 9)
   }
+
+  test("declared column defaults apply identically through format(graft) reads") {
+    val root = Files.createTempDirectory("graft_src_def").resolve("t").toString
+    val n = spark.read.parquet(s"${TestSpark.sf}/nation.parquet")
+      .select(col("n_nationkey"), col("n_name"))
+    n.write.format("graft").mode(SaveMode.ErrorIfExists).save(root)
+    val t = graft.table.SegmentedTable.open(spark, root)
+      .addColumn("region_code", org.apache.spark.sql.types.IntegerType, Some("7"))
+    val viaSource = spark.read.format("graft").load(root)
+    // every pre-evolution row reads the declared default, exactly as
+    // the table API does — the two entry points must never diverge
+    assert(viaSource.filter(col("region_code") =!= 7).count() == 0)
+    assert(viaSource.filter(col("region_code") === 7).count() == n.count())
+    assert(viaSource.orderBy("n_nationkey").collect().toSeq ==
+      t.read().orderBy("n_nationkey").collect().toSeq)
+    // (the default-free fast path — direct parquet scan with pushdown —
+    // is pinned by the round-trip test's FileScan assertion above)
+  }
+
+  test("streaming source rejects a mismatched user schema at analysis") {
+    val root = Files.createTempDirectory("graft_src_schema").resolve("t").toString
+    val n = spark.read.parquet(s"${TestSpark.sf}/nation.parquet")
+    n.write.format("graft").mode(SaveMode.ErrorIfExists).save(root)
+    val wrong = new org.apache.spark.sql.types.StructType()
+      .add("bogus", org.apache.spark.sql.types.StringType)
+    val ex = intercept[IllegalArgumentException] {
+      spark.readStream.format("graft").schema(wrong).load(root)
+    }
+    assert(ex.getMessage.contains("user-specified schema"), ex.getMessage)
+  }
+
+  test("cleanFiles prunes ephemeral sink lineages, keeps durable ones") {
+    val root = Files.createTempDirectory("graft_src_eph").resolve("t").toString
+    val n = spark.read.parquet(s"${TestSpark.sf}/nation.parquet").limit(5)
+    val t = graft.table.SegmentedTable.save(n, root, SaveMode.ErrorIfExists)
+    // simulate one durable and one per-start lineage commit
+    t.loadStreamBatch(n, "ckpt/q1", 0L)
+    t.loadStreamBatch(n,
+      graft.table.SegmentedTable.EphemeralSinkPrefix + "deadbeef", 0L)
+    assert(t.status.sinkEpochs.size == 2)
+    t.cleanFiles()
+    assert(t.status.sinkEpochs.keySet == Set("ckpt/q1"),
+      s"ephemeral lineage must be GC'd: ${t.status.sinkEpochs}")
+  }
 }
