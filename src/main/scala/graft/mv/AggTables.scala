@@ -291,6 +291,20 @@ object AggTables {
       .map(st => Serialization.read[AggTableMeta](
         graft.table.TableIO.readString(st.getPath)))
 
+  /** Whether a scan carries FILE-LEVEL read filters (glob, mtime
+    * bounds, recursive lookup): such a scan reads a SUBSET of its
+    * root paths' files, so neither the catalog-count fast path nor an
+    * MV rewrite may answer for it — both reason about roots, not the
+    * filtered file set. Shared by [[CountStarFromCatalog]] and
+    * [[AggTableRewrite]].
+    */
+  private[mv] def hasFileFilterOptions(
+      h: org.apache.spark.sql.execution.datasources.HadoopFsRelation): Boolean = {
+    val keys = h.options.keySet.map(_.toLowerCase(java.util.Locale.ROOT))
+    Seq("pathglobfilter", "modifiedafter", "modifiedbefore",
+      "recursivefilelookup").exists(keys.contains)
+  }
+
   /** Staleness guard: digest of the base directory's data-file listing
     * (name, length, modtime). Any append/overwrite/compaction changes
     * it, which disables the rewrite until refresh(). One driver-side
@@ -389,6 +403,11 @@ case class AggTableRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   spark.conf.set(AggTableRewrite.Marker, "true")
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
+    // bail before ANY catalog I/O: registered() lists + parses every
+    // MV meta file, and the optimizer invokes this rule for every
+    // query (more than once in a fixed-point batch) — a plan with no
+    // Aggregate can never rewrite
+    if (!plan.exists(_.isInstanceOf[Aggregate])) return plan
     val mvs = AggTables.registered(spark)
     if (mvs.isEmpty) return plan
     // the BASE-LISTING fingerprint is cached per base path (one
@@ -408,9 +427,14 @@ case class AggTableRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     plan.transformUp {
       case agg @ Aggregate(grouping, aggExprs, child, _) =>
         baseCandidates(child).flatMap { case (base, scanPaths, needLiveCheck) =>
-          mvs.find(_.basePath == base).filter(isFresh)
+          // try EVERY fresh MV on this base, first servable wins — a
+          // base can carry several rollups (different dims) and the
+          // listing-order-first one failing to serve must not mask a
+          // sibling that matches exactly
+          mvs.filter(_.basePath == base).filter(isFresh)
             .filter(_ => !needLiveCheck || scanIsCurrentLive(base, scanPaths))
             .flatMap(mv => rewrite(agg, mv))
+            .headOption
         }.headOption.getOrElse(agg)
     }
   }
@@ -430,7 +454,9 @@ case class AggTableRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     */
   private def baseCandidates(p: LogicalPlan): Seq[(String, Seq[String], Boolean)] = p match {
     case l: LogicalRelation => l.relation match {
-      case h: HadoopFsRelation =>
+      // file-filtered scans (glob/mtime/recursive options) read a
+      // subset of the base's files — the full rollup would overcount
+      case h: HadoopFsRelation if !AggTables.hasFileFilterOptions(h) =>
         val roots = h.location.rootPaths.toList
           .map(_.toString.stripPrefix("file:").stripSuffix("/"))
         val exact = roots match {
@@ -520,7 +546,16 @@ case class AggTableRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           case _ => None
         }
         repl match {
-          case Some(e) => Alias(e, name)(exprId = al.exprId)
+          case Some(e) =>
+            // pin the rewritten expression to the ORIGINAL output
+            // type: re-aggregation can widen (a decimal sum-of-sums
+            // grows precision), and a drifted type under a preserved
+            // exprId corrupts everything resolved above this plan —
+            // the refresh path pins merged columns for the same reason
+            val pinned =
+              if (e.dataType == al.child.dataType) e
+              else Cast(e, al.child.dataType)
+            Alias(pinned, name)(exprId = al.exprId)
           case None => return None
         }
       case _ => return None

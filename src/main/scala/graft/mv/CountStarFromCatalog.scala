@@ -46,7 +46,10 @@ case class CountStarFromCatalog(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def scanPaths(p: LogicalPlan): Option[Seq[String]] = p match {
     case l: LogicalRelation => l.relation match {
-      case h: HadoopFsRelation =>
+      // a scan carrying file-level read filters (glob, mtime bounds,
+      // recursive lookup) reads a SUBSET of the segment dirs' files —
+      // the catalog count would silently overcount; leave it alone
+      case h: HadoopFsRelation if !AggTables.hasFileFilterOptions(h) =>
         Some(h.location.rootPaths.map(_.toString.stripPrefix("file:")))
       case _ => None
     }
@@ -70,7 +73,7 @@ case class CountStarFromCatalog(spark: SparkSession) extends Rule[LogicalPlan] {
     val (root, pairs) = byRoot.head
     if (!SegmentedTable.exists(root)) return None
     val t = SegmentedTable.open(spark, root)
-    val live = t.showSegments().filter(_.status == "SUCCESS")
+    val live = t.showSegments().filter(_.status == SegmentedTable.SUCCESS)
     if (live.map(_.id).toSet != pairs.map(_._2).toSet) return None
     Some(live.map(_.rowCount).sum)
   }

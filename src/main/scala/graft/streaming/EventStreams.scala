@@ -52,11 +52,18 @@ object EventStreams {
     */
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
     val raw = graft.Tables.rawEvents(spark, dir)
-    // testdata tables are single files, not directories: stream the
-    // parent dir with a glob filter so the file source accepts it
-    val stream = spark.readStream.schema(raw.schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    // layout-adaptive: a single-FILE events.parquet (the testdata
+    // shape) streams its parent dir with a glob filter (the file
+    // source rejects bare files); a DIRECTORY events.parquet (the
+    // standard df.write.parquet layout) streams directly — the glob
+    // would match leaf part-file NAMES and silently read zero rows
+    val p = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val stream =
+      if (graft.table.TableIO.isDirectory(p))
+        spark.readStream.schema(raw.schema).parquet(p.toString)
+      else spark.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
     graft.Tables.normalizeEventTs(stream)
       .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
   }
@@ -85,10 +92,10 @@ object EventStreams {
                       statePartitions: Int = 0): DataFrame = {
     val name = s"graft_stream_${runIds.incrementAndGet()}"
     // Fixed micro-batch overhead trims (r6 VERDICT: st01):
-    //  - AvailableNow drains every file present at start in the data
-    //    batches themselves; the trailing NO-DATA batch exists only to
-    //    advance the watermark for late-arrival finalization, which a
-    //    run-to-completion drain never benefits from — skip it.
+    //  - complete/update drains re-emit their state in the data
+    //    batches themselves, so THEIR trailing NO-DATA batch buys
+    //    nothing and is skipped; append keeps it (see the conditional
+    //    below — watermark-finalized append aggregations emit there).
     //  - Stateful-operator partition count (fixed at first run by
     //    spark.sql.shuffle.partitions) should match STATE cardinality
     //    (e.g. windows-in-flight × groups for a windowed agg), not
@@ -112,7 +119,16 @@ object EventStreams {
       val conf = spark.conf
       val prevNoData = conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
       val prevParts = conf.getOption("spark.sql.shuffle.partitions")
-      conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      // the trailing NO-DATA batch is skipped only for complete/update
+      // drains: they re-emit (full / changed) state every data batch,
+      // so the finalization batch adds cost and nothing else. APPEND
+      // keeps it — an append-mode event-time aggregation (windowed agg
+      // under a watermark) emits a window only when the watermark
+      // passes its end, which for an AvailableNow drain happens IN the
+      // trailing no-data batch; skipping it would silently return an
+      // empty result from a correct query.
+      conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+        (mode == "append").toString)
       if (statePartitions > 0)
         conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
       try {
@@ -182,12 +198,19 @@ object EventStreams {
     * count reaches the threshold (0 disables).
     */
   def streamIntoTable(stream: DataFrame, table: graft.table.SegmentedTable,
-                      autoCompactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+                      autoCompactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+    // exactly-once WITHIN this drain: batches commit through the same
+    // epoch-checked path as the graft sink under a per-call EPHEMERAL
+    // lineage — a Spark retry of a failed micro-batch re-lands
+    // nothing, while a later separate call intentionally re-ingests
+    // (fresh lineage) and cleanFiles GCs the dead entry
+    val sinkId = graft.table.SegmentedTable.EphemeralSinkPrefix +
+      java.util.UUID.randomUUID()
     stream.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          table.load(batch)
+          table.loadStreamBatch(batch, sinkId, batchId)
           // size-tiered MINOR compaction, shared with the sink —
           // see SegmentedTable.autoCompactMinorIfNeeded
           table.autoCompactMinorIfNeeded(autoCompactEvery)
@@ -195,6 +218,7 @@ object EventStreams {
       }
       .trigger(Trigger.AvailableNow())
       .start()
+  }
 
   /** Near-dup-aware streaming ingest: every micro-batch is delivered
     * through [[graft.dedup.Dedup.ingestNovel]], so re-delivered ids

@@ -28,6 +28,18 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(streamed.sameElements(batch))
   }
 
+  test("append-mode windowed aggregation drains non-empty (finalization batch runs)") {
+    // append emits a window only when the watermark passes its end —
+    // for an AvailableNow drain that happens in the trailing no-data
+    // batch, which runToCompletion must NOT skip for append mode
+    val landed = EventStreams.runToCompletion(spark,
+      EventStreams.hourlyAgg(EventStreams.eventStream(spark, TestSpark.sf)),
+      mode = "append", statePartitions = 4)
+    assert(landed.count() > 0,
+      "append windowed agg drained empty — the watermark finalization " +
+        "batch was skipped")
+  }
+
   test("sessions partition all events exactly once") {
     val ev = Tables.events(spark, TestSpark.sf)
       .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))

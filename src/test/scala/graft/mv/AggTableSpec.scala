@@ -85,6 +85,51 @@ class AggTableSpec extends AnyFunSuite {
     assert(qf.head().getLong(0) == n.filter(col("n_nationkey") > 5).count() * 2)
   }
 
+  test("with several MVs on one base, the servable sibling wins") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mv_multi")
+    val b = dir.resolve("ev").toString
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .write.parquet(b)
+    AggTables.create(spark, "multi_by_prio", b,
+      Seq("o_orderpriority"), Seq("sum" -> "o_totalprice"))
+    AggTables.create(spark, "multi_by_status", b,
+      Seq("o_orderstatus"), Seq("sum" -> "o_totalprice"))
+    // a query only the SECOND-registered MV can serve must still
+    // rewrite (listing order is not a serve order)
+    val q = spark.read.parquet(b).groupBy(col("o_orderstatus"))
+      .agg(sum(col("o_totalprice")).as("s"))
+    val paths = scannedPaths(q)
+    assert(paths.exists(_.contains("multi_by_status")), s"scanned: $paths")
+    // and each MV serves its own dims with equal results
+    val want = spark.read.option("pathGlobFilter", "*.parquet").parquet(b)
+      .groupBy(col("o_orderstatus")).agg(sum(col("o_totalprice")).as("s"))
+      .orderBy("o_orderstatus").collect()
+    assert(q.orderBy("o_orderstatus").collect().sameElements(want))
+  }
+
+  test("file-filtered scans are never rewritten and never catalog-counted") {
+    // pathGlobFilter & co. read a SUBSET of the scan roots' files —
+    // an MV rewrite or a catalog count would silently overcount
+    val filtered = spark.read.option("pathGlobFilter", "*.parquet")
+      .parquet(base)
+      .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")).as("s"))
+    assert(scannedPaths(filtered).exists(_.endsWith("lineitem.parquet")),
+      "an option-carrying scan must keep reading the base")
+    // count(*) fast path: an EXCLUDING glob over a graft table must
+    // count the (zero) matching files, not the catalog
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cnt_glob").resolve("t").toString
+    val n = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    val t = graft.table.SegmentedTable.create(spark, root, n.schema, Map.empty)
+    t.load(n)
+    val seg = t.read().inputFiles.head.replaceFirst("/[^/]*$", "")
+    val globbed = spark.read.schema(n.schema)
+      .option("pathGlobFilter", "no_such_prefix*").parquet(seg)
+      .agg(count(lit(1)).as("cnt"))
+    assert(globbed.head().getLong(0) == 0L,
+      "excluding glob must yield 0, not the catalog rowCount")
+  }
+
   test("stale MV is not used; refresh re-enables; drop deregisters") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mvbase")
     val basePath = dir.resolve("nation.parquet").toString
