@@ -341,19 +341,21 @@ object Dedup {
                     centroids: Seq[(Int, Array[Float])],
                     minCos: Double, maxCellSide: Int = 4096): DataFrame = {
     import graft.similarity.Similarity
-    // persist the cell assignment: both join sides read it, and without
-    // the cache the centroid-scoring pipeline evaluates twice; the
-    // result is materialized eagerly (localCheckpoint) so the cache is
-    // released before returning (minhashCandidates' pattern)
+    // persist the CELL ASSIGNMENT itself: the nlist-cosine scoring
+    // projection is the dominant map cost, and counts, a-side, and
+    // b-side all derive from it — caching any later frame would still
+    // re-score through the uncached lineage. The result is
+    // materialized eagerly (localCheckpoint) so the cache is released
+    // before returning (minhashCandidates' pattern).
     val c = Similarity.assignCells(
       spread(corpus.select(col(idCol).as("id"), col(vecCol).as("v"))),
       "v", centroids, 1)
+      .persist()
     val counts = c.groupBy(col("cell")).agg(count(lit(1)).as("__n"))
     val salted = c.join(broadcast(counts), Seq("cell"))
       .withColumn("__s",
         ceil(col("__n").cast("double") / maxCellSide).cast("int"))
       .withColumn("__b", pmod(xxhash64(col("id")), col("__s")).cast("int"))
-      .persist()
     try {
       val a = salted
         .select(col("cell"), col("id").as("id_a"), col("v").as("va"),
@@ -373,7 +375,7 @@ object Dedup {
           greatest(col("id_a"), col("id_b")).as("dup_id"))
         .groupBy(col("dup_id")).agg(min(col("kept_id")).as("kept_id"))
         .localCheckpoint()
-    } finally salted.unpersist()
+    } finally c.unpersist()
   }
 
   /** Exact word-shingle Jaccard for pairs sharing a blocking key.
@@ -393,13 +395,15 @@ object Dedup {
       blockCols.map(col): _*)
     val b = withSh.select(col("id").as("id_b") +: col("sh").as("sh_b") +:
       blockCols.map(col): _*)
+    // threshold on the UNROUNDED similarity (matching the oracle);
+    // rounding only the REPORTED column — a round-then-filter would
+    // admit pairs genuinely below the caller's cutoff
+    val j = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+      size(array_union(col("sh_a"), col("sh_b")))
     a.join(b, blockCols)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard",
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 6))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .filter(j >= minJaccard)
+      .select(col("id_a"), col("id_b"), round(j, 6).as("jaccard"))
   }
 
   /** Edit-distance-VERIFIED near-dup pairs: candidates come from
@@ -420,8 +424,9 @@ object Dedup {
     * prefix bound is sound because lev ≥ length difference.
     */
   def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
-                        denom: Int = 10): DataFrame = {
-    val cand = minhashCandidates(docs, idCol, textCol)
+                        denom: Int = 10, k: Int = 16,
+                        rowsPerBand: Int = 4): DataFrame = {
+    val cand = minhashCandidates(docs, idCol, textCol, k, rowsPerBand)
     val texts = docs.select(col(idCol), col(textCol))
     val a = texts.toDF("id_a", "__ta")
     val b = texts.toDF("id_b", "__tb")
@@ -440,7 +445,7 @@ object Dedup {
     * are tiny, so 2-3 rounds in practice; the same scheme GraphX CC
     * uses, shuffle-bound and skew-free at any corpus size).
     */
-  def nearDupClusters(pairs: DataFrame): DataFrame = {
+  def nearDupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
@@ -449,7 +454,7 @@ object Dedup {
       .withColumn("rep", col("id"))
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 20) {
+    while (changed > 0 && iter < maxIters) {
       // candidate label per node: min of own and neighbors' labels
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "dst")
@@ -481,6 +486,17 @@ object Dedup {
       if (iter > 0) prev.unpersist()
       labels = next
       iter += 1
+    }
+    if (changed > 0) {
+      labels.unpersist(); edges.unpersist()
+      // min-label propagation moves the component minimum one hop per
+      // round, so the cap bounds DIAMETER; returning the unconverged
+      // labels would silently dedup against wrong representatives —
+      // fail by name instead (the repo-wide fail-fast discipline)
+      throw new IllegalStateException(
+        s"connected components did not converge within $maxIters rounds " +
+          s"($changed labels still moving) — a component's diameter " +
+          s"exceeds the cap; raise maxIters (e.g. ${maxIters * 2})")
     }
     val out = labels.select(col("id").as("doc_id"), col("rep"))
       .localCheckpoint()

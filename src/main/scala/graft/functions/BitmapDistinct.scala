@@ -31,6 +31,25 @@ case class BitmapDistinctCount(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Roaring64Bitmap] with UnaryLike[Expression] {
 
+  /** Integral inputs only: the bitmap represents the VALUE itself, so
+    * the count is exact by construction. A silent fallback to a 32-bit
+    * object hash would undercount past ~10^8 distinct values while
+    * still claiming exactness — non-integral keys must be hashed to
+    * 64-bit EXPLICITLY by the caller (xxhash64), who then owns the
+    * collision contract.
+    */
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bitmap_distinct_count requires an integral column " +
+            s"(byte/short/int/long), got ${other.simpleString} — hash " +
+            "non-integral keys to 64-bit explicitly (xxhash64) first")
+    }
+
   override def createAggregationBuffer(): Roaring64Bitmap = new Roaring64Bitmap()
 
   override def update(b: Roaring64Bitmap, input: InternalRow): Roaring64Bitmap = {
@@ -41,7 +60,8 @@ case class BitmapDistinctCount(
         case l: Long => l
         case s: Short => s.toLong
         case by: Byte => by.toLong
-        case other => other.hashCode().toLong
+        case other => throw new IllegalStateException(
+          s"non-integral input survived analysis: ${other.getClass}")
       }
       b.addLong(l)
     }

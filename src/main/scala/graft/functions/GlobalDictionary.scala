@@ -58,15 +58,24 @@ object GlobalDictionary {
       .withColumn("id", row_number().over(Window.orderBy(col("value"))).cast("long"))
   }
 
-  /** Replace `column` with its surrogate id (null values stay null). */
-  def encode(df: DataFrame, dict: DataFrame, column: String): DataFrame =
-    df.join(broadcast(dict.withColumnRenamed("value", column)), Seq(column), "left")
-      .withColumn(column + "_id", col("id"))
-      .drop("id")
+  /** Append `column`_id — the surrogate for `column` — keeping the
+    * original column (null values stay null). The dictionary's
+    * internal (value, id) names are remapped before the join so a
+    * caller frame carrying its own `id`/`value` column (the common
+    * case) never hits an ambiguous reference.
+    */
+  def encode(df: DataFrame, dict: DataFrame, column: String): DataFrame = {
+    val d = dict.select(col("value").as(column), col("id").as("__dict_id"))
+    df.join(broadcast(d), Seq(column), "left")
+      .withColumn(column + "_id", col("__dict_id"))
+      .drop("__dict_id")
+  }
 
-  /** Inverse mapping. */
+  /** Inverse mapping: append `asColumn` decoded from `idColumn`. */
   def decode(df: DataFrame, dict: DataFrame, idColumn: String,
-             asColumn: String): DataFrame =
-    df.join(broadcast(dict.withColumnRenamed("id", idColumn)), Seq(idColumn), "left")
-      .withColumnRenamed("value", asColumn)
+             asColumn: String): DataFrame = {
+    val d = dict.select(col("id").as(idColumn), col("value").as("__dict_value"))
+    df.join(broadcast(d), Seq(idColumn), "left")
+      .withColumnRenamed("__dict_value", asColumn)
+  }
 }

@@ -39,6 +39,28 @@ case class MgCandidates(
 
   require(k > 0, "mg_candidates requires k > 0")
 
+  /** Atomic inputs only (string/numeric/date/timestamp/boolean): the
+    * sketch keys by the value's string form, and a non-atomic value
+    * (array/struct) or raw binary would key by an identity-based
+    * toString — every row a unique key, nondeterministic garbage
+    * candidates. Fail analysis instead.
+    */
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType | BooleanType | ByteType | ShortType | IntegerType |
+          LongType | FloatType | DoubleType | DateType | TimestampType |
+          TimestampNTZType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _: DecimalType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"mg_candidates requires an atomic value-keyed column, got " +
+            s"${other.simpleString} (arrays/structs/binary would key by " +
+            "an identity toString — project a stable key first)")
+    }
+
   override def createAggregationBuffer(): mutable.HashMap[String, Long] =
     mutable.HashMap.empty
 
@@ -94,11 +116,17 @@ case class MgCandidates(
     ArrayData.toArrayData(
       b.keysIterator.toArray.sorted.map(UTF8String.fromString))
 
+  // length-prefixed UTF-8, not writeUTF: the modified-UTF-8 form caps
+  // keys at 65535 bytes and would throw mid-shuffle on long keys
+  // (heavy-hitter URLs/documents routinely exceed it)
   override def serialize(b: mutable.HashMap[String, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val dos = new DataOutputStream(bos)
     dos.writeInt(b.size)
-    b.foreach { case (key, c) => dos.writeUTF(key); dos.writeLong(c) }
+    b.foreach { case (key, c) =>
+      val kb = key.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      dos.writeInt(kb.length); dos.write(kb); dos.writeLong(c)
+    }
     dos.close()
     bos.toByteArray
   }
@@ -108,7 +136,14 @@ case class MgCandidates(
     val n = dis.readInt()
     val b = mutable.HashMap.empty[String, Long]
     var i = 0
-    while (i < n) { b.update(dis.readUTF(), dis.readLong()); i += 1 }
+    while (i < n) {
+      val len = dis.readInt()
+      val kb = new Array[Byte](len)
+      dis.readFully(kb)
+      b.update(new String(kb, java.nio.charset.StandardCharsets.UTF_8),
+        dis.readLong())
+      i += 1
+    }
     b
   }
 

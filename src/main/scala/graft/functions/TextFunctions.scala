@@ -17,7 +17,16 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokens of a document. */
+  /** Whitespace tokens of a document.
+    *
+    * Empty/whitespace-only text yields `[""]` — ONE empty token, so
+    * [[tokenCount]] reports 1, not 0. This is split()'s documented
+    * edge in both Spark and DuckDB (`regexp_split_to_array`), and
+    * every oracle replays it identically; "changing" it here without
+    * changing all ~30 text oracles in lockstep would break the
+    * cross-engine hash gates. Callers filtering blank documents
+    * should test `length(trim(text)) > 0`, not `tokenCount > 0`.
+    */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
 
   def tokenCount(c: Column): Column = size(tokens(c))

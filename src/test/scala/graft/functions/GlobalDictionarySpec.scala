@@ -35,4 +35,16 @@ class GlobalDictionarySpec extends AnyFunSuite {
     // at or below the ceiling builds fine
     assert(GlobalDictionary.build(wide, "k", maxCardinality = 200).count() == 100)
   }
+
+  test("encode/decode survive caller frames that already carry id/value columns") {
+    import spark.implicits._
+    val df = Seq((1L, "b", "x"), (2L, "a", "y")).toDF("id", "value", "k")
+    val dict = GlobalDictionary.build(df, "k")
+    val enc = GlobalDictionary.encode(df, dict, "k")
+    assert(enc.columns.toSet == Set("id", "value", "k", "k_id"))
+    assert(enc.filter(col("k") === "x").head().getAs[Long]("k_id") == 1L)
+    val dec = GlobalDictionary.decode(
+      enc.withColumnRenamed("k_id", "kid"), dict, "kid", "k2")
+    assert(dec.filter(col("k") === "x").head().getAs[String]("k2") == "x")
+  }
 }

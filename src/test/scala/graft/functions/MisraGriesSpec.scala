@@ -102,4 +102,25 @@ class MisraGriesSpec extends AnyFunSuite {
     assert(cand.size <= 10)
     assert(cand == cand.sorted, "eval must return a deterministic sorted array")
   }
+
+  test("keys longer than 64KB serialize through the shuffle (no writeUTF cap)") {
+    import spark.implicits._
+    import graft.functions.MgCandidates.mgCandidates
+    val big = "x" * 70000 // over writeUTF's 65535-byte modified-UTF-8 cap
+    val df = (Seq.fill(5)(big) ++ Seq("small")).toDF("k")
+      .repartition(4) // force partial sketches through serialize/merge
+    val cands = df.agg(mgCandidates(col("k"), 4).as("c"))
+      .head().getSeq[String](0)
+    assert(cands.contains(big))
+  }
+
+  test("non-atomic input fails analysis, not at runtime") {
+    import spark.implicits._
+    import graft.functions.MgCandidates.mgCandidates
+    val df = Seq(Seq("a", "b")).toDF("arr")
+    val ex = intercept[Exception] {
+      df.agg(mgCandidates(col("arr"), 4)).collect()
+    }
+    assert(ex.getMessage.contains("mg_candidates"), ex.getMessage)
+  }
 }
