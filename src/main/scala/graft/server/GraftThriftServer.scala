@@ -27,11 +27,16 @@ object GraftThriftServer {
 
   /** Start the thrift service on `port` bound to the given session.
     * Returns after the service is up (HiveThriftServer2 runs its own
-    * daemon threads).
+    * daemon threads). `bindHost` defaults to loopback — the safe
+    * single-node default — and a cluster deployment passes the edge
+    * node's address (or "0.0.0.0") so remote BI clients can connect
+    * (also settable as the second CLI arg / GRAFT_THRIFT_BIND_HOST
+    * for the standalone main).
     */
-  def start(spark: SparkSession, port: Int): Unit = {
+  def start(spark: SparkSession, port: Int,
+            bindHost: String = "localhost"): Unit = {
     spark.sqlContext.setConf("hive.server2.thrift.port", port.toString)
-    spark.sqlContext.setConf("hive.server2.thrift.bind.host", "localhost")
+    spark.sqlContext.setConf("hive.server2.thrift.bind.host", bindHost)
     // one executor pool per server; results stream to the client
     spark.sqlContext.setConf("hive.server2.transport.mode", "binary")
     HiveThriftServer2.startWithContext(spark.sqlContext)
@@ -39,6 +44,9 @@ object GraftThriftServer {
 
   def main(args: Array[String]): Unit = {
     val port = args.headOption.map(_.toInt).getOrElse(10000)
+    val bindHost = args.lift(1)
+      .orElse(sys.env.get("GRAFT_THRIFT_BIND_HOST"))
+      .getOrElse("localhost")
     val spark = SparkSession.builder()
       .appName("graft-thrift-server")
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
@@ -47,7 +55,7 @@ object GraftThriftServer {
       .config("spark.sql.session.timeZone", "UTC")
       .withExtensions(new graft.sql.GraftSqlExtensions)
       .getOrCreate()
-    start(spark, port)
+    start(spark, port, bindHost)
     // keep the driver alive for the daemon service
     Thread.currentThread().join()
   }

@@ -154,12 +154,15 @@ object GraftSkylineFunction {
     val dims = litVal(exprs(1)).split(",").map(_.trim).filter(_.nonEmpty).toSeq
     require(dims.nonEmpty, "graft_skyline requires at least one dimension")
     val df =
-      if (source.startsWith("/") && source.endsWith(".parquet"))
-        spark.read.parquet(source)
-      else if (SegmentedTable.exists(GraftCatalog.tablePath(spark, source)) ||
-               source.startsWith("/"))
-        (if (source.startsWith("/")) SegmentedTable.open(spark, source)
-         else GraftCatalog.open(spark, source)).read()
+      if (source.startsWith("/"))
+        // absolute path: a graft table root opens through the catalog
+        // read; anything else (a .parquet file OR a plain parquet
+        // directory) reads as parquet — a leading '/' alone must
+        // never route a non-graft path into SegmentedTable.open
+        if (SegmentedTable.exists(source)) SegmentedTable.open(spark, source).read()
+        else spark.read.parquet(source)
+      else if (SegmentedTable.exists(GraftCatalog.tablePath(spark, source)))
+        GraftCatalog.open(spark, source).read()
       else spark.table(source)
     graft.queries.Skyline.skyline(df, dims).queryExecution.logical
   }
@@ -284,7 +287,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val createCubeRe =
     """(?is)\s*CREATE\s+CUBE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s+(.+)""".r
   private val dropCubeRe =
-    """(?is)\s*DROP\s+CUBE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*""".r
+    """(?is)\s*DROP\s+CUBE\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*""".r
   private val showCubesRe = """(?is)\s*SHOW\s+CUBES\s*;?\s*""".r
   // reference ShowCreateCube (CarbonSqlParser.scala grammar) — alias
   // of SHOW CREATE GRAFT TABLE, completing the cube-dialect surface
@@ -343,7 +346,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val cleanRe =
     """(?is)\s*CLEAN\s+GRAFT\s+FILES\s+FOR\s+(\w+)\s*""".r
   private val dropRe =
-    """(?is)\s*DROP\s+GRAFT\s+TABLE\s+(\w+)\s*""".r
+    """(?is)\s*DROP\s+GRAFT\s+TABLE\s+(IF\s+EXISTS\s+)?(\w+)\s*""".r
   private val addColRe =
     """(?is)\s*ALTER\s+GRAFT\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(\w+)\s+(\w+(?:\(\d+(?:,\d+)?\))?)\s*(?:DEFAULT\s+'([^']*)')?\s*""".r
   private val dropColRe =
@@ -355,7 +358,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     // with the graft grammar or with Spark SQL
     case createCubeRe(ifNotExists, name, body) =>
       parseCreateCube(sqlText, name, body, ifNotExists != null)
-    case dropCubeRe(name) => DropGraftTableCommand(name)
+    case dropCubeRe(ifExists, name) =>
+      DropGraftTableCommand(name, ifExists = ifExists != null)
     case showCubesRe() => ShowGraftTablesCommand()
     case showCreateCubeRe(name) => ShowCreateGraftTableCommand(name)
     case loadCubeRe(path, name, opts) =>
@@ -371,8 +375,17 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     // (CREATE/DROP GRAFT TABLE would otherwise swallow the prefix)
     case createAggRe(name, path, groupCols, aggSpec) =>
       val dims = groupCols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-      val measures = measureRe.findAllMatchIn(aggSpec)
-        .map(m => m.group(1).toLowerCase(Locale.ROOT) -> m.group(2)).toSeq
+      // every AGG item must parse as f(col): a silently-dropped item
+      // (count(*), avg(y,z)) would create the rollup WITHOUT the
+      // requested measure and report success — same strictness as the
+      // cube dialect's parseCreateAggregateTable
+      val items = aggSpec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val measures = items.map {
+        case measureRe(f, c) => f.toLowerCase(Locale.ROOT) -> c
+        case bad => throw new IllegalArgumentException(
+          s"malformed AGG item '$bad' — expected f(column) with f in " +
+            "sum/min/max (COUNT(*) is derived automatically)")
+      }
       require(dims.nonEmpty, "GROUP BY columns required")
       require(measures.nonEmpty, "AGG measures required")
       CreateGraftAggTableCommand(name, path, dims, measures)
@@ -454,7 +467,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       AlterGraftAddColumnCommand(name, colName,
         delegate.parseDataType(colType), Option(default))
     case dropColRe(name, colName) => AlterGraftDropColumnCommand(name, colName)
-    case dropRe(name) => DropGraftTableCommand(name)
+    case dropRe(ifExists, name) =>
+      DropGraftTableCommand(name, ifExists = ifExists != null)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -465,15 +479,17 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   private def isGraft(s: String): Boolean = {
     val u = s.toUpperCase(Locale.ROOT)
+    // all checks run on the whitespace-NORMALIZED form: "GRAFT\n"
+    // (formatted statements) must route exactly like "GRAFT "
     val t = u.trim.replaceAll("\\s+", " ")
-    (u.contains("GRAFT ") && (u.trim.startsWith("CREATE") ||
-      u.trim.startsWith("LOAD") || u.trim.startsWith("SHOW") ||
-      u.trim.startsWith("DELETE") || u.trim.startsWith("COMPACT") ||
-      u.trim.startsWith("OPTIMIZE") || u.trim.startsWith("RESTORE") ||
-      u.trim.startsWith("CLEAN") || u.trim.startsWith("DROP") ||
-      u.trim.startsWith("ALTER") || u.trim.startsWith("DESCRIBE") ||
-      u.trim.startsWith("REFRESH") || u.trim.startsWith("UPDATE") ||
-      u.trim.startsWith("MERGE"))) ||
+    (t.contains("GRAFT ") && (t.startsWith("CREATE") ||
+      t.startsWith("LOAD") || t.startsWith("SHOW") ||
+      t.startsWith("DELETE") || t.startsWith("COMPACT") ||
+      t.startsWith("OPTIMIZE") || t.startsWith("RESTORE") ||
+      t.startsWith("CLEAN") || t.startsWith("DROP") ||
+      t.startsWith("ALTER") || t.startsWith("DESCRIBE") ||
+      t.startsWith("REFRESH") || t.startsWith("UPDATE") ||
+      t.startsWith("MERGE"))) ||
     // carbon-native cube dialect — none of these prefixes are valid
     // Spark SQL, so claiming them cannot shadow the delegate
     t.startsWith("CREATE CUBE") || t.startsWith("DROP CUBE") ||
@@ -700,10 +716,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         case '(' => depth += 1; i += 1
         case ')' => depth = math.max(0, depth - 1); i += 1
         case _ =>
+          // identifier boundary includes '_': WHERE must not match
+          // inside a column named where_flag
+          def isIdent(ch: Char) = Character.isLetterOrDigit(ch) || ch == '_'
           if (depth == 0 && u.startsWith(k, i) &&
-              (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1))) &&
+              (i == 0 || !isIdent(s.charAt(i - 1))) &&
               (i + k.length >= s.length ||
-                !Character.isLetterOrDigit(s.charAt(i + k.length))))
+                !isIdent(s.charAt(i + k.length))))
             return i
           i += 1
       }
@@ -772,9 +791,16 @@ case class CreateCubeAggTableCommand(cube: String, dims: Seq[String],
 case class CreateGraftTableCommand(name: String, props: Map[String, String],
     query: LogicalPlan) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftCatalog.tablePath(spark, name)
+    // an existing table must fail loudly, exactly like CREATE CUBE:
+    // recreating over it would reset the catalog on top of the old
+    // commit log and reuse segment_0 — time-travel reads of old
+    // versions would then silently return NEW rows
+    require(!SegmentedTable.exists(path),
+      s"graft table $name already exists at $path — DROP GRAFT TABLE " +
+        "first (or load into it) instead of re-creating")
     val df = org.apache.spark.sql.graftbridge.ColumnExpr.ofRows(spark, query)
-    val t = SegmentedTable.create(spark, GraftCatalog.tablePath(spark, name),
-      df.schema, props)
+    val t = SegmentedTable.create(spark, path, df.schema, props)
     t.load(df)
     t.read().createOrReplaceTempView(name)
     Nil
@@ -841,28 +867,36 @@ case class LoadGraftFactDimCommand(name: String, factPath: String,
       GraftLoadSupport.readInput(spark, factPath, fact.schema, options), options)
     fact.read().createOrReplaceTempView(name)
     dims.foreach { case (dimName, dimPath) =>
-      // dedup_keys is a fact-table option: forwarding it would make the
-      // dimension load anti-join on a column dimensions don't have.
-      // Dimension CSVs carry a header row by convention unless the
-      // caller says otherwise (FILEHEADER names headerless columns)
-      val base = options - "dedup_keys"
+      // dedup_keys and fileheader are FACT-file options: dedup_keys
+      // would anti-join dimensions on a column they don't have, and
+      // the fact's FILEHEADER names the fact file's columns — applied
+      // to a dimension it either aborts the load mid-star (after the
+      // fact segment committed) or binds wrong columns. Dimension
+      // CSVs carry a header row by convention unless the caller says
+      // otherwise.
+      val base = options - "dedup_keys" - "fileheader"
       val dimOptions =
-        if (dimPath.endsWith(".csv") && !base.contains("header") &&
-            !base.contains("fileheader")) base + ("header" -> "true")
+        if (dimPath.endsWith(".csv") && !base.contains("header"))
+          base + ("header" -> "true")
         else base
       val p = GraftCatalog.tablePath(spark, dimName)
       val t =
         if (SegmentedTable.exists(p)) SegmentedTable.open(spark, p)
         else {
           // first delivery defines the dimension schema: parquet reads
-          // its own footer; CSV uses header names + inferred types
-          // (FILEHEADER callers can pre-create the table instead)
+          // its own footer; CSV uses header names + inferred types,
+          // parsed with the SAME quote/escape/multiline options the
+          // actual load will apply — inference under different CSV
+          // rules would bake a wrong schema into the new table
           val schema =
             if (dimPath.endsWith(".csv"))
               spark.read
                 .option("header", dimOptions.getOrElse("header", "true"))
                 .option("inferSchema", "true")
                 .option("sep", dimOptions.getOrElse("delimiter", ","))
+                .option("quote", dimOptions.getOrElse("quotechar", "\""))
+                .option("escape", dimOptions.getOrElse("escapechar", "\\"))
+                .option("multiLine", dimOptions.getOrElse("multiline", "false"))
                 .csv(dimPath).schema
             else spark.read.parquet(dimPath).schema
           SegmentedTable.create(spark, p, schema, Map.empty)
@@ -1177,10 +1211,21 @@ case class DeleteGraftSegmentsBeforeCommand(name: String, cutoff: String)
   }
 }
 
-case class DropGraftTableCommand(name: String) extends LeafRunnableCommand {
+case class DropGraftTableCommand(name: String, ifExists: Boolean = true)
+    extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    graft.table.TableIO.delete(
-      new org.apache.hadoop.fs.Path(GraftCatalog.tablePath(spark, name)))
+    val path = GraftCatalog.tablePath(spark, name)
+    if (!SegmentedTable.exists(path)) {
+      if (ifExists) return Nil
+      throw new IllegalArgumentException(
+        s"cube/table $name does not exist at $path (use IF EXISTS for " +
+          "an idempotent drop)")
+    }
+    graft.table.TableIO.delete(new org.apache.hadoop.fs.Path(path))
+    // the temp view CREATE/LOAD registered must not outlive the table:
+    // a later query through it would read deleted files (or stale
+    // cache) instead of failing with TABLE_OR_VIEW_NOT_FOUND
+    spark.catalog.dropTempView(name)
     Nil
   }
 }

@@ -485,4 +485,39 @@ class GraftSqlSpec extends AnyFunSuite {
       .orderBy("n_name").collect()
     assert(got.toSeq == want.toSeq)
   }
+
+  test("CREATE guards, DROP hygiene, keyword-prefixed columns, formatted statements") {
+    val sf = graft.TestSpark.sf
+    spark.sql(s"CREATE GRAFT TABLE guard_t AS SELECT * FROM parquet.`$sf/region.parquet`")
+    // CREATE over an existing table fails loudly (recreating would
+    // reset the catalog on top of the old commit log)
+    val exCreate = intercept[Exception] {
+      spark.sql(s"CREATE GRAFT TABLE guard_t AS SELECT * FROM parquet.`$sf/region.parquet`")
+    }
+    assert(exCreate.getMessage.contains("already exists"), exCreate.getMessage)
+    // a column whose name starts with a keyword + underscore must not
+    // confuse the WHERE-clause split
+    spark.sql("CREATE GRAFT TABLE guard_kw AS " +
+      s"SELECT r_regionkey, 0 AS where_flag FROM parquet.`$sf/region.parquet`")
+    spark.sql("UPDATE GRAFT TABLE guard_kw SET where_flag = 7 WHERE r_regionkey = 0")
+    assert(spark.sql(
+      "SELECT where_flag FROM graft_table('guard_kw') WHERE r_regionkey = 0")
+      .head().getInt(0) == 7)
+    spark.sql("DROP GRAFT TABLE guard_kw")
+    // whitespace-formatted statements route to the graft parser
+    spark.sql("SHOW\n  GRAFT   TABLES").collect()
+    // DROP removes the temp view with the table
+    spark.sql("DROP GRAFT TABLE guard_t")
+    assert(!spark.catalog.tableExists("guard_t"))
+    // idempotent with IF EXISTS; loud without
+    spark.sql("DROP GRAFT TABLE IF EXISTS guard_t")
+    val exDrop = intercept[Exception] { spark.sql("DROP CUBE guard_t") }
+    assert(exDrop.getMessage.contains("does not exist"), exDrop.getMessage)
+    // malformed AGG items are rejected, not silently dropped
+    val exAgg = intercept[Exception] {
+      spark.sql(s"CREATE GRAFT AGGREGATE TABLE bad_mv ON PATH '$sf/orders.parquet' " +
+        "GROUP BY (o_orderstatus) AGG (sum(o_totalprice), count(*))")
+    }
+    assert(exAgg.getMessage.contains("malformed AGG item"), exAgg.getMessage)
+  }
 }

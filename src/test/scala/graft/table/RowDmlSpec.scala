@@ -189,7 +189,7 @@ class RowDmlSpec extends AnyFunSuite {
   test("SQL MERGE GRAFT TABLE FROM INPATH ... ON (key)") {
     val sf = graft.TestSpark.sf
     spark.read.parquet(s"$sf/region.parquet").createOrReplaceTempView("region_mrg_src")
-    spark.sql("DROP GRAFT TABLE region_mrg")
+    spark.sql("DROP GRAFT TABLE IF EXISTS region_mrg")
     spark.sql("CREATE GRAFT TABLE region_mrg AS SELECT * FROM region_mrg_src")
     val before = spark.sql("SELECT count(*) FROM region_mrg").head().getLong(0)
     // merging the table into itself replaces every row, inserts none
@@ -238,7 +238,7 @@ class RowDmlSpec extends AnyFunSuite {
   test("SHOW GRAFT HISTORY lists commit versions via SQL") {
     val sf = graft.TestSpark.sf
     spark.read.parquet(s"$sf/region.parquet").createOrReplaceTempView("region_hist_src")
-    spark.sql("DROP GRAFT TABLE region_hist")
+    spark.sql("DROP GRAFT TABLE IF EXISTS region_hist")
     spark.sql("CREATE GRAFT TABLE region_hist AS SELECT * FROM region_hist_src")
     spark.sql(s"LOAD GRAFT DATA INPATH '$sf/region.parquet' INTO TABLE region_hist")
     val hist = spark.sql("SHOW GRAFT HISTORY FOR region_hist").collect()
@@ -251,7 +251,7 @@ class RowDmlSpec extends AnyFunSuite {
   test("SQL DELETE FROM / UPDATE ... SET round-trip") {
     val sf = graft.TestSpark.sf
     spark.read.parquet(s"$sf/nation.parquet").createOrReplaceTempView("nation_dml_src")
-    spark.sql("DROP GRAFT TABLE nations_dml") // idempotent if absent
+    spark.sql("DROP GRAFT TABLE IF EXISTS nations_dml")
     spark.sql("CREATE GRAFT TABLE nations_dml AS SELECT * FROM nation_dml_src")
 
     val del = spark.sql(
