@@ -165,6 +165,22 @@ object Baseline {
       annDecl(emb, emb.filter(col("vec_id") < 5), 3, 4, Some(true))
     }),
 
+    // recall audit with both searches in their declarative form
+    "s10_ann_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 5)
+      val truth = annDecl(emb, q, 3, 0, None)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = annDecl(emb, q, 3, 4, Some(false))
+        .select(col("query_id"), col("neighbor_id"))
+        .withColumn("__hit", lit(1L))
+      truth.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(sum(coalesce(col("__hit"), lit(0L))).as("hits"))
+        .select(col("query_id"), col("hits"),
+          expr("CAST(hits * 1000000 DIV 3 AS BIGINT)").as("recall_ppm"))
+    }),
+
     "e01_embed_neardup" -> ((s, d) => {
       val v = Tables.embeddings(s, d)
         .select(col("vec_id").as("id"), col("embedding").as("v"),

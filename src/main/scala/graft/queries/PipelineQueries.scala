@@ -648,6 +648,86 @@ object PipelineQueries {
           sum(col("n_chars").cast("long")).as("kept_chars"))
     }),
 
+    // corpus analysis: COLLOCATION mining — bigrams whose observed
+    // frequency beats the independence expectation (the PMI signal;
+    // emitted as the integer-scaled LIFT ratio c2·N / (cl·cr), of
+    // which PMI is the log — same ranking, zero cross-engine float-log
+    // risk, the t26 discipline). Unigram totals derive from the bigram
+    // count table itself (cl = outgoing, cr = incoming), so the corpus
+    // is tokenized ONCE and every later stage is vocabulary-sized:
+    // one keyed shuffle on (w1,w2), two tiny derived aggs, a 1-row
+    // broadcast total, TakeOrderedAndProject for the global top-100
+    // (never a full sort). min-count 5 keeps the rare-pair noise
+    // (1/c ratios explode as c→1) out of the ranking.
+    "t29_pmi_collocations" -> ((s, d) => {
+      val pairs = Tables.documents(s, d)
+        .select(TextFunctions.tokens(col("text")).as("__w"))
+        .filter(size(col("__w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(__w) - 2), " +
+            "i -> struct(__w[i] AS w1, __w[i + 1] AS w2))")).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      // the bigram count table is vocabulary²-sized — persist it so
+      // the corpus is tokenized ONCE for its four consumers (the two
+      // marginals, the total, and the scored join)
+      val c2 = pairs.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c2")).persist()
+      try {
+        val cl = c2.groupBy(col("w1")).agg(sum(col("c2")).as("cl"))
+        val cr = c2.groupBy(col("w2")).agg(sum(col("c2")).as("cr"))
+        val n2 = c2.agg(sum(col("c2")).as("n2"))
+        c2.filter(col("c2") >= 5)
+          .join(cl, Seq("w1")).join(cr, Seq("w2"))
+          .crossJoin(broadcast(n2))
+          .withColumn("lift_ppm", expr(
+            """LEAST(CAST(FLOOR(CAST(c2 AS DOUBLE) * CAST(n2 AS DOUBLE) /
+               (CAST(cl AS DOUBLE) * CAST(cr AS DOUBLE)) * 1000000.0) AS BIGINT),
+               CAST(1000000000000 AS BIGINT))"""))
+          .orderBy(col("lift_ppm").desc, col("c2").desc, col("w1"), col("w2"))
+          .limit(100)
+          .select(col("w1"), col("w2"), col("c2"), col("lift_ppm"))
+          .localCheckpoint()
+      } finally c2.unpersist()
+    }),
+
+    // corpus analysis: cross-SOURCE vocabulary overlap — Jaccard and
+    // containment between every source pair, the corpus-composition
+    // audit run before mixing sources into a training blend (high
+    // containment = one source is a subset of another; low Jaccard =
+    // genuinely complementary). Distinct (source, token) is one keyed
+    // shuffle; the pair counts come from a token-keyed self-join whose
+    // per-token fanout is bounded by #sources² (never doc-pair-sized);
+    // the per-source sizes are a sources-sized broadcast. Ratios are
+    // exact integer ppm (×10^6 div union) — bit-replayable anywhere.
+    "t30_source_overlap" -> ((s, d) => {
+      // the distinct (source, token) set is vocabulary-sized — persist
+      // it so the corpus is tokenized ONCE, not once per consumer
+      // (sizes + both self-join sides), then localCheckpoint the tiny
+      // result so the unpersist can't resurrect the corpus scans
+      val v = Tables.documents(s, d)
+        .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("w"))
+        .distinct().persist()
+      try {
+        val sizes = v.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        val a = v.select(col("source").as("src_a"), col("w"))
+        val b = v.select(col("source").as("src_b"), col("w"))
+        a.join(b, Seq("w"))
+          .filter(col("src_a") < col("src_b"))
+          .groupBy(col("src_a"), col("src_b"))
+          .agg(count(lit(1)).as("inter"))
+          .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("na"))),
+            Seq("src_a"))
+          .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("nb"))),
+            Seq("src_b"))
+          .select(col("src_a"), col("src_b"), col("inter"), col("na"), col("nb"),
+            expr("CAST(inter * 1000000 DIV (na + nb - inter) AS BIGINT)")
+              .as("jaccard_ppm"),
+            expr("CAST(inter * 1000000 DIV LEAST(na, nb) AS BIGINT)")
+              .as("containment_ppm"))
+          .localCheckpoint()
+      } finally v.unpersist()
+    }),
+
     // pipeline: eval-set contamination detection — test-split documents
     // that share a MinHash LSH band with any train-split document are
     // flagged as potentially contaminated (near-dup of training data).
@@ -902,6 +982,21 @@ object PipelineQueries {
             .as("flagged"),
           sum(when(col("n_neighbors") === 0, 1L).otherwise(0L)).as("loners"),
           sum(col("agree")).as("sum_agree"))
+    }),
+
+    // similarity: ANN index-quality audit — recall@3 of the bucketed
+    // sign-LSH index (s02's plan) against the exhaustive ground truth
+    // (s01's plan), per query, as exact integer ppm. The audit loop a
+    // deployment runs after every index build: both inputs are top-k
+    // result sets (|queries|×k rows), so the overlap join costs
+    // nothing beyond the two searches themselves — and the truth side
+    // is only ever run over the SAMPLED query set, never all vectors.
+    "s10_ann_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 5)
+      val truth = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 3)
+      val approx = Similarity.bucketedTopK(emb, q, "vec_id", "embedding", 3, 4)
+      Similarity.recallAtK(truth, approx, 3)
     }),
 
     // multimodal: REAL image resize — each document's synthesized PNG
@@ -1521,6 +1616,47 @@ object PipelineQueries {
               AS mean_inv_prob
           FROM scored GROUP BY doc_id""",
 
+    // the same lift ratio replayed from first principles: bigram
+    // counts, derived unigram marginals, identical double expression
+    // shape (left-assoc mult/div are IEEE-exact, so FLOOR agrees)
+    "t29_pmi_collocations" ->
+      s"""WITH t0 AS (SELECT $W AS words FROM documents),
+          t AS (SELECT * FROM t0 WHERE len(words) >= 2),
+          pairs0 AS (SELECT unnest(list_transform(range(1, len(words)),
+              i -> {'w1': words[i], 'w2': words[i + 1]})) AS p FROM t),
+          pairs AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM pairs0),
+          c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+            FROM pairs GROUP BY 1, 2),
+          cl AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS cl FROM c2 GROUP BY 1),
+          cr AS (SELECT w2, CAST(SUM(c2) AS BIGINT) AS cr FROM c2 GROUP BY 1),
+          n AS (SELECT CAST(SUM(c2) AS BIGINT) AS n2 FROM c2)
+          SELECT w1, w2, c2,
+            LEAST(CAST(FLOOR(CAST(c2 AS DOUBLE) * CAST(n2 AS DOUBLE) /
+              (CAST(cl AS DOUBLE) * CAST(cr AS DOUBLE)) * 1000000.0) AS BIGINT),
+              1000000000000) AS lift_ppm
+          FROM c2 JOIN cl USING (w1) JOIN cr USING (w2) CROSS JOIN n
+          WHERE c2 >= 5
+          ORDER BY lift_ppm DESC, c2 DESC, w1, w2 LIMIT 100""",
+
+    // overlap replayed from the distinct (source, token) set; ratios
+    // are pure integer ppm, so the compare is exact
+    "t30_source_overlap" ->
+      s"""WITH ex AS (SELECT source, unnest($W) AS w FROM documents),
+          v AS (SELECT DISTINCT source, w FROM ex),
+          sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+            FROM v GROUP BY 1),
+          ic AS (SELECT a.source AS src_a, b.source AS src_b,
+              CAST(COUNT(*) AS BIGINT) AS inter
+            FROM v a JOIN v b ON a.w = b.w AND a.source < b.source
+            GROUP BY 1, 2)
+          SELECT src_a, src_b, inter, sa.n AS na, sb.n AS nb,
+            CAST(inter * 1000000 // (sa.n + sb.n - inter) AS BIGINT)
+              AS jaccard_ppm,
+            CAST(inter * 1000000 // LEAST(sa.n, sb.n) AS BIGINT)
+              AS containment_ppm
+          FROM ic JOIN sizes sa ON ic.src_a = sa.source
+          JOIN sizes sb ON ic.src_b = sb.source""",
+
     // chunk fingerprints recomputed from the same slicing rule: md5
     // of the space-joined tokens per (doc, start)
     "t28_chunk_overlap" ->
@@ -1738,6 +1874,43 @@ object PipelineQueries {
               ORDER BY cos DESC, neighbor_id ASC) AS rank
           FROM scored)
           SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 3""",
+
+    // recall@3 from first principles: the s01 truth CTEs and the s02
+    // bucketed CTEs side by side, overlap counted per query, ratio as
+    // exact integer ppm (hits × 10^6 // 3)
+    "s10_ann_recall" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+            FROM embeddings WHERE vec_id < 5),
+          c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+          tscored AS (SELECT query_id, neighbor_id,
+            $dotSql / ($normQ * $normC) AS cos
+          FROM q CROSS JOIN c WHERE neighbor_id <> query_id),
+          truth AS (SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id ASC) AS rank
+            FROM tscored) WHERE rank <= 3),
+          qb AS (SELECT vec_id AS query_id, embedding AS qv,
+            ${bucketSql("embedding", 4)} AS bucket
+            FROM embeddings WHERE vec_id < 5),
+          cb AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+            ${bucketSql("embedding", 4)} AS bucket FROM embeddings),
+          ascored AS (SELECT query_id, neighbor_id,
+            $dotSql / ($normQ * $normC) AS cos
+          FROM qb JOIN cb USING (bucket) WHERE neighbor_id <> query_id),
+          approx AS (SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id ASC) AS rank
+            FROM ascored) WHERE rank <= 3),
+          j AS (SELECT t.query_id,
+              CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+            FROM truth t LEFT JOIN approx a
+              ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id)
+          SELECT query_id, CAST(SUM(hit) AS BIGINT) AS hits,
+            CAST(CAST(SUM(hit) AS BIGINT) * 1000000 // 3 AS BIGINT)
+              AS recall_ppm
+          FROM j GROUP BY query_id""",
 
     "s02_ann_bucketed" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,

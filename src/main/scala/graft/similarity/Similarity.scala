@@ -176,6 +176,34 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
+  /** Recall@k audit of an approximate ANN result against exhaustive
+    * ground truth: per query, the fraction of the true top-k the
+    * approximate index returned, as an exact integer ppm (hits ×
+    * 10^6 div k — no float division, so the figure replays bit-exact
+    * on any engine). Both inputs use the (query_id, rank, neighbor_id)
+    * shape every topK variant here emits; ranks are ignored (recall is
+    * set overlap — an index that returns the right neighbors in a
+    * different order is not penalized).
+    *
+    * Scale: the join is keyed by (query_id, neighbor_id) and both
+    * sides are top-k results — |queries| × k rows, never corpus-sized.
+    * This is the index-quality loop a production ANN deployment runs
+    * after every build/compaction, promoted to a first-class operator
+    * over any two result sets (tune bits/nlist/nprobe until measured
+    * recall meets the target, then ship the index).
+    */
+  def recallAtK(truth: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val t = truth.select(col("query_id"), col("neighbor_id"))
+    val a = approx.select(col("query_id"), col("neighbor_id"))
+      .withColumn("__hit", lit(1L))
+    t.join(a, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("hits"))
+      .select(col("query_id"), col("hits"),
+        expr(s"CAST(hits * 1000000 DIV $k AS BIGINT)").as("recall_ppm"))
+  }
+
   /** Quantizer fits read a seed-fixed BOUNDED sample, never the full
     * corpus: k-means centroid quality converges at a fixed sample size
     * (a few hundred points per centroid), so at 100 TB the fit cost

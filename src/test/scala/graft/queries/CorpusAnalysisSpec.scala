@@ -1,0 +1,130 @@
+package graft.queries
+
+import graft.TestSpark
+import graft.similarity.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Corpus-analysis operators added in round 11: collocation mining
+  * (t29), cross-source vocabulary overlap (t30), and the ANN recall
+  * audit (s10 / [[Similarity.recallAtK]]).
+  */
+class CorpusAnalysisSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  // --- Similarity.recallAtK unit behavior ---
+
+  private def results(rows: Seq[(Long, Int, Long)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("query_id", "rank", "neighbor_id")
+  }
+
+  test("recallAtK: identical result sets score 1e6 ppm") {
+    val t = results(Seq((1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L)))
+    val out = Similarity.recallAtK(t, t, 3).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("hits") == 3L)
+    assert(out.head.getAs[Long]("recall_ppm") == 1000000L)
+  }
+
+  test("recallAtK: disjoint result sets score 0, partial floors exactly") {
+    val t = results(Seq((1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L)))
+    val miss = results(Seq((1L, 1, 20L), (1L, 2, 21L), (1L, 3, 22L)))
+    assert(Similarity.recallAtK(t, miss, 3).collect()
+      .head.getAs[Long]("recall_ppm") == 0L)
+    // 1 of 3 → floor(1e6/3) = 333333 (integer div, not rounding)
+    val one = results(Seq((1L, 1, 10L), (1L, 2, 21L), (1L, 3, 22L)))
+    assert(Similarity.recallAtK(t, one, 3).collect()
+      .head.getAs[Long]("recall_ppm") == 333333L)
+  }
+
+  test("recallAtK: rank order is irrelevant — recall is set overlap") {
+    val t = results(Seq((1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L)))
+    val reversed = results(Seq((1L, 1, 12L), (1L, 2, 11L), (1L, 3, 10L)))
+    assert(Similarity.recallAtK(t, reversed, 3).collect()
+      .head.getAs[Long]("recall_ppm") == 1000000L)
+  }
+
+  test("recallAtK: every truth query appears even with no approx rows") {
+    val t = results(Seq((1L, 1, 10L), (2L, 1, 10L)))
+    val a = results(Seq((1L, 1, 10L)))
+    val byQ = Similarity.recallAtK(t, a, 1).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("hits")).toMap
+    assert(byQ == Map(1L -> 1L, 2L -> 0L))
+  }
+
+  // --- s10 gate over real data: recall against itself / the ladder ---
+
+  test("s10: bucketed recall is bounded by 1e6 and brute-vs-brute is perfect") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 5)
+    val truth = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 3)
+    val self = Similarity.recallAtK(truth, truth, 3).collect()
+    assert(self.nonEmpty && self.forall(_.getAs[Long]("recall_ppm") == 1000000L))
+    val approx = Similarity.bucketedTopK(emb, q, "vec_id", "embedding", 3, 4)
+    val audit = Similarity.recallAtK(truth, approx, 3).collect()
+    assert(audit.length == self.length)
+    assert(audit.forall { r =>
+      val ppm = r.getAs[Long]("recall_ppm")
+      ppm >= 0L && ppm <= 1000000L
+    })
+  }
+
+  // --- t29 collocations over real data ---
+
+  test("t29: top-100 bound, min-count floor, exact lift replay") {
+    val out = graft.SparkEntry.queries("t29_pmi_collocations")(spark, sf)
+      .collect()
+    assert(out.nonEmpty && out.length <= 100)
+    assert(out.forall(_.getAs[Long]("c2") >= 5L))
+    assert(out.forall(_.getAs[Long]("lift_ppm") > 0L))
+    // replay one row's lift from independently recomputed marginals
+    val docs = graft.Tables.documents(spark, sf)
+    val pairs = docs
+      .select(graft.functions.TextFunctions.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i+1] AS w2))")).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+    val head = out.head
+    val (w1, w2) = (head.getAs[String]("w1"), head.getAs[String]("w2"))
+    val n2 = pairs.count().toDouble
+    val c2 = pairs.filter(col("w1") === w1 && col("w2") === w2).count().toDouble
+    val cl = pairs.filter(col("w1") === w1).count().toDouble
+    val cr = pairs.filter(col("w2") === w2).count().toDouble
+    val expected = math.min(
+      math.floor(c2 * n2 / (cl * cr) * 1000000.0).toLong, 1000000000000L)
+    assert(head.getAs[Long]("lift_ppm") == expected)
+  }
+
+  test("t29: deterministic across reruns (stable global top-100 order)") {
+    val a = graft.SparkEntry.queries("t29_pmi_collocations")(spark, sf).collect()
+    val b = graft.SparkEntry.queries("t29_pmi_collocations")(spark, sf).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+  }
+
+  // --- t30 source overlap over real data ---
+
+  test("t30: canonical pairs, ratio bounds, containment >= jaccard") {
+    val out = graft.SparkEntry.queries("t30_source_overlap")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val nSources = graft.Tables.documents(spark, sf)
+      .select(col("source")).distinct().count().toInt
+    assert(out.length <= nSources * (nSources - 1) / 2)
+    out.foreach { r =>
+      assert(r.getAs[String]("src_a") < r.getAs[String]("src_b"))
+      val j = r.getAs[Long]("jaccard_ppm")
+      val c = r.getAs[Long]("containment_ppm")
+      val inter = r.getAs[Long]("inter")
+      val (na, nb) = (r.getAs[Long]("na"), r.getAs[Long]("nb"))
+      assert(inter <= math.min(na, nb))
+      assert(j >= 0L && j <= 1000000L)
+      assert(c >= j && c <= 1000000L)
+      // exact integer replay
+      assert(j == inter * 1000000L / (na + nb - inter))
+      assert(c == inter * 1000000L / math.min(na, nb))
+    }
+  }
+}
