@@ -46,6 +46,38 @@ object Baseline {
       when(element_at(v, j + 1) > 0f, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Index-free BM25 top-10 for the fixed gate terms: the whole
+    * corpus tokenizes on every query (what the materialized postings
+    * table buys t21/t31).
+    */
+  private def bm25ServeDecl(s: SparkSession, d: String): DataFrame = {
+    val terms0 = Seq("spark", "join", "stream")
+    val withDl = Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("__w"))
+      .select(col("doc_id"), col("__w"), size(col("__w")).cast("long").as("dl"))
+    val stats = withDl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val toks = withDl.select(col("doc_id"), col("dl"), explode(col("__w")).as("token"))
+    val tf = toks.groupBy(col("token"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = toks.select(col("token"), col("doc_id")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = col("n_docs").cast("double"); val dfd = col("df").cast("double")
+    val tfd = col("tf").cast("double"); val dld = col("dl").cast("double")
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val idf = log((n - dfd + lit(0.5)) / (dfd + lit(0.5)) + lit(1.0))
+    val sat = tfd * lit(2.2) /
+      (tfd + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * dld / avgdl))
+    tf.join(df_, "token").crossJoin(broadcast(stats))
+      .filter(col("token").isin(terms0: _*))
+      .withColumn("score_ppm",
+        floor(idf * sat * lit(1000000.0) + lit(0.5)).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("score_ppm")).as("score_ppm"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score_ppm").desc, col("doc_id").asc)
+      .limit(10)
+  }
+
   /** Brute/bucketed ANN with the declarative dot product. */
   private def annDecl(corpus: DataFrame, queries: DataFrame, k: Int,
                       bits: Int, multiProbe: Option[Boolean]): DataFrame = {
@@ -355,32 +387,30 @@ object Baseline {
     // the keyword query's plain formulation: no inverted index — the
     // whole corpus tokenizes on every query (what the materialized
     // postings table buys)
-    "t21_bm25_index_serve" -> ((s, d) => {
-      val terms0 = Seq("spark", "join", "stream")
-      val withDl = Tables.documents(s, d)
-        .select(col("doc_id"),
-          graft.functions.TextFunctions.tokens(col("text")).as("__w"))
-        .select(col("doc_id"), col("__w"), size(col("__w")).cast("long").as("dl"))
-      val stats = withDl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-      val toks = withDl.select(col("doc_id"), col("dl"), explode(col("__w")).as("token"))
-      val tf = toks.groupBy(col("token"), col("doc_id"), col("dl"))
-        .agg(count(lit(1)).as("tf"))
-      val df_ = toks.select(col("token"), col("doc_id")).distinct()
-        .groupBy(col("token")).agg(count(lit(1)).as("df"))
-      val n = col("n_docs").cast("double"); val dfd = col("df").cast("double")
-      val tfd = col("tf").cast("double"); val dld = col("dl").cast("double")
-      val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
-      val idf = log((n - dfd + lit(0.5)) / (dfd + lit(0.5)) + lit(1.0))
-      val sat = tfd * lit(2.2) /
-        (tfd + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * dld / avgdl))
-      tf.join(df_, "token").crossJoin(broadcast(stats))
-        .filter(col("token").isin(terms0: _*))
-        .withColumn("score_ppm",
-          floor(idf * sat * lit(1000000.0) + lit(0.5)).cast("long"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("score_ppm")).as("score_ppm"), count(lit(1)).as("n_terms"))
-        .orderBy(col("score_ppm").desc, col("doc_id").asc)
+    "t21_bm25_index_serve" -> ((s, d) => bm25ServeDecl(s, d)),
+
+    // the hybrid query's plain formulation: index-free BM25 (the t21
+    // baseline) + the declarative-dot-product vector search, fused
+    // with the same integer RRF arithmetic
+    "t31_hybrid_rrf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val lexTop = bm25ServeDecl(s, d)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score_ppm").desc, col("doc_id").asc)))
+        .select(col("doc_id"), col("rank").as("lex_rank"),
+          expr("CAST(1000000000 DIV (60 + CAST(rank AS BIGINT)) AS BIGINT)")
+            .as("__c_lex"))
+      val emb = Tables.embeddings(s, d)
+      val vecTop = annDecl(emb, emb.filter(col("vec_id") === 0), 10, 0, None)
+        .select(col("neighbor_id").as("doc_id"), col("rank").as("vec_rank"),
+          expr("CAST(1000000000 DIV (60 + CAST(rank AS BIGINT)) AS BIGINT)")
+            .as("__c_vec"))
+      lexTop.join(vecTop, Seq("doc_id"), "full_outer")
+        .withColumn("rrf_ppb",
+          coalesce(col("__c_lex"), lit(0L)) + coalesce(col("__c_vec"), lit(0L)))
+        .orderBy(col("rrf_ppb").desc, col("doc_id").asc)
         .limit(10)
+        .select(col("doc_id"), col("lex_rank"), col("vec_rank"), col("rrf_ppb"))
     }),
 
     // the phrase query's plain formulation: tokenize the corpus per

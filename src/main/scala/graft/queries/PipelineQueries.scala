@@ -728,6 +728,29 @@ object PipelineQueries {
       } finally v.unpersist()
     }),
 
+    // retrieval: HYBRID search — the t21 lexical BM25 index serve and
+    // a vector ANN search fused by reciprocal-rank fusion (RRF,
+    // SIGIR 2009), the standard RAG retrieval composition: no score
+    // calibration across systems, each contributes the exact integer
+    // 10^9 div (60 + rank), documents in both lists accumulate. Both
+    // inputs are top-10 results, so the fusion join is 20 rows —
+    // the whole gate's corpus-sized work is the two searches it
+    // composes (index-only lexical serve + the sampled vector query).
+    "t31_hybrid_rrf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val lexTop = graft.text.Bm25Session
+        .scoreDocs(bm25IndexFor(s, d).read(), Bm25QueryTerms)
+        .orderBy(col("score_ppm").desc, col("doc_id").asc).limit(10)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score_ppm").desc, col("doc_id").asc)))
+        .select(col("doc_id"), col("rank"))
+      val emb = Tables.embeddings(s, d)
+      val vecTop = Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") === 0), "vec_id", "embedding", 10)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      graft.text.Rrf.fuse(Seq("lex" -> lexTop, "vec" -> vecTop), "doc_id")
+    }),
+
     // pipeline: eval-set contamination detection — test-split documents
     // that share a MinHash LSH band with any train-split document are
     // flagged as potentially contaminated (near-dup of training data).
@@ -1656,6 +1679,55 @@ object PipelineQueries {
               AS containment_ppm
           FROM ic JOIN sizes sa ON ic.src_a = sa.source
           JOIN sizes sb ON ic.src_b = sb.source""",
+
+    // the fusion replayed from first principles: the t21 BM25 CTEs
+    // (ranked, top-10), the s01 cosine CTEs for query vector 0
+    // (top-10), a full outer join, and the same exact integer RRF
+    // contribution 10^9 // (60 + rank)
+    "t31_hybrid_rrf" ->
+      s"""WITH t AS (SELECT doc_id, $W AS words FROM documents),
+          d AS (SELECT doc_id, words, CAST(len(words) AS BIGINT) AS dl FROM t),
+          stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM d),
+          terms AS (SELECT doc_id, dl, unnest(words) AS token FROM d),
+          tf AS (SELECT doc_id, token, dl, COUNT(*) AS tf
+                 FROM terms GROUP BY 1, 2, 3),
+          df AS (SELECT token, COUNT(DISTINCT doc_id) AS df
+                 FROM terms GROUP BY 1),
+          lscored AS (SELECT doc_id,
+              CAST(FLOOR(
+                ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                   / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) *
+                (CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE) /
+                 (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+                  (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                   + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE)
+                     / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+                * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS sppm
+            FROM tf JOIN df USING (token) CROSS JOIN stats
+            WHERE token IN ('spark', 'join', 'stream')),
+          lexs AS (SELECT doc_id, CAST(SUM(sppm) AS BIGINT) AS score_ppm
+            FROM lscored GROUP BY doc_id),
+          lex AS (SELECT doc_id, rank FROM (
+            SELECT doc_id, ROW_NUMBER() OVER (
+              ORDER BY score_ppm DESC, doc_id ASC) AS rank FROM lexs)
+            WHERE rank <= 10),
+          q AS (SELECT vec_id AS query_id, embedding AS qv
+            FROM embeddings WHERE vec_id = 0),
+          c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+          vscored AS (SELECT neighbor_id,
+            $dotSql / ($normQ * $normC) AS cos
+          FROM q CROSS JOIN c WHERE neighbor_id <> query_id),
+          vec AS (SELECT neighbor_id AS doc_id, rank FROM (
+            SELECT neighbor_id, ROW_NUMBER() OVER (
+              ORDER BY cos DESC, neighbor_id ASC) AS rank FROM vscored)
+            WHERE rank <= 10),
+          fused AS (SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+              l.rank AS lex_rank, v.rank AS vec_rank,
+              COALESCE(1000000000 // (60 + CAST(l.rank AS BIGINT)), 0) +
+              COALESCE(1000000000 // (60 + CAST(v.rank AS BIGINT)), 0) AS rrf_ppb
+            FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id)
+          SELECT doc_id, lex_rank, vec_rank, CAST(rrf_ppb AS BIGINT) AS rrf_ppb
+          FROM fused ORDER BY rrf_ppb DESC, doc_id ASC LIMIT 10""",
 
     // chunk fingerprints recomputed from the same slicing rule: md5
     // of the space-joined tokens per (doc, start)

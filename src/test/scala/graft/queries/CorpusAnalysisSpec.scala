@@ -105,6 +105,62 @@ class CorpusAnalysisSpec extends AnyFunSuite {
     assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
   }
 
+  // --- Rrf fusion unit behavior ---
+
+  test("Rrf: single list preserves its order, contributions are exact div") {
+    val l = results(Seq((0L, 1, 0L), (0L, 2, 0L), (0L, 3, 0L)))
+      .select(col("query_id").as("doc_id"), col("rank"))
+      .withColumn("doc_id", col("rank").cast("long") * 10)
+    val out = graft.text.Rrf.fuse(Seq("only" -> l), "doc_id").collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(10L, 20L, 30L))
+    // 1e9 div 61/62/63 — exact integer division, never float rounding
+    assert(out.map(_.getAs[Long]("rrf_ppb")).toSeq ==
+      Seq(1000000000L / 61, 1000000000L / 62, 1000000000L / 63))
+  }
+
+  test("Rrf: a doc in both lists outranks same-rank docs in one list") {
+    val s = spark
+    import s.implicits._
+    val a = Seq((1L, 1), (2L, 2)).toDF("doc_id", "rank")
+    val b = Seq((1L, 2), (3L, 1)).toDF("doc_id", "rank")
+    val out = graft.text.Rrf.fuse(Seq("a" -> a, "b" -> b), "doc_id").collect()
+    assert(out.head.getAs[Long]("doc_id") == 1L)
+    assert(out.head.getAs[Long]("rrf_ppb") ==
+      1000000000L / 61 + 1000000000L / 62)
+    // absent sides surface as null ranks, not zeros
+    val doc3 = out.find(_.getAs[Long]("doc_id") == 3L).get
+    assert(doc3.isNullAt(doc3.fieldIndex("a_rank")))
+    assert(doc3.getAs[Int]("b_rank") == 1)
+  }
+
+  test("Rrf: rejects duplicate or non-identifier list names") {
+    val l = results(Seq((1L, 1, 1L))).select(col("query_id").as("doc_id"), col("rank"))
+    intercept[IllegalArgumentException] {
+      graft.text.Rrf.fuse(Seq("x" -> l, "x" -> l), "doc_id")
+    }
+    intercept[IllegalArgumentException] {
+      graft.text.Rrf.fuse(Seq("bad name" -> l), "doc_id")
+    }
+  }
+
+  test("t31: fused top-10, every row surfaced by at least one system") {
+    val out = graft.SparkEntry.queries("t31_hybrid_rrf")(spark, sf).collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      val lex = Option(r.getAs[Any]("lex_rank")).map(_.asInstanceOf[Int])
+      val vec = Option(r.getAs[Any]("vec_rank")).map(_.asInstanceOf[Int])
+      assert(lex.nonEmpty || vec.nonEmpty)
+      assert(lex.forall(x => x >= 1 && x <= 10))
+      assert(vec.forall(x => x >= 1 && x <= 10))
+      val expect = lex.map(x => 1000000000L / (60 + x)).getOrElse(0L) +
+        vec.map(x => 1000000000L / (60 + x)).getOrElse(0L)
+      assert(r.getAs[Long]("rrf_ppb") == expect)
+    }
+    // descending by fused score with id tie-break
+    val scores = out.map(_.getAs[Long]("rrf_ppb")).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+
   // --- t30 source overlap over real data ---
 
   test("t30: canonical pairs, ratio bounds, containment >= jaccard") {
