@@ -181,9 +181,13 @@ object Similarity {
     * approximate index returned, as an exact integer ppm (hits ×
     * 10^6 div k — no float division, so the figure replays bit-exact
     * on any engine). Both inputs use the (query_id, rank, neighbor_id)
-    * shape every topK variant here emits; ranks are ignored (recall is
-    * set overlap — an index that returns the right neighbors in a
-    * different order is not penalized).
+    * shape every topK variant here emits — one row per (query,
+    * neighbor), as a ranked result by construction; ranks are ignored
+    * (recall is set overlap — an index that returns the right
+    * neighbors in a different order is not penalized). The truth side
+    * defines the denominator: a query the approximate index never
+    * returns scores 0, and recall@k of a truth list shorter than k
+    * (corpus smaller than k+1) still divides by k.
     *
     * Scale: the join is keyed by (query_id, neighbor_id) and both
     * sides are top-k results — |queries| × k rows, never corpus-sized.

@@ -29,9 +29,12 @@ object Rrf {
     expr(s"CAST(1000000000 DIV ($c + CAST(`$rankName` AS BIGINT)) AS BIGINT)")
 
   /** Fuse named ranked lists. Each input df must carry `idCol` and a
-    * `rank` column (1-based, as every topK/serve here emits). Output:
-    * idCol, one `<name>_rank` column per list (null = absent from
-    * that list), and `rrf_ppb` = the summed integer contributions,
+    * `rank` column (1-based, as every topK/serve here emits), with at
+    * most one row per id — a malformed list carrying duplicate ids
+    * would multiply through the fusion join, exactly as it would
+    * corrupt any downstream consumer of that result. Output: idCol,
+    * one `<name>_rank` column per list (null = absent from that
+    * list), and `rrf_ppb` = the summed integer contributions,
     * restricted to the fused top-k (ties broken by id ascending).
     */
   def fuse(lists: Seq[(String, DataFrame)], idCol: String,
