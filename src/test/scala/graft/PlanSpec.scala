@@ -172,6 +172,20 @@ class PlanSpec extends AnyFunSuite {
       s"token IN filter must push to the postings scan\n${p.take(3000)}")
   }
 
+  test("hybrid RRF fusion: lexical side serves from the index, fused top-k is TakeOrdered") {
+    // t31 composes the t21 postings serve with a vector search; the
+    // fusion layer must not reintroduce a documents scan (the whole
+    // point of the materialized index), and the fused top-10 must plan
+    // as TakeOrderedAndProject, never a global sort
+    val p = plan("t31_hybrid_rrf")
+    assert(p.contains("graft_bm25_index"),
+      s"lexical side must read the materialized index\n${p.take(2000)}")
+    assert(!p.contains("documents.parquet"),
+      s"documents must not be scanned at serve time\n${p.take(2000)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"fused top-k must not global-sort\n${p.take(3000)}")
+  }
+
   test("n-gram phrase serving tokenizes only index-pruned candidate docs") {
     // t24: the bigram index supplies the candidate set; documents must
     // be scanned exactly once, joined against the BROADCAST candidates
