@@ -898,6 +898,21 @@ object PipelineQueries {
         centroidsFor(s, d, emb), codebooksFor(s, d, emb), 4, 16, 3)
     }),
 
+    // similarity: TWO-STAGE serving — s06's quantized shortlist
+    // (ADC top-10, code-only) re-ranked by exact cosine over the raw
+    // vectors of ONLY the shortlisted rows (a keyed fetch of
+    // |queries|×10 vectors, the single bounded corpus touch).
+    // Quantization error can reorder a shortlist; the re-rank restores
+    // exact order within it — precision@k approaches brute force at
+    // index-scan cost, the refinement every production PQ deployment
+    // ships
+    "s11_pq_rerank" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfPqRerankTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", 3, 10,
+        centroidsFor(s, d, emb), codebooksFor(s, d, emb), 4, 16, 3)
+    }),
+
     // similarity: IVF-PQ served from a MATERIALIZED index table —
     // the encode pass runs once at build time into a SegmentedTable
     // partitioned by cell; the serving query's corpus side reads ONLY
@@ -1275,6 +1290,14 @@ object PipelineQueries {
     * exactly the encode pass's rows, so both plans compute this.
     */
   private lazy val ivfPqOracle: String =
+    ivfPqRankedCtes +
+      "\n        SELECT query_id, rank, neighbor_id FROM rankedq WHERE rank <= 3"
+
+  /** The shared candidate-generation CTEs (through `rankedq`, the
+    * ADC-ranked candidates) — the common prefix of the s06/s08 serve
+    * oracle and the s11 two-stage re-rank oracle.
+    */
+  private lazy val ivfPqRankedCtes: String =
     s"""WITH cent AS (SELECT cell, centroid AS cv
           FROM read_parquet('$IvfCentroidsPath/*.parquet')),
         cb AS (SELECT sub, code, centroid
@@ -1316,8 +1339,27 @@ object PipelineQueries {
         rankedq AS (SELECT query_id, neighbor_id,
             ROW_NUMBER() OVER (PARTITION BY query_id
               ORDER BY adc ASC, neighbor_id ASC) AS rank
-          FROM adc)
-        SELECT query_id, rank, neighbor_id FROM rankedq WHERE rank <= 3"""
+          FROM adc)"""
+
+  /** s11: the same candidate CTEs, shortlist widened to ADC top-10,
+    * then re-ranked by EXACT cosine over the shortlisted raw vectors
+    * — the two-stage serving oracle.
+    */
+  private lazy val ivfPqRerankOracle: String =
+    s"""$ivfPqRankedCtes,
+        shortlist AS (SELECT query_id, neighbor_id
+          FROM rankedq WHERE rank <= 10),
+        ex AS (SELECT query_id, neighbor_id,
+            $dotSql / ($normQ * $normC) AS cos
+          FROM (SELECT s.query_id, s.neighbor_id, q.qe AS qv,
+              e.embedding AS cv
+            FROM shortlist s JOIN q ON q.query_id = s.query_id
+            JOIN embeddings e ON e.vec_id = s.neighbor_id)),
+        rr AS (SELECT query_id, neighbor_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM ex)
+        SELECT query_id, rank, neighbor_id FROM rr WHERE rank <= 3"""
 
   val oracles: Map[String, String] = Map(
     "t01_token_count" ->
@@ -2131,6 +2173,8 @@ object PipelineQueries {
     // s05 encode/ADC CTEs — a corpus row is scored only when its cell
     // is among the query's nprobe nearest
     "s06_ann_ivfpq" -> ivfPqOracle,
+
+    "s11_pq_rerank" -> ivfPqRerankOracle,
 
     // the materialized-index serving path computes the identical
     // ranking (the index holds exactly the encode pass's rows), so the

@@ -471,6 +471,40 @@ object Similarity {
       ivfPqIndexRows(corpus, idCol, vecCol, centroids, codebooks, m, dsub),
       queries, idCol, vecCol, k, centroids, codebooks, m, dsub, nprobe)
 
+  /** Two-stage IVF-PQ serving — the standard precision refinement
+    * every PQ deployment runs: stage 1 shortlists `candidates` per
+    * query by asymmetric distance over the quantized index (cheap,
+    * code-only, never touches a corpus vector); stage 2 fetches the
+    * RAW vectors of only the shortlisted rows through a keyed join
+    * (|queries| × candidates rows — the single bounded corpus touch)
+    * and re-ranks them by exact cosine. Quantization error can
+    * reorder an ADC shortlist; the re-rank restores exact order
+    * within it, so precision@k approaches brute force while the scan
+    * cost stays the index's.
+    */
+  def ivfPqRerankTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                      vecCol: String, k: Int, candidates: Int,
+                      centroids: Seq[(Int, Array[Float])],
+                      codebooks: Seq[(Int, Int, Array[Float])],
+                      m: Int, dsub: Int, nprobe: Int): DataFrame = {
+    require(candidates >= k,
+      s"shortlist size ($candidates) must be >= k ($k)")
+    val index = ivfPqIndexRows(corpus, idCol, vecCol, centroids, codebooks, m, dsub)
+    val shortlist = rankByAdc(scoredCandidates(index, queries, idCol, vecCol,
+        centroids, codebooks, m, dsub, nprobe), candidates)
+      .select(col("query_id"), col("neighbor_id"))
+    val cv = spread(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    shortlist.join(cv, Seq("neighbor_id"))
+      .join(gated(qv, queries), Seq("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
   /** The IVF-PQ index-BUILD pass: (neighbor_id, cell, codes) for every
     * corpus row — assign + encode, both narrow shuffle-free
     * projections. This is what gets MATERIALIZED (one pass over the

@@ -72,6 +72,48 @@ class CorpusAnalysisSpec extends AnyFunSuite {
     })
   }
 
+  // --- two-stage IVF-PQ re-rank (s11 / Similarity.ivfPqRerankTopK) ---
+
+  test("ivfPqRerankTopK: full-coverage shortlist re-ranks to exactly brute force") {
+    // with nprobe = nlist and a corpus-sized shortlist, stage 1 keeps
+    // every candidate, so the exact re-rank must reproduce brute force
+    // — quantization can then only affect WHICH rows survive a
+    // narrower shortlist, never the re-rank arithmetic itself
+    val emb = graft.Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 3)
+    val nlist = 4
+    val cents = Similarity.trainCentroids(emb, "vec_id", "embedding", nlist)
+    val books = Similarity.trainCodebooks(emb, "embedding", 4, 16, 16)
+    val n = emb.count().toInt
+    val reranked = Similarity.ivfPqRerankTopK(emb, q, "vec_id", "embedding",
+      3, n, cents, books, 4, 16, nlist)
+    val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 3)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[Long]("query_id"), r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id"))
+    assert(reranked.collect().map(key).toSet == brute.collect().map(key).toSet)
+  }
+
+  test("ivfPqRerankTopK: rejects a shortlist smaller than k") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val cents = Similarity.trainCentroids(emb, "vec_id", "embedding", 4)
+    val books = Similarity.trainCodebooks(emb, "embedding", 4, 16, 16)
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqRerankTopK(emb, emb.filter(col("vec_id") < 1),
+        "vec_id", "embedding", 5, 3, cents, books, 4, 16, 1)
+    }
+  }
+
+  test("s11: re-rank emits k rows per query in exact-cosine order") {
+    val out = graft.SparkEntry.queries("s11_pq_rerank")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val byQ = out.groupBy(_.getAs[Long]("query_id"))
+    byQ.values.foreach { rows =>
+      assert(rows.length <= 3)
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq ==
+        (1 to rows.length))
+    }
+  }
+
   // --- t29 collocations over real data ---
 
   test("t29: top-100 bound, min-count floor, exact lift replay") {
