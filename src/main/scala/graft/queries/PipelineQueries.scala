@@ -913,6 +913,21 @@ object PipelineQueries {
         centroidsFor(s, d, emb), codebooksFor(s, d, emb), 4, 16, 3)
     }),
 
+    // similarity: SCALAR-quantized (SQ8) serving — the third
+    // quantization family beside IVF cells and PQ codebooks: every
+    // dimension maps linearly onto 0..255 against exact per-dim
+    // corpus bounds (one min/max reduction, no codebook training),
+    // 4× embedding compression; queries stay raw, the corpus is
+    // scored from its DEQUANTIZED codes — so the gate hash-matches
+    // only if encode and reconstruction replay exactly on both
+    // engines
+    "s12_sq8_ann" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val (mins, maxs) = Similarity.trainSq8Bounds(emb, "embedding", 64)
+      Similarity.sq8TopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", 3, mins, maxs)
+    }),
+
     // similarity: IVF-PQ served from a MATERIALIZED index table —
     // the encode pass runs once at build time into a SegmentedTable
     // partitioned by cell; the serving query's corpus side reads ONLY
@@ -2175,6 +2190,37 @@ object PipelineQueries {
     "s06_ann_ivfpq" -> ivfPqOracle,
 
     "s11_pq_rerank" -> ivfPqRerankOracle,
+
+    // SQ8 replayed from first principles: exact per-dim bounds, the
+    // encode+reconstruct composed as one expression with the same
+    // IEEE shape ((x−mn)/(mx−mn)·255 floored, then mn + c·(mx−mn)/255;
+    // constant dims pass through as mn), cosine rank over dequantized
+    // corpus vs raw queries
+    "s12_sq8_ann" ->
+      s"""WITH dims AS (SELECT i,
+            MIN(CAST(embedding[i] AS DOUBLE)) AS mn,
+            MAX(CAST(embedding[i] AS DOUBLE)) AS mx
+          FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+          GROUP BY i),
+          b AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+            FROM dims),
+          deq AS (SELECT vec_id, list_transform(range(1, 65), i ->
+              CASE WHEN mxs[i] = mns[i] THEN mns[i]
+                ELSE mns[i] + FLOOR((CAST(embedding[i] AS DOUBLE) - mns[i])
+                  / (mxs[i] - mns[i]) * 255.0) * (mxs[i] - mns[i]) / 255.0
+              END) AS cv
+            FROM embeddings CROSS JOIN b),
+          q AS (SELECT vec_id AS query_id, embedding AS qv
+            FROM embeddings WHERE vec_id < 5),
+          c AS (SELECT vec_id AS neighbor_id, cv FROM deq),
+          scored AS (SELECT query_id, neighbor_id,
+            $dotSql / ($normQ * $normC) AS cos
+          FROM q CROSS JOIN c WHERE neighbor_id <> query_id),
+          ranked AS (SELECT query_id, neighbor_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM scored)
+          SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 3""",
 
     // the materialized-index serving path computes the identical
     // ranking (the index holds exactly the encode pass's rows), so the

@@ -471,6 +471,81 @@ object Similarity {
       ivfPqIndexRows(corpus, idCol, vecCol, centroids, codebooks, m, dsub),
       queries, idCol, vecCol, k, centroids, codebooks, m, dsub, nprobe)
 
+  // ---- scalar quantization (SQ8): 4-byte floats → 1-byte codes ----
+  //
+  // The third quantization family beside IVF (coarse cells) and PQ
+  // (subspace codebooks): each dimension is linearly mapped onto
+  // 0..255 against per-dimension corpus bounds. 4× storage compression
+  // with no training beyond one min/max reduction — the rung a
+  // deployment reaches for FIRST, before PQ's codebook machinery.
+
+  /** Per-dimension [min, max] bounds over the corpus: ONE reduction
+    * job (2·dim agg expressions, partial-aggregated map-side, no
+    * row-explosion shuffle), collected to the driver like the
+    * centroid tables — the result is dim-sized, never corpus-sized.
+    * Exact min/max (not sampled): the bounds ARE the codec contract,
+    * and an out-of-range value under sampled bounds would clip.
+    */
+  def trainSq8Bounds(corpus: DataFrame, vecCol: String,
+                     dim: Int): (Array[Double], Array[Double]) = {
+    require(dim >= 1, s"dim must be positive, got $dim")
+    val aggs = (0 until dim).map(i =>
+      min(element_at(col(vecCol), i + 1).cast("double")).as(s"__mn_$i")) ++
+      (0 until dim).map(i =>
+        max(element_at(col(vecCol), i + 1).cast("double")).as(s"__mx_$i"))
+    val r = corpus.agg(aggs.head, aggs.tail: _*).collect()(0)
+    (Array.tabulate(dim)(i => r.getDouble(i)),
+      Array.tabulate(dim)(i => r.getDouble(dim + i)))
+  }
+
+  /** Encode a vector to int codes 0..255: floor((x−mn)/(mx−mn)·255),
+    * computed in double with the exact expression shape the oracle
+    * replays. A constant dimension (mx = mn) encodes as 0 — the
+    * division-by-zero guard; its dequantized value is exactly mn.
+    * x = mx encodes as 255 ((mx−mn)/(mx−mn) is exactly 1.0 in IEEE
+    * division), so the code range is closed — no clamp needed.
+    */
+  def sq8Codes(v: Column, mins: Array[Double], maxs: Array[Double]): Column = {
+    val mn = typedLit(mins); val mx = typedLit(maxs)
+    transform(v, (x, i) => {
+      val lo = element_at(mn, i + 1); val hi = element_at(mx, i + 1)
+      when(hi === lo, lit(0L))
+        .otherwise(floor((x.cast("double") - lo) / (hi - lo) * lit(255.0)))
+    })
+  }
+
+  /** Reconstruct double values from SQ8 codes: mn + c·(mx−mn)/255. */
+  def sq8Dequant(codes: Column, mins: Array[Double],
+                 maxs: Array[Double]): Column = {
+    val mn = typedLit(mins); val mx = typedLit(maxs)
+    transform(codes, (c, i) => {
+      val lo = element_at(mn, i + 1); val hi = element_at(mx, i + 1)
+      lo + c.cast("double") * (hi - lo) / lit(255.0)
+    })
+  }
+
+  /** Top-k by cosine served from the SQ8-compressed corpus: corpus
+    * vectors flow encode → dequantize (what a 1-byte-stored corpus
+    * yields at read time), queries stay raw — the asymmetric scoring
+    * every scalar-quantized deployment uses. Same output shape and
+    * ranking rules as [[bruteForceTopK]].
+    */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int,
+              mins: Array[Double], maxs: Array[Double]): DataFrame = {
+    val c = spread(corpus.select(col(idCol).as("neighbor_id"),
+      sq8Dequant(sq8Codes(col(vecCol), mins, maxs), mins, maxs).as("cv")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    c.crossJoin(gated(q, queries))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
   /** Two-stage IVF-PQ serving — the standard precision refinement
     * every PQ deployment runs: stage 1 shortlists `candidates` per
     * query by asymmetric distance over the quantized index (cheap,

@@ -114,6 +114,61 @@ class CorpusAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  // --- SQ8 scalar quantization (s12 / Similarity.sq8*) ---
+
+  test("SQ8 codec: codes stay in 0..255, reconstruction error is bounded") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val (mins, maxs) = Similarity.trainSq8Bounds(emb, "embedding", 64)
+    val rows = emb.select(col("embedding").as("v"),
+        Similarity.sq8Codes(col("embedding"), mins, maxs).as("codes"),
+        Similarity.sq8Dequant(
+          Similarity.sq8Codes(col("embedding"), mins, maxs),
+          mins, maxs).as("deq"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val codes = r.getSeq[Long](1)
+      assert(codes.forall(c => c >= 0L && c <= 255L))
+      val v = r.getSeq[Float](0)
+      val deq = r.getSeq[Double](2)
+      v.indices.foreach { i =>
+        val step = (maxs(i) - mins(i)) / 255.0
+        assert(math.abs(deq(i) - v(i)) <= step + 1e-12,
+          s"dim $i: |${deq(i)} - ${v(i)}| > quantization step $step")
+      }
+    }
+  }
+
+  test("SQ8 codec: a constant dimension encodes 0 and reconstructs exactly") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(Tuple1(Array(1.5f, 2f)), Tuple1(Array(1.5f, 4f)))
+      .toDF("embedding")
+    val (mins, maxs) = Similarity.trainSq8Bounds(df, "embedding", 2)
+    assert(mins(0) == 1.5 && maxs(0) == 1.5)
+    val out = df.select(
+        Similarity.sq8Codes(col("embedding"), mins, maxs).as("codes"),
+        Similarity.sq8Dequant(
+          Similarity.sq8Codes(col("embedding"), mins, maxs),
+          mins, maxs).as("deq"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getSeq[Long](0).head == 0L)
+      assert(r.getSeq[Double](1).head == 1.5)
+    }
+    // the varying dim hits both range ends: min -> 0, max -> 255
+    assert(out.map(_.getSeq[Long](0)(1)).sorted.toSeq == Seq(0L, 255L))
+  }
+
+  test("s12: SQ8 serving emits ranked rows per query over real data") {
+    val out = graft.SparkEntry.queries("s12_sq8_ann")(spark, sf).collect()
+    val byQ = out.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.nonEmpty)
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rows.length))
+    }
+  }
+
   // --- t29 collocations over real data ---
 
   test("t29: top-100 bound, min-count floor, exact lift replay") {
