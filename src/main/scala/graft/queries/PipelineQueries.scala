@@ -728,6 +728,34 @@ object PipelineQueries {
       } finally v.unpersist()
     }),
 
+    // curation: per-source LENGTH-OUTLIER pruning — docs whose token
+    // count falls outside the source's [P5, P95] band are dropped (the
+    // truncated/concatenated-document filter every curation pipeline
+    // runs before training). Percentiles are EXACT (oracle parity —
+    // the q37 discipline); on integral inputs Spark's percentile
+    // aggregates a value→count map, so its state is O(distinct token
+    // counts), not O(rows) — bounded at any corpus size. The bounds
+    // table is sources-sized and broadcasts; both passes over the
+    // corpus are narrow projections.
+    "t32_length_prune" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("source"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val bounds = docs.groupBy(col("source"))
+        .agg(expr("percentile(n_tokens, 0.05)").as("p05"),
+          expr("percentile(n_tokens, 0.95)").as("p95"))
+      docs.join(broadcast(bounds), Seq("source"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_tokens") < col("p05"), 1L).otherwise(0L))
+            .as("dropped_low"),
+          sum(when(col("n_tokens") > col("p95"), 1L).otherwise(0L))
+            .as("dropped_high"),
+          sum(when(col("n_tokens") >= col("p05") &&
+            col("n_tokens") <= col("p95"), 1L).otherwise(0L)).as("kept"),
+          first(col("p05")).as("p05"), first(col("p95")).as("p95"))
+    }),
+
     // retrieval: HYBRID search — the t21 lexical BM25 index serve and
     // a vector ANN search fused by reciprocal-rank fusion (RRF,
     // SIGIR 2009), the standard RAG retrieval composition: no score
@@ -806,6 +834,27 @@ object PipelineQueries {
       Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), TextFunctions.simhash32(col("text")).as("simhash"))
+    }),
+
+    // dedup: cross-SOURCE near-dup LEAKAGE audit — d02's LSH candidate
+    // pairs whose two documents come from DIFFERENT sources, counted
+    // per canonical source pair: the between-collection duplication
+    // matrix a curator reads before blending sources (the same signal
+    // t10 computes between train/test splits, here between corpora).
+    // Candidates are band-keyed (never all-pairs); the two source
+    // lookups are keyed joins on the pair-bounded candidate list.
+    "d09_cross_source_dups" -> ((s, d) => {
+      val pairs = Dedup.minhashCandidates(Tables.documents(s, d),
+        "doc_id", "text", 16, 4)
+      val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      pairs
+        .join(src.toDF("id_a", "__sa"), Seq("id_a"))
+        .join(src.toDF("id_b", "__sb"), Seq("id_b"))
+        .filter(col("__sa") =!= col("__sb"))
+        .select(least(col("__sa"), col("__sb")).as("src_a"),
+          greatest(col("__sa"), col("__sb")).as("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("dup_pairs"))
     }),
 
     // dedup: connected components over LSH candidate pairs — every doc
@@ -1736,6 +1785,47 @@ object PipelineQueries {
               AS containment_ppm
           FROM ic JOIN sizes sa ON ic.src_a = sa.source
           JOIN sizes sb ON ic.src_b = sb.source""",
+
+    // bounds replayed with quantile_cont (the q37-proven exact twin of
+    // Spark's percentile), drop/keep verdicts recounted per source
+    "t32_length_prune" ->
+      s"""WITH t AS (SELECT source, CAST(len($W) AS BIGINT) AS n_tokens
+            FROM documents),
+          b AS (SELECT source,
+              quantile_cont(n_tokens, 0.05) AS p05,
+              quantile_cont(n_tokens, 0.95) AS p95
+            FROM t GROUP BY 1)
+          SELECT t.source, COUNT(*) AS n_docs,
+            CAST(SUM(CASE WHEN n_tokens < p05 THEN 1 ELSE 0 END) AS BIGINT)
+              AS dropped_low,
+            CAST(SUM(CASE WHEN n_tokens > p95 THEN 1 ELSE 0 END) AS BIGINT)
+              AS dropped_high,
+            CAST(SUM(CASE WHEN n_tokens >= p05 AND n_tokens <= p95
+              THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+            ANY_VALUE(p05) AS p05, ANY_VALUE(p95) AS p95
+          FROM t JOIN b USING (source)
+          GROUP BY t.source""",
+
+    // d02's candidate pairs with each side's source attached, folded
+    // into the canonical cross-source pair matrix
+    "d09_cross_source_dups" ->
+      s"""WITH t AS (SELECT doc_id, $W AS words FROM documents),
+          sh AS (SELECT doc_id, $SH AS s FROM t),
+          sig AS (SELECT doc_id,
+            ${(0 until 4).map(b => s"${band(b, 4)} AS band$b").mkString(", ")}
+          FROM sh WHERE len(s) > 0),
+          pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            AND (a.band0 = b.band0 OR a.band1 = b.band1
+              OR a.band2 = b.band2 OR a.band3 = b.band3)),
+          srcd AS (SELECT p.id_a, p.id_b, da.source AS sa, db.source AS sb
+            FROM pairs p
+            JOIN documents da ON da.doc_id = p.id_a
+            JOIN documents db ON db.doc_id = p.id_b
+            WHERE da.source <> db.source)
+          SELECT LEAST(sa, sb) AS src_a, GREATEST(sa, sb) AS src_b,
+            CAST(COUNT(*) AS BIGINT) AS dup_pairs
+          FROM srcd GROUP BY 1, 2""",
 
     // the fusion replayed from first principles: the t21 BM25 CTEs
     // (ranked, top-10), the s01 cosine CTEs for query vector 0

@@ -114,6 +114,42 @@ class CorpusAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  // --- t32 length-outlier pruning / d09 cross-source dup audit ---
+
+  test("t32: drop/keep verdicts partition every source, P5..P95 keeps the bulk") {
+    val out = graft.SparkEntry.queries("t32_length_prune")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      val kept = r.getAs[Long]("kept")
+      assert(r.getAs[Long]("dropped_low") + r.getAs[Long]("dropped_high") +
+        kept == n)
+      // exact bound from linear interpolation at h = q(n-1): at most
+      // floor(0.05(n-1))+1 values sit strictly below P5, and at most
+      // (n-1)-floor(0.95(n-1)) strictly above P95
+      val maxLow = (0.05 * (n - 1)).toLong + 1
+      val maxHigh = (n - 1) - (0.95 * (n - 1)).toLong
+      assert(r.getAs[Long]("dropped_low") <= maxLow)
+      assert(r.getAs[Long]("dropped_high") <= maxHigh)
+      assert(kept >= n - maxLow - maxHigh,
+        s"source ${r.getAs[String]("source")}: kept $kept of $n")
+      assert(r.getAs[Double]("p05") <= r.getAs[Double]("p95"))
+    }
+  }
+
+  test("d09: canonical cross-source pairs, bounded by the candidate total") {
+    val out = graft.SparkEntry.queries("d09_cross_source_dups")(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[String]("src_a") < r.getAs[String]("src_b"))
+      assert(r.getAs[Long]("dup_pairs") > 0L)
+    }
+    val allPairs = graft.dedup.Dedup.minhashCandidates(
+      graft.Tables.documents(spark, sf), "doc_id", "text", 16, 4).count()
+    assert(out.map(_.getAs[Long]("dup_pairs")).sum <= allPairs)
+  }
+
   // --- SQ8 scalar quantization (s12 / Similarity.sq8*) ---
 
   test("SQ8 codec: codes stay in 0..255, reconstruction error is bounded") {
