@@ -213,6 +213,32 @@ object Baseline {
           expr("CAST(hits * 1000000 DIV 3 AS BIGINT)").as("recall_ppm"))
     }),
 
+    // mutual kNN graph in its plain form: unsalted bucket self-join,
+    // declarative cosine (what the salted scaffold + compiled dot buy)
+    "s13_knn_graph" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val v = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"), col("embedding").as("v"),
+          signBucket(col("embedding"), 2).as("bucket"))
+      val a = v.select(col("id").as("id_a"), col("v").as("va"), col("bucket"))
+      val b = v.select(col("id").as("id_b"), col("v").as("vb"), col("bucket"))
+      val w = Window.partitionBy(col("id_a"))
+        .orderBy(col("cos").desc, col("id_b").asc)
+      val directed = a.join(b, Seq("bucket"))
+        .filter(col("id_a") =!= col("id_b"))
+        .withColumn("cos", cosDecl(col("va"), col("vb")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("id_a"), col("id_b"))
+      directed
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") === 2)
+        .select(col("id_a"), col("id_b"))
+    }),
+
     "e01_embed_neardup" -> ((s, d) => {
       val v = Tables.embeddings(s, d)
         .select(col("vec_id").as("id"), col("embedding").as("v"),

@@ -223,4 +223,53 @@ object TextFunctions {
     val stopRatio = langScore(c, "en").cast("double") / nTok
     round(least(nTok, lit(200.0)) * 0.005 + stopRatio, 6)
   }
+
+  /** Hashed-linear-classifier constants (shared with the t33 oracle):
+    * the feature space is [[ClassifierBuckets]] hash buckets of the
+    * md5 base hash; a bucket's weight is a fixed integer in
+    * [-1000, 1000] derived arithmetically from the bucket id (Knuth
+    * multiplicative constant mod 2001, shifted) — a stand-in for
+    * trained fastText weights with the same runtime shape.
+    */
+  val ClassifierBuckets = 1024L
+  private val ClassifierMult = 2654435761L
+  private val ClassifierMod = 2001L
+
+  /** fastText-style HASHED linear classifier score over the token
+    * array (Joulin et al. 2017's bag-of-features trick): each token
+    * maps to weight(h(token) mod D) and the document score is the
+    * plain sum — the shape of every model-based quality filter run
+    * over web-scale corpora (CCNet / DCLM fastText filtering).
+    *
+    * The hashing trick is the scale story: there is NO vocabulary to
+    * broadcast and no dictionary join — the "model" is D integers
+    * derivable in-row, so scoring 100 TB is one narrow codegen'd
+    * projection, embarrassingly parallel. Integer weights and an
+    * integer sum make the score bit-exact in any engine.
+    */
+  def hashedClassifierScore(words: Column): Column =
+    aggregate(
+      transform(words, w =>
+        ((shingleBaseHash(w) % ClassifierBuckets) * ClassifierMult)
+          % ClassifierMod - lit(1000L)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS local document-fingerprinting algorithm):
+    * over the per-position gram fingerprints `fps` (stage
+    * [[gramFingerprints]] as its own column so the gram expansion
+    * evaluates once per row), take the minimum of every `win`
+    * consecutive values, then the distinct set. Guarantees any shared
+    * substring of length ≥ win + gram − 1 tokens contributes at least
+    * one common fingerprint, while keeping ~2/(win+1) of positions —
+    * the bandwidth knob exact-substring dedup needs at corpus scale.
+    * Documents with fewer than `win` gram positions yield an empty
+    * set (too short to winnow). Pure array expressions — stays inside
+    * whole-stage codegen, no shuffle, no UDF.
+    */
+  def winnowedFingerprints(fps: Column, win: Int): Column =
+    when(size(fps) >= win,
+      array_distinct(transform(sequence(lit(1), size(fps) - (win - 1)),
+        j => array_min(slice(fps, j, lit(win))))))
+      .otherwise(typedLit(Array.empty[Long]))
 }

@@ -756,6 +756,86 @@ object PipelineQueries {
           first(col("p05")).as("p05"), first(col("p95")).as("p95"))
     }),
 
+    // curation: model-based QUALITY FILTERING — a fastText-shaped
+    // HASHED linear classifier (Joulin et al. 2017; the CCNet / DCLM
+    // model-filtering stage): token → weight(md5-hash mod D), document
+    // score = integer sum, keep/drop at 0. The hashing trick is the
+    // 100 TB story: no vocabulary broadcast, no dictionary join — the
+    // "model" is D integers derived in-row, so the whole filter is one
+    // narrow codegen'd projection.
+    "t33_quality_classifier" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("__w", TextFunctions.tokens(col("text")))
+        .select(col("doc_id"),
+          size(col("__w")).cast("long").as("n_tokens"),
+          TextFunctions.hashedClassifierScore(col("__w")).as("w_sum"))
+        .withColumn("label",
+          when(col("w_sum") >= 0, "keep").otherwise("drop"))
+    }),
+
+    // corpus analysis: n-gram DIVERSITY audit — per-source distinct
+    // 3-gram ratio (the type/token ratio at n-gram granularity): the
+    // template/boilerplate detector a curator reads next to t11's
+    // within-doc repetition (a source can look clean per-document and
+    // still be one template stamped a million times). One tokenize
+    // pass; count + count-distinct fold into a single per-(source,
+    // gram) then per-source agg — two keyed shuffles, no join; ratio
+    // in exact integer ppm.
+    "t34_ngram_diversity" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("source"),
+          explode(TextFunctions.wordShingles(col("text"))).as("g"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("total_grams"),
+          countDistinct(col("g")).as("distinct_grams"))
+        .select(col("source"), col("total_grams"), col("distinct_grams"),
+          expr("CAST(distinct_grams * 1000000 DIV total_grams AS BIGINT)")
+            .as("diversity_ppm"))
+    }),
+
+    // dedup: WINNOWING document fingerprints (Schleimer et al., SIGMOD
+    // 2003 — MOSS): per-position 4-gram Karp-Rabin fingerprints (the
+    // d06 machinery), window-of-4 minima, distinct set — the
+    // guaranteed-recall sampled fingerprint sheet exact-substring
+    // dedup keeps per document instead of every gram (~2/(w+1) of
+    // positions at 100 TB, the bandwidth knob). Pure per-row array
+    // expressions — no shuffle at all; the gate emits order-free
+    // integer stats of each doc's fingerprint set.
+    "t35_winnowing" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("__w", TextFunctions.tokens(col("text")))
+        .withColumn("__h", TextFunctions.gramFingerprints(col("__w"), 4))
+        .withColumn("__fps", TextFunctions.winnowedFingerprints(col("__h"), 4))
+        .select(col("doc_id"),
+          size(col("__fps")).cast("long").as("n_fps"),
+          array_min(col("__fps")).as("fp_min"),
+          array_max(col("__fps")).as("fp_max"),
+          aggregate(col("__fps"), lit(0L), (a, x) => a + x).as("fp_sum"))
+    }),
+
+    // similarity: MUTUAL kNN GRAPH construction — the neighborhood
+    // graph embedding-space clustering / label propagation builds
+    // (edge iff each endpoint is in the other's in-bucket top-3);
+    // candidates from the s09 salted sign-bucket scaffold, mutuality
+    // decided by one keyed count over the ≤ |corpus|×k directed edge
+    // set — see Similarity.mutualKnnGraph for the full scale story.
+    "s13_knn_graph" -> ((s, d) => {
+      Similarity.mutualKnnGraph(Tables.embeddings(s, d),
+        "vec_id", "embedding", 3, 2)
+    }),
+
+    // similarity: k-means CLUSTER AUDIT — per-cell population and
+    // integer-ppm inertia over the materialized s04 centroids (the
+    // quantizer-balance report read before trusting SemDeDup cells or
+    // cell-pruned ANN serving). Assignment is the in-row
+    // literal-centroid projection (no shuffle); the only shuffle is
+    // the nlist-row final agg.
+    "s14_cluster_audit" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.clusterAudit(emb, "vec_id", "embedding",
+        centroidsFor(s, d, emb))
+    }),
+
     // retrieval: HYBRID search — the t21 lexical BM25 index serve and
     // a vector ANN search fused by reciprocal-rank fusion (RRF,
     // SIGIR 2009), the standard RAG retrieval composition: no score
@@ -1805,6 +1885,99 @@ object PipelineQueries {
             ANY_VALUE(p05) AS p05, ANY_VALUE(p95) AS p95
           FROM t JOIN b USING (source)
           GROUP BY t.source""",
+
+    // the hashed classifier replayed token-by-token: same md5 base
+    // hash, same bucket → weight arithmetic, integer sum (empty token
+    // lists cannot occur — documents are non-blank — but COALESCE
+    // keeps the SQL total like Spark's 0-seeded fold)
+    "t33_quality_classifier" ->
+      s"""WITH t AS (SELECT doc_id, $W AS words FROM documents),
+          sc AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens,
+            CAST(COALESCE(list_aggregate(list_transform(words, w ->
+              ((CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % 1000000007)
+                % 1024) * 2654435761 % 2001 - 1000), 'sum'), 0) AS BIGINT)
+              AS w_sum
+          FROM t)
+          SELECT doc_id, n_tokens, w_sum,
+            CASE WHEN w_sum >= 0 THEN 'keep' ELSE 'drop' END AS label
+          FROM sc""",
+
+    // diversity replayed from the unnested shingle stream; ratio is
+    // exact integer ppm
+    "t34_ngram_diversity" ->
+      s"""WITH t AS (SELECT source, $W AS words FROM documents),
+          sh AS (SELECT source, unnest($SH) AS g FROM t)
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS total_grams,
+            CAST(COUNT(DISTINCT g) AS BIGINT) AS distinct_grams,
+            CAST(COUNT(DISTINCT g) * 1000000 // COUNT(*) AS BIGINT)
+              AS diversity_ppm
+          FROM sh GROUP BY source""",
+
+    // winnowing replayed over the d06 Karp-Rabin gram fingerprints
+    // (4-gram variant): window-of-4 minima, distinct, order-free stats
+    "t35_winnowing" ->
+      s"""WITH t AS (SELECT doc_id, $W AS words FROM documents),
+          h AS (SELECT doc_id,
+            list_transform(words, w ->
+              CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % 1000000007) AS hs
+          FROM t),
+          f AS (SELECT doc_id, CASE WHEN len(hs) >= 4 THEN
+              list_transform(range(1, len(hs) - 2), i ->
+                list_reduce(hs[i:i+3], (a, b) -> (a * 31 + b) % 1000000007))
+            ELSE [] END AS fp FROM h),
+          wn AS (SELECT doc_id, CASE WHEN len(fp) >= 4 THEN
+              list_distinct(list_transform(range(1, len(fp) - 2), j ->
+                list_aggregate(fp[j:j+3], 'min')))
+            ELSE [] END AS fps FROM f)
+          SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
+            CAST(list_aggregate(fps, 'min') AS BIGINT) AS fp_min,
+            CAST(list_aggregate(fps, 'max') AS BIGINT) AS fp_max,
+            CAST(COALESCE(list_aggregate(fps, 'sum'), 0) AS BIGINT) AS fp_sum
+          FROM wn""",
+
+    // the mutual graph replayed from first principles: in-bucket
+    // cosine top-3 per vector (ties by id — the s09 ranking), then an
+    // unordered-pair count of 2 ⇔ both directions present
+    "s13_knn_graph" ->
+      s"""WITH v AS (SELECT vec_id, embedding,
+            ${bucketSql("embedding", 2)} AS bucket FROM embeddings),
+          pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            a.embedding AS qv, b.embedding AS cv
+          FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+          ranked AS (SELECT id_a, id_b,
+            ROW_NUMBER() OVER (PARTITION BY id_a
+              ORDER BY $dotSql / ($normQ * $normC) DESC, id_b ASC) AS rank
+          FROM pairs),
+          directed AS (SELECT id_a, id_b FROM ranked WHERE rank <= 3),
+          und AS (SELECT LEAST(id_a, id_b) AS id_a,
+            GREATEST(id_a, id_b) AS id_b FROM directed)
+          SELECT id_a, id_b FROM und
+          GROUP BY id_a, id_b HAVING COUNT(*) = 2""",
+
+    // cells replayed from the s04 centroid table (cosine-nearest, tie
+    // to the lower cell — the assignCells rule), then per-cell counts
+    // and the floored-ppm d2 sum (per-row floor BEFORE the sum, so the
+    // total is an order-free integer like Spark's)
+    "s14_cluster_audit" ->
+      s"""WITH cent AS (SELECT cell, centroid AS cv
+            FROM read_parquet('$IvfCentroidsPath/*.parquet')),
+          v AS (SELECT vec_id, embedding AS qv FROM embeddings),
+          scored AS (SELECT vec_id, cell,
+            $dotSql / ($normQ * $normC) AS cdot
+          FROM v CROSS JOIN cent),
+          ranked AS (SELECT vec_id, cell,
+            ROW_NUMBER() OVER (PARTITION BY vec_id
+              ORDER BY cdot DESC, cell ASC) AS crank
+          FROM scored),
+          asg AS (SELECT vec_id, cell FROM ranked WHERE crank = 1),
+          j AS (SELECT a.cell, e.embedding AS x, c.cv AS cc
+            FROM asg a
+            JOIN embeddings e ON e.vec_id = a.vec_id
+            JOIN cent c ON c.cell = a.cell)
+          SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+            CAST(SUM(CAST(FLOOR(${d2Sql("x", "cc")} * 1000000.0) AS BIGINT))
+              AS BIGINT) AS sum_d2_ppm
+          FROM j GROUP BY cell""",
 
     // d02's candidate pairs with each side's source attached, folded
     // into the canonical cross-source pair matrix

@@ -774,4 +774,74 @@ object Similarity {
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"))
+
+  /** MUTUAL kNN graph over sign-LSH buckets — the neighborhood graph
+    * that embedding-space clustering / manifold methods build before
+    * community detection or label propagation: an undirected edge
+    * (a, b) exists iff a is among b's k nearest in-bucket neighbors
+    * AND b is among a's (the mutual filter is the standard noise
+    * suppressor — a hub vector close to everything only keeps edges
+    * to vectors that reciprocate).
+    *
+    * Scale: candidates come from [[saltedSelfJoin]] (bucket+salt
+    * keyed, never all-pairs); the per-vector top-k is one window over
+    * the bucket-pair rows. The directed edge set is ≤ |corpus| × k
+    * rows, and mutuality is decided WITHOUT a second corpus pass: a
+    * directed edge appears at most once per direction, so grouping by
+    * the unordered pair and keeping count = 2 is exactly "both
+    * directions present" — one keyed shuffle over the bounded edge
+    * set. Ranks replay in any engine (double cosine, ties by id).
+    *
+    * Output: (id_a, id_b) with id_a < id_b — integers only.
+    */
+  def mutualKnnGraph(corpus: DataFrame, idCol: String, vecCol: String,
+                     k: Int, bits: Int, salt: Int = 8): DataFrame = {
+    val w = Window.partitionBy(col("id_a"))
+      .orderBy(col("cos").desc, col("id_b").asc)
+    val directed = saltedSelfJoin(corpus, idCol, vecCol, bits, salt)
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id_a"), col("id_b"))
+    directed
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") === 2)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** k-means CLUSTER AUDIT over trained coarse centroids — the
+    * balance/compactness report a curator reads after fitting the IVF
+    * quantizer (and before trusting SemDeDup cells or cell-pruned
+    * serving): per cell, its population and summed squared distance
+    * to the centroid (the inertia decomposition). A cell hoarding
+    * most of the corpus means the quantizer under-fits and every
+    * cell-keyed stage downstream inherits the skew.
+    *
+    * Scale: assignment is the same in-row literal-centroid projection
+    * as [[assignCells]] (no shuffle, no window); the centroid table
+    * (nlist × dim floats) broadcasts; the only shuffle is the final
+    * nlist-row aggregation. Per-row d2 is floored to integer ppm
+    * BEFORE summing, so the per-cell total is an order-free integer —
+    * hash-comparable across engines and across partitionings.
+    *
+    * Output: (cell, n_vectors, sum_d2_ppm).
+    */
+  def clusterAudit(corpus: DataFrame, idCol: String, vecCol: String,
+                   centroids: Seq[(Int, Array[Float])]): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = broadcast(centroids.toDF("cell", "centroid"))
+    assignCells(
+        corpus.select(col(idCol).as("id"), col(vecCol).as("v")),
+        "v", centroids, 1)
+      .join(cents, Seq("cell"))
+      .withColumn("__d2ppm",
+        floor(d2(col("v"), col("centroid")) * lit(1000000.0)).cast("long"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("__d2ppm")).as("sum_d2_ppm"))
+  }
 }

@@ -1,0 +1,186 @@
+package graft.queries
+
+import graft.TestSpark
+import graft.functions.TextFunctions
+import graft.similarity.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fourth-session round-11 operators: the hashed linear quality
+  * classifier (t33), n-gram diversity audit (t34), winnowing
+  * fingerprints (t35), mutual kNN graph (s13), and the k-means
+  * cluster audit (s14).
+  */
+class CorpusOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Driver-side twin of TextFunctions.hashedClassifierScore for one
+    * token.
+    */
+  private def tokenWeight(w: String): Long = {
+    val base = java.lang.Long.parseLong(md5Hex(w).substring(0, 15), 16) %
+      1000000007L
+    (base % 1024L) * 2654435761L % 2001L - 1000L
+  }
+
+  // --- t33 hashed quality classifier ---
+
+  test("t33: score is the exact sum of per-token hashed weights") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "the data join"), (2L, "merge")).toDF("doc_id", "text")
+    val out = df
+      .withColumn("__w", TextFunctions.tokens(col("text")))
+      .select(col("doc_id"),
+        TextFunctions.hashedClassifierScore(col("__w")).as("w_sum"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) ==
+      Seq("the", "data", "join").map(tokenWeight).sum)
+    assert(out(2L) == tokenWeight("merge"))
+  }
+
+  test("t33: weights stay in [-1000, 1000], label partitions at zero") {
+    val out = graft.SparkEntry.queries("t33_quality_classifier")(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_tokens")
+      val w = r.getAs[Long]("w_sum")
+      assert(math.abs(w) <= n * 1000L,
+        s"doc ${r.getAs[Long]("doc_id")}: |$w| > $n * 1000")
+      assert(r.getAs[String]("label") == (if (w >= 0) "keep" else "drop"))
+    }
+    // a fixed hash family is not degenerate on real data: both classes
+    assert(out.map(_.getAs[String]("label")).toSet == Set("keep", "drop"))
+  }
+
+  // --- t34 n-gram diversity ---
+
+  test("t34: totals replay from per-doc token counts, ratio is exact") {
+    val out = graft.SparkEntry.queries("t34_ngram_diversity")(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    val totals = graft.Tables.documents(spark, sf)
+      .groupBy(col("source"))
+      .agg(sum(greatest(
+        TextFunctions.tokenCount(col("text")).cast("long") - 2L, lit(0L)))
+        .as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val src = r.getAs[String]("source")
+      val total = r.getAs[Long]("total_grams")
+      val distinct = r.getAs[Long]("distinct_grams")
+      assert(total == totals(src))
+      assert(distinct >= 1L && distinct <= total)
+      assert(r.getAs[Long]("diversity_ppm") == distinct * 1000000L / total)
+    }
+  }
+
+  // --- t35 winnowing ---
+
+  test("t35: a shared run of >= win+gram-1 tokens guarantees a shared fingerprint") {
+    val s = spark
+    import s.implicits._
+    // 7 shared tokens = gram 4 + win 4 - 1 → at least one common
+    // winnowed fingerprint (the MOSS guarantee)
+    val shared = "alpha beta gamma delta epsilon zeta eta"
+    val df = Seq(
+      (1L, s"one two $shared"),
+      (2L, s"$shared nine ten eleven")).toDF("doc_id", "text")
+    val fps = df
+      .withColumn("__w", TextFunctions.tokens(col("text")))
+      .withColumn("__h", TextFunctions.gramFingerprints(col("__w"), 4))
+      .select(col("doc_id"),
+        TextFunctions.winnowedFingerprints(col("__h"), 4).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fps(1L).intersect(fps(2L)).nonEmpty)
+  }
+
+  test("t35: documents shorter than win+gram-1 tokens yield no fingerprints") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a b c d e f")).toDF("doc_id", "text") // 6 < 7
+    val out = df
+      .withColumn("__w", TextFunctions.tokens(col("text")))
+      .withColumn("__h", TextFunctions.gramFingerprints(col("__w"), 4))
+      .select(TextFunctions.winnowedFingerprints(col("__h"), 4).as("fps"))
+      .collect()
+    assert(out.head.getSeq[Long](0).isEmpty)
+  }
+
+  test("t35: gate stats are bounded by the winnowable positions") {
+    val nTok = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val out = graft.SparkEntry.queries("t35_winnowing")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val nFps = r.getAs[Long]("n_fps")
+      // positions = n_tokens - 6 windows of minima, distinct can only shrink
+      assert(nFps <= math.max(0L, nTok(id) - 6L))
+      if (nTok(id) >= 7L) assert(nFps >= 1L)
+      if (nFps > 0L)
+        assert(r.getAs[Long]("fp_min") <= r.getAs[Long]("fp_max"))
+      else assert(r.isNullAt(r.fieldIndex("fp_min")))
+    }
+  }
+
+  // --- s13 mutual kNN graph ---
+
+  test("mutualKnnGraph: keeps reciprocated edges only") {
+    val s = spark
+    import s.implicits._
+    // all-positive 2-dim vectors share one sign bucket (bits=2);
+    // with k=1: 1↔2 are mutual nearest, 3's nearest (2) does not
+    // reciprocate → exactly one edge
+    val df = Seq(
+      (1L, Array(1f, 0.10f)),
+      (2L, Array(1f, 0.11f)),
+      (3L, Array(1f, 5f))).toDF("vec_id", "embedding")
+    val edges = Similarity.mutualKnnGraph(df, "vec_id", "embedding", 1, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.toSeq == Seq((1L, 2L)))
+  }
+
+  test("s13: canonical unique edges, mutual degree bounded by k") {
+    val out = graft.SparkEntry.queries("s13_knn_graph")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val edges = out.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(edges.forall { case (a, b) => a < b })
+    assert(edges.distinct.length == edges.length)
+    val degree = edges.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map(_._2.length)
+    assert(degree.max <= 3)
+  }
+
+  // --- s14 cluster audit ---
+
+  test("clusterAudit: centroids auditing themselves have zero inertia") {
+    val s = spark
+    import s.implicits._
+    val cents = Seq(0 -> Array(1f, 0f), 1 -> Array(0f, 1f))
+    val df = Seq((10L, Array(1f, 0f)), (11L, Array(0f, 1f)),
+      (12L, Array(0f, 1f))).toDF("vec_id", "embedding")
+    val out = Similarity.clusterAudit(df, "vec_id", "embedding", cents)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(0 -> (1L, 0L), 1 -> (2L, 0L)))
+  }
+
+  test("s14: populations cover the corpus, inertia non-negative") {
+    val out = graft.SparkEntry.queries("s14_cluster_audit")(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= 8) // nlist = 8 trained cells
+    val total = out.map(_.getAs[Long]("n_vectors")).sum
+    assert(total == graft.Tables.embeddings(spark, sf).count())
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_vectors") > 0L)
+      assert(r.getAs[Long]("sum_d2_ppm") >= 0L)
+    }
+  }
+}
