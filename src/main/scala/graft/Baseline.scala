@@ -333,6 +333,20 @@ object Baseline {
         .agg(count(lit(1)).as("cnt"), Tables.dsum(col("value")).as("total_value"))
     }),
 
+    // the sliding window's plain formulation: batch expansion into the
+    // two overlapping hour-aligned windows (what the streaming state
+    // machinery is priced against)
+    "st15_sliding_window" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(expr("ts div 3600000000000").as("h"), col("event_type"),
+          col("value"))
+      e.select((col("h") - 1).as("win_hour"), col("event_type"), col("value"))
+        .unionAll(e.select(col("h").as("win_hour"), col("event_type"),
+          col("value")))
+        .groupBy(col("win_hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), Tables.dsum(col("value")).as("total_value"))
+    }),
+
     // the table-stream's plain formulation: the same hourly aggregate
     // as one batch over the source parquet (no snapshot+incremental
     // delivery, no segment table)

@@ -968,6 +968,33 @@ object PipelineQueries {
     // brute-force shape with the query set broadcast. At 100 TB the
     // profile build is the only corpus-sized stage (map-side partial
     // counts); the search runs over |users| vectors, not events.
+    // events: per-user event-type TRANSITION MATRIX (first-order
+    // Markov counts) — the user-journey fabric behind funnel/flow
+    // analytics: consecutive event pairs per user, folded into
+    // (from, to) counts with exact integer-ppm row-conditional
+    // probabilities. One (user)-keyed window pass over the corpus
+    // (the q36/g11 shape — the partition-by-user shuffle IS the
+    // corpus-sized stage and is inherent to sequence analysis); the
+    // transition table is |types|² rows and the per-from totals
+    // broadcast. Deterministic: the testdata contract pins (user_id,
+    // ts) collision-free, so LEAD order is total.
+    "e03_transition_matrix" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val trans = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .select(col("event_type").as("from_type"), col("to_type"))
+      val counts = trans.groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val totals = counts.groupBy(col("from_type"))
+        .agg(sum(col("cnt")).as("tot"))
+      counts.join(broadcast(totals), Seq("from_type"))
+        .select(col("from_type"), col("to_type"), col("cnt"),
+          expr("CAST(cnt * 1000000 DIV tot AS BIGINT)").as("p_ppm"))
+    }),
+
     "e02_trajectory_topk" -> ((s, d) => {
       val hour = (expr("ts div 3600000000000") % 24).cast("int")
       val profiles = Tables.events(s, d)
@@ -2232,6 +2259,24 @@ object PipelineQueries {
           SELECT dup_id, MIN(kept_id) AS kept_id FROM pairs
           WHERE $dotSql / ($normQ * $normC) >= 0.4
           GROUP BY dup_id""",
+
+    // consecutive-pair LEAD per user (order total — (user_id, ts) is
+    // collision-free by the testdata contract), counts + exact ppm
+    // row-conditional probabilities
+    "e03_transition_matrix" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS t, event_type
+           FROM events),
+         tr AS (SELECT event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY t)
+               AS to_type
+           FROM e),
+         c AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         tot AS (SELECT from_type, CAST(SUM(cnt) AS BIGINT) AS tot
+           FROM c GROUP BY 1)
+         SELECT from_type, to_type, cnt,
+           CAST(cnt * 1000000 // tot AS BIGINT) AS p_ppm
+         FROM c JOIN tot USING (from_type)""",
 
     "e02_trajectory_topk" -> {
       val profile = (0 until 24).map(h =>

@@ -24,6 +24,13 @@ object StreamingQueries {
       EventStreams.runToCompletion(s, agg, statePartitions = 4)
     }),
 
+    "st15_sliding_window" -> ((s, d) => {
+      val agg = EventStreams.slidingAgg(EventStreams.eventStream(s, d))
+      // state = in-flight windows × event types — one extra window vs
+      // st01 (the overlap factor), still tiny
+      EventStreams.runToCompletion(s, agg, statePartitions = 4)
+    }),
+
     "st02_session_window" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
@@ -522,6 +529,20 @@ object StreamingQueries {
          COUNT(*) AS cnt,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2""",
+
+    // sliding windows replayed by expansion: a 2h-window/1h-slide
+    // assigns each event to exactly the two epoch-hour-aligned
+    // windows starting at its hour and the hour before — UNION ALL
+    // the two memberships, then the same counts as st01
+    "st15_sliding_window" ->
+      """WITH e AS (SELECT (epoch_ns(ts) // 1000) // 3600000000 AS h,
+           event_type, value FROM events),
+         x AS (SELECT h - 1 AS win_hour, event_type, value FROM e
+               UNION ALL
+               SELECT h AS win_hour, event_type, value FROM e)
+         SELECT win_hour, event_type, COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM x GROUP BY 1, 2""",
 
     // session_window semantics: a new session starts when the gap to
     // the previous event is >= 30 min (strictly-less extends)

@@ -82,6 +82,26 @@ object EventStreams {
       .select((col("window.start").cast("long") / 3600).cast("long").as("hour_bucket"),
         col("event_type"), col("cnt"), col("total_value"))
 
+  /** SLIDING-window counts (2-hour windows advancing every hour) with
+    * a watermark — the overlapping-window complement of [[hourlyAgg]]:
+    * each event contributes to exactly TWO open windows, the shape of
+    * every moving-average / trailing-rate dashboard. State is
+    * windows-in-flight × event types (one extra in-flight window vs
+    * tumbling — the overlap factor, not the corpus, sets state size),
+    * and the watermark still bounds it: a window finalizes one hour
+    * after its end passes the watermark. Emits (win_hour = window
+    * start in epoch hours, event_type, cnt, total_value).
+    */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts_utc", "1 hour")
+      .groupBy(window(col("ts_utc"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("total_value"))
+      .select((col("window.start").cast("long") / 3600).cast("long").as("win_hour"),
+        col("event_type"), col("cnt"), col("total_value"))
+
   /** Run a streaming aggregation to completion over the files present
     * now (Trigger.AvailableNow + memory sink) and return the result as
     * a batch DataFrame — used by the correctness gate so the streaming

@@ -28,6 +28,52 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(streamed.sameElements(batch))
   }
 
+  test("streaming sliding-window agg equals the batch two-window expansion") {
+    val streamed = EventStreams.runToCompletion(spark,
+      EventStreams.slidingAgg(EventStreams.eventStream(spark, TestSpark.sf)))
+      .orderBy("win_hour", "event_type")
+      .collect()
+    val e = Tables.events(spark, TestSpark.sf)
+      .select(expr("ts div 3600000000000").as("h"), col("event_type"),
+        col("value"))
+    val batch = e
+      .select((col("h") - 1).as("win_hour"), col("event_type"), col("value"))
+      .unionAll(e.select(col("h").as("win_hour"), col("event_type"),
+        col("value")))
+      .groupBy(col("win_hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("total_value"))
+      .orderBy("win_hour", "event_type")
+      .collect()
+    assert(streamed.sameElements(batch))
+    // overlap invariant: every event counted exactly twice
+    val total = streamed.map(_.getAs[Long]("cnt")).sum
+    assert(total == 2L * Tables.events(spark, TestSpark.sf).count())
+  }
+
+  test("e03: transitions conserve events minus users, ppm shares are exact") {
+    val out = graft.SparkEntry.queries("e03_transition_matrix")(
+      spark, TestSpark.sf).collect()
+    assert(out.nonEmpty)
+    val ev = Tables.events(spark, TestSpark.sf)
+    val nEvents = ev.count()
+    val nUsers = ev.select(col("user_id")).distinct().count()
+    // each user with n events contributes exactly n-1 transitions
+    assert(out.map(_.getAs[Long]("cnt")).sum == nEvents - nUsers)
+    val byFrom = out.groupBy(_.getAs[String]("from_type"))
+    byFrom.values.foreach { rows =>
+      val tot = rows.map(_.getAs[Long]("cnt")).sum
+      rows.foreach { r =>
+        assert(r.getAs[Long]("p_ppm") ==
+          r.getAs[Long]("cnt") * 1000000L / tot)
+      }
+      // shares of one from-state sum to ~1e6 (floor loss < n_to_types)
+      val s = rows.map(_.getAs[Long]("p_ppm")).sum
+      assert(s <= 1000000L && s > 1000000L - rows.length)
+    }
+  }
+
   test("append-mode windowed aggregation drains non-empty (finalization batch runs)") {
     // append emits a window only when the watermark passes its end —
     // for an AvailableNow drain that happens in the trailing no-data
