@@ -572,6 +572,81 @@ object Multimodal {
       .mapPartitions(it => it.grouped(batchSize).flatMap(decodeAudioBatch))
   }
 
+  /** Decoded-audio QUALITY record (the loudness/clipping/roughness
+    * screen an audio-curation pipeline runs per clip): energy as the
+    * sum of squared samples (the RMS numerator — integer, so exact),
+    * peak amplitude, and total variation Σ|s_i − s_{i−1}| (signal
+    * roughness; silence and constant DC score 0). All integers over
+    * the decoded 8-bit unsigned PCM stream.
+    */
+  case class AudioStats(id: Long, byte_len: Int, sample_rate: Int,
+                        n_samples: Long, sq_sum: Long, peak: Long, tv: Long)
+
+  /** Batched audio-quality decode — same contract as
+    * [[decodeAudioBatch]] (8-bit unsigned mono PCM profile; anything
+    * else quarantines to the deterministic md5 stub), but the stream
+    * walk folds energy/peak/total-variation instead of the amplitude
+    * sum, carrying the previous sample across read-buffer boundaries.
+    */
+  private def decodeAudioStatsBatch(batch: Seq[(Long, Array[Byte])]): Seq[AudioStats] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    batch.map { case (id, bytes) =>
+      val real: Option[AudioStats] =
+        if (!isWav(bytes)) None
+        else try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val fmt = ais.getFormat
+            val supported = fmt.getSampleSizeInBits == 8 &&
+              fmt.getChannels == 1 &&
+              fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+            if (!supported) None
+            else {
+              val buf = new Array[Byte](4096)
+              var sq = 0L; var peak = 0L; var tv = 0L
+              var frames = 0L; var prev = -1L
+              var n = ais.read(buf)
+              while (n > 0) {
+                var i = 0
+                while (i < n) {
+                  val v = (buf(i) & 0xff).toLong
+                  sq += v * v
+                  if (v > peak) peak = v
+                  if (prev >= 0) tv += math.abs(v - prev)
+                  prev = v
+                  i += 1
+                }
+                frames += n
+                n = ais.read(buf)
+              }
+              Some(AudioStats(id, bytes.length, fmt.getSampleRate.toInt,
+                frames, sq, peak, tv))
+            }
+          } finally ais.close()
+        } catch { case scala.util.control.NonFatal(_) => None }
+      real.getOrElse {
+        md.reset()
+        val b = md.digest(bytes)
+        AudioStats(id, bytes.length, 8000 + ((b(0) & 0xff) % 8) * 1000,
+          (b(1) & 0xff).toLong, (b(2) & 0xff).toLong, (b(3) & 0xff).toLong,
+          (b(4) & 0xff).toLong)
+      }
+    }
+  }
+
+  /** Batched audio-quality stats over the payload column — same
+    * narrow mapPartitions contract as [[decodeAudioFeatures]].
+    */
+  def decodeAudioStats(df: DataFrame,
+                       batchSize: Int = 64): Dataset[AudioStats] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("id"), coalesce(col("payload"),
+      lit(Array.emptyByteArray)).as("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(it => it.grouped(batchSize).flatMap(decodeAudioStatsBatch))
+  }
+
   /** End-to-end: payload attach → batched decode → per-source feature
     * aggregation (the typical training-data curation rollup).
     */

@@ -1240,6 +1240,22 @@ object PipelineQueries {
           col("amp_sum"))
     }),
 
+    // multimodal: audio QUALITY stats — the loudness/clipping/
+    // roughness screen over the decoded PCM stream (sum of squared
+    // samples = the exact RMS numerator, peak amplitude, total
+    // variation Σ|s_i−s_{i−1}|), folded in one pass through the same
+    // javax.sound decode walk as m05 — an energy/TV mistake in the
+    // stream walk (buffer-boundary sample dropped, unsigned byte
+    // misread) hash-mismatches while the m05 header fields stay green
+    "m08_audio_stats" -> ((s, d) => {
+      import graft.multimodal.Multimodal
+      val wav = Multimodal.withWavPayload(Tables.documents(s, d),
+        "doc_id", "text", "n_chars")
+      Multimodal.decodeAudioStats(wav).toDF()
+        .select(col("id"), col("sample_rate"), col("n_samples"),
+          col("sq_sum"), col("peak"), col("tv"))
+    }),
+
     // multimodal: REAL stereo decode — 16-bit signed little-endian
     // 2-channel PCM (the profile the mono path quarantines), with
     // per-channel amplitude sums: the decoder must deinterleave
@@ -2665,6 +2681,32 @@ object PipelineQueries {
                 range(0, 500 + (n_chars % 1000)),
                 i -> ord(substr(text, CAST(i % length(text) AS INT) + 1, 1))),
                 'sum') AS BIGINT) END AS amp_sum
+          FROM documents""",
+
+    // the m05 generation rule replayed for the quality stats: samples
+    // are the text's bytes cyclically (ASCII contract: ord == byte),
+    // so energy/peak/total-variation recompute from character codes
+    "m08_audio_stats" ->
+      """SELECT doc_id AS id,
+            CAST(8000 + (n_chars % 8) * 1000 AS INT) AS sample_rate,
+            CAST(500 + (n_chars % 1000) AS BIGINT) AS n_samples,
+            CASE WHEN text IS NULL OR length(text) = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(list_aggregate(list_transform(
+                range(0, 500 + (n_chars % 1000)),
+                i -> ord(substr(text, CAST(i % length(text) AS INT) + 1, 1))
+                   * ord(substr(text, CAST(i % length(text) AS INT) + 1, 1))),
+                'sum') AS BIGINT) END AS sq_sum,
+            CASE WHEN text IS NULL OR length(text) = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(list_aggregate(list_transform(
+                range(0, 500 + (n_chars % 1000)),
+                i -> ord(substr(text, CAST(i % length(text) AS INT) + 1, 1))),
+                'max') AS BIGINT) END AS peak,
+            CASE WHEN text IS NULL OR length(text) = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(COALESCE(list_aggregate(list_transform(
+                range(1, 500 + (n_chars % 1000)),
+                i -> abs(ord(substr(text, CAST(i % length(text) AS INT) + 1, 1))
+                   - ord(substr(text, CAST((i - 1) % length(text) AS INT) + 1, 1)))),
+                'sum'), 0) AS BIGINT) END AS tv
           FROM documents""",
 
     // stereo WAVs carry 300 + n%500 frames with left_i = 3·b_i + 7 and

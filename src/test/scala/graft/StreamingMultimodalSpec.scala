@@ -74,6 +74,25 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("m08: audio stats fold the decoded stream exactly (energy, peak, TV)") {
+    val df = Seq((1L, "ab", 2L)).toDF("doc_id", "text", "n_chars")
+    // 500 + 2 % 1000 = 502 samples cycling 'a'(97), 'b'(98)
+    val wav = Multimodal.withWavPayload(df, "doc_id", "text", "n_chars")
+    val r = Multimodal.decodeAudioStats(wav).collect().head
+    assert(r.n_samples == 502L)
+    assert(r.sq_sum == 251L * 97 * 97 + 251L * 98 * 98)
+    assert(r.peak == 98L)
+    assert(r.tv == 501L) // strictly alternating, |97 − 98| per step
+  }
+
+  test("m08: a corrupt container quarantines deterministically, not throws") {
+    val bad = Seq((2L, Array[Byte](1, 2, 3))).toDF("id", "payload")
+    val out = Multimodal.decodeAudioStats(bad).collect()
+    assert(out.length == 1 && out.head.id == 2L)
+    // replayable stub: a second decode gives the identical record
+    assert(Multimodal.decodeAudioStats(bad).collect().head == out.head)
+  }
+
   test("append-mode windowed aggregation drains non-empty (finalization batch runs)") {
     // append emits a window only when the watermark passes its end —
     // for an AvailableNow drain that happens in the trailing no-data
