@@ -944,6 +944,51 @@ object PipelineQueries {
       Dedup.nearDupClusters(pairs)
     }),
 
+    // dedup: the APPLY step of the d05 find — canonical keep-set
+    // materialization (representatives and untouched docs keep, other
+    // component members drop), recounted per source: the before/after
+    // yield report every dedup run ends with. The only corpus-sized
+    // work is the d02/d05 machinery it composes; the verdict join is
+    // keyed on doc_id against the pair-graph-bounded cluster map.
+    "d10_dedup_apply" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val clusters = Dedup.nearDupClusters(
+        Dedup.minhashCandidates(docs, "doc_id", "text", 16, 4))
+      docs.select(col("doc_id"), col("source"))
+        .join(clusters, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("rep").isNull || col("rep") === col("doc_id"), 1L)
+            .otherwise(0L)).as("kept"),
+          sum(when(col("rep").isNotNull && col("rep") =!= col("doc_id"), 1L)
+            .otherwise(0L)).as("dropped"))
+    }),
+
+    // corpus analysis: VOCABULARY COVERAGE curve — the share of all
+    // token occurrences covered by the top-k most frequent types
+    // (k = 5/10/25), the Zipf-head audit that sizes a tokenizer
+    // vocabulary. One keyed count over the corpus; the head is a
+    // TakeOrderedAndProject (driver-bounded top-25), so the running
+    // sum's single-partition window only ever sees 25 rows; the
+    // 1-row total broadcasts.
+    "t36_vocab_coverage" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.documents(s, d)
+        .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val total = counts.agg(sum(col("c")).as("total"))
+      val ord = Window.orderBy(col("c").desc, col("w").asc)
+      counts.orderBy(col("c").desc, col("w").asc).limit(25)
+        .withColumn("rank", row_number().over(ord))
+        .withColumn("cum", sum(col("c")).over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("rank").isin(5, 10, 25))
+        .crossJoin(broadcast(total))
+        .select(col("rank").cast("long").as("k"), col("cum").as("covered"),
+          col("total"),
+          expr("CAST(cum * 1000000 DIV total AS BIGINT)").as("coverage_ppm"))
+    }),
+
     // dedup: duplicated 8-token-span inventory (exact-substring dedup
     // signal) — per-document counts of spans shared with other docs
     "d06_dup_ngrams" -> ((s, d) => {
@@ -1455,6 +1500,28 @@ object PipelineQueries {
       s"list_aggregate(list_transform(range(1, len($c) + 1), i -> CAST(($u)[i] AS DOUBLE) * CAST(($v)[i] AS DOUBLE)), 'sum')"
     s"(${dotS(x, x)} - 2 * ${dotS(x, c)} + ${dotS(c, c)})"
   }
+
+  /** The d02→connected-components CTE chain (shared by the d05
+    * cluster oracle and the d10 apply oracle): band signatures, LSH
+    * candidate pairs, symmetric edges, and the recursive `reach`
+    * closure from which canonical representatives derive.
+    */
+  private lazy val clusterCtes =
+    s"""WITH RECURSIVE t AS (SELECT doc_id, $W AS words FROM documents),
+        sh AS (SELECT doc_id, $SH AS s FROM t),
+        sig AS (SELECT doc_id,
+          ${(0 until 4).map(b => s"${band(b, 4)} AS band$b").mkString(", ")}
+        FROM sh WHERE len(s) > 0),
+        pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        AND (a.band0 = b.band0 OR a.band1 = b.band1
+          OR a.band2 = b.band2 OR a.band3 = b.band3)),
+        edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        reach(src, dst) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)"""
 
   private val dotSql =
     "list_aggregate(list_transform(range(1, len(qv) + 1), i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)), 'sum')"
@@ -2215,23 +2282,38 @@ object PipelineQueries {
           FROM t""",
 
     "d05_dedup_clusters" ->
-      s"""WITH RECURSIVE t AS (SELECT doc_id, $W AS words FROM documents),
-          sh AS (SELECT doc_id, $SH AS s FROM t),
-          sig AS (SELECT doc_id,
-            ${(0 until 4).map(b => s"${band(b, 4)} AS band$b").mkString(", ")}
-          FROM sh WHERE len(s) > 0),
-          pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-          AND (a.band0 = b.band0 OR a.band1 = b.band1
-            OR a.band2 = b.band2 OR a.band3 = b.band3)),
-          edges AS (SELECT id_a AS a, id_b AS b FROM pairs
-            UNION SELECT id_b, id_a FROM pairs),
-          reach(src, dst) AS (
-            SELECT a, b FROM edges
-            UNION
-            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+      s"""$clusterCtes
           SELECT src AS doc_id, LEAST(src, MIN(dst)) AS rep
           FROM reach GROUP BY src""",
+
+    // d05's components applied: reps (rep = self) and untouched docs
+    // keep, other members drop — recounted per source
+    "d10_dedup_apply" ->
+      s"""$clusterCtes,
+          m AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS rep
+            FROM reach GROUP BY src)
+          SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(CASE WHEN m.rep IS NULL OR m.rep = d.doc_id
+              THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+            CAST(SUM(CASE WHEN m.rep IS NOT NULL AND m.rep <> d.doc_id
+              THEN 1 ELSE 0 END) AS BIGINT) AS dropped
+          FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id
+          GROUP BY d.source""",
+
+    // the coverage curve replayed: global type counts, (count desc,
+    // token asc) head, running sum over the head, exact ppm
+    "t36_vocab_coverage" ->
+      s"""WITH ex AS (SELECT unnest($W) AS w FROM documents),
+          c AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM ex GROUP BY 1),
+          tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM c),
+          r AS (SELECT w, c,
+            ROW_NUMBER() OVER (ORDER BY c DESC, w ASC) AS rank,
+            SUM(c) OVER (ORDER BY c DESC, w ASC
+              ROWS UNBOUNDED PRECEDING) AS cum
+          FROM c)
+          SELECT CAST(rank AS BIGINT) AS k, CAST(cum AS BIGINT) AS covered,
+            total, CAST(cum * 1000000 // total AS BIGINT) AS coverage_ppm
+          FROM r CROSS JOIN tot WHERE rank IN (5, 10, 25)""",
 
     // same Karp-Rabin fold as t06 applied per 8-token window; a span
     // is duplicated when its fingerprint occurs in >=2 distinct docs

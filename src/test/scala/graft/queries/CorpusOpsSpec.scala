@@ -160,6 +160,39 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(degree.max <= 3)
   }
 
+  // --- d10 dedup apply ---
+
+  test("d10: verdicts partition every source, drops equal non-representative members") {
+    val out = graft.SparkEntry.queries("d10_dedup_apply")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("kept") + r.getAs[Long]("dropped") ==
+        r.getAs[Long]("n_docs"))
+    }
+    val docs = graft.Tables.documents(spark, sf)
+    assert(out.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    // total drops == cluster members that are not their own representative
+    val clusters = graft.dedup.Dedup.nearDupClusters(
+      graft.dedup.Dedup.minhashCandidates(docs, "doc_id", "text", 16, 4))
+    val expectedDrops = clusters.filter(col("rep") =!= col("doc_id")).count()
+    assert(out.map(_.getAs[Long]("dropped")).sum == expectedDrops)
+  }
+
+  // --- t36 vocabulary coverage ---
+
+  test("t36: coverage is monotone in k, exact ppm, bounded by 1e6") {
+    val out = graft.SparkEntry.queries("t36_vocab_coverage")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("k"))
+    assert(out.map(_.getAs[Long]("k")).toSeq == Seq(5L, 10L, 25L))
+    val covered = out.map(_.getAs[Long]("covered"))
+    assert(covered.toSeq == covered.sorted.toSeq)
+    out.foreach { r =>
+      val ppm = r.getAs[Long]("coverage_ppm")
+      assert(ppm == r.getAs[Long]("covered") * 1000000L / r.getAs[Long]("total"))
+      assert(ppm > 0L && ppm <= 1000000L)
+    }
+  }
+
   // --- s14 cluster audit ---
 
   test("clusterAudit: centroids auditing themselves have zero inertia") {
