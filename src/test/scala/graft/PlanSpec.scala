@@ -116,6 +116,38 @@ class PlanSpec extends AnyFunSuite {
       s"per-doc masking must not shuffle:\n${p.take(3000)}")
   }
 
+  test("hashed classifier and winnowing are narrow projections: no Exchange") {
+    // the hashing trick means NO vocabulary join and no shuffle — the
+    // whole model evaluates in-row
+    val p33 = plan("t33_quality_classifier")
+    assert(!p33.contains("Exchange"),
+      s"hashed classifier must not shuffle:\n${p33.take(3000)}")
+    val p35 = plan("t35_winnowing")
+    assert(!p35.contains("Exchange"),
+      s"winnowing must not shuffle:\n${p35.take(3000)}")
+  }
+
+  test("mutual kNN graph stays keyed; cluster audit assigns cells in-row") {
+    val p13 = plan("s13_knn_graph")
+    assert(!p13.contains("CartesianProduct") &&
+      !p13.contains("BroadcastNestedLoopJoin"),
+      s"mutual graph candidates must stay bucket-keyed:\n${p13.take(3000)}")
+    // s14: no Window (assignment is the literal-centroid projection,
+    // not a crossJoin+rank), centroid join broadcast, one final agg
+    val p14 = plan("s14_cluster_audit")
+    assert(!p14.contains("Window"),
+      s"cell assignment must be in-row, not windowed:\n${p14.take(3000)}")
+    assert(p14.contains("BroadcastHashJoin"),
+      s"the nlist-row centroid table must broadcast:\n${p14.take(3000)}")
+    assert(!p14.contains("CartesianProduct"), p14.take(3000))
+  }
+
+  test("vocab coverage takes the head as TakeOrdered, never a global sort") {
+    val p = plan("t36_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-25 head must be TakeOrdered (driver-bounded):\n${p.take(3000)}")
+  }
+
   test("runtime bloom-filter join: the dim filter reaches the fact side") {
     // the reference's FilterPushJoin collects the filtered small
     // side's join keys and pushes them as an IN filter into the fact
