@@ -937,6 +937,48 @@ object PipelineQueries {
         .agg(count(lit(1)).as("dup_pairs"))
     }),
 
+    // dedup: LSH ESTIMATOR-QUALITY audit (the d02 twin of s10's ANN
+    // recall): per candidate pair, the MinHash-estimated Jaccard
+    // (signature agreement / k) against the EXACT shingle-set Jaccard,
+    // with the absolute estimation error — the calibration loop a
+    // curator runs before trusting LSH thresholds at corpus scale.
+    // One signature+shingle-set pass over the corpus; both lookups
+    // are keyed joins against the pair-bounded candidate list; all
+    // ratios exact integer ppm.
+    "d11_lsh_estimate_audit" -> ((s, d) => {
+      import graft.functions.MinHashExpressions._
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashCandidates(docs, "doc_id", "text", 16, 4)
+      val feat = docs.select(col("doc_id").as("id"), col("text"))
+        .withColumn("__words", TextFunctions.tokens(col("text")))
+        .withColumn("__sh", wordShingles3(col("__words")))
+        .filter(size(col("__sh")) > 0)
+        .select(col("id"), minhashSignature(col("__sh"), 16).as("sig"),
+          array_distinct(col("__sh")).as("shset"))
+      pairs
+        .join(feat.toDF("id_a", "sig_a", "set_a"), Seq("id_a"))
+        .join(feat.toDF("id_b", "sig_b", "set_b"), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          expr("""CAST(aggregate(zip_with(sig_a, sig_b,
+              (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END),
+              0, (a, v) -> a + v) * 1000000 DIV 16 AS BIGINT)""")
+            .as("est_ppm"),
+          expr("""CAST(size(array_intersect(set_a, set_b)) * 1000000
+              DIV size(array_union(set_a, set_b)) AS BIGINT)""")
+            .as("exact_ppm"))
+        .withColumn("err_ppm", abs(col("est_ppm") - col("exact_ppm")))
+    }),
+
+    // similarity: cosine RANGE search — all corpus vectors within a
+    // similarity radius of each sampled query (the radius-query API
+    // beside the top-k ladder; k-free retrieval for near-dup lookups).
+    // Exact rung: broadcast queries, one corpus scan, no window.
+    "s15_range_search" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.rangeSearch(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", 0.3)
+    }),
+
     // dedup: connected components over LSH candidate pairs — every doc
     // in a near-dup component mapped to its canonical representative
     "d05_dedup_clusters" -> ((s, d) => {
@@ -2263,6 +2305,52 @@ object PipelineQueries {
           FROM sig a JOIN sig b ON a.doc_id < b.doc_id
           AND (a.band0 = b.band0 OR a.band1 = b.band1
             OR a.band2 = b.band2 OR a.band3 = b.band3)""",
+
+    // signatures and shingle sets replayed per candidate pair: the
+    // same 16 mh() permutations as the band keys, element-wise
+    // agreement over 16, exact set Jaccard — all integer ppm
+    "d11_lsh_estimate_audit" ->
+      s"""WITH t AS (SELECT doc_id, $W AS words FROM documents),
+          sh AS (SELECT doc_id, $SH AS s FROM t),
+          sig AS (SELECT doc_id,
+            [${(0 until 16).map(mh).mkString(", ")}] AS sig,
+            list_distinct(s) AS shset,
+            ${(0 until 4).map(b => s"${band(b, 4)} AS band$b").mkString(", ")}
+          FROM sh WHERE len(s) > 0),
+          pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            AND (a.band0 = b.band0 OR a.band1 = b.band1
+              OR a.band2 = b.band2 OR a.band3 = b.band3)),
+          j AS (SELECT p.id_a, p.id_b,
+              sa.sig AS sig_a, sb.sig AS sig_b,
+              sa.shset AS set_a, sb.shset AS set_b
+            FROM pairs p
+            JOIN sig sa ON sa.doc_id = p.id_a
+            JOIN sig sb ON sb.doc_id = p.id_b),
+          scored AS (SELECT id_a, id_b,
+              CAST(list_aggregate(list_transform(range(1, 17),
+                i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END),
+                'sum') * 1000000 // 16 AS BIGINT) AS est_ppm,
+              CAST(len(list_intersect(set_a, set_b)) * 1000000
+                // len(list_distinct(set_a || set_b)) AS BIGINT) AS exact_ppm
+            FROM j)
+          SELECT id_a, id_b, est_ppm, exact_ppm,
+            CAST(abs(est_ppm - exact_ppm) AS BIGINT) AS err_ppm
+          FROM scored""",
+
+    // the s01 cosine CTEs without the rank: keep everything at or
+    // above the radius, similarity floored to ppm
+    "s15_range_search" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+            FROM embeddings WHERE vec_id < 5),
+          c AS (SELECT vec_id AS neighbor_id, embedding AS cv
+            FROM embeddings),
+          scored AS (SELECT query_id, neighbor_id,
+            $dotSql / ($normQ * $normC) AS cos
+          FROM q CROSS JOIN c WHERE neighbor_id <> query_id)
+          SELECT query_id, neighbor_id,
+            CAST(FLOOR(cos * 1000000.0) AS BIGINT) AS cos_ppm
+          FROM scored WHERE cos >= 0.3""",
 
     "d03_jaccard_pairs" ->
       s"""WITH t AS (SELECT doc_id, source, lang, $W AS words FROM documents),

@@ -145,6 +145,32 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
+  /** RANGE search: every corpus vector within a cosine radius of each
+    * query (the radius-query API next to [[bruteForceTopK]]'s top-k —
+    * what near-duplicate lookups and "all sufficiently similar"
+    * retrieval use when k is unknowable in advance). Exact form:
+    * queries broadcast, corpus scanned once, no window at all (unlike
+    * top-k there is no rank to compute, so the plan is pure
+    * scan+filter — map-side only). Result size is data-dependent;
+    * callers bound it with the threshold, not k.
+    *
+    * Output: (query_id, neighbor_id, cos_ppm) — the similarity is
+    * reported floored to integer ppm (the s14 discipline: the double
+    * itself is bit-deterministic, the floor makes the emitted value
+    * engine-hashable).
+    */
+  def rangeSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, threshold: Double): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = spread(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")))
+    c.crossJoin(gated(q, queries))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .filter(col("cos") >= threshold)
+      .select(col("query_id"), col("neighbor_id"),
+        floor(col("cos") * lit(1000000.0)).cast("long").as("cos_ppm"))
+  }
+
   /** Bucketed (sign-LSH) top-k: candidates restricted to the query's
     * bucket, optionally multi-probed. Same output shape as
     * [[bruteForceTopK]]; approximate — recall rises with `multiProbe`

@@ -160,6 +160,55 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(degree.max <= 3)
   }
 
+  // --- d11 LSH estimator audit ---
+
+  test("d11: estimates are sixteenths, bounds hold, error is the exact gap") {
+    val out = graft.SparkEntry.queries("d11_lsh_estimate_audit")(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val est = r.getAs[Long]("est_ppm")
+      val exact = r.getAs[Long]("exact_ppm")
+      // agreement/16 floored to ppm — only 17 possible estimate values
+      assert(est >= 0L && est <= 1000000L && est % 62500L == 0L)
+      // candidates share a band, so they share ≥1 shingle almost
+      // surely; exact Jaccard of candidate pairs must be positive here
+      assert(exact > 0L && exact <= 1000000L)
+      assert(r.getAs[Long]("err_ppm") == math.abs(est - exact))
+    }
+  }
+
+  test("d11: identical documents estimate and measure exactly 1e6") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.MinHashExpressions._
+    val twin = "alpha beta gamma delta epsilon"
+    val df = Seq((1L, twin), (2L, twin)).toDF("id", "text")
+      .withColumn("__w", graft.functions.TextFunctions.tokens(col("text")))
+      .withColumn("__sh", wordShingles3(col("__w")))
+      .select(col("id"), minhashSignature(col("__sh"), 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(df(1L) == df(2L)) // identical text ⇒ identical signature
+  }
+
+  // --- s15 range search ---
+
+  test("s15: radius semantics — monotone in threshold, exhaustive at -1") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 5)
+    val n = emb.count()
+    val all = Similarity.rangeSearch(emb, q, "vec_id", "embedding", -1.0)
+    assert(all.count() == 5L * (n - 1)) // every non-self pair qualifies
+    val loose = Similarity.rangeSearch(emb, q, "vec_id", "embedding", 0.3)
+      .collect()
+    val tight = Similarity.rangeSearch(emb, q, "vec_id", "embedding", 0.5)
+      .collect()
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+    assert(tight.map(key).toSet.subsetOf(loose.map(key).toSet))
+    loose.foreach(r => assert(r.getAs[Long]("cos_ppm") >= 300000L))
+  }
+
   // --- d10 dedup apply ---
 
   test("d10: verdicts partition every source, drops equal non-representative members") {
