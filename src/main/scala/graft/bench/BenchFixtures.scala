@@ -96,8 +96,38 @@ object BenchFixtures {
         .withColumn("ts_utc", timestamp_micros(expr("ts div 1000"))))
   }
 
+  /** st15 (sliding windows) has exactly st01's fixed-trigger-cost
+    * shape — a 1.2 s streaming drain against a 0.25 s batch expansion
+    * at the toy file size — so it gets the same production-shaped
+    * corpus, streamed by graft and batch-expanded by the baseline.
+    */
+  def st15Graft(s: SparkSession, d: String): DataFrame = {
+    val dir = bigEventsDir(s, d)
+    val schema = s.read.parquet(dir).schema
+    val stream = graft.Tables.normalizeEventTs(
+      s.readStream.schema(schema).parquet(dir))
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+    EventStreams.runToCompletion(s, EventStreams.slidingAgg(stream),
+      statePartitions = 4)
+  }
+
+  /** Batch twin of [[st15Graft]]: the SAME logical query — the
+    * slidingAgg expressions (sliding window(), decimal agg) as one
+    * batch over the same staged corpus, exactly st01Baseline's
+    * philosophy: an integer-div two-row expansion here would make the
+    * ratio price "window() vs div" instead of what st15 gates, the
+    * streaming state machinery around an identical aggregation.
+    */
+  def st15Baseline(s: SparkSession, d: String): DataFrame = {
+    val dir = bigEventsDir(s, d)
+    EventStreams.slidingAgg(
+      graft.Tables.normalizeEventTs(s.read.parquet(dir))
+        .withColumn("ts_utc", timestamp_micros(expr("ts div 1000"))))
+  }
+
   /** (graft, baseline) overrides applied by Bench.main. */
   val overrides: Map[String, ((SparkSession, String) => DataFrame,
                               (SparkSession, String) => DataFrame)] =
-    Map("st01_stream_hourly" -> (st01Graft _, st01Baseline _))
+    Map("st01_stream_hourly" -> (st01Graft _, st01Baseline _),
+      "st15_sliding_window" -> (st15Graft _, st15Baseline _))
 }
