@@ -104,6 +104,29 @@ object PipelineQueries {
         .select(col("doc_id"), TextFunctions.bpeTokenCount(col("text")).as("bpe_tokens"))
     }),
 
+    // corpus analysis: TOKENIZER FERTILITY audit — per-source
+    // chars-per-subword-token and subword-tokens-per-word ratios (the
+    // compression/fertility numbers a tokenizer evaluation reports;
+    // high fertility on a source means the vocab serves it poorly and
+    // its effective context shrinks). One narrow projection + one
+    // sources-sized agg; ratios exact integer ppm.
+    "t37_token_fertility" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("source"), col("n_chars"),
+          TextFunctions.bpeTokenCount(col("text")).cast("long").as("bpe"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("words"))
+        .groupBy(col("source"))
+        .agg(sum(col("n_chars")).as("total_chars"),
+          sum(col("bpe")).as("total_bpe_tokens"),
+          sum(col("words")).as("total_words"))
+        .select(col("source"), col("total_chars"), col("total_bpe_tokens"),
+          col("total_words"),
+          expr("CAST(total_chars * 1000000 DIV total_bpe_tokens AS BIGINT)")
+            .as("chars_per_token_ppm"),
+          expr("CAST(total_bpe_tokens * 1000000 DIV total_words AS BIGINT)")
+            .as("fertility_ppm"))
+    }),
+
     // text analysis: order-sensitive rolling-hash content fingerprint
     "t06_rolling_fp" -> ((s, d) => {
       Tables.documents(s, d)
@@ -1082,6 +1105,31 @@ object PipelineQueries {
           expr("CAST(cnt * 1000000 DIV tot AS BIGINT)").as("p_ppm"))
     }),
 
+    // events: COHORT RETENTION matrix — users grouped by first-seen
+    // week, the share still active k weeks later (the canonical
+    // product-analytics rollup next to q36's funnel and e03's
+    // transition flows). Two user-keyed aggs over the corpus (cohort
+    // assignment and the distinct activity grid — the inherent
+    // shuffles of user-sequence analytics); cohort sizes broadcast;
+    // retention in exact integer ppm.
+    "e04_retention_cohorts" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), expr("ts div 604800000000000").as("wk"))
+      val cohort = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+      val sizes = cohort.groupBy(col("cohort_wk"))
+        .agg(count(lit(1)).as("cohort_size"))
+      ev.distinct()
+        .join(cohort, Seq("user_id"))
+        .select(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+        .groupBy(col("cohort_wk"), col("week_offset"))
+        .agg(count(lit(1)).as("active_users"))
+        .join(broadcast(sizes), Seq("cohort_wk"))
+        .select(col("cohort_wk"), col("week_offset"), col("active_users"),
+          col("cohort_size"),
+          expr("CAST(active_users * 1000000 DIV cohort_size AS BIGINT)")
+            .as("retention_ppm"))
+    }),
+
     "e02_trajectory_topk" -> ((s, d) => {
       val hour = (expr("ts div 3600000000000") % 24).cast("int")
       val profiles = Tables.events(s, d)
@@ -1693,6 +1741,26 @@ object PipelineQueries {
       """SELECT doc_id,
          len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_tokens
          FROM documents""",
+
+    // fertility replayed from the t05 regex and the whitespace token
+    // count; ratios exact integer ppm
+    "t37_token_fertility" ->
+      s"""WITH t AS (SELECT source, n_chars,
+            CAST(len(regexp_extract_all(lower(text),
+              '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS bpe,
+            CAST(len($W) AS BIGINT) AS words
+          FROM documents),
+          agg AS (SELECT source,
+            CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+            CAST(SUM(bpe) AS BIGINT) AS total_bpe_tokens,
+            CAST(SUM(words) AS BIGINT) AS total_words
+          FROM t GROUP BY source)
+          SELECT source, total_chars, total_bpe_tokens, total_words,
+            CAST(total_chars * 1000000 // total_bpe_tokens AS BIGINT)
+              AS chars_per_token_ppm,
+            CAST(total_bpe_tokens * 1000000 // total_words AS BIGINT)
+              AS fertility_ppm
+          FROM agg""",
 
     "t06_rolling_fp" ->
       s"""WITH t AS (SELECT doc_id, $W AS words FROM documents),
@@ -2463,6 +2531,24 @@ object PipelineQueries {
          SELECT from_type, to_type, cnt,
            CAST(cnt * 1000000 // tot AS BIGINT) AS p_ppm
          FROM c JOIN tot USING (from_type)""",
+
+    // cohort = min week per user, activity = distinct (user, week),
+    // retention recounted against the cohort size — exact ppm
+    "e04_retention_cohorts" ->
+      """WITH e AS (SELECT user_id,
+           epoch_ns(ts) // 604800000000000 AS wk FROM events),
+         a AS (SELECT DISTINCT user_id, wk FROM e),
+         c AS (SELECT user_id, MIN(wk) AS cohort_wk FROM e GROUP BY 1),
+         sz AS (SELECT cohort_wk, CAST(COUNT(*) AS BIGINT) AS cohort_size
+           FROM c GROUP BY 1),
+         j AS (SELECT c.cohort_wk, a.wk - c.cohort_wk AS week_offset
+           FROM a JOIN c USING (user_id))
+         SELECT j.cohort_wk, j.week_offset,
+           CAST(COUNT(*) AS BIGINT) AS active_users, sz.cohort_size,
+           CAST(COUNT(*) * 1000000 // sz.cohort_size AS BIGINT)
+             AS retention_ppm
+         FROM j JOIN sz ON j.cohort_wk = sz.cohort_wk
+         GROUP BY j.cohort_wk, j.week_offset, sz.cohort_size""",
 
     "e02_trajectory_topk" -> {
       val profile = (0 until 24).map(h =>

@@ -160,6 +160,47 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(degree.max <= 3)
   }
 
+  // --- e04 cohort retention ---
+
+  test("e04: week-0 retention is total, cohorts partition the user base") {
+    val out = graft.SparkEntry.queries("e04_retention_cohorts")(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    val week0 = out.filter(_.getAs[Long]("week_offset") == 0L)
+    assert(week0.nonEmpty)
+    week0.foreach { r =>
+      // every user is active in their own first week by construction
+      assert(r.getAs[Long]("active_users") == r.getAs[Long]("cohort_size"))
+      assert(r.getAs[Long]("retention_ppm") == 1000000L)
+    }
+    out.foreach { r =>
+      assert(r.getAs[Long]("week_offset") >= 0L)
+      assert(r.getAs[Long]("retention_ppm") <= 1000000L)
+      assert(r.getAs[Long]("retention_ppm") ==
+        r.getAs[Long]("active_users") * 1000000L / r.getAs[Long]("cohort_size"))
+    }
+    val users = graft.Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count()
+    assert(week0.map(_.getAs[Long]("cohort_size")).sum == users)
+  }
+
+  // --- t37 tokenizer fertility ---
+
+  test("t37: ratios replay exactly; subword tokens at least cover words") {
+    val out = graft.SparkEntry.queries("t37_token_fertility")(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val chars = r.getAs[Long]("total_chars")
+      val bpe = r.getAs[Long]("total_bpe_tokens")
+      val words = r.getAs[Long]("total_words")
+      assert(bpe >= words) // a word yields >= 1 subword token
+      assert(r.getAs[Long]("chars_per_token_ppm") == chars * 1000000L / bpe)
+      assert(r.getAs[Long]("fertility_ppm") == bpe * 1000000L / words)
+      assert(r.getAs[Long]("fertility_ppm") >= 1000000L)
+    }
+  }
+
   // --- d11 LSH estimator audit ---
 
   test("d11: estimates are sixteenths, bounds hold, error is the exact gap") {
