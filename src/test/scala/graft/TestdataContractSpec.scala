@@ -118,6 +118,21 @@ class TestdataContractSpec extends AnyFunSuite {
         "arrival-order-independent gating leans on this invariant")
   }
 
+  test("documents vocabulary has at least 25 types (the t36 coverage-curve domain)") {
+    // t36 reports coverage at k = 5/10/25 — a regenerated corpus with
+    // a smaller vocabulary would silently emit fewer rows on both
+    // engines (still hash-green) while the gate's k=25 point vanishes;
+    // fail here by name instead.
+    import org.apache.spark.sql.functions.{col, explode}
+    val vocab = Tables.documents(spark, TestSpark.sf)
+      .select(explode(
+        graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      .distinct().count()
+    assert(vocab >= 25,
+      s"vocabulary has only $vocab types — t36_vocab_coverage samples " +
+        "the curve at k=25; shrink its k grid with the corpus")
+  }
+
   test("events (user_id, ts) pairs are collision-free (the st14 determinism invariant)") {
     // st14's custom-state anomaly emission is made deterministic by a
     // per-group ts sort — unique (user_id, ts) pairs are what make
