@@ -153,11 +153,18 @@ object TextFunctions {
     */
   def gramFingerprints(words: Column, n: Int): Column = {
     val hmod = transform(tokenHashes(words), h => h % FpMod)
-    when(size(hmod) >= n,
-      transform(sequence(lit(0), size(hmod) - n),
-        i => aggregate(slice(hmod, i + 1, lit(n)), lit(0L),
-          (acc, h) => (acc * FpBase + h) % FpMod)))
-      .otherwise(typedLit(Array.empty[Long]))
+    // LET-BIND the hash array once per row (single-element transform:
+    // `hm` is a lambda variable, so the per-position lambda reads the
+    // materialized array): referencing `hmod` directly inside the
+    // position transform re-evaluated the whole md5 pipeline once PER
+    // POSITION in interpreted HOF evaluation — O(positions × tokens)
+    // hashing, measured ~9 ms/doc on 54-token docs before this fix.
+    element_at(transform(array(hmod), hm =>
+      when(size(hm) >= n,
+        transform(sequence(lit(0), size(hm) - n),
+          i => aggregate(slice(hm, i + 1, lit(n)), lit(0L),
+            (acc, h) => (acc * FpBase + h) % FpMod)))
+        .otherwise(typedLit(Array.empty[Long]))), 1)
   }
 
   private val pow2: Column =

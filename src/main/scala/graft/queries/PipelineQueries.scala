@@ -826,6 +826,9 @@ object PipelineQueries {
     // integer stats of each doc's fingerprint set.
     "t35_winnowing" -> ((s, d) => {
       Tables.documents(s, d)
+        // CPU-bound per-row hashing over one small file — spread to
+        // task parallelism (the d04 note)
+        .repartition(s.sparkContext.defaultParallelism)
         .withColumn("__w", TextFunctions.tokens(col("text")))
         .withColumn("__h", TextFunctions.gramFingerprints(col("__w"), 4))
         .withColumn("__fps", TextFunctions.winnowedFingerprints(col("__h"), 4))

@@ -116,15 +116,18 @@ class PlanSpec extends AnyFunSuite {
       s"per-doc masking must not shuffle:\n${p.take(3000)}")
   }
 
-  test("hashed classifier and winnowing are narrow projections: no Exchange") {
-    // the hashing trick means NO vocabulary join and no shuffle — the
-    // whole model evaluates in-row
+  test("hashed classifier and winnowing are narrow projections: no keyed shuffle") {
+    // the hashing trick means NO vocabulary join and no keyed shuffle —
+    // the whole model evaluates in-row
     val p33 = plan("t33_quality_classifier")
     assert(!p33.contains("Exchange"),
       s"hashed classifier must not shuffle:\n${p33.take(3000)}")
+    // t35 carries exactly one ROUND-ROBIN spread (CPU parallelism over
+    // a single small file — the d04 pattern), never a keyed shuffle
     val p35 = plan("t35_winnowing")
-    assert(!p35.contains("Exchange"),
-      s"winnowing must not shuffle:\n${p35.take(3000)}")
+    assert(!p35.contains("hashpartitioning"),
+      s"winnowing must not shuffle on a key:\n${p35.take(3000)}")
+    assert("Exchange".r.findAllIn(p35).size <= 1, p35.take(3000))
   }
 
   test("mutual kNN graph stays keyed; cluster audit assigns cells in-row") {
