@@ -275,8 +275,13 @@ object TextFunctions {
     * whole-stage codegen, no shuffle, no UDF.
     */
   def winnowedFingerprints(fps: Column, win: Int): Column =
-    when(size(fps) >= win,
-      array_distinct(transform(sequence(lit(1), size(fps) - (win - 1)),
-        j => array_min(slice(fps, j, lit(win))))))
-      .otherwise(typedLit(Array.empty[Long]))
+    // same let-binding discipline as [[gramFingerprints]]: the window
+    // lambda reads the bound array `f`, so even a caller that passes a
+    // full expression (or an optimizer that inlines the staged column)
+    // evaluates it once per row, not once per window position
+    element_at(transform(array(fps), f =>
+      when(size(f) >= win,
+        array_distinct(transform(sequence(lit(1), size(f) - (win - 1)),
+          j => array_min(slice(f, j, lit(win))))))
+        .otherwise(typedLit(Array.empty[Long]))), 1)
 }
