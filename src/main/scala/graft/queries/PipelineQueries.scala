@@ -1304,7 +1304,14 @@ object PipelineQueries {
     // is encoder-dependent and gated in StreamingMultimodalSpec instead.
     "m04_gif_frames" -> ((s, d) => {
       import graft.multimodal.Multimodal
-      val gif = Multimodal.withGifPayload(Tables.documents(s, d),
+      // spread BEFORE the synth: 4 real GIF frame decodes per doc are
+      // the heaviest codec stage on the board, and the single-file
+      // source serializes them otherwise (measured 2.07 s → 0.89 s;
+      // the light codec gates m02/m05/m06/m08 measured WORSE with a
+      // spread — the shuffle outweighs their sub-second decode — so
+      // the spread stays gate-local, the d04 pattern)
+      val gif = Multimodal.withGifPayload(
+        Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism),
         "doc_id", "text", "n_chars")
       Multimodal.sampleFrames(gif, 4).toDF()
         .select(col("id"), col("frame_idx"), col("frame_w"), col("frame_h"))
@@ -1354,6 +1361,9 @@ object PipelineQueries {
     // the hash to match the oracle's integer replay of the rule.
     "m07_image_resize" -> ((s, d) => {
       import graft.multimodal.Multimodal
+      // measured: a spread here is inside run-to-run noise (1.3–1.9 s
+      // either way) — the resize chain's cost is not decode-dominated
+      // enough; only m04 keeps one (see its note)
       val png = Multimodal.withPngPayload(Tables.documents(s, d),
         "doc_id", "text", "n_chars")
       val resized = Multimodal.resizeImages(png, maxEdge = 32).toDF()
