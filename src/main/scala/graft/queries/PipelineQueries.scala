@@ -89,6 +89,23 @@ object PipelineQueries {
         .select(col("doc_id"), TextFunctions.langId(col("text")).as("pred_lang"))
     }),
 
+    // corpus analysis: language-ID CONFUSION MATRIX — the t03
+    // classifier evaluated against the corpus's labeled `lang` column
+    // ((true, predicted) counts + within-true-language share): the
+    // classifier-accuracy report a curator reads before trusting
+    // langid-based filtering. One narrow scoring pass; the matrix is
+    // |langs|² rows; per-language totals broadcast; shares exact ppm.
+    "t38_langid_confusion" -> ((s, d) => {
+      val pred = Tables.documents(s, d)
+        .select(col("lang"), TextFunctions.langId(col("text")).as("pred_lang"))
+      val counts = pred.groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+      val totals = counts.groupBy(col("lang")).agg(sum(col("n")).as("tot"))
+      counts.join(broadcast(totals), Seq("lang"))
+        .select(col("lang"), col("pred_lang"), col("n"),
+          expr("CAST(n * 1000000 DIV tot AS BIGINT)").as("share_ppm"))
+    }),
+
     // text analysis: aggregated corpus stats over derived features
     "t04_text_stats" -> ((s, d) => {
       Tables.documents(s, d)
@@ -1338,6 +1355,17 @@ object PipelineQueries {
           sum(col("agree")).as("sum_agree"))
     }),
 
+    // similarity: PQ QUANTIZER-QUALITY audit — per-subspace
+    // reconstruction distortion + codebook utilization over the s05
+    // codebooks (the fine-quantizer leg of the audit family: s10 =
+    // serving recall, s14 = coarse balance). Dead codes mean wasted
+    // index bits; see Similarity.pqDistortionAudit.
+    "s16_pq_distortion" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.pqDistortionAudit(emb, "embedding",
+        codebooksFor(s, d, emb), 4, 16)
+    }),
+
     // similarity: ANN index-quality audit — recall@3 of the bucketed
     // sign-LSH index (s02's plan) against the exhaustive ground truth
     // (s01's plan), per query, as exact integer ppm. The audit loop a
@@ -1728,6 +1756,31 @@ object PipelineQueries {
             CAST(len(list_filter($W, w -> w IN $enMarkers)) AS DOUBLE)
               / CAST(len($W) AS DOUBLE), 6) AS quality
           FROM documents""",
+
+    // the t03 argmax replayed with the labeled column carried through,
+    // folded into the (true, predicted) matrix with exact ppm shares
+    "t38_langid_confusion" ->
+      s"""WITH t AS (SELECT lang, $W AS words FROM documents),
+          c AS (SELECT lang,
+            len(list_filter(words, w -> w IN $enMarkers)) AS en,
+            len(list_filter(words, w -> w IN ('el','la','de','que','y'))) AS es,
+            len(list_filter(words, w -> w IN ('le','les','des','et','une'))) AS fr,
+            len(list_filter(words, w -> w IN ('der','die','und','das','ist'))) AS de
+          FROM t),
+          p AS (SELECT lang,
+            CASE WHEN en >= es AND en >= fr AND en >= de AND en > 0 THEN 'en'
+                 WHEN es >= fr AND es >= de AND es > 0 THEN 'es'
+                 WHEN fr >= de AND fr > 0 THEN 'fr'
+                 WHEN de > 0 THEN 'de'
+                 ELSE 'und' END AS pred_lang
+          FROM c),
+          m AS (SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+            FROM p GROUP BY 1, 2),
+          tot AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS tot
+            FROM m GROUP BY 1)
+          SELECT m.lang, m.pred_lang, m.n,
+            CAST(m.n * 1000000 // tot.tot AS BIGINT) AS share_ppm
+          FROM m JOIN tot ON m.lang = tot.lang""",
 
     "t03_langid" ->
       s"""WITH t AS (SELECT doc_id, $W AS words FROM documents),
@@ -2746,6 +2799,30 @@ object PipelineQueries {
     // recompute encode + ADC from the materialized codebooks; terms
     // summed in subspace order (list ORDER BY sub) to mirror Spark's
     // left-to-right reduce
+    // the s05 encode CTEs (nearest code by d2, ties to the lower code)
+    // folded into per-subspace population / live-code / distortion
+    // sums (per-row floor before the sum — order-free integers)
+    "s16_pq_distortion" ->
+      s"""WITH cb AS (SELECT sub, code, centroid
+            FROM read_parquet('$PqCodebookPath/*.parquet')),
+          v AS (SELECT vec_id, embedding FROM embeddings),
+          sv AS (SELECT vec_id, s.sub,
+              list_slice(embedding, s.sub * 16 + 1, s.sub * 16 + 16) AS x
+            FROM v CROSS JOIN (SELECT DISTINCT sub FROM cb) s),
+          encd AS (SELECT sv.vec_id, sv.sub, cb.code,
+              ${d2Sql("sv.x", "cb.centroid")} AS dd
+            FROM sv JOIN cb ON cb.sub = sv.sub),
+          codesd AS (SELECT vec_id, sub, code, dd FROM (
+              SELECT vec_id, sub, code, dd,
+                ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                  ORDER BY dd ASC, code ASC) AS rn
+              FROM encd) t WHERE rn = 1)
+          SELECT sub, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+            CAST(COUNT(DISTINCT code) AS BIGINT) AS codes_used,
+            CAST(SUM(CAST(FLOOR(dd * 1000000.0) AS BIGINT)) AS BIGINT)
+              AS sum_d2_ppm
+          FROM codesd GROUP BY sub""",
+
     "s05_ann_pq" ->
       s"""WITH cb AS (SELECT sub, code, centroid
             FROM read_parquet('$PqCodebookPath/*.parquet')),

@@ -434,6 +434,43 @@ object Similarity {
     }: _*))
   }
 
+  /** PQ QUANTIZER-QUALITY audit — per-subspace distortion and codebook
+    * utilization over the encoded corpus (the third leg of the audit
+    * family: s10 measures serving recall, s14 the coarse quantizer's
+    * balance, this the fine quantizer's fidelity). `codes_used` counts
+    * live codebook entries — dead codes are wasted index bits and the
+    * k-means fit should shrink ksub or refit; `sum_d2_ppm` is the
+    * per-subspace reconstruction-error decomposition (per-row floor
+    * before the sum — order-free integers, the s14 discipline).
+    *
+    * Scale: encode is [[pqEncode]]'s narrow in-row projection; the
+    * per-subspace explode multiplies rows by M (small); the only
+    * shuffle is the M-row final agg.
+    *
+    * Output: (sub, n_vectors, codes_used, sum_d2_ppm).
+    */
+  def pqDistortionAudit(corpus: DataFrame, vecCol: String,
+                        codebooks: Seq[(Int, Int, Array[Float])],
+                        m: Int, dsub: Int): DataFrame = {
+    val bySub = codebooks.groupBy(_._1)
+    val enc = pqEncode(spread(corpus.select(col(vecCol).as("v"))),
+      "v", codebooks, m, dsub)
+    enc.select(explode(array((0 until m).map { sub =>
+        val table = typedLit(bySub(sub).sortBy(_._2).map(_._3))
+        val code = element_at(col("codes"), sub + 1)
+        struct(lit(sub).as("sub"), code.as("code"),
+          floor(d2(slice(col("v"), sub * dsub + 1, dsub),
+            element_at(table, code + 1)) * lit(1000000.0)).cast("long")
+            .as("d2ppm"))
+      }: _*)).as("p"))
+      .select(col("p.sub").as("sub"), col("p.code").as("code"),
+        col("p.d2ppm").as("d2ppm"))
+      .groupBy(col("sub"))
+      .agg(count(lit(1)).as("n_vectors"),
+        countDistinct(col("code")).as("codes_used"),
+        sum(col("d2ppm")).as("sum_d2_ppm"))
+  }
+
   /** PQ top-k by asymmetric distance: queries (broadcast) score every
     * corpus row's codes; per subspace the query slice is compared to
     * the row's selected centroid (a literal-array lookup — in a real

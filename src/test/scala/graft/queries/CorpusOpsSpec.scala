@@ -160,6 +160,58 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(degree.max <= 3)
   }
 
+  // --- t38 langid confusion matrix ---
+
+  test("t38: matrix covers every document, shares are exact within-language ppm") {
+    val out = graft.SparkEntry.queries("t38_langid_confusion")(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getAs[Long]("n")).sum ==
+      graft.Tables.documents(spark, sf).count())
+    out.groupBy(_.getAs[String]("lang")).values.foreach { rows =>
+      val tot = rows.map(_.getAs[Long]("n")).sum
+      rows.foreach { r =>
+        assert(r.getAs[Long]("share_ppm") ==
+          r.getAs[Long]("n") * 1000000L / tot)
+      }
+      val s = rows.map(_.getAs[Long]("share_ppm")).sum
+      assert(s <= 1000000L && s > 1000000L - rows.length)
+    }
+    // predictions stay in the classifier's label space
+    val preds = out.map(_.getAs[String]("pred_lang")).toSet
+    assert(preds.subsetOf(Set("en", "es", "fr", "de", "und")))
+  }
+
+  // --- s16 PQ distortion audit ---
+
+  test("pqDistortionAudit: a codebook containing the corpus has zero distortion") {
+    val s = spark
+    import s.implicits._
+    val books = Seq((0, 0, Array(1f, 0f)), (0, 1, Array(0f, 1f)),
+      (1, 0, Array(2f, 0f)), (1, 1, Array(0f, 2f)))
+    val df = Seq(
+      Tuple1(Array(1f, 0f, 2f, 0f)), // sub0→code0, sub1→code0
+      Tuple1(Array(0f, 1f, 0f, 2f)), // sub0→code1, sub1→code1
+      Tuple1(Array(1f, 0f, 0f, 2f))).toDF("embedding")
+    val out = Similarity.pqDistortionAudit(df, "embedding", books, 2, 2)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out == Map(0 -> (3L, 2L, 0L), 1 -> (3L, 2L, 0L)))
+  }
+
+  test("s16: every subspace audits the whole corpus, codes bounded by ksub") {
+    val out = graft.SparkEntry.queries("s16_pq_distortion")(spark, sf)
+      .collect()
+    assert(out.map(_.getAs[Int]("sub")).sorted.toSeq == Seq(0, 1, 2, 3))
+    val n = graft.Tables.embeddings(spark, sf).count()
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_vectors") == n)
+      val used = r.getAs[Long]("codes_used")
+      assert(used >= 1L && used <= 16L)
+      assert(r.getAs[Long]("sum_d2_ppm") >= 0L)
+    }
+  }
+
   // --- e04 cohort retention ---
 
   test("e04: week-0 retention is total, cohorts partition the user base") {
