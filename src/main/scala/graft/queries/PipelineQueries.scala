@@ -1080,6 +1080,39 @@ object PipelineQueries {
       Dedup.dupSpanInventory(Tables.documents(s, d), "doc_id", "text", 8)
     }),
 
+    // dedup: exact-substring dedup YIELD — per-document count of
+    // tokens covered by at least one duplicated 8-token span (the
+    // merged-interval union, so overlapping spans never double-count):
+    // what "deduplicate exact substrings" (Lee et al. 2022) would
+    // actually delete, the yield forecast read before running the
+    // removal. One tokenize pass (n_tokens rides the gram rows); span
+    // duplication decided by the d06 window; coverage = distinct
+    // (doc, offset) over the span-bounded explode — every shuffle
+    // keyed, nothing all-pairs.
+    "d12_span_coverage" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val grams = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("__w", TextFunctions.tokens(col("text")))
+        .select(col("doc_id"), size(col("__w")).cast("long").as("n_tokens"),
+          posexplode(TextFunctions.gramFingerprints(col("__w"), 8))
+            .as(Seq("pos", "g")))
+      val w = Window.partitionBy(col("g"))
+      grams
+        .withColumn("__dup",
+          min(col("doc_id")).over(w) =!= max(col("doc_id")).over(w))
+        .filter(col("__dup"))
+        .select(col("doc_id"), col("n_tokens"),
+          explode(sequence(col("pos"), col("pos") + 7)).as("tok"))
+        .distinct()
+        .groupBy(col("doc_id"))
+        .agg(first(col("n_tokens")).as("n_tokens"),
+          count(lit(1)).as("tokens_covered"))
+        .select(col("doc_id"), col("n_tokens"), col("tokens_covered"),
+          expr("CAST(tokens_covered * 1000000 DIV n_tokens AS BIGINT)")
+            .as("covered_ppm"))
+    }),
+
     // dedup: SemDeDup — semantic duplicates within IVF cells (cosine
     // vs an earlier-id vector in the same coarse cell); reuses the
     // materialized s04 centroids so the oracle replays the cells
@@ -2536,6 +2569,35 @@ object PipelineQueries {
           SELECT CAST(rank AS BIGINT) AS k, CAST(cum AS BIGINT) AS covered,
             total, CAST(cum * 1000000 // total AS BIGINT) AS coverage_ppm
           FROM r CROSS JOIN tot WHERE rank IN (5, 10, 25)""",
+
+    // the d06 gram CTEs with positions carried through: duplicated
+    // spans (min doc ≠ max doc per fingerprint), covered offsets
+    // unioned per doc via DISTINCT — overlaps never double-count
+    "d12_span_coverage" ->
+      s"""WITH t AS (SELECT doc_id, $W AS words FROM documents),
+          h AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens,
+            list_transform(words, w ->
+              CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % 1000000007) AS hs
+          FROM t),
+          g0 AS (SELECT doc_id, n_tokens, hs,
+              unnest(range(0, len(hs) - 7)) AS pos
+            FROM h WHERE len(hs) >= 8),
+          grams AS (SELECT doc_id, n_tokens, pos,
+              list_reduce(hs[pos + 1:pos + 8],
+                (a, b) -> (a * 31 + b) % 1000000007) AS g
+            FROM g0),
+          dupg AS (SELECT g FROM grams GROUP BY g
+            HAVING MIN(doc_id) <> MAX(doc_id)),
+          spans AS (SELECT grams.doc_id, grams.n_tokens, grams.pos
+            FROM grams JOIN dupg USING (g)),
+          toks AS (SELECT DISTINCT doc_id, n_tokens, tok FROM (
+            SELECT doc_id, n_tokens, unnest(range(pos, pos + 8)) AS tok
+            FROM spans))
+          SELECT doc_id, ANY_VALUE(n_tokens) AS n_tokens,
+            CAST(COUNT(*) AS BIGINT) AS tokens_covered,
+            CAST(COUNT(*) * 1000000 // ANY_VALUE(n_tokens) AS BIGINT)
+              AS covered_ppm
+          FROM toks GROUP BY doc_id""",
 
     // same Karp-Rabin fold as t06 applied per 8-token window; a span
     // is duplicated when its fingerprint occurs in >=2 distinct docs

@@ -160,6 +160,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(degree.max <= 3)
   }
 
+  // --- d12 span-coverage yield ---
+
+  test("d12: covers exactly d06's affected docs, bounded by span geometry") {
+    val out = graft.SparkEntry.queries("d12_span_coverage")(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val covered = r.getAs[Long]("tokens_covered")
+      val n = r.getAs[Long]("n_tokens")
+      assert(covered >= 8L && covered <= n) // one span covers 8 tokens
+      assert(r.getAs[Long]("covered_ppm") == covered * 1000000L / n)
+    }
+    // same "affected document" set as the d06 inventory
+    val d06Docs = graft.SparkEntry.queries("d06_dup_ngrams")(spark, sf)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(out.map(_.getAs[Long]("doc_id")).toSet == d06Docs)
+  }
+
   // --- t38 langid confusion matrix ---
 
   test("t38: matrix covers every document, shares are exact within-language ppm") {
