@@ -1012,6 +1012,34 @@ object PipelineQueries {
         .withColumn("err_ppm", abs(col("est_ppm") - col("exact_ppm")))
     }),
 
+    // dedup: DIRECTIONAL CONTAINMENT over LSH candidates — per pair,
+    // |A∩B|/|A| and |A∩B|/|B| on distinct shingle sets (exact ppm):
+    // the asymmetric subset signal symmetric Jaccard dilutes — a
+    // short document quoted whole inside a long one scores high
+    // containment but low Jaccard, so containment is the
+    // quote/excerpt dedup criterion. Same bounded keyed-join shape as
+    // d11.
+    "d13_containment_pairs" -> ((s, d) => {
+      import graft.functions.MinHashExpressions.wordShingles3
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashCandidates(docs, "doc_id", "text", 16, 4)
+      val feat = docs.select(col("doc_id").as("id"), col("text"))
+        .withColumn("__w", TextFunctions.tokens(col("text")))
+        .withColumn("__sh", wordShingles3(col("__w")))
+        .filter(size(col("__sh")) > 0)
+        .select(col("id"), array_distinct(col("__sh")).as("shset"))
+      pairs
+        .join(feat.toDF("id_a", "set_a"), Seq("id_a"))
+        .join(feat.toDF("id_b", "set_b"), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          expr("""CAST(size(array_intersect(set_a, set_b)) * 1000000
+              DIV size(set_a) AS BIGINT)""").as("cont_a_ppm"),
+          expr("""CAST(size(array_intersect(set_a, set_b)) * 1000000
+              DIV size(set_b) AS BIGINT)""").as("cont_b_ppm"))
+        .withColumn("max_cont_ppm",
+          greatest(col("cont_a_ppm"), col("cont_b_ppm")))
+    }),
+
     // similarity: cosine RANGE search — all corpus vectors within a
     // similarity radius of each sampled query (the radius-query API
     // beside the top-k ladder; k-free retrieval for near-dup lookups).
@@ -1156,6 +1184,27 @@ object PipelineQueries {
       counts.join(broadcast(totals), Seq("from_type"))
         .select(col("from_type"), col("to_type"), col("cnt"),
           expr("CAST(cnt * 1000000 DIV tot AS BIGINT)").as("p_ppm"))
+    }),
+
+    // events: INTER-ARRIVAL latency distribution — per event type, the
+    // exact P50/P95/min/max of the gap since the user's previous event
+    // (attributed to the event that ended the wait): the
+    // time-between-actions profile behind session-gap tuning and
+    // anomaly thresholds. Gaps are integral nanos, so the exact
+    // percentile keeps O(distinct gaps) state (the q37 discipline);
+    // one user-keyed window pass, then a |types|-row agg.
+    "e05_interarrival" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .withColumn("gap", col("ts") - lag(col("ts"), 1).over(w))
+        .filter(col("gap").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_gaps"),
+          expr("percentile(gap, 0.5)").as("p50_ns"),
+          expr("percentile(gap, 0.95)").as("p95_ns"),
+          min(col("gap")).as("min_ns"), max(col("gap")).as("max_ns"))
     }),
 
     // events: COHORT RETENTION matrix — users grouped by first-seen
@@ -2505,6 +2554,33 @@ object PipelineQueries {
             CAST(abs(est_ppm - exact_ppm) AS BIGINT) AS err_ppm
           FROM scored""",
 
+    // the d11 candidate/set CTEs with both DIRECTIONAL ratios — exact
+    // integer ppm against each side's own set size
+    "d13_containment_pairs" ->
+      s"""WITH t AS (SELECT doc_id, $W AS words FROM documents),
+          sh AS (SELECT doc_id, $SH AS s FROM t),
+          sig AS (SELECT doc_id, list_distinct(s) AS shset,
+            ${(0 until 4).map(b => s"${band(b, 4)} AS band$b").mkString(", ")}
+          FROM sh WHERE len(s) > 0),
+          pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            AND (a.band0 = b.band0 OR a.band1 = b.band1
+              OR a.band2 = b.band2 OR a.band3 = b.band3)),
+          j AS (SELECT p.id_a, p.id_b,
+              sa.shset AS set_a, sb.shset AS set_b
+            FROM pairs p
+            JOIN sig sa ON sa.doc_id = p.id_a
+            JOIN sig sb ON sb.doc_id = p.id_b),
+          scored AS (SELECT id_a, id_b,
+              CAST(len(list_intersect(set_a, set_b)) * 1000000
+                // len(set_a) AS BIGINT) AS cont_a_ppm,
+              CAST(len(list_intersect(set_a, set_b)) * 1000000
+                // len(set_b) AS BIGINT) AS cont_b_ppm
+            FROM j)
+          SELECT id_a, id_b, cont_a_ppm, cont_b_ppm,
+            CAST(GREATEST(cont_a_ppm, cont_b_ppm) AS BIGINT) AS max_cont_ppm
+          FROM scored""",
+
     // the s01 cosine CTEs without the rank: keep everything at or
     // above the radius, similarity floored to ppm
     "s15_range_search" ->
@@ -2659,6 +2735,21 @@ object PipelineQueries {
          SELECT from_type, to_type, cnt,
            CAST(cnt * 1000000 // tot AS BIGINT) AS p_ppm
          FROM c JOIN tot USING (from_type)""",
+
+    // gaps replayed with the same LAG attribution; quantile_cont is
+    // the q37-proven exact twin of Spark's percentile
+    "e05_interarrival" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS t
+           FROM events),
+         g AS (SELECT event_type,
+             t - LAG(t) OVER (PARTITION BY user_id ORDER BY t) AS gap
+           FROM e)
+         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           quantile_cont(gap, 0.5) AS p50_ns,
+           quantile_cont(gap, 0.95) AS p95_ns,
+           CAST(MIN(gap) AS BIGINT) AS min_ns,
+           CAST(MAX(gap) AS BIGINT) AS max_ns
+         FROM g WHERE gap IS NOT NULL GROUP BY 1""",
 
     // cohort = min week per user, activity = distinct (user, week),
     // retention recounted against the cohort size — exact ppm

@@ -160,6 +160,45 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(degree.max <= 3)
   }
 
+  // --- e05 inter-arrival distribution ---
+
+  test("e05: gap totals conserve, percentiles and extremes are ordered") {
+    val out = graft.SparkEntry.queries("e05_interarrival")(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    val ev = graft.Tables.events(spark, sf)
+    // one gap per event that has a predecessor: total = events - users
+    assert(out.map(_.getAs[Long]("n_gaps")).sum ==
+      ev.count() - ev.select(col("user_id")).distinct().count())
+    out.foreach { r =>
+      val (mn, mx) = (r.getAs[Long]("min_ns"), r.getAs[Long]("max_ns"))
+      val (p50, p95) = (r.getAs[Double]("p50_ns"), r.getAs[Double]("p95_ns"))
+      assert(mn > 0L) // (user_id, ts) collision-free ⇒ strictly positive
+      assert(mn <= p50 && p50 <= p95 && p95 <= mx)
+    }
+  }
+
+  // --- d13 directional containment ---
+
+  test("d13: containments bound Jaccard from above, share d11's pair set") {
+    val d13 = graft.SparkEntry.queries("d13_containment_pairs")(spark, sf)
+      .collect()
+    val d11 = graft.SparkEntry.queries("d11_lsh_estimate_audit")(spark, sf)
+      .collect()
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))
+    assert(d13.map(key).toSet == d11.map(key).toSet)
+    val exactByPair = d11.map(r => key(r) -> r.getAs[Long]("exact_ppm")).toMap
+    d13.foreach { r =>
+      val (ca, cb) = (r.getAs[Long]("cont_a_ppm"), r.getAs[Long]("cont_b_ppm"))
+      assert(ca >= 0L && ca <= 1000000L && cb >= 0L && cb <= 1000000L)
+      assert(r.getAs[Long]("max_cont_ppm") == math.max(ca, cb))
+      // |∩|/min-side ≥ |∩|/|∪| always: containment dominates Jaccard
+      // (floor can cost at most 1 ppm in the comparison)
+      assert(math.max(ca, cb) + 1 >= exactByPair(key(r)))
+    }
+  }
+
   // --- d12 span-coverage yield ---
 
   test("d12: covers exactly d06's affected docs, bounded by span geometry") {
