@@ -453,6 +453,8 @@ object Similarity {
                         codebooks: Seq[(Int, Int, Array[Float])],
                         m: Int, dsub: Int): DataFrame = {
     val bySub = codebooks.groupBy(_._1)
+    require((0 until m).forall(bySub.contains),
+      s"codebooks must cover every subspace 0 until $m")
     val enc = pqEncode(spread(corpus.select(col(vecCol).as("v"))),
       "v", codebooks, m, dsub)
     enc.select(explode(array((0 until m).map { sub =>
@@ -859,6 +861,7 @@ object Similarity {
     */
   def mutualKnnGraph(corpus: DataFrame, idCol: String, vecCol: String,
                      k: Int, bits: Int, salt: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
     val w = Window.partitionBy(col("id_a"))
       .orderBy(col("cos").desc, col("id_b").asc)
     val directed = saltedSelfJoin(corpus, idCol, vecCol, bits, salt)
@@ -895,6 +898,7 @@ object Similarity {
     */
   def clusterAudit(corpus: DataFrame, idCol: String, vecCol: String,
                    centroids: Seq[(Int, Array[Float])]): DataFrame = {
+    require(centroids.nonEmpty, "clusterAudit needs trained centroids")
     val spark = corpus.sparkSession
     import spark.implicits._
     val cents = broadcast(centroids.toDF("cell", "centroid"))

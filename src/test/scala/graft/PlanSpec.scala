@@ -151,6 +151,22 @@ class PlanSpec extends AnyFunSuite {
       s"the top-25 head must be TakeOrdered (driver-bounded):\n${p.take(3000)}")
   }
 
+  test("event-sequence analytics shuffle on the user key, broadcast their totals") {
+    // e03/e04/e05 all pivot on a per-user window/agg — the inherent
+    // corpus shuffle — and must broadcast their small totals side
+    // instead of shuffling the matrix again
+    for (g <- Seq("e03_transition_matrix", "e04_retention_cohorts",
+        "e05_interarrival")) {
+      val p = plan(g)
+      assert(p.contains("hashpartitioning(user_id"),
+        s"$g must key its corpus shuffle on user_id:\n${p.take(3000)}")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$g:\n${p.take(3000)}")
+    }
+    assert(plan("e03_transition_matrix").contains("BroadcastHashJoin"))
+    assert(plan("e04_retention_cohorts").contains("BroadcastHashJoin"))
+  }
+
   test("runtime bloom-filter join: the dim filter reaches the fact side") {
     // the reference's FilterPushJoin collects the filtered small
     // side's join keys and pushes them as an IN filter into the fact
