@@ -69,65 +69,45 @@ object BenchFixtures {
       dir
     })
 
-  /** Graft side: the same streaming drain st01 gates, over the
-    * production-shaped corpus.
+  /** Graft side of a windowed-agg fixture: the given aggregation as a
+    * real streaming drain over the staged corpus — the SINGLE staging
+    * + normalization recipe both st01 and st15 ride, so a change to
+    * it (as round 10's ts re-encoding forced) lands in one place.
     */
-  def st01Graft(s: SparkSession, d: String): DataFrame = {
+  private def stagedStream(s: SparkSession, d: String,
+                           agg: DataFrame => DataFrame): DataFrame = {
     val dir = bigEventsDir(s, d)
     val schema = s.read.parquet(dir).schema
     val stream = graft.Tables.normalizeEventTs(
       s.readStream.schema(schema).parquet(dir))
       .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
-    EventStreams.runToCompletion(s, EventStreams.hourlyAgg(stream),
-      statePartitions = 4)
+    EventStreams.runToCompletion(s, agg(stream), statePartitions = 4)
   }
 
   /** Baseline side: the SAME logical query (timestamp conversion,
-    * window bucketing, decimal agg — hourlyAgg's exact expressions)
-    * as one batch over the SAME staged corpus. An integer-div
-    * shortcut here would make the ratio price "window() vs div"
-    * instead of what st01 actually gates: the streaming machinery
+    * window bucketing, decimal agg — the agg's exact expressions) as
+    * one batch over the SAME staged corpus. An integer-div shortcut
+    * here would make the ratio price "window() vs div" instead of
+    * what the st gates actually measure: the streaming machinery
     * around an identical aggregation.
     */
-  def st01Baseline(s: SparkSession, d: String): DataFrame = {
-    val dir = bigEventsDir(s, d)
-    EventStreams.hourlyAgg(
-      graft.Tables.normalizeEventTs(s.read.parquet(dir))
-        .withColumn("ts_utc", timestamp_micros(expr("ts div 1000"))))
-  }
+  private def stagedBatch(s: SparkSession, d: String,
+                          agg: DataFrame => DataFrame): DataFrame =
+    agg(graft.Tables.normalizeEventTs(s.read.parquet(bigEventsDir(s, d)))
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000"))))
 
-  /** st15 (sliding windows) has exactly st01's fixed-trigger-cost
-    * shape — a 1.2 s streaming drain against a 0.25 s batch expansion
-    * at the toy file size — so it gets the same production-shaped
-    * corpus, streamed by graft and batch-expanded by the baseline.
+  /** (graft, baseline) overrides applied by Bench.main. st15 (sliding
+    * windows) has exactly st01's fixed-trigger-cost shape — a 1.2 s
+    * streaming drain against a 0.25 s batch expansion at the toy file
+    * size — so both ride the same production-shaped fixture.
     */
-  def st15Graft(s: SparkSession, d: String): DataFrame = {
-    val dir = bigEventsDir(s, d)
-    val schema = s.read.parquet(dir).schema
-    val stream = graft.Tables.normalizeEventTs(
-      s.readStream.schema(schema).parquet(dir))
-      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
-    EventStreams.runToCompletion(s, EventStreams.slidingAgg(stream),
-      statePartitions = 4)
-  }
-
-  /** Batch twin of [[st15Graft]]: the SAME logical query — the
-    * slidingAgg expressions (sliding window(), decimal agg) as one
-    * batch over the same staged corpus, exactly st01Baseline's
-    * philosophy: an integer-div two-row expansion here would make the
-    * ratio price "window() vs div" instead of what st15 gates, the
-    * streaming state machinery around an identical aggregation.
-    */
-  def st15Baseline(s: SparkSession, d: String): DataFrame = {
-    val dir = bigEventsDir(s, d)
-    EventStreams.slidingAgg(
-      graft.Tables.normalizeEventTs(s.read.parquet(dir))
-        .withColumn("ts_utc", timestamp_micros(expr("ts div 1000"))))
-  }
-
-  /** (graft, baseline) overrides applied by Bench.main. */
   val overrides: Map[String, ((SparkSession, String) => DataFrame,
                               (SparkSession, String) => DataFrame)] =
-    Map("st01_stream_hourly" -> (st01Graft _, st01Baseline _),
-      "st15_sliding_window" -> (st15Graft _, st15Baseline _))
+    Map(
+      "st01_stream_hourly" -> (
+        (s: SparkSession, d: String) => stagedStream(s, d, EventStreams.hourlyAgg),
+        (s: SparkSession, d: String) => stagedBatch(s, d, EventStreams.hourlyAgg)),
+      "st15_sliding_window" -> (
+        (s: SparkSession, d: String) => stagedStream(s, d, EventStreams.slidingAgg),
+        (s: SparkSession, d: String) => stagedBatch(s, d, EventStreams.slidingAgg)))
 }

@@ -197,7 +197,12 @@ object TextFunctions {
     */
   def simhash32(c: Column): Column = simhashFromHashes(tokenHashes(tokens(c)))
 
-  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+  /** Marker vocabularies — the single source of truth for [[langId]]
+    * AND the t03/t38 DuckDB oracles (PipelineQueries generates its IN
+    * lists from here, so the classifier can never drift from its
+    * cross-engine replay).
+    */
+  private[graft] val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "a"),
     "es" -> Seq("el", "la", "de", "que", "y"),
     "fr" -> Seq("le", "les", "des", "et", "une"),

@@ -506,56 +506,77 @@ object Multimodal {
       .mapPartitions(it => it.grouped(batchSize).flatMap(decodeStereoBatch))
   }
 
-  /** Batched REAL audio decode: WAV payloads (RIFF/WAVE sniffed) go
-    * through `javax.sound.sampled` — sample rate and frame count come
-    * from the parsed header, the amplitude sum from reading the
-    * decoded PCM stream end to end — so m05 gates actual decoder
-    * output. A corrupt container quarantines to the deterministic md5
-    * stub (it must not kill the batch), which also covers codecs the
-    * JVM lacks (MP3/AAC — no media libraries in this container).
+  /** One-pass folds over a decoded 8-bit unsigned mono PCM stream —
+    * the SINGLE stream walk behind both m05 (amplitude) and m08
+    * (quality stats), so the supported-profile predicate, buffer loop,
+    * and quarantine behavior can never drift between the two gates.
+    */
+  private case class MonoPcmFolds(sampleRate: Int, frames: Long,
+                                  ampSum: Long, sqSum: Long, peak: Long,
+                                  tv: Long)
+
+  /** WAV payloads (RIFF/WAVE sniffed) go through `javax.sound.sampled`
+    * — sample rate and frame count from the parsed header, every fold
+    * from reading the decoded PCM stream end to end (with the
+    * previous sample carried across read-buffer boundaries for the
+    * total-variation term). None ⇒ quarantine: not a WAV, a decode
+    * error, or a profile other than 8-bit unsigned mono (a valid WAV
+    * in a float or 16-bit-stereo profile — the latter routes through
+    * decodeStereoBatch — would decode without error here but fold
+    * meaningless byte halves).
+    */
+  private def walkMonoPcm(bytes: Array[Byte]): Option[MonoPcmFolds] =
+    if (!isWav(bytes)) None
+    else try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        val supported = fmt.getSampleSizeInBits == 8 &&
+          fmt.getChannels == 1 &&
+          fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+        if (!supported) None
+        else {
+          val buf = new Array[Byte](4096)
+          var amp = 0L; var sq = 0L; var peak = 0L; var tv = 0L
+          var frames = 0L; var prev = -1L
+          var n = ais.read(buf)
+          while (n > 0) {
+            var i = 0
+            while (i < n) {
+              val v = (buf(i) & 0xff).toLong
+              amp += v
+              sq += v * v
+              if (v > peak) peak = v
+              if (prev >= 0) tv += math.abs(v - prev)
+              prev = v
+              i += 1
+            }
+            frames += n
+            n = ais.read(buf)
+          }
+          Some(MonoPcmFolds(fmt.getSampleRate.toInt, frames, amp, sq, peak, tv))
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Batched REAL audio decode (m05's amplitude view of
+    * [[walkMonoPcm]]). A corrupt container quarantines to the
+    * deterministic md5 stub (it must not kill the batch), which also
+    * covers codecs the JVM lacks (MP3/AAC — no media libraries in
+    * this container).
     */
   private def decodeAudioBatch(batch: Seq[(Long, Array[Byte])]): Seq[AudioFeatures] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     batch.map { case (id, bytes) =>
-      val real: Option[AudioFeatures] =
-        if (!isWav(bytes)) None
-        else try {
-          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(bytes))
-          try {
-            val fmt = ais.getFormat
-            // the amplitude feature is DEFINED over the 8-bit
-            // unsigned mono profile; a valid WAV in any other
-            // profile (float, or 16-bit stereo — which routes
-            // through decodeStereoBatch instead) would decode
-            // without error here but sum meaningless byte halves —
-            // those quarantine to the stub rather than emit corrupt
-            // features
-            val supported = fmt.getSampleSizeInBits == 8 &&
-              fmt.getChannels == 1 &&
-              fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
-            if (!supported) None
-            else {
-              val buf = new Array[Byte](4096)
-              var amp = 0L
-              var frames = 0L
-              var n = ais.read(buf)
-              while (n > 0) {
-                var i = 0
-                while (i < n) { amp += (buf(i) & 0xff); i += 1 }
-                frames += n
-                n = ais.read(buf)
-              }
-              Some(AudioFeatures(id, bytes.length,
-                fmt.getSampleRate.toInt, frames, amp))
-            }
-          } finally ais.close()
-        } catch { case scala.util.control.NonFatal(_) => None }
-      real.getOrElse {
-        md.reset()
-        val b = md.digest(bytes)
-        AudioFeatures(id, bytes.length, 8000 + ((b(0) & 0xff) % 8) * 1000,
-          (b(1) & 0xff).toLong, (b(2) & 0xff).toLong)
+      walkMonoPcm(bytes) match {
+        case Some(f) =>
+          AudioFeatures(id, bytes.length, f.sampleRate, f.frames, f.ampSum)
+        case None =>
+          md.reset()
+          val b = md.digest(bytes)
+          AudioFeatures(id, bytes.length, 8000 + ((b(0) & 0xff) % 8) * 1000,
+            (b(1) & 0xff).toLong, (b(2) & 0xff).toLong)
       }
     }
   }
@@ -582,55 +603,23 @@ object Multimodal {
   case class AudioStats(id: Long, byte_len: Int, sample_rate: Int,
                         n_samples: Long, sq_sum: Long, peak: Long, tv: Long)
 
-  /** Batched audio-quality decode — same contract as
-    * [[decodeAudioBatch]] (8-bit unsigned mono PCM profile; anything
-    * else quarantines to the deterministic md5 stub), but the stream
-    * walk folds energy/peak/total-variation instead of the amplitude
-    * sum, carrying the previous sample across read-buffer boundaries.
+  /** Batched audio-quality decode — m08's energy/peak/total-variation
+    * view of the same [[walkMonoPcm]] stream walk (shared profile
+    * predicate and quarantine behavior by construction).
     */
   private def decodeAudioStatsBatch(batch: Seq[(Long, Array[Byte])]): Seq[AudioStats] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     batch.map { case (id, bytes) =>
-      val real: Option[AudioStats] =
-        if (!isWav(bytes)) None
-        else try {
-          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(bytes))
-          try {
-            val fmt = ais.getFormat
-            val supported = fmt.getSampleSizeInBits == 8 &&
-              fmt.getChannels == 1 &&
-              fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
-            if (!supported) None
-            else {
-              val buf = new Array[Byte](4096)
-              var sq = 0L; var peak = 0L; var tv = 0L
-              var frames = 0L; var prev = -1L
-              var n = ais.read(buf)
-              while (n > 0) {
-                var i = 0
-                while (i < n) {
-                  val v = (buf(i) & 0xff).toLong
-                  sq += v * v
-                  if (v > peak) peak = v
-                  if (prev >= 0) tv += math.abs(v - prev)
-                  prev = v
-                  i += 1
-                }
-                frames += n
-                n = ais.read(buf)
-              }
-              Some(AudioStats(id, bytes.length, fmt.getSampleRate.toInt,
-                frames, sq, peak, tv))
-            }
-          } finally ais.close()
-        } catch { case scala.util.control.NonFatal(_) => None }
-      real.getOrElse {
-        md.reset()
-        val b = md.digest(bytes)
-        AudioStats(id, bytes.length, 8000 + ((b(0) & 0xff) % 8) * 1000,
-          (b(1) & 0xff).toLong, (b(2) & 0xff).toLong, (b(3) & 0xff).toLong,
-          (b(4) & 0xff).toLong)
+      walkMonoPcm(bytes) match {
+        case Some(f) =>
+          AudioStats(id, bytes.length, f.sampleRate, f.frames,
+            f.sqSum, f.peak, f.tv)
+        case None =>
+          md.reset()
+          val b = md.digest(bytes)
+          AudioStats(id, bytes.length, 8000 + ((b(0) & 0xff) % 8) * 1000,
+            (b(1) & 0xff).toLong, (b(2) & 0xff).toLong, (b(3) & 0xff).toLong,
+            (b(4) & 0xff).toLong)
       }
     }
   }

@@ -44,7 +44,30 @@ object PipelineQueries {
     "md5(" + (0 until rows).map(r => s"CAST(${mh(b * rows + r)} AS VARCHAR)")
       .mkString(" || ',' || ") + ")"
 
-  private val enMarkers = "('the','and','of','to','a')"
+  /** IN-list for one language's markers, generated from the single
+    * source of truth ([[TextFunctions.langMarkers]]).
+    */
+  private def markersIn(lang: String): String =
+    TextFunctions.langMarkers.toMap.apply(lang)
+      .map(w => s"'$w'").mkString("(", ", ", ")")
+
+  private val enMarkers = markersIn("en")
+
+  /** Per-language marker-count select items (the t03 scoring CTE body)
+    * and the argmax CASE — both generated from langMarkers so the
+    * t03/t38 oracles and the Scala classifier share one definition.
+    */
+  private lazy val langScoresSql: String =
+    Seq("en", "es", "fr", "de").map(l =>
+      s"len(list_filter(words, w -> w IN ${markersIn(l)})) AS $l")
+      .mkString(",\n            ")
+
+  private val langIdCaseSql: String =
+    """CASE WHEN en >= es AND en >= fr AND en >= de AND en > 0 THEN 'en'
+         WHEN es >= fr AND es >= de AND es > 0 THEN 'es'
+         WHEN fr >= de AND fr > 0 THEN 'fr'
+         WHEN de > 0 THEN 'de'
+         ELSE 'und' END"""
 
   /** Fixed masking vocabulary for t12 (shared with its oracle below). */
   private val OovVocab: Seq[String] = Seq(
@@ -68,6 +91,17 @@ object PipelineQueries {
     s"""CASE WHEN CAST('0x' || substr(md5(CAST($idCol AS VARCHAR)), 1, 4) AS BIGINT) % 100 < 80 THEN 'train'
         WHEN CAST('0x' || substr(md5(CAST($idCol AS VARCHAR)), 1, 4) AS BIGINT) % 100 < 90 THEN 'val'
         ELSE 'test' END"""
+
+  /** See [[graft.dedup.Dedup]]: guarded task-parallelism lift for
+    * CPU-bound per-row stages over single-file local sources — a
+    * no-op when the scan already arrives parallel (at warehouse scale
+    * it always does), so it can never shuffle a real corpus or REDUCE
+    * parallelism the way an unconditional repartition can.
+    */
+  private def spreadCpu(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 
   val queries: Map[String, Q] = Map(
     // text analysis: token counting
@@ -842,10 +876,9 @@ object PipelineQueries {
     // expressions — no shuffle at all; the gate emits order-free
     // integer stats of each doc's fingerprint set.
     "t35_winnowing" -> ((s, d) => {
-      Tables.documents(s, d)
-        // CPU-bound per-row hashing over one small file — spread to
-        // task parallelism (the d04 note)
-        .repartition(s.sparkContext.defaultParallelism)
+      // CPU-bound per-row hashing over one small file — guarded
+      // spread to task parallelism (the d04 note)
+      spreadCpu(Tables.documents(s, d))
         .withColumn("__w", TextFunctions.tokens(col("text")))
         .withColumn("__h", TextFunctions.gramFingerprints(col("__w"), 4))
         .withColumn("__fps", TextFunctions.winnowedFingerprints(col("__h"), 4))
@@ -1004,10 +1037,13 @@ object PipelineQueries {
         .select(col("id_a"), col("id_b"),
           expr("""CAST(aggregate(zip_with(sig_a, sig_b,
               (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END),
-              0, (a, v) -> a + v) * 1000000 DIV 16 AS BIGINT)""")
+              0L, (a, v) -> a + v) * 1000000 DIV 16 AS BIGINT)""")
             .as("est_ppm"),
-          expr("""CAST(size(array_intersect(set_a, set_b)) * 1000000
-              DIV size(array_union(set_a, set_b)) AS BIGINT)""")
+          // the intersection size must widen to LONG before the ppm
+          // multiply: int × 1000000 wraps silently past 2147 shared
+          // shingles (~2150-token documents — routine at real scale)
+          expr("""CAST(CAST(size(array_intersect(set_a, set_b)) AS BIGINT)
+              * 1000000 DIV size(array_union(set_a, set_b)) AS BIGINT)""")
             .as("exact_ppm"))
         .withColumn("err_ppm", abs(col("est_ppm") - col("exact_ppm")))
     }),
@@ -1032,10 +1068,11 @@ object PipelineQueries {
         .join(feat.toDF("id_a", "set_a"), Seq("id_a"))
         .join(feat.toDF("id_b", "set_b"), Seq("id_b"))
         .select(col("id_a"), col("id_b"),
-          expr("""CAST(size(array_intersect(set_a, set_b)) * 1000000
-              DIV size(set_a) AS BIGINT)""").as("cont_a_ppm"),
-          expr("""CAST(size(array_intersect(set_a, set_b)) * 1000000
-              DIV size(set_b) AS BIGINT)""").as("cont_b_ppm"))
+          // LONG numerator — see d11's overflow note
+          expr("""CAST(CAST(size(array_intersect(set_a, set_b)) AS BIGINT)
+              * 1000000 DIV size(set_a) AS BIGINT)""").as("cont_a_ppm"),
+          expr("""CAST(CAST(size(array_intersect(set_a, set_b)) AS BIGINT)
+              * 1000000 DIV size(set_b) AS BIGINT)""").as("cont_b_ppm"))
         .withColumn("max_cont_ppm",
           greatest(col("cont_a_ppm"), col("cont_b_ppm")))
     }),
@@ -1119,8 +1156,7 @@ object PipelineQueries {
     // keyed, nothing all-pairs.
     "d12_span_coverage" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val grams = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+      val grams = spreadCpu(Tables.documents(s, d))
         .withColumn("__w", TextFunctions.tokens(col("text")))
         .select(col("doc_id"), size(col("__w")).cast("long").as("n_tokens"),
           posexplode(TextFunctions.gramFingerprints(col("__w"), 8))
@@ -1409,8 +1445,7 @@ object PipelineQueries {
       // the light codec gates m02/m05/m06/m08 measured WORSE with a
       // spread — the shuffle outweighs their sub-second decode — so
       // the spread stays gate-local, the d04 pattern)
-      val gif = Multimodal.withGifPayload(
-        Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism),
+      val gif = Multimodal.withGifPayload(spreadCpu(Tables.documents(s, d)),
         "doc_id", "text", "n_chars")
       Multimodal.sampleFrames(gif, 4).toDF()
         .select(col("id"), col("frame_idx"), col("frame_w"), col("frame_h"))
@@ -1714,21 +1749,32 @@ object PipelineQueries {
     s"(${dotS(x, x)} - 2 * ${dotS(x, c)} + ${dotS(c, c)})"
   }
 
-  /** The d02→connected-components CTE chain (shared by the d05
-    * cluster oracle and the d10 apply oracle): band signatures, LSH
-    * candidate pairs, symmetric edges, and the recursive `reach`
-    * closure from which canonical representatives derive.
+  /** The ONE d02 banding fragment every LSH-derived oracle builds on
+    * (d02, d05/d10 via [[clusterCtes]], d11, d13): shingles, band
+    * signatures (optionally with extra per-doc columns carried on the
+    * sig CTE), and the distinct candidate-pair join. A change to the
+    * banding scheme (k, rowsPerBand, hash) lands in exactly one
+    * place, so candidate-pair sets can never silently diverge
+    * between gates.
     */
-  private lazy val clusterCtes =
-    s"""WITH RECURSIVE t AS (SELECT doc_id, $W AS words FROM documents),
+  private def bandPairCtes(extraSig: String = "",
+                           recursive: Boolean = false): String =
+    s"""WITH ${if (recursive) "RECURSIVE " else ""}t AS (
+          SELECT doc_id, $W AS words FROM documents),
         sh AS (SELECT doc_id, $SH AS s FROM t),
-        sig AS (SELECT doc_id,
+        sig AS (SELECT doc_id, $extraSig
           ${(0 until 4).map(b => s"${band(b, 4)} AS band$b").mkString(", ")}
         FROM sh WHERE len(s) > 0),
         pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         AND (a.band0 = b.band0 OR a.band1 = b.band1
-          OR a.band2 = b.band2 OR a.band3 = b.band3)),
+          OR a.band2 = b.band2 OR a.band3 = b.band3))"""
+
+  /** [[bandPairCtes]] extended with the connected-components closure
+    * (shared by the d05 cluster oracle and the d10 apply oracle).
+    */
+  private lazy val clusterCtes =
+    s"""${bandPairCtes(recursive = true)},
         edges AS (SELECT id_a AS a, id_b AS b FROM pairs
           UNION SELECT id_b, id_a FROM pairs),
         reach(src, dst) AS (
@@ -1844,17 +1890,9 @@ object PipelineQueries {
     "t38_langid_confusion" ->
       s"""WITH t AS (SELECT lang, $W AS words FROM documents),
           c AS (SELECT lang,
-            len(list_filter(words, w -> w IN $enMarkers)) AS en,
-            len(list_filter(words, w -> w IN ('el','la','de','que','y'))) AS es,
-            len(list_filter(words, w -> w IN ('le','les','des','et','une'))) AS fr,
-            len(list_filter(words, w -> w IN ('der','die','und','das','ist'))) AS de
+            $langScoresSql
           FROM t),
-          p AS (SELECT lang,
-            CASE WHEN en >= es AND en >= fr AND en >= de AND en > 0 THEN 'en'
-                 WHEN es >= fr AND es >= de AND es > 0 THEN 'es'
-                 WHEN fr >= de AND fr > 0 THEN 'fr'
-                 WHEN de > 0 THEN 'de'
-                 ELSE 'und' END AS pred_lang
+          p AS (SELECT lang, $langIdCaseSql AS pred_lang
           FROM c),
           m AS (SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
             FROM p GROUP BY 1, 2),
@@ -1867,17 +1905,9 @@ object PipelineQueries {
     "t03_langid" ->
       s"""WITH t AS (SELECT doc_id, $W AS words FROM documents),
           c AS (SELECT doc_id,
-            len(list_filter(words, w -> w IN $enMarkers)) AS en,
-            len(list_filter(words, w -> w IN ('el','la','de','que','y'))) AS es,
-            len(list_filter(words, w -> w IN ('le','les','des','et','une'))) AS fr,
-            len(list_filter(words, w -> w IN ('der','die','und','das','ist'))) AS de
+            $langScoresSql
           FROM t)
-          SELECT doc_id,
-            CASE WHEN en >= es AND en >= fr AND en >= de AND en > 0 THEN 'en'
-                 WHEN es >= fr AND es >= de AND es > 0 THEN 'es'
-                 WHEN fr >= de AND fr > 0 THEN 'fr'
-                 WHEN de > 0 THEN 'de'
-                 ELSE 'und' END AS pred_lang
+          SELECT doc_id, $langIdCaseSql AS pred_lang
           FROM c""",
 
     "t04_text_stats" ->
@@ -2512,31 +2542,16 @@ object PipelineQueries {
           SELECT id_a, id_b, lev FROM scored WHERE lev * 10 <= mx""",
 
     "d02_minhash_pairs" ->
-      s"""WITH t AS (SELECT doc_id, $W AS words FROM documents),
-          sh AS (SELECT doc_id, $SH AS s FROM t),
-          sig AS (SELECT doc_id,
-            ${(0 until 4).map(b => s"${band(b, 4)} AS band$b").mkString(", ")}
-          FROM sh WHERE len(s) > 0)
-          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-          AND (a.band0 = b.band0 OR a.band1 = b.band1
-            OR a.band2 = b.band2 OR a.band3 = b.band3)""",
+      s"""${bandPairCtes()}
+          SELECT id_a, id_b FROM pairs""",
 
     // signatures and shingle sets replayed per candidate pair: the
     // same 16 mh() permutations as the band keys, element-wise
     // agreement over 16, exact set Jaccard — all integer ppm
     "d11_lsh_estimate_audit" ->
-      s"""WITH t AS (SELECT doc_id, $W AS words FROM documents),
-          sh AS (SELECT doc_id, $SH AS s FROM t),
-          sig AS (SELECT doc_id,
-            [${(0 until 16).map(mh).mkString(", ")}] AS sig,
-            list_distinct(s) AS shset,
-            ${(0 until 4).map(b => s"${band(b, 4)} AS band$b").mkString(", ")}
-          FROM sh WHERE len(s) > 0),
-          pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-            AND (a.band0 = b.band0 OR a.band1 = b.band1
-              OR a.band2 = b.band2 OR a.band3 = b.band3)),
+      s"""${bandPairCtes(extraSig =
+            s"[${(0 until 16).map(mh).mkString(", ")}] AS sig, " +
+              "list_distinct(s) AS shset,")},
           j AS (SELECT p.id_a, p.id_b,
               sa.sig AS sig_a, sb.sig AS sig_b,
               sa.shset AS set_a, sb.shset AS set_b
@@ -2557,15 +2572,7 @@ object PipelineQueries {
     // the d11 candidate/set CTEs with both DIRECTIONAL ratios — exact
     // integer ppm against each side's own set size
     "d13_containment_pairs" ->
-      s"""WITH t AS (SELECT doc_id, $W AS words FROM documents),
-          sh AS (SELECT doc_id, $SH AS s FROM t),
-          sig AS (SELECT doc_id, list_distinct(s) AS shset,
-            ${(0 until 4).map(b => s"${band(b, 4)} AS band$b").mkString(", ")}
-          FROM sh WHERE len(s) > 0),
-          pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-            AND (a.band0 = b.band0 OR a.band1 = b.band1
-              OR a.band2 = b.band2 OR a.band3 = b.band3)),
+      s"""${bandPairCtes(extraSig = "list_distinct(s) AS shset,")},
           j AS (SELECT p.id_a, p.id_b,
               sa.shset AS set_a, sb.shset AS set_b
             FROM pairs p
