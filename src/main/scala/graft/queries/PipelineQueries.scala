@@ -123,6 +123,25 @@ object PipelineQueries {
         .select(col("doc_id"), TextFunctions.langId(col("text")).as("pred_lang"))
     }),
 
+    // corpus analysis: BURSTINESS ranking (Church & Gale 1995:
+    // collection frequency over document frequency — occurrences per
+    // CONTAINING document): topical/keyword types repeat heavily
+    // inside the few docs that mention them (high cf/df), function
+    // words spread thin (cf/df ≈ corpus mean). The
+    // keyword-vs-stopword discovery audit beside t36's coverage
+    // curve. One keyed count, global top-20 via TakeOrdered, exact
+    // ppm.
+    "t39_burstiness" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("w"))
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("cf"), countDistinct(col("doc_id")).as("df"))
+        .select(col("w"), col("cf"), col("df"),
+          expr("CAST(cf * 1000000 DIV df AS BIGINT)").as("burstiness_ppm"))
+        .orderBy(col("burstiness_ppm").desc, col("w").asc)
+        .limit(20)
+    }),
+
     // corpus analysis: language-ID CONFUSION MATRIX — the t03
     // classifier evaluated against the corpus's labeled `lang` column
     // ((true, predicted) counts + within-true-language share): the
@@ -1884,6 +1903,18 @@ object PipelineQueries {
             CAST(len(list_filter($W, w -> w IN $enMarkers)) AS DOUBLE)
               / CAST(len($W) AS DOUBLE), 6) AS quality
           FROM documents""",
+
+    // cf/df replayed from the unnested token stream; ties broken by
+    // (ratio desc, token asc) on both engines
+    "t39_burstiness" ->
+      s"""WITH ex AS (SELECT doc_id, unnest($W) AS w FROM documents),
+          st AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cf,
+            CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+          FROM ex GROUP BY w)
+          SELECT w, cf, df,
+            CAST(cf * 1000000 // df AS BIGINT) AS burstiness_ppm
+          FROM st
+          ORDER BY burstiness_ppm DESC, w ASC LIMIT 20""",
 
     // the t03 argmax replayed with the labeled column carried through,
     // folded into the (true, predicted) matrix with exact ppm shares

@@ -217,6 +217,22 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("doc_id")).toSet == d06Docs)
   }
 
+  // --- t39 burstiness ---
+
+  test("t39: ratios replay, burstiness is at least one per containing doc") {
+    val out = graft.SparkEntry.queries("t39_burstiness")(spark, sf).collect()
+    assert(out.length <= 20 && out.nonEmpty)
+    out.foreach { r =>
+      val (cf, df) = (r.getAs[Long]("cf"), r.getAs[Long]("df"))
+      assert(df >= 1L && cf >= df) // a containing doc contributes >= 1
+      assert(r.getAs[Long]("burstiness_ppm") == cf * 1000000L / df)
+      assert(r.getAs[Long]("burstiness_ppm") >= 1000000L)
+    }
+    // descending with token tie-break
+    val ppms = out.map(_.getAs[Long]("burstiness_ppm")).toSeq
+    assert(ppms == ppms.sorted.reverse)
+  }
+
   // --- t38 langid confusion matrix ---
 
   test("t38: matrix covers every document, shares are exact within-language ppm") {
