@@ -84,7 +84,77 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
       GraftSkylineFunction.info, GraftSkylineFunction.builder))
     e.injectTableFunction((FunctionIdentifier("graft_changes"),
       GraftChangesFunction.info, GraftChangesFunction.builder))
+    e.injectTableFunction((FunctionIdentifier("graft_dedup"),
+      GraftDedupFunction.info, GraftDedupFunction.builder))
   }
+}
+
+/** Shared source resolution for the FROM-able table functions: a graft
+  * table by catalog name, a graft table by absolute root path, a bare
+  * parquet file/directory, or a temp view — one rule, so every TVF
+  * accepts the same spellings.
+  */
+private[sql] object GraftTvfSource {
+  def resolve(spark: SparkSession, source: String): org.apache.spark.sql.DataFrame =
+    if (source.startsWith("/"))
+      // absolute path: a graft table root opens through the catalog
+      // read; anything else (a .parquet file OR a plain parquet
+      // directory) reads as parquet — a leading '/' alone must
+      // never route a non-graft path into SegmentedTable.open
+      if (SegmentedTable.exists(source)) SegmentedTable.open(spark, source).read()
+      else spark.read.parquet(source)
+    else if (SegmentedTable.exists(GraftCatalog.tablePath(spark, source)))
+      GraftCatalog.open(spark, source).read()
+    else spark.table(source)
+}
+
+/** `graft_dedup('<table-or-path>', '<id_col>', '<text_col>')` — the
+  * MinHash-LSH near-duplicate CANDIDATE PAIRS as a FROM-able table
+  * function: the d02 pipeline (shingles → 16-hash signature → 4 band
+  * keys → band-bucket self-join) reachable from pure SQL, the way the
+  * reference routes every operator through its dialect.
+  *
+  *   SELECT * FROM graft_dedup('docs_t', 'doc_id', 'text')
+  *   SELECT COUNT(*) FROM graft_dedup('/data/docs.parquet', 'id', 'body')
+  *
+  * Emits (id_a, id_b), id_a < id_b, distinct. The plan is built LAZILY
+  * (this builder runs at analysis, so it must not execute anything —
+  * no persist/checkpoint); the signature pipeline therefore evaluates
+  * once per join side. For the single-pass cached form, call
+  * [[graft.dedup.Dedup.minhashCandidates]] from the DataFrame API.
+  */
+object GraftDedupFunction {
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  private[sql] val info = new ExpressionInfo("graft", null, "graft_dedup",
+    "MinHash-LSH near-duplicate candidate id pairs of a table's text column",
+    "", "", "", "", "", "", "built-in")
+
+  private[sql] val builder: Seq[Expression] => LogicalPlan = exprs => {
+    require(exprs.size == 3,
+      "usage: graft_dedup('<table-or-path>', '<id_col>', '<text_col>')")
+    def litVal(e: Expression): String = {
+      require(e.foldable, s"graft_dedup arguments must be literals, got: $e")
+      String.valueOf(e.eval(org.apache.spark.sql.catalyst.InternalRow.empty))
+    }
+    val spark = SparkSession.active
+    val df = GraftTvfSource.resolve(spark, litVal(exprs.head))
+    val banded = graft.dedup.Dedup.bandedSignatures(
+      df, litVal(exprs(1)), litVal(exprs(2)))
+    import org.apache.spark.sql.functions.col
+    banded.toDF("id_a", "band_idx", "band_key")
+      .join(banded.toDF("id_b", "band_idx", "band_key"),
+        Seq("band_idx", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+      .queryExecution.logical
+  }
+
+  /** Runtime registration — see [[GraftTableFunction.ensureRegistered]]. */
+  def ensureRegistered(spark: SparkSession): Unit =
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_dedup"), info, builder)
 }
 
 /** `graft_changes('<name-or-path>', <from>, <to>)` — the change-data
@@ -153,17 +223,7 @@ object GraftSkylineFunction {
     val source = litVal(exprs.head)
     val dims = litVal(exprs(1)).split(",").map(_.trim).filter(_.nonEmpty).toSeq
     require(dims.nonEmpty, "graft_skyline requires at least one dimension")
-    val df =
-      if (source.startsWith("/"))
-        // absolute path: a graft table root opens through the catalog
-        // read; anything else (a .parquet file OR a plain parquet
-        // directory) reads as parquet — a leading '/' alone must
-        // never route a non-graft path into SegmentedTable.open
-        if (SegmentedTable.exists(source)) SegmentedTable.open(spark, source).read()
-        else spark.read.parquet(source)
-      else if (SegmentedTable.exists(GraftCatalog.tablePath(spark, source)))
-        GraftCatalog.open(spark, source).read()
-      else spark.table(source)
+    val df = GraftTvfSource.resolve(spark, source)
     graft.queries.Skyline.skyline(df, dims).queryExecution.logical
   }
 }

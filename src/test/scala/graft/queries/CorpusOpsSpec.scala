@@ -217,6 +217,27 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("doc_id")).toSet == d06Docs)
   }
 
+  // --- graft_dedup TVF ---
+
+  test("graft_dedup is FROM-able in SQL and matches the DataFrame API") {
+    val docs = graft.Tables.documents(spark, sf)
+    docs.createOrReplaceTempView("dedup_src")
+    val viaSql = spark
+      .sql("SELECT * FROM graft_dedup('dedup_src', 'doc_id', 'text')")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaApi = graft.dedup.Dedup
+      .minhashCandidates(docs, "doc_id", "text", 16, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaSql == viaApi && viaSql.nonEmpty)
+  }
+
+  test("graft_dedup rejects a wrong arity with its usage line") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_dedup('dedup_src')").collect()
+    }
+    assert(e.getMessage.contains("graft_dedup"))
+  }
+
   // --- t39 burstiness ---
 
   test("t39: ratios replay, burstiness is at least one per containing doc") {
