@@ -231,6 +231,21 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(viaSql == viaApi && viaSql.nonEmpty)
   }
 
+  test("graft_dedup reads graft tables through the shared source resolution") {
+    graft.Tables.documents(spark, sf).limit(100)
+      .createOrReplaceTempView("dedup_src_small")
+    spark.sql("CREATE GRAFT TABLE dedup_t AS SELECT * FROM dedup_src_small")
+    try {
+      val viaTable = spark
+        .sql("SELECT * FROM graft_dedup('dedup_t', 'doc_id', 'text')")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val viaView = spark
+        .sql("SELECT * FROM graft_dedup('dedup_src_small', 'doc_id', 'text')")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaTable == viaView)
+    } finally spark.sql("DROP GRAFT TABLE dedup_t")
+  }
+
   test("graft_dedup rejects a wrong arity with its usage line") {
     val e = intercept[Exception] {
       spark.sql("SELECT * FROM graft_dedup('dedup_src')").collect()
