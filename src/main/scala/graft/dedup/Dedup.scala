@@ -13,25 +13,19 @@ import graft.functions.TextFunctions._
   *    shingle → signature → band → bucket-join pipeline: cost is
   *    O(docs × shingles × k) map-side work plus one shuffle keyed by
   *    (band_idx, band_key). No quadratic stage ever materializes; the
-  *    pair join only touches docs sharing a band bucket.
+  *    pair join only touches docs sharing a band bucket, and hot
+  *    buckets (boilerplate-heavy corpora) split into id-hashed block
+  *    pairs so no single task pays a bucket's n² pairing.
   *  - Verification (exact Jaccard) runs only on LSH candidates, or on
   *    explicit blocking keys, never all-pairs.
   */
 object Dedup {
 
-  /** CPU-bound text stages need task parallelism even when the source
-    * is one small file (local corpora collapse to 1 partition); no-op
-    * when the source is already parallel enough — at warehouse scale
-    * the scan arrives with thousands of partitions and this never
-    * shuffles. `df.rdd` forces physical PLANNING (not execution) to
-    * learn the partition count — a once-per-query driver cost the
-    * session pays at execution anyway, accepted in preference to
-    * guessing from logical-plan statistics.
+  /** Guarded task-parallelism lift for CPU-bound text stages — the
+    * shared [[graft.util.Spread]] implementation.
     */
-  private def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-  }
+  private def spread(df: DataFrame): DataFrame =
+    graft.util.Spread.toCpuParallelism(df)
 
   /** Exact dedup groups: one row per distinct normalized text with the
     * representative (min id) and the duplicate count.
@@ -63,28 +57,89 @@ object Dedup {
 
   /** MinHash-LSH near-duplicate candidate pairs (id_a < id_b), distinct.
     * The join is keyed by (band_idx, band_key) so it shuffles only
-    * band-key rows — never the corpus text — and skew is bounded by
-    * band-bucket size.
+    * band-key rows — never the corpus text.
+    *
+    * Hot-bucket skew guard (the [[semanticDupes]] hot-cell split,
+    * ported): band-bucket population is corpus/band-space on average
+    * but UNBOUNDED on a boilerplate-heavy corpus — templated pages or
+    * shared license headers concentrate millions of docs into one
+    * (band_idx, band_key) bucket, and a plain self-join would hand
+    * that bucket's n² pairs to a single straggler task. So each bucket
+    * with n > `maxBucketSide` rows is split into S = ⌈n /
+    * maxBucketSide⌉ blocks by an id hash and the join runs per block
+    * PAIR: row u joins key (bucket, b_u, j) for j ≥ b_u, row v joins
+    * key (bucket, i, b_v) for i ≤ b_v, so an unordered pair meets at
+    * exactly (bucket, min(b,b'), max(b,b')) in an arbitrary
+    * orientation — least/greatest normalizes it and the closing
+    * distinct absorbs same-block double hits. Total comparison count is unchanged (the
+    * within-bucket quadratic term is inherent to LSH banding) but no
+    * task handles more than maxBucketSide² of it. Buckets at or under
+    * maxBucketSide pay nothing: S = 1 reduces to the plain bucket join
+    * on key (bucket, 0, 0). Bucket sizes come from a count window over
+    * the bucket key — NOT a broadcast counts join, because the number
+    * of distinct buckets is corpus-scale (unlike semanticDupes' nlist
+    * cells) and must never land on the driver.
     */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
-                        k: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    // persist the banded signatures: both sides of the self-join read
-    // them, and without the cache the whole shingle→signature pipeline
-    // (the expensive part) evaluates twice — double the hashing cost
-    // over a 100 TB corpus. The candidate list is materialized eagerly
+                        k: Int = 16, rowsPerBand: Int = 4,
+                        maxBucketSide: Int = 4096): DataFrame = {
+    // persist the SALTED banded signatures: both sides of the
+    // self-join read them, and without the cache the whole
+    // shingle→signature pipeline plus the bucket-count window (the
+    // expensive parts) evaluate twice — double the hashing cost over
+    // a 100 TB corpus. The candidate list is materialized eagerly
     // (localCheckpoint) so the cache can be released before returning
     // instead of leaking executor memory into the caller's session;
     // candidates are orders of magnitude smaller than signatures.
-    val b = bandedSignatures(docs, idCol, textCol, k, rowsPerBand).persist()
-    try {
-      val left = b.toDF("id_a", "band_idx", "band_key")
-      val right = b.toDF("id_b", "band_idx", "band_key")
-      left.join(right, Seq("band_idx", "band_key"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"))
-        .distinct()
-        .localCheckpoint()
-    } finally b.unpersist()
+    val salted = saltedBands(docs, idCol, textCol, k, rowsPerBand, maxBucketSide)
+      .persist()
+    try bandPairs(salted).localCheckpoint()
+    finally salted.unpersist()
+  }
+
+  /** Banded signatures with the hot-bucket salt columns: `__s` (the
+    * bucket's block count, 1 for buckets ≤ maxBucketSide) and `__b`
+    * (this row's id-hash block within its bucket).
+    */
+  private[graft] def saltedBands(docs: DataFrame, idCol: String,
+                                 textCol: String, k: Int, rowsPerBand: Int,
+                                 maxBucketSide: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("band_idx"), col("band_key"))
+    bandedSignatures(docs, idCol, textCol, k, rowsPerBand)
+      .withColumn("__s",
+        ceil(count(lit(1)).over(w).cast("double") / maxBucketSide).cast("int"))
+      .withColumn("__b", pmod(xxhash64(col("id")), col("__s")).cast("int"))
+  }
+
+  /** The block-pair self-join over salted bands: distinct candidate
+    * pairs (id_a < id_b). Each side's contribution at any join key
+    * (band_idx, band_key, __i, __j) is one id-hash block — at most
+    * ~maxBucketSide rows — so no task ever receives a whole hot
+    * bucket's quadratic pairing.
+    */
+  private[graft] def bandPairs(salted: DataFrame): DataFrame = {
+    val a = salted
+      .select(col("band_idx"), col("band_key"), col("id").as("id_a"),
+        col("__b"), col("__s"))
+      .withColumn("__i", col("__b"))
+      .withColumn("__j", explode(sequence(col("__b"), col("__s") - 1)))
+      .drop("__b", "__s")
+    val b = salted
+      .select(col("band_idx"), col("band_key"), col("id").as("id_b"),
+        col("__b"))
+      .withColumn("__i", explode(sequence(lit(0), col("__b"))))
+      .withColumn("__j", col("__b"))
+      .drop("__b")
+    // a pair meets at key (min(b,b'), max(b,b')) with whichever member
+    // hashed to the lower block on the a-side — normalize orientation
+    // with least/greatest (an id_a < id_b filter would drop pairs that
+    // happen to meet reversed), exactly as semanticDupes does
+    a.join(b, Seq("band_idx", "band_key", "__i", "__j"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .distinct()
   }
 
   /** Incoming docs that are NOT near-duplicates of the existing
@@ -307,6 +362,54 @@ object Dedup {
       .filter(col("__dup"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("dup_spans"), countDistinct(col("g")).as("dup_grams"))
+  }
+
+  /** Exact-substring span REMOVAL — the "remove" half of Lee et al.
+    * 2022 and the apply-twin of [[dupSpanInventory]]: every n-token
+    * span whose fingerprint occurs in ≥2 distinct documents is
+    * clipped out of each document, and the kept tokens are rejoined
+    * (single-space tokenized reconstruction — the contract of a real
+    * removal pipeline). Coverage is the merged-interval union as a
+    * distinct-position set, so overlapping spans clip once. Returns
+    * (doc_id, n_tokens, removed_tokens, clean_text) for EVERY doc —
+    * unaffected docs pass through with removed_tokens = 0.
+    *
+    * Scale shape: the span side is [[dupSpanInventory]]'s two keyed
+    * shuffles (fingerprint window, doc_id agg); the clip is one
+    * doc_id-keyed join of a per-doc int array bounded by n_tokens,
+    * then pure in-row array math (array_except keeps the kept
+    * positions in order, hash-set semantics — no per-token linear
+    * scans). No all-pairs stage, no driver loops.
+    */
+  def clipDupSpans(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = spread(docs)
+      .withColumn("__w", tokens(col(textCol)))
+      .select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.TextFunctions.gramFingerprints(
+          col("__w"), n)).as(Seq("pos", "g")))
+    val w = Window.partitionBy(col("g"))
+    val covered = grams
+      .withColumn("__dup",
+        min(col("doc_id")).over(w) =!= max(col("doc_id")).over(w))
+      .filter(col("__dup"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("tok")).as("__cov"))
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .join(covered, Seq("doc_id"), "left")
+      .withColumn("__w", tokens(col("__text")))
+      .withColumn("__keep",
+        array_except(sequence(lit(0), size(col("__w")) - 1),
+          coalesce(col("__cov"), array().cast("array<int>"))))
+      .select(col("doc_id"),
+        size(col("__w")).cast("long").as("n_tokens"),
+        (size(col("__w")) - size(col("__keep"))).cast("long")
+          .as("removed_tokens"),
+        array_join(transform(col("__keep"),
+          p => element_at(col("__w"), p + 1)), " ").as("clean_text"))
   }
 
   /** Semantic dedup over an embedding column (after SemDeDup, Abbas

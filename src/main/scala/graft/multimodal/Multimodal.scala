@@ -13,13 +13,14 @@ case class MediaFeatures(id: Long, byte_len: Int, width: Int, height: Int,
   * `binary` columns with typed metadata; decode/feature-extraction is
   * a batched per-partition stage.
   *
-  * The decode boundary is REAL for PNG (still images) and animated GIF
-  * (multi-frame video-style containers): payloads carrying the
-  * signature go through `javax.imageio` (full zlib/CRC-verified
-  * decode), width/height come from the decoded raster — m02 gates
-  * exactly those fields — and GIF frame sampling seeks and decodes
-  * actual frames. The feature-EXTRACTION model (the embedding) and
-  * codecs the JVM lacks (JPEG-in-exotic-colorspace, MP4/H.264) remain
+  * The decode boundary is REAL for PNG and baseline JPEG (still
+  * images) and animated GIF (multi-frame video-style containers):
+  * payloads carrying the signature go through `javax.imageio` (full
+  * zlib/CRC-verified decode for PNG, real DCT decode for JPEG),
+  * width/height come from the decoded raster — m02/m09 gate exactly
+  * those fields — and GIF frame sampling seeks and decodes actual
+  * frames. The feature-EXTRACTION model (the embedding) and
+  * codecs the JVM lacks (exotic JPEG colorspaces, MP4/H.264) remain
   * deterministic stubs (no ML / media libraries in this container);
   * the batched mapPartitions shape (amortizing per-batch decoder
   * init, exactly how a JNI/GPU decoder is driven), partitioning, and
@@ -81,6 +82,45 @@ object Multimodal {
       }).toDF("id", "payload")
   }
 
+  private def isJpeg(bytes: Array[Byte]): Boolean =
+    bytes.length >= 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8
+
+  /** Synthesize a REAL baseline JPEG per row (the dominant real-world
+    * image codec — `javax.imageio` encodes and decodes it natively):
+    * dimensions derive from the `nCharsCol` metadata column
+    * (width = 1 + n % 56, height = 1 + 11n % 56 — a rule an oracle
+    * can replay), pixels fill cyclically from the text's utf-8 bytes.
+    * JPEG is LOSSY, so unlike the PNG path only the GEOMETRY is
+    * oracle-replayable — pixel content survives decode only
+    * approximately, which is exactly the real-world contract. Batched
+    * mapPartitions like every codec stage.
+    */
+  def withJpegPayload(df: DataFrame, idCol: String, textCol: String,
+                      nCharsCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol),
+        col(nCharsCol).cast("long"))
+      .as[(Long, String, Long)]
+      .mapPartitions(_.map { case (id, text, nChars) =>
+        val w = (1 + nChars % 56).toInt
+        val h = (1 + (nChars * 11) % 56).toInt
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val bytes = Option(text).getOrElse("").getBytes("UTF-8")
+        val raster = img.getRaster
+        var i = 0
+        while (i < w * h) {
+          val v = if (bytes.isEmpty) 0 else bytes(i % bytes.length) & 0xff
+          raster.setSample(i % w, i / w, 0, v)
+          i += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", out)
+        (id, out.toByteArray)
+      }).toDF("id", "payload")
+  }
+
   /** Attach an opaque binary payload + typed metadata struct.
     * (In production the payload IS the stored bytes; here it is the
     * utf-8 text so the pipeline has real bytes to carry.)
@@ -92,12 +132,13 @@ object Multimodal {
         lit("application/octet-stream").as("mime"),
         octet_length(col(textCol)).as("byte_len")).as("meta"))
 
-  /** Decoder for one batch of payloads. PNG payloads (signature
-    * sniffed) are REALLY decoded via `javax.imageio` — width/height
-    * come from the zlib/CRC-verified raster; a payload that claims PNG
-    * but fails to decode falls back to the stub path (quarantine-lite:
-    * real pipelines route these to a reject sink; the row must not
-    * kill the batch). Non-PNG payloads and the 8-dim embedding remain
+  /** Decoder for one batch of payloads. PNG and JPEG payloads
+    * (signature sniffed: PNG magic / SOI marker) are REALLY decoded
+    * via `javax.imageio` — width/height come from the decoded raster;
+    * a payload that claims a codec but fails to decode falls back to
+    * the stub path (quarantine-lite: real pipelines route these to a
+    * reject sink; the row must not kill the batch). Other payloads and
+    * the 8-dim embedding remain
     * the deterministic md5 STUB (no media/ML libraries in this
     * container; md5 of zero bytes is well-defined, so empty payloads
     * decode instead of crashing). The per-batch MessageDigest models
@@ -110,7 +151,7 @@ object Multimodal {
       val b = md.digest(bytes)
       val emb = Array.tabulate(8)(i => (b(i + 2) & 0xff) / 255.0f)
       val decoded: Option[(Int, Int)] =
-        if (!isPng(bytes)) None
+        if (!isPng(bytes) && !isJpeg(bytes)) None
         else try {
           Option(javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(bytes)))

@@ -92,16 +92,11 @@ object PipelineQueries {
         WHEN CAST('0x' || substr(md5(CAST($idCol AS VARCHAR)), 1, 4) AS BIGINT) % 100 < 90 THEN 'val'
         ELSE 'test' END"""
 
-  /** See [[graft.dedup.Dedup]]: guarded task-parallelism lift for
-    * CPU-bound per-row stages over single-file local sources — a
-    * no-op when the scan already arrives parallel (at warehouse scale
-    * it always does), so it can never shuffle a real corpus or REDUCE
-    * parallelism the way an unconditional repartition can.
+  /** Guarded task-parallelism lift for CPU-bound per-row stages — the
+    * shared [[graft.util.Spread]] implementation.
     */
-  private def spreadCpu(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-  }
+  private def spreadCpu(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    graft.util.Spread.toCpuParallelism(df)
 
   val queries: Map[String, Q] = Map(
     // text analysis: token counting
@@ -1196,6 +1191,21 @@ object PipelineQueries {
             .as("covered_ppm"))
     }),
 
+    // dedup/text: CONTAMINATION SPAN REMOVAL — the "remove" half of
+    // exact-substring dedup (Lee et al. 2022): t10 detects split
+    // contamination and d12 forecasts the yield; this APPLIES it,
+    // clipping every duplicated 8-token-plus span (the d06 predicate)
+    // out of each document and emitting the cleaned corpus. Coverage
+    // is the merged-interval union as a distinct-position set, so
+    // overlapping spans clip once; the clean text is the kept tokens
+    // rejoined (the tokenized-reconstruction contract of a real
+    // removal pipeline). Scale shape: the span side is d12's two keyed
+    // shuffles (g-window, doc_id agg); the clip is one doc_id-keyed
+    // join of a per-doc int array bounded by n_tokens, then pure
+    // in-row array math — no all-pairs, no driver loops.
+    "t40_span_clip" -> ((s, d) =>
+      Dedup.clipDupSpans(Tables.documents(s, d), "doc_id", "text", 8)),
+
     // dedup: SemDeDup — semantic duplicates within IVF cells (cosine
     // vs an earlier-id vector in the same coarse cell); reuses the
     // materialized s04 centroids so the oracle replays the cells
@@ -1445,6 +1455,22 @@ object PipelineQueries {
       val png = Multimodal.withPngPayload(Tables.documents(s, d),
         "doc_id", "text", "n_chars")
       Multimodal.decodeFeatures(png)
+        .toDF()
+        .select(col("id"), col("width"), col("height"),
+          (col("width") * col("height")).as("n_pixels"))
+    }),
+
+    // multimodal: REAL JPEG decode — each document becomes a genuine
+    // baseline JPEG (ImageIO-encoded; the dominant real-world image
+    // codec), and the gated dims come from javax.imageio really
+    // running the DCT decode. JPEG is lossy so only GEOMETRY is
+    // oracle-replayable (width = 1 + n%56, height = 1 + 11n%56) —
+    // matching it proves the SOI sniff + full decode chain held.
+    "m09_jpeg_decode" -> ((s, d) => {
+      import graft.multimodal.Multimodal
+      val jpg = Multimodal.withJpegPayload(Tables.documents(s, d),
+        "doc_id", "text", "n_chars")
+      Multimodal.decodeFeatures(jpg)
         .toDF()
         .select(col("id"), col("width"), col("height"),
           (col("width") * col("height")).as("n_pixels"))
@@ -2713,6 +2739,39 @@ object PipelineQueries {
               AS covered_ppm
           FROM toks GROUP BY doc_id""",
 
+    // the d12 span machinery, then the REMOVAL applied: covered token
+    // positions (the merged-interval union, as a distinct-position
+    // set) are clipped and the kept tokens rejoined — matching the
+    // Spark reconstruction proves the interval union and the clip
+    "t40_span_clip" ->
+      s"""WITH t AS (SELECT doc_id, $W AS words FROM documents),
+          h AS (SELECT doc_id, words,
+            list_transform(words, w ->
+              CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % 1000000007) AS hs
+          FROM t),
+          g0 AS (SELECT doc_id, hs,
+              unnest(range(0, len(hs) - 7)) AS pos
+            FROM h WHERE len(hs) >= 8),
+          grams AS (SELECT doc_id, pos,
+              list_reduce(hs[pos + 1:pos + 8],
+                (a, b) -> (a * 31 + b) % 1000000007) AS g
+            FROM g0),
+          dupg AS (SELECT g FROM grams GROUP BY g
+            HAVING MIN(doc_id) <> MAX(doc_id)),
+          toks AS (SELECT DISTINCT doc_id, tok FROM (
+            SELECT grams.doc_id, unnest(range(pos, pos + 8)) AS tok
+            FROM grams JOIN dupg USING (g))),
+          cov AS (SELECT doc_id, list(tok) AS covered
+            FROM toks GROUP BY doc_id)
+          SELECT h.doc_id,
+            CAST(len(words) AS BIGINT) AS n_tokens,
+            CAST(COALESCE(len(covered), 0) AS BIGINT) AS removed_tokens,
+            COALESCE(array_to_string(list_transform(
+              list_filter(range(0, len(words)),
+                p -> covered IS NULL OR NOT list_contains(covered, p)),
+              p -> words[p + 1]), ' '), '') AS clean_text
+          FROM h LEFT JOIN cov USING (doc_id)""",
+
     // same Karp-Rabin fold as t06 applied per 8-token window; a span
     // is duplicated when its fingerprint occurs in >=2 distinct docs
     "d06_dup_ngrams" ->
@@ -3170,6 +3229,17 @@ object PipelineQueries {
             CAST(1 + (n_chars % 64) AS INT) AS width,
             CAST(1 + ((n_chars * 7) % 64) AS INT) AS height,
             CAST((1 + (n_chars % 64)) * (1 + ((n_chars * 7) % 64)) AS INT) AS n_pixels
+          FROM documents""",
+
+    // JPEGs are generated at (1 + n%56) × (1 + 11n%56); the codec is
+    // lossy so only the geometry replays — Spark's result carries what
+    // ImageIO DECODED from the re-read container, proving the encode →
+    // sniff → DCT-decode chain end to end
+    "m09_jpeg_decode" ->
+      s"""SELECT doc_id AS id,
+            CAST(1 + (n_chars % 56) AS INT) AS width,
+            CAST(1 + ((n_chars * 11) % 56) AS INT) AS height,
+            CAST((1 + (n_chars % 56)) * (1 + ((n_chars * 11) % 56)) AS INT) AS n_pixels
           FROM documents""",
 
     // GIFs are generated with frame_w = 1 + n_chars % 48, frame_h =

@@ -73,7 +73,13 @@ final class AnnSession(index: DataFrame,
     * The greedy loop runs on the driver over at most
     * |queries| × poolSize candidates (top-poolSize of the pool by
     * relevance) — bounded by the request, never by the corpus, the
-    * same contract as collecting a top-k result itself.
+    * same contract as collecting a top-k result itself. That contract
+    * is ENFORCED, not assumed: a bounded count probe on the query
+    * frame (the broadcast-gate discipline) fails loudly when
+    * |queries| × poolSize exceeds [[AnnSession.MaxDiverseRows]],
+    * before any pool is built or collected — a caller accidentally
+    * passing a corpus-sized frame gets an error naming the fix
+    * (batch the frame) instead of a driver OOM.
     */
   def topKDiverse(queries: DataFrame, idCol: String, vecCol: String,
                   k: Int, poolSize: Int = 64,
@@ -81,6 +87,16 @@ final class AnnSession(index: DataFrame,
     require(k >= 1, s"k must be positive, got $k")
     require(poolSize >= k, s"poolSize ($poolSize) must be >= k ($k)")
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1], got $lambda")
+    val maxQueries = AnnSession.MaxDiverseRows / poolSize
+    // limit(cap+1).count() early-exits the scan — constant cost however
+    // large the frame is, so the guard itself never pays corpus price
+    if (queries.select(queries.col(idCol)).limit(maxQueries + 1).count() > maxQueries)
+      throw new IllegalArgumentException(
+        s"topKDiverse collects |queries| x poolSize candidate rows on the " +
+          s"driver; this frame exceeds $maxQueries queries at poolSize=" +
+          s"$poolSize (cap ${AnnSession.MaxDiverseRows} rows). MMR is an " +
+          "interactive-serve operator — batch the query frame, or use " +
+          "topK for corpus-scale scoring")
     val spark = queries.sparkSession
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(org.apache.spark.sql.functions.col("query_id"))
@@ -155,6 +171,12 @@ final class AnnSession(index: DataFrame,
 }
 
 object AnnSession {
+  /** Hard cap on rows [[AnnSession.topKDiverse]] may collect to the
+    * driver (|queries| × poolSize). ~1M rows of (ids, adc, m codes)
+    * is tens of MB — comfortably interactive, far from OOM.
+    */
+  private[graft] val MaxDiverseRows: Int = 1 << 20
+
   /** Open a serve session over a materialized index table. */
   def apply(index: DataFrame,
             centroids: Seq[(Int, Array[Float])],

@@ -23,16 +23,11 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** See [[graft.dedup.Dedup]]: lift single-file local sources to task
-    * parallelism for CPU-bound vector math; no-op on parallel sources.
-    * The df.rdd access compiles the plan to read the partition count —
-    * driver-side planning on the Dataset's cached QueryExecution (no
-    * job runs); accepted as the cost of an accurate count.
+  /** Guarded task-parallelism lift for CPU-bound vector math — the
+    * shared [[graft.util.Spread]] implementation.
     */
-  private def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-  }
+  private def spread(df: DataFrame): DataFrame =
+    graft.util.Spread.toCpuParallelism(df)
 
   /** Query-side broadcast gate. Every probe join here is designed for
     * a SMALL query set, but an unconditional broadcast() hint is
@@ -452,9 +447,7 @@ object Similarity {
   def pqDistortionAudit(corpus: DataFrame, vecCol: String,
                         codebooks: Seq[(Int, Int, Array[Float])],
                         m: Int, dsub: Int): DataFrame = {
-    val bySub = codebooks.groupBy(_._1)
-    require((0 until m).forall(bySub.contains),
-      s"codebooks must cover every subspace 0 until $m")
+    val bySub = requireContiguousCodes(codebooks, m)
     val enc = pqEncode(spread(corpus.select(col(vecCol).as("v"))),
       "v", codebooks, m, dsub)
     enc.select(explode(array((0 until m).map { sub =>
@@ -484,9 +477,32 @@ object Similarity {
     * distance-table lookup), summed in subspace order. Shared by the
     * PQ and IVF-PQ rankers so their float math stays bit-identical.
     */
+  /** Validate the positional-lookup contract every ADC/distortion
+    * consumer relies on: `element_at(sortBy(code).map(vec), code + 1)`
+    * is only the right centroid when each subspace's code ids are
+    * EXACTLY 0 until ksub with no gaps — a codebook with
+    * non-contiguous ids would otherwise silently score distances
+    * against the wrong centroid. Returns the by-subspace grouping so
+    * callers don't re-group. Driver-side, O(codebook).
+    */
+  private def requireContiguousCodes(codebooks: Seq[(Int, Int, Array[Float])],
+                                     m: Int): Map[Int, Seq[(Int, Int, Array[Float])]] = {
+    val bySub = codebooks.groupBy(_._1)
+    require((0 until m).forall(bySub.contains),
+      s"codebooks must cover every subspace 0 until $m")
+    bySub.foreach { case (sub, entries) =>
+      val codes = entries.map(_._2).sorted
+      require(codes == (0 until codes.length),
+        s"subspace $sub codebook code ids must be contiguous " +
+          s"0 until ${codes.length} (positional centroid lookup), got " +
+          codes.take(20).mkString("[", ",", if (codes.length > 20) ",…]" else "]"))
+    }
+    bySub
+  }
+
   private def adcExpr(codebooks: Seq[(Int, Int, Array[Float])],
                       m: Int, dsub: Int): Column = {
-    val bySub = codebooks.groupBy(_._1)
+    val bySub = requireContiguousCodes(codebooks, m)
     (0 until m).map { sub =>
       val table = typedLit(bySub(sub).sortBy(_._2).map(_._3))
       d2(slice(col("qv"), sub * dsub + 1, dsub),

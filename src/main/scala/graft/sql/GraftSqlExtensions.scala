@@ -120,14 +120,21 @@ private[sql] object GraftTvfSource {
   * Emits (id_a, id_b), id_a < id_b, distinct. The plan is built LAZILY
   * (this builder runs at analysis, so it must not execute anything —
   * no persist/checkpoint); the signature pipeline therefore evaluates
-  * once per join side. For the single-pass cached form, call
+  * once per join side — roughly 2x the hashing cost of the DataFrame
+  * spelling on a large corpus (the usage text below warns SQL users).
+  * For the single-pass cached form, call
   * [[graft.dedup.Dedup.minhashCandidates]] from the DataFrame API.
+  * The join routes through [[graft.dedup.Dedup.bandPairs]], so the
+  * hot-bucket block-pair skew guard applies to the SQL spelling too.
   */
 object GraftDedupFunction {
   import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
   private[sql] val info = new ExpressionInfo("graft", null, "graft_dedup",
-    "MinHash-LSH near-duplicate candidate id pairs of a table's text column",
+    "MinHash-LSH near-duplicate candidate id pairs of a table's text " +
+      "column. Note: the SQL form re-computes signatures once per join " +
+      "side (~2x the hashing cost of Dedup.minhashCandidates, whose " +
+      "cached single pass is preferred for large corpora)",
     "", "", "", "", "", "", "built-in")
 
   private[sql] val builder: Seq[Expression] => LogicalPlan = exprs => {
@@ -139,15 +146,9 @@ object GraftDedupFunction {
     }
     val spark = SparkSession.active
     val df = GraftTvfSource.resolve(spark, litVal(exprs.head))
-    val banded = graft.dedup.Dedup.bandedSignatures(
-      df, litVal(exprs(1)), litVal(exprs(2)))
-    import org.apache.spark.sql.functions.col
-    banded.toDF("id_a", "band_idx", "band_key")
-      .join(banded.toDF("id_b", "band_idx", "band_key"),
-        Seq("band_idx", "band_key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
+    graft.dedup.Dedup.bandPairs(
+      graft.dedup.Dedup.saltedBands(
+        df, litVal(exprs(1)), litVal(exprs(2)), 16, 4, 4096))
       .queryExecution.logical
   }
 

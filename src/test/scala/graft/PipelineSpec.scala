@@ -97,6 +97,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall=$recall truth=${truth.size} cand=${candidates.size}")
   }
 
+  test("minhash hot-bucket guard: degenerate bucket splits into block pairs, results unchanged") {
+    // the 100 TB failure mode in miniature: a boilerplate corpus where
+    // every doc is byte-identical, so ALL docs share EVERY band bucket
+    // — a plain self-join would hand one task n² pairs
+    val n = 300
+    val side = 16
+    val degenerate = spark.range(n).select(col("id").as("doc_id"),
+      lit("shared boilerplate license header repeated across every single " +
+        "page of the templated site with no variation at all").as("text"))
+    // 1) the split engages and bounds per-key fan-in: at every join key
+    //    (band_idx, band_key, __i, __j) each side contributes one
+    //    id-hash block <= ~maxBucketSide rows (hash imbalance gets
+    //    slack of 2x, the guard's point is n -> n/S, not exactness)
+    val salted = Dedup.saltedBands(degenerate, "doc_id", "text", 16, 4, side)
+    assert(salted.agg(max("__s")).head().getInt(0) == math.ceil(n.toDouble / side).toInt)
+    val aSide = salted
+      .withColumn("__i", col("__b"))
+      .withColumn("__j", explode(sequence(col("__b"), col("__s") - 1)))
+    val maxPerKey = aSide.groupBy("band_idx", "band_key", "__i", "__j")
+      .count().agg(max("count")).head().getLong(0)
+    assert(maxPerKey <= 2L * side, s"block fan-in $maxPerKey exceeds 2x maxBucketSide=$side")
+    // 2) the physical plan joins on the block-pair key, not the raw bucket
+    val planStr = Dedup.bandPairs(salted).queryExecution.executedPlan.toString
+    assert(planStr.contains("__i") && planStr.contains("__j"),
+      "band self-join must be keyed by the block-pair salt")
+    // 3) results are exactly the plain join's: all n*(n-1)/2 pairs here,
+    //    and guard-on == guard-off on the planted-near-dup corpus too
+    val guarded = Dedup.minhashCandidates(degenerate, "doc_id", "text", 16, 4, side)
+    assert(guarded.count() == n.toLong * (n - 1) / 2)
+    val pairsOn = Dedup.minhashCandidates(docs, "doc_id", "text", 16, 4, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pairsOff = Dedup.minhashCandidates(docs, "doc_id", "text", 16, 4, 1 << 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsOn == pairsOff)
+  }
+
   test("exact dedup groups cover every doc exactly once") {
     val g = Dedup.exactGroups(docs, "doc_id", "text")
     assert(g.agg(sum("dup_cnt")).as[Long].head() == docs.count())
@@ -316,6 +352,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(n == Seq(2, 1, 0))
   }
 
+  test("clipDupSpans removes exactly the shared spans; clipped docs re-scan clean") {
+    val span = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = Seq(
+      (1L, s"unique one two three $span tail piece here"),
+      (2L, s"$span other words entirely distinct from one"),
+      (3L, "fully independent document with no shared span at all"),
+      (4L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val clipped = Dedup.clipDupSpans(corpus, "doc_id", "text", 8)
+      .orderBy("doc_id").collect()
+    assert(clipped.length == 4)
+    // docs 1 and 2 lose exactly the 8 planted tokens; 3 and 4 untouched
+    assert(clipped.map(r => (r.getLong(0), r.getLong(2))).toSeq ==
+      Seq((1L, 8L), (2L, 8L), (3L, 0L), (4L, 0L)))
+    assert(clipped(0).getString(3) == "unique one two three tail piece here")
+    assert(clipped(1).getString(3) == "other words entirely distinct from one")
+    assert(clipped(2).getString(3) == clipped(2).getString(3).trim &&
+      clipped(3).getString(3) == "tiny doc")
+    // the Lee et al. "remove" guarantee: the clipped corpus re-scans
+    // clean under the same dup-span inventory (d06)
+    val rescanned = Dedup.dupSpanInventory(
+      Seq((1L, clipped(0).getString(3)), (2L, clipped(1).getString(3)),
+        (3L, clipped(2).getString(3)), (4L, clipped(3).getString(3)))
+        .toDF("doc_id", "text"), "doc_id", "text", 8)
+    assert(rescanned.count() == 0, "clipped docs must carry no duplicated spans")
+    // overlapping spans clip once (merged-interval union): two docs
+    // sharing a 9-token run have two overlapping 8-gram spans but
+    // only 9 covered tokens
+    val over = Seq(
+      (1L, "a1 b2 c3 d4 e5 f6 g7 h8 i9 unique tail one"),
+      (2L, "a1 b2 c3 d4 e5 f6 g7 h8 i9 different ending two")
+    ).toDF("doc_id", "text")
+    val oc = Dedup.clipDupSpans(over, "doc_id", "text", 8)
+      .orderBy("doc_id").collect()
+    assert(oc.map(_.getLong(2)).toSeq == Seq(9L, 9L))
+    assert(oc(0).getString(3) == "unique tail one")
+  }
+
   test("ANN broadcast gate: estimate short-circuit, then one probe per held frame") {
     val q1 = emb.filter(col("vec_id") < 5)
     // a provably-small frame (estimate under the broadcast threshold)
@@ -418,6 +492,33 @@ class PipelineSpec extends AnyFunSuite {
         df.collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
       assert(intTuples(d) == intTuples(t))
     } finally intSession.close()
+  }
+
+  test("AnnSession.topKDiverse: corpus-sized query frame fails loudly before any collect") {
+    val cents = Similarity.trainCentroids(emb, "vec_id", "embedding", 8)
+    val cbs = Similarity.trainCodebooks(emb, "embedding", 8, 8, 16)
+    val index = Similarity.ivfPqIndexRows(emb, "vec_id", "embedding",
+      cents, cbs, 8, 8)
+    val session = graft.similarity.AnnSession(index, cents, cbs, 8, 8, nprobe = 3)
+    try {
+      // |frame| x poolSize past MaxDiverseRows: the probe must throw
+      // BEFORE building (or collecting) a pool — cachedPools stays 0
+      val poolSize = graft.similarity.AnnSession.MaxDiverseRows / 16
+      val vec = emb.limit(1).select(col("embedding")).head()
+        .getSeq[Float](0).toSeq
+      val oversized = spark.range(0, 32).select(col("id").as("vec_id"),
+        typedLit(vec).as("embedding"))
+      val e = intercept[IllegalArgumentException] {
+        session.topKDiverse(oversized, "vec_id", "embedding",
+          k = 3, poolSize = poolSize)
+      }
+      assert(e.getMessage.contains("batch the query frame"))
+      assert(session.cachedPools == 0, "the guard must fire before pool build")
+      // and a frame within the cap still serves
+      val ok = session.topKDiverse(emb.filter(col("vec_id") < 3), "vec_id",
+        "embedding", k = 2, poolSize = 16)
+      assert(ok.count() == 6)
+    } finally session.close()
   }
 
   test("Bm25Session: k refinements re-rank one cached pool, results exact") {

@@ -138,6 +138,40 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(stats.count() == docs.select("source").distinct().count())
   }
 
+  test("JPEG payloads are genuinely decoded; corrupt JPEGs quarantine") {
+    // a real JPEG written directly through ImageIO with KNOWN dims:
+    // the decode path must recover them from the bytes, not a rule
+    val img = new java.awt.image.BufferedImage(41, 13,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    (0 until 13).foreach(y => (0 until 41).foreach(x =>
+      img.getRaster.setSample(x, y, 0, (x * 5 + y) % 256)))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    val jpg = out.toByteArray
+    assert((jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8, "SOI marker")
+    // a corrupt JPEG (SOI intact, container truncated mid-header) must
+    // quarantine to the stub path, never kill the batch
+    val bad = jpg.take(6)
+    val df = Seq((1L, jpg), (2L, bad)).toDF("id", "payload")
+    val feats = Multimodal.decodeFeatures(df).collect().sortBy(_.id)
+    assert(feats(0).width == 41 && feats(0).height == 13,
+      s"decoded dims must match the written raster, got ${feats(0)}")
+    assert(feats(1).width >= 64,
+      "undecodable JPEG takes the deterministic stub path")
+
+    // the pipeline form: documents → generated JPEGs → decoded dims
+    // must equal the generation rule (what the m09 oracle replays)
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet").limit(50)
+    val decoded = Multimodal.decodeFeatures(
+      Multimodal.withJpegPayload(docs, "doc_id", "text", "n_chars")).toDF()
+    val mismatches = decoded
+      .join(docs.select(col("doc_id").as("id"), col("n_chars")), "id")
+      .filter(col("width") =!= (lit(1) + col("n_chars") % 56) ||
+        col("height") =!= (lit(1) + (col("n_chars") * 11) % 56))
+      .count()
+    assert(mismatches == 0, "ImageIO must recover the generated JPEG dims")
+  }
+
   test("PNG payloads are genuinely decoded: dimensions come from the raster") {
     // a real PNG written directly through ImageIO with KNOWN dims: the
     // decode path must recover them from the bytes, not from any rule
