@@ -92,6 +92,41 @@ object PipelineQueries {
         WHEN CAST('0x' || substr(md5(CAST($idCol AS VARCHAR)), 1, 4) AS BIGINT) % 100 < 90 THEN 'val'
         ELSE 'test' END"""
 
+  /** The t41 oracle: [[graft.text.BpeTrainer.learnMerges]] unrolled
+    * into `k` static CTE stages — stage i counts adjacent symbol
+    * pairs of stage i−1's symbol table, picks the (count DESC, left,
+    * right) winner as a 1-row relation, and cross-joins it into the
+    * next stage's `passes`-fold replace. Mirrors the Spark side's
+    * contract exactly (same padding, same non-overlapping replace,
+    * same pass count), so the learned merge table hash-matches.
+    */
+  private def bpeOracleSql(k: Int, passes: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH wc AS (SELECT word, COUNT(*) AS cnt FROM (
+         SELECT unnest($W) AS word FROM documents) GROUP BY word),
+       s0 AS (SELECT cnt,
+         ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS sym FROM wc)"""
+    for (i <- 1 to k) {
+      val prev = s"s${i - 1}"
+      val rep = (1 to passes).foldLeft("sym")((e, _) =>
+        s"replace($e, ' ' || l || ' ' || r || ' ', ' ' || l || r || ' ')")
+      sb ++= s""",
+       p$i AS (SELECT l, r, SUM(cnt) AS pc FROM (
+           SELECT cnt, syms[j] AS l, syms[j + 1] AS r FROM (
+             SELECT cnt, syms, unnest(range(1, len(syms))) AS j FROM (
+               SELECT cnt, string_split(trim(sym), ' ') AS syms FROM $prev)))
+         GROUP BY l, r),
+       b$i AS (SELECT l, r, pc FROM p$i
+         ORDER BY pc DESC, l ASC, r ASC LIMIT 1),
+       s$i AS (SELECT cnt, $rep AS sym FROM $prev, b$i)"""
+    }
+    sb ++= (1 to k).map(i =>
+      s"""SELECT CAST($i AS INT) AS iter, l AS merge_left,
+           r AS merge_right, CAST(pc AS BIGINT) AS pair_count FROM b$i""")
+      .mkString("\n", "\nUNION ALL\n", "")
+    sb.toString
+  }
+
   /** Guarded task-parallelism lift for CPU-bound per-row stages — the
     * shared [[graft.util.Spread]] implementation.
     */
@@ -1205,6 +1240,14 @@ object PipelineQueries {
     // in-row array math — no all-pairs, no driver loops.
     "t40_span_clip" -> ((s, d) =>
       Dedup.clipDupSpans(Tables.documents(s, d), "doc_id", "text", 8)),
+
+    // text: BPE merge LEARNING — the corpus-level tokenizer-training
+    // loop (iterative top-pair count + merge over the word-frequency
+    // dictionary, deterministic count-then-lexicographic tie-breaks,
+    // 8 merges). t05 applies a fixed scheme; this learns one. See
+    // BpeTrainer for the determinism contract the oracle replays.
+    "t41_bpe_merges" -> ((s, d) =>
+      graft.text.BpeTrainer.learnMerges(Tables.documents(s, d), "text", 8)),
 
     // dedup: SemDeDup — semantic duplicates within IVF cells (cosine
     // vs an earlier-id vector in the same coarse cell); reuses the
@@ -2738,6 +2781,12 @@ object PipelineQueries {
             CAST(COUNT(*) * 1000000 // ANY_VALUE(n_tokens) AS BIGINT)
               AS covered_ppm
           FROM toks GROUP BY doc_id""",
+
+    // the BpeTrainer loop unrolled into k static CTE stages: each
+    // stage's winning pair is a 1-row relation cross-joined into the
+    // next stage's merge replace (the same 6 non-overlapping passes
+    // as the Spark side, so the semantics are pinned byte-for-byte)
+    "t41_bpe_merges" -> bpeOracleSql(8, 6),
 
     // the d12 span machinery, then the REMOVAL applied: covered token
     // positions (the merged-interval union, as a distinct-position

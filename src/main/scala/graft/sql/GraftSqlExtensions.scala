@@ -86,6 +86,8 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
       GraftChangesFunction.info, GraftChangesFunction.builder))
     e.injectTableFunction((FunctionIdentifier("graft_dedup"),
       GraftDedupFunction.info, GraftDedupFunction.builder))
+    e.injectTableFunction((FunctionIdentifier("graft_ann"),
+      GraftAnnFunction.info, GraftAnnFunction.builder))
   }
 }
 
@@ -156,6 +158,63 @@ object GraftDedupFunction {
   def ensureRegistered(spark: SparkSession): Unit =
     spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier("graft_dedup"), info, builder)
+}
+
+/** `graft_ann('<corpus>', '<queries>', <k> [, '<id_col>', '<vec_col>'])`
+  * — approximate-nearest-neighbor top-k serving as a FROM-able table
+  * function: the s02 pipeline (sign-LSH bucketed cosine top-k,
+  * [[graft.similarity.Similarity.bucketedTopK]] at 4 bucket bits)
+  * reachable from pure SQL, completing the similarity surface beside
+  * graft_dedup. Both sides resolve through the shared TVF source rule
+  * (catalog table / absolute path / parquet / temp view); column
+  * names default to the embeddings corpus shape (vec_id, embedding).
+  *
+  *   SELECT * FROM graft_ann('embeddings_t', 'queries_t', 3)
+  *   SELECT * FROM graft_ann('/data/emb.parquet', 'q_view', 5,
+  *                           'id', 'vec')
+  *
+  * Emits (query_id, rank, neighbor_id) — rank 1..k per query by
+  * cosine DESC with neighbor-id tie-break, self-matches excluded,
+  * exactly the DataFrame spelling's contract. Like graft_dedup, the
+  * analysis-time builder cannot persist, so the corpus projection
+  * evaluates inside one plan; at serving scale prefer a held
+  * [[graft.similarity.AnnSession]] for repeated query sets.
+  */
+object GraftAnnFunction {
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  private[sql] val info = new ExpressionInfo("graft", null, "graft_ann",
+    "sign-LSH bucketed cosine top-k neighbors of each query vector " +
+      "(query_id, rank, neighbor_id). Note: the SQL form builds the " +
+      "bucketed corpus projection per call; hold an AnnSession for " +
+      "repeated serving",
+    "", "", "", "", "", "", "built-in")
+
+  private[sql] val builder: Seq[Expression] => LogicalPlan = exprs => {
+    require(exprs.size == 3 || exprs.size == 5,
+      "usage: graft_ann('<corpus>', '<queries>', <k> [, '<id_col>', '<vec_col>'])")
+    def litVal(e: Expression): Any = {
+      require(e.foldable, s"graft_ann arguments must be literals, got: $e")
+      e.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+    }
+    val spark = SparkSession.active
+    val corpus = GraftTvfSource.resolve(spark, String.valueOf(litVal(exprs.head)))
+    val queries = GraftTvfSource.resolve(spark, String.valueOf(litVal(exprs(1))))
+    val k = String.valueOf(litVal(exprs(2))).toInt
+    require(k >= 1, s"graft_ann: k must be positive, got $k")
+    val (idCol, vecCol) =
+      if (exprs.size == 5)
+        (String.valueOf(litVal(exprs(3))), String.valueOf(litVal(exprs(4))))
+      else ("vec_id", "embedding")
+    graft.similarity.Similarity
+      .bucketedTopK(corpus, queries, idCol, vecCol, k, bits = 4)
+      .queryExecution.logical
+  }
+
+  /** Runtime registration — see [[GraftTableFunction.ensureRegistered]]. */
+  def ensureRegistered(spark: SparkSession): Unit =
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_ann"), info, builder)
 }
 
 /** `graft_changes('<name-or-path>', <from>, <to>)` — the change-data

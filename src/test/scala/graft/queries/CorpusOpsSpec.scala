@@ -253,6 +253,45 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("graft_dedup"))
   }
 
+  // --- graft_ann TVF ---
+
+  test("graft_ann is FROM-able in SQL and matches the DataFrame API") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    emb.createOrReplaceTempView("ann_corpus")
+    emb.filter(col("vec_id") < 5).createOrReplaceTempView("ann_queries")
+    val viaSql = spark
+      .sql("SELECT * FROM graft_ann('ann_corpus', 'ann_queries', 3)")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val viaApi = Similarity
+      .bucketedTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", 3, 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaSql == viaApi && viaSql.nonEmpty)
+    // 5-arg form: explicit column names over a renamed view
+    emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      .createOrReplaceTempView("ann_renamed")
+    emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      .createOrReplaceTempView("ann_renamed_q")
+    val viaCols = spark
+      .sql("SELECT * FROM graft_ann('ann_renamed', 'ann_renamed_q', 3, 'id', 'vec')")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaCols == viaApi)
+  }
+
+  test("graft_ann rejects bad arity and non-positive k with its usage line") {
+    graft.Tables.embeddings(spark, sf).createOrReplaceTempView("ann_corpus2")
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_ann('ann_corpus2')").collect()
+    }
+    assert(e.getMessage.contains("graft_ann"))
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_ann('ann_corpus2', 'ann_corpus2', 0)")
+        .collect()
+    }
+    assert(e2.getMessage.contains("k must be positive"))
+  }
+
   // --- t39 burstiness ---
 
   test("t39: ratios replay, burstiness is at least one per containing doc") {
