@@ -100,7 +100,7 @@ object PipelineQueries {
     * contract exactly (same padding, same non-overlapping replace,
     * same pass count), so the learned merge table hash-matches.
     */
-  private def bpeOracleSql(k: Int, passes: Int): String = {
+  private def bpeStages(k: Int, passes: Int): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH wc AS (SELECT word, COUNT(*) AS cnt FROM (
          SELECT unnest($W) AS word FROM documents) GROUP BY word),
@@ -120,11 +120,35 @@ object PipelineQueries {
          ORDER BY pc DESC, l ASC, r ASC LIMIT 1),
        s$i AS (SELECT cnt, $rep AS sym FROM $prev, b$i)"""
     }
-    sb ++= (1 to k).map(i =>
+    sb.toString
+  }
+
+  private def bpeOracleSql(k: Int, passes: Int): String =
+    bpeStages(k, passes) + (1 to k).map(i =>
       s"""SELECT CAST($i AS INT) AS iter, l AS merge_left,
            r AS merge_right, CAST(pc AS BIGINT) AS pair_count FROM b$i""")
       .mkString("\n", "\nUNION ALL\n", "")
-    sb.toString
+
+  /** The t42 oracle: the t41 stages produce the k winning pairs, a
+    * 1-row cross join exposes them as l1/r1..lk/rk, and every doc's
+    * words run the same symbolize → k×passes replace chain before a
+    * symbol count — the apply replay of the learned tokenizer.
+    */
+  private def bpeApplyOracleSql(k: Int, passes: Int): String = {
+    val mCols = (1 to k).map(i => s"b$i.l AS l$i, b$i.r AS r$i").mkString(", ")
+    val mFrom = (1 to k).map(i => s"b$i").mkString(", ")
+    val chain = (1 to k).foldLeft(
+      "' ' || regexp_replace(w, '(.)', '\\1 ', 'g')") { (e, i) =>
+      (1 to passes).foldLeft(e)((e2, _) =>
+        s"replace($e2, ' ' || l$i || ' ' || r$i || ' ', ' ' || l$i || r$i || ' ')")
+    }
+    bpeStages(k, passes) + s""",
+       m AS (SELECT $mCols FROM $mFrom)
+       SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(words,
+           w -> len(string_split(trim($chain), ' ')))) AS BIGINT)
+           AS n_bpe_tokens
+       FROM (SELECT doc_id, $W AS words FROM documents), m"""
   }
 
   /** Guarded task-parallelism lift for CPU-bound per-row stages — the
@@ -1249,6 +1273,20 @@ object PipelineQueries {
     "t41_bpe_merges" -> ((s, d) =>
       graft.text.BpeTrainer.learnMerges(Tables.documents(s, d), "text", 8)),
 
+    // text: BPE merge APPLY — segment the corpus with t41's learned
+    // merge table and report per-doc BPE token counts (the
+    // compression read a tokenizer-training loop takes per round).
+    // The merge table is a k-row driver literal, so the apply stage
+    // itself is Exchange-free in-row string work.
+    "t42_bpe_apply" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = graft.text.BpeTrainer.learnMerges(docs, "text", 8)
+        .orderBy("iter").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.text.BpeTrainer.applyMerges(spreadCpu(docs), "doc_id", "text",
+        merges)
+    }),
+
     // dedup: SemDeDup — semantic duplicates within IVF cells (cosine
     // vs an earlier-id vector in the same coarse cell); reuses the
     // materialized s04 centroids so the oracle replays the cells
@@ -1292,6 +1330,40 @@ object PipelineQueries {
       counts.join(broadcast(totals), Seq("from_type"))
         .select(col("from_type"), col("to_type"), col("cnt"),
           expr("CAST(cnt * 1000000 DIV tot AS BIGINT)").as("p_ppm"))
+    }),
+
+    // events: ORDERED FUNNEL — strict first-occurrence conversion
+    // view → click → purchase: a user converts stage 2 only with a
+    // click strictly after their FIRST view, stage 3 only with a
+    // purchase strictly after that first qualifying click (the
+    // product-analytics funnel with deterministic first-touch
+    // attribution). Scale shape: three user-keyed aggregations
+    // chained by user-keyed joins, each stage's frame shrinking to
+    // its converters; the closing totals join is a broadcast of a
+    // 1-row count (the e04 discipline). Exact integer ppm.
+    "e06_funnel" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_type"))
+      val ta = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("ta"))
+      val tb = e.filter(col("event_type") === "click")
+        .join(ta, "user_id").filter(col("ts") > col("ta"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("tb"))
+      val tc = e.filter(col("event_type") === "purchase")
+        .join(tb, "user_id").filter(col("ts") > col("tb"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("tc"))
+      def stage(df: org.apache.spark.sql.DataFrame, n: Int,
+                step: String) =
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(n).as("stage"), lit(step).as("step"),
+            col("n_users"))
+      val stages = stage(ta, 1, "view")
+        .unionByName(stage(tb, 2, "click"))
+        .unionByName(stage(tc, 3, "purchase"))
+      val tot = ta.agg(count(lit(1)).as("tot"))
+      stages.crossJoin(broadcast(tot))
+        .select(col("stage"), col("step"), col("n_users"),
+          expr("CAST(n_users * 1000000 DIV tot AS BIGINT)").as("conv_ppm"))
     }),
 
     // events: INTER-ARRIVAL latency distribution — per event type, the
@@ -2788,6 +2860,9 @@ object PipelineQueries {
     // as the Spark side, so the semantics are pinned byte-for-byte)
     "t41_bpe_merges" -> bpeOracleSql(8, 6),
 
+    // the learned merges cross-joined into a per-doc apply replay
+    "t42_bpe_apply" -> bpeApplyOracleSql(8, 6),
+
     // the d12 span machinery, then the REMOVAL applied: covered token
     // positions (the merged-interval union, as a distinct-position
     // set) are clipped and the kept tokens rejoined — matching the
@@ -2881,6 +2956,27 @@ object PipelineQueries {
          SELECT from_type, to_type, cnt,
            CAST(cnt * 1000000 // tot AS BIGINT) AS p_ppm
          FROM c JOIN tot USING (from_type)""",
+
+    // the same strict first-occurrence chain: first view, first
+    // later click, first later purchase — counts and ppm replay
+    "e06_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS t, event_type
+           FROM events),
+         a AS (SELECT user_id, MIN(t) AS ta FROM e
+           WHERE event_type = 'view' GROUP BY user_id),
+         b AS (SELECT e.user_id, MIN(t) AS tb FROM e JOIN a USING (user_id)
+           WHERE event_type = 'click' AND t > ta GROUP BY e.user_id),
+         c AS (SELECT e.user_id, MIN(t) AS tc FROM e JOIN b USING (user_id)
+           WHERE event_type = 'purchase' AND t > tb GROUP BY e.user_id),
+         s AS (SELECT 1 AS stage, 'view' AS step,
+             (SELECT COUNT(*) FROM a) AS n
+           UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM b)
+           UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM c))
+         SELECT CAST(stage AS INT) AS stage, step,
+           CAST(n AS BIGINT) AS n_users,
+           CAST(n * 1000000 // (SELECT COUNT(*) FROM a) AS BIGINT)
+             AS conv_ppm
+         FROM s""",
 
     // gaps replayed with the same LAG attribution; quantile_cont is
     // the q37-proven exact twin of Spark's percentile

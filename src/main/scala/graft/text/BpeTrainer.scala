@@ -98,4 +98,38 @@ object BpeTrainer {
     }
     merges.toSeq.toDF("iter", "merge_left", "merge_right", "pair_count")
   }
+
+  /** APPLY a learned merge table: segment every document with the
+    * merges (in learned order, same pinned multi-pass replace
+    * semantics as training) and return the per-doc BPE token count —
+    * the compression measurement a tokenizer-training loop reads
+    * after each vocabulary round. Output: (doc_id, n_words,
+    * n_bpe_tokens).
+    *
+    * Scale shape: the merge table is a driver-side literal (k rows by
+    * contract), so the apply is pure in-row string work over the
+    * tokenized text — Exchange-free, embarrassingly parallel, the
+    * ideal 100 TB map stage. The per-word chain evaluates inside one
+    * higher-order transform whose lambda touches only its own
+    * element.
+    */
+  def applyMerges(docs: DataFrame, idCol: String, textCol: String,
+                  merges: Seq[(String, String)],
+                  replacePasses: Int = 6): DataFrame = {
+    def chain(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val base = concat(lit(" "), regexp_replace(w, "(.)", "$1 "))
+      merges.foldLeft(base) { case (c, (l, r)) =>
+        (1 to replacePasses).foldLeft(c)((e, _) =>
+          call_function("replace", e, lit(s" $l $r "), lit(s" $l$r ")))
+      }
+    }
+    docs
+      .select(col(idCol).as("doc_id"),
+        graft.functions.TextFunctions.tokens(col(textCol)).as("__w"))
+      .select(col("doc_id"),
+        size(col("__w")).cast("long").as("n_words"),
+        aggregate(
+          transform(col("__w"), w => size(split(trim(chain(w)), " "))),
+          lit(0), (a, b) => a + b).cast("long").as("n_bpe_tokens"))
+  }
 }

@@ -292,6 +292,34 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("k must be positive"))
   }
 
+  // --- e06 funnel ---
+
+  test("e06: stages are monotone non-increasing, ppm exact, strict ordering enforced") {
+    val out = graft.SparkEntry.queries("e06_funnel")(spark, sf)
+      .orderBy("stage").collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    val n = out.map(_.getAs[Long]("n_users"))
+    assert(n(0) >= n(1) && n(1) >= n(2), "a funnel can only narrow")
+    assert(n(0) > 0)
+    out.foreach(r => assert(r.getAs[Long]("conv_ppm") ==
+      r.getAs[Long]("n_users") * 1000000L / n(0)))
+    // strict ordering on a planted frame: click before the first view
+    // must NOT convert
+    val s2 = spark
+    import s2.implicits._
+    val planted = Seq(
+      (1L, 100L, "click"), (1L, 200L, "view"), (1L, 300L, "purchase"),
+      (2L, 100L, "view"), (2L, 200L, "click"), (2L, 300L, "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val ta = planted.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("ta"))
+    val tb = planted.filter(col("event_type") === "click")
+      .join(ta, "user_id").filter(col("ts") > col("ta"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("tb"))
+    assert(tb.select("user_id").as[Long].collect().toSet == Set(2L),
+      "user 1's click precedes their first view and must not count")
+  }
+
   // --- t39 burstiness ---
 
   test("t39: ratios replay, burstiness is at least one per containing doc") {

@@ -638,4 +638,56 @@ class SegmentedTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     // retained log entries may pin a handful of pages, never one per commit
     assert(live <= 10, s"manifest GC left $live pages")
   }
+
+  test("AQE skew-join splits a hot key in a segmented-store shuffle join") {
+    // the lakehouse-join skew story, proven, not assumed: g03's
+    // bucketed layout avoids the fact-fact Exchange entirely (PlanSpec
+    // pins zero Exchange below that join); for the joins that DO
+    // shuffle, a hot key must trigger AQE's skew split instead of
+    // landing one straggler task. One key carries ~1000x the rows of
+    // every other; with skew thresholds scaled to test size, the
+    // final adaptive plan must mark the join skew-handled.
+    val s = spark
+    val hot = s.range(0, 60000L).selectExpr("CAST(0 AS BIGINT) AS k", "id AS va")
+    val cold = s.range(1, 64L).selectExpr("id AS k", "id AS va")
+    val facts = hot.unionByName(cold)
+    val dims = s.range(0, 64L).selectExpr("id AS k", "id * 2 AS vb")
+    val ta = graft.table.SegmentedTable.fresh(s, freshRoot("skewfact"),
+      facts.schema, Map.empty)
+    ta.load(facts)
+    val tb = graft.table.SegmentedTable.fresh(s, freshRoot("skewdim"),
+      dims.schema, Map.empty)
+    tb.load(dims)
+    val keys = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> s.conf.getOption(k)).toMap
+    try {
+      s.conf.set("spark.sql.adaptive.enabled", "true")
+      s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // force the shuffle join: a broadcast would (correctly) dodge the
+      // skew, but this test is about the shuffle path
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = ta.read().join(tb.read(), "k")
+      // materialize THIS frame (a count() would execute its own plan
+      // and leave joined's adaptive plan un-finalized)
+      assert(joined.collect().length == 60000 + 63)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), "AQE must re-plan at runtime")
+      assert(plan.toLowerCase.contains("skew"),
+        s"hot key must be skew-split by AQE, plan was:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
 }

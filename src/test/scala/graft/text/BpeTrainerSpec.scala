@@ -32,6 +32,26 @@ class BpeTrainerSpec extends AnyFunSuite {
     assert(m == Seq((1, "a", "b", 2L), (2, "ab", "ab", 1L)))
   }
 
+  test("applyMerges segments with the learned table; no merges means characters") {
+    val docs = Seq((1L, "to to tot"), (2L, "to")).toDF("doc_id", "text")
+    val m = BpeTrainer.learnMerges(docs, "text", 3).orderBy("iter")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    // learned (t,o) then (to,t): every word collapses to one symbol
+    val out = BpeTrainer.applyMerges(docs, "doc_id", "text", m)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 3L, 3L), (2L, 1L, 1L)))
+    // the empty merge table degenerates to character segmentation
+    val raw = BpeTrainer.applyMerges(docs, "doc_id", "text", Nil)
+      .orderBy("doc_id").collect()
+    assert(raw.map(_.getLong(2)).toSeq == Seq(7L, 2L))
+    // applying a PREFIX of the merges can only coarsen less: token
+    // counts are monotone non-increasing in merge count
+    val partial = BpeTrainer.applyMerges(docs, "doc_id", "text", m.take(1))
+      .orderBy("doc_id").collect().map(_.getLong(2))
+    assert(partial.zip(out.map(_.getLong(2))).forall { case (p, f) => p >= f })
+  }
+
   test("learned merges are deterministic across partitionings") {
     val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
     def run(parts: Int) = BpeTrainer
