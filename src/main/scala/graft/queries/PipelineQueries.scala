@@ -1332,6 +1332,45 @@ object PipelineQueries {
           expr("CAST(cnt * 1000000 DIV tot AS BIGINT)").as("p_ppm"))
     }),
 
+    // similarity: FILTERED vector search — bucketed cosine top-3
+    // restricted to label-1 corpus rows (pre-filter: the predicate
+    // reaches the scan, and every query gets k in-filter matches
+    // where its bucket holds them — post-filtering an unfiltered
+    // top-k cannot guarantee that). See Similarity.filteredTopK.
+    "s17_filtered_ann" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.filteredTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", col("label") === 1, 3, 4)
+    }),
+
+    // events: batch SESSIONIZATION — the 30-minute-gap session split
+    // (st02's streaming semantics as a batch window pass): per user,
+    // session count, busiest session, longest session. One user-keyed
+    // window (lag-gap flags + running sum = session ids), one
+    // (user, session) agg, one user agg — every shuffle keyed, and
+    // durations are integral ms so the figures replay exactly.
+    "e07_sessionize" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val gapNs = 30L * 60L * 1000000000L
+      val flagged = Tables.events(s, d).select(col("user_id"), col("ts"))
+        .withColumn("__prev", lag(col("ts"), 1).over(w))
+        .withColumn("__new",
+          when(col("__prev").isNull || col("ts") - col("__prev") > gapNs, 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum(col("__new"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      flagged.groupBy(col("user_id"), col("sid"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("mn"), max(col("ts")).as("mx"))
+        .select(col("user_id"), col("n_events"),
+          expr("CAST((mx - mn) DIV 1000000 AS BIGINT)").as("dur_ms"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          max(col("n_events")).as("max_events"),
+          max(col("dur_ms")).as("max_dur_ms"))
+    }),
+
     // events: ORDERED FUNNEL — strict first-occurrence conversion
     // view → click → purchase: a user converts stage 2 only with a
     // click strictly after their FIRST view, stage 3 only with a
@@ -2956,6 +2995,49 @@ object PipelineQueries {
          SELECT from_type, to_type, cnt,
            CAST(cnt * 1000000 // tot AS BIGINT) AS p_ppm
          FROM c JOIN tot USING (from_type)""",
+
+    // the s02 bucketed replay restricted to the label-1 corpus side
+    // (the pre-filter contract: bucket assignment happens AFTER the
+    // predicate)
+    "s17_filtered_ann" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+            ${bucketSql("embedding", 4)} AS bucket
+            FROM embeddings WHERE vec_id < 5),
+          c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+            ${bucketSql("embedding", 4)} AS bucket FROM embeddings
+            WHERE label = 1),
+          scored AS (SELECT query_id, neighbor_id,
+            $dotSql / ($normQ * $normC) AS cos
+          FROM q JOIN c USING (bucket) WHERE neighbor_id <> query_id),
+          ranked AS (SELECT query_id, neighbor_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM scored)
+          SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 3""",
+
+    // the same lag-gap flag + running-sum session ids; (user_id, ts)
+    // is collision-free by the testdata contract so the split is
+    // deterministic
+    "e07_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS t FROM events),
+         f AS (SELECT user_id, t,
+             CASE WHEN LAG(t) OVER (PARTITION BY user_id ORDER BY t)
+                    IS NULL
+                  OR t - LAG(t) OVER (PARTITION BY user_id ORDER BY t)
+                    > 1800000000000
+                  THEN 1 ELSE 0 END AS ns
+           FROM e),
+         g AS (SELECT user_id, t,
+             SUM(ns) OVER (PARTITION BY user_id ORDER BY t
+               ROWS UNBOUNDED PRECEDING) AS sid
+           FROM f),
+         s AS (SELECT user_id, sid, COUNT(*) AS n_events,
+             (MAX(t) - MIN(t)) // 1000000 AS dur_ms
+           FROM g GROUP BY 1, 2)
+         SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(MAX(n_events) AS BIGINT) AS max_events,
+           CAST(MAX(dur_ms) AS BIGINT) AS max_dur_ms
+         FROM s GROUP BY user_id""",
 
     // the same strict first-occurrence chain: first view, first
     // later click, first later purchase — counts and ppm replay

@@ -197,6 +197,25 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
+  /** FILTERED vector search — top-k among only the corpus rows
+    * matching a metadata predicate (the "filtered ANN" every serving
+    * stack needs: search documents of one tenant / label / language).
+    * This is the PRE-FILTER strategy: the predicate applies before
+    * bucket assignment, so (a) it reaches the scan as a pushed filter
+    * (label predicates prune row groups — the selectivity is paid at
+    * I/O, not compute), and (b) every query receives k matches from
+    * the filtered pool whenever its probed buckets hold that many —
+    * unlike post-filtering a fixed-k unfiltered result, which can
+    * return fewer than k (or none) under selective predicates. The
+    * trade: the filtered corpus is re-bucketed per predicate, so for
+    * HIGH-frequency repeated predicates, materialize the filtered
+    * index once (the s08 index-table path) instead.
+    */
+  def filteredTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                   vecCol: String, predicate: Column, k: Int,
+                   bits: Int): DataFrame =
+    bucketedTopK(corpus.filter(predicate), queries, idCol, vecCol, k, bits)
+
   /** Recall@k audit of an approximate ANN result against exhaustive
     * ground truth: per query, the fraction of the true top-k the
     * approximate index returned, as an exact integer ppm (hits ×

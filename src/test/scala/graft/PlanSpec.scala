@@ -329,4 +329,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("array_contains"),
       s"recount must not linear-scan the candidate array per token\n${p.take(3000)}")
   }
+
+  test("filtered ANN pushes the metadata predicate to the corpus scan") {
+    // s17's pre-filter contract: the label predicate must reach the
+    // parquet scan (row-group pruning at I/O), not run post-bucket
+    val p = plan("s17_filtered_ann")
+    assert(p.contains("EqualTo(label,1)"),
+      s"label predicate must be pushed to the scan\n${p.take(3000)}")
+    // and the filtered search returns only in-filter neighbors
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val out = graft.similarity.Similarity.filteredTopK(emb,
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5),
+      "vec_id", "embedding",
+      org.apache.spark.sql.functions.col("label") === 1, 3, 4)
+    val ok = emb.filter(org.apache.spark.sql.functions.col("label") === 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(out.collect().forall(r => ok.contains(r.getLong(2))),
+      "every neighbor must satisfy the predicate")
+  }
 }

@@ -320,6 +320,37 @@ class CorpusOpsSpec extends AnyFunSuite {
       "user 1's click precedes their first view and must not count")
   }
 
+  // --- e07 sessionization ---
+
+  test("e07: sessions partition each user's events; gap rule splits exactly") {
+    val out = graft.SparkEntry.queries("e07_sessionize")(spark, sf).collect()
+    val events = graft.Tables.events(spark, sf)
+    assert(out.length == events.select("user_id").distinct().count())
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_sessions") >= 1L)
+      assert(r.getAs[Long]("max_events") >= 1L)
+      assert(r.getAs[Long]("max_dur_ms") >= 0L)
+    }
+    // planted frame: 3 events with one 31-min gap → exactly 2 sessions
+    val s2 = spark
+    import s2.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val gapNs = 30L * 60L * 1000000000L
+    val planted = Seq((1L, 0L), (1L, gapNs), (1L, 2 * gapNs + 1))
+      .toDF("user_id", "ts")
+    val sids = planted
+      .withColumn("__prev", lag(col("ts"), 1).over(w))
+      .withColumn("__new",
+        when(col("__prev").isNull || col("ts") - col("__prev") > gapNs, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("__new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("sid").as[Long].collect().toSeq
+    assert(sids == Seq(1L, 1L, 2L),
+      "a gap of exactly 30 min stays in-session; 30 min + 1 ns splits")
+  }
+
   // --- t39 burstiness ---
 
   test("t39: ratios replay, burstiness is at least one per containing doc") {
