@@ -76,9 +76,15 @@ object Dedup {
     * task handles more than maxBucketSide² of it. Buckets at or under
     * maxBucketSide pay nothing: S = 1 reduces to the plain bucket join
     * on key (bucket, 0, 0). Bucket sizes come from a count window over
-    * the bucket key — NOT a broadcast counts join, because the number
-    * of distinct buckets is corpus-scale (unlike semanticDupes' nlist
-    * cells) and must never land on the driver.
+    * the bucket key — fully keyed, no driver or broadcast state. A
+    * probed-broadcast variant (detect hot buckets by aggregation,
+    * broadcast-join the small hot list, skip the window) was measured
+    * and REJECTED: its two extra job barriers (probe + broadcast
+    * build) cost more at bench scale than the window's extra keyed
+    * shuffle of narrow (id, band_idx, band_key) rows, and the window
+    * form also never risks an unbounded hot list — the distinct-bucket
+    * count table is corpus-scale (unlike semanticDupes' nlist cells)
+    * and must never land on the driver. See BENCH_NOTES r12.
     */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 16, rowsPerBand: Int = 4,
@@ -91,15 +97,16 @@ object Dedup {
     // (localCheckpoint) so the cache can be released before returning
     // instead of leaking executor memory into the caller's session;
     // candidates are orders of magnitude smaller than signatures.
-    val salted = saltedBands(docs, idCol, textCol, k, rowsPerBand, maxBucketSide)
-      .persist()
+    val salted = saltedBands(docs, idCol, textCol, k, rowsPerBand,
+      maxBucketSide).persist()
     try bandPairs(salted).localCheckpoint()
     finally salted.unpersist()
   }
 
   /** Banded signatures with the hot-bucket salt columns: `__s` (the
     * bucket's block count, 1 for buckets ≤ maxBucketSide) and `__b`
-    * (this row's id-hash block within its bucket).
+    * (this row's id-hash block within its bucket). One count window
+    * over the bucket key — fully keyed, no driver/broadcast state.
     */
   private[graft] def saltedBands(docs: DataFrame, idCol: String,
                                  textCol: String, k: Int, rowsPerBand: Int,
