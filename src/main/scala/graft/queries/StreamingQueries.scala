@@ -302,6 +302,31 @@ object StreamingQueries {
         col("value"))
     }),
 
+    // STREAMING FUNNEL (flatMapGroupsWithState) — e06's strict
+    // first-occurrence view→click→purchase conversion, incrementally:
+    // per-user state is three scalars (first view ts, first
+    // qualifying click ts, converted flag), bounded forever with no
+    // watermark, and each stage hit emits exactly once per user
+    // across any micro-batch split. The landed hits aggregate to the
+    // SAME stage table as the batch operator, so the oracle is e06's.
+    "st16_stream_funnel" -> ((s, d) => {
+      val raw = Tables.rawEvents(s, d)
+      val stream = s.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+      val hits = EventStreams.funnelStages(stream, "view", "click", "purchase")
+      val landed = EventStreams.runToCompletion(s, hits, mode = "append")
+      val counts = landed.groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+      val tot = counts.filter(col("stage") === 1)
+        .select(col("n_users").as("tot"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("stage"),
+          when(col("stage") === 1, "view").when(col("stage") === 2, "click")
+            .otherwise("purchase").as("step"),
+          col("n_users"),
+          expr("CAST(n_users * 1000000 DIV tot AS BIGINT)").as("conv_ppm"))
+    }),
+
     // STREAMING UPSERT (foreachBatch + MERGE — the canonical Spark
     // recipe for update-mode sinks over an append-only segment
     // store): events arrive as two ordered micro-batches and the
@@ -631,6 +656,27 @@ object StreamingQueries {
          WHERE nb >= 3
            AND CAST(v AS DOUBLE) >
              3.0 * (CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))""",
+
+    // the batch e06 replay: the streamed state machine must land the
+    // identical strict first-occurrence funnel
+    "st16_stream_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS t, event_type
+           FROM events),
+         a AS (SELECT user_id, MIN(t) AS ta FROM e
+           WHERE event_type = 'view' GROUP BY user_id),
+         b AS (SELECT e.user_id, MIN(t) AS tb FROM e JOIN a USING (user_id)
+           WHERE event_type = 'click' AND t > ta GROUP BY e.user_id),
+         c AS (SELECT e.user_id, MIN(t) AS tc FROM e JOIN b USING (user_id)
+           WHERE event_type = 'purchase' AND t > tb GROUP BY e.user_id),
+         s AS (SELECT 1 AS stage, 'view' AS step,
+             (SELECT COUNT(*) FROM a) AS n
+           UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM b)
+           UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM c))
+         SELECT CAST(stage AS INT) AS stage, step,
+           CAST(n AS BIGINT) AS n_users,
+           CAST(n * 1000000 // (SELECT COUNT(*) FROM a) AS BIGINT)
+             AS conv_ppm
+         FROM s""",
 
     // the upserted table holds the global per-user argmax by
     // (ts, event_id), whatever the batch split was

@@ -302,4 +302,54 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(process)
       .toDF()
   }
+
+  case class FunnelEvent(user_id: Long, ts_ns: Long, event_type: String)
+  case class FunnelState(tv: Long, tc: Long, done: Boolean)
+  case class FunnelHit(user_id: Long, stage: Int)
+
+  /** Incremental ORDERED FUNNEL (the streaming twin of the batch e06
+    * operator): per user, emit a stage hit the first time the user
+    * reaches each stage of s1 → s2 → s3 with STRICT first-occurrence
+    * ordering — s2 counts only strictly after the first s1, s3 only
+    * strictly after that first qualifying s2. State per key is three
+    * scalars (first-s1 ts, first-qualifying-s2 ts, converted flag) —
+    * bounded forever, no watermark needed, and a stage hit is emitted
+    * exactly once per user across any micro-batch split because the
+    * state carries the decision forward. Events are sorted per group
+    * within a batch for determinism; (user_id, ts) is collision-free
+    * in this corpus, so replays are exact.
+    */
+  def funnelStages(events: DataFrame, s1: String, s2: String,
+                   s3: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = graft.Tables.normalizeEventTs(events)
+      .select(col("user_id").cast("long"), col("ts").as("ts_ns"),
+        col("event_type"))
+      .as[FunnelEvent]
+
+    def process(user: Long, it: Iterator[FunnelEvent],
+                state: GroupState[FunnelState]): Iterator[FunnelHit] = {
+      var s = state.getOption.getOrElse(FunnelState(-1L, -1L, done = false))
+      val out = scala.collection.mutable.ArrayBuffer[FunnelHit]()
+      it.toSeq.sortBy(_.ts_ns).foreach { e =>
+        e.event_type match {
+          case `s1` if s.tv < 0 =>
+            s = s.copy(tv = e.ts_ns); out += FunnelHit(user, 1)
+          case `s2` if s.tv >= 0 && s.tc < 0 && e.ts_ns > s.tv =>
+            s = s.copy(tc = e.ts_ns); out += FunnelHit(user, 2)
+          case `s3` if s.tc >= 0 && !s.done && e.ts_ns > s.tc =>
+            s = s.copy(done = true); out += FunnelHit(user, 3)
+          case _ =>
+        }
+      }
+      state.update(s)
+      out.iterator
+    }
+
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(process)
+      .toDF()
+  }
 }

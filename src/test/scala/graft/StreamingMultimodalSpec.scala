@@ -429,6 +429,53 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(counts("A") == 2, s"expired-state duplicate must re-emit: $counts")
   }
 
+  test("streaming funnel: exactly-once stage hits across micro-batch splits") {
+    // the state-machine guarantee the batch operator gets for free:
+    // a user whose funnel spans TWO micro-batches must emit each
+    // stage hit exactly once, and a click landing in a later batch
+    // still checks against the first batch's view timestamp
+    val watched = java.nio.file.Files.createTempDirectory("graft_funnel")
+    def write(idx: Int, rows: Seq[(Long, Long, String)]): Unit = {
+      import scala.jdk.CollectionConverters._
+      val stage = java.nio.file.Files.createTempDirectory(s"graft_funnel_b$idx")
+      rows.toDF("user_id", "ts", "event_type")
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val listing = java.nio.file.Files.list(stage)
+      val part = try listing.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally listing.close()
+      // flat files at the watched root: nested dirs would read as
+      // (non-)partition dirs, not as later files; mtime orders batches
+      val dest = watched.resolve(f"batch_$idx%03d.parquet")
+      java.nio.file.Files.move(part, dest,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(
+          1700000000000L + idx * 60000L))
+    }
+    // user 1: view in batch 0, click+purchase in batch 1 (converts)
+    // user 2: click BEFORE view (batch 0), view in batch 1 → stage 1 only
+    // user 3: view twice across batches → ONE stage-1 hit
+    write(0, Seq((1L, 100L, "view"), (2L, 100L, "click"), (3L, 100L, "view")))
+    write(1, Seq((1L, 200L, "click"), (1L, 300L, "purchase"),
+      (2L, 200L, "view"), (3L, 200L, "view")))
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("user_id", org.apache.spark.sql.types.LongType)
+      .add("ts", org.apache.spark.sql.types.LongType)
+      .add("event_type", org.apache.spark.sql.types.StringType)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(watched.toString)
+    val hits = EventStreams.runToCompletion(spark,
+      EventStreams.funnelStages(stream, "view", "click", "purchase"),
+      mode = "append")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(hits.length == hits.distinct.length, s"duplicate stage hits: ${hits.toSeq}")
+    val byUser = hits.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(byUser(1L) == Seq(1, 2, 3), s"user 1 must fully convert: $byUser")
+    assert(byUser(2L) == Seq(1), s"user 2's pre-view click must not count: $byUser")
+    assert(byUser(3L) == Seq(1), s"repeat views emit one hit: $byUser")
+  }
+
   test("streaming ingest commits micro-batches as segments") {
     val root = java.nio.file.Files
       .createTempDirectory("graft_stream_ingest").resolve("t").toString
