@@ -1630,6 +1630,28 @@ object PipelineQueries {
           (col("width") * col("height")).as("n_pixels"))
     }),
 
+    // multimodal: CODEC ROUTING over a mixed corpus — even docs carry
+    // genuine PNGs, odd docs genuine JPEGs, one decode pass sniffs
+    // and dispatches (PNG magic / SOI). The gated codec comes from
+    // header bytes (declarative hex probe, no UDF) and the dims from
+    // the decoded rasters — a mis-dispatch would quarantine to stub
+    // dims and hash-mismatch the per-parity oracle rules.
+    "m10_codec_route" -> ((s, d) => {
+      import graft.multimodal.Multimodal
+      val docs = Tables.documents(s, d)
+      val mixed = Multimodal.withPngPayload(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", "n_chars")
+        .unionByName(Multimodal.withJpegPayload(
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", "n_chars"))
+      val codec = mixed.select(col("id"),
+        when(hex(substring(col("payload"), 1, 2)) === "FFD8", "jpeg")
+          .when(hex(substring(col("payload"), 1, 4)) === "89504E47", "png")
+          .otherwise("other").as("codec"))
+      Multimodal.decodeFeatures(mixed).toDF()
+        .join(codec, "id")
+        .select(col("id"), col("codec"), col("width"), col("height"))
+    }),
+
     // multimodal: REAL multi-frame (video-style) decode — each document
     // becomes a real animated GIF (2 + n%5 frames of (1+n%48)×(1+7n%48));
     // sampleFrames seeks 4 evenly-spaced frames and DECODES them via
@@ -3456,6 +3478,17 @@ object PipelineQueries {
             CAST(1 + (n_chars % 64) AS INT) AS width,
             CAST(1 + ((n_chars * 7) % 64) AS INT) AS height,
             CAST((1 + (n_chars % 64)) * (1 + ((n_chars * 7) % 64)) AS INT) AS n_pixels
+          FROM documents""",
+
+    // per-parity geometry rules: a mis-routed payload would decode to
+    // stub dims (>= 64) and miss these exactly
+    "m10_codec_route" ->
+      s"""SELECT doc_id AS id,
+            CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS codec,
+            CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + (n_chars % 64)
+                 ELSE 1 + (n_chars % 56) END AS INT) AS width,
+            CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + ((n_chars * 7) % 64)
+                 ELSE 1 + ((n_chars * 11) % 56) END AS INT) AS height
           FROM documents""",
 
     // JPEGs are generated at (1 + n%56) × (1 + 11n%56); the codec is
