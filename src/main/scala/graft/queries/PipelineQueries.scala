@@ -1553,6 +1553,17 @@ object PipelineQueries {
         centroidsFor(s, d, emb), codebooksFor(s, d, emb), 4, 16, 3)
     }),
 
+    // similarity: INCREMENTAL index maintenance — the s08 index built
+    // as seed + delta loads (delta encoded with the frozen quantizers,
+    // appended as its own segments, never a rebuild); serving the
+    // multi-segment index must equal the full-corpus oracle exactly
+    "s18_ann_index_append" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfPqServe(ivfPqIncrementalFor(s, d, emb).read(),
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding", 3,
+        centroidsFor(s, d, emb), codebooksFor(s, d, emb), 4, 16, 3)
+    }),
+
     // similarity: RESIDUAL IVF-PQ — the production refinement s06's
     // comment names: codebooks quantize v − centroid[cell], so the
     // same code bits describe finer distances. Query residuals are
@@ -1881,6 +1892,37 @@ object PipelineQueries {
       val t = graft.table.SegmentedTable.create(s, root, rows.schema,
         Map("partition_columns" -> "cell", "sort_columns" -> "neighbor_id"))
       t.load(rows)
+      t
+    })
+
+  /** s18's INCREMENTALLY-built twin of [[ivfPqIndexFor]]: the index
+    * lands in two loads — a seed corpus, then a delta encoded with
+    * the SAME frozen quantizers and appended as its own segment(s).
+    * This is the maintenance path a 100 TB deployment lives on: a
+    * delivery costs one O(batch) encode + one catalog commit, never a
+    * rebuild, and the quantizers are plan literals so the delta's
+    * codes are bit-compatible with the seed's. Serving over the
+    * multi-segment index must equal serving over a single-load index
+    * of the full corpus — the s08 oracle, shared.
+    */
+  private val ivfPqIncr = new graft.util.BuildOnce[graft.table.SegmentedTable]
+
+  private def ivfPqIncrementalFor(s: SparkSession, d: String,
+      emb: org.apache.spark.sql.DataFrame): graft.table.SegmentedTable =
+    ivfPqIncr.getOrElseUpdate(s"$d|${s.sparkContext.applicationId}", {
+      val cents = centroidsFor(s, d, emb)
+      val cbs = codebooksFor(s, d, emb)
+      val root = s"/tmp/graft_ivfpq_incr_${ProcessHandle.current().pid()}/" +
+        d.replace('/', '_')
+      val seedRows = Similarity.ivfPqIndexRows(
+        emb.filter(col("vec_id") % 3 =!= 0), "vec_id", "embedding",
+        cents, cbs, 4, 16)
+      val t = graft.table.SegmentedTable.create(s, root, seedRows.schema,
+        Map("partition_columns" -> "cell", "sort_columns" -> "neighbor_id"))
+      t.load(seedRows)
+      t.load(Similarity.ivfPqIndexRows(
+        emb.filter(col("vec_id") % 3 === 0), "vec_id", "embedding",
+        cents, cbs, 4, 16))
       t
     })
 
@@ -3395,6 +3437,10 @@ object PipelineQueries {
     // ranking (the index holds exactly the encode pass's rows), so the
     // same from-first-principles oracle gates it
     "s08_ann_ivfpq_index" -> ivfPqOracle,
+
+    // the incrementally-appended index must serve the identical
+    // full-corpus result — the oracle is s08's, shared
+    "s18_ann_index_append" -> ivfPqOracle,
 
     // s06's cell CTEs, with the encode/ADC inputs replaced by
     // residuals v − centroid[cell]; the residual is built in DOUBLE on
