@@ -99,11 +99,24 @@ object PipelineQueries {
     * next stage's `passes`-fold replace. Mirrors the Spark side's
     * contract exactly (same padding, same non-overlapping replace,
     * same pass count), so the learned merge table hash-matches.
+    *
+    * Exhaustion safety: if the vocabulary runs out of mergeable pairs
+    * before round i, p_i is empty — a bare LIMIT 1 would make b_i
+    * empty and every cross join downstream would collapse the WHOLE
+    * oracle (t41 truncates, t42 returns zero rows) while the trainer
+    * gracefully applies the fewer learned merges. Each b_i therefore
+    * unions a (chr(1), chr(2), 0) sentinel that loses to any real
+    * pair (real pair counts are >= 1) and, when it survives, makes
+    * the downstream replace a no-op — control chars never appear in
+    * tokenized symbols. t41's emission filters sentinels on pc > 0.
     */
-  private def bpeStages(k: Int, passes: Int): String = {
+  private def bpeStages(k: Int, passes: Int,
+                        src: String = "documents",
+                        prefix: String = ""): String = {
     val sb = new StringBuilder
-    sb ++= s"""WITH wc AS (SELECT word, COUNT(*) AS cnt FROM (
-         SELECT unnest($W) AS word FROM documents) GROUP BY word),
+    val pre = if (prefix.isEmpty) "" else s"$prefix,\n       "
+    sb ++= s"""WITH ${pre}wc AS (SELECT word, COUNT(*) AS cnt FROM (
+         SELECT unnest($W) AS word FROM $src) GROUP BY word),
        s0 AS (SELECT cnt,
          ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS sym FROM wc)"""
     for (i <- 1 to k) {
@@ -116,17 +129,24 @@ object PipelineQueries {
              SELECT cnt, syms, unnest(range(1, len(syms))) AS j FROM (
                SELECT cnt, string_split(trim(sym), ' ') AS syms FROM $prev)))
          GROUP BY l, r),
-       b$i AS (SELECT l, r, pc FROM p$i
-         ORDER BY pc DESC, l ASC, r ASC LIMIT 1),
+       b$i AS (SELECT l, r, pc FROM (
+           (SELECT l, r, pc FROM p$i ORDER BY pc DESC, l ASC, r ASC LIMIT 1)
+           UNION ALL (SELECT chr(1), chr(2), 0))
+         ORDER BY pc DESC LIMIT 1),
        s$i AS (SELECT cnt, $rep AS sym FROM $prev, b$i)"""
     }
     sb.toString
   }
 
-  private def bpeOracleSql(k: Int, passes: Int): String =
-    bpeStages(k, passes) + (1 to k).map(i =>
+  private def bpeOracleSql(k: Int, passes: Int,
+                           src: String = "documents",
+                           prefix: String = ""): String =
+    // pc > 0 drops the exhaustion sentinel rows (see bpeStages) so an
+    // exhausted vocabulary emits the same FEWER rows the trainer does
+    bpeStages(k, passes, src, prefix) + (1 to k).map(i =>
       s"""SELECT CAST($i AS INT) AS iter, l AS merge_left,
-           r AS merge_right, CAST(pc AS BIGINT) AS pair_count FROM b$i""")
+           r AS merge_right, CAST(pc AS BIGINT) AS pair_count FROM b$i
+           WHERE pc > 0""")
       .mkString("\n", "\nUNION ALL\n", "")
 
   /** The t42 oracle: the t41 stages produce the k winning pairs, a
@@ -156,6 +176,27 @@ object PipelineQueries {
     */
   private def spreadCpu(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     graft.util.Spread.toCpuParallelism(df)
+
+  // --- UTF-8 multibyte corpus derivation (t43/t46) ---------------------
+  //
+  // The driver's testdata contract pins ASCII text, so the u-corpus is
+  // DERIVED in-gate by substituting three high-frequency letters with
+  // 2-, 3- and 4-byte code points (á U+00E1, € U+20AC, 𝐨 U+1D428 — the
+  // last is supplementary-plane, a surrogate PAIR in the JVM, which is
+  // exactly where code-unit-counting string code breaks). Plain
+  // substring replace in both engines; none of the targets reintroduce
+  // a source letter, so the chain is order-safe.
+
+  private def utf8ify(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    call_function("replace",
+      call_function("replace",
+        call_function("replace", c, lit("a"), lit("á")),
+        lit("e"), lit("€")),
+      lit("o"), lit("𝐨"))
+
+  /** DuckDB twin of [[utf8ify]] (chr() keeps the source ASCII). */
+  private val Utf8ifySql =
+    "replace(replace(replace(text, 'a', chr(225)), 'e', chr(8364)), 'o', chr(119848))"
 
   val queries: Map[String, Q] = Map(
     // text analysis: token counting
@@ -1287,6 +1328,39 @@ object PipelineQueries {
         merges)
     }),
 
+    // text: UTF-8 MULTIBYTE hardening — tokenization, code-point vs
+    // byte length, raw multibyte content round-trip, and shingle
+    // fingerprints over the derived u-corpus (2-, 3- and 4-byte code
+    // points; see utf8ify). length() must count CODE POINTS in both
+    // engines (a code-UNIT counter reads the surrogate-pair 𝐨 as 2),
+    // and md5 must hash the UTF-8 BYTES identically — the two
+    // assumptions every tokenizer/shingle/MinHash path silently makes
+    // and the ASCII testdata contract never exercised.
+    "t43_utf8_text" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), utf8ify(col("text")).as("utext"))
+        .withColumn("w", TextFunctions.tokens(col("utext")))
+        .withColumn("sh", TextFunctions.shinglesFromTokens(col("w")))
+        .select(col("doc_id"),
+          size(col("w")).as("n_tokens_u"),
+          length(col("utext")).cast("long").as("n_chars_u"),
+          octet_length(col("utext")).cast("long").as("n_bytes_u"),
+          element_at(col("w"), 1).as("first_token_u"),
+          array_min(transform(col("sh"),
+            x => TextFunctions.shingleBaseHash(x))).as("min_shingle_h"))
+    }),
+
+    // text: BPE merge learning over the MULTIBYTE u-corpus — the
+    // trainer's symbolize step (one space per CHARACTER) and the
+    // replace chain must agree across engines on text where a symbol
+    // can be a supplementary-plane code point. Same trainer, same
+    // unrolled-CTE oracle, only the corpus differs from t41.
+    "t46_utf8_bpe" -> ((s, d) =>
+      graft.text.BpeTrainer.learnMerges(
+        Tables.documents(s, d)
+          .select(col("doc_id"), utf8ify(col("text")).as("text")),
+        "text", 6)),
+
     // dedup: SemDeDup — semantic duplicates within IVF cells (cosine
     // vs an earlier-id vector in the same coarse cell); reuses the
     // materialized s04 centroids so the oracle replays the cells
@@ -1673,10 +1747,15 @@ object PipelineQueries {
       import graft.multimodal.Multimodal
       // spread BEFORE the synth: 4 real GIF frame decodes per doc are
       // the heaviest codec stage on the board, and the single-file
-      // source serializes them otherwise (measured 2.07 s → 0.89 s;
-      // the light codec gates m02/m05/m06/m08 measured WORSE with a
-      // spread — the shuffle outweighs their sub-second decode — so
-      // the spread stays gate-local, the d04 pattern)
+      // source serializes them otherwise (the light codec gates
+      // m02/m05/m06/m08 measured WORSE with a spread — the shuffle
+      // outweighs their sub-second decode — so the spread stays
+      // gate-local, the d04 pattern). NOTE on absolute time: frame
+      // dims are (1+n%48)x(1+7n%48) of the per-round testdata's
+      // n_chars draw, so the gate's cost moves with each testdata
+      // generation — r12 read 3.37 s where r11 read 0.50 s with BOTH
+      // sides moving together (ratio 1.84x); the r13 regeneration
+      // reads 0.83 s at ratio 1.03x (BENCH_NOTES r13)
       val gif = Multimodal.withGifPayload(spreadCpu(Tables.documents(s, d)),
         "doc_id", "text", "n_chars")
       Multimodal.sampleFrames(gif, 4).toDF()
@@ -2965,6 +3044,34 @@ object PipelineQueries {
 
     // the learned merges cross-joined into a per-doc apply replay
     "t42_bpe_apply" -> bpeApplyOracleSql(8, 6),
+
+    // the u-corpus (see Utf8ifySql) tokenized and shingled: length()
+    // counts code points, octet_length() counts UTF-8 bytes, and the
+    // shingle md5 hashes the bytes — all three must agree with Spark
+    // on 2-/3-/4-byte code points for any of the text family to be
+    // trusted on real-world text
+    "t43_utf8_text" ->
+      s"""WITH u AS (SELECT doc_id, $Utf8ifySql AS utext FROM documents),
+          t AS (SELECT doc_id, utext,
+            string_split_regex(trim(utext), '\\s+') AS words FROM u),
+          s AS (SELECT doc_id, utext, words,
+            list_transform(range(1, len(words) - 1),
+              i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS sh
+          FROM t)
+          SELECT doc_id, CAST(len(words) AS INT) AS n_tokens_u,
+            CAST(length(utext) AS BIGINT) AS n_chars_u,
+            CAST(strlen(utext) AS BIGINT) AS n_bytes_u,
+            words[1] AS first_token_u,
+            list_aggregate(list_transform(sh, x ->
+              CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % 1000000007),
+              'min') AS min_shingle_h
+          FROM s""",
+
+    // t41's unrolled-CTE replay over the u-corpus: the symbolize step
+    // (one space per CHARACTER) must split on code points, not bytes
+    // or UTF-16 units, in both engines
+    "t46_utf8_bpe" -> bpeOracleSql(6, 6, src = "u",
+      prefix = s"u AS (SELECT doc_id, $Utf8ifySql AS text FROM documents)"),
 
     // the d12 span machinery, then the REMOVAL applied: covered token
     // positions (the merged-interval union, as a distinct-position

@@ -317,13 +317,23 @@ object StreamingQueries {
       val hits = EventStreams.funnelStages(stream, "view", "click", "purchase")
       val landed = EventStreams.runToCompletion(s, hits, mode = "append")
       val counts = landed.groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
-      val tot = counts.filter(col("stage") === 1)
+      // the batch twin (e06) and the oracle ALWAYS emit 3 rows — a
+      // stage no user reached reports n_users = 0, it doesn't vanish.
+      // Landed hits only carry reached stages, so left-join the counts
+      // onto a literal 3-row stage frame; tot rides the joined frame
+      // (stage-1's coalesced count), so a zero-view corpus yields
+      // (0, 0, 0) counts with NULL conv_ppm on both engines (Spark
+      // DIV 0 and DuckDB // 0 are both NULL) instead of zero rows.
+      val stages = s.range(1, 4).select(col("id").cast("int").as("stage"),
+        when(col("id") === 1, "view").when(col("id") === 2, "click")
+          .otherwise("purchase").as("step"))
+      val full = stages.join(counts, Seq("stage"), "left")
+        .select(col("stage"), col("step"),
+          coalesce(col("n_users"), lit(0L)).as("n_users"))
+      val tot = full.filter(col("stage") === 1)
         .select(col("n_users").as("tot"))
-      counts.crossJoin(broadcast(tot))
-        .select(col("stage"),
-          when(col("stage") === 1, "view").when(col("stage") === 2, "click")
-            .otherwise("purchase").as("step"),
-          col("n_users"),
+      full.crossJoin(broadcast(tot))
+        .select(col("stage"), col("step"), col("n_users"),
           expr("CAST(n_users * 1000000 DIV tot AS BIGINT)").as("conv_ppm"))
     }),
 

@@ -87,6 +87,13 @@ final class AnnSession(index: DataFrame,
     require(k >= 1, s"k must be positive, got $k")
     require(poolSize >= k, s"poolSize ($poolSize) must be >= k ($k)")
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1], got $lambda")
+    // an oversized poolSize must fail naming ITSELF: past MaxDiverseRows
+    // the integer division below would floor maxQueries to 0 and reject
+    // every non-empty frame with a message blaming the frame size
+    require(poolSize <= AnnSession.MaxDiverseRows,
+      s"poolSize ($poolSize) exceeds the driver-side candidate cap " +
+        s"(${AnnSession.MaxDiverseRows} rows): even one query would " +
+        "collect more than the MMR contract allows — shrink poolSize")
     val maxQueries = AnnSession.MaxDiverseRows / poolSize
     // limit(cap+1).count() early-exits the scan — constant cost however
     // large the frame is, so the guard itself never pays corpus price

@@ -70,7 +70,7 @@ object Similarity {
     * estimate shortcut's safety margin must price it.
     */
   private def gated(derived: DataFrame, raw: DataFrame,
-                    fanout: Int = 1): DataFrame = {
+                    fanout: Int = 1, probeFree: Boolean = false): DataFrame = {
     // free short-circuit before any job: without CBO, size estimates
     // never shrink through FILTERS (a 5-row filter of a 100 GB corpus
     // estimates 100 GB — which is exactly what the count probe exists
@@ -84,6 +84,12 @@ object Similarity {
     val thresh = raw.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
     if (thresh > 0 && est * 8 * math.max(1, fanout) <= BigInt(thresh))
       return broadcast(derived)
+    // probe-free mode (the SQL TVF builder path, which must stay a
+    // pure plan constructor — a count-probe job at ANALYSIS time
+    // would make even EXPLAIN launch work): when the estimate
+    // shortcut misses, degrade to the un-hinted shuffle join instead
+    // of probing. Safe both ways — never an OOM hint, never a job.
+    if (probeFree) return derived
     val key = raw.queryExecution.analyzed
     // probe OUTSIDE the map's monitor: computeIfAbsent would hold the
     // global gate lock for the duration of a Spark job, serializing
@@ -175,7 +181,8 @@ object Similarity {
     */
   def bucketedTopK(corpus: DataFrame, queries: DataFrame,
                    idCol: String, vecCol: String, k: Int, bits: Int,
-                   multiProbe: Boolean = false): DataFrame = {
+                   multiProbe: Boolean = false,
+                   lazyBuild: Boolean = false): DataFrame = {
     val base = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       signBucket(col(vecCol), bits).as("bucket"))
     val probes =
@@ -184,11 +191,18 @@ object Similarity {
           col("bucket").bitwiseXOR(lit(1L << j)))
       else Seq(col("bucket"))
     val q = base.withColumn("probe", explode(array(probes: _*))).drop("bucket")
-    val c = spread(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      signBucket(col(vecCol), bits).as("probe")))
+    // lazyBuild (the SQL TVF path): builders run at ANALYSIS time and
+    // must only construct a plan — spread()'s partition-count probe
+    // forces physical planning and gated()'s count probe can launch a
+    // job, so both are skipped; the estimate-only broadcast decision
+    // inside gated(probeFree) still fires for genuinely-small frames
+    val corpusSel = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"), signBucket(col(vecCol), bits).as("probe"))
+    val c = if (lazyBuild) corpusSel else spread(corpusSel)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    c.join(gated(q, queries, fanout = if (multiProbe) bits + 1 else 1),
+    c.join(gated(q, queries, fanout = if (multiProbe) bits + 1 else 1,
+        probeFree = lazyBuild),
         Seq("probe"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))

@@ -206,8 +206,14 @@ object GraftAnnFunction {
       if (exprs.size == 5)
         (String.valueOf(litVal(exprs(3))), String.valueOf(litVal(exprs(4))))
       else ("vec_id", "embedding")
+    // lazyBuild: a TVF builder runs at analysis time and must stay a
+    // pure plan constructor (the graft_dedup discipline) — no
+    // partition probes, no count-probe jobs, EXPLAIN never launches
+    // work. Costs only the spread lift + probed broadcast decision;
+    // estimate-small query frames still broadcast.
     graft.similarity.Similarity
-      .bucketedTopK(corpus, queries, idCol, vecCol, k, bits = 4)
+      .bucketedTopK(corpus, queries, idCol, vecCol, k, bits = 4,
+        lazyBuild = true)
       .queryExecution.logical
   }
 
