@@ -110,10 +110,19 @@ object Dedup {
     */
   private[graft] def saltedBands(docs: DataFrame, idCol: String,
                                  textCol: String, k: Int, rowsPerBand: Int,
+                                 maxBucketSide: Int): DataFrame =
+    saltBuckets(bandedSignatures(docs, idCol, textCol, k, rowsPerBand),
+      maxBucketSide)
+
+  /** The hot-bucket salt applied to ANY (id, band_idx, band_key)
+    * frame — shared by the MinHash text leg and the perceptual-hash
+    * image leg, so the guard and its orientation lessons live once.
+    */
+  private[graft] def saltBuckets(banded: DataFrame,
                                  maxBucketSide: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("band_idx"), col("band_key"))
-    bandedSignatures(docs, idCol, textCol, k, rowsPerBand)
+    banded
       .withColumn("__s",
         ceil(count(lit(1)).over(w).cast("double") / maxBucketSide).cast("int"))
       .withColumn("__b", pmod(xxhash64(col("id")), col("__s")).cast("int"))
@@ -613,6 +622,59 @@ object Dedup {
     labels.unpersist()
     edges.unpersist()
     out
+  }
+
+  /** Perceptual-hash near-duplicate IMAGE pairs — the image leg of
+    * the dedup family over
+    * [[graft.multimodal.Multimodal.perceptualHashes]] output: pairs
+    * whose 64-bit dHash (as hi/lo unsigned 32-bit halves) differs in
+    * at most `maxHamming` bits.
+    *
+    * Scale shape (the d02/d04 discipline): the 64-bit hash splits
+    * into four 16-bit bands — pigeonhole: ≤ 3 differing bits leave at
+    * least one band identical — and candidates form by a band-keyed
+    * self-join, never all-pairs. Flat/synthetic corpora concentrate
+    * identical hashes into hot buckets (an all-gray corpus puts the
+    * WHOLE corpus at dh = 0), so the join rides the same
+    * [[saltBuckets]]/[[bandPairs]] guard as the MinHash leg: hot
+    * buckets split into id-hash blocks, pairs form per block-pair
+    * key, one fully-keyed COUNT window, no driver state. Quarantined
+    * rows (dh_hi < 0) are excluded up front — undecodable images
+    * must not pair with each other. Exact Hamming distance is then
+    * verified on the pair list (band collision is necessary, not
+    * sufficient).
+    */
+  def phashPairs(hashes: DataFrame, idCol: String,
+                 hiCol: String, loCol: String, maxHamming: Int,
+                 maxBucketSide: Int = 4096): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16-bit banding is complete only for maxHamming <= 3, got $maxHamming")
+    val h = hashes
+      .select(col(idCol).cast("long").as("id"),
+        col(hiCol).cast("long").as("hi"), col(loCol).cast("long").as("lo"))
+      .filter(col("hi") >= 0 && col("lo") >= 0)
+      .persist()
+    try {
+      val banded = h.select(col("id"), posexplode(array(
+          shiftright(col("hi"), 16).bitwiseAND(lit(0xffffL)),
+          col("hi").bitwiseAND(lit(0xffffL)),
+          shiftright(col("lo"), 16).bitwiseAND(lit(0xffffL)),
+          col("lo").bitwiseAND(lit(0xffffL)))))
+        .withColumnRenamed("pos", "band_idx")
+        .withColumnRenamed("col", "band_key")
+      val pairs = bandPairs(saltBuckets(banded, maxBucketSide))
+      pairs
+        .join(h.select(col("id").as("id_a"), col("hi").as("hi_a"),
+          col("lo").as("lo_a")), "id_a")
+        .join(h.select(col("id").as("id_b"), col("hi").as("hi_b"),
+          col("lo").as("lo_b")), "id_b")
+        .withColumn("hamming",
+          (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+            bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("int"))
+        .filter(col("hamming") <= maxHamming)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        .localCheckpoint()
+    } finally h.unpersist()
   }
 
   /** SimHash near-duplicate candidates: pairs whose 32-bit md5-SimHash

@@ -181,6 +181,76 @@ object Multimodal {
       .mapPartitions(it => it.grouped(batchSize).flatMap(decodeBatch))
   }
 
+  /** One perceptual image fingerprint: decoded dims plus the 64-bit
+    * difference hash split into two unsigned 32-bit halves (hi = grid
+    * rows 0–3, lo = rows 4–7) so neither engine ever needs the sign
+    * bit. (-1, -1) marks a quarantined (undecodable) payload.
+    */
+  case class PerceptualHash(id: Long, width: Int, height: Int,
+                            dh_hi: Long, dh_lo: Long)
+
+  /** Perceptual difference-hash (dHash) over the payload column — the
+    * image leg of the dedup family (near-identical rasters collide,
+    * distinct content does not). The hash is PURE INTEGER over the
+    * DECODED raster, so for a lossless codec an oracle replays it
+    * from the synthesis rule end-to-end:
+    *
+    *  - sample a 9×8 point grid: v(gy, gx) = band-0 sample at
+    *    (gx·w/9, gy·h/8), integer floor division (multi-band images
+    *    fingerprint band 0; the decode stage upstream normalizes) —
+    *    point sampling, not box averaging, so the rule is exactly
+    *    replayable with no rounding contract;
+    *  - bit (gy, gx in 0..7) set iff v(gy, gx+1) > v(gy, gx) — the
+    *    horizontal gradient signs, robust to uniform brightness and
+    *    scale shifts, the classic dHash property;
+    *  - packed row-major: dh_hi = rows 0–3 (32 bits), dh_lo =
+    *    rows 4–7.
+    *
+    * Decode is REAL (javax.imageio, PNG/JPEG sniffed like
+    * [[decodeFeatures]]); a payload that fails to decode quarantines
+    * to (0, 0, -1, -1) — the reject-sink shape, and
+    * [[graft.dedup.Dedup.phashPairs]] excludes quarantined rows so
+    * they can never pair with each other. Batched mapPartitions at
+    * the JVM codec boundary like every stage here.
+    */
+  def perceptualHashes(df: DataFrame,
+                       batchSize: Int = 64): Dataset[PerceptualHash] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("id"), coalesce(col("payload"),
+      lit(Array.emptyByteArray)).as("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map { case (id, bytes) =>
+        val decoded =
+          if (!isPng(bytes) && !isJpeg(bytes)) None
+          else try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes)))
+          catch { case scala.util.control.NonFatal(_) => None }
+        decoded match {
+          case None => PerceptualHash(id, 0, 0, -1L, -1L)
+          case Some(img) =>
+            val (w, h) = (img.getWidth, img.getHeight)
+            val raster = img.getRaster
+            val v = Array.tabulate(8, 9)((gy, gx) =>
+              raster.getSample(gx * w / 9, gy * h / 8, 0))
+            var hi = 0L
+            var lo = 0L
+            var gy = 0
+            while (gy < 8) {
+              var gx = 0
+              while (gx < 8) {
+                if (v(gy)(gx + 1) > v(gy)(gx)) {
+                  if (gy < 4) hi |= 1L << (gy * 8 + gx)
+                  else lo |= 1L << ((gy - 4) * 8 + gx)
+                }
+                gx += 1
+              }
+              gy += 1
+            }
+            PerceptualHash(id, w, h, hi, lo)
+        }
+      }))
+  }
+
   /** One resized image: the re-encoded payload plus its decoded dims. */
   case class ResizedImage(id: Long, payload: Array[Byte],
                           width: Int, height: Int)

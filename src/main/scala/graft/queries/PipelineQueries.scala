@@ -198,6 +198,34 @@ object PipelineQueries {
   private val Utf8ifySql =
     "replace(replace(replace(text, 'a', chr(225)), 'e', chr(8364)), 'o', chr(119848))"
 
+  /** Shared m11/d14 CTE: the dHash replayed from the PNG synthesis
+    * rule (pixel(x, y) = text byte (y·w + x) mod len; 9×8 point grid;
+    * horizontal gradient signs; hi = grid rows 0–3, lo = rows 4–7 —
+    * mirrors [[graft.multimodal.Multimodal.perceptualHashes]]
+    * bit-for-bit, which only holds because PNG is lossless).
+    * v is 1-based: v[gy·9 + gx + 1] is the sample at grid (gy, gx).
+    */
+  private val PhashSql =
+    """ph AS (
+       SELECT doc_id,
+         CAST(w AS INT) AS w, CAST(h AS INT) AS h,
+         CAST(list_sum(list_transform(range(0, 32), b ->
+           CASE WHEN v[(b // 8) * 9 + (b % 8) + 2] > v[(b // 8) * 9 + (b % 8) + 1]
+             THEN CAST(1 AS BIGINT) << b ELSE 0 END)) AS BIGINT) AS dh_hi,
+         CAST(list_sum(list_transform(range(0, 32), b ->
+           CASE WHEN v[(4 + b // 8) * 9 + (b % 8) + 2] > v[(4 + b // 8) * 9 + (b % 8) + 1]
+             THEN CAST(1 AS BIGINT) << b ELSE 0 END)) AS BIGINT) AS dh_lo
+       FROM (
+         SELECT doc_id, w, h,
+           list_transform(range(0, 72), k ->
+             CASE WHEN n = 0 THEN 0
+               ELSE ord(substr(text,
+                 CAST((((k // 9) * h // 8) * w + ((k % 9) * w // 9)) % n AS INT) + 1, 1))
+             END) AS v
+         FROM (SELECT doc_id, text, length(text) AS n,
+             1 + n_chars % 64 AS w, 1 + (n_chars * 7) % 64 AS h
+           FROM documents)))"""
+
   val queries: Map[String, Q] = Map(
     // text analysis: token counting
     "t01_token_count" -> ((s, d) => {
@@ -1735,6 +1763,34 @@ object PipelineQueries {
       Multimodal.decodeFeatures(mixed).toDF()
         .join(codec, "id")
         .select(col("id"), col("codec"), col("width"), col("height"))
+    }),
+
+    // multimodal: PERCEPTUAL HASH — dHash over the really-decoded PNG
+    // rasters (9×8 point grid, horizontal gradient signs, two 32-bit
+    // halves). PNG is lossless, so the oracle replays the whole
+    // decode → sample → hash chain from the synthesis rule: a single
+    // wrong pixel anywhere in the codec path flips gradient bits and
+    // hash-mismatches.
+    "m11_phash" -> ((s, d) => {
+      import graft.multimodal.Multimodal
+      val png = Multimodal.withPngPayload(Tables.documents(s, d),
+        "doc_id", "text", "n_chars")
+      Multimodal.perceptualHashes(png).toDF()
+        .select(col("id"), col("width"), col("height"),
+          col("dh_hi"), col("dh_lo"))
+    }),
+
+    // dedup: IMAGE near-duplicate pairs — the m11 fingerprints through
+    // the banded-Hamming self-join (4×16-bit bands, hot-bucket
+    // guarded, the d02/d04 scaffold). The oracle computes plain
+    // all-pairs Hamming ≤ 2 over its replayed hashes, so matching it
+    // proves the banding is COMPLETE (pigeonhole) as well as correct.
+    "d14_phash_pairs" -> ((s, d) => {
+      import graft.multimodal.Multimodal
+      val png = Multimodal.withPngPayload(Tables.documents(s, d),
+        "doc_id", "text", "n_chars")
+      Dedup.phashPairs(Multimodal.perceptualHashes(png).toDF(),
+        "id", "dh_hi", "dh_lo", maxHamming = 2)
     }),
 
     // multimodal: REAL multi-frame (video-style) decode — each document
@@ -3643,6 +3699,25 @@ object PipelineQueries {
             CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + ((n_chars * 7) % 64)
                  ELSE 1 + ((n_chars * 11) % 56) END AS INT) AS height
           FROM documents""",
+
+    // the dHash replayed pixel-by-pixel from the synthesis rule (PNG
+    // is lossless): any codec defect flips gradient-sign bits
+    "m11_phash" ->
+      s"""WITH $PhashSql
+          SELECT doc_id AS id, w AS width, h AS height, dh_hi, dh_lo
+          FROM ph""",
+
+    // plain ALL-PAIRS Hamming <= 2 over the replayed hashes — the
+    // Spark side goes through the banded self-join, so the match also
+    // proves the 4x16-bit banding is complete (pigeonhole)
+    "d14_phash_pairs" ->
+      s"""WITH $PhashSql
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(bit_count(xor(a.dh_hi, b.dh_hi)) +
+                 bit_count(xor(a.dh_lo, b.dh_lo)) AS INT) AS hamming
+          FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.dh_hi, b.dh_hi)) +
+                bit_count(xor(a.dh_lo, b.dh_lo)) <= 2""",
 
     // JPEGs are generated at (1 + n%56) × (1 + 11n%56); the codec is
     // lossy so only the geometry replays — Spark's result carries what

@@ -225,6 +225,53 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("perceptual hash: near-identical images collide, distinct don't, corrupt quarantines") {
+    def pngOf(fill: (Int, Int) => Int, w: Int = 40, h: Int = 24): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      (0 until h).foreach(y => (0 until w).foreach(x =>
+        img.getRaster.setSample(x, y, 0, fill(x, y) & 0xff)))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    // A: a horizontal gradient; B: the same gradient with one pixel
+    // nudged (off the 9×8 sample grid it is INVISIBLE to dHash; on
+    // the grid it flips at most a couple of gradient signs); C: the
+    // reversed gradient — every horizontal sign flips
+    val a = pngOf((x, _) => x * 6)
+    val b = pngOf((x, y) => if (x == 3 && y == 3) x * 6 + 40 else x * 6)
+    val c = pngOf((x, _) => (39 - x) * 6)
+    val bad = "not an image".getBytes("UTF-8")
+    val df = Seq((1L, a), (2L, b), (3L, c), (4L, bad)).toDF("id", "payload")
+    val hashes = Multimodal.perceptualHashes(df).collect().sortBy(_.id).toSeq
+    assert(hashes.map(_.id) == Seq(1L, 2L, 3L, 4L))
+    val byId = hashes.map(h => h.id -> h).toMap
+    // quarantine shape: undecodable → (0, 0, -1, -1)
+    assert(byId(4L).dh_hi == -1L && byId(4L).dh_lo == -1L &&
+      byId(4L).width == 0)
+    // gradient hashes: A ascending → horizontal sign bits mostly set;
+    // C descending → mostly clear; hamming(A, C) must be large
+    def ham(x: Multimodal.PerceptualHash, y: Multimodal.PerceptualHash) =
+      java.lang.Long.bitCount(x.dh_hi ^ y.dh_hi) +
+        java.lang.Long.bitCount(x.dh_lo ^ y.dh_lo)
+    assert(ham(byId(1L), byId(2L)) <= 2,
+      s"near-identical images must collide, hamming=${ham(byId(1L), byId(2L))}")
+    assert(ham(byId(1L), byId(3L)) > 20,
+      s"reversed gradient must be far, hamming=${ham(byId(1L), byId(3L))}")
+    // the pair operator: A–B pairs, C and the quarantined row don't
+    val pairs = graft.dedup.Dedup.phashPairs(
+      Multimodal.perceptualHashes(df).toDF(), "id", "dh_hi", "dh_lo",
+      maxHamming = 2).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)),
+      s"expected exactly the (1,2) pair, got ${pairs.mkString(",")}")
+    // two quarantined rows never pair with each other
+    val quarantined = Seq((7L, bad), (8L, bad)).toDF("id", "payload")
+    assert(graft.dedup.Dedup.phashPairs(
+      Multimodal.perceptualHashes(quarantined).toDF(), "id", "dh_hi", "dh_lo",
+      maxHamming = 2).isEmpty)
+  }
+
   test("frame sampling: n rows per payload, empty payload included") {
     val df = Seq((1L, "some video bytes"), (2L, "")).toDF("doc_id", "text")
     val p = Multimodal.withPayload(df, "doc_id", "text")
