@@ -266,6 +266,40 @@ object TextFunctions {
           % ClassifierMod - lit(1000L)),
       lit(0L), (acc, x) => acc + x)
 
+  /** PII span patterns — the redaction stage every public
+    * training-data pipeline runs before release (C4 / Dolma / RedPajama
+    * all regex-scrub emails, phone numbers and IPs at minimum).
+    * Deliberately RE2-compatible (no lookaround, no backreferences,
+    * character classes spelled as [0-9] not \d) so the DuckDB oracle
+    * replays the IDENTICAL pattern text verbatim.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val Ipv4Pattern = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** Count of matches of one PII pattern (full-match group 0 — Spark's
+    * regexp_extract_all defaults to group 1, DuckDB's to 0; pinning 0
+    * keeps both engines on the whole span). Codegen'd, in-row.
+    */
+  def piiCount(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0)))
+
+  /** Redact all PII spans: each matched span is replaced by its typed
+    * placeholder, non-overlapping left-to-right (the regex engine's
+    * documented semantics in both engines — the t40 interval-union
+    * discipline comes free because a regex scan IS a left-to-right
+    * non-overlapping span walk). Pass ORDER is part of the contract:
+    * emails first (an email body can contain digit runs and dotted
+    * quads — the whole span must become [EMAIL] before the narrower
+    * patterns see it), then phones, then IPs.
+    */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailPattern, "[EMAIL]"),
+        PhonePattern, "[PHONE]"),
+      Ipv4Pattern, "[IP]")
+
   /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
     * SIGMOD 2003 — the MOSS local document-fingerprinting algorithm):
     * over the per-position gram fingerprints `fps` (stage

@@ -198,6 +198,49 @@ object PipelineQueries {
   private val Utf8ifySql =
     "replace(replace(replace(text, 'a', chr(225)), 'e', chr(8364)), 'o', chr(119848))"
 
+  /** The t45 oracle: [[graft.text.ClassifierTrainer.trainPerceptron]]
+    * unrolled into `rounds` static CTE stages — round i scores every
+    * train doc against w_{i−1}, the misclassified set (y·s <= 0)
+    * contributes the batch update, and the final stage emits the
+    * D-row model plus the (-1, accuracy_ppm) summary row. All
+    * integer, so the hash compare is bit-exact.
+    */
+  private def perceptronOracleSql(buckets: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH docs0 AS (SELECT doc_id, $W AS words FROM documents
+         WHERE ${splitSql("doc_id")} = 'train'),
+       lab AS (SELECT doc_id,
+         CASE WHEN len(list_filter(words, w -> w IN $enMarkers)) >= 2
+           THEN 1 ELSE -1 END AS y FROM docs0),
+       f AS (SELECT d.doc_id, lab.y,
+           CAST((CAST('0x' || substr(md5(w), 1, 15) AS BIGINT)
+             % 1000000007) % $buckets AS INT) AS b, COUNT(*) AS cnt
+         FROM (SELECT doc_id, unnest(words) AS w FROM docs0) d
+         JOIN lab USING (doc_id) GROUP BY 1, 2, 3),
+       w0 AS (SELECT CAST(r AS INT) AS bucket, CAST(0 AS BIGINT) AS w
+         FROM range(0, $buckets) t(r))"""
+    for (i <- 1 to rounds) {
+      val prev = s"w${i - 1}"
+      sb ++= s""",
+       s$i AS (SELECT f.doc_id, f.y, SUM($prev.w * f.cnt) AS s
+         FROM f JOIN $prev ON $prev.bucket = f.b GROUP BY 1, 2),
+       m$i AS (SELECT doc_id FROM s$i WHERE y * s <= 0),
+       u$i AS (SELECT f.b, SUM(f.y * f.cnt) AS d FROM f
+         JOIN m$i USING (doc_id) GROUP BY f.b),
+       w$i AS (SELECT $prev.bucket, $prev.w + COALESCE(u$i.d, 0) AS w
+         FROM $prev LEFT JOIN u$i ON u$i.b = $prev.bucket)"""
+    }
+    sb ++= s""",
+       sf AS (SELECT f.doc_id, f.y, SUM(w$rounds.w * f.cnt) AS s
+         FROM f JOIN w$rounds ON w$rounds.bucket = f.b GROUP BY 1, 2),
+       acc AS (SELECT CAST(SUM(CASE WHEN y * s > 0 THEN 1 ELSE 0 END)
+           * 1000000 // COUNT(*) AS BIGINT) AS a FROM sf)
+       SELECT CAST(bucket AS INT) AS bucket, CAST(w AS BIGINT) AS weight
+       FROM w$rounds
+       UNION ALL SELECT CAST(-1 AS INT), a FROM acc"""
+    sb.toString
+  }
+
   /** Shared m11/d14 CTE: the dHash replayed from the PNG synthesis
     * rule (pixel(x, y) = text byte (y·w + x) mod len; 9×8 point grid;
     * horizontal gradient signs; hi = grid rows 0–3, lo = rows 4–7 —
@@ -1354,6 +1397,60 @@ object PipelineQueries {
         .map(r => (r.getString(1), r.getString(2))).toSeq
       graft.text.BpeTrainer.applyMerges(spreadCpu(docs), "doc_id", "text",
         merges)
+    }),
+
+    // text: TRAIN the quality classifier in-engine — t33 applies fixed
+    // hashed-linear weights; this learns them: a batch perceptron over
+    // the hashing-trick feature space (labels = the en-marker signal
+    // on the 'train' split — directly present in the features, so the
+    // model demonstrably learns). One corpus tokenization into the
+    // cached (doc, bucket, cnt) frame; each round is an in-row scoring
+    // pass (weights ride as a D-element literal — no join) plus one
+    // bucket-keyed agg collecting exactly D rows. Emits the D-row
+    // model + (-1, train-accuracy ppm).
+    "t45_train_classifier" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(splitOf(col("doc_id")) === "train")
+      graft.text.ClassifierTrainer.trainPerceptron(docs, "doc_id", "text",
+        when(TextFunctions.langScore(col("text"), "en") >= 2, 1L)
+          .otherwise(-1L),
+        buckets = 256, rounds = 3)
+    }),
+
+    // text: PII SCRUBBING — the mandatory redaction stage of every
+    // public training-data release (C4/Dolma-style regex scrub):
+    // emails, phone numbers and IPv4s detected in-row
+    // (regexp_extract_all, group 0 — Catalyst-native, no UDF) and
+    // clipped to typed placeholders with the regex engine's
+    // left-to-right non-overlapping span walk (the t40 interval
+    // discipline, for free). The corpus carries no PII by contract,
+    // so the gate PLANTS it deterministically (doc_id-derived spans
+    // both engines synthesize identically) — clean docs must pass
+    // through byte-identical, planted docs must come back clipped.
+    "t44_pii_scrub" -> ((s, d) => {
+      val planted = Tables.documents(s, d).select(col("doc_id"), concat(
+        col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" reach user"), col("doc_id").cast("string"),
+            lit("@example.com now"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+            lit("."), ((col("doc_id") * 7) % 256).cast("string"),
+            lit("."), ((col("doc_id") * 13) % 256).cast("string")))
+          .otherwise(lit(""))).as("text"))
+      planted.select(col("doc_id"),
+        TextFunctions.piiCount(col("text"), TextFunctions.EmailPattern)
+          .as("n_emails"),
+        TextFunctions.piiCount(col("text"), TextFunctions.PhonePattern)
+          .as("n_phones"),
+        TextFunctions.piiCount(col("text"), TextFunctions.Ipv4Pattern)
+          .as("n_ips"),
+        TextFunctions.redactPii(col("text")).as("redacted"))
     }),
 
     // text: UTF-8 MULTIBYTE hardening — tokenization, code-point vs
@@ -3100,6 +3197,39 @@ object PipelineQueries {
 
     // the learned merges cross-joined into a per-doc apply replay
     "t42_bpe_apply" -> bpeApplyOracleSql(8, 6),
+
+    // the perceptron replayed as 3 unrolled rounds of score → miss →
+    // batch-update CTEs; integer arithmetic end to end
+    "t45_train_classifier" -> perceptronOracleSql(256, 3),
+
+    // the planted-PII corpus replayed with the IDENTICAL RE2-safe
+    // patterns (verbatim from TextFunctions) and the same
+    // email → phone → IP redaction pass order; 'g' matches Spark's
+    // replace-all semantics
+    "t44_pii_scrub" -> {
+      val em = TextFunctions.EmailPattern
+      val ph = TextFunctions.PhonePattern
+      val ip = TextFunctions.Ipv4Pattern
+      s"""WITH p AS (SELECT doc_id, text ||
+            CASE WHEN doc_id % 7 = 0 THEN ' reach user' ||
+              CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END ||
+            CASE WHEN doc_id % 5 = 0 THEN ' call 555-' ||
+              lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+              lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+            CASE WHEN doc_id % 3 = 0 THEN ' from 10.' ||
+              CAST(doc_id % 256 AS VARCHAR) || '.' ||
+              CAST((doc_id * 7) % 256 AS VARCHAR) || '.' ||
+              CAST((doc_id * 13) % 256 AS VARCHAR) ELSE '' END AS text
+          FROM documents)
+          SELECT doc_id,
+            CAST(len(regexp_extract_all(text, '$em')) AS INT) AS n_emails,
+            CAST(len(regexp_extract_all(text, '$ph')) AS INT) AS n_phones,
+            CAST(len(regexp_extract_all(text, '$ip')) AS INT) AS n_ips,
+            regexp_replace(regexp_replace(regexp_replace(text,
+              '$em', '[EMAIL]', 'g'), '$ph', '[PHONE]', 'g'),
+              '$ip', '[IP]', 'g') AS redacted
+          FROM p"""
+    },
 
     // the u-corpus (see Utf8ifySql) tokenized and shingled: length()
     // counts code points, octet_length() counts UTF-8 bytes, and the

@@ -94,6 +94,11 @@ class TestdataContractSpec extends AnyFunSuite {
     // ASCII-only contract) — equal only at one byte per char. A
     // regenerated corpus with multi-byte text must fail HERE with the
     // contract named, not as m02/m05/m06 hash mismatches.
+    // NOTE (r13): this pins the RAW testdata only. Multibyte coverage
+    // for the text family comes from the DERIVED u-corpus — t43/t46
+    // substitute 2-/3-/4-byte code points in-gate (PipelineQueries
+    // .utf8ify) and are oracle-gated on it, so "ASCII testdata" no
+    // longer means "UTF-8 untested".
     import org.apache.spark.sql.functions.{col, length, octet_length}
     val nonAscii = Tables.documents(spark, TestSpark.sf)
       .filter(length(col("text")) =!= octet_length(col("text")))
