@@ -2030,6 +2030,32 @@ object PipelineQueries {
     })
   )
 
+  /** Stable root for gate-fixture index TABLES (bm25/bigram/ivfpq):
+    * `/tmp/graft_fixtures/<dataset>/<name>`, deleted and rebuilt on
+    * first use per (dataset, session) — the graft_buckets discipline.
+    * NOT pid-qualified: these tables are read only by Spark inside
+    * the same session (never by the DuckDB oracle, which replays them
+    * logically), so a stable path cannot leak staleness — the
+    * BuildOnce key forces a fresh build per session and the reset
+    * clears whatever a previous process left. This is what keeps
+    * repeated harness runs from accumulating orphan `/tmp/graft_*_
+    * <pid>` roots (r12 ADVICE). The quantizer side FILES above stay
+    * pid-qualified on purpose: the oracle reads them AFTER this JVM
+    * exits, so they must survive, and the pid guards replay
+    * staleness.
+    */
+  private def fixtureTableRoot(d: String, name: String): String = {
+    val root = s"/tmp/graft_fixtures/${d.replace('/', '_')}/$name"
+    val p = java.nio.file.Paths.get(root)
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.delete(f))
+      finally walk.close()
+    }
+    root
+  }
+
   /** Per-run materialization path for the IVF quantizer (s04): written
     * by the Spark query, read back by the DuckDB oracle. The path is
     * pid-qualified so (a) concurrent bench/correctness runs cannot race
@@ -2106,10 +2132,11 @@ object PipelineQueries {
   /** Build-once-per-(dataset, session) materialized IVF-PQ index: the
     * encode pass lands in a SegmentedTable PARTITIONED BY CELL (rows
     * of one coarse cell co-locate in one file, so a probe of nprobe
-    * cells reads nprobe file groups, not the whole index). Per-run
-    * pid-qualified path — same staleness contract as the quantizer
-    * side tables: an index from a previous process (whose k-means fit
-    * this run did not produce) can never be silently reused.
+    * cells reads nprobe file groups, not the whole index). Stable
+    * [[fixtureTableRoot]] path, reset and rebuilt per (dataset,
+    * session): an index from a previous process (whose k-means fit
+    * this run did not produce) can never be silently reused, and
+    * repeated harness runs never accumulate orphan roots.
     */
   private val ivfPqIndexes =
     new graft.util.BuildOnce[graft.table.SegmentedTable]
@@ -2119,8 +2146,7 @@ object PipelineQueries {
     ivfPqIndexes.getOrElseUpdate(s"$d|${s.sparkContext.applicationId}", {
       val rows = Similarity.ivfPqIndexRows(emb, "vec_id", "embedding",
         centroidsFor(s, d, emb), codebooksFor(s, d, emb), 4, 16)
-      val root = s"/tmp/graft_ivfpq_index_${ProcessHandle.current().pid()}/" +
-        d.replace('/', '_')
+      val root = fixtureTableRoot(d, "ivfpq_index")
       val t = graft.table.SegmentedTable.create(s, root, rows.schema,
         Map("partition_columns" -> "cell", "sort_columns" -> "neighbor_id"))
       t.load(rows)
@@ -2144,8 +2170,7 @@ object PipelineQueries {
     ivfPqIncr.getOrElseUpdate(s"$d|${s.sparkContext.applicationId}", {
       val cents = centroidsFor(s, d, emb)
       val cbs = codebooksFor(s, d, emb)
-      val root = s"/tmp/graft_ivfpq_incr_${ProcessHandle.current().pid()}/" +
-        d.replace('/', '_')
+      val root = fixtureTableRoot(d, "ivfpq_incr")
       val seedRows = Similarity.ivfPqIndexRows(
         emb.filter(col("vec_id") % 3 =!= 0), "vec_id", "embedding",
         cents, cbs, 4, 16)
@@ -2186,8 +2211,7 @@ object PipelineQueries {
           .as("bigram"))
         .groupBy(col("bigram"), col("doc_id"))
         .agg(count(lit(1)).as("tf"))
-      val root = s"/tmp/graft_bigram_index_${ProcessHandle.current().pid()}/" +
-        d.replace('/', '_')
+      val root = fixtureTableRoot(d, "bigram_index")
       val t = graft.table.SegmentedTable.create(s, root, rows.schema,
         Map("partition_columns" -> "bigram",
           "sort_columns" -> "bigram,doc_id"))
@@ -2225,8 +2249,7 @@ object PipelineQueries {
       val rows = tf.join(df_, "token").crossJoin(broadcast(stats))
         .select(col("token"), col("doc_id"), col("tf"), col("dl"),
           col("df"), col("n_docs"), col("sum_dl"))
-      val root = s"/tmp/graft_bm25_index_${ProcessHandle.current().pid()}/" +
-        d.replace('/', '_')
+      val root = fixtureTableRoot(d, "bm25_index")
       val t = graft.table.SegmentedTable.create(s, root, rows.schema,
         Map("partition_columns" -> "token",
           "sort_columns" -> "token,doc_id"))
