@@ -1548,27 +1548,8 @@ object PipelineQueries {
     // window (lag-gap flags + running sum = session ids), one
     // (user, session) agg, one user agg — every shuffle keyed, and
     // durations are integral ms so the figures replay exactly.
-    "e07_sessionize" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
-      val gapNs = 30L * 60L * 1000000000L
-      val flagged = Tables.events(s, d).select(col("user_id"), col("ts"))
-        .withColumn("__prev", lag(col("ts"), 1).over(w))
-        .withColumn("__new",
-          when(col("__prev").isNull || col("ts") - col("__prev") > gapNs, 1L)
-            .otherwise(0L))
-        .withColumn("sid", sum(col("__new"))
-          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      flagged.groupBy(col("user_id"), col("sid"))
-        .agg(count(lit(1)).as("n_events"),
-          min(col("ts")).as("mn"), max(col("ts")).as("mx"))
-        .select(col("user_id"), col("n_events"),
-          expr("CAST((mx - mn) DIV 1000000 AS BIGINT)").as("dur_ms"))
-        .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_sessions"),
-          max(col("n_events")).as("max_events"),
-          max(col("dur_ms")).as("max_dur_ms"))
-    }),
+    "e07_sessionize" -> ((s, d) =>
+      graft.events.EventAnalytics.sessionize(Tables.events(s, d), 30)),
 
     // events: ORDERED FUNNEL — strict first-occurrence conversion
     // view → click → purchase: a user converts stage 2 only with a
@@ -1579,30 +1560,9 @@ object PipelineQueries {
     // chained by user-keyed joins, each stage's frame shrinking to
     // its converters; the closing totals join is a broadcast of a
     // 1-row count (the e04 discipline). Exact integer ppm.
-    "e06_funnel" -> ((s, d) => {
-      val e = Tables.events(s, d)
-        .select(col("user_id"), col("ts"), col("event_type"))
-      val ta = e.filter(col("event_type") === "view")
-        .groupBy(col("user_id")).agg(min(col("ts")).as("ta"))
-      val tb = e.filter(col("event_type") === "click")
-        .join(ta, "user_id").filter(col("ts") > col("ta"))
-        .groupBy(col("user_id")).agg(min(col("ts")).as("tb"))
-      val tc = e.filter(col("event_type") === "purchase")
-        .join(tb, "user_id").filter(col("ts") > col("tb"))
-        .groupBy(col("user_id")).agg(min(col("ts")).as("tc"))
-      def stage(df: org.apache.spark.sql.DataFrame, n: Int,
-                step: String) =
-        df.agg(count(lit(1)).as("n_users"))
-          .select(lit(n).as("stage"), lit(step).as("step"),
-            col("n_users"))
-      val stages = stage(ta, 1, "view")
-        .unionByName(stage(tb, 2, "click"))
-        .unionByName(stage(tc, 3, "purchase"))
-      val tot = ta.agg(count(lit(1)).as("tot"))
-      stages.crossJoin(broadcast(tot))
-        .select(col("stage"), col("step"), col("n_users"),
-          expr("CAST(n_users * 1000000 DIV tot AS BIGINT)").as("conv_ppm"))
-    }),
+    "e06_funnel" -> ((s, d) =>
+      graft.events.EventAnalytics.funnel(Tables.events(s, d),
+        "view", "click", "purchase")),
 
     // events: INTER-ARRIVAL latency distribution — per event type, the
     // exact P50/P95/min/max of the gap since the user's previous event

@@ -88,6 +88,10 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
       GraftDedupFunction.info, GraftDedupFunction.builder))
     e.injectTableFunction((FunctionIdentifier("graft_ann"),
       GraftAnnFunction.info, GraftAnnFunction.builder))
+    e.injectTableFunction((FunctionIdentifier("graft_funnel"),
+      GraftFunnelFunction.info, GraftFunnelFunction.builder))
+    e.injectTableFunction((FunctionIdentifier("graft_sessionize"),
+      GraftSessionizeFunction.info, GraftSessionizeFunction.builder))
   }
 }
 
@@ -345,6 +349,91 @@ object GraftTableFunction {
   def ensureRegistered(spark: SparkSession): Unit =
     spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier("graft_table"), info, builder)
+}
+
+/** `graft_funnel('<table-or-path>', '<s1>', '<s2>', '<s3>')` — the
+  * strict first-occurrence ordered funnel
+  * ([[graft.events.EventAnalytics.funnel]]) as a FROM-able table
+  * function. The source needs (user_id, ts, event_type); ts
+  * normalizes through the event-time portability boundary, so any
+  * supported parquet encoding works:
+  *
+  *   SELECT * FROM graft_funnel('/data/events.parquet',
+  *     'view', 'click', 'purchase')
+  *
+  * Always 3 rows (stage, step, n_users, conv_ppm) — a stage nobody
+  * reached reports 0. Pure plan constructor (the lazy-builder
+  * discipline): the broadcast totals hint is plan-only.
+  */
+object GraftFunnelFunction {
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  private[sql] val info = new ExpressionInfo("graft", null, "graft_funnel",
+    "strict first-occurrence 3-stage conversion funnel over an events " +
+      "source: (stage, step, n_users, conv_ppm), always 3 rows",
+    "", "", "", "", "", "", "built-in")
+
+  private[sql] val builder: Seq[Expression] => LogicalPlan = exprs => {
+    require(exprs.size == 4,
+      "usage: graft_funnel('<events>', '<stage1>', '<stage2>', '<stage3>')")
+    def litVal(e: Expression): Any = {
+      require(e.foldable, s"graft_funnel arguments must be literals, got: $e")
+      e.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+    }
+    val spark = SparkSession.active
+    val events = graft.Tables.normalizeEventTs(
+      GraftTvfSource.resolve(spark, String.valueOf(litVal(exprs.head))))
+    graft.events.EventAnalytics.funnel(events,
+        String.valueOf(litVal(exprs(1))), String.valueOf(litVal(exprs(2))),
+        String.valueOf(litVal(exprs(3))))
+      .queryExecution.logical
+  }
+
+  /** Runtime registration — see [[GraftTableFunction.ensureRegistered]]. */
+  def ensureRegistered(spark: SparkSession): Unit =
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_funnel"), info, builder)
+}
+
+/** `graft_sessionize('<table-or-path>'[, <gap_minutes>])` — gap-based
+  * batch sessionization
+  * ([[graft.events.EventAnalytics.sessionize]]) as a FROM-able table
+  * function; default gap 30 minutes:
+  *
+  *   SELECT * FROM graft_sessionize('events_view', 45)
+  *   SELECT AVG(n_sessions) FROM graft_sessionize('/data/events.parquet')
+  *
+  * Emits (user_id, n_sessions, max_events, max_dur_ms).
+  */
+object GraftSessionizeFunction {
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  private[sql] val info = new ExpressionInfo("graft", null, "graft_sessionize",
+    "per-user gap-based sessions over an events source: " +
+      "(user_id, n_sessions, max_events, max_dur_ms)",
+    "", "", "", "", "", "", "built-in")
+
+  private[sql] val builder: Seq[Expression] => LogicalPlan = exprs => {
+    require(exprs.size == 1 || exprs.size == 2,
+      "usage: graft_sessionize('<events>'[, <gap_minutes>])")
+    def litVal(e: Expression): Any = {
+      require(e.foldable,
+        s"graft_sessionize arguments must be literals, got: $e")
+      e.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+    }
+    val spark = SparkSession.active
+    val events = graft.Tables.normalizeEventTs(
+      GraftTvfSource.resolve(spark, String.valueOf(litVal(exprs.head))))
+    val gap =
+      if (exprs.size == 2) String.valueOf(litVal(exprs(1))).toInt else 30
+    graft.events.EventAnalytics.sessionize(events, gap)
+      .queryExecution.logical
+  }
+
+  /** Runtime registration — see [[GraftTableFunction.ensureRegistered]]. */
+  def ensureRegistered(spark: SparkSession): Unit =
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_sessionize"), info, builder)
 }
 
 /** SQL registration of the library's custom expressions so the whole

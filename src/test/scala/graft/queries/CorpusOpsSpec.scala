@@ -292,6 +292,49 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("k must be positive"))
   }
 
+  // --- graft_funnel / graft_sessionize TVFs ---
+
+  test("graft_funnel is FROM-able in SQL and matches the DataFrame API") {
+    val viaSql = spark.sql(
+      s"SELECT * FROM graft_funnel('$sf/events.parquet', " +
+        "'view', 'click', 'purchase')")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    val viaApi = graft.events.EventAnalytics.funnel(
+      graft.Tables.events(spark, sf), "view", "click", "purchase")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    assert(viaSql == viaApi && viaSql.size == 3)
+  }
+
+  test("graft_sessionize is FROM-able in SQL, honors the gap argument") {
+    val viaSql = spark.sql(
+      s"SELECT * FROM graft_sessionize('$sf/events.parquet')")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaApi = graft.events.EventAnalytics.sessionize(
+      graft.Tables.events(spark, sf), 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaSql == viaApi && viaSql.nonEmpty)
+    // a tighter gap can only split sessions — total count non-decreasing
+    val tight = spark.sql(
+      s"SELECT SUM(n_sessions) FROM graft_sessionize('$sf/events.parquet', 5)")
+      .collect()(0).getLong(0)
+    val loose = spark.sql(
+      s"SELECT SUM(n_sessions) FROM graft_sessionize('$sf/events.parquet', 30)")
+      .collect()(0).getLong(0)
+    assert(tight >= loose)
+  }
+
+  test("graft_funnel / graft_sessionize reject bad arity with their usage lines") {
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_funnel('$sf/events.parquet')").collect()
+    }
+    assert(e.getMessage.contains("graft_funnel"))
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_sessionize('$sf/events.parquet', 1, 2)")
+        .collect()
+    }
+    assert(e2.getMessage.contains("graft_sessionize"))
+  }
+
   // --- e06 funnel ---
 
   test("e06: stages are monotone non-increasing, ppm exact, strict ordering enforced") {
