@@ -1850,6 +1850,20 @@ object PipelineQueries {
         "id", "dh_hi", "dh_lo", maxHamming = 2)
     }),
 
+    // dedup: IMAGE near-dup CLUSTERS — d14's pair graph through the
+    // shared min-label-propagation components (the d05 machinery), so
+    // a burst of re-encodes of one image collapses to one
+    // representative. The oracle closes the same pair list with a
+    // recursive CTE.
+    "d15_phash_clusters" -> ((s, d) => {
+      import graft.multimodal.Multimodal
+      val png = Multimodal.withPngPayload(Tables.documents(s, d),
+        "doc_id", "text", "n_chars")
+      val pairs = Dedup.phashPairs(Multimodal.perceptualHashes(png).toDF(),
+        "id", "dh_hi", "dh_lo", maxHamming = 2)
+      Dedup.nearDupClusters(pairs)
+    }),
+
     // multimodal: REAL multi-frame (video-style) decode — each document
     // becomes a real animated GIF (2 + n%5 frames of (1+n%48)×(1+7n%48));
     // sampleFrames seeks 4 evenly-spaced frames and DECODES them via
@@ -3831,6 +3845,23 @@ object PipelineQueries {
           FROM ph a JOIN ph b ON a.doc_id < b.doc_id
           WHERE bit_count(xor(a.dh_hi, b.dh_hi)) +
                 bit_count(xor(a.dh_lo, b.dh_lo)) <= 2""",
+
+    // the d14 pair list transitively closed with a recursive CTE —
+    // the d05 component discipline on the image leg
+    "d15_phash_clusters" ->
+      s"""WITH RECURSIVE $PhashSql,
+          pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.dh_hi, b.dh_hi)) +
+                  bit_count(xor(a.dh_lo, b.dh_lo)) <= 2),
+          edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+          reach(src, dst) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+          SELECT src AS doc_id, LEAST(src, MIN(dst)) AS rep
+          FROM reach GROUP BY src""",
 
     // JPEGs are generated at (1 + n%56) × (1 + 11n%56); the codec is
     // lossy so only the geometry replays — Spark's result carries what
