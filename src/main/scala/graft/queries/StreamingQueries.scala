@@ -442,11 +442,38 @@ object StreamingQueries {
           val t = graft.table.SegmentedTable.fresh(s, root, li.schema,
             Map("sort_columns" -> "l_orderkey"))
           t.load(li.filter(col("l_orderkey") % 2 === 0))
-          val sink = s"graft_st11_${math.abs(d.hashCode)}"
+          // land the feed through foreachBatch into a parquet staging
+          // dir as the NARROW netting projection (delta + two row
+          // fingerprints + the consumed columns) — NEVER a memory
+          // sink: a CDC feed is corpus-scale, and collecting it to
+          // the driver is exactly the anti-pattern the r13 sf1
+          // scaling run caught (memory-sink form OOM'd the driver at
+          // 6M lineitem rows). Each micro-batch writes its own
+          // files; the driver holds nothing.
+          val stage = java.nio.file.Paths.get(
+            s"/tmp/graft_stream_src/${d.replace('/', '_')}/cdc_feed_stage")
+          if (java.nio.file.Files.exists(stage)) {
+            val walk = java.nio.file.Files.walk(stage)
+            try walk.sorted(java.util.Comparator.reverseOrder())
+              .forEach(f => java.nio.file.Files.delete(f))
+            finally walk.close()
+          }
+          val dataCols = li.columns
           val q = s.readStream.format("graft")
             .option("readChangeFeed", "true").load(root)
-            .writeStream.outputMode("append").format("memory")
-            .queryName(sink).start()
+            .writeStream.outputMode("append")
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              if (!b.isEmpty)
+                b.withColumn("__delta",
+                    when(col("_change_type") === "insert", 1L)
+                      .otherwise(-1L))
+                  .withColumn("__fp", xxhash64(dataCols.map(col): _*))
+                  .withColumn("__fp2", hash(dataCols.map(col): _*))
+                  .select(col("__delta"), col("__fp"), col("__fp2"),
+                    col("l_returnflag"), col("l_orderkey"))
+                  .write.mode("append").parquet(stage.toString)
+            }
+            .start()
           try {
             q.processAllAvailable() // snapshot: evens as inserts
             t.load(li.filter(col("l_orderkey") % 2 === 1 &&
@@ -457,23 +484,15 @@ object StreamingQueries {
             t.compact()
             q.processAllAvailable() // dataChange=false: nothing
           } finally q.stop()
-          // the memory sink's landed rows live in ONE driver
-          // partition; redistribute and pin them once per session so
-          // every timed apply nets in parallel instead of scanning
-          // the feed on a single core
-          val f = s.table(sink).repartition(32).persist()
+          // pin the staged narrow feed once per session so every
+          // timed apply nets in parallel without re-listing files
+          val f = s.read.parquet(stage.toString).persist()
           f.count()
           f
         })
-      val dataCols = feed.columns
-        .filterNot(c => c == "_change_type" || c == "_commit_version")
-      // g17's fingerprint netting: shuffle 4 narrow columns, not the
-      // full landed rows (see the g17_cdc_apply note)
+      // g17's fingerprint netting over the staged narrow feed: the
+      // shuffle carries 4 narrow columns, not the full landed rows
       feed
-        .withColumn("__delta",
-          when(col("_change_type") === "insert", 1L).otherwise(-1L))
-        .withColumn("__fp", xxhash64(dataCols.map(col): _*))
-        .withColumn("__fp2", hash(dataCols.map(col): _*))
         .groupBy(col("__fp"), col("__fp2"), col("l_returnflag"),
           col("l_orderkey"))
         .agg(sum(col("__delta")).as("__net"))
