@@ -15,6 +15,12 @@ object StreamingQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Staging dir for a gate's per-row drain landing (see
+    * [[EventStreams.runToCompletionStaged]] — reset per drain).
+    */
+  private def landDir(d: String, gate: String): String =
+    s"/tmp/graft_stream_src/${d.replace('/', '_')}/${gate}_landed"
+
   val queries: Map[String, Q] = Map(
     "st01_stream_hourly" -> ((s, d) => {
       val agg = EventStreams.hourlyAgg(EventStreams.eventStream(s, d))
@@ -78,7 +84,12 @@ object StreamingQueries {
         .parquet(d)
       val deduped = EventStreams.dedupStream(
         stream.withColumn("fp", md5(col("text"))), "fp")
-      val landed = EventStreams.runToCompletion(s, deduped, mode = "append")
+      // per-row drain → parquet staging (survivors are corpus-scale;
+      // the memory sink is for state-bounded aggregates only), with
+      // the landing projected to the two columns the gate reads
+      val landed = EventStreams.runToCompletionStaged(s,
+        deduped.select(col("fp"), col("n_chars")),
+        landDir(d, "st04"))
       landed
         .groupBy(substring(col("fp"), 1, 1).as("bucket"))
         .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
@@ -103,7 +114,9 @@ object StreamingQueries {
           timestamp_micros(col("n_chars").cast("long") * 1000000L))
       val deduped =
         EventStreams.dedupStreamBounded(stream, "fp", "ts_utc", "10 minutes")
-      val landed = EventStreams.runToCompletion(s, deduped, mode = "append")
+      val landed = EventStreams.runToCompletionStaged(s,
+        deduped.select(col("fp"), col("n_chars")),
+        landDir(d, "st05"))
       landed
         .groupBy(substring(col("fp"), 1, 1).as("bucket"))
         .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
@@ -295,7 +308,9 @@ object StreamingQueries {
         .parquet(d))
         .withColumn("value", floor(col("value") * 100).cast("double"))
       val anomalies = EventStreams.runningMeanAnomalies(stream, 3.0)
-      val landed = EventStreams.runToCompletion(s, anomalies, mode = "append")
+      val landed = EventStreams.runToCompletionStaged(s,
+        anomalies.select(col("user_id"), col("ts_ns"), col("value")),
+        landDir(d, "st14"))
       // DuckDB reads TIMESTAMP(NANOS) at µs resolution — emit µs on
       // both engines (the ns tail is sub-oracle-visible)
       landed.select(col("user_id"), expr("ts_ns div 1000").as("ts_us"),
@@ -315,7 +330,8 @@ object StreamingQueries {
         .option("pathGlobFilter", "events.parquet")
         .parquet(d)
       val hits = EventStreams.funnelStages(stream, "view", "click", "purchase")
-      val landed = EventStreams.runToCompletion(s, hits, mode = "append")
+      val landed = EventStreams.runToCompletionStaged(s, hits,
+        landDir(d, "st16"))
       val counts = landed.groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
       // the batch twin (e06) and the oracle ALWAYS emit 3 rows — a
       // stage no user reached reports n_users = 0, it doesn't vanish.
@@ -416,8 +432,8 @@ object StreamingQueries {
           col("p_ts") > col("e_ts") - expr("INTERVAL 1 HOUR") &&
           col("p_ts") <= col("e_ts"))
         .select(col("e_user").as("user_id"), col("err_id"))
-      val landed = EventStreams.runToCompletion(s, pairs, mode = "append",
-        statePartitions = 8)
+      val landed = EventStreams.runToCompletionStaged(s, pairs,
+        landDir(d, "st12"), statePartitions = 8)
       landed.groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_pairs"),
           countDistinct(col("err_id")).as("errors_with_purchase"))

@@ -106,6 +106,14 @@ object EventStreams {
     * now (Trigger.AvailableNow + memory sink) and return the result as
     * a batch DataFrame — used by the correctness gate so the streaming
     * path itself is oracle-checked.
+    *
+    * MEMORY-SINK CONTRACT: the drained result lands in DRIVER memory,
+    * so this is only for BOUNDED outputs — aggregations whose row
+    * count is state-sized (windows × groups), never a per-row stream.
+    * Row-emitting drains (dedup survivors, join pairs, state-machine
+    * emissions) go through [[runToCompletionStaged]] — the r13 sf1
+    * study caught the memory-sink form of a CDC feed OOMing the
+    * driver at 10× data.
     */
   def runToCompletion(spark: SparkSession, agg: DataFrame,
                       mode: String = "complete",
@@ -168,6 +176,67 @@ object EventStreams {
       }
     }
     spark.table(name)
+  }
+
+  /** The PER-ROW drain: run an append-mode row-emitting stream
+    * (dedup survivors, join pairs, flatMapGroupsWithState emissions)
+    * to completion, landing every micro-batch via foreachBatch into a
+    * parquet staging dir, and return the staged rows as a distributed
+    * batch frame. The driver never holds a row — the scale-honest
+    * twin of [[runToCompletion]]'s memory sink, which is reserved for
+    * state-bounded aggregated outputs. Callers should project the
+    * stream to the columns the downstream read needs BEFORE draining
+    * (staging I/O is per-row). The stage dir is reset on entry, so a
+    * re-drain can never append to a stale landing.
+    */
+  def runToCompletionStaged(spark: SparkSession, rows: DataFrame,
+                            stageDir: String,
+                            statePartitions: Int = 0): DataFrame = {
+    val p = java.nio.file.Paths.get(stageDir)
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.delete(f))
+      finally walk.close()
+    }
+    drainLock(spark).synchronized {
+      val conf = spark.conf
+      val prevNoData = conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+      val prevParts = conf.getOption("spark.sql.shuffle.partitions")
+      // append semantics: keep the trailing no-data batch (watermark
+      // finalization emits there — see runToCompletion's note)
+      conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+      if (statePartitions > 0)
+        conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+      try {
+        val q = rows.writeStream
+          .outputMode("append")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            if (!b.isEmpty) b.write.mode("append").parquet(stageDir)
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally {
+        prevNoData.fold(conf.unset("spark.sql.streaming.noDataMicroBatches.enabled"))(
+          conf.set("spark.sql.streaming.noDataMicroBatches.enabled", _))
+        if (statePartitions > 0)
+          prevParts.fold(conf.unset("spark.sql.shuffle.partitions"))(
+            conf.set("spark.sql.shuffle.partitions", _))
+      }
+    }
+    // a drain that landed nothing leaves no files — return an empty
+    // frame with the stream's schema instead of a read error
+    val landedFiles =
+      if (!java.nio.file.Files.exists(p)) false
+      else {
+        val ls = java.nio.file.Files.list(p)
+        try ls.anyMatch(f => f.getFileName.toString.endsWith(".parquet"))
+        finally ls.close()
+      }
+    if (landedFiles) spark.read.schema(rows.schema).parquet(stageDir)
+    else spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), rows.schema)
   }
 
   /** Streaming exact deduplication on a derived fingerprint key — the
