@@ -199,7 +199,7 @@ class PlanSpec extends AnyFunSuite {
     // where s06 (inline encode) reads it for the corpus too
     val p = plan("s08_ann_ivfpq_index")
     val embScans = "embeddings\\.parquet".r.findAllIn(p).size
-    assert(p.contains("graft_ivfpq_index"),
+    assert(p.contains("ivfpq_index"),
       s"serving must read the materialized index\n${p.take(2000)}")
     assert(embScans <= 1,
       s"corpus vectors must not be rescanned at serve time ($embScans embedding scans)\n${p.take(2000)}")
@@ -214,7 +214,7 @@ class PlanSpec extends AnyFunSuite {
     // token predicate pushed to the parquet scan — and never touch
     // documents.parquet
     val p = plan("t21_bm25_index_serve")
-    assert(p.contains("graft_bm25_index"),
+    assert(p.contains("bm25_index"),
       s"serving must read the materialized index\n${p.take(2000)}")
     assert(!p.contains("documents.parquet"),
       s"documents must not be scanned at serve time\n${p.take(2000)}")
@@ -229,7 +229,7 @@ class PlanSpec extends AnyFunSuite {
     // point of the materialized index), and the fused top-10 must plan
     // as TakeOrderedAndProject, never a global sort
     val p = plan("t31_hybrid_rrf")
-    assert(p.contains("graft_bm25_index"),
+    assert(p.contains("bm25_index"),
       s"lexical side must read the materialized index\n${p.take(2000)}")
     assert(!p.contains("documents.parquet"),
       s"documents must not be scanned at serve time\n${p.take(2000)}")
@@ -242,7 +242,7 @@ class PlanSpec extends AnyFunSuite {
     // be scanned exactly once, joined against the BROADCAST candidates
     // BEFORE tokenization — a naive plan tokenizes the whole corpus
     val p = plan("t24_phrase_ngram_serve")
-    assert(p.contains("graft_bigram_index"),
+    assert(p.contains("bigram_index"),
       s"candidates must come from the materialized bigram index\n${p.take(2000)}")
     assert("documents\\.parquet".r.findAllIn(p).size == 1,
       s"documents must be scanned exactly once\n${p.take(3000)}")
