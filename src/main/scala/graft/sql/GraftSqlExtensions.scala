@@ -92,6 +92,8 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
       GraftFunnelFunction.info, GraftFunnelFunction.builder))
     e.injectTableFunction((FunctionIdentifier("graft_sessionize"),
       GraftSessionizeFunction.info, GraftSessionizeFunction.builder))
+    e.injectTableFunction((FunctionIdentifier("graft_redact"),
+      GraftRedactFunction.info, GraftRedactFunction.builder))
   }
 }
 
@@ -393,6 +395,57 @@ object GraftFunnelFunction {
   def ensureRegistered(spark: SparkSession): Unit =
     spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier("graft_funnel"), info, builder)
+}
+
+/** `graft_redact('<table-or-path>', '<id_col>', '<text_col>')` — the
+  * PII scrub stage (t44) as a FROM-able table function: per row,
+  * span counts by type plus the redacted text
+  * ([[graft.functions.TextFunctions.redactPii]], email → phone → IP
+  * pass order):
+  *
+  *   SELECT * FROM graft_redact('docs', 'doc_id', 'text')
+  *   SELECT SUM(n_emails) FROM graft_redact('/data/docs.parquet', 'id', 'body')
+  *
+  * Emits (id, n_emails, n_phones, n_ips, redacted). Pure plan
+  * constructor — a narrow in-row projection, the ideal 100 TB map
+  * stage.
+  */
+object GraftRedactFunction {
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  private[sql] val info = new ExpressionInfo("graft", null, "graft_redact",
+    "PII span counts (email/phone/IPv4) and redacted text per row: " +
+      "(id, n_emails, n_phones, n_ips, redacted)",
+    "", "", "", "", "", "", "built-in")
+
+  private[sql] val builder: Seq[Expression] => LogicalPlan = exprs => {
+    require(exprs.size == 3,
+      "usage: graft_redact('<table-or-path>', '<id_col>', '<text_col>')")
+    def litVal(e: Expression): Any = {
+      require(e.foldable, s"graft_redact arguments must be literals, got: $e")
+      e.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+    }
+    val spark = SparkSession.active
+    val src = GraftTvfSource.resolve(spark, String.valueOf(litVal(exprs.head)))
+    val idCol = String.valueOf(litVal(exprs(1)))
+    val textCol = String.valueOf(litVal(exprs(2)))
+    import org.apache.spark.sql.functions.col
+    import graft.functions.TextFunctions
+    src.select(col(idCol).as("id"),
+        TextFunctions.piiCount(col(textCol), TextFunctions.EmailPattern)
+          .as("n_emails"),
+        TextFunctions.piiCount(col(textCol), TextFunctions.PhonePattern)
+          .as("n_phones"),
+        TextFunctions.piiCount(col(textCol), TextFunctions.Ipv4Pattern)
+          .as("n_ips"),
+        TextFunctions.redactPii(col(textCol)).as("redacted"))
+      .queryExecution.logical
+  }
+
+  /** Runtime registration — see [[GraftTableFunction.ensureRegistered]]. */
+  def ensureRegistered(spark: SparkSession): Unit =
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_redact"), info, builder)
 }
 
 /** `graft_sessionize('<table-or-path>'[, <gap_minutes>])` — gap-based

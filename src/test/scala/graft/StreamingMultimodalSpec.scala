@@ -272,6 +272,30 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       maxHamming = 2).isEmpty)
   }
 
+  test("perceptual hash is scale-invariant on monotone gradients (resize → same dHash)") {
+    // the property that makes dHash a DEDUP key across re-encodes and
+    // thumbnails: gradient SIGNS survive downscaling. A monotone
+    // horizontal gradient stays monotone under the box-fit resize, so
+    // the resized image's dHash must EQUAL the original's — the
+    // resize → re-encode → decode → hash chain end to end
+    val img = new java.awt.image.BufferedImage(96, 64,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    (0 until 64).foreach(y => (0 until 96).foreach(x =>
+      img.getRaster.setSample(x, y, 0, (x * 2) & 0xff)))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val df = Seq((1L, out.toByteArray)).toDF("id", "payload")
+    val orig = Multimodal.perceptualHashes(df).collect()(0)
+    val small = Multimodal.resizeImages(df, maxEdge = 32).toDF()
+      .select(col("id"), col("payload"))
+    val resized = Multimodal.perceptualHashes(small).collect()(0)
+    assert(resized.width == 32 && resized.height == 21)
+    assert((orig.dh_hi, orig.dh_lo) == (resized.dh_hi, resized.dh_lo),
+      s"dHash must survive a 3x downscale on a monotone gradient: " +
+        s"orig=(${orig.dh_hi},${orig.dh_lo}) " +
+        s"resized=(${resized.dh_hi},${resized.dh_lo})")
+  }
+
   test("frame sampling: n rows per payload, empty payload included") {
     val df = Seq((1L, "some video bytes"), (2L, "")).toDF("doc_id", "text")
     val p = Multimodal.withPayload(df, "doc_id", "text")

@@ -323,6 +323,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(tight >= loose)
   }
 
+  test("graft_redact is FROM-able in SQL and matches the DataFrame surface") {
+    val s2 = spark
+    import s2.implicits._
+    Seq((1L, "mail a@b.co or call 555-123-4567"), (2L, "clean text"))
+      .toDF("doc_id", "text").createOrReplaceTempView("redact_src")
+    val rows = spark
+      .sql("SELECT * FROM graft_redact('redact_src', 'doc_id', 'text')")
+      .orderBy("id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getInt(1) == 1 && rows(0).getInt(2) == 1 &&
+      rows(0).getString(4) == "mail [EMAIL] or call [PHONE]")
+    assert(rows(1).getString(4) == "clean text")
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_redact('redact_src')").collect()
+    }
+    assert(e.getMessage.contains("graft_redact"))
+  }
+
   test("graft_funnel / graft_sessionize reject bad arity with their usage lines") {
     val e = intercept[Exception] {
       spark.sql(s"SELECT * FROM graft_funnel('$sf/events.parquet')").collect()
