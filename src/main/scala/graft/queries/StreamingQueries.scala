@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.TextFunctions
 import graft.streaming.EventStreams
 
 /** Streaming-native operators routed through the DuckDB gate: st01
@@ -324,6 +325,37 @@ object StreamingQueries {
     // watermark, and each stage hit emits exactly once per user
     // across any micro-batch split. The landed hits aggregate to the
     // SAME stage table as the batch operator, so the oracle is e06's.
+    // STREAMING PII SCRUB — the release-side redaction stage applied
+    // IN-FLIGHT: documents stream in, spans (planted on the t44
+    // schedule — the corpus carries no real PII) are detected and
+    // clipped per micro-batch as pure in-row work (the scrub adds NO
+    // state — the one streaming stage that is free at any scale), the
+    // scrubbed narrow rows land via the staged drain, and the gate
+    // aggregates residue-free totals per shard. The t44 oracle
+    // machinery replays the same regexes batch-side.
+    "st17_stream_redact" -> ((s, d) => {
+      val schema = Tables.documents(s, d).schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(d)
+      val planted = PipelineQueries.plantPii(stream)
+      val scrubbed = planted.select(col("doc_id"),
+        TextFunctions.piiCount(col("text"), TextFunctions.EmailPattern)
+          .as("ne"),
+        TextFunctions.piiCount(col("text"), TextFunctions.PhonePattern)
+          .as("np"),
+        TextFunctions.piiCount(col("text"), TextFunctions.Ipv4Pattern)
+          .as("ni"),
+        length(TextFunctions.redactPii(col("text"))).cast("long")
+          .as("red_len"))
+      val landed = EventStreams.runToCompletionStaged(s, scrubbed,
+        landDir(d, "st17"))
+      landed.groupBy((col("doc_id") % 10).as("shard"))
+        .agg(count(lit(1)).as("docs"), sum(col("ne")).as("tot_emails"),
+          sum(col("np")).as("tot_phones"), sum(col("ni")).as("tot_ips"),
+          sum(col("red_len")).as("red_chars"))
+    }),
+
     "st16_stream_funnel" -> ((s, d) => {
       val raw = Tables.rawEvents(s, d)
       val stream = s.readStream.schema(raw.schema)
@@ -701,6 +733,29 @@ object StreamingQueries {
          WHERE nb >= 3
            AND CAST(v AS DOUBLE) >
              3.0 * (CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))""",
+
+    // the in-flight scrub replayed batch-side with the identical
+    // planting + regexes (t44's machinery), aggregated per shard
+    "st17_stream_redact" -> {
+      val em = TextFunctions.EmailPattern
+      val ph = TextFunctions.PhonePattern
+      val ip = TextFunctions.Ipv4Pattern
+      s"""WITH p AS (${PipelineQueries.PlantPiiSql}),
+         sc AS (SELECT doc_id,
+           len(regexp_extract_all(text, '$em')) AS ne,
+           len(regexp_extract_all(text, '$ph')) AS np,
+           len(regexp_extract_all(text, '$ip')) AS ni,
+           length(regexp_replace(regexp_replace(regexp_replace(text,
+             '$em', '[EMAIL]', 'g'), '$ph', '[PHONE]', 'g'),
+             '$ip', '[IP]', 'g')) AS red_len
+         FROM p)
+         SELECT doc_id % 10 AS shard, CAST(COUNT(*) AS BIGINT) AS docs,
+           CAST(SUM(ne) AS BIGINT) AS tot_emails,
+           CAST(SUM(np) AS BIGINT) AS tot_phones,
+           CAST(SUM(ni) AS BIGINT) AS tot_ips,
+           CAST(SUM(red_len) AS BIGINT) AS red_chars
+         FROM sc GROUP BY 1"""
+    },
 
     // the batch e06 replay: the streamed state machine must land the
     // identical strict first-occurrence funnel
