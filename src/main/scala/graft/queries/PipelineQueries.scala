@@ -246,9 +246,11 @@ object PipelineQueries {
           lit("."), ((col("doc_id") * 13) % 256).cast("string")))
         .otherwise(lit(""))).as("text"))
 
-  /** DuckDB twin of [[plantPii]] — a CTE body over `documents`. */
-  private[queries] val PlantPiiSql =
-    """SELECT doc_id, text ||
+  /** DuckDB twin of [[plantPii]] — a CTE body over `src` (default the
+    * raw documents table; t47 plants over the derived u-corpus).
+    */
+  private[queries] def plantPiiSql(src: String = "documents"): String =
+    s"""SELECT doc_id, text ||
         CASE WHEN doc_id % 7 = 0 THEN ' reach user' ||
           CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END ||
         CASE WHEN doc_id % 5 = 0 THEN ' call 555-' ||
@@ -258,7 +260,7 @@ object PipelineQueries {
           CAST(doc_id % 256 AS VARCHAR) || '.' ||
           CAST((doc_id * 7) % 256 AS VARCHAR) || '.' ||
           CAST((doc_id * 13) % 256 AS VARCHAR) ELSE '' END AS text
-      FROM documents"""
+      FROM $src"""
 
   /** The t45 oracle: [[graft.text.ClassifierTrainer.trainPerceptron]]
     * unrolled into `rounds` static CTE stages — round i scores every
@@ -1491,6 +1493,27 @@ object PipelineQueries {
     // through byte-identical, planted docs must come back clipped.
     "t44_pii_scrub" -> ((s, d) => {
       val planted = plantPii(Tables.documents(s, d))
+      planted.select(col("doc_id"),
+        TextFunctions.piiCount(col("text"), TextFunctions.EmailPattern)
+          .as("n_emails"),
+        TextFunctions.piiCount(col("text"), TextFunctions.PhonePattern)
+          .as("n_phones"),
+        TextFunctions.piiCount(col("text"), TextFunctions.Ipv4Pattern)
+          .as("n_ips"),
+        TextFunctions.redactPii(col("text")).as("redacted"))
+    }),
+
+    // text: PII scrub on MULTIBYTE text — the t44 regexes are ASCII
+    // but the HAYSTACK is the u-corpus (2-/3-/4-byte code points
+    // around the planted spans), which is exactly where Java's
+    // UTF-16 regex engine and DuckDB's UTF-8 RE2 can disagree on
+    // match boundaries: a code-unit-indexed engine would split a
+    // surrogate pair when splicing the replacement. Plant AFTER the
+    // substitution so the spans themselves stay ASCII (as real PII
+    // is) inside multibyte prose; the redacted text hash-compares.
+    "t47_utf8_pii" -> ((s, d) => {
+      val planted = plantPii(Tables.documents(s, d)
+        .select(col("doc_id"), utf8ify(col("text")).as("text")))
       planted.select(col("doc_id"),
         TextFunctions.piiCount(col("text"), TextFunctions.EmailPattern)
           .as("n_emails"),
@@ -3246,7 +3269,27 @@ object PipelineQueries {
       val em = TextFunctions.EmailPattern
       val ph = TextFunctions.PhonePattern
       val ip = TextFunctions.Ipv4Pattern
-      s"""WITH p AS ($PlantPiiSql)
+      s"""WITH p AS (${plantPiiSql()})
+          SELECT doc_id,
+            CAST(len(regexp_extract_all(text, '$em')) AS INT) AS n_emails,
+            CAST(len(regexp_extract_all(text, '$ph')) AS INT) AS n_phones,
+            CAST(len(regexp_extract_all(text, '$ip')) AS INT) AS n_ips,
+            regexp_replace(regexp_replace(regexp_replace(text,
+              '$em', '[EMAIL]', 'g'), '$ph', '[PHONE]', 'g'),
+              '$ip', '[IP]', 'g') AS redacted
+          FROM p"""
+    },
+
+    // the t44 machinery over multibyte prose: patterns stay ASCII,
+    // the haystack carries 2-/3-/4-byte code points — Java's UTF-16
+    // engine and RE2's UTF-8 walk must agree on every match boundary
+    // for the redacted text to hash-match
+    "t47_utf8_pii" -> {
+      val em = TextFunctions.EmailPattern
+      val ph = TextFunctions.PhonePattern
+      val ip = TextFunctions.Ipv4Pattern
+      s"""WITH u AS (SELECT doc_id, $Utf8ifySql AS text FROM documents),
+          p AS (${plantPiiSql("u")})
           SELECT doc_id,
             CAST(len(regexp_extract_all(text, '$em')) AS INT) AS n_emails,
             CAST(len(regexp_extract_all(text, '$ph')) AS INT) AS n_phones,

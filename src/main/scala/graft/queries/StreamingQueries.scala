@@ -740,7 +740,7 @@ object StreamingQueries {
       val em = TextFunctions.EmailPattern
       val ph = TextFunctions.PhonePattern
       val ip = TextFunctions.Ipv4Pattern
-      s"""WITH p AS (${PipelineQueries.PlantPiiSql}),
+      s"""WITH p AS (${PipelineQueries.plantPiiSql()}),
          sc AS (SELECT doc_id,
            len(regexp_extract_all(text, '$em')) AS ne,
            len(regexp_extract_all(text, '$ph')) AS np,
