@@ -312,7 +312,7 @@ object PipelineQueries {
     * bit-for-bit, which only holds because PNG is lossless).
     * v is 1-based: v[gy·9 + gx + 1] is the sample at grid (gy, gx).
     */
-  private val PhashSql =
+  private[queries] val PhashSql =
     """ph AS (
        SELECT doc_id,
          CAST(w AS INT) AS w, CAST(h AS INT) AS h,

@@ -356,6 +356,33 @@ object StreamingQueries {
           sum(col("red_len")).as("red_chars"))
     }),
 
+    // STREAMING IMAGE FINGERPRINTING — the multimodal family's
+    // streaming leg: documents stream in, each micro-batch
+    // synthesizes its real PNGs and dHashes the decoded rasters
+    // (both stages are stateless mapPartitions at the JVM codec
+    // boundary — streaming-legal, no state), and the landed
+    // fingerprints aggregate to per-band-prefix counts. The oracle
+    // replays the m11 hash rule batch-side, so the stream must
+    // decode byte-identically to the batch path.
+    "st18_stream_phash" -> ((s, d) => {
+      import graft.multimodal.Multimodal
+      val schema = Tables.documents(s, d).schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(d)
+      val hashes = Multimodal.perceptualHashes(
+        Multimodal.withPngPayload(stream, "doc_id", "text", "n_chars"))
+        .toDF()
+        .select(col("id"), col("dh_hi"), col("dh_lo"))
+      val landed = EventStreams.runToCompletionStaged(s, hashes,
+        landDir(d, "st18"))
+      landed
+        .groupBy(shiftright(col("dh_hi"), 24).as("band"))
+        .agg(count(lit(1)).as("n_images"),
+          sum(col("dh_lo")).as("lo_sum"),
+          countDistinct(col("dh_hi"), col("dh_lo")).as("distinct_hashes"))
+    }),
+
     "st16_stream_funnel" -> ((s, d) => {
       val raw = Tables.rawEvents(s, d)
       val stream = s.readStream.schema(raw.schema)
@@ -733,6 +760,16 @@ object StreamingQueries {
          WHERE nb >= 3
            AND CAST(v AS DOUBLE) >
              3.0 * (CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))""",
+
+    // the m11 dHash rule replayed batch-side (PNG lossless ⇒ the
+    // streamed decode must be byte-identical), folded per band prefix
+    "st18_stream_phash" ->
+      s"""WITH ${PipelineQueries.PhashSql}
+         SELECT CAST(dh_hi >> 24 AS BIGINT) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(SUM(dh_lo) AS BIGINT) AS lo_sum,
+           CAST(COUNT(DISTINCT (dh_hi, dh_lo)) AS BIGINT) AS distinct_hashes
+         FROM ph GROUP BY 1""",
 
     // the in-flight scrub replayed batch-side with the identical
     // planting + regexes (t44's machinery), aggregated per shard
