@@ -116,6 +116,43 @@ class PlanSpec extends AnyFunSuite {
       s"per-doc masking must not shuffle:\n${p.take(3000)}")
   }
 
+  test("PII scrub is a narrow projection: no Exchange, ASCII or multibyte") {
+    // detection + redaction are pure in-row regex work — the ideal
+    // 100 TB map stage; a shuffle here would mean the scrub picked up
+    // a join or aggregation it doesn't need
+    for (g <- Seq("t44_pii_scrub", "t47_utf8_pii")) {
+      val p = plan(g)
+      assert(!p.contains("Exchange"),
+        s"$g must not shuffle:\n${p.take(3000)}")
+    }
+  }
+
+  test("image near-dup pairs stay band-keyed: no product join, no corpus broadcast") {
+    // d14's gate frame is an eager localCheckpoint (so its own plan
+    // is just a scan); pin the UNDERLYING scaffold instead — the
+    // banded self-join must meet on (band_idx, band_key, blocks),
+    // never as a product or a corpus-side broadcast
+    import org.apache.spark.sql.functions._
+    val s2 = spark
+    import s2.implicits._
+    val h = (1L to 64L).map(i => (i, i % 7, i % 5)).toDF("id", "hi", "lo")
+    val banded = h.select(col("id"), posexplode(array(
+        shiftright(col("hi"), 16).bitwiseAND(lit(0xffffL)),
+        col("hi").bitwiseAND(lit(0xffffL)),
+        shiftright(col("lo"), 16).bitwiseAND(lit(0xffffL)),
+        col("lo").bitwiseAND(lit(0xffffL)))))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_key")
+    val pairs = graft.dedup.Dedup.bandPairs(
+      graft.dedup.Dedup.saltBuckets(banded, maxBucketSide = 4096))
+    val p = pairs.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the banded self-join must never plan a product:\n${p.take(3000)}")
+    assert(p.contains("hashpartitioning(band_idx"),
+      s"the self-join must key on the band columns:\n${p.take(3000)}")
+  }
+
   test("hashed classifier and winnowing are narrow projections: no keyed shuffle") {
     // the hashing trick means NO vocabulary join and no keyed shuffle —
     // the whole model evaluates in-row
