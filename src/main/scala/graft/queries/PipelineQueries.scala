@@ -269,7 +269,7 @@ object PipelineQueries {
     * D-row model plus the (-1, accuracy_ppm) summary row. All
     * integer, so the hash compare is bit-exact.
     */
-  private def perceptronOracleSql(buckets: Int, rounds: Int): String = {
+  private def perceptronCtes(buckets: Int, rounds: Int): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH docs0 AS (SELECT doc_id, $W AS words FROM documents
          WHERE ${splitSql("doc_id")} = 'train'),
@@ -294,7 +294,11 @@ object PipelineQueries {
        w$i AS (SELECT $prev.bucket, $prev.w + COALESCE(u$i.d, 0) AS w
          FROM $prev LEFT JOIN u$i ON u$i.b = $prev.bucket)"""
     }
-    sb ++= s""",
+    sb.toString
+  }
+
+  private def perceptronOracleSql(buckets: Int, rounds: Int): String =
+    perceptronCtes(buckets, rounds) + s""",
        sf AS (SELECT f.doc_id, f.y, SUM(w$rounds.w * f.cnt) AS s
          FROM f JOIN w$rounds ON w$rounds.bucket = f.b GROUP BY 1, 2),
        acc AS (SELECT CAST(SUM(CASE WHEN y * s > 0 THEN 1 ELSE 0 END)
@@ -302,8 +306,32 @@ object PipelineQueries {
        SELECT CAST(bucket AS INT) AS bucket, CAST(w AS BIGINT) AS weight
        FROM w$rounds
        UNION ALL SELECT CAST(-1 AS INT), a FROM acc"""
-    sb.toString
-  }
+
+  /** The t48 oracle: the t45 training CTEs, then the final model
+    * evaluated on EVERY split (the train/val/test read a tokenizer-
+    * training loop takes) — per split, doc count + accuracy ppm.
+    */
+  private def perceptronEvalOracleSql(buckets: Int, rounds: Int): String =
+    perceptronCtes(buckets, rounds) + s""",
+       alld AS (SELECT doc_id, ${splitSql("doc_id")} AS split,
+           $W AS words FROM documents),
+       lab2 AS (SELECT doc_id, split,
+         CASE WHEN len(list_filter(words, w -> w IN $enMarkers)) >= 2
+           THEN 1 ELSE -1 END AS y FROM alld),
+       f2 AS (SELECT d.doc_id,
+           CAST((CAST('0x' || substr(md5(w), 1, 15) AS BIGINT)
+             % 1000000007) % $buckets AS INT) AS b, COUNT(*) AS cnt
+         FROM (SELECT doc_id, unnest(words) AS w FROM alld) d
+         GROUP BY 1, 2),
+       sc AS (SELECT f2.doc_id, SUM(w$rounds.w * f2.cnt) AS s
+         FROM f2 JOIN w$rounds ON w$rounds.bucket = f2.b GROUP BY 1)
+       SELECT lab2.split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN lab2.y * sc.s > 0 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_correct,
+         CAST(SUM(CASE WHEN lab2.y * sc.s > 0 THEN 1 ELSE 0 END)
+           * 1000000 // COUNT(*) AS BIGINT) AS acc_ppm
+       FROM sc JOIN lab2 USING (doc_id)
+       GROUP BY 1"""
 
   /** Shared m11/d14 CTE: the dHash replayed from the PNG synthesis
     * rule (pixel(x, y) = text byte (y·w + x) mod len; 9×8 point grid;
@@ -1479,6 +1507,26 @@ object PipelineQueries {
         when(TextFunctions.langScore(col("text"), "en") >= 2, 1L)
           .otherwise(-1L),
         buckets = 256, rounds = 3)
+    }),
+
+    // text: classifier EVALUATION on held-out splits — the read every
+    // training loop ends with: train on 'train' (the t45 model, same
+    // 3 rounds), then score every split with the model as a D-element
+    // literal (in-row token walk, Exchange-free — the t33 apply
+    // shape) and report per-split accuracy in exact ppm. A val/test
+    // accuracy near train's proves the hashed model generalizes its
+    // signal rather than memorizing bucket noise.
+    "t48_classifier_eval" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val label = when(TextFunctions.langScore(col("text"), "en") >= 2, 1L)
+        .otherwise(-1L)
+      val model = graft.text.ClassifierTrainer.trainPerceptron(
+        docs.filter(splitOf(col("doc_id")) === "train"), "doc_id", "text",
+        label, buckets = 256, rounds = 3).collect()
+      val w = Array.fill(256)(0L)
+      model.foreach(r => if (r.getInt(0) >= 0) w(r.getInt(0)) = r.getLong(1))
+      graft.text.ClassifierTrainer.evaluate(docs, "text", label,
+        splitOf(col("doc_id")), w)
     }),
 
     // text: PII SCRUBBING — the mandatory redaction stage of every
@@ -3260,6 +3308,9 @@ object PipelineQueries {
     // the perceptron replayed as 3 unrolled rounds of score → miss →
     // batch-update CTEs; integer arithmetic end to end
     "t45_train_classifier" -> perceptronOracleSql(256, 3),
+
+    // the t45 training CTEs + the final model scored on every split
+    "t48_classifier_eval" -> perceptronEvalOracleSql(256, 3),
 
     // the planted-PII corpus replayed with the IDENTICAL RE2-safe
     // patterns (verbatim from TextFunctions) and the same

@@ -92,4 +92,33 @@ object ClassifierTrainer {
         .toDF("bucket", "weight")
     } finally feats.unpersist()
   }
+
+  /** Apply a trained model to a corpus and report per-split accuracy
+    * — the held-out read every training loop ends with. The model is
+    * a D-element LITERAL, so scoring is pure in-row work (one token
+    * walk per doc, weight lookup by hash bucket — the t33 apply
+    * shape, Exchange-free) followed by one split-keyed aggregation
+    * whose result is |splits| rows. Integer arithmetic end to end,
+    * so the figures replay bit-exact in any engine.
+    */
+  def evaluate(docs: DataFrame, textCol: String, labelCol: Column,
+               splitCol: Column, weights: Array[Long]): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    val buckets = weights.length
+    val wl = typedLit(weights.toSeq)
+    val score = aggregate(
+      transform(graft.functions.TextFunctions.tokens(col(textCol)), t =>
+        element_at(wl,
+          (graft.functions.TextFunctions.shingleBaseHash(t) % buckets)
+            .cast("int") + 1)),
+      lit(0L), (a, x) => a + x)
+    docs
+      .select(splitCol.as("split"), labelCol.cast("long").as("y"),
+        score.as("s"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("y") * col("s") > 0, 1L).otherwise(0L)).as("n_correct"))
+      .select(col("split"), col("n_docs"), col("n_correct"),
+        expr("CAST(n_correct * 1000000 DIV n_docs AS BIGINT)").as("acc_ppm"))
+  }
 }

@@ -96,6 +96,17 @@ class ClassifierTrainerSpec extends AnyFunSuite {
     } finally feats.unpersist()
   }
 
+  test("t48 gate: the model generalizes to held-out splits") {
+    val out = graft.SparkEntry.queries("t48_classifier_eval")(
+      spark, TestSpark.sf).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(out.keySet == Set("train", "val", "test"))
+    // the en-marker signal is split-independent, so a model that only
+    // memorized bucket noise would collapse off-train
+    assert(out("val") > 600000L && out("test") > 600000L,
+      s"held-out accuracy collapsed: $out")
+  }
+
   test("t45 gate: the learned model beats chance on its own signal") {
     val out = graft.SparkEntry.queries("t45_train_classifier")(
       spark, TestSpark.sf).collect()
