@@ -1974,6 +1974,25 @@ object PipelineQueries {
       Dedup.nearDupClusters(Dedup.phashPairs(phashTableFor(s, d),
         "id", "dh_hi", "dh_lo", maxHamming = 2))),
 
+    // dedup: IMAGE keep-set APPLY — d15's clusters applied as the
+    // canonical keep/drop (representatives and untouched images keep,
+    // other members drop), recounted per source — the before/after
+    // yield report an image-dedup run ends with, the d10 discipline
+    // on the image leg. The verdict join is keyed on doc_id against
+    // the pair-graph-bounded cluster map.
+    "d16_phash_apply" -> ((s, d) => {
+      val clusters = Dedup.nearDupClusters(Dedup.phashPairs(
+        phashTableFor(s, d), "id", "dh_hi", "dh_lo", maxHamming = 2))
+      Tables.documents(s, d).select(col("doc_id"), col("source"))
+        .join(clusters, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_imgs"),
+          sum(when(col("rep").isNull || col("rep") === col("doc_id"), 1L)
+            .otherwise(0L)).as("kept"),
+          sum(when(col("rep").isNotNull && col("rep") =!= col("doc_id"), 1L)
+            .otherwise(0L)).as("dropped"))
+    }),
+
     // multimodal: REAL multi-frame (video-style) decode — each document
     // becomes a real animated GIF (2 + n%5 frames of (1+n%48)×(1+7n%48));
     // sampleFrames seeks 4 evenly-spaced frames and DECODES them via
@@ -3985,6 +4004,30 @@ object PipelineQueries {
             SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
           SELECT src AS doc_id, LEAST(src, MIN(dst)) AS rep
           FROM reach GROUP BY src""",
+
+    // d15's components applied: reps and loners keep, members drop —
+    // recounted per source (the d10 oracle shape on the ph pair list)
+    "d16_phash_apply" ->
+      s"""WITH RECURSIVE $PhashSql,
+          pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.dh_hi, b.dh_hi)) +
+                  bit_count(xor(a.dh_lo, b.dh_lo)) <= 2),
+          edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+          reach(src, dst) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+          m AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS rep
+            FROM reach GROUP BY src)
+          SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_imgs,
+            CAST(SUM(CASE WHEN m.rep IS NULL OR m.rep = d.doc_id
+              THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+            CAST(SUM(CASE WHEN m.rep IS NOT NULL AND m.rep <> d.doc_id
+              THEN 1 ELSE 0 END) AS BIGINT) AS dropped
+          FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id
+          GROUP BY d.source""",
 
     // JPEGs are generated at (1 + n%56) × (1 + 11n%56); the codec is
     // lossy so only the geometry replays — Spark's result carries what
