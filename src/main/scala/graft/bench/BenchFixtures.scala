@@ -104,6 +104,56 @@ object BenchFixtures {
     agg(graft.Tables.normalizeEventTs(s.read.parquet(bigEventsDir(s, d)))
       .withColumn("ts_utc", timestamp_micros(expr("ts div 1000"))))
 
+  /** st08 (stream-static join) has the same fixed-trigger-cost shape
+    * as st01: a ~0.4 s streaming drain against a ~0.2 s batch join at
+    * the toy file size read 1.79× in the r13 final run — the next
+    * noise-flip candidate after st01/t22. The fixture rides the SAME
+    * staged corpus: the static side is the per-user purchase spend
+    * (batch agg over the staged corpus, broadcast), the stream side
+    * streams the staged files, joins map-side, and lands the joined
+    * rows through the staged per-row drain. The landing is priced on
+    * BOTH sides (the r13 audit discipline, same as the st04/st05
+    * gates): the operator is "enrich and land per-row output", so the
+    * batch equivalent also writes its joined rows before aggregating —
+    * otherwise the ratio prices a parquet write, not the streaming
+    * machinery. The spend threshold scales with [[Mult]] so the
+    * join's selectivity matches the correctness gate's (replication
+    * multiplies each user's spend).
+    */
+  private def st08Join(spend: DataFrame, ev: DataFrame): DataFrame =
+    ev.filter(col("event_type") === "error")
+      .join(broadcast(spend), "user_id")
+      .filter(col("spend") > 600.0 * Mult)
+      .select(col("user_id"), col("spend"))
+
+  private def st08Spend(batch: DataFrame): DataFrame =
+    batch.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(graft.Tables.dsum(col("value")).as("spend"))
+
+  private def st08Graft(s: SparkSession, d: String): DataFrame = {
+    val dir = bigEventsDir(s, d)
+    val spend = st08Spend(graft.Tables.normalizeEventTs(s.read.parquet(dir)))
+    val schema = s.read.parquet(dir).schema
+    val stream = graft.Tables.normalizeEventTs(
+      s.readStream.schema(schema).parquet(dir))
+    val landed = EventStreams.runToCompletionStaged(s,
+      st08Join(spend, stream),
+      s"/tmp/graft_bench/st08_landed_${d.replace('/', '_')}")
+    landed.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("errors"), max(col("spend")).as("spend"))
+  }
+
+  private def st08Baseline(s: SparkSession, d: String): DataFrame = {
+    val batch = graft.Tables.normalizeEventTs(s.read.parquet(bigEventsDir(s, d)))
+    val dir = s"/tmp/graft_bench/st08_landed_base_${d.replace('/', '_')}"
+    st08Join(st08Spend(batch), batch)
+      .write.mode("overwrite").parquet(dir)
+    s.read.parquet(dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("errors"), max(col("spend")).as("spend"))
+  }
+
   /** t22 rides a production-VOCABULARY token corpus for the same
     * reason st01 rides production-size files: at sf0.1 the corpus has
     * 31 distinct tokens, so the sketch's second scan is pure overhead
@@ -174,6 +224,9 @@ object BenchFixtures {
       "st15_sliding_window" -> (
         (s: SparkSession, d: String) => stagedStream(s, d, EventStreams.slidingAgg),
         (s: SparkSession, d: String) => stagedBatch(s, d, EventStreams.slidingAgg)),
+      "st08_stream_static_join" -> (
+        (s: SparkSession, d: String) => st08Graft(s, d),
+        (s: SparkSession, d: String) => st08Baseline(s, d)),
       "t22_heavy_hitters" -> (
         (s: SparkSession, _: String) => t22Graft(s),
         (s: SparkSession, _: String) => t22Baseline(s)))

@@ -193,11 +193,16 @@ object StreamingQueries {
             .filter(col("event_type") === "error")
             .join(broadcast(spend), "user_id")
             .filter(col("spend") > 600.0)
-          val sink = s"graft_st08_${math.abs(d.hashCode)}"
-          val q = joined.writeStream.outputMode("append")
-            .format("memory").queryName(sink).start()
-          try q.processAllAvailable() finally q.stop()
-          s.table(sink)
+          // per-row join output lands via the staged drain, NARROW
+          // (the two gated columns) — a stream-static join's output is
+          // corpus-fraction-scale, so the memory sink is off-limits
+          // (the r13 audit discipline). processAllAvailable drain: the
+          // source is the V1 graft table stream.
+          val f = EventStreams.runToCompletionStaged(s,
+            joined.select(col("user_id"), col("spend")),
+            landDir(d, "st08"), availableNow = false).persist()
+          f.count()
+          f
         })
       landed.groupBy(col("user_id"))
         .agg(count(lit(1)).as("errors"), max(col("spend")).as("spend"))

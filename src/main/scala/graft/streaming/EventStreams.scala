@@ -188,10 +188,16 @@ object EventStreams {
     * stream to the columns the downstream read needs BEFORE draining
     * (staging I/O is per-row). The stage dir is reset on entry, so a
     * re-drain can never append to a stale landing.
+    *
+    * `availableNow = false` drains with `processAllAvailable` instead
+    * of `Trigger.AvailableNow()` — for streams rooted at a V1
+    * [[graft.sources.GraftStreamSource]], which predates the
+    * AvailableNow admission-control contract.
     */
   def runToCompletionStaged(spark: SparkSession, rows: DataFrame,
                             stageDir: String,
-                            statePartitions: Int = 0): DataFrame = {
+                            statePartitions: Int = 0,
+                            availableNow: Boolean = true): DataFrame = {
     val p = java.nio.file.Paths.get(stageDir)
     if (java.nio.file.Files.exists(p)) {
       val walk = java.nio.file.Files.walk(p)
@@ -209,14 +215,18 @@ object EventStreams {
       if (statePartitions > 0)
         conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
       try {
-        val q = rows.writeStream
+        val writer = rows.writeStream
           .outputMode("append")
           .foreachBatch { (b: DataFrame, _: Long) =>
             if (!b.isEmpty) b.write.mode("append").parquet(stageDir)
           }
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        if (availableNow) {
+          val q = writer.trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        } else {
+          val q = writer.start()
+          try q.processAllAvailable() finally q.stop()
+        }
       } finally {
         prevNoData.fold(conf.unset("spark.sql.streaming.noDataMicroBatches.enabled"))(
           conf.set("spark.sql.streaming.noDataMicroBatches.enabled", _))
