@@ -617,6 +617,106 @@ object Multimodal {
       .mapPartitions(it => it.grouped(batchSize).flatMap(decodeStereoBatch))
   }
 
+  /** One perceptual AUDIO fingerprint (the audio twin of
+    * [[PerceptualHash]]): decoded header fields plus the 64-bit
+    * energy-envelope sign hash as two unsigned 32-bit halves.
+    * (-1, -1) marks a quarantined (undecodable / unsupported-profile)
+    * payload.
+    */
+  case class AudioFingerprint(id: Long, sample_rate: Int, n_samples: Long,
+                              af_hi: Long, af_lo: Long)
+
+  /** Perceptual audio fingerprint over the payload column — the audio
+    * leg of the dedup family (re-encoded / trivially-shifted copies of
+    * a clip collide, distinct content does not). A simplified
+    * Chromaprint-shaped envelope hash (PAPERS.md acoustic-fingerprint
+    * family), PURE INTEGER over the decoded PCM stream so the
+    * lossless-WAV oracle replays it decode→frame→hash end-to-end:
+    *
+    *  - split the n-sample stream into 65 frames: frame k covers
+    *    samples [k·n/65, (k+1)·n/65), integer floor division — the
+    *    same replayable boundary rule as the dHash point grid;
+    *  - frame energy e_k = Σ s² over the frame (8-bit unsigned
+    *    samples, so energies are small exact integers);
+    *  - bit b (0..63) set iff e_{b+1} > e_b — the energy-envelope
+    *    gradient signs, robust to uniform gain exactly as dHash is to
+    *    brightness;
+    *  - packed: af_hi = bits 0–31, af_lo = bits 32–63.
+    *
+    * Decode is REAL (`javax.sound.sampled`, RIFF/WAVE sniffed, 8-bit
+    * unsigned mono PCM profile — the [[walkMonoPcm]] contract); any
+    * other profile, a corrupt container, or a stream whose actual
+    * sample count disagrees with its header quarantines to
+    * (0, 0, -1, -1) — the reject-sink shape, and
+    * [[graft.dedup.Dedup.phashPairs]] (shared with the image leg)
+    * excludes quarantined rows so they can never pair. Batched
+    * mapPartitions at the JVM codec boundary like every stage here.
+    */
+  def audioFingerprints(df: DataFrame,
+                        batchSize: Int = 64): Dataset[AudioFingerprint] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("id"), coalesce(col("payload"),
+      lit(Array.emptyByteArray)).as("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map { case (id, bytes) =>
+        audioFingerprintOne(bytes) match {
+          case None => AudioFingerprint(id, 0, 0L, -1L, -1L)
+          case Some((rate, n, hi, lo)) => AudioFingerprint(id, rate, n, hi, lo)
+        }
+      }))
+  }
+
+  private def audioFingerprintOne(
+      bytes: Array[Byte]): Option[(Int, Long, Long, Long)] =
+    if (!isWav(bytes)) None
+    else try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        val supported = fmt.getSampleSizeInBits == 8 &&
+          fmt.getChannels == 1 &&
+          fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+        val n = ais.getFrameLength
+        if (!supported || n <= 0) None
+        else {
+          // frame boundaries from the header length; a stream that
+          // yields a different sample count than its header claims
+          // would silently shift every boundary — quarantine instead
+          val e = new Array[Long](65)
+          val buf = new Array[Byte](4096)
+          var i = 0L
+          var k = 0
+          var next = n / 65 // end (exclusive) of frame 0
+          var read = ais.read(buf)
+          while (read > 0) {
+            var j = 0
+            while (j < read) {
+              while (i >= next && k < 64) { k += 1; next = (k + 1) * n / 65 }
+              val v = (buf(j) & 0xff).toLong
+              e(k) += v * v
+              i += 1
+              j += 1
+            }
+            read = ais.read(buf)
+          }
+          if (i != n) None
+          else {
+            var hi = 0L
+            var lo = 0L
+            var b = 0
+            while (b < 64) {
+              if (e(b + 1) > e(b)) {
+                if (b < 32) hi |= 1L << b else lo |= 1L << (b - 32)
+              }
+              b += 1
+            }
+            Some((fmt.getSampleRate.toInt, n, hi, lo))
+          }
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** One-pass folds over a decoded 8-bit unsigned mono PCM stream —
     * the SINGLE stream walk behind both m05 (amplitude) and m08
     * (quality stats), so the supported-profile predicate, buffer loop,

@@ -222,6 +222,27 @@ object PipelineQueries {
         .localCheckpoint()
     })
 
+  // --- fingerprint-once audio hashes (d17) --------------------------
+
+  /** Per-(dataset, session) audio-fingerprint table — the audio twin
+    * of [[phashTableFor]]: the corpus is WAV-encoded + really decoded
+    * + envelope-hashed ONCE and the dedup consumer reads the
+    * materialized fingerprints. m12 keeps the full decode path — the
+    * decode IS its operator.
+    */
+  private val audioFpTables =
+    new graft.util.BuildOnce[org.apache.spark.sql.DataFrame]
+
+  private def audioFpTableFor(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    audioFpTables.getOrElseUpdate(s"$d|${s.sparkContext.applicationId}", {
+      import graft.multimodal.Multimodal
+      val wav = Multimodal.withWavPayload(
+        plantAudioDups(Tables.documents(s, d)), "doc_id", "text", "n_chars")
+      Multimodal.audioFingerprints(wav).toDF()
+        .select(col("id"), col("af_hi"), col("af_lo"))
+        .localCheckpoint()
+    })
+
   // --- planted-PII corpus (t44/st17) --------------------------------
   //
   // The corpus carries no PII by contract, so the scrub gates PLANT
@@ -360,6 +381,74 @@ object PipelineQueries {
          FROM (SELECT doc_id, text, length(text) AS n,
              1 + n_chars % 64 AS w, 1 + (n_chars * 7) % 64 AS h
            FROM documents)))"""
+
+  /** Shared m12/d17 CTE: the audio envelope hash replayed from the WAV
+    * synthesis rule (sample i = text byte i mod len, unsigned; n =
+    * 500 + n_chars % 1000; rate = 8000 + (n_chars % 8)·1000). Frame k
+    * covers samples [k·n/65, (k+1)·n/65) (floor division — DuckDB's
+    * 1-based inclusive slice sq[a+1 : b] is exactly 0-based [a, b));
+    * bit b set iff e_{b+1} > e_b; af_hi = bits 0–31, af_lo = 32–63 —
+    * mirrors [[graft.multimodal.Multimodal.audioFingerprints]]
+    * bit-for-bit, which only holds because WAV PCM is lossless.
+    * `src` parametrizes the corpus (d17 fingerprints the
+    * planted-duplicate corpus; m12 the raw one).
+    */
+  private[queries] def audioFpSql(src: String = "documents"): String =
+    s"""af AS (
+       SELECT doc_id, sample_rate, n_samples,
+         CAST(list_sum(list_transform(range(0, 32), b ->
+           CASE WHEN e[b + 2] > e[b + 1]
+             THEN CAST(1 AS BIGINT) << b ELSE 0 END)) AS BIGINT) AS af_hi,
+         CAST(list_sum(list_transform(range(0, 32), b ->
+           CASE WHEN e[b + 34] > e[b + 33]
+             THEN CAST(1 AS BIGINT) << b ELSE 0 END)) AS BIGINT) AS af_lo
+       FROM (
+         SELECT doc_id, sample_rate, n_samples,
+           list_transform(range(0, 65), k ->
+             COALESCE(CAST(list_sum(
+               sq[CAST(k * n_samples // 65 AS INT) + 1 :
+                  CAST((k + 1) * n_samples // 65 AS INT)]) AS BIGINT), 0)) AS e
+         FROM (
+           SELECT doc_id, sample_rate, n_samples,
+             list_transform(range(0, n_samples), i ->
+               CASE WHEN tl = 0 THEN 0
+                 ELSE CAST(ord(substr(text, CAST(i % tl AS INT) + 1, 1))
+                   AS BIGINT) * ord(substr(text, CAST(i % tl AS INT) + 1, 1))
+               END) AS sq
+           FROM (SELECT doc_id, text, length(text) AS tl,
+               CAST(8000 + (n_chars % 8) * 1000 AS INT) AS sample_rate,
+               CAST(500 + n_chars % 1000 AS BIGINT) AS n_samples
+             FROM $src))))"""
+
+  /** The d17 corpus: the documents table with PLANTED duplicate clips
+    * — the corpus carries no byte-identical texts by contract (every
+    * planted near-dup differs in shingle space), so an audio-dedup
+    * gate over the raw corpus would be vacuously empty. Every 7th doc
+    * gains a byte-identical twin (the re-upload case — guaranteed
+    * Hamming-0 pairs) and every 11th a first-character-perturbed twin
+    * (the re-encode case: the cyclic fill shifts a handful of samples,
+    * so some twins land within the Hamming budget and some beyond it
+    * — deterministically, and the oracle replays both engines' view of
+    * exactly which).
+    */
+  private def plantAudioDups(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.select(col("doc_id"), col("text"), col("n_chars"))
+      .unionByName(df.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+          col("n_chars")))
+      .unionByName(df.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(lit("z"), expr("substring(text, 2)")).as("text"),
+          col("n_chars")))
+
+  /** DuckDB twin of [[plantAudioDups]]. */
+  private val PlantAudioDupsSql =
+    """adup AS (
+       SELECT doc_id, text, n_chars FROM documents
+       UNION ALL SELECT doc_id + 1000000, text, n_chars FROM documents
+         WHERE doc_id % 7 = 0
+       UNION ALL SELECT doc_id + 2000000, 'z' || substr(text, 2), n_chars
+         FROM documents WHERE doc_id % 11 = 0)"""
 
   val queries: Map[String, Q] = Map(
     // text analysis: token counting
@@ -1992,6 +2081,34 @@ object PipelineQueries {
           sum(when(col("rep").isNotNull && col("rep") =!= col("doc_id"), 1L)
             .otherwise(0L)).as("dropped"))
     }),
+
+    // multimodal: perceptual AUDIO fingerprint — the energy-envelope
+    // sign hash over really-decoded mono PCM (65 frames, Σs² per
+    // frame, 64 gradient-sign bits as two 32-bit halves; the
+    // Chromaprint-shaped audio twin of m11's dHash). WAV is lossless,
+    // so the oracle replays the whole decode → frame → hash chain
+    // from the synthesis rule: a single wrong sample anywhere in the
+    // codec path shifts a frame energy and flips hash bits.
+    "m12_audio_fp" -> ((s, d) => {
+      import graft.multimodal.Multimodal
+      val wav = Multimodal.withWavPayload(Tables.documents(s, d),
+        "doc_id", "text", "n_chars")
+      Multimodal.audioFingerprints(wav).toDF()
+        .select(col("id"), col("sample_rate"), col("n_samples"),
+          col("af_hi"), col("af_lo"))
+    }),
+
+    // dedup: AUDIO near-duplicate pairs — the m12 fingerprints through
+    // the SAME guarded banded-Hamming self-join the image leg rides
+    // (phashPairs is generic over the two 32-bit halves): 4×16-bit
+    // bands, pigeonhole-complete for ≤3 bits, hot-bucket guarded —
+    // a silence-heavy corpus (every quiet clip hashing near 0) cannot
+    // create a quadratic straggler. The oracle computes plain
+    // all-pairs Hamming ≤ 2 over its replayed hashes, so the match
+    // proves banding completeness on the audio leg too.
+    "d17_audio_fp_pairs" -> ((s, d) =>
+      Dedup.phashPairs(audioFpTableFor(s, d),
+        "id", "af_hi", "af_lo", maxHamming = 2)),
 
     // multimodal: REAL multi-frame (video-style) decode — each document
     // becomes a real animated GIF (2 + n%5 frames of (1+n%48)×(1+7n%48));
@@ -4028,6 +4145,27 @@ object PipelineQueries {
               THEN 1 ELSE 0 END) AS BIGINT) AS dropped
           FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id
           GROUP BY d.source""",
+
+    // the envelope hash replayed sample-by-sample from the WAV
+    // synthesis rule (PCM is lossless): any decode defect shifts a
+    // frame energy and flips gradient-sign bits
+    "m12_audio_fp" ->
+      s"""WITH ${audioFpSql()}
+          SELECT doc_id AS id, sample_rate, n_samples, af_hi, af_lo
+          FROM af""",
+
+    // plain ALL-PAIRS Hamming <= 2 over the replayed audio hashes of
+    // the planted-duplicate corpus — the Spark side goes through the
+    // shared banded self-join, so the match also proves the 4x16-bit
+    // banding is complete on this leg
+    "d17_audio_fp_pairs" ->
+      s"""WITH $PlantAudioDupsSql, ${audioFpSql("adup")}
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(bit_count(xor(a.af_hi, b.af_hi)) +
+                 bit_count(xor(a.af_lo, b.af_lo)) AS INT) AS hamming
+          FROM af a JOIN af b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.af_hi, b.af_hi)) +
+                bit_count(xor(a.af_lo, b.af_lo)) <= 2""",
 
     // JPEGs are generated at (1 + n%56) × (1 + 11n%56); the codec is
     // lossy so only the geometry replays — Spark's result carries what

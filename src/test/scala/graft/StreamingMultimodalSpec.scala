@@ -296,6 +296,79 @@ class StreamingMultimodalSpec extends AnyFunSuite {
         s"resized=(${resized.dh_hi},${resized.dh_lo})")
   }
 
+  test("audio fingerprint: identical clips collide, reversed envelope is far, corrupt quarantines") {
+    def wavOf(samples: Array[Int], rate: Float = 8000f): Array[Byte] = {
+      val pcm = samples.map(v => (v & 0xff).toByte)
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 8, 1, false, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    // A: rising amplitude ramp (every frame louder than the last →
+    // all 64 envelope bits set); B: A with one sample nudged (at most
+    // the two comparisons touching that frame can flip); C: the
+    // falling ramp (every envelope bit clears — maximally far)
+    val rampUp = Array.tabulate(650)(i => i / 10)
+    val nudged = rampUp.clone(); nudged(327) += 5
+    val rampDown = rampUp.reverse
+    val bad = "not audio".getBytes("UTF-8")
+    val df = Seq((1L, wavOf(rampUp)), (2L, wavOf(nudged)),
+      (3L, wavOf(rampDown)), (4L, bad)).toDF("id", "payload")
+    val fps = Multimodal.audioFingerprints(df).collect().sortBy(_.id).toSeq
+    val byId = fps.map(f => f.id -> f).toMap
+    assert(byId(1L).sample_rate == 8000 && byId(1L).n_samples == 650L)
+    assert(byId(1L).af_hi == 0xffffffffL && byId(1L).af_lo == 0xffffffffL,
+      s"rising ramp must set every envelope bit, got " +
+        s"(${byId(1L).af_hi}, ${byId(1L).af_lo})")
+    assert(byId(3L).af_hi == 0L && byId(3L).af_lo == 0L,
+      "falling ramp must clear every envelope bit")
+    // quarantine shape: undecodable → (0, 0, -1, -1)
+    assert(byId(4L).af_hi == -1L && byId(4L).af_lo == -1L &&
+      byId(4L).sample_rate == 0)
+    def ham(x: Multimodal.AudioFingerprint, y: Multimodal.AudioFingerprint) =
+      java.lang.Long.bitCount(x.af_hi ^ y.af_hi) +
+        java.lang.Long.bitCount(x.af_lo ^ y.af_lo)
+    assert(ham(byId(1L), byId(2L)) <= 2,
+      s"near-identical clips must collide, hamming=${ham(byId(1L), byId(2L))}")
+    // the pair operator (the SAME guarded band join as the image leg):
+    // A–B pairs, the reversed clip and the quarantined row don't
+    val pairs = graft.dedup.Dedup.phashPairs(
+      Multimodal.audioFingerprints(df).toDF(), "id", "af_hi", "af_lo",
+      maxHamming = 2).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)),
+      s"expected exactly the (1,2) pair, got ${pairs.mkString(",")}")
+  }
+
+  test("audio fingerprint is gain-invariant (the envelope twin of dHash brightness invariance)") {
+    // uniform gain scales every frame energy by the same factor, so
+    // every energy-gradient SIGN — hence the whole hash — survives:
+    // the property that makes the fingerprint a dedup key across
+    // re-encodes at different volumes
+    def wavOf(samples: Array[Int]): Array[Byte] = {
+      val pcm = samples.map(v => (v & 0xff).toByte)
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    // an irregular but smallish signal so the doubled version stays in
+    // 8-bit range exactly (no clipping — clipping is a lossy re-encode)
+    val sig = Array.tabulate(700)(i => (i * 37 % 97) + (i / 50))
+    val loud = sig.map(_ * 2)
+    require(loud.forall(_ <= 255))
+    val df = Seq((1L, wavOf(sig)), (2L, wavOf(loud))).toDF("id", "payload")
+    val fps = Multimodal.audioFingerprints(df).collect().sortBy(_.id)
+    assert((fps(0).af_hi, fps(0).af_lo) == (fps(1).af_hi, fps(1).af_lo),
+      s"2x gain must not change the envelope hash: " +
+        s"(${fps(0).af_hi},${fps(0).af_lo}) vs (${fps(1).af_hi},${fps(1).af_lo})")
+  }
+
   test("frame sampling: n rows per payload, empty payload included") {
     val df = Seq((1L, "some video bytes"), (2L, "")).toDF("doc_id", "text")
     val p = Multimodal.withPayload(df, "doc_id", "text")
