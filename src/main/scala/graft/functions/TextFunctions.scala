@@ -300,6 +300,26 @@ object TextFunctions {
         PhonePattern, "[PHONE]"),
       Ipv4Pattern, "[IP]")
 
+  /** Text canonicalization — the normalization stage every pipeline
+    * runs BEFORE fingerprinting, so that byte-level identity means
+    * content identity downstream (exact-dedup md5, shingle MinHash,
+    * BPE symbols all hash bytes): Unicode NFC (composed/decomposed
+    * variants of the same text unify — the compiled
+    * [[graft.functions.UnicodeExpressions.nfcNormalize]] expression),
+    * then control characters stripped (C0 minus tab/newline/CR, plus
+    * DEL — the explicit class keeps Java and RE2 semantics identical),
+    * then whitespace runs collapsed to a single space, then trimmed.
+    * Pass order is part of the contract: NFC first (a combining mark
+    * is not whitespace, but normalization can only ever reduce the
+    * code-point stream the later regexes see), strip before collapse
+    * (a control char between spaces must not keep two runs apart).
+    */
+  def canonicalize(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(UnicodeExpressions.nfcNormalize(c),
+        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+      "[ \\t\\n\\r]+", " "))
+
   /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
     * SIGMOD 2003 — the MOSS local document-fingerprinting algorithm):
     * over the per-position gram fingerprints `fps` (stage

@@ -1683,6 +1683,64 @@ object PipelineQueries {
             x => TextFunctions.shingleBaseHash(x))).as("min_shingle_h"))
     }),
 
+    // text: CANONICALIZATION — the NFC + control-strip + whitespace-
+    // collapse normalization every pipeline runs before fingerprinting
+    // (composed and decomposed encodings of the same text must hash
+    // identically downstream). The corpus is ASCII by contract, so
+    // the gate derives a dirty twin deterministically: every 'a'
+    // decomposes to a + U+0301 (NFC must re-compose it to á), every
+    // space gains a trailing tab (collapse), and a BEL lands at the
+    // end (strip). Both engines derive AND canonicalize, and the
+    // canonical text hash-compares — Java's Normalizer and DuckDB's
+    // nfc_normalize must agree on every composition.
+    "t49_text_canonicalize" -> ((s, d) => {
+      val raw = regexp_replace(
+        regexp_replace(col("text"), "a", "á"), " ", " \t")
+      Tables.documents(s, d)
+        .select(col("doc_id"), concat(raw, lit("")).as("raw"))
+        .select(col("doc_id"),
+          TextFunctions.canonicalize(col("raw")).as("canon"),
+          length(col("raw")).cast("long").as("n_chars_raw"))
+        .select(col("doc_id"), col("canon"),
+          col("n_chars_raw"),
+          length(col("canon")).cast("long").as("n_chars_canon"),
+          octet_length(col("canon")).cast("long").as("n_bytes_canon"))
+    }),
+
+    // text: DOCUMENT CHUNKING — fixed 64-token windows with stride 48
+    // (16-token overlap), the embedding/RAG preparation stage that
+    // turns documents into retrievable units: chunk starts are
+    // k·stride up to the smallest start whose window reaches the end
+    // (every token covered, the tail never dropped, and NO redundant
+    // fully-contained tail chunk — a 64-token doc is exactly one
+    // chunk, not one plus a 16-token sub-chunk an index would score
+    // twice). Each chunk carries its provenance (doc, index, start
+    // offset) plus the 60-bit content fingerprint downstream
+    // chunk-dedup keys on. Pure in-row explode — the ideal 100 TB map
+    // stage: no shuffle, rows fan out ~n/stride per doc and the wide
+    // text column is sliced, never duplicated whole.
+    "t50_doc_chunks" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("w"))
+        .withColumn("n", size(col("w")))
+        .filter(col("n") > 0)
+      // last chunk index: 0 when n <= 64, else ceil((n-64)/48) —
+      // written (n-17) DIV 48 in integer arithmetic
+      toks.select(col("doc_id"), col("w"), col("n"),
+          posexplode(expr(
+            "transform(sequence(0, CASE WHEN n <= 64 THEN 0 ELSE " +
+              "CAST((n - 17) DIV 48 AS INT) END), k -> k * 48)"))
+            .as(Seq("chunk_idx", "start_tok")))
+        .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
+          col("start_tok").cast("int").as("start_tok"),
+          least(lit(64), col("n") - col("start_tok")).cast("int")
+            .as("n_tokens"),
+          expr("array_join(slice(w, start_tok + 1, least(64, n - start_tok)), ' ')")
+            .as("chunk_text"))
+        .withColumn("chunk_h",
+          TextFunctions.shingleBaseHash(col("chunk_text")))
+    }),
+
     // text: BPE merge learning over the MULTIBYTE u-corpus — the
     // trainer's symbolize step (one space per CHARACTER) and the
     // replace chain must agree across engines on text where a symbol
@@ -3508,6 +3566,49 @@ object PipelineQueries {
               CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % 1000000007),
               'min') AS min_shingle_h
           FROM s""",
+
+    // the same dirty-twin derivation (decomposed a+U+0301, space+tab,
+    // trailing BEL) canonicalized with DuckDB's own nfc_normalize —
+    // the canonical text hash-compares only if both engines' Unicode
+    // NFC tables and regex span semantics agree
+    "t49_text_canonicalize" ->
+      """WITH raw AS (SELECT doc_id,
+            replace(replace(text, 'a', 'a' || chr(769)), ' ',
+              ' ' || chr(9)) || chr(7) AS raw
+          FROM documents),
+          c AS (SELECT doc_id, raw,
+            trim(regexp_replace(regexp_replace(nfc_normalize(raw),
+              '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+              '[ \t\n\r]+', ' ', 'g')) AS canon
+          FROM raw)
+          SELECT doc_id, canon,
+            CAST(length(raw) AS BIGINT) AS n_chars_raw,
+            CAST(length(canon) AS BIGINT) AS n_chars_canon,
+            CAST(strlen(canon) AS BIGINT) AS n_bytes_canon
+          FROM c""",
+
+    // the same 64/48 window rule over the same tokenization; DuckDB's
+    // 1-based inclusive slice words[a+1 : min(a+64, n)] is exactly the
+    // 0-based window [a, a+64); chunk_h replays the shingleBaseHash
+    // 60-bit md5 rule on the joined chunk text
+    "t50_doc_chunks" ->
+      s"""WITH t AS (SELECT doc_id, $W AS words FROM documents),
+          n AS (SELECT doc_id, words, len(words) AS n FROM t
+            WHERE len(words) > 0),
+          k AS (SELECT doc_id, words, n,
+            unnest(range(0, CASE WHEN n <= 64 THEN 1
+              ELSE (n - 17) // 48 + 1 END)) AS ck FROM n),
+          c AS (SELECT doc_id, CAST(ck AS INT) AS chunk_idx,
+            CAST(ck * 48 AS INT) AS start_tok,
+            CAST(least(64, n - ck * 48) AS INT) AS n_tokens,
+            array_to_string(
+              words[CAST(ck * 48 + 1 AS INT) :
+                    CAST(least(ck * 48 + 64, n) AS INT)], ' ') AS chunk_text
+          FROM k)
+          SELECT doc_id, chunk_idx, start_tok, n_tokens, chunk_text,
+            CAST('0x' || substr(md5(chunk_text), 1, 15) AS BIGINT)
+              % 1000000007 AS chunk_h
+          FROM c""",
 
     // t41's unrolled-CTE replay over the u-corpus: the symbolize step
     // (one space per CHARACTER) must split on code points, not bytes
