@@ -1719,26 +1719,27 @@ object PipelineQueries {
     // chunk-dedup keys on. Pure in-row explode — the ideal 100 TB map
     // stage: no shuffle, rows fan out ~n/stride per doc and the wide
     // text column is sliced, never duplicated whole.
-    "t50_doc_chunks" -> ((s, d) => {
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("w"))
-        .withColumn("n", size(col("w")))
-        .filter(col("n") > 0)
-      // last chunk index: 0 when n <= 64, else ceil((n-64)/48) —
-      // written (n-17) DIV 48 in integer arithmetic
-      toks.select(col("doc_id"), col("w"), col("n"),
-          posexplode(expr(
-            "transform(sequence(0, CASE WHEN n <= 64 THEN 0 ELSE " +
-              "CAST((n - 17) DIV 48 AS INT) END), k -> k * 48)"))
-            .as(Seq("chunk_idx", "start_tok")))
-        .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
-          col("start_tok").cast("int").as("start_tok"),
-          least(lit(64), col("n") - col("start_tok")).cast("int")
-            .as("n_tokens"),
-          expr("array_join(slice(w, start_tok + 1, least(64, n - start_tok)), ' ')")
-            .as("chunk_text"))
-        .withColumn("chunk_h",
-          TextFunctions.shingleBaseHash(col("chunk_text")))
+    "t50_doc_chunks" -> ((s, d) =>
+      graft.text.Chunker.chunk(Tables.documents(s, d), "doc_id", "text")),
+
+    // dedup: CHUNK-level dedup — the t50 retrieval units grouped by
+    // content: chunks whose exact text recurs across documents are the
+    // boilerplate an embedding index pays for once per occurrence
+    // (headers, licenses, templated sections survive doc-level
+    // near-dedup because the SURROUNDING text differs). One keyed
+    // shuffle on the 60-bit chunk fingerprint (the text rides along
+    // only to make the group exact — a fingerprint collision must not
+    // merge distinct chunks); output is the duplicated-chunk
+    // inventory: fingerprint, distinct docs, total occurrences,
+    // canonical (minimum) carrier doc.
+    "d18_chunk_dedup" -> ((s, d) => {
+      val chunks = queries("t50_doc_chunks")(s, d)
+      chunks.groupBy(col("chunk_h"), col("chunk_text"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occ"),
+          min(col("doc_id")).as("min_doc"))
+        .filter(col("n_docs") > 1)
+        .select(col("chunk_h"), col("n_docs"), col("n_occ"), col("min_doc"))
     }),
 
     // text: BPE merge learning over the MULTIBYTE u-corpus — the
@@ -3609,6 +3610,30 @@ object PipelineQueries {
             CAST('0x' || substr(md5(chunk_text), 1, 15) AS BIGINT)
               % 1000000007 AS chunk_h
           FROM c""",
+
+    // the t50 chunk table regrouped by exact content — the
+    // cross-document boilerplate inventory at retrieval-unit
+    // granularity
+    "d18_chunk_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $W AS words FROM documents),
+          n AS (SELECT doc_id, words, len(words) AS n FROM t
+            WHERE len(words) > 0),
+          k AS (SELECT doc_id, words, n,
+            unnest(range(0, CASE WHEN n <= 64 THEN 1
+              ELSE (n - 17) // 48 + 1 END)) AS ck FROM n),
+          c AS (SELECT doc_id,
+            array_to_string(
+              words[CAST(ck * 48 + 1 AS INT) :
+                    CAST(least(ck * 48 + 64, n) AS INT)], ' ') AS chunk_text
+          FROM k)
+          SELECT CAST('0x' || substr(md5(chunk_text), 1, 15) AS BIGINT)
+              % 1000000007 AS chunk_h,
+            CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+            CAST(COUNT(*) AS BIGINT) AS n_occ,
+            MIN(doc_id) AS min_doc
+          FROM c
+          GROUP BY chunk_text
+          HAVING COUNT(DISTINCT doc_id) > 1""",
 
     // t41's unrolled-CTE replay over the u-corpus: the symbolize step
     // (one space per CHARACTER) must split on code points, not bytes

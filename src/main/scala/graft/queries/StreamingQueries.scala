@@ -361,6 +361,30 @@ object StreamingQueries {
           sum(col("red_len")).as("red_chars"))
     }),
 
+    // STREAMING CHUNKING — the retrieval-unit stage in-flight:
+    // documents stream in and each micro-batch explodes into its
+    // 64/48 token-window chunks (pure in-row work — like the scrub,
+    // the stage carries NO state at any scale), the narrow chunk rows
+    // land via the staged drain, and the gate folds per-shard chunk
+    // counts, token totals, and distinct fingerprints. The oracle
+    // replays the t50 window rule batch-side, so the streamed
+    // tokenize → window → fingerprint must match the batch path
+    // exactly across any micro-batch split.
+    "st19_stream_chunks" -> ((s, d) => {
+      val schema = Tables.documents(s, d).schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(d)
+      val chunks = graft.text.Chunker.chunk(stream, "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"), col("chunk_h"))
+      val landed = EventStreams.runToCompletionStaged(s, chunks,
+        landDir(d, "st19"))
+      landed.groupBy((col("doc_id") % 10).as("shard"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("n_tokens")).as("tot_tokens"),
+          countDistinct(col("chunk_h")).as("distinct_chunks"))
+    }),
+
     // STREAMING IMAGE FINGERPRINTING — the multimodal family's
     // streaming leg: documents stream in, each micro-batch
     // synthesizes its real PNGs and dHashes the decoded rasters
@@ -765,6 +789,31 @@ object StreamingQueries {
          WHERE nb >= 3
            AND CAST(v AS DOUBLE) >
              3.0 * (CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))""",
+
+    // the t50 window rule replayed batch-side, folded per shard —
+    // the streamed tokenize → window → fingerprint must agree across
+    // any micro-batch split
+    "st19_stream_chunks" ->
+      """WITH t AS (SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS words
+           FROM documents),
+         n AS (SELECT doc_id, words, len(words) AS n FROM t
+           WHERE len(words) > 0),
+         k AS (SELECT doc_id, words, n,
+           unnest(range(0, CASE WHEN n <= 64 THEN 1
+             ELSE (n - 17) // 48 + 1 END)) AS ck FROM n),
+         c AS (SELECT doc_id,
+           CAST(least(64, n - ck * 48) AS INT) AS n_tokens,
+           CAST('0x' || substr(md5(array_to_string(
+             words[CAST(ck * 48 + 1 AS INT) :
+                   CAST(least(ck * 48 + 64, n) AS INT)], ' ')), 1, 15)
+             AS BIGINT) % 1000000007 AS chunk_h
+         FROM k)
+         SELECT doc_id % 10 AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+           CAST(COUNT(DISTINCT chunk_h) AS BIGINT) AS distinct_chunks
+         FROM c GROUP BY 1""",
 
     // the m11 dHash rule replayed batch-side (PNG lossless ⇒ the
     // streamed decode must be byte-identical), folded per band prefix

@@ -94,6 +94,8 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
       GraftSessionizeFunction.info, GraftSessionizeFunction.builder))
     e.injectTableFunction((FunctionIdentifier("graft_redact"),
       GraftRedactFunction.info, GraftRedactFunction.builder))
+    e.injectTableFunction((FunctionIdentifier("graft_chunk"),
+      GraftChunkFunction.info, GraftChunkFunction.builder))
   }
 }
 
@@ -446,6 +448,53 @@ object GraftRedactFunction {
   def ensureRegistered(spark: SparkSession): Unit =
     spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier("graft_redact"), info, builder)
+}
+
+/** `graft_chunk('<table-or-path>', '<id_col>', '<text_col>'[, <window>,
+  * <stride>])` — document chunking ([[graft.text.Chunker]], the t50
+  * operator) as a FROM-able table function; default 64-token windows
+  * with stride 48:
+  *
+  *   SELECT * FROM graft_chunk('docs', 'doc_id', 'text')
+  *   SELECT chunk_h, count(*) FROM graft_chunk('docs', 'doc_id', 'text', 128, 96)
+  *     GROUP BY 1
+  *
+  * Emits (doc_id, chunk_idx, start_tok, n_tokens, chunk_text,
+  * chunk_h). Pure plan constructor — in-row explode, no shuffle.
+  */
+object GraftChunkFunction {
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  private[sql] val info = new ExpressionInfo("graft", null, "graft_chunk",
+    "fixed token-window document chunks with stride (default 64/48): " +
+      "(doc_id, chunk_idx, start_tok, n_tokens, chunk_text, chunk_h)",
+    "", "", "", "", "", "", "built-in")
+
+  private[sql] val builder: Seq[Expression] => LogicalPlan = exprs => {
+    require(exprs.size == 3 || exprs.size == 5,
+      "usage: graft_chunk('<table-or-path>', '<id_col>', '<text_col>'" +
+        "[, <window>, <stride>])")
+    def litVal(e: Expression): Any = {
+      require(e.foldable, s"graft_chunk arguments must be literals, got: $e")
+      e.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+    }
+    val spark = SparkSession.active
+    val src = GraftTvfSource.resolve(spark, String.valueOf(litVal(exprs.head)))
+    val idCol = String.valueOf(litVal(exprs(1)))
+    val textCol = String.valueOf(litVal(exprs(2)))
+    val (window, stride) =
+      if (exprs.size == 5)
+        (String.valueOf(litVal(exprs(3))).toInt,
+          String.valueOf(litVal(exprs(4))).toInt)
+      else (64, 48)
+    graft.text.Chunker.chunk(src, idCol, textCol, window, stride)
+      .queryExecution.logical
+  }
+
+  /** Runtime registration — see [[GraftTableFunction.ensureRegistered]]. */
+  def ensureRegistered(spark: SparkSession): Unit =
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_chunk"), info, builder)
 }
 
 /** `graft_sessionize('<table-or-path>'[, <gap_minutes>])` — gap-based

@@ -341,6 +341,31 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("graft_redact"))
   }
 
+  test("graft_chunk is FROM-able in SQL, matches the DataFrame surface, honors window/stride") {
+    val s2 = spark
+    import s2.implicits._
+    val text = (0 until 100).map(i => s"w$i").mkString(" ")
+    Seq((1L, text)).toDF("doc_id", "text")
+      .createOrReplaceTempView("chunk_src")
+    val viaSql = spark
+      .sql("SELECT * FROM graft_chunk('chunk_src', 'doc_id', 'text')")
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+    val viaApi = graft.text.Chunker
+      .chunk(spark.table("chunk_src"), "doc_id", "text")
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+    assert(viaSql == viaApi && viaSql == Set((0, 0, 64), (1, 48, 52)))
+    // explicit window/stride: 50/25 over 100 tokens -> starts 0,25,50
+    val custom = spark
+      .sql("SELECT chunk_idx, start_tok, n_tokens FROM " +
+        "graft_chunk('chunk_src', 'doc_id', 'text', 50, 25)")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+    assert(custom == Set((0, 0, 50), (1, 25, 50), (2, 50, 50)))
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_chunk('chunk_src')").collect()
+    }
+    assert(e.getMessage.contains("graft_chunk"))
+  }
+
   test("graft_funnel / graft_sessionize reject bad arity with their usage lines") {
     val e = intercept[Exception] {
       spark.sql(s"SELECT * FROM graft_funnel('$sf/events.parquet')").collect()
