@@ -1726,20 +1726,26 @@ object PipelineQueries {
     // content: chunks whose exact text recurs across documents are the
     // boilerplate an embedding index pays for once per occurrence
     // (headers, licenses, templated sections survive doc-level
-    // near-dedup because the SURROUNDING text differs). One keyed
-    // shuffle on the 60-bit chunk fingerprint (the text rides along
-    // only to make the group exact — a fingerprint collision must not
-    // merge distinct chunks); output is the duplicated-chunk
-    // inventory: fingerprint, distinct docs, total occurrences,
-    // canonical (minimum) carrier doc.
+    // near-dedup because the SURROUNDING text differs). Content
+    // identity is the full md5 of the chunk text (the d01 exact-dedup
+    // discipline), so only NARROW (fp, doc_id) rows ride the shuffles
+    // — the wide text column never leaves the map stage (PlanSpec
+    // pins no Exchange carries chunk_text); the reported chunk_h is
+    // the t50 60-bit prefix of the same digest. Output is the
+    // duplicated-chunk inventory: fingerprint, distinct docs, total
+    // occurrences, canonical (minimum) carrier doc.
     "d18_chunk_dedup" -> ((s, d) => {
       val chunks = queries("t50_doc_chunks")(s, d)
-      chunks.groupBy(col("chunk_h"), col("chunk_text"))
+      chunks.select(md5(col("chunk_text")).as("fp"), col("doc_id"))
+        .groupBy(col("fp"))
         .agg(countDistinct(col("doc_id")).as("n_docs"),
           count(lit(1)).as("n_occ"),
           min(col("doc_id")).as("min_doc"))
         .filter(col("n_docs") > 1)
-        .select(col("chunk_h"), col("n_docs"), col("n_occ"), col("min_doc"))
+        .select(
+          expr("CAST(conv(substring(fp, 1, 15), 16, 10) AS BIGINT) % 1000000007")
+            .as("chunk_h"),
+          col("n_docs"), col("n_occ"), col("min_doc"))
     }),
 
     // text: BPE merge learning over the MULTIBYTE u-corpus — the
@@ -3626,13 +3632,13 @@ object PipelineQueries {
               words[CAST(ck * 48 + 1 AS INT) :
                     CAST(least(ck * 48 + 64, n) AS INT)], ' ') AS chunk_text
           FROM k)
-          SELECT CAST('0x' || substr(md5(chunk_text), 1, 15) AS BIGINT)
+          SELECT CAST('0x' || substr(fp, 1, 15) AS BIGINT)
               % 1000000007 AS chunk_h,
             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
             CAST(COUNT(*) AS BIGINT) AS n_occ,
             MIN(doc_id) AS min_doc
-          FROM c
-          GROUP BY chunk_text
+          FROM (SELECT md5(chunk_text) AS fp, doc_id FROM c)
+          GROUP BY fp
           HAVING COUNT(DISTINCT doc_id) > 1""",
 
     // t41's unrolled-CTE replay over the u-corpus: the symbolize step

@@ -127,6 +127,32 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("chunking and canonicalization are narrow projections: no Exchange at all") {
+    // both are in-row stages (explode / NFC+regex) — the ideal 100 TB
+    // map shape; an Exchange would mean the chunker or normalizer
+    // picked up a join or aggregation it doesn't need
+    for (g <- Seq("t50_doc_chunks", "t49_text_canonicalize")) {
+      val p = plan(g)
+      assert(!p.contains("Exchange"),
+        s"$g must not shuffle:\n${p.take(3000)}")
+    }
+  }
+
+  test("chunk dedup shuffles narrow fingerprints — the text never rides an Exchange") {
+    // the distinct-doc rewrite legitimately plans two keyed hash
+    // aggregations, but both must move only (fp, doc_id) rows: the
+    // wide chunk text leaving the map stage would multiply the
+    // shuffle bytes by the chunk width at 100 TB
+    val p = plan("d18_chunk_dedup")
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, s"expected a keyed shuffle:\n${p.take(3000)}")
+    exchanges.foreach(l => assert(!l.contains("chunk_text"),
+      s"chunk_text must not ride a shuffle:\n$l"))
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"no global sort expected:\n${p.take(3000)}")
+  }
+
   test("image near-dup pairs stay band-keyed: no product join, no corpus broadcast") {
     // d14's gate frame is an eager localCheckpoint (so its own plan
     // is just a scan); pin the UNDERLYING scaffold instead — the
