@@ -1748,6 +1748,40 @@ object PipelineQueries {
           col("n_docs"), col("n_occ"), col("min_doc"))
     }),
 
+    // dedup: CANONICAL dedup — t49 feeding d01: exact-dup groups that
+    // exist only under canonicalization. The corpus is derived so
+    // every doc carries composed accents (a → á), and every 5th doc
+    // gains a twin in the DECOMPOSED encoding with doubled spaces and
+    // a trailing BEL — the same prose a crawler re-serialized
+    // differently. Raw md5 fingerprints (the d01 rule) see distinct
+    // documents everywhere; canonical fingerprints collapse each twin
+    // onto its original. The gate reports both per source, so the raw
+    // count is the negative control the canon count is read against.
+    // Two keyed window shuffles (fingerprint-partitioned counts), one
+    // source-keyed agg — narrow hash columns only.
+    "d19_canonical_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.documents(s, d)
+      val a = base.select(col("doc_id"),
+        regexp_replace(col("text"), "a", "á").as("text"), col("source"))
+      val b = base.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(regexp_replace(regexp_replace(col("text"), "a", "á"),
+            " ", "  "), lit("")).as("text"),
+          col("source"))
+      val withFp = a.unionByName(b).select(col("doc_id"), col("source"),
+        TextFunctions.fingerprint(col("text")).as("raw_fp"),
+        TextFunctions.fingerprint(TextFunctions.canonicalize(col("text")))
+          .as("can_fp"))
+      val counted = withFp
+        .withColumn("rn", count(lit(1)).over(Window.partitionBy(col("raw_fp"))))
+        .withColumn("cn", count(lit(1)).over(Window.partitionBy(col("can_fp"))))
+      counted.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("rn") > 1, 1L).otherwise(0L)).as("raw_dup_docs"),
+          sum(when(col("cn") > 1, 1L).otherwise(0L)).as("canon_dup_docs"))
+    }),
+
     // text: BPE merge learning over the MULTIBYTE u-corpus — the
     // trainer's symbolize step (one space per CHARACTER) and the
     // replace chain must agree across engines on text where a symbol
@@ -3640,6 +3674,35 @@ object PipelineQueries {
           FROM (SELECT md5(chunk_text) AS fp, doc_id FROM c)
           GROUP BY fp
           HAVING COUNT(DISTINCT doc_id) > 1""",
+
+    // the same derivation (composed corpus + decomposed/whitespace/BEL
+    // twins), both fingerprints replayed — raw over the verbatim text,
+    // canonical through nfc_normalize + the t49 regex pipeline
+    "d19_canonical_dedup" ->
+      """WITH a AS (SELECT doc_id, replace(text, 'a', chr(225)) AS text,
+            source FROM documents),
+          b AS (SELECT doc_id + 3000000 AS doc_id,
+            replace(replace(text, 'a', 'a' || chr(769)), ' ', '  ')
+              || chr(7) AS text, source
+          FROM documents WHERE doc_id % 5 = 0),
+          u AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+          f AS (SELECT doc_id, source,
+            md5(lower(trim(text))) AS raw_fp,
+            md5(lower(trim(
+              trim(regexp_replace(regexp_replace(nfc_normalize(text),
+                '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+                '[ \t\n\r]+', ' ', 'g'))))) AS can_fp
+          FROM u),
+          c AS (SELECT source,
+            COUNT(*) OVER (PARTITION BY raw_fp) AS rn,
+            COUNT(*) OVER (PARTITION BY can_fp) AS cn
+          FROM f)
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS raw_dup_docs,
+            CAST(SUM(CASE WHEN cn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS canon_dup_docs
+          FROM c GROUP BY source""",
 
     // t41's unrolled-CTE replay over the u-corpus: the symbolize step
     // (one space per CHARACTER) must split on code points, not bytes
