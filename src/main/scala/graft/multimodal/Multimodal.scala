@@ -717,6 +717,82 @@ object Multimodal {
       } finally ais.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** One resampled clip: the re-encoded payload plus its decoded
+    * header fields. Empty payload + zero fields marks a quarantined
+    * input (the [[resizeImages]] reject-sink shape).
+    */
+  case class ResampledAudio(id: Long, payload: Array[Byte],
+                            sample_rate: Int, n_samples: Long)
+
+  /** Audio RESAMPLE by integer decimation — the audio twin of
+    * [[resizeImages]]: the normalization step an audio-training
+    * pipeline runs to unify sample rates before batching. The output
+    * keeps every `factor`-th decoded sample (output j = input
+    * j·factor, so n_out = ceil(n/factor) and rate_out = rate/factor —
+    * pure integer rules an oracle replays), and is re-encoded as a
+    * genuine 8-bit mono WAV, so a downstream decode sees the new
+    * header only if the whole decode → decimate → encode chain held.
+    * No anti-alias filter — decimation IS the oracle-replayable
+    * contract here, exactly as the bilinear resize pins integer
+    * target dims; a production resampler swaps the kernel without
+    * touching the plumbing.
+    *
+    * Batched mapPartitions at the JVM codec boundary; a non-WAV /
+    * corrupt / profile-mismatched payload quarantines to the empty
+    * row (it must not kill the batch).
+    */
+  def resampleAudio(df: DataFrame, factor: Int,
+                    batchSize: Int = 64): Dataset[ResampledAudio] = {
+    require(factor >= 1, s"factor must be positive, got $factor")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("id"), coalesce(col("payload"),
+      lit(Array.emptyByteArray)).as("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map { case (id, bytes) =>
+        decodeMonoPcmBytes(bytes) match {
+          case None => ResampledAudio(id, Array.emptyByteArray, 0, 0L)
+          case Some((rate, pcm)) =>
+            val nOut = (pcm.length + factor - 1) / factor
+            val out = Array.tabulate[Byte](nOut)(j => pcm(j * factor))
+            val fmt = new javax.sound.sampled.AudioFormat(
+              (rate / factor).toFloat, 8, 1, false, false)
+            val ais = new javax.sound.sampled.AudioInputStream(
+              new java.io.ByteArrayInputStream(out), fmt, nOut.toLong)
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.sound.sampled.AudioSystem.write(ais,
+              javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+            ResampledAudio(id, bos.toByteArray, rate / factor, nOut.toLong)
+        }
+      }))
+  }
+
+  /** Fully decode an 8-bit unsigned mono PCM WAV to its raw sample
+    * bytes (the profile contract of [[walkMonoPcm]]); None ⇒
+    * quarantine. Payload-sized allocation — a clip's samples are
+    * bounded by the payload already held in memory.
+    */
+  private def decodeMonoPcmBytes(
+      bytes: Array[Byte]): Option[(Int, Array[Byte])] =
+    if (!isWav(bytes)) None
+    else try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        val supported = fmt.getSampleSizeInBits == 8 &&
+          fmt.getChannels == 1 &&
+          fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+        if (!supported) None
+        else {
+          val bos = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](4096)
+          var n = ais.read(buf)
+          while (n > 0) { bos.write(buf, 0, n); n = ais.read(buf) }
+          Some((fmt.getSampleRate.toInt, bos.toByteArray))
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** One-pass folds over a decoded 8-bit unsigned mono PCM stream —
     * the SINGLE stream walk behind both m05 (amplitude) and m08
     * (quality stats), so the supported-profile predicate, buffer loop,

@@ -2197,6 +2197,25 @@ object PipelineQueries {
           col("af_hi"), col("af_lo"))
     }),
 
+    // multimodal: AUDIO RESAMPLE — 2× integer decimation (output j =
+    // input 2j, n_out = ceil(n/2), rate halves), re-encoded as a
+    // genuine WAV and then REALLY re-decoded: the gated fields come
+    // from decodeAudioFeatures over the resampled container, so
+    // decode → decimate → encode → decode must all hold (the m06
+    // resize discipline on the audio leg). The oracle replays the
+    // decimation from the synthesis rule — every kept sample's value
+    // and position is exact.
+    "m13_audio_resample" -> ((s, d) => {
+      import graft.multimodal.Multimodal
+      val wav = Multimodal.withWavPayload(Tables.documents(s, d),
+        "doc_id", "text", "n_chars")
+      val res = Multimodal.resampleAudio(wav, 2).toDF()
+        .select(col("id"), col("payload"))
+      Multimodal.decodeAudioFeatures(res).toDF()
+        .select(col("id"), col("sample_rate"), col("n_samples"),
+          col("amp_sum"))
+    }),
+
     // dedup: AUDIO near-duplicate pairs — the m12 fingerprints through
     // the SAME guarded banded-Hamming self-join the image leg rides
     // (phashPairs is generic over the two 32-bit halves): 4×16-bit
@@ -4348,6 +4367,20 @@ object PipelineQueries {
       s"""WITH ${audioFpSql()}
           SELECT doc_id AS id, sample_rate, n_samples, af_hi, af_lo
           FROM af""",
+
+    // the 2x decimation replayed from the WAV synthesis rule: kept
+    // sample j is input sample 2j, so the amplitude sum is exact
+    "m13_audio_resample" ->
+      """SELECT doc_id AS id,
+           CAST((8000 + (n_chars % 8) * 1000) // 2 AS INT) AS sample_rate,
+           CAST((n + 1) // 2 AS BIGINT) AS n_samples,
+           CAST(list_sum(list_transform(range(0, (n + 1) // 2), j ->
+             CASE WHEN tl = 0 THEN 0
+               ELSE CAST(ord(substr(text, CAST((2 * j) % tl AS INT) + 1, 1))
+                 AS BIGINT) END)) AS BIGINT) AS amp_sum
+         FROM (SELECT doc_id, text, length(text) AS tl,
+             500 + n_chars % 1000 AS n, n_chars
+           FROM documents)""",
 
     // plain ALL-PAIRS Hamming <= 2 over the replayed audio hashes of
     // the planted-duplicate corpus — the Spark side goes through the

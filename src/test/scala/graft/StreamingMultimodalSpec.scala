@@ -369,6 +369,42 @@ class StreamingMultimodalSpec extends AnyFunSuite {
         s"(${fps(0).af_hi},${fps(0).af_lo}) vs (${fps(1).af_hi},${fps(1).af_lo})")
   }
 
+  test("audio fingerprint survives 2x decimation on smooth ramps (the audio twin of dHash resize invariance)") {
+    // a monotone envelope stays monotone under decimation: every
+    // frame of the resampled clip sums squares over the same rising
+    // region, so all 64 gradient signs — hence the whole hash —
+    // survive the decode → decimate → encode → decode chain. The
+    // property that makes the fingerprint a dedup key across clips
+    // stored at different sample rates.
+    def wavOf(samples: Array[Int], rate: Float): Array[Byte] = {
+      val pcm = samples.map(v => (v & 0xff).toByte)
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 8, 1, false, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val ramp = Array.tabulate(1040)(i => i / 20)
+    val df = Seq((1L, wavOf(ramp, 8000f))).toDF("id", "payload")
+    val orig = Multimodal.audioFingerprints(df).collect()(0)
+    val res = Multimodal.resampleAudio(df, 2).toDF()
+    val meta = res.collect()(0)
+    assert(meta.getAs[Int]("sample_rate") == 4000 &&
+      meta.getAs[Long]("n_samples") == 520L)
+    val resampled = Multimodal.audioFingerprints(
+      res.select(col("id"), col("payload"))).collect()(0)
+    assert((orig.af_hi, orig.af_lo) == (resampled.af_hi, resampled.af_lo),
+      s"envelope hash must survive 2x decimation on a monotone ramp: " +
+        s"orig=(${orig.af_hi},${orig.af_lo}) " +
+        s"resampled=(${resampled.af_hi},${resampled.af_lo})")
+    // quarantine shape: a corrupt payload resamples to the empty row
+    val bad = Seq((2L, "junk".getBytes("UTF-8"))).toDF("id", "payload")
+    val q = Multimodal.resampleAudio(bad, 2).collect()(0)
+    assert(q.payload.isEmpty && q.sample_rate == 0 && q.n_samples == 0L)
+  }
+
   test("frame sampling: n rows per payload, empty payload included") {
     val df = Seq((1L, "some video bytes"), (2L, "")).toDF("doc_id", "text")
     val p = Multimodal.withPayload(df, "doc_id", "text")
