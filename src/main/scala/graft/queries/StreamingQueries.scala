@@ -412,6 +412,32 @@ object StreamingQueries {
           countDistinct(col("dh_hi"), col("dh_lo")).as("distinct_hashes"))
     }),
 
+    // STREAMING AUDIO FINGERPRINTING — the audio twin of st18: each
+    // micro-batch synthesizes its real WAVs and envelope-hashes the
+    // decoded PCM (both stages stateless mapPartitions at the JVM
+    // codec boundary — streaming-legal, no state), and the landed
+    // fingerprints aggregate per band prefix. The oracle replays the
+    // m12 hash rule batch-side, so the streamed decode must be
+    // byte-identical to the batch path across any micro-batch split.
+    "st20_stream_audio_fp" -> ((s, d) => {
+      import graft.multimodal.Multimodal
+      val schema = Tables.documents(s, d).schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(d)
+      val fps = Multimodal.audioFingerprints(
+        Multimodal.withWavPayload(stream, "doc_id", "text", "n_chars"))
+        .toDF()
+        .select(col("id"), col("af_hi"), col("af_lo"))
+      val landed = EventStreams.runToCompletionStaged(s, fps,
+        landDir(d, "st20"))
+      landed
+        .groupBy(shiftright(col("af_hi"), 24).as("band"))
+        .agg(count(lit(1)).as("n_clips"),
+          sum(col("af_lo")).as("lo_sum"),
+          countDistinct(col("af_hi"), col("af_lo")).as("distinct_hashes"))
+    }),
+
     "st16_stream_funnel" -> ((s, d) => {
       val raw = Tables.rawEvents(s, d)
       val stream = s.readStream.schema(raw.schema)
@@ -814,6 +840,17 @@ object StreamingQueries {
            CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
            CAST(COUNT(DISTINCT chunk_h) AS BIGINT) AS distinct_chunks
          FROM c GROUP BY 1""",
+
+    // the m12 envelope-hash rule replayed batch-side (WAV PCM
+    // lossless ⇒ the streamed decode must be byte-identical), folded
+    // per band prefix
+    "st20_stream_audio_fp" ->
+      s"""WITH ${PipelineQueries.audioFpSql()}
+         SELECT CAST(af_hi >> 24 AS BIGINT) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_clips,
+           CAST(SUM(af_lo) AS BIGINT) AS lo_sum,
+           CAST(COUNT(DISTINCT (af_hi, af_lo)) AS BIGINT) AS distinct_hashes
+         FROM af GROUP BY 1""",
 
     // the m11 dHash rule replayed batch-side (PNG lossless ⇒ the
     // streamed decode must be byte-identical), folded per band prefix
