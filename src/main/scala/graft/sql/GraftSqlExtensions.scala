@@ -566,6 +566,17 @@ object GraftFunctions {
       info("graft_lang_id", "marker-word language heuristic"),
       exprs => ColumnExpr.eagerExpr(
         graft.functions.TextFunctions.langId(ColumnExpr.toColumn(exprs.head)))))
+    e.injectFunction((FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize",
+        "Unicode NFC normalization (DuckDB-compatible name)"),
+      exprs => graft.functions.NfcNormalize(exprs.head)))
+    e.injectFunction((FunctionIdentifier("graft_canonicalize"),
+      info("graft_canonicalize",
+        "text canonicalization: NFC + control-strip + " +
+          "whitespace-collapse + trim (the t49 pre-fingerprint stage)"),
+      exprs => ColumnExpr.eagerExpr(
+        graft.functions.TextFunctions.canonicalize(
+          ColumnExpr.toColumn(exprs.head)))))
     e.injectFunction((FunctionIdentifier("mg_candidates"),
       info("mg_candidates",
         "Misra-Gries heavy-hitter candidate sketch: sorted array " +

@@ -172,6 +172,15 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(spark.sql("SELECT graft_lang_id('the cat and the dog of a house') AS l")
       .head().getString(0) == "en")
 
+    // nfc_normalize composes the decomposed sequence (DuckDB-name
+    // parity: the oracle spells the same call); graft_canonicalize
+    // runs the whole t49 stage from SQL
+    assert(spark.sql("SELECT nfc_normalize('café') AS s")
+      .head().getString(0) == "café")
+    assert(spark.sql(
+      "SELECT graft_canonicalize('  á  b ') AS s")
+      .head().getString(0) == "á b")
+
     // mg_candidates: every value with frequency > n/(k+1) must appear
     val cand = spark.sql(
       "SELECT mg_candidates(l_returnflag, 2) AS c FROM li_fn")
