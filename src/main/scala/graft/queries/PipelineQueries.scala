@@ -2228,6 +2228,15 @@ object PipelineQueries {
       Dedup.phashPairs(audioFpTableFor(s, d),
         "id", "af_hi", "af_lo", maxHamming = 2)),
 
+    // dedup: AUDIO near-dup CLUSTERS — d17's pair graph through the
+    // shared min-label components (the d05/d15 machinery on its third
+    // modality): a burst of re-uploads of one clip collapses to one
+    // representative. The oracle closes the same pair list with a
+    // recursive CTE over the planted corpus.
+    "d20_audio_fp_clusters" -> ((s, d) =>
+      Dedup.nearDupClusters(Dedup.phashPairs(audioFpTableFor(s, d),
+        "id", "af_hi", "af_lo", maxHamming = 2))),
+
     // multimodal: REAL multi-frame (video-style) decode — each document
     // becomes a real animated GIF (2 + n%5 frames of (1+n%48)×(1+7n%48));
     // sampleFrames seeks 4 evenly-spaced frames and DECODES them via
@@ -4394,6 +4403,23 @@ object PipelineQueries {
           FROM af a JOIN af b ON a.doc_id < b.doc_id
           WHERE bit_count(xor(a.af_hi, b.af_hi)) +
                 bit_count(xor(a.af_lo, b.af_lo)) <= 2""",
+
+    // the d17 pair list transitively closed with a recursive CTE —
+    // the component discipline on the audio leg
+    "d20_audio_fp_clusters" ->
+      s"""WITH RECURSIVE $PlantAudioDupsSql, ${audioFpSql("adup")},
+          pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM af a JOIN af b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.af_hi, b.af_hi)) +
+                  bit_count(xor(a.af_lo, b.af_lo)) <= 2),
+          edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+          reach(src, dst) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+          SELECT src AS doc_id, LEAST(src, MIN(dst)) AS rep
+          FROM reach GROUP BY src""",
 
     // JPEGs are generated at (1 + n%56) × (1 + 11n%56); the codec is
     // lossy so only the geometry replays — Spark's result carries what
