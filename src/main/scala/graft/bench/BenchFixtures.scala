@@ -193,9 +193,10 @@ object BenchFixtures {
     val toks = s.read.parquet(t22TokensDir(s))
     val cand = toks.agg(mgCandidates(col("token"), 64).as("__cand"),
       count(lit(1)).as("__total"))
-    val candTokens = cand.select(explode(col("__cand")).as("token"),
-      col("__total"))
-    toks.join(broadcast(candTokens), Seq("token"))
+    // in-row array_contains against the broadcast 1-row sketch — the
+    // measured-faster recount shape (see the t22 gate comment)
+    toks.crossJoin(broadcast(cand))
+      .filter(array_contains(col("__cand"), col("token")))
       .groupBy(col("token"), col("__total")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") * lit(30L) >= col("__total"))
       .select(col("token"), col("cnt"))

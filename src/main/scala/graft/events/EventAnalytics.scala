@@ -28,15 +28,39 @@ object EventAnalytics {
     * closing totals join broadcasts a 1-row count. Exact integer ppm.
     */
   def funnel(events: DataFrame, s1: String, s2: String,
-             s3: String): DataFrame = {
+             s3: String): DataFrame =
+    funnelImpl(events, s1, s2, s3, None)
+
+  /** WINDOWED funnel (the e08 operator): [[funnel]] semantics plus a
+    * conversion DEADLINE — each step counts only within `windowNs` of
+    * the previous step's first-touch timestamp (click ≤ first view +
+    * W, purchase ≤ first qualifying click + W), the "converted within
+    * N days" read every product funnel actually reports. The deadline
+    * binds per STEP, not end-to-end, and attribution stays strict
+    * first-occurrence: the first in-window event is the conversion,
+    * and a user whose only qualifying events fall past the deadline
+    * drops out of that stage AND all later ones. Same scale shape as
+    * the unwindowed funnel — the filter tightens the per-stage frames,
+    * it never adds a shuffle.
+    */
+  def funnelWindowed(events: DataFrame, s1: String, s2: String,
+                     s3: String, windowNs: Long): DataFrame = {
+    require(windowNs > 0, s"windowNs must be positive, got $windowNs")
+    funnelImpl(events, s1, s2, s3, Some(windowNs))
+  }
+
+  private def funnelImpl(events: DataFrame, s1: String, s2: String,
+                         s3: String, windowNs: Option[Long]): DataFrame = {
+    def within(prev: org.apache.spark.sql.Column) =
+      windowNs.fold(lit(true))(w => col("ts") <= prev + lit(w))
     val e = events.select(col("user_id"), col("ts"), col("event_type"))
     val ta = e.filter(col("event_type") === s1)
       .groupBy(col("user_id")).agg(min(col("ts")).as("ta"))
     val tb = e.filter(col("event_type") === s2)
-      .join(ta, "user_id").filter(col("ts") > col("ta"))
+      .join(ta, "user_id").filter(col("ts") > col("ta") && within(col("ta")))
       .groupBy(col("user_id")).agg(min(col("ts")).as("tb"))
     val tc = e.filter(col("event_type") === s3)
-      .join(tb, "user_id").filter(col("ts") > col("tb"))
+      .join(tb, "user_id").filter(col("ts") > col("tb") && within(col("tb")))
       .groupBy(col("user_id")).agg(min(col("ts")).as("tc"))
     def stage(df: DataFrame, n: Int, step: String) =
       df.agg(count(lit(1)).as("n_users"))

@@ -29,12 +29,27 @@ import org.apache.spark.unsafe.types.UTF8String
   * rows. The exactness of the final answer does not depend on sketch
   * internals — the sketch only bounds the candidate set.
   */
+/** Mutable MG sketch buffer. `counts` stores counter + `debt` per
+  * live key (effective count = stored − debt), so the classic
+  * "decrement every counter" step is one debt increment instead of a
+  * k-entry rewrite; `minStored` is a lower bound on the smallest
+  * stored value, letting the purge (the only O(k) step) run exactly
+  * when a counter can have died. Invariant outside [[MgCandidates]]
+  * internals: every entry is live (stored > debt, except the
+  * debt-0 fresh states where stored ≥ 1).
+  */
+final class MgSketch {
+  val counts: mutable.HashMap[String, Long] = mutable.HashMap.empty
+  var debt: Long = 0L
+  var minStored: Long = Long.MaxValue
+}
+
 case class MgCandidates(
     child: Expression,
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.HashMap[String, Long]]
+  extends TypedImperativeAggregate[MgSketch]
   with UnaryLike[Expression] {
 
   require(k > 0, "mg_candidates requires k > 0")
@@ -61,89 +76,119 @@ case class MgCandidates(
             "an identity toString — project a stable key first)")
     }
 
-  override def createAggregationBuffer(): mutable.HashMap[String, Long] =
-    mutable.HashMap.empty
+  override def createAggregationBuffer(): MgSketch = new MgSketch
 
-  override def update(b: mutable.HashMap[String, Long],
-      input: InternalRow): mutable.HashMap[String, Long] = {
+  override def update(b: MgSketch, input: InternalRow): MgSketch = {
     val v = child.eval(input)
-    if (v != null) add(b, v.toString, 1L)
+    if (v != null) addOne(b, v.toString)
     b
   }
 
-  private def add(b: mutable.HashMap[String, Long], key: String,
-      count: Long): Unit = {
-    b.get(key) match {
-      case Some(c) => b.update(key, c + count)
-      case None if b.size < k => b.update(key, count)
+  /** One stream item — the per-row hot path, O(1) amortized. The
+    * classic decrement-all is implemented as a single shared `debt`
+    * increment (stored counter = effective count + debt), so a miss
+    * on a full sketch allocates NOTHING and touches one long; the
+    * O(k) purge runs only when the tracked minimum actually dies —
+    * the first cut rebuilt the whole k-entry map on EVERY miss
+    * (iterator→Seq→clear→re-insert), and on a 1M-key corpus where
+    * ~every row misses that was ~20M 64-entry rebuilds of pure
+    * allocation churn: the t22 sketch pass read 2.7–4.1 s at sf0.1
+    * depending on session GC pressure. Candidate sets are IDENTICAL
+    * — debt is the same arithmetic, just factored out.
+    */
+  private def addOne(b: MgSketch, key: String): Unit = {
+    b.counts.get(key) match {
+      case Some(c) =>
+        // stored grows; the tracked min may now under-estimate the
+        // true min, which only ever triggers a harmless early purge
+        b.counts.update(key, c + 1L)
+      case None if b.counts.size < k =>
+        val stored = b.debt + 1L
+        b.counts.update(key, stored)
+        if (stored < b.minStored) b.minStored = stored
       case None =>
-        // decrement-all by min(count, smallest counter) — the
-        // vectorized form of `count` repetitions of the classic
-        // single decrement; zeroed counters drop, and any surplus of
-        // the incoming item re-adds into the freed room
-        val dec = math.min(count, b.values.min)
-        decrementAll(b, dec)
-        val surplus = count - dec
-        if (surplus > 0) add(b, key, surplus)
+        // decrement-all-by-one = one debt increment; purge eagerly
+        // when a counter can have died so freed slots are visible to
+        // the next insert (the superset proof counts k+1 mass units
+        // per decrement — dead entries must not absorb decrements)
+        b.debt += 1L
+        if (b.minStored <= b.debt) purge(b)
     }
   }
 
-  /** Subtract `dec` from every counter, dropping non-positive. */
-  private def decrementAll(m: mutable.HashMap[String, Long], dec: Long): Unit = {
-    val keep = m.iterator
-      .map { case (key, c) => key -> (c - dec) }
-      .filter(_._2 > 0L).toSeq
-    m.clear()
-    keep.foreach { case (key, c) => m.update(key, c) }
+  /** Drop entries whose effective count hit zero; recompute the
+    * tracked minimum exactly. Runs only when the minimum dies (or
+    * was stale-low), never per row.
+    */
+  private def purge(b: MgSketch): Unit = {
+    b.counts.filterInPlace((_, stored) => stored > b.debt)
+    var mn = Long.MaxValue
+    val it = b.counts.valuesIterator
+    while (it.hasNext) { val v = it.next(); if (v < mn) mn = v }
+    b.minStored = mn
   }
 
-  override def merge(b: mutable.HashMap[String, Long],
-      o: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
-    // Mergeable-summaries rule: add counters pointwise, then if more
-    // than k remain, subtract the (k+1)-th largest count from all and
-    // drop the non-positive — the error bound adds, staying ≤ n/(k+1)
-    o.foreach { case (key, c) =>
-      b.update(key, b.getOrElse(key, 0L) + c)
+  override def merge(b: MgSketch, o: MgSketch): MgSketch = {
+    // Mergeable-summaries rule: add EFFECTIVE counters pointwise,
+    // then if more than k remain, subtract the (k+1)-th largest from
+    // all and drop the non-positive (one debt assignment + purge) —
+    // the error bound adds, staying ≤ n/(k+1)
+    val merged = mutable.HashMap.empty[String, Long]
+    val bi = b.counts.iterator
+    while (bi.hasNext) {
+      val (key, c) = bi.next(); merged.update(key, c - b.debt)
     }
-    if (b.size > k) {
-      val kth = b.values.toSeq.sorted(Ordering[Long].reverse).apply(k)
-      decrementAll(b, kth)
+    val oi = o.counts.iterator
+    while (oi.hasNext) {
+      val (key, c) = oi.next()
+      merged.update(key, merged.getOrElse(key, 0L) + (c - o.debt))
     }
-    b
+    val out = new MgSketch
+    out.counts ++= merged
+    if (out.counts.size > k) {
+      out.debt = merged.values.toSeq.sorted(Ordering[Long].reverse).apply(k)
+    }
+    purge(out)
+    out
   }
 
-  override def eval(b: mutable.HashMap[String, Long]): Any =
+  override def eval(b: MgSketch): Any =
     ArrayData.toArrayData(
-      b.keysIterator.toArray.sorted.map(UTF8String.fromString))
+      b.counts.keysIterator.toArray.sorted.map(UTF8String.fromString))
 
   // length-prefixed UTF-8, not writeUTF: the modified-UTF-8 form caps
   // keys at 65535 bytes and would throw mid-shuffle on long keys
   // (heavy-hitter URLs/documents routinely exceed it)
-  override def serialize(b: mutable.HashMap[String, Long]): Array[Byte] = {
+  override def serialize(b: MgSketch): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val dos = new DataOutputStream(bos)
-    dos.writeInt(b.size)
-    b.foreach { case (key, c) =>
+    dos.writeInt(b.counts.size)
+    b.counts.foreach { case (key, c) =>
       val kb = key.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      dos.writeInt(kb.length); dos.write(kb); dos.writeLong(c)
+      // wire format carries EFFECTIVE counts (debt normalized away),
+      // unchanged from the map-buffer era
+      dos.writeInt(kb.length); dos.write(kb); dos.writeLong(c - b.debt)
     }
     dos.close()
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Long] = {
+  override def deserialize(bytes: Array[Byte]): MgSketch = {
     val dis = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = dis.readInt()
-    val b = mutable.HashMap.empty[String, Long]
+    val b = new MgSketch
     var i = 0
+    var mn = Long.MaxValue
     while (i < n) {
       val len = dis.readInt()
       val kb = new Array[Byte](len)
       dis.readFully(kb)
-      b.update(new String(kb, java.nio.charset.StandardCharsets.UTF_8),
-        dis.readLong())
+      val c = dis.readLong()
+      b.counts.update(new String(kb, java.nio.charset.StandardCharsets.UTF_8), c)
+      if (c < mn) mn = c
       i += 1
     }
+    b.minStored = mn
     b
   }
 

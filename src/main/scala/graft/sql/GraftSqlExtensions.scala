@@ -374,12 +374,15 @@ object GraftFunnelFunction {
 
   private[sql] val info = new ExpressionInfo("graft", null, "graft_funnel",
     "strict first-occurrence 3-stage conversion funnel over an events " +
-      "source: (stage, step, n_users, conv_ppm), always 3 rows",
+      "source: (stage, step, n_users, conv_ppm), always 3 rows; an " +
+      "optional 5th argument adds a per-step conversion deadline in " +
+      "minutes (the e08 windowed form)",
     "", "", "", "", "", "", "built-in")
 
   private[sql] val builder: Seq[Expression] => LogicalPlan = exprs => {
-    require(exprs.size == 4,
-      "usage: graft_funnel('<events>', '<stage1>', '<stage2>', '<stage3>')")
+    require(exprs.size == 4 || exprs.size == 5,
+      "usage: graft_funnel('<events>', '<stage1>', '<stage2>', " +
+        "'<stage3>'[, <window_minutes>])")
     def litVal(e: Expression): Any = {
       require(e.foldable, s"graft_funnel arguments must be literals, got: $e")
       e.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
@@ -387,10 +390,14 @@ object GraftFunnelFunction {
     val spark = SparkSession.active
     val events = graft.Tables.normalizeEventTs(
       GraftTvfSource.resolve(spark, String.valueOf(litVal(exprs.head))))
-    graft.events.EventAnalytics.funnel(events,
-        String.valueOf(litVal(exprs(1))), String.valueOf(litVal(exprs(2))),
-        String.valueOf(litVal(exprs(3))))
-      .queryExecution.logical
+    val (s1, s2, s3) = (String.valueOf(litVal(exprs(1))),
+      String.valueOf(litVal(exprs(2))), String.valueOf(litVal(exprs(3))))
+    val plan =
+      if (exprs.size == 5)
+        graft.events.EventAnalytics.funnelWindowed(events, s1, s2, s3,
+          String.valueOf(litVal(exprs(4))).toLong * 60L * 1000000000L)
+      else graft.events.EventAnalytics.funnel(events, s1, s2, s3)
+    plan.queryExecution.logical
   }
 
   /** Runtime registration — see [[GraftTableFunction.ensureRegistered]]. */

@@ -86,7 +86,7 @@ class MisraGriesSpec extends AnyFunSuite {
       val truth = items.groupBy(identity).collect {
         case (w, occ) if occ.size.toLong * (k + 1) > n => w
       }.toSet
-      val keys = merged.keySet.toSet
+      val keys = merged.counts.keySet.toSet
       Prop(truth.subsetOf(keys)) :| s"missing ${truth -- keys} (k=$k)"
     }
     val result = org.scalacheck.Test.check(
