@@ -341,6 +341,25 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("graft_redact"))
   }
 
+  test("graft_funnel's optional 5th argument applies the per-step conversion deadline") {
+    val windowed = spark.sql(
+      s"SELECT * FROM graft_funnel('$sf/events.parquet', " +
+        "'view', 'click', 'purchase', 360)")
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toMap
+    val open = spark.sql(
+      s"SELECT * FROM graft_funnel('$sf/events.parquet', " +
+        "'view', 'click', 'purchase')")
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toMap
+    val viaApi = graft.events.EventAnalytics.funnelWindowed(
+      graft.Tables.events(spark, sf), "view", "click", "purchase",
+      6L * 3600 * 1000000000L)
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toMap
+    assert(windowed == viaApi)
+    // stage 1 is deadline-free; later stages can only shrink
+    assert(windowed(1) == open(1))
+    assert(windowed(2) <= open(2) && windowed(3) <= open(3))
+  }
+
   test("graft_chunk is FROM-able in SQL, matches the DataFrame surface, honors window/stride") {
     val s2 = spark
     import s2.implicits._
