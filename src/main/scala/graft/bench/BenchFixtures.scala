@@ -139,14 +139,14 @@ object BenchFixtures {
       s.readStream.schema(schema).parquet(dir))
     val landed = EventStreams.runToCompletionStaged(s,
       st08Join(spend, stream),
-      s"/tmp/graft_bench/st08_landed_${d.replace('/', '_')}")
+      graft.util.RunRoot.under(s"st08_landed_${d.replace('/', '_')}"))
     landed.groupBy(col("user_id"))
       .agg(count(lit(1)).as("errors"), max(col("spend")).as("spend"))
   }
 
   private def st08Baseline(s: SparkSession, d: String): DataFrame = {
     val batch = graft.Tables.normalizeEventTs(s.read.parquet(bigEventsDir(s, d)))
-    val dir = s"/tmp/graft_bench/st08_landed_base_${d.replace('/', '_')}"
+    val dir = graft.util.RunRoot.under(s"st08_landed_base_${d.replace('/', '_')}")
     st08Join(st08Spend(batch), batch)
       .write.mode("overwrite").parquet(dir)
     s.read.parquet(dir)

@@ -2393,22 +2393,23 @@ object PipelineQueries {
     })
   )
 
-  /** Stable root for gate-fixture index TABLES (bm25/bigram/ivfpq):
-    * `/tmp/graft_fixtures/<dataset>/<name>`, deleted and rebuilt on
-    * first use per (dataset, session) — the graft_buckets discipline.
-    * NOT pid-qualified: these tables are read only by Spark inside
-    * the same session (never by the DuckDB oracle, which replays them
-    * logically), so a stable path cannot leak staleness — the
-    * BuildOnce key forces a fresh build per session and the reset
-    * clears whatever a previous process left. This is what keeps
-    * repeated harness runs from accumulating orphan `/tmp/graft_*_
-    * <pid>` roots (r12 ADVICE). The quantizer side FILES above stay
-    * pid-qualified on purpose: the oracle reads them AFTER this JVM
-    * exits, so they must survive, and the pid guards replay
-    * staleness.
+  /** Root for gate-fixture index TABLES (bm25/bigram/ivfpq):
+    * `/tmp/graft_run/<pid>/graft_fixtures/<dataset>/<name>`, deleted
+    * and rebuilt on first use per (dataset, session). These tables
+    * are read only by Spark inside the same session (never by the
+    * DuckDB oracle, which replays them logically), so they live under
+    * [[graft.util.RunRoot]]: pid-private (two concurrent runs on the
+    * same dataset cannot delete each other's staging mid-query — r13
+    * ADVICE) yet self-cleaning (dead pids' roots are swept on the
+    * next run, so repeated harness runs cannot accumulate orphans —
+    * the r12 ADVICE that originally moved these off pid paths).
+    * The quantizer side FILES above stay pid-qualified at top level
+    * on purpose: the oracle reads them AFTER this JVM exits, so they
+    * must survive the RunRoot sweep's liveness test until the driver
+    * finishes, and the pid guards replay staleness.
     */
   private def fixtureTableRoot(d: String, name: String): String = {
-    val root = s"/tmp/graft_fixtures/${d.replace('/', '_')}/$name"
+    val root = graft.util.RunRoot.under(s"graft_fixtures/${d.replace('/', '_')}/$name")
     val p = java.nio.file.Paths.get(root)
     if (java.nio.file.Files.exists(p)) {
       val walk = java.nio.file.Files.walk(p)
@@ -3679,7 +3680,7 @@ object PipelineQueries {
     "t50_doc_chunks" ->
       s"""WITH t AS (SELECT doc_id, $W AS words FROM documents),
           n AS (SELECT doc_id, words, len(words) AS n FROM t
-            WHERE len(words) > 0),
+            WHERE len(words) > 0 AND words[1] <> ''),
           k AS (SELECT doc_id, words, n,
             unnest(range(0, CASE WHEN n <= 64 THEN 1
               ELSE (n - 17) // 48 + 1 END)) AS ck FROM n),
@@ -3701,7 +3702,7 @@ object PipelineQueries {
     "d18_chunk_dedup" ->
       s"""WITH t AS (SELECT doc_id, $W AS words FROM documents),
           n AS (SELECT doc_id, words, len(words) AS n FROM t
-            WHERE len(words) > 0),
+            WHERE len(words) > 0 AND words[1] <> ''),
           k AS (SELECT doc_id, words, n,
             unnest(range(0, CASE WHEN n <= 64 THEN 1
               ELSE (n - 17) // 48 + 1 END)) AS ck FROM n),

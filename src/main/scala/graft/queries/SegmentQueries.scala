@@ -22,7 +22,7 @@ object SegmentQueries {
 
   private def lineitemTable(s: SparkSession, d: String): SegmentedTable =
     built.getOrElseUpdate(s"li|$d", {
-      val root = s"/tmp/graft_tables/${d.replace('/', '_')}/lineitem"
+      val root = graft.util.RunRoot.under(s"graft_tables/${d.replace('/', '_')}/lineitem")
       val li = Tables.lineitem(s, d)
       val t = SegmentedTable.fresh(s, root, li.schema,
         Map("sort_columns" -> "l_shipdate"))
@@ -34,7 +34,7 @@ object SegmentQueries {
 
   private def ordersCompacted(s: SparkSession, d: String): SegmentedTable =
     built.getOrElseUpdate(s"ord|$d", {
-      val root = s"/tmp/graft_tables/${d.replace('/', '_')}/orders"
+      val root = graft.util.RunRoot.under(s"graft_tables/${d.replace('/', '_')}/orders")
       val t = SegmentedTable.fresh(s, root, Tables.orders(s, d).schema,
         Map("sort_columns" -> "o_orderdate"))
       loadAndCompact(t, s, d)
@@ -56,7 +56,7 @@ object SegmentQueries {
     */
   private def ordersBloom(s: SparkSession, d: String): SegmentedTable =
     built.getOrElseUpdate(s"ob|$d", {
-      val root = s"/tmp/graft_tables/${d.replace('/', '_')}/orders_bloom"
+      val root = graft.util.RunRoot.under(s"graft_tables/${d.replace('/', '_')}/orders_bloom")
       val o = Tables.orders(s, d)
       val t = SegmentedTable.fresh(s, root, o.schema,
         Map("bloom_columns" -> "o_orderkey"))
@@ -82,7 +82,7 @@ object SegmentQueries {
     val suffix = math.abs(d.hashCode).toString
     val (liName, ordName) = (s"graft_b_lineitem_$suffix", s"graft_b_orders_$suffix")
     bucketsBuilt.getOrElseUpdate(s"$d|${s.sparkContext.applicationId}", {
-      val wh = s"/tmp/graft_buckets/${d.replace('/', '_')}"
+      val wh = graft.util.RunRoot.under(s"graft_buckets/${d.replace('/', '_')}")
       // fresh dirs: a stale location from a previous JVM would collide
       // with saveAsTable's overwrite into the session catalog
       def reset(n: String, sub: String): Unit = {
@@ -116,7 +116,7 @@ object SegmentQueries {
     */
   private def documentsDeleted(s: SparkSession, d: String): SegmentedTable =
     built.getOrElseUpdate(s"docdel|$d", {
-      val root = s"/tmp/graft_tables/${d.replace('/', '_')}/documents_del"
+      val root = graft.util.RunRoot.under(s"graft_tables/${d.replace('/', '_')}/documents_del")
       val docs = Tables.documents(s, d)
       val t = SegmentedTable.fresh(s, root, docs.schema,
         Map("sort_columns" -> "doc_id"))
@@ -132,7 +132,7 @@ object SegmentQueries {
     */
   private def ordersUpdated(s: SparkSession, d: String): SegmentedTable =
     built.getOrElseUpdate(s"ordupd|$d", {
-      val root = s"/tmp/graft_tables/${d.replace('/', '_')}/orders_upd"
+      val root = graft.util.RunRoot.under(s"graft_tables/${d.replace('/', '_')}/orders_upd")
       val o = Tables.orders(s, d)
       val t = SegmentedTable.fresh(s, root, o.schema,
         Map("sort_columns" -> "o_orderdate"))
@@ -151,7 +151,7 @@ object SegmentQueries {
     */
   private def lineitemZOrdered(s: SparkSession, d: String): SegmentedTable =
     built.getOrElseUpdate(s"liz|$d", {
-      val root = s"/tmp/graft_tables/${d.replace('/', '_')}/lineitem_z"
+      val root = graft.util.RunRoot.under(s"graft_tables/${d.replace('/', '_')}/lineitem_z")
       val li = Tables.lineitem(s, d)
       val t = SegmentedTable.fresh(s, root, li.schema,
         Map("zorder_columns" -> "l_partkey,l_suppkey"))
@@ -164,7 +164,7 @@ object SegmentQueries {
     */
   private def documentsVersioned(s: SparkSession, d: String): SegmentedTable =
     built.getOrElseUpdate(s"docver|$d", {
-      val root = s"/tmp/graft_tables/${d.replace('/', '_')}/documents_ver"
+      val root = graft.util.RunRoot.under(s"graft_tables/${d.replace('/', '_')}/documents_ver")
       val docs = Tables.documents(s, d)
       // time travel needs the table's FULL history: always rebuild from
       // a fresh root (an existing dir would carry old log entries)
@@ -188,7 +188,7 @@ object SegmentQueries {
     */
   private def ordersMerged(s: SparkSession, d: String): SegmentedTable =
     built.getOrElseUpdate(s"ordmrg|$d", {
-      val root = s"/tmp/graft_tables/${d.replace('/', '_')}/orders_mrg"
+      val root = graft.util.RunRoot.under(s"graft_tables/${d.replace('/', '_')}/orders_mrg")
       val o = Tables.orders(s, d)
       val t = SegmentedTable.fresh(s, root, o.schema,
         Map("sort_columns" -> "o_orderkey"))
@@ -208,7 +208,7 @@ object SegmentQueries {
     */
   private def documentsIngested(s: SparkSession, d: String): SegmentedTable =
     built.getOrElseUpdate(s"docing|$d", {
-      val root = s"/tmp/graft_tables/${d.replace('/', '_')}/documents_ing"
+      val root = graft.util.RunRoot.under(s"graft_tables/${d.replace('/', '_')}/documents_ing")
       val docs = Tables.documents(s, d)
       val t = SegmentedTable.fresh(s, root, docs.schema,
         Map("sort_columns" -> "doc_id"))
@@ -225,7 +225,7 @@ object SegmentQueries {
     */
   private def eventsSegmented(s: SparkSession, d: String): SegmentedTable =
     built.getOrElseUpdate(s"evseg|$d", {
-      val root = s"/tmp/graft_tables/${d.replace('/', '_')}/events_seg"
+      val root = graft.util.RunRoot.under(s"graft_tables/${d.replace('/', '_')}/events_seg")
       val ev = Tables.events(s, d)
       val t = SegmentedTable.fresh(s, root, ev.schema,
         Map("sort_columns" -> "ts"))
@@ -241,7 +241,7 @@ object SegmentQueries {
     */
   private def documentsNearIngested(s: SparkSession, d: String): SegmentedTable =
     built.getOrElseUpdate(s"docnear|$d", {
-      val root = s"/tmp/graft_tables/${d.replace('/', '_')}/documents_near"
+      val root = graft.util.RunRoot.under(s"graft_tables/${d.replace('/', '_')}/documents_near")
       val docs = Tables.documents(s, d)
       val t = SegmentedTable.fresh(s, root, docs.schema,
         Map("sort_columns" -> "doc_id"))
@@ -302,7 +302,7 @@ object SegmentQueries {
     */
   private def cdcScenario(s: SparkSession, d: String): (SegmentedTable, Long, Long) =
     cdcBuilt.getOrElseUpdate(s"cdc|$d", {
-      val root = s"/tmp/graft_tables/${d.replace('/', '_')}/lineitem_cdc"
+      val root = graft.util.RunRoot.under(s"graft_tables/${d.replace('/', '_')}/lineitem_cdc")
       val li = Tables.lineitem(s, d)
       val t = SegmentedTable.fresh(s, root, li.schema,
         Map("sort_columns" -> "l_orderkey"))
@@ -322,7 +322,7 @@ object SegmentQueries {
     */
   private def restoreScenario(s: SparkSession, d: String): SegmentedTable =
     built.getOrElseUpdate(s"restore|$d", {
-      val root = s"/tmp/graft_tables/${d.replace('/', '_')}/documents_restore"
+      val root = graft.util.RunRoot.under(s"graft_tables/${d.replace('/', '_')}/documents_restore")
       val docs = Tables.documents(s, d)
       val t = SegmentedTable.fresh(s, root, docs.schema,
         Map("sort_columns" -> "doc_id"))
@@ -340,7 +340,7 @@ object SegmentQueries {
     */
   private def optimizedScenario(s: SparkSession, d: String): SegmentedTable =
     built.getOrElseUpdate(s"opt|$d", {
-      val root = s"/tmp/graft_tables/${d.replace('/', '_')}/lineitem_opt"
+      val root = graft.util.RunRoot.under(s"graft_tables/${d.replace('/', '_')}/lineitem_opt")
       val li = Tables.lineitem(s, d)
       val t = SegmentedTable.fresh(s, root, li.schema,
         Map("sort_columns" -> "l_shipdate"))

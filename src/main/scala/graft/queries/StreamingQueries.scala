@@ -20,7 +20,7 @@ object StreamingQueries {
     * [[EventStreams.runToCompletionStaged]] — reset per drain).
     */
   private def landDir(d: String, gate: String): String =
-    s"/tmp/graft_stream_src/${d.replace('/', '_')}/${gate}_landed"
+    graft.util.RunRoot.under(s"graft_stream_src/${d.replace('/', '_')}/${gate}_landed")
 
   val queries: Map[String, Q] = Map(
     "st01_stream_hourly" -> ((s, d) => {
@@ -50,7 +50,7 @@ object StreamingQueries {
     // the TABLE — so load atomicity, compaction, and clean must all be
     // exactly row-preserving for the hash to match the source events
     "st03_stream_ingest" -> ((s, d) => {
-      val root = s"/tmp/graft_tables/${d.replace('/', '_')}/events_ingest"
+      val root = graft.util.RunRoot.under(s"graft_tables/${d.replace('/', '_')}/events_ingest")
       val t = ingested.getOrElseUpdate(s"$d|${s.sparkContext.applicationId}", {
         // table schema = NORMALIZED (ts epoch-ns long); the stream scan
         // needs the raw footer schema, normalized as a projection after
@@ -144,11 +144,11 @@ object StreamingQueries {
       val landed = streamedFromTable.getOrElseUpdate(
         s"$d|${s.sparkContext.applicationId}", {
           val ev = Tables.events(s, d)
-          val root = s"/tmp/graft_tables/${d.replace('/', '_')}/events_stream_src"
+          val root = graft.util.RunRoot.under(s"graft_tables/${d.replace('/', '_')}/events_stream_src")
           val t = graft.table.SegmentedTable.fresh(s, root, ev.schema)
           t.load(ev.filter(col("event_id") % 2 === 0))
           val landedRoot =
-            s"/tmp/graft_tables/${d.replace('/', '_')}/events_stream_landed"
+            graft.util.RunRoot.under(s"graft_tables/${d.replace('/', '_')}/events_stream_landed")
           val lt = graft.table.SegmentedTable.fresh(s, landedRoot, ev.schema)
           // fresh checkpoint per run: the landed table was just
           // cleared, so the sink's epoch lineage must restart with it
@@ -183,7 +183,7 @@ object StreamingQueries {
       val landed = streamStaticJoined.getOrElseUpdate(
         s"$d|${s.sparkContext.applicationId}", {
           val ev = Tables.events(s, d)
-          val root = s"/tmp/graft_tables/${d.replace('/', '_')}/events_stream_join"
+          val root = graft.util.RunRoot.under(s"graft_tables/${d.replace('/', '_')}/events_stream_join")
           val t = graft.table.SegmentedTable.fresh(s, root, ev.schema)
           t.load(ev)
           val spend = ev.filter(col("event_type") === "purchase")
@@ -219,7 +219,7 @@ object StreamingQueries {
         s"$d|${s.sparkContext.applicationId}", {
           val raw = Tables.rawEvents(s, d)
           val schema = Tables.normalizeEventTs(raw).schema
-          val root = s"/tmp/graft_tables/${d.replace('/', '_')}/events_sink"
+          val root = graft.util.RunRoot.under(s"graft_tables/${d.replace('/', '_')}/events_sink")
           val tbl = graft.table.SegmentedTable.fresh(s, root, schema)
           val ckpt = java.nio.file.Files
             .createTempDirectory("graft_st09_ckpt").toString
@@ -241,7 +241,7 @@ object StreamingQueries {
     "st06_stream_neardup_ingest" -> ((s, d) => {
       val t = nearIngested.getOrElseUpdate(s"$d|${s.sparkContext.applicationId}", {
         val docs = Tables.documents(s, d)
-        val root = s"/tmp/graft_tables/${d.replace('/', '_')}/documents_stream_near"
+        val root = graft.util.RunRoot.under(s"graft_tables/${d.replace('/', '_')}/documents_stream_near")
         val tbl = graft.table.SegmentedTable.fresh(s, root, docs.schema,
           Map("sort_columns" -> "doc_id"))
         val src = stageTwoBatchSource(s, d, docs, "neardup", "doc_id")
@@ -274,7 +274,7 @@ object StreamingQueries {
       val rollup = streamMvRollup.getOrElseUpdate(
         s"$d|${s.sparkContext.applicationId}", {
           val ev = Tables.events(s, d)
-          val root = s"/tmp/graft_tables/${d.replace('/', '_')}/events_stream_mv"
+          val root = graft.util.RunRoot.under(s"graft_tables/${d.replace('/', '_')}/events_stream_mv")
           graft.table.SegmentedTable.fresh(s, root, ev.schema,
             Map("refresh_on_commit" -> "true"))
           val mvName = s"events_stream_mv_${math.abs(d.hashCode)}"
@@ -482,7 +482,7 @@ object StreamingQueries {
     "st13_stream_upsert" -> ((s, d) => {
       val t = upserted.getOrElseUpdate(s"$d|${s.sparkContext.applicationId}", {
         val ev = Tables.events(s, d)
-        val root = s"/tmp/graft_tables/${d.replace('/', '_')}/events_upsert"
+        val root = graft.util.RunRoot.under(s"graft_tables/${d.replace('/', '_')}/events_upsert")
         val tbl = graft.table.SegmentedTable.fresh(s, root, ev.schema,
           Map("sort_columns" -> "user_id"))
         val src = stageTwoBatchSource(s, d, ev, "upsert", "event_id")
@@ -568,7 +568,7 @@ object StreamingQueries {
       val feed = streamCdcFeed.getOrElseUpdate(
         s"$d|${s.sparkContext.applicationId}", {
           val li = Tables.lineitem(s, d)
-          val root = s"/tmp/graft_tables/${d.replace('/', '_')}/lineitem_cdc_stream"
+          val root = graft.util.RunRoot.under(s"graft_tables/${d.replace('/', '_')}/lineitem_cdc_stream")
           val t = graft.table.SegmentedTable.fresh(s, root, li.schema,
             Map("sort_columns" -> "l_orderkey"))
           t.load(li.filter(col("l_orderkey") % 2 === 0))
@@ -581,7 +581,7 @@ object StreamingQueries {
           // 6M lineitem rows). Each micro-batch writes its own
           // files; the driver holds nothing.
           val stage = java.nio.file.Paths.get(
-            s"/tmp/graft_stream_src/${d.replace('/', '_')}/cdc_feed_stage")
+            graft.util.RunRoot.under(s"graft_stream_src/${d.replace('/', '_')}/cdc_feed_stage"))
           if (java.nio.file.Files.exists(stage)) {
             val walk = java.nio.file.Files.walk(stage)
             try walk.sorted(java.util.Comparator.reverseOrder())
@@ -592,7 +592,10 @@ object StreamingQueries {
           val q = s.readStream.format("graft")
             .option("readChangeFeed", "true").load(root)
             .writeStream.outputMode("append")
-            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, batchId: Long) =>
+              // batchId-subdir overwrite: a retried micro-batch
+              // (foreachBatch is at-least-once) replaces its own
+              // landing instead of double-appending the feed
               if (!b.isEmpty)
                 b.withColumn("__delta",
                     when(col("_change_type") === "insert", 1L)
@@ -601,7 +604,7 @@ object StreamingQueries {
                   .withColumn("__fp2", hash(dataCols.map(col): _*))
                   .select(col("__delta"), col("__fp"), col("__fp2"),
                     col("l_returnflag"), col("l_orderkey"))
-                  .write.mode("append").parquet(stage.toString)
+                  .write.mode("overwrite").parquet(s"$stage/batch-$batchId")
             }
             .start()
           try {
@@ -616,7 +619,8 @@ object StreamingQueries {
           } finally q.stop()
           // pin the staged narrow feed once per session so every
           // timed apply nets in parallel without re-listing files
-          val f = s.read.parquet(stage.toString).persist()
+          val f = s.read.option("recursiveFileLookup", "true")
+            .parquet(stage.toString).persist()
           f.count()
           f
         })
@@ -641,7 +645,7 @@ object StreamingQueries {
       docs: DataFrame, sub: String, keyCol: String): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val srcDir = Paths.get(
-      s"/tmp/graft_stream_src/${d.replace('/', '_')}/$sub")
+      graft.util.RunRoot.under(s"graft_stream_src/${d.replace('/', '_')}/$sub"))
     if (Files.exists(srcDir)) {
       val walk = Files.walk(srcDir)
       try walk.sorted(java.util.Comparator.reverseOrder())
@@ -824,7 +828,7 @@ object StreamingQueries {
              string_split_regex(trim(text), '\s+') AS words
            FROM documents),
          n AS (SELECT doc_id, words, len(words) AS n FROM t
-           WHERE len(words) > 0),
+           WHERE len(words) > 0 AND words[1] <> ''),
          k AS (SELECT doc_id, words, n,
            unnest(range(0, CASE WHEN n <= 64 THEN 1
              ELSE (n - 17) // 48 + 1 END)) AS ck FROM n),

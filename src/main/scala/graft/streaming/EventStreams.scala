@@ -215,10 +215,16 @@ object EventStreams {
       if (statePartitions > 0)
         conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
       try {
+        // idempotent landing: foreachBatch is at-least-once, so a
+        // retried micro-batch must not append its rows twice — each
+        // batch overwrites its own batchId-named subdirectory (the
+        // standard foreachBatch exactly-once pattern); the read below
+        // lists recursively
         val writer = rows.writeStream
           .outputMode("append")
-          .foreachBatch { (b: DataFrame, _: Long) =>
-            if (!b.isEmpty) b.write.mode("append").parquet(stageDir)
+          .foreachBatch { (b: DataFrame, batchId: Long) =>
+            if (!b.isEmpty)
+              b.write.mode("overwrite").parquet(s"$stageDir/batch-$batchId")
           }
         if (availableNow) {
           val q = writer.trigger(Trigger.AvailableNow()).start()
@@ -240,11 +246,13 @@ object EventStreams {
     val landedFiles =
       if (!java.nio.file.Files.exists(p)) false
       else {
-        val ls = java.nio.file.Files.list(p)
-        try ls.anyMatch(f => f.getFileName.toString.endsWith(".parquet"))
-        finally ls.close()
+        val walk = java.nio.file.Files.walk(p)
+        try walk.anyMatch(f => f.getFileName.toString.endsWith(".parquet"))
+        finally walk.close()
       }
-    if (landedFiles) spark.read.schema(rows.schema).parquet(stageDir)
+    if (landedFiles)
+      spark.read.schema(rows.schema)
+        .option("recursiveFileLookup", "true").parquet(stageDir)
     else spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), rows.schema)
   }

@@ -39,7 +39,11 @@ object Chunker {
       .select(col(idCol).as("doc_id"),
         TextFunctions.tokens(col(textCol)).as("w"))
       .withColumn("n", size(col("w")))
-      .filter(col("n") > 0)
+      // `tokens` on a blank/whitespace-only text yields [""], which
+      // would pass n > 0 and emit a phantom empty chunk per blank
+      // doc — require a real first token (the oracle applies the
+      // identical predicate)
+      .filter(col("n") > 0 && element_at(col("w"), 1) =!= "")
     toks.select(col("doc_id"), col("w"), col("n"),
         posexplode(expr(
           s"transform(sequence(0, CASE WHEN n <= $window THEN 0 ELSE " +

@@ -66,8 +66,13 @@ object ClassifierTrainer {
       .agg(count(lit(1)).as("cnt"))
       .persist()
     try {
-      // force the feature build once; every round reads the cache
-      feats.count()
+      // force the feature build once; every round reads the cache —
+      // and fail by NAME on an empty train split (otherwise the
+      // accuracy read below divides by n=0, yields NULL, and
+      // surfaces as an opaque NPE)
+      require(feats.count() > 0,
+        "trainPerceptron: empty training set — no (doc, bucket) features " +
+          "were derived from the input frame")
       var w = Array.fill(buckets)(0L)
       def scored(weights: Array[Long]): DataFrame = {
         val wl = typedLit(weights.toSeq)

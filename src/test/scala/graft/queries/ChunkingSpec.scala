@@ -62,4 +62,18 @@ class ChunkingSpec extends AnyFunSuite {
     val c = chunksOf(65)
     assert(c.map(x => (x._1, x._2, x._3)) == Seq((0, 0, 64), (1, 48, 17)))
   }
+
+  test("blank and whitespace-only documents yield no chunks at all") {
+    // tokens('') is [""], which passes a bare size > 0 check — a
+    // blank doc must not land a phantom empty retrieval unit
+    val dir = java.nio.file.Files.createTempDirectory("chunkspec").toString
+    Seq((1L, "", "en", "src", 0L),
+        (2L, "   \t  ", "en", "src", 6L),
+        (3L, "one real doc", "en", "src", 12L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = fn(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(3L))
+    assert(rows.head.getString(4) == "one real doc")
+  }
 }
