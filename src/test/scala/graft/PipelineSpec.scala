@@ -133,6 +133,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairsOn == pairsOff)
   }
 
+  test("blocked Jaccard hot-block guard: one dominant block splits, results unchanged") {
+    // the d03 100 TB failure mode in miniature: one ("web","en")-style
+    // block dominates the corpus, so an unguarded a.join(b, blockCols)
+    // would hand one task the whole block's n² pairing
+    val n = 200
+    val side = 16
+    // planted schedule: docs come in pairs (2g, 2g+1) whose texts
+    // differ by one trailing token (10 shared shingles of 11 ⇒
+    // jaccard ≈ 0.909 ≥ 0.8); distinct groups share no tokens
+    val rows = (0 until n).map { i =>
+      val g = i / 2
+      val base = (0 until 12).map(t => s"tok${g}_$t").mkString(" ")
+      (i.toLong, if (i % 2 == 0) base else base + s" extra$g", "web", "en")
+    }
+    val df = rows.toDF("doc_id", "text", "source", "lang")
+    def pairsOf(d: org.apache.spark.sql.DataFrame, side: Int) =
+      Dedup.blockedJaccardPairs(d, "doc_id", "text", Seq("source", "lang"),
+          0.8, side)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val guarded = pairsOf(df, side)
+    assert(guarded == (0 until n / 2).map(g => (2L * g, 2L * g + 1)).toSet,
+      "guarded pairs must be exactly the planted twins")
+    assert(guarded == pairsOf(df, 1 << 20), "guard-on == guard-off")
+    // the guard engaged: the single 200-row block split into 13
+    // sub-blocks, and the self-join keys on the sub-block pair
+    val p = Dedup.blockedJaccardPairs(df, "doc_id", "text",
+        Seq("source", "lang"), 0.8, side)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("__i") && p.contains("__j"),
+      s"block self-join must be keyed by the sub-block salt:\n${p.take(3000)}")
+    // and on the real corpus: guard-on == guard-off there too
+    assert(pairsOf(docs.select(col("doc_id"), col("text"), col("source"),
+        col("lang")), 8) ==
+      pairsOf(docs.select(col("doc_id"), col("text"), col("source"),
+        col("lang")), 1 << 20))
+  }
+
   test("exact dedup groups cover every doc exactly once") {
     val g = Dedup.exactGroups(docs, "doc_id", "text")
     assert(g.agg(sum("dup_cnt")).as[Long].head() == docs.count())

@@ -179,6 +179,19 @@ class PlanSpec extends AnyFunSuite {
       s"the self-join must key on the band columns:\n${p.take(3000)}")
   }
 
+  test("blocked Jaccard self-join is salted: sub-block pair keys, never a raw block join") {
+    // d03's guard: the within-block all-pairs join must key on the
+    // id-hash sub-block pair (__i, __j) next to the blocking columns
+    // — an unguarded a.join(b, blockCols) is n² on the dominant
+    // block of a real corpus
+    val p = plan("d03_jaccard_pairs")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"blocked Jaccard must never plan a product:\n${p.take(3000)}")
+    assert(p.contains("__i") && p.contains("__j"),
+      s"blocked Jaccard self-join must carry the sub-block salt keys:\n${p.take(3000)}")
+  }
+
   test("hashed classifier and winnowing are narrow projections: no keyed shuffle") {
     // the hashing trick means NO vocabulary join and no keyed shuffle —
     // the whole model evaluates in-row
