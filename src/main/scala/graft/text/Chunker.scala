@@ -42,7 +42,11 @@ object Chunker {
       // `tokens` on a blank/whitespace-only text yields [""], which
       // would pass n > 0 and emit a phantom empty chunk per blank
       // doc — require a real first token (the oracle applies the
-      // identical predicate)
+      // identical predicate). Caveat: `tokens` trims SPACES only, so
+      // a doc whose text STARTS with a tab/newline also tokenizes to
+      // ["", ...] and the whole doc is dropped here — DuckDB's trim
+      // is space-only too, so both engines agree; callers feeding
+      // tab-indented corpora should pre-normalize leading whitespace.
       .filter(col("n") > 0 && element_at(col("w"), 1) =!= "")
     toks.select(col("doc_id"), col("w"), col("n"),
         posexplode(expr(

@@ -26,20 +26,54 @@ import java.nio.file.{Files, Path, Paths}
   */
 object RunRoot {
 
+  /** Marker file recording the OWNING process's start instant, so a
+    * dir left by a dead run whose pid the OS later recycled is
+    * distinguishable from the live owner's dir: same pid, different
+    * start instant => stale, clear it.
+    */
+  private val BootMarker = ".boot_instant"
+
+  private def startInstantOf(h: ProcessHandle): Option[String] =
+    Option(h.info().startInstant().orElse(null)).map(_.toString)
+
   private lazy val base: Path = {
     val root = Paths.get("/tmp/graft_run")
     Files.createDirectories(root)
+    val myStart = startInstantOf(ProcessHandle.current()).getOrElse("")
     // sweep siblings owned by dead processes (best-effort: a sibling
-    // vanishing mid-sweep or a permission oddity must not fail the
-    // caller's query)
+    // vanishing mid-sweep throws UncheckedIOException from the lazy
+    // Files.walk, a permission oddity throws IOException — neither
+    // may fail the caller's query)
     val ls = Files.list(root)
     try ls.forEach { p =>
-      val alive = p.getFileName.toString.toLongOption.exists(pid =>
-        ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false))
-      if (!alive) try deleteRecursively(p) catch { case _: java.io.IOException => () }
+      val stale = p.getFileName.toString.toLongOption.forall { pid =>
+        val h = ProcessHandle.of(pid)
+        if (!h.map[Boolean](_.isAlive).orElse(false)) true
+        else {
+          // pid is alive — but is it the run that created this dir?
+          // A recycled pid's dir carries the DEAD run's boot marker.
+          val marker = p.resolve(BootMarker)
+          Files.exists(marker) && {
+            val recorded = new String(
+              Files.readAllBytes(marker), java.nio.charset.StandardCharsets.UTF_8)
+            startInstantOf(h.get()).exists(_ != recorded)
+          }
+        }
+      }
+      if (stale)
+        try deleteRecursively(p)
+        catch { case scala.util.control.NonFatal(_) => () }
     } finally ls.close()
     val mine = root.resolve(ProcessHandle.current().pid().toString)
+    // adopt-protection for our OWN pid: a leftover dir from a dead run
+    // that happened to get our pid must not be silently inherited
+    val myMarker = mine.resolve(BootMarker)
+    if (Files.exists(mine) && {
+      !Files.exists(myMarker) || new String(Files.readAllBytes(myMarker),
+        java.nio.charset.StandardCharsets.UTF_8) != myStart
+    }) try deleteRecursively(mine) catch { case scala.util.control.NonFatal(_) => () }
     Files.createDirectories(mine)
+    Files.write(myMarker, myStart.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     mine
   }
 

@@ -19,6 +19,10 @@ object TestSpark {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // Plan-pin suites match fixture paths inside FileScan Location
+    // strings; the default 100-char truncation cuts pid-scoped
+    // RunRoot paths mid-name (r14 regression: 4 red pins).
+    .config("spark.sql.maxMetadataStringLength", "1000")
     .config("spark.graft.store", store)
     .config("spark.graft.mv.store", mvStore)
     .withExtensions(new graft.sql.GraftSqlExtensions)
