@@ -596,8 +596,7 @@ object StreamingQueries {
               // batchId-subdir overwrite: a retried micro-batch
               // (foreachBatch is at-least-once) replaces its own
               // landing instead of double-appending the feed
-              if (!b.isEmpty)
-                b.withColumn("__delta",
+              b.withColumn("__delta",
                     when(col("_change_type") === "insert", 1L)
                       .otherwise(-1L))
                   .withColumn("__fp", xxhash64(dataCols.map(col): _*))

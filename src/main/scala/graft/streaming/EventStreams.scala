@@ -219,12 +219,17 @@ object EventStreams {
         // retried micro-batch must not append its rows twice — each
         // batch overwrites its own batchId-named subdirectory (the
         // standard foreachBatch exactly-once pattern); the read below
-        // lists recursively
+        // lists recursively. Write UNCONDITIONALLY: an `isEmpty`
+        // probe re-executes the uncached micro-batch plan a second
+        // time (r14 regression, st04 +34% / st05 +90%); measured
+        // st04/st05 subset bench — probe+write 1.97/2.02 s,
+        // unconditional 1.75/1.67 s, persist+probe+write 1.82/1.77 s
+        // — an empty-batch parquet write is cheap and harmless under
+        // the recursive landed-files check below.
         val writer = rows.writeStream
           .outputMode("append")
           .foreachBatch { (b: DataFrame, batchId: Long) =>
-            if (!b.isEmpty)
-              b.write.mode("overwrite").parquet(s"$stageDir/batch-$batchId")
+            b.write.mode("overwrite").parquet(s"$stageDir/batch-$batchId")
           }
         if (availableNow) {
           val q = writer.trigger(Trigger.AvailableNow()).start()
