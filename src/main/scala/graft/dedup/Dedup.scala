@@ -569,6 +569,36 @@ object Dedup {
         round(j, 6).as("jaccard"))
   }
 
+  /** Pre-flight block histogram for [[blockedJaccardPairs]] (the
+    * `graft_block_stats` TVF): one row per blocking-key combination
+    * with its size, corpus share (integer ppm — long arithmetic, the
+    * t-family overflow lesson), the sub-block fan-out the id-hash
+    * salt will apply at `maxBlockSide`, and the exact pair-comparison
+    * work the block implies (n·(n-1)/2). Run this BEFORE a blocked
+    * quadratic verify on a new corpus: a block with `pair_work`
+    * dominating the sum is the straggler the salt distributes — and
+    * if even distributed work is too much, the histogram is the
+    * evidence to switch to [[minhashCandidates]].
+    *
+    * Scale: one narrow groupBy on the blocking columns (|distinct
+    * blocks| rows) plus a 1-row broadcast total — no wide column
+    * ever shuffles.
+    */
+  def blockStats(docs: DataFrame, blockCols: Seq[String],
+                 maxBlockSide: Int = 4096): DataFrame = {
+    require(blockCols.nonEmpty, "blockStats needs at least one blocking column")
+    val cnts = docs.groupBy(blockCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"))
+    val total = docs.select(count(lit(1)).as("__total"))
+    cnts.crossJoin(broadcast(total))
+      .select(blockCols.map(col) ++ Seq(
+        col("n_docs"),
+        expr("(n_docs * 1000000L) div __total").as("share_ppm"),
+        ceil(col("n_docs").cast("double") / maxBlockSide).cast("int")
+          .as("sub_blocks"),
+        expr("(n_docs * (n_docs - 1L)) div 2").as("pair_work")): _*)
+  }
+
   /** Edit-distance-VERIFIED near-dup pairs: candidates come from
     * MinHash band collisions (never all-pairs), and each candidate is
     * confirmed by Levenshtein distance normalized by the longer text

@@ -2253,6 +2253,15 @@ object PipelineQueries {
       Dedup.nearDupClusters(Dedup.phashPairs(audioFpTableFor(s, d),
         "id", "af_hi", "af_lo", maxHamming = 2))),
 
+    // dedup: the d03 pre-flight — per (source, lang) block its size,
+    // corpus share, the sub-block fan-out the id-hash salt would
+    // apply at the default 4096 side, and the implied quadratic pair
+    // work. Exposed as the graft_block_stats TVF; this is the
+    // histogram an operator reads BEFORE launching a blocked verify
+    // on a new corpus.
+    "d22_block_stats" -> ((s, d) =>
+      Dedup.blockStats(Tables.documents(s, d), Seq("source", "lang"))),
+
     // multimodal: REAL multi-frame (video-style) decode — each document
     // becomes a real animated GIF (2 + n%5 frames of (1+n%48)×(1+7n%48));
     // sampleFrames seeks 4 evenly-spaced frames and DECODES them via
@@ -4460,6 +4469,18 @@ object PipelineQueries {
             SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
           SELECT src AS doc_id, LEAST(src, MIN(dst)) AS rep
           FROM reach GROUP BY src""",
+
+    // integer ppm share (// is DuckDB bigint division, matching
+    // Spark's `div`); pair_work in exact bigint arithmetic
+    "d22_block_stats" ->
+      s"""WITH c AS (SELECT source, lang, count(*) AS n_docs
+            FROM documents GROUP BY 1, 2),
+          t AS (SELECT count(*) AS total FROM documents)
+          SELECT source, lang, n_docs,
+            (n_docs * 1000000) // total AS share_ppm,
+            CAST(ceil(CAST(n_docs AS DOUBLE) / 4096) AS INT) AS sub_blocks,
+            (n_docs * (n_docs - 1)) // 2 AS pair_work
+          FROM c, t""",
 
     // JPEGs are generated at (1 + n%56) × (1 + 11n%56); the codec is
     // lossy so only the geometry replays — Spark's result carries what

@@ -96,6 +96,8 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
       GraftRedactFunction.info, GraftRedactFunction.builder))
     e.injectTableFunction((FunctionIdentifier("graft_chunk"),
       GraftChunkFunction.info, GraftChunkFunction.builder))
+    e.injectTableFunction((FunctionIdentifier("graft_block_stats"),
+      GraftBlockStatsFunction.info, GraftBlockStatsFunction.builder))
   }
 }
 
@@ -502,6 +504,57 @@ object GraftChunkFunction {
   def ensureRegistered(spark: SparkSession): Unit =
     spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier("graft_chunk"), info, builder)
+}
+
+/** `graft_block_stats('<table-or-path>', '<block_col>'[, ...][,
+  * <max_block_side>])` — the pre-flight histogram for blocked
+  * quadratic dedup ([[graft.dedup.Dedup.blockStats]]): per
+  * blocking-key combination its size, corpus share, the sub-block
+  * fan-out the id-hash salt would apply, and the implied
+  * pair-comparison work. A trailing INTEGER literal overrides the
+  * default 4096 sub-block side:
+  *
+  *   SELECT * FROM graft_block_stats('docs', 'source', 'lang')
+  *   SELECT max(pair_work) FROM graft_block_stats('/data/docs.parquet', 'lang', 1024)
+  *
+  * Emits (block cols..., n_docs, share_ppm, sub_blocks, pair_work).
+  */
+object GraftBlockStatsFunction {
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  private[sql] val info = new ExpressionInfo("graft", null, "graft_block_stats",
+    "per-block size histogram for blocked dedup pre-flight: " +
+      "(block cols..., n_docs, share_ppm, sub_blocks, pair_work)",
+    "", "", "", "", "", "", "built-in")
+
+  private[sql] val builder: Seq[Expression] => LogicalPlan = exprs => {
+    require(exprs.size >= 2,
+      "usage: graft_block_stats('<table-or-path>', '<block_col>'[, ...]" +
+        "[, <max_block_side>])")
+    def litVal(e: Expression): Any = {
+      require(e.foldable,
+        s"graft_block_stats arguments must be literals, got: $e")
+      e.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+    }
+    val spark = SparkSession.active
+    val src = GraftTvfSource.resolve(spark, String.valueOf(litVal(exprs.head)))
+    // a trailing integer literal is the sub-block side; everything
+    // between the source and it is a blocking column name
+    val tailVals = exprs.tail.map(litVal)
+    val (blockVals, side) = tailVals.last match {
+      case n: Number => (tailVals.init, n.intValue())
+      case _ => (tailVals, 4096)
+    }
+    require(blockVals.nonEmpty,
+      "graft_block_stats needs at least one blocking column")
+    graft.dedup.Dedup.blockStats(src,
+      blockVals.map(String.valueOf), side).queryExecution.logical
+  }
+
+  /** Runtime registration — see [[GraftTableFunction.ensureRegistered]]. */
+  def ensureRegistered(spark: SparkSession): Unit =
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_block_stats"), info, builder)
 }
 
 /** `graft_sessionize('<table-or-path>'[, <gap_minutes>])` — gap-based

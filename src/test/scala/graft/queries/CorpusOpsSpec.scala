@@ -385,6 +385,50 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("graft_chunk"))
   }
 
+  test("graft_block_stats is FROM-able in SQL, matches the DataFrame API, sizes replay") {
+    val s2 = spark
+    import s2.implicits._
+    // 5000 docs in one ("web","en") block forces sub_blocks=2 at the
+    // default 4096 side; the small blocks stay at 1
+    val rows = (0 until 5000).map(i => (i.toLong, "x", "en", "web")) ++
+      (0 until 30).map(i => (5000L + i, "x", "fr", "web")) ++
+      (0 until 10).map(i => (6000L + i, "x", "en", "book"))
+    rows.toDF("doc_id", "text", "lang", "source")
+      .createOrReplaceTempView("bs_src")
+    val viaSql = spark
+      .sql("SELECT * FROM graft_block_stats('bs_src', 'source', 'lang')")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getInt(4), r.getLong(5))).toMap
+    val viaApi = graft.dedup.Dedup
+      .blockStats(spark.table("bs_src"), Seq("source", "lang"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getInt(4), r.getLong(5))).toMap
+    assert(viaSql == viaApi)
+    // n=5000 of 5040 total: ppm = 5000*1e6 div 5040 = 992063;
+    // pair_work = 5000*4999/2
+    assert(viaSql(("web", "en")) == ((5000L, 992063L, 2, 12497500L)))
+    assert(viaSql(("web", "fr")) == ((30L, 5952L, 1, 435L)))
+    assert(viaSql(("book", "en")) == ((10L, 1984L, 1, 45L)))
+    // trailing integer overrides the sub-block side
+    val tight = spark
+      .sql("SELECT sub_blocks FROM " +
+        "graft_block_stats('bs_src', 'source', 'lang', 1000) " +
+        "WHERE source = 'web' AND lang = 'en'")
+      .collect().map(_.getInt(0)).toSeq
+    assert(tight == Seq(5))
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_block_stats('bs_src')").collect()
+    }
+    assert(e.getMessage.contains("graft_block_stats"))
+    // all-integer tail: the last arg is the side, leaving zero cols
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_block_stats('bs_src', 4096)").collect()
+    }
+    assert(e2.getMessage.contains("blocking column"))
+  }
+
   test("graft_funnel / graft_sessionize reject bad arity with their usage lines") {
     val e = intercept[Exception] {
       spark.sql(s"SELECT * FROM graft_funnel('$sf/events.parquet')").collect()
