@@ -599,6 +599,64 @@ object Dedup {
         expr("(n_docs * (n_docs - 1L)) div 2").as("pair_work")): _*)
   }
 
+  /** Exact-duplicate PAIRS: canonical (id_a < id_b) pairs of documents
+    * with identical normalized text — [[exactGroups]] emitted at pair
+    * granularity so it can feed a pair-level consumer (the d21
+    * cross-modality verdict). The self-join keys on the 16-byte text
+    * fingerprint, so work is bounded by duplicate-GROUP sizes: the
+    * corpus's unique texts never pair, and the wide text column never
+    * rides the shuffle. A pathological corpus where one text repeats
+    * millions of times would make its group quadratic — run
+    * [[blockStats]] on the fingerprint if that is plausible.
+    */
+  def exactPairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = docs.select(col(idCol).cast("long").as("id"),
+      fingerprint(col(textCol)).as("fp"))
+    fp.select(col("id").as("id_a"), col("fp"))
+      .join(fp.select(col("id").as("id_b"), col("fp")), "fp")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** Cross-modality duplicate verdict (d21): a pair of documents is
+    * flagged when it is near-dup in AT LEAST TWO of the three modality
+    * spaces — text, image, audio. Each leg is the pair list its own
+    * bounded candidate generator produced ([[exactPairs]] /
+    * [[blockedJaccardPairs]] for text, [[phashPairs]] over dHash for
+    * images, [[phashPairs]] over the envelope hash for audio), so this
+    * stage never generates candidates itself: it unions three NARROW
+    * (id_a, id_b) lists, normalizes orientation, and aggregates per
+    * pair — one shuffle on the pair key, input bounded by the sum of
+    * the legs' outputs. The two-modality threshold is the point: a
+    * text-only or image-only collision is routine, but independent
+    * agreement between two modality spaces is strong evidence the
+    * underlying DOCUMENT is the same asset re-uploaded.
+    *
+    * Emits (id_a, id_b, in_text, in_image, in_audio, n_modalities)
+    * for pairs with n_modalities >= 2.
+    */
+  def crossModalDupes(textPairs: DataFrame, imagePairs: DataFrame,
+                      audioPairs: DataFrame): DataFrame = {
+    def leg(df: DataFrame, name: String) =
+      df.select(least(col("id_a"), col("id_b")).cast("long").as("id_a"),
+        greatest(col("id_a"), col("id_b")).cast("long").as("id_b"),
+        lit(name).as("__leg"))
+    leg(textPairs, "text")
+      .unionByName(leg(imagePairs, "image"))
+      .unionByName(leg(audioPairs, "audio"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(
+        max(when(col("__leg") === "text", 1).otherwise(0)).cast("int")
+          .as("in_text"),
+        max(when(col("__leg") === "image", 1).otherwise(0)).cast("int")
+          .as("in_image"),
+        max(when(col("__leg") === "audio", 1).otherwise(0)).cast("int")
+          .as("in_audio"))
+      .withColumn("n_modalities",
+        (col("in_text") + col("in_image") + col("in_audio")).cast("int"))
+      .filter(col("n_modalities") >= 2)
+  }
+
   /** Edit-distance-VERIFIED near-dup pairs: candidates come from
     * MinHash band collisions (never all-pairs), and each candidate is
     * confirmed by Levenshtein distance normalized by the longer text

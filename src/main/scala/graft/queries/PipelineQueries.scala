@@ -361,8 +361,8 @@ object PipelineQueries {
     * bit-for-bit, which only holds because PNG is lossless).
     * v is 1-based: v[gy·9 + gx + 1] is the sample at grid (gy, gx).
     */
-  private[queries] val PhashSql =
-    """ph AS (
+  private[queries] def phashSql(src: String = "documents"): String =
+    s"""ph AS (
        SELECT doc_id,
          CAST(w AS INT) AS w, CAST(h AS INT) AS h,
          CAST(list_sum(list_transform(range(0, 32), b ->
@@ -380,7 +380,9 @@ object PipelineQueries {
              END) AS v
          FROM (SELECT doc_id, text, length(text) AS n,
              1 + n_chars % 64 AS w, 1 + (n_chars * 7) % 64 AS h
-           FROM documents)))"""
+           FROM $src)))"""
+
+  private[queries] val PhashSql = phashSql()
 
   /** Shared m12/d17 CTE: the audio envelope hash replayed from the WAV
     * synthesis rule (sample i = text byte i mod len, unsigned; n =
@@ -440,6 +442,48 @@ object PipelineQueries {
         .select((col("doc_id") + 2000000L).as("doc_id"),
           concat(lit("z"), expr("substring(text, 2)")).as("text"),
           col("n_chars")))
+
+  /** The d21 corpus: planted twins whose MODALITY correlation is the
+    * point. All three modality renderings derive from (text, n_chars)
+    * — pixels and PCM from the text bytes, geometry and sample count
+    * from n_chars — so the plants steer which modality spaces agree:
+    *
+    *  - +3e6 (every 13th doc): the CORRELATED twin — same text, same
+    *    n_chars, so text, image and audio all match exactly (the same
+    *    asset re-uploaded whole).
+    *  - +4e6 (every 17th doc): the TEXT-ONLY twin — same text but
+    *    n_chars+29 re-renders both media legs (different image
+    *    geometry, different sample count); a scrape of the same prose
+    *    into a different layout.
+    *  - +5e6 (every 19th doc): the RE-ENCODE twin — first character
+    *    perturbed, same n_chars: never an exact text match, and the
+    *    byte shift lands some twins inside the media Hamming budgets
+    *    and some beyond, deterministically (the d17 re-encode
+    *    discipline) — the oracle replays exactly which.
+    */
+  private def plantCrossModalDups(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.select(col("doc_id"), col("text"), col("n_chars"))
+      .unionByName(df.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("text"),
+          col("n_chars")))
+      .unionByName(df.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 4000000L).as("doc_id"), col("text"),
+          (col("n_chars") + 29L).as("n_chars")))
+      .unionByName(df.filter(col("doc_id") % 19 === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          concat(lit("z"), expr("substring(text, 2)")).as("text"),
+          col("n_chars")))
+
+  /** DuckDB twin of [[plantCrossModalDups]]. */
+  private val PlantCrossModalSql =
+    """xm AS (
+       SELECT doc_id, text, n_chars FROM documents
+       UNION ALL SELECT doc_id + 3000000, text, n_chars FROM documents
+         WHERE doc_id % 13 = 0
+       UNION ALL SELECT doc_id + 4000000, text, n_chars + 29 FROM documents
+         WHERE doc_id % 17 = 0
+       UNION ALL SELECT doc_id + 5000000, 'z' || substr(text, 2), n_chars
+         FROM documents WHERE doc_id % 19 = 0)"""
 
   /** DuckDB twin of [[plantAudioDups]]. */
   private val PlantAudioDupsSql =
@@ -2252,6 +2296,32 @@ object PipelineQueries {
     "d20_audio_fp_clusters" -> ((s, d) =>
       Dedup.nearDupClusters(Dedup.phashPairs(audioFpTableFor(s, d),
         "id", "af_hi", "af_lo", maxHamming = 2))),
+
+    // dedup: CROSS-MODALITY duplicate verdict — a pair is flagged
+    // when it is near-dup in >= 2 of {exact text, image dHash bands,
+    // audio envelope bands} over the planted correlated corpus
+    // (plantCrossModalDups): independent agreement between two
+    // modality spaces is the "same asset re-uploaded" signal a
+    // single-leg collision can't give. Each leg is its own bounded
+    // candidate generator (fingerprint join / banded Hamming); the
+    // verdict stage unions only the narrow pair lists. Every
+    // rendering derives from (text, n_chars), so the fingerprint
+    // tables are built once per leg from the SAME planted frame.
+    "d21_crossmodal_dupes" -> ((s, d) => {
+      import graft.multimodal.Multimodal
+      val planted = plantCrossModalDups(Tables.documents(s, d))
+      val spreadP = spreadCpu(planted)
+      val img = Multimodal.perceptualHashes(
+        Multimodal.withPngPayload(spreadP, "doc_id", "text", "n_chars"))
+        .toDF().select(col("id"), col("dh_hi"), col("dh_lo"))
+      val aud = Multimodal.audioFingerprints(
+        Multimodal.withWavPayload(spreadP, "doc_id", "text", "n_chars"))
+        .toDF().select(col("id"), col("af_hi"), col("af_lo"))
+      Dedup.crossModalDupes(
+        Dedup.exactPairs(planted, "doc_id", "text"),
+        Dedup.phashPairs(img, "id", "dh_hi", "dh_lo", maxHamming = 2),
+        Dedup.phashPairs(aud, "id", "af_hi", "af_lo", maxHamming = 2))
+    }),
 
     // dedup: the d03 pre-flight — per (source, lang) block its size,
     // corpus share, the sub-block fan-out the id-hash salt would
@@ -4469,6 +4539,37 @@ object PipelineQueries {
             SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
           SELECT src AS doc_id, LEAST(src, MIN(dst)) AS rep
           FROM reach GROUP BY src""",
+
+    // the three modality legs replayed over the planted corpus —
+    // exact text via the fingerprint join, image/audio via the shared
+    // dHash/envelope synthesis CTEs parametrized on xm — then the
+    // per-pair union/HAVING >= 2 verdict
+    "d21_crossmodal_dupes" ->
+      s"""WITH $PlantCrossModalSql,
+          ${phashSql("xm")},
+          ${audioFpSql("xm")},
+          tp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM xm a JOIN xm b
+            ON md5(lower(trim(a.text))) = md5(lower(trim(b.text)))
+              AND a.doc_id < b.doc_id),
+          ip AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.dh_hi, b.dh_hi)) +
+                  bit_count(xor(a.dh_lo, b.dh_lo)) <= 2),
+          ap AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM af a JOIN af b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.af_hi, b.af_hi)) +
+                  bit_count(xor(a.af_lo, b.af_lo)) <= 2),
+          u AS (SELECT id_a, id_b, 1 AS t, 0 AS i, 0 AS au FROM tp
+            UNION ALL SELECT id_a, id_b, 0, 1, 0 FROM ip
+            UNION ALL SELECT id_a, id_b, 0, 0, 1 FROM ap)
+          SELECT id_a, id_b,
+            CAST(max(t) AS INT) AS in_text,
+            CAST(max(i) AS INT) AS in_image,
+            CAST(max(au) AS INT) AS in_audio,
+            CAST(max(t) + max(i) + max(au) AS INT) AS n_modalities
+          FROM u GROUP BY 1, 2
+          HAVING max(t) + max(i) + max(au) >= 2""",
 
     // integer ppm share (// is DuckDB bigint division, matching
     // Spark's `div`); pair_work in exact bigint arithmetic

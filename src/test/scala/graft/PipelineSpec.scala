@@ -620,6 +620,58 @@ class PipelineSpec extends AnyFunSuite {
     assert(ranks(t.read()) == fromScratch)
   }
 
+  test("crossModalDupes: correlated and media twins flag, single-leg twins do not") {
+    import graft.multimodal.Multimodal
+    // every modality rendering derives from (text, n_chars):
+    //  1,2 — correlated twin (same text, same n_chars): all 3 legs
+    //  3   — text-only twin of 1 (same text, different n_chars →
+    //        both media re-render)
+    //  5,6 — image-only pair: constant-byte texts make every pixel
+    //        equal, so dHash is (0,0) for ANY geometry — but the
+    //        differing n_chars gives different audio frame patterns,
+    //        and the texts differ, so image is the ONLY agreeing leg
+    //  7,8 — media-only pair: different constant bytes at the SAME
+    //        n_chars — dHash (0,0) both, envelope gradient signs
+    //        identical (sums scale by the byte², frame sizes equal),
+    //        texts differ → image+audio, no text
+    val t1 = "the quick brown fox jumps over the lazy dog repeatedly"
+    val corpus = Seq(
+      (1L, t1, 40L), (2L, t1, 40L), (3L, t1, 11L),
+      (5L, "a" * 80, 100L), (6L, "b" * 80, 500L),
+      (7L, "c" * 80, 300L), (8L, "d" * 80, 300L)
+    ).toDF("doc_id", "text", "n_chars")
+    val img = Multimodal.perceptualHashes(
+      Multimodal.withPngPayload(corpus, "doc_id", "text", "n_chars"))
+      .toDF().select(col("id"), col("dh_hi"), col("dh_lo"))
+    val aud = Multimodal.audioFingerprints(
+      Multimodal.withWavPayload(corpus, "doc_id", "text", "n_chars"))
+      .toDF().select(col("id"), col("af_hi"), col("af_lo"))
+    val imgPairs = Dedup.phashPairs(img, "id", "dh_hi", "dh_lo", maxHamming = 2)
+    val audPairs = Dedup.phashPairs(aud, "id", "af_hi", "af_lo", maxHamming = 2)
+    val txtPairs = Dedup.exactPairs(corpus, "doc_id", "text")
+    // leg sanity: the construction above really does isolate legs
+    val tp = txtPairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ip = imgPairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ap = audPairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tp == Set((1L, 2L), (1L, 3L), (2L, 3L)), s"text legs: $tp")
+    assert(Set((1L, 2L), (5L, 6L), (7L, 8L)).subsetOf(ip), s"image legs: $ip")
+    assert(!ip.contains((1L, 3L)) && !ip.contains((2L, 3L)),
+      s"text-only twin leaked into the image leg: $ip")
+    assert(ap.contains((1L, 2L)) && ap.contains((7L, 8L)), s"audio legs: $ap")
+    assert(!ap.contains((5L, 6L)) && !ap.contains((1L, 3L)),
+      s"image-only pair leaked into the audio leg: $ap")
+    val verdict = Dedup.crossModalDupes(txtPairs, imgPairs, audPairs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5))).toMap
+    assert(verdict((1L, 2L)) == ((1, 1, 1, 3)), s"correlated twin: $verdict")
+    assert(verdict((7L, 8L)) == ((0, 1, 1, 2)), s"media-only twin: $verdict")
+    assert(!verdict.contains((1L, 3L)) && !verdict.contains((2L, 3L)),
+      s"text-only twin must not flag: $verdict")
+    assert(!verdict.contains((5L, 6L)),
+      s"image-only pair must not flag: $verdict")
+  }
+
   test("semanticDupes hot-cell guard: one dense cell, blocked result == plain") {
     // pathological SemDeDup input: every vector is a tiny jitter around
     // ONE direction, so the whole corpus lands in a single IVF cell —
