@@ -138,6 +138,56 @@ object PipelineQueries {
     sb.toString
   }
 
+  /** The t51 oracle: the t41 seed stages leave s{seed} segmented,
+    * then each prune round replays the integer-inverse-probability
+    * loss — inv(c) = min(T·10⁶ // (c+1), 10¹²), char-sum saturated at
+    * 10¹³, loss = min(c, 10⁵)·(chsum − inv(c)) — picks the (loss ASC,
+    * piece ASC) winner, and re-splits " p " into the spaced
+    * characters with the same pass count. The sentinel arm (control
+    * -char piece, 2⁶² loss) keeps an exhausted vocabulary from
+    * collapsing the chain, exactly the bpeStages discipline; emission
+    * filters it on c > 0.
+    */
+  private def unigramOracleSql(seed: Int, rounds: Int, passes: Int): String = {
+    val sb = new StringBuilder
+    sb ++= bpeStages(seed, passes)
+    sb ++= s""",
+       u0 AS MATERIALIZED (SELECT cnt, sym FROM s$seed)"""
+    for (j <- 1 to rounds) {
+      val prev = s"u${j - 1}"
+      val rep = (1 to passes).foldLeft("sym")((e, _) =>
+        s"replace($e, ' ' || p || ' ', ' ' || regexp_replace(p, '(.)', '\\1 ', 'g'))")
+      sb ++= s""",
+       c$j AS MATERIALIZED (SELECT p, SUM(cnt) AS c FROM (
+           SELECT cnt, unnest(string_split(trim(sym), ' ')) AS p FROM $prev)
+         GROUP BY p),
+       t$j AS MATERIALIZED (SELECT SUM(c) AS t FROM c$j),
+       h$j AS (SELECT m.p, m.c,
+           LEAST(SUM(LEAST(t$j.t * 1000000 // (COALESCE(cc.c, 0) + 1),
+             1000000000000)), 10000000000000) AS chsum
+         FROM (SELECT p, c, unnest(range(0, length(p))) AS i
+             FROM c$j WHERE length(p) >= 2) m
+         LEFT JOIN c$j cc ON cc.p = substr(m.p, CAST(m.i AS INT) + 1, 1)
+         CROSS JOIN t$j
+         GROUP BY m.p, m.c),
+       l$j AS (SELECT p, c,
+           LEAST(c, 100000) * (chsum -
+             LEAST(t$j.t * 1000000 // (c + 1), 1000000000000)) AS loss
+         FROM h$j CROSS JOIN t$j),
+       pb$j AS MATERIALIZED (SELECT p, c, loss FROM (
+           (SELECT p, c, loss FROM l$j ORDER BY loss ASC, p ASC LIMIT 1)
+           UNION ALL (SELECT chr(1) || chr(1), 0, 4611686018427387904))
+         ORDER BY loss ASC LIMIT 1),
+       u$j AS MATERIALIZED (SELECT cnt, $rep AS sym FROM $prev, pb$j)"""
+    }
+    sb ++= (1 to rounds).map(j =>
+      s"""SELECT CAST($j AS INT) AS iter, p AS pruned,
+           CAST(c AS BIGINT) AS piece_count, CAST(loss AS BIGINT) AS loss
+           FROM pb$j WHERE c > 0""")
+      .mkString("\n", "\nUNION ALL\n", "")
+    sb.toString
+  }
+
   private def bpeOracleSql(k: Int, passes: Int,
                            src: String = "documents",
                            prefix: String = ""): String =
@@ -1614,6 +1664,16 @@ object PipelineQueries {
     // BpeTrainer for the determinism contract the oracle replays.
     "t41_bpe_merges" -> ((s, d) =>
       graft.text.BpeTrainer.learnMerges(Tables.documents(s, d), "text", 8)),
+
+    // text: unigram-LM (SentencePiece-style) tokenizer training — the
+    // PRUNE-direction counterpart of t41: seed the vocabulary with 10
+    // BPE merges, then 4 EM-prune rounds each remove the multi-char
+    // piece whose re-split into base characters costs the integer
+    // corpus likelihood the least. Same k-rounds-of-keyed-aggs scale
+    // shape as t41: every round is vocab-sized, never corpus-sized.
+    "t51_unigram_prune" -> ((s, d) =>
+      graft.text.UnigramTrainer.prune(Tables.documents(s, d), "text",
+        seedMerges = 10, rounds = 4)),
 
     // text: BPE merge APPLY — segment the corpus with t41's learned
     // merge table and report per-doc BPE token counts (the
@@ -3660,6 +3720,9 @@ object PipelineQueries {
     // next stage's merge replace (the same 6 non-overlapping passes
     // as the Spark side, so the semantics are pinned byte-for-byte)
     "t41_bpe_merges" -> bpeOracleSql(8, 6),
+
+    // the t51 prune log: 10 seed merges then 4 unrolled prune rounds
+    "t51_unigram_prune" -> unigramOracleSql(10, 4, 6),
 
     // the learned merges cross-joined into a per-doc apply replay
     "t42_bpe_apply" -> bpeApplyOracleSql(8, 6),
