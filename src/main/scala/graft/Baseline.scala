@@ -133,6 +133,25 @@ object Baseline {
     * the layer adds nothing, and its spread bounds the noise).
     */
   private val overrides: Map[String, Q] = Map(
+    // exact percentiles the way a plain-Spark user writes them: a
+    // count, then row_number over a GLOBAL sort (one partition) —
+    // the full-shuffle cost the KLL bracket + slice recount avoids
+    "t52_percentile_sketch" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val v = Tables.lineitem(s, d)
+        .select(col("l_extendedprice").cast("double").as("v"))
+        .filter(col("v").isNotNull)
+      val n = v.count()
+      val rks = Seq(500000L, 900000L, 990000L)
+        .map(q => (q, math.max(1L, (q * n + 999999L) / 1000000L)))
+      v.withColumn("rn", row_number().over(Window.orderBy(col("v"))))
+        .select(col("v"), col("rn"), explode(array(rks.map { case (q, r) =>
+          struct(lit(q).as("q"), lit(r).as("r"))
+        }: _*)).as("t"))
+        .filter(col("rn") === col("t.r"))
+        .select(col("t.q").as("pct_ppm"), lit(n).as("n_rows"),
+          col("t.r").as("rk"), col("v").as("value"))
+    }),
     "g01_segment_pruned_scan" -> ((s, d) => {
       Tables.lineitem(s, d)
         .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))

@@ -1675,6 +1675,19 @@ object PipelineQueries {
       graft.text.UnigramTrainer.prune(Tables.documents(s, d), "text",
         seedMerges = 10, rounds = 4)),
 
+    // text/stats: EXACT percentiles of a float column at sketch cost
+    // — the KLL/MRL compactor sketch proposes a per-target value
+    // bracket from its tracked worst-case rank-error bound, and the
+    // exact recount inside the bracket (count-below + in-slice window
+    // rank) yields the exact order statistic. The q37/t32 exact
+    // percentile shapes carry O(distinct) agg state — unpayable on
+    // floats at 100 TB; this carries O(k·log(n/k)) per partition and
+    // the final answer is sketch-independent (the t22 discipline).
+    "t52_percentile_sketch" -> ((s, d) =>
+      graft.functions.KllQuantiles.exactQuantiles(
+        Tables.lineitem(s, d), "l_extendedprice",
+        Seq(500000L, 900000L, 990000L))),
+
     // text: BPE merge APPLY — segment the corpus with t41's learned
     // merge table and report per-doc BPE token counts (the
     // compression read a tokenizer-training loop takes per round).
@@ -3723,6 +3736,23 @@ object PipelineQueries {
 
     // the t51 prune log: 10 seed merges then 4 unrolled prune rounds
     "t51_unigram_prune" -> unigramOracleSql(10, 4, 6),
+
+    // exact order statistics straight from a full sort — the oracle
+    // needs no sketch knowledge, which is the point of the
+    // sketch-proposes/exact-recount contract; rank rule is the same
+    // pure-integer ceil: r = max(1, (ppm*n + 999999) // 1e6)
+    "t52_percentile_sketch" ->
+      """WITH v AS (SELECT l_extendedprice AS v FROM lineitem
+            WHERE l_extendedprice IS NOT NULL),
+          n AS (SELECT COUNT(*) AS n FROM v),
+          q AS (SELECT unnest([500000, 900000, 990000]) AS q),
+          t AS (SELECT q, GREATEST(1, (q * n.n + 999999) // 1000000) AS rk
+            FROM q, n),
+          s AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v)
+          SELECT CAST(t.q AS BIGINT) AS pct_ppm,
+            (SELECT CAST(n AS BIGINT) FROM n) AS n_rows,
+            CAST(t.rk AS BIGINT) AS rk, s.v AS value
+          FROM t JOIN s ON s.rn = t.rk""",
 
     // the learned merges cross-joined into a per-doc apply replay
     "t42_bpe_apply" -> bpeApplyOracleSql(8, 6),

@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The KLL/MRL rank sketch under the t22 discipline: the tracked
+  * worst-case error bound must hold for EVERY rank query after any
+  * sequence of updates, splits and merges (the 200-case property the
+  * MisraGriesSpec pattern established), and the
+  * sketch-proposes/exact-recount composition must equal the exact
+  * sort-based answer under any partitioning — including duplicate
+  * -heavy streams where the bracket endpoints repeat.
+  */
+class KllQuantilesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** est_rank(x) = total weight of sketch items with value <= x. */
+  private def estRank(b: KllBuffer, x: Double): Long = {
+    var s = 0L
+    var l = 0
+    while (l < b.levels.size) {
+      val w = 1L << l
+      b.levels(l).foreach(v => if (v <= x) s += w)
+      l += 1
+    }
+    s
+  }
+
+  test("property: tracked error bound holds for every rank after splits and merges") {
+    import org.scalacheck.Gen
+    import org.scalacheck.Prop
+    import org.scalacheck.Prop.forAll
+    val gen = for {
+      k <- Gen.choose(8, 24)
+      items <- Gen.listOfN(500,
+        Gen.frequency((6, Gen.choose(0, 30)), (4, Gen.choose(0, 1000))))
+      cuts <- Gen.listOfN(3, Gen.choose(0, items.size))
+    } yield (k, items.map(_.toDouble), cuts.sorted)
+    val prop = forAll(gen) { case (k, items, cuts) =>
+      val agg = KllSketch(Literal(0.0), k)
+      val parts = (0 +: cuts :+ items.size).sliding(2).map {
+        case Seq(a, b) => items.slice(a, b)
+      }.toList
+      val merged = parts.map { part =>
+        val b = agg.createAggregationBuffer()
+        part.foreach { v =>
+          KllSketch(Literal(v), k).update(b, InternalRow.empty)
+        }
+        b
+      }.reduce(agg.merge)
+      val sorted = items.sorted
+      val exactOk = merged.n == items.size &&
+        (items.isEmpty || (merged.mn == sorted.head && merged.mx == sorted.last))
+      // the bound must hold at every distinct value (worst case, not
+      // probabilistic — the compaction parity is deterministic)
+      val boundOk = items.distinct.forall { x =>
+        val truth = items.count(_ <= x).toLong
+        math.abs(estRank(merged, x) - truth) <= merged.err
+      }
+      Prop(exactOk && boundOk) :|
+        s"k=$k n=${items.size} err=${merged.err}"
+    }
+    val result = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(result.passed, result.status.toString)
+  }
+
+  test("exactQuantiles equals the exact sort answer on a duplicate-heavy stream") {
+    // heavy duplication stresses the bracket-endpoint tie handling:
+    // values 1..40, value v repeated v times, plus a dense plateau
+    val data = (1 to 40).flatMap(v => Seq.fill(v)(v.toDouble)) ++
+      Seq.fill(300)(17.0)
+    val pcts = Seq(100000L, 250000L, 500000L, 750000L, 900000L, 999999L)
+    val n = data.size.toLong
+    val sorted = data.sorted
+    val want = pcts.map { q =>
+      val r = math.max(1L, (q * n + 999999L) / 1000000L)
+      (q, n, r, sorted((r - 1).toInt))
+    }.toSet
+    for (parts <- Seq(1, 13)) {
+      val got = KllQuantiles.exactQuantiles(
+        data.toDF("x").repartition(parts), "x", pcts, k = 16)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(got == want, s"parts=$parts")
+    }
+  }
+
+  test("a tiny k still yields exact answers — only the bracket widens") {
+    val data = (1 to 2000).map(i => ((i * 2654435761L) % 10007).toDouble)
+    val sorted = data.sorted
+    val got = KllQuantiles.exactQuantiles(
+      data.toDF("x").repartition(29), "x", Seq(500000L), k = 8)
+      .collect()(0)
+    val r = got.getLong(2)
+    assert(got.getDouble(3) == sorted((r - 1).toInt))
+  }
+
+  test("empty and all-null inputs return an empty frame, not a crash") {
+    val out = KllQuantiles.exactQuantiles(
+      Seq.empty[Double].toDF("x"), "x", Seq(500000L))
+    assert(out.collect().isEmpty)
+    val nulls = Seq[Option[Double]](None, None).toDF("x")
+    assert(KllQuantiles.exactQuantiles(nulls, "x", Seq(500000L))
+      .collect().isEmpty)
+  }
+
+  test("non-double input fails analysis, not at runtime") {
+    val e = intercept[Exception] {
+      Seq("a").toDF("s").agg(KllSketch.kllSketch(col("s"), 16)).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("double") ||
+      e.getMessage.contains("kll_sketch"))
+  }
+}
