@@ -154,16 +154,23 @@ object StreamingQueries {
           // cleared, so the sink's epoch lineage must restart with it
           val ckpt = java.nio.file.Files
             .createTempDirectory("graft_st07_ckpt").toString
-          val q = s.readStream.format("graft").load(root)
-            .writeStream.outputMode("append").format("graft")
-            .option("path", landedRoot)
-            .option("checkpointLocation", ckpt)
-            .start()
-          try {
-            q.processAllAvailable() // initial snapshot: the even half
-            t.load(ev.filter(col("event_id") % 2 === 1))
-            q.processAllAvailable() // incremental: the odd half's segment
-          } finally q.stop()
+          // incremental-batch drains: one AvailableNow run per phase
+          // over a SHARED checkpoint — each run terminates at the
+          // version pinned when it starts (the source's admission
+          // control), and the next resumes from the committed offset.
+          // The production "run the stream as a scheduled job" shape.
+          def drain(): Unit = {
+            val q = s.readStream.format("graft").load(root)
+              .writeStream.outputMode("append").format("graft")
+              .option("path", landedRoot)
+              .option("checkpointLocation", ckpt)
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+          }
+          drain() // initial snapshot: the even half
+          t.load(ev.filter(col("event_id") % 2 === 1))
+          drain() // incremental: the odd half's segment
           lt.read()
         })
       landed
@@ -196,11 +203,11 @@ object StreamingQueries {
           // per-row join output lands via the staged drain, NARROW
           // (the two gated columns) — a stream-static join's output is
           // corpus-fraction-scale, so the memory sink is off-limits
-          // (the r13 audit discipline). processAllAvailable drain: the
-          // source is the V1 graft table stream.
+          // (the r13 audit discipline). AvailableNow drain: the graft
+          // source implements admission control (r15).
           val f = EventStreams.runToCompletionStaged(s,
             joined.select(col("user_id"), col("spend")),
-            landDir(d, "st08"), availableNow = false).persist()
+            landDir(d, "st08")).persist()
           f.count()
           f
         })
@@ -589,33 +596,40 @@ object StreamingQueries {
             finally walk.close()
           }
           val dataCols = li.columns
-          val q = s.readStream.format("graft")
-            .option("readChangeFeed", "true").load(root)
-            .writeStream.outputMode("append")
-            .foreachBatch { (b: org.apache.spark.sql.DataFrame, batchId: Long) =>
-              // batchId-subdir overwrite: a retried micro-batch
-              // (foreachBatch is at-least-once) replaces its own
-              // landing instead of double-appending the feed
-              b.withColumn("__delta",
-                    when(col("_change_type") === "insert", 1L)
-                      .otherwise(-1L))
-                  .withColumn("__fp", xxhash64(dataCols.map(col): _*))
-                  .withColumn("__fp2", hash(dataCols.map(col): _*))
-                  .select(col("__delta"), col("__fp"), col("__fp2"),
-                    col("l_returnflag"), col("l_orderkey"))
-                  .write.mode("overwrite").parquet(s"$stage/batch-$batchId")
-            }
-            .start()
-          try {
-            q.processAllAvailable() // snapshot: evens as inserts
-            t.load(li.filter(col("l_orderkey") % 2 === 1 &&
-              col("l_orderkey") % 10 =!= 3))
-            q.processAllAvailable() // incremental inserts
-            t.delete(col("l_orderkey") % 10 === 7)
-            q.processAllAvailable() // rewrite: deletes + kept inserts
-            t.compact()
-            q.processAllAvailable() // dataChange=false: nothing
-          } finally q.stop()
+          // phase drains: one AvailableNow run per DML step over a
+          // shared checkpoint — batchIds continue across restarts, so
+          // the batchId-subdir idempotent landing carries over
+          // unchanged (a retried micro-batch replaces its own landing
+          // instead of double-appending the feed)
+          val ckpt = java.nio.file.Files
+            .createTempDirectory("graft_st11_ckpt").toString
+          def drain(): Unit = {
+            val q = s.readStream.format("graft")
+              .option("readChangeFeed", "true").load(root)
+              .writeStream.outputMode("append")
+              .foreachBatch { (b: org.apache.spark.sql.DataFrame, batchId: Long) =>
+                b.withColumn("__delta",
+                      when(col("_change_type") === "insert", 1L)
+                        .otherwise(-1L))
+                    .withColumn("__fp", xxhash64(dataCols.map(col): _*))
+                    .withColumn("__fp2", hash(dataCols.map(col): _*))
+                    .select(col("__delta"), col("__fp"), col("__fp2"),
+                      col("l_returnflag"), col("l_orderkey"))
+                    .write.mode("overwrite").parquet(s"$stage/batch-$batchId")
+              }
+              .option("checkpointLocation", ckpt)
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+          }
+          drain() // snapshot: evens as inserts
+          t.load(li.filter(col("l_orderkey") % 2 === 1 &&
+            col("l_orderkey") % 10 =!= 3))
+          drain() // incremental inserts
+          t.delete(col("l_orderkey") % 10 === 7)
+          drain() // rewrite: deletes + kept inserts
+          t.compact()
+          drain() // dataChange=false: nothing
           // pin the staged narrow feed once per session so every
           // timed apply nets in parallel without re-listing files
           val f = s.read.option("recursiveFileLookup", "true")

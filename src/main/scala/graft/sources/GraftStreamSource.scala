@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
 import org.apache.spark.sql.types.StructType
 
@@ -38,7 +39,8 @@ case class GraftSourceOffset(version: Long) extends V1Offset {
 class GraftStreamSource(sqlContext: SQLContext, path: String,
     ignoreDeletes: Boolean, maxVersionsPerBatch: Option[Long] = None,
     metadataPath: Option[String] = None,
-    changeFeed: Boolean = false) extends Source {
+    changeFeed: Boolean = false)
+  extends Source with SupportsTriggerAvailableNow {
 
   maxVersionsPerBatch.foreach(m => require(m > 0,
     s"maxVersionsPerBatch must be positive, got $m (a non-positive cap " +
@@ -117,15 +119,49 @@ class GraftStreamSource(sqlContext: SQLContext, path: String,
     }
   }
 
-  override def getOffset: Option[V1Offset] = {
-    val cur = table.currentVersion
+  /** AvailableNow admission control ([[SupportsTriggerAvailableNow]],
+    * which MicroBatchExecution honors on a V1 Source DIRECTLY,
+    * skipping the single-offset AvailableNowSourceWrapper): the
+    * prepare call pins the drain TARGET at the version current when
+    * the query starts — commits landing mid-drain are excluded, the
+    * AvailableNow contract — and `latestOffset` then pages toward it
+    * under the same `maxVersionsPerBatch` cap as continuous
+    * triggers, so a rate-limited backlog drains as BOUNDED batches
+    * and the query still terminates. Before this, graft-source
+    * drains needed a `processAllAvailable` fork: the wrapper offers
+    * exactly one (capped!) offset, so a rate-limited AvailableNow
+    * run stopped m versions in.
+    */
+  @volatile private var availableNowTarget: Long = -1L
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = table.currentVersion
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def reportLatestOffset(): OffsetV2 =
+    GraftSourceOffset(table.currentVersion)
+
+  /** The single offer rule (both the V1 getOffset path and the
+    * admission-control path): cap the catalog head — or the pinned
+    * AvailableNow target — at `lastSeen + maxVersionsPerBatch`.
+    */
+  private def offerOffset(): GraftSourceOffset = {
+    val cur =
+      if (availableNowTarget >= 0L) availableNowTarget
+      else table.currentVersion
     val capped = maxVersionsPerBatch match {
       case Some(m) if lastSeen >= 0 => math.min(cur, lastSeen + m)
       case _ => cur // first-ever offer: the initial snapshot is one batch
     }
     advanceMark(capped)
-    Some(GraftSourceOffset(capped))
+    GraftSourceOffset(capped)
   }
+
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 =
+    offerOffset()
+
+  override def getOffset: Option[V1Offset] = Some(offerOffset())
 
   /** Restart path: offsets replayed from the checkpoint arrive as
     * SerializedOffset wrappers, so the catch-all `.json` parse is the

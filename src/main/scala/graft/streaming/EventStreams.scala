@@ -189,15 +189,14 @@ object EventStreams {
     * (staging I/O is per-row). The stage dir is reset on entry, so a
     * re-drain can never append to a stale landing.
     *
-    * `availableNow = false` drains with `processAllAvailable` instead
-    * of `Trigger.AvailableNow()` — for streams rooted at a V1
-    * [[graft.sources.GraftStreamSource]], which predates the
-    * AvailableNow admission-control contract.
+    * Always drains with `Trigger.AvailableNow()` — including streams
+    * rooted at [[graft.sources.GraftStreamSource]], which implements
+    * the admission-control contract (r15; the processAllAvailable
+    * fork is retired).
     */
   def runToCompletionStaged(spark: SparkSession, rows: DataFrame,
                             stageDir: String,
-                            statePartitions: Int = 0,
-                            availableNow: Boolean = true): DataFrame = {
+                            statePartitions: Int = 0): DataFrame = {
     val p = java.nio.file.Paths.get(stageDir)
     if (java.nio.file.Files.exists(p)) {
       val walk = java.nio.file.Files.walk(p)
@@ -231,13 +230,8 @@ object EventStreams {
           .foreachBatch { (b: DataFrame, batchId: Long) =>
             b.write.mode("overwrite").parquet(s"$stageDir/batch-$batchId")
           }
-        if (availableNow) {
-          val q = writer.trigger(Trigger.AvailableNow()).start()
-          q.awaitTermination()
-        } else {
-          val q = writer.start()
-          try q.processAllAvailable() finally q.stop()
-        }
+        val q = writer.trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
       } finally {
         prevNoData.fold(conf.unset("spark.sql.streaming.noDataMicroBatches.enabled"))(
           conf.set("spark.sql.streaming.noDataMicroBatches.enabled", _))

@@ -114,6 +114,48 @@ class GraftStreamSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("AvailableNow drains a rate-limited backlog fully, as bounded batches, then terminates") {
+    // the admission-control contract (SupportsTriggerAvailableNow on
+    // the V1 source): before r15, the AvailableNowSourceWrapper took
+    // ONE capped offset — a rate-limited drain stopped m versions in.
+    // Now the prepare call pins the target and latestOffset PAGES to
+    // it, so the run must land every pre-start commit in per-commit
+    // batches and still terminate on its own.
+    val root = fresh("availnow")
+    val t = SegmentedTable.create(spark, root, docs.schema, Map.empty)
+    t.load(docs.filter(col("doc_id") < 10))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_availnow_ckpt").toString
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("maxVersionsPerBatch", "1").load(root)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val n = batch.count()
+          if (n > 0) batches.add(n)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "AvailableNow run must self-terminate")
+    }
+    drain() // snapshot run establishes the rate-limit mark
+    import scala.jdk.CollectionConverters._
+    assert(batches.asScala.toList == List(10L))
+    batches.clear()
+    // a 3-commit backlog accumulates while no query runs — the
+    // scheduled-job gap the wrapper-era drain couldn't page through
+    t.load(docs.filter(col("doc_id") >= 10 && col("doc_id") < 30))
+    t.load(docs.filter(col("doc_id") >= 30 && col("doc_id") < 60))
+    t.load(docs.filter(col("doc_id") >= 60 && col("doc_id") < 100))
+    drain()
+    val sizes = batches.asScala.toList
+    assert(sizes == List(20L, 30L, 40L),
+      s"expected per-commit paged batches, got $sizes")
+  }
+
   test("starting on an EMPTY table works; rows arrive once the first load commits") {
     val root = fresh("empty")
     val t = SegmentedTable.create(spark, root, docs.schema, Map.empty)
