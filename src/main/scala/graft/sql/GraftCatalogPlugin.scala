@@ -1,0 +1,248 @@
+package graft.sql
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources.{AlwaysTrue, BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.table.{SegmentedTable, TableIO}
+
+/** V2 session-catalog plugin: graft tables as FIRST-CLASS catalog
+  * tables, so `SELECT * FROM graft.default.t`, `INSERT INTO
+  * graft.default.t`, `SHOW TABLES IN graft.default`, `CREATE/DROP
+  * TABLE graft.default.t` — and every BI tool that speaks
+  * catalog-qualified SQL — resolve through the session catalog
+  * instead of the TVF spelling. Reference parity:
+  * CarbonMetastoreCatalog.lookupRelation
+  * (integration/spark/src/main/scala/org/apache/spark/sql/hive/
+  * CarbonMetastoreCatalog.scala:125-263) made cubes resolvable as
+  * Hive catalog tables; this is the Spark-4 native form. Register
+  * with `spark.sql.catalog.graft = graft.sql.GraftCatalogPlugin`.
+  *
+  * The TVFs stay for versioned reads (`graft_table('t', <asof>)`) —
+  * catalog identifiers name CURRENT state.
+  *
+  * Resolution maps `graft.default.<name>` to `<spark.graft.store>/
+  * <name>`, the same root the DDL commands and [[GraftCatalog]] use,
+  * so tables created by `CREATE GRAFT TABLE`/`CREATE CUBE`/the API
+  * are immediately visible catalog-side and vice versa.
+  */
+class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = "graft"
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+  private def store: String = GraftCatalog.storeRoot(spark)
+  private def pathFor(ident: Identifier): String = s"$store/${ident.name}"
+
+  private val DefaultNs = Array("default")
+  private def nsOk(ns: Array[String]): Boolean =
+    ns.isEmpty || ns.sameElements(DefaultNs)
+
+  override def defaultNamespace(): Array[String] = DefaultNs
+
+  // ---- TableCatalog -------------------------------------------------
+
+  override def listTables(ns: Array[String]): Array[Identifier] = {
+    if (!nsOk(ns)) throw new NoSuchNamespaceException(ns)
+    val root = new Path(store)
+    if (!TableIO.exists(root)) Array.empty
+    else TableIO.listStatus(root)
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(p => SegmentedTable.exists(p.toString))
+      .map(p => Identifier.of(DefaultNs, p.getName))
+      .sortBy(_.name)
+      .toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!nsOk(ident.namespace) || !SegmentedTable.exists(pathFor(ident)))
+      throw new NoSuchTableException(ident)
+    new GraftV2Table(ident, pathFor(ident))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    if (!nsOk(ident.namespace)) throw new NoSuchNamespaceException(ident.namespace)
+    if (SegmentedTable.exists(pathFor(ident)))
+      throw new TableAlreadyExistsException(ident)
+    require(partitions.isEmpty,
+      "graft catalog: PARTITIONED BY transforms are not supported — " +
+        "use the partition_columns table property (bucketed layout)")
+    // Spark stuffs engine bookkeeping (provider/location/owner) into
+    // the property map; only user properties reach the table
+    val props = properties.asScala.toMap --
+      Seq("provider", "location", "owner", "comment", "external")
+    SegmentedTable.create(spark, pathFor(ident), schema, props)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    var t = GraftCatalog.open(spark, ident.name)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          "graft catalog: nested column adds are not supported")
+        t = t.addColumn(add.fieldNames.head, add.dataType, None)
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1,
+          "graft catalog: nested column drops are not supported")
+        t = t.dropColumn(del.fieldNames.head)
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: unsupported table change $other")
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean =
+    nsOk(ident.namespace) && SegmentedTable.exists(pathFor(ident)) && {
+      TableIO.delete(new Path(pathFor(ident)))
+      true
+    }
+
+  override def renameTable(from: Identifier, to: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "graft catalog: RENAME is not supported (segment paths are " +
+        "embedded in MV registrations and stream checkpoints)")
+
+  // ---- SupportsNamespaces (single fixed namespace) -------------------
+
+  override def listNamespaces(): Array[Array[String]] = Array(DefaultNs)
+
+  override def listNamespaces(ns: Array[String]): Array[Array[String]] =
+    if (ns.isEmpty) listNamespaces()
+    else if (nsOk(ns)) Array.empty
+    else throw new NoSuchNamespaceException(ns)
+
+  override def namespaceExists(ns: Array[String]): Boolean = nsOk(ns)
+
+  override def loadNamespaceMetadata(ns: Array[String]): util.Map[String, String] =
+    if (nsOk(ns)) util.Collections.emptyMap()
+    else throw new NoSuchNamespaceException(ns)
+
+  override def createNamespace(ns: Array[String],
+                               metadata: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "graft catalog: the namespace set is fixed to 'default'")
+
+  override def alterNamespace(ns: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft catalog: the namespace set is fixed to 'default'")
+
+  override def dropNamespace(ns: Array[String], cascade: Boolean): Boolean =
+    throw new UnsupportedOperationException(
+      "graft catalog: the namespace set is fixed to 'default'")
+}
+
+/** A graft table surfaced through the V2 catalog.
+  *
+  * READ — two paths, chosen per scan:
+  *  - no declared column defaults (the common case): delegate the
+  *    ScanBuilder to Spark's own [[ParquetTable]] over the CURRENT
+  *    live segment dirs — the full vectorized DSv2 parquet path,
+  *    filter/column pushdown included, identical plan shape to
+  *    `format("graft")` reads (loadTable runs at analysis, so every
+  *    query sees a fresh snapshot of the segment set);
+  *  - declared defaults present: a [[V1Scan]] over
+  *    [[SegmentedTable.read]], which coalesces defaults — correct on
+  *    evolved tables at the cost of the row-conversion boundary.
+  *
+  * WRITE — [[V1Write]] into the segment commit protocol:
+  * INSERT INTO appends one atomically-committed segment via
+  * [[SegmentedTable.load]]; INSERT OVERWRITE (full-table only)
+  * marks the live segments deleted and loads in the same lock.
+  */
+private[sql] class GraftV2Table(ident: Identifier, tablePath: String)
+  extends Table with SupportsRead with SupportsWrite {
+
+  private def spark: SparkSession = SparkSession.active
+  private def open(): SegmentedTable = SegmentedTable.open(spark, tablePath)
+
+  override def name(): String = ident.toString
+  override def schema(): StructType = open().schema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val t = open()
+    if (t.hasDeclaredDefaults) {
+      // defaults-correct fallback: the whole-table read with coalesced
+      // defaults, surfaced through the V1 scan bridge
+      new ScanBuilder {
+        override def build(): Scan = new V1Scan {
+          override def readSchema(): StructType = t.schema
+          override def toV1TableScan[T <: BaseRelation with TableScan](
+              context: SQLContext): T =
+            new BaseRelation with TableScan {
+              override def sqlContext: SQLContext = context
+              override def schema: StructType = t.schema
+              override def buildScan(): RDD[Row] = t.read().rdd
+            }.asInstanceOf[T]
+        }
+      }
+    } else {
+      val paths = t.liveSegmentPaths.map(_.toString)
+      ParquetTable(s"graft.${ident.name}", spark,
+        CaseInsensitiveStringMap.empty(), paths, Some(t.schema),
+        classOf[ParquetFileFormat])
+        .newScanBuilder(options)
+    }
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsOverwrite {
+      private var doTruncate = false
+
+      override def overwrite(filters: Array[Filter]): WriteBuilder = {
+        require(filters.forall(_.isInstanceOf[AlwaysTrue]),
+          "graft catalog: only full-table INSERT OVERWRITE is " +
+            s"supported, got filters ${filters.mkString(", ")}")
+        doTruncate = true
+        this
+      }
+
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              val t = open()
+              if (doTruncate || overwrite) {
+                val live = t.status.segments
+                  .filter(_.status == SegmentedTable.SUCCESS).map(_.id)
+                if (live.nonEmpty) t.deleteSegments(live)
+              }
+              // by-position semantics, like every V1 insert: align to
+              // the table schema's names before the load validates it
+              val aligned = data.toDF(t.schema.fieldNames: _*)
+              t.load(aligned.select(t.schema.fieldNames.map(col): _*))
+              ()
+            }
+          }
+      }
+    }
+}

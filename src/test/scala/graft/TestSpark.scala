@@ -25,6 +25,7 @@ object TestSpark {
     .config("spark.sql.maxMetadataStringLength", "1000")
     .config("spark.graft.store", store)
     .config("spark.graft.mv.store", mvStore)
+    .config("spark.sql.catalog.graft", "graft.sql.GraftCatalogPlugin")
     .withExtensions(new graft.sql.GraftSqlExtensions)
     .withExtensions(e => e.injectOptimizerRule(s => graft.mv.AggTableRewrite(s)))
     .withExtensions(e => e.injectOptimizerRule(s => graft.mv.CountStarFromCatalog(s)))

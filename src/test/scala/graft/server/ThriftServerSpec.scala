@@ -72,6 +72,24 @@ class ThriftServerSpec extends AnyFunSuite {
       var segs = 0
       while (r4.next()) segs += 1
       assert(segs == 2)
+
+      // the V2 catalog resolves over the wire: catalog-qualified
+      // reads and writes from a stock JDBC client (the BI-tool shape
+      // the plugin exists for)
+      val r5 = st.executeQuery(
+        "SELECT count(*) AS c FROM graft.default.thrift_regions")
+      assert(r5.next() && r5.getLong("c") == 10L)
+      // (a temp view would be invisible here — the JDBC connection is
+      // its own session — so the insert reads a parquet path)
+      st.execute("INSERT INTO graft.default.thrift_regions " +
+        s"SELECT * FROM parquet.`$sf/region.parquet`")
+      val r6 = st.executeQuery(
+        "SELECT count(*) AS c FROM graft.default.thrift_regions")
+      assert(r6.next() && r6.getLong("c") == 15L)
+      val r7 = st.executeQuery("SHOW TABLES IN graft.default")
+      var sawIt = false
+      while (r7.next()) if (r7.getString(2) == "thrift_regions") sawIt = true
+      assert(sawIt, "SHOW TABLES IN graft.default must list the table over JDBC")
     } finally {
       conn.close()
       spark.sql("DROP GRAFT TABLE thrift_regions")

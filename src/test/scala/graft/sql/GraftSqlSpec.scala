@@ -529,4 +529,74 @@ class GraftSqlSpec extends AnyFunSuite {
     }
     assert(exAgg.getMessage.contains("malformed AGG item"), exAgg.getMessage)
   }
+
+  test("V2 catalog: catalog-qualified SELECT/INSERT/SHOW/CREATE/DROP lifecycle") {
+    val sf = graft.TestSpark.sf
+    // CREATE through the catalog plugin — a V2 CREATE TABLE
+    spark.sql("DROP TABLE IF EXISTS graft.default.cat_t")
+    spark.sql("CREATE TABLE graft.default.cat_t " +
+      "(r_regionkey BIGINT, r_name STRING) USING graft")
+    // INSERT INTO appends one committed segment per statement
+    spark.sql(s"INSERT INTO graft.default.cat_t " +
+      s"SELECT r_regionkey, r_name FROM parquet.`$sf/region.parquet`")
+    assert(spark.sql("SELECT count(*) FROM graft.default.cat_t")
+      .head().getLong(0) == 5)
+    spark.sql(s"INSERT INTO graft.default.cat_t " +
+      s"SELECT r_regionkey, r_name FROM parquet.`$sf/region.parquet`")
+    assert(spark.table("graft.default.cat_t").count() == 10)
+    // the catalog names the SAME store the graft DDL uses: the table
+    // is visible to the native surface and vice versa
+    assert(spark.sql("SHOW GRAFT SEGMENTS FOR cat_t").count() == 2)
+    spark.sql(s"CREATE GRAFT TABLE cat_ddl AS SELECT * FROM parquet.`$sf/region.parquet`")
+    assert(spark.sql("SELECT count(*) FROM graft.default.cat_ddl")
+      .head().getLong(0) == 5)
+    // SHOW TABLES enumerates the store through the catalog
+    val listed = spark.sql("SHOW TABLES IN graft.default")
+      .collect().map(_.getString(1)).toSet
+    assert(Set("cat_t", "cat_ddl").subsetOf(listed), listed.toString)
+    // INSERT OVERWRITE replaces the live segments atomically
+    spark.sql(s"INSERT OVERWRITE graft.default.cat_t " +
+      s"SELECT r_regionkey, r_name FROM parquet.`$sf/region.parquet` " +
+      "WHERE r_regionkey < 2")
+    assert(spark.table("graft.default.cat_t").count() == 2)
+    // filter pushdown reaches the parquet scan through the catalog
+    val plan = spark.sql(
+      "SELECT r_name FROM graft.default.cat_ddl WHERE r_regionkey = 3")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("r_regionkey"),
+      s"catalog read must keep pushdown:\n${plan.take(2000)}")
+    spark.sql("DROP TABLE graft.default.cat_ddl")
+    spark.sql("DROP TABLE graft.default.cat_t")
+    assert(!spark.sql("SHOW TABLES IN graft.default")
+      .collect().map(_.getString(1)).contains("cat_t"))
+    val ex = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.default.cat_t").collect()
+    }
+    assert(ex.getMessage.contains("cat_t"), ex.getMessage)
+  }
+
+  test("V2 catalog: ALTER TABLE add/drop column, defaults-correct fallback read") {
+    val sf = graft.TestSpark.sf
+    spark.sql("DROP TABLE IF EXISTS graft.default.cat_alter")
+    spark.sql("CREATE TABLE graft.default.cat_alter (k BIGINT, v STRING) USING graft")
+    spark.sql(s"INSERT INTO graft.default.cat_alter " +
+      s"SELECT r_regionkey, r_name FROM parquet.`$sf/region.parquet`")
+    spark.sql("ALTER TABLE graft.default.cat_alter ADD COLUMN extra INT")
+    // pre-evolution rows read the new column as null through the
+    // catalog (no declared default via the V2 path)
+    val rows = spark.sql(
+      "SELECT extra FROM graft.default.cat_alter").collect()
+    assert(rows.length == 5 && rows.forall(_.isNullAt(0)))
+    spark.sql("ALTER TABLE graft.default.cat_alter DROP COLUMN extra")
+    assert(spark.table("graft.default.cat_alter").columns.toSeq ==
+      Seq("k", "v"))
+    // a DECLARED default (graft-side evolution) must be served
+    // through the catalog too — the V1Scan fallback path
+    graft.sql.GraftCatalog.open(spark, "cat_alter")
+      .addColumn("flag", org.apache.spark.sql.types.IntegerType, Some("7"))
+    val flags = spark.sql("SELECT flag FROM graft.default.cat_alter")
+      .collect().map(_.getInt(0)).toSeq
+    assert(flags == Seq.fill(5)(7), s"default must serve catalog-side: $flags")
+    spark.sql("DROP TABLE graft.default.cat_alter")
+  }
 }
