@@ -923,6 +923,155 @@ object Multimodal {
       .mapPartitions(it => it.grouped(batchSize).flatMap(decodeAudioStatsBatch))
   }
 
+  // ---- MP4 / ISO-BMFF container metadata (m14) ----------------------
+
+  /** Parsed MP4 container metadata: movie timescale/duration from
+    * mvhd, presentation geometry from tkhd (16.16 fixed point),
+    * top-level box count, mdat payload size. duration_ms is the
+    * integer millisecond conversion a catalog stores.
+    */
+  case class Mp4Meta(id: Long, timescale: Int, duration: Long,
+                     duration_ms: Long, width: Int, height: Int,
+                     n_boxes: Int, mdat_bytes: Long)
+
+  private def bmffBox(tpe: String, payload: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+    bb.putInt(8 + payload.length)
+    bb.put(tpe.getBytes("US-ASCII"))
+    bb.put(payload)
+    bb.array()
+  }
+
+  private val UnityMatrix: Array[Int] =
+    Array(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+
+  /** Synthesize a REAL minimal ISO-BMFF (MP4) container per row:
+    * `ftyp` + `moov(mvhd, trak(tkhd))` + `mdat`, all fields
+    * big-endian per ISO/IEC 14496-12 version-0 boxes. Movie fields
+    * derive from n_chars (timescale = 600 + (n%10)·60, duration =
+    * 1000 + n%5000, geometry 16+n%320 × 16+7n%240) and the mdat
+    * carries the text's UTF-8 bytes — so a correct PARSE of the real
+    * container replays the generation rule, the m09/m04 discipline.
+    * Frame DATA is not encoded: the JVM has no H.264 codec, and per
+    * the multimodal contract the sample decode stays a stub
+    * ([[sampleBatch]]); the container walk is the real part.
+    */
+  def withMp4Payload(df: DataFrame, idCol: String, textCol: String,
+                     nCharsCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol),
+        col(nCharsCol).cast("long"))
+      .as[(Long, String, Long)]
+      .mapPartitions(_.map { case (id, text, nChars) =>
+        val timescale = (600 + (nChars % 10) * 60).toInt
+        val duration = (1000 + nChars % 5000).toInt
+        val w = (16 + nChars % 320).toInt
+        val h = (16 + (nChars * 7) % 240).toInt
+        val ftyp = {
+          val bb = java.nio.ByteBuffer.allocate(16)
+          bb.put("isom".getBytes("US-ASCII")); bb.putInt(0x200)
+          bb.put("isom".getBytes("US-ASCII")); bb.put("mp41".getBytes("US-ASCII"))
+          bmffBox("ftyp", bb.array())
+        }
+        val mvhd = {
+          val bb = java.nio.ByteBuffer.allocate(100)
+          bb.putInt(0)          // version 0 + flags
+          bb.putInt(0); bb.putInt(0) // creation / modification
+          bb.putInt(timescale); bb.putInt(duration)
+          bb.putInt(0x00010000) // rate 1.0
+          bb.putShort(0x0100.toShort) // volume 1.0
+          bb.position(bb.position() + 10) // reserved
+          UnityMatrix.foreach(bb.putInt)
+          bb.position(bb.position() + 24) // pre_defined
+          bb.putInt(2)          // next_track_ID
+          bmffBox("mvhd", bb.array())
+        }
+        val tkhd = {
+          val bb = java.nio.ByteBuffer.allocate(84)
+          bb.putInt(7)          // version 0 + flags: enabled|in-movie|in-preview
+          bb.putInt(0); bb.putInt(0)
+          bb.putInt(1)          // track_ID
+          bb.putInt(0)          // reserved
+          bb.putInt(duration)
+          bb.position(bb.position() + 8) // reserved
+          bb.putShort(0); bb.putShort(0); bb.putShort(0); bb.putShort(0)
+          UnityMatrix.foreach(bb.putInt)
+          bb.putInt(w << 16); bb.putInt(h << 16) // 16.16 fixed
+          bmffBox("tkhd", bb.array())
+        }
+        val moov = bmffBox("moov", mvhd ++ bmffBox("trak", tkhd))
+        val mdat = bmffBox("mdat",
+          Option(text).getOrElse("").getBytes("UTF-8"))
+        (id, ftyp ++ moov ++ mdat)
+      }).toDF("id", "payload")
+  }
+
+  private def isMp4(bytes: Array[Byte]): Boolean =
+    bytes.length >= 12 && new String(bytes, 4, 4, "US-ASCII") == "ftyp"
+
+  /** Real recursive box walk over one container. None on any
+    * structural violation (short box, size overrun, missing movie
+    * header) — quarantine, never a crash.
+    */
+  private def parseMp4One(id: Long, bytes: Array[Byte]): Option[Mp4Meta] =
+    try {
+      if (!isMp4(bytes)) None
+      else {
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+        var nTop = 0
+        var timescale = -1
+        var duration = -1L
+        var w = -1
+        var h = -1
+        var mdat = -1L
+        def walk(start: Int, end: Int, depth: Int): Unit = {
+          var o = start
+          while (o < end) {
+            if (o + 8 > end) throw new IllegalStateException("short box header")
+            val size = bb.getInt(o)
+            if (size < 8 || o + size > end)
+              throw new IllegalStateException(s"bad box size $size at $o")
+            val tpe = new String(bytes, o + 4, 4, "US-ASCII")
+            if (depth == 0) nTop += 1
+            tpe match {
+              case "moov" | "trak" => walk(o + 8, o + size, depth + 1)
+              case "mvhd" =>
+                timescale = bb.getInt(o + 8 + 12)
+                duration = bb.getInt(o + 8 + 16).toLong & 0xffffffffL
+              case "tkhd" =>
+                w = bb.getInt(o + 8 + 76) >>> 16
+                h = bb.getInt(o + 8 + 80) >>> 16
+              case "mdat" => mdat = (size - 8).toLong
+              case _ => ()
+            }
+            o += size
+          }
+        }
+        walk(0, bytes.length, 0)
+        if (timescale <= 0 || duration < 0 || w < 0 || h < 0) None
+        else Some(Mp4Meta(id, timescale, duration,
+          duration * 1000L / timescale, w, h, nTop, mdat))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Batched MP4 metadata extraction — the m14 operator: a genuine
+    * ISO-BMFF box walk per container (big-endian sizes, nested
+    * moov/trak recursion, 16.16 geometry), corrupt containers
+    * quarantined to the all--1 row, same batching discipline as
+    * [[decodeFeatures]].
+    */
+  def mp4Metadata(df: DataFrame, batchSize: Int = 64): Dataset[Mp4Meta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("id"), coalesce(col("payload"),
+      lit(Array.emptyByteArray)).as("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map { case (id, bytes) =>
+        parseMp4One(id, bytes).getOrElse(
+          Mp4Meta(id, -1, -1L, -1L, -1, -1, -1, -1L))
+      }))
+  }
+
   /** End-to-end: payload attach → batched decode → per-source feature
     * aggregation (the typical training-data curation rollup).
     */

@@ -2349,6 +2349,23 @@ object PipelineQueries {
           col("amp_sum"))
     }),
 
+    // multimodal: MP4 / ISO-BMFF container metadata — each doc becomes
+    // a REAL minimal MP4 (ftyp + moov(mvhd, trak(tkhd)) + mdat,
+    // big-endian version-0 boxes per ISO 14496-12) and the operator
+    // re-reads it with a genuine recursive box walk: timescale and
+    // duration out of mvhd, 16.16 presentation geometry out of tkhd,
+    // top-level box count, mdat payload size. The oracle replays the
+    // generation rule, so the match proves the encode → sniff →
+    // box-walk chain end to end (the m09 discipline). Frame DATA
+    // stays a stub — the JVM has no H.264 codec (multimodal
+    // contract); the container layer is the real part.
+    "m14_mp4_meta" -> ((s, d) => {
+      import graft.multimodal.Multimodal
+      Multimodal.mp4Metadata(
+        Multimodal.withMp4Payload(Tables.documents(s, d),
+          "doc_id", "text", "n_chars")).toDF()
+    }),
+
     // dedup: AUDIO near-duplicate pairs — the m12 fingerprints through
     // the SAME guarded banded-Hamming self-join the image leg rides
     // (phashPairs is generic over the two 32-bit halves): 4×16-bit
@@ -4602,6 +4619,22 @@ object PipelineQueries {
          FROM (SELECT doc_id, text, length(text) AS tl,
              500 + n_chars % 1000 AS n, n_chars
            FROM documents)""",
+
+    // MP4 fields replay the synthesis rule: the Spark side carries
+    // what the box walk PARSED from the re-read container, so a
+    // match proves the real ISO-BMFF encode/parse chain; n_boxes is
+    // always ftyp+moov+mdat = 3, proving the top-level walk counted
+    "m14_mp4_meta" ->
+      """SELECT doc_id AS id,
+           CAST(600 + (n_chars % 10) * 60 AS INT) AS timescale,
+           CAST(1000 + n_chars % 5000 AS BIGINT) AS duration,
+           CAST((1000 + n_chars % 5000) * 1000 //
+             (600 + (n_chars % 10) * 60) AS BIGINT) AS duration_ms,
+           CAST(16 + n_chars % 320 AS INT) AS width,
+           CAST(16 + (n_chars * 7) % 240 AS INT) AS height,
+           CAST(3 AS INT) AS n_boxes,
+           CAST(strlen(text) AS BIGINT) AS mdat_bytes
+         FROM documents""",
 
     // plain ALL-PAIRS Hamming <= 2 over the replayed audio hashes of
     // the planted-duplicate corpus — the Spark side goes through the

@@ -674,4 +674,38 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(t.showSegments().nonEmpty)
     assert(t.countFromCatalog == expected)
   }
+
+  test("MP4 box walk: real round-trip fields, corrupt and truncated containers quarantine") {
+    val docs = Seq((1L, "hello world", 42L), (2L, "", 0L))
+      .toDF("doc_id", "text", "n_chars")
+    val metas = Multimodal.mp4Metadata(
+      Multimodal.withMp4Payload(docs, "doc_id", "text", "n_chars"))
+      .collect().map(m => m.id -> m).toMap
+    // n_chars=42: timescale 600+2*60=720, duration 1000+42=1042,
+    // width 16+42=58, height 16+294%240=70, mdat = 11 utf-8 bytes
+    val m1 = metas(1L)
+    assert(m1.timescale == 720 && m1.duration == 1042L)
+    assert(m1.duration_ms == 1042L * 1000L / 720L)
+    assert(m1.width == 58 && m1.height == 70)
+    assert(m1.n_boxes == 3 && m1.mdat_bytes == 11L)
+    // empty text: a zero-byte mdat still parses (size-8 payload)
+    assert(metas(2L).mdat_bytes == 0L && metas(2L).timescale == 600)
+    // corrupt payloads: wrong magic, truncated box, lying box size —
+    // every structural violation quarantines to the all--1 row
+    val good = Multimodal.withMp4Payload(
+      Seq((9L, "x", 5L)).toDF("doc_id", "text", "n_chars"),
+      "doc_id", "text", "n_chars").collect()(0).getAs[Array[Byte]]("payload")
+    val lying = good.clone()
+    lying(3) = 127.toByte // ftyp size claims beyond the file
+    val corrupt = Seq(
+      (10L, "not an mp4 at all".getBytes("UTF-8")),
+      (11L, good.take(20)),        // truncated mid-moov
+      (12L, lying),
+      (13L, Array.emptyByteArray))
+    val bad = Multimodal.mp4Metadata(corrupt.toDF("id", "payload"))
+      .collect()
+    assert(bad.length == 4 && bad.forall(m =>
+      m.timescale == -1 && m.width == -1 && m.n_boxes == -1),
+      bad.mkString(", "))
+  }
 }
