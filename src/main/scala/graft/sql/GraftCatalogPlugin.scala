@@ -81,6 +81,32 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces {
     new GraftV2Table(ident, pathFor(ident))
   }
 
+  /** `VERSION AS OF <v>` — catalog versions ARE the table's version
+    * numbers (the same ones SHOW GRAFT HISTORY and `graft_table('t',
+    * v)` name), so the identifier surface and the TVF surface time
+    * travel to identical snapshots.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!nsOk(ident.namespace) || !SegmentedTable.exists(pathFor(ident)))
+      throw new NoSuchTableException(ident)
+    val v = version.toLongOption.getOrElse(throw new IllegalArgumentException(
+      s"graft catalog: VERSION AS OF expects a numeric catalog " +
+        s"version, got '$version'"))
+    new GraftV2Table(ident, pathFor(ident), Some(v))
+  }
+
+  /** `TIMESTAMP AS OF <t>` — Spark hands the instant in MICROseconds;
+    * resolved to the version that was current then (see
+    * [[SegmentedTable.versionAsOfTimestamp]]).
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    if (!nsOk(ident.namespace) || !SegmentedTable.exists(pathFor(ident)))
+      throw new NoSuchTableException(ident)
+    val t = SegmentedTable.open(spark, pathFor(ident))
+    val v = t.versionAsOfTimestamp(timestampMicros / 1000L)
+    new GraftV2Table(ident, pathFor(ident), Some(v))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
@@ -174,13 +200,15 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces {
   * [[SegmentedTable.load]]; INSERT OVERWRITE (full-table only)
   * marks the live segments deleted and loads in the same lock.
   */
-private[sql] class GraftV2Table(ident: Identifier, tablePath: String)
+private[sql] class GraftV2Table(ident: Identifier, tablePath: String,
+                                asOfVersion: Option[Long] = None)
   extends Table with SupportsRead with SupportsWrite {
 
   private def spark: SparkSession = SparkSession.active
   private def open(): SegmentedTable = SegmentedTable.open(spark, tablePath)
 
-  override def name(): String = ident.toString
+  override def name(): String =
+    asOfVersion.fold(ident.toString)(v => s"$ident@v$v")
   override def schema(): StructType = open().schema
 
   override def capabilities(): util.Set[TableCapability] =
@@ -201,12 +229,15 @@ private[sql] class GraftV2Table(ident: Identifier, tablePath: String)
             new BaseRelation with TableScan {
               override def sqlContext: SQLContext = context
               override def schema: StructType = t.schema
-              override def buildScan(): RDD[Row] = t.read().rdd
+              override def buildScan(): RDD[Row] =
+                asOfVersion.fold(t.read())(t.readAsOf).rdd
             }.asInstanceOf[T]
         }
       }
     } else {
-      val paths = t.liveSegmentPaths.map(_.toString)
+      val paths = asOfVersion
+        .fold(t.liveSegmentPaths)(t.liveSegmentPathsAt)
+        .map(_.toString)
       ParquetTable(s"graft.${ident.name}", spark,
         CaseInsensitiveStringMap.empty(), paths, Some(t.schema),
         classOf[ParquetFileFormat])
@@ -214,7 +245,9 @@ private[sql] class GraftV2Table(ident: Identifier, tablePath: String)
     }
   }
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(asOfVersion.isEmpty,
+      s"graft catalog: cannot write to the time-travel snapshot $name")
     new WriteBuilder with SupportsOverwrite {
       private var doTruncate = false
 
@@ -245,4 +278,5 @@ private[sql] class GraftV2Table(ident: Identifier, tablePath: String)
           }
       }
     }
+  }
 }

@@ -1214,6 +1214,39 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     (logged ++ cur).distinct.sorted
   }
 
+  /** Live segment dirs of a PAST version — the V2 catalog's
+    * time-travel scan delegates the parquet paths from here.
+    */
+  private[graft] def liveSegmentPathsAt(version: Long): Seq[Path] =
+    statusAt(version).segments
+      .filter(_.status == SUCCESS).map(s => segmentDir(s.id))
+
+  /** The version that was CURRENT at `epochMillis` (TIMESTAMP AS OF):
+    * every commit writes its immutable `_meta/log/<v>.json` entry AT
+    * COMMIT TIME, so that file's mtime IS version v's commit instant
+    * — the answer is the LARGEST version committed at or before the
+    * target. A timestamp before the first retained commit fails
+    * loudly (the Spark time-travel contract: never silently serve
+    * history we cannot prove existed).
+    */
+  def versionAsOfTimestamp(epochMillis: Long): Long = {
+    val vs = versions
+    require(vs.nonEmpty, s"graft table $root has no committed versions")
+    val logDir = new Path(metaDir, "log")
+    val commits = vs.map { v =>
+      val entry = new Path(logDir, s"$v.json")
+      val committedAt =
+        if (TableIO.exists(entry)) TableIO.mtime(entry)
+        else TableIO.mtime(statusFile) // pre-log-era current version
+      (v, committedAt)
+    }
+    val atOrBefore = commits.filter(_._2 <= epochMillis)
+    require(atOrBefore.nonEmpty,
+      s"graft table $root: no version at or before $epochMillis " +
+        s"(retained history begins at ${commits.map(_._2).min})")
+    atOrBefore.maxBy(_._1)._1
+  }
+
   def statusAt(version: Long): TableStatus = {
     val f = new Path(new Path(metaDir, "log"), s"$version.json")
     if (TableIO.exists(f)) readStatus(f)

@@ -575,6 +575,52 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("cat_t"), ex.getMessage)
   }
 
+  test("V2 catalog: VERSION AS OF / TIMESTAMP AS OF time travel; snapshots reject writes") {
+    val sf = graft.TestSpark.sf
+    spark.sql("DROP TABLE IF EXISTS graft.default.cat_tt")
+    spark.sql("CREATE TABLE graft.default.cat_tt (k BIGINT, v STRING) USING graft")
+    spark.sql(s"INSERT INTO graft.default.cat_tt " +
+      s"SELECT r_regionkey, r_name FROM parquet.`$sf/region.parquet`")
+    // mtime-based supersession instants need the commits separated by
+    // more than filesystem timestamp granularity
+    Thread.sleep(1100)
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(1100)
+    spark.sql(s"INSERT INTO graft.default.cat_tt " +
+      s"SELECT r_regionkey + 100, r_name FROM parquet.`$sf/region.parquet`")
+    val versions = spark.sql("SHOW GRAFT HISTORY FOR cat_tt")
+      .collect().map(_.getLong(0)).sorted
+    val v1 = versions.find { v =>
+      spark.sql(s"SELECT count(*) AS c FROM graft.default.cat_tt VERSION AS OF $v")
+        .head().getLong(0) == 5L
+    }
+    assert(v1.isDefined, s"no 5-row version among ${versions.toSeq}")
+    assert(spark.table("graft.default.cat_tt").count() == 10)
+    // the TVF names the same snapshot for the same version number
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft_table('cat_tt', ${v1.get})")
+      .head().getLong(0) == 5L)
+    // TIMESTAMP AS OF between the commits sees only the first
+    val ts = java.time.Instant.ofEpochMilli(betweenMs).toString
+    assert(spark.sql(
+      s"SELECT count(*) AS c FROM graft.default.cat_tt TIMESTAMP AS OF '$ts'")
+      .head().getLong(0) == 5L)
+    // a timestamp before the table existed fails loudly
+    val exEarly = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.default.cat_tt " +
+        "TIMESTAMP AS OF '2001-01-01 00:00:00'").collect()
+    }
+    assert(exEarly.getMessage.contains("no version"), exEarly.getMessage)
+    // snapshots are read-only: Spark rejects the statement (and the
+    // table builder's own guard backstops any future write path) —
+    // either way nothing lands
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO graft.default.cat_tt VERSION AS OF ${v1.get} " +
+        s"SELECT r_regionkey, r_name FROM parquet.`$sf/region.parquet`")
+    }
+    assert(spark.table("graft.default.cat_tt").count() == 10)
+    spark.sql("DROP TABLE graft.default.cat_tt")
+  }
+
   test("V2 catalog: ALTER TABLE add/drop column, defaults-correct fallback read") {
     val sf = graft.TestSpark.sf
     spark.sql("DROP TABLE IF EXISTS graft.default.cat_alter")
