@@ -287,12 +287,20 @@ object KllQuantiles {
       q -> belowRow.getLong(i)
     }.toMap
     // bracket slices in one scan, exact in-slice order statistic per
-    // target via a pct-partitioned window
+    // target via a pct-partitioned window. The union-of-brackets
+    // pre-filter uses LITERAL bounds BEFORE the explode so it pushes
+    // to the parquet scan (row-group min/max pruning — at 100 TB the
+    // slice scan reads ~2B/n of the file, not all of it); the
+    // post-explode filter only assigns rows to their targets.
+    val anyBracket = targets.map { case (_, _, lo, hi) =>
+      col("v") >= lit(lo) && col("v") <= lit(hi)
+    }.reduce(_ || _)
     val tgtArr = array(targets.map { case (q, r, lo, hi) =>
       struct(lit(q).as("q"), lit(r).as("r"), lit(lo).as("lo"),
         lit(hi).as("hi"), lit(below(q)).as("below"))
     }: _*)
-    val sliced = v.select(col("v"), explode(tgtArr).as("t"))
+    val sliced = v.filter(anyBracket)
+      .select(col("v"), explode(tgtArr).as("t"))
       .filter(col("v") >= col("t.lo") && col("v") <= col("t.hi"))
     val w = Window.partitionBy(col("t.q")).orderBy(col("v"))
     sliced.withColumn("rn", row_number().over(w))

@@ -332,6 +332,22 @@ class PlanSpec extends AnyFunSuite {
       s"n-gram explode must consume the join output, not the raw corpus\n${p.take(3000)}")
   }
 
+  test("t52 bracket-slice scan pushes the union-of-brackets to parquet") {
+    // the sketch + below-count passes run during plan construction
+    // (bounded collects); the RETURNED plan is the slice scan — its
+    // union-of-brackets pre-filter must reach the parquet scan as
+    // pushed range predicates (row-group min/max pruning is what
+    // makes the recount ~2B/n of the file at scale, not a full read),
+    // and the exact order statistic must be a window rank, never a
+    // global sort
+    val p = plan("t52_percentile_sketch")
+    assert(p.contains("PushedFilters") &&
+      (p.contains("GreaterThanOrEqual(l_extendedprice") ||
+        p.contains("Or(And(GreaterThanOrEqual")),
+      s"bracket bounds must push to the slice scan\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"), "no cartesian in the recount")
+  }
+
   test("dup-span inventory scans the text exactly once") {
     // the r6 shape tokenized twice (inventory agg + back-join over a
     // second gram pass); the window rewrite must leave exactly one
