@@ -238,10 +238,17 @@ private[sql] class GraftV2Table(ident: Identifier, tablePath: String,
       val paths = asOfVersion
         .fold(t.liveSegmentPaths)(t.liveSegmentPathsAt)
         .map(_.toString)
-      ParquetTable(s"graft.${ident.name}", spark,
-        CaseInsensitiveStringMap.empty(), paths, Some(t.schema),
-        classOf[ParquetFileFormat])
-        .newScanBuilder(options)
+      // driver-side segment pruning from the pushed filters — the
+      // catalog-read twin of the GraftSegmentPruning optimizer rule
+      // (min/max stats eliminate whole segment dirs before the scan
+      // plans; parquet row-group stats prune further inside it)
+      org.apache.spark.sql.graftbridge.GraftV2ScanSupport
+        .segmentPrunedParquetBuilder(spark, s"graft.${ident.name}",
+          t.schema, paths, filters =>
+            filters.reduceOption(
+              org.apache.spark.sql.catalyst.expressions.And)
+              .fold(paths)(c =>
+                t.prunedSegmentPaths(c, asOfVersion).map(_.toString)))
     }
   }
 

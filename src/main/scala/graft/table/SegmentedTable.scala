@@ -1221,6 +1221,19 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     statusAt(version).segments
       .filter(_.status == SUCCESS).map(s => segmentDir(s.id))
 
+  /** Segment paths surviving min/max pruning against a resolved
+    * predicate, within the live set or a past version's snapshot —
+    * the V2 catalog's scan builder prunes driver-side from the
+    * pushed filters through here (the query-plan twin of
+    * [[GraftSegmentPruning]] for catalog-resolved reads).
+    */
+  private[graft] def prunedSegmentPaths(cond: Expression,
+                                        version: Option[Long]): Seq[Path] = {
+    val base = version.fold(liveSegments)(v =>
+      statusAt(v).segments.filter(_.status == SUCCESS))
+    pruneAmong(base, cond).map(s => segmentDir(s.id))
+  }
+
   /** The version that was CURRENT at `epochMillis` (TIMESTAMP AS OF):
     * every commit writes its immutable `_meta/log/<v>.json` entry AT
     * COMMIT TIME, so that file's mtime IS version v's commit instant

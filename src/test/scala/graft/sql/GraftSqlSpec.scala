@@ -621,6 +621,41 @@ class GraftSqlSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.default.cat_tt")
   }
 
+  test("V2 catalog: filtered reads segment-prune driver-side") {
+    spark.sql("DROP TABLE IF EXISTS graft.default.cat_prune")
+    spark.sql("CREATE TABLE graft.default.cat_prune (k BIGINT, v STRING) USING graft")
+    // two segments with DISJOINT key ranges — min/max stats decide
+    spark.sql("INSERT INTO graft.default.cat_prune " +
+      "SELECT id, concat('lo', id) FROM range(0, 100)")
+    spark.sql("INSERT INTO graft.default.cat_prune " +
+      "SELECT id, concat('hi', id) FROM range(1000, 1100)")
+    // Dataset.inputFiles only recognizes FileTable-backed relations,
+    // so read the scanned files off the executed plan's FileScan
+    def scannedSegments(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan match {
+            case f: org.apache.spark.sql.execution.datasources.v2.FileScan =>
+              f.fileIndex.inputFiles.toSeq
+            case _ => Seq.empty[String]
+          }
+      }.flatten.map(_.replaceAll("/[^/]*$", "")).distinct
+    val segsAll = scannedSegments(spark.table("graft.default.cat_prune"))
+    assert(segsAll.length == 2, segsAll.mkString(", "))
+    val segsPruned = scannedSegments(spark.sql(
+      "SELECT * FROM graft.default.cat_prune WHERE k >= 1000"))
+    assert(segsPruned.length == 1,
+      s"min/max pruning must drop the lo segment: ${segsPruned.mkString(", ")}")
+    // correctness unaffected: the filter still runs exactly
+    assert(spark.sql(
+      "SELECT count(*) AS c FROM graft.default.cat_prune WHERE k >= 1000")
+      .head().getLong(0) == 100)
+    assert(spark.sql(
+      "SELECT count(*) AS c FROM graft.default.cat_prune WHERE k >= 50")
+      .head().getLong(0) == 150)
+    spark.sql("DROP TABLE graft.default.cat_prune")
+  }
+
   test("V2 catalog: ALTER TABLE add/drop column, defaults-correct fallback read") {
     val sf = graft.TestSpark.sf
     spark.sql("DROP TABLE IF EXISTS graft.default.cat_alter")
