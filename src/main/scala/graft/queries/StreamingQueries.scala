@@ -445,6 +445,31 @@ object StreamingQueries {
           countDistinct(col("af_hi"), col("af_lo")).as("distinct_hashes"))
     }),
 
+    // streaming MP4 metadata (the m14 operator in-flight — the
+    // container twin of st18/st20): per micro-batch each doc becomes
+    // a real ISO-BMFF container and the genuine box walk runs as
+    // stateless mapPartitions at the codec boundary; narrow parsed
+    // rows land through the staged drain. The batch m14 oracle forces
+    // the streamed synth→walk byte-identical across any split.
+    "st21_stream_mp4" -> ((s, d) => {
+      import graft.multimodal.Multimodal
+      val schema = Tables.documents(s, d).schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(d)
+      val metas = Multimodal.mp4Metadata(
+        Multimodal.withMp4Payload(stream, "doc_id", "text", "n_chars"))
+        .toDF()
+        .select(col("id"), col("timescale"), col("duration_ms"),
+          col("mdat_bytes"))
+      val landed = EventStreams.runToCompletionStaged(s, metas,
+        landDir(d, "st21"))
+      landed.groupBy(col("timescale"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(col("duration_ms")).as("ms_sum"),
+          sum(col("mdat_bytes")).as("bytes_sum"))
+    }),
+
     "st16_stream_funnel" -> ((s, d) => {
       val raw = Tables.rawEvents(s, d)
       val stream = s.readStream.schema(raw.schema)
@@ -868,6 +893,17 @@ object StreamingQueries {
            CAST(SUM(af_lo) AS BIGINT) AS lo_sum,
            CAST(COUNT(DISTINCT (af_hi, af_lo)) AS BIGINT) AS distinct_hashes
          FROM af GROUP BY 1""",
+
+    // the m14 synthesis rule replayed and rolled up per timescale —
+    // matching proves the streamed container synth + box walk equal
+    // the batch path across any micro-batch split
+    "st21_stream_mp4" ->
+      """SELECT CAST(600 + (n_chars % 10) * 60 AS INT) AS timescale,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM((1000 + n_chars % 5000) * 1000 //
+             (600 + (n_chars % 10) * 60)) AS BIGINT) AS ms_sum,
+           CAST(SUM(strlen(text)) AS BIGINT) AS bytes_sum
+         FROM documents GROUP BY 1""",
 
     // the m11 dHash rule replayed batch-side (PNG lossless ⇒ the
     // streamed decode must be byte-identical), folded per band prefix
