@@ -652,6 +652,23 @@ object GraftFunctions {
         }
         graft.functions.MgCandidates(exprs(0), k).toAggregateExpression()
       }))
+    e.injectFunction((FunctionIdentifier("kll_sketch"),
+      info("kll_sketch",
+        "KLL/MRL rank sketch over a DOUBLE column: struct(vs, ws, " +
+          "err, n, mn, mx) — sorted sketch values with weights, the " +
+          "tracked worst-case rank-error bound, exact count/min/max " +
+          "(bracket a rank, then recount exactly: the t52 discipline)"),
+      exprs => {
+        require(exprs.size == 2, "usage: kll_sketch(col, k)")
+        val k = exprs(1) match {
+          case e if e.foldable =>
+            String.valueOf(e.eval(
+              org.apache.spark.sql.catalyst.InternalRow.empty)).toInt
+          case other => throw new IllegalArgumentException(
+            s"kll_sketch k must be a literal, got $other")
+        }
+        graft.functions.KllSketch(exprs(0), k).toAggregateExpression()
+      }))
   }
 }
 

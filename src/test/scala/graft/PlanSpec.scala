@@ -332,6 +332,19 @@ class PlanSpec extends AnyFunSuite {
       s"n-gram explode must consume the join output, not the raw corpus\n${p.take(3000)}")
   }
 
+  test("d21 cross-modality verdict: no cartesian, no wide column on the verdict shuffle") {
+    // every leg is a bounded candidate generator; the verdict stage
+    // unions only narrow (id_a, id_b, leg) rows — text/payload bytes
+    // must never ride an Exchange above the fingerprint map stages
+    val p = plan("d21_crossmodal_dupes")
+    assert(!p.contains("CartesianProduct"),
+      s"no all-pairs stage may materialize\n${p.take(2000)}")
+    val exchanges = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(l => l.contains("text#") || l.contains("payload#")),
+      s"wide columns on a shuffle:\n${exchanges.mkString("\n")}")
+  }
+
   test("t52 bracket-slice scan pushes the union-of-brackets to parquet") {
     // the sketch + below-count passes run during plan construction
     // (bounded collects); the RETURNED plan is the slice scan — its

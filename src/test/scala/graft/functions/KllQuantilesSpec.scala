@@ -111,6 +111,21 @@ class KllQuantilesSpec extends AnyFunSuite {
       .collect().isEmpty)
   }
 
+  test("kll_sketch is reachable from pure SQL with exact n/mn/mx and a honest bound") {
+    (1 to 1000).map(i => ((i * 48271) % 10007).toDouble).toDF("x")
+      .createOrReplaceTempView("kll_sql_src")
+    val r = spark.sql(
+      "SELECT kll_sketch(CAST(x AS DOUBLE), 16) AS s FROM kll_sql_src")
+      .selectExpr("s.n", "s.mn", "s.mx", "s.err", "size(s.vs)")
+      .head()
+    assert(r.getLong(0) == 1000L)
+    assert(r.getLong(3) > 0L, "16-capacity over 1000 rows must have compacted")
+    assert(r.getInt(4) > 0 && r.getInt(4) < 1000,
+      s"sketch must be a real summary, got ${r.getInt(4)} items")
+    val xs = spark.table("kll_sql_src").collect().map(_.getDouble(0))
+    assert(r.getDouble(1) == xs.min && r.getDouble(2) == xs.max)
+  }
+
   test("non-double input fails analysis, not at runtime") {
     val e = intercept[Exception] {
       Seq("a").toDF("s").agg(KllSketch.kllSketch(col("s"), 16)).collect()
