@@ -332,6 +332,18 @@ class PlanSpec extends AnyFunSuite {
       s"n-gram explode must consume the join output, not the raw corpus\n${p.take(3000)}")
   }
 
+  test("d22 block stats: narrow aggregation with a broadcast total, text never shuffles") {
+    // the pre-flight must stay cheap at any corpus size: one keyed
+    // aggregation over the blocking columns, a 1-row broadcast for
+    // the corpus total, and the wide text column never on an Exchange
+    val p = plan("d22_block_stats")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row total must broadcast\n${p.take(2000)}")
+    val exchanges = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(!exchanges.exists(_.contains("text#")),
+      s"text on a shuffle:\n${exchanges.mkString("\n")}")
+  }
+
   test("d21 cross-modality verdict: no cartesian, no wide column on the verdict shuffle") {
     // every leg is a bounded candidate generator; the verdict stage
     // unions only narrow (id_a, id_b, leg) rows — text/payload bytes

@@ -575,6 +575,24 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("cat_t"), ex.getMessage)
   }
 
+  test("V2 catalog: CTAS and REPLACE-shaped misuse behave") {
+    val sf = graft.TestSpark.sf
+    spark.sql("DROP TABLE IF EXISTS graft.default.cat_ctas")
+    // CTAS through the plugin: createTable + append write
+    spark.sql("CREATE TABLE graft.default.cat_ctas USING graft AS " +
+      s"SELECT r_regionkey AS k, r_name AS v FROM parquet.`$sf/region.parquet`")
+    assert(spark.table("graft.default.cat_ctas").count() == 5)
+    assert(spark.table("graft.default.cat_ctas").columns.toSeq == Seq("k", "v"))
+    // CTAS over an existing table fails loudly, nothing clobbered
+    val ex = intercept[Exception] {
+      spark.sql("CREATE TABLE graft.default.cat_ctas USING graft AS SELECT 1 AS k")
+    }
+    assert(ex.getMessage.contains("already exists") ||
+      ex.getMessage.contains("TABLE_OR_VIEW_ALREADY_EXISTS"), ex.getMessage)
+    assert(spark.table("graft.default.cat_ctas").count() == 5)
+    spark.sql("DROP TABLE graft.default.cat_ctas")
+  }
+
   test("V2 catalog: VERSION AS OF / TIMESTAMP AS OF time travel; snapshots reject writes") {
     val sf = graft.TestSpark.sf
     spark.sql("DROP TABLE IF EXISTS graft.default.cat_tt")
