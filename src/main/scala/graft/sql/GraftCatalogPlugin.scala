@@ -78,7 +78,7 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier): Table = {
     if (!nsOk(ident.namespace) || !SegmentedTable.exists(pathFor(ident)))
       throw new NoSuchTableException(ident)
-    new GraftV2Table(ident, pathFor(ident))
+    new GraftV2Table(ident, pathFor(ident), catalogPluginName = catalogName)
   }
 
   /** `VERSION AS OF <v>` — catalog versions ARE the table's version
@@ -92,7 +92,7 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces {
     val v = version.toLongOption.getOrElse(throw new IllegalArgumentException(
       s"graft catalog: VERSION AS OF expects a numeric catalog " +
         s"version, got '$version'"))
-    new GraftV2Table(ident, pathFor(ident), Some(v))
+    new GraftV2Table(ident, pathFor(ident), Some(v), catalogPluginName = catalogName)
   }
 
   /** `TIMESTAMP AS OF <t>` — Spark hands the instant in MICROseconds;
@@ -104,7 +104,7 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces {
       throw new NoSuchTableException(ident)
     val t = SegmentedTable.open(spark, pathFor(ident))
     val v = t.versionAsOfTimestamp(timestampMicros / 1000L)
-    new GraftV2Table(ident, pathFor(ident), Some(v))
+    new GraftV2Table(ident, pathFor(ident), Some(v), catalogPluginName = catalogName)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -197,12 +197,29 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces {
   *
   * WRITE — [[V1Write]] into the segment commit protocol:
   * INSERT INTO appends one atomically-committed segment via
-  * [[SegmentedTable.load]]; INSERT OVERWRITE (full-table only)
-  * marks the live segments deleted and loads in the same lock.
+  * [[SegmentedTable.load]]; INSERT OVERWRITE (full-table only) is
+  * [[SegmentedTable.overwrite]] — one status commit that retires the
+  * live set and registers the replacement, so readers never observe
+  * an empty intermediate state.
+  *
+  * STREAMING — [[V2TableWithV1Fallback]]: `spark.readStream
+  * .table("graft.default.t")` and `writeStream.format("graft")
+  * .toTable(...)` resolve to the SAME V1 [[graft.sources
+  * .GraftStreamSource]]/[[graft.sources.GraftStreamSink]] machinery
+  * `format("graft")` uses (Spark's analyzer swaps a
+  * StreamingRelationV2 whose table lacks MICRO_BATCH_READ for the
+  * declared v1 fallback, and DataStreamWriter routes toTable through
+  * the provider) — catalog-version offsets, rate limiting,
+  * AvailableNow admission and exactly-once epochs all carry over
+  * unchanged. Reader options (e.g. `readChangeFeed`) flow through:
+  * FindDataSourceTable forwards the stream reader's extraOptions into
+  * the fallback relation.
   */
 private[sql] class GraftV2Table(ident: Identifier, tablePath: String,
-                                asOfVersion: Option[Long] = None)
-  extends Table with SupportsRead with SupportsWrite {
+                                asOfVersion: Option[Long] = None,
+                                catalogPluginName: String = "graft")
+  extends Table with SupportsRead with SupportsWrite
+  with org.apache.spark.sql.graftbridge.GraftV1FallbackTable {
 
   private def spark: SparkSession = SparkSession.active
   private def open(): SegmentedTable = SegmentedTable.open(spark, tablePath)
@@ -210,6 +227,28 @@ private[sql] class GraftV2Table(ident: Identifier, tablePath: String,
   override def name(): String =
     asOfVersion.fold(ident.toString)(v => s"$ident@v$v")
   override def schema(): StructType = open().schema
+
+  /** The V1 face of this table, consulted ONLY on streaming paths
+    * (readStream.table resolution and DataStreamWriter.toTable):
+    * provider `graft` + the table path, so the fallback lands in
+    * [[graft.sources.GraftSource]]'s createSource/createSink exactly
+    * as a `format("graft")` stream would. Time-travel snapshots
+    * refuse — a "stream" of a frozen snapshot would silently read
+    * CURRENT state through the fallback's path-only contract.
+    */
+  override def v1Table: org.apache.spark.sql.catalyst.catalog.CatalogTable = {
+    require(asOfVersion.isEmpty,
+      s"graft catalog: cannot stream the time-travel snapshot $name")
+    import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTableType}
+    CatalogTable(
+      identifier = org.apache.spark.sql.catalyst.TableIdentifier(
+        ident.name, Some("default"), Some(catalogPluginName)),
+      tableType = CatalogTableType.EXTERNAL,
+      storage = CatalogStorageFormat.empty.copy(
+        locationUri = Some(new Path(tablePath).toUri)),
+      schema = open().schema,
+      provider = Some("graft"))
+  }
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
@@ -271,15 +310,17 @@ private[sql] class GraftV2Table(ident: Identifier, tablePath: String,
           new InsertableRelation {
             override def insert(data: DataFrame, overwrite: Boolean): Unit = {
               val t = open()
-              if (doTruncate || overwrite) {
-                val live = t.status.segments
-                  .filter(_.status == SegmentedTable.SUCCESS).map(_.id)
-                if (live.nonEmpty) t.deleteSegments(live)
-              }
               // by-position semantics, like every V1 insert: align to
               // the table schema's names before the load validates it
               val aligned = data.toDF(t.schema.fieldNames: _*)
-              t.load(aligned.select(t.schema.fieldNames.map(col): _*))
+                .select(t.schema.fieldNames.map(col): _*)
+              // INSERT OVERWRITE is SegmentedTable.overwrite — ONE
+              // atomic commit that retires the live set and registers
+              // the replacement, so concurrent readers never see the
+              // empty intermediate (and a crash mid-way leaves the old
+              // table live)
+              if (doTruncate || overwrite) t.overwrite(aligned)
+              else t.load(aligned)
               ()
             }
           }

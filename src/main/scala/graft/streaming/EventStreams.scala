@@ -315,8 +315,13 @@ object EventStreams {
     stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          table.loadStreamBatch(batch, sinkId, batchId)
+        // land UNCONDITIONALLY: an `isEmpty` probe executes the
+        // uncached micro-batch plan a second time (the r15-measured
+        // +34%/+90% st04/st05 pattern) — loadStreamBatch stages first
+        // and its staged row count already suppresses the empty-batch
+        // segment commit, so the probe bought nothing but the extra
+        // plan execution
+        if (table.loadStreamBatch(batch, sinkId, batchId).isDefined) {
           // size-tiered MINOR compaction, shared with the sink —
           // see SegmentedTable.autoCompactMinorIfNeeded
           table.autoCompactMinorIfNeeded(autoCompactEvery)
@@ -339,10 +344,12 @@ object EventStreams {
     stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          graft.dedup.Dedup.ingestNovel(table, batch, idCol, textCol)
-          ()
-        }
+        // no `isEmpty` probe (double plan execution — see
+        // streamIntoTable): ingestNovel stages first and its staged
+        // row count already short-circuits an all-duplicate or empty
+        // batch before any commit
+        graft.dedup.Dedup.ingestNovel(table, batch, idCol, textCol)
+        ()
       }
       .trigger(Trigger.AvailableNow())
       .start()

@@ -431,15 +431,23 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
   /** Allocate the next id, rename the staged dir into place, commit.
     * Caller MUST hold the metadata lock; everything here is
     * millisecond-scale driver-side work (one rename + one JSON write).
+    * `retireLive = true` marks every currently-SUCCESS segment DELETED
+    * in the SAME status write — the atomic swap [[overwrite]] needs:
+    * no commit ever publishes the retirement without the replacement.
     */
-  private def commitStagedLocked(staged: StagedSegment): Int = {
+  private def commitStagedLocked(staged: StagedSegment,
+                                 retireLive: Boolean = false): Int = {
     val st = status
     val id = st.nextId
     clearOrphan(id)
     TableIO.rename(staged.tmp, segmentDir(id))
     writeBlooms(id, staged.blooms)
+    val prior =
+      if (retireLive) st.segments.map(s =>
+        if (s.status == SUCCESS) s.copy(status = DELETED) else s)
+      else st.segments
     commitStatus(TableStatus(id + 1,
-      st.segments :+ SegmentMeta(id, SUCCESS, staged.rows,
+      prior :+ SegmentMeta(id, SUCCESS, staged.rows,
         System.currentTimeMillis(), staged.stats, staged.nulls,
         bytes = staged.bytes)))
     id
@@ -642,11 +650,16 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
       val existingKeys =
         readSegments(snapLive).select(keyCols.map(col): _*).distinct()
       val fresh = source.join(existingKeys, keyCols, "left_anti")
-      if (fresh.isEmpty) {
+      // stage FIRST: the staged write is the one evaluation of the
+      // anti-join, and its row count answers "anything fresh?" for
+      // free — an `isEmpty` probe would run the whole join a second
+      // time (the r15-measured double-execution pattern)
+      val next = stageSegment(fresh, "loading")
+      if (next.rows == 0) {
+        deleteRecursively(next.tmp)
         staged.foreach(s => deleteRecursively(s.tmp))
         return None
       }
-      val next = stageSegment(fresh, "loading")
       staged.foreach(s => deleteRecursively(s.tmp))
       staged = Some(next)
       val committed = withLock {
@@ -681,14 +694,20 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     }
   }
 
-  /** Overwrite = mark all live segments DELETED, then load. */
+  /** Overwrite = ONE atomic segment swap: the replacement stages
+    * outside the lock (the multi-minute distributed write, like every
+    * producer), then a SINGLE status commit both retires the live set
+    * and registers the new segment. A concurrent reader therefore
+    * observes either the old table or the new one — never the empty
+    * intermediate two separate commits would publish — and a crash
+    * anywhere before the commit leaves the old table fully live (the
+    * staged dir is an orphan the next load's clearOrphan GCs).
+    */
   def overwrite(df: DataFrame): Int = {
-    withLock {
-      val st = status
-      commitStatus(st.copy(segments = st.segments.map(s =>
-        if (s.status == SUCCESS) s.copy(status = DELETED) else s)))
-    }
-    load(df)
+    val staged = stageSegment(df, "loading")
+    val id = withLock { commitStagedLocked(staged, retireLive = true) }
+    maybeAutoRefresh()
+    id
   }
 
   /** One pass over the fresh segment computes per-column min/max for

@@ -46,20 +46,27 @@ object RunRoot {
     // may fail the caller's query)
     val ls = Files.list(root)
     try ls.forEach { p =>
-      val stale = p.getFileName.toString.toLongOption.forall { pid =>
-        val h = ProcessHandle.of(pid)
-        if (!h.map[Boolean](_.isAlive).orElse(false)) true
-        else {
-          // pid is alive — but is it the run that created this dir?
-          // A recycled pid's dir carries the DEAD run's boot marker.
-          val marker = p.resolve(BootMarker)
-          Files.exists(marker) && {
-            val recorded = new String(
-              Files.readAllBytes(marker), java.nio.charset.StandardCharsets.UTF_8)
-            startInstantOf(h.get()).exists(_ != recorded)
+      // the whole per-entry verdict is best-effort: a sibling (or its
+      // marker) deleted by a concurrent process between the exists
+      // probe and the read throws NoSuchFileException — treat an
+      // unreadable entry as not-stale and skip it, never fail the
+      // caller's query
+      val stale = try {
+        p.getFileName.toString.toLongOption.forall { pid =>
+          val h = ProcessHandle.of(pid)
+          if (!h.map[Boolean](_.isAlive).orElse(false)) true
+          else {
+            // pid is alive — but is it the run that created this dir?
+            // A recycled pid's dir carries the DEAD run's boot marker.
+            val marker = p.resolve(BootMarker)
+            Files.exists(marker) && {
+              val recorded = new String(
+                Files.readAllBytes(marker), java.nio.charset.StandardCharsets.UTF_8)
+              startInstantOf(h.get()).exists(_ != recorded)
+            }
           }
         }
-      }
+      } catch { case scala.util.control.NonFatal(_) => false }
       if (stale)
         try deleteRecursively(p)
         catch { case scala.util.control.NonFatal(_) => () }
@@ -69,8 +76,11 @@ object RunRoot {
     // that happened to get our pid must not be silently inherited
     val myMarker = mine.resolve(BootMarker)
     if (Files.exists(mine) && {
-      !Files.exists(myMarker) || new String(Files.readAllBytes(myMarker),
+      // same best-effort rule: an unreadable marker (concurrent sweep
+      // deleted it mid-check) counts as not-ours => clear and recreate
+      try !Files.exists(myMarker) || new String(Files.readAllBytes(myMarker),
         java.nio.charset.StandardCharsets.UTF_8) != myStart
+      catch { case scala.util.control.NonFatal(_) => true }
     }) try deleteRecursively(mine) catch { case scala.util.control.NonFatal(_) => () }
     Files.createDirectories(mine)
     Files.write(myMarker, myStart.getBytes(java.nio.charset.StandardCharsets.UTF_8))

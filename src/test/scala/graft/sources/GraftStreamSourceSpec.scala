@@ -317,6 +317,97 @@ class GraftStreamSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("catalog streaming read: readStream.table drains with rate limit + restart semantics intact") {
+    // the V2TableWithV1Fallback bridge: a catalog-first-class graft
+    // table must also be streamable — readStream.table resolves to
+    // the SAME V1 GraftStreamSource as format("graft"), so the
+    // per-commit rate cap and the persisted high-water mark carry
+    // over unchanged (the st07 drain, spelled catalog-side)
+    val name = s"streamcat${names.incrementAndGet()}"
+    val root = s"${graft.TestSpark.store}/$name"
+    val t = SegmentedTable.create(spark, root, docs.schema, Map.empty)
+    t.load(docs.filter(col("doc_id") < 10))
+    val ckpt = Files.createTempDirectory("graft_cat_ckpt").toString
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def start() = spark.readStream
+      .option("maxVersionsPerBatch", "1")
+      .table(s"graft.default.$name")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val n = batch.count()
+        if (n > 0) batches.add(n)
+        ()
+      }
+      .start()
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop() // clean shutdown, snapshot committed
+    // a burst lands while the stream is DOWN
+    t.load(docs.filter(col("doc_id") >= 10 && col("doc_id") < 30))
+    t.load(docs.filter(col("doc_id") >= 30 && col("doc_id") < 60))
+    t.load(docs.filter(col("doc_id") >= 60 && col("doc_id") < 100))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val sizes = batches.asScala.toList
+      // rate limit AND restart both preserved through the catalog path
+      assert(sizes == List(10L, 20L, 30L, 40L),
+        s"expected capped per-commit batches across restart, got $sizes")
+    } finally q2.stop()
+  }
+
+  test("catalog streaming write: writeStream.toTable lands exactly-once segments end-to-end") {
+    // the write half of the fallback, combined with the read half:
+    // graft table -> readStream.table -> writeStream.toTable -> graft
+    // table, AvailableNow drains, shared checkpoint. Re-running with
+    // no new data must land NOTHING (the sink's epoch dedup), and an
+    // incremental source commit must arrive as exactly its rows.
+    val srcName = s"streamcatsrc${names.incrementAndGet()}"
+    val tgtName = s"streamcattgt${names.incrementAndGet()}"
+    val src = SegmentedTable.create(spark,
+      s"${graft.TestSpark.store}/$srcName", docs.schema, Map.empty)
+    SegmentedTable.create(spark,
+      s"${graft.TestSpark.store}/$tgtName", docs.schema, Map.empty)
+    src.load(docs.filter(col("doc_id") < 40))
+    val ckpt = Files.createTempDirectory("graft_cat_sink_ckpt").toString
+    def drain(): Unit = {
+      val q = spark.readStream.table(s"graft.default.$srcName")
+        .writeStream.format("graft")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(s"graft.default.$tgtName")
+      assert(q.awaitTermination(120000), "AvailableNow run must self-terminate")
+    }
+    def tgt = spark.table(s"graft.default.$tgtName")
+    drain()
+    assert(tgt.count() == 40)
+    drain() // nothing new: the replayed epoch must be skipped
+    assert(tgt.count() == 40, "an idle re-drain must land nothing")
+    src.load(docs.filter(col("doc_id") >= 40 && col("doc_id") < 90))
+    drain()
+    assert(tgt.count() == 90)
+    assert(tgt.select(col("doc_id")).distinct().count() == 90,
+      "exactly-once per row through catalog read+write")
+  }
+
+  test("streaming a time-travel snapshot refuses loudly") {
+    val name = s"streamcatttr${names.incrementAndGet()}"
+    val t = SegmentedTable.create(spark,
+      s"${graft.TestSpark.store}/$name", docs.schema, Map.empty)
+    t.load(docs.filter(col("doc_id") < 5))
+    val snap = new graft.sql.GraftCatalogPlugin()
+    snap.initialize("graft", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Collections.emptyMap()))
+    val table = snap.loadTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("default"), name),
+      "2")
+    val e = intercept[IllegalArgumentException] {
+      table.asInstanceOf[org.apache.spark.sql.graftbridge.GraftV1FallbackTable].v1Table
+    }
+    assert(e.getMessage.contains("time-travel"),
+      s"snapshot streaming must refuse, got: ${e.getMessage}")
+  }
+
   test("readChangeFeed with a caller-supplied FULL CDF schema does not duplicate columns") {
     // a caller may hand the reader a schema captured from a previous
     // CDF read (already carrying _change_type/_commit_version);

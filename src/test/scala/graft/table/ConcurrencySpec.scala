@@ -248,6 +248,54 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(t.read().count() == 200)
   }
 
+  test("overwrite is ONE atomic commit: a polling reader never observes an empty or partial table") {
+    // the r15 shape was two commits (retire-all, then load): a reader
+    // between them — or a crash after the first — saw an EMPTY table,
+    // a snapshot state that never logically existed. Now the
+    // replacement stages first and a single status commit swaps the
+    // live set, so every observable state is either the old table or
+    // the new one.
+    val root = Files.createTempDirectory("graft_ovw").resolve("t").toString
+    val n = spark.read.parquet(s"${TestSpark.sf}/nation.parquet")
+    val t = SegmentedTable.create(spark, root, n.schema, Map.empty)
+    t.load(n) // 100 rows live
+    val reader = SegmentedTable.open(spark, root) // independent handle
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val badCounts = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val poll = Future {
+      while (!stop.get()) {
+        val c = reader.read().count()
+        // 100 = pre-overwrite, 25 = post-overwrite; anything else
+        // (especially 0) is the torn intermediate the swap forbids
+        if (c != 100L && c != 25L) badCounts.add(c)
+      }
+    }
+    val writes = Future {
+      (1 to 5).foreach(_ => t.overwrite(n.limit(25)))
+    }
+    Await.result(writes, 300.seconds)
+    stop.set(true)
+    Await.result(poll, 60.seconds)
+    pool.shutdown()
+    assert(badCounts.isEmpty,
+      s"reader observed torn overwrite states: ${badCounts}")
+    assert(t.read().count() == 25)
+    // each overwrite was exactly ONE catalog commit (retire + add
+    // fused): create(1) + load(1) + 5 overwrites = version 7
+    assert(t.currentVersion == 7L,
+      s"overwrite must commit once, version = ${t.currentVersion}")
+    // the crash-window check: EVERY committed snapshot in the history
+    // from the first load on has at least one live segment — so a
+    // crash at ANY instant (the on-disk state is always one of these
+    // versions) can never leave the table readable-but-empty
+    (2L to t.currentVersion).foreach { v =>
+      assert(t.statusAt(v).segments.exists(_.status == SegmentedTable.SUCCESS),
+        s"version $v has no live segment — a crash there strands an empty table")
+    }
+  }
+
   test("partitioned load co-locates keys per file") {
     val root = Files.createTempDirectory("graft_part").resolve("t").toString
     val li = spark.read.parquet(s"${TestSpark.sf}/lineitem.parquet")
