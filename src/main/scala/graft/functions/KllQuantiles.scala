@@ -219,43 +219,50 @@ object KllSketch {
 /** The sketch-proposes / exact-recount orchestration: EXACT
   * percentiles of a double column at sketch cost.
   *
-  * Three scans, all distributed: (1) the sketch pass (one 1-row
-  * collect of O(k·log) doubles); (2) a conditional-count pass for the
-  * exact below-bracket rank offsets (1-row collect of one long per
-  * target); (3) the bracket slices tagged per target in a single
-  * scan, ranked with a per-target window, and filtered to the exact
-  * in-slice offset. Nothing corpus-sized ever reaches the driver; the
-  * slice the window sorts is bounded by the sketch's rank-error
-  * bracket (≈ 2·B rows per target), not by n.
+  * Passes, all distributed: (1) the sketch pass (one 1-row collect of
+  * O(k·log) doubles); (2) per iteration, one conditional-count scan
+  * (exact below-bracket offsets + slice sizes + boundary-duplicate
+  * counts, 1-row collect) and — only while a slice still exceeds
+  * `sliceBudget` — one grouped RE-SKETCH of the oversized slices that
+  * shrinks each bracket to the slice-local error bound; (3) the final
+  * bracket slices tagged per target in a single scan, ranked with a
+  * per-target window, filtered to the exact in-slice offset. Nothing
+  * corpus-sized ever reaches the driver, and — the 100× guarantee the
+  * single-shot bracket lacked — NO single task ever sorts more than
+  * `sliceBudget` rows: a first-pass bracket of ~2·B rows (B grows
+  * ~n/k·log n) is re-sketched within itself until it fits, each round
+  * shrinking the slice from m to ~2·err(m) ≈ m/k·log m. Boundary
+  * duplicates (a value repeated beyond the budget, which no bracket
+  * can split) are resolved ANALYTICALLY from the duplicate counts
+  * instead — so a million-copy plateau costs a counting scan, not a
+  * million-row sort.
+  *
+  * Population rule: null AND NaN inputs are excluded (a NaN enters
+  * no meaningful order — Spark sorts it after +Inf, DuckDB's rules
+  * differ — so counting it would make the answer engine-dependent;
+  * ADVICE r15). Duplicate pct targets are deduplicated (each target
+  * answers once; duplicated targets used to multiply the slice rows
+  * and silently select the wrong order statistic).
   *
   * Rank rule (both engines): r = max(1, ceil(pct_ppm · n / 10⁶)) in
   * pure integer arithmetic; the answer is the r-th smallest value.
   */
 object KllQuantiles {
 
-  def exactQuantiles(rows: DataFrame, vCol: String, pctsPpm: Seq[Long],
-                     k: Int = 200): DataFrame = {
-    require(pctsPpm.nonEmpty && pctsPpm.forall(p => p >= 1 && p <= 1000000),
-      s"pct ppm targets must be in [1, 1000000], got $pctsPpm")
-    val spark = rows.sparkSession
-    val v = rows.select(col(vCol).cast("double").as("v"))
-      .filter(col("v").isNotNull)
-    val sk = v.agg(KllSketch.kllSketch(col("v"), k).as("sk"))
-      .collect()(0).getStruct(0)
-    val n = sk.getAs[Long]("n")
-    val outSchema = StructType(Seq(
-      StructField("pct_ppm", LongType, nullable = false),
-      StructField("n_rows", LongType, nullable = false),
-      StructField("rk", LongType, nullable = false),
-      StructField("value", DoubleType, nullable = false)))
-    if (n == 0L)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
-    val err = sk.getAs[Long]("err")
-    val vs = sk.getSeq[Double](0)
-    val ws = sk.getSeq[Long](1)
-    val mn = sk.getAs[Double]("mn")
-    val mx = sk.getAs[Double]("mx")
+  /** Per-target recount diagnostics (spec hook): bracket-narrowing
+    * iterations, the rows the final per-target window actually sorted
+    * (0 when resolved analytically from duplicate counts or by the
+    * distributed-sort fallback), and whether the stall fallback ran.
+    */
+  private[graft] case class SliceStat(q: Long, iterations: Int,
+                                      finalSliceRows: Long,
+                                      fallback: Boolean = false)
+
+  /** Bracket [lo, hi] provably containing the rr-th smallest of the
+    * sketched population (see the class-doc proof); closed bounds.
+    */
+  private def bracketOf(vs: Seq[Double], ws: Seq[Long], err: Long,
+                        mn: Double, mx: Double, rr: Long): (Double, Double) = {
     val cum = ws.scanLeft(0L)(_ + _).tail // cumulative weight incl. item i
     // est_rank(x) = total sketch weight of items with value <= x: for
     // an item, that is the cumulative weight at the LAST occurrence
@@ -270,42 +277,211 @@ object KllQuantiles {
       estRank(j) = lastCum
       j -= 1
     }
-    val targets = pctsPpm.map { q =>
+    val loIdx = estRank.lastIndexWhere(w => w <= rr - 1L - err)
+    val lo = if (loIdx < 0) mn else vs(loIdx)
+    val hiIdx = estRank.indexWhere(w => w >= rr + err)
+    val hi = if (hiIdx < 0) mx else vs(hiIdx)
+    (lo, hi)
+  }
+
+  def exactQuantiles(rows: DataFrame, vCol: String, pctsPpm: Seq[Long],
+                     k: Int = 200,
+                     sliceBudget: Long = 4L * 1000L * 1000L): DataFrame =
+    exactQuantilesWithStats(rows, vCol, pctsPpm, k, sliceBudget)._1
+
+  private[graft] def exactQuantilesWithStats(
+      rows: DataFrame, vCol: String, pctsPpm: Seq[Long], k: Int = 200,
+      sliceBudget: Long = 4L * 1000L * 1000L)
+      : (DataFrame, Seq[SliceStat]) = {
+    require(pctsPpm.nonEmpty && pctsPpm.forall(p => p >= 1 && p <= 1000000),
+      s"pct ppm targets must be in [1, 1000000], got $pctsPpm")
+    require(sliceBudget >= 1L, s"sliceBudget must be positive: $sliceBudget")
+    // duplicate targets would emit one identical struct per duplicate
+    // into the per-target window, ranking every slice row N times and
+    // silently selecting the wrong order statistic (ADVICE r15) —
+    // each distinct target answers exactly once
+    val pcts = pctsPpm.distinct
+    val spark = rows.sparkSession
+    val v = rows.select(col(vCol).cast("double").as("v"))
+      .filter(col("v").isNotNull && !isnan(col("v")))
+    val sk = v.agg(KllSketch.kllSketch(col("v"), k).as("sk"))
+      .collect()(0).getStruct(0)
+    val n = sk.getAs[Long]("n")
+    val outSchema = StructType(Seq(
+      StructField("pct_ppm", LongType, nullable = false),
+      StructField("n_rows", LongType, nullable = false),
+      StructField("rk", LongType, nullable = false),
+      StructField("value", DoubleType, nullable = false)))
+    def emptyOut = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    if (n == 0L) return (emptyOut, Nil)
+
+    // per-target bracket state. Bounds start CLOSED (from a sketch's
+    // provable bracket); once the boundary duplicates are counted and
+    // analytically excluded they become OPEN (strict) — tracked by
+    // `open`, which is always both-ends at once here. `lastCnt`
+    // remembers the previous round's interior size: re-sketching
+    // shrinks a slice by ~k/(2·log m) per round, so a small k (where
+    // the sketch's worst-case error exceeds the slice) makes NO
+    // progress — detected as a stall and routed to the fallback.
+    case class St(q: Long, r: Long, lo: Double, hi: Double,
+                  open: Boolean, below: Long, iters: Int,
+                  lastCnt: Option[Long] = None)
+
+    var pending: Seq[St] = pcts.map { q =>
       val r = math.max(1L, (q * n + 999999L) / 1000000L)
-      val loIdx = estRank.lastIndexWhere(w => w <= r - 1L - err)
-      val lo = if (loIdx < 0) mn else vs(loIdx)
-      val hiIdx = estRank.indexWhere(w => w >= r + err)
-      val hi = if (hiIdx < 0) mx else vs(hiIdx)
-      (q, r, lo, hi)
+      val (lo, hi) = bracketOf(sk.getSeq[Double](0), sk.getSeq[Long](1),
+        sk.getAs[Long]("err"), sk.getAs[Double]("mn"),
+        sk.getAs[Double]("mx"), r)
+      St(q, r, lo, hi, open = false, below = 0L, iters = 0)
     }
-    // exact rank offset below each bracket — one conditional-agg scan
-    val belowAggs = targets.map { case (q, _, lo, _) =>
-      sum(when(col("v") < lo, 1L).otherwise(0L)).as(s"b$q")
+    val finalized = scala.collection.mutable.ArrayBuffer.empty[St]
+    val resolved = scala.collection.mutable.ArrayBuffer.empty[(St, Double)]
+    val fellBack = scala.collection.mutable.Set.empty[Long]
+    val finalCnt = scala.collection.mutable.Map.empty[Long, Long]
+
+    /** Stall fallback — exact order statistic of an OPEN slice with NO
+      * single-task sort: a range-partitioned distributed sort (each
+      * partition ~sliceBudget rows) + zipWithIndex gives the global
+      * ascending index directly. Costs a full shuffle of the slice,
+      * so it only runs when re-sketching provably stopped shrinking
+      * (k too small for the slice's error bound) — correctness at any
+      * k, budget honored in all regimes.
+      */
+    def sortFallback(t: St, openCnt: Long): Double = {
+      fellBack += t.q
+      val parts = math.max(1, math.min(
+        math.ceil(openCnt.toDouble / sliceBudget.toDouble).toInt, 20000))
+      val rr = t.r - t.below
+      v.filter(col("v") > lit(t.lo) && col("v") < lit(t.hi))
+        .select(col("v")).rdd.map(_.getDouble(0))
+        .sortBy(identity, ascending = true, numPartitions = parts)
+        .zipWithIndex().filter(_._2 == rr - 1L).map(_._1).collect()(0)
     }
-    val belowRow = v.agg(belowAggs.head, belowAggs.tail: _*).collect()(0)
-    val below = targets.zipWithIndex.map { case ((q, _, _, _), i) =>
-      q -> belowRow.getLong(i)
-    }.toMap
-    // bracket slices in one scan, exact in-slice order statistic per
-    // target via a pct-partitioned window. The union-of-brackets
-    // pre-filter uses LITERAL bounds BEFORE the explode so it pushes
-    // to the parquet scan (row-group min/max pruning — at 100 TB the
-    // slice scan reads ~2B/n of the file, not all of it); the
-    // post-explode filter only assigns rows to their targets.
-    val anyBracket = targets.map { case (_, _, lo, hi) =>
-      col("v") >= lit(lo) && col("v") <= lit(hi)
-    }.reduce(_ || _)
-    val tgtArr = array(targets.map { case (q, r, lo, hi) =>
-      struct(lit(q).as("q"), lit(r).as("r"), lit(lo).as("lo"),
-        lit(hi).as("hi"), lit(below(q)).as("below"))
-    }: _*)
-    val sliced = v.filter(anyBracket)
-      .select(col("v"), explode(tgtArr).as("t"))
-      .filter(col("v") >= col("t.lo") && col("v") <= col("t.hi"))
-    val w = Window.partitionBy(col("t.q")).orderBy(col("v"))
-    sliced.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === col("t.r") - col("t.below"))
-      .select(col("t.q").as("pct_ppm"), lit(n).as("n_rows"),
-        col("t.r").as("rk"), col("v").as("value"))
+
+    var guard = 0
+    while (pending.nonEmpty) {
+      guard += 1
+      // each round either peels boundary duplicates, shrinks the
+      // interior geometrically, finalizes, or (on stall) falls back —
+      // 64 rounds is unreachable except by a bug; fail loudly then
+      require(guard <= 64,
+        "exactQuantiles: bracket narrowing failed to converge")
+      // ONE conditional-count scan for every pending target: exact
+      // strictly-below offset, boundary-duplicate counts, slice size
+      def pred(t: St) =
+        if (t.open) col("v") > lit(t.lo) && col("v") < lit(t.hi)
+        else col("v") >= lit(t.lo) && col("v") <= lit(t.hi)
+      val aggs = pending.flatMap { t => Seq(
+        sum(when(col("v") < lit(t.lo), 1L).otherwise(0L)).as(s"lt_${t.q}"),
+        sum(when(col("v") === lit(t.lo), 1L).otherwise(0L)).as(s"eqlo_${t.q}"),
+        sum(when(pred(t), 1L).otherwise(0L)).as(s"in_${t.q}"),
+        sum(when(col("v") === lit(t.hi), 1L).otherwise(0L)).as(s"eqhi_${t.q}"))
+      }
+      val row = v.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val resketch = scala.collection.mutable.ArrayBuffer.empty[St]
+      pending.foreach { t =>
+        val lt = row.getAs[Long](s"lt_${t.q}")
+        val eqLo = row.getAs[Long](s"eqlo_${t.q}")
+        val inCnt = row.getAs[Long](s"in_${t.q}")
+        val eqHi = row.getAs[Long](s"eqhi_${t.q}")
+        val belowSlice = lt + (if (t.open) eqLo else 0L)
+        val rr = t.r - belowSlice // 1-based rank within the slice
+        require(rr >= 1L && rr <= inCnt,
+          s"exactQuantiles: bracket invariant broken for pct ${t.q} " +
+            s"(rank $rr of slice $inCnt) — sketch bound violated")
+        if (!t.open && rr <= eqLo) resolved += ((t, t.lo))
+        else if (!t.open && rr > inCnt - eqHi) resolved += ((t, t.hi))
+        else {
+          // the answer lies strictly inside (lo, hi): peel the
+          // boundary duplicates analytically and keep the interior
+          val openBelow = lt + eqLo
+          val openCnt =
+            inCnt - (if (t.open) 0L else eqLo) - (if (t.open) 0L else eqHi)
+          require(openCnt > 0L,
+            s"exactQuantiles: empty interior for pct ${t.q} — " +
+              "sketch bound violated")
+          val opened = t.copy(open = true, below = openBelow)
+          if (openCnt <= sliceBudget) {
+            finalCnt(t.q) = openCnt
+            finalized += opened
+          } else if (t.lastCnt.exists(prev => openCnt * 4L > prev * 3L)) {
+            // the re-sketch shrank the interior by <25%: the sketch's
+            // worst-case error is of the slice's own order (k too
+            // small) and iterating would never converge — take the
+            // distributed-sort fallback, still budget-bounded per task
+            resolved += ((opened, sortFallback(opened, openCnt)))
+          } else resketch += opened.copy(lastCnt = Some(openCnt))
+        }
+      }
+      if (resketch.nonEmpty) {
+        // grouped re-sketch of every oversized OPEN slice in one scan:
+        // the slice-local sketch's error bound is ~|slice|/k·log — the
+        // next bracket is that much narrower, so each round divides
+        // the slice by ~k/log until it fits the budget (or its
+        // boundary plateau is peeled above)
+        val tgtArr = array(resketch.toSeq.map { t =>
+          struct(lit(t.q).as("q"), lit(t.lo).as("lo"), lit(t.hi).as("hi"))
+        }: _*)
+        val anyOpen = resketch.toSeq.map(t =>
+          col("v") > lit(t.lo) && col("v") < lit(t.hi)).reduce(_ || _)
+        val grouped = v.filter(anyOpen)
+          .select(col("v"), explode(tgtArr).as("t"))
+          .filter(col("v") > col("t.lo") && col("v") < col("t.hi"))
+          .groupBy(col("t.q").as("q"))
+          .agg(KllSketch.kllSketch(col("v"), k).as("sk"))
+          .collect()
+          .map(r => r.getAs[Long]("q") -> r.getStruct(1)).toMap
+        pending = resketch.toSeq.map { t =>
+          val s = grouped.getOrElse(t.q, throw new IllegalStateException(
+            s"exactQuantiles: oversized slice for pct ${t.q} vanished"))
+          val (lo2, hi2) = bracketOf(s.getSeq[Double](0), s.getSeq[Long](1),
+            s.getAs[Long]("err"), s.getAs[Double]("mn"),
+            s.getAs[Double]("mx"), t.r - t.below)
+          // the new bracket is CLOSED within the open slice; its
+          // strictly-below offset is recounted next round
+          t.copy(lo = lo2, hi = hi2, open = false, iters = t.iters + 1)
+        }
+      } else pending = Nil
+    }
+
+    // final recount: per-target windows over slices that are each
+    // ≤ sliceBudget BY CONSTRUCTION. The union-of-brackets pre-filter
+    // uses LITERAL bounds BEFORE the explode so it pushes to the
+    // parquet scan (row-group min/max pruning — at 100 TB the slice
+    // scan reads ~2B/n of the file, not all of it); the post-explode
+    // filter only assigns rows to their targets.
+    val recounted =
+      if (finalized.isEmpty) emptyOut
+      else {
+        val anyBracket = finalized.toSeq.map(t =>
+          col("v") > lit(t.lo) && col("v") < lit(t.hi)).reduce(_ || _)
+        val tgtArr = array(finalized.toSeq.map { t =>
+          struct(lit(t.q).as("q"), lit(t.r).as("r"), lit(t.lo).as("lo"),
+            lit(t.hi).as("hi"), lit(t.below).as("below"))
+        }: _*)
+        val sliced = v.filter(anyBracket)
+          .select(col("v"), explode(tgtArr).as("t"))
+          .filter(col("v") > col("t.lo") && col("v") < col("t.hi"))
+        val w = Window.partitionBy(col("t.q")).orderBy(col("v"))
+        sliced.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === col("t.r") - col("t.below"))
+          .select(col("t.q").as("pct_ppm"), lit(n).as("n_rows"),
+            col("t.r").as("rk"), col("v").as("value"))
+      }
+    val analytic =
+      if (resolved.isEmpty) emptyOut
+      else spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(resolved.toSeq.map {
+            case (t, value) =>
+              org.apache.spark.sql.Row(t.q, n, t.r, value)
+          }).asJava), outSchema)
+    val stats =
+      finalized.toSeq.map(t => SliceStat(t.q, t.iters, finalCnt(t.q))) ++
+        resolved.toSeq.map { case (t, _) =>
+          SliceStat(t.q, t.iters, 0L, fallback = fellBack.contains(t.q))
+        }
+    (recounted.unionByName(analytic), stats)
   }
 }

@@ -1302,6 +1302,12 @@ object PipelineQueries {
     // counts), not O(rows) — bounded at any corpus size. The bounds
     // table is sources-sized and broadcasts; both passes over the
     // corpus are narrow projections.
+    // 100 TB FLOAT-column route: for a continuous measure (where
+    // O(distinct) = O(rows)), compute the bounds with
+    // [[graft.functions.KllQuantiles.exactQuantiles]] / SQL
+    // `kll_sketch` instead — O(k·log) state, exact order statistics,
+    // budget-bounded recount (the d03→minhashCandidates routing
+    // pattern; CorpusOpsSpec pins both paths agreeing on this gate).
     "t32_length_prune" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("source"),
@@ -2036,7 +2042,10 @@ object PipelineQueries {
     // time-between-actions profile behind session-gap tuning and
     // anomaly thresholds. Gaps are integral nanos, so the exact
     // percentile keeps O(distinct gaps) state (the q37 discipline);
-    // one user-keyed window pass, then a |types|-row agg.
+    // one user-keyed window pass, then a |types|-row agg. A FLOAT
+    // latency column (O(distinct) = O(rows)) routes to
+    // [[graft.functions.KllQuantiles.exactQuantiles]] instead — see
+    // t32's routing note.
     "e05_interarrival" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))

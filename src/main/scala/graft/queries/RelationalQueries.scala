@@ -385,7 +385,11 @@ object RelationalQueries {
           bitmapDistinctCount(col("l_partkey")).as("distinct_parts"))
     }),
 
-    // §2.4 percentiles (exact interpolated) per group
+    // §2.4 percentiles (exact interpolated) per group. State is
+    // O(distinct l_quantity) — fine for integral measures; a FLOAT
+    // column at 100 TB routes to
+    // [[graft.functions.KllQuantiles.exactQuantiles]] / SQL
+    // `kll_sketch` (O(k·log) state, exact order statistics).
     "q37_percentile" -> ((s, d) => {
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))

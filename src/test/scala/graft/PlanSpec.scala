@@ -366,9 +366,12 @@ class PlanSpec extends AnyFunSuite {
     // and the exact order statistic must be a window rank, never a
     // global sort
     val p = plan("t52_percentile_sketch")
+    // bounds are STRICT since the r16 boundary-duplicate peel (the
+    // recount works on open intervals) — still literal range
+    // predicates at the scan
     assert(p.contains("PushedFilters") &&
-      (p.contains("GreaterThanOrEqual(l_extendedprice") ||
-        p.contains("Or(And(GreaterThanOrEqual")),
+      (p.contains("GreaterThan(l_extendedprice") ||
+        p.contains("Or(And(GreaterThan")),
       s"bracket bounds must push to the slice scan\n${p.take(3000)}")
     assert(!p.contains("CartesianProduct"), "no cartesian in the recount")
   }

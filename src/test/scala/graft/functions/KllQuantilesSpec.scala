@@ -102,6 +102,99 @@ class KllQuantilesSpec extends AnyFunSuite {
     assert(got.getDouble(3) == sorted((r - 1).toInt))
   }
 
+  test("the recount never sorts more than sliceBudget rows in one task (iterative re-bracket)") {
+    // the 100×-scale bar (r15 verdict #4): a first-pass bracket is
+    // ~2·B rows with B ~ n/k·log n — at 100 TB that was a
+    // multi-billion-row single-task window sort. Force the regime at
+    // spec scale: at k=200 over 20k distinct values the first bracket
+    // is ~2600 rows, and a 256-row budget forces the re-sketch loop
+    // to narrow it (genuinely — no stall fallback involved).
+    val data = (1 to 20000).map(i => ((i * 2654435761L) % 1000003).toDouble)
+    val sorted = data.sorted
+    val pcts = Seq(250000L, 500000L, 900000L)
+    val (df, stats) = KllQuantiles.exactQuantilesWithStats(
+      data.toDF("x").repartition(17), "x", pcts, sliceBudget = 256L)
+    // every final window slice fits the budget — the quantity the
+    // per-target window actually sorts in one task
+    assert(stats.nonEmpty && stats.forall(_.finalSliceRows <= 256L),
+      s"slices exceed the budget: $stats")
+    // and the budget was BINDING: the first bracket is far wider than
+    // 256 rows, so at least one target had to iterate — via the
+    // sketch, not the sort fallback
+    assert(stats.exists(s => s.iterations > 0 && !s.fallback),
+      s"expected sketch re-bracket iterations under a binding budget: $stats")
+    // exactness is untouched by the narrowing
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSet
+    val want = pcts.map { q =>
+      val r = math.max(1L, (q * data.size + 999999L) / 1000000L)
+      (q, r, sorted((r - 1).toInt))
+    }.toSet
+    assert(got == want)
+  }
+
+  test("a k too small to narrow stalls into the distributed-sort fallback, still exact") {
+    // at k=8 the sketch's worst-case error bound exceeds the slice
+    // size (err ~ 2m·log(m/k)/k ≥ m), so re-sketching can NEVER
+    // shrink the bracket — the stall detector must route to the
+    // range-partitioned sort instead of looping or sorting the whole
+    // slice in one task
+    val data = (1 to 20000).map(i => ((i * 2654435761L) % 1000003).toDouble)
+    val sorted = data.sorted
+    val (df, stats) = KllQuantiles.exactQuantilesWithStats(
+      data.toDF("x").repartition(17), "x", Seq(500000L), k = 8,
+      sliceBudget = 256L)
+    val got = df.collect()(0)
+    val r = math.max(1L, (500000L * data.size + 999999L) / 1000000L)
+    assert(got.getDouble(3) == sorted((r - 1).toInt))
+    val st = stats.find(_.q == 500000L).get
+    assert(st.fallback && st.finalSliceRows == 0L,
+      s"expected the stall fallback, got $st")
+  }
+
+  test("a boundary plateau wider than the budget resolves analytically, not by sorting") {
+    // no bracket can split a single repeated value: a million-copy
+    // plateau must fall out of the duplicate COUNTS (finalSliceRows
+    // == 0), never hit a window sort wider than the budget
+    val data = Seq.fill(10000)(5.0) ++ (1 to 500).map(_.toDouble / 1000.0) ++
+      (1 to 500).map(i => 100.0 + i)
+    val sorted = data.sorted
+    val (df, stats) = KllQuantiles.exactQuantilesWithStats(
+      data.toDF("x").repartition(11), "x", Seq(500000L), k = 16,
+      sliceBudget = 64L)
+    val got = df.collect()(0)
+    val r = math.max(1L, (500000L * data.size + 999999L) / 1000000L)
+    assert(got.getDouble(3) == sorted((r - 1).toInt)) // == 5.0
+    val st = stats.find(_.q == 500000L).get
+    assert(st.finalSliceRows == 0L,
+      s"plateau target must resolve analytically, got $st")
+  }
+
+  test("duplicate pct targets dedupe to one correct answer each") {
+    // ADVICE r15: duplicated targets used to multiply the slice rows
+    // in the per-target window and select the wrong order statistic
+    val data = (1 to 999).map(_.toDouble)
+    val out = KllQuantiles.exactQuantiles(
+      data.toDF("x"), "x", Seq(500000L, 500000L, 250000L), k = 16)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).sortBy(_._1)
+    assert(out.toSeq == Seq((250000L, 250.0), (500000L, 500.0)),
+      s"got ${out.toSeq}")
+  }
+
+  test("NaN inputs are excluded from the population, like nulls") {
+    // ADVICE r15: a NaN used to enter n and the sketch but not mn/mx,
+    // silently losing high-percentile targets whose bracket landed in
+    // the NaN region. The population is now non-null AND non-NaN.
+    val data = (1 to 100).map(_.toDouble) ++ Seq.fill(40)(Double.NaN)
+    val out = KllQuantiles.exactQuantiles(
+      data.toDF("x"), "x", Seq(999999L, 500000L), k = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+      .sortBy(_._1)
+    // n_rows = 100 (NaN excluded); p999999 exists and is the true max
+    assert(out.toSeq == Seq((500000L, 100L, 50.0), (999999L, 100L, 100.0)),
+      s"got ${out.toSeq}")
+  }
+
   test("empty and all-null inputs return an empty frame, not a crash") {
     val out = KllQuantiles.exactQuantiles(
       Seq.empty[Double].toDF("x"), "x", Seq(500000L))

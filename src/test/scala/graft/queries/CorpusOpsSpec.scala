@@ -714,4 +714,36 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("sum_d2_ppm") >= 0L)
     }
   }
+
+  test("t32's length-prune bounds through the KLL sketch path match the exact order statistics") {
+    // the documented 100 TB float-column route (t32's scaladoc): the
+    // sketch path must reproduce the EXACT per-source P5/P95 order
+    // statistics — and therefore identical keep/drop verdicts — on
+    // the gate corpus. Rank rule shared with exactQuantiles:
+    // r = max(1, ceil(p·n)).
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("source"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val src = docs.select(col("source")).distinct()
+      .orderBy(col("source")).head().getString(0)
+    val one = docs.filter(col("source") === src)
+    val viaSketch = graft.functions.KllQuantiles.exactQuantiles(
+      one, "n_tokens", Seq(50000L, 950000L), k = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val sorted = one.select(col("n_tokens")).collect()
+      .map(_.getLong(0)).sorted
+    def orderStat(ppm: Long): Double = {
+      val r = math.max(1L, (ppm * sorted.length + 999999L) / 1000000L)
+      sorted((r - 1).toInt).toDouble
+    }
+    assert(viaSketch == Map(50000L -> orderStat(50000L),
+      950000L -> orderStat(950000L)),
+      s"sketch-path bounds diverge for source $src: $viaSketch")
+    // identical bounds => identical curation verdicts, by construction
+    val kept = one.filter(col("n_tokens") >= lit(viaSketch(50000L)) &&
+      col("n_tokens") <= lit(viaSketch(950000L))).count()
+    val keptExact = sorted.count(t =>
+      t >= orderStat(50000L) && t <= orderStat(950000L))
+    assert(kept == keptExact.toLong)
+  }
 }
