@@ -124,17 +124,34 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
+  /** DEFAULT-carrying ADD COLUMN is accepted (the engine's
+    * schema-evolution defaults — old segments read the default where
+    * the column is absent); advertised via
+    * [[TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE]] so the
+    * analyzer lets `ADD COLUMN c T DEFAULT v` through.
+    */
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     var t = GraftCatalog.open(spark, ident.name)
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1,
           "graft catalog: nested column adds are not supported")
-        t = t.addColumn(add.fieldNames.head, add.dataType, None)
+        // the engine stores defaults as strings cast at read time, so
+        // the analyzed literal round-trips through its string form
+        val default = Option(add.defaultValue)
+          .map(d => String.valueOf(d.getValue.value))
+        t = t.addColumn(add.fieldNames.head, add.dataType, default)
       case del: TableChange.DeleteColumn =>
         require(del.fieldNames.length == 1,
           "graft catalog: nested column drops are not supported")
         t = t.dropColumn(del.fieldNames.head)
+      case set: TableChange.SetProperty =>
+        t = t.alterProperties(Map(set.property -> set.value))
+      case rm: TableChange.RemoveProperty =>
+        t = t.alterProperties(Map.empty, Seq(rm.property))
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unsupported table change $other")
     }
@@ -227,6 +244,8 @@ private[sql] class GraftV2Table(ident: Identifier, tablePath: String,
   override def name(): String =
     asOfVersion.fold(ident.toString)(v => s"$ident@v$v")
   override def schema(): StructType = open().schema
+  override def properties(): util.Map[String, String] =
+    open().properties.asJava
 
   /** The V1 face of this table, consulted ONLY on streaming paths
     * (readStream.table resolution and DataStreamWriter.toTable):

@@ -1662,6 +1662,25 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     new SegmentedTable(spark, root, newSchema, newProps)
   }
 
+  /** Update table properties (ALTER ... SET/UNSET TBLPROPERTIES):
+    * merge `set`, remove `unset`, one schema-file write under the
+    * lock. `default.*` keys are the column-default ledger managed by
+    * [[addColumn]]/[[dropColumn]] — editing them here could declare a
+    * default for a column that predates it (silently rewriting
+    * history), so they are rejected. Returns the new handle (property
+    * maps are immutable, like schemas).
+    */
+  def alterProperties(set: Map[String, String],
+                      unset: Seq[String] = Nil): SegmentedTable = withLock {
+    val touched = (set.keys ++ unset).filter(_.startsWith("default."))
+    require(touched.isEmpty,
+      s"column defaults are managed by ADD/DROP COLUMN, not " +
+        s"TBLPROPERTIES: ${touched.mkString(", ")}")
+    val newProps = properties ++ set -- unset
+    SegmentedTable.writeSchema(root, schema, newProps)
+    new SegmentedTable(spark, root, schema, newProps)
+  }
+
   /** Drop a column: hidden from reads immediately; files untouched
     * (the reference's restructure keeps old folders too).
     */

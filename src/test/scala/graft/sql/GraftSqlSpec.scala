@@ -698,4 +698,84 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(flags == Seq.fill(5)(7), s"default must serve catalog-side: $flags")
     spark.sql("DROP TABLE graft.default.cat_alter")
   }
+
+  test("V2 catalog: DEFAULT-carrying ADD COLUMN evolves old segments") {
+    val sf = graft.TestSpark.sf
+    spark.sql("DROP TABLE IF EXISTS graft.default.cat_def")
+    spark.sql("CREATE TABLE graft.default.cat_def (k BIGINT, v STRING) USING graft")
+    spark.sql(s"INSERT INTO graft.default.cat_def " +
+      s"SELECT r_regionkey, r_name FROM parquet.`$sf/region.parquet`")
+    // the r15 gap: the catalog ADD COLUMN hardcoded no default even
+    // though the engine supports them — the analyzed DEFAULT literal
+    // must land in the default ledger and serve on old segments
+    spark.sql("ALTER TABLE graft.default.cat_def " +
+      "ADD COLUMN tag STRING DEFAULT 'dx'")
+    val tags = spark.sql("SELECT tag FROM graft.default.cat_def")
+      .collect().map(_.getString(0)).toSeq
+    assert(tags == Seq.fill(5)("dx"),
+      s"catalog DEFAULT must serve on pre-evolution rows: $tags")
+    // and an integral default round-trips through the literal too
+    spark.sql("ALTER TABLE graft.default.cat_def ADD COLUMN n INT DEFAULT 42")
+    val ns = spark.sql("SELECT n FROM graft.default.cat_def")
+      .collect().map(_.getInt(0)).toSeq
+    assert(ns == Seq.fill(5)(42), s"got $ns")
+    spark.sql("DROP TABLE graft.default.cat_def")
+  }
+
+  test("V2 catalog: SET/UNSET TBLPROPERTIES drives real engine behavior") {
+    val sf = graft.TestSpark.sf
+    def scannedPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.map(_.toString)
+            case _ => Nil
+          }
+      }.flatten
+    spark.sql("DROP TABLE IF EXISTS graft.default.cat_props")
+    spark.sql("CREATE TABLE graft.default.cat_props " +
+      "(o_orderstatus STRING, o_totalprice DOUBLE) USING graft")
+    spark.sql(s"INSERT INTO graft.default.cat_props " +
+      s"SELECT o_orderstatus, o_totalprice FROM parquet.`$sf/orders.parquet` " +
+      "WHERE o_orderkey % 2 = 0")
+    val t0 = graft.sql.GraftCatalog.open(spark, "cat_props")
+    // an MV over the table; WITHOUT refresh_on_commit a later insert
+    // leaves it stale and the rewrite serves from base
+    graft.mv.AggTables.create(spark, "cat_props_mv", t0.root.toString,
+      Seq("o_orderstatus"), Seq("sum" -> "o_totalprice"))
+    // the catalog SET must reach the engine property the load hook
+    // reads — this is the behavior change, not just a stored string
+    spark.sql("ALTER TABLE graft.default.cat_props " +
+      "SET TBLPROPERTIES('refresh_on_commit'='true')")
+    assert(graft.sql.GraftCatalog.open(spark, "cat_props")
+      .properties.get("refresh_on_commit").contains("true"))
+    spark.sql(s"INSERT INTO graft.default.cat_props " +
+      s"SELECT o_orderstatus, o_totalprice FROM parquet.`$sf/orders.parquet` " +
+      "WHERE o_orderkey % 2 = 1")
+    import org.apache.spark.sql.functions.{col, sum}
+    def qt() = graft.sql.GraftCatalog.open(spark, "cat_props").read()
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(col("o_totalprice")).as("s"))
+    val paths = scannedPaths(qt())
+    // refresh fired at commit => the MV is fresh and the rewrite
+    // serves it (a stale MV would fail the fingerprint probe and the
+    // query would scan segment_ dirs instead)
+    assert(paths.exists(_.contains("cat_props_mv")),
+      s"refresh_on_commit set via catalog DDL must fire: scanned $paths")
+    assert(!paths.exists(_.contains("segment_")), s"scanned: $paths")
+    // UNSET removes the property; the next insert leaves the MV alone
+    spark.sql("ALTER TABLE graft.default.cat_props " +
+      "UNSET TBLPROPERTIES('refresh_on_commit')")
+    assert(!graft.sql.GraftCatalog.open(spark, "cat_props")
+      .properties.contains("refresh_on_commit"))
+    // the default ledger is protected from property-side edits
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.default.cat_props " +
+        "SET TBLPROPERTIES('default.x'='1')")
+    }
+    assert(e.getMessage.contains("ADD/DROP COLUMN"), e.getMessage)
+    graft.mv.AggTables.drop(spark, "cat_props_mv")
+    spark.sql("DROP TABLE graft.default.cat_props")
+  }
 }
