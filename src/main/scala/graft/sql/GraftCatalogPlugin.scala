@@ -52,7 +52,19 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces {
 
   private def spark: SparkSession = SparkSession.active
   private def store: String = GraftCatalog.storeRoot(spark)
-  private def pathFor(ident: Identifier): String = s"$store/${ident.name}"
+
+  /** Strict logical-name resolution (honors RENAME's name→dir
+    * indirection; a rename-claimed physical dir name does NOT
+    * resolve). Falls back to the identity path for error messages and
+    * the not-exists checks.
+    */
+  private def pathFor(ident: Identifier): String =
+    GraftCatalog.resolvedPath(spark, ident.name)
+      .getOrElse(s"$store/${ident.name}")
+
+  private def reachable(ident: Identifier): Boolean =
+    GraftCatalog.resolvedPath(spark, ident.name)
+      .exists(GraftCatalog.isTablePath)
 
   private val DefaultNs = Array("default")
   private def nsOk(ns: Array[String]): Boolean =
@@ -66,17 +78,27 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces {
     if (!nsOk(ns)) throw new NoSuchNamespaceException(ns)
     val root = new Path(store)
     if (!TableIO.exists(root)) Array.empty
-    else TableIO.listStatus(root)
-      .filter(_.isDirectory)
-      .map(_.getPath)
-      .filter(p => SegmentedTable.exists(p.toString))
-      .map(p => Identifier.of(DefaultNs, p.getName))
-      .sortBy(_.name)
-      .toArray
+    else {
+      // list LOGICAL names: a rename-claimed dir shows under the name
+      // that claimed it, every other dir under its own. The per-dir
+      // table check rides the positive memo (GraftCatalog.isTablePath)
+      // so a large store costs ONE listing, not a stat per table; the
+      // prune drops memo entries whose dir vanished out-of-band.
+      val logical = GraftCatalog.nameMap(spark).map(_.swap)
+      val dirs = TableIO.listStatus(root)
+        .filter(_.isDirectory)
+        .map(_.getPath)
+      GraftCatalog.pruneTablePaths(store, dirs.map(_.getName).toSet)
+      dirs
+        .filter(p => GraftCatalog.isTablePath(p.toString))
+        .map(p => Identifier.of(DefaultNs, logical.getOrElse(p.getName, p.getName)))
+        .sortBy(_.name)
+        .toArray
+    }
   }
 
   override def loadTable(ident: Identifier): Table = {
-    if (!nsOk(ident.namespace) || !SegmentedTable.exists(pathFor(ident)))
+    if (!nsOk(ident.namespace) || !reachable(ident))
       throw new NoSuchTableException(ident)
     new GraftV2Table(ident, pathFor(ident), catalogPluginName = catalogName)
   }
@@ -87,7 +109,7 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces {
     * travel to identical snapshots.
     */
   override def loadTable(ident: Identifier, version: String): Table = {
-    if (!nsOk(ident.namespace) || !SegmentedTable.exists(pathFor(ident)))
+    if (!nsOk(ident.namespace) || !reachable(ident))
       throw new NoSuchTableException(ident)
     val v = version.toLongOption.getOrElse(throw new IllegalArgumentException(
       s"graft catalog: VERSION AS OF expects a numeric catalog " +
@@ -100,7 +122,7 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces {
     * [[SegmentedTable.versionAsOfTimestamp]]).
     */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
-    if (!nsOk(ident.namespace) || !SegmentedTable.exists(pathFor(ident)))
+    if (!nsOk(ident.namespace) || !reachable(ident))
       throw new NoSuchTableException(ident)
     val t = SegmentedTable.open(spark, pathFor(ident))
     val v = t.versionAsOfTimestamp(timestampMicros / 1000L)
@@ -134,7 +156,9 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces {
     util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
-    var t = GraftCatalog.open(spark, ident.name)
+    if (!nsOk(ident.namespace) || !reachable(ident))
+      throw new NoSuchTableException(ident)
+    var t = SegmentedTable.open(spark, pathFor(ident))
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1,
@@ -159,15 +183,39 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces {
   }
 
   override def dropTable(ident: Identifier): Boolean =
-    nsOk(ident.namespace) && SegmentedTable.exists(pathFor(ident)) && {
+    nsOk(ident.namespace) && reachable(ident) && {
       TableIO.delete(new Path(pathFor(ident)))
+      GraftCatalog.forgetTablePath(pathFor(ident))
+      GraftCatalog.dropNameEntry(spark, ident.name)
       true
     }
 
-  override def renameTable(from: Identifier, to: Identifier): Unit =
-    throw new UnsupportedOperationException(
-      "graft catalog: RENAME is not supported (segment paths are " +
-        "embedded in MV registrations and stream checkpoints)")
+  /** RENAME via the store-root name indirection (`_names.json`): the
+    * LOGICAL name remaps; the physical segment directory — the path
+    * MV registrations and streaming checkpoints embed — stays where
+    * it is, so both survive the rename untouched (GraftSqlSpec pins
+    * exactly that round-trip). Renaming back to the directory's own
+    * name folds the entry away again.
+    */
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    if (!nsOk(from.namespace) || !reachable(from))
+      throw new NoSuchTableException(from)
+    if (!nsOk(to.namespace)) throw new NoSuchNamespaceException(to.namespace)
+    val m = GraftCatalog.nameMap(spark)
+    val fromDir = m.getOrElse(from.name, from.name)
+    // the target conflicts when another LOGICAL table answers to it:
+    // a mapped name, a dir claimed by a different entry, or an
+    // unclaimed existing dir — but renaming BACK to the source's own
+    // physical dir name is the legal fold-away case
+    val toTaken =
+      m.contains(to.name) ||
+        (m.valuesIterator.contains(to.name) && to.name != fromDir) ||
+        (!m.valuesIterator.contains(to.name) &&
+          SegmentedTable.exists(s"$store/${to.name}") && to.name != fromDir)
+    if (toTaken && to.name != from.name)
+      throw new TableAlreadyExistsException(to)
+    GraftCatalog.renameEntry(spark, from.name, to.name)
+  }
 
   // ---- SupportsNamespaces (single fixed namespace) -------------------
 

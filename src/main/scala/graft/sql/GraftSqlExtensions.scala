@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.types._
 
-import graft.table.SegmentedTable
+import graft.table.{SegmentedTable, TableIO}
 
 /** SQL command surface for segment management — the Spark-native form
   * of the reference's DDL/DML dialect (CarbonSqlParser.scala:175-180;
@@ -675,13 +675,118 @@ object GraftFunctions {
 object GraftCatalog {
   def storeRoot(spark: SparkSession): String =
     spark.conf.get("spark.graft.store", "/tmp/graft_store")
-  def tablePath(spark: SparkSession, name: String): String =
-    s"${storeRoot(spark)}/$name"
+
+  /** Logical-name → directory indirection under the store root
+    * (`_names.json`): RENAME TABLE remaps the NAME while the physical
+    * segment directory keeps its path — so MV registrations and
+    * streaming checkpoints, which embed PATHS, survive a rename
+    * untouched. Absent from the file = identity (the common case).
+    * The file is a handful of entries, written with the same
+    * atomic-rename protocol as every catalog file; concurrent renames
+    * are last-writer-wins (rename is a rare administrative action,
+    * not a data-path operation).
+    */
+  private val NamesFile = "_names.json"
+  private def namesPath(spark: SparkSession) =
+    new org.apache.hadoop.fs.Path(storeRoot(spark), NamesFile)
+
+  private[sql] def nameMap(spark: SparkSession): Map[String, String] = {
+    val p = namesPath(spark)
+    if (!TableIO.exists(p)) Map.empty
+    else org.json4s.jackson.JsonMethods.parse(TableIO.readString(p)) match {
+      case org.json4s.JObject(fields) =>
+        fields.collect { case (k, org.json4s.JString(v)) => k -> v }.toMap
+      case _ => Map.empty
+    }
+  }
+
+  private def writeNameMap(spark: SparkSession, m: Map[String, String]): Unit = {
+    val p = namesPath(spark)
+    if (m.isEmpty) { if (TableIO.exists(p)) TableIO.delete(p) }
+    else TableIO.writeStringAtomic(p,
+      org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(org.json4s.JObject(
+          m.toList.map { case (k, v) =>
+            k -> (org.json4s.JString(v): org.json4s.JValue)
+          }))))
+  }
+
+  /** Strict resolution of a LOGICAL name: the mapped directory when
+    * renamed, the identity directory otherwise, and None when the
+    * name is unreachable — it names a directory some rename claimed,
+    * so the logical table that used to answer to it is gone.
+    */
+  private[sql] def resolvedPath(spark: SparkSession, name: String): Option[String] = {
+    val m = nameMap(spark)
+    m.get(name) match {
+      case Some(dir) => Some(s"${storeRoot(spark)}/$dir")
+      case None if m.valuesIterator.contains(name) => None
+      case None => Some(s"${storeRoot(spark)}/$name")
+    }
+  }
+
+  /** Remap `from` to name `to` (same directory). `to == the physical
+    * dir name` folds back to identity, keeping the map minimal.
+    */
+  private[sql] def renameEntry(spark: SparkSession, from: String, to: String): Unit = {
+    val m = nameMap(spark)
+    val dir = m.getOrElse(from, from)
+    writeNameMap(spark,
+      if (dir == to) m - from else (m - from) + (to -> dir))
+  }
+
+  /** Drop a logical name's mapping entry (table dropped). */
+  private[sql] def dropNameEntry(spark: SparkSession, name: String): Unit = {
+    val m = nameMap(spark)
+    if (m.contains(name)) writeNameMap(spark, m - name)
+  }
+
+  /** Path-style resolution honoring renames. NOTE the documented
+    * laxness: a rename-CLAIMED physical dir name still resolves to
+    * the directory here (paths are the storage identity, like
+    * filesystem access under any table format); the V2 catalog
+    * enforces strict logical-name visibility via [[resolvedPath]].
+    */
+  def tablePath(spark: SparkSession, name: String): String = {
+    val m = nameMap(spark)
+    s"${storeRoot(spark)}/${m.getOrElse(name, name)}"
+  }
+
   def open(spark: SparkSession, name: String): SegmentedTable = {
     val p = tablePath(spark, name)
     require(SegmentedTable.exists(p), s"graft table not found: $name ($p)")
     SegmentedTable.open(spark, p)
   }
+
+  /** Positive table-dir memo for catalog browsing: a path that once
+    * validated as a graft table stays one until dropped (drop prunes
+    * its entry; the plugin's listTables prunes entries whose dir
+    * vanished out-of-band). A BI tool's SHOW TABLES over a 10³-table
+    * store then costs ONE directory listing instead of 10³ status
+    * stats. Negative verdicts are deliberately NEVER cached: create
+    * writes the table meta a moment after the mkdir, so a cached
+    * "not a table" could stick to a table being born. An out-of-band
+    * `rm` of a table dir (bypassing every drop surface) leaves a
+    * stale positive until the next listTables prune — loadTable on it
+    * fails loudly at open, never silently.
+    */
+  private val knownTableDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private[sql] def isTablePath(path: String): Boolean =
+    knownTableDirs.contains(path) ||
+      (SegmentedTable.exists(path) && { knownTableDirs.add(path); true })
+
+  private[sql] def forgetTablePath(path: String): Unit =
+    knownTableDirs.remove(path)
+
+  private[sql] def pruneTablePaths(store: String, liveDirNames: Set[String]): Unit =
+    knownTableDirs.removeIf { p =>
+      p.startsWith(s"$store/") && {
+        val rest = p.stripPrefix(s"$store/")
+        !rest.contains('/') && !liveDirNames.contains(rest)
+      }
+    }
 }
 
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
@@ -1627,6 +1732,7 @@ case class DropGraftTableCommand(name: String, ifExists: Boolean = true)
           "an idempotent drop)")
     }
     graft.table.TableIO.delete(new org.apache.hadoop.fs.Path(path))
+    GraftCatalog.forgetTablePath(path) // keep the browse memo honest
     // the temp view CREATE/LOAD registered must not outlive the table:
     // a later query through it would read deleted files (or stale
     // cache) instead of failing with TABLE_OR_VIEW_NOT_FOUND

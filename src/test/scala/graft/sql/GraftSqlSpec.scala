@@ -722,6 +722,123 @@ class GraftSqlSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.default.cat_def")
   }
 
+  test("catalog browsing at 10^3 tables: warm listTables costs one listing, not a stat storm (measured)") {
+    import org.apache.spark.sql.types.{LongType, StructType}
+    import graft.table.SegmentedTable
+    val store2 = java.nio.file.Files.createTempDirectory("graft_store_1k").toString
+    val prev = spark.conf.getOption("spark.graft.store")
+    spark.conf.set("spark.graft.store", store2)
+    try {
+      val schema = new StructType().add("k", LongType)
+      (1 to 1000).foreach(i =>
+        SegmentedTable.create(spark, s"$store2/t$i", schema, Map.empty))
+      val cat = new GraftCatalogPlugin()
+      cat.initialize("graft", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap()))
+      val ns = Array("default")
+      def timeMs(n: Int)(f: => Unit): Double = {
+        val t0 = System.nanoTime(); (1 to n).foreach(_ => f)
+        (System.nanoTime() - t0) / 1e6 / n
+      }
+      val coldMs = timeMs(1) { assert(cat.listTables(ns).length == 1000) }
+      val warmMs = timeMs(5) { assert(cat.listTables(ns).length == 1000) }
+      info(f"10^3-table store: cold listTables=${coldMs}%.1f ms, warm=${warmMs}%.1f ms")
+      // warm = one directory listing + memo lookups; generous CI bound
+      assert(warmMs < 100, f"warm listTables too slow: ${warmMs}%.1f ms")
+      // the memo never goes stale against real catalog actions:
+      SegmentedTable.create(spark, s"$store2/t_new", schema, Map.empty)
+      assert(cat.listTables(ns).length == 1001, "a new table must appear at once")
+      assert(cat.dropTable(org.apache.spark.sql.connector.catalog.Identifier
+        .of(ns, "t500")))
+      assert(cat.listTables(ns).length == 1000, "a dropped table must vanish at once")
+      // an OUT-OF-BAND rm (no drop surface involved) prunes on the
+      // next listing instead of lingering as a stale positive
+      graft.table.TableIO.delete(new org.apache.hadoop.fs.Path(s"$store2/t501"))
+      assert(cat.listTables(ns).length == 999)
+      intercept[org.apache.spark.sql.catalyst.analysis.NoSuchTableException] {
+        cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+          .of(ns, "t501"))
+      }
+    } finally {
+      prev.fold(spark.conf.unset("spark.graft.store"))(
+        spark.conf.set("spark.graft.store", _))
+    }
+  }
+
+  test("V2 catalog: RENAME TABLE — MV registrations and stream checkpoints survive") {
+    // the r15 restriction ("paths are embedded in MV registrations
+    // and stream checkpoints") is lifted by a name→dir indirection in
+    // the store root: the LOGICAL name remaps, the physical directory
+    // (the identity everything embeds) stays — so this test pins
+    // exactly the two consumers the restriction named.
+    import org.apache.spark.sql.functions.{col, sum}
+    val sf = graft.TestSpark.sf
+    def scanned(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.map(_.toString)
+            case _ => Nil
+          }
+      }.flatten
+    spark.sql("DROP TABLE IF EXISTS graft.default.cat_rn")
+    spark.sql("DROP TABLE IF EXISTS graft.default.cat_rn2")
+    spark.sql("CREATE TABLE graft.default.cat_rn " +
+      "(n_nationkey BIGINT, n_regionkey BIGINT) USING graft")
+    spark.sql(s"INSERT INTO graft.default.cat_rn " +
+      s"SELECT n_nationkey, n_regionkey FROM parquet.`$sf/nation.parquet` " +
+      "WHERE n_nationkey < 15")
+    val phys = graft.sql.GraftCatalog.open(spark, "cat_rn").root.toString
+    graft.mv.AggTables.create(spark, "cat_rn_mv", phys,
+      Seq("n_regionkey"), Seq("sum" -> "n_nationkey"))
+    // stream half: drain the snapshot through a checkpoint
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rn_ckpt").toString
+    val emitted = new java.util.concurrent.atomic.AtomicLong(0)
+    def drain(name: String): Unit = {
+      val q = spark.readStream.table(s"graft.default.$name")
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          emitted.addAndGet(b.count()); ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000))
+    }
+    drain("cat_rn")
+    assert(emitted.get == 15)
+
+    spark.sql("ALTER TABLE graft.default.cat_rn RENAME TO default.cat_rn2")
+    // new name answers, old name is gone, listing shows the new name
+    assert(spark.table("graft.default.cat_rn2").count() == 15)
+    intercept[Exception](spark.table("graft.default.cat_rn").collect())
+    val names = spark.sql("SHOW TABLES IN graft.default")
+      .collect().map(_.getString(1)).toSet
+    assert(names.contains("cat_rn2") && !names.contains("cat_rn"), s"$names")
+    // the physical dir did not move — the identity MVs/checkpoints embed
+    assert(graft.sql.GraftCatalog.open(spark, "cat_rn2").root.toString == phys)
+    // MV registration survives: the rewrite still serves the renamed
+    // table from the MV
+    def qt() = graft.sql.GraftCatalog.open(spark, "cat_rn2").read()
+      .groupBy(col("n_regionkey")).agg(sum(col("n_nationkey")).as("s"))
+    assert(scanned(qt()).exists(_.contains("cat_rn_mv")),
+      s"MV must survive the rename: ${scanned(qt())}")
+    // stream checkpoint survives: an increment lands via the NEW name
+    // and the SAME checkpoint delivers exactly the increment
+    spark.sql(s"INSERT INTO graft.default.cat_rn2 " +
+      s"SELECT n_nationkey, n_regionkey FROM parquet.`$sf/nation.parquet` " +
+      "WHERE n_nationkey >= 15 AND n_nationkey < 25")
+    drain("cat_rn2")
+    assert(emitted.get == 25,
+      s"expected 15 + the 10-row increment, got ${emitted.get}")
+    // renaming back to the directory's own name folds the map entry away
+    spark.sql("ALTER TABLE graft.default.cat_rn2 RENAME TO default.cat_rn")
+    assert(graft.sql.GraftCatalog.nameMap(spark).isEmpty)
+    assert(spark.table("graft.default.cat_rn").count() == 25)
+    graft.mv.AggTables.drop(spark, "cat_rn_mv")
+    spark.sql("DROP TABLE graft.default.cat_rn")
+  }
+
   test("V2 catalog: SET/UNSET TBLPROPERTIES drives real engine behavior") {
     val sf = graft.TestSpark.sf
     def scannedPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
