@@ -152,6 +152,24 @@ object Baseline {
         .select(col("t.q").as("pct_ppm"), lit(n).as("n_rows"),
           col("t.r").as("rk"), col("v").as("value"))
     }),
+    "t53_group_percentile_sketch" -> ((s, d) => {
+      // the plain spelling of grouped order statistics: a full
+      // per-group window sort + row_number pick
+      import org.apache.spark.sql.expressions.Window
+      val v = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice").cast("double").as("v"))
+        .filter(col("v").isNotNull)
+      val n = v.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      val tgt = n.select(col("l_returnflag"), col("n"),
+        explode(array(Seq(500000L, 950000L).map(lit): _*)).as("q"))
+        .withColumn("r", greatest(lit(1L), expr("(q * n + 999999) div 1000000")))
+      v.withColumn("rn", row_number().over(
+          Window.partitionBy(col("l_returnflag")).orderBy(col("v"))))
+        .join(tgt, Seq("l_returnflag"))
+        .filter(col("rn") === col("r"))
+        .select(col("l_returnflag"), col("q").as("pct_ppm"),
+          col("n").as("n_rows"), col("r").as("rk"), col("v").as("value"))
+    }),
     "g01_segment_pruned_scan" -> ((s, d) => {
       Tables.lineitem(s, d)
         .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))

@@ -484,4 +484,184 @@ object KllQuantiles {
         }
     (recounted.unionByName(analytic), stats)
   }
+
+  /** GROUPED exact percentiles at sketch cost — the common form
+    * (q37/e05 are per-group): one grouped sketch pass proposes a
+    * bracket per (group, target), a broadcast-joined conditional-count
+    * pass peels boundary duplicates and measures slices, oversized
+    * slices re-sketch per group exactly like the global loop, and the
+    * final recount is ONE window partitioned by (group, target) over
+    * slices each ≤ `sliceBudget` by construction. Driver state is
+    * |groups|·(k·log + |pcts|) — guarded by `maxGroups`; high-
+    * cardinality grouping belongs in the exact integral shapes
+    * (q37/t32) or an application-side bucketing, not here.
+    *
+    * The group column is carried AS STRING (driver-side bracket state
+    * is keyed by it); population rule and rank rule match
+    * [[exactQuantiles]]. The union-of-brackets pre-filter is emitted
+    * as literal (group, value) range predicates when the clause count
+    * is small enough to help a scan (≤ 256), so row-group pruning
+    * still applies at 100 TB.
+    */
+  def exactQuantilesByGroup(rows: DataFrame, gCol: String, vCol: String,
+      pctsPpm: Seq[Long], k: Int = 200,
+      sliceBudget: Long = 4L * 1000L * 1000L,
+      maxGroups: Int = 10000): DataFrame = {
+    require(pctsPpm.nonEmpty && pctsPpm.forall(p => p >= 1 && p <= 1000000),
+      s"pct ppm targets must be in [1, 1000000], got $pctsPpm")
+    require(sliceBudget >= 1L, s"sliceBudget must be positive: $sliceBudget")
+    val pcts = pctsPpm.distinct
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val v = rows.select(col(gCol).cast("string").as("g"),
+        col(vCol).cast("double").as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull && !isnan(col("v")))
+    val outSchema = StructType(Seq(
+      StructField(gCol, StringType, nullable = true),
+      StructField("pct_ppm", LongType, nullable = false),
+      StructField("n_rows", LongType, nullable = false),
+      StructField("rk", LongType, nullable = false),
+      StructField("value", DoubleType, nullable = false)))
+    def emptyOut = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+
+    // one grouped sketch pass; |groups| rows of O(k·log) reach the driver
+    val sketches = v.groupBy(col("g"))
+      .agg(KllSketch.kllSketch(col("v"), k).as("sk"))
+      .collect()
+      .map(r => r.getString(0) -> r.getStruct(1)).toMap
+    require(sketches.size <= maxGroups,
+      s"exactQuantilesByGroup: ${sketches.size} groups exceed maxGroups=" +
+        s"$maxGroups — driver bracket state is per-group; bucket the " +
+        "grouping or raise the guard deliberately")
+    if (sketches.isEmpty) return emptyOut
+
+    case class St(g: String, q: Long, r: Long, n: Long,
+                  lo: Double, hi: Double, below: Long,
+                  lastCnt: Option[Long] = None)
+    var pending: Seq[St] = sketches.toSeq.flatMap { case (g, sk) =>
+      val n = sk.getAs[Long]("n")
+      if (n == 0L) Nil
+      else pcts.map { q =>
+        val r = math.max(1L, (q * n + 999999L) / 1000000L)
+        val (lo, hi) = bracketOf(sk.getSeq[Double](0), sk.getSeq[Long](1),
+          sk.getAs[Long]("err"), sk.getAs[Double]("mn"),
+          sk.getAs[Double]("mx"), r)
+        St(g, q, r, n, lo, hi, below = 0L)
+      }
+    }
+    val finalized = scala.collection.mutable.ArrayBuffer.empty[St]
+    val resolved = scala.collection.mutable.ArrayBuffer.empty[(St, Double)]
+
+    def sortFallback(t: St, openCnt: Long): Double = {
+      val parts = math.max(1, math.min(
+        math.ceil(openCnt.toDouble / sliceBudget.toDouble).toInt, 20000))
+      val rr = t.r - t.below
+      v.filter(col("g") === lit(t.g) &&
+          col("v") > lit(t.lo) && col("v") < lit(t.hi))
+        .select(col("v")).rdd.map(_.getDouble(0))
+        .sortBy(identity, ascending = true, numPartitions = parts)
+        .zipWithIndex().filter(_._2 == rr - 1L).map(_._1).collect()(0)
+    }
+
+    def tgtFrame(ts: Seq[St]): DataFrame =
+      broadcast(ts.map(t => (t.g, t.q, t.lo, t.hi))
+        .toDF("g", "q", "lo", "hi"))
+
+    var guard = 0
+    while (pending.nonEmpty) {
+      guard += 1
+      require(guard <= 64,
+        "exactQuantilesByGroup: bracket narrowing failed to converge")
+      // ONE broadcast-joined grouped count pass for every pending
+      // (group, target): strictly-below offset, boundary-duplicate
+      // counts, slice size — |pending| result rows
+      val counts = v.join(tgtFrame(pending), Seq("g"))
+        .groupBy(col("g"), col("q"), col("lo"), col("hi"))
+        .agg(
+          sum(when(col("v") < col("lo"), 1L).otherwise(0L)).as("lt"),
+          sum(when(col("v") === col("lo"), 1L).otherwise(0L)).as("eqlo"),
+          sum(when(col("v") >= col("lo") && col("v") <= col("hi"), 1L)
+            .otherwise(0L)).as("inc"),
+          sum(when(col("v") === col("hi"), 1L).otherwise(0L)).as("eqhi"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+      val resketch = scala.collection.mutable.ArrayBuffer.empty[St]
+      pending.foreach { t =>
+        val (lt, eqLo, inCnt, eqHi) = counts.getOrElse((t.g, t.q),
+          throw new IllegalStateException(
+            s"exactQuantilesByGroup: count row missing for (${t.g}, ${t.q})"))
+        val rr = t.r - lt
+        require(rr >= 1L && rr <= inCnt,
+          s"exactQuantilesByGroup: bracket invariant broken for " +
+            s"(${t.g}, ${t.q}) (rank $rr of slice $inCnt)")
+        if (rr <= eqLo) resolved += ((t, t.lo))
+        else if (rr > inCnt - eqHi) resolved += ((t, t.hi))
+        else {
+          val openBelow = lt + eqLo
+          val openCnt = inCnt - eqLo - eqHi
+          require(openCnt > 0L,
+            s"exactQuantilesByGroup: empty interior for (${t.g}, ${t.q})")
+          val opened = t.copy(below = openBelow)
+          if (openCnt <= sliceBudget) finalized += opened
+          else if (t.lastCnt.exists(prev => openCnt * 4L > prev * 3L))
+            resolved += ((opened, sortFallback(opened, openCnt)))
+          else resketch += opened.copy(lastCnt = Some(openCnt))
+        }
+      }
+      if (resketch.nonEmpty) {
+        val grouped = v.join(tgtFrame(resketch.toSeq), Seq("g"))
+          .filter(col("v") > col("lo") && col("v") < col("hi"))
+          .groupBy(col("g"), col("q"))
+          .agg(KllSketch.kllSketch(col("v"), k).as("sk"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1)) -> r.getStruct(2)).toMap
+        pending = resketch.toSeq.map { t =>
+          val s = grouped.getOrElse((t.g, t.q), throw new IllegalStateException(
+            s"exactQuantilesByGroup: oversized slice vanished (${t.g}, ${t.q})"))
+          val (lo2, hi2) = bracketOf(s.getSeq[Double](0), s.getSeq[Long](1),
+            s.getAs[Long]("err"), s.getAs[Double]("mn"),
+            s.getAs[Double]("mx"), t.r - t.below)
+          t.copy(lo = lo2, hi = hi2)
+        }
+      } else pending = Nil
+    }
+
+    val recounted =
+      if (finalized.isEmpty) emptyOut
+      else {
+        val fin = finalized.toSeq
+        val finDf = broadcast(fin.map(t => (t.g, t.q, t.r, t.lo, t.hi, t.below))
+          .toDF("g", "q", "r", "lo", "hi", "below"))
+        val base =
+          if (fin.size <= 256) {
+            // literal union-of-brackets pre-filter: pushes (g, v)
+            // range predicates to the scan for row-group pruning
+            val anyBracket = fin.map(t => col("g") === lit(t.g) &&
+              col("v") > lit(t.lo) && col("v") < lit(t.hi)).reduce(_ || _)
+            v.filter(anyBracket)
+          } else v
+        val sliced = base.join(finDf, Seq("g"))
+          .filter(col("v") > col("lo") && col("v") < col("hi"))
+        val w = Window.partitionBy(col("g"), col("q")).orderBy(col("v"))
+        val nByGroup = typedLit(sketches.map { case (g, sk) =>
+          g -> sk.getAs[Long]("n")
+        })
+        sliced.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === col("r") - col("below"))
+          .select(col("g").as(gCol), col("q").as("pct_ppm"),
+            element_at(nByGroup, col("g")).as("n_rows"),
+            col("r").as("rk"), col("v").as("value"))
+      }
+    val analytic =
+      if (resolved.isEmpty) emptyOut
+      else spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(resolved.toSeq.map {
+            case (t, value) =>
+              org.apache.spark.sql.Row(t.g, t.q, t.n, t.r, value)
+          }).asJava), outSchema)
+    recounted.unionByName(analytic)
+  }
 }

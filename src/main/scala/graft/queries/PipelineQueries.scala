@@ -1720,6 +1720,19 @@ object PipelineQueries {
         Tables.lineitem(s, d), "l_extendedprice",
         Seq(500000L, 900000L, 990000L))),
 
+    // text/stats: GROUPED exact percentiles at sketch cost — the
+    // common percentile form (q37/e05 group first). One grouped
+    // sketch pass proposes a bracket per (group, target); boundary
+    // duplicates peel analytically from a broadcast-joined count
+    // pass; the recount is one (group, target)-partitioned window
+    // over budget-bounded slices. Same exactness contract as t52:
+    // the answer is the exact order statistic, replayable by a
+    // sort-based oracle with zero sketch knowledge.
+    "t53_group_percentile_sketch" -> ((s, d) =>
+      graft.functions.KllQuantiles.exactQuantilesByGroup(
+        Tables.lineitem(s, d), "l_returnflag", "l_extendedprice",
+        Seq(500000L, 950000L))),
+
     // text: BPE merge APPLY — segment the corpus with t41's learned
     // merge table and report per-doc BPE token counts (the
     // compression read a tokenizer-training loop takes per round).
@@ -3801,6 +3814,23 @@ object PipelineQueries {
             (SELECT CAST(n AS BIGINT) FROM n) AS n_rows,
             CAST(t.rk AS BIGINT) AS rk, s.v AS value
           FROM t JOIN s ON s.rn = t.rk""",
+
+    // grouped order statistics from a per-group sort — identical rank
+    // rule, partitioned by the group; ties share a value so the tie
+    // order inside row_number cannot change the answer
+    "t53_group_percentile_sketch" ->
+      """WITH v AS (SELECT l_returnflag AS g, l_extendedprice AS v
+            FROM lineitem WHERE l_extendedprice IS NOT NULL),
+          n AS (SELECT g, COUNT(*) AS n FROM v GROUP BY g),
+          q AS (SELECT unnest([500000, 950000]) AS q),
+          t AS (SELECT n.g, q.q, n.n,
+            GREATEST(1, (q.q * n.n + 999999) // 1000000) AS rk FROM q, n),
+          s AS (SELECT g, v,
+            row_number() OVER (PARTITION BY g ORDER BY v) AS rn FROM v)
+          SELECT t.g AS l_returnflag, CAST(t.q AS BIGINT) AS pct_ppm,
+            CAST(t.n AS BIGINT) AS n_rows, CAST(t.rk AS BIGINT) AS rk,
+            s.v AS value
+          FROM t JOIN s ON s.g = t.g AND s.rn = t.rk""",
 
     // the learned merges cross-joined into a per-doc apply replay
     "t42_bpe_apply" -> bpeApplyOracleSql(8, 6),

@@ -195,6 +195,62 @@ class KllQuantilesSpec extends AnyFunSuite {
       s"got ${out.toSeq}")
   }
 
+  test("grouped: per-group order statistics match a per-group sort, groups isolated") {
+    // three groups with deliberately different distributions — the
+    // per-(group, target) brackets must not bleed into each other
+    val data =
+      (1 to 500).map(i => ("a", (i * 2654435761L % 10007).toDouble)) ++
+      (1 to 300).map(i => ("b", 1000000.0 + i)) ++
+      (1 to 7).map(_ => ("c", 5.0)) // tiny duplicate-only group
+    val pcts = Seq(250000L, 500000L, 990000L)
+    val got = KllQuantiles.exactQuantilesByGroup(
+      data.toDF("g", "x").repartition(13), "g", "x", pcts, k = 32)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    val want = data.groupBy(_._1).flatMap { case (g, rows) =>
+      val sorted = rows.map(_._2).sorted
+      val n = sorted.size.toLong
+      pcts.map { q =>
+        val r = math.max(1L, (q * n + 999999L) / 1000000L)
+        (g, q, n, r, sorted((r - 1).toInt))
+      }
+    }.toSet
+    assert(got == want)
+  }
+
+  test("grouped: a binding budget narrows per group without touching other groups' answers") {
+    val data =
+      (1 to 8000).map(i => ("wide", ((i * 48271L) % 1000003).toDouble)) ++
+      (1 to 50).map(i => ("narrow", i.toDouble))
+    val got = KllQuantiles.exactQuantilesByGroup(
+      data.toDF("g", "x").repartition(7), "g", "x", Seq(500000L),
+      sliceBudget = 128L)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(4))).toMap
+    def exact(g: String): Double = {
+      val sorted = data.filter(_._1 == g).map(_._2).sorted
+      val n = sorted.size.toLong
+      sorted(((500000L * n + 999999L) / 1000000L - 1L).toInt)
+    }
+    assert(got == Map("wide" -> exact("wide"), "narrow" -> exact("narrow")))
+  }
+
+  test("grouped: null groups and NaN values are excluded; group cap fails loudly") {
+    val data = Seq((Some("a"), 1.0), (Some("a"), Double.NaN),
+      (None: Option[String], 9.0), (Some("a"), 3.0))
+    val out = KllQuantiles.exactQuantilesByGroup(
+      data.toDF("g", "x"), "g", "x", Seq(500000L))
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(4)))
+    assert(out.toSeq == Seq(("a", 2L, 1.0)), s"got ${out.toSeq}")
+    val many = (1 to 30).map(i => (s"g$i", 1.0))
+    val e = intercept[IllegalArgumentException] {
+      KllQuantiles.exactQuantilesByGroup(
+        many.toDF("g", "x"), "g", "x", Seq(500000L), maxGroups = 10)
+    }
+    assert(e.getMessage.contains("maxGroups"))
+  }
+
   test("empty and all-null inputs return an empty frame, not a crash") {
     val out = KllQuantiles.exactQuantiles(
       Seq.empty[Double].toDF("x"), "x", Seq(500000L))
