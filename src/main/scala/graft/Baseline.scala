@@ -370,6 +370,15 @@ object Baseline {
         .agg(count(lit(1)).as("cnt"), Tables.dsum(col("value")).as("total_value"))
     }),
 
+    // the batch spelling of st22's catalog stream round trip: read the
+    // events and aggregate — what a user who didn't need streaming
+    // would write (the stream copy is the fixture's fixed cost)
+    "st22_catalog_stream" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(expr("ts div 3600000000000").as("hour_bucket"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), Tables.dsum(col("value")).as("total_value"))
+    }),
+
     // the sliding window's plain formulation: batch expansion into the
     // two overlapping hour-aligned windows (what the streaming state
     // machinery is priced against)

@@ -178,6 +178,48 @@ object StreamingQueries {
         .agg(count(lit(1)).as("cnt"), Tables.dsum(col("value")).as("total_value"))
     }),
 
+    // the st07 round trip spelled ENTIRELY catalog-side: the source
+    // table streams out via `readStream.table("<cat>.default.ev_src")`
+    // and lands via `writeStream.toTable(...)` — the
+    // V2TableWithV1Fallback bridge resolving BOTH identifiers to the
+    // same V1 graft stream source/sink the path spelling uses, so
+    // catalog-version offsets, AvailableNow admission and exactly-once
+    // sink epochs must all survive the catalog indirection for the
+    // landed table to reproduce the events. The catalog registers at
+    // RUNTIME with its own `root` option (the per-catalog store), so
+    // the gate never mutates the session-wide spark.graft.store.
+    "st22_catalog_stream" -> ((s, d) => {
+      val landed = catalogStreamed.getOrElseUpdate(
+        s"$d|${s.sparkContext.applicationId}", {
+          val cat = s"gstream${(d + s.sparkContext.applicationId).hashCode.abs}"
+          val root = graft.util.RunRoot.under(
+            s"graft_catalog_stream/${d.replace('/', '_')}")
+          s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalogPlugin")
+          s.conf.set(s"spark.sql.catalog.$cat.root", root)
+          val ev = Tables.events(s, d)
+          val src = graft.table.SegmentedTable.fresh(s, s"$root/ev_src", ev.schema)
+          graft.table.SegmentedTable.fresh(s, s"$root/ev_landed", ev.schema)
+          val ckpt = java.nio.file.Files
+            .createTempDirectory("graft_st22_ckpt").toString
+          def drain(): Unit = {
+            val q = s.readStream.table(s"$cat.default.ev_src")
+              .writeStream.format("graft")
+              .option("checkpointLocation", ckpt)
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .toTable(s"$cat.default.ev_landed")
+            q.awaitTermination()
+          }
+          src.load(ev.filter(col("event_id") % 2 === 0))
+          drain() // initial snapshot: the even half
+          src.load(ev.filter(col("event_id") % 2 === 1))
+          drain() // incremental: the odd half's segment
+          s.table(s"$cat.default.ev_landed")
+        })
+      landed
+        .groupBy(expr("ts div 3600000000000").as("hour_bucket"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), Tables.dsum(col("value")).as("total_value"))
+    }),
+
     // STREAM-STATIC JOIN through the table source: error events
     // stream out of the graft table and join (stateless, broadcast)
     // a static per-user spend profile computed from the batch side —
@@ -731,6 +773,10 @@ object StreamingQueries {
   private val streamStaticJoined =
     new graft.util.BuildOnce[org.apache.spark.sql.DataFrame]
 
+  /** st22's catalog-landed table, one stream run per (dataset, session). */
+  private val catalogStreamed =
+    new graft.util.BuildOnce[org.apache.spark.sql.DataFrame]
+
   /** st09's sink-ingested table, one stream run per (dataset, session). */
   private val sinkIngested =
     new graft.util.BuildOnce[graft.table.SegmentedTable]
@@ -808,6 +854,14 @@ object StreamingQueries {
     // the landed stream must hold exactly the source events — the
     // same hourly aggregate over either is identical
     "st07_table_stream_source" ->
+      """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
+         COUNT(*) AS cnt,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1, 2""",
+
+    // the catalog round trip must land exactly the source events —
+    // identical replay to st07's, over a different physical journey
+    "st22_catalog_stream" ->
       """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
          COUNT(*) AS cnt,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value

@@ -44,14 +44,25 @@ import graft.table.{SegmentedTable, TableIO}
 class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = "graft"
+  private var rootOverride: Option[String] = None
 
-  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+  /** `spark.sql.catalog.<name>.root = <dir>` pins THIS catalog
+    * instance to its own store root — several graft catalogs can then
+    * coexist in one session over disjoint stores (a scratch catalog
+    * next to the production one, a per-pipeline staging store). With
+    * no option the catalog follows the session-wide
+    * `spark.graft.store`, the same root the DDL dialect uses.
+    */
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
+    rootOverride = Option(options.get("root")).filter(_.nonEmpty)
+  }
 
   override def name(): String = catalogName
 
   private def spark: SparkSession = SparkSession.active
-  private def store: String = GraftCatalog.storeRoot(spark)
+  private def store: String =
+    rootOverride.getOrElse(GraftCatalog.storeRoot(spark))
 
   /** Strict logical-name resolution (honors RENAME's name→dir
     * indirection; a rename-claimed physical dir name does NOT
@@ -59,11 +70,11 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces {
     * the not-exists checks.
     */
   private def pathFor(ident: Identifier): String =
-    GraftCatalog.resolvedPath(spark, ident.name)
+    GraftCatalog.resolvedPath(store, ident.name)
       .getOrElse(s"$store/${ident.name}")
 
   private def reachable(ident: Identifier): Boolean =
-    GraftCatalog.resolvedPath(spark, ident.name)
+    GraftCatalog.resolvedPath(store, ident.name)
       .exists(GraftCatalog.isTablePath)
 
   private val DefaultNs = Array("default")
@@ -84,7 +95,7 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces {
       // table check rides the positive memo (GraftCatalog.isTablePath)
       // so a large store costs ONE listing, not a stat per table; the
       // prune drops memo entries whose dir vanished out-of-band.
-      val logical = GraftCatalog.nameMap(spark).map(_.swap)
+      val logical = GraftCatalog.nameMap(store).map(_.swap)
       val dirs = TableIO.listStatus(root)
         .filter(_.isDirectory)
         .map(_.getPath)
@@ -186,7 +197,7 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces {
     nsOk(ident.namespace) && reachable(ident) && {
       TableIO.delete(new Path(pathFor(ident)))
       GraftCatalog.forgetTablePath(pathFor(ident))
-      GraftCatalog.dropNameEntry(spark, ident.name)
+      GraftCatalog.dropNameEntry(store, ident.name)
       true
     }
 
@@ -201,7 +212,7 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces {
     if (!nsOk(from.namespace) || !reachable(from))
       throw new NoSuchTableException(from)
     if (!nsOk(to.namespace)) throw new NoSuchNamespaceException(to.namespace)
-    val m = GraftCatalog.nameMap(spark)
+    val m = GraftCatalog.nameMap(store)
     val fromDir = m.getOrElse(from.name, from.name)
     // the target conflicts when another LOGICAL table answers to it:
     // a mapped name, a dir claimed by a different entry, or an
@@ -214,7 +225,7 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces {
           SegmentedTable.exists(s"$store/${to.name}") && to.name != fromDir)
     if (toTaken && to.name != from.name)
       throw new TableAlreadyExistsException(to)
-    GraftCatalog.renameEntry(spark, from.name, to.name)
+    GraftCatalog.renameEntry(store, from.name, to.name)
   }
 
   // ---- SupportsNamespaces (single fixed namespace) -------------------

@@ -687,11 +687,14 @@ object GraftCatalog {
     * not a data-path operation).
     */
   private val NamesFile = "_names.json"
-  private def namesPath(spark: SparkSession) =
-    new org.apache.hadoop.fs.Path(storeRoot(spark), NamesFile)
+  private def namesPath(store: String) =
+    new org.apache.hadoop.fs.Path(store, NamesFile)
 
-  private[sql] def nameMap(spark: SparkSession): Map[String, String] = {
-    val p = namesPath(spark)
+  private[sql] def nameMap(spark: SparkSession): Map[String, String] =
+    nameMap(storeRoot(spark))
+
+  private[sql] def nameMap(store: String): Map[String, String] = {
+    val p = namesPath(store)
     if (!TableIO.exists(p)) Map.empty
     else org.json4s.jackson.JsonMethods.parse(TableIO.readString(p)) match {
       case org.json4s.JObject(fields) =>
@@ -700,8 +703,8 @@ object GraftCatalog {
     }
   }
 
-  private def writeNameMap(spark: SparkSession, m: Map[String, String]): Unit = {
-    val p = namesPath(spark)
+  private def writeNameMap(store: String, m: Map[String, String]): Unit = {
+    val p = namesPath(store)
     if (m.isEmpty) { if (TableIO.exists(p)) TableIO.delete(p) }
     else TableIO.writeStringAtomic(p,
       org.json4s.jackson.JsonMethods.compact(
@@ -716,29 +719,29 @@ object GraftCatalog {
     * name is unreachable — it names a directory some rename claimed,
     * so the logical table that used to answer to it is gone.
     */
-  private[sql] def resolvedPath(spark: SparkSession, name: String): Option[String] = {
-    val m = nameMap(spark)
+  private[sql] def resolvedPath(store: String, name: String): Option[String] = {
+    val m = nameMap(store)
     m.get(name) match {
-      case Some(dir) => Some(s"${storeRoot(spark)}/$dir")
+      case Some(dir) => Some(s"$store/$dir")
       case None if m.valuesIterator.contains(name) => None
-      case None => Some(s"${storeRoot(spark)}/$name")
+      case None => Some(s"$store/$name")
     }
   }
 
   /** Remap `from` to name `to` (same directory). `to == the physical
     * dir name` folds back to identity, keeping the map minimal.
     */
-  private[sql] def renameEntry(spark: SparkSession, from: String, to: String): Unit = {
-    val m = nameMap(spark)
+  private[sql] def renameEntry(store: String, from: String, to: String): Unit = {
+    val m = nameMap(store)
     val dir = m.getOrElse(from, from)
-    writeNameMap(spark,
+    writeNameMap(store,
       if (dir == to) m - from else (m - from) + (to -> dir))
   }
 
   /** Drop a logical name's mapping entry (table dropped). */
-  private[sql] def dropNameEntry(spark: SparkSession, name: String): Unit = {
-    val m = nameMap(spark)
-    if (m.contains(name)) writeNameMap(spark, m - name)
+  private[sql] def dropNameEntry(store: String, name: String): Unit = {
+    val m = nameMap(store)
+    if (m.contains(name)) writeNameMap(store, m - name)
   }
 
   /** Path-style resolution honoring renames. NOTE the documented
@@ -845,6 +848,16 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*DELETE\s+FROM\s+GRAFT\s+TABLE\s+(\w+)\s+WHERE\s+(.+)""".r
   private val mergeRowsRe =
     """(?is)\s*MERGE\s+GRAFT\s+TABLE\s+(\w+)\s+FROM\s+INPATH\s+'([^']+)'\s+ON\s*\(([^)]*)\)\s*""".r
+  // ANSI MERGE INTO over a graft-catalog identifier, restricted to the
+  // upsert shape the engine's MERGE implements (UPDATE SET * +
+  // INSERT *); claimed ONLY for `graft.`-prefixed targets so MERGE
+  // INTO against any other catalog still reaches the delegate
+  private val ansiMergeRe =
+    """(?is)\s*MERGE\s+INTO\s+graft\.(?:default\.)?(\w+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+(.+?)\s*;?\s*""".r
+  private val ansiMergeUpsertRe =
+    """(?is)WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*""".r
+  private val ansiMergeKeyRe =
+    """(?i)\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*""".r
   private val updateRowsRe =
     """(?is)\s*UPDATE\s+GRAFT\s+TABLE\s+(\w+)\s+SET\s+(.+)""".r
   private val compactRe =
@@ -957,6 +970,37 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case mergeRowsRe(name, path, keys) =>
       MergeGraftDataCommand(name, path,
         keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    case ansiMergeRe(name, _, rest) =>
+      // the ON / WHEN boundaries are found quote- and paren-aware, so
+      // a source SUBQUERY containing its own join ON (or a literal
+      // with the word) cannot split the statement in the wrong place
+      val onIdx = topLevelIndexOf(rest, "ON")
+      require(onIdx > 0, "graft MERGE INTO requires an ON clause")
+      val whenIdx = topLevelIndexOf(rest, "WHEN")
+      require(whenIdx > onIdx, "graft MERGE INTO requires WHEN clauses")
+      val source = rest.substring(0, onIdx).trim
+      val cond = rest.substring(onIdx + 2, whenIdx).trim
+      val whenClauses = rest.substring(whenIdx).trim
+      // supported subset = the engine's MERGE semantics exactly:
+      // key-equality ON, UPDATE SET * + INSERT * (last-write-wins
+      // upsert). Anything richer fails HERE with the contract spelled
+      // out, instead of silently approximating it.
+      require(ansiMergeUpsertRe.pattern.matcher(whenClauses).matches(),
+        "graft MERGE INTO supports exactly 'WHEN MATCHED THEN UPDATE " +
+          "SET * WHEN NOT MATCHED THEN INSERT *' (the engine's " +
+          "last-write-wins upsert); for row-level deletes use DELETE " +
+          s"FROM GRAFT TABLE — got: $whenClauses")
+      val keys = cond.split("(?i)\\s+AND\\s+").toSeq.map {
+        case ansiMergeKeyRe(_, colL, _, colR) =>
+          require(colL.equalsIgnoreCase(colR),
+            "graft MERGE INTO requires same-named key columns on " +
+              s"both sides of ON, got $colL = $colR")
+          colL
+        case other => throw new IllegalArgumentException(
+          "graft MERGE INTO requires an AND-conjunction of " +
+            s"alias.col = alias.col key equalities in ON, got: $other")
+      }
+      AnsiMergeIntoGraftCommand(name, source.trim, keys)
     case updateRowsRe(name, rest) =>
       // the WHERE boundary is found quote- and paren-aware, so a
       // literal containing " where " (or a subquery) cannot split the
@@ -1006,7 +1050,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     t.startsWith("ALTER CUBE") || t.startsWith("SHOW CUBES") ||
     t.startsWith("SHOW CREATE CUBE") ||
     t.startsWith("CREATE AGGREGATETABLE") ||
-    (t.startsWith("LOAD DATA") && t.contains(" INTO CUBE "))
+    (t.startsWith("LOAD DATA") && t.contains(" INTO CUBE ")) ||
+    // ANSI MERGE INTO on a graft-catalog identifier; any other
+    // catalog's MERGE still reaches the delegate untouched
+    t.startsWith("MERGE INTO GRAFT.")
   }
 
   /** Split `a = f(x, y), b = 'x, y'` on top-level commas only: commas
@@ -1525,6 +1572,25 @@ case class MergeGraftDataCommand(name: String, path: String,
     val n = t.merge(df, keyCols)
     t.read().createOrReplaceTempView(name)
     Seq(Row(n))
+  }
+}
+
+/** ANSI `MERGE INTO graft.default.t USING src ON t.k = s.k WHEN
+  * MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *` — the
+  * catalog-SQL spelling of [[SegmentedTable.merge]]'s atomic upsert
+  * (same stats-pruned rewrite set, same single commit). The source is
+  * any FROM-able text: a table/view identifier or a parenthesized
+  * subquery, aliases included; it must produce every target column
+  * (INSERT * semantics). Returns the count of replaced rows.
+  */
+case class AnsiMergeIntoGraftCommand(name: String, sourceFrom: String,
+    keyCols: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("replaced_rows", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftCatalog.open(spark, name)
+    val src = spark.sql(s"SELECT * FROM $sourceFrom")
+    Seq(Row(t.merge(src, keyCols)))
   }
 }
 

@@ -895,4 +895,87 @@ class GraftSqlSpec extends AnyFunSuite {
     graft.mv.AggTables.drop(spark, "cat_props_mv")
     spark.sql("DROP TABLE graft.default.cat_props")
   }
+
+  test("ANSI MERGE INTO upserts atomically; unsupported shapes and foreign catalogs stay honest") {
+    val sf = graft.TestSpark.sf
+    spark.sql("DROP TABLE IF EXISTS graft.default.ansi_mrg")
+    spark.sql("CREATE TABLE graft.default.ansi_mrg " +
+      "(k BIGINT, status STRING, price DOUBLE) USING graft")
+    spark.sql(s"INSERT INTO graft.default.ansi_mrg " +
+      s"SELECT o_orderkey, o_orderstatus, o_totalprice " +
+      s"FROM parquet.`$sf/orders.parquet` WHERE o_orderkey <= 1000")
+    val before = spark.table("graft.default.ansi_mrg").count()
+    // incoming: doubled prices for keys % 10 = 1 (updates) plus
+    // shifted brand-new keys (inserts), via a SUBQUERY source
+    val replaced = spark.sql(
+      s"""MERGE INTO graft.default.ansi_mrg t
+          USING (SELECT o_orderkey AS k, o_orderstatus AS status,
+                   o_totalprice * 2 AS price
+                 FROM parquet.`$sf/orders.parquet`
+                 WHERE o_orderkey <= 1000 AND o_orderkey % 10 = 1
+                 UNION ALL
+                 SELECT o_orderkey + 5000000, o_orderstatus, o_totalprice
+                 FROM parquet.`$sf/orders.parquet`
+                 WHERE o_orderkey <= 1000 AND o_orderkey % 10 = 2) s
+          ON t.k = s.k
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *""").head().getLong(0)
+    val t = graft.sql.GraftCatalog.open(spark, "ansi_mrg")
+    val after = t.read()
+    val updatedKeys = after.filter(org.apache.spark.sql.functions.col("k") % 10 === 1 &&
+      org.apache.spark.sql.functions.col("k") <= 1000).count()
+    assert(replaced == updatedKeys, s"replaced=$replaced updated=$updatedKeys")
+    val inserted = after.filter(org.apache.spark.sql.functions.col("k") > 5000000L).count()
+    assert(inserted > 0 && after.count() == before + inserted)
+    // updated rows actually carry the doubled price
+    val probe = after.filter(org.apache.spark.sql.functions.col("k") === 1)
+      .select("price").head().getDouble(0)
+    val orig = spark.sql(s"SELECT o_totalprice FROM parquet.`$sf/orders.parquet` " +
+      "WHERE o_orderkey = 1").head().getDouble(0)
+    assert(math.abs(probe - orig * 2) < 1e-6)
+    // richer WHEN shapes fail loudly with the contract spelled out
+    val e = intercept[Exception] {
+      spark.sql("MERGE INTO graft.default.ansi_mrg t USING x s ON t.k = s.k " +
+        "WHEN MATCHED THEN DELETE")
+    }
+    assert(e.getMessage.contains("last-write-wins upsert"), e.getMessage)
+    // a MERGE INTO against any OTHER catalog is NOT claimed — the
+    // delegate's own MergeIntoTable plan comes back
+    val foreign = spark.sessionState.sqlParser.parsePlan(
+      "MERGE INTO other.default.t t USING s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(foreign.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable],
+      s"foreign-catalog MERGE must reach the delegate, got ${foreign.getClass}")
+    spark.sql("DROP TABLE graft.default.ansi_mrg")
+  }
+
+  test("per-catalog root option: two graft catalogs over disjoint stores coexist") {
+    // the `spark.sql.catalog.<name>.root` option pins a catalog
+    // instance to its own store — the same table NAME resolves to
+    // different physical tables per catalog, renames stay scoped to
+    // their own _names.json, and the session-wide spark.graft.store
+    // (the `graft` catalog + DDL dialect) is never touched
+    val rootA = java.nio.file.Files.createTempDirectory("graft_cat_a").toString
+    val rootB = java.nio.file.Files.createTempDirectory("graft_cat_b").toString
+    spark.conf.set("spark.sql.catalog.scopeda", "graft.sql.GraftCatalogPlugin")
+    spark.conf.set("spark.sql.catalog.scopeda.root", rootA)
+    spark.conf.set("spark.sql.catalog.scopedb", "graft.sql.GraftCatalogPlugin")
+    spark.conf.set("spark.sql.catalog.scopedb.root", rootB)
+    spark.sql("CREATE TABLE scopeda.default.t (k INT, v STRING) USING graft")
+    spark.sql("CREATE TABLE scopedb.default.t (k INT, v STRING) USING graft")
+    spark.sql("INSERT INTO scopeda.default.t VALUES (1, 'a'), (2, 'a')")
+    spark.sql("INSERT INTO scopedb.default.t VALUES (9, 'b')")
+    assert(spark.table("scopeda.default.t").count() == 2)
+    assert(spark.table("scopedb.default.t").count() == 1)
+    // a rename in A is invisible in B and in the session-wide store
+    spark.sql("ALTER TABLE scopeda.default.t RENAME TO default.t2")
+    assert(spark.table("scopeda.default.t2").count() == 2)
+    assert(spark.table("scopedb.default.t").count() == 1)
+    assert(!graft.sql.GraftCatalog.nameMap(spark).contains("t2"),
+      "a scoped catalog's rename must not write the session store's name map")
+    assert(spark.sql("SHOW TABLES IN scopedb.default").collect()
+      .map(_.getString(1)).toSet == Set("t"))
+    spark.sql("DROP TABLE scopeda.default.t2")
+    spark.sql("DROP TABLE scopedb.default.t")
+  }
 }
