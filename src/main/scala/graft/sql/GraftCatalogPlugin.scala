@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession, SQLContext}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
@@ -278,6 +278,11 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces {
   * live set and registers the replacement, so readers never observe
   * an empty intermediate state.
   *
+  * DELETE/TRUNCATE — [[SupportsDeleteV2]]: `DELETE FROM
+  * graft.default.t WHERE p` routes Spark's V2 predicates back through
+  * catalyst into [[SegmentedTable.delete]]'s one-commit copy-on-write
+  * rewrite; `TRUNCATE TABLE` is a delete-all commit (history kept).
+  *
   * STREAMING — [[V2TableWithV1Fallback]]: `spark.readStream
   * .table("graft.default.t")` and `writeStream.format("graft")
   * .toTable(...)` resolve to the SAME V1 [[graft.sources
@@ -294,7 +299,7 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces {
 private[sql] class GraftV2Table(ident: Identifier, tablePath: String,
                                 asOfVersion: Option[Long] = None,
                                 catalogPluginName: String = "graft")
-  extends Table with SupportsRead with SupportsWrite
+  extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2
   with org.apache.spark.sql.graftbridge.GraftV1FallbackTable {
 
   private def spark: SparkSession = SparkSession.active
@@ -368,6 +373,56 @@ private[sql] class GraftV2Table(ident: Identifier, tablePath: String,
                 t.prunedSegmentPaths(c, asOfVersion).map(_.toString)))
     }
   }
+
+  /** `DELETE FROM graft.default.t WHERE p` — Spark pushes the
+    * translated filters here ([[SupportsDelete]]) and the engine's
+    * copy-on-write delete runs them as ONE atomic rewrite commit
+    * (stats-pruned candidate set, whole dead segments retired without
+    * a rewrite — the same path the `DELETE FROM GRAFT TABLE` dialect
+    * and g05 gate). `canDeleteWhere` declines anything the translation
+    * can't express faithfully, so Spark fails the statement loudly
+    * instead of deleting the wrong rows; SQL semantics (NULL predicate
+    * = not deleted) match the engine's.
+    */
+  override def canDeleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
+    asOfVersion.isEmpty && predicates.forall(p => predicateToColumn(p).isDefined)
+
+  override def deleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    require(asOfVersion.isEmpty,
+      s"graft catalog: cannot delete from the time-travel snapshot $name")
+    val cond = predicates.toSeq.map(p => predicateToColumn(p).getOrElse(
+        throw new UnsupportedOperationException(
+          s"graft catalog: untranslatable DELETE predicate $p")))
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    open().delete(cond)
+    ()
+  }
+
+  /** `TRUNCATE TABLE graft.default.t`: every live segment retired in
+    * one commit — readers see the full table or the empty one, never
+    * a partial, and the history keeps the pre-truncate version for
+    * RESTORE/time travel (delete-all, not a directory wipe).
+    */
+  override def truncateTable(): Boolean = {
+    require(asOfVersion.isEmpty,
+      s"graft catalog: cannot truncate the time-travel snapshot $name")
+    open().delete(org.apache.spark.sql.functions.lit(true))
+    true
+  }
+
+  /** V2 predicate -> Column through Spark's own reverse translation
+    * (the one runtime filtering uses), so arithmetic/modulo/function
+    * predicates survive where the V1 Filter bridge would drop them;
+    * anything it cannot express stays None and the statement fails
+    * loudly at `canDeleteWhere`.
+    */
+  private def predicateToColumn(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate): Option[Column] =
+    org.apache.spark.sql.catalyst.expressions.V2ExpressionUtils.toCatalyst(p)
+      .map(org.apache.spark.sql.graftbridge.ColumnExpr.toColumn)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(asOfVersion.isEmpty,

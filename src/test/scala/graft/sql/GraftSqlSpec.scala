@@ -896,6 +896,54 @@ class GraftSqlSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.default.cat_props")
   }
 
+  test("catalog DELETE FROM and TRUNCATE: atomic rewrites, history preserved, loud on the untranslatable") {
+    val sf = graft.TestSpark.sf
+    spark.sql("DROP TABLE IF EXISTS graft.default.cat_del")
+    spark.sql("CREATE TABLE graft.default.cat_del " +
+      "(k BIGINT, status STRING, price DOUBLE) USING graft")
+    spark.sql(s"INSERT INTO graft.default.cat_del " +
+      s"SELECT o_orderkey, o_orderstatus, o_totalprice " +
+      s"FROM parquet.`$sf/orders.parquet` WHERE o_orderkey <= 2000")
+    val t0 = graft.sql.GraftCatalog.open(spark, "cat_del")
+    val total = spark.table("graft.default.cat_del").count()
+    val toDie = spark.table("graft.default.cat_del")
+      .filter("status = 'F' AND k % 3 = 0").count()
+    assert(toDie > 0)
+    val versBefore = t0.versions.max
+    spark.sql("DELETE FROM graft.default.cat_del WHERE status = 'F' AND k % 3 = 0")
+    assert(spark.table("graft.default.cat_del").count() == total - toDie)
+    assert(spark.table("graft.default.cat_del")
+      .filter("status = 'F' AND k % 3 = 0").count() == 0)
+    // one atomic commit: exactly one version bump, and the
+    // pre-delete snapshot is still readable (copy-on-write history)
+    val t1 = graft.sql.GraftCatalog.open(spark, "cat_del")
+    assert(t1.versions.max == versBefore + 1,
+      s"one DELETE = one commit, got ${t1.versions}")
+    assert(t1.readAsOf(versBefore).count() == total)
+    // arithmetic predicates survive the V2 predicate bridge (the V1
+    // Filter route would have dropped them): k + 1 = 10 deletes k = 9
+    val hadNine = spark.table("graft.default.cat_del").filter("k = 9").count()
+    spark.sql("DELETE FROM graft.default.cat_del WHERE k + 1 = 10")
+    assert(spark.table("graft.default.cat_del").filter("k = 9").count() == 0)
+    val total2 = total - toDie - hadNine
+    // a subquery predicate cannot reach deleteWhere — the statement
+    // must fail, not delete the wrong rows
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM graft.default.cat_del WHERE k IN " +
+        s"(SELECT o_orderkey FROM parquet.`$sf/orders.parquet` WHERE o_orderkey < 100)")
+    }
+    assert(e.getMessage.toLowerCase.contains("delete"), e.getMessage)
+    assert(spark.table("graft.default.cat_del").count() == total2)
+    // TRUNCATE retires everything in one commit but keeps history
+    val versPreTrunc = graft.sql.GraftCatalog.open(spark, "cat_del").versions.max
+    spark.sql("TRUNCATE TABLE graft.default.cat_del")
+    assert(spark.table("graft.default.cat_del").count() == 0)
+    val t2 = graft.sql.GraftCatalog.open(spark, "cat_del")
+    assert(t2.readAsOf(versPreTrunc).count() == total2,
+      "TRUNCATE must be a delete-all commit, not a directory wipe")
+    spark.sql("DROP TABLE graft.default.cat_del")
+  }
+
   test("ANSI MERGE INTO upserts atomically; unsupported shapes and foreign catalogs stay honest") {
     val sf = graft.TestSpark.sf
     spark.sql("DROP TABLE IF EXISTS graft.default.ansi_mrg")
