@@ -860,6 +860,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?i)\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*""".r
   private val updateRowsRe =
     """(?is)\s*UPDATE\s+GRAFT\s+TABLE\s+(\w+)\s+SET\s+(.+)""".r
+  // ANSI UPDATE over a graft-catalog identifier — same command as the
+  // dialect's UPDATE GRAFT TABLE; claimed only for `graft.`-prefixed
+  // targets so other catalogs' UPDATEs reach the delegate
+  private val ansiUpdateRe =
+    """(?is)\s*UPDATE\s+graft\.(?:default\.)?(\w+)\s+SET\s+(.+)""".r
   private val compactRe =
     """(?is)\s*COMPACT\s+GRAFT\s+TABLE\s+(\w+)\s*(MINOR)?\s*""".r
   private val optimizeRe =
@@ -1009,6 +1014,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       require(i > 0, "UPDATE GRAFT TABLE requires a WHERE clause")
       UpdateGraftRowsCommand(name, splitAssignments(rest.take(i)),
         rest.drop(i + "WHERE".length).trim)
+    case ansiUpdateRe(name, rest) =>
+      val i = topLevelIndexOf(rest, "WHERE")
+      require(i > 0, "graft UPDATE requires a WHERE clause (a " +
+        "full-table rewrite must be spelled WHERE TRUE deliberately)")
+      UpdateGraftRowsCommand(name, splitAssignments(rest.take(i)),
+        rest.drop(i + "WHERE".length).trim)
     case compactRe(name, minor) =>
       CompactGraftTableCommand(name, minor != null)
     case optimizeRe(name, cols) =>
@@ -1051,9 +1062,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     t.startsWith("SHOW CREATE CUBE") ||
     t.startsWith("CREATE AGGREGATETABLE") ||
     (t.startsWith("LOAD DATA") && t.contains(" INTO CUBE ")) ||
-    // ANSI MERGE INTO on a graft-catalog identifier; any other
-    // catalog's MERGE still reaches the delegate untouched
-    t.startsWith("MERGE INTO GRAFT.")
+    // ANSI MERGE INTO / UPDATE on a graft-catalog identifier; any
+    // other catalog's statements still reach the delegate untouched
+    t.startsWith("MERGE INTO GRAFT.") || t.startsWith("UPDATE GRAFT.")
   }
 
   /** Split `a = f(x, y), b = 'x, y'` on top-level commas only: commas

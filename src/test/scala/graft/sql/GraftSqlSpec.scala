@@ -934,6 +934,20 @@ class GraftSqlSpec extends AnyFunSuite {
     }
     assert(e.getMessage.toLowerCase.contains("delete"), e.getMessage)
     assert(spark.table("graft.default.cat_del").count() == total2)
+    // ANSI UPDATE over the catalog identifier: the dialect's
+    // copy-on-write update, reached from standard SQL
+    spark.sql("UPDATE graft.default.cat_del SET price = price * 2 WHERE k = 2")
+    val doubled = spark.table("graft.default.cat_del")
+      .filter("k = 2").select("price").head().getDouble(0)
+    val origPrice = spark.sql(s"SELECT o_totalprice FROM " +
+      s"parquet.`$sf/orders.parquet` WHERE o_orderkey = 2").head().getDouble(0)
+    assert(math.abs(doubled - origPrice * 2) < 1e-6)
+    assert(spark.table("graft.default.cat_del").count() == total2)
+    // a foreign catalog's UPDATE is not claimed by the dialect parser
+    val up = spark.sessionState.sqlParser.parsePlan(
+      "UPDATE other.default.t SET a = 1 WHERE b = 2")
+    assert(up.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.UpdateTable],
+      s"foreign-catalog UPDATE must reach the delegate, got ${up.getClass}")
     // TRUNCATE retires everything in one commit but keeps history
     val versPreTrunc = graft.sql.GraftCatalog.open(spark, "cat_del").versions.max
     spark.sql("TRUNCATE TABLE graft.default.cat_del")
