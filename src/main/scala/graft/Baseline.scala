@@ -170,6 +170,16 @@ object Baseline {
         .select(col("l_returnflag"), col("q").as("pct_ppm"),
           col("n").as("n_rows"), col("r").as("rk"), col("v").as("value"))
     }),
+    // the plain spelling of g18's post-DML state: filter-aggregate
+    // over raw orders (the catalog CTAS + DELETE is the fixture's
+    // fixed cost; timed runs scan the surviving table either way)
+    "g18_catalog_dml" -> ((s, d) => {
+      Tables.orders(s, d)
+        .filter(!(col("o_orderstatus") === "F" && col("o_orderkey") % 3 === 0))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"), Tables.dsum(col("o_totalprice")).as("total"))
+    }),
+
     "g01_segment_pruned_scan" -> ((s, d) => {
       Tables.lineitem(s, d)
         .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))

@@ -20,6 +20,24 @@ object SegmentQueries {
   /** Build-once-per-JVM cache (Verify/Bench call each query once). */
   private val built = new graft.util.BuildOnce[SegmentedTable]
 
+  /** g18's catalog-DML'd table, cached by its catalog identifier. */
+  private val catalogDml = new graft.util.BuildOnce[String]
+
+  private def catalogDmlTable(s: SparkSession, d: String): String =
+    catalogDml.getOrElseUpdate(s"gdml|$d|${s.sparkContext.applicationId}", {
+      val cat = s"gdml${(d + s.sparkContext.applicationId).hashCode.abs}"
+      val root = graft.util.RunRoot.under(
+        s"graft_catalog_dml/${d.replace('/', '_')}")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalogPlugin")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      Tables.orders(s, d).createOrReplaceTempView("g18_orders_src")
+      s.sql(s"CREATE TABLE $cat.default.ord USING graft " +
+        "AS SELECT * FROM g18_orders_src")
+      s.sql(s"DELETE FROM $cat.default.ord " +
+        "WHERE o_orderstatus = 'F' AND o_orderkey % 3 = 0")
+      s"$cat.default.ord"
+    })
+
   private def lineitemTable(s: SparkSession, d: String): SegmentedTable =
     built.getOrElseUpdate(s"li|$d", {
       val root = graft.util.RunRoot.under(s"graft_tables/${d.replace('/', '_')}/lineitem")
@@ -467,6 +485,20 @@ object SegmentQueries {
           sum(col("__net") * col("l_orderkey")).as("key_sum"))
     }),
 
+    // table lifecycle driven ENTIRELY by catalog SQL — CTAS through
+    // the V2 catalog, then `DELETE FROM <cat>.default.ord WHERE
+    // status AND modulo` through SupportsDeleteV2 (the modulo proves
+    // the V2-predicate→catalyst bridge, which the V1 Filter route
+    // could not express): the surviving table must equal the oracle's
+    // NOT(predicate) replay over raw orders. The catalog registers at
+    // runtime under its own root (the st22 discipline).
+    "g18_catalog_dml" -> ((s, d) => {
+      val n = catalogDmlTable(s, d)
+      s.table(n)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+    }),
+
     "g01_segment_pruned_scan" -> ((s, d) => {
       graft.table.GraftSegmentPruning.ensureRegistered(s)
       val t = lineitemTable(s, d)
@@ -673,6 +705,14 @@ object SegmentQueries {
       """SELECT l_returnflag, COUNT(*) AS cnt, SUM(l_quantity) AS sum_qty
          FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01'
          GROUP BY l_returnflag""",
+
+    // the catalog DELETE's survivors = the NOT(predicate) replay
+    "g18_catalog_dml" ->
+      """SELECT o_orderstatus, COUNT(*) AS cnt,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders
+         WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 3 = 0)
+         GROUP BY o_orderstatus""",
 
     "g02_segment_compaction" ->
       """SELECT o_orderstatus, COUNT(*) AS cnt,
