@@ -948,12 +948,21 @@ class GraftSqlSpec extends AnyFunSuite {
       "UPDATE other.default.t SET a = 1 WHERE b = 2")
     assert(up.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.UpdateTable],
       s"foreign-catalog UPDATE must reach the delegate, got ${up.getClass}")
+    // DELETE with no WHERE = delete-all (the AlwaysTrue predicate
+    // must cross the V2 bridge too)
+    spark.sql("DELETE FROM graft.default.cat_del")
+    assert(spark.table("graft.default.cat_del").count() == 0)
     // TRUNCATE retires everything in one commit but keeps history
+    spark.sql(s"INSERT INTO graft.default.cat_del " +
+      s"SELECT o_orderkey, o_orderstatus, o_totalprice " +
+      s"FROM parquet.`$sf/orders.parquet` WHERE o_orderkey <= 100")
+    val preTrunc = spark.table("graft.default.cat_del").count()
+    assert(preTrunc > 0)
     val versPreTrunc = graft.sql.GraftCatalog.open(spark, "cat_del").versions.max
     spark.sql("TRUNCATE TABLE graft.default.cat_del")
     assert(spark.table("graft.default.cat_del").count() == 0)
     val t2 = graft.sql.GraftCatalog.open(spark, "cat_del")
-    assert(t2.readAsOf(versPreTrunc).count() == total2,
+    assert(t2.readAsOf(versPreTrunc).count() == preTrunc,
       "TRUNCATE must be a delete-all commit, not a directory wipe")
     spark.sql("DROP TABLE graft.default.cat_del")
   }
