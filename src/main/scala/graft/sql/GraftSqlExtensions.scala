@@ -761,6 +761,38 @@ object GraftCatalog {
     SegmentedTable.open(spark, p)
   }
 
+  /** Is `cat` a registered graft catalog in the active session? The
+    * dialect parser uses this to claim ANSI UPDATE/MERGE statements on
+    * ANY graft catalog's identifiers (scoped roots included) while
+    * leaving every other catalog's statements to the delegate. The
+    * name `graft` is claimed unconditionally — it is this engine's
+    * documented catalog name.
+    */
+  private[sql] def isGraftCatalog(spark: SparkSession, cat: String): Boolean =
+    cat.equalsIgnoreCase("graft") ||
+      Seq(cat, cat.toLowerCase(java.util.Locale.ROOT)).distinct.exists(c =>
+        spark.conf.getOption(s"spark.sql.catalog.$c")
+          .contains(classOf[GraftCatalogPlugin].getName))
+
+  /** The store root catalog `cat` resolves against: its `root` option
+    * when scoped, the session-wide store otherwise (mirrors
+    * [[GraftCatalogPlugin.initialize]]).
+    */
+  private[sql] def storeRootOf(spark: SparkSession, cat: String): String =
+    spark.conf.getOption(s"spark.sql.catalog.$cat.root")
+      .filter(_.nonEmpty).getOrElse(storeRoot(spark))
+
+  /** [[open]] against an explicit catalog's store (rename indirection
+    * honored per-store).
+    */
+  def openIn(spark: SparkSession, cat: String, name: String): SegmentedTable = {
+    val store = storeRootOf(spark, cat)
+    val p = resolvedPath(store, name).getOrElse(s"$store/$name")
+    require(SegmentedTable.exists(p),
+      s"graft table not found: $cat.default.$name ($p)")
+    SegmentedTable.open(spark, p)
+  }
+
   /** Positive table-dir memo for catalog browsing: a path that once
     * validated as a graft table stays one until dropped (drop prunes
     * its entry; the plugin's listTables prunes entries whose dir
@@ -853,7 +885,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   // INSERT *); claimed ONLY for `graft.`-prefixed targets so MERGE
   // INTO against any other catalog still reaches the delegate
   private val ansiMergeRe =
-    """(?is)\s*MERGE\s+INTO\s+graft\.(?:default\.)?(\w+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+(.+?)\s*;?\s*""".r
+    """(?is)\s*MERGE\s+INTO\s+(\w+)\.(?:default\.)?(\w+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+(.+?)\s*;?\s*""".r
   private val ansiMergeUpsertRe =
     """(?is)WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*""".r
   private val ansiMergeKeyRe =
@@ -864,7 +896,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   // dialect's UPDATE GRAFT TABLE; claimed only for `graft.`-prefixed
   // targets so other catalogs' UPDATEs reach the delegate
   private val ansiUpdateRe =
-    """(?is)\s*UPDATE\s+graft\.(?:default\.)?(\w+)\s+SET\s+(.+)""".r
+    """(?is)\s*UPDATE\s+(\w+)\.(?:default\.)?(\w+)\s+SET\s+(.+)""".r
   private val compactRe =
     """(?is)\s*COMPACT\s+GRAFT\s+TABLE\s+(\w+)\s*(MINOR)?\s*""".r
   private val optimizeRe =
@@ -975,7 +1007,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case mergeRowsRe(name, path, keys) =>
       MergeGraftDataCommand(name, path,
         keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-    case ansiMergeRe(name, _, rest) =>
+    case ansiMergeRe(cat, name, _, rest)
+        if GraftCatalog.isGraftCatalog(activeSession, cat) =>
       // the ON / WHEN boundaries are found quote- and paren-aware, so
       // a source SUBQUERY containing its own join ON (or a literal
       // with the word) cannot split the statement in the wrong place
@@ -1005,7 +1038,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           "graft MERGE INTO requires an AND-conjunction of " +
             s"alias.col = alias.col key equalities in ON, got: $other")
       }
-      AnsiMergeIntoGraftCommand(name, source.trim, keys)
+      AnsiMergeIntoGraftCommand(cat, name, source.trim, keys)
     case updateRowsRe(name, rest) =>
       // the WHERE boundary is found quote- and paren-aware, so a
       // literal containing " where " (or a subquery) cannot split the
@@ -1014,11 +1047,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       require(i > 0, "UPDATE GRAFT TABLE requires a WHERE clause")
       UpdateGraftRowsCommand(name, splitAssignments(rest.take(i)),
         rest.drop(i + "WHERE".length).trim)
-    case ansiUpdateRe(name, rest) =>
+    case ansiUpdateRe(cat, name, rest)
+        if GraftCatalog.isGraftCatalog(activeSession, cat) =>
       val i = topLevelIndexOf(rest, "WHERE")
       require(i > 0, "graft UPDATE requires a WHERE clause (a " +
         "full-table rewrite must be spelled WHERE TRUE deliberately)")
-      UpdateGraftRowsCommand(name, splitAssignments(rest.take(i)),
+      AnsiUpdateGraftRowsCommand(cat, name, splitAssignments(rest.take(i)),
         rest.drop(i + "WHERE".length).trim)
     case compactRe(name, minor) =>
       CompactGraftTableCommand(name, minor != null)
@@ -1042,6 +1076,17 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     if (isGraft(sqlText)) parsePlan(sqlText)
     else delegate.parsePlanWithParameters(sqlText, ctx)
 
+  private def activeSession: SparkSession = SparkSession.active
+
+  /** The catalog qualifier of an ANSI UPDATE/MERGE statement, when the
+    * statement has one (normalized-uppercase input).
+    */
+  private def catalogDmlTarget(t: String): Option[String] = {
+    val m = java.util.regex.Pattern
+      .compile("^(?:MERGE INTO|UPDATE) (\\w+)\\.").matcher(t)
+    if (m.find()) Some(m.group(1)) else None
+  }
+
   private def isGraft(s: String): Boolean = {
     val u = s.toUpperCase(Locale.ROOT)
     // all checks run on the whitespace-NORMALIZED form: "GRAFT\n"
@@ -1062,9 +1107,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     t.startsWith("SHOW CREATE CUBE") ||
     t.startsWith("CREATE AGGREGATETABLE") ||
     (t.startsWith("LOAD DATA") && t.contains(" INTO CUBE ")) ||
-    // ANSI MERGE INTO / UPDATE on a graft-catalog identifier; any
-    // other catalog's statements still reach the delegate untouched
-    t.startsWith("MERGE INTO GRAFT.") || t.startsWith("UPDATE GRAFT.")
+    // ANSI MERGE INTO / UPDATE on a graft-catalog identifier (any
+    // registered graft catalog, scoped roots included); other
+    // catalogs' statements still reach the delegate untouched
+    catalogDmlTarget(t).exists(GraftCatalog.isGraftCatalog(activeSession, _))
   }
 
   /** Split `a = f(x, y), b = 'x, y'` on top-level commas only: commas
@@ -1594,14 +1640,32 @@ case class MergeGraftDataCommand(name: String, path: String,
   * subquery, aliases included; it must produce every target column
   * (INSERT * semantics). Returns the count of replaced rows.
   */
-case class AnsiMergeIntoGraftCommand(name: String, sourceFrom: String,
-    keyCols: Seq[String]) extends LeafRunnableCommand {
+case class AnsiMergeIntoGraftCommand(cat: String, name: String,
+    sourceFrom: String, keyCols: Seq[String]) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("replaced_rows", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val t = GraftCatalog.open(spark, name)
+    val t = GraftCatalog.openIn(spark, cat, name)
     val src = spark.sql(s"SELECT * FROM $sourceFrom")
     Seq(Row(t.merge(src, keyCols)))
+  }
+}
+
+/** ANSI `UPDATE <cat>.default.t SET ... WHERE ...` on a graft catalog
+  * identifier — the copy-on-write update, resolved against that
+  * catalog's store root (scoped catalogs included).
+  */
+case class AnsiUpdateGraftRowsCommand(cat: String, name: String,
+    assignments: Seq[(String, String)], whereSql: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("updated_rows", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftCatalog.openIn(spark, cat, name)
+    def expr(s: String) = org.apache.spark.sql.graftbridge.ColumnExpr.toColumn(
+      spark.sessionState.sqlParser.parseExpression(s))
+    Seq(Row(t.update(expr(whereSql),
+      assignments.map { case (c, v) => c -> expr(v) }.toMap)))
   }
 }
 

@@ -1046,6 +1046,23 @@ class GraftSqlSpec extends AnyFunSuite {
       "a scoped catalog's rename must not write the session store's name map")
     assert(spark.sql("SHOW TABLES IN scopedb.default").collect()
       .map(_.getString(1)).toSet == Set("t"))
+    // ANSI DML resolves against the SCOPED catalog's store, not the
+    // session-wide one: UPDATE and MERGE INTO on scopeda identifiers
+    spark.sql("UPDATE scopeda.default.t2 SET v = 'z' WHERE k = 1")
+    assert(spark.table("scopeda.default.t2")
+      .filter("k = 1").head().getString(1) == "z")
+    spark.sql("SELECT 2 AS k, 'm' AS v UNION ALL SELECT 3, 'm'")
+      .createOrReplaceTempView("scoped_incoming")
+    val replaced = spark.sql(
+      "MERGE INTO scopeda.default.t2 t USING scoped_incoming s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+      .head().getLong(0)
+    assert(replaced == 1L) // k=2 existed, k=3 is new
+    assert(spark.table("scopeda.default.t2").count() == 3)
+    assert(spark.table("scopeda.default.t2")
+      .filter("k = 2").head().getString(1) == "m")
+    // sibling catalog untouched by all of it
+    assert(spark.table("scopedb.default.t").count() == 1)
     spark.sql("DROP TABLE scopeda.default.t2")
     spark.sql("DROP TABLE scopedb.default.t")
   }
