@@ -90,6 +90,26 @@ class ThriftServerSpec extends AnyFunSuite {
       var sawIt = false
       while (r7.next()) if (r7.getString(2) == "thrift_regions") sawIt = true
       assert(sawIt, "SHOW TABLES IN graft.default must list the table over JDBC")
+
+      // the r16 DML surface from a stock JDBC client: row-level
+      // DELETE through SupportsDeleteV2, ANSI UPDATE and MERGE INTO
+      // through the per-connection dialect parser
+      st.execute("DELETE FROM graft.default.thrift_regions WHERE r_regionkey % 5 = 0")
+      val r8 = st.executeQuery(
+        "SELECT count(*) AS c FROM graft.default.thrift_regions")
+      assert(r8.next() && r8.getLong("c") == 12L) // 3 of 15 rows had key 0
+      st.execute("UPDATE graft.default.thrift_regions " +
+        "SET r_name = 'RENAMED' WHERE r_regionkey = 1")
+      val r9 = st.executeQuery("SELECT count(*) AS c FROM " +
+        "graft.default.thrift_regions WHERE r_name = 'RENAMED'")
+      assert(r9.next() && r9.getLong("c") == 3L)
+      st.execute("MERGE INTO graft.default.thrift_regions t " +
+        s"USING (SELECT r_regionkey + 100 AS r_regionkey, r_name " +
+        s"FROM parquet.`$sf/region.parquet`) s ON t.r_regionkey = s.r_regionkey " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+      val r10 = st.executeQuery(
+        "SELECT count(*) AS c FROM graft.default.thrift_regions")
+      assert(r10.next() && r10.getLong("c") == 17L) // 12 survivors + 5 new keys
     } finally {
       conn.close()
       spark.sql("DROP GRAFT TABLE thrift_regions")
