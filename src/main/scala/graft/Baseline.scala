@@ -152,6 +152,24 @@ object Baseline {
         .select(col("t.q").as("pct_ppm"), lit(n).as("n_rows"),
           col("t.r").as("rk"), col("v").as("value"))
     }),
+    // a user without the cube re-sorts the corpus per percentile
+    // query — exactly what the persisted sketches exist to avoid
+    "t54_sketch_cube" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val v = Tables.lineitem(s, d)
+        .select(col("l_extendedprice").cast("double").as("v"))
+        .filter(col("v").isNotNull)
+      val n = v.count()
+      val rks = Seq(250000L, 750000L)
+        .map(q => (q, math.max(1L, (q * n + 999999L) / 1000000L)))
+      v.withColumn("rn", row_number().over(Window.orderBy(col("v"))))
+        .select(col("v"), col("rn"), explode(array(rks.map { case (q, r) =>
+          struct(lit(q).as("q"), lit(r).as("r"))
+        }: _*)).as("t"))
+        .filter(col("rn") === col("t.r"))
+        .select(col("t.q").as("pct_ppm"), lit(n).as("n_rows"),
+          col("t.r").as("rk"), col("v").as("value"))
+    }),
     "t53_group_percentile_sketch" -> ((s, d) => {
       // the plain spelling of grouped order statistics: a full
       // per-group window sort + row_number pick

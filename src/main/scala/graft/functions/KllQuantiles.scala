@@ -214,6 +214,106 @@ object KllSketch {
   def kllSketch(c: Column, k: Int): Column =
     ColumnExpr.toColumn(
       KllSketch(ColumnExpr.expr(c), k).toAggregateExpression())
+
+  /** Column API: merge STORED sketch structs (the percentile-cube
+    * read side — see [[KllMergeSketch]]).
+    */
+  def kllMerge(c: Column, k: Int): Column =
+    ColumnExpr.toColumn(
+      KllMergeSketch(ColumnExpr.expr(c), k).toAggregateExpression())
+
+  /** Rebuild compactor state from a sketch struct's parts: an item of
+    * weight 2^l returns to level l (weights are powers of two by
+    * construction — anything else is not a kll_sketch struct and fails
+    * loudly). Compaction parity restarts at 0: parity is only the
+    * alternating-selection cursor for FUTURE compactions, never part
+    * of the tracked bound, so the rebuilt sketch's bound stays valid.
+    */
+  private[functions] def bufferFromParts(vs: Array[Double], ws: Array[Long],
+      err: Long, n: Long, mn: Double, mx: Double): KllBuffer = {
+    val b = new KllBuffer
+    b.n = n; b.err = err; b.mn = mn; b.mx = mx
+    var i = 0
+    while (i < vs.length) {
+      val w = ws(i)
+      require(w > 0L && (w & (w - 1L)) == 0L,
+        s"kll_merge: item weight $w is not a power of two — the input " +
+          "is not a kll_sketch struct")
+      val l = java.lang.Long.numberOfTrailingZeros(w)
+      while (b.levels.size <= l) b.levels += mutable.ArrayBuffer.empty[Double]
+      b.levels(l) += vs(i)
+      i += 1
+    }
+    b
+  }
+}
+
+/** Merge STORED kll_sketch structs back into one sketch — the read
+  * side of a PRE-AGGREGATED PERCENTILE CUBE: per-cell sketches are
+  * computed once (one corpus pass), persisted as ordinary struct rows
+  * in a table, and any slice of cells can later be merged in
+  * milliseconds (O(cells · k·log) work over cube rows, zero corpus
+  * scans) into a sketch whose tracked bound is the sum of its parts'
+  * — so [[KllQuantiles.exactQuantilesFromSketch]] can propose a
+  * provable bracket for the merged population and pay the corpus only
+  * for the exact recount. The classic mergeable-summary pattern
+  * (Agarwal et al. 2012, "Mergeable Summaries"); same state type and
+  * serde as [[KllSketch]].
+  */
+case class KllMergeSketch(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllBuffer]
+  with UnaryLike[Expression] {
+
+  require(k >= 8, s"kll_merge requires k >= 8, got $k")
+
+  // the compactor/merge/serde engine, shared with the build side
+  private lazy val ops = KllSketch(child, k)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case s: StructType
+          if s.fieldNames.sameElements(KllSketch.resultType.fieldNames) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "kll_merge requires a kll_sketch struct " +
+            s"(vs, ws, err, n, mn, mx), got ${other.simpleString}")
+    }
+
+  override def createAggregationBuffer(): KllBuffer = new KllBuffer
+
+  override def update(b: KllBuffer, input: InternalRow): KllBuffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      val r = v.asInstanceOf[InternalRow]
+      if (r.getLong(3) > 0L) // empty sketches carry no items
+        ops.merge(b, KllSketch.bufferFromParts(
+          r.getArray(0).toDoubleArray(), r.getArray(1).toLongArray(),
+          r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    }
+    b
+  }
+
+  override def merge(b: KllBuffer, o: KllBuffer): KllBuffer = ops.merge(b, o)
+  override def eval(b: KllBuffer): Any = ops.eval(b)
+  override def serialize(b: KllBuffer): Array[Byte] = ops.serialize(b)
+  override def deserialize(bytes: Array[Byte]): KllBuffer = ops.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): KllMergeSketch =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KllMergeSketch =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): KllMergeSketch =
+    copy(child = c)
+
+  override def dataType: DataType = KllSketch.resultType
+  override def nullable: Boolean = false
+  override def prettyName: String = "kll_merge"
 }
 
 /** The sketch-proposes / exact-recount orchestration: EXACT
@@ -289,9 +389,27 @@ object KllQuantiles {
                      sliceBudget: Long = 4L * 1000L * 1000L): DataFrame =
     exactQuantilesWithStats(rows, vCol, pctsPpm, k, sliceBudget)._1
 
+  /** EXACT percentiles with the SKETCH PASS PRE-PAID: `sketch` is a
+    * kll_sketch struct (typically several persisted cube-cell sketches
+    * folded by [[KllSketch.kllMerge]]) describing exactly `rows`'
+    * non-null/non-NaN `vCol` population. The corpus is touched only by
+    * the count/recount passes — the cube pattern's payoff: the one
+    * sketch-build scan amortizes over every later percentile query.
+    * The bracket the stored sketch proposes is provable (the tracked
+    * bound merges additively), and the recount keeps the answer exact
+    * regardless of how loose that bound is; a sketch describing a
+    * DIFFERENT population fails the bracket invariant loudly.
+    */
+  def exactQuantilesFromSketch(rows: DataFrame, vCol: String,
+      sketch: org.apache.spark.sql.Row, pctsPpm: Seq[Long], k: Int = 200,
+      sliceBudget: Long = 4L * 1000L * 1000L): DataFrame =
+    exactQuantilesWithStats(rows, vCol, pctsPpm, k, sliceBudget,
+      preSketch = Some(sketch))._1
+
   private[graft] def exactQuantilesWithStats(
       rows: DataFrame, vCol: String, pctsPpm: Seq[Long], k: Int = 200,
-      sliceBudget: Long = 4L * 1000L * 1000L)
+      sliceBudget: Long = 4L * 1000L * 1000L,
+      preSketch: Option[org.apache.spark.sql.Row] = None)
       : (DataFrame, Seq[SliceStat]) = {
     require(pctsPpm.nonEmpty && pctsPpm.forall(p => p >= 1 && p <= 1000000),
       s"pct ppm targets must be in [1, 1000000], got $pctsPpm")
@@ -304,8 +422,9 @@ object KllQuantiles {
     val spark = rows.sparkSession
     val v = rows.select(col(vCol).cast("double").as("v"))
       .filter(col("v").isNotNull && !isnan(col("v")))
-    val sk = v.agg(KllSketch.kllSketch(col("v"), k).as("sk"))
-      .collect()(0).getStruct(0)
+    val sk = preSketch.getOrElse(
+      v.agg(KllSketch.kllSketch(col("v"), k).as("sk"))
+        .collect()(0).getStruct(0))
     val n = sk.getAs[Long]("n")
     val outSchema = StructType(Seq(
       StructField("pct_ppm", LongType, nullable = false),

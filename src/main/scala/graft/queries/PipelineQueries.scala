@@ -272,6 +272,33 @@ object PipelineQueries {
         .localCheckpoint()
     })
 
+  // --- t54's persisted sketch cube -----------------------------------
+
+  /** Per-(dataset, session) PERCENTILE CUBE: one corpus pass computes
+    * a kll_sketch struct per l_returnflag cell and lands the cells as
+    * rows of a graft table (sketch-as-data — the struct column rides
+    * the ordinary segment parquet). The t54 query side reads THIS
+    * table, never re-sketching the corpus: the cube's whole point is
+    * that the build scan amortizes over every later percentile query.
+    */
+  private val sketchCubes =
+    new graft.util.BuildOnce[org.apache.spark.sql.DataFrame]
+
+  private def sketchCubeFor(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    sketchCubes.getOrElseUpdate(s"$d|${s.sparkContext.applicationId}", {
+      val cells = Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          col("l_extendedprice").cast("double").as("v"))
+        .filter(col("v").isNotNull)
+        .groupBy(col("l_returnflag"))
+        .agg(graft.functions.KllSketch.kllSketch(col("v"), 200).as("sk"))
+      val root = graft.util.RunRoot.under(
+        s"graft_tables/${d.replace('/', '_')}/sketch_cube")
+      val t = graft.table.SegmentedTable.fresh(s, root, cells.schema)
+      t.load(cells)
+      t.read()
+    })
+
   // --- fingerprint-once audio hashes (d17) --------------------------
 
   /** Per-(dataset, session) audio-fingerprint table — the audio twin
@@ -1732,6 +1759,25 @@ object PipelineQueries {
       graft.functions.KllQuantiles.exactQuantilesByGroup(
         Tables.lineitem(s, d), "l_returnflag", "l_extendedprice",
         Seq(500000L, 950000L))),
+
+    // text/stats: PRE-AGGREGATED PERCENTILE CUBE — per-cell
+    // (l_returnflag) kll_sketch structs are computed once and
+    // PERSISTED as ordinary rows in a graft table (sketch-as-data:
+    // the struct survives the parquet round trip); the query side
+    // reads the cube, folds the cells with kll_merge (O(cells·k·log),
+    // no corpus rescan — the bound sums additively), and pays the
+    // corpus only for the exact bracket recount. Same exactness
+    // contract and oracle family as t52: the answer is the true
+    // order statistic, zero sketch knowledge in the oracle.
+    "t54_sketch_cube" -> ((s, d) => {
+      val cube = sketchCubeFor(s, d)
+      val merged = cube.agg(
+        graft.functions.KllSketch.kllMerge(col("sk"), 200).as("sk"))
+        .collect()(0).getStruct(0)
+      graft.functions.KllQuantiles.exactQuantilesFromSketch(
+        Tables.lineitem(s, d), "l_extendedprice", merged,
+        Seq(250000L, 750000L))
+    }),
 
     // text: BPE merge APPLY — segment the corpus with t41's learned
     // merge table and report per-doc BPE token counts (the
@@ -3807,6 +3853,21 @@ object PipelineQueries {
             WHERE l_extendedprice IS NOT NULL),
           n AS (SELECT COUNT(*) AS n FROM v),
           q AS (SELECT unnest([500000, 900000, 990000]) AS q),
+          t AS (SELECT q, GREATEST(1, (q * n.n + 999999) // 1000000) AS rk
+            FROM q, n),
+          s AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v)
+          SELECT CAST(t.q AS BIGINT) AS pct_ppm,
+            (SELECT CAST(n AS BIGINT) FROM n) AS n_rows,
+            CAST(t.rk AS BIGINT) AS rk, s.v AS value
+          FROM t JOIN s ON s.rn = t.rk""",
+
+    // the cube path answers with the SAME exact order statistics a
+    // global sort produces — the oracle needs no sketch knowledge
+    "t54_sketch_cube" ->
+      """WITH v AS (SELECT l_extendedprice AS v FROM lineitem
+            WHERE l_extendedprice IS NOT NULL),
+          n AS (SELECT COUNT(*) AS n FROM v),
+          q AS (SELECT unnest([250000, 750000]) AS q),
           t AS (SELECT q, GREATEST(1, (q * n.n + 999999) // 1000000) AS rk
             FROM q, n),
           s AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v)

@@ -669,6 +669,23 @@ object GraftFunctions {
         }
         graft.functions.KllSketch(exprs(0), k).toAggregateExpression()
       }))
+    e.injectFunction((FunctionIdentifier("kll_merge"),
+      info("kll_merge",
+        "merge STORED kll_sketch structs into one sketch (the " +
+          "percentile-cube read side: per-cell sketches persisted as " +
+          "rows, any cell slice merged in O(cells) with the error " +
+          "bound summing — no corpus rescan)"),
+      exprs => {
+        require(exprs.size == 2, "usage: kll_merge(sketch_struct, k)")
+        val k = exprs(1) match {
+          case e if e.foldable =>
+            String.valueOf(e.eval(
+              org.apache.spark.sql.catalyst.InternalRow.empty)).toInt
+          case other => throw new IllegalArgumentException(
+            s"kll_merge k must be a literal, got $other")
+        }
+        graft.functions.KllMergeSketch(exprs(0), k).toAggregateExpression()
+      }))
   }
 }
 

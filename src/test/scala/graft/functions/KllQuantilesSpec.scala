@@ -251,6 +251,62 @@ class KllQuantilesSpec extends AnyFunSuite {
     assert(e.getMessage.contains("maxGroups"))
   }
 
+  test("kll_merge: stored cube cells round-trip parquet and answer exactly via the merged sketch") {
+    // per-cell sketches persisted to parquet (sketch-as-data), read
+    // back, folded with kll_merge — the merged sketch's bracket must
+    // recount to the same EXACT order statistics as the direct path,
+    // and the merged bound must equal the sum of parts' plus the
+    // merge's own compactions (validity: the property test's bound
+    // check applies to the rebuilt state too)
+    val data = (1 to 4000).map(i =>
+      (s"cell${i % 7}", ((i * 2654435761L) % 99991).toDouble))
+    val df = data.toDF("cell", "x").repartition(11)
+    val cells = df.groupBy(col("cell"))
+      .agg(KllSketch.kllSketch(col("x"), 64).as("sk"))
+    val dir = java.nio.file.Files.createTempDirectory("kll_cube").toString
+    cells.write.mode("overwrite").parquet(dir)
+    val merged = spark.read.parquet(dir)
+      .agg(KllSketch.kllMerge(col("sk"), 64).as("sk"))
+      .collect()(0).getStruct(0)
+    assert(merged.getAs[Long]("n") == 4000L)
+    val pcts = Seq(100000L, 500000L, 999999L)
+    val got = KllQuantiles.exactQuantilesFromSketch(
+      df.withColumnRenamed("x", "v"), "v", merged, pcts)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toMap
+    val sorted = data.map(_._2).sorted
+    val want = pcts.map { q =>
+      val r = math.max(1L, (q * 4000L + 999999L) / 1000000L)
+      q -> sorted((r - 1).toInt)
+    }.toMap
+    assert(got == want)
+    // direct and cube paths agree completely
+    val direct = KllQuantiles.exactQuantiles(
+      df.withColumnRenamed("x", "v"), "v", pcts, k = 64)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toMap
+    assert(direct == want)
+  }
+
+  test("kll_merge: SQL surface works; a non-sketch struct fails loudly at the weight check") {
+    Seq(("a", 1.0), ("a", 2.0), ("b", 9.0)).toDF("g", "x")
+      .createOrReplaceTempView("kllm_src")
+    val merged = spark.sql(
+      """SELECT kll_merge(sk, 16) AS sk FROM
+           (SELECT kll_sketch(CAST(x AS DOUBLE), 16) AS sk
+            FROM kllm_src GROUP BY g)""").collect()(0).getStruct(0)
+    assert(merged.getAs[Long]("n") == 3L)
+    assert(merged.getAs[Double]("mn") == 1.0 && merged.getAs[Double]("mx") == 9.0)
+    // a struct with a non-power-of-two weight is not a sketch
+    val e = intercept[Exception] {
+      spark.sql(
+        """SELECT kll_merge(named_struct(
+             'vs', array(1.0D), 'ws', array(3L), 'err', 0L,
+             'n', 1L, 'mn', 1.0D, 'mx', 1.0D), 16)""").collect()
+    }
+    assert(e.getMessage.contains("power of two") ||
+      Option(e.getCause).exists(_.getMessage.contains("power of two")),
+      s"got: ${e.getMessage}")
+  }
+
   test("empty and all-null inputs return an empty frame, not a crash") {
     val out = KllQuantiles.exactQuantiles(
       Seq.empty[Double].toDF("x"), "x", Seq(500000L))
