@@ -85,6 +85,11 @@ case class KllSketch(
   }
 
   private def add(b: KllBuffer, v: Double): Unit = {
+    // population rule (shared with exactQuantiles*): NaN is excluded —
+    // it enters no meaningful order, and counting it here while the
+    // recount passes exclude it would hand a cube consumer a sketch
+    // whose n disagrees with the population it brackets (ADVICE r16)
+    if (java.lang.Double.isNaN(v)) return
     b.n += 1L
     if (v < b.mn) b.mn = v
     if (v > b.mx) b.mx = v
@@ -236,6 +241,10 @@ object KllSketch {
     var i = 0
     while (i < vs.length) {
       val w = ws(i)
+      require(!java.lang.Double.isNaN(vs(i)),
+        "kll_merge: sketch item is NaN — NaN is excluded from the " +
+          "sketch population (see KllQuantiles population rule); the " +
+          "input is not a valid kll_sketch struct")
       require(w > 0L && (w & (w - 1L)) == 0L,
         s"kll_merge: item weight $w is not a power of two — the input " +
           "is not a kll_sketch struct")
@@ -276,13 +285,23 @@ case class KllMergeSketch(
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case s: StructType
-          if s.fieldNames.sameElements(KllSketch.resultType.fieldNames) =>
+      // field NAMES and TYPES must both match (nullability aside) — a
+      // struct with the right names but e.g. array<int> values would
+      // otherwise pass analysis and ClassCastException inside update()
+      // (ADVICE r16)
+      case s: StructType if s.fields.length == 6 &&
+          s.fields.zip(KllSketch.resultType.fields).forall { case (a, b) =>
+            a.name == b.name && ((a.dataType, b.dataType) match {
+              case (ArrayType(ae, _), ArrayType(be, _)) => ae == be
+              case (at, bt) => at == bt
+            })
+          } =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
           "kll_merge requires a kll_sketch struct " +
-            s"(vs, ws, err, n, mn, mx), got ${other.simpleString}")
+            "(vs array<double>, ws array<bigint>, err bigint, n bigint, " +
+            s"mn double, mx double), got ${other.simpleString}")
     }
 
   override def createAggregationBuffer(): KllBuffer = new KllBuffer
@@ -348,6 +367,19 @@ case class KllMergeSketch(
   * pure integer arithmetic; the answer is the r-th smallest value.
   */
 object KllQuantiles {
+
+  /** r = max(1, ceil(q·n / 10⁶)) without the q·n intermediate: q ≤ 10⁶
+    * and n can be up to ~9.2e18 rows, so the naive product overflows a
+    * Long past n ≈ 9.2e12 (ADVICE r16) and math.max would then
+    * silently hand high-ppm targets rank 1 (the minimum). Splitting
+    * n = a·10⁶ + b keeps every intermediate ≤ n: q·a ≤ n (q/10⁶ ≤ 1)
+    * and q·b < 10¹², and the result itself is ≤ n by the same bound.
+    */
+  private[functions] def rankOf(q: Long, n: Long): Long = {
+    val a = n / 1000000L
+    val b = n % 1000000L
+    math.max(1L, q * a + (q * b + 999999L) / 1000000L)
+  }
 
   /** Per-target recount diagnostics (spec hook): bracket-narrowing
     * iterations, the rows the final per-target window actually sorted
@@ -448,7 +480,7 @@ object KllQuantiles {
                   lastCnt: Option[Long] = None)
 
     var pending: Seq[St] = pcts.map { q =>
-      val r = math.max(1L, (q * n + 999999L) / 1000000L)
+      val r = rankOf(q, n)
       val (lo, hi) = bracketOf(sk.getSeq[Double](0), sk.getSeq[Long](1),
         sk.getAs[Long]("err"), sk.getAs[Double]("mn"),
         sk.getAs[Double]("mx"), r)
@@ -469,8 +501,12 @@ object KllQuantiles {
       */
     def sortFallback(t: St, openCnt: Long): Double = {
       fellBack += t.q
-      val parts = math.max(1, math.min(
-        math.ceil(openCnt.toDouble / sliceBudget.toDouble).toInt, 20000))
+      // no partition-count cap: a cap of P would let a slice larger
+      // than P·sliceBudget sort more than the budget per task (ADVICE
+      // r16). Spark handles large partition counts; saturating toInt
+      // is unreachable (it needs openCnt > 2^31·sliceBudget rows)
+      val parts = math.max(1,
+        math.ceil(openCnt.toDouble / sliceBudget.toDouble).toInt)
       val rr = t.r - t.below
       v.filter(col("v") > lit(t.lo) && col("v") < lit(t.hi))
         .select(col("v")).rdd.map(_.getDouble(0))
@@ -662,7 +698,7 @@ object KllQuantiles {
       val n = sk.getAs[Long]("n")
       if (n == 0L) Nil
       else pcts.map { q =>
-        val r = math.max(1L, (q * n + 999999L) / 1000000L)
+        val r = rankOf(q, n)
         val (lo, hi) = bracketOf(sk.getSeq[Double](0), sk.getSeq[Long](1),
           sk.getAs[Long]("err"), sk.getAs[Double]("mn"),
           sk.getAs[Double]("mx"), r)
@@ -673,8 +709,9 @@ object KllQuantiles {
     val resolved = scala.collection.mutable.ArrayBuffer.empty[(St, Double)]
 
     def sortFallback(t: St, openCnt: Long): Double = {
-      val parts = math.max(1, math.min(
-        math.ceil(openCnt.toDouble / sliceBudget.toDouble).toInt, 20000))
+      // uncapped for the same reason as the global variant's fallback
+      val parts = math.max(1,
+        math.ceil(openCnt.toDouble / sliceBudget.toDouble).toInt)
       val rr = t.r - t.below
       v.filter(col("g") === lit(t.g) &&
           col("v") > lit(t.lo) && col("v") < lit(t.hi))

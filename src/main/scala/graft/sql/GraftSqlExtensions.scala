@@ -782,14 +782,23 @@ object GraftCatalog {
     * dialect parser uses this to claim ANSI UPDATE/MERGE statements on
     * ANY graft catalog's identifiers (scoped roots included) while
     * leaving every other catalog's statements to the delegate. The
-    * name `graft` is claimed unconditionally — it is this engine's
-    * documented catalog name.
+    * name `graft` (the engine's documented catalog name) is claimed
+    * when `spark.sql.catalog.graft` is unset OR bound to this plugin —
+    * but NOT when the user bound that name to a different plugin, or
+    * when `graft` is merely a database in the session catalog with no
+    * catalog conf at all either way the delegate must see the
+    * statement (ADVICE r16). Unset + bare name still claims: the
+    * plugin self-registers the `graft` name lazily on first use.
     */
-  private[sql] def isGraftCatalog(spark: SparkSession, cat: String): Boolean =
-    cat.equalsIgnoreCase("graft") ||
-      Seq(cat, cat.toLowerCase(java.util.Locale.ROOT)).distinct.exists(c =>
-        spark.conf.getOption(s"spark.sql.catalog.$c")
-          .contains(classOf[GraftCatalogPlugin].getName))
+  private[sql] def isGraftCatalog(spark: SparkSession, cat: String): Boolean = {
+    def boundHere(c: String): Option[Boolean] =
+      spark.conf.getOption(s"spark.sql.catalog.$c")
+        .map(_ == classOf[GraftCatalogPlugin].getName)
+    val bindings =
+      Seq(cat, cat.toLowerCase(java.util.Locale.ROOT)).distinct.flatMap(boundHere)
+    if (bindings.nonEmpty) bindings.contains(true)
+    else cat.equalsIgnoreCase("graft")
+  }
 
   /** The store root catalog `cat` resolves against: its `root` option
     * when scoped, the session-wide store otherwise (mirrors

@@ -331,6 +331,61 @@ class KllQuantilesSpec extends AnyFunSuite {
     assert(r.getDouble(1) == xs.min && r.getDouble(2) == xs.max)
   }
 
+  test("rank arithmetic survives populations past the q*n Long-overflow bound") {
+    // ADVICE r16: (q*n + 999999)/1e6 overflows a Long once n exceeds
+    // ~9.2e12 at q=1e6, and math.max then silently returned rank 1 —
+    // the MINIMUM — for the highest-ppm targets. The split form must
+    // agree with BigInt ceiling division everywhere, overflow regime
+    // included, up to n = Long.MaxValue rows.
+    val ns = Seq(1L, 999999L, 1000000L, 9214364837600034815L,
+      Long.MaxValue, 10000000000000L, 9223372036854775L * 1000L)
+    val qs = Seq(1L, 250000L, 500000L, 999999L, 1000000L)
+    for (n <- ns; q <- qs) {
+      val want = (BigInt(q) * BigInt(n) + 999999) / 1000000
+      val wantL = want.max(1).toLong
+      assert(KllQuantiles.rankOf(q, n) == wantL, s"q=$q n=$n")
+      assert(KllQuantiles.rankOf(q, n) <= n || n == 0L, s"rank must be <= n")
+    }
+  }
+
+  test("the kll_sketch aggregate itself skips NaN — cube sketches match the recount population") {
+    // ADVICE r16: kll_sketch used to count NaN into n (but not mn/mx)
+    // while the recount passes exclude NaN — a cube built via SQL over
+    // NaN-carrying data would hand exactQuantilesFromSketch a sketch
+    // whose n disagrees with the population it brackets
+    val data = (1 to 50).map(_.toDouble) ++ Seq.fill(20)(Double.NaN)
+    import spark.implicits._
+    val sk = data.toDF("x")
+      .agg(KllSketch.kllSketch(col("x"), 16).as("s"))
+      .selectExpr("s.n", "s.mn", "s.mx").head()
+    assert(sk.getLong(0) == 50L, s"NaN must not enter n, got ${sk.getLong(0)}")
+    assert(sk.getDouble(1) == 1.0 && sk.getDouble(2) == 50.0)
+    // and the cube path over NaN data answers exactly (bracket
+    // invariant intact because sketch n == recount population)
+    val merged = data.toDF("x")
+      .agg(KllSketch.kllSketch(col("x"), 16).as("s"))
+      .collect()(0).getStruct(0)
+    val got = KllQuantiles.exactQuantilesFromSketch(
+      data.toDF("v"), "v", merged, Seq(999999L))
+      .collect()(0)
+    assert(got.getLong(1) == 50L && got.getDouble(3) == 50.0)
+  }
+
+  test("kll_merge rejects a struct with matching names but wrong field types at analysis") {
+    // ADVICE r16: name-only validation let array<int> values through
+    // to a runtime ClassCastException inside update()
+    val e = intercept[Exception] {
+      spark.sql(
+        """SELECT kll_merge(named_struct(
+             'vs', array(1), 'ws', array(1L), 'err', 0L,
+             'n', 1L, 'mn', 1.0D, 'mx', 1.0D), 16)""").collect()
+    }
+    assert(e.getMessage.contains("kll_merge") ||
+      e.getMessage.toLowerCase.contains("data type"),
+      s"expected an analysis-time type error, got: ${e.getMessage}")
+    assert(!e.isInstanceOf[ClassCastException])
+  }
+
   test("non-double input fails analysis, not at runtime") {
     val e = intercept[Exception] {
       Seq("a").toDF("s").agg(KllSketch.kllSketch(col("s"), 16)).collect()

@@ -1020,6 +1020,34 @@ class GraftSqlSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.default.ansi_mrg")
   }
 
+  test("a graft-NAMED catalog bound to another plugin is not hijacked by the dialect") {
+    // ADVICE r16: the literal name `graft` used to be claimed
+    // unconditionally — an ANSI UPDATE/MERGE on a `graft` catalog the
+    // user bound to a DIFFERENT plugin was hijacked by the dialect
+    // parser and failed at openIn instead of reaching the delegate.
+    // Parsing never instantiates the catalog, so rebinding the conf
+    // for the duration of the parse is safe.
+    val key = "spark.sql.catalog.graft"
+    val orig = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "org.example.SomeOtherCatalogPlugin")
+      val up = spark.sessionState.sqlParser.parsePlan(
+        "UPDATE graft.default.t SET a = 1 WHERE b = 2")
+      assert(up.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.UpdateTable],
+        s"foreign-bound graft catalog UPDATE must reach the delegate, got ${up.getClass}")
+      val mg = spark.sessionState.sqlParser.parsePlan(
+        "MERGE INTO graft.default.t t USING s ON t.k = s.k " +
+          "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+      assert(mg.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable],
+        s"foreign-bound graft catalog MERGE must reach the delegate, got ${mg.getClass}")
+    } finally spark.conf.set(key, orig)
+    // bound back to this plugin (the normal state), the claim holds
+    val claimed = spark.sessionState.sqlParser.parsePlan(
+      "UPDATE graft.default.t SET a = 1 WHERE b = 2")
+    assert(claimed.isInstanceOf[AnsiUpdateGraftRowsCommand],
+      s"got ${claimed.getClass}")
+  }
+
   test("per-catalog root option: two graft catalogs over disjoint stores coexist") {
     // the `spark.sql.catalog.<name>.root` option pins a catalog
     // instance to its own store — the same table NAME resolves to
