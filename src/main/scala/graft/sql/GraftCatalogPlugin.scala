@@ -194,12 +194,12 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces {
   }
 
   override def dropTable(ident: Identifier): Boolean =
-    nsOk(ident.namespace) && reachable(ident) && {
-      TableIO.delete(new Path(pathFor(ident)))
-      GraftCatalog.forgetTablePath(pathFor(ident))
-      GraftCatalog.dropNameEntry(store, ident.name)
-      true
-    }
+    // resolution + delete + memo-invalidate + name-map pruning run as
+    // ONE critical section under the store's name-map lock, so a
+    // concurrent RENAME can never redirect the drop or resurrect the
+    // dropped entry (r16 verdict; fuzz-pinned in ConcurrencySpec)
+    nsOk(ident.namespace) &&
+      GraftCatalog.dropTableUnderLock(store, ident.name, lax = false)
 
   /** RENAME via the store-root name indirection (`_names.json`): the
     * LOGICAL name remaps; the physical segment directory — the path

@@ -745,21 +745,83 @@ object GraftCatalog {
     }
   }
 
+  /** One store-root lease/file lock serializing every name-map
+    * MUTATOR (rename, drop) — without it, a rename racing a
+    * concurrent dropTable could re-write the dropped table's entry
+    * from its pre-drop read, leaving a logical name mapped to a
+    * deleted directory that silently shadows the dir name for future
+    * CREATEs (r16 verdict). Readers stay lock-free: they see either
+    * the old or the new atomically-renamed `_names.json`.
+    */
+  private def withNamesLock[T](store: String)(f: => T): T =
+    graft.table.MetadataLock.forPath(new org.apache.hadoop.fs.Path(store))
+      .withExclusive(new org.apache.hadoop.fs.Path(store, "_names.lock"))(f)
+
   /** Remap `from` to name `to` (same directory). `to == the physical
     * dir name` folds back to identity, keeping the map minimal.
+    * Runs under the store's name-map lock and re-verifies the source
+    * directory still exists INSIDE it, so a rename interleaving with
+    * a drop fails loudly instead of resurrecting the dropped entry.
     */
-  private[sql] def renameEntry(store: String, from: String, to: String): Unit = {
-    val m = nameMap(store)
-    val dir = m.getOrElse(from, from)
-    writeNameMap(store,
-      if (dir == to) m - from else (m - from) + (to -> dir))
-  }
+  private[sql] def renameEntry(store: String, from: String, to: String): Unit =
+    withNamesLock(store) {
+      val m = nameMap(store)
+      // STRICT re-resolution inside the lock: `from` must still be a
+      // live logical name (not claimed by a concurrent rename) and its
+      // directory must still exist (not dropped concurrently) — both
+      // interleaves fail loudly here instead of writing a dangling or
+      // duplicate mapping
+      val dir = m.get(from)
+        .orElse(if (m.valuesIterator.contains(from)) None else Some(from))
+        .getOrElse(throw new IllegalArgumentException(
+          s"cannot rename '$from': the name no longer resolves " +
+            "(renamed concurrently?)"))
+      require(SegmentedTable.exists(s"$store/$dir"),
+        s"cannot rename '$from': its table directory '$dir' is gone " +
+          "(dropped concurrently?)")
+      writeNameMap(store,
+        if (dir == to) m - from else (m - from) + (to -> dir))
+    }
 
   /** Drop a logical name's mapping entry (table dropped). */
-  private[sql] def dropNameEntry(store: String, name: String): Unit = {
-    val m = nameMap(store)
-    if (m.contains(name)) writeNameMap(store, m - name)
-  }
+  private[sql] def dropNameEntry(store: String, name: String): Unit =
+    withNamesLock(store) {
+      val m = nameMap(store)
+      if (m.contains(name)) writeNameMap(store, m - name)
+    }
+
+  /** The dropTable sequence — name RE-RESOLUTION, directory delete,
+    * browse-memo invalidation, name-map pruning — as ONE critical
+    * section under the name-map lock. Resolution must happen INSIDE
+    * the lock: the fuzz (ConcurrencySpec) proved a rename committing
+    * between a caller's visibility check and the delete would
+    * otherwise leave the renamed entry mapped to the deleted dir.
+    * `lax` selects the dialect's path-style resolution (claimed dir
+    * names still resolve) vs the V2 catalog's strict logical names;
+    * either way EVERY map entry pointing at the deleted directory is
+    * pruned, so no drop can strand a dangling name. Returns false
+    * when the name no longer resolves (lost the race — nothing
+    * deleted).
+    */
+  private[sql] def dropTableUnderLock(store: String, name: String,
+                                      lax: Boolean): Boolean =
+    withNamesLock(store) {
+      val m = nameMap(store)
+      val dirOpt =
+        if (lax) Some(m.getOrElse(name, name))
+        else m.get(name).orElse(
+          if (m.valuesIterator.contains(name)) None else Some(name))
+      dirOpt.map(d => d -> s"$store/$d")
+        .filter { case (_, p) => isTablePath(p) } match {
+        case Some((dir, path)) =>
+          TableIO.delete(new org.apache.hadoop.fs.Path(path))
+          forgetTablePath(path)
+          val pruned = m.filterNot { case (k, v) => k == name || v == dir }
+          if (pruned != m) writeNameMap(store, pruned)
+          true
+        case None => false
+      }
+    }
 
   /** Path-style resolution honoring renames. NOTE the documented
     * laxness: a rename-CLAIMED physical dir name still resolves to
@@ -1898,8 +1960,11 @@ case class DropGraftTableCommand(name: String, ifExists: Boolean = true)
         s"cube/table $name does not exist at $path (use IF EXISTS for " +
           "an idempotent drop)")
     }
-    graft.table.TableIO.delete(new org.apache.hadoop.fs.Path(path))
-    GraftCatalog.forgetTablePath(path) // keep the browse memo honest
+    // same single critical section as the V2 catalog's dropTable —
+    // re-resolve + delete + memo + name-map pruning under the store's
+    // name-map lock (lax path-style resolution, the dialect contract)
+    GraftCatalog.dropTableUnderLock(GraftCatalog.storeRoot(spark), name,
+      lax = true)
     // the temp view CREATE/LOAD registered must not outlive the table:
     // a later query through it would read deleted files (or stale
     // cache) instead of failing with TABLE_OR_VIEW_NOT_FOUND

@@ -296,6 +296,66 @@ class ConcurrencySpec extends AnyFunSuite {
     }
   }
 
+  test("name-map fuzz: concurrent rename/drop/create never leave a name mapped to a missing dir") {
+    // r16 verdict: an UNLOCKED rename racing a dropTable could re-write
+    // the dropped entry from its pre-drop read — a logical name mapped
+    // to a deleted directory, silently shadowing the dir name for
+    // future CREATEs. The mutators now share one store-root lock and
+    // rename re-verifies source liveness inside it; this fuzz drives
+    // the exact interleave 40 rounds × 3 tables and checks the
+    // invariant after every round.
+    val store = Files.createTempDirectory("graft_namefuzz").toString
+    val cat = "fuzzcat"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalogPlugin")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", store)
+    val pool = Executors.newFixedThreadPool(6)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    (1 to 40).foreach { round =>
+      val names = (0 until 3).map(i => s"t${round}_$i")
+      names.foreach(n =>
+        spark.sql(s"CREATE TABLE $cat.default.$n (k INT) USING graft"))
+      // per table: one renamer and one dropper race; either outcome
+      // (rename-then-drop of the new name is a no-op drop of the old
+      // name; drop-then-rename fails the liveness check) is legal —
+      // a DANGLING MAP ENTRY is not
+      val ops = names.flatMap { n =>
+        Seq(
+          Future {
+            try spark.sql(
+              s"ALTER TABLE $cat.default.$n RENAME TO default.${n}_r")
+            catch { case _: Exception => () }
+          },
+          Future {
+            try spark.sql(s"DROP TABLE IF EXISTS $cat.default.$n")
+            catch { case _: Exception => () }
+          })
+      }
+      Await.result(Future.sequence(ops), 120.seconds)
+      // invariant: every surviving mapping resolves to a live dir
+      // (nameMap is private[sql]; the on-disk _names.json IS the map)
+      val namesFile = java.nio.file.Paths.get(store, "_names.json")
+      val mapped: Map[String, String] =
+        if (!java.nio.file.Files.exists(namesFile)) Map.empty
+        else org.json4s.jackson.JsonMethods.parse(
+          new String(java.nio.file.Files.readAllBytes(namesFile))) match {
+          case org.json4s.JObject(fields) =>
+            fields.collect { case (k, org.json4s.JString(v)) => k -> v }.toMap
+          case _ => Map.empty
+        }
+      mapped.foreach { case (name, dir) =>
+        assert(SegmentedTable.exists(s"$store/$dir"),
+          s"round $round: '$name' maps to missing dir '$dir'")
+      }
+      // and every listed table actually loads
+      spark.sql(s"SHOW TABLES IN $cat.default").collect().map(_.getString(1))
+        .foreach(n => spark.table(s"$cat.default.$n").schema)
+      // cleanup survivors so the store stays small
+      spark.sql(s"SHOW TABLES IN $cat.default").collect().map(_.getString(1))
+        .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $cat.default.$n"))
+    }
+    pool.shutdown()
+  }
+
   test("partitioned load co-locates keys per file") {
     val root = Files.createTempDirectory("graft_part").resolve("t").toString
     val li = spark.read.parquet(s"${TestSpark.sf}/lineitem.parquet")
