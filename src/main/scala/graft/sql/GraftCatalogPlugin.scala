@@ -64,30 +64,51 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces {
   private def store: String =
     rootOverride.getOrElse(GraftCatalog.storeRoot(spark))
 
-  /** Strict logical-name resolution (honors RENAME's name→dir
-    * indirection; a rename-claimed physical dir name does NOT
-    * resolve). Falls back to the identity path for error messages and
-    * the not-exists checks.
+  /** The single-level namespace name an identifier's namespace array
+    * resolves to, None when it names no EXISTING namespace (deeper
+    * nesting included — the store layout is `store/<ns>/<table>`,
+    * one level, like the reference's `storePath/<db>/<table>`).
     */
-  private def pathFor(ident: Identifier): String =
-    GraftCatalog.resolvedPath(store, ident.name)
-      .getOrElse(s"$store/${ident.name}")
+  private def nsNameOpt(ns: Array[String]): Option[String] = ns match {
+    case Array() => Some("default")
+    case Array(one) if GraftCatalog.namespaceExists(store, one) => Some(one)
+    case _ => None
+  }
+
+  /** The directory `ident`'s namespace maps to (the store root for
+    * `default`, `store/<ns>` otherwise).
+    */
+  private def nsRootFor(ident: Identifier): String =
+    GraftCatalog.nsRootOf(store,
+      nsNameOpt(ident.namespace)
+        .getOrElse(throw new NoSuchTableException(ident)))
+
+  /** Strict logical-name resolution (honors RENAME's name→dir
+    * indirection, per namespace; a rename-claimed physical dir name
+    * does NOT resolve). Falls back to the identity path for error
+    * messages and the not-exists checks.
+    */
+  private def pathFor(ident: Identifier): String = {
+    val r = nsRootFor(ident)
+    GraftCatalog.resolvedPath(r, ident.name).getOrElse(s"$r/${ident.name}")
+  }
 
   private def reachable(ident: Identifier): Boolean =
-    GraftCatalog.resolvedPath(store, ident.name)
-      .exists(GraftCatalog.isTablePath)
+    nsNameOpt(ident.namespace).exists { ns =>
+      val r = GraftCatalog.nsRootOf(store, ns)
+      GraftCatalog.resolvedPath(r, ident.name).exists(GraftCatalog.isTablePath)
+    }
 
   private val DefaultNs = Array("default")
-  private def nsOk(ns: Array[String]): Boolean =
-    ns.isEmpty || ns.sameElements(DefaultNs)
 
   override def defaultNamespace(): Array[String] = DefaultNs
 
   // ---- TableCatalog -------------------------------------------------
 
   override def listTables(ns: Array[String]): Array[Identifier] = {
-    if (!nsOk(ns)) throw new NoSuchNamespaceException(ns)
-    val root = new Path(store)
+    val nsName = nsNameOpt(ns).getOrElse(throw new NoSuchNamespaceException(ns))
+    val nsRoot = GraftCatalog.nsRootOf(store, nsName)
+    val root = new Path(nsRoot)
     if (!TableIO.exists(root)) Array.empty
     else {
       // list LOGICAL names: a rename-claimed dir shows under the name
@@ -95,22 +116,24 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces {
       // table check rides the positive memo (GraftCatalog.isTablePath)
       // so a large store costs ONE listing, not a stat per table; the
       // prune drops memo entries whose dir vanished out-of-band.
-      val logical = GraftCatalog.nameMap(store).map(_.swap)
+      // Namespace dirs under the default root carry no table meta, so
+      // the same check excludes them from the default listing.
+      val logical = GraftCatalog.nameMap(nsRoot).map(_.swap)
       val dirs = TableIO.listStatus(root)
         .filter(_.isDirectory)
         .map(_.getPath)
-      GraftCatalog.pruneTablePaths(store, dirs.map(_.getName).toSet)
+      GraftCatalog.pruneTablePaths(nsRoot, dirs.map(_.getName).toSet)
       dirs
         .filter(p => GraftCatalog.isTablePath(p.toString))
-        .map(p => Identifier.of(DefaultNs, logical.getOrElse(p.getName, p.getName)))
+        .map(p => Identifier.of(Array(nsName),
+          logical.getOrElse(p.getName, p.getName)))
         .sortBy(_.name)
         .toArray
     }
   }
 
   override def loadTable(ident: Identifier): Table = {
-    if (!nsOk(ident.namespace) || !reachable(ident))
-      throw new NoSuchTableException(ident)
+    if (!reachable(ident)) throw new NoSuchTableException(ident)
     new GraftV2Table(ident, pathFor(ident), catalogPluginName = catalogName)
   }
 
@@ -120,8 +143,7 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces {
     * travel to identical snapshots.
     */
   override def loadTable(ident: Identifier, version: String): Table = {
-    if (!nsOk(ident.namespace) || !reachable(ident))
-      throw new NoSuchTableException(ident)
+    if (!reachable(ident)) throw new NoSuchTableException(ident)
     val v = version.toLongOption.getOrElse(throw new IllegalArgumentException(
       s"graft catalog: VERSION AS OF expects a numeric catalog " +
         s"version, got '$version'"))
@@ -133,8 +155,7 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces {
     * [[SegmentedTable.versionAsOfTimestamp]]).
     */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
-    if (!nsOk(ident.namespace) || !reachable(ident))
-      throw new NoSuchTableException(ident)
+    if (!reachable(ident)) throw new NoSuchTableException(ident)
     val t = SegmentedTable.open(spark, pathFor(ident))
     val v = t.versionAsOfTimestamp(timestampMicros / 1000L)
     new GraftV2Table(ident, pathFor(ident), Some(v), catalogPluginName = catalogName)
@@ -143,17 +164,37 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces {
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
-    if (!nsOk(ident.namespace)) throw new NoSuchNamespaceException(ident.namespace)
+    val nsName = nsNameOpt(ident.namespace)
+      .getOrElse(throw new NoSuchNamespaceException(ident.namespace))
     if (SegmentedTable.exists(pathFor(ident)))
       throw new TableAlreadyExistsException(ident)
-    require(partitions.isEmpty,
-      "graft catalog: PARTITIONED BY transforms are not supported — " +
-        "use the partition_columns table property (bucketed layout)")
+    if (nsName == "default" &&
+        GraftCatalog.namespaceExists(store, ident.name))
+      throw new IllegalArgumentException(
+        s"graft catalog: cannot create table '${ident.name}' in the " +
+          "default namespace — a namespace of that name exists")
+    // identity PARTITIONED BY transforms map to the engine's
+    // partition_columns bucketed layout (the g03 co-location
+    // machinery) — the boilerplate `CREATE TABLE ... PARTITIONED BY
+    // (k)` any tool emits works; non-identity transforms (bucket,
+    // days, ...) have no layout equivalent and fail loudly
+    val partCols = partitions.map {
+      case t if t.name == "identity" && t.references.length == 1 &&
+          t.references.head.fieldNames.length == 1 =>
+        t.references.head.fieldNames.head
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: unsupported partition transform '$other' — " +
+          "only identity transforms (PARTITIONED BY (col, ...)) map " +
+          "to the engine's co-located bucketed layout")
+    }
     // Spark stuffs engine bookkeeping (provider/location/owner) into
     // the property map; only user properties reach the table
     val props = properties.asScala.toMap --
       Seq("provider", "location", "owner", "comment", "external")
-    SegmentedTable.create(spark, pathFor(ident), schema, props)
+    val withParts =
+      if (partCols.isEmpty) props
+      else props + ("partition_columns" -> partCols.mkString(","))
+    SegmentedTable.create(spark, pathFor(ident), schema, withParts)
     loadTable(ident)
   }
 
@@ -167,8 +208,7 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces {
     util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
-    if (!nsOk(ident.namespace) || !reachable(ident))
-      throw new NoSuchTableException(ident)
+    if (!reachable(ident)) throw new NoSuchTableException(ident)
     var t = SegmentedTable.open(spark, pathFor(ident))
     changes.foreach {
       case add: TableChange.AddColumn =>
@@ -195,11 +235,12 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces {
 
   override def dropTable(ident: Identifier): Boolean =
     // resolution + delete + memo-invalidate + name-map pruning run as
-    // ONE critical section under the store's name-map lock, so a
+    // ONE critical section under the namespace's name-map lock, so a
     // concurrent RENAME can never redirect the drop or resurrect the
     // dropped entry (r16 verdict; fuzz-pinned in ConcurrencySpec)
-    nsOk(ident.namespace) &&
-      GraftCatalog.dropTableUnderLock(store, ident.name, lax = false)
+    nsNameOpt(ident.namespace).exists(ns =>
+      GraftCatalog.dropTableUnderLock(
+        GraftCatalog.nsRootOf(store, ns), ident.name, lax = false))
 
   /** RENAME via the store-root name indirection (`_names.json`): the
     * LOGICAL name remaps; the physical segment directory — the path
@@ -209,10 +250,20 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces {
     * name folds the entry away again.
     */
   override def renameTable(from: Identifier, to: Identifier): Unit = {
-    if (!nsOk(from.namespace) || !reachable(from))
-      throw new NoSuchTableException(from)
-    if (!nsOk(to.namespace)) throw new NoSuchNamespaceException(to.namespace)
-    val m = GraftCatalog.nameMap(store)
+    if (!reachable(from)) throw new NoSuchTableException(from)
+    val fromNs = nsNameOpt(from.namespace).get
+    val toNs = nsNameOpt(to.namespace)
+      .getOrElse(throw new NoSuchNamespaceException(to.namespace))
+    // renames stay WITHIN a namespace: the name→dir indirection is
+    // per-namespace, and a cross-namespace "rename" would really be a
+    // physical move of the segment directory (breaking the MV and
+    // checkpoint paths the indirection exists to preserve)
+    if (fromNs != toNs)
+      throw new UnsupportedOperationException(
+        s"graft catalog: cross-namespace rename ($fromNs → $toNs) is " +
+          "not supported — CTAS into the target namespace instead")
+    val nsRoot = GraftCatalog.nsRootOf(store, fromNs)
+    val m = GraftCatalog.nameMap(nsRoot)
     val fromDir = m.getOrElse(from.name, from.name)
     // the target conflicts when another LOGICAL table answers to it:
     // a mapped name, a dir claimed by a different entry, or an
@@ -222,40 +273,67 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces {
       m.contains(to.name) ||
         (m.valuesIterator.contains(to.name) && to.name != fromDir) ||
         (!m.valuesIterator.contains(to.name) &&
-          SegmentedTable.exists(s"$store/${to.name}") && to.name != fromDir)
+          SegmentedTable.exists(s"$nsRoot/${to.name}") && to.name != fromDir)
     if (toTaken && to.name != from.name)
       throw new TableAlreadyExistsException(to)
-    GraftCatalog.renameEntry(store, from.name, to.name)
+    GraftCatalog.renameEntry(nsRoot, from.name, to.name)
   }
 
-  // ---- SupportsNamespaces (single fixed namespace) -------------------
+  // ---- SupportsNamespaces --------------------------------------------
+  // Namespaces are store-root subdirectories with a `_ns.json` marker
+  // (reference store layout: storePath/<db>/<table>); `default` is the
+  // root itself and always exists. Single level, like the reference's
+  // schema.cube two-part names.
 
-  override def listNamespaces(): Array[Array[String]] = Array(DefaultNs)
+  override def listNamespaces(): Array[Array[String]] =
+    GraftCatalog.listNamespaceNames(store).map(Array(_)).toArray
 
   override def listNamespaces(ns: Array[String]): Array[Array[String]] =
     if (ns.isEmpty) listNamespaces()
-    else if (nsOk(ns)) Array.empty
+    else if (nsNameOpt(ns).isDefined) Array.empty // no nesting below level 1
     else throw new NoSuchNamespaceException(ns)
 
-  override def namespaceExists(ns: Array[String]): Boolean = nsOk(ns)
+  override def namespaceExists(ns: Array[String]): Boolean =
+    nsNameOpt(ns).isDefined
 
   override def loadNamespaceMetadata(ns: Array[String]): util.Map[String, String] =
-    if (nsOk(ns)) util.Collections.emptyMap()
-    else throw new NoSuchNamespaceException(ns)
+    nsNameOpt(ns) match {
+      case Some(n) => GraftCatalog.namespaceMetadata(store, n).asJava
+      case None => throw new NoSuchNamespaceException(ns)
+    }
 
   override def createNamespace(ns: Array[String],
-                               metadata: util.Map[String, String]): Unit =
-    throw new UnsupportedOperationException(
-      "graft catalog: the namespace set is fixed to 'default'")
+                               metadata: util.Map[String, String]): Unit = {
+    require(ns.length == 1,
+      s"graft catalog: namespaces are single-level, got ${ns.mkString(".")}")
+    if (nsNameOpt(ns).isDefined)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NamespaceAlreadyExistsException(ns)
+    GraftCatalog.createNamespace(store, ns.head,
+      metadata.asScala.toMap - "owner")
+  }
 
   override def alterNamespace(ns: Array[String],
-                              changes: NamespaceChange*): Unit =
-    throw new UnsupportedOperationException(
-      "graft catalog: the namespace set is fixed to 'default'")
+                              changes: NamespaceChange*): Unit = {
+    val n = nsNameOpt(ns).getOrElse(throw new NoSuchNamespaceException(ns))
+    require(n != "default",
+      "graft catalog: the default namespace carries no metadata")
+    val sets = changes.collect {
+      case s: NamespaceChange.SetProperty => s.property -> s.value
+    }.toMap
+    val unsets = changes.collect {
+      case r: NamespaceChange.RemoveProperty => r.property
+    }
+    GraftCatalog.alterNamespaceMetadata(store, n, sets, unsets)
+  }
 
   override def dropNamespace(ns: Array[String], cascade: Boolean): Boolean =
-    throw new UnsupportedOperationException(
-      "graft catalog: the namespace set is fixed to 'default'")
+    nsNameOpt(ns) match {
+      case Some("default") => throw new UnsupportedOperationException(
+        "graft catalog: the default namespace cannot be dropped")
+      case Some(n) => GraftCatalog.dropNamespace(store, n, cascade)
+      case None => false
+    }
 }
 
 /** A graft table surfaced through the V2 catalog.
@@ -311,6 +389,15 @@ private[sql] class GraftV2Table(ident: Identifier, tablePath: String,
   override def properties(): util.Map[String, String] =
     open().properties.asJava
 
+  /** The engine's partition_columns layout surfaced as identity
+    * transforms, so DESCRIBE/SHOW CREATE and catalog browsers see the
+    * co-location contract `CREATE TABLE ... PARTITIONED BY` declared.
+    */
+  override def partitioning(): Array[Transform] =
+    open().partitionColumns.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c))
+      .toArray
+
   /** The V1 face of this table, consulted ONLY on streaming paths
     * (readStream.table resolution and DataStreamWriter.toTable):
     * provider `graft` + the table path, so the fallback lands in
@@ -325,7 +412,8 @@ private[sql] class GraftV2Table(ident: Identifier, tablePath: String,
     import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTableType}
     CatalogTable(
       identifier = org.apache.spark.sql.catalyst.TableIdentifier(
-        ident.name, Some("default"), Some(catalogPluginName)),
+        ident.name, ident.namespace.lastOption.orElse(Some("default")),
+        Some(catalogPluginName)),
       tableType = CatalogTableType.EXTERNAL,
       storage = CatalogStorageFormat.empty.copy(
         locationUri = Some(new Path(tablePath).toUri)),

@@ -745,6 +745,108 @@ object GraftCatalog {
     }
   }
 
+  // ---- namespaces -----------------------------------------------------
+  // Reference parity: CarbonMetastoreCatalog resolves
+  // `schemaName.cubeName` and lays the store out as
+  // `storePath/<db>/<table>` (CarbonMetastoreCatalog.scala:137-182;
+  // SURVEY §1.3). Same layout here: a non-default namespace IS a
+  // store-root subdirectory carrying a `_ns.json` marker (metadata
+  // map); `default` is the store root itself, so every pre-namespace
+  // table stays exactly where it was. Each namespace owns its own
+  // `_names.json` rename indirection and browse memo — per-namespace
+  // isolation falls out of passing the namespace root wherever a
+  // store root was passed before.
+
+  private val NsMarker = "_ns.json"
+
+  /** The directory a namespace's tables live in. */
+  private[sql] def nsRootOf(store: String, ns: String): String =
+    if (ns == "default") store else s"$store/$ns"
+
+  private[sql] def namespaceExists(store: String, ns: String): Boolean =
+    ns == "default" ||
+      TableIO.exists(new org.apache.hadoop.fs.Path(s"$store/$ns/$NsMarker"))
+
+  private[sql] def listNamespaceNames(store: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(store)
+    val marked =
+      if (!TableIO.exists(root)) Nil
+      else TableIO.listStatus(root).filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .filter(n => TableIO.exists(
+          new org.apache.hadoop.fs.Path(s"$store/$n/$NsMarker")))
+    ("default" +: marked).distinct.sorted
+  }
+
+  private[sql] def namespaceMetadata(store: String, ns: String)
+      : Map[String, String] = {
+    if (ns == "default") return Map.empty
+    val p = new org.apache.hadoop.fs.Path(s"$store/$ns/$NsMarker")
+    if (!TableIO.exists(p)) Map.empty
+    else org.json4s.jackson.JsonMethods.parse(TableIO.readString(p)) match {
+      case org.json4s.JObject(fields) =>
+        fields.collect { case (k, org.json4s.JString(v)) => k -> v }.toMap
+      case _ => Map.empty
+    }
+  }
+
+  private[sql] def createNamespace(store: String, ns: String,
+                                   metadata: Map[String, String]): Unit = {
+    require(ns.nonEmpty && ns != "default" &&
+        ns.forall(c => c.isLetterOrDigit || c == '_'),
+      s"invalid namespace name '$ns' (letters, digits, underscore)")
+    // a table directory of the same name would make `store/<ns>`
+    // ambiguous between the default namespace's table and this
+    // namespace — refuse the collision up front
+    require(!SegmentedTable.exists(s"$store/$ns"),
+      s"cannot create namespace '$ns': a table of that name exists " +
+        "in the default namespace")
+    TableIO.writeStringAtomic(
+      new org.apache.hadoop.fs.Path(s"$store/$ns/$NsMarker"),
+      org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(org.json4s.JObject(
+          metadata.toList.map { case (k, v) =>
+            k -> (org.json4s.JString(v): org.json4s.JValue)
+          }))))
+  }
+
+  private[sql] def alterNamespaceMetadata(store: String, ns: String,
+      set: Map[String, String], unset: Seq[String]): Unit = {
+    val next = namespaceMetadata(store, ns) ++ set -- unset
+    TableIO.writeStringAtomic(
+      new org.apache.hadoop.fs.Path(s"$store/$ns/$NsMarker"),
+      org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(org.json4s.JObject(
+          next.toList.map { case (k, v) =>
+            k -> (org.json4s.JString(v): org.json4s.JValue)
+          }))))
+  }
+
+  /** Table dir names currently inside a namespace (marker and
+    * bookkeeping files excluded).
+    */
+  private[sql] def tablesInNamespace(store: String, ns: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(nsRootOf(store, ns))
+    if (!TableIO.exists(root)) Nil
+    else TableIO.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(n => isTablePath(s"${nsRootOf(store, ns)}/$n"))
+  }
+
+  private[sql] def dropNamespace(store: String, ns: String,
+                                 cascade: Boolean): Boolean = {
+    if (!namespaceExists(store, ns) || ns == "default") return false
+    val tables = tablesInNamespace(store, ns)
+    if (!cascade && tables.nonEmpty)
+      throw new IllegalStateException(
+        s"namespace '$ns' is not empty (${tables.mkString(", ")}); " +
+          "use DROP NAMESPACE ... CASCADE")
+    val nsRoot = nsRootOf(store, ns)
+    tables.foreach(t => forgetTablePath(s"$nsRoot/$t"))
+    TableIO.delete(new org.apache.hadoop.fs.Path(nsRoot))
+    true
+  }
+
   /** One store-root lease/file lock serializing every name-map
     * MUTATOR (rename, drop) — without it, a rename racing a
     * concurrent dropTable could re-write the dropped table's entry
@@ -873,11 +975,21 @@ object GraftCatalog {
   /** [[open]] against an explicit catalog's store (rename indirection
     * honored per-store).
     */
-  def openIn(spark: SparkSession, cat: String, name: String): SegmentedTable = {
+  def openIn(spark: SparkSession, cat: String, name: String): SegmentedTable =
+    openIn(spark, cat, "default", name)
+
+  /** [[open]] against an explicit catalog + namespace (the store-root
+    * subdirectory layout the V2 plugin serves).
+    */
+  def openIn(spark: SparkSession, cat: String, ns: String,
+             name: String): SegmentedTable = {
     val store = storeRootOf(spark, cat)
-    val p = resolvedPath(store, name).getOrElse(s"$store/$name")
+    require(namespaceExists(store, ns),
+      s"graft namespace not found: $cat.$ns")
+    val nsRoot = nsRootOf(store, ns)
+    val p = resolvedPath(nsRoot, name).getOrElse(s"$nsRoot/$name")
     require(SegmentedTable.exists(p),
-      s"graft table not found: $cat.default.$name ($p)")
+      s"graft table not found: $cat.$ns.$name ($p)")
     SegmentedTable.open(spark, p)
   }
 
@@ -973,7 +1085,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   // INSERT *); claimed ONLY for `graft.`-prefixed targets so MERGE
   // INTO against any other catalog still reaches the delegate
   private val ansiMergeRe =
-    """(?is)\s*MERGE\s+INTO\s+(\w+)\.(?:default\.)?(\w+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+(.+?)\s*;?\s*""".r
+    """(?is)\s*MERGE\s+INTO\s+(\w+)\.(?:(\w+)\.)?(\w+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+(.+?)\s*;?\s*""".r
   private val ansiMergeUpsertRe =
     """(?is)WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*""".r
   private val ansiMergeKeyRe =
@@ -984,7 +1096,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   // dialect's UPDATE GRAFT TABLE; claimed only for `graft.`-prefixed
   // targets so other catalogs' UPDATEs reach the delegate
   private val ansiUpdateRe =
-    """(?is)\s*UPDATE\s+(\w+)\.(?:default\.)?(\w+)\s+SET\s+(.+)""".r
+    """(?is)\s*UPDATE\s+(\w+)\.(?:(\w+)\.)?(\w+)\s+SET\s+(.+)""".r
   private val compactRe =
     """(?is)\s*COMPACT\s+GRAFT\s+TABLE\s+(\w+)\s*(MINOR)?\s*""".r
   private val optimizeRe =
@@ -1095,8 +1207,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case mergeRowsRe(name, path, keys) =>
       MergeGraftDataCommand(name, path,
         keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-    case ansiMergeRe(cat, name, _, rest)
+    case ansiMergeRe(cat, nsOrNull, name, _, rest)
         if GraftCatalog.isGraftCatalog(activeSession, cat) =>
+      val ns = Option(nsOrNull).getOrElse("default")
       // the ON / WHEN boundaries are found quote- and paren-aware, so
       // a source SUBQUERY containing its own join ON (or a literal
       // with the word) cannot split the statement in the wrong place
@@ -1126,7 +1239,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           "graft MERGE INTO requires an AND-conjunction of " +
             s"alias.col = alias.col key equalities in ON, got: $other")
       }
-      AnsiMergeIntoGraftCommand(cat, name, source.trim, keys)
+      AnsiMergeIntoGraftCommand(cat, ns, name, source.trim, keys)
     case updateRowsRe(name, rest) =>
       // the WHERE boundary is found quote- and paren-aware, so a
       // literal containing " where " (or a subquery) cannot split the
@@ -1135,12 +1248,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       require(i > 0, "UPDATE GRAFT TABLE requires a WHERE clause")
       UpdateGraftRowsCommand(name, splitAssignments(rest.take(i)),
         rest.drop(i + "WHERE".length).trim)
-    case ansiUpdateRe(cat, name, rest)
+    case ansiUpdateRe(cat, nsOrNull, name, rest)
         if GraftCatalog.isGraftCatalog(activeSession, cat) =>
       val i = topLevelIndexOf(rest, "WHERE")
       require(i > 0, "graft UPDATE requires a WHERE clause (a " +
         "full-table rewrite must be spelled WHERE TRUE deliberately)")
-      AnsiUpdateGraftRowsCommand(cat, name, splitAssignments(rest.take(i)),
+      AnsiUpdateGraftRowsCommand(cat, Option(nsOrNull).getOrElse("default"),
+        name, splitAssignments(rest.take(i)),
         rest.drop(i + "WHERE".length).trim)
     case compactRe(name, minor) =>
       CompactGraftTableCommand(name, minor != null)
@@ -1728,12 +1842,12 @@ case class MergeGraftDataCommand(name: String, path: String,
   * subquery, aliases included; it must produce every target column
   * (INSERT * semantics). Returns the count of replaced rows.
   */
-case class AnsiMergeIntoGraftCommand(cat: String, name: String,
+case class AnsiMergeIntoGraftCommand(cat: String, ns: String, name: String,
     sourceFrom: String, keyCols: Seq[String]) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("replaced_rows", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val t = GraftCatalog.openIn(spark, cat, name)
+    val t = GraftCatalog.openIn(spark, cat, ns, name)
     val src = spark.sql(s"SELECT * FROM $sourceFrom")
     Seq(Row(t.merge(src, keyCols)))
   }
@@ -1743,13 +1857,13 @@ case class AnsiMergeIntoGraftCommand(cat: String, name: String,
   * identifier — the copy-on-write update, resolved against that
   * catalog's store root (scoped catalogs included).
   */
-case class AnsiUpdateGraftRowsCommand(cat: String, name: String,
+case class AnsiUpdateGraftRowsCommand(cat: String, ns: String, name: String,
     assignments: Seq[(String, String)], whereSql: String)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("updated_rows", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val t = GraftCatalog.openIn(spark, cat, name)
+    val t = GraftCatalog.openIn(spark, cat, ns, name)
     def expr(s: String) = org.apache.spark.sql.graftbridge.ColumnExpr.toColumn(
       spark.sessionState.sqlParser.parseExpression(s))
     Seq(Row(t.update(expr(whereSql),

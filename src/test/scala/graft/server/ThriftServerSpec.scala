@@ -110,6 +110,20 @@ class ThriftServerSpec extends AnyFunSuite {
       val r10 = st.executeQuery(
         "SELECT count(*) AS c FROM graft.default.thrift_regions")
       assert(r10.next() && r10.getLong("c") == 17L) // 12 survivors + 5 new keys
+
+      // namespace-qualified identifiers over the wire (r17): the
+      // store-root subdirectory layout resolves from a stock client
+      st.execute("CREATE NAMESPACE IF NOT EXISTS graft.jdbc_ns")
+      st.execute("CREATE TABLE graft.jdbc_ns.regions USING graft AS " +
+        s"SELECT * FROM parquet.`$sf/region.parquet`")
+      val r11 = st.executeQuery(
+        "SELECT count(*) AS c FROM graft.jdbc_ns.regions")
+      assert(r11.next() && r11.getLong("c") == 5L)
+      val r12 = st.executeQuery("SHOW NAMESPACES IN graft")
+      val nss = scala.collection.mutable.Set.empty[String]
+      while (r12.next()) nss += r12.getString(1)
+      assert(nss.contains("jdbc_ns"), s"got $nss")
+      st.execute("DROP NAMESPACE graft.jdbc_ns CASCADE")
     } finally {
       conn.close()
       spark.sql("DROP GRAFT TABLE thrift_regions")

@@ -1020,6 +1020,117 @@ class GraftSqlSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.default.ansi_mrg")
   }
 
+  test("CREATE TABLE ... PARTITIONED BY (k) maps identity transforms to the co-located layout") {
+    // r16 verdict #4: the boilerplate PARTITIONED BY any tool emits
+    // used to be rejected; identity transforms now route to the
+    // partition_columns bucketed layout (the g03 machinery) — equal
+    // keys land in one file, so equi-joins/group-bys read co-located
+    // data and AQE skips re-shuffling small sides
+    val sf = graft.TestSpark.sf
+    spark.sql("DROP TABLE IF EXISTS graft.default.partby")
+    spark.sql("CREATE TABLE graft.default.partby " +
+      "(l_orderkey BIGINT, l_suppkey BIGINT, l_quantity DOUBLE) USING graft " +
+      "PARTITIONED BY (l_suppkey)")
+    val t = graft.sql.GraftCatalog.open(spark, "partby")
+    assert(t.partitionColumns == Seq("l_suppkey"))
+    spark.sql("INSERT INTO graft.default.partby " +
+      s"SELECT l_orderkey, l_suppkey, l_quantity FROM parquet.`$sf/lineitem.parquet`")
+    // co-location: each key appears in exactly one file
+    val filesPerKey = spark.table("graft.default.partby")
+      .select(org.apache.spark.sql.functions.col("l_suppkey"),
+        org.apache.spark.sql.functions.input_file_name().as("f"))
+      .groupBy("l_suppkey")
+      .agg(org.apache.spark.sql.functions.countDistinct("f").as("nf"))
+      .agg(org.apache.spark.sql.functions.max("nf")).head().getLong(0)
+    assert(filesPerKey == 1, s"keys must be co-located, got $filesPerKey files/key")
+    // the layout is visible through the catalog surface
+    val parts = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("default"), "partby")).partitioning()
+    assert(parts.map(_.toString).toSeq == Seq("identity(l_suppkey)"),
+      parts.mkString(", "))
+    // non-identity transforms fail loudly, not approximately
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE graft.default.partbad (k BIGINT, ts TIMESTAMP) " +
+        "USING graft PARTITIONED BY (bucket(8, k))")
+    }
+    assert(e.getMessage.contains("identity") ||
+      e.getMessage.contains("transform"), e.getMessage)
+    spark.sql("DROP TABLE graft.default.partby")
+  }
+
+  test("multi-namespace lifecycle: same name resolves independently, renames confined, DML namespace-scoped") {
+    // reference parity: CarbonMetastoreCatalog resolves
+    // schemaName.cubeName over a storePath/<db>/<table> layout —
+    // namespaces here are store-root subdirectories with a _ns.json
+    // marker; `default` is the root itself (pre-namespace tables stay
+    // put)
+    spark.sql("DROP NAMESPACE IF EXISTS graft.staging CASCADE")
+    spark.sql("DROP TABLE IF EXISTS graft.default.nst")
+    spark.sql("CREATE NAMESPACE graft.staging COMMENT 'scratch'")
+    assert(spark.sql("SHOW NAMESPACES IN graft").collect()
+      .map(_.getString(0)).toSet == Set("default", "staging"))
+    // same table NAME in two namespaces, fully independent
+    spark.sql("CREATE TABLE graft.default.nst (k INT, v STRING) USING graft")
+    spark.sql("CREATE TABLE graft.staging.nst (k INT, v STRING) USING graft")
+    spark.sql("INSERT INTO graft.default.nst VALUES (1, 'd'), (2, 'd')")
+    spark.sql("INSERT INTO graft.staging.nst VALUES (9, 's')")
+    assert(spark.table("graft.default.nst").count() == 2)
+    assert(spark.table("graft.staging.nst").count() == 1)
+    assert(spark.sql("SHOW TABLES IN graft.staging").collect()
+      .map(_.getString(1)).toSet == Set("nst"))
+    // the namespace dir does NOT show up as a default-namespace table
+    assert(!spark.sql("SHOW TABLES IN graft.default").collect()
+      .map(_.getString(1)).contains("staging"))
+    // ANSI DML resolves inside the namespace
+    spark.sql("UPDATE graft.staging.nst SET v = 'z' WHERE k = 9")
+    assert(spark.table("graft.staging.nst").head().getString(1) == "z")
+    assert(spark.table("graft.default.nst").filter("v = 'z'").count() == 0)
+    spark.sql("SELECT 9 AS k, 'm' AS v UNION ALL SELECT 10, 'm'")
+      .createOrReplaceTempView("ns_incoming")
+    val replaced = spark.sql(
+      "MERGE INTO graft.staging.nst t USING ns_incoming s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+      .head().getLong(0)
+    assert(replaced == 1L)
+    assert(spark.table("graft.staging.nst").count() == 2)
+    assert(spark.table("graft.default.nst").count() == 2)
+    // rename confined to its namespace; cross-namespace rename refused
+    spark.sql("ALTER TABLE graft.staging.nst RENAME TO staging.nst2")
+    assert(spark.table("graft.staging.nst2").count() == 2)
+    assert(spark.table("graft.default.nst").count() == 2,
+      "a staging rename must not touch the default namespace")
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.staging.nst2 RENAME TO default.nst3")
+    }
+    // namespace metadata round-trips; ALTER NAMESPACE works
+    spark.sql("ALTER NAMESPACE graft.staging SET PROPERTIES ('tier' = 'dev')")
+    val meta = spark.sql("DESCRIBE NAMESPACE EXTENDED graft.staging").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(meta.exists(_.toString.contains("tier")) ||
+      meta.values.exists(_.contains("dev")), s"got $meta")
+    // collision guards: a namespace name can't be reused by a default
+    // table and vice versa
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graft.default.staging (k INT) USING graft")
+    }
+    intercept[Exception] {
+      spark.sql("CREATE NAMESPACE graft.nst") // default table of that name
+    }
+    // non-empty drop refuses without CASCADE, CASCADE cleans up
+    intercept[Exception] { spark.sql("DROP NAMESPACE graft.staging") }
+    spark.sql("DROP NAMESPACE graft.staging CASCADE")
+    assert(spark.sql("SHOW NAMESPACES IN graft").collect()
+      .map(_.getString(0)).toSet == Set("default"))
+    intercept[Exception] { spark.table("graft.staging.nst2").collect() }
+    // unknown namespaces stay loud
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graft.nope.t (k INT) USING graft")
+    }
+    spark.sql("DROP TABLE graft.default.nst")
+  }
+
   test("a graft-NAMED catalog bound to another plugin is not hijacked by the dialect") {
     // ADVICE r16: the literal name `graft` used to be claimed
     // unconditionally — an ANSI UPDATE/MERGE on a `graft` catalog the
