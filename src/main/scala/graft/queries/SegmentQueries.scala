@@ -38,6 +38,52 @@ object SegmentQueries {
       s"$cat.default.ord"
     })
 
+  /** g19's full-MERGE'd table: one mixed ANSI MERGE — conditional
+    * UPDATE with expression assignments, bare DELETE, conditional
+    * column-list INSERT — applied through the catalog SQL surface.
+    */
+  private val mergeFullDml = new graft.util.BuildOnce[String]
+
+  private def mergeFullTable(s: SparkSession, d: String): String =
+    mergeFullDml.getOrElseUpdate(s"gmf|$d|${s.sparkContext.applicationId}", {
+      val cat = s"gmf${(d + s.sparkContext.applicationId).hashCode.abs}"
+      val root = graft.util.RunRoot.under(
+        s"graft_merge_full/${d.replace('/', '_')}")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalogPlugin")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      Tables.orders(s, d).createOrReplaceTempView("g19_orders_src")
+      s.sql(s"CREATE TABLE $cat.default.mord USING graft " +
+        "AS SELECT * FROM g19_orders_src")
+      // matched 'O' rows re-price, every other matched row deletes,
+      // unmatched cheap source rows insert with a column list. The
+      // statement goes through the graft dialect parser EXPLICITLY:
+      // Verify's session has no injected extensions (parsers cannot
+      // be added at runtime), and the gate must exercise the same
+      // parse → AnsiMergeFullCommand → mergeFull path a
+      // session-with-extensions user gets.
+      val stmt =
+        s"""MERGE INTO $cat.default.mord t
+            USING (SELECT o_orderkey AS k, o_totalprice AS p
+                   FROM g19_orders_src WHERE o_orderkey % 4 = 1
+                   UNION ALL
+                   SELECT o_orderkey + 10000000, o_totalprice
+                   FROM g19_orders_src WHERE o_orderkey % 4 = 2) s
+            ON t.o_orderkey = s.k
+            WHEN MATCHED AND t.o_orderstatus = 'O' THEN
+              UPDATE SET o_totalprice = s.p * 2
+            WHEN MATCHED THEN DELETE
+            WHEN NOT MATCHED AND s.p < 100000 THEN
+              INSERT (o_orderkey, o_orderstatus, o_totalprice)
+              VALUES (s.k, 'N', s.p)"""
+      new graft.sql.GraftSqlParser(s.sessionState.sqlParser)
+        .parsePlan(stmt) match {
+        case cmd: graft.sql.AnsiMergeFullCommand => cmd.run(s)
+        case other => throw new IllegalStateException(
+          s"g19 statement must parse to the full-merge command, got $other")
+      }
+      s"$cat.default.mord"
+    })
+
   private def lineitemTable(s: SparkSession, d: String): SegmentedTable =
     built.getOrElseUpdate(s"li|$d", {
       val root = graft.util.RunRoot.under(s"graft_tables/${d.replace('/', '_')}/lineitem")
@@ -499,6 +545,16 @@ object SegmentQueries {
         .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
     }),
 
+    // g19: the full ANSI MERGE surface (conditional update + delete +
+    // column-list insert in ONE statement, one atomic commit); the
+    // oracle replays the same statement as join/CASE/union SQL
+    "g19_merge_full" -> ((s, d) => {
+      val n = mergeFullTable(s, d)
+      s.table(n)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+    }),
+
     "g01_segment_pruned_scan" -> ((s, d) => {
       graft.table.GraftSegmentPruning.ensureRegistered(s)
       val t = lineitemTable(s, d)
@@ -705,6 +761,32 @@ object SegmentQueries {
       """SELECT l_returnflag, COUNT(*) AS cnt, SUM(l_quantity) AS sum_qty
          FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01'
          GROUP BY l_returnflag""",
+
+    // the full MERGE replayed declaratively: matched-'O' rows
+    // re-priced, other matched rows deleted, unmatched cheap source
+    // rows inserted
+    "g19_merge_full" ->
+      """WITH src AS (
+           SELECT o_orderkey AS k, o_totalprice AS p
+           FROM orders WHERE o_orderkey % 4 = 1
+           UNION ALL
+           SELECT o_orderkey + 10000000, o_totalprice
+           FROM orders WHERE o_orderkey % 4 = 2
+         ),
+         merged AS (
+           SELECT o.o_orderstatus,
+                  CASE WHEN s.k IS NOT NULL AND o.o_orderstatus = 'O'
+                       THEN s.p * 2 ELSE o.o_totalprice END AS o_totalprice
+           FROM orders o LEFT JOIN src s ON o.o_orderkey = s.k
+           WHERE s.k IS NULL OR o.o_orderstatus = 'O'
+           UNION ALL
+           SELECT 'N', s.p
+           FROM src s LEFT JOIN orders o ON o.o_orderkey = s.k
+           WHERE o.o_orderkey IS NULL AND s.p < 100000
+         )
+         SELECT o_orderstatus, COUNT(*) AS cnt,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM merged GROUP BY o_orderstatus""",
 
     // the catalog DELETE's survivors = the NOT(predicate) replay
     "g18_catalog_dml" ->

@@ -1207,7 +1207,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case mergeRowsRe(name, path, keys) =>
       MergeGraftDataCommand(name, path,
         keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-    case ansiMergeRe(cat, nsOrNull, name, _, rest)
+    case ansiMergeRe(cat, nsOrNull, name, aliasOrNull, rest)
         if GraftCatalog.isGraftCatalog(activeSession, cat) =>
       val ns = Option(nsOrNull).getOrElse("default")
       // the ON / WHEN boundaries are found quote- and paren-aware, so
@@ -1220,26 +1220,28 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       val source = rest.substring(0, onIdx).trim
       val cond = rest.substring(onIdx + 2, whenIdx).trim
       val whenClauses = rest.substring(whenIdx).trim
-      // supported subset = the engine's MERGE semantics exactly:
-      // key-equality ON, UPDATE SET * + INSERT * (last-write-wins
-      // upsert). Anything richer fails HERE with the contract spelled
-      // out, instead of silently approximating it.
-      require(ansiMergeUpsertRe.pattern.matcher(whenClauses).matches(),
-        "graft MERGE INTO supports exactly 'WHEN MATCHED THEN UPDATE " +
-          "SET * WHEN NOT MATCHED THEN INSERT *' (the engine's " +
-          "last-write-wins upsert); for row-level deletes use DELETE " +
-          s"FROM GRAFT TABLE — got: $whenClauses")
-      val keys = cond.split("(?i)\\s+AND\\s+").toSeq.map {
-        case ansiMergeKeyRe(_, colL, _, colR) =>
-          require(colL.equalsIgnoreCase(colR),
-            "graft MERGE INTO requires same-named key columns on " +
-              s"both sides of ON, got $colL = $colR")
-          colL
-        case other => throw new IllegalArgumentException(
-          "graft MERGE INTO requires an AND-conjunction of " +
-            s"alias.col = alias.col key equalities in ON, got: $other")
+      val tgtAlias = Option(aliasOrNull).getOrElse(name)
+      // FAST PATH — the exact last-write-wins upsert shape (UPDATE SET
+      // * + INSERT *) over an AND of same-named key equalities routes
+      // to the engine's single-pass stats-pruned upsert (no join
+      // materialization, no window); every richer shape takes the
+      // general full-outer rewrite below
+      val upsertKeys: Option[Seq[String]] =
+        if (!ansiMergeUpsertRe.pattern.matcher(whenClauses).matches()) None
+        else scala.util.Try(cond.split("(?i)\\s+AND\\s+").toSeq.map {
+          case ansiMergeKeyRe(_, colL, _, colR) if colL.equalsIgnoreCase(colR) =>
+            colL
+        }).toOption
+      upsertKeys match {
+        case Some(keys) =>
+          AnsiMergeIntoGraftCommand(cat, ns, name, source, keys)
+        case None =>
+          val srcAlias = trailingAlias(source)
+          val (mWhen, nmWhen) = parseMergeClauses(whenClauses)
+          AnsiMergeFullCommand(cat, ns, name, tgtAlias, source, srcAlias,
+            cond, mWhen, nmWhen,
+            extractEquiKeys(cond, tgtAlias, srcAlias))
       }
-      AnsiMergeIntoGraftCommand(cat, ns, name, source.trim, keys)
     case updateRowsRe(name, rest) =>
       // the WHERE boundary is found quote- and paren-aware, so a
       // literal containing " where " (or a subquery) cannot split the
@@ -1546,6 +1548,166 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     -1
   }
 
+  /** Every top-level occurrence of `keyword` (see [[topLevelIndexOf]]).
+    * Resuming after a found index is state-clean: a top-level hit is
+    * by definition outside any parens/quotes.
+    */
+  private def topLevelIndicesOf(s: String, keyword: String): Seq[Int] = {
+    val out = scala.collection.mutable.ListBuffer.empty[Int]
+    var off = 0
+    var idx = topLevelIndexOf(s, keyword)
+    while (idx >= 0) {
+      out += off + idx
+      off = off + idx + keyword.length
+      idx = topLevelIndexOf(s.substring(off), keyword)
+    }
+    out.toSeq
+  }
+
+  /** The qualifier a MERGE source is referenced by in clause
+    * expressions: its trailing alias token when present, the (last
+    * segment of the) bare relation name otherwise — the same rule SQL
+    * scoping applies to an unaliased table.
+    */
+  private def trailingAlias(source: String): String = {
+    val t = source.trim
+    // split into top-level tokens (whitespace at depth 0, outside
+    // quotes/backticks)
+    val toks = scala.collection.mutable.ListBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inQuote = false
+    var inTick = false
+    t.foreach { c =>
+      if (inQuote) { cur += c; if (c == '\'') inQuote = false }
+      else if (inTick) { cur += c; if (c == '`') inTick = false }
+      else c match {
+        case '\'' => inQuote = true; cur += c
+        case '`' => inTick = true; cur += c
+        case '(' => depth += 1; cur += c
+        case ')' => depth = math.max(0, depth - 1); cur += c
+        case ws if ws.isWhitespace && depth == 0 =>
+          if (cur.nonEmpty) { toks += cur.result(); cur.clear() }
+        case other => cur += other
+      }
+    }
+    if (cur.nonEmpty) toks += cur.result()
+    val meaningful = toks.toSeq.filterNot(_.equalsIgnoreCase("AS"))
+    meaningful.lastOption match {
+      case Some(last) if meaningful.size > 1 && last.matches("\\w+") => last
+      case Some(only) if meaningful.size == 1 =>
+        only.split('.').last.replaceAll("`", "")
+      case _ => throw new IllegalArgumentException(
+        s"graft MERGE INTO: cannot determine the source alias from " +
+          s"'$source' — alias the source (USING (...) s)")
+    }
+  }
+
+  private val mergeMatchedHeadRe =
+    """(?is)^MATCHED(?:\s+AND\s+(.+))?$""".r
+  private val mergeNotMatchedHeadRe =
+    """(?is)^NOT\s+MATCHED(?:\s+BY\s+TARGET)?(?:\s+AND\s+(.+))?$""".r
+  private val mergeBySourceHeadRe =
+    """(?is)^NOT\s+MATCHED\s+BY\s+SOURCE.*$""".r
+  private val mergeUpdateStarRe = """(?is)^UPDATE\s+SET\s+\*$""".r
+  private val mergeUpdateSetRe = """(?is)^UPDATE\s+SET\s+(.+)$""".r
+  private val mergeDeleteRe = """(?is)^DELETE$""".r
+  private val mergeInsertStarRe = """(?is)^INSERT\s+\*$""".r
+  private val mergeInsertColsRe =
+    """(?is)^INSERT\s*\(([^)]*)\)\s*VALUES\s*\((.+)\)$""".r
+
+  /** Parse a MERGE statement's WHEN-clause list into the engine's
+    * clause model — conditional UPDATE (SET * or assignments),
+    * DELETE, conditional INSERT (* or column list + VALUES), multiple
+    * clauses, first-match order preserved. `WHEN NOT MATCHED BY
+    * SOURCE` (a Delta/Spark extension, not ANSI) stays unsupported
+    * with the workaround spelled out.
+    */
+  private def parseMergeClauses(text: String)
+      : (Seq[graft.table.SegmentedTable.MergeWhen],
+         Seq[graft.table.SegmentedTable.MergeInsert]) = {
+    import graft.table.SegmentedTable.{MergeDelete, MergeInsert, MergeUpdate, MergeWhen}
+    val idxs = topLevelIndicesOf(text, "WHEN")
+    require(idxs.nonEmpty && text.substring(0, idxs.head).trim.isEmpty,
+      s"malformed MERGE WHEN clauses: $text")
+    val spans = idxs.zip(idxs.drop(1) :+ text.length).map {
+      case (a, b) => text.substring(a + "WHEN".length, b).trim
+    }
+    val matched = scala.collection.mutable.ListBuffer.empty[MergeWhen]
+    val notMatched = scala.collection.mutable.ListBuffer.empty[MergeInsert]
+    spans.foreach { sp =>
+      val thenIdx = topLevelIndexOf(sp, "THEN")
+      require(thenIdx > 0, s"malformed MERGE WHEN clause (no THEN): $sp")
+      val head = sp.take(thenIdx).trim
+      val action = sp.substring(thenIdx + "THEN".length).trim
+        .stripSuffix(";").trim
+      head match {
+        case mergeBySourceHeadRe() =>
+          throw new IllegalArgumentException(
+            "graft MERGE INTO: WHEN NOT MATCHED BY SOURCE is not " +
+              "supported — spell target-side cleanup as a separate " +
+              "DELETE FROM / UPDATE statement")
+        case mergeNotMatchedHeadRe(condOrNull) =>
+          val c = Option(condOrNull).map(_.trim)
+          action match {
+            case mergeInsertStarRe() => notMatched += MergeInsert(c, Nil, Nil)
+            case mergeInsertColsRe(cols, vals) =>
+              val cs = cols.split(",").map(stripTargetQualifier).toSeq
+                .filter(_.nonEmpty)
+              val vs = splitTopCommas(vals).map(_.trim)
+              require(cs.size == vs.size,
+                s"MERGE INSERT column/value count mismatch: ($cols) vs ($vals)")
+              notMatched += MergeInsert(c, cs, vs)
+            case other => throw new IllegalArgumentException(
+              s"WHEN NOT MATCHED takes INSERT, got: $other")
+          }
+        case mergeMatchedHeadRe(condOrNull) =>
+          val c = Option(condOrNull).map(_.trim)
+          action match {
+            case mergeUpdateStarRe() => matched += MergeUpdate(c, Nil)
+            case mergeDeleteRe() => matched += MergeDelete(c)
+            case mergeUpdateSetRe(sets) =>
+              matched += MergeUpdate(c, splitAssignments(sets).map {
+                case (k, v) => stripTargetQualifier(k) -> v
+              })
+            case other => throw new IllegalArgumentException(
+              s"WHEN MATCHED takes UPDATE SET .../DELETE, got: $other")
+          }
+        case other => throw new IllegalArgumentException(
+          s"malformed MERGE WHEN clause head: $other")
+      }
+    }
+    (matched.toSeq, notMatched.toSeq)
+  }
+
+  /** An assignment/insert target column may be alias-qualified
+    * (`t.c = ...`); the engine stores bare target column names.
+    */
+  private def stripTargetQualifier(c: String): String = {
+    val t = c.trim
+    val i = t.lastIndexOf('.')
+    if (i > 0) t.substring(i + 1) else t
+  }
+
+  /** Target↔source column pairs when the ON condition is an AND of
+    * alias.col = alias.col equalities — used ONLY for segment-stats
+    * pruning (semantics always evaluate the full ON); anything
+    * unparseable simply disables pruning.
+    */
+  private def extractEquiKeys(cond: String, tgtAlias: String,
+                              srcAlias: String): Seq[(String, String)] = {
+    val pairs = cond.split("(?i)\\s+AND\\s+").toSeq.map {
+      case ansiMergeKeyRe(al, colL, ar, colR)
+          if al.equalsIgnoreCase(tgtAlias) && ar.equalsIgnoreCase(srcAlias) =>
+        Some(colL -> colR)
+      case ansiMergeKeyRe(al, colL, ar, colR)
+          if al.equalsIgnoreCase(srcAlias) && ar.equalsIgnoreCase(tgtAlias) =>
+        Some(colR -> colL)
+      case _ => None
+    }
+    if (pairs.forall(_.isDefined)) pairs.flatten else Nil
+  }
+
   override def parseExpression(s: String): Expression = delegate.parseExpression(s)
   override def parseTableIdentifier(s: String): TableIdentifier =
     delegate.parseTableIdentifier(s)
@@ -1850,6 +2012,34 @@ case class AnsiMergeIntoGraftCommand(cat: String, ns: String, name: String,
     val t = GraftCatalog.openIn(spark, cat, ns, name)
     val src = spark.sql(s"SELECT * FROM $sourceFrom")
     Seq(Row(t.merge(src, keyCols)))
+  }
+}
+
+/** Full ANSI `MERGE INTO <cat>.<ns>.t USING src ON <cond> WHEN ...` —
+  * conditional assignments, WHEN MATCHED DELETE, multiple clauses,
+  * column-list INSERT — executed by [[graft.table.SegmentedTable
+  * .mergeFull]]'s single-join copy-on-write rewrite (one atomic
+  * commit; ANSI multi-match cardinality enforced). The exact
+  * upsert shape (UPDATE SET * + INSERT * over same-named keys) never
+  * reaches here — the parser routes it to the cheaper single-pass
+  * [[AnsiMergeIntoGraftCommand]].
+  */
+case class AnsiMergeFullCommand(cat: String, ns: String, name: String,
+    targetAlias: String, sourceFrom: String, sourceAlias: String,
+    onSql: String,
+    matchedClauses: Seq[graft.table.SegmentedTable.MergeWhen],
+    notMatchedClauses: Seq[graft.table.SegmentedTable.MergeInsert],
+    equiKeys: Seq[(String, String)]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("updated_rows", LongType, nullable = false)(),
+    AttributeReference("deleted_rows", LongType, nullable = false)(),
+    AttributeReference("inserted_rows", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftCatalog.openIn(spark, cat, ns, name)
+    val src = spark.sql(s"SELECT * FROM $sourceFrom")
+    val (u, d, i) = t.mergeFull(src, sourceAlias, targetAlias, onSql,
+      matchedClauses, notMatchedClauses, equiKeys)
+    Seq(Row(u, d, i))
   }
 }
 

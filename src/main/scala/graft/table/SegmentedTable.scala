@@ -1642,6 +1642,205 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     affected.map(_._2).sum
   }
 
+  /** FULL ANSI MERGE: conditional `WHEN MATCHED [AND p] THEN UPDATE
+    * SET c = e, ...` / `... THEN DELETE` / `WHEN NOT MATCHED [AND p]
+    * THEN INSERT ...`, multiple clauses with first-match semantics —
+    * the general form the key-equality upsert ([[merge]]) cannot
+    * express. One copy-on-write commit like every DML here: only
+    * segments holding a row some matched clause actually fires on are
+    * rewritten, inserts land as one new segment, and readers see the
+    * whole MERGE or none of it.
+    *
+    * Execution, all distributed: ONE full-outer join of the candidate
+    * segments with the source on the ON condition, projected
+    * immediately to a flat frame carrying the per-row first-firing
+    * clause index and each output column's post-merge value, then
+    * persisted (MEMORY_AND_DISK) so the cardinality check, the
+    * per-segment hit counts, the rewrites and the insert extraction
+    * all reuse one join materialization. Only candidate-segment rows
+    * enter the join: when the ON condition is an AND of target=source
+    * column equalities the incoming key envelope prunes segments via
+    * stats exactly like [[merge]] (`equiKeys`); otherwise every live
+    * segment is a candidate — the price of an arbitrary ON.
+    *
+    * ANSI cardinality rule: a target row matched by MORE THAN ONE
+    * source row on which a matched clause fires is ambiguous — the
+    * statement aborts (before any write) rather than applying an
+    * arbitrary one. A multi-match where only one source row fires
+    * applies that one. Scale note: a non-equi ON plans as a
+    * broadcast-nested-loop join (Spark has no shuffled full-outer
+    * without equi keys) — fine for broadcastable sources, use an
+    * equi ON beyond that.
+    *
+    * Returns (updated, deleted, inserted) row counts.
+    */
+  def mergeFull(source: DataFrame, sourceAlias: String, targetAlias: String,
+                onSql: String,
+                matched: Seq[SegmentedTable.MergeWhen],
+                notMatched: Seq[SegmentedTable.MergeInsert],
+                equiKeys: Seq[(String, String)] = Nil): (Long, Long, Long) = {
+    import SegmentedTable.{MergeDelete, MergeInsert, MergeUpdate}
+    val F = org.apache.spark.sql.functions
+    require(matched.nonEmpty || notMatched.nonEmpty,
+      "MERGE requires at least one WHEN clause")
+    matched.foreach {
+      case _: MergeUpdate | _: MergeDelete => ()
+      case other => throw new IllegalArgumentException(
+        s"WHEN MATCHED supports UPDATE/DELETE actions, got $other")
+    }
+    val unknownSet = matched.collect { case u: MergeUpdate => u }
+      .flatMap(_.sets.map(_._1)).filterNot(schema.fieldNames.contains)
+    require(unknownSet.isEmpty,
+      s"unknown columns in MERGE UPDATE SET: ${unknownSet.mkString(", ")}")
+    val unknownIns = notMatched.flatMap(_.cols)
+      .filterNot(schema.fieldNames.contains)
+    require(unknownIns.isEmpty,
+      s"unknown columns in MERGE INSERT: ${unknownIns.mkString(", ")}")
+
+    // candidate segments: stats-pruned via the source key envelope
+    // when the ON gave us equi pairs, every live segment otherwise
+    val candidates: Seq[SegmentMeta] =
+      if (equiKeys.isEmpty) pruneSegments(lit(true))
+      else {
+        val aggs = equiKeys.flatMap { case (_, sc) =>
+          Seq(min(col(sc)).as(s"__mn_$sc"), max(col(sc)).as(s"__mx_$sc")) }
+        val env = source.agg(aggs.head, aggs.tail: _*).collect()(0)
+        if (env.getAs[Any](s"__mn_${equiKeys.head._2}") == null) Nil
+        else pruneSegments(equiKeys.map { case (tc, sc) =>
+          col(tc) >= lit(env.getAs[Any](s"__mn_$sc")) &&
+            col(tc) <= lit(env.getAs[Any](s"__mx_$sc")) }.reduce(_ && _))
+      }
+
+    val tgt = readSegments(candidates)
+      .withColumn("__seg", F.regexp_extract(F.input_file_name(),
+        "segment_(\\d+)/", 1).cast("int"))
+      .withColumn("__tid", F.monotonically_increasing_id())
+      .withColumn("__tp", lit(true))
+      .alias(targetAlias)
+    val src = source.withColumn("__sp", lit(true)).alias(sourceAlias)
+    val joined = tgt.join(src, F.expr(onSql), "full_outer")
+
+    val isMatched = col("__tp").isNotNull && col("__sp").isNotNull
+    val isSrcOnly = col("__tp").isNull && col("__sp").isNotNull
+    def condOf(sql: Option[String]): Column = sql.map(F.expr).getOrElse(lit(true))
+
+    // first-firing clause index (0 = none fires), the same ordered
+    // when-chain SQL CASE gives — evaluated once here and replicated
+    // structurally for the per-column values below
+    val act =
+      if (matched.isEmpty) lit(0)
+      else matched.zipWithIndex.foldLeft(F.when(lit(false), 0)) {
+        case (acc, (w, i)) =>
+          acc.when(isMatched && condOf(w.condSql), lit(i + 1))
+      }.otherwise(lit(0))
+    val isDel =
+      if (matched.isEmpty) lit(false)
+      else matched.zipWithIndex.foldLeft(F.when(lit(false), false)) {
+        case (acc, (w, i)) => acc.when(isMatched && condOf(w.condSql),
+          lit(w.isInstanceOf[MergeDelete]))
+      }.otherwise(lit(false))
+    val iact =
+      if (notMatched.isEmpty) lit(0)
+      else notMatched.zipWithIndex.foldLeft(F.when(lit(false), 0)) {
+        case (acc, (w, i)) =>
+          acc.when(isSrcOnly && condOf(w.condSql), lit(i + 1))
+      }.otherwise(lit(0))
+
+    // post-merge value of each target column for a surviving target
+    // row (original unless the first-firing clause is an UPDATE with
+    // an assignment for it), and the insert value for a source-only
+    // row under its first-firing INSERT clause
+    def outCol(f: StructField): Column = {
+      val orig = col(s"$targetAlias.${f.name}")
+      if (matched.isEmpty) orig
+      else matched.foldLeft(F.when(lit(false), lit(null).cast(f.dataType))) {
+        case (acc, w) =>
+          val v = w match {
+            case u: MergeUpdate if u.sets.isEmpty => // UPDATE SET *
+              col(s"$sourceAlias.${f.name}").cast(f.dataType)
+            case u: MergeUpdate =>
+              u.sets.find(_._1 == f.name)
+                .map { case (_, e) => F.expr(e).cast(f.dataType) }
+                .getOrElse(orig)
+            case _: MergeDelete => orig // row is dropped via isDel
+            case other => throw new IllegalStateException(other.toString)
+          }
+          acc.when(isMatched && condOf(w.condSql), v)
+      }.otherwise(orig)
+    }
+    def insCol(f: StructField): Column =
+      if (notMatched.isEmpty) lit(null).cast(f.dataType)
+      else notMatched.foldLeft(F.when(lit(false), lit(null).cast(f.dataType))) {
+        case (acc, w) =>
+          val v =
+            if (w.cols.isEmpty) col(s"$sourceAlias.${f.name}").cast(f.dataType)
+            else w.cols.zip(w.vals).find(_._1 == f.name)
+              .map { case (_, e) => F.expr(e).cast(f.dataType) }
+              .getOrElse(lit(null).cast(f.dataType))
+          acc.when(isSrcOnly && condOf(w.condSql), v)
+      }.otherwise(lit(null).cast(f.dataType))
+
+    val flat = joined.select(
+      Seq(col("__seg"), col("__tid"), isMatched.as("__matched"),
+        isSrcOnly.as("__srconly"), act.as("__act"), isDel.as("__del"),
+        iact.as("__iact")) ++
+        schema.fields.toSeq.map(f => outCol(f).as(s"__out_${f.name}")) ++
+        schema.fields.toSeq.map(f => insCol(f).as(s"__ins_${f.name}")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // ANSI cardinality check BEFORE any write
+      val ambiguous = flat.filter(col("__matched") && col("__act") > 0)
+        .groupBy("__tid").count().filter(col("count") > 1).limit(1).count()
+      if (ambiguous > 0) throw new IllegalStateException(
+        "MERGE cardinality violation: a target row matches more than " +
+          "one source row on which a WHEN MATCHED clause fires — " +
+          "deduplicate the source on the merge keys")
+
+      // segments holding at least one firing matched row get rewritten
+      val segStats = flat.filter(col("__act") > 0)
+        .groupBy("__seg")
+        .agg(F.count(lit(1)).as("fired"),
+          F.sum(F.when(col("__del"), 1L).otherwise(0L)).as("dels"))
+        .collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val affected = candidates.filter(s => segStats.contains(s.id))
+      val updated = segStats.values.map(v => v._1 - v._2).sum
+      val deleted = segStats.values.map(_._2).sum
+
+      val outCols = schema.fields.toSeq.map(f =>
+        col(s"__out_${f.name}").as(f.name))
+      val insCols = schema.fields.toSeq.map(f =>
+        col(s"__ins_${f.name}").as(f.name))
+      // survivors of an affected segment: one row per target row
+      // (multi-match duplicates collapse to the firing row when one
+      // exists — act desc puts it first — or any identical original),
+      // minus fired deletes
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__tid")).orderBy(col("__act").desc)
+      def survivors(segId: Int): DataFrame =
+        flat.filter(col("__seg") === segId && col("__tid").isNotNull)
+          .withColumn("__rn", F.row_number().over(w))
+          .filter(col("__rn") === 1 && !(col("__act") > 0 && col("__del")))
+          .select(outCols: _*)
+      val replacements = affected.map { seg =>
+        val staged = stageSegment(survivors(seg.id), s"rewriting_${seg.id}")
+        if (staged.rows == 0L) { deleteRecursively(staged.tmp); seg -> None }
+        else seg -> Some(staged)
+      }
+      val inserts = flat.filter(col("__iact") > 0).select(insCols: _*)
+      val insStagedOpt = {
+        val staged = stageSegment(inserts, "merging")
+        if (staged.rows == 0L) { deleteRecursively(staged.tmp); None }
+        else Some(staged)
+      }
+      val inserted = insStagedOpt.map(_.rows).getOrElse(0L)
+      if (affected.nonEmpty || insStagedOpt.nonEmpty)
+        commitRewrites(affected, replacements, "MERGE",
+          additions = insStagedOpt.toSeq)
+      (updated, deleted, inserted)
+    } finally flat.unpersist()
+  }
+
   // ---- schema evolution (reference AlterCube / RestructureUtil:
   // add/drop columns recorded as timestamped entries; old segments are
   // served with defaults filled at read time) ----
@@ -1727,6 +1926,24 @@ object SegmentedTable {
   val SUCCESS = "SUCCESS"
   val DELETED = "DELETED"
   val COMPACTED = "COMPACTED"
+
+  /** [[SegmentedTable.mergeFull]]'s clause model: conditions and
+    * assignment values stay SQL TEXT (resolved against the aliased
+    * target⋈source join inside mergeFull, so `t.c`/`s.c` references
+    * mean what the statement wrote). Clause order IS evaluation order
+    * (ANSI first-match).
+    */
+  sealed trait MergeWhen { def condSql: Option[String] }
+  /** UPDATE SET assignments; empty `sets` means `UPDATE SET *`. */
+  final case class MergeUpdate(condSql: Option[String],
+                               sets: Seq[(String, String)]) extends MergeWhen
+  final case class MergeDelete(condSql: Option[String]) extends MergeWhen
+  /** INSERT; empty `cols` means `INSERT *`, otherwise the column list
+    * with positionally matching value expressions (unlisted columns
+    * insert NULL).
+    */
+  final case class MergeInsert(condSql: Option[String], cols: Seq[String],
+                               vals: Seq[String]) extends MergeWhen
 
   /** Sink-lineage id prefix for PER-START (non-durable) streaming
     * queries: epoch entries under it are garbage once their query

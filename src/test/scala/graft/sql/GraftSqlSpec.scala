@@ -1004,12 +1004,14 @@ class GraftSqlSpec extends AnyFunSuite {
     val orig = spark.sql(s"SELECT o_totalprice FROM parquet.`$sf/orders.parquet` " +
       "WHERE o_orderkey = 1").head().getDouble(0)
     assert(math.abs(probe - orig * 2) < 1e-6)
-    // richer WHEN shapes fail loudly with the contract spelled out
-    val e = intercept[Exception] {
+    // richer WHEN shapes parse to the general full-merge path now
+    // (the r16 loud-failure contract is retired; see the clause-shape
+    // matrix test), and still fail loudly on nonsense like a missing
+    // source relation
+    intercept[Exception] {
       spark.sql("MERGE INTO graft.default.ansi_mrg t USING x s ON t.k = s.k " +
         "WHEN MATCHED THEN DELETE")
     }
-    assert(e.getMessage.contains("last-write-wins upsert"), e.getMessage)
     // a MERGE INTO against any OTHER catalog is NOT claimed — the
     // delegate's own MergeIntoTable plan comes back
     val foreign = spark.sessionState.sqlParser.parsePlan(
@@ -1018,6 +1020,100 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(foreign.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable],
       s"foreign-catalog MERGE must reach the delegate, got ${foreign.getClass}")
     spark.sql("DROP TABLE graft.default.ansi_mrg")
+  }
+
+  test("full ANSI MERGE: conditional update, delete, conditional insert — clause-shape matrix") {
+    spark.sql("DROP TABLE IF EXISTS graft.default.mfull")
+    spark.sql("CREATE TABLE graft.default.mfull " +
+      "(k BIGINT, status STRING, price DOUBLE) USING graft")
+    spark.sql("INSERT INTO graft.default.mfull VALUES " +
+      "(1, 'open', 10.0), (2, 'open', 20.0), (3, 'closed', 30.0), " +
+      "(4, 'open', 40.0), (5, 'hold', 50.0)")
+    spark.sql(
+      """SELECT * FROM VALUES
+           (1, 120.0), (3, 130.0), (5, 150.0), (7, 170.0), (8, 180.0)
+         AS v(k, price)""").createOrReplaceTempView("mfull_src")
+    // mixed statement: conditional UPDATE with expression assignments,
+    // conditional DELETE, conditional INSERT with a column list
+    val r = spark.sql(
+      """MERGE INTO graft.default.mfull t USING mfull_src s ON t.k = s.k
+         WHEN MATCHED AND t.status = 'open' THEN
+           UPDATE SET price = s.price + 1, status = 'priced'
+         WHEN MATCHED AND t.status = 'closed' THEN DELETE
+         WHEN NOT MATCHED AND s.price < 175 THEN
+           INSERT (k, status, price) VALUES (s.k, 'new', s.price * 2)""")
+      .head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((1L, 1L, 1L)),
+      s"got $r") // k=1 updated, k=3 deleted, k=7 inserted (k=8 fails the insert cond, k=5 'hold' matches no clause)
+    val after = spark.table("graft.default.mfull").collect()
+      .map(x => x.getLong(0) -> ((x.getString(1), x.getDouble(2)))).toMap
+    assert(after == Map(
+      1L -> (("priced", 121.0)),
+      2L -> (("open", 20.0)),
+      4L -> (("open", 40.0)),
+      5L -> (("hold", 50.0)),
+      7L -> (("new", 340.0))), s"got $after")
+    // delete-only MERGE
+    spark.sql("SELECT 2 AS k").createOrReplaceTempView("mfull_del")
+    val r2 = spark.sql(
+      """MERGE INTO graft.default.mfull t USING mfull_del s ON t.k = s.k
+         WHEN MATCHED THEN DELETE""").head()
+    assert((r2.getLong(0), r2.getLong(1), r2.getLong(2)) == ((0L, 1L, 0L)))
+    assert(spark.table("graft.default.mfull").count() == 4)
+    // multiple matched clauses: FIRST match wins
+    spark.sql("SELECT 4 AS k").createOrReplaceTempView("mfull_first")
+    spark.sql(
+      """MERGE INTO graft.default.mfull t USING mfull_first s ON t.k = s.k
+         WHEN MATCHED AND t.price > 0 THEN UPDATE SET status = 'first'
+         WHEN MATCHED THEN DELETE""")
+    assert(spark.table("graft.default.mfull").filter("k = 4")
+      .head().getString(1) == "first")
+    // unconditional SET * via the GENERAL path (differing key names
+    // forces it off the upsert fast path)
+    spark.sql("SELECT 5 AS kk, 'star' AS status, 0.5 AS price")
+      .createOrReplaceTempView("mfull_star")
+    val r3 = spark.sql(
+      """MERGE INTO graft.default.mfull t USING mfull_star s ON t.k = s.kk
+         WHEN MATCHED THEN UPDATE SET status = s.status, price = s.price""")
+      .head()
+    assert(r3.getLong(0) == 1L)
+    assert(spark.table("graft.default.mfull").filter("k = 5")
+      .head().getString(1) == "star")
+    // ANSI cardinality: two firing source rows for one target = error
+    spark.sql("SELECT 7 AS k UNION ALL SELECT 7").createOrReplaceTempView("mfull_dup")
+    val e = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO graft.default.mfull t USING mfull_dup s ON t.k = s.k
+           WHEN MATCHED THEN DELETE""")
+    }
+    assert(e.getMessage.contains("cardinality"), e.getMessage)
+    assert(spark.table("graft.default.mfull").filter("k = 7").count() == 1,
+      "a cardinality violation must abort before any write")
+    // a multi-match where only ONE source row fires applies that one
+    spark.sql("SELECT 7 AS k, 1 AS fire UNION ALL SELECT 7, 0")
+      .createOrReplaceTempView("mfull_onefire")
+    val r4 = spark.sql(
+      """MERGE INTO graft.default.mfull t USING mfull_onefire s
+         ON t.k = s.k
+         WHEN MATCHED AND s.fire = 1 THEN UPDATE SET status = 'fired'""")
+      .head()
+    assert(r4.getLong(0) == 1L)
+    assert(spark.table("graft.default.mfull").filter("k = 7")
+      .head().getString(1) == "fired")
+    assert(spark.table("graft.default.mfull").filter("k = 7").count() == 1,
+      "multi-match must not duplicate the surviving row")
+    // NOT MATCHED BY SOURCE stays loudly unsupported
+    val e2 = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO graft.default.mfull t USING mfull_del s ON t.k = s.k
+           WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    }
+    assert(e2.getMessage.contains("BY SOURCE"), e2.getMessage)
+    // atomicity: the mixed MERGE above was ONE commit — version history
+    // shows single steps, and pre-merge state is intact via time travel
+    val t = graft.sql.GraftCatalog.open(spark, "mfull")
+    assert(t.read().count() == spark.table("graft.default.mfull").count())
+    spark.sql("DROP TABLE graft.default.mfull")
   }
 
   test("CREATE TABLE ... PARTITIONED BY (k) maps identity transforms to the co-located layout") {
