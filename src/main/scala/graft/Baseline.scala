@@ -188,6 +188,25 @@ object Baseline {
         .select(col("l_returnflag"), col("q").as("pct_ppm"),
           col("n").as("n_rows"), col("r").as("rk"), col("v").as("value"))
     }),
+    // a user without the cube pays a full per-group window sort for
+    // every grouped percentile query — what the per-group cube folds
+    // (t55) exist to avoid
+    "t55_group_sketch_cube" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val v = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice").cast("double").as("v"))
+        .filter(col("v").isNotNull)
+      val n = v.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      val tgt = n.select(col("l_returnflag"), col("n"),
+        explode(array(Seq(500000L, 900000L).map(lit): _*)).as("q"))
+        .withColumn("r", greatest(lit(1L), expr("(q * n + 999999) div 1000000")))
+      v.withColumn("rn", row_number().over(
+          Window.partitionBy(col("l_returnflag")).orderBy(col("v"))))
+        .join(tgt, Seq("l_returnflag"))
+        .filter(col("rn") === col("r"))
+        .select(col("l_returnflag"), col("q").as("pct_ppm"),
+          col("n").as("n_rows"), col("r").as("rk"), col("v").as("value"))
+    }),
     // the plain spelling of g19's post-MERGE state: the same
     // join/CASE/union replay the DuckDB oracle runs, over raw orders
     // (the catalog CTAS + MERGE is the fixture's fixed cost; timed

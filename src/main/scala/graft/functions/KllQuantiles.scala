@@ -661,7 +661,32 @@ object KllQuantiles {
   def exactQuantilesByGroup(rows: DataFrame, gCol: String, vCol: String,
       pctsPpm: Seq[Long], k: Int = 200,
       sliceBudget: Long = 4L * 1000L * 1000L,
-      maxGroups: Int = 10000): DataFrame = {
+      maxGroups: Int = 10000): DataFrame =
+    groupQuantilesImpl(rows, gCol, vCol, pctsPpm, k, sliceBudget, maxGroups,
+      preSketches = None)
+
+  /** GROUPED exact percentiles with the sketch pass PRE-PAID per group
+    * (t55 — the dashboard read of a persisted percentile cube): each
+    * entry of `sketches` is a kll_sketch struct row (typically several
+    * cube-cell sketches whose key has this group as a prefix, folded
+    * by [[KllSketch.kllMerge]]) describing exactly the group's
+    * non-null/non-NaN `vCol` population in `rows`. The corpus is
+    * touched only by the count/recount passes, shared across ALL
+    * groups per round; groups absent from `sketches` are not
+    * answered, and a sketch describing a different population fails
+    * the per-group bracket invariant loudly.
+    */
+  def exactQuantilesFromSketchByGroup(rows: DataFrame, gCol: String,
+      vCol: String, sketches: Map[String, org.apache.spark.sql.Row],
+      pctsPpm: Seq[Long], k: Int = 200,
+      sliceBudget: Long = 4L * 1000L * 1000L,
+      maxGroups: Int = 10000): DataFrame =
+    groupQuantilesImpl(rows, gCol, vCol, pctsPpm, k, sliceBudget, maxGroups,
+      preSketches = Some(sketches))
+
+  private def groupQuantilesImpl(rows: DataFrame, gCol: String, vCol: String,
+      pctsPpm: Seq[Long], k: Int, sliceBudget: Long, maxGroups: Int,
+      preSketches: Option[Map[String, org.apache.spark.sql.Row]]): DataFrame = {
     require(pctsPpm.nonEmpty && pctsPpm.forall(p => p >= 1 && p <= 1000000),
       s"pct ppm targets must be in [1, 1000000], got $pctsPpm")
     require(sliceBudget >= 1L, s"sliceBudget must be positive: $sliceBudget")
@@ -680,11 +705,13 @@ object KllQuantiles {
     def emptyOut = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
 
-    // one grouped sketch pass; |groups| rows of O(k·log) reach the driver
-    val sketches = v.groupBy(col("g"))
-      .agg(KllSketch.kllSketch(col("v"), k).as("sk"))
-      .collect()
-      .map(r => r.getString(0) -> r.getStruct(1)).toMap
+    // one grouped sketch pass (|groups| rows of O(k·log) reach the
+    // driver) — skipped entirely when the cube pre-paid it
+    val sketches = preSketches.getOrElse(
+      v.groupBy(col("g"))
+        .agg(KllSketch.kllSketch(col("v"), k).as("sk"))
+        .collect()
+        .map(r => r.getString(0) -> r.getStruct(1)).toMap)
     require(sketches.size <= maxGroups,
       s"exactQuantilesByGroup: ${sketches.size} groups exceed maxGroups=" +
         s"$maxGroups — driver bracket state is per-group; bucket the " +

@@ -275,11 +275,14 @@ object PipelineQueries {
   // --- t54's persisted sketch cube -----------------------------------
 
   /** Per-(dataset, session) PERCENTILE CUBE: one corpus pass computes
-    * a kll_sketch struct per l_returnflag cell and lands the cells as
-    * rows of a graft table (sketch-as-data — the struct column rides
-    * the ordinary segment parquet). The t54 query side reads THIS
-    * table, never re-sketching the corpus: the cube's whole point is
-    * that the build scan amortizes over every later percentile query.
+    * a kll_sketch struct per (l_returnflag × l_linestatus) cell and
+    * lands the cells as rows of a graft table (sketch-as-data — the
+    * struct column rides the ordinary segment parquet). The query
+    * sides read THIS table, never re-sketching the corpus: t54 folds
+    * every cell into one global sketch, t55 folds each returnflag's
+    * cell SLICE into a per-group sketch — the mergeable-summary
+    * payoff: any cube slice answers in O(cells·k·log) with zero
+    * corpus rescans before the exact recount.
     */
   private val sketchCubes =
     new graft.util.BuildOnce[org.apache.spark.sql.DataFrame]
@@ -287,10 +290,10 @@ object PipelineQueries {
   private def sketchCubeFor(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
     sketchCubes.getOrElseUpdate(s"$d|${s.sparkContext.applicationId}", {
       val cells = Tables.lineitem(s, d)
-        .select(col("l_returnflag"),
+        .select(col("l_returnflag"), col("l_linestatus"),
           col("l_extendedprice").cast("double").as("v"))
         .filter(col("v").isNotNull)
-        .groupBy(col("l_returnflag"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(graft.functions.KllSketch.kllSketch(col("v"), 200).as("sk"))
       val root = graft.util.RunRoot.under(
         s"graft_tables/${d.replace('/', '_')}/sketch_cube")
@@ -1777,6 +1780,23 @@ object PipelineQueries {
       graft.functions.KllQuantiles.exactQuantilesFromSketch(
         Tables.lineitem(s, d), "l_extendedprice", merged,
         Seq(250000L, 750000L))
+    }),
+
+    // the cube served PER GROUP (t55): each returnflag's cell SLICE
+    // (its linestatus cells) folds with kll_merge into a per-group
+    // sketch — O(cells·k·log) over cube rows, zero corpus rescans —
+    // and one shared grouped recount pays the corpus only for the
+    // exact brackets. The dashboard shape: percentiles per dimension
+    // slice from a cube built once.
+    "t55_group_sketch_cube" -> ((s, d) => {
+      val cube = sketchCubeFor(s, d)
+      val perGroup = cube.groupBy(col("l_returnflag"))
+        .agg(graft.functions.KllSketch.kllMerge(col("sk"), 200).as("sk"))
+        .collect()
+        .map(r => r.getString(0) -> r.getStruct(1)).toMap
+      graft.functions.KllQuantiles.exactQuantilesFromSketchByGroup(
+        Tables.lineitem(s, d), "l_returnflag", "l_extendedprice",
+        perGroup, Seq(500000L, 900000L))
     }),
 
     // text: BPE merge APPLY — segment the corpus with t41's learned
@@ -3875,6 +3895,22 @@ object PipelineQueries {
             (SELECT CAST(n AS BIGINT) FROM n) AS n_rows,
             CAST(t.rk AS BIGINT) AS rk, s.v AS value
           FROM t JOIN s ON s.rn = t.rk""",
+
+    // the per-group cube serving answers with the SAME exact order
+    // statistics a per-group sort produces — zero sketch knowledge
+    "t55_group_sketch_cube" ->
+      """WITH v AS (SELECT l_returnflag AS g, l_extendedprice AS v
+            FROM lineitem WHERE l_extendedprice IS NOT NULL),
+          n AS (SELECT g, COUNT(*) AS n FROM v GROUP BY g),
+          q AS (SELECT unnest([500000, 900000]) AS q),
+          t AS (SELECT n.g, q.q, n.n,
+            GREATEST(1, (q.q * n.n + 999999) // 1000000) AS rk FROM q, n),
+          s AS (SELECT g, v,
+            row_number() OVER (PARTITION BY g ORDER BY v) AS rn FROM v)
+          SELECT t.g AS l_returnflag, CAST(t.q AS BIGINT) AS pct_ppm,
+            CAST(t.n AS BIGINT) AS n_rows, CAST(t.rk AS BIGINT) AS rk,
+            s.v AS value
+          FROM t JOIN s ON s.g = t.g AND s.rn = t.rk""",
 
     // grouped order statistics from a per-group sort — identical rank
     // rule, partitioned by the group; ties share a value so the tie

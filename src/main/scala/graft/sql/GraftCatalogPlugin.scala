@@ -103,6 +103,22 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces {
 
   override def defaultNamespace(): Array[String] = DefaultNs
 
+  /** Aggregate tables (MVs) visible through THIS catalog: all of them
+    * for the session-wide catalog, only those over its own store for a
+    * root-scoped one. They browse and SELECT like tables (read-only —
+    * BI tools see rollups next to their bases) but stay owned by the
+    * MV lifecycle: writes/renames/drops go through the MV DDL, not
+    * the table surface.
+    */
+  private def visibleMvs(): Seq[graft.mv.AggTableMeta] =
+    graft.mv.AggTables.registered(spark).filter(m =>
+      rootOverride.forall(r =>
+        m.basePath == r || m.basePath.startsWith(s"$r/")))
+
+  private def mvMetaFor(ident: Identifier): Option[graft.mv.AggTableMeta] =
+    nsNameOpt(ident.namespace).filter(_ == "default")
+      .flatMap(_ => visibleMvs().find(_.name == ident.name))
+
   // ---- TableCatalog -------------------------------------------------
 
   override def listTables(ns: Array[String]): Array[Identifier] = {
@@ -123,18 +139,28 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces {
         .filter(_.isDirectory)
         .map(_.getPath)
       GraftCatalog.pruneTablePaths(nsRoot, dirs.map(_.getName).toSet)
-      dirs
+      val tables = dirs
         .filter(p => GraftCatalog.isTablePath(p.toString))
-        .map(p => Identifier.of(Array(nsName),
-          logical.getOrElse(p.getName, p.getName)))
+        .map(p => logical.getOrElse(p.getName, p.getName))
+      // registered MVs browse alongside their bases (default ns only;
+      // a real table dir of the same name wins)
+      val mvs =
+        if (nsName != "default") Nil
+        else visibleMvs().map(_.name).filterNot(tables.contains)
+      (tables ++ mvs).distinct
+        .map(n => Identifier.of(Array(nsName), n))
         .sortBy(_.name)
         .toArray
     }
   }
 
   override def loadTable(ident: Identifier): Table = {
-    if (!reachable(ident)) throw new NoSuchTableException(ident)
-    new GraftV2Table(ident, pathFor(ident), catalogPluginName = catalogName)
+    if (reachable(ident))
+      new GraftV2Table(ident, pathFor(ident), catalogPluginName = catalogName)
+    else mvMetaFor(ident) match {
+      case Some(mv) => new GraftMvV2Table(ident, mv.mvPath)
+      case None => throw new NoSuchTableException(ident)
+    }
   }
 
   /** `VERSION AS OF <v>` — catalog versions ARE the table's version
@@ -548,4 +574,31 @@ private[sql] class GraftV2Table(ident: Identifier, tablePath: String,
       }
     }
   }
+}
+
+/** A registered aggregate table (MV) surfaced READ-ONLY through the V2
+  * catalog: BI tools browse and SELECT the rollup next to its base
+  * (`SELECT * FROM graft.default.<mv>`), while its lifecycle —
+  * refresh, drop, versioned rewrite paths — stays with the MV DDL.
+  * No SupportsWrite/SupportsDeleteV2: Spark rejects INSERT/DELETE
+  * against it at analysis. The mvPath is re-resolved per loadTable,
+  * so each query reads the MV's CURRENT version after any refresh.
+  */
+private[sql] class GraftMvV2Table(ident: Identifier, mvPath: String)
+  extends Table with SupportsRead {
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def name(): String = s"$ident (aggregate table)"
+  override def schema(): StructType = spark.read.parquet(mvPath).schema
+  override def properties(): util.Map[String, String] =
+    java.util.Collections.singletonMap("graft.mv", "true")
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    org.apache.spark.sql.graftbridge.GraftV2ScanSupport
+      .segmentPrunedParquetBuilder(spark, s"graft.mv.${ident.name}",
+        schema(), Seq(mvPath), _ => Seq(mvPath))
 }

@@ -286,6 +286,59 @@ class KllQuantilesSpec extends AnyFunSuite {
     assert(direct == want)
   }
 
+  test("grouped cube serving: per-group folds over parquet cells answer exactly, groups isolated") {
+    // cube cells keyed (group, subcell) persist to parquet; serving
+    // folds each group's cell slice with kll_merge and the grouped
+    // recount must equal per-group sorts AND the direct grouped path —
+    // with deliberately different distributions per group so a bracket
+    // bleeding across groups would be caught
+    val data =
+      (1 to 1500).map(i => ("a", s"sub${i % 3}", ((i * 2654435761L) % 99991).toDouble)) ++
+      (1 to 700).map(i => ("b", s"sub${i % 2}", 1.0e6 + i)) ++
+      (1 to 9).map(_ => ("c", "sub0", 42.0))
+    val df = data.toDF("g", "cell", "x").repartition(13)
+    val cells = df.groupBy(col("g"), col("cell"))
+      .agg(KllSketch.kllSketch(col("x"), 64).as("sk"))
+    val dir = java.nio.file.Files.createTempDirectory("kll_gcube").toString
+    cells.write.mode("overwrite").parquet(dir)
+    val perGroup = spark.read.parquet(dir)
+      .groupBy(col("g"))
+      .agg(KllSketch.kllMerge(col("sk"), 64).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getStruct(1)).toMap
+    assert(perGroup.size == 3)
+    val pcts = Seq(250000L, 500000L, 999999L)
+    val got = KllQuantiles.exactQuantilesFromSketchByGroup(
+      df.select(col("g"), col("x").as("v")), "g", "v", perGroup, pcts)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    val want = data.groupBy(_._1).flatMap { case (g, rows) =>
+      val sorted = rows.map(_._3).sorted
+      val n = sorted.size.toLong
+      pcts.map { q =>
+        val r = KllQuantiles.rankOf(q, n)
+        (g, q, n, r, sorted((r - 1).toInt))
+      }
+    }.toSet
+    assert(got == want)
+    // the direct grouped path agrees completely
+    val direct = KllQuantiles.exactQuantilesByGroup(
+      df.select(col("g"), col("x").as("v")), "g", "v", pcts, k = 64)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    assert(direct == want)
+    // a sketch describing a DIFFERENT population fails loudly at the
+    // per-group bracket invariant, never silently approximates
+    val e = intercept[Exception] {
+      KllQuantiles.exactQuantilesFromSketchByGroup(
+        df.select(col("g"), col("x").as("v")).filter(col("v") < 50000),
+        "g", "v", perGroup, Seq(999999L)).collect()
+    }
+    assert(e.getMessage.contains("bracket") || e.getMessage.contains("invariant") ||
+      e.getMessage.contains("count row missing"), e.getMessage)
+  }
+
   test("kll_merge: SQL surface works; a non-sketch struct fails loudly at the weight check") {
     Seq(("a", 1.0), ("a", 2.0), ("b", 9.0)).toDF("g", "x")
       .createOrReplaceTempView("kllm_src")

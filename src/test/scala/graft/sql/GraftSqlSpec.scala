@@ -733,8 +733,11 @@ class GraftSqlSpec extends AnyFunSuite {
       (1 to 1000).foreach(i =>
         SegmentedTable.create(spark, s"$store2/t$i", schema, Map.empty))
       val cat = new GraftCatalogPlugin()
+      // root-scoped to the 1k store: the session-wide catalog would
+      // also list MVs other suites registered (r17 MV browsing) and
+      // the exact counts below would depend on suite order
       cat.initialize("graft", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
-        java.util.Collections.emptyMap()))
+        java.util.Collections.singletonMap("root", store2)))
       val ns = Array("default")
       def timeMs(n: Int)(f: => Unit): Double = {
         val t0 = System.nanoTime(); (1 to n).foreach(_ => f)
@@ -1020,6 +1023,48 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(foreign.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable],
       s"foreign-catalog MERGE must reach the delegate, got ${foreign.getClass}")
     spark.sql("DROP TABLE graft.default.ansi_mrg")
+  }
+
+  test("MVs browse through the catalog: listed, SELECTable, read-only, refresh-current") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mvcat")
+    val base = dir.resolve("region.parquet").toString
+    spark.read.parquet("/root/testdata/sf0.001/region.parquet").write.parquet(base)
+    spark.sql(s"CREATE GRAFT AGGREGATE TABLE region_catmv ON PATH '$base' " +
+      "GROUP BY (r_regionkey) AGG (max(r_regionkey))")
+    try {
+      // listed next to real tables in the default namespace
+      assert(spark.sql("SHOW TABLES IN graft.default").collect()
+        .map(_.getString(1)).contains("region_catmv"),
+        "the MV must browse through SHOW TABLES")
+      // SELECTable via the catalog identifier, answering the rollup
+      val rows = spark.table("graft.default.region_catmv").collect()
+      assert(rows.length == 5, s"got ${rows.length}")
+      // read-only: INSERT/DELETE rejected at analysis
+      val e1 = intercept[Exception] {
+        spark.sql("INSERT INTO graft.default.region_catmv " +
+          "SELECT * FROM graft.default.region_catmv")
+      }
+      assert(e1.getMessage.toLowerCase.contains("support") ||
+        e1.getMessage.toLowerCase.contains("writ"), e1.getMessage)
+      intercept[Exception] {
+        spark.sql("DELETE FROM graft.default.region_catmv WHERE r_regionkey = 0")
+      }
+      // after a refresh the catalog read serves the CURRENT version
+      spark.read.parquet("/root/testdata/sf0.001/region.parquet").limit(2)
+        .write.mode("append").parquet(base)
+      spark.sql("REFRESH GRAFT AGGREGATE TABLE region_catmv")
+      assert(spark.table("graft.default.region_catmv").count() == 5,
+        "refresh keeps the same 5 groups (re-resolved mvPath)")
+      // and dropping the MV removes it from the browse surface
+      spark.sql("DROP GRAFT AGGREGATE TABLE region_catmv")
+      assert(!spark.sql("SHOW TABLES IN graft.default").collect()
+        .map(_.getString(1)).contains("region_catmv"))
+      intercept[Exception] { spark.table("graft.default.region_catmv").collect() }
+    } finally {
+      if (graft.mv.AggTables.registered(spark).exists(_.name == "region_catmv"))
+        spark.sql("DROP GRAFT AGGREGATE TABLE region_catmv")
+    }
   }
 
   test("full ANSI MERGE: conditional update, delete, conditional insert — clause-shape matrix") {

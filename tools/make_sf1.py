@@ -81,16 +81,42 @@ def main() -> None:
     pq.write_table(pa.concat_tables(parts), f"{dst}/events.parquet")
     print(f"events: {n} -> {n * factor}")
 
-    li = pq.read_table(f"{src}/lineitem.parquet")
-    n = li.num_rows
-    parts = []
-    for r in range(factor):
-        t = li.set_column(li.schema.get_field_index("l_orderkey"),
-                          "l_orderkey",
-                          pa.compute.add(li["l_orderkey"], r * 100_000_000))
-        parts.append(t)
-    pq.write_table(pa.concat_tables(parts), f"{dst}/lineitem.parquet")
-    print(f"lineitem: {n} -> {n * factor}")
+    # Key-domain shifts shared across tables so every join keeps its
+    # per-replica match rate (a join gone match-free would change the
+    # workload shape, not just its size). All shifts divisible by 10
+    # so %2/%4/%10 key-class patterns survive per replica.
+    ORDER_SHIFT = 100_000_000
+    CUST_SHIFT = 10_000_000
+    SUPP_SHIFT = 1_000_000
+    PART_SHIFT = 10_000_000
+
+    def replicate(name: str, shifts: dict) -> None:
+        t0 = pq.read_table(f"{src}/{name}.parquet")
+        parts = []
+        for r in range(factor):
+            t = t0
+            for col, per in shifts.items():
+                t = t.set_column(t.schema.get_field_index(col), col,
+                                 pa.compute.add(t[col], r * per))
+            parts.append(t)
+        pq.write_table(pa.concat_tables(parts), f"{dst}/{name}.parquet")
+        print(f"{name}: {t0.num_rows} -> {t0.num_rows * factor}")
+
+    replicate("lineitem", {"l_orderkey": ORDER_SHIFT,
+                           "l_suppkey": SUPP_SHIFT,
+                           "l_partkey": PART_SHIFT})
+    replicate("orders", {"o_orderkey": ORDER_SHIFT,
+                         "o_custkey": CUST_SHIFT})
+    replicate("customer", {"c_custkey": CUST_SHIFT})
+    replicate("supplier", {"s_suppkey": SUPP_SHIFT})
+    replicate("part", {"p_partkey": PART_SHIFT})
+
+    # nation/region are true dimensions: keys referenced by every
+    # replica, kept verbatim (their scan cost is noise at any sf)
+    for name in ("nation", "region"):
+        pq.write_table(pq.read_table(f"{src}/{name}.parquet"),
+                       f"{dst}/{name}.parquet")
+        print(f"{name}: copied")
 
 
 if __name__ == "__main__":
