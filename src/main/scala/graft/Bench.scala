@@ -67,7 +67,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val timedRuns = 3
+    // SPARK_GRAFT_BENCH_RUNS overrides the timed-run count for ad-hoc
+    // studies (the sf1 scaling runs use 1, the r12 precedent — a full
+    // 205-gate board at sf1 with 3 interleaved pairs + warmups runs
+    // for hours); the driver sets nothing and gets the default 3.
+    val timedRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // SPARK_GRAFT_BENCH_GRAFT_ONLY=1 skips the baseline side entirely
+    // (recorded as -1): for scaling studies of gates whose BASELINE is
+    // brute-force-quadratic by design (e01/s01 — the ladder's baseline
+    // rung), the graft-side exponent is the evidence wanted and the
+    // baseline would run for hours at sf1. Never set by the driver.
+    val graftOnly = sys.env.get("SPARK_GRAFT_BENCH_GRAFT_ONLY").contains("1")
     val baselines = Baseline.queries
     // bench-only fixture overrides (BOTH sides swapped symmetrically —
     // see graft.bench.BenchFixtures): st01 is measured over a
@@ -92,13 +102,22 @@ object Bench {
         case None => (fn0, baselines(name))
       }
       // warm both sides first (plan compile, codegen, page cache)
-      timeOnce(name, fn, spark, sfDir); timeOnce(name, base, spark, sfDir)
+      timeOnce(name, fn, spark, sfDir)
+      if (!graftOnly) timeOnce(name, base, spark, sfDir)
       // interleave graft/baseline timed runs so drift is shared
       val pairs = (1 to timedRuns).map(_ =>
-        (timeOnce(name, fn, spark, sfDir), timeOnce(name + " (baseline)", base, spark, sfDir)))
+        (timeOnce(name, fn, spark, sfDir),
+          if (graftOnly) -1.0
+          else timeOnce(name + " (baseline)", base, spark, sfDir)))
       val g = pairs.map(_._1).filter(_ >= 0)
       val b = pairs.map(_._2).filter(_ >= 0)
-      (name, if (g.isEmpty) -1.0 else g.min, if (b.isEmpty) -1.0 else b.min)
+      val row =
+        (name, if (g.isEmpty) -1.0 else g.min, if (b.isEmpty) -1.0 else b.min)
+      // per-gate progress to stderr: a long board run killed mid-way
+      // still yields every completed gate's timings
+      System.err.println(f"[bench] done $name graft=${row._2}%.3f " +
+        f"baseline=${row._3}%.3f")
+      row
     }
     def fmt(xs: Seq[(String, Double)], dec: Int): String =
       xs.map { case (k, v) =>
