@@ -231,6 +231,24 @@ object Baseline {
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("cnt"), Tables.dsum(col("o_totalprice")).as("total"))
     }),
+    // the plain spelling of g20's post-MERGE state: the three clause
+    // families replayed as filter/CASE/union over raw orders
+    "g20_merge_by_source" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val matchedUpd = o
+        .filter(col("o_orderkey") % 4 === 1 && col("o_orderstatus") === "O")
+        .select(col("o_orderstatus"),
+          (col("o_totalprice") * 2).as("o_totalprice"))
+      val bySrc = o
+        .filter(col("o_orderkey") % 4 =!= 1 && col("o_orderstatus") =!= "F")
+        .select(lit("Z").as("o_orderstatus"), col("o_totalprice"))
+      val ins = o
+        .filter(col("o_orderkey") % 4 === 2 && col("o_totalprice") < 100000)
+        .select(lit("N").as("o_orderstatus"), col("o_totalprice"))
+      matchedUpd.unionAll(bySrc).unionAll(ins)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"), Tables.dsum(col("o_totalprice")).as("total"))
+    }),
     // the plain spelling of g18's post-DML state: filter-aggregate
     // over raw orders (the catalog CTAS + DELETE is the fixture's
     // fixed cost; timed runs scan the surviving table either way)

@@ -277,6 +277,28 @@ object AggTables {
     }
   }
 
+  /** Point every MV registered over `oldBase` at `newBase` — the MOVE
+    * TABLE hook. The rollup data, coveredFiles watermark and
+    * fingerprint all stay valid: entries are RELATIVE to the base
+    * (see [[entryOf]]) and a filesystem rename preserves file names,
+    * sizes and mtimes — so the next refresh after a move is a no-op,
+    * not a rebuild. Returns the rebased MV names.
+    */
+  def rebase(spark: SparkSession, oldBase: String, newBase: String): Seq[String] = {
+    val ob = normalize(oldBase)
+    registered(spark).filter(_.basePath == ob).map { m =>
+      withRefreshLock(spark, m.name) {
+        // re-read under the per-MV lock: a concurrent refresh may have
+        // re-stamped the meta since the unlocked listing above
+        registered(spark).find(_.name == m.name)
+          .filter(_.basePath == ob)
+          .foreach(c => writeMeta(catalogDir(spark), c.name,
+            c.copy(basePath = normalize(newBase))))
+      }
+      m.name
+    }
+  }
+
   /** Deregister an MV and delete its rollup data. */
   def drop(spark: SparkSession, name: String): Unit =
     withRefreshLock(spark, name) {

@@ -84,6 +84,62 @@ object SegmentQueries {
       s"$cat.default.mord"
     })
 
+  /** g20's table: ONE statement exercising all three MERGE clause
+    * families — conditional matched UPDATE, matched DELETE,
+    * conditional column-list INSERT, and the full-sync `WHEN NOT
+    * MATCHED BY SOURCE` pair (conditional DELETE + catch-all UPDATE)
+    * acting on target rows the source does not carry.
+    */
+  private val mergeBySourceDml = new graft.util.BuildOnce[String]
+
+  private def mergeBySourceTable(s: SparkSession, d: String): String =
+    mergeBySourceDml.getOrElseUpdate(s"gbs|$d|${s.sparkContext.applicationId}", {
+      val cat = s"gbs${(d + s.sparkContext.applicationId).hashCode.abs}"
+      val root = graft.util.RunRoot.under(
+        s"graft_merge_by_source/${d.replace('/', '_')}")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalogPlugin")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      Tables.orders(s, d).createOrReplaceTempView("g20_orders_src")
+      s.sql(s"CREATE TABLE $cat.default.bsord USING graft " +
+        "AS SELECT * FROM g20_orders_src")
+      // the source carries keys %4==1 (as-is) and %4==2 (shifted →
+      // source-only inserts); every OTHER target row is by-source:
+      // 'F' rows delete, the rest re-flag to 'Z'. The matched family
+      // re-prices 'O' rows and deletes the rest — so all five clauses
+      // fire. The clause conditions deliberately use a top-level CASE
+      // WHEN ... THEN ... END to pin the clause-splitting fix (a CASE
+      // inside a WHEN condition must not split the clause list).
+      val stmt =
+        s"""MERGE INTO $cat.default.bsord t
+            USING (SELECT o_orderkey AS k, o_totalprice AS p
+                   FROM g20_orders_src WHERE o_orderkey % 4 = 1
+                   UNION ALL
+                   SELECT o_orderkey + 10000000, o_totalprice
+                   FROM g20_orders_src WHERE o_orderkey % 4 = 2) s
+            ON t.o_orderkey = s.k
+            WHEN MATCHED AND CASE WHEN t.o_orderstatus = 'O'
+                             THEN true ELSE false END THEN
+              UPDATE SET o_totalprice = s.p * 2
+            WHEN MATCHED THEN DELETE
+            WHEN NOT MATCHED AND s.p < 100000 THEN
+              INSERT (o_orderkey, o_orderstatus, o_totalprice)
+              VALUES (s.k, 'N', s.p)
+            WHEN NOT MATCHED BY SOURCE AND t.o_orderstatus = 'F' THEN
+              DELETE
+            WHEN NOT MATCHED BY SOURCE THEN
+              UPDATE SET o_orderstatus = 'Z'"""
+      new graft.sql.GraftSqlParser(s.sessionState.sqlParser)
+        .parsePlan(stmt) match {
+        case cmd: graft.sql.AnsiMergeFullCommand =>
+          require(cmd.bySourceClauses.size == 2,
+            s"g20 statement must carry 2 by-source clauses, got $cmd")
+          cmd.run(s)
+        case other => throw new IllegalStateException(
+          s"g20 statement must parse to the full-merge command, got $other")
+      }
+      s"$cat.default.bsord"
+    })
+
   private def lineitemTable(s: SparkSession, d: String): SegmentedTable =
     built.getOrElseUpdate(s"li|$d", {
       val root = graft.util.RunRoot.under(s"graft_tables/${d.replace('/', '_')}/lineitem")
@@ -555,6 +611,17 @@ object SegmentQueries {
         .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
     }),
 
+    // g20: the complete MERGE clause surface in one atomic statement —
+    // the full-sync shape (WHEN NOT MATCHED BY SOURCE DELETE/UPDATE)
+    // on top of g19's three families; the oracle replays it as
+    // join/CASE/union SQL
+    "g20_merge_by_source" -> ((s, d) => {
+      val n = mergeBySourceTable(s, d)
+      s.table(n)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+    }),
+
     "g01_segment_pruned_scan" -> ((s, d) => {
       graft.table.GraftSegmentPruning.ensureRegistered(s)
       val t = lineitemTable(s, d)
@@ -783,6 +850,25 @@ object SegmentQueries {
            SELECT 'N', s.p
            FROM src s LEFT JOIN orders o ON o.o_orderkey = s.k
            WHERE o.o_orderkey IS NULL AND s.p < 100000
+         )
+         SELECT o_orderstatus, COUNT(*) AS cnt,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM merged GROUP BY o_orderstatus""",
+
+    // the full-sync MERGE replayed declaratively: matched-'O' rows
+    // re-priced, other matched rows deleted, by-source 'F' rows
+    // deleted, remaining by-source rows re-flagged 'Z', cheap
+    // source-only rows inserted as 'N'
+    "g20_merge_by_source" ->
+      """WITH merged AS (
+           SELECT o_orderstatus, o_totalprice * 2 AS o_totalprice
+           FROM orders WHERE o_orderkey % 4 = 1 AND o_orderstatus = 'O'
+           UNION ALL
+           SELECT 'Z', o_totalprice
+           FROM orders WHERE o_orderkey % 4 <> 1 AND o_orderstatus <> 'F'
+           UNION ALL
+           SELECT 'N', o_totalprice
+           FROM orders WHERE o_orderkey % 4 = 2 AND o_totalprice < 100000
          )
          SELECT o_orderstatus, COUNT(*) AS cnt,
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -302,7 +302,14 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces {
           SegmentedTable.exists(s"$nsRoot/${to.name}") && to.name != fromDir)
     if (toTaken && to.name != from.name)
       throw new TableAlreadyExistsException(to)
-    GraftCatalog.renameEntry(nsRoot, from.name, to.name)
+    // the pre-check above is the fast path with the V2-typed error;
+    // renameEntry RE-VERIFIES target availability inside the name-map
+    // lock (two racing renames to one target: exactly one wins)
+    try GraftCatalog.renameEntry(nsRoot, from.name, to.name)
+    catch {
+      case _: GraftCatalog.RenameTargetTakenException =>
+        throw new TableAlreadyExistsException(to)
+    }
   }
 
   // ---- SupportsNamespaces --------------------------------------------
@@ -590,7 +597,13 @@ private[sql] class GraftMvV2Table(ident: Identifier, mvPath: String)
   private def spark: SparkSession = SparkSession.active
 
   override def name(): String = s"$ident (aggregate table)"
-  override def schema(): StructType = spark.read.parquet(mvPath).schema
+  // schema() is called repeatedly during analysis — cache the footer
+  // read per mvPath. Freshness is preserved: a refresh writes a NEW
+  // versioned path and loadTable re-resolves it, so a stale entry is
+  // simply never looked up again.
+  override def schema(): StructType =
+    GraftMvV2Table.schemaCache.computeIfAbsent(mvPath,
+      p => spark.read.parquet(p).schema)
   override def properties(): util.Map[String, String] =
     java.util.Collections.singletonMap("graft.mv", "true")
 
@@ -601,4 +614,12 @@ private[sql] class GraftMvV2Table(ident: Identifier, mvPath: String)
     org.apache.spark.sql.graftbridge.GraftV2ScanSupport
       .segmentPrunedParquetBuilder(spark, s"graft.mv.${ident.name}",
         schema(), Seq(mvPath), _ => Seq(mvPath))
+}
+
+private[sql] object GraftMvV2Table {
+  /** mvPath → StructType. Bounded in practice: one entry per MV
+    * VERSION touched in this driver's lifetime, each a few KB.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
 }

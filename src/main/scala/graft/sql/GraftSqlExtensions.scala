@@ -859,6 +859,12 @@ object GraftCatalog {
     graft.table.MetadataLock.forPath(new org.apache.hadoop.fs.Path(store))
       .withExclusive(new org.apache.hadoop.fs.Path(store, "_names.lock"))(f)
 
+  /** Thrown by [[renameEntry]] when the target name is taken — a
+    * typed signal the V2 catalog maps to TableAlreadyExistsException.
+    */
+  final class RenameTargetTakenException(msg: String)
+    extends IllegalStateException(msg)
+
   /** Remap `from` to name `to` (same directory). `to == the physical
     * dir name` folds back to identity, keeping the map minimal.
     * Runs under the store's name-map lock and re-verifies the source
@@ -881,6 +887,24 @@ object GraftCatalog {
       require(SegmentedTable.exists(s"$store/$dir"),
         s"cannot rename '$from': its table directory '$dir' is gone " +
           "(dropped concurrently?)")
+      // target availability re-verified INSIDE the critical section:
+      // two racing renames to the same target would both pass a
+      // caller-side pre-check, and the second write would silently
+      // overwrite the first's mapping, stranding that table under its
+      // physical dir name. Same taken-rules as the caller: a mapped
+      // logical name, a dir claimed by a different entry, or an
+      // unclaimed existing dir — renaming back to the source's OWN dir
+      // name is the legal fold-away case.
+      if (to != from) {
+        val taken =
+          (m - from).contains(to) ||
+            (m.valuesIterator.contains(to) && to != dir) ||
+            (!m.valuesIterator.contains(to) &&
+              SegmentedTable.exists(s"$store/$to") && to != dir)
+        if (taken) throw new RenameTargetTakenException(
+          s"cannot rename '$from' to '$to': the target name is taken " +
+            "(created or renamed-to concurrently)")
+      }
       writeNameMap(store,
         if (dir == to) m - from else (m - from) + (to -> dir))
     }
@@ -924,6 +948,70 @@ object GraftCatalog {
         case None => false
       }
     }
+
+  /** MOVE a table across namespaces: a PHYSICAL directory move under
+    * BOTH namespaces' name-map locks (ordered by root path — no
+    * deadlock), with the registrations that embed the directory kept
+    * coherent: every MV over the old path is re-based to the new one
+    * (rollup data and incremental watermark stay valid — entries are
+    * base-relative), and a table carrying DURABLE streaming-sink
+    * lineages refuses to move without FORCE — those checkpoints embed
+    * the old path, and a restarted writer would silently re-create the
+    * table there. Detection covers sink lineages recorded ON the
+    * table; checkpoints of downstream readStream consumers live
+    * entirely outside the store and cannot be detected — the FORCE
+    * error says so. The destination directory name IS the new logical
+    * name (no indirection entry needed); the source's map entries are
+    * pruned like a drop.
+    */
+  private[sql] def moveTable(spark: SparkSession, store: String,
+      fromNs: String, fromName: String, toNs: String, toName: String,
+      force: Boolean): Unit = {
+    require(fromNs != toNs,
+      s"MOVE GRAFT TABLE is for CROSS-namespace moves; within '$fromNs' " +
+        "use ALTER TABLE ... RENAME TO (the zero-copy indirection)")
+    require(namespaceExists(store, fromNs), s"no namespace '$fromNs'")
+    require(namespaceExists(store, toNs), s"no namespace '$toNs'")
+    val srcRoot = nsRootOf(store, fromNs)
+    val dstRoot = nsRootOf(store, toNs)
+    val (l1, l2) =
+      if (srcRoot <= dstRoot) (srcRoot, dstRoot) else (dstRoot, srcRoot)
+    withNamesLock(l1) { withNamesLock(l2) {
+      // resolve the source INSIDE the locks (the rename/drop lesson)
+      val m = nameMap(srcRoot)
+      val dir = m.get(fromName)
+        .orElse(if (m.valuesIterator.contains(fromName)) None
+                else Some(fromName))
+        .getOrElse(throw new IllegalArgumentException(
+          s"cannot move '$fromNs.$fromName': the name does not resolve"))
+      val srcPath = s"$srcRoot/$dir"
+      require(SegmentedTable.exists(srcPath),
+        s"cannot move '$fromNs.$fromName': no table at $srcPath")
+      val md = nameMap(dstRoot)
+      val dstPath = s"$dstRoot/$toName"
+      require(!md.contains(toName) && !md.valuesIterator.contains(toName) &&
+        !TableIO.exists(new org.apache.hadoop.fs.Path(dstPath)),
+        s"cannot move to '$toNs.$toName': the target name is taken")
+      val durable = SegmentedTable.open(spark, srcPath).status.sinkEpochs
+        .keys.filterNot(_.startsWith(SegmentedTable.EphemeralSinkPrefix))
+        .toSeq.sorted
+      if (durable.nonEmpty && !force) throw new IllegalStateException(
+        s"cannot move '$fromNs.$fromName': durable streaming-sink " +
+          s"checkpoints embed its path (${durable.mkString(", ")}). " +
+          "Stop those queries, then re-issue with FORCE and restart " +
+          "them against the new path. (Checkpoints of readStream " +
+          "CONSUMERS of this table cannot be detected — verify those " +
+          "yourself before forcing.)")
+      TableIO.rename(new org.apache.hadoop.fs.Path(srcPath),
+        new org.apache.hadoop.fs.Path(dstPath))
+      forgetTablePath(srcPath)
+      forgetTablePath(dstPath)
+      val pruned = m.filterNot { case (k, v) => k == fromName || v == dir }
+      if (pruned != m) writeNameMap(srcRoot, pruned)
+      // AFTER the physical move, so the metas point at live files
+      graft.mv.AggTables.rebase(spark, srcPath, dstPath)
+    } }
+  }
 
   /** Path-style resolution honoring renames. NOTE the documented
     * laxness: a rename-CLAIMED physical dir name still resolves to
@@ -1237,10 +1325,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           AnsiMergeIntoGraftCommand(cat, ns, name, source, keys)
         case None =>
           val srcAlias = trailingAlias(source)
-          val (mWhen, nmWhen) = parseMergeClauses(whenClauses)
+          val (mWhen, nmWhen, bsWhen) = parseMergeClauses(whenClauses)
           AnsiMergeFullCommand(cat, ns, name, tgtAlias, source, srcAlias,
             cond, mWhen, nmWhen,
-            extractEquiKeys(cond, tgtAlias, srcAlias))
+            extractEquiKeys(cond, tgtAlias, srcAlias), bsWhen)
       }
     case updateRowsRe(name, rest) =>
       // the WHERE boundary is found quote- and paren-aware, so a
@@ -1595,7 +1683,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     val meaningful = toks.toSeq.filterNot(_.equalsIgnoreCase("AS"))
     meaningful.lastOption match {
       case Some(last) if meaningful.size > 1 && last.matches("\\w+") => last
-      case Some(only) if meaningful.size == 1 =>
+      // a single token starting with '(' is an UNALIASED subquery —
+      // fall through to the loud "alias the source" error instead of
+      // returning the raw '(SELECT ...)' text as an alias
+      case Some(only) if meaningful.size == 1 && !only.startsWith("(") =>
         only.split('.').last.replaceAll("`", "")
       case _ => throw new IllegalArgumentException(
         s"graft MERGE INTO: cannot determine the source alias from " +
@@ -1608,7 +1699,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val mergeNotMatchedHeadRe =
     """(?is)^NOT\s+MATCHED(?:\s+BY\s+TARGET)?(?:\s+AND\s+(.+))?$""".r
   private val mergeBySourceHeadRe =
-    """(?is)^NOT\s+MATCHED\s+BY\s+SOURCE.*$""".r
+    """(?is)^NOT\s+MATCHED\s+BY\s+SOURCE(?:\s+AND\s+(.+))?$""".r
+  private val mergeWhenHeadTailRe =
+    """(?is)^\s+(?:NOT\s+)?MATCHED\b.*""".r
   private val mergeUpdateStarRe = """(?is)^UPDATE\s+SET\s+\*$""".r
   private val mergeUpdateSetRe = """(?is)^UPDATE\s+SET\s+(.+)$""".r
   private val mergeDeleteRe = """(?is)^DELETE$""".r
@@ -1616,18 +1709,48 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val mergeInsertColsRe =
     """(?is)^INSERT\s*\(([^)]*)\)\s*VALUES\s*\((.+)\)$""".r
 
+  /** The top-level `WHEN` indices that actually START a MERGE clause:
+    * the keyword must be followed by `MATCHED` / `NOT MATCHED`. A bare
+    * top-level `CASE WHEN x THEN y END` inside a clause condition or a
+    * SET expression therefore cannot split the clause list (its WHEN
+    * is followed by the scrutinee, not MATCHED).
+    */
+  private def mergeWhenHeadIndices(text: String): Seq[Int] =
+    topLevelIndicesOf(text, "WHEN").filter(i =>
+      mergeWhenHeadTailRe.pattern
+        .matcher(text.substring(i + "WHEN".length)).matches())
+
+  /** The `THEN` closing a MERGE WHEN clause head — the first top-level
+    * THEN not owned by a CASE expression (every top-level CASE..END
+    * span is tracked as nesting, so `WHEN MATCHED AND CASE WHEN p
+    * THEN q END THEN DELETE` finds the SECOND then). -1 when absent.
+    */
+  private def clauseThenIndex(sp: String): Int = {
+    val events = (topLevelIndicesOf(sp, "CASE").map(_ -> 'c') ++
+      topLevelIndicesOf(sp, "END").map(_ -> 'e') ++
+      topLevelIndicesOf(sp, "THEN").map(_ -> 't')).sortBy(_._1)
+    var caseDepth = 0
+    events.foreach {
+      case (_, 'c') => caseDepth += 1
+      case (_, 'e') => caseDepth = math.max(0, caseDepth - 1)
+      case (i, _) => if (caseDepth == 0) return i
+    }
+    -1
+  }
+
   /** Parse a MERGE statement's WHEN-clause list into the engine's
     * clause model — conditional UPDATE (SET * or assignments),
-    * DELETE, conditional INSERT (* or column list + VALUES), multiple
-    * clauses, first-match order preserved. `WHEN NOT MATCHED BY
-    * SOURCE` (a Delta/Spark extension, not ANSI) stays unsupported
-    * with the workaround spelled out.
+    * DELETE, conditional INSERT (* or column list + VALUES),
+    * conditional `NOT MATCHED BY SOURCE` UPDATE/DELETE (the
+    * Delta/Spark full-sync extension), multiple clauses, first-match
+    * order preserved per family.
     */
   private def parseMergeClauses(text: String)
       : (Seq[graft.table.SegmentedTable.MergeWhen],
-         Seq[graft.table.SegmentedTable.MergeInsert]) = {
+         Seq[graft.table.SegmentedTable.MergeInsert],
+         Seq[graft.table.SegmentedTable.MergeWhen]) = {
     import graft.table.SegmentedTable.{MergeDelete, MergeInsert, MergeUpdate, MergeWhen}
-    val idxs = topLevelIndicesOf(text, "WHEN")
+    val idxs = mergeWhenHeadIndices(text)
     require(idxs.nonEmpty && text.substring(0, idxs.head).trim.isEmpty,
       s"malformed MERGE WHEN clauses: $text")
     val spans = idxs.zip(idxs.drop(1) :+ text.length).map {
@@ -1635,18 +1758,30 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     }
     val matched = scala.collection.mutable.ListBuffer.empty[MergeWhen]
     val notMatched = scala.collection.mutable.ListBuffer.empty[MergeInsert]
+    val bySource = scala.collection.mutable.ListBuffer.empty[MergeWhen]
     spans.foreach { sp =>
-      val thenIdx = topLevelIndexOf(sp, "THEN")
+      val thenIdx = clauseThenIndex(sp)
       require(thenIdx > 0, s"malformed MERGE WHEN clause (no THEN): $sp")
       val head = sp.take(thenIdx).trim
       val action = sp.substring(thenIdx + "THEN".length).trim
         .stripSuffix(";").trim
       head match {
-        case mergeBySourceHeadRe() =>
-          throw new IllegalArgumentException(
-            "graft MERGE INTO: WHEN NOT MATCHED BY SOURCE is not " +
-              "supported — spell target-side cleanup as a separate " +
-              "DELETE FROM / UPDATE statement")
+        case mergeBySourceHeadRe(condOrNull) =>
+          val c = Option(condOrNull).map(_.trim)
+          action match {
+            case mergeUpdateStarRe() => throw new IllegalArgumentException(
+              "WHEN NOT MATCHED BY SOURCE cannot UPDATE SET * — source " +
+                "columns are all NULL on a by-source row; list explicit " +
+                "target-column assignments")
+            case mergeDeleteRe() => bySource += MergeDelete(c)
+            case mergeUpdateSetRe(sets) =>
+              bySource += MergeUpdate(c, splitAssignments(sets).map {
+                case (k, v) => stripTargetQualifier(k) -> v
+              })
+            case other => throw new IllegalArgumentException(
+              s"WHEN NOT MATCHED BY SOURCE takes UPDATE SET .../DELETE, " +
+                s"got: $other")
+          }
         case mergeNotMatchedHeadRe(condOrNull) =>
           val c = Option(condOrNull).map(_.trim)
           action match {
@@ -1677,7 +1812,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           s"malformed MERGE WHEN clause head: $other")
       }
     }
-    (matched.toSeq, notMatched.toSeq)
+    (matched.toSeq, notMatched.toSeq, bySource.toSeq)
   }
 
   /** An assignment/insert target column may be alias-qualified
@@ -2017,19 +2152,21 @@ case class AnsiMergeIntoGraftCommand(cat: String, ns: String, name: String,
 
 /** Full ANSI `MERGE INTO <cat>.<ns>.t USING src ON <cond> WHEN ...` —
   * conditional assignments, WHEN MATCHED DELETE, multiple clauses,
-  * column-list INSERT — executed by [[graft.table.SegmentedTable
-  * .mergeFull]]'s single-join copy-on-write rewrite (one atomic
-  * commit; ANSI multi-match cardinality enforced). The exact
-  * upsert shape (UPDATE SET * + INSERT * over same-named keys) never
-  * reaches here — the parser routes it to the cheaper single-pass
-  * [[AnsiMergeIntoGraftCommand]].
+  * column-list INSERT, `WHEN NOT MATCHED BY SOURCE` UPDATE/DELETE —
+  * executed by [[graft.table.SegmentedTable.mergeFull]]'s single-join
+  * copy-on-write rewrite (one atomic commit; ANSI multi-match
+  * cardinality enforced). The exact upsert shape (UPDATE SET * +
+  * INSERT * over same-named keys) never reaches here — the parser
+  * routes it to the cheaper single-pass [[AnsiMergeIntoGraftCommand]].
   */
 case class AnsiMergeFullCommand(cat: String, ns: String, name: String,
     targetAlias: String, sourceFrom: String, sourceAlias: String,
     onSql: String,
     matchedClauses: Seq[graft.table.SegmentedTable.MergeWhen],
     notMatchedClauses: Seq[graft.table.SegmentedTable.MergeInsert],
-    equiKeys: Seq[(String, String)]) extends LeafRunnableCommand {
+    equiKeys: Seq[(String, String)],
+    bySourceClauses: Seq[graft.table.SegmentedTable.MergeWhen] = Nil)
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("updated_rows", LongType, nullable = false)(),
     AttributeReference("deleted_rows", LongType, nullable = false)(),
@@ -2038,7 +2175,7 @@ case class AnsiMergeFullCommand(cat: String, ns: String, name: String,
     val t = GraftCatalog.openIn(spark, cat, ns, name)
     val src = spark.sql(s"SELECT * FROM $sourceFrom")
     val (u, d, i) = t.mergeFull(src, sourceAlias, targetAlias, onSql,
-      matchedClauses, notMatchedClauses, equiKeys)
+      matchedClauses, notMatchedClauses, equiKeys, bySourceClauses)
     Seq(Row(u, d, i))
   }
 }

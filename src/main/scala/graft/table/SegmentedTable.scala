@@ -1644,12 +1644,23 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
 
   /** FULL ANSI MERGE: conditional `WHEN MATCHED [AND p] THEN UPDATE
     * SET c = e, ...` / `... THEN DELETE` / `WHEN NOT MATCHED [AND p]
-    * THEN INSERT ...`, multiple clauses with first-match semantics —
-    * the general form the key-equality upsert ([[merge]]) cannot
-    * express. One copy-on-write commit like every DML here: only
-    * segments holding a row some matched clause actually fires on are
+    * THEN INSERT ...` / `WHEN NOT MATCHED BY SOURCE [AND p] THEN
+    * UPDATE SET .../DELETE`, multiple clauses with first-match
+    * semantics — the general form the key-equality upsert ([[merge]])
+    * cannot express. One copy-on-write commit like every DML here:
+    * only segments holding a row some clause actually fires on are
     * rewritten, inserts land as one new segment, and readers see the
     * whole MERGE or none of it.
+    *
+    * `bySource` clauses (the full-sync/SCD-1 family: act on target
+    * rows the source no longer carries) act on target-only join rows;
+    * their UPDATE assignments may only reference target columns —
+    * source columns are all NULL on a by-source row. COST NOTE: a
+    * by-source clause makes EVERY live segment a rewrite candidate —
+    * no source-key envelope can prune segments that might hold
+    * UNmatched rows — so a by-source MERGE always scans and
+    * potentially rewrites the whole table. That is inherent to the
+    * semantics, not a plan defect.
     *
     * Execution, all distributed: ONE full-outer join of the candidate
     * segments with the source on the ON condition, projected
@@ -1678,17 +1689,26 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
                 onSql: String,
                 matched: Seq[SegmentedTable.MergeWhen],
                 notMatched: Seq[SegmentedTable.MergeInsert],
-                equiKeys: Seq[(String, String)] = Nil): (Long, Long, Long) = {
+                equiKeys: Seq[(String, String)] = Nil,
+                bySource: Seq[SegmentedTable.MergeWhen] = Nil)
+      : (Long, Long, Long) = {
     import SegmentedTable.{MergeDelete, MergeInsert, MergeUpdate}
     val F = org.apache.spark.sql.functions
-    require(matched.nonEmpty || notMatched.nonEmpty,
+    require(matched.nonEmpty || notMatched.nonEmpty || bySource.nonEmpty,
       "MERGE requires at least one WHEN clause")
-    matched.foreach {
+    (matched ++ bySource).foreach {
       case _: MergeUpdate | _: MergeDelete => ()
       case other => throw new IllegalArgumentException(
-        s"WHEN MATCHED supports UPDATE/DELETE actions, got $other")
+        s"WHEN [NOT] MATCHED [BY SOURCE] supports UPDATE/DELETE, got $other")
     }
-    val unknownSet = matched.collect { case u: MergeUpdate => u }
+    bySource.foreach {
+      case u: MergeUpdate if u.sets.isEmpty =>
+        throw new IllegalArgumentException(
+          "WHEN NOT MATCHED BY SOURCE cannot UPDATE SET * — source " +
+            "columns are all NULL on a by-source row; list assignments")
+      case _ => ()
+    }
+    val unknownSet = (matched ++ bySource).collect { case u: MergeUpdate => u }
       .flatMap(_.sets.map(_._1)).filterNot(schema.fieldNames.contains)
     require(unknownSet.isEmpty,
       s"unknown columns in MERGE UPDATE SET: ${unknownSet.mkString(", ")}")
@@ -1698,9 +1718,12 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
       s"unknown columns in MERGE INSERT: ${unknownIns.mkString(", ")}")
 
     // candidate segments: stats-pruned via the source key envelope
-    // when the ON gave us equi pairs, every live segment otherwise
+    // when the ON gave us equi pairs — UNLESS a by-source clause
+    // exists: a target row the source does NOT carry can live in any
+    // segment, so no envelope over source keys may prune (see the
+    // scaladoc cost note); every live segment is a candidate then
     val candidates: Seq[SegmentMeta] =
-      if (equiKeys.isEmpty) pruneSegments(lit(true))
+      if (equiKeys.isEmpty || bySource.nonEmpty) pruneSegments(lit(true))
       else {
         val aggs = equiKeys.flatMap { case (_, sc) =>
           Seq(min(col(sc)).as(s"__mn_$sc"), max(col(sc)).as(s"__mx_$sc")) }
@@ -1722,21 +1745,30 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
 
     val isMatched = col("__tp").isNotNull && col("__sp").isNotNull
     val isSrcOnly = col("__tp").isNull && col("__sp").isNotNull
+    val isTgtOnly = col("__tp").isNotNull && col("__sp").isNull
     def condOf(sql: Option[String]): Column = sql.map(F.expr).getOrElse(lit(true))
+
+    // the two target-row clause families share one ordered chain: a
+    // join row is either matched or target-only, never both, so the
+    // matched clauses (guarded by isMatched) and the by-source clauses
+    // (guarded by isTgtOnly) compose into a single first-match CASE —
+    // one __act index, one __del flag, one outCol chain downstream
+    val targetClauses: Seq[(Column, SegmentedTable.MergeWhen)] =
+      matched.map(w => (isMatched, w)) ++ bySource.map(w => (isTgtOnly, w))
 
     // first-firing clause index (0 = none fires), the same ordered
     // when-chain SQL CASE gives — evaluated once here and replicated
     // structurally for the per-column values below
     val act =
-      if (matched.isEmpty) lit(0)
-      else matched.zipWithIndex.foldLeft(F.when(lit(false), 0)) {
-        case (acc, (w, i)) =>
-          acc.when(isMatched && condOf(w.condSql), lit(i + 1))
+      if (targetClauses.isEmpty) lit(0)
+      else targetClauses.zipWithIndex.foldLeft(F.when(lit(false), 0)) {
+        case (acc, ((pred, w), i)) =>
+          acc.when(pred && condOf(w.condSql), lit(i + 1))
       }.otherwise(lit(0))
     val isDel =
-      if (matched.isEmpty) lit(false)
-      else matched.zipWithIndex.foldLeft(F.when(lit(false), false)) {
-        case (acc, (w, i)) => acc.when(isMatched && condOf(w.condSql),
+      if (targetClauses.isEmpty) lit(false)
+      else targetClauses.foldLeft(F.when(lit(false), false)) {
+        case (acc, (pred, w)) => acc.when(pred && condOf(w.condSql),
           lit(w.isInstanceOf[MergeDelete]))
       }.otherwise(lit(false))
     val iact =
@@ -1752,9 +1784,10 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     // row under its first-firing INSERT clause
     def outCol(f: StructField): Column = {
       val orig = col(s"$targetAlias.${f.name}")
-      if (matched.isEmpty) orig
-      else matched.foldLeft(F.when(lit(false), lit(null).cast(f.dataType))) {
-        case (acc, w) =>
+      if (targetClauses.isEmpty) orig
+      else targetClauses.foldLeft(
+        F.when(lit(false), lit(null).cast(f.dataType))) {
+        case (acc, (pred, w)) =>
           val v = w match {
             case u: MergeUpdate if u.sets.isEmpty => // UPDATE SET *
               col(s"$sourceAlias.${f.name}").cast(f.dataType)
@@ -1765,7 +1798,7 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
             case _: MergeDelete => orig // row is dropped via isDel
             case other => throw new IllegalStateException(other.toString)
           }
-          acc.when(isMatched && condOf(w.condSql), v)
+          acc.when(pred && condOf(w.condSql), v)
       }.otherwise(orig)
     }
     def insCol(f: StructField): Column =
@@ -1827,12 +1860,18 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
         if (staged.rows == 0L) { deleteRecursively(staged.tmp); seg -> None }
         else seg -> Some(staged)
       }
-      val inserts = flat.filter(col("__iact") > 0).select(insCols: _*)
-      val insStagedOpt = {
-        val staged = stageSegment(inserts, "merging")
-        if (staged.rows == 0L) { deleteRecursively(staged.tmp); None }
-        else Some(staged)
-      }
+      // an update/delete-only MERGE never stages an insert segment —
+      // without a WHEN NOT MATCHED clause the write job (plus its
+      // stats/bloom collection) would only produce an empty result to
+      // delete again
+      val insStagedOpt =
+        if (notMatched.isEmpty) None
+        else {
+          val inserts = flat.filter(col("__iact") > 0).select(insCols: _*)
+          val staged = stageSegment(inserts, "merging")
+          if (staged.rows == 0L) { deleteRecursively(staged.tmp); None }
+          else Some(staged)
+        }
       val inserted = insStagedOpt.map(_.rows).getOrElse(0L)
       if (affected.nonEmpty || insStagedOpt.nonEmpty)
         commitRewrites(affected, replacements, "MERGE",

@@ -1147,18 +1147,103 @@ class GraftSqlSpec extends AnyFunSuite {
       .head().getString(1) == "fired")
     assert(spark.table("graft.default.mfull").filter("k = 7").count() == 1,
       "multi-match must not duplicate the surviving row")
-    // NOT MATCHED BY SOURCE stays loudly unsupported
-    val e2 = intercept[Exception] {
-      spark.sql(
-        """MERGE INTO graft.default.mfull t USING mfull_del s ON t.k = s.k
-           WHEN NOT MATCHED BY SOURCE THEN DELETE""")
-    }
-    assert(e2.getMessage.contains("BY SOURCE"), e2.getMessage)
     // atomicity: the mixed MERGE above was ONE commit — version history
     // shows single steps, and pre-merge state is intact via time travel
     val t = graft.sql.GraftCatalog.open(spark, "mfull")
     assert(t.read().count() == spark.table("graft.default.mfull").count())
     spark.sql("DROP TABLE graft.default.mfull")
+  }
+
+  test("MERGE WHEN NOT MATCHED BY SOURCE: full-sync clause matrix") {
+    def reset(): Unit = {
+      spark.sql("DROP TABLE IF EXISTS graft.default.mbs")
+      spark.sql("CREATE TABLE graft.default.mbs " +
+        "(k BIGINT, status STRING, price DOUBLE) USING graft")
+      spark.sql("INSERT INTO graft.default.mbs VALUES " +
+        "(1, 'open', 10.0), (2, 'stale', 20.0), (3, 'open', 30.0), " +
+        "(4, 'stale', 40.0), (5, 'hold', 50.0)")
+    }
+    reset()
+    spark.sql("SELECT * FROM VALUES (1, 110.0), (3, 130.0), (9, 190.0) " +
+      "AS v(k, price)").createOrReplaceTempView("mbs_src")
+    // all three families in one statement: matched update, source-only
+    // insert, by-source conditional delete + catch-all update
+    val r = spark.sql(
+      """MERGE INTO graft.default.mbs t USING mbs_src s ON t.k = s.k
+         WHEN MATCHED THEN UPDATE SET price = s.price
+         WHEN NOT MATCHED THEN INSERT (k, status, price)
+           VALUES (s.k, 'new', s.price)
+         WHEN NOT MATCHED BY SOURCE AND t.status = 'stale' THEN DELETE
+         WHEN NOT MATCHED BY SOURCE THEN UPDATE SET status = 'expired'""")
+      .head()
+    // updated = 2 matched + 1 by-source-updated; deleted = 2 by-source
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 2L, 1L)),
+      s"got $r")
+    val after = spark.table("graft.default.mbs").collect()
+      .map(x => x.getLong(0) -> ((x.getString(1), x.getDouble(2)))).toMap
+    assert(after == Map(
+      1L -> (("open", 110.0)),
+      3L -> (("open", 130.0)),
+      5L -> (("expired", 50.0)),
+      9L -> (("new", 190.0))), s"got $after")
+
+    // by-source-ONLY statement (no matched / not-matched clauses): the
+    // full-sync "expire what the source dropped" shape — also the
+    // update/delete-only path that must NOT stage an insert segment
+    reset()
+    val r2 = spark.sql(
+      """MERGE INTO graft.default.mbs t USING mbs_src s ON t.k = s.k
+         WHEN NOT MATCHED BY SOURCE THEN DELETE""").head()
+    assert((r2.getLong(0), r2.getLong(1), r2.getLong(2)) == ((0L, 3L, 0L)))
+    assert(spark.table("graft.default.mbs").collect().map(_.getLong(0))
+      .toSet == Set(1L, 3L), "only source-carried keys survive")
+
+    // by-source clauses fire ONLY on truly unmatched target rows: a
+    // matched row on which no matched clause fires stays untouched
+    reset()
+    spark.sql(
+      """MERGE INTO graft.default.mbs t USING mbs_src s ON t.k = s.k
+         WHEN MATCHED AND s.price > 120 THEN UPDATE SET status = 'big'
+         WHEN NOT MATCHED BY SOURCE THEN UPDATE SET status = 'gone'""")
+    val m = spark.table("graft.default.mbs").collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(m == Map(1L -> "open", 2L -> "gone", 3L -> "big",
+      4L -> "gone", 5L -> "gone"), s"got $m")
+
+    // UPDATE SET * is rejected for by-source (source columns are NULL)
+    val e = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO graft.default.mbs t USING mbs_src s ON t.k = s.k
+           WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *""")
+    }
+    assert(e.getMessage.contains("BY SOURCE"), e.getMessage)
+
+    // a top-level CASE WHEN ... THEN ... END inside a clause condition
+    // must not split the clause list (the WHEN/THEN are the CASE's)
+    reset()
+    spark.sql(
+      """MERGE INTO graft.default.mbs t USING mbs_src s ON t.k = s.k
+         WHEN MATCHED AND CASE WHEN t.status = 'open' THEN true
+                          ELSE false END THEN
+           UPDATE SET status = CASE WHEN s.price > 120 THEN 'case_big'
+                               ELSE 'case_small' END
+         WHEN NOT MATCHED BY SOURCE AND CASE WHEN t.price < 25 THEN true
+                                        ELSE false END THEN DELETE""")
+    val c = spark.table("graft.default.mbs").collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(c == Map(1L -> "case_small", 3L -> "case_big",
+      4L -> "stale", 5L -> "hold"), s"got $c")
+
+    // an UNALIASED parenthesized subquery source fails loudly with the
+    // alias hint instead of a confusing downstream resolution error
+    val e2 = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO graft.default.mbs t
+           USING (SELECT 1 AS k) ON t.k = k
+           WHEN MATCHED THEN DELETE""")
+    }
+    assert(e2.getMessage.contains("alias the source"), e2.getMessage)
+    spark.sql("DROP TABLE graft.default.mbs")
   }
 
   test("CREATE TABLE ... PARTITIONED BY (k) maps identity transforms to the co-located layout") {
