@@ -281,13 +281,15 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces {
     val toNs = nsNameOpt(to.namespace)
       .getOrElse(throw new NoSuchNamespaceException(to.namespace))
     // renames stay WITHIN a namespace: the name→dir indirection is
-    // per-namespace, and a cross-namespace "rename" would really be a
-    // physical move of the segment directory (breaking the MV and
-    // checkpoint paths the indirection exists to preserve)
+    // per-namespace, and a cross-namespace "rename" is really a
+    // physical move of the segment directory — MOVE GRAFT TABLE does
+    // that with the registrations that embed the path kept coherent
+    // (MVs re-based, durable stream lineages guarded behind FORCE)
     if (fromNs != toNs)
       throw new UnsupportedOperationException(
-        s"graft catalog: cross-namespace rename ($fromNs → $toNs) is " +
-          "not supported — CTAS into the target namespace instead")
+        s"graft catalog: cross-namespace rename ($fromNs → $toNs) is a " +
+          "physical move — use MOVE GRAFT TABLE " +
+          s"$fromNs.${from.name} TO $toNs.${to.name} [FORCE]")
     val nsRoot = GraftCatalog.nsRootOf(store, fromNs)
     val m = GraftCatalog.nameMap(nsRoot)
     val fromDir = m.getOrElse(from.name, from.name)

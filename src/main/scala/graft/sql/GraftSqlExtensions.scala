@@ -1193,6 +1193,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*RESTORE\s+GRAFT\s+TABLE\s+(\w+)\s+TO\s+VERSION\s+(\d+)\s*""".r
   private val cleanRe =
     """(?is)\s*CLEAN\s+GRAFT\s+FILES\s+FOR\s+(\w+)\s*""".r
+  private val moveRe =
+    """(?is)\s*MOVE\s+GRAFT\s+TABLE\s+(?:(\w+)\.)?(\w+)\s+TO\s+(?:(\w+)\.)?(\w+)\s*(FORCE)?\s*;?\s*""".r
   private val dropRe =
     """(?is)\s*DROP\s+GRAFT\s+TABLE\s+(IF\s+EXISTS\s+)?(\w+)\s*""".r
   private val addColRe =
@@ -1354,6 +1356,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case restoreRe(name, version) =>
       RestoreGraftTableCommand(name, version.toLong)
     case cleanRe(name) => CleanGraftFilesCommand(name)
+    case moveRe(fromNsOrNull, fromName, toNsOrNull, toName, force) =>
+      MoveGraftTableCommand(
+        Option(fromNsOrNull).getOrElse("default"), fromName,
+        Option(toNsOrNull).getOrElse("default"), toName, force != null)
     case addColRe(name, colName, colType, default) =>
       AlterGraftAddColumnCommand(name, colName,
         delegate.parseDataType(colType), Option(default))
@@ -1391,7 +1397,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       t.startsWith("CLEAN") || t.startsWith("DROP") ||
       t.startsWith("ALTER") || t.startsWith("DESCRIBE") ||
       t.startsWith("REFRESH") || t.startsWith("UPDATE") ||
-      t.startsWith("MERGE"))) ||
+      t.startsWith("MERGE") || t.startsWith("MOVE"))) ||
     // carbon-native cube dialect — none of these prefixes are valid
     // Spark SQL, so claiming them cannot shadow the delegate
     t.startsWith("CREATE CUBE") || t.startsWith("DROP CUBE") ||
@@ -2233,6 +2239,24 @@ case class CompactGraftTableCommand(name: String, minor: Boolean = false)
 case class CleanGraftFilesCommand(name: String) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     GraftCatalog.open(spark, name).cleanFiles(); Nil
+  }
+}
+
+/** `MOVE GRAFT TABLE [ns.]t TO [ns2.]t2 [FORCE]` — the cross-namespace
+  * physical move ([[GraftCatalog.moveTable]]): directory rename under
+  * both namespaces' name-map locks, MV registrations re-based, durable
+  * streaming-sink lineages refuse without FORCE. Reports the new
+  * namespace-qualified name.
+  */
+case class MoveGraftTableCommand(fromNs: String, fromName: String,
+    toNs: String, toName: String, force: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("moved_to", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftCatalog.moveTable(spark, GraftCatalog.storeRoot(spark),
+      fromNs, fromName, toNs, toName, force)
+    Seq(Row(s"$toNs.$toName"))
   }
 }
 

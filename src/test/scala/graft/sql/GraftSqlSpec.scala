@@ -1357,6 +1357,83 @@ class GraftSqlSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.default.nst")
   }
 
+  test("MOVE GRAFT TABLE: cross-namespace physical move — MV re-based, checkpoint guarded, collisions loud") {
+    spark.sql("DROP NAMESPACE IF EXISTS graft.arch CASCADE")
+    spark.sql("DROP TABLE IF EXISTS graft.default.mvt")
+    spark.sql("DROP TABLE IF EXISTS graft.default.mvt9")
+    spark.sql("CREATE NAMESPACE graft.arch")
+    spark.sql("CREATE TABLE graft.default.mvt " +
+      "(k BIGINT, grp STRING, v DOUBLE) USING graft")
+    spark.sql("INSERT INTO graft.default.mvt VALUES " +
+      "(1, 'a', 1.0), (2, 'a', 2.0), (3, 'b', 3.0)")
+    val store = graft.sql.GraftCatalog.storeRoot(spark)
+    // a live MV registered over the table's physical directory
+    spark.sql(s"CREATE GRAFT AGGREGATE TABLE mvt_mv ON PATH '$store/mvt' " +
+      "GROUP BY (grp) AGG (sum(v))")
+    try {
+      // same-namespace "move" is RENAME's job — refused with the hint
+      val e0 = intercept[Exception] {
+        spark.sql("MOVE GRAFT TABLE mvt TO default.mvt2")
+      }
+      assert(e0.getMessage.contains("RENAME"), e0.getMessage)
+      // the move: physical dir relocates, old name gone, data intact
+      val moved = spark.sql("MOVE GRAFT TABLE mvt TO arch.mvt")
+        .head().getString(0)
+      assert(moved == "arch.mvt")
+      assert(spark.table("graft.arch.mvt").count() == 3)
+      assert(spark.sql("SHOW TABLES IN graft.arch").collect()
+        .map(_.getString(1)).contains("mvt"))
+      intercept[Exception] { spark.table("graft.default.mvt").collect() }
+      // MV registration survived the move: re-based to the new path,
+      // watermark still valid (refresh is a NOOP, not a rebuild), and
+      // the rollup still answers exactly
+      val meta = graft.mv.AggTables.registered(spark)
+        .find(_.name == "mvt_mv").get
+      assert(meta.basePath.endsWith("/arch/mvt"), meta.basePath)
+      val (_, mode) = graft.mv.AggTables.refreshDetailed(spark, "mvt_mv")
+      assert(mode == "noop",
+        s"a move must keep the MV watermark valid, got '$mode'")
+      val mv = spark.read.parquet(meta.mvPath).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(mv == Map("a" -> 3.0, "b" -> 3.0), s"got $mv")
+      // a DURABLE streaming-sink lineage (checkpoint embeds the path)
+      // blocks the move without FORCE
+      val t = graft.table.SegmentedTable.open(spark, s"$store/arch/mvt")
+      t.loadStreamBatch(
+        spark.sql("SELECT CAST(9 AS BIGINT) k, 'c' grp, CAST(4.0 AS DOUBLE) v"),
+        "/tmp/ckpt/move_guard_q", 0L)
+      val e1 = intercept[Exception] {
+        spark.sql("MOVE GRAFT TABLE arch.mvt TO default.mvt")
+      }
+      assert(e1.getMessage.contains("FORCE") &&
+        e1.getMessage.contains("move_guard_q"), e1.getMessage)
+      assert(spark.table("graft.arch.mvt").count() == 4,
+        "a refused move leaves the table where it was")
+      // FORCE moves anyway (lineages stay — they are keyed by the
+      // checkpoint path, which does not move)
+      spark.sql("MOVE GRAFT TABLE arch.mvt TO default.mvt FORCE")
+      assert(spark.table("graft.default.mvt").count() == 4)
+      assert(graft.mv.AggTables.registered(spark).find(_.name == "mvt_mv")
+        .get.basePath.endsWith("/mvt"), "MV re-based again on the way back")
+      // destination collision refused
+      spark.sql("CREATE TABLE graft.arch.mvt (k INT) USING graft")
+      val e2 = intercept[Exception] {
+        spark.sql("MOVE GRAFT TABLE default.mvt TO arch.mvt FORCE")
+      }
+      assert(e2.getMessage.contains("taken"), e2.getMessage)
+      // the cross-namespace RENAME error now names the MOVE command
+      val e3 = intercept[Exception] {
+        spark.sql("ALTER TABLE graft.default.mvt RENAME TO arch.mvt9")
+      }
+      assert(e3.getMessage.contains("MOVE GRAFT TABLE"), e3.getMessage)
+    } finally {
+      if (graft.mv.AggTables.registered(spark).exists(_.name == "mvt_mv"))
+        spark.sql("DROP GRAFT AGGREGATE TABLE mvt_mv")
+      spark.sql("DROP NAMESPACE IF EXISTS graft.arch CASCADE")
+      spark.sql("DROP TABLE IF EXISTS graft.default.mvt")
+    }
+  }
+
   test("a graft-NAMED catalog bound to another plugin is not hijacked by the dialect") {
     // ADVICE r16: the literal name `graft` used to be claimed
     // unconditionally — an ANSI UPDATE/MERGE on a `graft` catalog the
