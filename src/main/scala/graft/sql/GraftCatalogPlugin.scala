@@ -625,3 +625,85 @@ private[sql] object GraftMvV2Table {
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, StructType]()
 }
+
+/** Session-catalog mirror — the reference's Hive-metastore mirroring
+  * (`CarbonMetastoreCatalog.scala:229-263` loadMetadata registers
+  * every cube into the Hive metastore, so ANY Hive-aware session sees
+  * the tables with no engine conf). The Spark-4 native form: register
+  * as the `spark_catalog` extension —
+  *
+  *   spark.sql.catalog.spark_catalog = graft.sql.GraftSessionCatalog
+  *
+  * — and BARE identifiers resolve to graft tables when the session
+  * catalog has none: `spark.table("t")`, `SELECT * FROM t`,
+  * unqualified INSERT/SHOW TABLES, with zero other graft conf (store
+  * root defaults apply). Precedence is strict: the real session
+  * catalog always wins — mirroring can never shadow a Hive/parquet
+  * table of the same name. Reads resolve to full [[GraftV2Table]]s
+  * (scan pruning, writes, time travel included); lifecycle DDL
+  * (CREATE/ALTER/RENAME) stays with the session catalog or the graft
+  * dialect — only DROP falls through, because Spark's DropTableExec
+  * ignores a `false` return and would otherwise no-op SILENTLY on a
+  * mirrored name it just resolved.
+  */
+class GraftSessionCatalog extends DelegatingCatalogExtension {
+
+  private val graft = new GraftCatalogPlugin
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    super.initialize(name, options)
+    graft.initialize(name, options)
+  }
+
+  private def graftFallback[T](primary: => T)(fallback: => T): T =
+    try primary
+    catch {
+      case e: NoSuchTableException =>
+        try fallback
+        catch { case _: NoSuchTableException => throw e }
+      case e: NoSuchNamespaceException =>
+        // the session catalog throws the namespace variant for an
+        // unknown database (e.g. `SELECT * FROM staging.t` where
+        // `staging` is a graft namespace, not a Hive database)
+        try fallback
+        catch { case _: Exception => throw e }
+    }
+
+  override def loadTable(ident: Identifier): Table =
+    graftFallback(super.loadTable(ident))(graft.loadTable(ident))
+
+  override def loadTable(ident: Identifier, version: String): Table =
+    graftFallback(super.loadTable(ident, version))(
+      graft.loadTable(ident, version))
+
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    graftFallback(super.loadTable(ident, timestamp))(
+      graft.loadTable(ident, timestamp))
+
+  override def tableExists(ident: Identifier): Boolean =
+    super.tableExists(ident) || graft.tableExists(ident)
+
+  override def listTables(ns: Array[String]): Array[Identifier] = {
+    val base =
+      try super.listTables(ns)
+      catch { case e: NoSuchNamespaceException =>
+        if (graft.namespaceExists(ns)) Array.empty[Identifier] else throw e }
+    val mirrored =
+      try graft.listTables(ns)
+      catch { case _: NoSuchNamespaceException => Array.empty[Identifier] }
+    val names = base.map(_.name).toSet
+    base ++ mirrored.filterNot(i => names.contains(i.name))
+  }
+
+  override def namespaceExists(ns: Array[String]): Boolean =
+    super.namespaceExists(ns) || graft.namespaceExists(ns)
+
+  override def invalidateTable(ident: Identifier): Unit = {
+    super.invalidateTable(ident)
+    graft.invalidateTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean =
+    super.dropTable(ident) || graft.dropTable(ident)
+}

@@ -1434,6 +1434,52 @@ class GraftSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("GraftSessionCatalog mirrors graft tables into spark_catalog: bare names resolve in an unconfigured session") {
+    // reference parity: CarbonMetastoreCatalog.loadMetadata mirrors
+    // every cube into the Hive metastore so any Hive-aware session
+    // sees it. Here: a NEW session whose ONLY graft-specific conf is
+    // the spark_catalog binding resolves bare identifiers to graft
+    // tables — no `graft.` qualifier, no dialect, no catalog conf use.
+    spark.sql("DROP TABLE IF EXISTS graft.default.mirror_t")
+    spark.sql("CREATE TABLE graft.default.mirror_t (k INT, v STRING) USING graft")
+    spark.sql("INSERT INTO graft.default.mirror_t VALUES (1, 'a'), (2, 'b')")
+    // negative control: a plain new session does NOT see the bare name
+    val bare = spark.newSession()
+    intercept[Exception] { bare.table("mirror_t").collect() }
+    // the mirrored session: one conf line
+    val ns = spark.newSession()
+    ns.conf.set("spark.sql.catalog.spark_catalog",
+      "graft.sql.GraftSessionCatalog")
+    assert(ns.table("mirror_t").count() == 2)
+    assert(ns.sql("SELECT v FROM mirror_t WHERE k = 2").head().getString(0) == "b")
+    assert(ns.sql("SHOW TABLES").collect().map(_.getString(1))
+      .contains("mirror_t"))
+    // the mirror resolves FULL tables: unqualified INSERT works and is
+    // visible back through the graft catalog
+    ns.sql("INSERT INTO mirror_t VALUES (3, 'c')")
+    assert(spark.table("graft.default.mirror_t").count() == 3)
+    // precedence: a real session-catalog table of the same name WINS
+    ns.sql("CREATE TABLE mirror_shadow (x INT) USING parquet")
+    try {
+      spark.sql("DROP TABLE IF EXISTS graft.default.mirror_shadow")
+      spark.sql("CREATE TABLE graft.default.mirror_shadow (k INT) USING graft")
+      assert(ns.table("mirror_shadow").schema.fieldNames.toSeq == Seq("x"),
+        "the session catalog must shadow the mirror, never the reverse")
+      spark.sql("DROP TABLE graft.default.mirror_shadow")
+    } finally ns.sql("DROP TABLE IF EXISTS mirror_shadow")
+    // graft NAMESPACES mirror too (not Hive databases): staging.t
+    spark.sql("DROP NAMESPACE IF EXISTS graft.mirror_ns CASCADE")
+    spark.sql("CREATE NAMESPACE graft.mirror_ns")
+    spark.sql("CREATE TABLE graft.mirror_ns.mt (k INT) USING graft")
+    spark.sql("INSERT INTO graft.mirror_ns.mt VALUES (7)")
+    assert(ns.sql("SELECT * FROM mirror_ns.mt").head().getInt(0) == 7)
+    spark.sql("DROP NAMESPACE graft.mirror_ns CASCADE")
+    // DROP through the mirror falls through to the store (a silent
+    // no-op on a name the analyzer just resolved would be worse)
+    ns.sql("DROP TABLE mirror_t")
+    intercept[Exception] { spark.table("graft.default.mirror_t").collect() }
+  }
+
   test("a graft-NAMED catalog bound to another plugin is not hijacked by the dialect") {
     // ADVICE r16: the literal name `graft` used to be claimed
     // unconditionally — an ANSI UPDATE/MERGE on a `graft` catalog the
