@@ -317,7 +317,7 @@ object AggTables {
     * bounds, recursive lookup): such a scan reads a SUBSET of its
     * root paths' files, so neither the catalog-count fast path nor an
     * MV rewrite may answer for it — both reason about roots, not the
-    * filtered file set. Shared by [[CountStarFromCatalog]] and
+    * filtered file set. Shared by [[StatsAggFromCatalog]] and
     * [[AggTableRewrite]].
     */
   private[mv] def hasFileFilterOptions(

@@ -716,8 +716,14 @@ object PipelineQueries {
         .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("token"))
       val tf = terms.groupBy(col("doc_id"), col("token"))
         .agg(count(lit(1)).as("tf"))
-      val df_ = terms.select(col("doc_id"), col("token")).distinct()
-        .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      // df derives from tf itself — tf's key set IS the distinct
+      // (doc, token) pairs, so a separate explode+distinct pass over
+      // the corpus (two extra shuffles and a second full text scan)
+      // would recompute what tf already materialized. The tf↤df join
+      // stays a join (not a count-over-Window by token) deliberately:
+      // AQE can split a skewed stopword partition of a shuffle join,
+      // but a WindowExec group is unsplittable.
+      val df_ = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tfidf").desc, col("token").asc)
       tf.join(df_, "token")
@@ -746,8 +752,10 @@ object PipelineQueries {
         .select(col("doc_id"), col("dl"), explode(col("__w")).as("token"))
       val tf = terms.groupBy(col("doc_id"), col("token"), col("dl"))
         .agg(count(lit(1)).cast("double").as("tf"))
-      val df_ = terms.select(col("doc_id"), col("token")).distinct()
-        .groupBy(col("token")).agg(count(lit(1)).cast("double").as("df"))
+      // df from tf's key set (dl is functionally dependent on doc_id,
+      // so tf's keys ARE the distinct (doc, token) pairs) — saves the
+      // second corpus explode + distinct shuffle; see t07
+      val df_ = tf.groupBy(col("token")).agg(count(lit(1)).cast("double").as("df"))
       val idf = log((col("__n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
       val sat = col("tf") * lit(2.2) /
         (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("__avgdl")))

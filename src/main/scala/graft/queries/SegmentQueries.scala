@@ -622,6 +622,45 @@ object SegmentQueries {
         .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
     }),
 
+    // g21: global min/max/count answered from the segment catalog's
+    // exact per-segment stats — zero executor job (the generalized
+    // getRowCount fast path; plan pin in AggTableSpec). The oracle
+    // proves the stats fold equals the real scan over doubles,
+    // strings, and the timestamp sort column across both segments.
+    "g21_stats_agg" -> ((s, d) => {
+      graft.mv.StatsAggFromCatalog.ensureRegistered(s)
+      val t = lineitemTable(s, d)
+      t.read().agg(
+        count(lit(1)).as("cnt"),
+        count(col("l_returnflag")).as("cnt_rf"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        max(col("l_quantity")).as("max_qty"),
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"),
+        min(col("l_returnflag")).as("min_rf"),
+        max(col("l_linestatus")).as("max_ls"))
+    }),
+
+    // g22: FILTERED metadata-only aggregates — the predicate aligns
+    // with the two segments' ship-year split (≤1995 / >1995), so the
+    // catalog proves one segment all-out and the other all-in and the
+    // time-range count/min/max folds with zero executor job (the
+    // lakehouse "how many rows since X" fleet query). Oracle = the
+    // same filtered aggregate over the raw table.
+    "g22_metadata_filtered_agg" -> ((s, d) => {
+      graft.mv.StatsAggFromCatalog.ensureRegistered(s)
+      val t = lineitemTable(s, d)
+      t.read()
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          count(col("l_quantity")).as("cnt_qty"),
+          min(col("l_shipdate")).as("min_ship"),
+          max(col("l_shipdate")).as("max_ship"),
+          max(col("l_extendedprice")).as("max_price"))
+    }),
+
     "g01_segment_pruned_scan" -> ((s, d) => {
       graft.table.GraftSegmentPruning.ensureRegistered(s)
       val t = lineitemTable(s, d)
@@ -873,6 +912,29 @@ object SegmentQueries {
          SELECT o_orderstatus, COUNT(*) AS cnt,
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM merged GROUP BY o_orderstatus""",
+
+    // the stats fold must equal the real scan's aggregates exactly
+    "g21_stats_agg" ->
+      """SELECT COUNT(*) AS cnt,
+                COUNT(l_returnflag) AS cnt_rf,
+                MIN(l_extendedprice) AS min_price,
+                MAX(l_extendedprice) AS max_price,
+                MAX(l_quantity) AS max_qty,
+                MIN(l_shipdate) AS min_ship,
+                MAX(l_shipdate) AS max_ship,
+                MIN(l_returnflag) AS min_rf,
+                MAX(l_linestatus) AS max_ls
+         FROM lineitem""",
+
+    // the filtered fold must equal the real filtered scan exactly
+    "g22_metadata_filtered_agg" ->
+      """SELECT COUNT(*) AS cnt,
+                COUNT(l_quantity) AS cnt_qty,
+                MIN(l_shipdate) AS min_ship,
+                MAX(l_shipdate) AS max_ship,
+                MAX(l_extendedprice) AS max_price
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'""",
 
     // the catalog DELETE's survivors = the NOT(predicate) replay
     "g18_catalog_dml" ->

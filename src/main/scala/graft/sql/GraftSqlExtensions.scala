@@ -75,7 +75,7 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectParser((_, delegate) => new GraftSqlParser(delegate))
     e.injectOptimizerRule(s => graft.mv.AggTableRewrite(s))
-    e.injectOptimizerRule(s => graft.mv.CountStarFromCatalog(s))
+    e.injectOptimizerRule(s => graft.mv.StatsAggFromCatalog(s))
     e.injectOptimizerRule(s => graft.table.GraftSegmentPruning(s))
     GraftFunctions.register(e)
     e.injectTableFunction((FunctionIdentifier("graft_table"),

@@ -817,19 +817,117 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     case other => Seq(other)
   }
 
+  /** The DUAL of pruning: segments PROVEN to satisfy `c` on EVERY row
+    * (three-valued semantics included — a comparison conjunct is only
+    * provable when the segment has zero physical nulls in the column,
+    * since a null row fails the predicate). Used by
+    * [[graft.mv.StatsAggFromCatalog]] to answer FILTERED global
+    * aggregates from metadata alone: pruning proves the all-OUT
+    * segments, this proves the survivors all-IN, and if every live
+    * segment lands in one of the two classes the aggregate folds from
+    * the catalog without a scan. Conservative: false = unproven,
+    * never wrong.
+    */
+  private[graft] def provenAllIn(segs: Seq[SegmentMeta], c: Expression): Boolean = {
+    val folded = c.transformUp {
+      case e if e.foldable && !e.isInstanceOf[Literal] =>
+        Literal.create(e.eval(), e.dataType)
+    }
+    val conjuncts = splitConjuncts(folded)
+    segs.forall(seg => conjuncts.forall(x => mustMatch(seg, x)))
+  }
+
+  /** Zero physical nulls PROVEN (absent count = unknown = false). When
+    * this holds, declared defaults never materialize in the segment,
+    * so file stats describe exactly the rows a query sees.
+    */
+  private def provenNoNulls(seg: SegmentMeta, n: String): Boolean =
+    seg.nullCounts.get(n).contains(0L)
+
+  /** Every row of the segment provably satisfies the conjunct. The
+    * comparison cases go through [[attrName]]'s cast stripping (the
+    * widenings it admits are order-isomorphic, so "min ≥ literal"
+    * proves the cast form too), but require [[provenNoNulls]] on the
+    * BARE column: a cast cannot introduce nulls when its input has
+    * none (the admitted casts are total on their input range) — and
+    * if the bare name is hidden behind an unexpected shape we stay at
+    * false.
+    */
+  private def mustMatch(seg: SegmentMeta, e: Expression): Boolean = {
+    def noNulls(a: Expression): Boolean =
+      bareAttrName(stripOrderCasts(a)).exists(n => provenNoNulls(seg, n))
+    def minCmp(a: Expression, v: Any, t: DataType)(op: Int => Boolean): Boolean =
+      attrName(a) match {
+        case Some(n) => noNulls(a) && (seg.stats.get(n) match {
+          case Some(s) => compare(s.min, v, t, s.kind).exists(op)
+          case None => false
+        })
+        case None => false
+      }
+    def maxCmp(a: Expression, v: Any, t: DataType)(op: Int => Boolean): Boolean =
+      attrName(a) match {
+        case Some(n) => noNulls(a) && (seg.stats.get(n) match {
+          case Some(s) => compare(s.max, v, t, s.kind).exists(op)
+          case None => false
+        })
+        case None => false
+      }
+    e match {
+      case Literal(true, BooleanType) => true
+      case GreaterThanOrEqual(a, Literal(v, t)) => minCmp(a, v, t)(_ >= 0)
+      case GreaterThan(a, Literal(v, t)) => minCmp(a, v, t)(_ > 0)
+      case LessThanOrEqual(a, Literal(v, t)) => maxCmp(a, v, t)(_ <= 0)
+      case LessThan(a, Literal(v, t)) => maxCmp(a, v, t)(_ < 0)
+      case GreaterThanOrEqual(Literal(v, t), a) => maxCmp(a, v, t)(_ <= 0)
+      case GreaterThan(Literal(v, t), a) => maxCmp(a, v, t)(_ < 0)
+      case LessThanOrEqual(Literal(v, t), a) => minCmp(a, v, t)(_ >= 0)
+      case LessThan(Literal(v, t), a) => minCmp(a, v, t)(_ > 0)
+      case EqualTo(a, Literal(v, t)) =>
+        minCmp(a, v, t)(_ == 0) && maxCmp(a, v, t)(_ == 0)
+      case EqualTo(Literal(v, t), a) =>
+        minCmp(a, v, t)(_ == 0) && maxCmp(a, v, t)(_ == 0)
+      case IsNotNull(a) =>
+        // physical nulls proven absent, OR a declared default makes
+        // every read row non-null regardless of the files
+        bareAttrName(a).exists(n => provenNoNulls(seg, n) ||
+          (hasDefault(n) && defaultStats.contains(n)))
+      case _ => false // unknown shape: unprovable
+    }
+  }
+
+  /** [[attrName]]'s cast-stripping, reusable for the bare-name lookup
+    * in [[mustMatch]] (the admitted widenings cannot introduce nulls
+    * from non-null input).
+    */
+  private def stripOrderCasts(e: Expression): Expression = e match {
+    case c: org.apache.spark.sql.catalyst.expressions.Cast
+        if org.apache.spark.sql.catalyst.expressions.Cast
+             .canUpCast(c.child.dataType, c.dataType) ||
+           (isTsType(c.child.dataType) && isTsType(c.dataType)) =>
+      stripOrderCasts(c.child)
+    case other => other
+  }
+
   private def attrName(e: Expression): Option[String] = e match {
     case a: Attribute => Some(a.name) // UnresolvedAttribute is an Attribute
     // analysis inserts widening casts around attributes (int col vs
     // long literal, NTZ col vs instant literal); numeric/timestamp
-    // widening preserves ordering (timezone pinned UTC in every entry
+    // UP-casts preserve ordering (timezone pinned UTC in every entry
     // point, so NTZ↔instant is order-isomorphic) so pruning through
-    // it is safe
+    // them is safe. A NARROWING cast is not order-isomorphic (long
+    // 2^31 casts to int MIN_VALUE) — stripping one could "prove"
+    // non-overlap on a segment whose cast values match (row loss), so
+    // only Cast.canUpCast widenings and the timestamp pair qualify.
     case c: org.apache.spark.sql.catalyst.expressions.Cast
-        if c.dataType.isInstanceOf[NumericType] ||
-          c.dataType == TimestampType || c.dataType == TimestampNTZType =>
+        if org.apache.spark.sql.catalyst.expressions.Cast
+             .canUpCast(c.child.dataType, c.dataType) ||
+           (isTsType(c.child.dataType) && isTsType(c.dataType)) =>
       attrName(c.child)
     case _ => None
   }
+
+  private def isTsType(t: DataType): Boolean =
+    t == TimestampType || t == TimestampNTZType
 
   /** Conservative overlap test: false only when stats PROVE the
     * segment cannot contain a matching row.
@@ -979,7 +1077,15 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
       case ("numeric", _: NumericType) =>
         try Some(BigDecimal(stored).compare(BigDecimal(v.toString)))
         catch { case _: NumberFormatException => None } // NaN/Inf stats
-      case ("string", StringType) => Some(stored.compareTo(v.toString))
+      case ("string", StringType) =>
+        // UTF8String binary order, matching the order Spark's filter
+        // evaluates `col <op> literal` in — java.lang.String.compareTo
+        // is UTF-16 code-unit order, which ranks supplementary-plane
+        // characters BELOW U+E000..U+FFFF while UTF-8 bytes rank them
+        // above all of the BMP; comparing in the wrong order could
+        // "prove" non-overlap on a segment that matches (row loss)
+        Some(org.apache.spark.unsafe.types.UTF8String.fromString(stored)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(v.toString)))
       case ("timestamp", TimestampType | TimestampNTZType) =>
         // catalyst timestamp literals are epoch micros
         Some(stored.toLong.compareTo(v.asInstanceOf[Long]))

@@ -28,7 +28,7 @@ object TestSpark {
     .config("spark.sql.catalog.graft", "graft.sql.GraftCatalogPlugin")
     .withExtensions(new graft.sql.GraftSqlExtensions)
     .withExtensions(e => e.injectOptimizerRule(s => graft.mv.AggTableRewrite(s)))
-    .withExtensions(e => e.injectOptimizerRule(s => graft.mv.CountStarFromCatalog(s)))
+    .withExtensions(e => e.injectOptimizerRule(s => graft.mv.StatsAggFromCatalog(s)))
     .getOrCreate()
 
   val sf = "/root/testdata/sf0.001"

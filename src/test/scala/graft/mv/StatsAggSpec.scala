@@ -1,0 +1,190 @@
+package graft.mv
+
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.table.SegmentedTable
+
+/** Stats-answered global aggregates ([[StatsAggFromCatalog]]): the
+  * unfiltered MIN/MAX/COUNT fold over the segment catalog must equal
+  * the real scan exactly, collapse to a LocalRelation (zero executor
+  * job), and bail conservatively whenever a segment's stats cannot
+  * prove the answer.
+  */
+class StatsAggSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def scansOf(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.optimizedPlan.collect { case l: LogicalRelation => l }
+
+  private def freshRoot(tag: String) = java.nio.file.Files
+    .createTempDirectory(s"graft_statsagg_$tag").resolve("t").toString
+
+  test("min/max/count over two segments fold from the catalog with no scan") {
+    val li = spark.read.parquet(s"${TestSpark.sf}/lineitem.parquet")
+    val t = SegmentedTable.create(spark, freshRoot("mix"), li.schema, Map.empty)
+    t.load(li.filter(col("l_orderkey") % 2 === 0))
+    t.load(li.filter(col("l_orderkey") % 2 =!= 0))
+
+    val q = t.read().agg(
+      count(lit(1)).as("cnt"),
+      count(col("l_returnflag")).as("cnt_rf"),
+      min(col("l_extendedprice")).as("min_p"),
+      max(col("l_extendedprice")).as("max_p"),
+      min(col("l_shipdate")).as("min_s"),
+      max(col("l_shipdate")).as("max_s"),
+      min(col("l_returnflag")).as("min_rf"),
+      max(col("l_linestatus")).as("max_ls"))
+    assert(scansOf(q).isEmpty, q.queryExecution.optimizedPlan.toString)
+
+    val want = li.agg(
+      count(lit(1)), count(col("l_returnflag")),
+      min(col("l_extendedprice")), max(col("l_extendedprice")),
+      min(col("l_shipdate")), max(col("l_shipdate")),
+      min(col("l_returnflag")), max(col("l_linestatus"))).head()
+    assert(q.head() == want)
+  }
+
+  test("filtered / grouped / expression aggregates never use the fast path") {
+    val n = spark.read.parquet(s"${TestSpark.sf}/nation.parquet")
+    val t = SegmentedTable.create(spark, freshRoot("bail"), n.schema, Map.empty)
+    t.load(n)
+    val filtered = t.read().filter(col("n_nationkey") > 5)
+      .agg(min(col("n_name")).as("m"))
+    assert(scansOf(filtered).nonEmpty)
+    val grouped = t.read().groupBy(col("n_regionkey"))
+      .agg(max(col("n_nationkey")).as("m"))
+    assert(scansOf(grouped).nonEmpty)
+    val exprAgg = t.read().agg(min(col("n_nationkey") + 1).as("m"))
+    assert(scansOf(exprAgg).nonEmpty)
+    assert(exprAgg.head().getInt(0) == 1)
+  }
+
+  test("all-null column serves NULL min/max and zero non-null count") {
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", DoubleType)))
+    val t = SegmentedTable.create(spark, freshRoot("nulls"), schema, Map.empty)
+    t.load(Seq((1L, Option.empty[Double]), (2L, Option.empty[Double]))
+      .toDF("k", "v"))
+    val q = t.read().agg(min(col("v")).as("mn"), max(col("v")).as("mx"),
+      count(col("v")).as("c"), count(lit(1)).as("n"))
+    assert(scansOf(q).isEmpty, q.queryExecution.optimizedPlan.toString)
+    val r = q.head()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.getLong(2) == 0L && r.getLong(3) == 2L)
+  }
+
+  test("NaN double stats: single segment serves the exact NaN, a cross-segment fold bails") {
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", DoubleType)))
+    // one segment: no compare needed — the stored "NaN" string IS the
+    // exact Spark answer (Spark orders NaN greater than everything)
+    val t1 = SegmentedTable.create(spark, freshRoot("nan1"), schema, Map.empty)
+    t1.load(Seq((1L, 2.5), (2L, Double.NaN), (3L, -7.0)).toDF("k", "v"))
+    val q1 = t1.read().agg(max(col("v")).as("mx"), min(col("v")).as("mn"))
+    assert(scansOf(q1).isEmpty, q1.queryExecution.optimizedPlan.toString)
+    val r1 = q1.head()
+    assert(r1.getDouble(0).isNaN && r1.getDouble(1) == -7.0)
+    // two segments: the fold would have to COMPARE NaN — bail to the
+    // real scan, whose answer must still be Spark's (NaN wins max)
+    val t2 = SegmentedTable.create(spark, freshRoot("nan2"), schema, Map.empty)
+    t2.load(Seq((1L, 2.5), (2L, Double.NaN)).toDF("k", "v"))
+    t2.load(Seq((3L, 9000.0), (4L, -7.0)).toDF("k", "v"))
+    val q2 = t2.read().agg(max(col("v")).as("mx"), min(col("v")).as("mn"))
+    assert(scansOf(q2).nonEmpty, q2.queryExecution.optimizedPlan.toString)
+    val r2 = q2.head()
+    assert(r2.getDouble(0).isNaN && r2.getDouble(1) == -7.0)
+  }
+
+  test("segments staged before an ADD COLUMN bail min/max on the new column") {
+    import spark.implicits._
+    val schema = StructType(Seq(StructField("k", LongType)))
+    val root = freshRoot("evolve")
+    val t = SegmentedTable.create(spark, root, schema, Map.empty)
+    t.load(Seq(1L, 2L).toDF("k"))
+    val t2 = t.addColumn("v", LongType)
+    t2.load(Seq((3L, 30L), (4L, 40L)).toDF("k", "v"))
+    // the old segment has no nullCounts entry for v → unknown vintage
+    val q = t2.read().agg(min(col("v")).as("mn"), count(col("v")).as("c"))
+    assert(scansOf(q).nonEmpty, q.queryExecution.optimizedPlan.toString)
+    val r = q.head()
+    assert(r.getLong(0) == 30L && r.getLong(1) == 2L)
+    // but k (present since creation) still folds from the catalog
+    val qk = t2.read().agg(max(col("k")).as("mx"))
+    assert(scansOf(qk).isEmpty, qk.queryExecution.optimizedPlan.toString)
+    assert(qk.head().getLong(0) == 4L)
+  }
+
+  test("multi-byte string min/max matches Spark's UTF8 binary order") {
+    import spark.implicits._
+    val schema = StructType(Seq(StructField("s", StringType)))
+    val t = SegmentedTable.create(spark, freshRoot("utf8"), schema, Map.empty)
+    // U+FF21 (ＡFULLWIDTH) vs U+10400 (𐐀 supplementary): UTF-8 byte
+    // order and UTF-16 code-unit order disagree on the pair
+    t.load(Seq("Ａ", "zebra").toDF("s"))
+    t.load(Seq(new String(Character.toChars(0x10400)), "apple").toDF("s"))
+    val q = t.read().agg(min(col("s")).as("mn"), max(col("s")).as("mx"))
+    assert(scansOf(q).isEmpty, q.queryExecution.optimizedPlan.toString)
+    val want = t.read().filter(lit(true))
+      .agg(min(col("s")), max(col("s"))).head()
+    assert(q.head() == want)
+  }
+
+  test("segment-aligned filter folds from the catalog; a straddling one bails") {
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", DoubleType)))
+    val t = SegmentedTable.create(spark, freshRoot("filt"), schema, Map.empty)
+    t.load((1L to 100L).map(i => (i, i * 1.5)).toDF("k", "v"))
+    t.load((101L to 200L).map(i => (i, i * 1.5)).toDF("k", "v"))
+    // k >= 101 proves segment 1 all-out (max 100) and segment 2
+    // all-in (min 101): metadata-only
+    val q = t.read().filter(col("k") >= 101L)
+      .agg(count(lit(1)).as("n"), min(col("v")).as("mn"), max(col("k")).as("mx"))
+    assert(scansOf(q).isEmpty, q.queryExecution.optimizedPlan.toString)
+    val r = q.head()
+    assert(r.getLong(0) == 100L && r.getDouble(1) == 101 * 1.5 && r.getLong(2) == 200L)
+    // k >= 150 cuts through segment 2: unprovable → real scan
+    val q2 = t.read().filter(col("k") >= 150L).agg(count(lit(1)).as("n"))
+    assert(scansOf(q2).nonEmpty, q2.queryExecution.optimizedPlan.toString)
+    assert(q2.head().getLong(0) == 51L)
+    // conjunction: range + equality-impossible second column bails
+    // (v = -1 prunes BOTH segments → zero-row fold, still metadata)
+    val q3 = t.read().filter(col("k") >= 101L && col("v") === -1.0)
+      .agg(count(lit(1)).as("n"), max(col("k")).as("mx"))
+    assert(scansOf(q3).isEmpty, q3.queryExecution.optimizedPlan.toString)
+    val r3 = q3.head()
+    assert(r3.getLong(0) == 0L && r3.isNullAt(1))
+  }
+
+  test("a null-bearing column never proves all-in for a comparison filter") {
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", LongType)))
+    val t = SegmentedTable.create(spark, freshRoot("nullin"), schema, Map.empty)
+    t.load(Seq((1L, Some(10L)), (2L, None), (3L, Some(30L)))
+      .toDF("k", "v"))
+    // v >= 10 is satisfied by every NON-NULL row, but the null row
+    // fails it — stats alone cannot count the survivors
+    val q = t.read().filter(col("v") >= 10L).agg(count(lit(1)).as("n"))
+    assert(scansOf(q).nonEmpty, q.queryExecution.optimizedPlan.toString)
+    assert(q.head().getLong(0) == 2L)
+  }
+
+  test("a DELETE's COW rewrite refreshes the folded answer") {
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", LongType)))
+    val t = SegmentedTable.create(spark, freshRoot("cow"), schema, Map.empty)
+    t.load((1L to 10L).map(i => (i, i * 100L)).toDF("k", "v"))
+    t.delete(col("v") === 1000L)
+    val q = t.read().agg(max(col("v")).as("mx"), count(lit(1)).as("n"))
+    assert(scansOf(q).isEmpty, q.queryExecution.optimizedPlan.toString)
+    val r = q.head()
+    assert(r.getLong(0) == 900L && r.getLong(1) == 9L)
+  }
+}
