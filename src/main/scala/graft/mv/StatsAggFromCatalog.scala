@@ -54,6 +54,87 @@ import graft.table.{SegmentedTable, SegmentMeta}
 object StatsAggFromCatalog {
   private val Marker = "spark.graft.internal.statsAggRegistered"
 
+  /** Shared stats-fold core — also the engine behind the V2 catalog
+    * path's aggregate pushdown
+    * ([[org.apache.spark.sql.graftbridge.GraftV2ScanSupport]] serves a
+    * pushed COUNT(*)/COUNT(col)/MIN/MAX as a LocalScan folded from
+    * these, so `SELECT COUNT(*) FROM cat.ns.t` costs one catalog read
+    * instead of a footer read per file).
+    */
+  def foldCountStar(segs: Seq[SegmentMeta]): Long =
+    segs.map(_.rowCount).sum
+
+  def foldNonNullCount(segs: Seq[SegmentMeta], c: String): Option[Long] = {
+    val per = segs.map(s =>
+      if (s.rowCount == 0L) Some(0L)
+      else s.nullCounts.get(c).map(n => s.rowCount - n))
+    if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
+  }
+
+  /** Fold a column's per-segment exact min/max strings into the global
+    * extremum as a Catalyst internal value. `None` = cannot serve;
+    * `Some(null)` = servable and the answer is NULL (all rows null).
+    */
+  def foldMinMax(segs: Seq[SegmentMeta], c: String, dt: DataType,
+                                isMin: Boolean): Option[Any] = {
+    // each segment: Some(Some(raw)) = has stats; Some(None) = proven
+    // all-null (contributes nothing); None = unknown → bail
+    val per: Seq[Option[Option[String]]] = segs.map { s =>
+      s.stats.get(c) match {
+        case Some(cs) => Some(Some(if (isMin) cs.min else cs.max))
+        case None =>
+          if (s.rowCount == 0L) Some(None)
+          else s.nullCounts.get(c) match {
+            case Some(n) if n == s.rowCount => Some(None)
+            case _ => None
+          }
+      }
+    }
+    if (per.exists(_.isEmpty)) return None
+    val present = per.flatten.flatten
+    if (present.isEmpty) return Some(null)
+    try {
+      val winner = dt match {
+        case StringType =>
+          // Spark's MIN/MAX on strings orders by UTF8String (unsigned
+          // byte-wise UTF-8), which differs from java.lang.String's
+          // UTF-16 code-unit order for supplementary characters
+          val ord = new Ordering[String] {
+            def compare(a: String, b: String): Int =
+              UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
+          }
+          if (isMin) present.min(ord) else present.max(ord)
+        case _: DecimalType | FloatType | DoubleType =>
+          // exact decimal compare over round-trippable strings;
+          // NaN/Infinity throw here and bail below
+          val ord = Ordering.by[String, BigDecimal](BigDecimal(_))
+          if (isMin) present.min(ord) else present.max(ord)
+        case _ =>
+          // integral / timestamp-micros / date-epoch-day strings
+          val ord = Ordering.by[String, Long](_.toLong)
+          if (isMin) present.min(ord) else present.max(ord)
+      }
+      Some(internalValue(winner, dt))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def internalValue(s: String, dt: DataType): Any = dt match {
+    case ByteType => s.toByte
+    case ShortType => s.toShort
+    case IntegerType => s.toInt
+    case LongType => s.toLong
+    case FloatType => s.toFloat
+    case DoubleType => s.toDouble
+    case d: DecimalType =>
+      val dec = Decimal(new java.math.BigDecimal(s))
+      if (!dec.changePrecision(d.precision, d.scale)) throw new ArithmeticException(s)
+      dec
+    case StringType => UTF8String.fromString(s)
+    case TimestampType | TimestampNTZType => s.toLong
+    case DateType => s.toInt
+    case _ => throw new IllegalArgumentException(dt.sql)
+  }
+
   /** Idempotently append the rule to a session's experimental
     * optimizations — the runtime path for sessions built without
     * [[graft.sql.GraftSqlExtensions]] (Verify/Bench). Synchronized on
@@ -184,85 +265,15 @@ case class StatsAggFromCatalog(spark: SparkSession) extends Rule[LogicalPlan] {
         if (!t.provenAllIn(survivors, c)) return None
         survivors
     }
-    val total = qualified.map(_.rowCount).sum
-
     val values = exprs.map(e => shapeOf(e).get).map {
-      case CountStar => Some(total: Any)
-      case CountCol(c) => nonNullCount(qualified, c).map(v => v: Any)
-      case MinCol(c, dt) => foldMinMax(qualified, c, dt, isMin = true)
-      case MaxCol(c, dt) => foldMinMax(qualified, c, dt, isMin = false)
+      case CountStar => Some(StatsAggFromCatalog.foldCountStar(qualified): Any)
+      case CountCol(c) =>
+        StatsAggFromCatalog.foldNonNullCount(qualified, c).map(v => v: Any)
+      case MinCol(c, dt) =>
+        StatsAggFromCatalog.foldMinMax(qualified, c, dt, isMin = true)
+      case MaxCol(c, dt) =>
+        StatsAggFromCatalog.foldMinMax(qualified, c, dt, isMin = false)
     }
     if (values.exists(_.isEmpty)) None else Some(values.map(_.get).toArray)
-  }
-
-  private def nonNullCount(live: Seq[SegmentMeta], c: String): Option[Long] = {
-    val per = live.map(s =>
-      if (s.rowCount == 0L) Some(0L)
-      else s.nullCounts.get(c).map(n => s.rowCount - n))
-    if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
-  }
-
-  /** Fold a column's per-segment exact min/max strings into the global
-    * extremum as a Catalyst internal value. `None` = cannot serve;
-    * `Some(null)` = servable and the answer is NULL (all rows null).
-    */
-  private def foldMinMax(live: Seq[SegmentMeta], c: String, dt: DataType,
-                         isMin: Boolean): Option[Any] = {
-    // each segment: Some(Some(raw)) = has stats; Some(None) = proven
-    // all-null (contributes nothing); None = unknown → bail
-    val per: Seq[Option[Option[String]]] = live.map { s =>
-      s.stats.get(c) match {
-        case Some(cs) => Some(Some(if (isMin) cs.min else cs.max))
-        case None =>
-          if (s.rowCount == 0L) Some(None)
-          else s.nullCounts.get(c) match {
-            case Some(n) if n == s.rowCount => Some(None)
-            case _ => None
-          }
-      }
-    }
-    if (per.exists(_.isEmpty)) return None
-    val present = per.flatten.flatten
-    if (present.isEmpty) return Some(null)
-    try {
-      val winner = dt match {
-        case StringType =>
-          // Spark's MIN/MAX on strings orders by UTF8String (unsigned
-          // byte-wise UTF-8), which differs from java.lang.String's
-          // UTF-16 code-unit order for supplementary characters
-          val ord = new Ordering[String] {
-            def compare(a: String, b: String): Int =
-              UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
-          }
-          if (isMin) present.min(ord) else present.max(ord)
-        case _: DecimalType | FloatType | DoubleType =>
-          // exact decimal compare over round-trippable strings;
-          // NaN/Infinity throw here and bail below
-          val ord = Ordering.by[String, BigDecimal](BigDecimal(_))
-          if (isMin) present.min(ord) else present.max(ord)
-        case _ =>
-          // integral / timestamp-micros / date-epoch-day strings
-          val ord = Ordering.by[String, Long](_.toLong)
-          if (isMin) present.min(ord) else present.max(ord)
-      }
-      Some(internalValue(winner, dt))
-    } catch { case scala.util.control.NonFatal(_) => None }
-  }
-
-  private def internalValue(s: String, dt: DataType): Any = dt match {
-    case ByteType => s.toByte
-    case ShortType => s.toShort
-    case IntegerType => s.toInt
-    case LongType => s.toLong
-    case FloatType => s.toFloat
-    case DoubleType => s.toDouble
-    case d: DecimalType =>
-      val dec = Decimal(new java.math.BigDecimal(s))
-      if (!dec.changePrecision(d.precision, d.scale)) throw new ArithmeticException(s)
-      dec
-    case StringType => UTF8String.fromString(s)
-    case TimestampType | TimestampNTZType => s.toLong
-    case DateType => s.toInt
-    case _ => throw new IllegalArgumentException(dt.sql)
   }
 }

@@ -480,9 +480,16 @@ private[sql] class GraftV2Table(ident: Identifier, tablePath: String,
         }
       }
     } else {
-      val paths = asOfVersion
-        .fold(t.liveSegmentPaths)(t.liveSegmentPathsAt)
-        .map(_.toString)
+      // one snapshot feeds both the scan paths and (current-version
+      // reads only) the stats metas behind aggregate pushdown — a
+      // pushed COUNT(*)/COUNT(col)/MIN/MAX with no filters folds from
+      // the segment catalog as a LocalScan, zero file I/O
+      val (metas, paths) = asOfVersion match {
+        case None =>
+          val (m, p) = t.liveSegmentSnapshot
+          (Some(m), p.map(_.toString))
+        case Some(v) => (None, t.liveSegmentPathsAt(v).map(_.toString))
+      }
       // driver-side segment pruning from the pushed filters — the
       // catalog-read twin of the GraftSegmentPruning optimizer rule
       // (min/max stats eliminate whole segment dirs before the scan
@@ -493,7 +500,8 @@ private[sql] class GraftV2Table(ident: Identifier, tablePath: String,
             filters.reduceOption(
               org.apache.spark.sql.catalyst.expressions.And)
               .fold(paths)(c =>
-                t.prunedSegmentPaths(c, asOfVersion).map(_.toString)))
+                t.prunedSegmentPaths(c, asOfVersion).map(_.toString)),
+          statsMetas = metas)
     }
   }
 

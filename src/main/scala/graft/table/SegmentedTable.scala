@@ -749,6 +749,16 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
   private[graft] def liveSegmentPaths: Seq[Path] =
     liveSegments.map(s => segmentDir(s.id))
 
+  /** ONE status read → (metas, dirs) of the same snapshot — the V2
+    * catalog scan builder needs the stats metas and the scan paths to
+    * describe the SAME segment set (two separate reads could straddle
+    * a commit and fold stats for a segment the scan doesn't read).
+    */
+  private[graft] def liveSegmentSnapshot: (Seq[SegmentMeta], Seq[Path]) = {
+    val segs = liveSegments
+    (segs, segs.map(s => segmentDir(s.id)))
+  }
+
   /** Full-table read: union of live segment dirs in one multi-path
     * Parquet scan (locality and split sizing handled by Spark).
     * Declared column defaults are applied here, so an evolved table

@@ -1554,4 +1554,57 @@ class GraftSqlSpec extends AnyFunSuite {
     spark.sql("DROP TABLE scopeda.default.t2")
     spark.sql("DROP TABLE scopedb.default.t")
   }
+
+  test("catalog aggregate pushdown folds COUNT/MIN/MAX from segment stats as a LocalScan") {
+    val sf = "/root/testdata/sf0.001"
+    spark.read.parquet(s"$sf/orders.parquet")
+      .createOrReplaceTempView("v2agg_src")
+    spark.sql("CREATE TABLE graft.default.v2agg USING graft " +
+      "AS SELECT * FROM v2agg_src")
+    spark.sql("INSERT INTO graft.default.v2agg SELECT * FROM v2agg_src")
+    try {
+      val q = spark.sql(
+        """SELECT COUNT(*) AS n, COUNT(o_comment_missing_ok) AS nc,
+                  MIN(o_totalprice) AS mn, MAX(o_orderdate) AS mx,
+                  MIN(o_orderstatus) AS ms
+           FROM graft.default.v2agg"""
+          .replace("o_comment_missing_ok", "o_orderpriority"))
+      // the plan must be a local scan of the folded row — no file scan
+      val exec = q.queryExecution.executedPlan.toString
+      assert(exec.contains("LocalTableScan") || exec.contains("GraftStatsFold"),
+        exec)
+      assert(!exec.contains("BatchScan"), exec)
+      val want = spark.sql(
+        """SELECT COUNT(*), COUNT(o_orderpriority), MIN(o_totalprice),
+                  MAX(o_orderdate), MIN(o_orderstatus)
+           FROM (SELECT * FROM v2agg_src UNION ALL SELECT * FROM v2agg_src)""").head()
+      assert(q.head() == want)
+
+      // a WHERE clause disables the fold (filters reached the builder)
+      val qf = spark.sql(
+        "SELECT COUNT(*) AS n FROM graft.default.v2agg WHERE o_orderkey > 100")
+      assert(qf.queryExecution.executedPlan.toString.contains("BatchScan"),
+        qf.queryExecution.executedPlan.toString)
+      val wantF = spark.sql(
+        """SELECT COUNT(*) FROM
+             (SELECT * FROM v2agg_src UNION ALL SELECT * FROM v2agg_src)
+           WHERE o_orderkey > 100""").head()
+      assert(qf.head() == wantF)
+
+      // GROUP BY never folds
+      val qg = spark.sql(
+        "SELECT o_orderstatus, COUNT(*) FROM graft.default.v2agg GROUP BY 1")
+      assert(qg.queryExecution.executedPlan.toString.contains("BatchScan"))
+
+      // DML refreshes the folded answer (new scan builder per query)
+      spark.sql("DELETE FROM graft.default.v2agg WHERE o_orderkey % 2 = 0")
+      val q2 = spark.sql("SELECT COUNT(*) AS n FROM graft.default.v2agg")
+      val want2 = spark.sql(
+        """SELECT COUNT(*) FROM
+             (SELECT * FROM v2agg_src UNION ALL SELECT * FROM v2agg_src)
+           WHERE o_orderkey % 2 <> 0""").head()
+      assert(q2.head() == want2)
+      assert(q2.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    } finally spark.sql("DROP TABLE IF EXISTS graft.default.v2agg")
+  }
 }
