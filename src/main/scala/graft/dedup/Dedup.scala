@@ -528,6 +528,33 @@ object Dedup {
             col("__words"))).as("sh"): _*)
     val cnts = docs.groupBy(blockCols.map(col): _*)
       .agg(count(lit(1)).as("__n"))
+    // pair-space pre-flight (same budget as the similarity audits):
+    // sub-block salting bounds PER-TASK pairs at maxBlockSide², not
+    // the TOTAL pair space, which grows quadratically in block
+    // population — at sf10 of the dev corpus a single execution ran
+    // 45+ min inside the pair space. blockStats (the d22 gate) is the
+    // MANUAL pre-flight; this is its automatic teeth. One 1-row agg
+    // over the already-needed per-block counts; actionable error,
+    // conf-overridable.
+    locally {
+      val budget = docs.sparkSession.conf
+        .get(graft.similarity.Similarity.MaxCandidatePairsKey,
+          graft.similarity.Similarity.MaxCandidatePairsDefault).toLong
+      if (budget > 0) {
+        val r = cnts.agg(sum(col("__n") * col("__n")).as("p"),
+          max(col("__n")).as("m")).head()
+        val pairs = if (r.isNullAt(0)) 0L else r.getLong(0)
+        if (pairs > budget) throw new IllegalStateException(
+          s"blockedJaccardPairs: estimated in-block candidate pairs $pairs " +
+          s"(largest block ${r.getLong(1)} docs) exceed " +
+          s"${graft.similarity.Similarity.MaxCandidatePairsKey}=$budget. " +
+          "Exact blocked Jaccard is for corpora where the full pair " +
+          "space is affordable; at this size, block on finer columns, " +
+          "run blockStats first to see the distribution, or route to " +
+          "minhashCandidates (banded LSH — sub-linear, the corpus-scale " +
+          "path). Set the conf <= 0 to disable this guard.")
+      }
+    }
     val salted = withSh.join(broadcast(cnts), blockCols)
       .withColumn("__s",
         ceil(col("__n").cast("double") / maxBlockSide).cast("int"))

@@ -29,6 +29,15 @@ object Similarity {
   private def spread(df: DataFrame): DataFrame =
     graft.util.Spread.toCpuParallelism(df)
 
+  /** Budget for the exact-pair audits' candidate space (sum over
+    * buckets/blocks of c²). Shared with [[graft.dedup.Dedup]]'s
+    * blocked-exact operators. <= 0 disables. Default 2e9: one decade
+    * above the sf1 audit workloads (~1e8) and one below the sf10
+    * sizes that exhausted a node's disk (~1e10).
+    */
+  val MaxCandidatePairsKey = "spark.graft.maxCandidatePairs"
+  val MaxCandidatePairsDefault = "2000000000"
+
   /** Query-side broadcast gate. Every probe join here is designed for
     * a SMALL query set, but an unconditional broadcast() hint is
     * honored regardless of size — a caller passing a huge query frame
@@ -823,11 +832,34 @@ object Similarity {
     */
   private def saltedSelfJoin(corpus: DataFrame, idCol: String,
       vecCol: String, bits: Int, salt: Int,
-      carry: Seq[String] = Nil): DataFrame = {
+      carry: Seq[String] = Nil, opName: String = "exact-pair audit"): DataFrame = {
     val v = spread(corpus.select((col(idCol).as("id") +: col(vecCol).as("v") +:
         carry.map(col)): _*)
         .withColumn("bucket", signBucket(col("v"), bits)))
       .withColumn("nrm", norm(col("v")))
+    // pair-space pre-flight: salting bounds PER-TASK work, not the
+    // TOTAL pair space — one decade past the audit regime the
+    // in-bucket candidate shuffle exceeds a node's disk before it
+    // exceeds anyone's patience (sf10 measurement: s09/s13 spilled
+    // >52 GB and died on ENOSPC after 17 min). One cheap distributive
+    // agg turns that into an immediate, actionable error.
+    val budget = corpus.sparkSession.conf
+      .get(Similarity.MaxCandidatePairsKey, Similarity.MaxCandidatePairsDefault)
+      .toLong
+    if (budget > 0) {
+      val r = v.groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * col("c")).as("p"), max(col("c")).as("m")).head()
+      val pairs = if (r.isNullAt(0)) 0L else r.getLong(0)
+      if (pairs > budget) throw new IllegalStateException(
+        s"$opName: estimated in-bucket candidate pairs $pairs " +
+        s"(largest bucket ${r.getLong(1)} vectors) exceed " +
+        s"${Similarity.MaxCandidatePairsKey}=$budget. Exact-pair audits " +
+        "are for corpora where the full pair space is affordable; at " +
+        "this size, raise `bits` so buckets stay bounded, audit a " +
+        "sample, or serve neighbors from the ANN ladder " +
+        "(bucketedTopK/ivfTopK/ivfPqIndexTopK — near-flat in corpus " +
+        "size). Set the conf <= 0 to disable this guard.")
+    }
     val a = v.select((Seq(col("id").as("id_a"), col("v").as("va"),
       col("bucket"), col("nrm").as("na"),
       pmod(col("id"), lit(salt)).cast("int").as("salt")) ++
@@ -865,7 +897,7 @@ object Similarity {
     val w = Window.partitionBy(col("id_a"))
       .orderBy(col("cos").desc, col("id_b").asc)
     val voted = saltedSelfJoin(corpus, idCol, vecCol, bits, salt,
-        carry = Seq(labelCol))
+        carry = Seq(labelCol), opName = "knnLabelConsistency")
       .filter(col("id_a") =!= col("id_b"))
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .withColumn("rank", row_number().over(w))
@@ -883,7 +915,8 @@ object Similarity {
 
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                    threshold: Double, bits: Int, salt: Int = 8): DataFrame =
-    saltedSelfJoin(corpus, idCol, vecCol, bits, salt)
+    saltedSelfJoin(corpus, idCol, vecCol, bits, salt,
+        opName = "nearDupPairs")
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
@@ -913,7 +946,8 @@ object Similarity {
     require(k >= 1, s"k must be >= 1, got $k")
     val w = Window.partitionBy(col("id_a"))
       .orderBy(col("cos").desc, col("id_b").asc)
-    val directed = saltedSelfJoin(corpus, idCol, vecCol, bits, salt)
+    val directed = saltedSelfJoin(corpus, idCol, vecCol, bits, salt,
+        opName = "mutualKnnGraph")
       .filter(col("id_a") =!= col("id_b"))
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .withColumn("rank", row_number().over(w))

@@ -746,4 +746,31 @@ class CorpusOpsSpec extends AnyFunSuite {
       t >= orderStat(50000L) && t <= orderStat(950000L))
     assert(kept == keptExact.toLong)
   }
+
+  test("pair-space pre-flight: over-budget audits fail loud, and the conf restores them") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val key = Similarity.MaxCandidatePairsKey
+    spark.conf.set(key, "10") // absurd budget: everything is over it
+    try {
+      val e1 = intercept[IllegalStateException] {
+        Similarity.mutualKnnGraph(emb, "vec_id", "embedding", 1, 2).count()
+      }
+      assert(e1.getMessage.contains(key) && e1.getMessage.contains("ivfPqIndexTopK"),
+        e1.getMessage)
+      val e2 = intercept[IllegalStateException] {
+        graft.dedup.Dedup.blockedJaccardPairs(
+          docs, "doc_id", "text", Seq("source", "lang"), 0.8).count()
+      }
+      assert(e2.getMessage.contains("minhashCandidates"), e2.getMessage)
+      // raising the budget (or the default) restores the audits
+      spark.conf.set(key, "0") // disabled
+      assert(Similarity.mutualKnnGraph(emb, "vec_id", "embedding", 1, 2)
+        .count() >= 0)
+    } finally spark.conf.unset(key)
+    // at the DEFAULT budget the dev-corpus audits are far under it
+    assert(Similarity.mutualKnnGraph(emb, "vec_id", "embedding", 1, 2)
+      .count() >= 0)
+  }
 }
