@@ -104,11 +104,24 @@ object Bench {
       // warm both sides first (plan compile, codegen, page cache)
       timeOnce(name, fn, spark, sfDir)
       if (!graftOnly) timeOnce(name, base, spark, sfDir)
-      // interleave graft/baseline timed runs so drift is shared
-      val pairs = (1 to timedRuns).map(_ =>
-        (timeOnce(name, fn, spark, sfDir),
-          if (graftOnly) -1.0
-          else timeOnce(name + " (baseline)", base, spark, sfDir)))
+      // interleave graft/baseline timed runs so drift is shared, and
+      // ALTERNATE which side goes first per pair: whoever runs first
+      // inherits the previous execution's JIT/GC debt, and with a
+      // fixed order that debt lands asymmetrically (the r18 t03/t07
+      // false outliers — identical-function pairs reading 1.8x at
+      // RUNS=1). Alternation balances it at RUNS>=2; RUNS=1 scaling
+      // studies keep the documented caveat (re-measure outliers with
+      // 3 pairs before believing them).
+      val pairs = (1 to timedRuns).map { i =>
+        if (graftOnly) (timeOnce(name, fn, spark, sfDir), -1.0)
+        else if (i % 2 == 1)
+          (timeOnce(name, fn, spark, sfDir),
+            timeOnce(name + " (baseline)", base, spark, sfDir))
+        else {
+          val b = timeOnce(name + " (baseline)", base, spark, sfDir)
+          (timeOnce(name, fn, spark, sfDir), b)
+        }
+      }
       val g = pairs.map(_._1).filter(_ >= 0)
       val b = pairs.map(_._2).filter(_ >= 0)
       val row =

@@ -30,6 +30,7 @@ import graft.table.{SegmentedTable, TableIO}
   *   MERGE GRAFT TABLE t FROM INPATH '<path>' ON (k1[, k2...])
   *   SHOW GRAFT TABLES
   *   SHOW GRAFT SEGMENTS FOR t
+  *   SHOW GRAFT STATS FOR t
   *   DELETE GRAFT SEGMENT <id>[, <id>...] FROM t
   *   DELETE GRAFT SEGMENTS FROM t BEFORE '<utc timestamp>'
   *   COMPACT GRAFT TABLE t [MINOR]
@@ -1158,6 +1159,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*SHOW\s+GRAFT\s+SEGMENTS\s+FOR\s+(\w+)\s*""".r
   private val showHistRe =
     """(?is)\s*SHOW\s+GRAFT\s+HISTORY\s+FOR\s+(\w+)\s*""".r
+  private val showStatsRe =
+    """(?is)\s*SHOW\s+GRAFT\s+STATS\s+FOR\s+(\w+)\s*""".r
   private val showCreateRe =
     """(?is)\s*SHOW\s+CREATE\s+GRAFT\s+TABLE\s+(\w+)\s*""".r
   private val describeRe =
@@ -1291,6 +1294,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case describeRe(name) => DescribeGraftTableCommand(name)
     case showSegRe(name) => ShowGraftSegmentsCommand(name)
     case showHistRe(name) => ShowGraftHistoryCommand(name)
+    case showStatsRe(name) => ShowGraftStatsCommand(name)
     case deleteSegRe(ids, name) =>
       DeleteGraftSegmentsCommand(name, ids.split(",").map(_.trim.toInt).toSeq)
     case deleteRowsRe(name, where) => DeleteGraftRowsCommand(name, where.trim)
@@ -2037,6 +2041,38 @@ case class ShowGraftSegmentsCommand(name: String) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] =
     GraftCatalog.open(spark, name).showSegments().map(s =>
       Row(s.id, s.status, s.rowCount, s.createdAt))
+}
+
+/** Folded table-level column statistics, straight from the segment
+  * catalog (the numbers [[graft.mv.StatsAggFromCatalog]] serves
+  * aggregates from — zero executor job here too). `min`/`max` render
+  * the catalog's stored representation: epoch-MICROS for timestamps,
+  * epoch-DAYS for dates, exact decimal strings for numerics. NULL
+  * min/max with null_count = row_count means a proven all-null
+  * column; NULL with a smaller null_count means the fold is
+  * unavailable for that column (ineligible type, unknown-vintage
+  * segment, or a cross-segment NaN compare).
+  */
+case class ShowGraftStatsCommand(name: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("column", StringType, nullable = false)(),
+    AttributeReference("min", StringType, nullable = true)(),
+    AttributeReference("max", StringType, nullable = true)(),
+    AttributeReference("null_count", LongType, nullable = true)(),
+    AttributeReference("row_count", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftCatalog.open(spark, name)
+    val live = t.showSegments().filter(_.status == SegmentedTable.SUCCESS)
+    val rows = live.map(_.rowCount).sum
+    t.schema.fields.toSeq.map { f =>
+      def fold(isMin: Boolean): String =
+        graft.mv.StatsAggFromCatalog.foldMinMax(live, f.name, f.dataType, isMin)
+          .flatMap(Option(_)).map(String.valueOf).orNull
+      val nulls: Any = graft.mv.StatsAggFromCatalog
+        .foldNonNullCount(live, f.name).map(nn => rows - nn).orNull
+      Row(f.name, fold(isMin = true), fold(isMin = false), nulls, rows)
+    }
+  }
 }
 
 /** Catalog commit history — one row per version in the time-travel

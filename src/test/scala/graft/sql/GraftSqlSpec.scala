@@ -1607,4 +1607,24 @@ class GraftSqlSpec extends AnyFunSuite {
       assert(q2.queryExecution.executedPlan.toString.contains("LocalTableScan"))
     } finally spark.sql("DROP TABLE IF EXISTS graft.default.v2agg")
   }
+
+  test("SHOW GRAFT STATS folds column min/max/null counts from the catalog") {
+    val sf = "/root/testdata/sf0.001"
+    spark.read.parquet(s"$sf/nation.parquet")
+      .createOrReplaceTempView("stats_src")
+    spark.sql("CREATE GRAFT TABLE stats_t AS SELECT * FROM stats_src")
+    spark.sql(s"LOAD GRAFT DATA INPATH '$sf/nation.parquet' INTO TABLE stats_t")
+    try {
+      val rows = spark.sql("SHOW GRAFT STATS FOR stats_t").collect()
+        .map(r => r.getString(0) -> r).toMap
+      val k = rows("n_nationkey")
+      assert(k.getString(1) == "0" && k.getString(2) == "24")
+      assert(k.getLong(3) == 0L && k.getLong(4) == 50L)
+      val n = rows("n_name")
+      val want = spark.sql(
+        "SELECT MIN(n_name), MAX(n_name) FROM stats_src").head()
+      assert(n.getString(1) == want.getString(0) &&
+        n.getString(2) == want.getString(1))
+    } finally spark.sql("DROP GRAFT TABLE stats_t")
+  }
 }
