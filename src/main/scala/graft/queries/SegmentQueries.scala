@@ -38,6 +38,27 @@ object SegmentQueries {
       s"$cat.default.ord"
     })
 
+  /** g23's catalog table: lineitem in two segments behind a V2
+    * catalog identifier, so the gate's aggregates travel the
+    * SupportsPushDownAggregates → LocalScan fold.
+    */
+  private val catalogStats = new graft.util.BuildOnce[String]
+
+  private def catalogStatsTable(s: SparkSession, d: String): String =
+    catalogStats.getOrElseUpdate(s"gcs|$d|${s.sparkContext.applicationId}", {
+      val cat = s"gcs${(d + s.sparkContext.applicationId).hashCode.abs}"
+      val root = graft.util.RunRoot.under(
+        s"graft_catalog_stats/${d.replace('/', '_')}")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalogPlugin")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      Tables.lineitem(s, d).createOrReplaceTempView("g23_lineitem_src")
+      s.sql(s"CREATE TABLE $cat.default.li_stats USING graft " +
+        "AS SELECT * FROM g23_lineitem_src WHERE l_orderkey % 2 = 0")
+      s.sql(s"INSERT INTO $cat.default.li_stats " +
+        "SELECT * FROM g23_lineitem_src WHERE l_orderkey % 2 <> 0")
+      s"$cat.default.li_stats"
+    })
+
   /** g19's full-MERGE'd table: one mixed ANSI MERGE — conditional
     * UPDATE with expression assignments, bare DELETE, conditional
     * column-list INSERT — applied through the catalog SQL surface.
@@ -642,6 +663,22 @@ object SegmentQueries {
         max(col("l_linestatus")).as("max_ls"))
     }),
 
+    // g23: the V2 CATALOG twin of g21 — the same aggregates through
+    // spark.sql over a catalog identifier, where the scan builder's
+    // SupportsPushDownAggregates intercept serves the fold as a
+    // connector LocalScan (zero file I/O; plan pin in GraftSqlSpec).
+    "g23_catalog_stats_agg" -> ((s, d) => {
+      val n = catalogStatsTable(s, d)
+      s.sql(
+        s"""SELECT COUNT(*) AS cnt,
+                   COUNT(l_quantity) AS cnt_qty,
+                   MIN(l_extendedprice) AS min_price,
+                   MAX(l_extendedprice) AS max_price,
+                   MIN(l_shipdate) AS min_ship,
+                   MAX(l_returnflag) AS max_rf
+            FROM $n""")
+    }),
+
     // g22: FILTERED metadata-only aggregates — the predicate aligns
     // with the two segments' ship-year split (≤1995 / >1995), so the
     // catalog proves one segment all-out and the other all-in and the
@@ -912,6 +949,16 @@ object SegmentQueries {
          SELECT o_orderstatus, COUNT(*) AS cnt,
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM merged GROUP BY o_orderstatus""",
+
+    // the V2 LocalScan fold must equal the real scan's aggregates
+    "g23_catalog_stats_agg" ->
+      """SELECT COUNT(*) AS cnt,
+                COUNT(l_quantity) AS cnt_qty,
+                MIN(l_extendedprice) AS min_price,
+                MAX(l_extendedprice) AS max_price,
+                MIN(l_shipdate) AS min_ship,
+                MAX(l_returnflag) AS max_rf
+         FROM lineitem""",
 
     // the stats fold must equal the real scan's aggregates exactly
     "g21_stats_agg" ->
