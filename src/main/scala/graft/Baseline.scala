@@ -259,6 +259,18 @@ object Baseline {
         .agg(count(lit(1)).as("cnt"), Tables.dsum(col("o_totalprice")).as("total"))
     }),
 
+    // what the stats fold saves through the catalog surface: a real
+    // filtered scan + aggregate over the plain parquet
+    "g24_catalog_filtered_agg" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
+        .agg(count(lit(1)).as("cnt"),
+          count(col("l_quantity")).as("cnt_qty"),
+          min(col("l_shipdate")).as("min_ship"),
+          max(col("l_shipdate")).as("max_ship"),
+          max(col("l_extendedprice")).as("max_price"))
+    }),
+
     "g01_segment_pruned_scan" -> ((s, d) => {
       Tables.lineitem(s, d)
         .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))

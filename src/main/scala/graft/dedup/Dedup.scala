@@ -516,6 +516,13 @@ object Dedup {
     * the work distributes instead of straggling. Run
     * `graft_block_stats` (the pre-flight TVF) to see the block
     * histogram before launching this on a new corpus.
+    *
+    * EAGER at call time: the automatic pair-space pre-flight below
+    * runs one real Spark aggregation (the per-block counts) BEFORE
+    * the pair DataFrame is returned — constructing the frame is not
+    * free even if never acted on, and repeated construction repeats
+    * the pass. Disable via `spark.graft.maxCandidatePairs <= 0` to
+    * make construction lazy again.
     */
   def blockedJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                           blockCols: Seq[String], minJaccard: Double,
@@ -541,11 +548,14 @@ object Dedup {
         .get(graft.similarity.Similarity.MaxCandidatePairsKey,
           graft.similarity.Similarity.MaxCandidatePairsDefault).toLong
       if (budget > 0) {
-        val r = cnts.agg(sum(col("__n") * col("__n")).as("p"),
+        // Σn² in DOUBLE — a long product wraps for a ~3.04e9-doc
+        // block, bypassing the guard at exactly the scale it protects
+        val r = cnts.agg(
+          sum(col("__n").cast("double") * col("__n").cast("double")).as("p"),
           max(col("__n")).as("m")).head()
-        val pairs = if (r.isNullAt(0)) 0L else r.getLong(0)
-        if (pairs > budget) throw new IllegalStateException(
-          s"blockedJaccardPairs: estimated in-block candidate pairs $pairs " +
+        val pairs = if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+        if (pairs > budget.toDouble) throw new IllegalStateException(
+          s"blockedJaccardPairs: estimated in-block candidate pairs ${pairs.toLong} " +
           s"(largest block ${r.getLong(1)} docs) exceed " +
           s"${graft.similarity.Similarity.MaxCandidatePairsKey}=$budget. " +
           "Exact blocked Jaccard is for corpora where the full pair " +

@@ -59,6 +59,29 @@ object SegmentQueries {
       s"$cat.default.li_stats"
     })
 
+  /** g24's catalog table: lineitem behind a V2 catalog identifier in
+    * two SEGMENT-ALIGNED loads (ship year ≤1995 / >1995), so a
+    * time-range predicate proves one segment all-out and the other
+    * all-in — the filtered aggregate then folds from the catalog as a
+    * LocalScan through the V2 path (plan pin in GraftSqlSpec).
+    */
+  private val catalogAligned = new graft.util.BuildOnce[String]
+
+  private def catalogAlignedTable(s: SparkSession, d: String): String =
+    catalogAligned.getOrElseUpdate(s"gca|$d|${s.sparkContext.applicationId}", {
+      val cat = s"gca${(d + s.sparkContext.applicationId).hashCode.abs}"
+      val root = graft.util.RunRoot.under(
+        s"graft_catalog_aligned/${d.replace('/', '_')}")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalogPlugin")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      Tables.lineitem(s, d).createOrReplaceTempView("g24_lineitem_src")
+      s.sql(s"CREATE TABLE $cat.default.li_aligned USING graft " +
+        "AS SELECT * FROM g24_lineitem_src WHERE year(l_shipdate) <= 1995")
+      s.sql(s"INSERT INTO $cat.default.li_aligned " +
+        "SELECT * FROM g24_lineitem_src WHERE year(l_shipdate) > 1995")
+      s"$cat.default.li_aligned"
+    })
+
   /** g19's full-MERGE'd table: one mixed ANSI MERGE — conditional
     * UPDATE with expression assignments, bare DELETE, conditional
     * column-list INSERT — applied through the catalog SQL surface.
@@ -679,6 +702,26 @@ object SegmentQueries {
             FROM $n""")
     }),
 
+    // g24: FILTERED stats fold through the V2 CATALOG path — the
+    // catalog twin of g22: the WHERE aligns with the two loads' ship-
+    // year split, the scan builder's trichotomy proves one segment
+    // all-out and the other all-in, the filter is reported exactly
+    // handled, and the pushed COUNT/MIN/MAX folds from the survivors'
+    // stats as a connector LocalScan (plan pin + straddle fall-through
+    // pin in GraftSqlSpec). Oracle = the same filtered aggregate over
+    // the raw table.
+    "g24_catalog_filtered_agg" -> ((s, d) => {
+      val n = catalogAlignedTable(s, d)
+      s.sql(
+        s"""SELECT COUNT(*) AS cnt,
+                   COUNT(l_quantity) AS cnt_qty,
+                   MIN(l_shipdate) AS min_ship,
+                   MAX(l_shipdate) AS max_ship,
+                   MAX(l_extendedprice) AS max_price
+            FROM $n
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'""")
+    }),
+
     // g22: FILTERED metadata-only aggregates — the predicate aligns
     // with the two segments' ship-year split (≤1995 / >1995), so the
     // catalog proves one segment all-out and the other all-in and the
@@ -972,6 +1015,16 @@ object SegmentQueries {
                 MIN(l_returnflag) AS min_rf,
                 MAX(l_linestatus) AS max_ls
          FROM lineitem""",
+
+    // the catalog-path filtered fold must equal the real filtered scan
+    "g24_catalog_filtered_agg" ->
+      """SELECT COUNT(*) AS cnt,
+                COUNT(l_quantity) AS cnt_qty,
+                MIN(l_shipdate) AS min_ship,
+                MAX(l_shipdate) AS max_ship,
+                MAX(l_extendedprice) AS max_price
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'""",
 
     // the filtered fold must equal the real filtered scan exactly
     "g22_metadata_filtered_agg" ->

@@ -829,6 +829,20 @@ object Similarity {
     * self-pairs NOT yet excluded — callers choose their own pair
     * predicate (`<` for unordered pairs, `=!=` for per-vector
     * neighborhoods).
+    *
+    * EAGER at call time: the pair-space pre-flight below runs one real
+    * Spark aggregation over the corpus (including the signBucket
+    * compute) BEFORE the candidate-pair DataFrame is returned — so
+    * constructing the frame is not free even if it is never acted on,
+    * and repeated construction repeats the pass (callers invoking the
+    * scaffold in a loop should build once and reuse). Deliberately NOT
+    * persisted to share with the join that follows: caching would
+    * materialize the full wide corpus (vectors included) to memory or
+    * disk to save one narrow pass — a bad trade at exactly the corpus
+    * sizes where the guard matters, and the returned frame's consumers
+    * have no unpersist hook. Disable via
+    * `spark.graft.maxCandidatePairs <= 0` to make construction lazy
+    * again.
     */
   private def saltedSelfJoin(corpus: DataFrame, idCol: String,
       vecCol: String, bits: Int, salt: Int,
@@ -847,11 +861,16 @@ object Similarity {
       .get(Similarity.MaxCandidatePairsKey, Similarity.MaxCandidatePairsDefault)
       .toLong
     if (budget > 0) {
+      // Σc² in DOUBLE: a long product wraps silently for a bucket of
+      // ~3.04e9+ rows — exactly the pathological scale the guard
+      // exists for (doubles are exact to 2^53 and merely approximate
+      // beyond, which only matters far past any sane budget)
       val r = v.groupBy(col("bucket")).agg(count(lit(1)).as("c"))
-        .agg(sum(col("c") * col("c")).as("p"), max(col("c")).as("m")).head()
-      val pairs = if (r.isNullAt(0)) 0L else r.getLong(0)
-      if (pairs > budget) throw new IllegalStateException(
-        s"$opName: estimated in-bucket candidate pairs $pairs " +
+        .agg(sum(col("c").cast("double") * col("c").cast("double")).as("p"),
+          max(col("c")).as("m")).head()
+      val pairs = if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+      if (pairs > budget.toDouble) throw new IllegalStateException(
+        s"$opName: estimated in-bucket candidate pairs ${pairs.toLong} " +
         s"(largest bucket ${r.getLong(1)} vectors) exceed " +
         s"${Similarity.MaxCandidatePairsKey}=$budget. Exact-pair audits " +
         "are for corpora where the full pair space is affordable; at " +
@@ -890,6 +909,10 @@ object Similarity {
     *
     * Output: (id, label, agree, n_neighbors) — integers only, so the
     * result is hash-comparable across engines.
+    *
+    * NOTE: calling this runs the scaffold's EAGER pair-space
+    * pre-flight (one corpus aggregation) before the frame returns —
+    * see [[saltedSelfJoin]].
     */
   def knnLabelConsistency(corpus: DataFrame, idCol: String, vecCol: String,
                           labelCol: String, k: Int, bits: Int,
@@ -913,6 +936,10 @@ object Similarity {
         coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"))
   }
 
+  /** Exact cosine near-dup pairs over sign-LSH buckets. NOTE: calling
+    * this runs the scaffold's EAGER pair-space pre-flight (one corpus
+    * aggregation) before the frame returns — see [[saltedSelfJoin]].
+    */
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                    threshold: Double, bits: Int, salt: Int = 8): DataFrame =
     saltedSelfJoin(corpus, idCol, vecCol, bits, salt,

@@ -490,6 +490,29 @@ private[sql] class GraftV2Table(ident: Identifier, tablePath: String,
           (Some(m), p.map(_.toString))
         case Some(v) => (None, t.liveSegmentPathsAt(v).map(_.toString))
       }
+      // exact-filter trichotomy over the SAME snapshot the paths came
+      // from: every segment proven all-out (pruned) or all-in (every
+      // row matches, provenAllIn) ⇒ the pruned scan IS the filtered
+      // scan — the filter is dropped from the plan and a pushed
+      // COUNT/MIN/MAX folds from the survivors' stats (the filtered
+      // time-range aggregate answers from one catalog read through
+      // the BI-facing catalog surface). One straddler ⇒ None, plain
+      // pruning with the filter kept.
+      val trich: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+          Option[(Seq[graft.table.SegmentMeta], Seq[String])] =
+        metas match {
+          case Some(m) =>
+            val pathOf = m.map(_.id).zip(paths).toMap
+            filters => {
+              val cond = filters.reduce(
+                org.apache.spark.sql.catalyst.expressions.And)
+              val survivors = t.pruneAmong(m, cond)
+              if (t.provenAllIn(survivors, cond))
+                Some(survivors -> survivors.map(s => pathOf(s.id)))
+              else None
+            }
+          case None => _ => None
+        }
       // driver-side segment pruning from the pushed filters — the
       // catalog-read twin of the GraftSegmentPruning optimizer rule
       // (min/max stats eliminate whole segment dirs before the scan
@@ -501,7 +524,8 @@ private[sql] class GraftV2Table(ident: Identifier, tablePath: String,
               org.apache.spark.sql.catalyst.expressions.And)
               .fold(paths)(c =>
                 t.prunedSegmentPaths(c, asOfVersion).map(_.toString)),
-          statsMetas = metas)
+          statsMetas = metas,
+          trichotomy = trich)
     }
   }
 

@@ -42,14 +42,30 @@ object GraftV2ScanSupport {
     * cat.ns.t` then costs ONE catalog read instead of a footer read
     * per file (and instead of the full scan Spark plans when the
     * parquet aggregate-pushdown conf is off, which is its default).
-    * Any pushed filter, grouping, DISTINCT, or unservable column
-    * disables the fold and the scan proceeds normally.
+    *
+    * `trichotomy` (when supplied) extends the fold to FILTERED
+    * aggregates: given the pushed conjuncts it must return
+    * `Some(allInSurvivors -> theirPaths)` ONLY when every snapshot
+    * segment is PROVEN all-out (no row matches — pruned from the
+    * scan) or all-in (every row matches, null semantics included;
+    * `SegmentedTable.provenAllIn`). Exactness has two payoffs: the
+    * filter is reported fully handled (no post-scan filter — Spark
+    * drops the Filter node, which is also what lets its aggregate
+    * pushdown fire at all), and a pushed COUNT/MIN/MAX then folds
+    * over the all-in survivors from metadata — the time-range
+    * `COUNT(*) WHERE ts >= X` fleet query costs one catalog read
+    * through the BI-facing catalog surface. An unprovable predicate
+    * (one straddling segment) falls back to plain pruning with the
+    * filter kept post-scan. Grouping, DISTINCT, or an unservable
+    * column disables the fold and the scan proceeds normally.
     */
   def segmentPrunedParquetBuilder(
       spark: SparkSession, name: String, schema: StructType,
       allPaths: Seq[String],
       prune: Seq[Expression] => Seq[String],
-      statsMetas: Option[Seq[SegmentMeta]] = None): ScanBuilder =
+      statsMetas: Option[Seq[SegmentMeta]] = None,
+      trichotomy: Seq[Expression] => Option[(Seq[SegmentMeta], Seq[String])] =
+        _ => None): ScanBuilder =
     new ScanBuilder
       with SupportsPushDownCatalystFilters
       with SupportsPushDownRequiredColumns
@@ -62,16 +78,34 @@ object GraftV2ScanSupport {
           .asInstanceOf[FileScanBuilder]
 
       private var inner: FileScanBuilder = mk(allPaths)
-      private var sawFilters = false
+      // the segment set a pushed aggregate may fold over: the full
+      // snapshot while unfiltered, the proven all-in survivors once an
+      // exactly-provable filter lands, None once any other filter does
+      private var foldMetas: Option[Seq[SegmentMeta]] = statsMetas
       private var folded: Option[(StructType, Array[Any])] = None
 
       override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
-        sawFilters = sawFilters || filters.nonEmpty
-        val kept =
-          try prune(filters)
-          catch { case scala.util.control.NonFatal(_) => allPaths }
-        if (kept.toSet != allPaths.toSet) inner = mk(kept)
-        inner.pushFilters(filters)
+        if (filters.isEmpty) return inner.pushFilters(filters)
+        val proven =
+          try trichotomy(filters)
+          catch { case scala.util.control.NonFatal(_) => None }
+        proven match {
+          case Some((allIn, keptPaths)) =>
+            // every row of every kept segment provably satisfies the
+            // conjuncts: the pruned scan IS the filtered scan, and the
+            // stats fold may serve aggregates over the survivors
+            foldMetas = Some(allIn)
+            if (keptPaths.toSet != allPaths.toSet) inner = mk(keptPaths)
+            inner.pushFilters(filters) // defense-in-depth; all rows match
+            Nil // exact — no post-scan filter
+          case None =>
+            foldMetas = None
+            val kept =
+              try prune(filters)
+              catch { case scala.util.control.NonFatal(_) => allPaths }
+            if (kept.toSet != allPaths.toSet) inner = mk(kept)
+            inner.pushFilters(filters)
+        }
       }
 
       override def pushedFilters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
@@ -81,14 +115,14 @@ object GraftV2ScanSupport {
         inner.pruneColumns(requiredSchema)
 
       /** One servable aggregate: its output field + the folded value. */
-      private def foldOne(f: AggregateFunc): Option[(StructField, Any)] = {
+      private def foldOne(f: AggregateFunc,
+                          segs: Seq[SegmentMeta]): Option[(StructField, Any)] = {
         import graft.mv.StatsAggFromCatalog._
         def colName(e: V2Expression): Option[String] = e match {
           case r: NamedReference if r.fieldNames.length == 1 =>
             Some(r.fieldNames.head)
           case _ => None
         }
-        val segs = statsMetas.get
         f match {
           case _: CountStar =>
             Some(StructField("count(*)", LongType, nullable = false) ->
@@ -116,12 +150,12 @@ object GraftV2ScanSupport {
       }
 
       private def tryFold(agg: Aggregation): Option[(StructType, Array[Any])] =
-        if (statsMetas.isEmpty || sawFilters || agg.groupByExpressions.nonEmpty)
-          None
-        else {
-          val per = agg.aggregateExpressions.map(foldOne)
-          if (per.exists(_.isEmpty) || per.isEmpty) None
-          else Some((StructType(per.map(_.get._1)), per.map(_.get._2)))
+        foldMetas match {
+          case Some(segs) if agg.groupByExpressions.isEmpty =>
+            val per = agg.aggregateExpressions.map(f => foldOne(f, segs))
+            if (per.exists(_.isEmpty) || per.isEmpty) None
+            else Some((StructType(per.map(_.get._1)), per.map(_.get._2)))
+          case _ => None
         }
 
       override def supportCompletePushDown(agg: Aggregation): Boolean =

@@ -1608,6 +1608,61 @@ class GraftSqlSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS graft.default.v2agg")
   }
 
+  test("catalog FILTERED aggregate folds as a LocalScan when the trichotomy proves it") {
+    val sf = "/root/testdata/sf0.001"
+    spark.read.parquet(s"$sf/orders.parquet")
+      .createOrReplaceTempView("v2fagg_src")
+    // two SEGMENT-ALIGNED loads: key ranges are disjoint, so a range
+    // predicate on the key proves one segment all-out, the other all-in
+    spark.sql("CREATE TABLE graft.default.v2fagg USING graft " +
+      "AS SELECT * FROM v2fagg_src WHERE o_orderkey <= 300")
+    spark.sql("INSERT INTO graft.default.v2fagg " +
+      "SELECT * FROM v2fagg_src WHERE o_orderkey > 300")
+    try {
+      // aligned predicate: the fold serves the filtered aggregate
+      val q = spark.sql(
+        """SELECT COUNT(*) AS n, COUNT(o_orderpriority) AS nc,
+                  MIN(o_totalprice) AS mn, MAX(o_orderdate) AS mx
+           FROM graft.default.v2fagg WHERE o_orderkey > 300""")
+      val exec = q.queryExecution.executedPlan.toString
+      assert(exec.contains("LocalTableScan") || exec.contains("GraftStatsFold"),
+        exec)
+      assert(!exec.contains("BatchScan"), exec)
+      val want = spark.sql(
+        """SELECT COUNT(*), COUNT(o_orderpriority), MIN(o_totalprice),
+                  MAX(o_orderdate)
+           FROM v2fagg_src WHERE o_orderkey > 300""").head()
+      assert(q.head() == want)
+
+      // STRADDLING predicate: one segment partially matches — the fold
+      // must fall through to a real scan with the filter kept, and the
+      // answer must still be exact
+      val qs = spark.sql(
+        "SELECT COUNT(*) AS n FROM graft.default.v2fagg WHERE o_orderkey > 200")
+      val execS = qs.queryExecution.executedPlan.toString
+      assert(execS.contains("BatchScan"), execS)
+      val wantS = spark.sql(
+        "SELECT COUNT(*) FROM v2fagg_src WHERE o_orderkey > 200").head()
+      assert(qs.head() == wantS)
+
+      // exactness also elides the Filter on a PLAIN aligned SELECT —
+      // the pruned scan IS the filtered scan, rows must match exactly
+      val qp = spark.sql(
+        """SELECT o_orderkey, o_totalprice FROM graft.default.v2fagg
+           WHERE o_orderkey > 300 ORDER BY o_orderkey""")
+      val wantP = spark.sql(
+        """SELECT o_orderkey, o_totalprice FROM v2fagg_src
+           WHERE o_orderkey > 300 ORDER BY o_orderkey""").collect()
+      assert(qp.collect().toSeq == wantP.toSeq)
+
+      // an aligned predicate proving EVERYTHING out serves zero rows /
+      // zero counts without scanning a file
+      val qz = spark.sql(
+        "SELECT COUNT(*) AS n FROM graft.default.v2fagg WHERE o_orderkey < 0")
+      assert(qz.head().getLong(0) == 0L)
+    } finally spark.sql("DROP TABLE IF EXISTS graft.default.v2fagg")
+  }
+
   test("SHOW GRAFT STATS folds column min/max/null counts from the catalog") {
     val sf = "/root/testdata/sf0.001"
     spark.read.parquet(s"$sf/nation.parquet")
