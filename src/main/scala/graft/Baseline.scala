@@ -271,6 +271,29 @@ object Baseline {
           max(col("l_extendedprice")).as("max_price"))
     }),
 
+    // the hybrid fold's savings vs a real filtered scan + aggregate
+    "g25_hybrid_stats_agg" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-07-01").cast("timestamp"))
+        .agg(count(lit(1)).as("cnt"),
+          count(col("l_quantity")).as("cnt_qty"),
+          min(col("l_shipdate")).as("min_ship"),
+          max(col("l_shipdate")).as("max_ship"),
+          max(col("l_extendedprice")).as("max_price"))
+    }),
+
+    // the grouped fold's savings vs a real grouped scan
+    "g26_grouped_stats_agg" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"),
+          count(col("o_orderpriority")).as("cnt_pri"),
+          min(col("o_orderdate")).as("min_date"),
+          max(col("o_orderdate")).as("max_date"),
+          max(col("o_totalprice")).as("max_price"))
+    }),
+
     "g01_segment_pruned_scan" -> ((s, d) => {
       Tables.lineitem(s, d)
         .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))

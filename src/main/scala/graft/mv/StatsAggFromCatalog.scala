@@ -93,6 +93,16 @@ object StatsAggFromCatalog {
     if (per.exists(_.isEmpty)) return None
     val present = per.flatten.flatten
     if (present.isEmpty) return Some(null)
+    // ONE contributing segment: no compare is needed, serve the stored
+    // value directly — this is intent, not an accident of min/max never
+    // invoking the Ordering on a singleton. It makes single-segment
+    // NaN/Infinity doubles servable (the stored value IS Spark's
+    // answer; Spark orders NaN greater than every double) while a
+    // CROSS-segment fold that would have to COMPARE a non-decimal
+    // string still bails in the Ordering below.
+    if (present.size == 1)
+      return (try Some(internalValue(present.head, dt))
+              catch { case scala.util.control.NonFatal(_) => None })
     try {
       val winner = dt match {
         case StringType =>
@@ -156,13 +166,32 @@ case class StatsAggFromCatalog(spark: SparkSession) extends Rule[LogicalPlan] {
   spark.conf.set(StatsAggFromCatalog.Marker, "true")
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case agg @ Aggregate(Nil, aggExprs, child, _) =>
+    case agg @ Aggregate(Nil, aggExprs, child, _) if servableShapes(aggExprs) =>
       extract(child, None) match {
-        case Some((cond, paths)) if servableShapes(aggExprs) =>
+        case Some((cond, paths, rel)) =>
           answer(paths, cond, aggExprs) match {
-            case Some(values) =>
+            case Some(FullFold(values)) =>
               LocalRelation(agg.output.map(_.asInstanceOf[Attribute]),
                 Seq(InternalRow(values: _*)))
+            case Some(h: HybridFold) => hybridPlan(agg, cond.get, rel, h)
+            case None => agg
+          }
+        case _ => agg
+      }
+    // GROUPED fold for segment-aligned group keys: when every group
+    // column is CONSTANT within each segment (identity-partitioned
+    // loads — one load per key value), `GROUP BY k` COUNT/MIN/MAX
+    // folds per segment group from the same catalog stats. One
+    // non-constant segment bails the whole fold to the real scan.
+    case agg @ Aggregate(groups, aggExprs, child, _)
+        if groups.nonEmpty && groups.forall(_.isInstanceOf[AttributeReference]) &&
+          groupedShapes(groups, aggExprs) =>
+      extract(child, None) match {
+        case Some((cond, paths, _)) =>
+          answerGrouped(paths, cond,
+            groups.map(_.asInstanceOf[AttributeReference]), aggExprs) match {
+            case Some(rows) =>
+              LocalRelation(agg.output.map(_.asInstanceOf[Attribute]), rows)
             case None => agg
           }
         case _ => agg
@@ -191,19 +220,34 @@ case class StatsAggFromCatalog(spark: SparkSession) extends Rule[LogicalPlan] {
   private def servableShapes(exprs: Seq[NamedExpression]): Boolean =
     exprs.nonEmpty && exprs.forall(e => shapeOf(e).isDefined)
 
+  /** Grouped result shapes: every output is either one of the group
+    * attributes (bare or aliased) or a servable aggregate.
+    */
+  private def groupedShapes(groups: Seq[Expression],
+                            exprs: Seq[NamedExpression]): Boolean = {
+    val gids = groups.collect { case a: AttributeReference => a.exprId }.toSet
+    exprs.nonEmpty && exprs.forall {
+      case a: AttributeReference => gids.contains(a.exprId)
+      case Alias(a: AttributeReference, _) => gids.contains(a.exprId)
+      case e => shapeOf(e).isDefined
+    }
+  }
+
   /** Strip attribute-only Projects and at most ONE Filter between the
     * aggregate and the scan (the optimizer has already collapsed
-    * filter chains). Returns the filter condition (if any) and the
-    * scanned segment paths.
+    * filter chains). Returns the filter condition (if any), the
+    * scanned segment paths, and the relation node itself (the hybrid
+    * fold copies it over the straddler paths so downstream attribute
+    * references stay valid).
     */
   private def extract(p: LogicalPlan, cond: Option[Expression])
-      : Option[(Option[Expression], Seq[String])] = p match {
+      : Option[(Option[Expression], Seq[String], LogicalRelation)] = p match {
     case l: LogicalRelation => l.relation match {
       // a scan carrying file-level read filters (glob, mtime bounds,
       // recursive lookup) reads a SUBSET of the segment dirs' files —
       // the catalog answer would silently drift; leave it alone
       case h: HadoopFsRelation if !AggTables.hasFileFilterOptions(h) =>
-        Some((cond, h.location.rootPaths.map(_.toString.stripPrefix("file:"))))
+        Some((cond, h.location.rootPaths.map(_.toString.stripPrefix("file:")), l))
       case _ => None
     }
     case Project(exprs, child) if exprs.forall(_.isInstanceOf[Attribute]) =>
@@ -216,17 +260,34 @@ case class StatsAggFromCatalog(spark: SparkSession) extends Rule[LogicalPlan] {
 
   // ---- catalog fold ----
 
-  /** All paths must be segment dirs of the same graft table, must
-    * cover exactly its current live segments, and every requested
-    * shape must be servable from each segment's recorded stats. With
-    * a filter, every live segment must additionally be PROVEN all-out
-    * (min/max/bloom/null-count pruning eliminates it — no row can
-    * match) or all-in (`provenAllIn` — every row matches, nulls
-    * included); the fold then runs over the all-in survivors only.
-    * Returns the aggregate row's internal values in output order.
+  /** The whole aggregate answers from metadata. */
+  private case class FullFold(values: Array[Any]) extends FoldResult
+  /** HYBRID: the proven all-in segments' partial answers fold from
+    * metadata and a real scan must still cover the straddlers — the
+    * 100 TB shape is "9,998 segments provably in/out + 2 boundary
+    * segments", where all-or-nothing folding would full-scan every
+    * time a predicate misses a load boundary. `schema` is the table
+    * schema the straddler relation is rebuilt with.
     */
-  private def answer(paths: Seq[String], cond: Option[Expression],
-                     exprs: Seq[NamedExpression]): Option[Array[Any]] = {
+  private case class HybridFold(provenValues: Array[Any],
+                                straddlerPaths: Seq[String],
+                                schema: StructType) extends FoldResult
+  private sealed trait FoldResult
+
+  /** Resolve scanned segment paths to (table, scanned metas, id→path).
+    * All paths must be segment dirs of ONE graft table; every scanned
+    * id must still be live (ids are never reused and segment dirs are
+    * immutable, so live stats describe the scanned data verbatim; a
+    * stale plan over a since-deleted segment bails). Without a filter
+    * the scan must cover EXACTLY the live set (a subset scan has no
+    * pruning justification in an unfiltered plan — stale-plan
+    * protection); with one, a subset is legitimate because
+    * [[graft.table.GraftSegmentPruning]] may already have rewritten
+    * the relation to the min/max survivors in the same fixed-point
+    * batch.
+    */
+  private def resolveScanned(paths: Seq[String], filtered: Boolean)
+      : Option[(SegmentedTable, Seq[SegmentMeta], Map[Int, String])] = {
     val seg = """(.*)/segment_(\d+)/?$""".r
     val parsed = paths.map {
       case seg(root, id) => Some(root -> id.toInt)
@@ -240,23 +301,131 @@ case class StatsAggFromCatalog(spark: SparkSession) extends Rule[LogicalPlan] {
     val t = SegmentedTable.open(spark, root)
     val live = t.showSegments().filter(_.status == SegmentedTable.SUCCESS)
     val byId = live.map(s => s.id -> s).toMap
-    // fold over EXACTLY the scanned segments: ids are never reused and
-    // segment dirs are immutable (COW rewrites stage new ids), so the
-    // catalog stats describe the scanned data verbatim. A scan of a
-    // live-set SUBSET is legitimate — GraftSegmentPruning may already
-    // have rewritten the relation to the min/max survivors before this
-    // rule runs (both live in the same fixed-point batch). An id the
-    // current status no longer tracks (dropped segment, time-travel
-    // snapshot over since-deleted dirs) has no stats to fold — bail.
     val scannedIds = pairs.map(_._2)
     if (scannedIds.distinct.size != scannedIds.size) return None
     val scanned = scannedIds.flatMap(byId.get)
     if (scanned.size != scannedIds.size) return None
-    // without a filter, a subset scan has no pruning justification in
-    // THIS plan — stale-plan protection keeps the original strictness
-    if (cond.isEmpty && scanned.map(_.id).toSet != live.map(_.id).toSet)
+    if (!filtered && scanned.map(_.id).toSet != live.map(_.id).toSet)
       return None
+    val idPath = scannedIds.zip(paths).toMap
+    Some((t, scanned, idPath))
+  }
 
+  /** Fold every requested shape over `segs`; None = some shape is not
+    * servable from these segments' recorded stats.
+    */
+  private def foldValues(segs: Seq[SegmentMeta],
+                         exprs: Seq[NamedExpression]): Option[Array[Any]] = {
+    val values = exprs.map(e => shapeOf(e).get).map {
+      case CountStar => Some(StatsAggFromCatalog.foldCountStar(segs): Any)
+      case CountCol(c) =>
+        StatsAggFromCatalog.foldNonNullCount(segs, c).map(v => v: Any)
+      case MinCol(c, dt) =>
+        StatsAggFromCatalog.foldMinMax(segs, c, dt, isMin = true)
+      case MaxCol(c, dt) =>
+        StatsAggFromCatalog.foldMinMax(segs, c, dt, isMin = false)
+    }
+    if (values.exists(_.isEmpty)) None else Some(values.map(_.get).toArray)
+  }
+
+  /** Unfiltered: fold over the whole scanned set. Filtered: prune to
+    * the survivors, then — all survivors proven all-in → [[FullFold]];
+    * a MIX of proven and straddling survivors → [[HybridFold]] (fold
+    * the proven mass, scan only the straddlers); nothing proven →
+    * bail to the real scan.
+    */
+  private def answer(paths: Seq[String], cond: Option[Expression],
+                     exprs: Seq[NamedExpression]): Option[FoldResult] = {
+    val (t, scanned, idPath) =
+      resolveScanned(paths, filtered = cond.isDefined).getOrElse(return None)
+    cond match {
+      case None => foldValues(scanned, exprs).map(FullFold(_))
+      case Some(c) =>
+        val survivors = try t.pruneAmong(scanned, c)
+          catch { case scala.util.control.NonFatal(_) => return None }
+        val (proven, straddlers) =
+          survivors.partition(s => t.provenAllIn(Seq(s), c))
+        if (straddlers.isEmpty) foldValues(proven, exprs).map(FullFold(_))
+        else if (proven.isEmpty) None
+        else foldValues(proven, exprs).map(v =>
+          HybridFold(v, straddlers.map(s => idPath(s.id)), t.schema))
+    }
+  }
+
+  /** The hybrid plan: the proven partial answers as a one-row
+    * LocalRelation, UNIONed with the SAME aggregate over a scan of
+    * ONLY the straddler segment dirs (relation copied with swapped
+    * paths so `cond` and the aggregate children stay resolved), then
+    * an outer combining aggregate — COUNTs sum, MIN/MAX fold — whose
+    * aliases reuse the original exprIds so the rest of the plan is
+    * untouched. Fully lazy: the straddler scan plans/prunes/executes
+    * like any filtered parquet scan (FileSourceStrategy pushes `cond`
+    * and prunes columns at physical planning).
+    */
+  private def hybridPlan(agg: Aggregate, cond: Expression,
+                         rel: LogicalRelation, h: HybridFold): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Union}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Sum
+    val exprs = agg.aggregateExpressions
+    val shapes = exprs.map(e => shapeOf(e).get)
+    // partial-branch schema: counts non-null longs, extrema nullable
+    val partialAttrs: Seq[Attribute] = shapes.zipWithIndex.map {
+      case (CountStar | CountCol(_), i) =>
+        AttributeReference(s"__partial$i", LongType, nullable = false)()
+      case (MinCol(_, dt), i) => AttributeReference(s"__partial$i", dt)()
+      case (MaxCol(_, dt), i) => AttributeReference(s"__partial$i", dt)()
+    }
+    val local = LocalRelation(partialAttrs, Seq(InternalRow(h.provenValues: _*)))
+    val straddlerRel = rel.copy(relation =
+      org.apache.spark.sql.graftbridge.ColumnExpr
+        .parquetRelation(spark, h.straddlerPaths, h.schema))
+    val innerExprs: Seq[NamedExpression] = exprs.zipWithIndex.map {
+      case (Alias(ae, _), i) => Alias(ae, s"__scan$i")()
+      case (e, _) => throw new IllegalStateException(e.toString) // servableShapes
+    }
+    val inner = Aggregate(Nil, innerExprs, LFilter(cond, straddlerRel))
+    val union = Union(Seq(local, inner))
+    val uout = union.output
+    val outer: Seq[NamedExpression] = exprs.zipWithIndex.map { case (orig, i) =>
+      val a = orig.asInstanceOf[Alias]
+      val combined: Expression = shapes(i) match {
+        case CountStar | CountCol(_) =>
+          // the union always has ≥1 row per branch (an ungrouped
+          // aggregate returns one row even over empty input), so the
+          // sum is never null at runtime; Coalesce keeps the output
+          // attribute non-nullable like the original count
+          Coalesce(Seq(
+            AggregateExpression(Sum(uout(i)), Complete, isDistinct = false),
+            Literal(0L)))
+        case MinCol(_, _) =>
+          AggregateExpression(Min(uout(i)), Complete, isDistinct = false)
+        case MaxCol(_, _) =>
+          AggregateExpression(Max(uout(i)), Complete, isDistinct = false)
+      }
+      Alias(combined, a.name)(exprId = a.exprId, qualifier = a.qualifier,
+        explicitMetadata = a.explicitMetadata)
+    }
+    Aggregate(Nil, outer, union)
+  }
+
+  // ---- grouped fold (segment-aligned group keys) ----
+
+  /** GROUP BY fold: every group column must be CONSTANT within each
+    * non-empty qualified segment — proven by stats min == max with
+    * zero nulls (the constant), or null count == row count (the NULL
+    * group). Segments sharing a key tuple form one group; each
+    * group's aggregates fold over its segments exactly like the
+    * global fold. A filter must prove the FULL trichotomy (no hybrid
+    * here). Returns one InternalRow per group, output order =
+    * `exprs`; zero qualified segments → zero rows (the grouped
+    * aggregate of an empty input IS empty, unlike the global one).
+    */
+  private def answerGrouped(paths: Seq[String], cond: Option[Expression],
+                            groups: Seq[AttributeReference],
+                            exprs: Seq[NamedExpression])
+      : Option[Seq[InternalRow]] = {
+    val (t, scanned, _) =
+      resolveScanned(paths, filtered = cond.isDefined).getOrElse(return None)
     val qualified = cond match {
       case None => scanned
       case Some(c) =>
@@ -265,15 +434,54 @@ case class StatsAggFromCatalog(spark: SparkSession) extends Rule[LogicalPlan] {
         if (!t.provenAllIn(survivors, c)) return None
         survivors
     }
-    val values = exprs.map(e => shapeOf(e).get).map {
-      case CountStar => Some(StatsAggFromCatalog.foldCountStar(qualified): Any)
-      case CountCol(c) =>
-        StatsAggFromCatalog.foldNonNullCount(qualified, c).map(v => v: Any)
-      case MinCol(c, dt) =>
-        StatsAggFromCatalog.foldMinMax(qualified, c, dt, isMin = true)
-      case MaxCol(c, dt) =>
-        StatsAggFromCatalog.foldMinMax(qualified, c, dt, isMin = false)
+    val nonEmpty = qualified.filter(_.rowCount > 0L)
+    // per segment: the group-key tuple as INTERNAL values (null = the
+    // NULL group; -0.0 normalized so stats strings "-0.0"/"0.0" land
+    // in one group, matching Spark's group-key normalization)
+    def keyOf(s: SegmentMeta): Option[Vector[Any]] = {
+      val parts = groups.map { g =>
+        s.stats.get(g.name) match {
+          case Some(cs) if cs.min == cs.max &&
+              s.nullCounts.get(g.name).contains(0L) =>
+            try Some(StatsAggFromCatalog.internalValue(cs.min, g.dataType)
+                 match {
+                   case d: java.lang.Double if d == -0.0d => java.lang.Double.valueOf(0.0d)
+                   case f: java.lang.Float if f == -0.0f => java.lang.Float.valueOf(0.0f)
+                   case v => v
+                 })
+            catch { case scala.util.control.NonFatal(_) => None }
+          case _ => s.nullCounts.get(g.name) match {
+            case Some(n) if n == s.rowCount => Some(null) // constant NULL
+            case _ => None // not provably constant → bail
+          }
+        }
+      }
+      if (parts.exists(_.isEmpty)) None else Some(parts.map(_.get).toVector)
     }
-    if (values.exists(_.isEmpty)) None else Some(values.map(_.get).toArray)
+    val keyed = nonEmpty.map(s => keyOf(s).map(_ -> s))
+    if (keyed.exists(_.isEmpty)) return None
+    val gid = groups.map(_.exprId)
+    val rows = keyed.flatten.groupBy(_._1).toSeq.map { case (kv, ks) =>
+      val segs = ks.map(_._2)
+      def keyValue(a: AttributeReference): Any = kv(gid.indexOf(a.exprId))
+      val values = exprs.map {
+        case a: AttributeReference if gid.contains(a.exprId) =>
+          Some(keyValue(a))
+        case Alias(a: AttributeReference, _) if gid.contains(a.exprId) =>
+          Some(keyValue(a))
+        case e => shapeOf(e).get match {
+          case CountStar => Some(StatsAggFromCatalog.foldCountStar(segs): Any)
+          case CountCol(c) =>
+            StatsAggFromCatalog.foldNonNullCount(segs, c).map(v => v: Any)
+          case MinCol(c, dt) =>
+            StatsAggFromCatalog.foldMinMax(segs, c, dt, isMin = true)
+          case MaxCol(c, dt) =>
+            StatsAggFromCatalog.foldMinMax(segs, c, dt, isMin = false)
+        }
+      }
+      if (values.exists(_.isEmpty)) return None
+      InternalRow(values.map(_.get): _*)
+    }
+    Some(rows)
   }
 }

@@ -196,6 +196,38 @@ object SegmentQueries {
       t
     })
 
+  /** g25's table: lineitem in THREE ship-year segments (≤1994, 1995,
+    * ≥1996) so a range predicate can prove one all-out, one all-in,
+    * and leave one straddling — the hybrid fold's shape.
+    */
+  private def lineitemThreeSegs(s: SparkSession, d: String): SegmentedTable =
+    built.getOrElseUpdate(s"li3|$d", {
+      val root = graft.util.RunRoot.under(
+        s"graft_tables/${d.replace('/', '_')}/lineitem3")
+      val li = Tables.lineitem(s, d)
+      val t = SegmentedTable.fresh(s, root, li.schema,
+        Map("sort_columns" -> "l_shipdate"))
+      t.load(li.filter(year(col("l_shipdate")) <= 1994))
+      t.load(li.filter(year(col("l_shipdate")) === 1995))
+      t.load(li.filter(year(col("l_shipdate")) > 1995))
+      t
+    })
+
+  /** g26's table: orders loaded once per order status — the group key
+    * is CONSTANT per segment (identity-partitioned loads), the shape
+    * the grouped stats fold serves from the catalog.
+    */
+  private def ordersByStatus(s: SparkSession, d: String): SegmentedTable =
+    built.getOrElseUpdate(s"obs|$d", {
+      val root = graft.util.RunRoot.under(
+        s"graft_tables/${d.replace('/', '_')}/orders_by_status")
+      val o = Tables.orders(s, d)
+      val t = SegmentedTable.fresh(s, root, o.schema, Map.empty)
+      Seq("O", "F", "P").foreach(st =>
+        t.load(o.filter(col("o_orderstatus") === st)))
+      t
+    })
+
   private def ordersCompacted(s: SparkSession, d: String): SegmentedTable =
     built.getOrElseUpdate(s"ord|$d", {
       val root = graft.util.RunRoot.under(s"graft_tables/${d.replace('/', '_')}/orders")
@@ -722,6 +754,44 @@ object SegmentQueries {
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'""")
     }),
 
+    // g25: HYBRID stats fold — the predicate proves one segment
+    // all-out (≤1994) and one all-in (1995) but STRADDLES the third
+    // (the 1996-06-30 cutoff cuts the >1995 segment): the proven mass
+    // folds from metadata and the plan scans exactly the straddler's
+    // dir, combining the two (StatsAggSpec pins the single-dir scan).
+    // At 100 TB this is the difference between a metadata read and a
+    // full scan every time a predicate misses a load boundary.
+    "g25_hybrid_stats_agg" -> ((s, d) => {
+      graft.mv.StatsAggFromCatalog.ensureRegistered(s)
+      val t = lineitemThreeSegs(s, d)
+      t.read()
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-07-01").cast("timestamp"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          count(col("l_quantity")).as("cnt_qty"),
+          min(col("l_shipdate")).as("min_ship"),
+          max(col("l_shipdate")).as("max_ship"),
+          max(col("l_extendedprice")).as("max_price"))
+    }),
+
+    // g26: GROUPED stats fold over segment-aligned group keys — one
+    // load per order status makes the group key constant per segment,
+    // so GROUP BY folds per segment group from the catalog with zero
+    // executor job (StatsAggSpec pins the no-scan plan).
+    "g26_grouped_stats_agg" -> ((s, d) => {
+      graft.mv.StatsAggFromCatalog.ensureRegistered(s)
+      val t = ordersByStatus(s, d)
+      t.read()
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          count(col("o_orderpriority")).as("cnt_pri"),
+          min(col("o_orderdate")).as("min_date"),
+          max(col("o_orderdate")).as("max_date"),
+          max(col("o_totalprice")).as("max_price"))
+    }),
+
     // g22: FILTERED metadata-only aggregates — the predicate aligns
     // with the two segments' ship-year split (≤1995 / >1995), so the
     // catalog proves one segment all-out and the other all-in and the
@@ -1025,6 +1095,27 @@ object SegmentQueries {
                 MAX(l_extendedprice) AS max_price
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1996-01-01'""",
+
+    // the hybrid fold (metadata + one-segment scan) must equal the
+    // real filtered scan exactly
+    "g25_hybrid_stats_agg" ->
+      """SELECT COUNT(*) AS cnt,
+                COUNT(l_quantity) AS cnt_qty,
+                MIN(l_shipdate) AS min_ship,
+                MAX(l_shipdate) AS max_ship,
+                MAX(l_extendedprice) AS max_price
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+           AND l_shipdate < TIMESTAMP '1996-07-01'""",
+
+    // the grouped fold must equal the real grouped scan exactly
+    "g26_grouped_stats_agg" ->
+      """SELECT o_orderstatus, COUNT(*) AS cnt,
+                COUNT(o_orderpriority) AS cnt_pri,
+                MIN(o_orderdate) AS min_date,
+                MAX(o_orderdate) AS max_date,
+                MAX(o_totalprice) AS max_price
+         FROM orders GROUP BY o_orderstatus""",
 
     // the filtered fold must equal the real filtered scan exactly
     "g22_metadata_filtered_agg" ->

@@ -1415,29 +1415,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     catalogDmlTarget(t).exists(GraftCatalog.isGraftCatalog(activeSession, _))
   }
 
-  /** Split `a = f(x, y), b = 'x, y'` on top-level commas only: commas
-    * inside parentheses belong to function arguments and commas inside
-    * single-quoted SQL literals are data ('' escaping included — each
-    * quote char toggles the in-literal state, which handles doubled
-    * quotes correctly for delimiter purposes).
+  /** Split `a = f(x, y), b = 'x, y'` on top-level commas
+    * ([[SqlScan.splitTopCommas]]) and parse each part as `name = expr`.
+    * A bare trailing comma is tolerated (the empty tail is dropped);
+    * an empty part anywhere else fails the assignment parse loudly.
     */
   private def splitAssignments(setList: String): Seq[(String, String)] = {
-    val parts = scala.collection.mutable.ListBuffer.empty[String]
-    val cur = new StringBuilder
-    var depth = 0
-    var inQuote = false
-    setList.foreach { c =>
-      if (inQuote) { cur += c; if (c == '\'') inQuote = false }
-      else c match {
-        case '\'' => inQuote = true; cur += c
-        case '(' => depth += 1; cur += '('
-        case ')' => depth = math.max(0, depth - 1); cur += ')'
-        case ',' if depth == 0 => parts += cur.result(); cur.clear()
-        case other => cur += other
-      }
-    }
-    if (cur.nonEmpty) parts += cur.result()
-    parts.toSeq.map { p =>
+    val raw = SqlScan.splitTopCommas(setList)
+    val parts = if (raw.nonEmpty && raw.last.isEmpty) raw.init else raw
+    parts.map { p =>
       val i = p.indexOf('=')
       require(i > 0, s"malformed assignment: $p")
       (p.take(i).trim, p.drop(i + 1).trim)
@@ -1446,26 +1432,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   /** Split on top-level commas — commas inside parentheses, angle
     * brackets (complex type arguments), or single-quoted literals are
-    * content, not separators.
+    * content, not separators ([[SqlScan.splitTopCommas]]); parts are
+    * trimmed and empties dropped.
     */
-  private def splitTopCommas(s: String): Seq[String] = {
-    val parts = scala.collection.mutable.ListBuffer.empty[String]
-    val cur = new StringBuilder
-    var depth = 0
-    var inQuote = false
-    s.foreach { c =>
-      if (inQuote) { cur += c; if (c == '\'') inQuote = false }
-      else c match {
-        case '\'' => inQuote = true; cur += c
-        case '(' | '<' => depth += 1; cur += c
-        case ')' | '>' => depth = math.max(0, depth - 1); cur += c
-        case ',' if depth == 0 => parts += cur.result(); cur.clear()
-        case other => cur += other
-      }
-    }
-    if (cur.nonEmpty) parts += cur.result()
-    parts.toSeq.map(_.trim).filter(_.nonEmpty)
-  }
+  private def splitTopCommas(s: String): Seq[String] =
+    SqlScan.splitTopCommas(s, angleNests = true).map(_.trim).filter(_.nonEmpty)
 
   /** Reference scalar type aliases (normalizeType,
     * CarbonSqlParser.scala:1024-1050); complex types pass through to
@@ -1614,53 +1585,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     AlterCubeCommand(name, drops, adds, defaults)
   }
 
-  /** Index of the first top-level occurrence of `keyword` as a whole
-    * word — occurrences inside parentheses or single-quoted literals
-    * don't count. -1 when absent.
-    */
-  private def topLevelIndexOf(s: String, keyword: String): Int = {
-    val u = s.toUpperCase(Locale.ROOT)
-    val k = keyword.toUpperCase(Locale.ROOT)
-    var depth = 0
-    var inQuote = false
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (inQuote) { if (c == '\'') inQuote = false; i += 1 }
-      else c match {
-        case '\'' => inQuote = true; i += 1
-        case '(' => depth += 1; i += 1
-        case ')' => depth = math.max(0, depth - 1); i += 1
-        case _ =>
-          // identifier boundary includes '_': WHERE must not match
-          // inside a column named where_flag
-          def isIdent(ch: Char) = Character.isLetterOrDigit(ch) || ch == '_'
-          if (depth == 0 && u.startsWith(k, i) &&
-              (i == 0 || !isIdent(s.charAt(i - 1))) &&
-              (i + k.length >= s.length ||
-                !isIdent(s.charAt(i + k.length))))
-            return i
-          i += 1
-      }
-    }
-    -1
-  }
-
-  /** Every top-level occurrence of `keyword` (see [[topLevelIndexOf]]).
-    * Resuming after a found index is state-clean: a top-level hit is
-    * by definition outside any parens/quotes.
-    */
-  private def topLevelIndicesOf(s: String, keyword: String): Seq[Int] = {
-    val out = scala.collection.mutable.ListBuffer.empty[Int]
-    var off = 0
-    var idx = topLevelIndexOf(s, keyword)
-    while (idx >= 0) {
-      out += off + idx
-      off = off + idx + keyword.length
-      idx = topLevelIndexOf(s.substring(off), keyword)
-    }
-    out.toSeq
-  }
+  // top-level keyword scanning: the shared quote/paren-aware scanner
+  private def topLevelIndexOf(s: String, keyword: String): Int =
+    SqlScan.topLevelIndexOf(s, keyword)
+  private def topLevelIndicesOf(s: String, keyword: String): Seq[Int] =
+    SqlScan.topLevelIndicesOf(s, keyword)
 
   /** The qualifier a MERGE source is referenced by in clause
     * expressions: its trailing alias token when present, the (last
@@ -1669,28 +1598,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     */
   private def trailingAlias(source: String): String = {
     val t = source.trim
-    // split into top-level tokens (whitespace at depth 0, outside
-    // quotes/backticks)
-    val toks = scala.collection.mutable.ListBuffer.empty[String]
-    val cur = new StringBuilder
-    var depth = 0
-    var inQuote = false
-    var inTick = false
-    t.foreach { c =>
-      if (inQuote) { cur += c; if (c == '\'') inQuote = false }
-      else if (inTick) { cur += c; if (c == '`') inTick = false }
-      else c match {
-        case '\'' => inQuote = true; cur += c
-        case '`' => inTick = true; cur += c
-        case '(' => depth += 1; cur += c
-        case ')' => depth = math.max(0, depth - 1); cur += c
-        case ws if ws.isWhitespace && depth == 0 =>
-          if (cur.nonEmpty) { toks += cur.result(); cur.clear() }
-        case other => cur += other
-      }
-    }
-    if (cur.nonEmpty) toks += cur.result()
-    val meaningful = toks.toSeq.filterNot(_.equalsIgnoreCase("AS"))
+    val meaningful =
+      SqlScan.topLevelTokens(t).filterNot(_.equalsIgnoreCase("AS"))
     meaningful.lastOption match {
       case Some(last) if meaningful.size > 1 && last.matches("\\w+") => last
       // a single token starting with '(' is an UNALIASED subquery —
@@ -1731,22 +1640,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         .matcher(text.substring(i + "WHEN".length)).matches())
 
   /** The `THEN` closing a MERGE WHEN clause head — the first top-level
-    * THEN not owned by a CASE expression (every top-level CASE..END
-    * span is tracked as nesting, so `WHEN MATCHED AND CASE WHEN p
+    * THEN not owned by a CASE expression
+    * ([[SqlScan.firstOutsideCase]]: `WHEN MATCHED AND CASE WHEN p
     * THEN q END THEN DELETE` finds the SECOND then). -1 when absent.
     */
-  private def clauseThenIndex(sp: String): Int = {
-    val events = (topLevelIndicesOf(sp, "CASE").map(_ -> 'c') ++
-      topLevelIndicesOf(sp, "END").map(_ -> 'e') ++
-      topLevelIndicesOf(sp, "THEN").map(_ -> 't')).sortBy(_._1)
-    var caseDepth = 0
-    events.foreach {
-      case (_, 'c') => caseDepth += 1
-      case (_, 'e') => caseDepth = math.max(0, caseDepth - 1)
-      case (i, _) => if (caseDepth == 0) return i
-    }
-    -1
-  }
+  private def clauseThenIndex(sp: String): Int =
+    SqlScan.firstOutsideCase(sp, "THEN")
 
   /** Parse a MERGE statement's WHEN-clause list into the engine's
     * clause model — conditional UPDATE (SET * or assignments),

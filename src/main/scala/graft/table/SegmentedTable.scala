@@ -412,7 +412,8 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
 
   private def stageSegment(df: DataFrame, prefix: String): StagedSegment = {
     validateAgainstSchema(df)
-    val tmp = new Path(root, s"${prefix}_${System.nanoTime()}")
+    val tmp = new Path(root,
+      s"${prefix}_${System.nanoTime()}_${SegmentedTable.stagingSeq.incrementAndGet()}")
     applyLayout(df).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     touchStaging(tmp)
     val (rows, stats, nulls) = collectStats(tmp)
@@ -1599,6 +1600,38 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
       .collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
 
+  /** Stage per-segment rewrite jobs CONCURRENTLY on a bounded pool.
+    * Each item's `f` runs one independent filter+write Spark job over
+    * a single segment; the scheduler interleaves them, hiding the
+    * per-job driver round-trip that makes sequential staging scale
+    * with SEGMENT COUNT instead of data size (a full-sync MERGE over
+    * 10⁴ segments staged one-by-one pays 10⁴ serialized round-trips).
+    * Order is preserved in the result; the commit that follows is
+    * still ONE atomic status write, so crash/abort semantics are
+    * unchanged — a failure here propagates before anything commits
+    * and already-staged tmp dirs fall to the TTL sweep exactly as
+    * they do on a sequential failure. Pool size:
+    * `spark.graft.dmlStagingParallelism` (default 8), capped at the
+    * item count; ≤1 stays on the caller's thread.
+    */
+  private def stagePar[A, B](items: Seq[A])(f: A => B): Seq[B] = {
+    val par = math.min(items.size, math.max(1,
+      spark.conf.get(SegmentedTable.DmlStagingParallelismKey,
+        SegmentedTable.DmlStagingParallelismDefault).toInt))
+    if (par <= 1) return items.map(f)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+    try {
+      val futures = items.map(a =>
+        pool.submit(new java.util.concurrent.Callable[B] {
+          def call(): B = f(a)
+        }))
+      futures.map(fu =>
+        try fu.get()
+        catch { case e: java.util.concurrent.ExecutionException =>
+          throw e.getCause })
+    } finally pool.shutdown()
+  }
+
   def delete(predicate: Column): Long = {
     val keep = org.apache.spark.sql.functions.not(
       org.apache.spark.sql.functions.coalesce(predicate, lit(false)))
@@ -1609,7 +1642,7 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     if (affected.isEmpty) return 0L
     // rewrite survivors outside the lock; None = whole segment dies
     val replacements: Seq[(SegmentMeta, Option[StagedSegment])] =
-      affected.map { case (seg, matched) =>
+      stagePar(affected) { case (seg, matched) =>
         if (matched == seg.rowCount) seg -> None
         else seg -> Some(stageSegment(
           readSegments(Seq(seg)).filter(keep), s"rewriting_${seg.id}"))
@@ -1632,7 +1665,7 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     val affected =
       candidates.flatMap(seg => counts.get(seg.id).filter(_ > 0).map(seg -> _))
     if (affected.isEmpty) return 0L
-    val replacements = affected.map { case (seg, _) =>
+    val replacements = stagePar(affected) { case (seg, _) =>
       val rewritten = readSegments(Seq(seg)).select(schema.fields.toSeq.map { f =>
         assignments.get(f.name) match {
           case Some(v) =>
@@ -1744,7 +1777,7 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     val affected =
       candidates.flatMap(seg => hitCounts.get(seg.id).filter(_ > 0).map(seg -> _))
     // rewrite matched segments without the replaced keys
-    val replacements = affected.map { case (seg, matched) =>
+    val replacements = stagePar(affected) { case (seg, matched) =>
       if (matched == seg.rowCount) seg -> None
       else {
         val survivors = readSegments(Seq(seg))
@@ -1966,16 +1999,28 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
       // minus fired deletes
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("__tid")).orderBy(col("__act").desc)
-      def survivors(segId: Int): DataFrame =
-        flat.filter(col("__seg") === segId && col("__tid").isNotNull)
-          .withColumn("__rn", F.row_number().over(w))
-          .filter(col("__rn") === 1 && !(col("__act") > 0 && col("__del")))
-          .select(outCols: _*)
-      val replacements = affected.map { seg =>
-        val staged = stageSegment(survivors(seg.id), s"rewriting_${seg.id}")
-        if (staged.rows == 0L) { deleteRecursively(staged.tmp); seg -> None }
-        else seg -> Some(staged)
-      }
+      // EVERY affected segment's survivors in ONE windowed pass over
+      // the persisted join result (previously the window recomputed —
+      // and re-shuffled — once per segment); the per-segment staging
+      // job then just filters the cached survivor frame by __seg and
+      // writes, and the independent writes run on the bounded pool
+      // (stagePar) instead of one serialized job per segment
+      val affectedIds = affected.map(_.id)
+      val survivorsAll = flat
+        .filter(col("__tid").isNotNull &&
+          col("__seg").isin(affectedIds.map(i => i: Any): _*))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(col("__rn") === 1 && !(col("__act") > 0 && col("__del")))
+        .select(col("__seg") +: outCols: _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val replacements =
+        try stagePar(affected) { seg =>
+          val staged = stageSegment(
+            survivorsAll.filter(col("__seg") === seg.id).drop("__seg"),
+            s"rewriting_${seg.id}")
+          if (staged.rows == 0L) { deleteRecursively(staged.tmp); seg -> None }
+          else seg -> Some(staged)
+        } finally survivorsAll.unpersist()
       // an update/delete-only MERGE never stages an insert segment —
       // without a WHEN NOT MATCHED clause the write job (plus its
       // stats/bloom collection) would only produce an empty result to
@@ -2081,6 +2126,24 @@ object SegmentedTable {
   val SUCCESS = "SUCCESS"
   val DELETED = "DELETED"
   val COMPACTED = "COMPACTED"
+
+  /** Bound on concurrent per-segment staging jobs during broad COW
+    * DML (delete/update/merge). The stage writes are independent
+    * Spark jobs and the commit is one atomic status write that
+    * tolerates any staging order, so the only question is how many
+    * jobs to keep in flight: enough to hide the per-job scheduling
+    * round-trip (a 10⁴-segment MERGE staged sequentially pays 10⁴
+    * serialized round-trips — minutes of driver latency independent
+    * of data size), few enough not to thrash the scheduler.
+    */
+  val DmlStagingParallelismKey = "spark.graft.dmlStagingParallelism"
+  val DmlStagingParallelismDefault = "8"
+
+  /** Disambiguates staging dirs created in the same nanosecond by
+    * concurrent staging threads (prefix matching for the TTL sweep is
+    * unaffected).
+    */
+  private[table] val stagingSeq = new java.util.concurrent.atomic.AtomicLong()
 
   /** [[SegmentedTable.mergeFull]]'s clause model: conditions and
     * assignment values stay SQL TEXT (resolved against the aliased

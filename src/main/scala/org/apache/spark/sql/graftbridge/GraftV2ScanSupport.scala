@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, NamedReference}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, LocalScan, Scan, ScanBuilder, Statistics => V2Statistics, SupportsPushDownAggregates, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.FileScanBuilder
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
@@ -83,8 +83,19 @@ object GraftV2ScanSupport {
       // exactly-provable filter lands, None once any other filter does
       private var foldMetas: Option[Seq[SegmentMeta]] = statsMetas
       private var folded: Option[(StructType, Array[Any])] = None
+      // false once ANY pushdown call lands. Spark builds every
+      // EXECUTED scan through the pushdown rule (which always calls
+      // pruneColumns), while the relation-level stats estimate
+      // (DataSourceV2RelationBase.computeStats) builds straight from a
+      // fresh builder — so an untouched build is the stats probe, and
+      // serving it the catalog's EXACT rowCount/bytes (vs the file-
+      // size heuristic) costs nothing on the execution path. At 100×
+      // scale a mis-sized broadcast from a bad estimate is a driver
+      // OOM; the catalog already knows the true numbers.
+      private var untouched = true
 
       override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+        untouched = false
         if (filters.isEmpty) return inner.pushFilters(filters)
         val proven =
           try trichotomy(filters)
@@ -111,8 +122,10 @@ object GraftV2ScanSupport {
       override def pushedFilters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
         inner.pushedFilters
 
-      override def pruneColumns(requiredSchema: StructType): Unit =
+      override def pruneColumns(requiredSchema: StructType): Unit = {
+        untouched = false
         inner.pruneColumns(requiredSchema)
+      }
 
       /** One servable aggregate: its output field + the folded value. */
       private def foldOne(f: AggregateFunc,
@@ -167,7 +180,8 @@ object GraftV2ScanSupport {
           }
         }
 
-      override def pushAggregation(agg: Aggregation): Boolean =
+      override def pushAggregation(agg: Aggregation): Boolean = {
+        untouched = false
         tryFold(agg) match {
           case s @ Some(_) => folded = s; true
           case None => inner match {
@@ -175,6 +189,7 @@ object GraftV2ScanSupport {
             case _ => false
           }
         }
+      }
 
       override def build(): Scan = folded match {
         case Some((aggSchema, values)) => new LocalScan {
@@ -184,7 +199,29 @@ object GraftV2ScanSupport {
           override def description(): String =
             s"GraftStatsFoldScan($name, ${aggSchema.fieldNames.mkString(", ")})"
         }
-        case None => inner.build()
+        case None =>
+          val scan = inner.build()
+          // an untouched build is the relation-level stats probe (see
+          // `untouched`): serve the catalog's EXACT totals when every
+          // segment recorded its byte size; otherwise (old catalogs,
+          // bytes = -1) fall through to the file-size heuristic. The
+          // thin stats shell still forwards execution methods in case
+          // anyone runs it — semantics identical either way.
+          statsMetas match {
+            case Some(segs) if untouched && segs.forall(_.bytes >= 0L) =>
+              new Scan with SupportsReportStatistics {
+                override def readSchema(): StructType = scan.readSchema()
+                override def toBatch: Batch = scan.toBatch
+                override def description(): String = scan.description()
+                override def estimateStatistics(): V2Statistics = new V2Statistics {
+                  override def sizeInBytes(): java.util.OptionalLong =
+                    java.util.OptionalLong.of(math.max(1L, segs.map(_.bytes).sum))
+                  override def numRows(): java.util.OptionalLong =
+                    java.util.OptionalLong.of(segs.map(_.rowCount).sum)
+                }
+              }
+            case _ => scan
+          }
       }
     }
 }

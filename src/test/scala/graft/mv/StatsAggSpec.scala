@@ -175,6 +175,92 @@ class StatsAggSpec extends AnyFunSuite {
     assert(q.head().getLong(0) == 2L)
   }
 
+  test("hybrid fold: proven segments answer from metadata, only the straddler scans") {
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", DoubleType)))
+    val t = SegmentedTable.create(spark, freshRoot("hyb"), schema, Map.empty)
+    t.load((1L to 100L).map(i => (i, i * 1.5)).toDF("k", "v"))
+    t.load((101L to 200L).map(i => (i, i * 1.5)).toDF("k", "v"))
+    t.load((201L to 300L).map(i => (i, i * 1.5)).toDF("k", "v"))
+    // k >= 101 AND k <= 250: segment 1 all-out, segment 2 all-in
+    // (metadata), segment 3 straddles (201..250 of 201..300) — the
+    // plan must scan EXACTLY the straddler's dir and combine
+    val q = t.read().filter(col("k") >= 101L && col("k") <= 250L)
+      .agg(count(lit(1)).as("n"), count(col("v")).as("nv"),
+        min(col("k")).as("mn"), max(col("k")).as("mx"),
+        min(col("v")).as("mnv"), max(col("v")).as("mxv"))
+    val scans = scansOf(q)
+    assert(scans.size == 1, q.queryExecution.optimizedPlan.toString)
+    val roots = scans.head.relation
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+      .location.rootPaths.map(_.getName)
+    assert(roots == Seq("segment_2"), roots.toString) // ids 0,1,2 — the third
+    val r = q.head()
+    assert(r.getLong(0) == 150L && r.getLong(1) == 150L &&
+      r.getLong(2) == 101L && r.getLong(3) == 250L &&
+      r.getDouble(4) == 101 * 1.5 && r.getDouble(5) == 250 * 1.5)
+
+    // extrema that live in the PROVEN branch must win the combine too
+    val q2 = t.read().filter(col("k") >= 101L && col("k") <= 250L)
+      .agg(min(col("v")).as("mnv"))
+    assert(scansOf(q2).size == 1)
+    assert(q2.head().getDouble(0) == 101 * 1.5)
+
+    // nothing proven (predicate inside one segment) still bails whole
+    val q3 = t.read().filter(col("k") >= 220L && col("k") <= 230L)
+      .agg(count(lit(1)).as("n"))
+    assert(scansOf(q3).nonEmpty)
+    assert(q3.head().getLong(0) == 11L)
+  }
+
+  test("grouped fold: segment-constant group keys fold per group with no scan") {
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("g", StringType), StructField("v", LongType)))
+    val t = SegmentedTable.create(spark, freshRoot("grp"), schema, Map.empty)
+    // one load per key value (identity-partitioned loads), plus a
+    // SECOND segment for "a" — groups must merge across segments
+    t.load(Seq(("a", 1L), ("a", 2L)).toDF("g", "v"))
+    t.load(Seq(("b", 10L), ("b", 20L), ("b", 30L)).toDF("g", "v"))
+    t.load(Seq(("a", 3L)).toDF("g", "v"))
+    // and a NULL-key segment: the NULL group must fold too
+    t.load(Seq((Option.empty[String], 100L)).toDF("g", "v"))
+    val q = t.read().groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), count(col("v")).as("nv"),
+        min(col("v")).as("mn"), max(col("v")).as("mx"))
+    assert(scansOf(q).isEmpty, q.queryExecution.optimizedPlan.toString)
+    val got = q.collect().map(r =>
+      (Option(r.getString(0)), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == Set(
+      (Some("a"), 3L, 3L, 1L, 3L),
+      (Some("b"), 3L, 3L, 10L, 30L),
+      (None, 1L, 1L, 100L, 100L)), got.toString)
+
+    // a segment where the group key is NOT constant bails to the scan
+    val t2 = SegmentedTable.create(spark, freshRoot("grpmix"), schema, Map.empty)
+    t2.load(Seq(("a", 1L), ("b", 2L)).toDF("g", "v"))
+    val q2 = t2.read().groupBy(col("g")).agg(count(lit(1)).as("n"))
+    assert(scansOf(q2).nonEmpty)
+    assert(q2.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("a", 1L), ("b", 1L)))
+
+    // a segment-ALIGNED filter composes with the grouped fold
+    val q3 = t.read().filter(col("v") <= 3L).groupBy(col("g"))
+      .agg(count(lit(1)).as("n"))
+    assert(scansOf(q3).isEmpty, q3.queryExecution.optimizedPlan.toString)
+    assert(q3.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("a", 3L)))
+    // a straddling filter bails (v <= 1 cuts the first "a" segment,
+    // whose v spans 1..2)
+    val q4 = t.read().filter(col("v") <= 1L).groupBy(col("g"))
+      .agg(count(lit(1)).as("n"))
+    assert(scansOf(q4).nonEmpty)
+    assert(q4.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("a", 1L)))
+  }
+
   test("a DELETE's COW rewrite refreshes the folded answer") {
     import spark.implicits._
     val schema = StructType(Seq(

@@ -1663,6 +1663,40 @@ class GraftSqlSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS graft.default.v2fagg")
   }
 
+  test("catalog relation reports EXACT rowCount/bytes from segment stats to the planner") {
+    val sf = "/root/testdata/sf0.001"
+    spark.read.parquet(s"$sf/nation.parquet")
+      .createOrReplaceTempView("v2stats_src")
+    spark.sql("CREATE TABLE graft.default.v2stats USING graft " +
+      "AS SELECT * FROM v2stats_src")
+    spark.sql("INSERT INTO graft.default.v2stats SELECT * FROM v2stats_src")
+    try {
+      // the relation LEAF's stats come from the relation-level probe
+      // (an un-pushed scan build) — it must carry the catalog's exact
+      // row count and byte total, not the file-size-only heuristic
+      // (wrapper nodes like SubqueryAlias keep only sizeInBytes under
+      // the default size-only stats visitor, so assert on the leaf)
+      def leafStats() = spark.table("graft.default.v2stats")
+        .queryExecution.analyzed.collectLeaves().head.stats
+      val stats = leafStats()
+      assert(stats.rowCount.contains(BigInt(50)), stats.toString)
+      assert(stats.sizeInBytes > 0, stats.toString)
+      // exact numbers track DML: a delete refreshes the reported count
+      spark.sql("DELETE FROM graft.default.v2stats WHERE n_nationkey < 5")
+      val stats2 = leafStats()
+      assert(stats2.rowCount.contains(BigInt(40)), stats2.toString)
+      // and a small graft table on the build side of a catalog join
+      // broadcasts (the planner sees its true size)
+      val joined = spark.sql(
+        """SELECT o.o_orderkey, n.n_name
+           FROM parquet.`/root/testdata/sf0.001/orders.parquet` o
+           JOIN graft.default.v2stats n ON o.o_custkey % 25 = n.n_nationkey""")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") ||
+        plan.contains("BroadcastNestedLoopJoin"), plan)
+    } finally spark.sql("DROP TABLE IF EXISTS graft.default.v2stats")
+  }
+
   test("SHOW GRAFT STATS folds column min/max/null counts from the catalog") {
     val sf = "/root/testdata/sf0.001"
     spark.read.parquet(s"$sf/nation.parquet")

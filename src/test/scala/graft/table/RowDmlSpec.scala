@@ -282,4 +282,47 @@ class RowDmlSpec extends AnyFunSuite {
 
     spark.sql("DROP GRAFT TABLE nations_dml")
   }
+
+  test("broad DML over many segments stages concurrently and stays exact") {
+    // 8 disjoint-range segments; every statement touches all of them,
+    // so the bounded staging pool (spark.graft.dmlStagingParallelism)
+    // runs >1 rewrite job at once — results must be identical to the
+    // sequential semantics, and the commit must stay all-or-nothing
+    val root = freshRoot("dml_par")
+    val df0 = (0L until 800L).map(i => (i, i % 7, s"v$i")).toDF("k", "m", "v")
+    val t = SegmentedTable.create(spark, root, df0.schema,
+      Map("sort_columns" -> "k"))
+    (0 until 8).foreach(s =>
+      t.load(df0.filter(col("k") >= s * 100L && col("k") < (s + 1) * 100L)))
+    assert(t.status.segments.count(_.status == SegmentedTable.SUCCESS) == 8)
+
+    // DELETE hits every segment (m is uniform across ranges)
+    val del = t.delete(col("m") === 3L)
+    assert(del == (0L until 800L).count(_ % 7 == 3))
+    assert(t.read().count() == 800L - del)
+    assert(t.read().filter(col("m") === 3L).count() == 0)
+
+    // UPDATE hits every segment
+    val upd = t.update(col("m") === 1L, Map("v" -> lit("upd")))
+    assert(upd == (0L until 800L).count(_ % 7 == 1))
+    assert(t.read().filter(col("v") === "upd").count() == upd)
+
+    // full MERGE with a BY SOURCE clause: every live segment is a
+    // candidate and every one holds both matched and unmatched rows
+    val src = (0L until 800L by 2L).map(i => (i, s"s$i")).toDF("sk", "sv")
+    val (u2, d2, i2) = t.mergeFull(src, "s", "t", "t.k = s.sk",
+      matched = Seq(SegmentedTable.MergeUpdate(None, Seq("v" -> "s.sv"))),
+      notMatched = Nil,
+      equiKeys = Seq("k" -> "sk"),
+      bySource = Seq(SegmentedTable.MergeDelete(None)))
+    assert(i2 == 0L)
+    val after = t.read().collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // by-source deleted every odd survivor; matched evens re-valued
+    assert(after.keySet.forall(_ % 2 == 0))
+    assert(u2 == after.size)
+    assert(after.forall { case (k, v) => v == s"s$k" })
+    // everything alive before the merge either matched (updated) or
+    // fell to the by-source delete
+    assert(d2 == (800L - del) - u2)
+  }
 }
