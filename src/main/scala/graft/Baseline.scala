@@ -283,6 +283,17 @@ object Baseline {
           max(col("l_extendedprice")).as("max_price"))
     }),
 
+    // the catalog grouped fold's savings vs a real grouped scan
+    "g27_catalog_grouped_agg" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"),
+          count(col("o_orderpriority")).as("cnt_pri"),
+          min(col("o_orderdate")).as("min_date"),
+          max(col("o_orderdate")).as("max_date"),
+          max(col("o_totalprice")).as("max_price"))
+    }),
+
     // the grouped fold's savings vs a real grouped scan
     "g26_grouped_stats_agg" -> ((s, d) => {
       Tables.orders(s, d)

@@ -128,7 +128,48 @@ object StatsAggFromCatalog {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  private def internalValue(s: String, dt: DataType): Any = dt match {
+  /** Group segments by their constant per-segment values of `cols` —
+    * the shared core behind the grouped stats fold on BOTH read paths
+    * (the optimizer rule and the V2 catalog's grouped aggregate
+    * pushdown). A segment qualifies per column via stats min == max
+    * with zero nulls (the constant) or null count == row count (the
+    * NULL group); empty segments contribute nothing; ONE non-constant
+    * segment returns None (bail to the real scan). Keys are INTERNAL
+    * values with -0.0 normalized to 0.0, matching Spark's group-key
+    * semantics (stats strings "-0.0" and "0.0" must land in one
+    * group).
+    */
+  def groupSegments(segs: Seq[SegmentMeta], cols: Seq[(String, DataType)])
+      : Option[Seq[(Vector[Any], Seq[SegmentMeta])]] = {
+    def keyOf(s: SegmentMeta): Option[Vector[Any]] = {
+      val parts = cols.map { case (n, dt) =>
+        s.stats.get(n) match {
+          case Some(cs) if cs.min == cs.max &&
+              s.nullCounts.get(n).contains(0L) =>
+            try Some(internalValue(cs.min, dt) match {
+              case d: java.lang.Double if d == -0.0d =>
+                java.lang.Double.valueOf(0.0d)
+              case f: java.lang.Float if f == -0.0f =>
+                java.lang.Float.valueOf(0.0f)
+              case v => v
+            })
+            catch { case scala.util.control.NonFatal(_) => None }
+          case _ => s.nullCounts.get(n) match {
+            case Some(c) if c == s.rowCount => Some(null) // constant NULL
+            case _ => None // not provably constant → bail
+          }
+        }
+      }
+      if (parts.exists(_.isEmpty)) None else Some(parts.map(_.get).toVector)
+    }
+    val keyed = segs.filter(_.rowCount > 0L).map(s => keyOf(s).map(_ -> s))
+    if (keyed.exists(_.isEmpty)) None
+    else Some(keyed.flatten.groupBy(_._1).toSeq.map {
+      case (k, ks) => k -> ks.map(_._2)
+    })
+  }
+
+  private[mv] def internalValue(s: String, dt: DataType): Any = dt match {
     case ByteType => s.toByte
     case ShortType => s.toShort
     case IntegerType => s.toInt
@@ -434,35 +475,10 @@ case class StatsAggFromCatalog(spark: SparkSession) extends Rule[LogicalPlan] {
         if (!t.provenAllIn(survivors, c)) return None
         survivors
     }
-    val nonEmpty = qualified.filter(_.rowCount > 0L)
-    // per segment: the group-key tuple as INTERNAL values (null = the
-    // NULL group; -0.0 normalized so stats strings "-0.0"/"0.0" land
-    // in one group, matching Spark's group-key normalization)
-    def keyOf(s: SegmentMeta): Option[Vector[Any]] = {
-      val parts = groups.map { g =>
-        s.stats.get(g.name) match {
-          case Some(cs) if cs.min == cs.max &&
-              s.nullCounts.get(g.name).contains(0L) =>
-            try Some(StatsAggFromCatalog.internalValue(cs.min, g.dataType)
-                 match {
-                   case d: java.lang.Double if d == -0.0d => java.lang.Double.valueOf(0.0d)
-                   case f: java.lang.Float if f == -0.0f => java.lang.Float.valueOf(0.0f)
-                   case v => v
-                 })
-            catch { case scala.util.control.NonFatal(_) => None }
-          case _ => s.nullCounts.get(g.name) match {
-            case Some(n) if n == s.rowCount => Some(null) // constant NULL
-            case _ => None // not provably constant → bail
-          }
-        }
-      }
-      if (parts.exists(_.isEmpty)) None else Some(parts.map(_.get).toVector)
-    }
-    val keyed = nonEmpty.map(s => keyOf(s).map(_ -> s))
-    if (keyed.exists(_.isEmpty)) return None
+    val grouped = StatsAggFromCatalog.groupSegments(qualified,
+      groups.map(g => g.name -> g.dataType)).getOrElse(return None)
     val gid = groups.map(_.exprId)
-    val rows = keyed.flatten.groupBy(_._1).toSeq.map { case (kv, ks) =>
-      val segs = ks.map(_._2)
+    val rows = grouped.map { case (kv, segs) =>
       def keyValue(a: AttributeReference): Any = kv(gid.indexOf(a.exprId))
       val values = exprs.map {
         case a: AttributeReference if gid.contains(a.exprId) =>

@@ -82,6 +82,29 @@ object SegmentQueries {
       s"$cat.default.li_aligned"
     })
 
+  /** g27's catalog table: orders behind a V2 catalog identifier, one
+    * INSERT per order status — the group key is constant per segment,
+    * so a catalog-side GROUP BY folds from segment stats through the
+    * grouped aggregate pushdown (LocalScan of one row per group).
+    */
+  private val catalogGrouped = new graft.util.BuildOnce[String]
+
+  private def catalogGroupedTable(s: SparkSession, d: String): String =
+    catalogGrouped.getOrElseUpdate(s"gcg|$d|${s.sparkContext.applicationId}", {
+      val cat = s"gcg${(d + s.sparkContext.applicationId).hashCode.abs}"
+      val root = graft.util.RunRoot.under(
+        s"graft_catalog_grouped/${d.replace('/', '_')}")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalogPlugin")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      Tables.orders(s, d).createOrReplaceTempView("g27_orders_src")
+      s.sql(s"CREATE TABLE $cat.default.obs USING graft " +
+        "AS SELECT * FROM g27_orders_src WHERE o_orderstatus = 'O'")
+      Seq("F", "P").foreach(st =>
+        s.sql(s"INSERT INTO $cat.default.obs " +
+          s"SELECT * FROM g27_orders_src WHERE o_orderstatus = '$st'"))
+      s"$cat.default.obs"
+    })
+
   /** g19's full-MERGE'd table: one mixed ANSI MERGE — conditional
     * UPDATE with expression assignments, bare DELETE, conditional
     * column-list INSERT — applied through the catalog SQL surface.
@@ -792,6 +815,23 @@ object SegmentQueries {
           max(col("o_totalprice")).as("max_price"))
     }),
 
+    // g27: GROUPED aggregate pushdown through the V2 CATALOG — the
+    // catalog twin of g26: one load per order status makes the group
+    // key constant per segment, and the pushed GROUP BY COUNT/MIN/MAX
+    // is served as a LocalScan of one row per group (plan pin in
+    // GraftSqlSpec). Oracle = the same grouped aggregate over the raw
+    // table.
+    "g27_catalog_grouped_agg" -> ((s, d) => {
+      val n = catalogGroupedTable(s, d)
+      s.sql(
+        s"""SELECT o_orderstatus, COUNT(*) AS cnt,
+                   COUNT(o_orderpriority) AS cnt_pri,
+                   MIN(o_orderdate) AS min_date,
+                   MAX(o_orderdate) AS max_date,
+                   MAX(o_totalprice) AS max_price
+            FROM $n GROUP BY o_orderstatus""")
+    }),
+
     // g22: FILTERED metadata-only aggregates — the predicate aligns
     // with the two segments' ship-year split (≤1995 / >1995), so the
     // catalog proves one segment all-out and the other all-in and the
@@ -1110,6 +1150,15 @@ object SegmentQueries {
 
     // the grouped fold must equal the real grouped scan exactly
     "g26_grouped_stats_agg" ->
+      """SELECT o_orderstatus, COUNT(*) AS cnt,
+                COUNT(o_orderpriority) AS cnt_pri,
+                MIN(o_orderdate) AS min_date,
+                MAX(o_orderdate) AS max_date,
+                MAX(o_totalprice) AS max_price
+         FROM orders GROUP BY o_orderstatus""",
+
+    // the catalog-path grouped fold must equal the real grouped scan
+    "g27_catalog_grouped_agg" ->
       """SELECT o_orderstatus, COUNT(*) AS cnt,
                 COUNT(o_orderpriority) AS cnt_pri,
                 MIN(o_orderdate) AS min_date,

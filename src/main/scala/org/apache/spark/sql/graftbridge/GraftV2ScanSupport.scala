@@ -56,8 +56,17 @@ object GraftV2ScanSupport {
     * `COUNT(*) WHERE ts >= X` fleet query costs one catalog read
     * through the BI-facing catalog surface. An unprovable predicate
     * (one straddling segment) falls back to plain pruning with the
-    * filter kept post-scan. Grouping, DISTINCT, or an unservable
-    * column disables the fold and the scan proceeds normally.
+    * filter kept post-scan.
+    *
+    * GROUPED pushed aggregations fold too, when every group column is
+    * provably CONSTANT per segment (stats min == max with zero nulls,
+    * or all-null for the NULL group — identity-partitioned loads):
+    * the LocalScan serves one row per group, schema = group columns
+    * then aggregate columns per Spark's pushed-aggregate contract,
+    * and composes with the filter trichotomy (fold over the proven
+    * survivors). DISTINCT, a non-constant group column, or an
+    * unservable aggregate disables the fold and the scan proceeds
+    * normally.
     */
   def segmentPrunedParquetBuilder(
       spark: SparkSession, name: String, schema: StructType,
@@ -82,7 +91,7 @@ object GraftV2ScanSupport {
       // snapshot while unfiltered, the proven all-in survivors once an
       // exactly-provable filter lands, None once any other filter does
       private var foldMetas: Option[Seq[SegmentMeta]] = statsMetas
-      private var folded: Option[(StructType, Array[Any])] = None
+      private var folded: Option[(StructType, Seq[Array[Any]])] = None
       // false once ANY pushdown call lands. Spark builds every
       // EXECUTED scan through the pushdown rule (which always calls
       // pruneColumns), while the relation-level stats estimate
@@ -162,12 +171,61 @@ object GraftV2ScanSupport {
         }
       }
 
-      private def tryFold(agg: Aggregation): Option[(StructType, Array[Any])] =
+      private def refName(e: V2Expression): Option[String] = e match {
+        case r: NamedReference if r.fieldNames.length == 1 =>
+          Some(r.fieldNames.head)
+        case _ => None
+      }
+
+      /** The fold behind both pushdown shapes. Ungrouped: one row of
+        * folded values over the whole fold set. GROUPED: one row per
+        * group when every group column is provably CONSTANT per
+        * segment ([[graft.mv.StatsAggFromCatalog.groupSegments]] —
+        * identity-partitioned loads), each group folding over its own
+        * segments. Spark's pushed-aggregate contract: readSchema =
+        * groupBy columns (statement order) ++ aggregate columns.
+        */
+      private def tryFold(agg: Aggregation)
+          : Option[(StructType, Seq[Array[Any]])] =
         foldMetas match {
           case Some(segs) if agg.groupByExpressions.isEmpty =>
             val per = agg.aggregateExpressions.map(f => foldOne(f, segs))
             if (per.exists(_.isEmpty) || per.isEmpty) None
-            else Some((StructType(per.map(_.get._1)), per.map(_.get._2)))
+            else Some((StructType(per.map(_.get._1)),
+              Seq(per.map(_.get._2).toArray[Any])))
+          case Some(segs) =>
+            val groupFields: Seq[Option[StructField]] =
+              agg.groupByExpressions.toSeq.map(g =>
+                refName(g).flatMap(n => schema.fields.find(_.name == n)))
+            if (groupFields.exists(_.isEmpty) ||
+                agg.aggregateExpressions.isEmpty) return None
+            val gf = groupFields.map(_.get)
+            graft.mv.StatsAggFromCatalog
+              .groupSegments(segs, gf.map(f => f.name -> f.dataType))
+              .flatMap { groups =>
+                val perGroup = groups.map { case (key, gsegs) =>
+                  val per = agg.aggregateExpressions.map(f => foldOne(f, gsegs))
+                  if (per.exists(_.isEmpty)) None
+                  else Some((per.map(_.get._1), key ++ per.map(_.get._2)))
+                }
+                if (perGroup.exists(_.isEmpty)) None
+                else {
+                  // zero groups (everything pruned / empty table):
+                  // derive the aggregate fields from an empty fold so
+                  // the scan still has its contract schema
+                  val aggFields: Seq[StructField] =
+                    perGroup.headOption.flatMap(_.map(_._1)) match {
+                      case Some(fields) => fields
+                      case None =>
+                        val fs = agg.aggregateExpressions.toSeq
+                          .map(f => foldOne(f, Nil).map(_._1))
+                        if (fs.exists(_.isEmpty)) return None
+                        fs.map(_.get)
+                    }
+                  Some((StructType(gf ++ aggFields),
+                    perGroup.map(_.get._2.toArray[Any])))
+                }
+              }
           case _ => None
         }
 
@@ -192,10 +250,10 @@ object GraftV2ScanSupport {
       }
 
       override def build(): Scan = folded match {
-        case Some((aggSchema, values)) => new LocalScan {
+        case Some((aggSchema, rowValues)) => new LocalScan {
           override def readSchema(): StructType = aggSchema
           override def rows(): Array[InternalRow] =
-            Array(InternalRow(values: _*))
+            rowValues.map(v => InternalRow(v: _*)).toArray
           override def description(): String =
             s"GraftStatsFoldScan($name, ${aggSchema.fieldNames.mkString(", ")})"
         }

@@ -1663,6 +1663,54 @@ class GraftSqlSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS graft.default.v2fagg")
   }
 
+  test("catalog GROUPED aggregate folds per segment-constant group as a LocalScan") {
+    val sf = "/root/testdata/sf0.001"
+    spark.read.parquet(s"$sf/orders.parquet")
+      .createOrReplaceTempView("v2gagg_src")
+    // one load per status: the group key is constant per segment
+    spark.sql("CREATE TABLE graft.default.v2gagg USING graft " +
+      "AS SELECT * FROM v2gagg_src WHERE o_orderstatus = 'O'")
+    Seq("F", "P").foreach(st =>
+      spark.sql("INSERT INTO graft.default.v2gagg " +
+        s"SELECT * FROM v2gagg_src WHERE o_orderstatus = '$st'"))
+    try {
+      val q = spark.sql(
+        """SELECT o_orderstatus, COUNT(*) AS n, MIN(o_totalprice) AS mn,
+                  MAX(o_orderdate) AS mx
+           FROM graft.default.v2gagg GROUP BY o_orderstatus""")
+      val exec = q.queryExecution.executedPlan.toString
+      assert(exec.contains("LocalTableScan") || exec.contains("GraftStatsFold"),
+        exec)
+      assert(!exec.contains("BatchScan"), exec)
+      val want = spark.sql(
+        """SELECT o_orderstatus, COUNT(*), MIN(o_totalprice), MAX(o_orderdate)
+           FROM v2gagg_src GROUP BY o_orderstatus""").collect().toSet
+      assert(q.collect().toSet == want)
+
+      // an ALIGNED filter composes: fold over the surviving segments
+      val qf = spark.sql(
+        """SELECT o_orderstatus, COUNT(*) AS n FROM graft.default.v2gagg
+           WHERE o_orderstatus >= 'O' GROUP BY o_orderstatus""")
+      assert(!qf.queryExecution.executedPlan.toString.contains("BatchScan"),
+        qf.queryExecution.executedPlan.toString)
+      val wantF = spark.sql(
+        """SELECT o_orderstatus, COUNT(*) FROM v2gagg_src
+           WHERE o_orderstatus >= 'O' GROUP BY o_orderstatus""").collect().toSet
+      assert(qf.collect().toSet == wantF)
+
+      // grouping on a NON-constant column bails to the real scan
+      val qb = spark.sql(
+        """SELECT o_orderpriority, COUNT(*) AS n FROM graft.default.v2gagg
+           GROUP BY o_orderpriority""")
+      assert(qb.queryExecution.executedPlan.toString.contains("BatchScan"),
+        qb.queryExecution.executedPlan.toString)
+      val wantB = spark.sql(
+        """SELECT o_orderpriority, COUNT(*) FROM v2gagg_src
+           GROUP BY o_orderpriority""").collect().toSet
+      assert(qb.collect().toSet == wantB)
+    } finally spark.sql("DROP TABLE IF EXISTS graft.default.v2gagg")
+  }
+
   test("catalog relation reports EXACT rowCount/bytes from segment stats to the planner") {
     val sf = "/root/testdata/sf0.001"
     spark.read.parquet(s"$sf/nation.parquet")
