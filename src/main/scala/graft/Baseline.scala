@@ -271,6 +271,18 @@ object Baseline {
           max(col("l_extendedprice")).as("max_price"))
     }),
 
+    // the time-travel fold's savings vs a real scan of the snapshot's
+    // content
+    "g29_timetravel_stats_agg" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(year(col("l_shipdate")) <= 1995)
+        .agg(count(lit(1)).as("cnt"),
+          count(col("l_quantity")).as("cnt_qty"),
+          min(col("l_shipdate")).as("min_ship"),
+          max(col("l_shipdate")).as("max_ship"),
+          max(col("l_extendedprice")).as("max_price"))
+    }),
+
     // the hybrid fold's savings vs a real filtered scan + aggregate
     "g25_hybrid_stats_agg" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -285,6 +297,17 @@ object Baseline {
 
     // the catalog grouped fold's savings vs a real grouped scan
     "g27_catalog_grouped_agg" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"),
+          count(col("o_orderpriority")).as("cnt_pri"),
+          min(col("o_orderdate")).as("min_date"),
+          max(col("o_orderdate")).as("max_date"),
+          max(col("o_totalprice")).as("max_price"))
+    }),
+
+    // the grouped hybrid's savings vs a real grouped scan
+    "g28_grouped_hybrid_agg" -> ((s, d) => {
       Tables.orders(s, d)
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("cnt"),

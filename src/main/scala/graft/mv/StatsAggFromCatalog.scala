@@ -222,17 +222,22 @@ case class StatsAggFromCatalog(spark: SparkSession) extends Rule[LogicalPlan] {
     // GROUPED fold for segment-aligned group keys: when every group
     // column is CONSTANT within each segment (identity-partitioned
     // loads — one load per key value), `GROUP BY k` COUNT/MIN/MAX
-    // folds per segment group from the same catalog stats. One
-    // non-constant segment bails the whole fold to the real scan.
+    // folds per segment group from the same catalog stats. Segments
+    // that cannot fold (non-constant keys, or a filter straddling
+    // them) go HYBRID: fold the provable segments' groups from
+    // metadata, scan only the rest, re-group over the union.
     case agg @ Aggregate(groups, aggExprs, child, _)
         if groups.nonEmpty && groups.forall(_.isInstanceOf[AttributeReference]) &&
           groupedShapes(groups, aggExprs) =>
       extract(child, None) match {
-        case Some((cond, paths, _)) =>
+        case Some((cond, paths, rel)) =>
           answerGrouped(paths, cond,
             groups.map(_.asInstanceOf[AttributeReference]), aggExprs) match {
-            case Some(rows) =>
+            case Some(GroupedFull(rows)) =>
               LocalRelation(agg.output.map(_.asInstanceOf[Attribute]), rows)
+            case Some(h: GroupedHybrid) =>
+              hybridGroupedPlan(agg,
+                groups.map(_.asInstanceOf[AttributeReference]), cond, rel, h)
             case None => agg
           }
         case _ => agg
@@ -451,53 +456,170 @@ case class StatsAggFromCatalog(spark: SparkSession) extends Rule[LogicalPlan] {
 
   // ---- grouped fold (segment-aligned group keys) ----
 
-  /** GROUP BY fold: every group column must be CONSTANT within each
-    * non-empty qualified segment — proven by stats min == max with
-    * zero nulls (the constant), or null count == row count (the NULL
-    * group). Segments sharing a key tuple form one group; each
-    * group's aggregates fold over its segments exactly like the
-    * global fold. A filter must prove the FULL trichotomy (no hybrid
-    * here). Returns one InternalRow per group, output order =
-    * `exprs`; zero qualified segments → zero rows (the grouped
-    * aggregate of an empty input IS empty, unlike the global one).
+  private sealed trait GroupedFoldResult
+  /** Every qualified segment folded — one InternalRow per group in
+    * the ORIGINAL output-expression order.
+    */
+  private case class GroupedFull(rows: Seq[InternalRow])
+    extends GroupedFoldResult
+  /** Some segments fold (all-in under the filter AND constant group
+    * keys), the rest must scan. `partialRows` are in CANONICAL order:
+    * group key values (grouping order) ++ aggregate partials (output
+    * order, group refs excluded) — the union/combine plan's column
+    * layout.
+    */
+  private case class GroupedHybrid(partialRows: Seq[Array[Any]],
+                                   scanPaths: Seq[String],
+                                   schema: StructType) extends GroupedFoldResult
+
+  /** The aggregate shapes of `exprs` (group references excluded), in
+    * output order — the canonical partial-column order the grouped
+    * hybrid uses on both the fold and plan sides.
+    */
+  private def aggShapesOf(exprs: Seq[NamedExpression],
+                          gid: Seq[ExprId]): Seq[Shape] =
+    exprs.collect {
+      case e @ Alias(AggregateExpression(_, _, _, _, _), _) => shapeOf(e).get
+    }
+
+  private def foldShape(segs: Seq[SegmentMeta], s: Shape): Option[Any] =
+    s match {
+      case CountStar => Some(StatsAggFromCatalog.foldCountStar(segs): Any)
+      case CountCol(c) =>
+        StatsAggFromCatalog.foldNonNullCount(segs, c).map(v => v: Any)
+      case MinCol(c, dt) =>
+        StatsAggFromCatalog.foldMinMax(segs, c, dt, isMin = true)
+      case MaxCol(c, dt) =>
+        StatsAggFromCatalog.foldMinMax(segs, c, dt, isMin = false)
+    }
+
+  /** GROUP BY fold. A segment FOLDS when it is fully qualified by the
+    * filter (all rows match — or no filter) AND every group column is
+    * provably constant in it ([[StatsAggFromCatalog.groupSegments]]).
+    * All segments fold → [[GroupedFull]] (one row per group, original
+    * output order; zero qualified segments → zero rows, the grouped-
+    * aggregate-of-empty contract). A MIX → [[GroupedHybrid]]: the
+    * foldable segments' groups as canonical partial rows plus the
+    * paths a real (filtered, re-grouped) scan must still cover —
+    * which also serves tables where only SOME loads are key-aligned.
+    * Nothing foldable → bail.
     */
   private def answerGrouped(paths: Seq[String], cond: Option[Expression],
                             groups: Seq[AttributeReference],
                             exprs: Seq[NamedExpression])
-      : Option[Seq[InternalRow]] = {
-    val (t, scanned, _) =
+      : Option[GroupedFoldResult] = {
+    val (t, scanned, idPath) =
       resolveScanned(paths, filtered = cond.isDefined).getOrElse(return None)
-    val qualified = cond match {
+    val survivors = cond match {
       case None => scanned
       case Some(c) =>
-        val survivors = try t.pruneAmong(scanned, c)
-          catch { case scala.util.control.NonFatal(_) => return None }
-        if (!t.provenAllIn(survivors, c)) return None
-        survivors
+        try t.pruneAmong(scanned, c)
+        catch { case scala.util.control.NonFatal(_) => return None }
     }
-    val grouped = StatsAggFromCatalog.groupSegments(qualified,
-      groups.map(g => g.name -> g.dataType)).getOrElse(return None)
+    val cols = groups.map(g => g.name -> g.dataType)
+    // a segment folds iff all-in under the filter AND constant-keyed
+    val (foldable, scanSet) = survivors.partition { s =>
+      cond.forall(c => t.provenAllIn(Seq(s), c)) &&
+        StatsAggFromCatalog.groupSegments(Seq(s), cols).isDefined
+    }
     val gid = groups.map(_.exprId)
-    val rows = grouped.map { case (kv, segs) =>
-      def keyValue(a: AttributeReference): Any = kv(gid.indexOf(a.exprId))
-      val values = exprs.map {
-        case a: AttributeReference if gid.contains(a.exprId) =>
-          Some(keyValue(a))
-        case Alias(a: AttributeReference, _) if gid.contains(a.exprId) =>
-          Some(keyValue(a))
-        case e => shapeOf(e).get match {
-          case CountStar => Some(StatsAggFromCatalog.foldCountStar(segs): Any)
-          case CountCol(c) =>
-            StatsAggFromCatalog.foldNonNullCount(segs, c).map(v => v: Any)
-          case MinCol(c, dt) =>
-            StatsAggFromCatalog.foldMinMax(segs, c, dt, isMin = true)
-          case MaxCol(c, dt) =>
-            StatsAggFromCatalog.foldMinMax(segs, c, dt, isMin = false)
+    val shapes = aggShapesOf(exprs, gid)
+    val grouped = StatsAggFromCatalog.groupSegments(foldable, cols)
+      .getOrElse(return None) // unreachable: each foldable is constant
+
+    if (scanSet.isEmpty) {
+      // full fold: rows in ORIGINAL output order
+      val rows = grouped.map { case (kv, segs) =>
+        def keyValue(a: AttributeReference): Any = kv(gid.indexOf(a.exprId))
+        val values = exprs.map {
+          case a: AttributeReference if gid.contains(a.exprId) =>
+            Some(keyValue(a))
+          case Alias(a: AttributeReference, _) if gid.contains(a.exprId) =>
+            Some(keyValue(a))
+          case e => foldShape(segs, shapeOf(e).get)
         }
+        if (values.exists(_.isEmpty)) return None
+        InternalRow(values.map(_.get): _*)
       }
-      if (values.exists(_.isEmpty)) return None
-      InternalRow(values.map(_.get): _*)
+      Some(GroupedFull(rows))
+    } else if (foldable.isEmpty) None
+    else {
+      // hybrid: canonical partial rows (keys ++ agg partials)
+      val partials = grouped.map { case (kv, segs) =>
+        val vals = shapes.map(s => foldShape(segs, s))
+        if (vals.exists(_.isEmpty)) return None
+        (kv ++ vals.map(_.get)).toArray[Any]
+      }
+      Some(GroupedHybrid(partials, scanSet.map(s => idPath(s.id)), t.schema))
     }
-    Some(rows)
+  }
+
+  /** The grouped-hybrid plan — the grouped twin of [[hybridPlan]]:
+    * foldable segments' per-group partials as a LocalRelation, UNIONed
+    * with the SAME grouped aggregate over a scan of ONLY the unproven
+    * segment dirs (filter kept there), then an outer re-grouping
+    * aggregate combining per group — COUNTs sum, MIN/MAX fold — with
+    * the original output exprIds preserved. Canonical union layout:
+    * group columns (grouping order) then aggregate partials (output
+    * order). Converges: the inner grouped aggregate's segments are
+    * all unprovable by construction, so the rule can never re-fold it.
+    */
+  private def hybridGroupedPlan(agg: Aggregate,
+                                groups: Seq[AttributeReference],
+                                cond: Option[Expression],
+                                rel: LogicalRelation,
+                                h: GroupedHybrid): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Union}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Sum
+    val exprs = agg.aggregateExpressions
+    val gid = groups.map(_.exprId)
+    val shapes = aggShapesOf(exprs, gid)
+    val keyAttrs: Seq[Attribute] = groups.zipWithIndex.map { case (g, i) =>
+      AttributeReference(s"__gkey$i", g.dataType)()
+    }
+    val partialAttrs: Seq[Attribute] = shapes.zipWithIndex.map {
+      case (CountStar | CountCol(_), i) =>
+        AttributeReference(s"__gpartial$i", LongType, nullable = false)()
+      case (MinCol(_, dt), i) => AttributeReference(s"__gpartial$i", dt)()
+      case (MaxCol(_, dt), i) => AttributeReference(s"__gpartial$i", dt)()
+    }
+    val local = LocalRelation(keyAttrs ++ partialAttrs,
+      h.partialRows.map(v => InternalRow(v: _*)))
+    val scanRel = rel.copy(relation =
+      org.apache.spark.sql.graftbridge.ColumnExpr
+        .parquetRelation(spark, h.scanPaths, h.schema))
+    val innerChild = cond.fold(scanRel: LogicalPlan)(LFilter(_, scanRel))
+    val innerAggAliases: Seq[NamedExpression] =
+      exprs.collect { case Alias(ae: AggregateExpression, _) => ae }
+        .zipWithIndex.map { case (ae, i) => Alias(ae, s"__gscan$i")() }
+    val inner = Aggregate(groups,
+      (groups: Seq[NamedExpression]) ++ innerAggAliases, innerChild)
+    val union = Union(Seq(local, inner))
+    val uout = union.output // keys first, then partials
+    var aggIdx = -1
+    val outerExprs: Seq[NamedExpression] = exprs.map {
+      case a: AttributeReference if gid.contains(a.exprId) =>
+        Alias(uout(gid.indexOf(a.exprId)), a.name)(exprId = a.exprId)
+      case al @ Alias(a: AttributeReference, _) if gid.contains(a.exprId) =>
+        Alias(uout(gid.indexOf(a.exprId)), al.name)(exprId = al.exprId,
+          qualifier = al.qualifier, explicitMetadata = al.explicitMetadata)
+      case orig =>
+        val a = orig.asInstanceOf[Alias]
+        aggIdx += 1
+        val ref = uout(groups.length + aggIdx)
+        val combined: Expression = shapes(aggIdx) match {
+          case CountStar | CountCol(_) =>
+            Coalesce(Seq(
+              AggregateExpression(Sum(ref), Complete, isDistinct = false),
+              Literal(0L)))
+          case MinCol(_, _) =>
+            AggregateExpression(Min(ref), Complete, isDistinct = false)
+          case MaxCol(_, _) =>
+            AggregateExpression(Max(ref), Complete, isDistinct = false)
+        }
+        Alias(combined, a.name)(exprId = a.exprId, qualifier = a.qualifier,
+          explicitMetadata = a.explicitMetadata)
+    }
+    Aggregate(uout.take(groups.length), outerExprs, union)
   }
 }

@@ -105,6 +105,30 @@ object SegmentQueries {
       s"$cat.default.obs"
     })
 
+  /** g29's catalog table + the snapshot version to time-travel to:
+    * CTAS loads the ≤1995 ship-years (the frozen snapshot the gate
+    * aggregates), a second INSERT moves the table past it. Returns
+    * "name|version".
+    */
+  private val catalogTimeTravel = new graft.util.BuildOnce[String]
+
+  private def catalogTimeTravelTable(s: SparkSession, d: String): String =
+    catalogTimeTravel.getOrElseUpdate(s"gtt|$d|${s.sparkContext.applicationId}", {
+      val cat = s"gtt${(d + s.sparkContext.applicationId).hashCode.abs}"
+      val root = graft.util.RunRoot.under(
+        s"graft_catalog_tt/${d.replace('/', '_')}")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalogPlugin")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      Tables.lineitem(s, d).createOrReplaceTempView("g29_lineitem_src")
+      s.sql(s"CREATE TABLE $cat.default.li_tt USING graft " +
+        "AS SELECT * FROM g29_lineitem_src WHERE year(l_shipdate) <= 1995")
+      // the CURRENT version right after the CTAS is the snapshot
+      val v = SegmentedTable.open(s, s"$root/li_tt").versions.max
+      s.sql(s"INSERT INTO $cat.default.li_tt " +
+        "SELECT * FROM g29_lineitem_src WHERE year(l_shipdate) > 1995")
+      s"$cat.default.li_tt|$v"
+    })
+
   /** g19's full-MERGE'd table: one mixed ANSI MERGE — conditional
     * UPDATE with expression assignments, bare DELETE, conditional
     * column-list INSERT — applied through the catalog SQL surface.
@@ -248,6 +272,21 @@ object SegmentQueries {
       val t = SegmentedTable.fresh(s, root, o.schema, Map.empty)
       Seq("O", "F", "P").foreach(st =>
         t.load(o.filter(col("o_orderstatus") === st)))
+      t
+    })
+
+  /** g28's table: two status-constant loads plus one MIXED remainder
+    * load — the grouped-hybrid shape (only the aligned loads fold).
+    */
+  private def ordersMixedStatus(s: SparkSession, d: String): SegmentedTable =
+    built.getOrElseUpdate(s"oms|$d", {
+      val root = graft.util.RunRoot.under(
+        s"graft_tables/${d.replace('/', '_')}/orders_mixed_status")
+      val o = Tables.orders(s, d)
+      val t = SegmentedTable.fresh(s, root, o.schema, Map.empty)
+      t.load(o.filter(col("o_orderstatus") === "O" && col("o_orderkey") % 3 =!= 0))
+      t.load(o.filter(col("o_orderstatus") === "F" && col("o_orderkey") % 3 =!= 0))
+      t.load(o.filter(col("o_orderstatus") === "P" || col("o_orderkey") % 3 === 0))
       t
     })
 
@@ -832,6 +871,42 @@ object SegmentQueries {
             FROM $n GROUP BY o_orderstatus""")
     }),
 
+    // g28: grouped HYBRID fold — two loads are status-constant and
+    // fold from the catalog, the third (mixed remainder) is the only
+    // one scanned; the outer aggregate merges groups across the
+    // metadata and scan branches (StatsAggSpec pins the single-dir
+    // scan). The partially-aligned-table shape: at 100 TB most tables
+    // have SOME loads key-aligned and some not.
+    "g28_grouped_hybrid_agg" -> ((s, d) => {
+      graft.mv.StatsAggFromCatalog.ensureRegistered(s)
+      val t = ordersMixedStatus(s, d)
+      t.read()
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          count(col("o_orderpriority")).as("cnt_pri"),
+          min(col("o_orderdate")).as("min_date"),
+          max(col("o_orderdate")).as("max_date"),
+          max(col("o_totalprice")).as("max_price"))
+    }),
+
+    // g29: TIME-TRAVEL stats fold — COUNT/MIN/MAX over `VERSION AS OF`
+    // the pre-INSERT snapshot folds from that version's segment stats
+    // (exact: dirs immutable, ids never reused) as long as every dir
+    // is still on disk; the oracle replays the snapshot's content
+    // (the ≤1995 ship-years) from the raw table. Plan pin in
+    // GraftSqlSpec; a cleaned snapshot keeps failing at scan.
+    "g29_timetravel_stats_agg" -> ((s, d) => {
+      val Array(n, v) = catalogTimeTravelTable(s, d).split('|')
+      s.sql(
+        s"""SELECT COUNT(*) AS cnt,
+                   COUNT(l_quantity) AS cnt_qty,
+                   MIN(l_shipdate) AS min_ship,
+                   MAX(l_shipdate) AS max_ship,
+                   MAX(l_extendedprice) AS max_price
+            FROM $n VERSION AS OF $v""")
+    }),
+
     // g22: FILTERED metadata-only aggregates — the predicate aligns
     // with the two segments' ship-year split (≤1995 / >1995), so the
     // catalog proves one segment all-out and the other all-in and the
@@ -1165,6 +1240,26 @@ object SegmentQueries {
                 MAX(o_orderdate) AS max_date,
                 MAX(o_totalprice) AS max_price
          FROM orders GROUP BY o_orderstatus""",
+
+    // the grouped hybrid (metadata groups + one-segment scan,
+    // re-grouped) must equal the real grouped scan exactly
+    "g28_grouped_hybrid_agg" ->
+      """SELECT o_orderstatus, COUNT(*) AS cnt,
+                COUNT(o_orderpriority) AS cnt_pri,
+                MIN(o_orderdate) AS min_date,
+                MAX(o_orderdate) AS max_date,
+                MAX(o_totalprice) AS max_price
+         FROM orders GROUP BY o_orderstatus""",
+
+    // the time-travel fold must equal the frozen snapshot's content
+    "g29_timetravel_stats_agg" ->
+      """SELECT COUNT(*) AS cnt,
+                COUNT(l_quantity) AS cnt_qty,
+                MIN(l_shipdate) AS min_ship,
+                MAX(l_shipdate) AS max_ship,
+                MAX(l_extendedprice) AS max_price
+         FROM lineitem
+         WHERE year(l_shipdate) <= 1995""",
 
     // the filtered fold must equal the real filtered scan exactly
     "g22_metadata_filtered_agg" ->

@@ -488,7 +488,14 @@ private[sql] class GraftV2Table(ident: Identifier, tablePath: String,
         case None =>
           val (m, p) = t.liveSegmentSnapshot
           (Some(m), p.map(_.toString))
-        case Some(v) => (None, t.liveSegmentPathsAt(v).map(_.toString))
+        case Some(v) =>
+          // time-travel reads fold too: the snapshot's per-segment
+          // stats are exact (dirs immutable, ids never reused) — but
+          // only while every dir is still on disk (a cleaned snapshot
+          // must keep failing at scan, not silently answer from
+          // metadata)
+          val (m, p) = t.segmentSnapshotAt(v)
+          (m, p.map(_.toString))
       }
       // exact-filter trichotomy over the SAME snapshot the paths came
       // from: every segment proven all-out (pruned) or all-in (every

@@ -1357,6 +1357,23 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
     statusAt(version).segments
       .filter(_.status == SUCCESS).map(s => segmentDir(s.id))
 
+  /** (metas, dirs) of a PAST version's live set, or metas = None when
+    * any segment dir is gone (cleanFiles removed a retired dir): the
+    * snapshot's stats are exact — segment dirs are immutable and ids
+    * never reused — so time-travel aggregates may fold from them, but
+    * ONLY while the data is still on disk: a fold must never silently
+    * outlive files whose scan would fail (the time-travel contract:
+    * never serve history we cannot prove still exists).
+    */
+  private[graft] def segmentSnapshotAt(version: Long)
+      : (Option[Seq[SegmentMeta]], Seq[Path]) = {
+    val segs = statusAt(version).segments.filter(_.status == SUCCESS)
+    val paths = segs.map(s => segmentDir(s.id))
+    val metas =
+      if (paths.forall(TableIO.exists)) Some(segs) else None
+    (metas, paths)
+  }
+
   /** Segment paths surviving min/max pruning against a resolved
     * predicate, within the live set or a past version's snapshot —
     * the V2 catalog's scan builder prunes driver-side from the

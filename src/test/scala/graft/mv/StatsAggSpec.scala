@@ -238,6 +238,13 @@ class StatsAggSpec extends AnyFunSuite {
       (Some("b"), 3L, 3L, 10L, 30L),
       (None, 1L, 1L, 100L, 100L)), got.toString)
 
+    // SELECT DISTINCT k is a group-only aggregate after the optimizer
+    // (ReplaceDistinctWithAggregate) — it folds from the same stats
+    val qd = t.read().select(col("g")).distinct()
+    assert(scansOf(qd).isEmpty, qd.queryExecution.optimizedPlan.toString)
+    assert(qd.collect().map(r => Option(r.getString(0))).toSet ==
+      Set(Some("a"), Some("b"), None))
+
     // a segment where the group key is NOT constant bails to the scan
     val t2 = SegmentedTable.create(spark, freshRoot("grpmix"), schema, Map.empty)
     t2.load(Seq(("a", 1L), ("b", 2L)).toDF("g", "v"))
@@ -259,6 +266,47 @@ class StatsAggSpec extends AnyFunSuite {
     assert(scansOf(q4).nonEmpty)
     assert(q4.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
       Set(("a", 1L)))
+  }
+
+  test("grouped HYBRID fold: constant-key segments answer from metadata, the rest scan") {
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("g", StringType), StructField("v", LongType)))
+    val t = SegmentedTable.create(spark, freshRoot("grphyb"), schema, Map.empty)
+    t.load(Seq(("a", 1L), ("a", 2L)).toDF("g", "v"))          // constant "a"
+    t.load(Seq(("b", 10L), ("b", 20L), ("b", 30L)).toDF("g", "v")) // constant "b"
+    t.load(Seq(("a", 5L), ("c", 7L)).toDF("g", "v"))          // MIXED keys
+
+    // no filter: the two constant segments fold, ONLY the mixed one
+    // scans, the outer aggregate merges group "a" across the branches
+    val q = t.read().groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val scans = scansOf(q)
+    assert(scans.size == 1, q.queryExecution.optimizedPlan.toString)
+    val roots = scans.head.relation
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+      .location.rootPaths.map(_.getName)
+    assert(roots == Seq("segment_2"), roots.toString)
+    val got = q.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(("a", 3L, 1L, 5L), ("b", 3L, 10L, 30L),
+      ("c", 1L, 7L, 7L)), got.toString)
+
+    // filter straddling a CONSTANT segment: "a" folds (all-in), "b"
+    // straddles (10..30 vs <= 15), the mixed segment is all-in but
+    // non-constant — both of the latter scan, with the filter kept
+    val qf = t.read().filter(col("v") <= 15L).groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val scansF = scansOf(qf)
+    assert(scansF.size == 1, qf.queryExecution.optimizedPlan.toString)
+    val rootsF = scansF.head.relation
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+      .location.rootPaths.map(_.getName).toSet
+    assert(rootsF == Set("segment_1", "segment_2"), rootsF.toString)
+    val gotF = qf.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(gotF == Set(("a", 3L, 1L, 5L), ("b", 1L, 10L, 10L),
+      ("c", 1L, 7L, 7L)), gotF.toString)
   }
 
   test("a DELETE's COW rewrite refreshes the folded answer") {

@@ -130,6 +130,48 @@ class ThriftServerSpec extends AnyFunSuite {
     }
   }
 
+  test("stats folds serve BI-shaped aggregates over Hive JDBC") {
+    // the r19 catalog folds exist for exactly this surface: a stock
+    // JDBC client (BI tool) issuing global, time-range-filtered and
+    // grouped aggregates against a catalog identifier. Values must be
+    // exact; the fold itself is plan-pinned in GraftSqlSpec — here we
+    // prove the same scan builder serves them over the wire.
+    val sf = "/root/testdata/sf0.001"
+    spark.read.parquet(s"$sf/orders.parquet")
+      .createOrReplaceTempView("thrift_fold_src")
+    // segment-aligned loads: disjoint key ranges + per-status groups
+    spark.sql("CREATE TABLE graft.default.thrift_folds USING graft AS " +
+      "SELECT * FROM thrift_fold_src WHERE o_orderkey <= 300")
+    spark.sql("INSERT INTO graft.default.thrift_folds " +
+      "SELECT * FROM thrift_fold_src WHERE o_orderkey > 300")
+    val want = spark.sql(
+      """SELECT COUNT(*), MIN(o_totalprice), MAX(o_orderdate)
+         FROM thrift_fold_src WHERE o_orderkey > 300""").head()
+    val wantAll = spark.sql("SELECT COUNT(*) FROM thrift_fold_src").head()
+    val conn = connect(jdbcUrl)
+    try {
+      val st = conn.createStatement()
+      val r1 = st.executeQuery(
+        "SELECT COUNT(*) AS c FROM graft.default.thrift_folds")
+      assert(r1.next() && r1.getLong("c") == wantAll.getLong(0))
+      val r2 = st.executeQuery(
+        """SELECT COUNT(*) AS c, MIN(o_totalprice) AS mn,
+                  MAX(o_orderdate) AS mx
+           FROM graft.default.thrift_folds WHERE o_orderkey > 300""")
+      assert(r2.next())
+      assert(r2.getLong("c") == want.getLong(0))
+      assert(math.abs(r2.getDouble("mn") - want.getDouble(1)) < 1e-9)
+      // normalize the two timestamp renderings (JDBC "2001-08-01
+      // 00:00:00.0" vs LocalDateTime "2001-08-01T00:00")
+      assert(r2.getTimestamp("mx").toLocalDateTime ==
+        want.getAs[java.time.LocalDateTime](2),
+        s"${r2.getTimestamp("mx")} vs ${want.get(2)}")
+    } finally {
+      conn.close()
+      spark.sql("DROP TABLE IF EXISTS graft.default.thrift_folds")
+    }
+  }
+
   test("CDC feed and minor compaction round-trip over the wire") {
     val sf = "/root/testdata/sf0.001"
     spark.read.parquet(s"$sf/nation.parquet")

@@ -1711,6 +1711,50 @@ class GraftSqlSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS graft.default.v2gagg")
   }
 
+  test("time-travel catalog aggregates fold from the snapshot's segment stats") {
+    val sf = "/root/testdata/sf0.001"
+    spark.read.parquet(s"$sf/orders.parquet")
+      .createOrReplaceTempView("v2tt_src")
+    spark.sql("CREATE TABLE graft.default.v2tt USING graft " +
+      "AS SELECT * FROM v2tt_src WHERE o_orderkey <= 300")
+    val store = spark.conf.get("spark.graft.store")
+    val v1 = graft.table.SegmentedTable.open(spark, s"$store/v2tt").versions.max
+    spark.sql("INSERT INTO graft.default.v2tt " +
+      "SELECT * FROM v2tt_src WHERE o_orderkey > 300")
+    try {
+      val wantV1 = spark.sql(
+        "SELECT COUNT(*) FROM v2tt_src WHERE o_orderkey <= 300").head().getLong(0)
+      // snapshot aggregate folds: LocalTableScan, exact frozen answer
+      val q = spark.sql(
+        s"SELECT COUNT(*) AS n, MAX(o_totalprice) AS mx " +
+          s"FROM graft.default.v2tt VERSION AS OF $v1")
+      val exec = q.queryExecution.executedPlan.toString
+      assert(exec.contains("LocalTableScan") && !exec.contains("BatchScan"), exec)
+      assert(q.head().getLong(0) == wantV1)
+      assert(q.head().getDouble(1) == spark.sql(
+        "SELECT MAX(o_totalprice) FROM v2tt_src WHERE o_orderkey <= 300")
+        .head().getDouble(0))
+      // the CURRENT version folds to the full count, unaffected
+      val qc = spark.sql("SELECT COUNT(*) AS n FROM graft.default.v2tt")
+      assert(qc.head().getLong(0) ==
+        spark.sql("SELECT COUNT(*) FROM v2tt_src").head().getLong(0))
+      // aligned filter composes on the snapshot too
+      val qf = spark.sql(
+        s"""SELECT COUNT(*) AS n FROM graft.default.v2tt VERSION AS OF $v1
+            WHERE o_orderkey <= 300""")
+      assert(!qf.queryExecution.executedPlan.toString.contains("BatchScan"))
+      assert(qf.head().getLong(0) == wantV1)
+      // a COW DELETE later: the pre-delete snapshot still folds to the
+      // old answer while its (retired but uncleaned) dirs exist
+      spark.sql("DELETE FROM graft.default.v2tt WHERE o_orderkey <= 150")
+      val v2 = graft.table.SegmentedTable.open(spark, s"$store/v2tt")
+        .versions.sorted.takeRight(2).head
+      val qd = spark.sql(
+        s"SELECT COUNT(*) AS n FROM graft.default.v2tt VERSION AS OF $v1")
+      assert(qd.head().getLong(0) == wantV1, s"v1=$v1 v2=$v2")
+    } finally spark.sql("DROP TABLE IF EXISTS graft.default.v2tt")
+  }
+
   test("catalog relation reports EXACT rowCount/bytes from segment stats to the planner") {
     val sf = "/root/testdata/sf0.001"
     spark.read.parquet(s"$sf/nation.parquet")
