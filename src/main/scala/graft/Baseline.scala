@@ -314,7 +314,8 @@ object Baseline {
           count(col("o_orderpriority")).as("cnt_pri"),
           min(col("o_orderdate")).as("min_date"),
           max(col("o_orderdate")).as("max_date"),
-          max(col("o_totalprice")).as("max_price"))
+          max(col("o_totalprice")).as("max_price"),
+          sum(col("o_orderkey")).as("sum_okey"))
     }),
 
     // the grouped fold's savings vs a real grouped scan
@@ -325,7 +326,25 @@ object Baseline {
           count(col("o_orderpriority")).as("cnt_pri"),
           min(col("o_orderdate")).as("min_date"),
           max(col("o_orderdate")).as("max_date"),
-          max(col("o_totalprice")).as("max_price"))
+          max(col("o_totalprice")).as("max_price"),
+          sum(col("o_orderkey")).as("sum_okey"))
+    }),
+
+    // the distinct-count fold's savings vs a real distinct shuffle
+    "g31_distinct_stats_agg" -> ((s, d) => {
+      Tables.orders(s, d).agg(
+        count_distinct(col("o_orderstatus")).as("n_status"),
+        count(lit(1)).as("cnt"),
+        min(col("o_orderdate")).as("min_date"))
+    }),
+
+    // the SUM fold's savings vs a real scan-side sum
+    "g30_sum_stats_agg" -> ((s, d) => {
+      Tables.lineitem(s, d).agg(
+        count(lit(1)).as("cnt"),
+        sum(col("l_orderkey")).as("sum_okey"),
+        sum(col("l_linenumber")).as("sum_ln"),
+        sum(col("l_suppkey")).as("sum_sk"))
     }),
 
     "g01_segment_pruned_scan" -> ((s, d) => {

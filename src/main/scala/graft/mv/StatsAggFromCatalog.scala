@@ -128,6 +128,51 @@ object StatsAggFromCatalog {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** Fold an integral column's per-segment EXACT sums
+    * ([[graft.table.ColStats.sum]], decimal-accumulated at stage time).
+    * Outer None = not servable (a segment with values but no recorded
+    * sum — pre-r19 vintage or non-integral); inner None = SUM over
+    * zero non-null values (the answer is NULL); otherwise the exact
+    * BigInt total — the CALLER applies the query's eval-mode contract
+    * (LEGACY wraps mod 2^64, ANSI serves only when it fits a long,
+    * TRY never folds).
+    */
+  def foldSumExact(segs: Seq[SegmentMeta], c: String)
+      : Option[Option[BigInt]] = {
+    val per: Seq[Option[Option[BigInt]]] = segs.map { s =>
+      if (s.rowCount == 0L) Some(None)
+      else s.stats.get(c).flatMap(_.sum) match {
+        case Some(x) => Some(Some(BigInt(x)))
+        case None => s.nullCounts.get(c) match {
+          case Some(n) if n == s.rowCount => Some(None) // proven all-null
+          case _ => None // unknown vintage → bail
+        }
+      }
+    }
+    if (per.exists(_.isEmpty)) None
+    else {
+      val present = per.flatten.flatten
+      if (present.isEmpty) Some(None) else Some(Some(present.sum))
+    }
+  }
+
+  /** [[foldSumExact]] under the query's eval mode: None = bail to the
+    * real scan, Some(null) = the NULL answer, Some(long) = the value.
+    */
+  def foldSum(segs: Seq[SegmentMeta], c: String,
+              mode: Enumeration#Value): Option[Any] =
+    foldSumExact(segs, c) match {
+      case None => None
+      case Some(None) => Some(null)
+      case Some(Some(total)) =>
+        import org.apache.spark.sql.catalyst.expressions.EvalMode
+        if (mode == EvalMode.LEGACY)
+          Some(java.lang.Long.valueOf(total.longValue)) // wrap, like Spark
+        else if (mode == EvalMode.ANSI && total.isValidLong)
+          Some(java.lang.Long.valueOf(total.toLong))
+        else None // TRY, or an ANSI overflow: the real scan decides
+    }
+
   /** Group segments by their constant per-segment values of `cols` —
     * the shared core behind the grouped stats fold on BOTH read paths
     * (the optimizer rule and the V2 catalog's grouped aggregate
@@ -251,13 +296,46 @@ case class StatsAggFromCatalog(spark: SparkSession) extends Rule[LogicalPlan] {
   private case class CountCol(name: String) extends Shape
   private case class MinCol(name: String, dt: DataType) extends Shape
   private case class MaxCol(name: String, dt: DataType) extends Shape
+  /** Integral SUM — servable from the catalog's exact per-segment
+    * sums; `mode` is the query's eval mode (the fold's overflow
+    * contract differs per mode, see [[StatsAggFromCatalog.foldSum]]).
+    */
+  private case class SumCol(name: String,
+                            mode: Enumeration#Value) extends Shape
+  /** COUNT(DISTINCT col) — servable when the column is CONSTANT per
+    * segment ([[StatsAggFromCatalog.groupSegments]]): the distinct
+    * count IS the number of distinct non-null constants. Never
+    * participates in a hybrid (distinct counts don't combine across
+    * branches).
+    */
+  private case class CountDistinctCol(name: String,
+                                      dt: DataType) extends Shape
+
+  /** Shapes whose partial answers COMBINE across the hybrid's
+    * metadata/scan branches (counts sum, extrema fold, sums add);
+    * COUNT(DISTINCT) does not.
+    */
+  private def combinable(s: Shape): Boolean = s match {
+    case CountDistinctCol(_, _) => false
+    case _ => true
+  }
 
   private def shapeOf(e: NamedExpression): Option[Shape] = e match {
+    case Alias(AggregateExpression(Count(Seq(a: AttributeReference)),
+        Complete, true, None, _), _) =>
+      Some(CountDistinctCol(a.name, a.dataType))
     case Alias(AggregateExpression(f, Complete, false, None, _), _) => f match {
       case Count(Seq(Literal(1, _))) => Some(CountStar)
       case Count(Seq(a: AttributeReference)) => Some(CountCol(a.name))
       case Min(a: AttributeReference) => Some(MinCol(a.name, a.dataType))
       case Max(a: AttributeReference) => Some(MaxCol(a.name, a.dataType))
+      case s: org.apache.spark.sql.catalyst.expressions.aggregate.Sum =>
+        s.child match {
+          case a: AttributeReference
+              if graft.table.SegmentedTable.isIntegral(a.dataType) =>
+            Some(SumCol(a.name, s.evalContext.evalMode))
+          case _ => None
+        }
       case _ => None
     }
     case _ => None
@@ -362,15 +440,7 @@ case class StatsAggFromCatalog(spark: SparkSession) extends Rule[LogicalPlan] {
     */
   private def foldValues(segs: Seq[SegmentMeta],
                          exprs: Seq[NamedExpression]): Option[Array[Any]] = {
-    val values = exprs.map(e => shapeOf(e).get).map {
-      case CountStar => Some(StatsAggFromCatalog.foldCountStar(segs): Any)
-      case CountCol(c) =>
-        StatsAggFromCatalog.foldNonNullCount(segs, c).map(v => v: Any)
-      case MinCol(c, dt) =>
-        StatsAggFromCatalog.foldMinMax(segs, c, dt, isMin = true)
-      case MaxCol(c, dt) =>
-        StatsAggFromCatalog.foldMinMax(segs, c, dt, isMin = false)
-    }
+    val values = exprs.map(e => foldShape(segs, shapeOf(e).get))
     if (values.exists(_.isEmpty)) None else Some(values.map(_.get).toArray)
   }
 
@@ -392,7 +462,8 @@ case class StatsAggFromCatalog(spark: SparkSession) extends Rule[LogicalPlan] {
         val (proven, straddlers) =
           survivors.partition(s => t.provenAllIn(Seq(s), c))
         if (straddlers.isEmpty) foldValues(proven, exprs).map(FullFold(_))
-        else if (proven.isEmpty) None
+        else if (proven.isEmpty ||
+            !exprs.forall(e => combinable(shapeOf(e).get))) None
         else foldValues(proven, exprs).map(v =>
           HybridFold(v, straddlers.map(s => idPath(s.id)), t.schema))
     }
@@ -414,12 +485,16 @@ case class StatsAggFromCatalog(spark: SparkSession) extends Rule[LogicalPlan] {
     import org.apache.spark.sql.catalyst.expressions.aggregate.Sum
     val exprs = agg.aggregateExpressions
     val shapes = exprs.map(e => shapeOf(e).get)
-    // partial-branch schema: counts non-null longs, extrema nullable
+    // partial-branch schema: counts non-null longs, extrema and sums
+    // nullable
     val partialAttrs: Seq[Attribute] = shapes.zipWithIndex.map {
       case (CountStar | CountCol(_), i) =>
         AttributeReference(s"__partial$i", LongType, nullable = false)()
       case (MinCol(_, dt), i) => AttributeReference(s"__partial$i", dt)()
       case (MaxCol(_, dt), i) => AttributeReference(s"__partial$i", dt)()
+      case (SumCol(_, _), i) => AttributeReference(s"__partial$i", LongType)()
+      case (CountDistinctCol(_, _), _) => throw new IllegalStateException(
+        "unreachable: non-combinable shape in hybrid (guarded in answer)")
     }
     val local = LocalRelation(partialAttrs, Seq(InternalRow(h.provenValues: _*)))
     val straddlerRel = rel.copy(relation =
@@ -447,6 +522,12 @@ case class StatsAggFromCatalog(spark: SparkSession) extends Rule[LogicalPlan] {
           AggregateExpression(Min(uout(i)), Complete, isDistinct = false)
         case MaxCol(_, _) =>
           AggregateExpression(Max(uout(i)), Complete, isDistinct = false)
+        case SumCol(_, _) =>
+          // SUM ignores null partials; null only when both branches
+          // had zero non-null values — the SUM-of-empty contract
+          AggregateExpression(Sum(uout(i)), Complete, isDistinct = false)
+        case CountDistinctCol(_, _) => throw new IllegalStateException(
+          "unreachable: non-combinable shape in hybrid (guarded in answer)")
       }
       Alias(combined, a.name)(exprId = a.exprId, qualifier = a.qualifier,
         explicitMetadata = a.explicitMetadata)
@@ -491,6 +572,10 @@ case class StatsAggFromCatalog(spark: SparkSession) extends Rule[LogicalPlan] {
         StatsAggFromCatalog.foldMinMax(segs, c, dt, isMin = true)
       case MaxCol(c, dt) =>
         StatsAggFromCatalog.foldMinMax(segs, c, dt, isMin = false)
+      case SumCol(c, mode) => StatsAggFromCatalog.foldSum(segs, c, mode)
+      case CountDistinctCol(c, dt) =>
+        StatsAggFromCatalog.groupSegments(segs, Seq(c -> dt)).map(groups =>
+          groups.count(_._1.head != null).toLong: Any)
     }
 
   /** GROUP BY fold. A segment FOLDS when it is fully qualified by the
@@ -542,7 +627,7 @@ case class StatsAggFromCatalog(spark: SparkSession) extends Rule[LogicalPlan] {
         InternalRow(values.map(_.get): _*)
       }
       Some(GroupedFull(rows))
-    } else if (foldable.isEmpty) None
+    } else if (foldable.isEmpty || !shapes.forall(combinable)) None
     else {
       // hybrid: canonical partial rows (keys ++ agg partials)
       val partials = grouped.map { case (kv, segs) =>
@@ -582,6 +667,9 @@ case class StatsAggFromCatalog(spark: SparkSession) extends Rule[LogicalPlan] {
         AttributeReference(s"__gpartial$i", LongType, nullable = false)()
       case (MinCol(_, dt), i) => AttributeReference(s"__gpartial$i", dt)()
       case (MaxCol(_, dt), i) => AttributeReference(s"__gpartial$i", dt)()
+      case (SumCol(_, _), i) => AttributeReference(s"__gpartial$i", LongType)()
+      case (CountDistinctCol(_, _), _) => throw new IllegalStateException(
+        "unreachable: non-combinable shape in hybrid (guarded in answerGrouped)")
     }
     val local = LocalRelation(keyAttrs ++ partialAttrs,
       h.partialRows.map(v => InternalRow(v: _*)))
@@ -616,6 +704,11 @@ case class StatsAggFromCatalog(spark: SparkSession) extends Rule[LogicalPlan] {
             AggregateExpression(Min(ref), Complete, isDistinct = false)
           case MaxCol(_, _) =>
             AggregateExpression(Max(ref), Complete, isDistinct = false)
+          case SumCol(_, _) =>
+            AggregateExpression(Sum(ref), Complete, isDistinct = false)
+          case CountDistinctCol(_, _) => throw new IllegalStateException(
+            "unreachable: non-combinable shape in hybrid (guarded in " +
+              "answerGrouped)")
         }
         Alias(combined, a.name)(exprId = a.exprId, qualifier = a.qualifier,
           explicitMetadata = a.explicitMetadata)

@@ -792,7 +792,8 @@ object SegmentQueries {
                    MIN(l_extendedprice) AS min_price,
                    MAX(l_extendedprice) AS max_price,
                    MIN(l_shipdate) AS min_ship,
-                   MAX(l_returnflag) AS max_rf
+                   MAX(l_returnflag) AS max_rf,
+                   SUM(l_orderkey) AS sum_okey
             FROM $n""")
     }),
 
@@ -834,7 +835,8 @@ object SegmentQueries {
           count(col("l_quantity")).as("cnt_qty"),
           min(col("l_shipdate")).as("min_ship"),
           max(col("l_shipdate")).as("max_ship"),
-          max(col("l_extendedprice")).as("max_price"))
+          max(col("l_extendedprice")).as("max_price"),
+          sum(col("l_orderkey")).as("sum_okey"))
     }),
 
     // g26: GROUPED stats fold over segment-aligned group keys — one
@@ -851,7 +853,8 @@ object SegmentQueries {
           count(col("o_orderpriority")).as("cnt_pri"),
           min(col("o_orderdate")).as("min_date"),
           max(col("o_orderdate")).as("max_date"),
-          max(col("o_totalprice")).as("max_price"))
+          max(col("o_totalprice")).as("max_price"),
+          sum(col("o_orderkey")).as("sum_okey"))
     }),
 
     // g27: GROUPED aggregate pushdown through the V2 CATALOG — the
@@ -867,7 +870,8 @@ object SegmentQueries {
                    COUNT(o_orderpriority) AS cnt_pri,
                    MIN(o_orderdate) AS min_date,
                    MAX(o_orderdate) AS max_date,
-                   MAX(o_totalprice) AS max_price
+                   MAX(o_totalprice) AS max_price,
+                   SUM(o_orderkey) AS sum_okey
             FROM $n GROUP BY o_orderstatus""")
     }),
 
@@ -887,7 +891,8 @@ object SegmentQueries {
           count(col("o_orderpriority")).as("cnt_pri"),
           min(col("o_orderdate")).as("min_date"),
           max(col("o_orderdate")).as("max_date"),
-          max(col("o_totalprice")).as("max_price"))
+          max(col("o_totalprice")).as("max_price"),
+          sum(col("o_orderkey")).as("sum_okey"))
     }),
 
     // g29: TIME-TRAVEL stats fold — COUNT/MIN/MAX over `VERSION AS OF`
@@ -923,7 +928,37 @@ object SegmentQueries {
           count(col("l_quantity")).as("cnt_qty"),
           min(col("l_shipdate")).as("min_ship"),
           max(col("l_shipdate")).as("max_ship"),
-          max(col("l_extendedprice")).as("max_price"))
+          max(col("l_extendedprice")).as("max_price"),
+          sum(col("l_orderkey")).as("sum_okey"))
+    }),
+
+    // g30: integral SUM answered from the catalog's exact per-segment
+    // sums (decimal-accumulated at stage time) — the missing member of
+    // the getRowCount fast-path family: SUM(key) over 100 TB becomes a
+    // driver-side catalog read like COUNT/MIN/MAX. Non-integral sums
+    // and pre-r19 segments bail to the scan (StatsAggSpec pins).
+    "g30_sum_stats_agg" -> ((s, d) => {
+      graft.mv.StatsAggFromCatalog.ensureRegistered(s)
+      val t = lineitemTable(s, d)
+      t.read().agg(
+        count(lit(1)).as("cnt"),
+        sum(col("l_orderkey")).as("sum_okey"),
+        sum(col("l_linenumber")).as("sum_ln"),
+        sum(col("l_suppkey")).as("sum_sk"))
+    }),
+
+    // g31: COUNT(DISTINCT k) over a segment-constant column answers
+    // from the catalog (the distinct count IS the number of distinct
+    // per-segment constants); non-constant columns bail (StatsAggSpec
+    // pins). The "how many tenants/sources does this table hold"
+    // operability query at 100 TB: a catalog read, not a shuffle.
+    "g31_distinct_stats_agg" -> ((s, d) => {
+      graft.mv.StatsAggFromCatalog.ensureRegistered(s)
+      val t = ordersByStatus(s, d)
+      t.read().agg(
+        count_distinct(col("o_orderstatus")).as("n_status"),
+        count(lit(1)).as("cnt"),
+        min(col("o_orderdate")).as("min_date"))
     }),
 
     "g01_segment_pruned_scan" -> ((s, d) => {
@@ -1185,7 +1220,8 @@ object SegmentQueries {
                 MIN(l_extendedprice) AS min_price,
                 MAX(l_extendedprice) AS max_price,
                 MIN(l_shipdate) AS min_ship,
-                MAX(l_returnflag) AS max_rf
+                MAX(l_returnflag) AS max_rf,
+                CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey
          FROM lineitem""",
 
     // the stats fold must equal the real scan's aggregates exactly
@@ -1218,7 +1254,8 @@ object SegmentQueries {
                 COUNT(l_quantity) AS cnt_qty,
                 MIN(l_shipdate) AS min_ship,
                 MAX(l_shipdate) AS max_ship,
-                MAX(l_extendedprice) AS max_price
+                MAX(l_extendedprice) AS max_price,
+                CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1995-01-01'
            AND l_shipdate < TIMESTAMP '1996-07-01'""",
@@ -1229,7 +1266,8 @@ object SegmentQueries {
                 COUNT(o_orderpriority) AS cnt_pri,
                 MIN(o_orderdate) AS min_date,
                 MAX(o_orderdate) AS max_date,
-                MAX(o_totalprice) AS max_price
+                MAX(o_totalprice) AS max_price,
+                CAST(SUM(o_orderkey) AS BIGINT) AS sum_okey
          FROM orders GROUP BY o_orderstatus""",
 
     // the catalog-path grouped fold must equal the real grouped scan
@@ -1238,7 +1276,8 @@ object SegmentQueries {
                 COUNT(o_orderpriority) AS cnt_pri,
                 MIN(o_orderdate) AS min_date,
                 MAX(o_orderdate) AS max_date,
-                MAX(o_totalprice) AS max_price
+                MAX(o_totalprice) AS max_price,
+                CAST(SUM(o_orderkey) AS BIGINT) AS sum_okey
          FROM orders GROUP BY o_orderstatus""",
 
     // the grouped hybrid (metadata groups + one-segment scan,
@@ -1248,7 +1287,8 @@ object SegmentQueries {
                 COUNT(o_orderpriority) AS cnt_pri,
                 MIN(o_orderdate) AS min_date,
                 MAX(o_orderdate) AS max_date,
-                MAX(o_totalprice) AS max_price
+                MAX(o_totalprice) AS max_price,
+                CAST(SUM(o_orderkey) AS BIGINT) AS sum_okey
          FROM orders GROUP BY o_orderstatus""",
 
     // the time-travel fold must equal the frozen snapshot's content
@@ -1261,15 +1301,31 @@ object SegmentQueries {
          FROM lineitem
          WHERE year(l_shipdate) <= 1995""",
 
+    // the distinct-count fold must equal the real distinct count
+    "g31_distinct_stats_agg" ->
+      """SELECT COUNT(DISTINCT o_orderstatus) AS n_status,
+                COUNT(*) AS cnt,
+                MIN(o_orderdate) AS min_date
+         FROM orders""",
+
     // the filtered fold must equal the real filtered scan exactly
     "g22_metadata_filtered_agg" ->
       """SELECT COUNT(*) AS cnt,
                 COUNT(l_quantity) AS cnt_qty,
                 MIN(l_shipdate) AS min_ship,
                 MAX(l_shipdate) AS max_ship,
-                MAX(l_extendedprice) AS max_price
+                MAX(l_extendedprice) AS max_price,
+                CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1996-01-01'""",
+
+    // the SUM fold must equal the real scan's sums exactly
+    "g30_sum_stats_agg" ->
+      """SELECT COUNT(*) AS cnt,
+                CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
+                CAST(SUM(l_linenumber) AS BIGINT) AS sum_ln,
+                CAST(SUM(l_suppkey) AS BIGINT) AS sum_sk
+         FROM lineitem""",
 
     // the catalog DELETE's survivors = the NOT(predicate) replay
     "g18_catalog_dml" ->

@@ -1958,7 +1958,8 @@ case class ShowGraftStatsCommand(name: String) extends LeafRunnableCommand {
     AttributeReference("min", StringType, nullable = true)(),
     AttributeReference("max", StringType, nullable = true)(),
     AttributeReference("null_count", LongType, nullable = true)(),
-    AttributeReference("row_count", LongType, nullable = false)())
+    AttributeReference("row_count", LongType, nullable = false)(),
+    AttributeReference("sum", StringType, nullable = true)())
   override def run(spark: SparkSession): Seq[Row] = {
     val t = GraftCatalog.open(spark, name)
     val live = t.showSegments().filter(_.status == SegmentedTable.SUCCESS)
@@ -1969,7 +1970,11 @@ case class ShowGraftStatsCommand(name: String) extends LeafRunnableCommand {
           .flatMap(Option(_)).map(String.valueOf).orNull
       val nulls: Any = graft.mv.StatsAggFromCatalog
         .foldNonNullCount(live, f.name).map(nn => rows - nn).orNull
-      Row(f.name, fold(isMin = true), fold(isMin = false), nulls, rows)
+      // the exact total (integral columns, r19+ segments) — the same
+      // number the SUM fold serves
+      val sumS: String = graft.mv.StatsAggFromCatalog.foldSumExact(live, f.name)
+        .flatMap(identity).map(_.toString).orNull
+      Row(f.name, fold(isMin = true), fold(isMin = false), nulls, rows, sumS)
     }
   }
 }

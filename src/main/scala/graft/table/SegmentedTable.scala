@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal}
-import org.apache.spark.sql.functions.{col, lit, max, min}
+import org.apache.spark.sql.functions.{col, lit, max, min, sum}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.graftbridge.ColumnExpr
 import org.json4s._
@@ -13,7 +13,16 @@ import org.json4s.jackson.Serialization
 /** Per-column min/max kept in the segment catalog, serialized as
   * strings with a type tag (numeric | string | timestamp).
   */
-case class ColStats(min: String, max: String, kind: String)
+/** Per-segment exact column statistics. `sum` (r19): the EXACT sum of
+  * an integral column's non-null values as a decimal string — collected
+  * at stage time in DecimalType(38,0) so per-segment overflow is
+  * impossible at any realistic row count — letting SUM (and, combined
+  * with null counts, AVG-shaped reads) fold from the catalog like
+  * COUNT/MIN/MAX. None for non-integral columns and for segments
+  * staged before the field existed (folds bail, never guess).
+  */
+case class ColStats(min: String, max: String, kind: String,
+                    sum: Option[String] = None)
 
 /** One load = one segment (reference: Segment_N directories tracked in
   * table_status.thrift with LOAD_PROGRESS/SUCCESS/... states —
@@ -717,18 +726,30 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
   private def collectStats(dir: Path): (Long, Map[String, ColStats], Map[String, Long]) = {
     val df = spark.read.schema(schema).parquet(dir.toString)
     val eligible = schema.fields.filter(f => kindOf(f.dataType).isDefined)
+    // integral columns additionally record their EXACT sum (decimal
+    // accumulation — immune to per-segment overflow and to eval-mode
+    // differences between stage time and query time)
+    val summable = schema.fields.filter(f => isIntegralType(f.dataType))
     val aggs = eligible.flatMap(f =>
       Seq(min(col(f.name)).as(s"min_${f.name}"), max(col(f.name)).as(s"max_${f.name}"))) ++
+      summable.map(f =>
+        sum(col(f.name).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .as(s"sum_${f.name}")) ++
       schema.fields.map(f =>
         org.apache.spark.sql.functions.count(col(f.name)).as(s"cnt_${f.name}")) :+
       org.apache.spark.sql.functions.count(lit(1)).as("__rows")
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     val rows = row.getAs[Long]("__rows")
+    val sums = summable.flatMap { f =>
+      Option(row.getAs[java.math.BigDecimal](s"sum_${f.name}"))
+        .map(v => f.name -> v.toBigInteger.toString)
+    }.toMap
     val stats = eligible.flatMap { f =>
       val mn = row.getAs[Any](s"min_${f.name}")
       val mx = row.getAs[Any](s"max_${f.name}")
       if (mn == null || mx == null) None
-      else Some(f.name -> ColStats(fmt(mn), fmt(mx), kindOf(f.dataType).get))
+      else Some(f.name -> ColStats(fmt(mn), fmt(mx), kindOf(f.dataType).get,
+        sum = sums.get(f.name)))
     }.toMap
     // count(col) is the non-null count: nulls = rows - count
     val nullCounts = schema.fields.map(f =>
@@ -2156,6 +2177,14 @@ object SegmentedTable {
   val DmlStagingParallelismKey = "spark.graft.dmlStagingParallelism"
   val DmlStagingParallelismDefault = "8"
 
+  /** The column types whose per-segment exact sums the catalog records
+    * (see [[ColStats.sum]]) — shared with the stats-fold consumers.
+    */
+  def isIntegral(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
   /** Disambiguates staging dirs created in the same nanosecond by
     * concurrent staging threads (prefix matching for the TTL sweep is
     * unaffected).
@@ -2195,6 +2224,9 @@ object SegmentedTable {
       bytes: Long = -1L)
 
   private[table] implicit val formats: Formats = DefaultFormats
+
+  private def isIntegralType(t: DataType): Boolean =
+    SegmentedTable.isIntegral(t)
 
   private def kindOf(t: DataType): Option[String] = t match {
     case _: NumericType => Some("numeric")

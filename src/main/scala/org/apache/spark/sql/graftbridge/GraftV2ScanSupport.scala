@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, NamedReference}
-import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum => V2Sum}
 import org.apache.spark.sql.connector.read.{Batch, LocalScan, Scan, ScanBuilder, Statistics => V2Statistics, SupportsPushDownAggregates, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.FileScanBuilder
@@ -167,6 +167,33 @@ object GraftV2ScanSupport {
               fld <- schema.fields.find(_.name == n)
               v <- foldMinMax(segs, n, fld.dataType, isMin = false)
             } yield StructField(s"max($n)", fld.dataType) -> v
+          case c: Count if c.isDistinct =>
+            // COUNT(DISTINCT col) over a segment-constant column: the
+            // answer IS the number of distinct non-null constants
+            for {
+              n <- colName(c.column)
+              fld <- schema.fields.find(_.name == n)
+              groups <- graft.mv.StatsAggFromCatalog
+                .groupSegments(segs, Seq(n -> fld.dataType))
+            } yield StructField(s"count(DISTINCT $n)", LongType,
+              nullable = false) ->
+              (groups.count(_._1.head != null).toLong: Any)
+          case s: V2Sum if !s.isDistinct =>
+            // integral SUM from the catalog's exact per-segment sums;
+            // a pushed-complete aggregate's result is FINAL, so serve
+            // only when the exact total fits the long the plan expects
+            for {
+              n <- colName(s.column)
+              fld <- schema.fields.find(_.name == n)
+              if graft.table.SegmentedTable.isIntegral(fld.dataType)
+              t <- foldSumExact(segs, n)
+              v <- t match {
+                case None => Some(null: Any)
+                case Some(total) if total.isValidLong =>
+                  Some(java.lang.Long.valueOf(total.toLong): Any)
+                case _ => None
+              }
+            } yield StructField(s"sum($n)", LongType) -> v
           case _ => None
         }
       }

@@ -245,6 +245,13 @@ class StatsAggSpec extends AnyFunSuite {
     assert(qd.collect().map(r => Option(r.getString(0))).toSet ==
       Set(Some("a"), Some("b"), None))
 
+    // COUNT(DISTINCT k) over the segment-constant column folds too —
+    // nulls excluded per SQL semantics ("a", "b" but not the NULL)
+    val qcd = t.read().agg(count_distinct(col("g")).as("n"),
+      count(lit(1)).as("c"))
+    assert(scansOf(qcd).isEmpty, qcd.queryExecution.optimizedPlan.toString)
+    assert(qcd.head().getLong(0) == 2L && qcd.head().getLong(1) == 7L)
+
     // a segment where the group key is NOT constant bails to the scan
     val t2 = SegmentedTable.create(spark, freshRoot("grpmix"), schema, Map.empty)
     t2.load(Seq(("a", 1L), ("b", 2L)).toDF("g", "v"))
@@ -252,6 +259,11 @@ class StatsAggSpec extends AnyFunSuite {
     assert(scansOf(q2).nonEmpty)
     assert(q2.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
       Set(("a", 1L), ("b", 1L)))
+    // ... and so does COUNT(DISTINCT) on it (distinct counts never
+    // combine across a hybrid, so a non-constant column must scan)
+    val q2d = t2.read().agg(count_distinct(col("g")).as("n"))
+    assert(scansOf(q2d).nonEmpty)
+    assert(q2d.head().getLong(0) == 2L)
 
     // a segment-ALIGNED filter composes with the grouped fold
     val q3 = t.read().filter(col("v") <= 3L).groupBy(col("g"))
@@ -307,6 +319,45 @@ class StatsAggSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(gotF == Set(("a", 3L, 1L, 5L), ("b", 1L, 10L, 10L),
       ("c", 1L, 7L, 7L)), gotF.toString)
+  }
+
+  test("integral SUM folds from the catalog's exact per-segment sums") {
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("d", DoubleType),
+      StructField("n", LongType)))
+    val t = SegmentedTable.create(spark, freshRoot("sum"), schema, Map.empty)
+    t.load(Seq((1L, 1.5, 10L), (2L, 2.5, 20L)).toDF("k", "d", "n"))
+    t.load(Seq((3L, 3.5, 30L), (4L, 4.5, 40L)).toDF("k", "d", "n"))
+    // integral sums fold with zero scan
+    val q = t.read().agg(sum(col("k")).as("sk"), sum(col("n")).as("sn"),
+      count(lit(1)).as("c"))
+    assert(scansOf(q).isEmpty, q.queryExecution.optimizedPlan.toString)
+    val r = q.head()
+    assert(r.getLong(0) == 10L && r.getLong(1) == 100L && r.getLong(2) == 4L)
+    // a DOUBLE sum is never served from metadata (order-dependent
+    // accumulation) — the whole fold bails to the real scan
+    val qd = t.read().agg(sum(col("d")).as("sd"))
+    assert(scansOf(qd).nonEmpty, qd.queryExecution.optimizedPlan.toString)
+    assert(math.abs(qd.head().getDouble(0) - 12.0) < 1e-9)
+    // all-null integral column serves the NULL sum
+    val t2 = SegmentedTable.create(spark, freshRoot("sumnull"),
+      StructType(Seq(StructField("k", LongType), StructField("v", LongType))),
+      Map.empty)
+    t2.load(Seq((1L, Option.empty[Long]), (2L, None)).toDF("k", "v"))
+    val qn = t2.read().agg(sum(col("v")).as("sv"))
+    assert(scansOf(qn).isEmpty, qn.queryExecution.optimizedPlan.toString)
+    assert(qn.head().isNullAt(0))
+    // grouped + hybrid: sums combine across the metadata/scan branches
+    val t3 = SegmentedTable.create(spark, freshRoot("sumhyb"),
+      StructType(Seq(StructField("g", StringType), StructField("v", LongType))),
+      Map.empty)
+    t3.load(Seq(("a", 1L), ("a", 2L)).toDF("g", "v"))
+    t3.load(Seq(("a", 4L), ("b", 8L)).toDF("g", "v")) // mixed → scans
+    val qg = t3.read().groupBy(col("g")).agg(sum(col("v")).as("sv"))
+    assert(scansOf(qg).size == 1, qg.queryExecution.optimizedPlan.toString)
+    assert(qg.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("a", 7L), ("b", 8L)))
   }
 
   test("a DELETE's COW rewrite refreshes the folded answer") {

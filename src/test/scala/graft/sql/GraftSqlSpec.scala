@@ -1566,7 +1566,7 @@ class GraftSqlSpec extends AnyFunSuite {
       val q = spark.sql(
         """SELECT COUNT(*) AS n, COUNT(o_comment_missing_ok) AS nc,
                   MIN(o_totalprice) AS mn, MAX(o_orderdate) AS mx,
-                  MIN(o_orderstatus) AS ms
+                  MIN(o_orderstatus) AS ms, SUM(o_orderkey) AS sk
            FROM graft.default.v2agg"""
           .replace("o_comment_missing_ok", "o_orderpriority"))
       // the plan must be a local scan of the folded row — no file scan
@@ -1576,7 +1576,7 @@ class GraftSqlSpec extends AnyFunSuite {
       assert(!exec.contains("BatchScan"), exec)
       val want = spark.sql(
         """SELECT COUNT(*), COUNT(o_orderpriority), MIN(o_totalprice),
-                  MAX(o_orderdate), MIN(o_orderstatus)
+                  MAX(o_orderdate), MIN(o_orderstatus), SUM(o_orderkey)
            FROM (SELECT * FROM v2agg_src UNION ALL SELECT * FROM v2agg_src)""").head()
       assert(q.head() == want)
 
@@ -1806,6 +1806,9 @@ class GraftSqlSpec extends AnyFunSuite {
         "SELECT MIN(n_name), MAX(n_name) FROM stats_src").head()
       assert(n.getString(1) == want.getString(0) &&
         n.getString(2) == want.getString(1))
+      // the exact integral sum surfaces too (2 loads x Σ0..24 = 600)
+      assert(k.getString(5) == "600", k.toString)
+      assert(n.getString(5) == null) // strings carry no sum
     } finally spark.sql("DROP GRAFT TABLE stats_t")
   }
 }
