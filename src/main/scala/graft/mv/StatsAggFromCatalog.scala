@@ -402,15 +402,15 @@ case class StatsAggFromCatalog(spark: SparkSession) extends Rule[LogicalPlan] {
     * All paths must be segment dirs of ONE graft table; every scanned
     * id must still be live (ids are never reused and segment dirs are
     * immutable, so live stats describe the scanned data verbatim; a
-    * stale plan over a since-deleted segment bails). Without a filter
-    * the scan must cover EXACTLY the live set (a subset scan has no
-    * pruning justification in an unfiltered plan — stale-plan
-    * protection); with one, a subset is legitimate because
-    * [[graft.table.GraftSegmentPruning]] may already have rewritten
-    * the relation to the min/max survivors in the same fixed-point
-    * batch.
+    * stale plan over a since-deleted segment bails). A scan of a
+    * live-set SUBSET is legitimate and folds over exactly the scanned
+    * segments — [[graft.table.GraftSegmentPruning]] produces such
+    * scans (with the Filter kept for straddlers, WITHOUT one when the
+    * predicate was proven exact and elided), and a hand-built scan of
+    * one live segment dir means "aggregate this segment", which the
+    * per-segment stats describe verbatim either way.
     */
-  private def resolveScanned(paths: Seq[String], filtered: Boolean)
+  private def resolveScanned(paths: Seq[String])
       : Option[(SegmentedTable, Seq[SegmentMeta], Map[Int, String])] = {
     val seg = """(.*)/segment_(\d+)/?$""".r
     val parsed = paths.map {
@@ -429,8 +429,6 @@ case class StatsAggFromCatalog(spark: SparkSession) extends Rule[LogicalPlan] {
     if (scannedIds.distinct.size != scannedIds.size) return None
     val scanned = scannedIds.flatMap(byId.get)
     if (scanned.size != scannedIds.size) return None
-    if (!filtered && scanned.map(_.id).toSet != live.map(_.id).toSet)
-      return None
     val idPath = scannedIds.zip(paths).toMap
     Some((t, scanned, idPath))
   }
@@ -453,7 +451,7 @@ case class StatsAggFromCatalog(spark: SparkSession) extends Rule[LogicalPlan] {
   private def answer(paths: Seq[String], cond: Option[Expression],
                      exprs: Seq[NamedExpression]): Option[FoldResult] = {
     val (t, scanned, idPath) =
-      resolveScanned(paths, filtered = cond.isDefined).getOrElse(return None)
+      resolveScanned(paths).getOrElse(return None)
     cond match {
       case None => foldValues(scanned, exprs).map(FullFold(_))
       case Some(c) =>
@@ -594,7 +592,7 @@ case class StatsAggFromCatalog(spark: SparkSession) extends Rule[LogicalPlan] {
                             exprs: Seq[NamedExpression])
       : Option[GroupedFoldResult] = {
     val (t, scanned, idPath) =
-      resolveScanned(paths, filtered = cond.isDefined).getOrElse(return None)
+      resolveScanned(paths).getOrElse(return None)
     val survivors = cond match {
       case None => scanned
       case Some(c) =>

@@ -76,19 +76,35 @@ case class GraftSegmentPruning(spark: SparkSession) extends Rule[LogicalPlan] {
               val byId = t.status.segments.map(m => m.id -> m).toMap
               val referenced = h.location.rootPaths
                 .flatMap(p => idOf(p.getName).flatMap(byId.get))
-              val survivorIds = t.pruneAmong(referenced, cond).map(_.id).toSet
+              val survivors = t.pruneAmong(referenced, cond)
+              val survivorIds = survivors.map(_.id).toSet
               val keep = h.location.rootPaths.filter(p =>
                 idOf(p.getName).forall(id =>
                   !byId.contains(id) || survivorIds.contains(id)))
-              if (keep.length == h.location.rootPaths.length) f
-              else if (keep.isEmpty)
+              // exact-filter elision (the rule-path twin of the V2
+              // catalog's trichotomy): when every kept path is a
+              // catalog-known segment PROVEN all-in — every row
+              // satisfies the predicate, null semantics included —
+              // the pruned scan IS the filtered scan and the Filter
+              // disappears from the plan (no per-row predicate eval
+              // on a segment-aligned time-range scan, and downstream
+              // rules like the stats-aggregate fold see the scan
+              // directly). Conservative: one unknown id or one
+              // unproven survivor keeps the Filter.
+              val exact = keep.nonEmpty &&
+                keep.forall(p => idOf(p.getName).exists(byId.contains)) &&
+                t.provenAllIn(survivors, cond)
+              if (keep.length == h.location.rootPaths.length) {
+                if (exact) l else f
+              } else if (keep.isEmpty)
                 // nothing can match: collapse to an empty relation with
                 // the SAME output attributes (Filter kept for safety)
                 Filter(cond, LocalRelation(l.output))
               else {
                 val rel = ColumnExpr.parquetRelation(spark,
                   keep.map(_.toString), t.schema)
-                Filter(cond, l.copy(relation = rel))
+                val pruned = l.copy(relation = rel)
+                if (exact) pruned else Filter(cond, pruned)
               }
             case None => f
           }
