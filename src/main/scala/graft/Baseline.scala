@@ -284,6 +284,8 @@ object Baseline {
     }),
 
     // the hybrid fold's savings vs a real filtered scan + aggregate
+    // (same aggregate list as the gate, sum_okey included, so the
+    // measure-both bench compares equal work)
     "g25_hybrid_stats_agg" -> ((s, d) => {
       Tables.lineitem(s, d)
         .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
@@ -292,7 +294,8 @@ object Baseline {
           count(col("l_quantity")).as("cnt_qty"),
           min(col("l_shipdate")).as("min_ship"),
           max(col("l_shipdate")).as("max_ship"),
-          max(col("l_extendedprice")).as("max_price"))
+          max(col("l_extendedprice")).as("max_price"),
+          sum(col("l_orderkey")).as("sum_okey"))
     }),
 
     // the catalog grouped fold's savings vs a real grouped scan

@@ -919,10 +919,14 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
       case EqualTo(Literal(v, t), a) =>
         minCmp(a, v, t)(_ == 0) && maxCmp(a, v, t)(_ == 0)
       case IsNotNull(a) =>
-        // physical nulls proven absent, OR a declared default makes
-        // every read row non-null regardless of the files
-        bareAttrName(a).exists(n => provenNoNulls(seg, n) ||
-          (hasDefault(n) && defaultStats.contains(n)))
+        // ONLY physically proven: a declared default makes read rows
+        // non-null solely on read paths that materialize defaults
+        // (t.read()'s coalesce) — but this proof also reaches RAW
+        // parquet scans (the optimizer rule's exact-filter elision and
+        // hand-built segment-dir scans), where a physical NULL would
+        // surface if the IsNotNull filter were elided on the strength
+        // of the default alone
+        bareAttrName(a).exists(n => provenNoNulls(seg, n))
       case _ => false // unknown shape: unprovable
     }
   }
@@ -1657,15 +1661,37 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
       spark.conf.get(SegmentedTable.DmlStagingParallelismKey,
         SegmentedTable.DmlStagingParallelismDefault).toInt))
     if (par <= 1) return items.map(f)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+    // daemon threads: a failure path must never leave non-daemon pool
+    // threads pinning the JVM while their doomed staging jobs drain
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(par,
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger()
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-dml-staging-${n.incrementAndGet()}")
+          t.setDaemon(true)
+          t
+        }
+      })
+    // every staging job runs under one cancellable job group, so the
+    // first failure stops the cluster burning time on doomed siblings
+    val group = s"graft-dml-staging-${java.util.UUID.randomUUID()}"
     try {
       val futures = items.map(a =>
         pool.submit(new java.util.concurrent.Callable[B] {
-          def call(): B = f(a)
+          def call(): B = {
+            spark.sparkContext.setJobGroup(group,
+              "graft COW-DML segment staging", interruptOnCancel = true)
+            try f(a) finally spark.sparkContext.clearJobGroup()
+          }
         }))
       futures.map(fu =>
         try fu.get()
         catch { case e: java.util.concurrent.ExecutionException =>
+          // fail fast: drop queued work, interrupt in-flight stagers,
+          // and cancel their running Spark jobs before propagating
+          pool.shutdownNow()
+          try spark.sparkContext.cancelJobGroup(group)
+          catch { case scala.util.control.NonFatal(_) => () }
           throw e.getCause })
     } finally pool.shutdown()
   }

@@ -298,6 +298,24 @@ object GraftV2ScanSupport {
                 override def readSchema(): StructType = scan.readSchema()
                 override def toBatch: Batch = scan.toBatch
                 override def description(): String = scan.description()
+                // forward the full Scan surface, not just the methods
+                // the stats probe is known to exercise — if a future
+                // Spark path ever EXECUTES a never-pushed-down scan,
+                // behavior must stay identical to the inner scan
+                override def toMicroBatchStream(checkpointLocation: String)
+                    : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+                  scan.toMicroBatchStream(checkpointLocation)
+                override def toContinuousStream(checkpointLocation: String)
+                    : org.apache.spark.sql.connector.read.streaming.ContinuousStream =
+                  scan.toContinuousStream(checkpointLocation)
+                override def supportedCustomMetrics()
+                    : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+                  scan.supportedCustomMetrics()
+                override def reportDriverMetrics()
+                    : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+                  scan.reportDriverMetrics()
+                override def columnarSupportMode(): Scan.ColumnarSupportMode =
+                  scan.columnarSupportMode()
                 override def estimateStatistics(): V2Statistics = new V2Statistics {
                   override def sizeInBytes(): java.util.OptionalLong =
                     java.util.OptionalLong.of(math.max(1L, segs.map(_.bytes).sum))
