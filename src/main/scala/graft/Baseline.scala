@@ -298,6 +298,19 @@ object Baseline {
           sum(col("l_orderkey")).as("sum_okey"))
     }),
 
+    // the catalog-path hybrid fold's savings vs a real filtered scan
+    "g32_catalog_hybrid_agg" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-07-01").cast("timestamp"))
+        .agg(count(lit(1)).as("cnt"),
+          count(col("l_quantity")).as("cnt_qty"),
+          min(col("l_shipdate")).as("min_ship"),
+          max(col("l_shipdate")).as("max_ship"),
+          max(col("l_extendedprice")).as("max_price"),
+          sum(col("l_orderkey")).as("sum_okey"))
+    }),
+
     // the catalog grouped fold's savings vs a real grouped scan
     "g27_catalog_grouped_agg" -> ((s, d) => {
       Tables.orders(s, d)

@@ -257,7 +257,10 @@ case class StatsAggFromCatalog(spark: SparkSession) extends Rule[LogicalPlan] {
         case Some((cond, paths, rel)) =>
           answer(paths, cond, aggExprs) match {
             case Some(FullFold(values)) =>
-              LocalRelation(agg.output.map(_.asInstanceOf[Attribute]),
+              // the V2 builder's own pushed-aggregate LocalScan serves
+              // full folds on the pre-pushdown path — don't steal them
+              if (rel.deferFullFold) agg
+              else LocalRelation(agg.output.map(_.asInstanceOf[Attribute]),
                 Seq(InternalRow(values: _*)))
             case Some(h: HybridFold) => hybridPlan(agg, cond.get, rel, h)
             case None => agg
@@ -279,7 +282,8 @@ case class StatsAggFromCatalog(spark: SparkSession) extends Rule[LogicalPlan] {
           answerGrouped(paths, cond,
             groups.map(_.asInstanceOf[AttributeReference]), aggExprs) match {
             case Some(GroupedFull(rows)) =>
-              LocalRelation(agg.output.map(_.asInstanceOf[Attribute]), rows)
+              if (rel.deferFullFold) agg
+              else LocalRelation(agg.output.map(_.asInstanceOf[Attribute]), rows)
             case Some(h: GroupedHybrid) =>
               hybridGroupedPlan(agg,
                 groups.map(_.asInstanceOf[AttributeReference]), cond, rel, h)
@@ -357,23 +361,100 @@ case class StatsAggFromCatalog(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
+  /** The scan leaf a fold replaces. Each variant knows how to rebuild
+    * itself over ONLY the straddler segment dirs with attribute
+    * references kept resolved — the V1 rule-path relation copies
+    * itself (same output attrs), the V2 catalog shapes re-surface as
+    * a V1 parquet LogicalRelation CARRYING the V2 node's own output
+    * attributes over a schema pruned to them (FileSourceStrategy then
+    * plans it like any filtered parquet scan: pushdown + pruning at
+    * physical planning).
+    */
+  private sealed trait FoldableScan {
+    def mkStraddler(paths: Seq[String], tableSchema: StructType): LogicalPlan
+    /** FULL folds defer to the V2 builder's pushed-aggregate LocalScan
+      * on the PRE-pushdown interception (extension sessions): the rule
+      * runs before V2ScanRelationPushDown there, and stealing the full
+      * fold would bypass the builder the catalog plan pins (and the
+      * thrift stats surface) rely on. Hybrids never defer — the
+      * builder's all-or-nothing contract cannot express fold + scan.
+      */
+    def deferFullFold: Boolean
+  }
+  private case class V1Leaf(l: LogicalRelation) extends FoldableScan {
+    def mkStraddler(paths: Seq[String], tableSchema: StructType): LogicalPlan =
+      l.copy(relation = org.apache.spark.sql.graftbridge.ColumnExpr
+        .parquetRelation(spark, paths, tableSchema))
+    def deferFullFold: Boolean = false
+  }
+  private case class V2Leaf(output: Seq[AttributeReference],
+                            deferFullFold: Boolean) extends FoldableScan {
+    def mkStraddler(paths: Seq[String], tableSchema: StructType): LogicalPlan = {
+      // schema pruned to the V2 node's (possibly column-pruned) output,
+      // in output order, so LogicalRelation's attr↔schema contract holds
+      val pruned = StructType(output.map(a =>
+        tableSchema.fields.find(_.name == a.name)
+          .getOrElse(StructField(a.name, a.dataType, a.nullable))))
+      new LogicalRelation(org.apache.spark.sql.graftbridge.ColumnExpr
+        .parquetRelation(spark, paths, pruned), output.toIndexedSeq, None,
+        false, None)
+    }
+  }
+
   /** Strip attribute-only Projects and at most ONE Filter between the
     * aggregate and the scan (the optimizer has already collapsed
     * filter chains). Returns the filter condition (if any), the
-    * scanned segment paths, and the relation node itself (the hybrid
-    * fold copies it over the straddler paths so downstream attribute
-    * references stay valid).
+    * scanned segment paths, and the [[FoldableScan]] leaf (the hybrid
+    * fold rebuilds it over the straddler paths so downstream attribute
+    * references stay valid). Three leaf shapes:
+    *  - V1 `LogicalRelation(HadoopFsRelation)` over segment dirs — the
+    *    rule path (DataFrame reads, `format("graft")`, temp views);
+    *  - post-pushdown `DataSourceV2ScanRelation(ParquetScan)` — plain
+    *    sessions register via extraOptimizations, which run AFTER V2
+    *    scan pushdown, so a catalog read the builder could not fold
+    *    (one straddler disables its all-or-nothing pushed aggregate)
+    *    arrives here with the Filter kept and the survivor dirs as the
+    *    scan's root paths;
+    *  - pre-pushdown `DataSourceV2Relation(GraftV2Table)` — extension-
+    *    injected rules run BEFORE V2 scan pushdown, so the same
+    *    catalog read is intercepted at the relation itself (live
+    *    snapshot paths; full folds defer to the builder).
     */
   private def extract(p: LogicalPlan, cond: Option[Expression])
-      : Option[(Option[Expression], Seq[String], LogicalRelation)] = p match {
+      : Option[(Option[Expression], Seq[String], FoldableScan)] = p match {
     case l: LogicalRelation => l.relation match {
       // a scan carrying file-level read filters (glob, mtime bounds,
       // recursive lookup) reads a SUBSET of the segment dirs' files —
       // the catalog answer would silently drift; leave it alone
       case h: HadoopFsRelation if !AggTables.hasFileFilterOptions(h) =>
-        Some((cond, h.location.rootPaths.map(_.toString.stripPrefix("file:")), l))
+        Some((cond, h.location.rootPaths.map(_.toString.stripPrefix("file:")),
+          V1Leaf(l)))
       case _ => None
     }
+    case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+      r.scan match {
+        // guard: no hive-partition columns, no partition-level (DPP)
+        // filters, no already-pushed aggregate — shapes whose row
+        // semantics the segment stats alone cannot describe. The
+        // scan's dataFilters MAY be non-empty: V2 pushdown derives
+        // them from the SAME conjuncts the retained Filter node (our
+        // `cond`) carries, so any file they advise skipping holds no
+        // cond-matching rows and the fold over cond stays exact.
+        case ps: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+            if ps.readPartitionSchema.isEmpty && ps.partitionFilters.isEmpty &&
+              ps.pushedAggregate.isEmpty =>
+          Some((cond,
+            ps.fileIndex.rootPaths.map(_.toString.stripPrefix("file:")),
+            V2Leaf(r.output, deferFullFold = false)))
+        case _ => None
+      }
+    case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+      r.table match {
+        case t: graft.sql.GraftV2Table =>
+          t.foldSnapshotPaths.map(paths => (cond, paths,
+            V2Leaf(r.output, deferFullFold = true)))
+        case _ => None
+      }
     case Project(exprs, child) if exprs.forall(_.isInstanceOf[Attribute]) =>
       extract(child, cond)
     case org.apache.spark.sql.catalyst.plans.logical.Filter(f, child)
@@ -478,7 +559,7 @@ case class StatsAggFromCatalog(spark: SparkSession) extends Rule[LogicalPlan] {
     * and prunes columns at physical planning).
     */
   private def hybridPlan(agg: Aggregate, cond: Expression,
-                         rel: LogicalRelation, h: HybridFold): LogicalPlan = {
+                         rel: FoldableScan, h: HybridFold): LogicalPlan = {
     import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Union}
     import org.apache.spark.sql.catalyst.expressions.aggregate.Sum
     val exprs = agg.aggregateExpressions
@@ -495,9 +576,7 @@ case class StatsAggFromCatalog(spark: SparkSession) extends Rule[LogicalPlan] {
         "unreachable: non-combinable shape in hybrid (guarded in answer)")
     }
     val local = LocalRelation(partialAttrs, Seq(InternalRow(h.provenValues: _*)))
-    val straddlerRel = rel.copy(relation =
-      org.apache.spark.sql.graftbridge.ColumnExpr
-        .parquetRelation(spark, h.straddlerPaths, h.schema))
+    val straddlerRel = rel.mkStraddler(h.straddlerPaths, h.schema)
     val innerExprs: Seq[NamedExpression] = exprs.zipWithIndex.map {
       case (Alias(ae, _), i) => Alias(ae, s"__scan$i")()
       case (e, _) => throw new IllegalStateException(e.toString) // servableShapes
@@ -650,7 +729,7 @@ case class StatsAggFromCatalog(spark: SparkSession) extends Rule[LogicalPlan] {
   private def hybridGroupedPlan(agg: Aggregate,
                                 groups: Seq[AttributeReference],
                                 cond: Option[Expression],
-                                rel: LogicalRelation,
+                                rel: FoldableScan,
                                 h: GroupedHybrid): LogicalPlan = {
     import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Union}
     import org.apache.spark.sql.catalyst.expressions.aggregate.Sum
@@ -671,9 +750,7 @@ case class StatsAggFromCatalog(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     val local = LocalRelation(keyAttrs ++ partialAttrs,
       h.partialRows.map(v => InternalRow(v: _*)))
-    val scanRel = rel.copy(relation =
-      org.apache.spark.sql.graftbridge.ColumnExpr
-        .parquetRelation(spark, h.scanPaths, h.schema))
+    val scanRel = rel.mkStraddler(h.scanPaths, h.schema)
     val innerChild = cond.fold(scanRel: LogicalPlan)(LFilter(_, scanRel))
     val innerAggAliases: Seq[NamedExpression] =
       exprs.collect { case Alias(ae: AggregateExpression, _) => ae }

@@ -82,6 +82,32 @@ object SegmentQueries {
       s"$cat.default.li_aligned"
     })
 
+  /** g32's catalog table: lineitem behind a V2 catalog identifier in
+    * THREE ship-year loads (≤1994, 1995, ≥1996) so a time-range
+    * predicate proves one segment all-out, one all-in, and STRADDLES
+    * the third — the hybrid fold's shape through the BI-facing catalog
+    * surface (plan pin in GraftSqlSpec: LocalTableScan partials + a
+    * scan of exactly the straddler's dir).
+    */
+  private val catalogHybrid = new graft.util.BuildOnce[String]
+
+  private def catalogHybridTable(s: SparkSession, d: String): String =
+    catalogHybrid.getOrElseUpdate(s"gch|$d|${s.sparkContext.applicationId}", {
+      val cat = s"gch${(d + s.sparkContext.applicationId).hashCode.abs}"
+      val root = graft.util.RunRoot.under(
+        s"graft_catalog_hybrid/${d.replace('/', '_')}")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalogPlugin")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      Tables.lineitem(s, d).createOrReplaceTempView("g32_lineitem_src")
+      s.sql(s"CREATE TABLE $cat.default.li_hybrid USING graft " +
+        "AS SELECT * FROM g32_lineitem_src WHERE year(l_shipdate) <= 1994")
+      s.sql(s"INSERT INTO $cat.default.li_hybrid " +
+        "SELECT * FROM g32_lineitem_src WHERE year(l_shipdate) = 1995")
+      s.sql(s"INSERT INTO $cat.default.li_hybrid " +
+        "SELECT * FROM g32_lineitem_src WHERE year(l_shipdate) > 1995")
+      s"$cat.default.li_hybrid"
+    })
+
   /** g27's catalog table: orders behind a V2 catalog identifier, one
     * INSERT per order status — the group key is constant per segment,
     * so a catalog-side GROUP BY folds from segment stats through the
@@ -839,6 +865,32 @@ object SegmentQueries {
           sum(col("l_orderkey")).as("sum_okey"))
     }),
 
+    // g32: HYBRID stats fold through the V2 CATALOG path — the
+    // catalog twin of g25: the straddling time-range aggregate over
+    // `cat.default.t` folds the proven segments from metadata and
+    // scans ONLY the straddler's dir (the rule intercepts the V2
+    // relation; the builder's all-or-nothing pushed-aggregate contract
+    // cannot express fold + scan). In Verify's plain session this
+    // exercises the post-pushdown DataSourceV2ScanRelation shape; the
+    // GraftSqlSpec pin exercises the extension session's pre-pushdown
+    // shape. At 100 TB: "9,998 proven segments + 2 straddlers" through
+    // the BI-facing catalog surface costs a 2-segment scan, not a full
+    // filtered scan.
+    "g32_catalog_hybrid_agg" -> ((s, d) => {
+      graft.mv.StatsAggFromCatalog.ensureRegistered(s)
+      val n = catalogHybridTable(s, d)
+      s.sql(
+        s"""SELECT COUNT(*) AS cnt,
+                   COUNT(l_quantity) AS cnt_qty,
+                   MIN(l_shipdate) AS min_ship,
+                   MAX(l_shipdate) AS max_ship,
+                   MAX(l_extendedprice) AS max_price,
+                   SUM(l_orderkey) AS sum_okey
+            FROM $n
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_shipdate < TIMESTAMP '1996-07-01'""")
+    }),
+
     // g26: GROUPED stats fold over segment-aligned group keys — one
     // load per order status makes the group key constant per segment,
     // so GROUP BY folds per segment group from the catalog with zero
@@ -1250,6 +1302,19 @@ object SegmentQueries {
     // the hybrid fold (metadata + one-segment scan) must equal the
     // real filtered scan exactly
     "g25_hybrid_stats_agg" ->
+      """SELECT COUNT(*) AS cnt,
+                COUNT(l_quantity) AS cnt_qty,
+                MIN(l_shipdate) AS min_ship,
+                MAX(l_shipdate) AS max_ship,
+                MAX(l_extendedprice) AS max_price,
+                CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+           AND l_shipdate < TIMESTAMP '1996-07-01'""",
+
+    // the catalog-path hybrid (metadata partials + a scan of only the
+    // straddler's dir) must equal the real filtered scan exactly
+    "g32_catalog_hybrid_agg" ->
       """SELECT COUNT(*) AS cnt,
                 COUNT(l_quantity) AS cnt_qty,
                 MIN(l_shipdate) AS min_ship,

@@ -409,14 +409,29 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces {
   * FindDataSourceTable forwards the stream reader's extraOptions into
   * the fallback relation.
   */
-private[sql] class GraftV2Table(ident: Identifier, tablePath: String,
-                                asOfVersion: Option[Long] = None,
-                                catalogPluginName: String = "graft")
+private[graft] class GraftV2Table(ident: Identifier, tablePath: String,
+                                  asOfVersion: Option[Long] = None,
+                                  catalogPluginName: String = "graft")
   extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2
   with org.apache.spark.sql.graftbridge.GraftV1FallbackTable {
 
   private def spark: SparkSession = SparkSession.active
   private def open(): SegmentedTable = SegmentedTable.open(spark, tablePath)
+
+  /** The live segment-dir paths a stats fold may reason over, exposed
+    * for [[graft.mv.StatsAggFromCatalog]]'s PRE-pushdown interception
+    * (extension-injected optimizer rules run before V2 scan pushdown,
+    * so the HYBRID fold — which the builder's all-or-nothing pushed-
+    * aggregate contract cannot express — must fire on the
+    * DataSourceV2Relation itself). None for time-travel snapshots and
+    * defaults-bearing tables (their reads coalesce declared defaults
+    * over physical NULLs, which raw segment stats know nothing about).
+    */
+  private[graft] def foldSnapshotPaths: Option[Seq[String]] = {
+    val t = open()
+    if (asOfVersion.nonEmpty || t.hasDeclaredDefaults) None
+    else Some(t.liveSegmentSnapshot._2.map(_.toString.stripPrefix("file:")))
+  }
 
   override def name(): String =
     asOfVersion.fold(ident.toString)(v => s"$ident@v$v")

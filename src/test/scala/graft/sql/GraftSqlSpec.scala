@@ -1634,13 +1634,17 @@ class GraftSqlSpec extends AnyFunSuite {
            FROM v2fagg_src WHERE o_orderkey > 300""").head()
       assert(q.head() == want)
 
-      // STRADDLING predicate: one segment partially matches — the fold
-      // must fall through to a real scan with the filter kept, and the
-      // answer must still be exact
+      // STRADDLING predicate: the proven segment (keys > 300) folds
+      // from metadata and the plan scans ONLY the straddler's dir
+      // (segment_0, keys ≤ 300) — the catalog-path HYBRID: a
+      // LocalTableScan of the folded partials unioned with a parquet
+      // scan of the one unproven segment, and the answer stays exact
       val qs = spark.sql(
         "SELECT COUNT(*) AS n FROM graft.default.v2fagg WHERE o_orderkey > 200")
       val execS = qs.queryExecution.executedPlan.toString
-      assert(execS.contains("BatchScan"), execS)
+      assert(execS.contains("LocalTableScan"), execS)
+      assert(execS.contains("segment_0"), execS)
+      assert(!execS.contains("segment_1"), execS)
       val wantS = spark.sql(
         "SELECT COUNT(*) FROM v2fagg_src WHERE o_orderkey > 200").head()
       assert(qs.head() == wantS)
@@ -1709,6 +1713,92 @@ class GraftSqlSpec extends AnyFunSuite {
            GROUP BY o_orderpriority""").collect().toSet
       assert(qb.collect().toSet == wantB)
     } finally spark.sql("DROP TABLE IF EXISTS graft.default.v2gagg")
+  }
+
+  test("catalog HYBRID fold: straddling aggregate folds proven segments, scans only the straddler") {
+    val sf = "/root/testdata/sf0.001"
+    spark.read.parquet(s"$sf/lineitem.parquet")
+      .createOrReplaceTempView("v2hyb_src")
+    // three ship-year loads: ≤1994 (all-out under the predicate),
+    // 1995 (all-in, folds), ≥1996 (straddled by the 1996-07-01 cut)
+    spark.sql("CREATE TABLE graft.default.v2hyb USING graft " +
+      "AS SELECT * FROM v2hyb_src WHERE year(l_shipdate) <= 1994")
+    spark.sql("INSERT INTO graft.default.v2hyb " +
+      "SELECT * FROM v2hyb_src WHERE year(l_shipdate) = 1995")
+    spark.sql("INSERT INTO graft.default.v2hyb " +
+      "SELECT * FROM v2hyb_src WHERE year(l_shipdate) > 1995")
+    try {
+      val q = spark.sql(
+        """SELECT COUNT(*) AS cnt, COUNT(l_quantity) AS cnt_qty,
+                  MIN(l_shipdate) AS mn, MAX(l_shipdate) AS mx,
+                  SUM(l_orderkey) AS sk
+           FROM graft.default.v2hyb
+           WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+             AND l_shipdate < TIMESTAMP '1996-07-01'""")
+      val exec = q.queryExecution.executedPlan.toString
+      // the hybrid: folded partials as a LocalTableScan, a file scan
+      // touching EXACTLY the straddler's dir (segment_2), no other
+      assert(exec.contains("LocalTableScan"), exec)
+      assert(exec.contains("segment_2"), exec)
+      assert(!exec.contains("segment_0") && !exec.contains("segment_1"), exec)
+      val want = spark.sql(
+        """SELECT COUNT(*), COUNT(l_quantity), MIN(l_shipdate),
+                  MAX(l_shipdate), SUM(l_orderkey)
+           FROM v2hyb_src
+           WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+             AND l_shipdate < TIMESTAMP '1996-07-01'""").head()
+      assert(q.head() == want)
+
+      // ALL-PROVEN predicate: still the builder's LocalScan fold —
+      // no file scan at all (the rule defers full folds to it)
+      val qp = spark.sql(
+        """SELECT COUNT(*) AS cnt FROM graft.default.v2hyb
+           WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+             AND l_shipdate < TIMESTAMP '1996-01-01'""")
+      val execP = qp.queryExecution.executedPlan.toString
+      assert(execP.contains("LocalTableScan") && !execP.contains("Scan parquet"),
+        execP)
+      assert(qp.head().getLong(0) == spark.sql(
+        """SELECT COUNT(*) FROM v2hyb_src
+           WHERE year(l_shipdate) = 1995""").head().getLong(0))
+
+      // NOTHING-PROVEN predicate (straddles every live segment via a
+      // non-boundary column): plain scan, exact answer
+      val qn = spark.sql(
+        "SELECT COUNT(*) AS cnt FROM graft.default.v2hyb WHERE l_quantity > 25")
+      assert(!qn.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+        qn.queryExecution.executedPlan.toString)
+      assert(qn.head().getLong(0) == spark.sql(
+        "SELECT COUNT(*) FROM v2hyb_src WHERE l_quantity > 25").head().getLong(0))
+    } finally spark.sql("DROP TABLE IF EXISTS graft.default.v2hyb")
+  }
+
+  test("catalog GROUPED-HYBRID fold: key-aligned segments fold, the mixed one scans") {
+    val sf = "/root/testdata/sf0.001"
+    spark.read.parquet(s"$sf/orders.parquet")
+      .createOrReplaceTempView("v2ghyb_src")
+    // two status-constant loads (fold) plus one MIXED remainder (scans)
+    spark.sql("CREATE TABLE graft.default.v2ghyb USING graft " +
+      "AS SELECT * FROM v2ghyb_src WHERE o_orderstatus = 'O' AND o_orderkey % 3 <> 0")
+    spark.sql("INSERT INTO graft.default.v2ghyb " +
+      "SELECT * FROM v2ghyb_src WHERE o_orderstatus = 'F' AND o_orderkey % 3 <> 0")
+    spark.sql("INSERT INTO graft.default.v2ghyb " +
+      "SELECT * FROM v2ghyb_src WHERE o_orderstatus = 'P' OR o_orderkey % 3 = 0")
+    try {
+      val q = spark.sql(
+        """SELECT o_orderstatus, COUNT(*) AS cnt, MIN(o_orderdate) AS mn,
+                  MAX(o_totalprice) AS mx, SUM(o_orderkey) AS sk
+           FROM graft.default.v2ghyb GROUP BY o_orderstatus""")
+      val exec = q.queryExecution.executedPlan.toString
+      assert(exec.contains("LocalTableScan"), exec)
+      assert(exec.contains("segment_2"), exec)
+      assert(!exec.contains("segment_0") && !exec.contains("segment_1"), exec)
+      val want = spark.sql(
+        """SELECT o_orderstatus, COUNT(*), MIN(o_orderdate),
+                  MAX(o_totalprice), SUM(o_orderkey)
+           FROM v2ghyb_src GROUP BY o_orderstatus""").collect().toSet
+      assert(q.collect().toSet == want)
+    } finally spark.sql("DROP TABLE IF EXISTS graft.default.v2ghyb")
   }
 
   test("time-travel catalog aggregates fold from the snapshot's segment stats") {
