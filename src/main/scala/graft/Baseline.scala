@@ -298,6 +298,31 @@ object Baseline {
           sum(col("l_orderkey")).as("sum_okey"))
     }),
 
+    // the decimal SUM/AVG folds' savings vs a real filtered scan
+    "g33_decimal_stats_agg" -> ((s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
+        .select(col("l_extendedprice").cast(DecimalType(12, 2)).as("p"),
+          col("l_orderkey"))
+        .agg(sum(col("p")).cast("double").as("sum_price"),
+          avg(col("p")).cast("double").as("avg_price"),
+          avg(col("l_orderkey")).cast("double").as("avg_okey"),
+          count(lit(1)).as("cnt"))
+    }),
+
+    // the grouped decimal folds' savings vs a real grouped scan
+    "g34_decimal_grouped_agg" -> ((s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      Tables.orders(s, d)
+        .select(col("o_orderstatus"),
+          col("o_totalprice").cast(DecimalType(12, 2)).as("p"))
+        .groupBy(col("o_orderstatus"))
+        .agg(sum(col("p")).cast("double").as("sum_price"),
+          avg(col("p")).cast("double").as("avg_price"),
+          count(lit(1)).as("cnt"))
+    }),
+
     // the catalog-path hybrid fold's savings vs a real filtered scan
     "g32_catalog_hybrid_agg" -> ((s, d) => {
       Tables.lineitem(s, d)

@@ -138,11 +138,29 @@ object StatsAggFromCatalog {
     * TRY never folds).
     */
   def foldSumExact(segs: Seq[SegmentMeta], c: String)
-      : Option[Option[BigInt]] = {
-    val per: Seq[Option[Option[BigInt]]] = segs.map { s =>
+      : Option[Option[BigInt]] =
+    foldSumParsed(segs, c)(s => BigInt(s))
+
+  /** [[foldSumExact]]'s DECIMAL twin: the exact per-segment decimal
+    * sums (plain decimal strings carrying the column's scale, r20+
+    * segments) folded to the exact BigDecimal total. Same outer/inner
+    * None contract.
+    */
+  def foldSumDecimalExact(segs: Seq[SegmentMeta], c: String)
+      : Option[Option[BigDecimal]] =
+    foldSumParsed(segs, c)(s => BigDecimal(s))
+
+  private def foldSumParsed[T](segs: Seq[SegmentMeta], c: String)
+      (parse: String => T)(implicit num: Numeric[T]): Option[Option[T]] = {
+    val per: Seq[Option[Option[T]]] = segs.map { s =>
       if (s.rowCount == 0L) Some(None)
       else s.stats.get(c).flatMap(_.sum) match {
-        case Some(x) => Some(Some(BigInt(x)))
+        // parse-robust: a stored format this caller's type can't read
+        // (an integral fold asked about a decimal column, or vice
+        // versa) bails rather than throws
+        case Some(x) =>
+          try Some(Some(parse(x)))
+          catch { case scala.util.control.NonFatal(_) => None }
         case None => s.nullCounts.get(c) match {
           case Some(n) if n == s.rowCount => Some(None) // proven all-null
           case _ => None // unknown vintage → bail
@@ -258,8 +276,13 @@ case class StatsAggFromCatalog(spark: SparkSession) extends Rule[LogicalPlan] {
           answer(paths, cond, aggExprs) match {
             case Some(FullFold(values)) =>
               // the V2 builder's own pushed-aggregate LocalScan serves
-              // full folds on the pre-pushdown path — don't steal them
-              if (rel.deferFullFold) agg
+              // full folds on the pre-pushdown path — don't steal the
+              // ones it CAN serve (catalog plan pins and the thrift
+              // stats surface rely on its LocalScan); shapes beyond
+              // its foldOne (decimal SUM, AVG, cast-wrapped) are the
+              // rule's to serve
+              if (rel.deferFullFold &&
+                  aggExprs.forall(e => shapeOf(e).exists(builderServable))) agg
               else LocalRelation(agg.output.map(_.asInstanceOf[Attribute]),
                 Seq(InternalRow(values: _*)))
             case Some(h: HybridFold) => hybridPlan(agg, cond.get, rel, h)
@@ -282,7 +305,9 @@ case class StatsAggFromCatalog(spark: SparkSession) extends Rule[LogicalPlan] {
           answerGrouped(paths, cond,
             groups.map(_.asInstanceOf[AttributeReference]), aggExprs) match {
             case Some(GroupedFull(rows)) =>
-              if (rel.deferFullFold) agg
+              if (rel.deferFullFold && aggShapesOf(aggExprs,
+                  groups.map(_.asInstanceOf[AttributeReference].exprId))
+                    .forall(builderServable)) agg
               else LocalRelation(agg.output.map(_.asInstanceOf[Attribute]), rows)
             case Some(h: GroupedHybrid) =>
               hybridGroupedPlan(agg,
@@ -306,6 +331,31 @@ case class StatsAggFromCatalog(spark: SparkSession) extends Rule[LogicalPlan] {
     */
   private case class SumCol(name: String,
                             mode: Enumeration#Value) extends Shape
+  /** DECIMAL SUM — decimal addition is exact and associative, so the
+    * catalog's per-segment exact decimal sums (r20+ segments, columns
+    * of precision ≤ 28) fold like the integral ones. The fold serves
+    * by substituting the exact total into the Sum function's OWN
+    * evaluate expression ([[serveDeclarative]]), so every eval-mode
+    * contract (ANSI throw / LEGACY null / TRY) is Spark's verbatim; a
+    * total that doesn't fit the result type bails to the real scan.
+    */
+  private case class SumDecimalCol(name: String,
+      fn: org.apache.spark.sql.catalyst.expressions.aggregate.Sum)
+    extends Shape
+  /** AVG — foldSum/foldCount composition, served through the Average
+    * function's own evaluate expression so the divide semantics
+    * (decimal scale+4 HALF_UP, double divide) are Spark's verbatim.
+    * DECIMAL children serve from the exact decimal sums; INTEGRAL
+    * children serve only when max|value| × count < 2^53 — below that
+    * bound every per-row long→double cast and every intermediate
+    * double addition the real scan performs is exact regardless of
+    * order, so the folded BigInt total converted once equals the
+    * scan's accumulated buffer bit-for-bit. DOUBLE children never
+    * fold (FP accumulation is order-dependent).
+    */
+  private case class AvgCol(name: String,
+      fn: org.apache.spark.sql.catalyst.expressions.aggregate.Average)
+    extends Shape
   /** COUNT(DISTINCT col) — servable when the column is CONSTANT per
     * segment ([[StatsAggFromCatalog.groupSegments]]): the distinct
     * count IS the number of distinct non-null constants. Never
@@ -315,20 +365,43 @@ case class StatsAggFromCatalog(spark: SparkSession) extends Rule[LogicalPlan] {
   private case class CountDistinctCol(name: String,
                                       dt: DataType) extends Shape
 
-  /** Shapes whose partial answers COMBINE across the hybrid's
-    * metadata/scan branches (counts sum, extrema fold, sums add);
-    * COUNT(DISTINCT) does not.
+  /** A recognized aggregate output: the servable aggregate plus an
+    * optional deterministic scalar Cast WRAPPED around it
+    * (`CAST(SUM(dec) AS DOUBLE)` — the BI-idiomatic form). Full folds
+    * apply the cast driver-side over the folded value via the plan's
+    * own Cast node, so eval-mode/timezone semantics are the query's.
     */
-  private def combinable(s: Shape): Boolean = s match {
-    case CountDistinctCol(_, _) => false
-    case _ => true
-  }
+  private case class Shaped(shape: Shape, cast: Option[Cast])
 
-  private def shapeOf(e: NamedExpression): Option[Shape] = e match {
-    case Alias(AggregateExpression(Count(Seq(a: AttributeReference)),
-        Complete, true, None, _), _) =>
+  /** Shapes whose partial answers COMBINE across the hybrid's
+    * metadata/scan branches (counts sum, extrema fold, integral sums
+    * add). COUNT(DISTINCT) does not; DECIMAL SUM and AVG do not (their
+    * combine would need type-widening / sum+count decomposition whose
+    * overflow semantics are not the original's); cast-wrapped outputs
+    * keep the hybrid machinery cast-free.
+    */
+  private def combinable(s: Shaped): Boolean = s.cast.isEmpty && (s.shape match {
+    case CountDistinctCol(_, _) | SumDecimalCol(_, _) | AvgCol(_, _) => false
+    case _ => true
+  })
+
+  /** Shapes the V2 scan builder's own pushed-aggregate fold serves
+    * ([[org.apache.spark.sql.graftbridge.GraftV2ScanSupport]]) — the
+    * pre-pushdown interception defers FULL folds to it only when every
+    * output is in this set; otherwise the rule serves the fold itself
+    * (decimal SUM / AVG / cast-wrapped outputs never reach the
+    * builder's foldOne).
+    */
+  private def builderServable(s: Shaped): Boolean = s.cast.isEmpty && (s.shape match {
+    case SumDecimalCol(_, _) | AvgCol(_, _) => false
+    case _ => true
+  })
+
+  private def rawShape(e: Expression): Option[Shape] = e match {
+    case AggregateExpression(Count(Seq(a: AttributeReference)),
+        Complete, true, None, _) =>
       Some(CountDistinctCol(a.name, a.dataType))
-    case Alias(AggregateExpression(f, Complete, false, None, _), _) => f match {
+    case AggregateExpression(f, Complete, false, None, _) => f match {
       case Count(Seq(Literal(1, _))) => Some(CountStar)
       case Count(Seq(a: AttributeReference)) => Some(CountCol(a.name))
       case Min(a: AttributeReference) => Some(MinCol(a.name, a.dataType))
@@ -338,10 +411,28 @@ case class StatsAggFromCatalog(spark: SparkSession) extends Rule[LogicalPlan] {
           case a: AttributeReference
               if graft.table.SegmentedTable.isIntegral(a.dataType) =>
             Some(SumCol(a.name, s.evalContext.evalMode))
+          case a: AttributeReference if a.dataType.isInstanceOf[DecimalType] =>
+            Some(SumDecimalCol(a.name, s))
+          case _ => None
+        }
+      case avg: org.apache.spark.sql.catalyst.expressions.aggregate.Average =>
+        avg.child match {
+          case a: AttributeReference
+              if graft.table.SegmentedTable.isIntegral(a.dataType) ||
+                a.dataType.isInstanceOf[DecimalType] =>
+            Some(AvgCol(a.name, avg))
           case _ => None
         }
       case _ => None
     }
+    case _ => None
+  }
+
+  private def shapeOf(e: NamedExpression): Option[Shaped] = e match {
+    case Alias(c: Cast, _) if c.child.isInstanceOf[AggregateExpression] =>
+      rawShape(c.child).map(Shaped(_, Some(c)))
+    case Alias(ae: AggregateExpression, _) =>
+      rawShape(ae).map(Shaped(_, None))
     case _ => None
   }
 
@@ -563,7 +654,9 @@ case class StatsAggFromCatalog(spark: SparkSession) extends Rule[LogicalPlan] {
     import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Union}
     import org.apache.spark.sql.catalyst.expressions.aggregate.Sum
     val exprs = agg.aggregateExpressions
-    val shapes = exprs.map(e => shapeOf(e).get)
+    // combinable-only here (guarded in answer): cast-free, no
+    // COUNT(DISTINCT)/decimal-SUM/AVG
+    val shapes = exprs.map(e => shapeOf(e).get.shape)
     // partial-branch schema: counts non-null longs, extrema and sums
     // nullable
     val partialAttrs: Seq[Attribute] = shapes.zipWithIndex.map {
@@ -572,8 +665,8 @@ case class StatsAggFromCatalog(spark: SparkSession) extends Rule[LogicalPlan] {
       case (MinCol(_, dt), i) => AttributeReference(s"__partial$i", dt)()
       case (MaxCol(_, dt), i) => AttributeReference(s"__partial$i", dt)()
       case (SumCol(_, _), i) => AttributeReference(s"__partial$i", LongType)()
-      case (CountDistinctCol(_, _), _) => throw new IllegalStateException(
-        "unreachable: non-combinable shape in hybrid (guarded in answer)")
+      case (shape, _) => throw new IllegalStateException(
+        s"unreachable: non-combinable shape $shape in hybrid (guarded in answer)")
     }
     val local = LocalRelation(partialAttrs, Seq(InternalRow(h.provenValues: _*)))
     val straddlerRel = rel.mkStraddler(h.straddlerPaths, h.schema)
@@ -603,8 +696,8 @@ case class StatsAggFromCatalog(spark: SparkSession) extends Rule[LogicalPlan] {
           // SUM ignores null partials; null only when both branches
           // had zero non-null values — the SUM-of-empty contract
           AggregateExpression(Sum(uout(i)), Complete, isDistinct = false)
-        case CountDistinctCol(_, _) => throw new IllegalStateException(
-          "unreachable: non-combinable shape in hybrid (guarded in answer)")
+        case shape => throw new IllegalStateException(
+          s"unreachable: non-combinable shape $shape in hybrid (guarded in answer)")
       }
       Alias(combined, a.name)(exprId = a.exprId, qualifier = a.qualifier,
         explicitMetadata = a.explicitMetadata)
@@ -635,13 +728,42 @@ case class StatsAggFromCatalog(spark: SparkSession) extends Rule[LogicalPlan] {
     * hybrid uses on both the fold and plan sides.
     */
   private def aggShapesOf(exprs: Seq[NamedExpression],
-                          gid: Seq[ExprId]): Seq[Shape] =
-    exprs.collect {
-      case e @ Alias(AggregateExpression(_, _, _, _, _), _) => shapeOf(e).get
+                          gid: Seq[ExprId]): Seq[Shaped] =
+    exprs.flatMap {
+      case a: AttributeReference if gid.contains(a.exprId) => None
+      case Alias(a: AttributeReference, _) if gid.contains(a.exprId) => None
+      case e => shapeOf(e)
     }
 
-  private def foldShape(segs: Seq[SegmentMeta], s: Shape): Option[Any] =
-    s match {
+  /** Evaluate a DeclarativeAggregate's OWN evaluate expression with
+    * its buffer attributes bound to folded literals — the fold then
+    * serves exactly what Spark's final aggregation step computes from
+    * the same buffer (overflow / eval-mode / decimal-divide semantics
+    * verbatim, on this and every future Spark). Bails on any eval
+    * error (e.g. an ANSI overflow the real scan should raise itself)
+    * and on an unbound buffer attribute (an unexpected buffer layout).
+    */
+  private def serveDeclarative(
+      fn: org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate,
+      bind: Map[String, Literal]): Option[Any] =
+    try {
+      val expr = fn.evaluateExpression.transform {
+        case a: AttributeReference if bind.contains(a.name) => bind(a.name)
+      }
+      if (expr.exists(_.isInstanceOf[AttributeReference])) None
+      else Some(expr.eval(InternalRow.empty))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def internalLong(v: Any): Long = v match {
+    case b: Byte => b.toLong
+    case s: Short => s.toLong
+    case i: Int => i.toLong
+    case l: Long => l
+    case other => throw new IllegalArgumentException(String.valueOf(other))
+  }
+
+  private def foldShape(segs: Seq[SegmentMeta], sh: Shaped): Option[Any] = {
+    val inner: Option[Any] = sh.shape match {
       case CountStar => Some(StatsAggFromCatalog.foldCountStar(segs): Any)
       case CountCol(c) =>
         StatsAggFromCatalog.foldNonNullCount(segs, c).map(v => v: Any)
@@ -650,10 +772,80 @@ case class StatsAggFromCatalog(spark: SparkSession) extends Rule[LogicalPlan] {
       case MaxCol(c, dt) =>
         StatsAggFromCatalog.foldMinMax(segs, c, dt, isMin = false)
       case SumCol(c, mode) => StatsAggFromCatalog.foldSum(segs, c, mode)
+      case SumDecimalCol(c, fn) =>
+        StatsAggFromCatalog.foldSumDecimalExact(segs, c).flatMap {
+          case None =>
+            serveDeclarative(fn, Map(
+              "sum" -> Literal(null, fn.dataType),
+              "isEmpty" -> Literal(true)))
+          case Some(total) =>
+            val rt = fn.dataType.asInstanceOf[DecimalType]
+            val dec = Decimal(total.bigDecimal)
+            // a total the result type cannot hold means the scan's own
+            // buffer would have overflowed — its eval-mode contract
+            // (ANSI throw / LEGACY null) must come from the real scan
+            if (!dec.changePrecision(rt.precision, rt.scale)) None
+            else serveDeclarative(fn, Map(
+              "sum" -> Literal(dec, fn.dataType),
+              "isEmpty" -> Literal(false)))
+        }
+      case AvgCol(c, fn) =>
+        StatsAggFromCatalog.foldNonNullCount(segs, c).flatMap { n =>
+          if (n == 0L) Some(null) // AVG over zero non-null values: NULL
+          else fn.aggBufferAttributes.find(_.name == "sum") match {
+            case None => None
+            case Some(sa) => fn.child.dataType match {
+              case _: DecimalType =>
+                StatsAggFromCatalog.foldSumDecimalExact(segs, c).flatMap {
+                  case Some(total) =>
+                    val st = sa.dataType.asInstanceOf[DecimalType]
+                    val dec = Decimal(total.bigDecimal)
+                    if (!dec.changePrecision(st.precision, st.scale)) None
+                    else serveDeclarative(fn, Map(
+                      "sum" -> Literal(dec, sa.dataType),
+                      "count" -> Literal(n)))
+                  case None => None // n > 0 yet no sum: inconsistent, bail
+                }
+              case it if graft.table.SegmentedTable.isIntegral(it) &&
+                  sa.dataType == DoubleType =>
+                // the 2^53 exactness bound (see AvgCol): below it every
+                // long→double cast and every intermediate addition the
+                // scan performs is exact in any order, so one conversion
+                // of the exact total equals the scan's buffer
+                StatsAggFromCatalog.foldSumExact(segs, c).flatMap {
+                  case Some(total) =>
+                    val mn = StatsAggFromCatalog.foldMinMax(segs, c, it, isMin = true)
+                    val mx = StatsAggFromCatalog.foldMinMax(segs, c, it, isMin = false)
+                    (mn, mx) match {
+                      case (Some(a), Some(b)) if a != null && b != null =>
+                        val maxAbs = Seq(a, b).map(v => BigInt(internalLong(v)).abs).max
+                        if (maxAbs * BigInt(n) < BigInt(1L << 53))
+                          serveDeclarative(fn, Map(
+                            "sum" -> Literal(total.toDouble, DoubleType),
+                            "count" -> Literal(n)))
+                        else None
+                      case _ => None
+                    }
+                  case None => None
+                }
+              case _ => None // double child: FP order-dependence, never fold
+            }
+          }
+        }
       case CountDistinctCol(c, dt) =>
         StatsAggFromCatalog.groupSegments(segs, Seq(c -> dt)).map(groups =>
           groups.count(_._1.head != null).toLong: Any)
     }
+    (inner, sh.cast) match {
+      // the plan's own Cast node applied driver-side over the folded
+      // value (Literal of the aggregate's type) — eval-mode/timezone
+      // semantics are the query's; an ANSI cast failure bails
+      case (Some(v), Some(c)) =>
+        try Some(c.withNewChildren(Seq(Literal(v, c.child.dataType))).eval(null))
+        catch { case scala.util.control.NonFatal(_) => None }
+      case _ => inner
+    }
+  }
 
   /** GROUP BY fold. A segment FOLDS when it is fully qualified by the
     * filter (all rows match — or no filter) AND every group column is
@@ -735,7 +927,9 @@ case class StatsAggFromCatalog(spark: SparkSession) extends Rule[LogicalPlan] {
     import org.apache.spark.sql.catalyst.expressions.aggregate.Sum
     val exprs = agg.aggregateExpressions
     val gid = groups.map(_.exprId)
-    val shapes = aggShapesOf(exprs, gid)
+    // combinable-only here (guarded in answerGrouped): cast-free, no
+    // COUNT(DISTINCT)/decimal-SUM/AVG
+    val shapes = aggShapesOf(exprs, gid).map(_.shape)
     val keyAttrs: Seq[Attribute] = groups.zipWithIndex.map { case (g, i) =>
       AttributeReference(s"__gkey$i", g.dataType)()
     }
@@ -745,8 +939,8 @@ case class StatsAggFromCatalog(spark: SparkSession) extends Rule[LogicalPlan] {
       case (MinCol(_, dt), i) => AttributeReference(s"__gpartial$i", dt)()
       case (MaxCol(_, dt), i) => AttributeReference(s"__gpartial$i", dt)()
       case (SumCol(_, _), i) => AttributeReference(s"__gpartial$i", LongType)()
-      case (CountDistinctCol(_, _), _) => throw new IllegalStateException(
-        "unreachable: non-combinable shape in hybrid (guarded in answerGrouped)")
+      case (shape, _) => throw new IllegalStateException(
+        s"unreachable: non-combinable shape $shape in hybrid (guarded in answerGrouped)")
     }
     val local = LocalRelation(keyAttrs ++ partialAttrs,
       h.partialRows.map(v => InternalRow(v: _*)))
@@ -781,8 +975,8 @@ case class StatsAggFromCatalog(spark: SparkSession) extends Rule[LogicalPlan] {
             AggregateExpression(Max(ref), Complete, isDistinct = false)
           case SumCol(_, _) =>
             AggregateExpression(Sum(ref), Complete, isDistinct = false)
-          case CountDistinctCol(_, _) => throw new IllegalStateException(
-            "unreachable: non-combinable shape in hybrid (guarded in " +
+          case shape => throw new IllegalStateException(
+            s"unreachable: non-combinable shape $shape in hybrid (guarded in " +
               "answerGrouped)")
         }
         Alias(combined, a.name)(exprId = a.exprId, qualifier = a.qualifier,

@@ -286,6 +286,45 @@ object SegmentQueries {
       t
     })
 
+  /** g33's table: lineitem with l_extendedprice projected to a true
+    * DECIMAL(12,2) column, in two SEGMENT-ALIGNED ship-year loads —
+    * the money-column shape (exact decimal SUM/AVG folds, r20) behind
+    * a filter the trichotomy can prove.
+    */
+  private def lineitemDecimalSegs(s: SparkSession, d: String): SegmentedTable =
+    built.getOrElseUpdate(s"lidec|$d", {
+      val root = graft.util.RunRoot.under(
+        s"graft_tables/${d.replace('/', '_')}/lineitem_decimal")
+      val li = Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_quantity"),
+        col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(12, 2))
+          .as("l_price_dec"),
+        col("l_shipdate"))
+      val t = SegmentedTable.fresh(s, root, li.schema,
+        Map("sort_columns" -> "l_shipdate"))
+      t.load(li.filter(year(col("l_shipdate")) <= 1995))
+      t.load(li.filter(year(col("l_shipdate")) > 1995))
+      t
+    })
+
+  /** g34's table: orders with o_totalprice as DECIMAL(12,2), loaded
+    * once per order status — decimal SUM/AVG folds per segment group.
+    */
+  private def ordersDecimalByStatus(s: SparkSession, d: String): SegmentedTable =
+    built.getOrElseUpdate(s"odec|$d", {
+      val root = graft.util.RunRoot.under(
+        s"graft_tables/${d.replace('/', '_')}/orders_decimal_by_status")
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(12, 2))
+          .as("o_price_dec"),
+        col("o_orderdate"))
+      val t = SegmentedTable.fresh(s, root, o.schema, Map.empty)
+      Seq("O", "F", "P").foreach(st =>
+        t.load(o.filter(col("o_orderstatus") === st)))
+      t
+    })
+
   /** g26's table: orders loaded once per order status — the group key
     * is CONSTANT per segment (identity-partitioned loads), the shape
     * the grouped stats fold serves from the catalog.
@@ -891,6 +930,43 @@ object SegmentQueries {
               AND l_shipdate < TIMESTAMP '1996-07-01'""")
     }),
 
+    // g33: DECIMAL SUM + AVG folds — decimal addition is exact and
+    // associative, so the catalog's exact per-segment decimal sums
+    // (r20 staging) serve money-column SUM/AVG the way integral SUM
+    // already folds; AVG serves through the Average function's own
+    // evaluate expression (decimal divide, scale+4 HALF_UP) and the
+    // integral AVG under the 2^53 exactness bound. The filter aligns
+    // with the two ship-year loads, so the whole thing answers from
+    // one catalog read (StatsAggSpec pins the no-scan plan; doubles
+    // never fold — pin there too). Casts to double are applied by the
+    // plan's own Cast over the folded values, keeping the DuckDB
+    // compare schema-stable.
+    "g33_decimal_stats_agg" -> ((s, d) => {
+      graft.mv.StatsAggFromCatalog.ensureRegistered(s)
+      val t = lineitemDecimalSegs(s, d)
+      t.read()
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
+        .agg(
+          sum(col("l_price_dec")).cast("double").as("sum_price"),
+          avg(col("l_price_dec")).cast("double").as("avg_price"),
+          avg(col("l_orderkey")).cast("double").as("avg_okey"),
+          count(lit(1)).as("cnt"))
+    }),
+
+    // g34: the GROUPED decimal twin — one load per order status makes
+    // the key constant per segment, and the per-group decimal SUM/AVG
+    // folds from each group's own segment stats.
+    "g34_decimal_grouped_agg" -> ((s, d) => {
+      graft.mv.StatsAggFromCatalog.ensureRegistered(s)
+      val t = ordersDecimalByStatus(s, d)
+      t.read()
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          sum(col("o_price_dec")).cast("double").as("sum_price"),
+          avg(col("o_price_dec")).cast("double").as("avg_price"),
+          count(lit(1)).as("cnt"))
+    }),
+
     // g26: GROUPED stats fold over segment-aligned group keys — one
     // load per order status makes the group key constant per segment,
     // so GROUP BY folds per segment group from the catalog with zero
@@ -1311,6 +1387,49 @@ object SegmentQueries {
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1995-01-01'
            AND l_shipdate < TIMESTAMP '1996-07-01'""",
+
+    // the decimal folds must equal the real filtered scan exactly.
+    // AVG(decimal(12,2)) in Spark is the exact decimal division
+    // rounded HALF_UP at scale 6 and THEN cast to double — DuckDB's
+    // AVG keeps full double precision, so the oracle reproduces
+    // Spark's value with exact HUGEINT arithmetic: the sum scaled to
+    // 10^-6 units, half-up-divided by the count ((2*s6+n)//(2*n),
+    // positive prices), rebuilt as an exact decimal and cast once.
+    "g33_decimal_stats_agg" ->
+      """WITH f AS (SELECT CAST(l_extendedprice AS DECIMAL(12,2)) p,
+                           l_orderkey
+                    FROM lineitem
+                    WHERE l_shipdate >= TIMESTAMP '1996-01-01'),
+              s AS (SELECT CAST(SUM(p) * 1000000 AS HUGEINT) s6,
+                           COUNT(p) n,
+                           CAST(SUM(p) AS DOUBLE) sd,
+                           CAST(AVG(l_orderkey) AS DOUBLE) ao,
+                           COUNT(*) c
+                    FROM f)
+         SELECT sd AS sum_price,
+                CAST(CAST((2*s6 + n) // (2*n) AS DECIMAL(30,0))
+                     * 0.000001 AS DOUBLE) AS avg_price,
+                ao AS avg_okey,
+                c AS cnt
+         FROM s""",
+
+    // the grouped decimal folds, same exact-arithmetic oracle per group
+    "g34_decimal_grouped_agg" ->
+      """WITH f AS (SELECT o_orderstatus st,
+                           CAST(o_totalprice AS DECIMAL(12,2)) p
+                    FROM orders),
+              s AS (SELECT st,
+                           CAST(SUM(p) * 1000000 AS HUGEINT) s6,
+                           COUNT(p) n,
+                           CAST(SUM(p) AS DOUBLE) sd,
+                           COUNT(*) c
+                    FROM f GROUP BY st)
+         SELECT st AS o_orderstatus,
+                sd AS sum_price,
+                CAST(CAST((2*s6 + n) // (2*n) AS DECIMAL(30,0))
+                     * 0.000001 AS DOUBLE) AS avg_price,
+                c AS cnt
+         FROM s""",
 
     // the catalog-path hybrid (metadata partials + a scan of only the
     // straddler's dir) must equal the real filtered scan exactly

@@ -1970,10 +1970,17 @@ case class ShowGraftStatsCommand(name: String) extends LeafRunnableCommand {
           .flatMap(Option(_)).map(String.valueOf).orNull
       val nulls: Any = graft.mv.StatsAggFromCatalog
         .foldNonNullCount(live, f.name).map(nn => rows - nn).orNull
-      // the exact total (integral columns, r19+ segments) — the same
-      // number the SUM fold serves
-      val sumS: String = graft.mv.StatsAggFromCatalog.foldSumExact(live, f.name)
-        .flatMap(identity).map(_.toString).orNull
+      // the exact total (integral columns r19+, decimal columns r20+)
+      // — the same number the SUM fold serves, routed by column type
+      // (the stored string formats differ: integer vs plain decimal)
+      val sumS: String = (f.dataType match {
+        case _: org.apache.spark.sql.types.DecimalType =>
+          graft.mv.StatsAggFromCatalog.foldSumDecimalExact(live, f.name)
+            .flatMap(identity).map(_.bigDecimal.toPlainString)
+        case _ =>
+          graft.mv.StatsAggFromCatalog.foldSumExact(live, f.name)
+            .flatMap(identity).map(_.toString)
+      }).orNull
       Row(f.name, fold(isMin = true), fold(isMin = false), nulls, rows, sumS)
     }
   }

@@ -726,23 +726,27 @@ class SegmentedTable private (val spark: SparkSession, val root: Path,
   private def collectStats(dir: Path): (Long, Map[String, ColStats], Map[String, Long]) = {
     val df = spark.read.schema(schema).parquet(dir.toString)
     val eligible = schema.fields.filter(f => kindOf(f.dataType).isDefined)
-    // integral columns additionally record their EXACT sum (decimal
-    // accumulation — immune to per-segment overflow and to eval-mode
-    // differences between stage time and query time)
-    val summable = schema.fields.filter(f => isIntegralType(f.dataType))
+    // integral and decimal columns additionally record their EXACT sum
+    // (wide-decimal accumulation — immune to per-segment overflow and
+    // to eval-mode differences between stage time and query time)
+    val summable = schema.fields
+      .flatMap(f => SegmentedTable.sumStageType(f.dataType).map(f -> _))
     val aggs = eligible.flatMap(f =>
       Seq(min(col(f.name)).as(s"min_${f.name}"), max(col(f.name)).as(s"max_${f.name}"))) ++
-      summable.map(f =>
-        sum(col(f.name).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
-          .as(s"sum_${f.name}")) ++
+      summable.map { case (f, dt) =>
+        sum(col(f.name).cast(dt)).as(s"sum_${f.name}") } ++
       schema.fields.map(f =>
         org.apache.spark.sql.functions.count(col(f.name)).as(s"cnt_${f.name}")) :+
       org.apache.spark.sql.functions.count(lit(1)).as("__rows")
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     val rows = row.getAs[Long]("__rows")
-    val sums = summable.flatMap { f =>
-      Option(row.getAs[java.math.BigDecimal](s"sum_${f.name}"))
-        .map(v => f.name -> v.toBigInteger.toString)
+    val sums = summable.flatMap { case (f, _) =>
+      Option(row.getAs[java.math.BigDecimal](s"sum_${f.name}")).map { v =>
+        // integral sums keep their r19 integer-string format; decimal
+        // sums carry the column's scale as a plain decimal string
+        f.name -> (if (isIntegralType(f.dataType)) v.toBigInteger.toString
+                   else v.toPlainString)
+      }
     }.toMap
     val stats = eligible.flatMap { f =>
       val mn = row.getAs[Any](s"min_${f.name}")
@@ -2209,6 +2213,22 @@ object SegmentedTable {
   def isIntegral(t: DataType): Boolean = t match {
     case ByteType | ShortType | IntegerType | LongType => true
     case _ => false
+  }
+
+  /** The wide-decimal accumulator a column's stage-time exact sum is
+    * collected in — integral columns in Decimal(38,0) (r19), decimal
+    * columns in Decimal(38, scale). Decimal columns above precision 28
+    * are skipped: the accumulator would have under 10 digits of
+    * headroom, the same safety class the integral path relies on
+    * (>10^10 max-magnitude rows per segment before overflow could
+    * surface). None = no exact sum recorded (doubles NEVER sum here:
+    * FP accumulation is order-dependent, so no stored total could
+    * reproduce what a query's own scan computes).
+    */
+  def sumStageType(t: DataType): Option[DecimalType] = t match {
+    case _ if isIntegral(t) => Some(DecimalType(38, 0))
+    case d: DecimalType if d.precision <= 28 => Some(DecimalType(38, d.scale))
+    case _ => None
   }
 
   /** Disambiguates staging dirs created in the same nanosecond by

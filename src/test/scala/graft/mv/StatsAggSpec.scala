@@ -360,6 +360,69 @@ class StatsAggSpec extends AnyFunSuite {
       Set(("a", 7L), ("b", 8L)))
   }
 
+  test("decimal SUM and AVG fold from the catalog's exact decimal sums") {
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("k", LongType),
+      StructField("p", DecimalType(12, 2)),
+      StructField("w", DecimalType(30, 2)), // precision > 28: no staged sum
+      StructField("d", DoubleType)))
+    def df(rows: Seq[(Long, String, String, Double)]) =
+      rows.toDF("k", "p0", "w0", "d")
+        .select(col("k"), col("p0").cast(DecimalType(12, 2)).as("p"),
+          col("w0").cast(DecimalType(30, 2)).as("w"), col("d"))
+    val t = SegmentedTable.create(spark, freshRoot("dec"), schema, Map.empty)
+    t.load(df(Seq((1L, "10.25", "10.25", 1.5), (2L, "20.50", "20.50", 2.5))))
+    t.load(df(Seq((3L, "0.25", "0.25", 3.5))))
+
+    // decimal SUM + AVG and the cast-to-double wrappers: zero scan
+    val q = t.read().agg(
+      sum(col("p")).as("sp"),
+      avg(col("p")).as("ap"),
+      sum(col("p")).cast("double").as("spd"),
+      avg(col("p")).cast("double").as("apd"),
+      avg(col("k")).as("ak"))
+    assert(scansOf(q).isEmpty, q.queryExecution.optimizedPlan.toString)
+    // values must equal the real scan's own answers bit-for-bit
+    val want = df(Seq((1L, "10.25", "10.25", 1.5), (2L, "20.50", "20.50", 2.5),
+      (3L, "0.25", "0.25", 3.5))).agg(
+      sum(col("p")), avg(col("p")),
+      sum(col("p")).cast("double"), avg(col("p")).cast("double"),
+      avg(col("k"))).head()
+    assert(q.head() == want)
+
+    // a precision-38-headroom-less decimal (p > 28) records no staged
+    // sum → the fold bails to the real scan
+    val qw = t.read().agg(sum(col("w")).as("sw"))
+    assert(scansOf(qw).nonEmpty, qw.queryExecution.optimizedPlan.toString)
+    assert(qw.head().getDecimal(0).toPlainString == "31.00")
+
+    // double AVG never folds (order-dependent FP accumulation)
+    val qd = t.read().agg(avg(col("d")).as("ad"))
+    assert(scansOf(qd).nonEmpty, qd.queryExecution.optimizedPlan.toString)
+
+    // integral AVG above the 2^53 exactness bound bails
+    val big = 1L << 53
+    val t2 = SegmentedTable.create(spark, freshRoot("avgbig"),
+      StructType(Seq(StructField("v", LongType))), Map.empty)
+    t2.load(Seq(big, big).toDF("v"))
+    val qb = t2.read().agg(avg(col("v")).as("av"))
+    assert(scansOf(qb).nonEmpty, qb.queryExecution.optimizedPlan.toString)
+    assert(qb.head().getDouble(0) == big.toDouble)
+
+    // decimal SUM is non-combinable: a straddling filter over it
+    // bails to the real scan instead of a hybrid
+    val qs = t.read().filter(col("k") >= 2L).agg(sum(col("p")).as("sp"))
+    assert(scansOf(qs).nonEmpty, qs.queryExecution.optimizedPlan.toString)
+    assert(qs.head().getDecimal(0).toPlainString == "20.75")
+
+    // but an ALIGNED filter (all-in segments) still folds
+    val qa = t.read().filter(col("k") >= 3L).agg(sum(col("p")).as("sp"),
+      avg(col("p")).cast("double").as("ap"))
+    assert(scansOf(qa).isEmpty, qa.queryExecution.optimizedPlan.toString)
+    assert(qa.head().getDecimal(0).toPlainString == "0.25")
+  }
+
   test("a DELETE's COW rewrite refreshes the folded answer") {
     import spark.implicits._
     val schema = StructType(Seq(
