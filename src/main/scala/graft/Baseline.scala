@@ -298,6 +298,18 @@ object Baseline {
           sum(col("l_orderkey")).as("sum_okey"))
     }),
 
+    // the runtime-pruned star join vs the same join over raw parquet
+    "g35_catalog_runtime_join" -> ((s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val o = Tables.orders(s, d)
+      val dim = o.filter(col("o_orderkey") % 7 === 1 &&
+        col("o_orderkey") <= 600).select(col("o_orderkey").as("k"))
+      o.join(dim, o("o_orderkey") === dim("k"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast("double").as("tp"))
+    }),
+
     // the decimal SUM/AVG folds' savings vs a real filtered scan
     "g33_decimal_stats_agg" -> ((s, d) => {
       import org.apache.spark.sql.types.DecimalType

@@ -523,7 +523,8 @@ case class StatsAggFromCatalog(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
     case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
-      r.scan match {
+      org.apache.spark.sql.graftbridge.GraftV2ScanSupport
+        .unwrapRuntime(r.scan) match {
         // guard: no hive-partition columns, no partition-level (DPP)
         // filters, no already-pushed aggregate — shapes whose row
         // semantics the segment stats alone cannot describe. The

@@ -108,6 +108,31 @@ object SegmentQueries {
       s"$cat.default.li_hybrid"
     })
 
+  /** g35's catalog table: orders in three KEY-RANGE loads — the
+    * key-clustered fact of a star join, where runtime (join-driven)
+    * segment pruning drops whole segments once the broadcast dim
+    * side's surviving keys are known (GraftSqlSpec pins the
+    * file-count; this gate proves result parity under the pruning).
+    */
+  private val catalogRuntime = new graft.util.BuildOnce[String]
+
+  private def catalogRuntimeJoinTable(s: SparkSession, d: String): String =
+    catalogRuntime.getOrElseUpdate(s"gcr|$d|${s.sparkContext.applicationId}", {
+      val cat = s"gcr${(d + s.sparkContext.applicationId).hashCode.abs}"
+      val root = graft.util.RunRoot.under(
+        s"graft_catalog_runtime/${d.replace('/', '_')}")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalogPlugin")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      Tables.orders(s, d).createOrReplaceTempView("g35_orders_src")
+      s.sql(s"CREATE TABLE $cat.default.ordruntime USING graft " +
+        "AS SELECT * FROM g35_orders_src WHERE o_orderkey <= 500")
+      s.sql(s"INSERT INTO $cat.default.ordruntime " +
+        "SELECT * FROM g35_orders_src WHERE o_orderkey > 500 AND o_orderkey <= 1000")
+      s.sql(s"INSERT INTO $cat.default.ordruntime " +
+        "SELECT * FROM g35_orders_src WHERE o_orderkey > 1000")
+      s"$cat.default.ordruntime"
+    })
+
   /** g27's catalog table: orders behind a V2 catalog identifier, one
     * INSERT per order status — the group key is constant per segment,
     * so a catalog-side GROUP BY folds from segment stats through the
@@ -967,6 +992,23 @@ object SegmentQueries {
           count(lit(1)).as("cnt"))
     }),
 
+    // g35: star join over the catalog fact with RUNTIME segment
+    // pruning live — the broadcast dim side's surviving keys reach the
+    // scan through SupportsRuntimeV2Filtering and whole key-ranges of
+    // segments drop before any task launches (the reference's
+    // FilterPushJoin at segment granularity; file-count pin in
+    // GraftSqlSpec). The oracle proves result parity under pruning.
+    "g35_catalog_runtime_join" -> ((s, d) => {
+      val n = catalogRuntimeJoinTable(s, d)
+      s.sql(
+        s"""SELECT COUNT(*) AS cnt,
+                   CAST(SUM(CAST(f.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+            FROM $n f
+            JOIN (SELECT o_orderkey AS k FROM g35_orders_src
+                  WHERE o_orderkey % 7 = 1 AND o_orderkey <= 600) d
+              ON f.o_orderkey = d.k""")
+    }),
+
     // g26: GROUPED stats fold over segment-aligned group keys — one
     // load per order status makes the group key constant per segment,
     // so GROUP BY folds per segment group from the catalog with zero
@@ -1430,6 +1472,13 @@ object SegmentQueries {
                      * 0.000001 AS DOUBLE) AS avg_price,
                 c AS cnt
          FROM s""",
+
+    // the runtime-pruned star join must equal the plain join exactly
+    "g35_catalog_runtime_join" ->
+      """SELECT COUNT(*) AS cnt,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+         FROM orders
+         WHERE o_orderkey % 7 = 1 AND o_orderkey <= 600""",
 
     // the catalog-path hybrid (metadata partials + a scan of only the
     // straddler's dir) must equal the real filtered scan exactly

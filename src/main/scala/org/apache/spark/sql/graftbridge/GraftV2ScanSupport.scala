@@ -285,7 +285,24 @@ object GraftV2ScanSupport {
             s"GraftStatsFoldScan($name, ${aggSchema.fieldNames.mkString(", ")})"
         }
         case None =>
-          val scan = inner.build()
+          val built = inner.build()
+          // runtime (join-driven) segment pruning: the columns the
+          // snapshot has stats for are declared filterable, so Spark's
+          // dynamic pruning hands the completed broadcast side's join
+          // keys to the scan and key-less segments drop before a task
+          // launches (the reference's FilterPushJoin at segment
+          // granularity)
+          // only columns the (possibly pruned) scan still OUTPUTS may
+          // be declared filterable — Spark resolves filterAttributes
+          // against the scan relation's output and fails on a column
+          // pruning removed
+          val readCols = built.readSchema().fieldNames.toSet
+          val statCols: Array[String] = statsMetas.fold(Array.empty[String])(
+            segs => schema.fieldNames.filter(n => readCols.contains(n) &&
+              segs.exists(s => s.stats.contains(n) || s.nullCounts.contains(n))))
+          val scan: Scan =
+            if (statCols.isEmpty) built
+            else new GraftRuntimePrunedScan(name, built, statCols, prune)
           // an untouched build is the relation-level stats probe (see
           // `untouched`): serve the catalog's EXACT totals when every
           // segment recorded its byte size; otherwise (old catalogs,
@@ -327,4 +344,169 @@ object GraftV2ScanSupport {
           }
       }
     }
+
+  /** Test observability: scan name → (files before, files after) of
+    * the LAST runtime-filtered partition planning. Driver-side only.
+    */
+  val lastRuntimePruned =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
+
+  /** Strip the runtime-pruning shell so plan-walking consumers (the
+    * stats-fold rule's post-pushdown interception) see the underlying
+    * file scan.
+    */
+  def unwrapRuntime(scan: Scan): Scan = scan match {
+    case w: GraftRuntimePrunedScan => w.innerScan
+    case s => s
+  }
+
+  /** Best-effort V2→catalyst translation of the runtime-filter
+    * predicate shapes dynamic pruning produces (IN over the join key,
+    * occasionally a single "="). UnresolvedAttribute is an Attribute,
+    * which is exactly what the segment pruner's predicate walker
+    * matches; unknown shapes are ignored (pruning is an optimization,
+    * never a correctness gate).
+    */
+  private def v2ToCatalyst(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[Expression] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo, In, Literal}
+    import org.apache.spark.sql.connector.expressions.LiteralValue
+    def ref(e: V2Expression): Option[String] = e match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        Some(r.fieldNames.head)
+      case _ => None
+    }
+    def lit(e: V2Expression): Option[Literal] = e match {
+      case l: LiteralValue[_] => Some(Literal(l.value, l.dataType))
+      case _ => None
+    }
+    p.name() match {
+      case "IN" =>
+        val cs = p.children().toSeq
+        for {
+          h <- cs.headOption
+          n <- ref(h)
+          vs = cs.tail.map(lit)
+          if vs.nonEmpty && vs.forall(_.isDefined)
+        } yield In(UnresolvedAttribute.quoted(n), vs.map(_.get))
+      case "=" =>
+        p.children().toSeq match {
+          case Seq(a, b) => (ref(a), lit(b), ref(b), lit(a)) match {
+            case (Some(n), Some(v), _, _) =>
+              Some(EqualTo(UnresolvedAttribute.quoted(n), v))
+            case (_, _, Some(n), Some(v)) =>
+              Some(EqualTo(UnresolvedAttribute.quoted(n), v))
+            case _ => None
+          }
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  /** Runtime (join-driven) segment pruning — the reference's
+    * FilterPushJoin (`integration/spark/.../execution/joins/
+    * CarbonJoins.scala:31-93` pushed the broadcast side's join keys as
+    * IN filters into the fact scan) re-expressed at SEGMENT
+    * granularity on Spark's own dynamic-pruning machinery: when the
+    * broadcast side of a star join completes, BatchScanExec hands the
+    * surviving join-key values here as V2 predicates, the same
+    * min/max/bloom stats that power static pruning eliminate whole
+    * segment dirs, and partition planning drops their files before a
+    * single task launches. Static pruning cannot see join keys; at
+    * 100 TB a selective dim filter over a key-clustered fact
+    * otherwise scans every live segment. Spark's row-group-level DPP
+    * and runtime bloom filters still apply inside the surviving
+    * segments — this works the directory tier above them.
+    */
+  private final class GraftRuntimePrunedScan(
+      name: String,
+      val innerScan: Scan,
+      filterCols: Array[String],
+      prune: Seq[Expression] => Seq[String]) extends Scan
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+    // segment dirs allowed after runtime filtering; None = all.
+    // Multiple filter() calls (one per runtime filter) intersect.
+    @volatile private var surviving: Option[Set[String]] = None
+
+    override def readSchema(): StructType = innerScan.readSchema()
+    override def description(): String = innerScan.description()
+    override def toMicroBatchStream(cp: String)
+        : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      innerScan.toMicroBatchStream(cp)
+    override def toContinuousStream(cp: String)
+        : org.apache.spark.sql.connector.read.streaming.ContinuousStream =
+      innerScan.toContinuousStream(cp)
+    override def supportedCustomMetrics()
+        : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+      innerScan.supportedCustomMetrics()
+    override def reportDriverMetrics()
+        : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+      innerScan.reportDriverMetrics()
+    override def columnarSupportMode(): Scan.ColumnarSupportMode =
+      innerScan.columnarSupportMode()
+
+    override def filterAttributes(): Array[NamedReference] =
+      filterCols.map(
+        org.apache.spark.sql.connector.expressions.FieldReference.column)
+
+    override def filter(
+        predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+        : Unit = {
+      val exprs = predicates.toSeq.flatMap(v2ToCatalyst)
+      if (exprs.nonEmpty) {
+        val kept =
+          try prune(exprs)
+          catch { case scala.util.control.NonFatal(_) => return }
+        val norm = kept.map(normalizeDir).toSet
+        surviving = Some(surviving.fold(norm)(_ intersect norm))
+      }
+    }
+
+    private def normalizeDir(p: String): String = {
+      val noScheme =
+        try {
+          val u = new java.net.URI(p)
+          if (u.getPath != null && u.getPath.nonEmpty) u.getPath else p
+        } catch { case scala.util.control.NonFatal(_) => p }
+      noScheme.stripSuffix("/")
+    }
+
+    override def toBatch: Batch = new Batch {
+      private val innerBatch = innerScan.toBatch
+      override def createReaderFactory()
+          : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+        innerBatch.createReaderFactory()
+      override def planInputPartitions()
+          : Array[org.apache.spark.sql.connector.read.InputPartition] = {
+        val parts = innerBatch.planInputPartitions()
+        surviving match {
+          case None => parts
+          case Some(dirs) =>
+            import org.apache.spark.sql.execution.datasources.FilePartition
+            // only FilePartitions are understood; anything else keeps
+            // the unpruned plan (never a correctness gate)
+            if (!parts.forall(_.isInstanceOf[FilePartition])) return parts
+            val before = parts.iterator
+              .map(_.asInstanceOf[FilePartition].files.length).sum
+            val filtered = parts.iterator.map(_.asInstanceOf[FilePartition])
+              .map(fp => fp.files.filter { f =>
+                val fpath = normalizeDir(f.filePath.toString)
+                dirs.exists(d => fpath.startsWith(d + "/"))
+              })
+              .filter(_.nonEmpty)
+              .zipWithIndex
+              .map { case (files, i) => FilePartition(i, files) }
+              .toArray[org.apache.spark.sql.connector.read.InputPartition]
+            lastRuntimePruned.put(name,
+              (before, filtered.iterator
+                .map(_.asInstanceOf[FilePartition].files.length).sum))
+            filtered
+        }
+      }
+    }
+  }
 }

@@ -652,7 +652,9 @@ class GraftSqlSpec extends AnyFunSuite {
     def scannedSegments(df: org.apache.spark.sql.DataFrame): Seq[String] =
       df.queryExecution.executedPlan.collect {
         case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-          b.scan match {
+          // strip the runtime-pruning shell to reach the file scan
+          org.apache.spark.sql.graftbridge.GraftV2ScanSupport
+            .unwrapRuntime(b.scan) match {
             case f: org.apache.spark.sql.execution.datasources.v2.FileScan =>
               f.fileIndex.inputFiles.toSeq
             case _ => Seq.empty[String]
@@ -1799,6 +1801,46 @@ class GraftSqlSpec extends AnyFunSuite {
            FROM v2ghyb_src GROUP BY o_orderstatus""").collect().toSet
       assert(q.collect().toSet == want)
     } finally spark.sql("DROP TABLE IF EXISTS graft.default.v2ghyb")
+  }
+
+  test("runtime join-driven segment pruning: a broadcast star join scans only key-bearing segments") {
+    val sf = "/root/testdata/sf0.001"
+    spark.read.parquet(s"$sf/orders.parquet")
+      .createOrReplaceTempView("rtp_src")
+    // key-clustered fact: three loads with disjoint o_orderkey ranges,
+    // so segment min/max can rule segments out once the dim side's
+    // surviving keys are known
+    spark.sql("CREATE TABLE graft.default.rtp USING graft " +
+      "AS SELECT * FROM rtp_src WHERE o_orderkey <= 500")
+    spark.sql("INSERT INTO graft.default.rtp " +
+      "SELECT * FROM rtp_src WHERE o_orderkey > 500 AND o_orderkey <= 1000")
+    spark.sql("INSERT INTO graft.default.rtp " +
+      "SELECT * FROM rtp_src WHERE o_orderkey > 1000")
+    spark.range(1, 200)
+      .selectExpr("id AS k", "id % 5 AS grp")
+      .createOrReplaceTempView("rtp_dim")
+    try {
+      org.apache.spark.sql.graftbridge.GraftV2ScanSupport
+        .lastRuntimePruned.remove("graft.rtp")
+      val q = spark.sql(
+        """SELECT COUNT(*) AS n, SUM(f.o_totalprice) AS tp
+           FROM graft.default.rtp f JOIN rtp_dim d ON f.o_orderkey = d.k
+           WHERE d.grp = 1""")
+      val got = q.collect()(0)
+      val want = spark.sql(
+        """SELECT COUNT(*), SUM(o_totalprice) FROM rtp_src
+           WHERE o_orderkey IN (SELECT k FROM rtp_dim WHERE grp = 1)""")
+        .collect()(0)
+      assert(got == want)
+      // the file-count pin: all surviving dim keys are < 200, i.e.
+      // inside segment_0's key range — dynamic pruning must hand them
+      // to the scan and partition planning must drop the other two
+      // segments' files before any task launches
+      val pruned = org.apache.spark.sql.graftbridge.GraftV2ScanSupport
+        .lastRuntimePruned.get("graft.rtp")
+      assert(pruned != null, "runtime filter never reached the scan")
+      assert(pruned._1 == 3 && pruned._2 == 1, pruned)
+    } finally spark.sql("DROP TABLE IF EXISTS graft.default.rtp")
   }
 
   test("time-travel catalog aggregates fold from the snapshot's segment stats") {
