@@ -298,6 +298,13 @@ object Baseline {
           sum(col("l_orderkey")).as("sum_okey"))
     }),
 
+    // the merged ordered scan vs Spark's range-partitioned sort
+    "g36_sorted_scan" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .orderBy(col("l_shipdate"))
+        .select(col("l_orderkey"), col("l_shipdate"), col("l_quantity"))
+    }),
+
     // the runtime-pruned star join vs the same join over raw parquet
     "g35_catalog_runtime_join" -> ((s, d) => {
       import org.apache.spark.sql.types.DecimalType

@@ -317,10 +317,10 @@ object AggTables {
     * bounds, recursive lookup): such a scan reads a SUBSET of its
     * root paths' files, so neither the catalog-count fast path nor an
     * MV rewrite may answer for it — both reason about roots, not the
-    * filtered file set. Shared by [[StatsAggFromCatalog]] and
-    * [[AggTableRewrite]].
+    * filtered file set. Shared by [[StatsAggFromCatalog]],
+    * [[AggTableRewrite]] and the sorted-scan strategy.
     */
-  private[mv] def hasFileFilterOptions(
+  private[graft] def hasFileFilterOptions(
       h: org.apache.spark.sql.execution.datasources.HadoopFsRelation): Boolean = {
     val keys = h.options.keySet.map(_.toLowerCase(java.util.Locale.ROOT))
     Seq("pathglobfilter", "modifiedafter", "modifiedbefore",

@@ -350,6 +350,23 @@ object SegmentQueries {
       t
     })
 
+  /** g36's table: lineitem in ONE segment sorted by l_shipdate — the
+    * ordered-scan elision's shape (a K-way merge of the per-file
+    * sorted runs serves a global ORDER BY with no SortExec;
+    * MergeSortedScanSpec pins the plan on both the fire and decline
+    * sides).
+    */
+  private def sortedLineitemSingle(s: SparkSession, d: String): SegmentedTable =
+    built.getOrElseUpdate(s"lis1|$d", {
+      val root = graft.util.RunRoot.under(
+        s"graft_tables/${d.replace('/', '_')}/lineitem_sorted1")
+      val li = Tables.lineitem(s, d)
+      val t = SegmentedTable.fresh(s, root, li.schema,
+        Map("sort_columns" -> "l_shipdate"))
+      t.load(li)
+      t
+    })
+
   /** g26's table: orders loaded once per order status — the group key
     * is CONSTANT per segment (identity-partitioned loads), the shape
     * the grouped stats fold serves from the catalog.
@@ -1009,6 +1026,19 @@ object SegmentQueries {
               ON f.o_orderkey = d.k""")
     }),
 
+    // g36: ordered-scan elision — a global ORDER BY over the
+    // ascending sort_columns prefix of one small sorted segment plans
+    // as a K-way merge of the per-file runs: no SortExec, no Exchange
+    // (MergeSortedScanSpec pins both the fire and decline sides; the
+    // size bound keeps the single-task merge scale-honest).
+    "g36_sorted_scan" -> ((s, d) => {
+      graft.plans.MergeSortedScan.ensureRegistered(s)
+      val t = sortedLineitemSingle(s, d)
+      t.read()
+        .orderBy(col("l_shipdate"))
+        .select(col("l_orderkey"), col("l_shipdate"), col("l_quantity"))
+    }),
+
     // g26: GROUPED stats fold over segment-aligned group keys — one
     // load per order status makes the group key constant per segment,
     // so GROUP BY folds per segment group from the catalog with zero
@@ -1472,6 +1502,13 @@ object SegmentQueries {
                      * 0.000001 AS DOUBLE) AS avg_price,
                 c AS cnt
          FROM s""",
+
+    // the merged ordered scan must equal the real sort's rows (the
+    // driver compare is order-insensitive; MergeSortedScanSpec pins
+    // the ORDER itself)
+    "g36_sorted_scan" ->
+      """SELECT l_orderkey, l_shipdate, l_quantity
+         FROM lineitem ORDER BY l_shipdate""",
 
     // the runtime-pruned star join must equal the plain join exactly
     "g35_catalog_runtime_join" ->

@@ -78,6 +78,7 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(s => graft.mv.AggTableRewrite(s))
     e.injectOptimizerRule(s => graft.mv.StatsAggFromCatalog(s))
     e.injectOptimizerRule(s => graft.table.GraftSegmentPruning(s))
+    e.injectPlannerStrategy(s => graft.plans.GraftSortedScanStrategy(s))
     GraftFunctions.register(e)
     e.injectTableFunction((FunctionIdentifier("graft_table"),
       GraftTableFunction.info, GraftTableFunction.builder))
