@@ -101,6 +101,17 @@ object Bench {
         case Some((g, b)) => (g, b)
         case None => (fn0, baselines(name))
       }
+      // the staged streaming gates (the BenchFixtures set) inherit the
+      // whole board's JIT/GC debt asymmetrically — their drains
+      // allocate far more than the paired batch side, so a fragmented
+      // late-board heap inflates ONLY the graft reading (r19: the
+      // driver board read st15 at 2.08× while three isolated
+      // re-measures read 1.34×). Two mitigations, applied to exactly
+      // this set: settle the heap before the pair starts, and take two
+      // extra alternating pairs so min-of-N sees past a straggler GC.
+      val staged = overrides.contains(name)
+      if (staged) { System.gc(); Thread.sleep(200); System.gc() }
+      val gateRuns = if (staged && timedRuns > 1) timedRuns + 2 else timedRuns
       // warm both sides first (plan compile, codegen, page cache)
       timeOnce(name, fn, spark, sfDir)
       if (!graftOnly) timeOnce(name, base, spark, sfDir)
@@ -112,7 +123,7 @@ object Bench {
       // RUNS=1). Alternation balances it at RUNS>=2; RUNS=1 scaling
       // studies keep the documented caveat (re-measure outliers with
       // 3 pairs before believing them).
-      val pairs = (1 to timedRuns).map { i =>
+      val pairs = (1 to gateRuns).map { i =>
         if (graftOnly) (timeOnce(name, fn, spark, sfDir), -1.0)
         else if (i % 2 == 1)
           (timeOnce(name, fn, spark, sfDir),
