@@ -330,6 +330,18 @@ object Baseline {
           count(lit(1)).as("cnt"))
     }),
 
+    // the catalog-surface decimal folds vs the real unfiltered scan
+    "g37_catalog_decimal_agg" -> ((s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      Tables.lineitem(s, d)
+        .select(col("l_extendedprice").cast(DecimalType(12, 2)).as("p"),
+          col("l_orderkey"))
+        .agg(sum(col("p")).cast("double").as("sum_price"),
+          avg(col("p")).cast("double").as("avg_price"),
+          avg(col("l_orderkey")).cast("double").as("avg_okey"),
+          count(lit(1)).as("cnt"))
+    }),
+
     // the grouped decimal folds' savings vs a real grouped scan
     "g34_decimal_grouped_agg" -> ((s, d) => {
       import org.apache.spark.sql.types.DecimalType

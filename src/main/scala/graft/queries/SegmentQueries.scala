@@ -133,6 +133,33 @@ object SegmentQueries {
       s"$cat.default.ordruntime"
     })
 
+  /** g37's catalog table: lineitem with a true DECIMAL(12,2) money
+    * column behind a V2 catalog identifier, two loads — the decimal
+    * SUM/AVG folds proven on the BI-facing SQL surface (the rule's
+    * V2 interception serves what the builder's pushed-aggregate
+    * contract cannot).
+    */
+  private val catalogDecimal = new graft.util.BuildOnce[String]
+
+  private def catalogDecimalTable(s: SparkSession, d: String): String =
+    catalogDecimal.getOrElseUpdate(s"gcd|$d|${s.sparkContext.applicationId}", {
+      val cat = s"gcd${(d + s.sparkContext.applicationId).hashCode.abs}"
+      val root = graft.util.RunRoot.under(
+        s"graft_catalog_decimal/${d.replace('/', '_')}")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalogPlugin")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      Tables.lineitem(s, d).createOrReplaceTempView("g37_lineitem_src")
+      s.sql(s"CREATE TABLE $cat.default.li_decimal USING graft " +
+        "AS SELECT l_orderkey, l_quantity, " +
+        "CAST(l_extendedprice AS DECIMAL(12,2)) AS l_price_dec, l_shipdate " +
+        "FROM g37_lineitem_src WHERE l_orderkey % 2 = 0")
+      s.sql(s"INSERT INTO $cat.default.li_decimal " +
+        "SELECT l_orderkey, l_quantity, " +
+        "CAST(l_extendedprice AS DECIMAL(12,2)), l_shipdate " +
+        "FROM g37_lineitem_src WHERE l_orderkey % 2 <> 0")
+      s"$cat.default.li_decimal"
+    })
+
   /** g27's catalog table: orders behind a V2 catalog identifier, one
     * INSERT per order status — the group key is constant per segment,
     * so a catalog-side GROUP BY folds from segment stats through the
@@ -1039,6 +1066,23 @@ object SegmentQueries {
         .select(col("l_orderkey"), col("l_shipdate"), col("l_quantity"))
     }),
 
+    // g37: decimal SUM/AVG folds through the V2 CATALOG's SQL surface
+    // — the BI-idiomatic CAST(SUM/AVG(money) AS DOUBLE) over
+    // cat.ns.t answers from one catalog read: the builder's pushed-
+    // aggregate contract cannot serve decimal/AVG/cast shapes, so the
+    // rule's V2 interception does (both session kinds; GraftSqlSpec
+    // pins the extension-session LocalRelation plan).
+    "g37_catalog_decimal_agg" -> ((s, d) => {
+      graft.mv.StatsAggFromCatalog.ensureRegistered(s)
+      val n = catalogDecimalTable(s, d)
+      s.sql(
+        s"""SELECT CAST(SUM(l_price_dec) AS DOUBLE) AS sum_price,
+                   CAST(AVG(l_price_dec) AS DOUBLE) AS avg_price,
+                   CAST(AVG(l_orderkey) AS DOUBLE) AS avg_okey,
+                   COUNT(*) AS cnt
+            FROM $n""")
+    }),
+
     // g26: GROUPED stats fold over segment-aligned group keys — one
     // load per order status makes the group key constant per segment,
     // so GROUP BY folds per segment group from the catalog with zero
@@ -1472,6 +1516,25 @@ object SegmentQueries {
                            l_orderkey
                     FROM lineitem
                     WHERE l_shipdate >= TIMESTAMP '1996-01-01'),
+              s AS (SELECT CAST(SUM(p) * 1000000 AS HUGEINT) s6,
+                           COUNT(p) n,
+                           CAST(SUM(p) AS DOUBLE) sd,
+                           CAST(AVG(l_orderkey) AS DOUBLE) ao,
+                           COUNT(*) c
+                    FROM f)
+         SELECT sd AS sum_price,
+                CAST(CAST((2*s6 + n) // (2*n) AS DECIMAL(30,0))
+                     * 0.000001 AS DOUBLE) AS avg_price,
+                ao AS avg_okey,
+                c AS cnt
+         FROM s""",
+
+    // the catalog-surface decimal folds, same exact-arithmetic oracle
+    // (unfiltered)
+    "g37_catalog_decimal_agg" ->
+      """WITH f AS (SELECT CAST(l_extendedprice AS DECIMAL(12,2)) p,
+                           l_orderkey
+                    FROM lineitem),
               s AS (SELECT CAST(SUM(p) * 1000000 AS HUGEINT) s6,
                            COUNT(p) n,
                            CAST(SUM(p) AS DOUBLE) sd,

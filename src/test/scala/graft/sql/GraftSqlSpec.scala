@@ -1803,6 +1803,39 @@ class GraftSqlSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS graft.default.v2ghyb")
   }
 
+  test("catalog decimal SUM/AVG and cast-wrapped aggregates fold with no scan") {
+    val sf = "/root/testdata/sf0.001"
+    spark.read.parquet(s"$sf/lineitem.parquet")
+      .createOrReplaceTempView("v2dec_src")
+    spark.sql("CREATE TABLE graft.default.v2dec USING graft " +
+      "AS SELECT l_orderkey, CAST(l_extendedprice AS DECIMAL(12,2)) AS p " +
+      "FROM v2dec_src WHERE l_orderkey % 2 = 0")
+    spark.sql("INSERT INTO graft.default.v2dec " +
+      "SELECT l_orderkey, CAST(l_extendedprice AS DECIMAL(12,2)) " +
+      "FROM v2dec_src WHERE l_orderkey % 2 <> 0")
+    try {
+      // the BI-idiomatic shape: CAST(SUM/AVG(money) AS DOUBLE) —
+      // beyond the builder's pushed-aggregate contract, served by the
+      // rule's pre-pushdown interception as a LocalRelation
+      val q = spark.sql(
+        """SELECT CAST(SUM(p) AS DOUBLE) AS sp, CAST(AVG(p) AS DOUBLE) AS ap,
+                  SUM(p) AS sp_dec, AVG(p) AS ap_dec,
+                  CAST(AVG(l_orderkey) AS DOUBLE) AS ak
+           FROM graft.default.v2dec""")
+      val exec = q.queryExecution.executedPlan.toString
+      assert(exec.contains("LocalTableScan"), exec)
+      assert(!exec.contains("BatchScan") && !exec.contains("Scan parquet"),
+        exec)
+      val want = spark.sql(
+        """SELECT CAST(SUM(p) AS DOUBLE), CAST(AVG(p) AS DOUBLE),
+                  SUM(p), AVG(p), CAST(AVG(l_orderkey) AS DOUBLE)
+           FROM (SELECT l_orderkey,
+                        CAST(l_extendedprice AS DECIMAL(12,2)) AS p
+                 FROM v2dec_src)""").head()
+      assert(q.head() == want)
+    } finally spark.sql("DROP TABLE IF EXISTS graft.default.v2dec")
+  }
+
   test("runtime join-driven segment pruning: a broadcast star join scans only key-bearing segments") {
     val sf = "/root/testdata/sf0.001"
     spark.read.parquet(s"$sf/orders.parquet")
