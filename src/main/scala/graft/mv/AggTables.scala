@@ -321,8 +321,15 @@ object AggTables {
     * [[AggTableRewrite]] and the sorted-scan strategy.
     */
   private[graft] def hasFileFilterOptions(
-      h: org.apache.spark.sql.execution.datasources.HadoopFsRelation): Boolean = {
-    val keys = h.options.keySet.map(_.toLowerCase(java.util.Locale.ROOT))
+      h: org.apache.spark.sql.execution.datasources.HadoopFsRelation): Boolean =
+    hasFileFilterKeys(h.options.keySet)
+
+  /** Same guard over a bare option-key set — the V2 ParquetScan path
+    * carries its read options as a CaseInsensitiveStringMap, not a
+    * HadoopFsRelation.
+    */
+  private[graft] def hasFileFilterKeys(optionKeys: Iterable[String]): Boolean = {
+    val keys = optionKeys.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
     Seq("pathglobfilter", "modifiedafter", "modifiedbefore",
       "recursivefilelookup").exists(keys.contains)
   }

@@ -532,9 +532,15 @@ case class StatsAggFromCatalog(spark: SparkSession) extends Rule[LogicalPlan] {
         // them from the SAME conjuncts the retained Filter node (our
         // `cond`) carries, so any file they advise skipping holds no
         // cond-matching rows and the fold over cond stays exact.
+        // file-level read options (glob, mtime bounds, recursive
+        // lookup) make the scan read a SUBSET of the segment dirs'
+        // files — mirror the V1 path's hasFileFilterOptions guard
         case ps: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
             if ps.readPartitionSchema.isEmpty && ps.partitionFilters.isEmpty &&
-              ps.pushedAggregate.isEmpty =>
+              ps.pushedAggregate.isEmpty &&
+              !AggTables.hasFileFilterKeys(
+                scala.jdk.CollectionConverters
+                  .SetHasAsScala(ps.options.keySet()).asScala) =>
           Some((cond,
             ps.fileIndex.rootPaths.map(_.toString.stripPrefix("file:")),
             V2Leaf(r.output, deferFullFold = false)))

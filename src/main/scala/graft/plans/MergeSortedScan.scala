@@ -125,11 +125,18 @@ case class GraftSortedScanStrategy(spark: SparkSession) extends SparkStrategy {
       .find(s => s.id == segId && s.status == SegmentedTable.SUCCESS)
       .getOrElse(return None)
     if (meta.bytes < 0L || meta.bytes > maxBytes) return None
-    // the per-file sorted runs
-    val dir = new java.io.File(paths.head)
-    val files = Option(dir.listFiles()).getOrElse(return None)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      .map(f => (f.getAbsolutePath, f.length())).toSeq.sortBy(_._1)
+    // the per-file sorted runs, from the relation's OWN FileIndex —
+    // exactly the file set the elided scan would read (a fresh
+    // directory listing could disagree with the index snapshot and
+    // include files the scan never would); decline explicitly on
+    // non-local schemes, where the single-task merge has no business
+    val files = h.location.listFiles(Nil, Nil).flatMap(_.files)
+      .filter(f => f.getPath.getName.endsWith(".parquet"))
+      .map { f =>
+        val scheme = f.getPath.toUri.getScheme
+        if (scheme != null && scheme != "file") return None
+        (f.getPath.toUri.getPath, f.getLen)
+      }.sortBy(_._1)
     if (files.isEmpty) return None
     val readSchema = StructType(out.map(a =>
       h.dataSchema.fields.find(_.name == a.name).getOrElse(return None)))

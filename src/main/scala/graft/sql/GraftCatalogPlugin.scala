@@ -538,14 +538,32 @@ private[graft] class GraftV2Table(ident: Identifier, tablePath: String,
       // driver-side segment pruning from the pushed filters — the
       // catalog-read twin of the GraftSegmentPruning optimizer rule
       // (min/max stats eliminate whole segment dirs before the scan
-      // plans; parquet row-group stats prune further inside it)
-      org.apache.spark.sql.graftbridge.GraftV2ScanSupport
-        .segmentPrunedParquetBuilder(spark, s"graft.${ident.name}",
-          t.schema, paths, filters =>
+      // plans; parquet row-group stats prune further inside it).
+      // Pruning runs among the CAPTURED snapshot metas, never a fresh
+      // live read: runtime (join-driven) filters arrive at EXECUTION
+      // time, and a compaction/DELETE committing between planning and
+      // the broadcast completing must not retire a planned segment
+      // from the prune answer (pruneAmong's snapshot invariant).
+      val pruneFn: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+          Seq[String] = metas match {
+        case Some(m) =>
+          val pathOf = m.map(_.id).zip(paths).toMap
+          filters =>
+            filters.reduceOption(
+              org.apache.spark.sql.catalyst.expressions.And)
+              .fold(paths)(c => t.pruneAmong(m, c).map(s => pathOf(s.id)))
+        case None =>
+          // version-pinned snapshot without stats metas: statusAt(v)
+          // is immutable, so the fresh read IS the snapshot
+          filters =>
             filters.reduceOption(
               org.apache.spark.sql.catalyst.expressions.And)
               .fold(paths)(c =>
-                t.prunedSegmentPaths(c, asOfVersion).map(_.toString)),
+                t.prunedSegmentPaths(c, asOfVersion).map(_.toString))
+      }
+      org.apache.spark.sql.graftbridge.GraftV2ScanSupport
+        .segmentPrunedParquetBuilder(spark, s"graft.${ident.name}",
+          t.schema, paths, pruneFn,
           statsMetas = metas,
           trichotomy = trich)
     }

@@ -302,7 +302,8 @@ object GraftV2ScanSupport {
               segs.exists(s => s.stats.contains(n) || s.nullCounts.contains(n))))
           val scan: Scan =
             if (statCols.isEmpty) built
-            else new GraftRuntimePrunedScan(name, built, statCols, prune)
+            else new GraftRuntimePrunedScan(name, built, statCols, prune,
+              allPaths)
           // an untouched build is the relation-level stats probe (see
           // `untouched`): serve the catalog's EXACT totals when every
           // segment recorded its byte size; otherwise (old catalogs,
@@ -425,12 +426,20 @@ object GraftV2ScanSupport {
       name: String,
       val innerScan: Scan,
       filterCols: Array[String],
-      prune: Seq[Expression] => Seq[String]) extends Scan
+      prune: Seq[Expression] => Seq[String],
+      snapshotPaths: Seq[String]) extends Scan
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
     // segment dirs allowed after runtime filtering; None = all.
     // Multiple filter() calls (one per runtime filter) intersect.
     @volatile private var surviving: Option[Set[String]] = None
+
+    // the scan snapshot's own segment dirs: a planned file may only be
+    // dropped when its dir IS one of these and was positively pruned —
+    // an unrecognized path (prune/file path-form mismatch, a dir the
+    // snapshot never described) is always KEPT, so any disagreement
+    // fails toward reading, never toward silent row loss
+    private val knownDirs: Set[String] = snapshotPaths.map(normalizeDir).toSet
 
     override def readSchema(): StructType = innerScan.readSchema()
     override def description(): String = innerScan.description()
@@ -495,7 +504,8 @@ object GraftV2ScanSupport {
             val filtered = parts.iterator.map(_.asInstanceOf[FilePartition])
               .map(fp => fp.files.filter { f =>
                 val fpath = normalizeDir(f.filePath.toString)
-                dirs.exists(d => fpath.startsWith(d + "/"))
+                knownDirs.find(d => fpath.startsWith(d + "/"))
+                  .forall(dirs.contains)
               })
               .filter(_.nonEmpty)
               .zipWithIndex
