@@ -139,7 +139,8 @@ object BenchFixtures {
       s.readStream.schema(schema).parquet(dir))
     val landed = EventStreams.runToCompletionStaged(s,
       st08Join(spend, stream),
-      graft.util.RunRoot.under(s"st08_landed_${d.replace('/', '_')}"))
+      graft.util.RunRoot.under(s"st08_landed_${d.replace('/', '_')}"),
+      eagerEmission = true)
     landed.groupBy(col("user_id"))
       .agg(count(lit(1)).as("errors"), max(col("spend")).as("spend"))
   }
@@ -220,11 +221,11 @@ object BenchFixtures {
                               (SparkSession, String) => DataFrame)] =
     Map(
       "st01_stream_hourly" -> (
-        (s: SparkSession, d: String) => stagedStream(s, d, EventStreams.hourlyAgg),
-        (s: SparkSession, d: String) => stagedBatch(s, d, EventStreams.hourlyAgg)),
+        (s: SparkSession, d: String) => stagedStream(s, d, df => EventStreams.hourlyAgg(df)),
+        (s: SparkSession, d: String) => stagedBatch(s, d, df => EventStreams.hourlyAgg(df))),
       "st15_sliding_window" -> (
-        (s: SparkSession, d: String) => stagedStream(s, d, EventStreams.slidingAgg),
-        (s: SparkSession, d: String) => stagedBatch(s, d, EventStreams.slidingAgg)),
+        (s: SparkSession, d: String) => stagedStream(s, d, df => EventStreams.slidingAgg(df)),
+        (s: SparkSession, d: String) => stagedBatch(s, d, df => EventStreams.slidingAgg(df))),
       "st08_stream_static_join" -> (
         (s: SparkSession, d: String) => st08Graft(s, d),
         (s: SparkSession, d: String) => st08Baseline(s, d)),

@@ -2,6 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 import graft.functions.TextFunctions._
 
 /** Document deduplication operators for 100 TB-scale corpora.
@@ -734,6 +735,61 @@ object Dedup {
     * uses, shuffle-bound and skew-free at any corpus size).
     */
   def nearDupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    // SMALL-GRAPH FAST PATH: near-dup pair graphs are pair-bounded (a
+    // tiny fraction of the corpus), and the iterative propagation
+    // below pays ~6 stages + one count action PER ROUND — pure fixed
+    // cost when the whole edge list fits in a driver array. Probe up
+    // to budget+1 edges with one incremental executeTake: if the
+    // graph fits, a min-rooted union-find gives the identical
+    // converged labeling in microseconds (one job instead of
+    // 3 rounds x 6 stages). Budget default 2M edges (= 32 MB of
+    // longs, far under any driver heap); above it — or for non-long
+    // ids — the distributed loop below runs unchanged, so the path
+    // never caps what the operator can handle, it only removes the
+    // per-round scheduling tax the 100 TB regime amortizes anyway.
+    val spark = pairs.sparkSession
+    val longIds = pairs.schema("id_a").dataType == LongType &&
+      pairs.schema("id_b").dataType == LongType
+    val edgeBudget =
+      try spark.conf.get("spark.graft.maxDriverCcEdges", "2000000").toLong
+      catch { case scala.util.control.NonFatal(_) => 2000000L }
+    if (longIds && edgeBudget > 0) {
+      val probe = pairs.select(col("id_a"), col("id_b"))
+        .limit(math.min(edgeBudget, Int.MaxValue - 8L).toInt + 1).collect()
+      if (probe.length <= edgeBudget) {
+        // min-rooted union-find: attach the larger root under the
+        // smaller, so find(x) IS the component minimum — exactly the
+        // fixed point min-label propagation converges to
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.get(r) != r) r = parent.get(r)
+          var c = x // path compression
+          while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+          r
+        }
+        probe.foreach { e =>
+          val (a, b) = (e.getLong(0), e.getLong(1))
+          if (!parent.containsKey(a)) parent.put(a, a)
+          if (!parent.containsKey(b)) parent.put(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra < rb) parent.put(rb, ra)
+          else if (rb < ra) parent.put(ra, rb)
+        }
+        import scala.jdk.CollectionConverters._
+        val rows = parent.keySet().asScala.toSeq.map(id =>
+          org.apache.spark.sql.Row(id, find(id)))
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          // nullable like the loop's join-derived labels, so the two
+          // paths' output schemas are indistinguishable to consumers
+          org.apache.spark.sql.types.StructField("doc_id", LongType, nullable = true),
+          org.apache.spark.sql.types.StructField("rep", LongType, nullable = true)))
+        return spark.createDataFrame(rows.asJava, schema)
+      }
+      // graph exceeds the budget: fall through to the distributed
+      // loop (the probe cost is one bounded read of a list the loop
+      // would materialize anyway)
+    }
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()

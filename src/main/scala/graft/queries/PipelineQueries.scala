@@ -706,7 +706,6 @@ object PipelineQueries {
     // rounded to 6 decimals: a 1-ulp libm difference cannot cross a
     // rounding boundary in practice)
     "t07_tfidf" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
       // corpus size N folded in-plan as a broadcast 1-row aggregate —
       // a driver-side docs.count() here would be an extra full corpus
@@ -719,20 +718,24 @@ object PipelineQueries {
       // df derives from tf itself — tf's key set IS the distinct
       // (doc, token) pairs, so a separate explode+distinct pass over
       // the corpus (two extra shuffles and a second full text scan)
-      // would recompute what tf already materialized. The tf↤df join
-      // stays a join (not a count-over-Window by token) deliberately:
-      // AQE can split a skewed stopword partition of a shuffle join,
-      // but a WindowExec group is unsplittable.
+      // would recompute what tf already materialized.
       val df_ = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-      val w = Window.partitionBy(col("doc_id"))
-        .orderBy(col("tfidf").desc, col("token").asc)
+      // top term per doc as a grouped min_by — (tfidf DESC, token ASC)
+      // is min of (-tfidf, token), a total order (tokens are distinct
+      // within a doc, and tfidf >= 0 since df <= N, so the negation is
+      // NaN-free). vs the row_number window this partial-aggregates
+      // map-side (the shuffle carries one candidate per doc per map
+      // partition, not every (doc, token) row) and drops the
+      // WindowExec sort entirely.
       tf.join(df_, "token")
         .crossJoin(broadcast(nDf))
         .withColumn("tfidf",
           round(col("tf") * log(col("__n") / col("df")), 6))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("doc_id"), col("token").as("top_term"), col("tfidf"))
+        .groupBy(col("doc_id"))
+        .agg(min_by(struct(col("token"), col("tfidf")),
+          struct(negate(col("tfidf")), col("token"))).as("__top"))
+        .select(col("doc_id"), col("__top.token").as("top_term"),
+          col("__top.tfidf").as("tfidf"))
     }),
 
     // pipeline: BM25 relevance scoring (Lucene idf form, k1=1.2,
@@ -740,7 +743,6 @@ object PipelineQueries {
     // and avgdl folded in-plan as a 1-row broadcast aggregate), score
     // rounded to 6 digits so the cross-engine float compare is stable
     "t13_bm25" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val withDl = Tables.documents(s, d)
         .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__w"))
         .select(col("doc_id"), col("__w"),
@@ -759,14 +761,18 @@ object PipelineQueries {
       val idf = log((col("__n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
       val sat = col("tf") * lit(2.2) /
         (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("__avgdl")))
-      val w = Window.partitionBy(col("doc_id"))
-        .orderBy(col("bm25").desc, col("token").asc)
+      // grouped min_by top-1 per doc instead of the row_number window
+      // — same total order (bm25 >= 0: idf >= ln(1) and sat > 0, so
+      // the negation is NaN-free; tokens distinct within a doc), with
+      // map-side partial aggregation and no WindowExec sort (see t07)
       tf.join(df_, "token")
         .crossJoin(broadcast(stats))
         .withColumn("bm25", round(idf * sat, 6))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("doc_id"), col("token").as("top_term"), col("bm25"))
+        .groupBy(col("doc_id"))
+        .agg(min_by(struct(col("token"), col("bm25")),
+          struct(negate(col("bm25")), col("token"))).as("__top"))
+        .select(col("doc_id"), col("__top.token").as("top_term"),
+          col("__top.bm25").as("bm25"))
     }),
 
     // pipeline: BM25 SERVING from a MATERIALIZED inverted index — the

@@ -90,7 +90,7 @@ object StreamingQueries {
       // the landing projected to the two columns the gate reads
       val landed = EventStreams.runToCompletionStaged(s,
         deduped.select(col("fp"), col("n_chars")),
-        landDir(d, "st04"))
+        landDir(d, "st04"), eagerEmission = true)
       landed
         .groupBy(substring(col("fp"), 1, 1).as("bucket"))
         .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
@@ -117,7 +117,7 @@ object StreamingQueries {
         EventStreams.dedupStreamBounded(stream, "fp", "ts_utc", "10 minutes")
       val landed = EventStreams.runToCompletionStaged(s,
         deduped.select(col("fp"), col("n_chars")),
-        landDir(d, "st05"))
+        landDir(d, "st05"), eagerEmission = true)
       landed
         .groupBy(substring(col("fp"), 1, 1).as("bucket"))
         .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
@@ -249,7 +249,7 @@ object StreamingQueries {
           // source implements admission control (r15).
           val f = EventStreams.runToCompletionStaged(s,
             joined.select(col("user_id"), col("spend")),
-            landDir(d, "st08")).persist()
+            landDir(d, "st08"), eagerEmission = true).persist()
           f.count()
           f
         })
@@ -365,7 +365,7 @@ object StreamingQueries {
       val anomalies = EventStreams.runningMeanAnomalies(stream, 3.0)
       val landed = EventStreams.runToCompletionStaged(s,
         anomalies.select(col("user_id"), col("ts_ns"), col("value")),
-        landDir(d, "st14"))
+        landDir(d, "st14"), eagerEmission = true)
       // DuckDB reads TIMESTAMP(NANOS) at µs resolution — emit µs on
       // both engines (the ns tail is sub-oracle-visible)
       landed.select(col("user_id"), expr("ts_ns div 1000").as("ts_us"),
@@ -403,7 +403,7 @@ object StreamingQueries {
         length(TextFunctions.redactPii(col("text"))).cast("long")
           .as("red_len"))
       val landed = EventStreams.runToCompletionStaged(s, scrubbed,
-        landDir(d, "st17"))
+        landDir(d, "st17"), eagerEmission = true)
       landed.groupBy((col("doc_id") % 10).as("shard"))
         .agg(count(lit(1)).as("docs"), sum(col("ne")).as("tot_emails"),
           sum(col("np")).as("tot_phones"), sum(col("ni")).as("tot_ips"),
@@ -427,7 +427,7 @@ object StreamingQueries {
       val chunks = graft.text.Chunker.chunk(stream, "doc_id", "text")
         .select(col("doc_id"), col("n_tokens"), col("chunk_h"))
       val landed = EventStreams.runToCompletionStaged(s, chunks,
-        landDir(d, "st19"))
+        landDir(d, "st19"), eagerEmission = true)
       landed.groupBy((col("doc_id") % 10).as("shard"))
         .agg(count(lit(1)).as("n_chunks"),
           sum(col("n_tokens")).as("tot_tokens"),
@@ -453,7 +453,7 @@ object StreamingQueries {
         .toDF()
         .select(col("id"), col("dh_hi"), col("dh_lo"))
       val landed = EventStreams.runToCompletionStaged(s, hashes,
-        landDir(d, "st18"))
+        landDir(d, "st18"), eagerEmission = true)
       landed
         .groupBy(shiftright(col("dh_hi"), 24).as("band"))
         .agg(count(lit(1)).as("n_images"),
@@ -479,7 +479,7 @@ object StreamingQueries {
         .toDF()
         .select(col("id"), col("af_hi"), col("af_lo"))
       val landed = EventStreams.runToCompletionStaged(s, fps,
-        landDir(d, "st20"))
+        landDir(d, "st20"), eagerEmission = true)
       landed
         .groupBy(shiftright(col("af_hi"), 24).as("band"))
         .agg(count(lit(1)).as("n_clips"),
@@ -505,7 +505,7 @@ object StreamingQueries {
         .select(col("id"), col("timescale"), col("duration_ms"),
           col("mdat_bytes"))
       val landed = EventStreams.runToCompletionStaged(s, metas,
-        landDir(d, "st21"))
+        landDir(d, "st21"), eagerEmission = true)
       landed.groupBy(col("timescale"))
         .agg(count(lit(1)).as("n_files"),
           sum(col("duration_ms")).as("ms_sum"),
@@ -519,7 +519,7 @@ object StreamingQueries {
         .parquet(d)
       val hits = EventStreams.funnelStages(stream, "view", "click", "purchase")
       val landed = EventStreams.runToCompletionStaged(s, hits,
-        landDir(d, "st16"))
+        landDir(d, "st16"), eagerEmission = true)
       val counts = landed.groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
       // the batch twin (e06) and the oracle ALWAYS emit 3 rows — a
       // stage no user reached reports n_users = 0, it doesn't vanish.
@@ -621,7 +621,8 @@ object StreamingQueries {
           col("p_ts") <= col("e_ts"))
         .select(col("e_user").as("user_id"), col("err_id"))
       val landed = EventStreams.runToCompletionStaged(s, pairs,
-        landDir(d, "st12"), statePartitions = 8)
+        landDir(d, "st12"), statePartitions = 8,
+        eagerEmission = true)
       landed.groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_pairs"),
           countDistinct(col("err_id")).as("errors_with_purchase"))

@@ -68,13 +68,23 @@ object EventStreams {
       .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
   }
 
-  /** Hourly tumbling-window counts with a watermark — the canonical
-    * streaming aggregation. Emits (hour_bucket, event_type, cnt,
-    * total_value) with the value sum in exact decimal.
+  /** Hourly tumbling-window counts — the canonical streaming
+    * aggregation. Emits (hour_bucket, event_type, cnt, total_value)
+    * with the value sum in exact decimal.
+    *
+    * `watermark`: None by default — the COMPLETE-mode drains this
+    * feeds ([[runToCompletion]]) retain all state regardless, so a
+    * watermark there buys nothing and costs a real per-row tax: the
+    * non-codegen EventTimeWatermarkExec breaks the scan→aggregate
+    * WholeStageCodegen span, materializing every row in between
+    * (measured: the dominant share of st01/st15's over-batch residual
+    * after trigger amortization). APPEND-mode drains MUST pass one —
+    * append emits a window only when the watermark passes its end
+    * (StreamingMultimodalSpec pins that path).
     */
-  def hourlyAgg(events: DataFrame): DataFrame =
-    events
-      .withWatermark("ts_utc", "1 hour")
+  def hourlyAgg(events: DataFrame,
+                watermark: Option[String] = None): DataFrame =
+    watermark.fold(events)(events.withWatermark("ts_utc", _))
       .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("cnt"),
         sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
@@ -82,19 +92,21 @@ object EventStreams {
       .select((col("window.start").cast("long") / 3600).cast("long").as("hour_bucket"),
         col("event_type"), col("cnt"), col("total_value"))
 
-  /** SLIDING-window counts (2-hour windows advancing every hour) with
-    * a watermark — the overlapping-window complement of [[hourlyAgg]]:
-    * each event contributes to exactly TWO open windows, the shape of
-    * every moving-average / trailing-rate dashboard. State is
+  /** SLIDING-window counts (2-hour windows advancing every hour) —
+    * the overlapping-window complement of [[hourlyAgg]]: each event
+    * contributes to exactly TWO open windows, the shape of every
+    * moving-average / trailing-rate dashboard. State is
     * windows-in-flight × event types (one extra in-flight window vs
-    * tumbling — the overlap factor, not the corpus, sets state size),
-    * and the watermark still bounds it: a window finalizes one hour
-    * after its end passes the watermark. Emits (win_hour = window
-    * start in epoch hours, event_type, cnt, total_value).
+    * tumbling — the overlap factor, not the corpus, sets state size).
+    * Emits (win_hour = window start in epoch hours, event_type, cnt,
+    * total_value). `watermark`: same contract as [[hourlyAgg]] —
+    * None for complete-mode drains (no eviction there anyway, and the
+    * EventTimeWatermark codegen break is pure per-row cost); append
+    * drains pass one so windows finalize.
     */
-  def slidingAgg(events: DataFrame): DataFrame =
-    events
-      .withWatermark("ts_utc", "1 hour")
+  def slidingAgg(events: DataFrame,
+                 watermark: Option[String] = None): DataFrame =
+    watermark.fold(events)(events.withWatermark("ts_utc", _))
       .groupBy(window(col("ts_utc"), "2 hours", "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("cnt"),
         sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
@@ -193,10 +205,24 @@ object EventStreams {
     * rooted at [[graft.sources.GraftStreamSource]], which implements
     * the admission-control contract (r15; the processAllAvailable
     * fork is retired).
+    *
+    * `eagerEmission = true` skips the trailing NO-DATA micro-batch:
+    * every operator that emits its append rows IN the data batch that
+    * produced them — stateless maps/joins, dropDuplicates[Within
+    * Watermark] (first arrival emits immediately), stream-stream
+    * INNER joins (matches emit as both sides meet), flatMapGroupsWith
+    * State without event-time timeouts — gets nothing from the
+    * finalization batch except one more plan/commit cycle and an
+    * empty parquet write. Callers whose emission is gated on the
+    * watermark passing a boundary (append-mode windowed aggregations,
+    * OUTER stream-stream joins, event-time-timeout state machines)
+    * must keep the default false: for them the trailing batch IS
+    * where the rows come out, and skipping it silently drains empty.
     */
   def runToCompletionStaged(spark: SparkSession, rows: DataFrame,
                             stageDir: String,
-                            statePartitions: Int = 0): DataFrame = {
+                            statePartitions: Int = 0,
+                            eagerEmission: Boolean = false): DataFrame = {
     val p = java.nio.file.Paths.get(stageDir)
     if (java.nio.file.Files.exists(p)) {
       val walk = java.nio.file.Files.walk(p)
@@ -208,9 +234,12 @@ object EventStreams {
       val conf = spark.conf
       val prevNoData = conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
       val prevParts = conf.getOption("spark.sql.shuffle.partitions")
-      // append semantics: keep the trailing no-data batch (watermark
-      // finalization emits there — see runToCompletion's note)
-      conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+      // append semantics: keep the trailing no-data batch unless the
+      // caller declared eager emission (watermark-gated emission
+      // happens there — see runToCompletion's note and the contract
+      // above)
+      conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+        (!eagerEmission).toString)
       if (statePartitions > 0)
         conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
       try {

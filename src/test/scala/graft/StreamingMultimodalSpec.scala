@@ -98,7 +98,8 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     // for an AvailableNow drain that happens in the trailing no-data
     // batch, which runToCompletion must NOT skip for append mode
     val landed = EventStreams.runToCompletion(spark,
-      EventStreams.hourlyAgg(EventStreams.eventStream(spark, TestSpark.sf)),
+      EventStreams.hourlyAgg(EventStreams.eventStream(spark, TestSpark.sf),
+        watermark = Some("1 hour")),
       mode = "append", statePartitions = 4)
     assert(landed.count() > 0,
       "append windowed agg drained empty — the watermark finalization " +
